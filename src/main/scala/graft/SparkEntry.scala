@@ -1,13 +1,127 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every implemented operator exposes a named query over the test corpus
+  * plus (where SQL-expressible) a DuckDB oracle computing the identical
+  * result. Registration lives in the per-module `*Ops.queries()` maps;
+  * this object only concatenates them.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Revenue per nation: lineitem ⋈ orders ⋈ customer ⋈ nation with the
+    * dimension tables broadcast — the canonical star-join shape this
+    * engine is built around.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = Tables.nation(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    BaseQueries.queries ++
+      operators.ProTools.queries ++
+      operators.FirOps.queries ++
+      operators.IirOps.queries ++
+      operators.ResampleOps.queries ++
+      operators.SpectraOps.queries ++
+      operators.HilbertOps.queries ++
+      operators.AnnoOps.queries ++
+      llm.TextStats.queries ++
+      llm.Dedup.queries ++
+      llm.Similarity.queries ++
+      pipeline.PipelineOps.queries ++
+      sources.EdfOps.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys → driver rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    BaseQueries.oracleSql ++
+      operators.ProTools.oracleSql ++
+      operators.FirOps.oracleSql ++
+      operators.IirOps.oracleSql ++
+      operators.ResampleOps.oracleSql ++
+      operators.SpectraOps.oracleSql ++
+      operators.HilbertOps.oracleSql ++
+      operators.AnnoOps.oracleSql ++
+      llm.TextStats.oracleSql ++
+      llm.Dedup.oracleSql ++
+      llm.Similarity.oracleSql ++
+      pipeline.PipelineOps.oracleSql
+}
+
+/** Relational anchor queries over the TPC-H-ish tables: verify the
+  * harness itself (scan → agg → join paths) before the DSP surface.
+  */
+object BaseQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> { (s, dir) =>
+      Tables
+        .lineitem(s, dir)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 4).as("sum_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("n_rows")
+        )
+    },
+    "q2_join" -> { (s, dir) =>
+      // Star join with broadcast dims; mirrors `entry` but parameterized.
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+          count(lit(1)).as("n_rows")
+        )
+    },
+    "q3_topk" -> { (s, dir) =>
+      // Top-10 orders by total line revenue: agg → global sort limit.
+      Tables
+        .lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, " +
+        "round(sum(l_extendedprice), 4) AS sum_price, round(avg(l_discount), 6) AS avg_disc, " +
+        "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+    "q2_join" ->
+      ("SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue, " +
+        "count(*) AS n_rows FROM lineitem " +
+        "JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"),
+    "q3_topk" ->
+      ("SELECT l_orderkey, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue " +
+        "FROM lineitem GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey ASC LIMIT 10")
+  )
 }

@@ -1,0 +1,8 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+object TextStats {
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def oracleSql: Map[String, String] = Map()
+}

@@ -1,0 +1,8 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+object IirOps {
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def oracleSql: Map[String, String] = Map()
+}
