@@ -1,8 +1,132 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+import graft.core.Signal
+
+/** Producer-tools surface (reference: openseize `core/protools.py`).
+  *
+  * Element-wise and whole-signal utilities over the long-format signal
+  * `(channel, n, x)`. Everything is a window/group expression — one
+  * shuffle on channel, then whole-stage codegen; no driver-side state.
+  *
+  * - mean / std (protools.py:500,546): per-channel scalar aggregates.
+  * - standardize (protools.py:598): (x-μ)/σ with window aggregates —
+  *   the two-pass of the reference collapses into one shuffled pass.
+  * - pad (protools.py:182): zero rows prepended/appended per channel via
+  *   `sequence` + explode; indices shift by `left`.
+  * - slice_along_axis (protools.py:428): start/stop/step reindex.
+  * - add / multiply (protools.py:72,127): element-wise combine of two
+  *   channels aligned on n (co-partitioned equi-join).
+  * - MaskedProducer (producer.py:379): boolean-mask sample selection
+  *   with dense reindexing.
+  */
 object ProTools {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracleSql: Map[String, String] = Map()
+
+  private val padLeft = 3
+  private val padRight = 2
+  private val sliceStart = 5L
+  private val sliceStop = 1005L
+  private val sliceStep = 3L
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pro_mean" -> { (s, dir) =>
+      Signal
+        .long(s, dir)
+        .groupBy(col("channel"))
+        .agg(round(avg(col("x")), 6).as("mean_x"), count(lit(1)).as("n_samples"))
+    },
+    "pro_std" -> { (s, dir) =>
+      Signal
+        .long(s, dir)
+        .groupBy(col("channel"))
+        .agg(round(stddev_pop(col("x")), 6).as("std_x"))
+    },
+    "pro_standardize" -> { (s, dir) =>
+      val w = Window.partitionBy(col("channel"))
+      Signal
+        .long(s, dir)
+        .select(
+          col("channel"),
+          col("n"),
+          round((col("x") - avg(col("x")).over(w)) / stddev_pop(col("x")).over(w), 6).as("z")
+        )
+    },
+    "pro_pad" -> { (s, dir) =>
+      val sig = Signal.long(s, dir)
+      val shifted = sig.select(col("channel"), (col("n") + padLeft).as("n"), col("x"))
+      val bounds = sig.groupBy(col("channel")).agg(max(col("n")).as("max_n"))
+      val left = bounds.select(
+        col("channel"),
+        explode(sequence(lit(0L), lit(padLeft - 1L))).as("n"),
+        lit(0.0).as("x")
+      )
+      val right = bounds.select(
+        col("channel"),
+        explode(
+          sequence(col("max_n") + padLeft + 1, col("max_n") + padLeft + padRight)
+        ).as("n"),
+        lit(0.0).as("x")
+      )
+      shifted.unionByName(left).unionByName(right)
+    },
+    "pro_slice" -> { (s, dir) =>
+      Signal
+        .long(s, dir)
+        .filter(
+          col("n") >= sliceStart && col("n") < sliceStop &&
+            (col("n") - sliceStart) % sliceStep === 0
+        )
+        .select(col("channel"), ((col("n") - sliceStart) / sliceStep).cast("bigint").as("n"), col("x"))
+    },
+    "pro_combine" -> { (s, dir) =>
+      val sig = Signal.long(s, dir)
+      val a = sig.filter(col("channel") === "error").select(col("n"), col("x").as("xa"))
+      val b = sig.filter(col("channel") === "purchase").select(col("n"), col("x").as("xb"))
+      a.join(b, Seq("n"))
+        .select(
+          col("n"),
+          round(col("xa") + col("xb"), 6).as("x_add"),
+          round(col("xa") * col("xb"), 6).as("x_mul")
+        )
+    },
+    "pro_mask" -> { (s, dir) =>
+      // Mask = keep samples with amplitude above threshold; reindex densely
+      // (reference MaskedProducer yields only unmasked samples, in order).
+      val w = Window.partitionBy(col("channel")).orderBy(col("n"))
+      Signal
+        .long(s, dir)
+        .filter(col("x") > 50.0)
+        .select(col("channel"), (row_number().over(w) - 1).cast("bigint").as("n"), col("x"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = {
+    val cte = Signal.sigCte
+    Map(
+      "pro_mean" ->
+        s"$cte SELECT channel, round(avg(x), 6) AS mean_x, count(*) AS n_samples FROM sig GROUP BY channel",
+      "pro_std" ->
+        s"$cte SELECT channel, round(stddev_pop(x), 6) AS std_x FROM sig GROUP BY channel",
+      "pro_standardize" ->
+        (s"$cte SELECT channel, n, round((x - avg(x) OVER (PARTITION BY channel)) / " +
+          "stddev_pop(x) OVER (PARTITION BY channel), 6) AS z FROM sig"),
+      "pro_pad" ->
+        (s"$cte, bounds AS (SELECT channel, max(n) AS max_n FROM sig GROUP BY channel) " +
+          s"SELECT channel, n + $padLeft AS n, x FROM sig " +
+          s"UNION ALL SELECT channel, gs.g AS n, 0.0 AS x FROM bounds, generate_series(0, ${padLeft - 1}) gs(g) " +
+          s"UNION ALL SELECT channel, max_n + $padLeft + gs.g AS n, 0.0 AS x FROM bounds, generate_series(1, $padRight) gs(g)"),
+      "pro_slice" ->
+        (s"$cte SELECT channel, (n - $sliceStart) // $sliceStep AS n, x FROM sig " +
+          s"WHERE n >= $sliceStart AND n < $sliceStop AND (n - $sliceStart) % $sliceStep = 0"),
+      "pro_combine" ->
+        (s"$cte SELECT a.n, round(a.x + b.x, 6) AS x_add, round(a.x * b.x, 6) AS x_mul " +
+          "FROM sig a JOIN sig b ON a.n = b.n WHERE a.channel = 'error' AND b.channel = 'purchase'"),
+      "pro_mask" ->
+        (s"$cte SELECT channel, CAST(row_number() OVER (PARTITION BY channel ORDER BY n) - 1 AS BIGINT) AS n, x " +
+          "FROM sig WHERE x > 50.0")
+    )
+  }
 }

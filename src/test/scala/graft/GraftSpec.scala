@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local session for all suites. */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession
+      .builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class HarnessSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracleSql without queries: $missing")
+  }
+
+  test("all queries run non-empty at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"query $name returned 0 rows")
+    }
+  }
+}
+
+class ProToolsSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("pro_standardize has ~zero mean and unit variance per channel") {
+    import org.apache.spark.sql.functions._
+    val stats = q("pro_standardize")
+      .groupBy("channel")
+      .agg(avg("z").as("m"), stddev_pop("z").as("s"))
+      .collect()
+    stats.foreach { r =>
+      assert(math.abs(r.getDouble(1)) < 1e-4, s"mean ${r.getDouble(1)}")
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-4, s"std ${r.getDouble(2)}")
+    }
+  }
+
+  test("pro_pad adds exactly left+right zero samples per channel") {
+    import org.apache.spark.sql.functions._
+    val raw = core.Signal.long(spark, sf).groupBy("channel").count()
+    val pad = q("pro_pad").groupBy("channel").count().withColumnRenamed("count", "pc")
+    val joined = raw.join(pad, "channel").collect()
+    joined.foreach(r => assert(r.getLong(2) == r.getLong(1) + 5))
+    val zeros = q("pro_pad").filter(col("x") === 0.0).count()
+    assert(zeros >= 5 * raw.count())
+  }
+
+  test("pro_slice indices are dense from zero") {
+    import org.apache.spark.sql.functions._
+    val bad = q("pro_slice")
+      .groupBy("channel")
+      .agg(min("n").as("mn"), max("n").as("mx"), count(lit(1)).as("c"))
+      .filter(col("mn") =!= 0 || col("mx") =!= col("c") - 1)
+      .count()
+    assert(bad == 0)
+  }
+}
