@@ -1,8 +1,158 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+import graft.core.{Dsp, Signal}
+
+/** FIR filtering over the long-format signal.
+  *
+  * Reference: openseize `filtering/fir.py` (window families) applied via
+  * `core/numerical.py:158` `oaconvolve` with numpy modes full/same/valid.
+  *
+  * Spark-first shape: a linear convolution y[n] = Σ_k h[k]·x[n−k+Δ] is a
+  * fixed pattern of `lag`/`lead` references within one
+  * `PARTITION BY channel ORDER BY n` window — a single shuffle+sort, then
+  * whole-stage-codegen'd arithmetic; no UDFs, no state. Edge samples use
+  * zero extension (numpy conv semantics) via `coalesce(·, 0)`.
+  *
+  * The same coefficient array also renders the DuckDB oracle expression,
+  * term-for-term in the same left-associated order, so both engines agree to the
+  * last ulp; outputs are rounded to 6 dp on both sides to make the
+  * comparison hash-stable.
+  *
+  * Scale: one window sort per channel partition; the M lag references are
+  * per-row O(M) work with no extra shuffle. For M ≳ 128 the segmented
+  * overlap-add FFT path (`functions.SegConv`) is preferred.
+  */
 object FirOps {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracleSql: Map[String, String] = Map()
+
+  private def chanWindow = Window.partitionBy(col("channel")).orderBy(col("n"))
+
+  /** x[n + j] as a Column (j may be negative = past). */
+  private def shifted(j: Int): Column =
+    if (j > 0) lead(col("x"), j).over(chanWindow)
+    else if (j < 0) lag(col("x"), -j).over(chanWindow)
+    else col("x")
+
+  private def shiftedSql(j: Int): String =
+    if (j > 0) s"lead(x, $j) OVER w"
+    else if (j < 0) s"lag(x, ${-j}) OVER w"
+    else "x"
+
+  /** Centered ('same') convolution: y[n] = Σ_k h[k]·x[n − k + L], L = (M−1)/2. */
+  def same(sig: DataFrame, h: Array[Double]): DataFrame = {
+    val l = (h.length - 1) / 2
+    val y = h.zipWithIndex
+      .map { case (c, k) => lit(c) * coalesce(shifted(l - k), lit(0.0)) }
+      .reduceLeft(_ + _)
+    sig.select(col("channel"), col("n"), round(y, 6).as("y"))
+  }
+
+  def sameSql(h: Array[Double]): String = {
+    val l = (h.length - 1) / 2
+    val expr = h.zipWithIndex
+      .map { case (c, k) => s"${Dsp.lit(c)} * coalesce(${shiftedSql(l - k)}, 0.0)" }
+      .mkString(" + ")
+    s"${Signal.sigCte} SELECT channel, n, round($expr, 6) AS y FROM sig WINDOW w AS (PARTITION BY channel ORDER BY n)"
+  }
+
+  /** 'valid' convolution: y[j] = Σ_k h[k]·x[j + M−1 − k], only full overlaps. */
+  def valid(sig: DataFrame, h: Array[Double]): DataFrame = {
+    val m = h.length
+    val y = h.zipWithIndex
+      .map { case (c, k) => lit(c) * coalesce(shifted(m - 1 - k), lit(0.0)) }
+      .reduceLeft(_ + _)
+    val last = lead(col("x"), m - 1).over(chanWindow)
+    sig
+      .select(col("channel"), col("n"), round(y, 6).as("y"), last.as("_last"))
+      .filter(col("_last").isNotNull)
+      .drop("_last")
+  }
+
+  def validSql(h: Array[Double]): String = {
+    val m = h.length
+    val expr = h.zipWithIndex
+      .map { case (c, k) => s"${Dsp.lit(c)} * coalesce(${shiftedSql(m - 1 - k)}, 0.0)" }
+      .mkString(" + ")
+    s"${Signal.sigCte} SELECT channel, n, y FROM (" +
+      s"SELECT channel, n, round($expr, 6) AS y, lead(x, ${m - 1}) OVER w AS _last FROM sig " +
+      "WINDOW w AS (PARTITION BY channel ORDER BY n)) WHERE _last IS NOT NULL"
+  }
+
+  /** 'full' convolution: y[j] = Σ_k h[k]·x[j−k], j ∈ [0, len+M−2] — the
+    * signal is extended with M−1 trailing null rows per channel so the
+    * window lag terms cover the kernel run-out.
+    */
+  def full(sig: DataFrame, h: Array[Double]): DataFrame = {
+    val m = h.length
+    val bounds = sig.groupBy(col("channel")).agg(max(col("n")).as("max_n"))
+    val tail = bounds.select(
+      col("channel"),
+      explode(sequence(col("max_n") + 1, col("max_n") + (m - 1))).as("n"),
+      lit(null).cast("double").as("x")
+    )
+    val ext = sig.unionByName(tail)
+    val w = Window.partitionBy(col("channel")).orderBy(col("n"))
+    val y = h.zipWithIndex
+      .map { case (c, k) =>
+        val t = if (k == 0) col("x") else lag(col("x"), k).over(w)
+        lit(c) * coalesce(t, lit(0.0))
+      }
+      .reduceLeft(_ + _)
+    ext.select(col("channel"), col("n"), round(y, 6).as("y"))
+  }
+
+  def fullSql(h: Array[Double]): String = {
+    val m = h.length
+    val expr = h.zipWithIndex
+      .map { case (c, k) =>
+        val t = if (k == 0) "x" else s"lag(x, $k) OVER w"
+        s"${Dsp.lit(c)} * coalesce($t, 0.0)"
+      }
+      .mkString(" + ")
+    s"${Signal.sigCte}, bounds AS (SELECT channel, max(n) AS max_n FROM sig GROUP BY channel), " +
+      s"ext AS (SELECT channel, n, x FROM sig UNION ALL " +
+      s"SELECT channel, max_n + gs.g AS n, CAST(NULL AS DOUBLE) AS x FROM bounds, generate_series(1, ${m - 1}) gs(g)) " +
+      s"SELECT channel, n, round($expr, 6) AS y FROM ext WINDOW w AS (PARTITION BY channel ORDER BY n)"
+  }
+
+  // ---- designed filters over the test signal (fs nominal 100 Hz) ----
+
+  private val fs = 100.0
+
+  /** Designs (window family, fpass, fstop[, gpass, gstop]) mirroring the
+    * reference's constructors; taps counts: rect 21, bartlett 41,
+    * hamming 41, hann-bandpass 81, blackman-highpass 61, kaiser 25.
+    */
+  lazy val rect: Array[Double] = Dsp.firDesign("rectangular", Seq(10), Seq(20), fs)
+  lazy val bartlettLp: Array[Double] = Dsp.firDesign("bartlett", Seq(15), Seq(25), fs)
+  lazy val hammingLp: Array[Double] = Dsp.firDesign("hamming", Seq(10), Seq(20), fs)
+  lazy val hannBp: Array[Double] = Dsp.firDesign("hann", Seq(10, 20), Seq(5, 25), fs)
+  lazy val blackmanHp: Array[Double] = Dsp.firDesign("blackman", Seq(20), Seq(10), fs)
+  lazy val kaiserLp: Array[Double] =
+    Dsp.firDesign("kaiser", Seq(10), Seq(20), fs, gpass = 1.0, gstop = 40.0)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fir_rect" -> { (s, dir) => same(Signal.long(s, dir), rect) },
+    "fir_rect_valid" -> { (s, dir) => valid(Signal.long(s, dir), rect) },
+    "fir_rect_full" -> { (s, dir) => full(Signal.long(s, dir), rect) },
+    "fir_bartlett_lp" -> { (s, dir) => same(Signal.long(s, dir), bartlettLp) },
+    "fir_hamming_lp" -> { (s, dir) => same(Signal.long(s, dir), hammingLp) },
+    "fir_hann_bp" -> { (s, dir) => same(Signal.long(s, dir), hannBp) },
+    "fir_blackman_hp" -> { (s, dir) => same(Signal.long(s, dir), blackmanHp) },
+    "fir_kaiser_lp" -> { (s, dir) => same(Signal.long(s, dir), kaiserLp) }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "fir_rect" -> sameSql(rect),
+    "fir_rect_valid" -> validSql(rect),
+    "fir_rect_full" -> fullSql(rect),
+    "fir_bartlett_lp" -> sameSql(bartlettLp),
+    "fir_hamming_lp" -> sameSql(hammingLp),
+    "fir_hann_bp" -> sameSql(hannBp),
+    "fir_blackman_hp" -> sameSql(blackmanHp),
+    "fir_kaiser_lp" -> sameSql(kaiserLp)
+  )
 }

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Dsp
+import graft.operators.FirOps
+
+class DspDesignSpec extends AnyFunSuite {
+
+  test("besselI0 matches known values") {
+    // I0(0)=1; I0(1)=1.2660658777520082; I0(5)=27.239871823604442
+    assert(Dsp.besselI0(0.0) == 1.0)
+    assert(math.abs(Dsp.besselI0(1.0) - 1.2660658777520082) < 1e-14)
+    assert(math.abs(Dsp.besselI0(5.0) - 27.239871823604442) < 1e-11)
+  }
+
+  test("kaiser beta and order match scipy formulas") {
+    // kaiser_beta(40) = 0.5842*19^0.4 + 0.07886*19
+    val b = Dsp.kaiserBeta(40.0)
+    assert(math.abs(b - (0.5842 * math.pow(19, 0.4) + 0.07886 * 19)) < 1e-12)
+    // kaiserord(40, 0.2): ceil((40-7.95)/2.285/(pi*0.2) + 1) = 24
+    assert(Dsp.kaiserord(40.0, 0.2) == 24)
+  }
+
+  test("designed lowpass filters have unit DC gain and symmetry") {
+    for (h <- Seq(FirOps.rect, FirOps.bartlettLp, FirOps.hammingLp, FirOps.kaiserLp)) {
+      assert(h.length % 2 == 1, "Type I filters must have odd taps")
+      assert(math.abs(h.sum - 1.0) < 1e-12, s"DC gain ${h.sum}")
+      h.indices.foreach(i => assert(math.abs(h(i) - h(h.length - 1 - i)) < 1e-12))
+    }
+  }
+
+  test("highpass has unit gain at Nyquist, bandpass at band center") {
+    val hp = FirOps.blackmanHp
+    val gNyq = hp.indices.map(i => hp(i) * math.cos(math.Pi * (i - (hp.length - 1) / 2))).sum
+    assert(math.abs(math.abs(gNyq) - 1.0) < 1e-12)
+    val bp = FirOps.hannBp
+    // cutoffs 7.5 and 22.5 Hz at fs=100 -> center 15 Hz = 0.3 of Nyquist
+    val g = bp.indices.map(i => bp(i) * math.cos(math.Pi * (i - (bp.length - 1) / 2) * 0.3)).sum
+    assert(math.abs(math.abs(g) - 1.0) < 1e-12)
+  }
+
+  test("tap counts match reference formulas") {
+    assert(FirOps.rect.length == 21)
+    assert(FirOps.bartlettLp.length == 41)
+    assert(FirOps.hammingLp.length == 41)
+    assert(FirOps.hannBp.length == 81)
+    assert(FirOps.blackmanHp.length == 61)
+    assert(FirOps.kaiserLp.length == 25)
+  }
+}
+
+class FirApplySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val xs = Array(1.0, -2.0, 3.0, 0.5, 4.0, -1.5, 2.5, 0.0, 1.0, -3.0)
+  private val h = Array(0.25, 0.5, 0.25)
+
+  private def sigDf = xs.zipWithIndex
+    .map { case (x, i) => ("c0", i.toLong, x) }
+    .toSeq
+    .toDF("channel", "n", "x")
+
+  /** Brute-force full convolution, zero-extended. */
+  private def convFull(x: Array[Double], h: Array[Double]): Array[Double] =
+    Array.tabulate(x.length + h.length - 1) { j =>
+      h.indices.map(k => if (j - k >= 0 && j - k < x.length) h(k) * x(j - k) else 0.0).sum
+    }
+
+  private def got(df: org.apache.spark.sql.DataFrame): Array[Double] =
+    df.orderBy("n").select("y").as[Double].collect()
+
+  test("full mode matches brute-force convolution") {
+    val want = convFull(xs, h).map(v => math.rint(v * 1e6) / 1e6)
+    assert(got(operators.FirOps.full(sigDf, h)).toSeq == want.toSeq)
+  }
+
+  test("same mode is the centered slice of full") {
+    val fullv = convFull(xs, h)
+    val l = (h.length - 1) / 2
+    val want = fullv.slice(l, l + xs.length).map(v => math.rint(v * 1e6) / 1e6)
+    assert(got(operators.FirOps.same(sigDf, h)).toSeq == want.toSeq)
+  }
+
+  test("valid mode keeps only complete overlaps") {
+    val fullv = convFull(xs, h)
+    val want = fullv.slice(h.length - 1, xs.length).map(v => math.rint(v * 1e6) / 1e6)
+    assert(got(operators.FirOps.valid(sigDf, h)).toSeq == want.toSeq)
+  }
+}
