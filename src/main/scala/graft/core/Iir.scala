@@ -1,0 +1,245 @@
+package graft.core
+
+import scala.math.{Pi, atan, ceil, cos, cosh, log, log10, pow, sin, sinh, sqrt, tan}
+
+/** IIR filter design (pure Scala, driver-side).
+  *
+  * Re-derives the designs the reference gets from scipy
+  * (`filtering/iir.py`: Butter, Cheby1, Notch — `buttord`/`cheb1ord`
+  * order selection, analog prototype, bilinear transform, second-order
+  * sections). Coefficients feed both the distributed sosfilt and the
+  * DuckDB recursive-CTE oracle.
+  */
+object Iir {
+
+  private def asinh(x: Double): Double = log(x + sqrt(x * x + 1.0))
+  private def acosh(x: Double): Double = log(x + sqrt(x * x - 1.0))
+
+  final case class Complex(re: Double, im: Double) {
+    def +(o: Complex): Complex = Complex(re + o.re, im + o.im)
+    def -(o: Complex): Complex = Complex(re - o.re, im - o.im)
+    def *(o: Complex): Complex = Complex(re * o.re - im * o.im, re * o.im + im * o.re)
+    def /(o: Complex): Complex = {
+      val d = o.re * o.re + o.im * o.im
+      Complex((re * o.re + im * o.im) / d, (im * o.re - re * o.im) / d)
+    }
+    def *(s: Double): Complex = Complex(re * s, im * s)
+    def unary_- : Complex = Complex(-re, -im)
+    def conj: Complex = Complex(re, -im)
+    def abs2: Double = re * re + im * im
+  }
+  object Complex {
+    val one: Complex = Complex(1.0, 0.0)
+    def real(x: Double): Complex = Complex(x, 0.0)
+  }
+
+  /** Zeros-poles-gain filter representation (analog or digital). */
+  final case class Zpk(zeros: Seq[Complex], poles: Seq[Complex], gain: Double)
+
+  // ---- analog prototypes ----
+
+  /** Butterworth analog lowpass prototype (scipy buttap). */
+  def buttap(n: Int): Zpk = {
+    val poles = (1 to n).map { k =>
+      val theta = Pi * (2 * k + n - 1) / (2.0 * n)
+      Complex(cos(theta), sin(theta)) // = -exp(i*pi*(2k-n-1)/(2n)), left half-plane
+    }
+    Zpk(Nil, poles, 1.0)
+  }
+
+  /** Chebyshev type I analog lowpass prototype (scipy cheb1ap). */
+  def cheb1ap(n: Int, rp: Double): Zpk = {
+    val eps = sqrt(pow(10.0, 0.1 * rp) - 1.0)
+    val mu = asinh(1.0 / eps) / n
+    val poles = (1 to n).map { k =>
+      val theta = Pi * (2 * k - 1) / (2.0 * n)
+      Complex(-sinh(mu) * sin(theta), cosh(mu) * cos(theta))
+    }
+    val prod = poles.map(p => -p).foldLeft(Complex.one)(_ * _)
+    val gain = if (n % 2 == 0) prod.re / sqrt(1.0 + eps * eps) else prod.re
+    Zpk(Nil, poles, gain)
+  }
+
+  // ---- frequency transforms (analog, rad/s) ----
+
+  def lp2lp(z: Zpk, wo: Double): Zpk = {
+    val degree = z.poles.length - z.zeros.length
+    Zpk(z.zeros.map(_ * wo), z.poles.map(_ * wo), z.gain * pow(wo, degree))
+  }
+
+  def lp2hp(z: Zpk, wo: Double): Zpk = {
+    val woC = Complex.real(wo)
+    val zeros = z.zeros.map(woC / _) ++ Seq.fill(z.poles.length - z.zeros.length)(Complex(0, 0))
+    val poles = z.poles.map(woC / _)
+    val num = z.zeros.map(x => -x).foldLeft(Complex.one)(_ * _)
+    val den = z.poles.map(x => -x).foldLeft(Complex.one)(_ * _)
+    Zpk(zeros, poles, z.gain * (num / den).re)
+  }
+
+  /** Bilinear transform, fs = 2 (scipy convention after prewarp). */
+  def bilinear(z: Zpk, fs: Double = 2.0): Zpk = {
+    val fs2 = Complex.real(2.0 * fs)
+    val mapped = (c: Complex) => (fs2 + c) / (fs2 - c)
+    val zerosD = z.zeros.map(mapped) ++
+      Seq.fill(z.poles.length - z.zeros.length)(Complex(-1.0, 0.0))
+    val polesD = z.poles.map(mapped)
+    val num = z.zeros.map(fs2 - _).foldLeft(Complex.one)(_ * _)
+    val den = z.poles.map(fs2 - _).foldLeft(Complex.one)(_ * _)
+    Zpk(zerosD, polesD, z.gain * (num / den).re)
+  }
+
+  // ---- zpk → second-order sections ----
+
+  /** Pair conjugate roots into biquads. Assumes roots are either real or
+    * come in conjugate pairs (true for all designs here). Overall gain is
+    * folded into the first section's numerator. Each row is
+    * (b0, b1, b2, a0=1, a1, a2).
+    */
+  def zpk2sos(z: Zpk): Array[Array[Double]] = {
+    def pairs(roots: Seq[Complex]): (Seq[(Complex, Complex)], Seq[Double]) = {
+      val (cplx, real) = roots.partition(r => math.abs(r.im) > 1e-12)
+      val upper = cplx.filter(_.im > 0).sortBy(c => (-c.abs2, -c.re))
+      require(upper.length * 2 == cplx.length, "complex roots must pair")
+      (upper.map(c => (c, c.conj)), real.map(_.re).sorted)
+    }
+    val (zp, zr0) = pairs(z.zeros)
+    val (pp, pr0) = pairs(z.poles)
+    require(z.zeros.length <= z.poles.length, "more zeros than poles")
+
+    val sections = scala.collection.mutable.ArrayBuffer[Array[Double]]()
+    var zrs = zr0 // real zeros yet to be placed
+    var zps = zp // conjugate zero pairs yet to be placed
+    // conjugate pole pairs: prefer a conjugate zero pair, else two (or
+    // fewer) real zeros — keeps section count at ceil(order/2)
+    for ((c, _) <- pp) {
+      val a = Array(1.0, -2.0 * c.re, c.abs2)
+      val b = zps match {
+        case (zc, _) +: rest =>
+          zps = rest; Array(1.0, -2.0 * zc.re, zc.abs2)
+        case _ =>
+          zrs match {
+            case r1 +: r2 +: rest =>
+              zrs = rest; Array(1.0, -(r1 + r2), r1 * r2)
+            case r1 +: rest =>
+              zrs = rest; Array(1.0, -r1, 0.0)
+            case _ => Array(1.0, 0.0, 0.0)
+          }
+      }
+      sections += Array(b(0), b(1), b(2), a(0), a(1), a(2))
+    }
+    // real poles (odd order): first-order sections, one real zero each
+    for (p <- pr0) {
+      val b = zrs match {
+        case r +: rest => zrs = rest; Array(1.0, -r, 0.0)
+        case _ => Array(1.0, 0.0, 0.0)
+      }
+      sections += Array(b(0), b(1), 0.0, 1.0, -p, 0.0)
+    }
+    require(zrs.isEmpty && zps.isEmpty, "unplaced zeros in zpk2sos")
+    val out = sections.toArray
+    // fold gain into first section numerator
+    var j = 0
+    while (j < 3) { out(0)(j) *= z.gain; j += 1 }
+    out
+  }
+
+  // ---- order selection (scipy buttord / cheb1ord, digital) ----
+
+  private def warp(w: Double): Double = tan(Pi * w / 2.0)
+
+  /** Butterworth minimal order meeting band specs; frequencies normalized
+    * to Nyquist (0..1). Returns (order, Wn normalized).
+    */
+  def buttord(wp: Double, ws: Double, gpass: Double, gstop: Double): (Int, Double) = {
+    val highpass = wp > ws
+    val (wpw, wsw) = (warp(wp), warp(ws))
+    val nat = if (highpass) wpw / wsw else wsw / wpw
+    val gstopL = pow(10.0, 0.1 * gstop) - 1
+    val gpassL = pow(10.0, 0.1 * gpass) - 1
+    val n = ceil(log10(gstopL / gpassL) / (2.0 * log10(nat))).toInt
+    // exact passband-edge match: W0 = wpw * gpassL^{∓1/(2n)}
+    val w0 = if (highpass) wpw * pow(gpassL, 1.0 / (2.0 * n)) else wpw * pow(gpassL, -1.0 / (2.0 * n))
+    (n, 2.0 / Pi * atan(w0))
+  }
+
+  /** Chebyshev I minimal order; Wn = passband edge. */
+  def cheb1ord(wp: Double, ws: Double, gpass: Double, gstop: Double): (Int, Double) = {
+    val highpass = wp > ws
+    val (wpw, wsw) = (warp(wp), warp(ws))
+    val nat = if (highpass) wpw / wsw else wsw / wpw
+    val gstopL = pow(10.0, 0.1 * gstop) - 1
+    val gpassL = pow(10.0, 0.1 * gpass) - 1
+    val n = ceil(acosh(sqrt(gstopL / gpassL)) / acosh(nat)).toInt
+    (n, wp)
+  }
+
+  // ---- top-level designs (digital, frequencies in Hz) ----
+
+  /** Butterworth SOS meeting (fpass, fstop, gpass, gstop) at rate fs —
+    * mirrors openseize `iir.py:44` Butter (buttord + iirfilter).
+    */
+  def butterSos(fpass: Double, fstop: Double, gpass: Double, gstop: Double, fs: Double): Array[Array[Double]] = {
+    val nyq = fs / 2.0
+    val (n, wn) = buttord(fpass / nyq, fstop / nyq, gpass, gstop)
+    butter(n, wn, highpass = fpass > fstop)
+  }
+
+  /** Butterworth SOS of given order at normalized (to Nyquist) cutoff. */
+  def butter(n: Int, wn: Double, highpass: Boolean): Array[Array[Double]] = {
+    val warped = 4.0 * tan(Pi * wn / 2.0) // 2 * fs * tan(pi*wn/fs), fs=2
+    val proto = buttap(n)
+    val analog = if (highpass) lp2hp(proto, warped) else lp2lp(proto, warped)
+    zpk2sos(bilinear(analog))
+  }
+
+  /** Chebyshev I SOS — mirrors openseize `iir.py:123` Cheby1. */
+  def cheby1Sos(fpass: Double, fstop: Double, gpass: Double, gstop: Double, fs: Double): Array[Array[Double]] = {
+    val nyq = fs / 2.0
+    val (n, wn) = cheb1ord(fpass / nyq, fstop / nyq, gpass, gstop)
+    val warped = 4.0 * tan(Pi * wn / 2.0)
+    val proto = cheb1ap(n, gpass)
+    val analog = if (fpass > fstop) lp2hp(proto, warped) else lp2lp(proto, warped)
+    zpk2sos(bilinear(analog))
+  }
+
+  /** Notch biquad (scipy iirnotch / RBJ cookbook) — openseize `iir.py:354`. */
+  def notchSos(f0: Double, q: Double, fs: Double): Array[Array[Double]] = {
+    val w0 = 2.0 * Pi * f0 / fs
+    val alpha = sin(w0) / (2.0 * q)
+    val a0 = 1.0 + alpha
+    Array(
+      Array(1.0 / a0, -2.0 * cos(w0) / a0, 1.0 / a0, 1.0, -2.0 * cos(w0) / a0, (1.0 - alpha) / a0)
+    )
+  }
+
+  /** Steady-state initial conditions (scipy sosfilt_zi): per-section
+    * (z1, z2) for unit input; caller scales by the first sample.
+    */
+  def sosfiltZi(sos: Array[Array[Double]]): Array[Array[Double]] = {
+    var scale = 1.0
+    sos.map { s =>
+      val Array(b0, b1, b2, _, a1, a2) = s
+      // solve (I - A^T) zi = B, A = companion([1,a1,a2]).T
+      // [[1+a1, -1], [a2, 1]] [z1, z2] = [b1 - a1*b0, b2 - a2*b0]
+      val c1 = 1.0 + a1
+      val det = c1 * 1.0 - (-1.0) * a2
+      val r1 = (b1 - a1 * b0) * scale
+      val r2 = (b2 - a2 * b0) * scale
+      val z1 = (r1 * 1.0 - (-1.0) * r2) / det
+      val z2 = (c1 * r2 - a2 * r1) / det
+      scale *= (b0 + b1 + b2) / (1.0 + a1 + a2)
+      Array(z1, z2)
+    }
+  }
+
+  /** |H(e^{iw})| of an SOS cascade at normalized frequency w (rad/sample). */
+  def sosGain(sos: Array[Array[Double]], w: Double): Double = {
+    val ejw = Complex(cos(-w), sin(-w))
+    val ej2w = ejw * ejw
+    sos.foldLeft(1.0) { (g, s) =>
+      val num = Complex.real(s(0)) + ejw * s(1) + ej2w * s(2)
+      val den = Complex.real(s(3)) + ejw * s(4) + ej2w * s(5)
+      g * sqrt((num / den).abs2)
+    }
+  }
+}

@@ -1,8 +1,197 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+import graft.core.{Dsp, Iir, Signal}
+
+/** IIR filtering over the long-format signal.
+  *
+  * Reference: openseize `filtering/iir.py` designs applied via
+  * `core/numerical.py:301` sosfilt / `:338` sosfiltfilt (zero initial
+  * state for the forward filter; steady-state zi scaled by the first
+  * sample for the zero-phase variant, scipy padtype=None semantics).
+  *
+  * Spark-first shape: an IIR recursion is genuinely sequential **within**
+  * a channel but embarrassingly parallel **across** channels — at corpus
+  * scale (recordings × channels ≫ cores) that is all the parallelism
+  * there is to have. We repartition by channel, sort within partitions,
+  * and run the DF2T cascade in one `mapPartitions` pass: a single
+  * shuffle, O(sections) state per channel, streaming through Tungsten
+  * rows without materializing a channel in memory.
+  *
+  * The DuckDB oracle replays the identical recursion as a recursive CTE
+  * carrying the per-section state columns.
+  */
 object IirOps {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracleSql: Map[String, String] = Map()
+
+  /** Forward sosfilt. `ziScale = None` → zero initial state;
+    * `Some(zi)` → state = zi * (first sample of each channel).
+    * `reverse = true` runs anti-causally (descending n).
+    */
+  def sosfilt(
+      sig: DataFrame,
+      sos: Array[Array[Double]],
+      ziUnit: Option[Array[Array[Double]]] = None,
+      reverse: Boolean = false
+  ): DataFrame = {
+    val spark = sig.sparkSession
+    import spark.implicits._
+    val nSec = sos.length
+    val flat = sos.flatten // (b0 b1 b2 a0 a1 a2) * nSec
+    val ziFlat = ziUnit.map(_.flatten)
+    val sorted = sig
+      .select(col("channel"), col("n"), col("x"))
+      .as[(String, Long, Double)]
+      .repartition(col("channel"))
+    val ordered =
+      if (reverse) sorted.sortWithinPartitions(col("channel"), col("n").desc)
+      else sorted.sortWithinPartitions(col("channel"), col("n"))
+    ordered
+      .mapPartitions { it =>
+        val z1 = new Array[Double](nSec)
+        val z2 = new Array[Double](nSec)
+        var cur: String = null
+        it.map { case (ch, n, x) =>
+          if (ch != cur) {
+            cur = ch
+            ziFlat match {
+              case Some(zi) =>
+                var s = 0
+                while (s < nSec) { z1(s) = zi(2 * s) * x; z2(s) = zi(2 * s + 1) * x; s += 1 }
+              case None =>
+                java.util.Arrays.fill(z1, 0.0); java.util.Arrays.fill(z2, 0.0)
+            }
+          }
+          var u = x
+          var s = 0
+          while (s < nSec) {
+            val b0 = flat(6 * s); val b1 = flat(6 * s + 1); val b2 = flat(6 * s + 2)
+            val a1 = flat(6 * s + 4); val a2 = flat(6 * s + 5)
+            val y = b0 * u + z1(s)
+            z1(s) = b1 * u + z2(s) - a1 * y
+            z2(s) = b2 * u - a2 * y
+            u = y
+            s += 1
+          }
+          (ch, n, u)
+        }
+      }
+      .toDF("channel", "n", "y")
+  }
+
+  /** Zero-phase forward-backward filter (openseize sosfiltfilt,
+    * scipy padtype=None): forward with zi·x0, then the reverse pass with
+    * zi·y_last on the flipped forward output.
+    */
+  def sosfiltfilt(sig: DataFrame, sos: Array[Array[Double]]): DataFrame = {
+    val zi = Iir.sosfiltZi(sos)
+    val fwd = sosfilt(sig, sos, Some(zi))
+    sosfilt(fwd.withColumnRenamed("y", "x"), sos, Some(zi), reverse = true)
+  }
+
+  private def rounded(df: DataFrame): DataFrame =
+    df.select(col("channel"), col("n"), round(col("y"), 6).as("y"))
+
+  // ---- DuckDB oracle: the same recursion as a recursive CTE ----
+
+  /** One cascade step as SQL select-expressions using lateral aliases.
+    * Input sample expr `u0`, prior states z1_s/z2_s; emits y plus new
+    * states, textually matching the Scala recurrence.
+    */
+  private def cascadeExprs(sos: Array[Array[Double]], u0: String, st: Int => (String, String)): String = {
+    val sb = new StringBuilder
+    var u = u0
+    for (s <- sos.indices) {
+      val Array(b0, b1, b2, _, a1, a2) = sos(s)
+      val (z1, z2) = st(s)
+      sb.append(s"${Dsp.lit(b0)} * $u + $z1 AS y$s, ")
+      sb.append(s"${Dsp.lit(b1)} * $u + $z2 - ${Dsp.lit(a1)} * y$s AS nz1_$s, ")
+      sb.append(s"${Dsp.lit(b2)} * $u - ${Dsp.lit(a2)} * y$s AS nz2_$s, ")
+      u = s"y$s"
+    }
+    sb.append(s"$u AS y")
+    sb.toString
+  }
+
+  private def stateCols(sos: Array[Array[Double]]): String =
+    sos.indices.map(s => s"nz1_$s AS z1_$s, nz2_$s AS z2_$s").mkString(", ")
+
+  /** Recursive-CTE forward sosfilt over input CTE `inp(channel, n, v)`;
+    * emits CTE `outName(channel, n, y)`. zi as unit-scale pairs or zeros.
+    */
+  private def sosfiltCte(
+      sos: Array[Array[Double]],
+      inp: String,
+      outName: String,
+      ziUnit: Option[Array[Array[Double]]]
+  ): String = {
+    val initStates = sos.indices
+      .map { s =>
+        val (i1, i2) = ziUnit
+          .map(z => (s"${Dsp.lit(z(s)(0))} * s.v", s"${Dsp.lit(z(s)(1))} * s.v"))
+          .getOrElse(("0.0", "0.0"))
+        s"$i1 AS z1_$s, $i2 AS z2_$s"
+      }
+      .mkString(", ")
+    // The recursion carries ONLY (channel, n, y, z1_*, z2_*): the lateral
+    // aliases (y0, nz1_0, …) live in an inner subquery and are renamed by
+    // an outer projection — otherwise a carried column named y0 would
+    // shadow the lateral alias in the next iteration.
+    val keep = "channel, n, y, " + stateCols(sos)
+    // base: seed states from sample 0, then run the cascade on sample 0
+    val base =
+      s"SELECT $keep FROM (SELECT channel, n, ${cascadeExprs(sos, "v", i => (s"z1_$i", s"z2_$i"))} FROM " +
+        s"(SELECT s.channel, s.n, s.v, $initStates FROM $inp s WHERE s.n = 0))"
+    val step =
+      s"SELECT $keep FROM (SELECT s.channel, s.n, " +
+        cascadeExprs(sos, "s.v", i => (s"f.z1_$i", s"f.z2_$i")) +
+        s" FROM ${outName}_rec f JOIN $inp s ON s.channel = f.channel AND s.n = f.n + 1)"
+    s"${outName}_rec AS ($base UNION ALL $step), " +
+      s"$outName AS MATERIALIZED (SELECT channel, n, y FROM ${outName}_rec)"
+  }
+
+  /** Full oracle for forward sosfilt on the event signal. */
+  def sosfiltSql(sos: Array[Array[Double]]): String =
+    s"WITH RECURSIVE sig AS MATERIALIZED (${Signal.longSql}), inp AS MATERIALIZED (SELECT channel, n, x AS v FROM sig), " +
+      sosfiltCte(sos, "inp", "fwd", None) +
+      " SELECT channel, n, round(y, 6) AS y FROM fwd"
+
+  /** Full oracle for sosfiltfilt: forward recursion, flip, backward
+    * recursion, flip back.
+    */
+  def sosfiltfiltSql(sos: Array[Array[Double]]): String = {
+    val zi = Some(Iir.sosfiltZi(sos))
+    s"WITH RECURSIVE sig AS MATERIALIZED (${Signal.longSql}), inp AS MATERIALIZED (SELECT channel, n, x AS v FROM sig), " +
+      sosfiltCte(sos, "inp", "fwd", zi) + ", " +
+      "mx AS (SELECT channel, max(n) AS mxn FROM sig GROUP BY channel), " +
+      "rev AS MATERIALIZED (SELECT f.channel, m.mxn - f.n AS n, f.y AS v FROM fwd f JOIN mx m ON f.channel = m.channel), " +
+      sosfiltCte(sos, "rev", "bwd", zi) +
+      " SELECT b.channel, m.mxn - b.n AS n, round(b.y, 6) AS y FROM bwd b JOIN mx m ON b.channel = m.channel"
+  }
+
+  // ---- designed filters over the test signal (fs nominal 100 Hz) ----
+
+  private val fs = 100.0
+
+  /** Butter(fpass=10, fstop=20, gpass=1, gstop=40, fs=100) → order 5ish
+    * cascade; Cheby1 same bands; Notch at 15 Hz, Q=30.
+    */
+  lazy val butterLp: Array[Array[Double]] = Iir.butterSos(10, 20, 1.0, 40.0, fs)
+  lazy val cheby1Lp: Array[Array[Double]] = Iir.cheby1Sos(10, 20, 1.0, 40.0, fs)
+  lazy val notch15: Array[Array[Double]] = Iir.notchSos(15.0, 30.0, fs)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "iir_butter_lp" -> { (s, dir) => rounded(sosfilt(Signal.long(s, dir), butterLp)) },
+    "iir_cheby1_lp" -> { (s, dir) => rounded(sosfilt(Signal.long(s, dir), cheby1Lp)) },
+    "iir_notch" -> { (s, dir) => rounded(sosfilt(Signal.long(s, dir), notch15)) },
+    "iir_butter_filtfilt" -> { (s, dir) => rounded(sosfiltfilt(Signal.long(s, dir), butterLp)) }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "iir_butter_lp" -> sosfiltSql(butterLp),
+    "iir_cheby1_lp" -> sosfiltSql(cheby1Lp),
+    "iir_notch" -> sosfiltSql(notch15),
+    "iir_butter_filtfilt" -> sosfiltfiltSql(butterLp)
+  )
 }

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.Iir
+import graft.operators.IirOps
+
+class IirDesignSpec extends AnyFunSuite {
+
+  test("butterworth meets band specs (-1 dB pass, -40 dB stop)") {
+    val sos = IirOps.butterLp // fpass=10, fstop=20 @ fs=100
+    val gPass = Iir.sosGain(sos, math.Pi * 0.2)
+    val gStop = Iir.sosGain(sos, math.Pi * 0.4)
+    assert(math.abs(-20 * math.log10(gPass) - 1.0) < 1e-6, s"pass ripple ${gPass}")
+    assert(-20 * math.log10(gStop) >= 40.0, s"stop attenuation ${gStop}")
+    assert(math.abs(Iir.sosGain(sos, 1e-12) - 1.0) < 1e-9)
+  }
+
+  test("cheby1 meets band specs and equiripple at passband edge") {
+    val sos = IirOps.cheby1Lp
+    val gPass = Iir.sosGain(sos, math.Pi * 0.2)
+    assert(math.abs(-20 * math.log10(gPass) - 1.0) < 1e-6)
+    assert(-20 * math.log10(Iir.sosGain(sos, math.Pi * 0.4)) >= 40.0)
+  }
+
+  test("notch nulls f0 and passes elsewhere") {
+    val sos = IirOps.notch15
+    assert(Iir.sosGain(sos, math.Pi * 0.3) < 1e-10) // 15 Hz @ fs=100
+    assert(Iir.sosGain(sos, math.Pi * 0.1) > 0.99)
+    assert(Iir.sosGain(sos, math.Pi * 0.5) > 0.99)
+  }
+
+  test("all designed filters are stable (poles inside unit circle)") {
+    for (sos <- Seq(IirOps.butterLp, IirOps.cheby1Lp, IirOps.notch15); s <- sos) {
+      val a1 = s(4); val a2 = s(5)
+      // stability triangle for z^2 + a1 z + a2
+      assert(math.abs(a2) < 1.0 && math.abs(a1) < 1.0 + a2, s"unstable section ${s.mkString(",")}")
+    }
+  }
+
+  test("sosfilt_zi gives steady state: constant input stays constant") {
+    val sos = IirOps.butterLp
+    val zi = Iir.sosfiltZi(sos)
+    val c = 3.7
+    val z1 = zi.map(_(0) * c).toArray
+    val z2 = zi.map(_(1) * c).toArray
+    var out = 0.0
+    for (_ <- 0 until 50) {
+      var u = c
+      for (s <- sos.indices) {
+        val Array(b0, b1, b2, _, a1, a2) = sos(s)
+        val y = b0 * u + z1(s)
+        z1(s) = b1 * u + z2(s) - a1 * y
+        z2(s) = b2 * u - a2 * y
+        u = y
+      }
+      out = u
+    }
+    assert(math.abs(out - c) < 1e-9, s"steady state drifted: $out vs $c")
+  }
+}
+
+class IirApplySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("distributed sosfilt matches sequential reference per channel") {
+    val rnd = new scala.util.Random(7)
+    val rows = for {
+      ch <- Seq("a", "b", "c")
+      i <- 0 until 200
+    } yield (ch, i.toLong, rnd.nextDouble() * 100 - 50)
+    val df = rows.toDF("channel", "n", "x")
+    val sos = IirOps.butterLp
+    val got = IirOps
+      .sosfilt(df, sos)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // sequential reference
+    for (ch <- Seq("a", "b", "c")) {
+      val xs = rows.filter(_._1 == ch).sortBy(_._2).map(_._3).toArray
+      val z1 = new Array[Double](sos.length); val z2 = new Array[Double](sos.length)
+      xs.zipWithIndex.foreach { case (x, i) =>
+        var u = x
+        for (s <- sos.indices) {
+          val Array(b0, b1, b2, _, a1, a2) = sos(s)
+          val y = b0 * u + z1(s)
+          z1(s) = b1 * u + z2(s) - a1 * y
+          z2(s) = b2 * u - a2 * y
+          u = y
+        }
+        assert(math.abs(got((ch, i.toLong)) - u) < 1e-12, s"$ch[$i]")
+      }
+    }
+  }
+
+  test("sosfiltfilt of a constant signal is that constant (zero transient)") {
+    val df = (0 until 300).map(i => ("k", i.toLong, 5.5)).toDF("channel", "n", "x")
+    val out = IirOps.sosfiltfilt(df, IirOps.butterLp).select("y").as[Double].collect()
+    out.foreach(v => assert(math.abs(v - 5.5) < 1e-8, s"transient leaked: $v"))
+  }
+}
