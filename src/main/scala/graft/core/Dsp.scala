@@ -163,14 +163,13 @@ object Dsp {
     firwin(numtaps, cutoff, window(ftype, numtaps, beta), btype, fs)
   }
 
-  /** Shortest round-trip literal for embedding in SQL (Java semantics
-    * guarantee strtod round-trip).
+  /** Shortest round-trip literal for embedding in SQL. Always emits an
+    * exponent so DuckDB parses it as DOUBLE — a plain decimal literal
+    * would become DECIMAL and silently switch the expression to decimal
+    * arithmetic.
     */
   def lit(d: Double): String = {
     val s = d.toString
-    if (s.contains("E")) {
-      // DuckDB accepts E-notation; normalize to lowercase e
-      s.replace("E", "e")
-    } else s
+    if (s.contains("E")) s.replace("E", "e") else s + "e0"
   }
 }

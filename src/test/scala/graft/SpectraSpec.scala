@@ -1,0 +1,48 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.SpectraOps
+
+class SpectraSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // 15 Hz unit sine at fs=100: power A²/2 = 0.5, peak at 15/1.5625 = bin 9.6
+  private lazy val sine = (0 until 2048)
+    .map(i => ("s0", i.toLong, math.sin(2 * math.Pi * 15.0 * i / 100.0)))
+    .toDF("channel", "n", "x")
+
+  test("welch PSD of a sine peaks at its frequency bin") {
+    val psd = SpectraOps
+      .psdWelch(sine)
+      .orderBy(org.apache.spark.sql.functions.desc("psd"))
+      .select("f")
+      .as[Long]
+      .take(2)
+    assert(psd.toSet.subsetOf(Set(9L, 10L)), s"peak bins ${psd.toSeq}")
+  }
+
+  test("integrated PSD recovers sine power (Parseval)") {
+    val rows = SpectraOps.psdWelch(sine).select("f", "psd").as[(Long, Double)].collect()
+    val df = 100.0 / 64
+    // trapezoid is fine for a sanity bound
+    val total = rows.map(_._2).sum * df
+    assert(math.abs(total - 0.5) < 0.05, s"total power $total, want ~0.5")
+  }
+
+  test("stft segments tile the padded signal") {
+    val n = SpectraOps
+      .stft(sine)
+      .select("s")
+      .distinct()
+      .count()
+    // nsegs = ceil(2048/32) + 1 = 65
+    assert(n == 65, s"got $n segments")
+  }
+
+  test("psd_ci bounds are ordered and nonnegative") {
+    val bad = SpectraOps.psdCi(sine).filter("ci_lo > ci_hi OR ci_lo < 0").count()
+    assert(bad == 0, s"$bad rows with inverted/negative CI")
+  }
+}
