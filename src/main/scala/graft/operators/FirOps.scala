@@ -41,22 +41,29 @@ object FirOps {
     else if (j < 0) s"lag(x, ${-j}) OVER w"
     else "x"
 
-  /** Centered ('same') convolution: y[n] = Σ_k h[k]·x[n − k + L], L = (M−1)/2. */
-  def same(sig: DataFrame, h: Array[Double]): DataFrame = {
+  /** Same-mode convolution of column x as a reusable Column expression. */
+  def sameExpr(h: Array[Double]): Column = {
     val l = (h.length - 1) / 2
-    val y = h.zipWithIndex
+    h.zipWithIndex
       .map { case (c, k) => lit(c) * coalesce(shifted(l - k), lit(0.0)) }
       .reduceLeft(_ + _)
-    sig.select(col("channel"), col("n"), round(y, 6).as("y"))
   }
 
-  def sameSql(h: Array[Double]): String = {
+  /** SQL twin of [[sameExpr]]; expects window `w` over (channel, n). */
+  def sameExprSql(h: Array[Double]): String = {
     val l = (h.length - 1) / 2
-    val expr = h.zipWithIndex
+    h.zipWithIndex
       .map { case (c, k) => s"${Dsp.lit(c)} * coalesce(${shiftedSql(l - k)}, 0.0)" }
       .mkString(" + ")
-    s"${Signal.sigCte} SELECT channel, n, round($expr, 6) AS y FROM sig WINDOW w AS (PARTITION BY channel ORDER BY n)"
   }
+
+  /** Centered ('same') convolution: y[n] = Σ_k h[k]·x[n − k + L], L = (M−1)/2. */
+  def same(sig: DataFrame, h: Array[Double]): DataFrame =
+    sig.select(col("channel"), col("n"), round(sameExpr(h), 6).as("y"))
+
+  def sameSql(h: Array[Double]): String =
+    s"${Signal.sigCte} SELECT channel, n, round(${sameExprSql(h)}, 6) AS y FROM sig " +
+      "WINDOW w AS (PARTITION BY channel ORDER BY n)"
 
   /** 'valid' convolution: y[j] = Σ_k h[k]·x[j + M−1 − k], only full overlaps. */
   def valid(sig: DataFrame, h: Array[Double]): DataFrame = {
