@@ -1,8 +1,154 @@
 package graft.llm
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+import graft.core.Tables
+
+/** Deduplication family for training-data pipelines:
+  * exact (hash-groupBy), MinHash-LSH candidates, shingle-Jaccard
+  * verification, and 64-bit SimHash — all over `documents`.
+  *
+  * Scale design: MinHash signatures are conditional-aggregation minima
+  * over (doc × seed) rows — map-side combine shrinks to n_docs×k before
+  * any shuffle; LSH candidates come from an equi-join on band hashes
+  * (never O(n²)); Jaccard verification touches only LSH candidates.
+  * Hot buckets are AQE skew territory; the band/row parameters trade
+  * recall vs candidate volume.
+  */
 object Dedup {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  def oracleSql: Map[String, String] = Map()
+
+  val numHashes = 9 // k minhash functions, used as 9 bands × 1 row (high recall)
+
+  /** MinHash signature rows (doc_id, j, minh): the j-th hash of a
+    * shingle set is min over md5(j ‖ ':' ‖ shingle) — uniform over hex
+    * strings, identical on both engines.
+    */
+  private def signatures(docs: DataFrame): DataFrame =
+    TextStats
+      .shingles(docs)
+      .select(col("doc_id"), col("sh"))
+      .distinct()
+      .select(col("doc_id"), col("sh"), explode(sequence(lit(0), lit(numHashes - 1))).as("j"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(min(md5(concat(col("j").cast("string"), lit(":"), col("sh")))).as("minh"))
+
+  private val signaturesSql: String =
+    s"${TextStats.shinglesSql}, dsh AS (SELECT DISTINCT doc_id, sh FROM shingles), " +
+      s"sigs AS (SELECT doc_id, g.j AS j, min(md5(CAST(g.j AS VARCHAR) || ':' || sh)) AS minh " +
+      s"FROM dsh, generate_series(0, ${numHashes - 1}) g(j) GROUP BY doc_id, g.j)"
+
+  /** LSH candidate pairs: docs sharing any band (here band = single
+    * signature row; set r>1 by hashing r signatures per band).
+    */
+  def minhashCandidates(docs: DataFrame): DataFrame = {
+    val sigs = signatures(docs)
+    val a = sigs.select(col("doc_id").as("doc_a"), col("j"), col("minh"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("j"), col("minh"))
+    a.join(b, Seq("j", "minh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  val minhashCandidatesSql: String =
+    s"WITH $signaturesSql " +
+      "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sigs a " +
+      "JOIN sigs b ON a.j = b.j AND a.minh = b.minh AND a.doc_id < b.doc_id"
+
+  /** Shingle-set Jaccard for each LSH candidate pair. */
+  def jaccard(docs: DataFrame): DataFrame = {
+    val cands = minhashCandidates(docs)
+    val dsh = TextStats.shingles(docs).select(col("doc_id"), col("sh")).distinct()
+    val counts = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = cands
+      .join(dsh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(dsh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .filter(col("sh") === col("sh_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 6).as("jaccard")
+      )
+  }
+
+  val jaccardSql: String =
+    s"WITH $signaturesSql, " +
+      "cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sigs a " +
+      "JOIN sigs b ON a.j = b.j AND a.minh = b.minh AND a.doc_id < b.doc_id), " +
+      "cnts AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id), " +
+      "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter FROM cands c " +
+      "JOIN dsh x ON x.doc_id = c.doc_a JOIN dsh y ON y.doc_id = c.doc_b AND y.sh = x.sh " +
+      "GROUP BY c.doc_a, c.doc_b) " +
+      "SELECT i.doc_a, i.doc_b, round(i.n_inter / (ca.n_sh + cb.n_sh - i.n_inter), 6) AS jaccard " +
+      "FROM inter i JOIN cnts ca ON ca.doc_id = i.doc_a JOIN cnts cb ON cb.doc_id = i.doc_b"
+
+  /** 64-bit SimHash from the first 16 hex chars of each token's md5:
+    * per bit, sum ±1 over all token occurrences, bit set on positive
+    * majority; emitted as two 32-bit halves (exact in BIGINT).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = TextStats.tokens(docs).select(col("doc_id"), md5(col("tok")).as("h"))
+    val bits = toks
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(63))).as("b"))
+      .select(
+        col("doc_id"),
+        col("b"),
+        expr("instr('0123456789abcdef', substr(h, CAST(b / 4 + 1 AS INT), 1)) - 1").as("hv")
+      )
+      .select(
+        col("doc_id"),
+        col("b"),
+        // bit k (MSB-first within the hex char): (hv // 2^(3-b%4)) % 2
+        (floor(col("hv") / pow(lit(2.0), lit(3) - col("b") % 4)) % 2).as("bit")
+      )
+    val maj = bits
+      .groupBy(col("doc_id"), col("b"))
+      .agg(sum(col("bit") * 2 - 1).as("w"))
+      .select(col("doc_id"), col("b"), when(col("w") > 0, 1L).otherwise(0L).as("s"))
+    maj
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("b") < 32, col("s") * pow(lit(2.0), lit(31) - col("b")).cast("long")).otherwise(0L))
+          .as("sim_hi"),
+        sum(when(col("b") >= 32, col("s") * pow(lit(2.0), lit(63) - col("b")).cast("long")).otherwise(0L))
+          .as("sim_lo")
+      )
+  }
+
+  val simhashSql: String = {
+    val hv = "instr('0123456789abcdef', substr(h, CAST(b // 4 + 1 AS INT), 1)) - 1"
+    s"WITH ${TextStats.tokensSql}, th AS (SELECT doc_id, md5(tok) AS h FROM tokens), " +
+      s"bits AS (SELECT doc_id, g.b AS b, CAST(floor(($hv) / power(2.0e0, 3 - g.b % 4)) AS BIGINT) % 2 AS bit " +
+      "FROM th, generate_series(0, 63) g(b)), " +
+      "maj AS (SELECT doc_id, b, CASE WHEN sum(bit * 2 - 1) > 0 THEN 1 ELSE 0 END AS s FROM bits GROUP BY doc_id, b) " +
+      "SELECT doc_id, sum(CASE WHEN b < 32 THEN s * CAST(power(2.0e0, 31 - b) AS BIGINT) ELSE 0 END) AS sim_hi, " +
+      "sum(CASE WHEN b >= 32 THEN s * CAST(power(2.0e0, 63 - b) AS BIGINT) ELSE 0 END) AS sim_lo " +
+      "FROM maj GROUP BY doc_id"
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> { (s, dir) =>
+      Tables
+        .documents(s, dir)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+    },
+    "dedup_minhash" -> { (s, dir) => minhashCandidates(Tables.documents(s, dir)) },
+    "dedup_jaccard" -> { (s, dir) => jaccard(Tables.documents(s, dir)) },
+    "dedup_simhash" -> { (s, dir) => simhash(Tables.documents(s, dir)) }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY md5(text)",
+    "dedup_minhash" -> minhashCandidatesSql,
+    "dedup_jaccard" -> jaccardSql,
+    "dedup_simhash" -> simhashSql
+  )
 }

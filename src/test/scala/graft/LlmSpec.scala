@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{Dedup, Similarity}
+
+class LlmSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // near-dup of 1
+    (3L, "one two three four five six seven eight nine ten"),
+    (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("minhash LSH surfaces near-duplicate and exact-duplicate pairs") {
+    val pairs = Dedup
+      .minhashCandidates(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs.contains((1L, 4L)), "exact dup pair missed")
+    assert(pairs.contains((1L, 2L)), "near dup pair missed")
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }, "unrelated doc bucketed")
+  }
+
+  test("jaccard: exact dup = 1, near dup high, ordering sane") {
+    val j = Dedup
+      .jaccard(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(j((1L, 4L)) == 1.0)
+    assert(j((1L, 2L)) > 0.7 && j((1L, 2L)) < 1.0)
+  }
+
+  test("simhash: identical docs get identical hashes") {
+    val h = Dedup
+      .simhash(docs)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(h(1L) == h(4L))
+    assert(h(1L) != h(3L))
+  }
+
+  test("lsh buckets put identical vectors together") {
+    val vecs = Seq(
+      (0L, Array.fill(64)(1.0f), 0),
+      (1L, Array.fill(64)(1.0f), 0),
+      (2L, Array.fill(64)(-1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val b = Similarity
+      .lshBuckets(vecs)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(2))
+      .toMap
+    assert(b(0L) == b(1L))
+    assert(b(0L) != b(2L))
+  }
+}
