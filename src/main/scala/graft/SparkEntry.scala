@@ -45,8 +45,10 @@ object SparkEntry {
       llm.TextStats.queries ++
       llm.Dedup.queries ++
       llm.Similarity.queries ++
+      llm.Multimodal.queries ++
       pipeline.PipelineOps.queries ++
-      sources.EdfOps.queries
+      sources.EdfOps.queries ++
+      streaming.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → driver rows-only check.
@@ -63,7 +65,8 @@ object SparkEntry {
       llm.TextStats.oracleSql ++
       llm.Dedup.oracleSql ++
       llm.Similarity.oracleSql ++
-      pipeline.PipelineOps.oracleSql
+      pipeline.PipelineOps.oracleSql ++
+      streaming.StreamOps.oracleSql
 }
 
 /** Relational anchor queries over the TPC-H-ish tables: verify the

@@ -1,0 +1,47 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Structured-Streaming surface: the same declarative transforms run
+  * over `readStream` sources; the batch twins below are oracle-checked
+  * and the streaming execution is exercised in `StreamSpec` with a
+  * memory source/sink.
+  *
+  * The reference's producer pipeline IS a pull-based stream; watermarked
+  * event-time windows + stateful sessionization are the Spark-native
+  * generalization (late data, exactly-once sinks) that openseize's
+  * single-machine iteration cannot express.
+  */
+object StreamOps {
+
+  /** Hourly tumbling-window aggregate per event type. Works identically
+    * on a batch DataFrame or a streaming one (unified API); bucket
+    * arithmetic stays on epoch-nanos to avoid timezone semantics.
+    */
+  def windowedAgg(events: DataFrame): DataFrame =
+    events
+      .select((col("ts_ns") / 3600000000000L).cast("bigint").as("hour_bucket"), col("event_type"), col("value"))
+      .groupBy(col("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+
+  /** Watermarked streaming variant on a proper timestamp column. */
+  def windowedAggStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", (col("ts_ns") / lit(1e9)).cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_agg" -> { (s, dir) => windowedAgg(Tables.events(s, dir)) }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "win_agg" ->
+      ("SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour_bucket, event_type, " +
+        "count(*) AS n, round(sum(value), 4) AS sum_value FROM events GROUP BY 1, 2")
+  )
+}

@@ -1,0 +1,124 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Edf
+
+class EdfSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def tmpDir = java.nio.file.Files.createTempDirectory("edf_spec").toString
+
+  test("EDF write→read round-trips within int16 quantization error") {
+    val rnd = new scala.util.Random(3)
+    val chans = Seq(
+      "EEG Fp1" -> Array.fill(512)(rnd.nextDouble() * 200 - 100),
+      "EEG Fp2" -> Array.fill(512)(rnd.nextDouble() * 50)
+    )
+    val path = s"$tmpDir/a.edf"
+    val hdr = Edf.write(path, chans, fs = 256.0, samplesPerRecord = 128)
+    assert(hdr.nRecords == 4 && hdr.nSignals == 2)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val back = Edf.decode(bytes).toSeq.groupBy(_._1)
+    for ((label, xs) <- chans) {
+      val got = back(label).sortBy(_._2).map(_._3)
+      val tol = (xs.max - xs.min) / 65534.0 * 1.01
+      xs.indices.foreach(i => assert(math.abs(got(i) - xs(i)) <= tol, s"$label[$i]"))
+    }
+  }
+
+  test("readSpark parallel decode matches local decode") {
+    val chans = Seq("c0" -> Array.tabulate(256)(_.toDouble), "c1" -> Array.fill(256)(7.0))
+    val path = s"$tmpDir/b.edf"
+    Edf.write(path, chans, fs = 128.0, samplesPerRecord = 64)
+    val df = Edf.readSpark(spark, path)
+    assert(df.count() == 512)
+    val c0 = df.filter("channel = 'c0'").orderBy("n").collect().map(_.getDouble(3))
+    assert(math.abs(c0(100) - 100.0) < 0.01)
+  }
+
+  test("splitter produces readable per-channel files") {
+    val chans = Seq("a" -> Array.fill(128)(1.0), "b" -> Array.fill(128)(2.0))
+    val dir = tmpDir
+    Edf.write(s"$dir/in.edf", chans, fs = 64.0, samplesPerRecord = 64)
+    Edf.splitter(s"$dir/in.edf", Seq(Seq(0), Seq(1)), Seq(s"$dir/s0.edf", s"$dir/s1.edf"), fs = 64.0)
+    val h0 = Edf.parseHeader(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/s0.edf")))
+    assert(h0.labels == Vector("a"))
+  }
+}
+
+class StreamSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("windowed agg over a memory stream matches its batch twin") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double)]
+    val events = input.toDF().toDF("ts_ns", "event_type", "value")
+    val agg = graft.streaming.StreamOps.windowedAgg(events)
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("win_out")
+      .start()
+    val rows = Seq(
+      (1000000000L * 100, "a", 1.0),
+      (1000000000L * 200, "a", 2.0),
+      (3600000000000L + 5, "b", 5.0)
+    )
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    val got = spark.sql("SELECT * FROM win_out ORDER BY hour_bucket, event_type").collect()
+    q.stop()
+    assert(got.length == 2)
+    assert(got(0).getString(1) == "a" && got(0).getLong(2) == 2 && got(0).getDouble(3) == 3.0)
+    assert(got(1).getString(1) == "b" && got(1).getLong(2) == 1)
+  }
+
+  test("watermarked event-time window stream runs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double)]
+    val events = input.toDF().toDF("ts_ns", "event_type", "value")
+    val q = graft.streaming.StreamOps
+      .windowedAggStream(events)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("wm_out")
+      .start()
+    input.addData((1000000000L, "a", 1.0), (7200L * 1000000000L, "a", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    // append mode emits only watermark-closed windows; the first window
+    // (hour 0) closes once the hour-2 event advances the watermark
+    val n = spark.sql("SELECT count(*) FROM wm_out").collect()(0).getLong(0)
+    assert(n >= 1, s"expected at least the closed hour-0 window, got $n")
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("decodeFeatures emits one feature row per media row") {
+    val media = graft.llm.Multimodal.syntheticMedia(spark, sf)
+    val feats = graft.llm.Multimodal.decodeFeatures(media)
+    assert(feats.count() == media.count())
+    val r = feats.filter("media_id = 0").collect()(0)
+    assert(r.getDouble(1) > 0 && r.getDouble(2) > 0)
+  }
+
+  test("frameSample keeps every k-th fixed-size frame") {
+    val media = graft.llm.Multimodal.syntheticMedia(spark, sf)
+    val frames = graft.llm.Multimodal.frameSample(media, everyK = 2)
+    assert(frames.count() > 0)
+    assert(frames.filter("frame_idx % 2 != 0").count() == 0)
+  }
+
+  test("resizeStub enforces the target payload shape") {
+    val media = graft.llm.Multimodal.syntheticMedia(spark, sf)
+    val out = graft.llm.Multimodal.resizeStub(media, 8, 8).collect()
+    out.foreach(r => assert(r.getAs[Array[Byte]]("payload").length == 64))
+  }
+}
