@@ -20,15 +20,23 @@ import org.apache.spark.sql.functions._
   */
 object Signal {
 
-  /** Long-format signal (channel: string, n: bigint, x: double). */
+  /** Long-format signal (channel: string, n: bigint, x: double).
+    *
+    * The alias to `channel` happens BEFORE the ranking window so the
+    * hash partitioning established here propagates to every downstream
+    * channel-keyed window/aggregate — one shuffle for a whole DSP chain
+    * instead of one per stage (verified via executedPlan Exchange
+    * counts).
+    */
   def long(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+    val w = Window.partitionBy(col("channel")).orderBy(col("event_id"))
     Tables
       .events(spark, dir)
+      .select(col("event_type").as("channel"), col("event_id"), col("value").as("x"))
       .select(
-        col("event_type").as("channel"),
+        col("channel"),
         (row_number().over(w) - 1).cast("bigint").as("n"),
-        col("value").as("x")
+        col("x")
       )
   }
 
