@@ -41,12 +41,26 @@ object FirOps {
     else if (j < 0) s"lag(x, ${-j}) OVER w"
     else "x"
 
-  /** Same-mode convolution of column x as a reusable Column expression. */
+  /** Same-mode convolution of column x as a reusable Column expression.
+    * Kernels ≤128 taps sum left-associated (matching the SQL oracle's
+    * parse order term-for-term); longer kernels use a balanced reduction
+    * to bound expression-tree depth (those run through the FFT fast path
+    * or rows-only checks, so cross-engine order parity is not needed).
+    */
   def sameExpr(h: Array[Double]): Column = {
     val l = (h.length - 1) / 2
-    h.zipWithIndex
+    val terms = h.zipWithIndex
       .map { case (c, k) => lit(c) * coalesce(shifted(l - k), lit(0.0)) }
-      .reduceLeft(_ + _)
+    if (terms.length <= 128) terms.reduceLeft(_ + _)
+    else {
+      def bal(ts: Array[Column]): Column =
+        if (ts.length == 1) ts(0)
+        else {
+          val (a, b) = ts.splitAt(ts.length / 2)
+          bal(a) + bal(b)
+        }
+      bal(terms)
+    }
   }
 
   /** SQL twin of [[sameExpr]]; expects window `w` over (channel, n). */
@@ -125,6 +139,75 @@ object FirOps {
       s"SELECT channel, n, round($expr, 6) AS y FROM ext WINDOW w AS (PARTITION BY channel ORDER BY n)"
   }
 
+  /** Segmented overlap-add fast path for 'same' convolution — the
+    * reference's `oaconvolve` (numerical.py:158) re-expressed for
+    * Spark: samples scatter into fixed segments plus L-sample halos on
+    * both sides (explode, no neighbor shuffle beyond the channel
+    * partitioning), each extended segment runs one FFT convolution
+    * inside the custom `SegConv` expression, and the core region
+    * explodes back to rows. O(log S) per sample vs O(M) for the
+    * lag-sum path — the win for kernels with hundreds+ taps.
+    */
+  def sameFast(sig: DataFrame, h: Array[Double], segLen: Int = 1024): DataFrame = {
+    val m = h.length
+    val l = (m - 1) / 2
+    require(segLen > 2 * l, s"segLen $segLen must exceed kernel overlap ${2 * l}")
+    // destinations: own segment, plus right halo of previous segment and
+    // left halo of next segment
+    val s0 = (col("n") / segLen).cast("bigint")
+    val pos = col("n") % segLen
+    val dests = array(
+      struct(s0.as("s"), (pos + l).as("i")), // core, offset by left halo
+      struct((s0 - 1).as("s"), (pos + segLen + l).as("i")), // right halo of prev
+      struct((s0 + 1).as("s"), (pos - segLen + l).as("i")) // left halo of next
+    )
+    val extLen = segLen + 2 * l
+    val scattered = sig
+      .select(col("channel"), col("x"), explode(dests).as("d"))
+      .select(col("channel"), col("d.s").as("s"), col("d.i").as("i"), col("x"))
+      .filter(col("s") >= 0 && col("i") >= 0 && col("i") < extLen)
+    // positions within a segment are contiguous except at the signal
+    // head/tail, so the dense array is sorted values padded with zeros
+    // on both sides (no per-element map lookups — those are O(n) on
+    // Spark's ArrayBasedMapData and turn assembly quadratic)
+    val segs = scattered
+      .groupBy(col("channel"), col("s"))
+      .agg(
+        min(col("i")).as("min_i"),
+        max(col("i")).as("max_i"),
+        transform(sort_array(collect_list(struct(col("i"), col("x")))), e => e.getField("x"))
+          .as("vals")
+      )
+      .select(
+        col("channel"),
+        col("s"),
+        concat(
+          array_repeat(lit(0.0), col("min_i").cast("int")),
+          col("vals"),
+          array_repeat(lit(0.0), lit(extLen - 1) - col("max_i").cast("int"))
+        ).as("xs")
+      )
+    // full conv of xs (extLen) with h → index j = p + 2l maps to sample
+    // n = s*segLen + p
+    val conv = segs.select(
+      col("channel"),
+      col("s"),
+      graft.functions.exprs.seg_conv(col("xs"), h).as("ys")
+    )
+    val bounds = sig.groupBy(col("channel")).agg(max(col("n")).as("max_n"))
+    conv
+      .select(col("channel"), col("s"), posexplode(col("ys")).as(Seq("j", "y")))
+      .filter(col("j") >= 2 * l && col("j") < segLen + 2 * l)
+      .select(
+        col("channel"),
+        (col("s") * segLen + col("j") - 2 * l).cast("bigint").as("n"),
+        round(col("y"), 6).as("y")
+      )
+      .join(broadcast(bounds), Seq("channel"))
+      .filter(col("n") <= col("max_n")) // trailing zero-padded positions
+      .drop("max_n")
+  }
+
   // ---- designed filters over the test signal (fs nominal 100 Hz) ----
 
   private val fs = 100.0
@@ -142,6 +225,7 @@ object FirOps {
     Dsp.firDesign("kaiser", Seq(10), Seq(20), fs, gpass = 1.0, gstop = 40.0)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fir_oa_fast" -> { (s, dir) => sameFast(Signal.long(s, dir), kaiserLp) },
     "fir_rect" -> { (s, dir) => same(Signal.long(s, dir), rect) },
     "fir_rect_valid" -> { (s, dir) => valid(Signal.long(s, dir), rect) },
     "fir_rect_full" -> { (s, dir) => full(Signal.long(s, dir), rect) },

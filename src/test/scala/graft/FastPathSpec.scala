@@ -1,0 +1,79 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.Fft
+import graft.operators.{FirOps, SpectraOps}
+
+class FftSpec extends AnyFunSuite {
+
+  test("fft matches direct DFT on random input") {
+    val rnd = new scala.util.Random(11)
+    val n = 64
+    val x = Array.fill(n)(rnd.nextDouble() * 2 - 1)
+    val got = Fft.rfftMag2(x)
+    for (f <- 0 to n / 2) {
+      var re = 0.0; var im = 0.0
+      for (t <- 0 until n) {
+        re += x(t) * math.cos(2 * math.Pi * f * t / n)
+        im -= x(t) * math.sin(2 * math.Pi * f * t / n)
+      }
+      assert(math.abs(got(f) - (re * re + im * im)) < 1e-9, s"bin $f")
+    }
+  }
+
+  test("fft convolution matches direct convolution") {
+    val rnd = new scala.util.Random(5)
+    val x = Array.fill(100)(rnd.nextDouble())
+    val h = Array.fill(25)(rnd.nextDouble() - 0.5)
+    val got = Fft.convolve(x, h)
+    assert(got.length == 124)
+    for (j <- got.indices) {
+      val want = h.indices
+        .map(k => if (j - k >= 0 && j - k < x.length) h(k) * x(j - k) else 0.0)
+        .sum
+      assert(math.abs(got(j) - want) < 1e-10, s"j=$j")
+    }
+  }
+}
+
+class FastPathSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private lazy val sig = core.Signal.long(spark, sf)
+
+  test("segmented overlap-add conv equals the lag-sum path") {
+    val h = FirOps.kaiserLp
+    val slow = FirOps
+      .same(sig, h)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val fast = FirOps
+      .sameFast(sig, h, segLen = 128)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(fast.keySet == slow.keySet, s"row sets differ: ${fast.size} vs ${slow.size}")
+    fast.foreach { case (k, v) => assert(math.abs(v - slow(k)) <= 1e-5, s"$k: $v vs ${slow(k)}") }
+  }
+
+  test("fft welch equals the inner-product welch at nfft=64") {
+    // run the fast path at the slow path's nfft for comparability
+    val slow = SpectraOps
+      .psdWelch(sig)
+      .select("channel", "f", "psd")
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue()) -> r.getDouble(2))
+      .toMap
+    val fast = SpectraOps
+      .psdWelchFast(sig, 64)
+      .select("channel", "f", "psd")
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue()) -> r.getDouble(2))
+      .toMap
+    assert(fast.keySet == slow.keySet)
+    fast.foreach { case (k, v) => assert(math.abs(v - slow(k)) <= 1e-4, s"$k: $v vs ${slow(k)}") }
+  }
+}
