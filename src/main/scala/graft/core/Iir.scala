@@ -162,6 +162,52 @@ object Iir {
     (n, 2.0 / Pi * atan(w0))
   }
 
+  /** Chebyshev type II analog lowpass prototype (scipy cheb2ap):
+    * equiripple stopband, zeros on the imaginary axis.
+    */
+  def cheb2ap(n: Int, rs: Double): Zpk = {
+    val de = 1.0 / sqrt(pow(10.0, 0.1 * rs) - 1.0)
+    val mu = asinh(1.0 / de) / n
+    // zeros: +-i/cos(theta_k); odd n skips the infinite zero at theta=pi/2
+    val ks = (1 to n).filter(k => 2 * k - 1 != n)
+    val zeros = ks.map { k =>
+      val theta = Pi * (2 * k - 1) / (2.0 * n)
+      Complex(0.0, 1.0 / cos(theta))
+    }
+    // poles: reciprocal of the type-I style poles
+    val poles = (1 to n).map { k =>
+      val theta = Pi * (2 * k - 1) / (2.0 * n)
+      val p = Complex(-sinh(mu) * sin(theta), cosh(mu) * cos(theta))
+      Complex.one / p
+    }
+    val num = zeros.map(z => -z).foldLeft(Complex.one)(_ * _)
+    val den = poles.map(p => -p).foldLeft(Complex.one)(_ * _)
+    Zpk(zeros, poles, (den / num).re)
+  }
+
+  /** Chebyshev II minimal order; Wn = stopband edge (scipy cheb2ord
+    * simplified: order from the shared Chebyshev bound).
+    */
+  def cheb2ord(wp: Double, ws: Double, gpass: Double, gstop: Double): (Int, Double) = {
+    val highpass = wp > ws
+    val (wpw, wsw) = (warp(wp), warp(ws))
+    val nat = if (highpass) wpw / wsw else wsw / wpw
+    val gstopL = pow(10.0, 0.1 * gstop) - 1
+    val gpassL = pow(10.0, 0.1 * gpass) - 1
+    val n = ceil(acosh(sqrt(gstopL / gpassL)) / acosh(nat)).toInt
+    (n, ws)
+  }
+
+  /** Chebyshev II SOS — mirrors openseize `iir.py:200` Cheby2. */
+  def cheby2Sos(fpass: Double, fstop: Double, gpass: Double, gstop: Double, fs: Double): Array[Array[Double]] = {
+    val nyq = fs / 2.0
+    val (n, wn) = cheb2ord(fpass / nyq, fstop / nyq, gpass, gstop)
+    val warped = 4.0 * tan(Pi * wn / 2.0)
+    val proto = cheb2ap(n, gstop)
+    val analog = if (fpass > fstop) lp2hp(proto, warped) else lp2lp(proto, warped)
+    zpk2sos(bilinear(analog))
+  }
+
   /** Chebyshev I minimal order; Wn = passband edge. */
   def cheb1ord(wp: Double, ws: Double, gpass: Double, gstop: Double): (Int, Double) = {
     val highpass = wp > ws
@@ -230,6 +276,63 @@ object Iir {
       scale *= (b0 + b1 + b2) / (1.0 + a1 + a2)
       Array(z1, z2)
     }
+  }
+
+  /** Polynomial with given roots (complex-conjugate-closed set → real
+    * coefficients), leading coefficient 1. For zpk → transfer-function
+    * conversion.
+    */
+  def polyFromRoots(roots: Seq[Complex]): Array[Double] = {
+    var acc = Array(Complex.one)
+    for (r <- roots) {
+      val next = Array.fill(acc.length + 1)(Complex(0.0, 0.0))
+      for (i <- acc.indices) {
+        next(i) = next(i) + acc(i)
+        next(i + 1) = next(i + 1) - acc(i) * r
+      }
+      acc = next
+    }
+    acc.map(_.re)
+  }
+
+  /** zpk → (b, a) transfer function coefficients. */
+  def zpk2tf(z: Zpk): (Array[Double], Array[Double]) =
+    (polyFromRoots(z.zeros).map(_ * z.gain), polyFromRoots(z.poles))
+
+  /** Steady state for a ba-form filter (scipy lfilter_zi): solve
+    * (I − Aᵀ)zi = B with A = companion(a), B = b[1:] − a[1:]·b0.
+    * Gaussian elimination; orders here are single digits.
+    */
+  def lfilterZi(b0: Array[Double], a0: Array[Double]): Array[Double] = {
+    val n = math.max(b0.length, a0.length)
+    val b = java.util.Arrays.copyOf(b0, n)
+    val a = java.util.Arrays.copyOf(a0, n)
+    val m = n - 1
+    // M = I - companion(a).T ; companion first row = -a[1:], subdiag = 1
+    val mat = Array.tabulate(m, m) { (i, j) =>
+      val comp = if (j == 0) -a(i + 1) else if (i == j - 1) 1.0 else 0.0 // companion.T[i][j]
+      (if (i == j) 1.0 else 0.0) - comp
+    }
+    val rhs = Array.tabulate(m)(i => b(i + 1) - a(i + 1) * b(0))
+    // Gaussian elimination with partial pivoting
+    for (col <- 0 until m) {
+      var piv = col
+      for (r <- col + 1 until m) if (math.abs(mat(r)(col)) > math.abs(mat(piv)(col))) piv = r
+      val tr = mat(col); mat(col) = mat(piv); mat(piv) = tr
+      val tv = rhs(col); rhs(col) = rhs(piv); rhs(piv) = tv
+      for (r <- col + 1 until m) {
+        val f = mat(r)(col) / mat(col)(col)
+        for (c <- col until m) mat(r)(c) -= f * mat(col)(c)
+        rhs(r) -= f * rhs(col)
+      }
+    }
+    val zi = new Array[Double](m)
+    for (r <- m - 1 to 0 by -1) {
+      var s = rhs(r)
+      for (c <- r + 1 until m) s -= mat(r)(c) * zi(c)
+      zi(r) = s / mat(r)(r)
+    }
+    zi
   }
 
   /** |H(e^{iw})| of an SOS cascade at normalized frequency w (rad/sample). */

@@ -90,6 +90,61 @@ object IirOps {
     sosfilt(fwd.withColumnRenamed("y", "x"), sos, Some(zi), reverse = true)
   }
 
+  /** ba-form lfilter (reference numerical.py:414): direct-form II
+    * transposed, same channel-parallel engine as sosfilt.
+    */
+  def lfilter(
+      sig: DataFrame,
+      b0: Array[Double],
+      a0: Array[Double],
+      ziUnit: Option[Array[Double]] = None,
+      reverse: Boolean = false
+  ): DataFrame = {
+    val spark = sig.sparkSession
+    import spark.implicits._
+    val n = math.max(b0.length, a0.length)
+    val b = java.util.Arrays.copyOf(b0, n)
+    val a = java.util.Arrays.copyOf(a0, n)
+    val m = n - 1
+    val sorted = sig
+      .select(col("channel"), col("n"), col("x"))
+      .as[(String, Long, Double)]
+      .repartition(col("channel"))
+    val ordered =
+      if (reverse) sorted.sortWithinPartitions(col("channel"), col("n").desc)
+      else sorted.sortWithinPartitions(col("channel"), col("n"))
+    ordered
+      .mapPartitions { it =>
+        val z = new Array[Double](m)
+        var cur: String = null
+        it.map { case (ch, idx, x) =>
+          if (ch != cur) {
+            cur = ch
+            ziUnit match {
+              case Some(zi) => var i = 0; while (i < m) { z(i) = zi(i) * x; i += 1 }
+              case None => java.util.Arrays.fill(z, 0.0)
+            }
+          }
+          val y = b(0) * x + (if (m > 0) z(0) else 0.0)
+          var i = 0
+          while (i < m - 1) {
+            z(i) = b(i + 1) * x + z(i + 1) - a(i + 1) * y
+            i += 1
+          }
+          if (m > 0) z(m - 1) = b(m) * x - a(m) * y
+          (ch, idx, y)
+        }
+      }
+      .toDF("channel", "n", "y")
+  }
+
+  /** ba-form zero-phase filtfilt (reference numerical.py:449). */
+  def filtfiltBa(sig: DataFrame, b: Array[Double], a: Array[Double]): DataFrame = {
+    val zi = Iir.lfilterZi(b, a)
+    val fwd = lfilter(sig, b, a, Some(zi))
+    lfilter(fwd.withColumnRenamed("y", "x"), b, a, Some(zi), reverse = true)
+  }
+
   private def rounded(df: DataFrame): DataFrame =
     df.select(col("channel"), col("n"), round(col("y"), 6).as("y"))
 
@@ -179,11 +234,13 @@ object IirOps {
     */
   lazy val butterLp: Array[Array[Double]] = Iir.butterSos(10, 20, 1.0, 40.0, fs)
   lazy val cheby1Lp: Array[Array[Double]] = Iir.cheby1Sos(10, 20, 1.0, 40.0, fs)
+  lazy val cheby2Hp: Array[Array[Double]] = Iir.cheby2Sos(20, 10, 1.0, 40.0, fs)
   lazy val notch15: Array[Array[Double]] = Iir.notchSos(15.0, 30.0, fs)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "iir_butter_lp" -> { (s, dir) => rounded(sosfilt(Signal.long(s, dir), butterLp)) },
     "iir_cheby1_lp" -> { (s, dir) => rounded(sosfilt(Signal.long(s, dir), cheby1Lp)) },
+    "iir_cheby2_hp" -> { (s, dir) => rounded(sosfilt(Signal.long(s, dir), cheby2Hp)) },
     "iir_notch" -> { (s, dir) => rounded(sosfilt(Signal.long(s, dir), notch15)) },
     "iir_butter_filtfilt" -> { (s, dir) => rounded(sosfiltfilt(Signal.long(s, dir), butterLp)) }
   )
@@ -191,6 +248,7 @@ object IirOps {
   def oracleSql: Map[String, String] = Map(
     "iir_butter_lp" -> sosfiltSql(butterLp),
     "iir_cheby1_lp" -> sosfiltSql(cheby1Lp),
+    "iir_cheby2_hp" -> sosfiltSql(cheby2Hp),
     "iir_notch" -> sosfiltSql(notch15),
     "iir_butter_filtfilt" -> sosfiltfiltSql(butterLp)
   )

@@ -35,6 +35,41 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Gap-based sessionization with per-key state
+    * (flatMapGroupsWithState): events of one user belong to one session
+    * while gaps stay under `gapNs`. Works on batch DataFrames (state
+    * collapses to a per-key fold) and streams alike.
+    */
+  def sessionize(events: DataFrame, gapNs: Long = 30L * 60 * 1000000000L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id"), col("ts_ns"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[Long], (Long, Long, Long, Int)](
+        OutputMode.Append,
+        GroupStateTimeout.NoTimeout
+      ) { (user: Long, rows: Iterator[(Long, Long)], state: GroupState[List[Long]]) =>
+        val ts = (state.getOption.getOrElse(Nil) ++ rows.map(_._2)).sorted
+        state.update(ts)
+        // emit closed sessions; in batch mode all data is present, so
+        // every session is closed
+        val sessions = ts.foldLeft(List.empty[List[Long]]) {
+          case (acc, t) =>
+            acc match {
+              case cur :: rest if t - cur.head <= gapNs => (t :: cur) :: rest
+              case _ => List(t) :: acc
+            }
+        }
+        sessions.reverseIterator.map { s =>
+          (user, s.last, s.head, s.length) // (user, start, end, n)
+        }
+      }
+      .toDF("user_id", "start_ns", "end_ns", "n_events")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_agg" -> { (s, dir) => windowedAgg(Tables.events(s, dir)) }
   )
