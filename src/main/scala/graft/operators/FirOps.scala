@@ -223,6 +223,8 @@ object FirOps {
   lazy val blackmanHp: Array[Double] = Dsp.firDesign("blackman", Seq(20), Seq(10), fs)
   lazy val kaiserLp: Array[Double] =
     Dsp.firDesign("kaiser", Seq(10), Seq(20), fs, gpass = 1.0, gstop = 40.0)
+  lazy val remezLp: Array[Double] =
+    graft.core.Remez.lowpass(fpass = 10, fstop = 20, fs = fs, gpass = 1.0, gstop = 40.0)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fir_oa_fast" -> { (s, dir) => sameFast(Signal.long(s, dir), kaiserLp) },
@@ -233,7 +235,8 @@ object FirOps {
     "fir_hamming_lp" -> { (s, dir) => same(Signal.long(s, dir), hammingLp) },
     "fir_hann_bp" -> { (s, dir) => same(Signal.long(s, dir), hannBp) },
     "fir_blackman_hp" -> { (s, dir) => same(Signal.long(s, dir), blackmanHp) },
-    "fir_kaiser_lp" -> { (s, dir) => same(Signal.long(s, dir), kaiserLp) }
+    "fir_kaiser_lp" -> { (s, dir) => same(Signal.long(s, dir), kaiserLp) },
+    "fir_remez_lp" -> { (s, dir) => same(Signal.long(s, dir), remezLp) }
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -244,6 +247,7 @@ object FirOps {
     "fir_hamming_lp" -> sameSql(hammingLp),
     "fir_hann_bp" -> sameSql(hannBp),
     "fir_blackman_hp" -> sameSql(blackmanHp),
-    "fir_kaiser_lp" -> sameSql(kaiserLp)
+    "fir_kaiser_lp" -> sameSql(kaiserLp),
+    "fir_remez_lp" -> sameSql(remezLp)
   )
 }
