@@ -99,7 +99,55 @@ object Similarity {
     vs.select(col("vec_id"), col("label"), sig.as("bucket"))
   }
 
+  /** IVF top-k: coarse-quantize the corpus to `nList` centroid cells
+    * (deterministic centroids: the first nList vectors), probe the
+    * `nProbe` nearest cells per query, rank only those candidates.
+    * Bounds the scored pairs to ~nProbe/nList of the corpus — the
+    * standard ANN recall/cost dial. Centroid assignment is one
+    * broadcast nested-loop over a tiny centroid set; candidate scoring
+    * is an equi-join on cell id.
+    */
+  def ivfTopk(emb: DataFrame, nList: Int = 16, nProbe: Int = 4): DataFrame = {
+    val vs = vecsD(emb)
+    val cents = vs.filter(col("vec_id") < nList).select(col("vec_id").as("cid"), col("v").as("cv"))
+    def nearestCells(points: DataFrame, idCol: String, keep: Int): DataFrame = {
+      val d = points
+        .join(broadcast(cents))
+        .select(
+          col(idCol),
+          col("cid"),
+          aggregate(
+            zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+            lit(0.0),
+            (acc, t) => acc + t
+          ).as("d2")
+        )
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(idCol))
+        .orderBy(col("d2").asc, col("cid").asc)
+      d.select(col(idCol), col("cid"), row_number().over(w).as("cr")).filter(col("cr") <= keep)
+    }
+    val assign = nearestCells(vs, "vec_id", 1).select(col("vec_id").as("vid"), col("cid"))
+    val corpus = vs.select(col("vec_id").as("vid"), col("v").as("vb")).join(assign, Seq("vid"))
+    val qcells = nearestCells(vs.filter(col("vec_id") < nQueries), "vec_id", nProbe)
+      .select(col("vec_id").as("qid"), col("cid"))
+    val q = vs.filter(col("vec_id") < nQueries).select(col("vec_id").as("qid"), col("v").as("va"))
+    val scored = qcells
+      .join(corpus, Seq("cid"))
+      .join(broadcast(q), Seq("qid"))
+      .filter(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"), round(cosExpr, 6).as("cos"))
+      .distinct() // a (qid, vid) pair can surface via multiple probed cells
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vid").asc)
+    scored
+      .select(col("qid"), col("vid"), col("cos"), row_number().over(w).as("rank"))
+      .filter(col("rank") <= topK)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ivf_topk" -> { (s, dir) => ivfTopk(Tables.embeddings(s, dir)) },
     "sim_topk" -> { (s, dir) => topk(Tables.embeddings(s, dir)) },
     "sim_buckets" -> { (s, dir) =>
       // bucket histogram: scale-path observability (bucket, n vectors)

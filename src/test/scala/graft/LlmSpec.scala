@@ -61,3 +61,21 @@ class LlmSpec extends AnyFunSuite {
     assert(b(0L) != b(2L))
   }
 }
+
+class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSpark._
+
+  test("IVF top-k recall vs brute force is high at nProbe=4/16") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val bf = graft.llm.Similarity.topk(emb).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = graft.llm.Similarity.ivfTopk(emb).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & ivf).size.toDouble / bf.size
+    assert(recall >= 0.6, s"recall $recall")
+    // structural: at most topK per query, ranks dense from 1
+    val byQ = graft.llm.Similarity.ivfTopk(emb).collect().groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      assert(rows.length <= 5)
+      assert(rows.map(_.getInt(3)).sorted.sameElements(1 to rows.length))
+    }
+  }
+}
