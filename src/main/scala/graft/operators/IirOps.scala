@@ -235,12 +235,14 @@ object IirOps {
   lazy val butterLp: Array[Array[Double]] = Iir.butterSos(10, 20, 1.0, 40.0, fs)
   lazy val cheby1Lp: Array[Array[Double]] = Iir.cheby1Sos(10, 20, 1.0, 40.0, fs)
   lazy val cheby2Hp: Array[Array[Double]] = Iir.cheby2Sos(20, 10, 1.0, 40.0, fs)
+  lazy val ellipLp: Array[Array[Double]] = graft.core.Elliptic.ellipSos(10, 20, 1.0, 40.0, fs)
   lazy val notch15: Array[Array[Double]] = Iir.notchSos(15.0, 30.0, fs)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "iir_butter_lp" -> { (s, dir) => rounded(sosfilt(Signal.long(s, dir), butterLp)) },
     "iir_cheby1_lp" -> { (s, dir) => rounded(sosfilt(Signal.long(s, dir), cheby1Lp)) },
     "iir_cheby2_hp" -> { (s, dir) => rounded(sosfilt(Signal.long(s, dir), cheby2Hp)) },
+    "iir_ellip_lp" -> { (s, dir) => rounded(sosfilt(Signal.long(s, dir), ellipLp)) },
     "iir_notch" -> { (s, dir) => rounded(sosfilt(Signal.long(s, dir), notch15)) },
     "iir_butter_filtfilt" -> { (s, dir) => rounded(sosfiltfilt(Signal.long(s, dir), butterLp)) }
   )
@@ -249,6 +251,7 @@ object IirOps {
     "iir_butter_lp" -> sosfiltSql(butterLp),
     "iir_cheby1_lp" -> sosfiltSql(cheby1Lp),
     "iir_cheby2_hp" -> sosfiltSql(cheby2Hp),
+    "iir_ellip_lp" -> sosfiltSql(ellipLp),
     "iir_notch" -> sosfiltSql(notch15),
     "iir_butter_filtfilt" -> sosfiltfiltSql(butterLp)
   )

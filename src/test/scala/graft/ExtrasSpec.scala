@@ -90,3 +90,28 @@ class SessionizeSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 0L, 20L, 3), (1L, 60L, 65L, 2), (2L, 5L, 5L, 1)))
   }
 }
+
+class EllipticSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.core.{Elliptic, Iir}
+
+  test("elliptic machinery: K, sn, cd known values") {
+    assert(math.abs(Elliptic.ellipK(0.5) - 1.6857503548125961) < 1e-12)
+    assert(math.abs(Elliptic.sne(Iir.Complex.real(1.0), 0.7).re - 1.0) < 1e-12)
+    assert(math.abs(Elliptic.cde(Iir.Complex.real(0.0), 0.7).re - 1.0) < 1e-12)
+  }
+
+  test("elliptic lowpass: minimal order, equiripple bands") {
+    val sos = graft.operators.IirOps.ellipLp // fpass=10 fstop=20, 1/40 dB @ fs=100
+    assert(sos.length == 2, s"order ${sos.length * 2} expected 4")
+    // equiripple passband: -1 dB at DC (even order) and at the edge
+    assert(math.abs(-20 * math.log10(Iir.sosGain(sos, 1e-9)) - 1.0) < 1e-6)
+    assert(math.abs(-20 * math.log10(Iir.sosGain(sos, math.Pi * 0.2)) - 1.0) < 1e-6)
+    // stopband >= 40 dB from fstop to nyquist
+    for (f <- 40 to 99) {
+      val att = -20 * math.log10(Iir.sosGain(sos, math.Pi * f / 100.0) + 1e-300)
+      assert(att >= 39.99, s"f=${f / 2.0} Hz: $att dB")
+    }
+    // poles stable
+    sos.foreach(s => assert(math.abs(s(5)) < 1.0 && math.abs(s(4)) < 1.0 + s(5)))
+  }
+}
