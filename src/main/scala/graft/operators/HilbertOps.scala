@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.{Dsp, Signal}
@@ -107,13 +108,86 @@ object HilbertOps {
       "FROM ana a JOIN ana b ON a.n = b.n AND a.channel < b.channel " +
       "GROUP BY a.channel, b.channel"
 
+  // ---- phase-to-power coupling (PhaseLock, Canolty method) ----
+
+  /** Phase-band Kaiser (8–12 Hz pass, 6–14 stop) and amplitude-band
+    * Kaiser (26–34 pass, 22–38 stop) mirroring the estimator's defaults
+    * shape; ±25-sample power windows; phase target 0 ± 0.05 rad.
+    */
+  lazy val phaseBandH: Array[Double] = Dsp.firDesign("kaiser", Seq(8, 12), Seq(6, 14), fs, 1.0, 40.0)
+  lazy val ampBandH: Array[Double] = Dsp.firDesign("kaiser", Seq(26, 34), Seq(22, 38), fs, 1.0, 40.0)
+  private val winHalf = 25
+  private val epsi = 0.05
+
+  /** Average amplitude-band power in windows centered on phase-band
+    * phase events (reference PhaseLock.index + _avg: phase indices where
+    * the phase is within epsi of 0; windows shorter than full are
+    * discarded). Output: (offset, avg_pow, n_events) per window offset.
+    * The Monte-Carlo surrogate machinery (index shifting for p-values)
+    * is driver-side orchestration of this same plan and is round-2.
+    */
+  def phasePower(sig: DataFrame): DataFrame = {
+    val s1 = sig.filter(col("channel") === "click")
+    // phase path: bandpass -> analytic -> phase events
+    val pb = s1.select(col("channel"), col("n"), FirOps.sameExpr(phaseBandH).as("x"))
+    val phc = pb.select(col("channel"), col("n"), col("x"), FirOps.sameExpr(hilbertH).as("hx"))
+    val phv = atan2(col("hx"), col("x"))
+    val ph = phc.select(
+      col("channel"),
+      col("n"),
+      round(when(phv < 0, phv + 2 * math.Pi).otherwise(phv), 6).as("ph")
+    )
+    val mx = Window.partitionBy(col("channel"))
+    val events = ph
+      .select(col("channel"), col("n"), col("ph"), max(col("n")).over(mx).as("max_n"))
+      .filter(
+        (col("ph") < epsi || col("ph") > 2 * math.Pi - epsi) &&
+          col("n") >= winHalf && col("n") <= col("max_n") - winHalf
+      )
+      .select(col("channel"), col("n").as("ne"))
+    // amplitude path: bandpass -> standardize -> analytic power
+    val ab = s1.select(col("channel"), col("n"), FirOps.sameExpr(ampBandH).as("x"))
+    val z = ab.select(
+      col("channel"),
+      col("n"),
+      ((col("x") - avg(col("x")).over(mx)) / stddev_pop(col("x")).over(mx)).as("x")
+    )
+    val zp = z.select(col("channel"), col("n"), col("x"), FirOps.sameExpr(hilbertH).as("hx"))
+    val pw = zp.select(col("channel"), col("n"), (col("x") * col("x") + col("hx") * col("hx")).as("pow"))
+    events
+      .join(pw, Seq("channel"))
+      .filter(col("n") >= col("ne") - winHalf && col("n") <= col("ne") + winHalf)
+      .groupBy((col("n") - col("ne")).as("offset"))
+      .agg(round(avg(col("pow")), 6).as("avg_pow"), countDistinct(col("ne")).as("n_events"))
+  }
+
+  def phasePowerSql: String = {
+    val w = "WINDOW w AS (PARTITION BY channel ORDER BY n)"
+    s"${Signal.sigCte}, s1 AS (SELECT channel, n, x FROM sig WHERE channel = 'click'), " +
+      s"pb AS (SELECT channel, n, ${FirOps.sameExprSql(phaseBandH)} AS x FROM s1 $w), " +
+      s"phc AS (SELECT channel, n, x, ${FirOps.sameExprSql(hilbertH)} AS hx FROM pb $w), " +
+      "ph AS (SELECT channel, n, round(CASE WHEN atan2(hx, x) < 0 THEN atan2(hx, x) + 2 * pi() ELSE atan2(hx, x) END, 6) AS ph, " +
+      "max(n) OVER (PARTITION BY channel) AS max_n FROM phc), " +
+      s"pevents AS (SELECT channel, n AS ne FROM ph WHERE (ph < ${Dsp.lit(epsi)} OR ph > 2 * pi() - ${Dsp.lit(epsi)}) " +
+      s"AND n >= $winHalf AND n <= max_n - $winHalf), " +
+      s"ab AS (SELECT channel, n, ${FirOps.sameExprSql(ampBandH)} AS x FROM s1 $w), " +
+      "z AS (SELECT channel, n, (x - avg(x) OVER (PARTITION BY channel)) / stddev_pop(x) OVER (PARTITION BY channel) AS x FROM ab), " +
+      s"zp AS (SELECT channel, n, x, ${FirOps.sameExprSql(hilbertH)} AS hx FROM z $w), " +
+      "pw AS (SELECT channel, n, x * x + hx * hx AS pow FROM zp) " +
+      s"SELECT p.n - e.ne AS offset, round(avg(p.pow), 6) AS avg_pow, count(DISTINCT e.ne) AS n_events " +
+      s"FROM pevents e JOIN pw p ON p.channel = e.channel AND p.n >= e.ne - $winHalf AND p.n <= e.ne + $winHalf " +
+      "GROUP BY p.n - e.ne"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hilbert_env" -> { (s, dir) => hilbertEnv(Signal.long(s, dir)) },
-    "plv" -> { (s, dir) => plv(Signal.long(s, dir)) }
+    "plv" -> { (s, dir) => plv(Signal.long(s, dir)) },
+    "phase_power" -> { (s, dir) => phasePower(Signal.long(s, dir)) }
   )
 
   def oracleSql: Map[String, String] = Map(
     "hilbert_env" -> hilbertEnvSql,
-    "plv" -> plvSql
+    "plv" -> plvSql,
+    "phase_power" -> phasePowerSql
   )
 }
