@@ -1,0 +1,74 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale patterns used across the engine, packaged as reusable
+  * utilities: bucketed co-located joins (shuffle-free repeat joins on a
+  * fact key) and two-stage salted aggregation (hot-key skew).
+  */
+object Scale {
+
+  /** Write both sides bucketed by the join key into the session
+    * warehouse so subsequent joins on that key are exchange-free
+    * (SortMergeJoin over pre-bucketed scans). Returns the joined frame.
+    * At 100 TB this is the layout decision for fact-fact joins that
+    * recur across a pipeline; the write cost amortizes over every
+    * downstream join.
+    */
+  def bucketedJoin(
+      spark: SparkSession,
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      buckets: Int,
+      leftName: String,
+      rightName: String
+  ): DataFrame = {
+    left.write
+      .mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(leftName)
+    right.write
+      .mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(rightName)
+    spark.table(leftName).join(spark.table(rightName), key)
+  }
+
+  /** Two-stage aggregation with a salt on the grouping key: stage 1
+    * aggregates (key, salt) partials — splitting any hot key across
+    * `saltBuckets` reducers — stage 2 merges partials per key. The
+    * caller supplies mergeable partial aggregates (sum/count/min/max).
+    */
+  def saltedAgg(
+      df: DataFrame,
+      key: Column,
+      saltBuckets: Int,
+      partials: Seq[(Column, String)], // (aggregate over stage-1 input, name)
+      merge: Seq[(String => Column, String)] // stage-2 merge by partial name
+  ): DataFrame = {
+    val salted = df.withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+    val stage1 = salted
+      .groupBy(key.as("_key"), col("_salt"))
+      .agg(partials.head._1.as(partials.head._2), partials.tail.map { case (c, n) => c.as(n) }: _*)
+    stage1
+      .groupBy(col("_key"))
+      .agg(
+        merge.head._1(merge.head._2).as(merge.head._2),
+        merge.tail.map { case (f, n) => f(n).as(n) }: _*
+      )
+  }
+
+  /** Convenience: salted sum+count (→ mean) per key. */
+  def saltedSumCount(df: DataFrame, key: Column, value: Column, saltBuckets: Int = 16): DataFrame =
+    saltedAgg(
+      df,
+      key,
+      saltBuckets,
+      Seq((sum(value), "s"), (count(lit(1)), "c")),
+      Seq((n => sum(col(n)), "s"), (n => sum(col(n)), "c"))
+    )
+}
