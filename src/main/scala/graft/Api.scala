@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.core.{Dsp, Elliptic, Iir, Remez}
+import graft.operators.{FirOps, HilbertOps, IirOps, ResampleOps, SpectraOps}
+
+/** User-facing façade mirroring the reference's public API, so an
+  * openseize user can port call-for-call:
+  *
+  * {{{
+  * // openseize:                       graft:
+  * Kaiser(300, 350, 5000, 1, 40)      Api.Kaiser(300, 350, 5000, 1, 40)
+  *   .__call__(pro, chunksize)          .apply(sig)          // mode="same"
+  * Butter(500, 600, 5000)(pro, ..,    Api.Butter(500, 600, 5000)
+  *   dephase=True)                      .apply(sig, dephase = true)
+  * downsample(pro, M=10, fs, cs)      Api.downsample(sig, 10, fs)
+  * psd(pro, fs)                       Api.psd(sig)  // over (channel,n,x)
+  * }}}
+  *
+  * Data is the long-format signal `(channel, n, x)` — the distributed
+  * analogue of the reference's producer; chunksize disappears because
+  * Spark owns partitioning.
+  */
+object Api {
+
+  /** Linear-phase FIR with a concrete window design; apply in numpy
+    * conv modes (reference FIR.__call__).
+    */
+  final case class FirFilter(coeffs: Array[Double]) {
+    def apply(sig: DataFrame, mode: String = "same"): DataFrame = mode match {
+      case "same" => FirOps.same(sig, coeffs)
+      case "full" => FirOps.full(sig, coeffs)
+      case "valid" => FirOps.valid(sig, coeffs)
+      case other => throw new IllegalArgumentException(s"unknown mode $other")
+    }
+    def numtaps: Int = coeffs.length
+  }
+
+  def Kaiser(fpass: Double, fstop: Double, fs: Double, gpass: Double = 1.0, gstop: Double = 40.0): FirFilter =
+    FirFilter(Dsp.firDesign("kaiser", Seq(fpass), Seq(fstop), fs, gpass, gstop))
+  def Rectangular(fpass: Double, fstop: Double, fs: Double): FirFilter =
+    FirFilter(Dsp.firDesign("rectangular", Seq(fpass), Seq(fstop), fs))
+  def Bartlett(fpass: Double, fstop: Double, fs: Double): FirFilter =
+    FirFilter(Dsp.firDesign("bartlett", Seq(fpass), Seq(fstop), fs))
+  def Hann(fpass: Double, fstop: Double, fs: Double): FirFilter =
+    FirFilter(Dsp.firDesign("hann", Seq(fpass), Seq(fstop), fs))
+  def Hamming(fpass: Double, fstop: Double, fs: Double): FirFilter =
+    FirFilter(Dsp.firDesign("hamming", Seq(fpass), Seq(fstop), fs))
+  def Blackman(fpass: Double, fstop: Double, fs: Double): FirFilter =
+    FirFilter(Dsp.firDesign("blackman", Seq(fpass), Seq(fstop), fs))
+  def KaiserBand(fpass: Seq[Double], fstop: Seq[Double], fs: Double, gpass: Double = 1.0, gstop: Double = 40.0): FirFilter =
+    FirFilter(Dsp.firDesign("kaiser", fpass, fstop, fs, gpass, gstop))
+  def RemezLp(fpass: Double, fstop: Double, fs: Double, gpass: Double = 1.0, gstop: Double = 40.0): FirFilter =
+    FirFilter(Remez.lowpass(fpass, fstop, fs, gpass, gstop))
+  def Hilbert(width: Double, fs: Double, gpass: Double = 0.01, gstop: Double = 60.0): FirFilter =
+    FirFilter(HilbertOps.hilbertDesign(width, fs, gpass, gstop))
+
+  /** IIR in SOS form; `dephase = true` (reference default) runs the
+    * zero-phase forward-backward variant.
+    */
+  final case class IirFilter(sos: Array[Array[Double]]) {
+    def apply(sig: DataFrame, dephase: Boolean = true): DataFrame =
+      if (dephase) IirOps.sosfiltfilt(sig, sos) else IirOps.sosfilt(sig, sos)
+    def order: Int = sos.map(s => if (s(5) == 0.0 && s(2) == 0.0) 1 else 2).sum
+  }
+
+  def Butter(fpass: Double, fstop: Double, fs: Double, gpass: Double = 1.0, gstop: Double = 40.0): IirFilter =
+    IirFilter(Iir.butterSos(fpass, fstop, gpass, gstop, fs))
+  def Cheby1(fpass: Double, fstop: Double, fs: Double, gpass: Double = 1.0, gstop: Double = 40.0): IirFilter =
+    IirFilter(Iir.cheby1Sos(fpass, fstop, gpass, gstop, fs))
+  def Cheby2(fpass: Double, fstop: Double, fs: Double, gpass: Double = 1.0, gstop: Double = 40.0): IirFilter =
+    IirFilter(Iir.cheby2Sos(fpass, fstop, gpass, gstop, fs))
+  def Ellip(fpass: Double, fstop: Double, fs: Double, gpass: Double = 1.0, gstop: Double = 40.0): IirFilter =
+    IirFilter(Elliptic.ellipSos(fpass, fstop, gpass, gstop, fs))
+  def Notch(f0: Double, q: Double, fs: Double): IirFilter =
+    IirFilter(Iir.notchSos(f0, q, fs))
+
+  /** Resampling (reference resampling.resampling). */
+  def downsample(sig: DataFrame, m: Int, fs: Double): DataFrame =
+    ResampleOps.downsample(sig, m, ResampleOps.antiAlias(1, m, fs))
+  def upsample(sig: DataFrame, l: Int, fs: Double): DataFrame =
+    ResampleOps.upsample(sig, l, ResampleOps.antiAlias(l, 1, fs))
+  def resample(sig: DataFrame, l: Int, m: Int, fs: Double): DataFrame =
+    ResampleOps.resample(sig, l, m, ResampleOps.antiAlias(l, m, fs))
+
+  /** Spectral estimators (reference spectra.estimators). */
+  def psd(sig: DataFrame): DataFrame = SpectraOps.psdWelch(sig)
+  def psdFast(sig: DataFrame, nfft: Int): DataFrame = SpectraOps.psdWelchFast(sig, nfft)
+  def stft(sig: DataFrame): DataFrame = SpectraOps.stft(sig)
+
+  /** Analytic transform + coupling (reference experimental.coupling). */
+  def analytic(sig: DataFrame): DataFrame = HilbertOps.analytic(sig)
+  def plv(sig: DataFrame): DataFrame = HilbertOps.plv(sig)
+  def phasePower(sig: DataFrame): DataFrame = HilbertOps.phasePower(sig)
+}

@@ -29,7 +29,7 @@ object ResampleOps {
   private val fs = 100.0
 
   /** Reference-default Kaiser for a rational L/M stage. */
-  def antiAlias(l: Int, m: Int): Array[Double] = {
+  def antiAlias(l: Int, m: Int, fs: Double = fs): Array[Double] = {
     val cutoff = fs / (2.0 * math.max(l, m))
     Dsp.firDesign(
       "kaiser",
