@@ -25,6 +25,22 @@ object Scale {
       leftName: String,
       rightName: String
   ): DataFrame = {
+    // a fresh derby metastore does not know about leftover warehouse
+    // dirs from prior sessions — clear both metadata and location
+    val warehouse = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    for (t <- Seq(leftName, rightName)) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = java.nio.file.Paths.get(warehouse, t)
+      if (java.nio.file.Files.exists(dir)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files
+          .walk(dir)
+          .sorted(java.util.Comparator.reverseOrder())
+          .iterator()
+          .asScala
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
     left.write
       .mode("overwrite")
       .bucketBy(buckets, key)
