@@ -109,6 +109,35 @@ object BaseQueries {
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
+    },
+    "q4_running" -> { (s, dir) =>
+      // per-user running event-value sum — the canonical analytic window
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables
+        .events(s, dir)
+        .select(
+          col("user_id"),
+          col("event_id"),
+          round(sum(col("value")).over(w), 4).as("running_value")
+        )
+    },
+    "q5_topn_group" -> { (s, dir) =>
+      // top-3 orders by price within each priority (rank window + filter)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables
+        .orders(s, dir)
+        .select(
+          col("o_orderpriority"),
+          col("o_orderkey"),
+          col("o_totalprice"),
+          row_number().over(w).as("rk")
+        )
+        .filter(col("rk") <= 3)
     }
   )
 
@@ -125,6 +154,14 @@ object BaseQueries {
         "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"),
     "q3_topk" ->
       ("SELECT l_orderkey, round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue " +
-        "FROM lineitem GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey ASC LIMIT 10")
+        "FROM lineitem GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"),
+    "q4_running" ->
+      ("SELECT user_id, event_id, round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value FROM events"),
+    "q5_topn_group" ->
+      ("SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (" +
+        "SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER (" +
+        "PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk " +
+        "FROM orders) WHERE rk <= 3")
   )
 }

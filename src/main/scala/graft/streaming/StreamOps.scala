@@ -40,32 +40,41 @@ object StreamOps {
     * while gaps stay under `gapNs`. Works on batch DataFrames (state
     * collapses to a per-key fold) and streams alike.
     */
-  def sessionize(events: DataFrame, gapNs: Long = 30L * 60 * 1000000000L): DataFrame = {
+  def sessionize(events: DataFrame, gapNs: Long = 30L * 60 * 1000000000L, emitOpen: Boolean = true): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    // State is the open session only — (start, last, n) — O(1) per key
+    // regardless of stream length. Each invocation sorts its own batch;
+    // events older than the open session's last timestamp would be
+    // late data and are folded in timestamp order within the batch.
     events
       .select(col("user_id"), col("ts_ns"))
       .as[(Long, Long)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[List[Long], (Long, Long, Long, Int)](
+      .flatMapGroupsWithState[(Long, Long, Int), (Long, Long, Long, Int)](
         OutputMode.Append,
         GroupStateTimeout.NoTimeout
-      ) { (user: Long, rows: Iterator[(Long, Long)], state: GroupState[List[Long]]) =>
-        val ts = (state.getOption.getOrElse(Nil) ++ rows.map(_._2)).sorted
-        state.update(ts)
-        // emit closed sessions; in batch mode all data is present, so
-        // every session is closed
-        val sessions = ts.foldLeft(List.empty[List[Long]]) {
-          case (acc, t) =>
-            acc match {
-              case cur :: rest if t - cur.head <= gapNs => (t :: cur) :: rest
-              case _ => List(t) :: acc
-            }
+      ) { (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long, Int)]) =>
+        val ts = rows.map(_._2).toArray.sorted
+        var open = state.getOption
+        val closed = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Int)]()
+        for (t <- ts) {
+          open = open match {
+            case Some((start, last, n)) if t - last <= gapNs => Some((start, t, n + 1))
+            case Some((start, last, n)) =>
+              closed += ((user, start, last, n))
+              Some((t, t, 1))
+            case None => Some((t, t, 1))
+          }
         }
-        sessions.reverseIterator.map { s =>
-          (user, s.last, s.head, s.length) // (user, start, end, n)
-        }
+        open.foreach(state.update)
+        // batch mode sees all data at once: the trailing open session is
+        // final, emit it; a true stream would hold it for the next batch
+        val tail =
+          if (emitOpen) open.map { case (s, l, n) => (user, s, l, n) }.iterator
+          else Iterator.empty
+        closed.iterator ++ tail
       }
       .toDF("user_id", "start_ns", "end_ns", "n_events")
   }

@@ -122,3 +122,32 @@ class MultimodalSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getAs[Array[Byte]]("payload").length == 64))
   }
 }
+
+class SessionizeStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("sessionize over a multi-batch stream closes sessions across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val m = 60L * 1000000000L
+    val input = MemoryStream[(Long, Long)]
+    val events = input.toDF().toDF("ts_ns", "user_id")
+      .selectExpr("ts_ns", "user_id", "'e' AS event_type", "0.0 AS value")
+    val q = graft.streaming.StreamOps
+      .sessionize(events, emitOpen = false)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sess_out")
+      .start()
+    input.addData((0 * m, 1L), (10 * m, 1L)) // open session
+    q.processAllAvailable()
+    input.addData((90 * m, 1L)) // gap > 30min closes the first session
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql("SELECT * FROM sess_out ORDER BY start_ns").collect()
+    assert(got.length == 1, s"want one closed session, got ${got.length}")
+    assert(got(0).getLong(1) == 0L && got(0).getLong(2) == 10 * m && got(0).getInt(3) == 2)
+  }
+}
