@@ -77,3 +77,27 @@ class ProToolsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 }
+
+class SegmentsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSpark._
+
+  test("segmented form tiles the long signal in order") {
+    val segs = core.Signal.segments(spark, sf, segLen = 64).collect()
+    assert(segs.nonEmpty)
+    segs.foreach { r =>
+      val xs = r.getSeq[Double](3)
+      val n0 = r.getLong(2)
+      val seg = r.getLong(1)
+      assert(n0 == seg * 64)
+      assert(xs.length <= 64)
+    }
+    // round-trip: exploding segments reproduces the long form
+    val long = core.Signal.long(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val fromSegs = segs.flatMap { r =>
+      val ch = r.getString(0); val n0 = r.getLong(2)
+      r.getSeq[Double](3).zipWithIndex.map { case (x, i) => (ch, n0 + i) -> x }
+    }.toMap
+    assert(fromSegs == long)
+  }
+}
