@@ -27,6 +27,10 @@ def canon(rows, cols):
         vals = []
         for i in order:
             v = r[i]
+            # normalize numpy scalars; int widths compare equal, but an
+            # int-valued float stays a float (mirrors the driver gate)
+            if hasattr(v, "item") and not isinstance(v, (str, bytes)):
+                v = v.item()
             if isinstance(v, float):
                 if math.isnan(v):
                     v = "nan"
@@ -48,13 +52,16 @@ def main():
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            want = con.execute(sql)
-            want_cols = [d[0] for d in want.description]
-            want_rows = want.fetchall()
-            got = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            got_cols = [d[0] for d in got.description]
-            got_rows = got.fetchall()
+            # Fetch through pandas like the driver does: DuckDB HUGEINT
+            # (sum of ints) becomes float64 there, so "7.0" vs "7"
+            # mismatches surface locally instead of only in the gate.
+            want_df = con.execute(sql).df()
+            want_cols = list(want_df.columns)
+            want_rows = [tuple(r) for r in want_df.itertuples(index=False)]
+            got_df = con.execute(
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            got_cols = list(got_df.columns)
+            got_rows = [tuple(r) for r in got_df.itertuples(index=False)]
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1

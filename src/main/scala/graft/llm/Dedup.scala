@@ -127,8 +127,10 @@ object Dedup {
       s"bits AS (SELECT doc_id, g.b AS b, CAST(floor(($hv) / power(2.0e0, 3 - g.b % 4)) AS BIGINT) % 2 AS bit " +
       "FROM th, generate_series(0, 63) g(b)), " +
       "maj AS (SELECT doc_id, b, CASE WHEN sum(bit * 2 - 1) > 0 THEN 1 ELSE 0 END AS s FROM bits GROUP BY doc_id, b) " +
-      "SELECT doc_id, sum(CASE WHEN b < 32 THEN s * CAST(power(2.0e0, 31 - b) AS BIGINT) ELSE 0 END) AS sim_hi, " +
-      "sum(CASE WHEN b >= 32 THEN s * CAST(power(2.0e0, 63 - b) AS BIGINT) ELSE 0 END) AS sim_lo " +
+      // CAST outer sums to BIGINT: DuckDB sum(int) yields HUGEINT, which
+      // pandas renders as float64 ("42.0" vs "42" → hash mismatch).
+      "SELECT doc_id, CAST(sum(CASE WHEN b < 32 THEN s * CAST(power(2.0e0, 31 - b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sim_hi, " +
+      "CAST(sum(CASE WHEN b >= 32 THEN s * CAST(power(2.0e0, 63 - b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sim_lo " +
       "FROM maj GROUP BY doc_id"
   }
 

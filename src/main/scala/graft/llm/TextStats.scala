@@ -23,7 +23,11 @@ object TextStats {
   def tokens(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"), col("toks"), explode(sequence(lit(1), size(col("toks")))).as("i"))
+      .select(
+        col("doc_id"),
+        col("toks"),
+        explode(sequence(lit(1), least(size(col("toks")), lit(maxTokens)))).as("i")
+      )
       .select(col("doc_id"), col("i"), element_at(col("toks"), col("i")).as("tok"))
 
   val tokensSql: String =
@@ -38,7 +42,9 @@ object TextStats {
       .select(
         col("doc_id"),
         col("toks"),
-        explode(sequence(lit(1), greatest(size(col("toks")) - 2, lit(0)))).as("i")
+        explode(
+          sequence(lit(1), greatest(least(size(col("toks")) - 2, lit(maxTokens)), lit(0)))
+        ).as("i")
       )
       .select(
         col("doc_id"),
@@ -118,11 +124,13 @@ object TextStats {
     "text_tokens" ->
       ("SELECT doc_id, length(text) AS n_chars, len(string_split(text, ' ')) AS n_ws, " +
         "len(regexp_extract_all(text, '[a-z]+')) AS n_alpha FROM documents"),
+    // CAST the integer sum to BIGINT: DuckDB sum(int) yields HUGEINT,
+    // which pandas renders as float64 ("7.0" vs "7" → hash mismatch).
     "text_langid" ->
       (s"WITH $tokensSql, agg AS (SELECT doc_id, count(*) AS n_tok, " +
-        s"sum(CASE WHEN tok IN $stopInSql THEN 1 ELSE 0 END) AS n_stop FROM tokens GROUP BY doc_id) " +
+        s"CAST(sum(CASE WHEN tok IN $stopInSql THEN 1 ELSE 0 END) AS BIGINT) AS n_stop FROM tokens GROUP BY doc_id) " +
         "SELECT doc_id, n_tok, n_stop, round(n_stop / n_tok, 6) AS stop_ratio, " +
-        "CASE WHEN n_stop / n_tok > 0.04 THEN 'en' ELSE 'unk' END AS lang_pred FROM agg"),
+        "CASE WHEN n_stop / n_tok > 0.04e0 THEN 'en' ELSE 'unk' END AS lang_pred FROM agg"),
     "text_quality" ->
       ("WITH base AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS n_chars, " +
         "CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok, " +
