@@ -65,6 +65,7 @@ object SparkEntry {
       llm.TextStats.oracleSql ++
       llm.Dedup.oracleSql ++
       llm.Similarity.oracleSql ++
+      llm.Multimodal.oracleSql ++
       pipeline.PipelineOps.oracleSql ++
       streaming.StreamOps.oracleSql
 }

@@ -101,8 +101,28 @@ object Multimodal {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_features" -> { (s, dir) => decodeFeatures(syntheticMedia(s, dir)) }
+    "mm_features" -> { (s, dir) =>
+      decodeFeatures(syntheticMedia(s, dir))
+        .select(
+          col("media_id"),
+          col("n_bytes"),
+          round(col("mean_byte"), 6).as("mean_byte"),
+          col("byte_range")
+        )
+    }
   )
 
-  def oracleSql: Map[String, String] = Map() // binary kernels: rows-only check
+  /** The stub decode's per-byte stats ARE SQL-expressible here because
+    * the synthetic payload is UTF-8 of pure-ASCII text: byte values =
+    * `unicode()` of each character. A real codec would drop this back
+    * to a rows-only check.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "mm_features" ->
+      ("WITH ch AS (SELECT doc_id AS media_id, unicode(u.c) AS v " +
+        "FROM documents, unnest(string_split(text, '')) u(c)) " +
+        "SELECT media_id, CAST(count(*) AS DOUBLE) AS n_bytes, " +
+        "round(sum(CAST(v AS DOUBLE)) / count(*), 6) AS mean_byte, " +
+        "CAST(max(v) - min(v) AS DOUBLE) AS byte_range FROM ch GROUP BY media_id")
+  )
 }

@@ -146,6 +146,44 @@ object Similarity {
       .filter(col("rank") <= topK)
   }
 
+  private def arrSql(xs: Array[Double]): String =
+    xs.map(graft.core.Dsp.lit).mkString("[", ", ", "]")
+
+  /** SQL twin of [[lshBuckets]]+histogram: the 8 hyperplanes are embedded
+    * as 64-element literal lists rendered from the same driver-side
+    * arrays the Spark plan uses.
+    */
+  val bucketsSql: String = {
+    def planeDot(p: Array[Double]) =
+      s"list_sum(list_transform(generate_series(1, 64), i -> list_extract(v, i) * list_extract(${arrSql(p)}, i)))"
+    val sig = planes.zipWithIndex
+      .map { case (p, idx) => s"(CASE WHEN ${planeDot(p)} > 0 THEN ${1L << idx} ELSE 0 END)" }
+      .mkString(" + ")
+    "WITH vs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      s"b AS (SELECT vec_id, CAST($sig AS BIGINT) AS bucket FROM vs) " +
+      "SELECT bucket, count(*) AS n_vecs FROM b GROUP BY bucket"
+  }
+
+  /** SQL twin of [[ivfTopk]] (nList=16, nProbe=4): deterministic
+    * centroids (first nList vectors), argmin cell assignment with cid
+    * tiebreak, nProbe nearest cells per query, cosine on candidates only.
+    */
+  def ivfTopkSql(nList: Int = 16, nProbe: Int = 4): String = {
+    val d2 = "list_sum(list_transform(generate_series(1, 64), i -> " +
+      "(list_extract(a.v, i) - list_extract(c.cv, i)) * (list_extract(a.v, i) - list_extract(c.cv, i))))"
+    "WITH vs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      s"cents AS (SELECT vec_id AS cid, v AS cv FROM vs WHERE vec_id < $nList), " +
+      s"dists AS (SELECT a.vec_id AS pid, c.cid AS cid, $d2 AS d2 FROM vs a CROSS JOIN cents c), " +
+      "rankedc AS (SELECT pid, cid, row_number() OVER (PARTITION BY pid ORDER BY d2 ASC, cid ASC) AS cr FROM dists), " +
+      "assign AS (SELECT pid AS vid, cid FROM rankedc WHERE cr = 1), " +
+      s"qcells AS (SELECT pid AS qid, cid FROM rankedc WHERE cr <= $nProbe AND pid < $nQueries), " +
+      "pairs AS (SELECT q.qid, s.vid, qa.v AS va, cb.v AS vb FROM qcells q JOIN assign s ON s.cid = q.cid " +
+      "JOIN vs qa ON qa.vec_id = q.qid JOIN vs cb ON cb.vec_id = s.vid WHERE q.qid <> s.vid), " +
+      s"scored AS (SELECT DISTINCT qid, vid, round($cosSqlExpr, 6) AS cos FROM pairs), " +
+      "ranked AS (SELECT qid, vid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rank FROM scored) " +
+      s"SELECT qid, vid, cos, rank FROM ranked WHERE rank <= $topK"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_topk" -> { (s, dir) => ivfTopk(Tables.embeddings(s, dir)) },
     "sim_topk" -> { (s, dir) => topk(Tables.embeddings(s, dir)) },
@@ -158,8 +196,8 @@ object Similarity {
   )
 
   def oracleSql: Map[String, String] = Map(
-    "sim_topk" -> topkSql
-    // sim_buckets: rows-only check (plane literals are 512 doubles; the
-    // Spark result is deterministic but the SQL embedding is deferred)
+    "sim_topk" -> topkSql,
+    "sim_buckets" -> bucketsSql,
+    "sim_ivf_topk" -> ivfTopkSql()
   )
 }

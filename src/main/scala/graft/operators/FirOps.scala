@@ -240,6 +240,9 @@ object FirOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // the FFT fast path computes the same 'same'-mode convolution as the
+    // lag-sum; both round to 6 dp, well above FFT rounding error
+    "fir_oa_fast" -> sameSql(kaiserLp),
     "fir_rect" -> sameSql(rect),
     "fir_rect_valid" -> validSql(rect),
     "fir_rect_full" -> fullSql(rect),

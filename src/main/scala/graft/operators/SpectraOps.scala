@@ -115,37 +115,50 @@ object SpectraOps {
 
   /** SQL twin of [[periodograms]] as a CTE chain ending in
     * `pgram(channel, s, f, p2)`. Expects `sig` CTE in scope.
+    * Parameterized by (nfftP, hopP) so the FFT fast path's larger nfft
+    * gets the same explicit-DFT oracle; defaults are the welch/stft
+    * constants used by [[periodograms]].
     */
-  def periodogramsSql(boundary: Boolean, doubled: Boolean): String = {
+  def periodogramsSql(
+      boundary: Boolean,
+      doubled: Boolean,
+      nfftP: Int = nfft,
+      hopP: Int = hop
+  ): String = {
+    val winP = Array.tabulate(nfftP)(p => 0.5 - 0.5 * math.cos(2.0 * math.Pi * p / nfftP))
+    val normP = 1.0 / (fsv * winP.map(w => w * w).sum)
+    val cosP = Array.tabulate(nfftP)(k => math.cos(2.0 * math.Pi * k / nfftP))
+    val sinP = Array.tabulate(nfftP)(k => math.sin(2.0 * math.Pi * k / nfftP))
+    val nFreqP = nfftP / 2 + 1
     val baseExpr =
       if (!boundary) "SELECT channel, n AS m, x FROM sig"
       else
-        s"SELECT channel, n + ${nfft / 2} AS m, x FROM sig " +
-          s"UNION ALL SELECT channel, h.g AS m, 0.0 AS x FROM bounds, generate_series(0, ${nfft / 2 - 1}) h(g) " +
-          s"UNION ALL SELECT channel, cnt + ${nfft / 2} + t.g AS m, 0.0 AS x FROM bounds, " +
-          s"generate_series(0, ${nfft - 1}) t(g) " +
-          s"WHERE cnt + ${nfft / 2} + t.g < CAST(ceil(cnt / $hop) * $hop AS BIGINT) + $nfft"
+        s"SELECT channel, n + ${nfftP / 2} AS m, x FROM sig " +
+          s"UNION ALL SELECT channel, h.g AS m, 0.0 AS x FROM bounds, generate_series(0, ${nfftP / 2 - 1}) h(g) " +
+          s"UNION ALL SELECT channel, cnt + ${nfftP / 2} + t.g AS m, 0.0 AS x FROM bounds, " +
+          s"generate_series(0, ${nfftP - 1}) t(g) " +
+          s"WHERE cnt + ${nfftP / 2} + t.g < CAST(ceil(cnt / $hopP) * $hopP AS BIGINT) + $nfftP"
     val boundsCte =
       if (boundary) "bounds AS (SELECT channel, count(*) AS cnt FROM sig GROUP BY channel), "
       else ""
     val nsegsExpr =
-      s"CAST(floor((count(*) OVER (PARTITION BY channel) - $nfft) / $hop) + 1 AS BIGINT)"
-    val oneExpr = s"(xre * xre + xim * xim) * ${Dsp.lit(densityNorm)}"
+      s"CAST(floor((count(*) OVER (PARTITION BY channel) - $nfftP) / $hopP) + 1 AS BIGINT)"
+    val oneExpr = s"(xre * xre + xim * xim) * ${Dsp.lit(normP)}"
     val p2Expr =
       if (doubled)
-        s"CASE WHEN f = 0 OR f = ${nfft / 2} THEN $oneExpr ELSE ($oneExpr) * 2.0 END"
+        s"CASE WHEN f = 0 OR f = ${nfftP / 2} THEN $oneExpr ELSE ($oneExpr) * 2.0 END"
       else oneExpr
     boundsCte +
       s"ext AS ($baseExpr), " +
       s"marked AS (SELECT channel, m, x, $nsegsExpr AS nsegs FROM ext), " +
-      s"frames AS (SELECT channel, s, CAST(m - s * $hop AS INT) AS p, x FROM " +
-      s"(SELECT channel, x, m // $hop - d.g AS s, m, nsegs FROM marked, generate_series(0, ${nfft / hop - 1}) d(g)) " +
+      s"frames AS (SELECT channel, s, CAST(m - s * $hopP AS INT) AS p, x FROM " +
+      s"(SELECT channel, x, m // $hopP - d.g AS s, m, nsegs FROM marked, generate_series(0, ${nfftP / hopP - 1}) d(g)) " +
       "WHERE s >= 0 AND s < nsegs), " +
       s"windowed AS (SELECT channel, s, p, (x - avg(x) OVER (PARTITION BY channel, s)) * " +
-      s"list_extract(${arrSql(hannWin)}, p + 1) AS xw FROM frames), " +
-      s"terms AS (SELECT channel, s, f.g AS f, xw * list_extract(${arrSql(cosTab)}, CAST((f.g * p) % $nfft + 1 AS INT)) AS tre, " +
-      s"-xw * list_extract(${arrSql(sinTab)}, CAST((f.g * p) % $nfft + 1 AS INT)) AS tim " +
-      s"FROM windowed, generate_series(0, ${nFreq - 1}) f(g)), " +
+      s"list_extract(${arrSql(winP)}, p + 1) AS xw FROM frames), " +
+      s"terms AS (SELECT channel, s, f.g AS f, xw * list_extract(${arrSql(cosP)}, CAST((f.g * p) % $nfftP + 1 AS INT)) AS tre, " +
+      s"-xw * list_extract(${arrSql(sinP)}, CAST((f.g * p) % $nfftP + 1 AS INT)) AS tim " +
+      s"FROM windowed, generate_series(0, ${nFreqP - 1}) f(g)), " +
       "spec AS (SELECT channel, s, f, sum(tre) AS xre, sum(tim) AS xim FROM terms GROUP BY channel, s, f), " +
       s"pgram AS (SELECT channel, s, f, $p2Expr AS p2 FROM spec)"
   }
@@ -312,6 +325,14 @@ object SpectraOps {
       .agg(round(avg(col("p2")), 6).as("psd"), count(lit(1)).as("nsegs"))
   }
 
+  /** Explicit-DFT oracle for [[psdWelchFast]]: same framing/detrend/
+    * window/density math at nfftF, agreeing with the FFT path to
+    * rounding error (outputs rounded to 6 dp on both engines).
+    */
+  def psdWelchFastSql(nfftF: Int): String =
+    s"${Signal.sigCte}, ${periodogramsSql(boundary = false, doubled = true, nfftF, nfftF / 2)} " +
+      "SELECT channel, f, round(avg(p2), 6) AS psd, count(*) AS nsegs FROM pgram GROUP BY channel, f"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "psd_welch_fast" -> { (s, dir) => psdWelchFast(Signal.long(s, dir), 128) },
     "psd_welch" -> { (s, dir) => psdWelch(Signal.long(s, dir)) },
@@ -322,6 +343,7 @@ object SpectraOps {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "psd_welch_fast" -> psdWelchFastSql(128),
     "psd_welch" -> psdWelchSql,
     "stft64" -> stftSql,
     "band_power" -> bandPowerSql,
