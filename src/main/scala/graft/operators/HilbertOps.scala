@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -179,15 +179,158 @@ object HilbertOps {
       "GROUP BY p.n - e.ne"
   }
 
+  // ---- Monte-Carlo surrogate significance (PhaseLock.shuffle/_estimate) ----
+
+  private val nSurr = 16
+
+  /** Deterministic surrogate shift fractions (the reference draws
+    * rng.integers(0, max_shift) per replicate; here shift_k =
+    * floor(frac_k · N) with driver-side fixed fracs so both engines see
+    * identical shifts at any data size).
+    */
+  lazy val surrFracs: Array[Double] = {
+    val r = new scala.util.Random(7)
+    Array.fill(nSurr)(r.nextDouble())
+  }
+
+  /** Upper-tail normal probability 1−Φ(z) via Abramowitz–Stegun 7.1.26
+    * (~1.5e−7 abs error; the reference uses scipy's exact CDF — same
+    * precedent as the Wilson–Hilferty chi2 in psd_ci, evaluated
+    * identically on both engines).
+    */
+  private def upperTail(z: Column): Column = {
+    val a = abs(z)
+    val t = lit(1.0) / (lit(1.0) + lit(0.2316419) * a)
+    val poly = t * (lit(0.319381530) + t * (lit(-0.356563782) + t * (lit(1.781477937) +
+      t * (lit(-1.821255978) + t * lit(1.330274429)))))
+    val q = exp(-a * a / 2.0) * lit(1.0 / math.sqrt(2.0 * math.Pi)) * poly
+    when(z >= 0, q).otherwise(lit(1.0) - q)
+  }
+
+  private def upperTailSql(z: String): String = {
+    val a = s"abs($z)"
+    val t = s"(1.0 / (1.0 + ${Dsp.lit(0.2316419)} * $a))"
+    val poly = s"($t * (${Dsp.lit(0.319381530)} + $t * (${Dsp.lit(-0.356563782)} + $t * (${Dsp.lit(1.781477937)} + " +
+      s"$t * (${Dsp.lit(-1.821255978)} + $t * ${Dsp.lit(1.330274429)})))))"
+    val q = s"(exp(-($a) * ($a) / 2.0) * ${Dsp.lit(1.0 / math.sqrt(2.0 * math.Pi))} * $poly)"
+    s"CASE WHEN ($z) >= 0 THEN $q ELSE 1.0 - $q END"
+  }
+
+  /** Phase-to-power significance: the [[phasePower]] window average per
+    * offset, z-scored against `nSurr` circular-shift surrogates
+    * (reference PhaseLock._estimate). Window extraction is an exploded
+    * equi-join on (channel, n) — events fan out to their 2·winHalf+1
+    * positions; no range join, so surrogates cost nSurr× rows, not
+    * nSurr× nested-loop probes.
+    */
+  def phasePowerSig(sig: DataFrame): DataFrame = {
+    val s1 = sig.filter(col("channel") === "click")
+    val mx = Window.partitionBy(col("channel"))
+    // same event + power definitions as phasePower
+    val pb = s1.select(col("channel"), col("n"), FirOps.sameExpr(phaseBandH).as("x"))
+    val phc = pb.select(col("channel"), col("n"), col("x"), FirOps.sameExpr(hilbertH).as("hx"))
+    val phv = atan2(col("hx"), col("x"))
+    val ph = phc.select(
+      col("channel"),
+      col("n"),
+      round(when(phv < 0, phv + 2 * math.Pi).otherwise(phv), 6).as("ph"),
+      max(col("n")).over(mx).as("max_n")
+    )
+    val events = ph
+      .filter(
+        (col("ph") < epsi || col("ph") > 2 * math.Pi - epsi) &&
+          col("n") >= winHalf && col("n") <= col("max_n") - winHalf
+      )
+      .select(col("channel"), col("n").as("ne"), (col("max_n") + 1).as("nlen"))
+    val ab = s1.select(col("channel"), col("n"), FirOps.sameExpr(ampBandH).as("x"))
+    val z = ab.select(
+      col("channel"),
+      col("n"),
+      ((col("x") - avg(col("x")).over(mx)) / stddev_pop(col("x")).over(mx)).as("x")
+    )
+    val zp = z.select(col("channel"), col("n"), col("x"), FirOps.sameExpr(hilbertH).as("hx"))
+    val pw = zp.select(col("channel"), col("n"), (col("x") * col("x") + col("hx") * col("hx")).as("pow"))
+    val offs = explode(sequence(lit(-winHalf), lit(winHalf))).as("off")
+    val base = events
+      .select(col("channel"), col("ne"), offs)
+      .select(col("channel"), col("off"), (col("ne") + col("off")).as("n"))
+      .join(pw, Seq("channel", "n"))
+      .groupBy(col("off"))
+      .agg(avg(col("pow")).as("avg_pow"))
+    // circular-shift surrogate event sets, full-window discard like base
+    val shifts = array(surrFracs.zipWithIndex.map { case (f, k) =>
+      struct(lit(k).as("k"), lit(f).as("frac"))
+    }: _*)
+    val sev = events
+      .select(col("channel"), col("ne"), col("nlen"), explode(shifts).as("s"))
+      .select(
+        col("channel"),
+        col("s.k").as("k"),
+        ((col("ne") + floor(col("s.frac") * col("nlen")).cast("bigint")) % col("nlen")).as("ns"),
+        col("nlen")
+      )
+      .filter(col("ns") >= winHalf && col("ns") <= col("nlen") - 1 - winHalf)
+    val sagg = sev
+      .select(col("channel"), col("k"), col("ns"), offs)
+      .select(col("channel"), col("k"), col("off"), (col("ns") + col("off")).as("n"))
+      .join(pw, Seq("channel", "n"))
+      .groupBy(col("k"), col("off"))
+      .agg(avg(col("pow")).as("spow"))
+    val sstat = sagg
+      .groupBy(col("off"))
+      .agg(avg(col("spow")).as("mean_s"), stddev_pop(col("spow")).as("std_s"))
+    val zv = (col("avg_pow") - col("mean_s")) / (col("std_s") / math.sqrt(nSurr.toDouble))
+    base
+      .join(sstat, Seq("off"))
+      .select(
+        col("off").as("offset"),
+        round(col("avg_pow"), 6).as("avg_pow"),
+        round(col("mean_s"), 6).as("mean_surr"),
+        round(col("std_s"), 6).as("std_surr"),
+        round(zv, 6).as("z"),
+        round(upperTail(zv), 6).as("p_value")
+      )
+  }
+
+  def phasePowerSigSql: String = {
+    val w = "WINDOW w AS (PARTITION BY channel ORDER BY n)"
+    val fracList = surrFracs.map(Dsp.lit).mkString("[", ", ", "]")
+    val zvExpr = s"(avg_pow - mean_s) / (std_s / ${Dsp.lit(math.sqrt(nSurr.toDouble))})"
+    s"${Signal.sigCte}, s1 AS (SELECT channel, n, x FROM sig WHERE channel = 'click'), " +
+      s"pb AS (SELECT channel, n, ${FirOps.sameExprSql(phaseBandH)} AS x FROM s1 $w), " +
+      s"phc AS (SELECT channel, n, x, ${FirOps.sameExprSql(hilbertH)} AS hx FROM pb $w), " +
+      "ph AS (SELECT channel, n, round(CASE WHEN atan2(hx, x) < 0 THEN atan2(hx, x) + 2 * pi() ELSE atan2(hx, x) END, 6) AS ph, " +
+      "max(n) OVER (PARTITION BY channel) AS max_n FROM phc), " +
+      s"pevents AS (SELECT channel, n AS ne, max_n + 1 AS nlen FROM ph WHERE (ph < ${Dsp.lit(epsi)} OR ph > 2 * pi() - ${Dsp.lit(epsi)}) " +
+      s"AND n >= $winHalf AND n <= max_n - $winHalf), " +
+      s"ab AS (SELECT channel, n, ${FirOps.sameExprSql(ampBandH)} AS x FROM s1 $w), " +
+      "z AS (SELECT channel, n, (x - avg(x) OVER (PARTITION BY channel)) / stddev_pop(x) OVER (PARTITION BY channel) AS x FROM ab), " +
+      s"zp AS (SELECT channel, n, x, ${FirOps.sameExprSql(hilbertH)} AS hx FROM z $w), " +
+      "pw AS (SELECT channel, n, x * x + hx * hx AS pow FROM zp), " +
+      s"base AS (SELECT o.g AS off, avg(p.pow) AS avg_pow FROM pevents e, generate_series(-$winHalf, $winHalf) o(g), pw p " +
+      "WHERE p.channel = e.channel AND p.n = e.ne + o.g GROUP BY o.g), " +
+      s"sev AS (SELECT e.channel, k.g AS k, (e.ne + CAST(floor(list_extract($fracList, k.g + 1) * e.nlen) AS BIGINT)) % e.nlen AS ns, e.nlen " +
+      s"FROM pevents e, generate_series(0, ${nSurr - 1}) k(g)), " +
+      s"sfull AS (SELECT channel, k, ns FROM sev WHERE ns >= $winHalf AND ns <= nlen - 1 - $winHalf), " +
+      s"sagg AS (SELECT s.k, o.g AS off, avg(p.pow) AS spow FROM sfull s, generate_series(-$winHalf, $winHalf) o(g), pw p " +
+      "WHERE p.channel = s.channel AND p.n = s.ns + o.g GROUP BY s.k, o.g), " +
+      "sstat AS (SELECT off, avg(spow) AS mean_s, stddev_pop(spow) AS std_s FROM sagg GROUP BY off) " +
+      s"SELECT b.off AS offset, round(avg_pow, 6) AS avg_pow, round(mean_s, 6) AS mean_surr, round(std_s, 6) AS std_surr, " +
+      s"round($zvExpr, 6) AS z, round(${upperTailSql(zvExpr)}, 6) AS p_value " +
+      "FROM base b JOIN sstat s ON s.off = b.off"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "hilbert_env" -> { (s, dir) => hilbertEnv(Signal.long(s, dir)) },
     "plv" -> { (s, dir) => plv(Signal.long(s, dir)) },
-    "phase_power" -> { (s, dir) => phasePower(Signal.long(s, dir)) }
+    "phase_power" -> { (s, dir) => phasePower(Signal.long(s, dir)) },
+    "phase_power_sig" -> { (s, dir) => phasePowerSig(Signal.long(s, dir)) }
   )
 
   def oracleSql: Map[String, String] = Map(
     "hilbert_env" -> hilbertEnvSql,
     "plv" -> plvSql,
-    "phase_power" -> phasePowerSql
+    "phase_power" -> phasePowerSql,
+    "phase_power_sig" -> phasePowerSigSql
   )
 }

@@ -92,6 +92,15 @@ object ProTools {
           round(col("xa") * col("xb"), 6).as("x_mul")
         )
     },
+    "pro_mulaxis" -> { (s, dir) =>
+      // multiply_along_axis (protools.py:343) on the production axis:
+      // y[n] = x[n] · w[n] with a deterministic weight profile standing
+      // in for the reference's arbitrary 1-D multiplier array.
+      val w = lit(1.0) + lit(0.5) * sin(col("n").cast("double") * lit(2.0 * math.Pi / 256.0))
+      Signal
+        .long(s, dir)
+        .select(col("channel"), col("n"), round(col("x") * w, 6).as("y"))
+    },
     "pro_mask" -> { (s, dir) =>
       // Mask = keep samples with amplitude above threshold; reindex densely
       // (reference MaskedProducer yields only unmasked samples, in order).
@@ -124,6 +133,9 @@ object ProTools {
       "pro_combine" ->
         (s"$cte SELECT a.n, round(a.x + b.x, 6) AS x_add, round(a.x * b.x, 6) AS x_mul " +
           "FROM sig a JOIN sig b ON a.n = b.n WHERE a.channel = 'error' AND b.channel = 'purchase'"),
+      "pro_mulaxis" ->
+        (s"$cte SELECT channel, n, round(x * (1.0 + 0.5 * sin(CAST(n AS DOUBLE) * " +
+          s"${graft.core.Dsp.lit(2.0 * math.Pi / 256.0)})), 6) AS y FROM sig"),
       "pro_mask" ->
         (s"$cte SELECT channel, CAST(row_number() OVER (PARTITION BY channel ORDER BY n) - 1 AS BIGINT) AS n, x " +
           "FROM sig WHERE x > 50.0")

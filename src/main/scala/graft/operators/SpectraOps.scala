@@ -41,11 +41,44 @@ object SpectraOps {
   private def arrLit(xs: Array[Double]): Column = array(xs.map(lit): _*)
   private def arrSql(xs: Array[Double]): String = xs.map(Dsp.lit).mkString("[", ", ", "]")
 
+  /** Welch/stft estimator parameters mirroring the reference psd()
+    * surface (estimators.py:60): window family, overlap (as hop),
+    * detrend ('constant' | 'linear'), scaling ('density' | 'spectrum').
+    * The default is the reference's default combination.
+    */
+  final case class WelchCfg(
+      nfft: Int = 64,
+      hop: Int = 32,
+      winName: String = "hann",
+      scaling: String = "density",
+      detrend: String = "constant"
+  ) {
+    /** Periodic ('fftbins') window, as scipy get_window returns. */
+    lazy val win: Array[Double] = Dsp.window(winName, nfft + 1).take(nfft)
+    lazy val norm: Double = scaling match {
+      case "density" => 1.0 / (fsv * win.map(w => w * w).sum)
+      case "spectrum" => 1.0 / (win.sum * win.sum)
+      case other => throw new IllegalArgumentException(s"unknown scaling $other")
+    }
+    lazy val cosT: Array[Double] = Array.tabulate(nfft)(k => math.cos(2.0 * math.Pi * k / nfft))
+    lazy val sinT: Array[Double] = Array.tabulate(nfft)(k => math.sin(2.0 * math.Pi * k / nfft))
+    val pBar: Double = (nfft - 1) / 2.0
+    /** population variance of positions 0..nfft-1 */
+    val pVar: Double = (nfft - 1.0) * (2.0 * nfft - 1.0) / 6.0 - pBar * pBar
+  }
+
   /** Modified periodograms per (channel, seg, f).
     * boundary=false → welch framing; true → stft framing (zero-extended
     * by nfft/2, padded to cover the tail).
     */
-  def periodograms(sig: DataFrame, boundary: Boolean, doubled: Boolean): DataFrame = {
+  def periodograms(
+      sig: DataFrame,
+      boundary: Boolean,
+      doubled: Boolean,
+      cfg: WelchCfg = WelchCfg()
+  ): DataFrame = {
+    val nfftP = cfg.nfft
+    val hopP = cfg.hop
     val cw = Window.partitionBy(col("channel"))
     // boundary (stft): zero-extend nfft/2 at the head and pad the tail to
     // the next full segment — as explicit zero rows, so per-segment
@@ -53,83 +86,90 @@ object SpectraOps {
     val base =
       if (!boundary) sig.select(col("channel"), col("n").as("m"), col("x"))
       else {
-        val data = sig.select(col("channel"), (col("n") + nfft / 2).as("m"), col("x"))
+        val data = sig.select(col("channel"), (col("n") + nfftP / 2).as("m"), col("x"))
         val bounds = sig.groupBy(col("channel")).agg(count(lit(1)).as("cnt"))
         // extended length E = ceil(cnt/hop)*hop + nfft
-        val e = (ceil(col("cnt") / hop) * hop + nfft).cast("bigint")
+        val e = (ceil(col("cnt") / hopP) * hopP + nfftP).cast("bigint")
         val head = bounds.select(
           col("channel"),
-          explode(sequence(lit(0L), lit(nfft / 2 - 1L))).as("m"),
+          explode(sequence(lit(0L), lit(nfftP / 2 - 1L))).as("m"),
           lit(0.0).as("x")
         )
         val tail = bounds.select(
           col("channel"),
-          explode(sequence(col("cnt") + nfft / 2, e - 1)).as("m"),
+          explode(sequence(col("cnt") + nfftP / 2, e - 1)).as("m"),
           lit(0.0).as("x")
         )
         data.unionByName(head).unionByName(tail)
       }
-    val nsegs = floor((count(lit(1)).over(cw) - nfft) / hop) + 1
+    val nsegs = floor((count(lit(1)).over(cw) - nfftP) / hopP) + 1
     val frames = base
       .select(col("channel"), col("m"), col("x"), nsegs.cast("bigint").as("nsegs"))
-      .select(col("*"), explode(sequence(lit(0), lit(nfft / hop - 1))).as("d"))
+      .select(col("*"), explode(sequence(lit(0), lit(nfftP / hopP - 1))).as("d"))
       .select(
         col("channel"),
         col("x"),
-        (col("m") / hop).cast("bigint").minus(col("d")).as("s"),
+        (col("m") / hopP).cast("bigint").minus(col("d")).as("s"),
         col("m"),
         col("nsegs")
       )
       .filter(col("s") >= 0 && col("s") < col("nsegs"))
-      .select(col("channel"), col("s"), (col("m") - col("s") * hop).cast("int").as("p"), col("x"))
+      .select(col("channel"), col("s"), (col("m") - col("s") * hopP).cast("int").as("p"), col("x"))
     val segW = Window.partitionBy(col("channel"), col("s"))
+    // detrend: 'constant' subtracts the segment mean; 'linear' subtracts
+    // the least-squares line over positions (position moments are exact
+    // driver-side constants, identical in the SQL twin)
+    val detrended: Column = cfg.detrend match {
+      case "constant" => col("x") - avg(col("x")).over(segW)
+      case "linear" =>
+        val mx = avg(col("x")).over(segW)
+        val mpx = avg(col("p") * col("x")).over(segW)
+        val slope = (mpx - lit(cfg.pBar) * mx) / lit(cfg.pVar)
+        col("x") - (mx + slope * (col("p") - lit(cfg.pBar)))
+      case other => throw new IllegalArgumentException(s"unknown detrend $other")
+    }
     val windowed = frames
       .select(
         col("channel"),
         col("s"),
         col("p"),
-        ((col("x") - avg(col("x")).over(segW)) * element_at(arrLit(hannWin), col("p") + 1))
-          .as("xw")
+        (detrended * element_at(arrLit(cfg.win), col("p") + 1)).as("xw")
       )
     val terms = windowed
-      .select(col("*"), explode(sequence(lit(0), lit(nFreq - 1))).as("f"))
+      .select(col("*"), explode(sequence(lit(0), lit(nfftP / 2))).as("f"))
       .select(
         col("channel"),
         col("s"),
         col("f"),
-        (col("xw") * element_at(arrLit(cosTab), ((col("f") * col("p")) % nfft + 1).cast("int")))
+        (col("xw") * element_at(arrLit(cfg.cosT), ((col("f") * col("p")) % nfftP + 1).cast("int")))
           .as("tre"),
-        (-col("xw") * element_at(arrLit(sinTab), ((col("f") * col("p")) % nfft + 1).cast("int")))
+        (-col("xw") * element_at(arrLit(cfg.sinT), ((col("f") * col("p")) % nfftP + 1).cast("int")))
           .as("tim")
       )
     val spec = terms
       .groupBy(col("channel"), col("s"), col("f"))
       .agg(sum(col("tre")).as("xre"), sum(col("tim")).as("xim"))
-    val one = (col("xre") * col("xre") + col("xim") * col("xim")) * densityNorm
+    val one = (col("xre") * col("xre") + col("xim") * col("xim")) * cfg.norm
     val p2 =
       if (doubled)
-        when(col("f") === 0 || col("f") === (nfft / 2), one).otherwise(one * 2.0)
+        when(col("f") === 0 || col("f") === (nfftP / 2), one).otherwise(one * 2.0)
       else one
     spec.select(col("channel"), col("s"), col("f"), p2.as("p2"))
   }
 
   /** SQL twin of [[periodograms]] as a CTE chain ending in
-    * `pgram(channel, s, f, p2)`. Expects `sig` CTE in scope.
-    * Parameterized by (nfftP, hopP) so the FFT fast path's larger nfft
-    * gets the same explicit-DFT oracle; defaults are the welch/stft
-    * constants used by [[periodograms]].
+    * `pgram(channel, s, f, p2)`. Expects `sig` CTE in scope. Takes the
+    * same [[WelchCfg]] so every (window, overlap, detrend, scaling)
+    * variant — and the FFT fast path's larger nfft — gets the identical
+    * explicit-DFT oracle.
     */
   def periodogramsSql(
       boundary: Boolean,
       doubled: Boolean,
-      nfftP: Int = nfft,
-      hopP: Int = hop
+      cfg: WelchCfg = WelchCfg()
   ): String = {
-    val winP = Array.tabulate(nfftP)(p => 0.5 - 0.5 * math.cos(2.0 * math.Pi * p / nfftP))
-    val normP = 1.0 / (fsv * winP.map(w => w * w).sum)
-    val cosP = Array.tabulate(nfftP)(k => math.cos(2.0 * math.Pi * k / nfftP))
-    val sinP = Array.tabulate(nfftP)(k => math.sin(2.0 * math.Pi * k / nfftP))
-    val nFreqP = nfftP / 2 + 1
+    val nfftP = cfg.nfft
+    val hopP = cfg.hop
     val baseExpr =
       if (!boundary) "SELECT channel, n AS m, x FROM sig"
       else
@@ -143,7 +183,15 @@ object SpectraOps {
       else ""
     val nsegsExpr =
       s"CAST(floor((count(*) OVER (PARTITION BY channel) - $nfftP) / $hopP) + 1 AS BIGINT)"
-    val oneExpr = s"(xre * xre + xim * xim) * ${Dsp.lit(normP)}"
+    val detrendExpr = cfg.detrend match {
+      case "constant" => "x - avg(x) OVER sw"
+      case "linear" =>
+        val slope =
+          s"((avg(p * x) OVER sw) - ${Dsp.lit(cfg.pBar)} * (avg(x) OVER sw)) / ${Dsp.lit(cfg.pVar)}"
+        s"x - ((avg(x) OVER sw) + ($slope) * (p - ${Dsp.lit(cfg.pBar)}))"
+      case other => throw new IllegalArgumentException(s"unknown detrend $other")
+    }
+    val oneExpr = s"(xre * xre + xim * xim) * ${Dsp.lit(cfg.norm)}"
     val p2Expr =
       if (doubled)
         s"CASE WHEN f = 0 OR f = ${nfftP / 2} THEN $oneExpr ELSE ($oneExpr) * 2.0 END"
@@ -154,32 +202,33 @@ object SpectraOps {
       s"frames AS (SELECT channel, s, CAST(m - s * $hopP AS INT) AS p, x FROM " +
       s"(SELECT channel, x, m // $hopP - d.g AS s, m, nsegs FROM marked, generate_series(0, ${nfftP / hopP - 1}) d(g)) " +
       "WHERE s >= 0 AND s < nsegs), " +
-      s"windowed AS (SELECT channel, s, p, (x - avg(x) OVER (PARTITION BY channel, s)) * " +
-      s"list_extract(${arrSql(winP)}, p + 1) AS xw FROM frames), " +
-      s"terms AS (SELECT channel, s, f.g AS f, xw * list_extract(${arrSql(cosP)}, CAST((f.g * p) % $nfftP + 1 AS INT)) AS tre, " +
-      s"-xw * list_extract(${arrSql(sinP)}, CAST((f.g * p) % $nfftP + 1 AS INT)) AS tim " +
-      s"FROM windowed, generate_series(0, ${nFreqP - 1}) f(g)), " +
+      s"windowed AS (SELECT channel, s, p, ($detrendExpr) * " +
+      s"list_extract(${arrSql(cfg.win)}, p + 1) AS xw FROM frames " +
+      "WINDOW sw AS (PARTITION BY channel, s)), " +
+      s"terms AS (SELECT channel, s, f.g AS f, xw * list_extract(${arrSql(cfg.cosT)}, CAST((f.g * p) % $nfftP + 1 AS INT)) AS tre, " +
+      s"-xw * list_extract(${arrSql(cfg.sinT)}, CAST((f.g * p) % $nfftP + 1 AS INT)) AS tim " +
+      s"FROM windowed, generate_series(0, ${nfftP / 2}) f(g)), " +
       "spec AS (SELECT channel, s, f, sum(tre) AS xre, sum(tim) AS xim FROM terms GROUP BY channel, s, f), " +
       s"pgram AS (SELECT channel, s, f, $p2Expr AS p2 FROM spec)"
   }
 
   /** Welch PSD per (channel, f). */
-  def psdWelch(sig: DataFrame): DataFrame =
-    periodograms(sig, boundary = false, doubled = true)
+  def psdWelch(sig: DataFrame, cfg: WelchCfg = WelchCfg()): DataFrame =
+    periodograms(sig, boundary = false, doubled = true, cfg)
       .groupBy(col("channel"), col("f"))
       .agg(avg(col("p2")).as("psd"), count(lit(1)).as("nsegs"))
       .select(
         col("channel"),
         col("f"),
-        round(col("f") * (fsv / nfft), 4).as("freq_hz"),
+        round(col("f") * (fsv / cfg.nfft), 4).as("freq_hz"),
         round(col("psd"), 6).as("psd"),
         col("nsegs")
       )
 
-  def psdWelchSql: String =
-    s"${Signal.sigCte}, ${periodogramsSql(boundary = false, doubled = true)}, " +
+  def psdWelchSql(cfg: WelchCfg = WelchCfg()): String =
+    s"${Signal.sigCte}, ${periodogramsSql(boundary = false, doubled = true, cfg)}, " +
       "welch AS (SELECT channel, f, avg(p2) AS psd, count(*) AS nsegs FROM pgram GROUP BY channel, f) " +
-      s"SELECT channel, f, round(f * ${Dsp.lit(fsv / nfft)}, 4) AS freq_hz, round(psd, 6) AS psd, nsegs FROM welch"
+      s"SELECT channel, f, round(f * ${Dsp.lit(fsv / cfg.nfft)}, 4) AS freq_hz, round(psd, 6) AS psd, nsegs FROM welch"
 
   /** STFT spectrogram |X|² per (channel, s, f), boundary + padded. */
   def stft(sig: DataFrame): DataFrame =
@@ -330,12 +379,22 @@ object SpectraOps {
     * rounding error (outputs rounded to 6 dp on both engines).
     */
   def psdWelchFastSql(nfftF: Int): String =
-    s"${Signal.sigCte}, ${periodogramsSql(boundary = false, doubled = true, nfftF, nfftF / 2)} " +
+    s"${Signal.sigCte}, ${periodogramsSql(boundary = false, doubled = true, WelchCfg(nfft = nfftF, hop = nfftF / 2))} " +
       "SELECT channel, f, round(avg(p2), 6) AS psd, count(*) AS nsegs FROM pgram GROUP BY channel, f"
+
+  /** Reference-psd parameter variants (estimators.py:60): scaling=
+    * 'spectrum', hamming window at 75% overlap, detrend='linear'.
+    */
+  val cfgSpectrum: WelchCfg = WelchCfg(scaling = "spectrum")
+  val cfgHamm75: WelchCfg = WelchCfg(winName = "hamming", hop = 16)
+  val cfgLinear: WelchCfg = WelchCfg(detrend = "linear")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "psd_welch_fast" -> { (s, dir) => psdWelchFast(Signal.long(s, dir), 128) },
     "psd_welch" -> { (s, dir) => psdWelch(Signal.long(s, dir)) },
+    "psd_welch_spectrum" -> { (s, dir) => psdWelch(Signal.long(s, dir), cfgSpectrum) },
+    "psd_welch_hamm75" -> { (s, dir) => psdWelch(Signal.long(s, dir), cfgHamm75) },
+    "psd_welch_linear" -> { (s, dir) => psdWelch(Signal.long(s, dir), cfgLinear) },
     "stft64" -> { (s, dir) => stft(Signal.long(s, dir)) },
     "band_power" -> { (s, dir) => bandPower(Signal.long(s, dir)) },
     "psd_norm" -> { (s, dir) => psdNorm(Signal.long(s, dir)) },
@@ -344,7 +403,10 @@ object SpectraOps {
 
   def oracleSql: Map[String, String] = Map(
     "psd_welch_fast" -> psdWelchFastSql(128),
-    "psd_welch" -> psdWelchSql,
+    "psd_welch" -> psdWelchSql(),
+    "psd_welch_spectrum" -> psdWelchSql(cfgSpectrum),
+    "psd_welch_hamm75" -> psdWelchSql(cfgHamm75),
+    "psd_welch_linear" -> psdWelchSql(cfgLinear),
     "stft64" -> stftSql,
     "band_power" -> bandPowerSql,
     "psd_norm" -> psdNormSql,
