@@ -20,23 +20,51 @@ object Dedup {
 
   val numHashes = 9 // k minhash functions, used as 9 bands × 1 row (high recall)
 
-  /** MinHash signature rows (doc_id, j, minh): the j-th hash of a
-    * shingle set is min over md5(j ‖ ':' ‖ shingle) — uniform over hex
-    * strings, identical on both engines.
+  /** Multiply-add-mod-2³² permutation constants: a_j odd (a bijection on
+    * 32-bit ints), b_j arbitrary. One md5 per shingle + 9 integer
+    * permutes replaces 9 md5s — ~9× less hashing and integer (not hex
+    * string) min-aggregation.
     */
-  private def signatures(docs: DataFrame): DataFrame =
+  private val (permA, permB): (Array[Long], Array[Long]) = {
+    val r = new scala.util.Random(13)
+    val a = Array.fill(numHashes)(r.nextInt(1 << 30).toLong * 2 + 1)
+    val b = Array.fill(numHashes)(r.nextInt(Int.MaxValue).toLong)
+    (a, b)
+  }
+  private val mod32 = 4294967296L
+
+  /** MinHash signature rows (doc_id, j, minh): h = first 8 md5 hex chars
+    * of the shingle as a 32-bit int; minh_j = min over shingles of the
+    * j-th multiply-add permutation of h. Identical on both engines
+    * (a_j·h + b_j < 2^63, no overflow).
+    */
+  private def signatures(docs: DataFrame): DataFrame = {
+    val aLit = array(permA.map(lit): _*)
+    val bLit = array(permB.map(lit): _*)
+    val h32 = conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
     TextStats
       .shingles(docs)
       .select(col("doc_id"), col("sh"))
       .distinct()
-      .select(col("doc_id"), col("sh"), explode(sequence(lit(0), lit(numHashes - 1))).as("j"))
+      .select(col("doc_id"), h32.as("h"))
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(numHashes - 1))).as("j"))
       .groupBy(col("doc_id"), col("j"))
-      .agg(min(md5(concat(col("j").cast("string"), lit(":"), col("sh")))).as("minh"))
+      .agg(
+        min(
+          (element_at(aLit, col("j") + 1) * col("h") + element_at(bLit, col("j") + 1)) % mod32
+        ).as("minh")
+      )
+  }
 
-  private val signaturesSql: String =
+  private val signaturesSql: String = {
+    val aSql = permA.mkString("[", ", ", "]")
+    val bSql = permB.mkString("[", ", ", "]")
+    val h32 = "CAST(concat('0x', substr(md5(sh), 1, 8)) AS BIGINT)"
     s"${TextStats.shinglesSql}, dsh AS (SELECT DISTINCT doc_id, sh FROM shingles), " +
-      s"sigs AS (SELECT doc_id, g.j AS j, min(md5(CAST(g.j AS VARCHAR) || ':' || sh)) AS minh " +
+      s"sigs AS (SELECT doc_id, g.j AS j, " +
+      s"min((list_extract($aSql, g.j + 1) * $h32 + list_extract($bSql, g.j + 1)) % $mod32) AS minh " +
       s"FROM dsh, generate_series(0, ${numHashes - 1}) g(j) GROUP BY doc_id, g.j)"
+  }
 
   /** LSH candidate pairs: docs sharing any band (here band = single
     * signature row; set r>1 by hashing r signatures per band).

@@ -208,6 +208,62 @@ object FirOps {
       .drop("max_n")
   }
 
+  /** 'same'-mode convolution as a channel-parallel mapPartitions scan,
+    * bit-exact with [[sameExpr]]: terms accumulate in ascending-k
+    * left-associated order with literal 0.0 contributions outside the
+    * signal, so any oracle written against the lag-sum stays valid.
+    *
+    * Why it exists: WindowExec evaluates each lag/lead as an interpreted
+    * per-row frame — at 100+ taps (Hilbert chains) that interpretive
+    * overhead dominates. Here the kernel is one JIT'd loop; channels
+    * remain the parallel unit exactly like the IIR scan.
+    * Output: (channel, n, x, y).
+    */
+  def convPlus(sig: DataFrame, h: Array[Double]): DataFrame = {
+    val spark = sig.sparkSession
+    import spark.implicits._
+    val hl = h.clone()
+    val m = hl.length
+    val l = (m - 1) / 2
+    sig
+      .select(col("channel"), col("n"), col("x"))
+      .as[(String, Long, Double)]
+      .repartition(col("channel"))
+      .sortWithinPartitions(col("channel"), col("n"))
+      .mapPartitions { (it: Iterator[(String, Long, Double)]) =>
+        val buffered = it.buffered
+        new Iterator[Iterator[(String, Long, Double, Double)]] {
+          def hasNext: Boolean = buffered.hasNext
+          def next(): Iterator[(String, Long, Double, Double)] = {
+            val ch = buffered.head._1
+            val ns = scala.collection.mutable.ArrayBuffer.empty[Long]
+            val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
+            while (buffered.hasNext && buffered.head._1 == ch) {
+              val r = buffered.next(); ns += r._2; xs += r._3
+            }
+            val n = xs.length
+            val xa = xs.toArray
+            val ys = new Array[Double](n)
+            var i = 0
+            while (i < n) {
+              var acc = 0.0
+              var k = 0
+              while (k < m) {
+                val idx = i + l - k
+                val t = hl(k) * (if (idx >= 0 && idx < n) xa(idx) else 0.0)
+                acc = if (k == 0) t else acc + t
+                k += 1
+              }
+              ys(i) = acc
+              i += 1
+            }
+            (0 until n).iterator.map(j => (ch, ns(j), xa(j), ys(j)))
+          }
+        }.flatten
+      }
+      .toDF("channel", "n", "x", "y")
+  }
+
   // ---- designed filters over the test signal (fs nominal 100 Hz) ----
 
   private val fs = 100.0

@@ -50,8 +50,9 @@ object HilbertOps {
     * [0, 2π), reference Analytic semantics.
     */
   def analytic(sig: DataFrame): DataFrame = {
-    val hx = FirOps.sameExpr(hilbertH)
-    val withH = sig.select(col("channel"), col("n"), col("x"), hx.as("hx"))
+    val withH = FirOps
+      .convPlus(sig, hilbertH)
+      .withColumnRenamed("y", "hx")
     val ph = atan2(col("hx"), col("x"))
     withH.select(
       col("channel"),
@@ -126,38 +127,51 @@ object HilbertOps {
     * The Monte-Carlo surrogate machinery (index shifting for p-values)
     * is driver-side orchestration of this same plan and is round-2.
     */
-  def phasePower(sig: DataFrame): DataFrame = {
+  /** (events, pw) building blocks shared by [[phasePower]] and
+    * [[phasePowerSig]]: phase events (channel, ne, nlen) with full
+    * windows only, and per-sample standardized amplitude-band power.
+    */
+  private def phaseEventsAndPower(sig: DataFrame): (DataFrame, DataFrame) = {
     val s1 = sig.filter(col("channel") === "click")
+    val mx = Window.partitionBy(col("channel"))
     // phase path: bandpass -> analytic -> phase events
-    val pb = s1.select(col("channel"), col("n"), FirOps.sameExpr(phaseBandH).as("x"))
-    val phc = pb.select(col("channel"), col("n"), col("x"), FirOps.sameExpr(hilbertH).as("hx"))
+    val pb = FirOps.convPlus(s1, phaseBandH).select(col("channel"), col("n"), col("y").as("x"))
+    val phc = FirOps.convPlus(pb, hilbertH).withColumnRenamed("y", "hx")
     val phv = atan2(col("hx"), col("x"))
     val ph = phc.select(
       col("channel"),
       col("n"),
-      round(when(phv < 0, phv + 2 * math.Pi).otherwise(phv), 6).as("ph")
+      round(when(phv < 0, phv + 2 * math.Pi).otherwise(phv), 6).as("ph"),
+      max(col("n")).over(mx).as("max_n")
     )
-    val mx = Window.partitionBy(col("channel"))
     val events = ph
-      .select(col("channel"), col("n"), col("ph"), max(col("n")).over(mx).as("max_n"))
       .filter(
         (col("ph") < epsi || col("ph") > 2 * math.Pi - epsi) &&
           col("n") >= winHalf && col("n") <= col("max_n") - winHalf
       )
-      .select(col("channel"), col("n").as("ne"))
+      .select(col("channel"), col("n").as("ne"), (col("max_n") + 1).as("nlen"))
     // amplitude path: bandpass -> standardize -> analytic power
-    val ab = s1.select(col("channel"), col("n"), FirOps.sameExpr(ampBandH).as("x"))
+    val ab = FirOps.convPlus(s1, ampBandH).select(col("channel"), col("n"), col("y").as("x"))
     val z = ab.select(
       col("channel"),
       col("n"),
       ((col("x") - avg(col("x")).over(mx)) / stddev_pop(col("x")).over(mx)).as("x")
     )
-    val zp = z.select(col("channel"), col("n"), col("x"), FirOps.sameExpr(hilbertH).as("hx"))
-    val pw = zp.select(col("channel"), col("n"), (col("x") * col("x") + col("hx") * col("hx")).as("pow"))
+    val zp = FirOps.convPlus(z, hilbertH).withColumnRenamed("y", "hx")
+    val pw =
+      zp.select(col("channel"), col("n"), (col("x") * col("x") + col("hx") * col("hx")).as("pow"))
+    (events, pw)
+  }
+
+  def phasePower(sig: DataFrame): DataFrame = {
+    val (events, pw) = phaseEventsAndPower(sig)
+    // exploded equi-join: each event fans out to its 2·winHalf+1 window
+    // positions — a hash join on (channel, n), not a range nested loop
     events
-      .join(pw, Seq("channel"))
-      .filter(col("n") >= col("ne") - winHalf && col("n") <= col("ne") + winHalf)
-      .groupBy((col("n") - col("ne")).as("offset"))
+      .select(col("channel"), col("ne"), explode(sequence(lit(-winHalf), lit(winHalf))).as("off"))
+      .select(col("channel"), col("ne"), col("off"), (col("ne") + col("off")).as("n"))
+      .join(pw, Seq("channel", "n"))
+      .groupBy(col("off").cast("bigint").as("offset"))
       .agg(round(avg(col("pow")), 6).as("avg_pow"), countDistinct(col("ne")).as("n_events"))
   }
 
@@ -224,44 +238,19 @@ object HilbertOps {
     * nSurr× nested-loop probes.
     */
   def phasePowerSig(sig: DataFrame): DataFrame = {
-    val s1 = sig.filter(col("channel") === "click")
-    val mx = Window.partitionBy(col("channel"))
-    // same event + power definitions as phasePower
-    val pb = s1.select(col("channel"), col("n"), FirOps.sameExpr(phaseBandH).as("x"))
-    val phc = pb.select(col("channel"), col("n"), col("x"), FirOps.sameExpr(hilbertH).as("hx"))
-    val phv = atan2(col("hx"), col("x"))
-    val ph = phc.select(
-      col("channel"),
-      col("n"),
-      round(when(phv < 0, phv + 2 * math.Pi).otherwise(phv), 6).as("ph"),
-      max(col("n")).over(mx).as("max_n")
+    val (events, pw) = phaseEventsAndPower(sig)
+    // one event-set table covering base (k = −1, unshifted) and the
+    // nSurr circular-shift replicates — built in a single pass over
+    // `events` so the FIR/power chains evaluate once, then one
+    // exploded equi-join + one (k, off) aggregation serves base and
+    // surrogates together
+    val shifts = array(
+      (struct(lit(-1).as("k"), lit(0.0).as("frac")) +:
+        surrFracs.zipWithIndex.map { case (f, k) =>
+          struct(lit(k).as("k"), lit(f).as("frac"))
+        }.toSeq): _*
     )
-    val events = ph
-      .filter(
-        (col("ph") < epsi || col("ph") > 2 * math.Pi - epsi) &&
-          col("n") >= winHalf && col("n") <= col("max_n") - winHalf
-      )
-      .select(col("channel"), col("n").as("ne"), (col("max_n") + 1).as("nlen"))
-    val ab = s1.select(col("channel"), col("n"), FirOps.sameExpr(ampBandH).as("x"))
-    val z = ab.select(
-      col("channel"),
-      col("n"),
-      ((col("x") - avg(col("x")).over(mx)) / stddev_pop(col("x")).over(mx)).as("x")
-    )
-    val zp = z.select(col("channel"), col("n"), col("x"), FirOps.sameExpr(hilbertH).as("hx"))
-    val pw = zp.select(col("channel"), col("n"), (col("x") * col("x") + col("hx") * col("hx")).as("pow"))
-    val offs = explode(sequence(lit(-winHalf), lit(winHalf))).as("off")
-    val base = events
-      .select(col("channel"), col("ne"), offs)
-      .select(col("channel"), col("off"), (col("ne") + col("off")).as("n"))
-      .join(pw, Seq("channel", "n"))
-      .groupBy(col("off"))
-      .agg(avg(col("pow")).as("avg_pow"))
-    // circular-shift surrogate event sets, full-window discard like base
-    val shifts = array(surrFracs.zipWithIndex.map { case (f, k) =>
-      struct(lit(k).as("k"), lit(f).as("frac"))
-    }: _*)
-    val sev = events
+    val eventSets = events
       .select(col("channel"), col("ne"), col("nlen"), explode(shifts).as("s"))
       .select(
         col("channel"),
@@ -270,20 +259,27 @@ object HilbertOps {
         col("nlen")
       )
       .filter(col("ns") >= winHalf && col("ns") <= col("nlen") - 1 - winHalf)
-    val sagg = sev
-      .select(col("channel"), col("k"), col("ns"), offs)
+    val apow = eventSets
+      .select(
+        col("channel"),
+        col("k"),
+        col("ns"),
+        explode(sequence(lit(-winHalf), lit(winHalf))).as("off")
+      )
       .select(col("channel"), col("k"), col("off"), (col("ns") + col("off")).as("n"))
       .join(pw, Seq("channel", "n"))
       .groupBy(col("k"), col("off"))
-      .agg(avg(col("pow")).as("spow"))
-    val sstat = sagg
+      .agg(avg(col("pow")).as("apow"))
+    val base = apow.filter(col("k") === -1).select(col("off"), col("apow").as("avg_pow"))
+    val sstat = apow
+      .filter(col("k") >= 0)
       .groupBy(col("off"))
-      .agg(avg(col("spow")).as("mean_s"), stddev_pop(col("spow")).as("std_s"))
+      .agg(avg(col("apow")).as("mean_s"), stddev_pop(col("apow")).as("std_s"))
     val zv = (col("avg_pow") - col("mean_s")) / (col("std_s") / math.sqrt(nSurr.toDouble))
     base
       .join(sstat, Seq("off"))
       .select(
-        col("off").as("offset"),
+        col("off").cast("bigint").as("offset"),
         round(col("avg_pow"), 6).as("avg_pow"),
         round(col("mean_s"), 6).as("mean_surr"),
         round(col("std_s"), 6).as("std_surr"),
