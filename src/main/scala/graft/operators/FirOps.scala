@@ -217,6 +217,11 @@ object FirOps {
     * per-row frame — at 100+ taps (Hilbert chains) that interpretive
     * overhead dominates. Here the kernel is one JIT'd loop; channels
     * remain the parallel unit exactly like the IIR scan.
+    *
+    * Memory-bounded: samples are consumed in fixed blocks with an
+    * (m-1)-sample halo carried between blocks, so peak task memory is
+    * O(blockSize + m) regardless of channel length — a channel of
+    * billions of samples never materializes in one task.
     * Output: (channel, n, x, y).
     */
   def convPlus(sig: DataFrame, h: Array[Double]): DataFrame = {
@@ -225,39 +230,59 @@ object FirOps {
     val hl = h.clone()
     val m = hl.length
     val l = (m - 1) / 2
+    val blockSize = math.max(1 << 16, 4 * m)
     sig
       .select(col("channel"), col("n"), col("x"))
       .as[(String, Long, Double)]
       .repartition(col("channel"))
       .sortWithinPartitions(col("channel"), col("n"))
       .mapPartitions { (it: Iterator[(String, Long, Double)]) =>
-        val buffered = it.buffered
+        val in = it.buffered
         new Iterator[Iterator[(String, Long, Double, Double)]] {
-          def hasNext: Boolean = buffered.hasNext
+          private val lb = m - 1 - l // left lookback per output
+          private var ch: String = null
+          private val ns = scala.collection.mutable.ArrayBuffer.empty[Long]
+          private val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
+          private var base = 0L    // channel-absolute index of xs(0)
+          private var nextOut = 0L // channel-absolute index of next un-emitted output
+
+          def hasNext: Boolean = in.hasNext || xs.nonEmpty
+
           def next(): Iterator[(String, Long, Double, Double)] = {
-            val ch = buffered.head._1
-            val ns = scala.collection.mutable.ArrayBuffer.empty[Long]
-            val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
-            while (buffered.hasNext && buffered.head._1 == ch) {
-              val r = buffered.next(); ns += r._2; xs += r._3
+            if (xs.isEmpty) { ch = in.head._1; base = 0L; nextOut = 0L }
+            var read = 0
+            while (read < blockSize && in.hasNext && in.head._1 == ch) {
+              val row = in.next(); ns += row._2; xs += row._3; read += 1
             }
-            val n = xs.length
-            val xa = xs.toArray
-            val ys = new Array[Double](n)
-            var i = 0
-            while (i < n) {
+            val channelDone = !in.hasNext || in.head._1 != ch
+            val avail = base + xs.length // inputs read so far (channel-absolute)
+            val lastOut = if (channelDone) avail - 1 else avail - 1 - l
+            val nOut = math.max(0L, lastOut - nextOut + 1).toInt
+            val out = new Array[(String, Long, Double, Double)](nOut)
+            var j = 0
+            while (j < nOut) {
+              val i = nextOut + j
               var acc = 0.0
               var k = 0
               while (k < m) {
                 val idx = i + l - k
-                val t = hl(k) * (if (idx >= 0 && idx < n) xa(idx) else 0.0)
+                val t = hl(k) * (if (idx >= 0 && idx < avail) xs((idx - base).toInt) else 0.0)
                 acc = if (k == 0) t else acc + t
                 k += 1
               }
-              ys(i) = acc
-              i += 1
+              val rel = (i - base).toInt
+              out(j) = (ch, ns(rel), xs(rel), acc)
+              j += 1
             }
-            (0 until n).iterator.map(j => (ch, ns(j), xa(j), ys(j)))
+            nextOut = lastOut + 1
+            if (channelDone && nextOut >= avail) {
+              ns.clear(); xs.clear() // channel finished
+            } else {
+              val dropTo = math.max(0L, nextOut - lb) // keep lookback halo
+              val dropCount = (dropTo - base).toInt
+              if (dropCount > 0) { ns.remove(0, dropCount); xs.remove(0, dropCount); base = dropTo }
+            }
+            out.iterator
           }
         }.flatten
       }
