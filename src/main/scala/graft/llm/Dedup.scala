@@ -149,18 +149,72 @@ object Dedup {
       )
   }
 
-  val simhashSql: String = {
+  /** CTE chain ending in `sig(doc_id, sim_hi, sim_lo)` — shared by the
+    * signature dump and the hamming pair stage.
+    */
+  private val simhashCtes: String = {
     val hv = "instr('0123456789abcdef', substr(h, CAST(b // 4 + 1 AS INT), 1)) - 1"
-    s"WITH ${TextStats.tokensSql}, th AS (SELECT doc_id, md5(tok) AS h FROM tokens), " +
+    s"${TextStats.tokensSql}, th AS (SELECT doc_id, md5(tok) AS h FROM tokens), " +
       s"bits AS (SELECT doc_id, g.b AS b, CAST(floor(($hv) / power(2.0e0, 3 - g.b % 4)) AS BIGINT) % 2 AS bit " +
       "FROM th, generate_series(0, 63) g(b)), " +
-      "maj AS (SELECT doc_id, b, CASE WHEN sum(bit * 2 - 1) > 0 THEN 1 ELSE 0 END AS s FROM bits GROUP BY doc_id, b) " +
+      "maj AS (SELECT doc_id, b, CASE WHEN sum(bit * 2 - 1) > 0 THEN 1 ELSE 0 END AS s FROM bits GROUP BY doc_id, b), " +
       // CAST outer sums to BIGINT: DuckDB sum(int) yields HUGEINT, which
       // pandas renders as float64 ("42.0" vs "42" → hash mismatch).
-      "SELECT doc_id, CAST(sum(CASE WHEN b < 32 THEN s * CAST(power(2.0e0, 31 - b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sim_hi, " +
+      "sig AS MATERIALIZED (SELECT doc_id, CAST(sum(CASE WHEN b < 32 THEN s * CAST(power(2.0e0, 31 - b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sim_hi, " +
       "CAST(sum(CASE WHEN b >= 32 THEN s * CAST(power(2.0e0, 63 - b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sim_lo " +
-      "FROM maj GROUP BY doc_id"
+      "FROM maj GROUP BY doc_id)"
   }
+
+  val simhashSql: String = s"WITH $simhashCtes SELECT doc_id, sim_hi, sim_lo FROM sig"
+
+  /** SimHash near-duplicate pairs (Charikar): band the 64-bit signature
+    * into 4×16-bit chunks, candidates = docs sharing any chunk (an
+    * equi-join — by pigeonhole any pair within hamming ≤ 3 shares one of
+    * the 4 chunks, so recall is exact), verify popcount(xor) ≤ 3 on the
+    * two 32-bit halves. Never O(n²); hot chunks are AQE skew territory.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(docs)
+    val chunks = sig.select(
+      col("doc_id"),
+      posexplode(
+        array(
+          shiftright(col("sim_hi"), 16),
+          col("sim_hi").bitwiseAND(lit(65535L)),
+          shiftright(col("sim_lo"), 16),
+          col("sim_lo").bitwiseAND(lit(65535L))
+        )
+      ).as(Seq("ci", "chunk"))
+    )
+    val cand = chunks
+      .select(col("doc_id").as("doc_a"), col("ci"), col("chunk"))
+      .join(chunks.select(col("doc_id").as("doc_b"), col("ci"), col("chunk")), Seq("ci", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val sa = sig.select(col("doc_id").as("doc_a"), col("sim_hi").as("hi_a"), col("sim_lo").as("lo_a"))
+    val sb = sig.select(col("doc_id").as("doc_b"), col("sim_hi").as("hi_b"), col("sim_lo").as("lo_b"))
+    cand
+      .join(sa, Seq("doc_a"))
+      .join(sb, Seq("doc_b"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long").as("hamming")
+      )
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  val simhashPairsSql: String =
+    s"WITH $simhashCtes, " +
+      "chunks AS (SELECT doc_id, g.ci AS ci, CASE g.ci WHEN 0 THEN sim_hi // 65536 WHEN 1 THEN sim_hi % 65536 " +
+      "WHEN 2 THEN sim_lo // 65536 ELSE sim_lo % 65536 END AS chunk FROM sig, generate_series(0, 3) g(ci)), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM chunks a " +
+      "JOIN chunks b ON a.ci = b.ci AND a.chunk = b.chunk AND a.doc_id < b.doc_id) " +
+      "SELECT doc_a, doc_b, hamming FROM (SELECT c.doc_a, c.doc_b, " +
+      "CAST(bit_count(xor(sa.sim_hi, sb.sim_hi)) + bit_count(xor(sa.sim_lo, sb.sim_lo)) AS BIGINT) AS hamming " +
+      "FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b) WHERE hamming <= 3"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> { (s, dir) =>
@@ -171,7 +225,8 @@ object Dedup {
     },
     "dedup_minhash" -> { (s, dir) => minhashCandidates(Tables.documents(s, dir)) },
     "dedup_jaccard" -> { (s, dir) => jaccard(Tables.documents(s, dir)) },
-    "dedup_simhash" -> { (s, dir) => simhash(Tables.documents(s, dir)) }
+    "dedup_simhash" -> { (s, dir) => simhash(Tables.documents(s, dir)) },
+    "dedup_simhash_pairs" -> { (s, dir) => simhashPairs(Tables.documents(s, dir)) }
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -179,6 +234,7 @@ object Dedup {
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY md5(text)",
     "dedup_minhash" -> minhashCandidatesSql,
     "dedup_jaccard" -> jaccardSql,
-    "dedup_simhash" -> simhashSql
+    "dedup_simhash" -> simhashSql,
+    "dedup_simhash_pairs" -> simhashPairsSql
   )
 }

@@ -225,6 +225,64 @@ object IirOps {
       " SELECT b.channel, m.mxn - b.n AS n, round(b.y, 6) AS y FROM bwd b JOIN mx m ON b.channel = m.channel"
   }
 
+  /** Recursive-CTE forward ba-form lfilter over input CTE
+    * `inp(channel, n, v)`; emits CTE `outName(channel, n, y)`. Textually
+    * replays the DF2T recurrence in [[lfilter]]: y = b0·u + z_0,
+    * z_i' = b_{i+1}·u + z_{i+1} − a_{i+1}·y (last state has no z term).
+    */
+  private def lfilterCte(
+      b: Array[Double],
+      a: Array[Double],
+      inp: String,
+      outName: String,
+      ziUnit: Option[Array[Double]]
+  ): String = {
+    val m = math.max(b.length, a.length) - 1
+    // The lateral alias must NOT be named `y`: the recursion carries a
+    // column `y`, and in the step a real column shadows the lateral
+    // alias (same trap sosfiltCte documents). Use y0, rename on keep.
+    def stepExprs(u: String, st: Int => String): String = {
+      val sb = new StringBuilder
+      sb.append(s"${Dsp.lit(b(0))} * $u + ${st(0)} AS y0")
+      for (i <- 0 until m - 1)
+        sb.append(s", ${Dsp.lit(b(i + 1))} * $u + ${st(i + 1)} - ${Dsp.lit(a(i + 1))} * y0 AS nz_$i")
+      sb.append(s", ${Dsp.lit(b(m))} * $u - ${Dsp.lit(a(m))} * y0 AS nz_${m - 1}")
+      sb.toString
+    }
+    val initStates = (0 until m)
+      .map { i =>
+        val init = ziUnit.map(z => s"${Dsp.lit(z(i))} * s.v").getOrElse("0.0")
+        s"$init AS z_$i"
+      }
+      .mkString(", ")
+    val keep = "channel, n, y0 AS y, " + (0 until m).map(i => s"nz_$i AS z_$i").mkString(", ")
+    val base =
+      s"SELECT $keep FROM (SELECT channel, n, ${stepExprs("v", i => s"z_$i")} FROM " +
+        s"(SELECT s.channel, s.n, s.v, $initStates FROM $inp s WHERE s.n = 0))"
+    val step =
+      s"SELECT $keep FROM (SELECT s.channel, s.n, ${stepExprs("s.v", i => s"f.z_$i")} " +
+        s"FROM ${outName}_rec f JOIN $inp s ON s.channel = f.channel AND s.n = f.n + 1)"
+    s"${outName}_rec AS ($base UNION ALL $step), " +
+      s"$outName AS MATERIALIZED (SELECT channel, n, y FROM ${outName}_rec)"
+  }
+
+  /** Full oracle for forward ba-form lfilter on the event signal. */
+  def lfilterSql(b: Array[Double], a: Array[Double]): String =
+    s"WITH RECURSIVE sig AS MATERIALIZED (${Signal.longSql}), inp AS MATERIALIZED (SELECT channel, n, x AS v FROM sig), " +
+      lfilterCte(b, a, "inp", "fwd", None) +
+      " SELECT channel, n, round(y, 6) AS y FROM fwd"
+
+  /** Full oracle for ba-form filtfilt: forward, flip, backward, flip. */
+  def filtfiltBaSql(b: Array[Double], a: Array[Double]): String = {
+    val zi = Some(Iir.lfilterZi(b, a))
+    s"WITH RECURSIVE sig AS MATERIALIZED (${Signal.longSql}), inp AS MATERIALIZED (SELECT channel, n, x AS v FROM sig), " +
+      lfilterCte(b, a, "inp", "fwd", zi) + ", " +
+      "mx AS (SELECT channel, max(n) AS mxn FROM sig GROUP BY channel), " +
+      "rev AS MATERIALIZED (SELECT f.channel, m.mxn - f.n AS n, f.y AS v FROM fwd f JOIN mx m ON f.channel = m.channel), " +
+      lfilterCte(b, a, "rev", "bwd", zi) +
+      " SELECT b.channel, m.mxn - b.n AS n, round(b.y, 6) AS y FROM bwd b JOIN mx m ON b.channel = m.channel"
+  }
+
   // ---- designed filters over the test signal (fs nominal 100 Hz) ----
 
   private val fs = 100.0
@@ -238,13 +296,28 @@ object IirOps {
   lazy val ellipLp: Array[Array[Double]] = graft.core.Elliptic.ellipSos(10, 20, 1.0, 40.0, fs)
   lazy val notch15: Array[Array[Double]] = Iir.notchSos(15.0, 30.0, fs)
 
+  /** Order-3 Butterworth lowpass at wn=0.2 (10 Hz @ fs=100) in ba form —
+    * the transfer-function twin of the sos designs, exercising the
+    * reference's ba-form lfilter/filtfilt path (numerical.py:414,449).
+    */
+  lazy val butterBa: (Array[Double], Array[Double]) = {
+    val proto = Iir.bilinear(Iir.lp2lp(Iir.buttap(3), 4.0 * math.tan(math.Pi * 0.2 / 2)))
+    Iir.zpk2tf(proto)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "iir_butter_lp" -> { (s, dir) => rounded(sosfilt(Signal.long(s, dir), butterLp)) },
     "iir_cheby1_lp" -> { (s, dir) => rounded(sosfilt(Signal.long(s, dir), cheby1Lp)) },
     "iir_cheby2_hp" -> { (s, dir) => rounded(sosfilt(Signal.long(s, dir), cheby2Hp)) },
     "iir_ellip_lp" -> { (s, dir) => rounded(sosfilt(Signal.long(s, dir), ellipLp)) },
     "iir_notch" -> { (s, dir) => rounded(sosfilt(Signal.long(s, dir), notch15)) },
-    "iir_butter_filtfilt" -> { (s, dir) => rounded(sosfiltfilt(Signal.long(s, dir), butterLp)) }
+    "iir_butter_filtfilt" -> { (s, dir) => rounded(sosfiltfilt(Signal.long(s, dir), butterLp)) },
+    "iir_lfilter_lp" -> { (s, dir) =>
+      rounded(lfilter(Signal.long(s, dir), butterBa._1, butterBa._2))
+    },
+    "iir_filtfilt_ba" -> { (s, dir) =>
+      rounded(filtfiltBa(Signal.long(s, dir), butterBa._1, butterBa._2))
+    }
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -253,6 +326,8 @@ object IirOps {
     "iir_cheby2_hp" -> sosfiltSql(cheby2Hp),
     "iir_ellip_lp" -> sosfiltSql(ellipLp),
     "iir_notch" -> sosfiltSql(notch15),
-    "iir_butter_filtfilt" -> sosfiltfiltSql(butterLp)
+    "iir_butter_filtfilt" -> sosfiltfiltSql(butterLp),
+    "iir_lfilter_lp" -> lfilterSql(butterBa._1, butterBa._2),
+    "iir_filtfilt_ba" -> filtfiltBaSql(butterBa._1, butterBa._2)
   )
 }
