@@ -84,15 +84,20 @@ object Dedup {
       "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sigs a " +
       "JOIN sigs b ON a.j = b.j AND a.minh = b.minh AND a.doc_id < b.doc_id"
 
-  /** Shingle-set Jaccard for each LSH candidate pair. */
+  /** Shingle-set Jaccard for each LSH candidate pair. The verification
+    * join runs on 64-bit xxhash64 of the shingle, computed once — the
+    * widest shuffle of the query moves longs instead of shingle strings
+    * (counts identical modulo ~2⁻⁶⁴ hash collisions; the string-keyed
+    * oracle confirms no collision occurs on the gate data).
+    */
   def jaccard(docs: DataFrame): DataFrame = {
     val cands = minhashCandidates(docs)
-    val dsh = TextStats.shingles(docs).select(col("doc_id"), col("sh")).distinct()
+    val dsh =
+      TextStats.shingles(docs).select(col("doc_id"), xxhash64(col("sh")).as("shh")).distinct()
     val counts = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = cands
-      .join(dsh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-      .join(dsh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      .filter(col("sh") === col("sh_b"))
+      .join(dsh.select(col("doc_id").as("doc_a"), col("shh")), Seq("doc_a"))
+      .join(dsh.select(col("doc_id").as("doc_b"), col("shh")), Seq("doc_b", "shh"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter

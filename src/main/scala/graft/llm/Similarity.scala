@@ -32,12 +32,24 @@ object Similarity {
       col("label")
     )
 
-  /** cosine(a, b) with sequential left-to-right accumulation. */
+  /** Vectors plus a precomputed L2 norm — computed ONCE per vector
+    * before any join, so the per-candidate work in the scoring joins is
+    * a single dot product instead of three array aggregates (the 3×
+    * FLOP waste VERDICT r2 flagged). Bit-identical to inlining: the
+    * oracle's sqrt(Σv²) runs the same accumulation order.
+    */
+  private def vecsN(df: DataFrame): DataFrame =
+    vecsD(df).withColumn(
+      "nrm",
+      sqrt(aggregate(zip_with(col("v"), col("v"), (x, y) => x * y), lit(0.0), (acc, v) => acc + v))
+    )
+
+  /** cosine(a, b) from precomputed norms na/nb; dot accumulates
+    * sequentially left-to-right like the oracle.
+    */
   private def cosExpr: org.apache.spark.sql.Column = {
     val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val na = aggregate(zip_with(col("va"), col("va"), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    val nb = aggregate(zip_with(col("vb"), col("vb"), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    dot / (sqrt(na) * sqrt(nb))
+    dot / (col("na") * col("nb"))
   }
 
   private val cosSqlExpr: String = {
@@ -47,11 +59,11 @@ object Similarity {
   }
 
   def topk(emb: DataFrame): DataFrame = {
-    val vs = vecsD(emb)
+    val vs = vecsN(emb)
     val q = vs
       .filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("va"))
-    val c = vs.select(col("vec_id").as("vid"), col("v").as("vb"))
+      .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
+    val c = vs.select(col("vec_id").as("vid"), col("v").as("vb"), col("nrm").as("nb"))
     val scored = broadcast(q)
       .join(c, col("qid") =!= col("vid"))
       .select(col("qid"), col("vid"), round(cosExpr, 6).as("cos"))
@@ -108,7 +120,7 @@ object Similarity {
     * is an equi-join on cell id.
     */
   def ivfTopk(emb: DataFrame, nList: Int = 16, nProbe: Int = 4): DataFrame = {
-    val vs = vecsD(emb)
+    val vs = vecsN(emb)
     val cents = vs.filter(col("vec_id") < nList).select(col("vec_id").as("cid"), col("v").as("cv"))
     def nearestCells(points: DataFrame, idCol: String, keep: Int): DataFrame = {
       val d = points
@@ -128,16 +140,23 @@ object Similarity {
       d.select(col(idCol), col("cid"), row_number().over(w).as("cr")).filter(col("cr") <= keep)
     }
     val assign = nearestCells(vs, "vec_id", 1).select(col("vec_id").as("vid"), col("cid"))
-    val corpus = vs.select(col("vec_id").as("vid"), col("v").as("vb")).join(assign, Seq("vid"))
+    val corpus = vs.select(col("vec_id").as("vid"), col("v").as("vb"), col("nrm").as("nb"))
     val qcells = nearestCells(vs.filter(col("vec_id") < nQueries), "vec_id", nProbe)
       .select(col("vec_id").as("qid"), col("cid"))
-    val q = vs.filter(col("vec_id") < nQueries).select(col("vec_id").as("qid"), col("v").as("va"))
-    val scored = qcells
-      .join(corpus, Seq("cid"))
-      .join(broadcast(q), Seq("qid"))
+    val q = vs
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
+    // dedup (qid, vid) BEFORE scoring: a pair surfacing via multiple
+    // probed cells must not pay the dot product twice
+    val cand = qcells
+      .join(assign, Seq("cid"))
       .filter(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"))
+      .distinct()
+    val scored = cand
+      .join(corpus, Seq("vid"))
+      .join(broadcast(q), Seq("qid"))
       .select(col("qid"), col("vid"), round(cosExpr, 6).as("cos"))
-      .distinct() // a (qid, vid) pair can surface via multiple probed cells
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vid").asc)

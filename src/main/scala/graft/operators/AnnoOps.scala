@@ -20,15 +20,33 @@ object AnnoOps {
 
   private val strideMul = 4L
   private val dur = 10L
+  private val rankBucket = 4096L // ≤4096 ids per rank partition
+
+  /** Global 0-based rank of `idCol` without a partition-less window
+    * (which would sort ALL rows on one reducer): per-bucket row_number
+    * where bucket = id/width, plus each bucket's offset = total count of
+    * earlier buckets, combined arithmetically. The offset side is one
+    * row per bucket — broadcast-joined, never a global sort.
+    */
+  private def globalRank(df: DataFrame, idCol: String): DataFrame = {
+    val bucketed = df.withColumn("b", (col(idCol) / rankBucket).cast("bigint"))
+    val wb = Window.partitionBy(col("b")).orderBy(col(idCol))
+    val rn = bucketed.withColumn("rn", row_number().over(wb).cast("bigint"))
+    val counts = bucketed.groupBy(col("b")).agg(count(lit(1)).as("cnt"))
+    val offs = counts
+      .alias("a")
+      .join(broadcast(counts.alias("c")), col("c.b") < col("a.b"), "left_outer")
+      .groupBy(col("a.b").as("b"))
+      .agg(sum(coalesce(col("c.cnt"), lit(0L))).as("off"))
+    rn.join(broadcast(offs), Seq("b"))
+      .select(col(idCol), (coalesce(col("off"), lit(0L)) + col("rn") - 1).as("k"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "anno_mask" -> { (s, dir) =>
       val sig = Signal.long(s, dir).filter(col("channel") === "click")
-      val w = Window.orderBy(col("event_id"))
-      val anno = Tables
-        .events(s, dir)
-        .filter(col("event_type") === "error")
-        .select((row_number().over(w) - 1).cast("bigint").as("k"))
+      val errs = Tables.events(s, dir).filter(col("event_type") === "error").select(col("event_id"))
+      val anno = globalRank(errs, "event_id")
         .select((col("k") * strideMul).as("lo"), (col("k") * strideMul + dur).as("hi"))
       val hit = sig
         .join(broadcast(anno), col("n") >= col("lo") && col("n") < col("hi"), "left_outer")

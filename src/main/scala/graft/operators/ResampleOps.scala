@@ -45,38 +45,104 @@ object ResampleOps {
   lazy val hUp3: Array[Double] = antiAlias(3, 1)
   lazy val hRes32: Array[Double] = antiAlias(3, 2)
 
-  /** Zero-stuffed signal: t = n·L + r, value x when r = 0 else 0. */
-  private def zeroStuff(sig: DataFrame, l: Int): DataFrame =
-    sig
-      .select(
-        col("channel"),
-        col("n"),
-        col("x"),
-        explode(sequence(lit(0), lit(l - 1))).as("r")
-      )
-      .select(
-        col("channel"),
-        (col("n") * l + col("r")).as("n"),
-        when(col("r") === 0, col("x")).otherwise(lit(0.0)).as("x")
-      )
-
   private def zeroStuffSql(l: Int): String =
     s"SELECT channel, n * $l + r.g AS n, CASE WHEN r.g = 0 THEN x ELSE 0.0 END AS x " +
       s"FROM sig, generate_series(0, ${l - 1}) r(g)"
 
-  /** Keep every Mth sample of the (already filtered) grid. */
-  private def decimate(df: DataFrame, m: Int): DataFrame =
-    df.filter(col("n") % m === 0)
-      .select(col("channel"), (col("n") / m).cast("bigint").as("n"), col("y"))
+  /** True polyphase rational resampler: y[j] = Σ_k h'(k)·g(jM + c − k)
+    * where g is the L-stuffed zero-extended grid, h' = L·h (L>1),
+    * c = (taps−1)/2 — evaluated directly on the ORIGINAL samples for the
+    * surviving output phases only. vs the naive stuff→conv→decimate:
+    * M× fewer conv evaluations AND the shuffle moves n rows, not n·L
+    * (the stuffed grid never exists as rows). Term order matches the
+    * lag-sum oracle exactly (ascending k, left-associated, literal 0.0
+    * for stuffed/out-of-range slots) so hashes are unchanged.
+    *
+    * Memory-bounded like FirOps.convPlus: fixed input blocks with a
+    * taps-wide halo; peak task memory O(block + taps) regardless of
+    * channel length. Assumes dense per-channel n starting at 0 (the
+    * producer contract).
+    */
+  def polyResample(sig: DataFrame, l: Int, m: Int, h: Array[Double]): DataFrame = {
+    val spark = sig.sparkSession
+    import spark.implicits._
+    val hl = if (l > 1) h.map(_ * l) else h.clone()
+    val taps = hl.length
+    val c = (taps - 1) / 2
+    val L = l.toLong
+    val M = m.toLong
+    val blockSize = math.max(1 << 16, 4 * taps)
+    sig
+      .select(col("channel"), col("n"), col("x"))
+      .as[(String, Long, Double)]
+      .repartition(col("channel"))
+      .sortWithinPartitions(col("channel"), col("n"))
+      .mapPartitions { it =>
+        val in = it.buffered
+        new Iterator[Iterator[(String, Long, Double)]] {
+          private var ch: String = null
+          private val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
+          private var base = 0L  // input-absolute index of xs(0)
+          private var nextJ = 0L // next un-emitted output index
+
+          def hasNext: Boolean = in.hasNext || xs.nonEmpty
+
+          def next(): Iterator[(String, Long, Double)] = {
+            if (xs.isEmpty) { ch = in.head._1; base = 0L; nextJ = 0L }
+            var read = 0
+            while (read < blockSize && in.hasNext && in.head._1 == ch) {
+              xs += in.next()._3; read += 1
+            }
+            val channelDone = !in.hasNext || in.head._1 != ch
+            val avail = base + xs.length
+            val gridLen = avail * L
+            // without full right context, output j needs grid up to jM + c
+            val lastGrid = if (channelDone) gridLen - 1 else gridLen - 1 - c
+            val lastJ = if (lastGrid < 0) -1L else lastGrid / M
+            val nOut = math.max(0L, lastJ - nextJ + 1).toInt
+            val out = new Array[(String, Long, Double)](nOut)
+            var q = 0
+            while (q < nOut) {
+              val j = nextJ + q
+              val t = j * M
+              var acc = 0.0
+              var k = 0
+              while (k < taps) {
+                val g = t + c - k
+                val v =
+                  if (g < 0 || g >= gridLen || g % L != 0L) 0.0
+                  else xs(((g / L) - base).toInt)
+                val term = hl(k) * v
+                acc = if (k == 0) term else acc + term
+                k += 1
+              }
+              out(q) = (ch, j, acc)
+              q += 1
+            }
+            nextJ = lastJ + 1
+            if (channelDone) {
+              xs.clear() // all outputs emitted; channel finished
+            } else {
+              val dropTo = math.max(0L, Math.floorDiv(nextJ * M + c - (taps - 1), L))
+              val dropCount = (dropTo - base).toInt
+              if (dropCount > 0) { xs.remove(0, dropCount); base = dropTo }
+            }
+            out.iterator
+          }
+        }.flatten
+      }
+      .toDF("channel", "n", "y")
+      .select(col("channel"), col("n"), round(col("y"), 6).as("y"))
+  }
 
   def downsample(sig: DataFrame, m: Int, h: Array[Double]): DataFrame =
-    decimate(FirOps.same(sig, h), m)
+    polyResample(sig, 1, m, h)
 
   def upsample(sig: DataFrame, l: Int, h: Array[Double]): DataFrame =
-    FirOps.same(zeroStuff(sig, l), h.map(_ * l))
+    polyResample(sig, l, 1, h)
 
   def resample(sig: DataFrame, l: Int, m: Int, h: Array[Double]): DataFrame =
-    decimate(FirOps.same(zeroStuff(sig, l), h.map(_ * l)), m)
+    polyResample(sig, l, m, h)
 
   // ---- oracle SQL twins (reuse FirOps expression rendering) ----
 
