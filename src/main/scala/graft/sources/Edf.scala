@@ -53,6 +53,33 @@ object Edf {
     pad(s, n)
   }
 
+  /** Serialize the 256·(nSignals+1)-byte ASCII header. */
+  private def writeHeader(out: DataOutputStream, hdr: Header): Unit = {
+    val nCh = hdr.nSignals
+    out.write(pad("0", 8))
+    out.write(pad("graft patient", 80))
+    out.write(pad("graft recording", 80))
+    out.write(pad("01.01.24", 8))
+    out.write(pad("00.00.00", 8))
+    out.write(num(hdr.headerBytes.toDouble, 8))
+    out.write(pad("", 44))
+    out.write(num(hdr.nRecords.toDouble, 8))
+    out.write(num(hdr.recordDuration, 8))
+    out.write(pad(nCh.toString, 4))
+    def field(n: Int, f: Int => String): Unit =
+      (0 until nCh).foreach(i => out.write(pad(f(i), n)))
+    field(16, i => hdr.labels(i))
+    field(80, _ => "")
+    field(8, _ => "uV")
+    field(8, i => num(hdr.physMin(i), 8).map(_.toChar).mkString.trim)
+    field(8, i => num(hdr.physMax(i), 8).map(_.toChar).mkString.trim)
+    field(8, i => hdr.digMin(i).toString)
+    field(8, i => hdr.digMax(i).toString)
+    field(80, _ => "")
+    field(8, i => hdr.samplesPerRecord(i).toString)
+    field(32, _ => "")
+  }
+
   /** Write channels (label → samples) as one EDF file. Samples are
     * quantized to int16 over each channel's [min, max] physical range.
     */
@@ -82,28 +109,7 @@ object Edf {
     )
     val out = new DataOutputStream(new FileOutputStream(path))
     try {
-      out.write(pad("0", 8))
-      out.write(pad("graft patient", 80))
-      out.write(pad("graft recording", 80))
-      out.write(pad("01.01.24", 8))
-      out.write(pad("00.00.00", 8))
-      out.write(num(hdr.headerBytes.toDouble, 8))
-      out.write(pad("", 44))
-      out.write(num(nRecords.toDouble, 8))
-      out.write(num(hdr.recordDuration, 8))
-      out.write(pad(channels.length.toString, 4))
-      def field(n: Int, f: Int => String): Unit =
-        (0 until channels.length).foreach(i => out.write(pad(f(i), n)))
-      field(16, i => hdr.labels(i))
-      field(80, _ => "")
-      field(8, _ => "uV")
-      field(8, i => num(hdr.physMin(i), 8).map(_.toChar).mkString.trim)
-      field(8, i => num(hdr.physMax(i), 8).map(_.toChar).mkString.trim)
-      field(8, i => hdr.digMin(i).toString)
-      field(8, i => hdr.digMax(i).toString)
-      field(80, _ => "")
-      field(8, _ => spr.toString)
-      field(32, _ => "")
+      writeHeader(out, hdr)
       // data records
       val buf = ByteBuffer.allocate(hdr.recordBytes).order(ByteOrder.LITTLE_ENDIAN)
       for (r <- 0 until nRecords) {
@@ -122,6 +128,93 @@ object Edf {
       }
     } finally out.close()
     hdr
+  }
+
+  /** Distributed EDF sink: one EDF file per `recording` group, written
+    * EXECUTOR-side (reference Writer is file_io/edf.py:591; this is its
+    * cluster shape — the driver-side [[write]] stays for small exports).
+    *
+    * Input rows (recording, channel, n, x) with dense per-recording n, a
+    * multiple of `samplesPerRecord` per channel. Phys ranges come from a
+    * distributed pre-aggregation (one row per recording×channel — tiny),
+    * then each recording's rows stream through one task sorted by
+    * (n, channel): a data record is flushed every spr·nCh rows, so peak
+    * task memory is O(spr·nCh) no matter how long the recording is.
+    * Parallelism = recordings, the natural unit (a 100 TB corpus is
+    * thousands of recordings; one sequential file each is an EDF format
+    * constraint).
+    */
+  def writeSpark(
+      sig: DataFrame,
+      outDir: String,
+      fs: Double,
+      samplesPerRecord: Int = 256
+  ): Unit = {
+    val spark = sig.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    val spr = samplesPerRecord
+    val stats: Map[String, Vector[(String, Long, Double, Double)]] = sig
+      .groupBy(col("recording"), col("channel"))
+      .agg(count(lit(1)).as("cnt"), min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .collect()
+      .map(r => (r.getString(0), (r.getString(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .groupBy(_._1)
+      .map { case (rec, rows) => rec -> rows.map(_._2).sortBy(_._1).toVector }
+    stats.foreach { case (rec, chs) =>
+      require(
+        chs.forall(c => c._2 == chs.head._2 && c._2 % spr == 0),
+        s"recording $rec: equal per-channel lengths, multiple of $spr required"
+      )
+    }
+    val bc = spark.sparkContext.broadcast(stats)
+    sig
+      .select(col("recording"), col("channel"), col("n"), col("x"))
+      .as[(String, String, Long, Double)]
+      .repartition(col("recording"))
+      .sortWithinPartitions(col("recording"), col("n"), col("channel"))
+      .foreachPartition { (it: Iterator[(String, String, Long, Double)]) =>
+        var cur: String = null
+        var out: DataOutputStream = null
+        var hdr: Header = null
+        var chIdx: Map[String, Int] = null
+        var buf: ByteBuffer = null
+        var filled = 0
+        def flush(): Unit = if (filled > 0) {
+          out.write(buf.array(), 0, hdr.recordBytes); buf.clear(); filled = 0
+        }
+        def close(): Unit = if (out != null) { flush(); out.close(); out = null }
+        it.foreach { case (rec, ch, n, x) =>
+          if (rec != cur) {
+            close()
+            cur = rec
+            val chs = bc.value(rec)
+            val nCh = chs.length
+            hdr = Header(
+              (chs.head._2 / spr).toInt,
+              spr / fs,
+              chs.map(_._1),
+              chs.map(_._3).toVector,
+              chs.map(c => math.max(c._4, c._3 + 1e-9)).toVector,
+              Vector.fill(nCh)(-32768),
+              Vector.fill(nCh)(32767),
+              Vector.fill(nCh)(spr)
+            )
+            chIdx = chs.map(_._1).zipWithIndex.toMap
+            buf = ByteBuffer.allocate(hdr.recordBytes).order(ByteOrder.LITTLE_ENDIAN)
+            Files.createDirectories(Paths.get(outDir))
+            out = new DataOutputStream(new FileOutputStream(s"$outDir/$rec.edf"))
+            writeHeader(out, hdr)
+          }
+          val i = chIdx(ch)
+          val s = hdr.slope(i); val o = hdr.offset(i)
+          val dig = math.max(-32768L, math.min(32767L, math.round((x - o) / s))).toInt
+          buf.putShort((i * spr + (n % spr).toInt) * 2, dig.toShort)
+          filled += 1
+          if (filled == hdr.recordBytes / 2) flush()
+        }
+        close()
+      }
   }
 
   /** Parse the ASCII header of an EDF byte array. */

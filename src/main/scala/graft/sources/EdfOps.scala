@@ -13,26 +13,36 @@ object EdfOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "edf_roundtrip" -> { (s, dir) =>
-      // equal-length channel matrix from the head of each channel (the
-      // small collect is the EDF Writer's driver-side sink contract, as
-      // in the reference; record count trimmed to a multiple of spr)
+      // distributed write→read round-trip: the sample axis splits into
+      // 4 "recordings", each written as its own EDF file executor-side
+      // (Edf.writeSpark — no driver collect of signal data; the only
+      // collects are per-channel count/min/max stats). readSpark then
+      // reassembles the global sample index from the file names.
       val spr = 64
-      val all = Signal
-        .long(s, dir)
-        .groupBy(col("channel"))
-        .agg(sort_array(collect_list(struct(col("n"), col("x")))).as("rows"))
-        .collect()
-        .map(r =>
-          r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1)).toArray
+      val sig = Signal.long(s, dir)
+      val len =
+        sig.groupBy(col("channel")).agg(count(lit(1)).as("c")).agg(min(col("c"))).head.getLong(0)
+      // up to 4 recordings, but never shorter than one data record each
+      val nRecordings = math.max(1L, math.min(4L, len / spr))
+      val per = (len / nRecordings / spr) * spr
+      val recs = sig
+        .filter(col("n") < per * nRecordings)
+        .select(
+          concat(lit("rec"), expr(s"CAST(n DIV $per AS BIGINT)")).as("recording"),
+          col("channel"),
+          pmod(col("n"), lit(per)).as("n"),
+          col("x")
         )
-        .sortBy(_._1)
-        .toSeq
-      val len = (all.map(_._2.length).min / spr) * spr
-      val chans = all.map { case (ch, xs) => ch -> xs.take(len) }
       val tmp = java.nio.file.Files.createTempDirectory("graft_edf").toString
-      val path = s"$tmp/roundtrip.edf"
-      Edf.write(path, chans, fs = 100.0, samplesPerRecord = spr)
-      Edf.readSpark(s, path).select(col("channel"), col("n"), round(col("x"), 2).as("x"))
+      Edf.writeSpark(recs, tmp, fs = 100.0, samplesPerRecord = spr)
+      Edf
+        .readSpark(s, s"$tmp/*.edf")
+        .withColumn("rec_idx", regexp_extract(col("src"), "rec(\\d+)\\.edf", 1).cast("bigint"))
+        .select(
+          col("channel"),
+          (col("rec_idx") * per + col("n")).as("n"),
+          round(col("x"), 2).as("x")
+        )
     }
   )
 

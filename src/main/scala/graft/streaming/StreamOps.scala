@@ -80,12 +80,30 @@ object StreamOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "win_agg" -> { (s, dir) => windowedAgg(Tables.events(s, dir)) }
+    "win_agg" -> { (s, dir) => windowedAgg(Tables.events(s, dir)) },
+    "sessionize" -> { (s, dir) =>
+      // gate parity: DuckDB's TIMESTAMP view is micro-precision, so the
+      // oracle's epoch_ns is always a multiple of 1000 — truncate here
+      // (the operator itself is nanos-native)
+      val micros = Tables
+        .events(s, dir)
+        .withColumn("ts_ns", col("ts_ns") - col("ts_ns") % 1000)
+      sessionize(micros)
+    }
   )
 
   def oracleSql: Map[String, String] = Map(
     "win_agg" ->
       ("SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour_bucket, event_type, " +
-        "count(*) AS n, round(sum(value), 4) AS sum_value FROM events GROUP BY 1, 2")
+        "count(*) AS n, round(sum(value), 4) AS sum_value FROM events GROUP BY 1, 2"),
+    // gap-and-islands twin of the stateful sessionizer: new session
+    // when the per-user gap exceeds 30 min (in nanos), then one row per
+    // (user, island) with bounds and count
+    "sessionize" ->
+      ("WITH e AS (SELECT user_id, epoch_ns(ts) AS t FROM events), " +
+        "marked AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800000000000 " +
+        "THEN 1 ELSE 0 END AS brk FROM e), " +
+        "grp AS (SELECT user_id, t, sum(brk) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS g FROM marked) " +
+        "SELECT user_id, min(t) AS start_ns, max(t) AS end_ns, count(*) AS n_events FROM grp GROUP BY user_id, g")
   )
 }

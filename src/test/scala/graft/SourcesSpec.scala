@@ -37,6 +37,37 @@ class EdfSpec extends AnyFunSuite {
     assert(math.abs(c0(100) - 100.0) < 0.01)
   }
 
+  test("writeSpark writes one executor-side EDF per recording, round-trips") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val rows = for {
+      rec <- Seq("r0", "r1", "r2")
+      ch <- Seq("a", "b")
+      n <- 0 until 128
+    } yield (rec, ch, n.toLong, rnd.nextDouble() * 100 - 50)
+    val df = rows.toDF("recording", "channel", "n", "x")
+    val dir = tmpDir
+    Edf.writeSpark(df, dir, fs = 64.0, samplesPerRecord = 64)
+    val files = new java.io.File(dir).listFiles().map(_.getName).sorted
+    assert(files.toSeq == Seq("r0.edf", "r1.edf", "r2.edf"))
+    val back = Edf
+      .readSpark(spark, s"$dir/*.edf")
+      .select(
+        regexp_extract(col("src"), "(r\\d)\\.edf", 1).as("recording"),
+        col("channel"),
+        col("n"),
+        col("x")
+      )
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    assert(back.size == rows.size)
+    val byKey = rows.map(r => (r._1, r._2, r._3) -> r._4).toMap
+    val tol = 100.0 / 65534.0 * 1.01
+    byKey.foreach { case (k, v) => assert(math.abs(back(k) - v) <= tol, s"$k") }
+  }
+
   test("splitter produces readable per-channel files") {
     val chans = Seq("a" -> Array.fill(128)(1.0), "b" -> Array.fill(128)(2.0))
     val dir = tmpDir
