@@ -111,6 +111,125 @@ object Similarity {
     vs.select(col("vec_id"), col("label"), sig.as("bucket"))
   }
 
+  // ---- k-means|| centroid training (the real quantizer; the gate's
+  // ivfTopk keeps deterministic first-nList centroids so the DuckDB
+  // oracle can replay them) ----
+
+  private def d2(v: Array[Double], c: Array[Double]): Double = {
+    var d = 0.0; var j = 0
+    while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
+    d
+  }
+
+  private def nearestIdx(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0; var bd = Double.MaxValue; var i = 0
+    while (i < cs.length) { val d = d2(v, cs(i)); if (d < bd) { bd = d; best = i }; i += 1 }
+    best
+  }
+
+  private def minD2(v: Array[Double], cs: Array[Array[Double]]): Double =
+    d2(v, cs(nearestIdx(v, cs)))
+
+  /** Deterministic uniform in [0,1) from (id, salt) — splitmix64 mix, so
+    * k-means|| sampling is reproducible without Random state.
+    */
+  private def hash01(id: Long, salt: Int): Double = {
+    var h = id * 0x9E3779B97F4A7C15L + salt * 0xC2B2AE3D27D4EB4FL
+    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+    (h >>> 11).toDouble / (1L << 53).toDouble
+  }
+
+  /** k-means|| (Bahmani et al., VLDB 2012): `rounds` passes each sample
+    * ~`oversample` candidates with probability ∝ distance² to the
+    * current candidate set, candidates are weight-reduced driver-side
+    * (greedy max-min seeding + weighted Lloyd on ≤ rounds·oversample
+    * points — trivial), then `lloydIters` distributed Lloyd refinements
+    * over the full corpus via groupByKey.reduceGroups (map-side partial
+    * merge; only k×dim doubles ever reach the driver). Each pass over
+    * the data is one scan + one tiny aggregate — the 100 TB-safe shape;
+    * nothing is ever all-pairs.
+    */
+  def kmeansParallel(
+      emb: DataFrame,
+      k: Int = 16,
+      rounds: Int = 5,
+      oversample: Int = 64,
+      lloydIters: Int = 5
+  ): Array[Array[Double]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // spherical: cluster on unit vectors so Euclidean cells rank cells
+    // by cosine (d² = 2 − 2·v̂·c is monotone in the dot product)
+    val ds = vecsN(emb)
+      .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("v"))
+      .as[(Long, Seq[Double])]
+      .map { case (id, v) => (id, v.toArray) }
+    val sc = spark.sparkContext
+    val cands = scala.collection.mutable.ArrayBuffer(ds.orderBy(col("_1")).head()._2)
+    for (r <- 1 to rounds) {
+      val bc = sc.broadcast(cands.toArray)
+      val withCost = ds.map { case (id, v) => (id, v, minD2(v, bc.value)) }
+      val total = withCost.map(_._3).reduce(_ + _)
+      if (total > 0) {
+        val l = oversample.toDouble
+        cands ++= withCost
+          .filter(t => hash01(t._1, r) < l * t._3 / total)
+          .map(_._2)
+          .collect()
+      }
+    }
+    // weight each candidate by the corpus mass nearest to it
+    val bcC = sc.broadcast(cands.toArray)
+    val wts = ds
+      .map { case (_, v) => (nearestIdx(v, bcC.value), 1L) }
+      .groupByKey(_._1)
+      .reduceGroups((a, b) => (a._1, a._2 + b._2))
+      .map(_._2)
+      .collect()
+      .toMap
+    val weighted = cands.toArray.zipWithIndex.map { case (c, i) => (c, wts.getOrElse(i, 0L).toDouble) }
+    // driver-side: greedy max-min seeding then weighted Lloyd on candidates
+    val dim = cands.head.length
+    var centers = {
+      val picked = scala.collection.mutable.ArrayBuffer(weighted.maxBy(_._2)._1)
+      while (picked.length < math.min(k, weighted.length)) {
+        picked += weighted.maxBy { case (c, w) => minD2(c, picked.toArray) * math.max(w, 1.0) }._1
+      }
+      while (picked.length < k) picked += picked.head // degenerate corpus
+      picked.toArray
+    }
+    for (_ <- 1 to 10) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val cnt = new Array[Double](k)
+      weighted.foreach { case (c, w) =>
+        val i = nearestIdx(c, centers)
+        var j = 0; while (j < dim) { sums(i)(j) += c(j) * w; j += 1 }
+        cnt(i) += w
+      }
+      centers = centers.zipWithIndex.map { case (old, i) =>
+        if (cnt(i) > 0) sums(i).map(_ / cnt(i)) else old
+      }
+    }
+    // distributed Lloyd refinement over the full corpus
+    for (_ <- 1 to lloydIters) {
+      val bc = sc.broadcast(centers)
+      val agg = ds
+        .map { case (_, v) => (nearestIdx(v, bc.value), v, 1L) }
+        .groupByKey(_._1)
+        .reduceGroups { (a, b) =>
+          val s = new Array[Double](dim)
+          var j = 0; while (j < dim) { s(j) = a._2(j) + b._2(j); j += 1 }
+          (a._1, s, a._3 + b._3)
+        }
+        .map(_._2)
+        .collect()
+        .map { case (i, s, n) => i -> s.map(_ / n) }
+        .toMap
+      centers = centers.zipWithIndex.map { case (old, i) => agg.getOrElse(i, old) }
+    }
+    centers
+  }
+
   /** IVF top-k: coarse-quantize the corpus to `nList` centroid cells
     * (deterministic centroids: the first nList vectors), probe the
     * `nProbe` nearest cells per query, rank only those candidates.
@@ -119,9 +238,28 @@ object Similarity {
     * broadcast nested-loop over a tiny centroid set; candidate scoring
     * is an equi-join on cell id.
     */
-  def ivfTopk(emb: DataFrame, nList: Int = 16, nProbe: Int = 4): DataFrame = {
-    val vs = vecsN(emb)
-    val cents = vs.filter(col("vec_id") < nList).select(col("vec_id").as("cid"), col("v").as("cv"))
+  /** The deduped (qid, vid) candidate set an IVF probe would score —
+    * exposed for recall/cost accounting in tests and benchmarks.
+    */
+  def ivfCandidates(
+      emb: DataFrame,
+      nList: Int = 16,
+      nProbe: Int = 4,
+      centroids: Option[Array[Array[Double]]] = None
+  ): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // trained (spherical) centroids assign on unit vectors — cell
+    // ranking then follows cosine; the oracle path keeps raw v
+    val vs = vecsN(emb).withColumn("vq", transform(col("v"), x => x / col("nrm")))
+    val assignCol = if (centroids.isDefined) "vq" else "v"
+    val cents = centroids match {
+      // trained quantizer (kmeansParallel) — the production path
+      case Some(cs) =>
+        cs.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }.toSeq.toDF("cid", "cv")
+      // deterministic first-nList cells so the DuckDB oracle can replay
+      case None => vs.filter(col("vec_id") < nList).select(col("vec_id").as("cid"), col("v").as("cv"))
+    }
     def nearestCells(points: DataFrame, idCol: String, keep: Int): DataFrame = {
       val d = points
         .join(broadcast(cents))
@@ -129,7 +267,7 @@ object Similarity {
           col(idCol),
           col("cid"),
           aggregate(
-            zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+            zip_with(col(assignCol), col("cv"), (x, y) => (x - y) * (x - y)),
             lit(0.0),
             (acc, t) => acc + t
           ).as("d2")
@@ -140,20 +278,29 @@ object Similarity {
       d.select(col(idCol), col("cid"), row_number().over(w).as("cr")).filter(col("cr") <= keep)
     }
     val assign = nearestCells(vs, "vec_id", 1).select(col("vec_id").as("vid"), col("cid"))
-    val corpus = vs.select(col("vec_id").as("vid"), col("v").as("vb"), col("nrm").as("nb"))
     val qcells = nearestCells(vs.filter(col("vec_id") < nQueries), "vec_id", nProbe)
       .select(col("vec_id").as("qid"), col("cid"))
-    val q = vs
-      .filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
     // dedup (qid, vid) BEFORE scoring: a pair surfacing via multiple
     // probed cells must not pay the dot product twice
-    val cand = qcells
+    qcells
       .join(assign, Seq("cid"))
       .filter(col("qid") =!= col("vid"))
       .select(col("qid"), col("vid"))
       .distinct()
-    val scored = cand
+  }
+
+  def ivfTopk(
+      emb: DataFrame,
+      nList: Int = 16,
+      nProbe: Int = 4,
+      centroids: Option[Array[Array[Double]]] = None
+  ): DataFrame = {
+    val vs = vecsN(emb)
+    val corpus = vs.select(col("vec_id").as("vid"), col("v").as("vb"), col("nrm").as("nb"))
+    val q = vs
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
+    val scored = ivfCandidates(emb, nList, nProbe, centroids)
       .join(corpus, Seq("vid"))
       .join(broadcast(q), Seq("qid"))
       .select(col("qid"), col("vid"), round(cosExpr, 6).as("cos"))
