@@ -8,14 +8,94 @@ import graft.core.Tables
 /** Multimodal-column plumbing: opaque binary payloads + typed metadata,
   * with decode / feature-extraction / resize / frame-sampling stages.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked deterministic STUB — everything around it (schema,
-  * batched per-partition execution, partition locality, column shapes)
-  * is the real production plumbing: swap `stubDecode` for an actual
-  * codec (e.g. via JNI or mapInPandas on the PySpark side) and the plan
-  * is unchanged.
+  * The image and audio paths use REAL pure-JVM codecs — PNG via
+  * `javax.imageio` and WAV via `javax.sound.sampled`, both in the JDK —
+  * so `mm_png_features`/`mm_to_wav_features` decode genuine container
+  * formats executor-side. They stay oracle-checkable because the codecs
+  * are lossless: decode(encode(x)) == x, and the synthetic pixels/PCM
+  * are SQL-expressible functions of the source tables. The legacy
+  * byte-stat kernel (`stubDecode`) remains as the format-agnostic
+  * fallback for codecs the JVM lacks (video etc.).
   */
 object Multimodal {
+
+  import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+  import java.nio.{ByteBuffer, ByteOrder}
+
+  // ---- real codecs (JDK-only) ----
+
+  /** Encode an 8-bit grayscale raster as a real PNG. */
+  def encodePng(gray: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, w, h, gray)
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode a PNG to (width, height, 8-bit grayscale raster). */
+  def decodePng(png: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(png))
+    val w = img.getWidth; val h = img.getHeight
+    val g = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    g.getGraphics.drawImage(img, 0, 0, null)
+    val gray = new Array[Byte](w * h)
+    g.getRaster.getDataElements(0, 0, w, h, gray)
+    (w, h, gray)
+  }
+
+  /** Encode mono 16-bit PCM as a real RIFF/WAVE file. */
+  def encodeWav(samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    bb.putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Decode a WAV through the javax.sound codec (header parse + PCM). */
+  def decodeWav(wav: Array[Byte]): Array[Short] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(new ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    require(fmt.getSampleSizeInBits == 16, s"expected 16-bit PCM, got $fmt")
+    val bytes = ais.readAllBytes()
+    val bb = ByteBuffer
+      .wrap(bytes)
+      .order(if (fmt.isBigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    Array.fill(bytes.length / 2)(bb.getShort())
+  }
+
+  /** Real bilinear resize of an 8-bit grayscale raster (half-pixel
+    * centers, edge clamp) — the actual pixel resample resizeStub stood
+    * in for.
+    */
+  def bilinearResize(gray: Array[Byte], w: Int, h: Int, ow: Int, oh: Int): Array[Byte] = {
+    val out = new Array[Byte](ow * oh)
+    var j = 0
+    while (j < oh) {
+      val sy = (j + 0.5) * h / oh - 0.5
+      val y0 = math.max(0, math.min(h - 1, math.floor(sy).toInt))
+      val y1 = math.min(h - 1, y0 + 1)
+      val fy = math.max(0.0, math.min(1.0, sy - y0))
+      var i = 0
+      while (i < ow) {
+        val sx = (i + 0.5) * w / ow - 0.5
+        val x0 = math.max(0, math.min(w - 1, math.floor(sx).toInt))
+        val x1 = math.min(w - 1, x0 + 1)
+        val fx = math.max(0.0, math.min(1.0, sx - x0))
+        def px(y: Int, x: Int): Double = (gray(y * w + x) & 0xff).toDouble
+        val p = (1 - fy) * ((1 - fx) * px(y0, x0) + fx * px(y0, x1)) +
+          fy * ((1 - fx) * px(y1, x0) + fx * px(y1, x1))
+        out(j * ow + i) = math.max(0.0, math.min(255.0, math.round(p).toDouble)).toByte
+        i += 1
+      }
+      j += 1
+    }
+    out
+  }
 
   /** Synthetic media corpus derived from documents: payload = utf-8
     * bytes, metadata typed as (width, height, format, n_frames).
@@ -82,22 +162,111 @@ object Multimodal {
       .filter(col("frame_idx") % everyK === 0)
   }
 
-  /** STUB resize: truncate/zero-pad payload to w·h bytes — stands in for
-    * a pixel resample while keeping output shape contracts honest.
+  /** PNG media corpus: per document a deterministic grayscale image
+    * (pixel k = byte of the ASCII text at k mod len) encoded as a REAL
+    * PNG executor-side. Lossless, so the DuckDB oracle can state pixel
+    * facts directly from `documents.text`.
     */
-  def resizeStub(media: DataFrame, w: Int, h: Int): DataFrame = {
+  def pngMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val w = bytes.length % 64 + 1
+        val h = bytes.length % 48 + 1
+        val gray = Array.tabulate(w * h)(k => bytes(k % bytes.length))
+        (id, encodePng(gray, w, h))
+      })
+      .toDF("media_id", "payload")
+  }
+
+  /** Per-image pixel statistics through the real PNG decoder. */
+  def pngFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    val target = w * h
     media
       .select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
-        val out = java.util.Arrays.copyOf(bytes, target)
-        (id, out)
+      .mapPartitions(_.map { case (id, png) =>
+        val (w, h, gray) = decodePng(png)
+        var sum = 0L; var mn = 255; var mx = 0
+        gray.foreach { b =>
+          val v = b & 0xff
+          sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+        }
+        (id, w, h, sum.toDouble / (w * h), mn.toLong, mx.toLong)
+      })
+      .toDF("media_id", "width", "height", "mean_px", "min_px", "max_px")
+      .select(
+        col("media_id"),
+        col("width"),
+        col("height"),
+        round(col("mean_px"), 6).as("mean_px"),
+        col("min_px"),
+        col("max_px")
+      )
+  }
+
+  /** WAV media corpus: per document a deterministic PCM16 waveform
+    * s(t) = ((doc_id·131 + t·17) mod 2003) − 1001, n = len mod 256 + 16,
+    * packed as a REAL RIFF/WAVE payload.
+    */
+  def wavMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, len) =>
+        val n = (len % 256 + 16).toInt
+        val samples = Array.tabulate(n)(t => (((id * 131 + t.toLong * 17) % 2003) - 1001).toShort)
+        (id, encodeWav(samples))
       })
       .toDF("media_id", "payload")
-      .withColumn("meta", struct(lit(w).as("width"), lit(h).as("height"), lit("fake/raw").as("format"), lit(1).as("n_frames")))
+  }
+
+  /** Per-clip PCM statistics through the javax.sound WAV codec. */
+  def wavFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, wav) =>
+        val s = decodeWav(wav)
+        var sum = 0L; var mxa = 0L
+        s.foreach { v => sum += v; if (math.abs(v.toLong) > mxa) mxa = math.abs(v.toLong) }
+        (id, s.length.toLong, sum.toDouble / s.length, mxa)
+      })
+      .toDF("media_id", "n_samples", "mean_pcm", "max_abs")
+      .select(
+        col("media_id"),
+        col("n_samples"),
+        round(col("mean_pcm"), 6).as("mean_pcm"),
+        col("max_abs")
+      )
+  }
+
+  /** Real resize: PNG-decode, bilinear-resample the raster, re-encode. */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, png) =>
+        val (sw, sh, gray) = decodePng(png)
+        (id, encodePng(bilinearResize(gray, sw, sh, w, h), w, h))
+      })
+      .toDF("media_id", "payload")
+      .withColumn(
+        "meta",
+        struct(lit(w).as("width"), lit(h).as("height"), lit("image/png").as("format"), lit(1).as("n_frames"))
+      )
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -109,7 +278,9 @@ object Multimodal {
           round(col("mean_byte"), 6).as("mean_byte"),
           col("byte_range")
         )
-    }
+    },
+    "mm_png_features" -> { (s, dir) => pngFeatures(pngMedia(s, dir)) },
+    "mm_wav_features" -> { (s, dir) => wavFeatures(wavMedia(s, dir)) }
   )
 
   /** The stub decode's per-byte stats ARE SQL-expressible here because
@@ -123,6 +294,27 @@ object Multimodal {
         "FROM documents, unnest(string_split(text, '')) u(c)) " +
         "SELECT media_id, CAST(count(*) AS DOUBLE) AS n_bytes, " +
         "round(sum(CAST(v AS DOUBLE)) / count(*), 6) AS mean_byte, " +
-        "CAST(max(v) - min(v) AS DOUBLE) AS byte_range FROM ch GROUP BY media_id")
+        "CAST(max(v) - min(v) AS DOUBLE) AS byte_range FROM ch GROUP BY media_id"),
+    // PNG is lossless: decode(encode(pixels)) == pixels, so the oracle
+    // states the pixel stats straight from the generating text
+    "mm_png_features" ->
+      ("WITH d AS (SELECT doc_id, text, length(text) AS len, " +
+        "length(text) % 64 + 1 AS w, length(text) % 48 + 1 AS h FROM documents WHERE length(text) > 0), " +
+        // constant-bound series (w≤64, h≤48 ⇒ w·h≤3072) filtered per row:
+        // this DuckDB build rejects lateral column bounds in generate_series
+        "px AS (SELECT doc_id, w, h, unicode(substr(text, CAST(g.k % len AS INT) + 1, 1)) AS v " +
+        "FROM d, generate_series(0, 3071) g(k) WHERE g.k < w * h) " +
+        "SELECT doc_id AS media_id, max(w) AS width, max(h) AS height, " +
+        "round(CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) / count(*), 6) AS mean_px, " +
+        "CAST(min(v) AS BIGINT) AS min_px, CAST(max(v) AS BIGINT) AS max_px " +
+        "FROM px GROUP BY doc_id"),
+    // PCM16 is lossless too: the oracle replays the waveform formula
+    "mm_wav_features" ->
+      ("WITH d AS (SELECT doc_id, length(text) % 256 + 16 AS n FROM documents), " +
+        "s AS (SELECT doc_id, (doc_id * 131 + g.t * 17) % 2003 - 1001 AS v " +
+        "FROM d, generate_series(0, 270) g(t) WHERE g.t < n) " +
+        "SELECT doc_id AS media_id, count(*) AS n_samples, " +
+        "round(CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) / count(*), 6) AS mean_pcm, " +
+        "CAST(max(abs(v)) AS BIGINT) AS max_abs FROM s GROUP BY doc_id")
   )
 }

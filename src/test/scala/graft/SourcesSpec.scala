@@ -147,10 +147,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.filter("frame_idx % 2 != 0").count() == 0)
   }
 
-  test("resizeStub enforces the target payload shape") {
-    val media = graft.llm.Multimodal.syntheticMedia(spark, sf)
-    val out = graft.llm.Multimodal.resizeStub(media, 8, 8).collect()
-    out.foreach(r => assert(r.getAs[Array[Byte]]("payload").length == 64))
+  test("PNG codec round-trips the grayscale raster exactly") {
+    val rnd = new scala.util.Random(7)
+    val (w, h) = (37, 23)
+    val gray = Array.fill(w * h)(rnd.nextInt(256).toByte)
+    val png = graft.llm.Multimodal.encodePng(gray, w, h)
+    assert(png.take(4).toSeq == Seq[Byte](0x89.toByte, 'P', 'N', 'G'))
+    val (dw, dh, back) = graft.llm.Multimodal.decodePng(png)
+    assert(dw == w && dh == h && back.toSeq == gray.toSeq)
+  }
+
+  test("WAV codec round-trips PCM16 exactly through javax.sound") {
+    val rnd = new scala.util.Random(8)
+    val samples = Array.fill(500)((rnd.nextInt(65536) - 32768).toShort)
+    val wav = graft.llm.Multimodal.encodeWav(samples)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    assert(graft.llm.Multimodal.decodeWav(wav).toSeq == samples.toSeq)
+  }
+
+  test("bilinear resize matches hand-computed values and real resize keeps PNG dims") {
+    // 2x2 -> 4x4 with half-pixel centers: corners keep source values,
+    // interior blends 25/75
+    val src = Array[Byte](0, 100.toByte, (200 & 0xff).toByte, 40)
+    val out = graft.llm.Multimodal.bilinearResize(src, 2, 2, 4, 4)
+    assert((out(0) & 0xff) == 0 && (out(3) & 0xff) == 100)
+    assert((out(12) & 0xff) == 200 && (out(15) & 0xff) == 40)
+    assert((out(1) & 0xff) == 25) // 0.75*0 + 0.25*100
+    val media = graft.llm.Multimodal.pngMedia(spark, sf)
+    val resized = graft.llm.Multimodal.resize(media, 8, 8).limit(5).collect()
+    resized.foreach { r =>
+      val (w, h, g) = graft.llm.Multimodal.decodePng(r.getAs[Array[Byte]]("payload"))
+      assert(w == 8 && h == 8 && g.length == 64)
+    }
   }
 }
 
