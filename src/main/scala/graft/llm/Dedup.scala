@@ -39,20 +39,24 @@ object Dedup {
     * (a_j·h + b_j < 2^63, no overflow).
     */
   private def signatures(docs: DataFrame): DataFrame = {
-    val aLit = array(permA.map(lit): _*)
-    val bLit = array(permB.map(lit): _*)
+    // k min-aggregates in ONE groupBy over the shingle hashes (r3: the
+    // explode-×k formulation ran every shingle row through a generator
+    // before the partial agg); the tiny per-doc wide row then unpivots
+    // to (doc_id, j, minh) for the band join. Values unchanged.
     val h32 = conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
+    val mins = (0 until numHashes).map { j =>
+      min((lit(permA(j)) * col("h") + lit(permB(j))) % mod32).as(s"m$j")
+    }
     TextStats
       .shingles(docs)
       .select(col("doc_id"), col("sh"))
       .distinct()
       .select(col("doc_id"), h32.as("h"))
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(numHashes - 1))).as("j"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(
-        min(
-          (element_at(aLit, col("j") + 1) * col("h") + element_at(bLit, col("j") + 1)) % mod32
-        ).as("minh")
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(
+        col("doc_id"),
+        posexplode(array((0 until numHashes).map(j => col(s"m$j")): _*)).as(Seq("j", "minh"))
       )
   }
 
@@ -126,32 +130,30 @@ object Dedup {
     * majority; emitted as two 32-bit halves (exact in BIGINT).
     */
   def simhash(docs: DataFrame): DataFrame = {
+    // The md5 hex splits into two 32-bit ints; bit b of the signature is
+    // a shift+mask, and the 64 per-bit majority counters are 64
+    // conditional aggregates in ONE groupBy — no 64× row explosion, no
+    // per-bit string ops, one exchange on doc_id (r3 rework: the
+    // explode-per-bit formulation dominated dedup_simhash_pairs).
+    // Bit values are identical to the hex-nibble walk the oracle runs.
     val toks = TextStats.tokens(docs).select(col("doc_id"), md5(col("tok")).as("h"))
-    val bits = toks
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(63))).as("b"))
-      .select(
-        col("doc_id"),
-        col("b"),
-        expr("instr('0123456789abcdef', substr(h, CAST(b / 4 + 1 AS INT), 1)) - 1").as("hv")
-      )
-      .select(
-        col("doc_id"),
-        col("b"),
-        // bit k (MSB-first within the hex char): (hv // 2^(3-b%4)) % 2
-        (floor(col("hv") / pow(lit(2.0), lit(3) - col("b") % 4)) % 2).as("bit")
-      )
-    val maj = bits
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("bit") * 2 - 1).as("w"))
-      .select(col("doc_id"), col("b"), when(col("w") > 0, 1L).otherwise(0L).as("s"))
-    maj
+    val ints = toks.select(
+      col("doc_id"),
+      conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("hi"),
+      conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("lo")
+    )
+    val wCols = (0 until 64).map { b =>
+      val bit = if (b < 32) shiftright(col("hi"), 31 - b) % 2 else shiftright(col("lo"), 63 - b) % 2
+      sum(bit * 2 - 1).as(s"w$b")
+    }
+    val packedHi =
+      (0 until 32).map(b => when(col(s"w$b") > 0, lit(1L << (31 - b))).otherwise(lit(0L))).reduce(_ + _)
+    val packedLo =
+      (32 until 64).map(b => when(col(s"w$b") > 0, lit(1L << (63 - b))).otherwise(lit(0L))).reduce(_ + _)
+    ints
       .groupBy(col("doc_id"))
-      .agg(
-        sum(when(col("b") < 32, col("s") * pow(lit(2.0), lit(31) - col("b")).cast("long")).otherwise(0L))
-          .as("sim_hi"),
-        sum(when(col("b") >= 32, col("s") * pow(lit(2.0), lit(63) - col("b")).cast("long")).otherwise(0L))
-          .as("sim_lo")
-      )
+      .agg(wCols.head, wCols.tail: _*)
+      .select(col("doc_id"), packedHi.as("sim_hi"), packedLo.as("sim_lo"))
   }
 
   /** CTE chain ending in `sig(doc_id, sim_hi, sim_lo)` — shared by the
@@ -179,9 +181,14 @@ object Dedup {
     * two 32-bit halves. Never O(n²); hot chunks are AQE skew territory.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(docs)
-    val chunks = sig.select(
+    // signature halves ride along with the banded chunks: the pair row
+    // out of the equi-join already carries both signatures, so the
+    // simhash subtree appears exactly twice (two identical sides → one
+    // exchange, reused) instead of once per verification join
+    val chunks = simhash(docs).select(
       col("doc_id"),
+      col("sim_hi"),
+      col("sim_lo"),
       posexplode(
         array(
           shiftright(col("sim_hi"), 16),
@@ -191,17 +198,14 @@ object Dedup {
         )
       ).as(Seq("ci", "chunk"))
     )
-    val cand = chunks
-      .select(col("doc_id").as("doc_a"), col("ci"), col("chunk"))
-      .join(chunks.select(col("doc_id").as("doc_b"), col("ci"), col("chunk")), Seq("ci", "chunk"))
+    val a = chunks.select(
+      col("doc_id").as("doc_a"), col("sim_hi").as("hi_a"), col("sim_lo").as("lo_a"),
+      col("ci"), col("chunk"))
+    val b = chunks.select(
+      col("doc_id").as("doc_b"), col("sim_hi").as("hi_b"), col("sim_lo").as("lo_b"),
+      col("ci"), col("chunk"))
+    a.join(b, Seq("ci", "chunk"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
-      .distinct()
-    val sa = sig.select(col("doc_id").as("doc_a"), col("sim_hi").as("hi_a"), col("sim_lo").as("lo_a"))
-    val sb = sig.select(col("doc_id").as("doc_b"), col("sim_hi").as("hi_b"), col("sim_lo").as("lo_b"))
-    cand
-      .join(sa, Seq("doc_a"))
-      .join(sb, Seq("doc_b"))
       .select(
         col("doc_a"),
         col("doc_b"),
@@ -209,6 +213,7 @@ object Dedup {
           bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long").as("hamming")
       )
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   val simhashPairsSql: String =

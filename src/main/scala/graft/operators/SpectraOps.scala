@@ -115,46 +115,26 @@ object SpectraOps {
       )
       .filter(col("s") >= 0 && col("s") < col("nsegs"))
       .select(col("channel"), col("s"), (col("m") - col("s") * hopP).cast("int").as("p"), col("x"))
-    val segW = Window.partitionBy(col("channel"), col("s"))
-    // detrend: 'constant' subtracts the segment mean; 'linear' subtracts
-    // the least-squares line over positions (position moments are exact
-    // driver-side constants, identical in the SQL twin)
-    val detrended: Column = cfg.detrend match {
-      case "constant" => col("x") - avg(col("x")).over(segW)
-      case "linear" =>
-        val mx = avg(col("x")).over(segW)
-        val mpx = avg(col("p") * col("x")).over(segW)
-        val slope = (mpx - lit(cfg.pBar) * mx) / lit(cfg.pVar)
-        col("x") - (mx + slope * (col("p") - lit(cfg.pBar)))
-      case other => throw new IllegalArgumentException(s"unknown detrend $other")
-    }
-    val windowed = frames
+    // segment assembly + one fused FFT kernel per segment (r3: replaces
+    // the explicit-DFT term explosion — ×(nfft/2+1) rows per sample —
+    // and the per-segment WindowExec detrend; the explicit-DFT SQL
+    // remains the oracle, agreeing after 6 dp rounding exactly like the
+    // FFT fast path always has)
+    require(cfg.detrend == "constant" || cfg.detrend == "linear", s"unknown detrend ${cfg.detrend}")
+    val segs = frames
+      .groupBy(col("channel"), col("s"))
+      .agg(
+        transform(sort_array(collect_list(struct(col("p"), col("x")))), e => e.getField("x"))
+          .as("xs")
+      )
+    segs
       .select(
         col("channel"),
         col("s"),
-        col("p"),
-        (detrended * element_at(arrLit(cfg.win), col("p") + 1)).as("xw")
+        posexplode(
+          graft.functions.exprs.spectrum_seg(col("xs"), cfg.win, cfg.detrend, cfg.norm, doubled)
+        ).as(Seq("f", "p2"))
       )
-    val terms = windowed
-      .select(col("*"), explode(sequence(lit(0), lit(nfftP / 2))).as("f"))
-      .select(
-        col("channel"),
-        col("s"),
-        col("f"),
-        (col("xw") * element_at(arrLit(cfg.cosT), ((col("f") * col("p")) % nfftP + 1).cast("int")))
-          .as("tre"),
-        (-col("xw") * element_at(arrLit(cfg.sinT), ((col("f") * col("p")) % nfftP + 1).cast("int")))
-          .as("tim")
-      )
-    val spec = terms
-      .groupBy(col("channel"), col("s"), col("f"))
-      .agg(sum(col("tre")).as("xre"), sum(col("tim")).as("xim"))
-    val one = (col("xre") * col("xre") + col("xim") * col("xim")) * cfg.norm
-    val p2 =
-      if (doubled)
-        when(col("f") === 0 || col("f") === (nfftP / 2), one).otherwise(one * 2.0)
-      else one
-    spec.select(col("channel"), col("s"), col("f"), p2.as("p2"))
   }
 
   /** SQL twin of [[periodograms]] as a CTE chain ending in
@@ -354,13 +334,10 @@ object SpectraOps {
         transform(sort_array(collect_list(struct(col("p"), col("x")))), e => e.getField("x"))
           .as("xs")
       )
-    val winLit = array(win.map(lit): _*)
-    val mean = aggregate(col("xs"), lit(0.0), (a, v) => a + v) / nfftF
-    val xw = zip_with(col("xs"), winLit, (v, w) => (v - mean) * w)
     val p2s = segs.select(
       col("channel"),
       col("s"),
-      graft.functions.exprs.rfft_mag2(xw).as("p2s")
+      graft.functions.exprs.win_rfft_mag2(col("xs"), win, demean = true).as("p2s")
     )
     p2s
       .select(col("channel"), posexplode(col("p2s")).as(Seq("f", "p2raw")))
