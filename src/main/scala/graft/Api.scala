@@ -93,4 +93,66 @@ object Api {
   def analytic(sig: DataFrame): DataFrame = HilbertOps.analytic(sig)
   def plv(sig: DataFrame): DataFrame = HilbertOps.plv(sig)
   def phasePower(sig: DataFrame): DataFrame = HilbertOps.phasePower(sig)
+
+  // ---- ba-form filtering (reference lfilter/filtfilt) ----
+
+  def lfilter(sig: DataFrame, b: Array[Double], a: Array[Double]): DataFrame =
+    IirOps.lfilter(sig, b, a)
+  def filtfilt(sig: DataFrame, b: Array[Double], a: Array[Double]): DataFrame =
+    IirOps.filtfiltBa(sig, b, a)
+
+  // ---- file I/O (reference file_io.edf / annotations) ----
+
+  /** Distributed EDF read: (src, channel, n, x) one task per file. */
+  def readEdf(spark: org.apache.spark.sql.SparkSession, pathGlob: String): DataFrame =
+    sources.Edf.readSpark(spark, pathGlob)
+
+  /** Distributed per-recording EDF write (executor-side sink). */
+  def writeEdf(sig: DataFrame, outDir: String, fs: Double, samplesPerRecord: Int = 256): Unit =
+    sources.Edf.writeSpark(sig, outDir, fs, samplesPerRecord)
+
+  // ---- LLM-training-data operators (graft extensions) ----
+
+  /** Exact duplicate groups over a (doc_id, text) corpus. */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(org.apache.spark.sql.functions.md5(org.apache.spark.sql.functions.col("text")).as("h"))
+      .agg(
+        org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.col("doc_id")).as("keep_id"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n_dups")
+      )
+
+  /** MinHash-LSH candidate pairs (never all-pairs). */
+  def minhashCandidates(docs: DataFrame): DataFrame = llm.Dedup.minhashCandidates(docs)
+
+  /** Shingle-Jaccard similarity on the LSH candidates. */
+  def jaccard(docs: DataFrame): DataFrame = llm.Dedup.jaccard(docs)
+
+  /** 64-bit SimHash signatures / hamming≤k near-dup pairs. */
+  def simhash(docs: DataFrame): DataFrame = llm.Dedup.simhash(docs)
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    llm.Dedup.simhashPairs(docs, maxHamming)
+
+  /** Brute-force cosine top-k (baseline) and IVF ANN with optional
+    * k-means||-trained centroids (the scale path).
+    */
+  def simTopk(emb: DataFrame): DataFrame = llm.Similarity.topk(emb)
+  def ivfTopk(
+      emb: DataFrame,
+      nList: Int = 16,
+      nProbe: Int = 4,
+      centroids: Option[Array[Array[Double]]] = None
+  ): DataFrame = llm.Similarity.ivfTopk(emb, nList, nProbe, centroids)
+  def trainCentroids(emb: DataFrame, k: Int = 16): Array[Array[Double]] =
+    llm.Similarity.kmeansParallel(emb, k)
+
+  /** Multimodal: real PNG/WAV decode-feature passes + bilinear resize. */
+  def pngFeatures(media: DataFrame): DataFrame = llm.Multimodal.pngFeatures(media)
+  def wavFeatures(media: DataFrame): DataFrame = llm.Multimodal.wavFeatures(media)
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = llm.Multimodal.resize(media, w, h)
+
+  // ---- streaming ----
+
+  def sessionize(events: DataFrame, gapNs: Long = 30L * 60 * 1000000000L): DataFrame =
+    streaming.StreamOps.sessionize(events, gapNs)
 }

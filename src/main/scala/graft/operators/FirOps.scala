@@ -224,18 +224,24 @@ object FirOps {
     * billions of samples never materializes in one task.
     * Output: (channel, n, x, y).
     */
-  def convPlus(sig: DataFrame, h: Array[Double]): DataFrame = {
+  def convPlus(sig: DataFrame, h: Array[Double], presorted: Boolean = false): DataFrame = {
     val spark = sig.sparkSession
     import spark.implicits._
     val hl = h.clone()
     val m = hl.length
     val l = (m - 1) / 2
     val blockSize = math.max(1 << 16, 4 * m)
-    sig
+    val typed = sig
       .select(col("channel"), col("n"), col("x"))
       .as[(String, Long, Double)]
-      .repartition(col("channel"))
-      .sortWithinPartitions(col("channel"), col("n"))
+    // presorted: caller guarantees channel-partitioned, (channel, n)-
+    // sorted input — true when chaining directly off a convPlus output
+    // (mapPartitions emits in order and Catalyst can't see it) — so the
+    // redundant exchange+sort is skipped
+    val ordered =
+      if (presorted) typed
+      else typed.repartition(col("channel")).sortWithinPartitions(col("channel"), col("n"))
+    ordered
       .mapPartitions { (it: Iterator[(String, Long, Double)]) =>
         val in = it.buffered
         new Iterator[Iterator[(String, Long, Double, Double)]] {

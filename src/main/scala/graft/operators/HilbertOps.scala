@@ -136,7 +136,9 @@ object HilbertOps {
     val mx = Window.partitionBy(col("channel"))
     // phase path: bandpass -> analytic -> phase events
     val pb = FirOps.convPlus(s1, phaseBandH).select(col("channel"), col("n"), col("y").as("x"))
-    val phc = FirOps.convPlus(pb, hilbertH).withColumnRenamed("y", "hx")
+    // pb is a projection directly over convPlus output: already channel-
+    // partitioned and (channel, n)-sorted
+    val phc = FirOps.convPlus(pb, hilbertH, presorted = true).withColumnRenamed("y", "hx")
     val phv = atan2(col("hx"), col("x"))
     val ph = phc.select(
       col("channel"),
