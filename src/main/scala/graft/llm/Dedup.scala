@@ -226,6 +226,37 @@ object Dedup {
       "CAST(bit_count(xor(sa.sim_hi, sb.sim_hi)) + bit_count(xor(sa.sim_lo, sb.sim_lo)) AS BIGINT) AS hamming " +
       "FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b) WHERE hamming <= 3"
 
+  /** Streaming exact dedup: first-arrival-wins per content hash with
+    * O(1) state per distinct hash (the keeper's doc_id) — the stream
+    * twin of [[queries]]' dedup_exact, usable unchanged on a readStream
+    * source. In batch mode every hash group arrives at once and doc_id
+    * order stands in for arrival order, which is what the SQL oracle
+    * states; `DedupStreamSpec` exercises the cross-batch state path.
+    */
+  def dedupStreaming(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs
+      .select(md5(col("text")).as("h"), col("doc_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, String, Boolean)](
+        OutputMode.Append,
+        GroupStateTimeout.NoTimeout
+      ) { (h: String, rows: Iterator[(String, Long)], state: GroupState[Long]) =>
+        val ids = rows.map(_._2).toArray.sorted
+        var keeper = state.getOption.getOrElse(Long.MaxValue)
+        val out = ids.map { id =>
+          if (keeper == Long.MaxValue) { keeper = id; (id, h, false) }
+          else (id, h, true)
+        }
+        state.update(keeper)
+        out.iterator
+      }
+      .toDF("doc_id", "h", "is_dup")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> { (s, dir) =>
       Tables
@@ -236,7 +267,8 @@ object Dedup {
     "dedup_minhash" -> { (s, dir) => minhashCandidates(Tables.documents(s, dir)) },
     "dedup_jaccard" -> { (s, dir) => jaccard(Tables.documents(s, dir)) },
     "dedup_simhash" -> { (s, dir) => simhash(Tables.documents(s, dir)) },
-    "dedup_simhash_pairs" -> { (s, dir) => simhashPairs(Tables.documents(s, dir)) }
+    "dedup_simhash_pairs" -> { (s, dir) => simhashPairs(Tables.documents(s, dir)) },
+    "dedup_stream" -> { (s, dir) => dedupStreaming(Tables.documents(s, dir)) }
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -245,6 +277,9 @@ object Dedup {
     "dedup_minhash" -> minhashCandidatesSql,
     "dedup_jaccard" -> jaccardSql,
     "dedup_simhash" -> simhashSql,
-    "dedup_simhash_pairs" -> simhashPairsSql
+    "dedup_simhash_pairs" -> simhashPairsSql,
+    "dedup_stream" ->
+      ("SELECT doc_id, md5(text) AS h, " +
+        "doc_id > min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup FROM documents")
   )
 }

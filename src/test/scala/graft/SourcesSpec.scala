@@ -210,3 +210,34 @@ class SessionizeStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got(0).getLong(1) == 0L && got(0).getLong(2) == 10 * m && got(0).getInt(3) == 2)
   }
 }
+
+class DedupStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("streaming exact dedup: first arrival wins across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = graft.llm.Dedup
+      .dedupStreaming(docs)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("dedup_out")
+      .start()
+    input.addData((1L, "alpha"), (2L, "beta"))
+    q.processAllAvailable()
+    input.addData((3L, "alpha"), (0L, "beta")) // dup content; 0 arrives AFTER 2
+    q.processAllAvailable()
+    q.stop()
+    val got = spark
+      .sql("SELECT doc_id, is_dup FROM dedup_out ORDER BY doc_id")
+      .collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1))
+      .toMap
+    assert(got == Map(1L -> false, 2L -> false, 3L -> true, 0L -> true),
+      s"first-arrival-wins violated: $got")
+  }
+}
