@@ -82,13 +82,27 @@ object HilbertOps {
   def hilbertEnvSql: String =
     s"$analyticCteSql SELECT channel, n, round(env, 6) AS env, round(phase, 6) AS phase FROM ana"
 
-  /** Phase-locking value |⟨e^{i(φa−φb)}⟩| for every ordered channel pair. */
+  /** Phase-locking value |⟨e^{i(φa−φb)}⟩| for every ordered channel pair.
+    * One analytic pass + one shuffle by n: per-sample phases collect
+    * into a small per-n array and the ordered channel pairs expand
+    * row-locally — the self-join formulation computed the (75-tap)
+    * analytic transform once per side and shuffled both into the join.
+    */
   def plv(sig: DataFrame): DataFrame = {
     val ana = analytic(sig).select(col("channel"), col("n"), col("phase"))
-    val a = ana.select(col("channel").as("ch_a"), col("n"), col("phase").as("pa"))
-    val b = ana.select(col("channel").as("ch_b"), col("n"), col("phase").as("pb"))
-    a.join(b, Seq("n"))
-      .filter(col("ch_a") < col("ch_b"))
+    val byN = ana
+      .groupBy(col("n"))
+      .agg(collect_list(struct(col("channel"), col("phase"))).as("cs"))
+    byN
+      .select(col("cs"), explode(col("cs")).as("a"))
+      .select(col("a"), explode(col("cs")).as("b"))
+      .filter(col("a.channel") < col("b.channel"))
+      .select(
+        col("a.channel").as("ch_a"),
+        col("b.channel").as("ch_b"),
+        col("a.phase").as("pa"),
+        col("b.phase").as("pb")
+      )
       .groupBy(col("ch_a"), col("ch_b"))
       .agg(
         round(
