@@ -224,13 +224,18 @@ object FirOps {
     * billions of samples never materializes in one task.
     * Output: (channel, n, x, y).
     */
-  def convPlus(sig: DataFrame, h: Array[Double], presorted: Boolean = false): DataFrame = {
+  def convPlus(
+      sig: DataFrame,
+      h: Array[Double],
+      presorted: Boolean = false,
+      blockSizeHint: Int = 1 << 16
+  ): DataFrame = {
     val spark = sig.sparkSession
     import spark.implicits._
     val hl = h.clone()
     val m = hl.length
     val l = (m - 1) / 2
-    val blockSize = math.max(1 << 16, 4 * m)
+    val blockSize = math.max(blockSizeHint, 4 * m)
     val typed = sig
       .select(col("channel"), col("n"), col("x"))
       .as[(String, Long, Double)]

@@ -63,7 +63,13 @@ object ResampleOps {
     * channel length. Assumes dense per-channel n starting at 0 (the
     * producer contract).
     */
-  def polyResample(sig: DataFrame, l: Int, m: Int, h: Array[Double]): DataFrame = {
+  def polyResample(
+      sig: DataFrame,
+      l: Int,
+      m: Int,
+      h: Array[Double],
+      blockSizeHint: Int = 1 << 16
+  ): DataFrame = {
     val spark = sig.sparkSession
     import spark.implicits._
     val hl = if (l > 1) h.map(_ * l) else h.clone()
@@ -71,7 +77,7 @@ object ResampleOps {
     val c = (taps - 1) / 2
     val L = l.toLong
     val M = m.toLong
-    val blockSize = math.max(1 << 16, 4 * taps)
+    val blockSize = math.max(blockSizeHint, 4 * taps)
     sig
       .select(col("channel"), col("n"), col("x"))
       .as[(String, Long, Double)]

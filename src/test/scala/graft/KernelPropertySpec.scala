@@ -1,0 +1,108 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.{FirOps, ResampleOps}
+
+/** Property checks for the block-streaming kernels against naive
+  * reference implementations — block/halo indexing across channel
+  * boundaries, short channels (< taps), and non-multiple-of-block
+  * lengths are exactly where off-by-ones would hide.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def naiveSame(x: Array[Double], h: Array[Double]): Array[Double] = {
+    val m = h.length; val l = (m - 1) / 2
+    Array.tabulate(x.length) { i =>
+      var acc = 0.0
+      for (k <- 0 until m) {
+        val idx = i + l - k
+        val t = h(k) * (if (idx >= 0 && idx < x.length) x(idx) else 0.0)
+        acc = if (k == 0) t else acc + t
+      }
+      acc
+    }
+  }
+
+  private def naivePoly(x: Array[Double], L: Int, M: Int, h: Array[Double]): Array[Double] = {
+    val hl = if (L > 1) h.map(_ * L) else h
+    val grid = new Array[Double](x.length * L)
+    for (i <- x.indices) grid(i * L) = x(i)
+    val conv = naiveSame(grid, hl)
+    (0 until (grid.length + M - 1) / M).map(j => conv(j * M)).toArray
+  }
+
+  private val rnd = new scala.util.Random(21)
+  // lengths straddle taps count and are mutually unequal
+  private val chans: Seq[(String, Array[Double])] = Seq(
+    "a" -> Array.fill(7)(rnd.nextDouble() * 10 - 5),     // shorter than taps
+    "b" -> Array.fill(333)(rnd.nextDouble() * 10 - 5),
+    "c" -> Array.fill(41)(rnd.nextDouble() * 10 - 5),
+    "d" -> Array.fill(1024)(rnd.nextDouble() * 10 - 5)
+  )
+  private def sigDf = chans
+    .flatMap { case (ch, xs) => xs.zipWithIndex.map { case (v, i) => (ch, i.toLong, v) } }
+    .toDF("channel", "n", "x")
+
+  test("convPlus matches the naive same-mode convolution on every channel") {
+    val h = Array.tabulate(25)(k => math.sin(k + 1.0) / (k + 1.0))
+    val got = FirOps
+      .convPlus(sigDf, h)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    for ((ch, xs) <- chans) {
+      val want = naiveSame(xs, h)
+      assert(got.count(_._1._1 == ch) == xs.length, s"$ch row count")
+      want.indices.foreach { i =>
+        assert(got((ch, i.toLong)) == want(i), s"$ch[$i]") // bit-exact
+      }
+    }
+  }
+
+  test("convPlus block/halo handoff: tiny blocks equal whole-channel results") {
+    val h = Array.tabulate(9)(k => (k - 4) * 0.37)
+    // blockSizeHint floors at 4·taps = 36: channels b (333) and d (1024)
+    // cross many block boundaries
+    val whole = FirOps.convPlus(sigDf, h).collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val blocked = FirOps
+      .convPlus(sigDf, h, blockSizeHint = 1)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3))
+      .toMap
+    assert(blocked == whole) // bit-exact across block boundaries
+  }
+
+  test("polyResample block/halo handoff: tiny blocks equal large-block results") {
+    val h = Array.tabulate(21)(k => math.sin(k * 1.3))
+    val whole = ResampleOps.polyResample(sigDf, 3, 2, h).collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val blocked = ResampleOps
+      .polyResample(sigDf, 3, 2, h, blockSizeHint = 1)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(blocked == whole)
+  }
+
+  test("polyResample matches naive zero-stuff → conv → decimate for several L/M") {
+    for ((l, m) <- Seq((1, 2), (3, 1), (3, 2), (2, 3))) {
+      val h = Array.tabulate(31)(k => math.cos(k * 0.7) / (k + 2.0))
+      val got = ResampleOps
+        .polyResample(sigDf, l, m, h)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      for ((ch, xs) <- chans) {
+        val want = naivePoly(xs, l, m, h).map(v => math.rint(v * 1e6) / 1e6)
+        assert(got.count(_._1._1 == ch) == want.length, s"L=$l M=$m $ch count")
+        want.indices.foreach { j =>
+          val g = got((ch, j.toLong))
+          assert(math.abs(g - want(j)) <= 1e-6, s"L=$l M=$m $ch[$j]: $g vs ${want(j)}")
+        }
+      }
+    }
+  }
+}
