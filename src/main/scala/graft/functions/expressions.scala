@@ -110,7 +110,7 @@ case class SpectrumSeg(
         var i = 0
         while (i < n) { xw(i) = xs(i) * w(i); i += 1 }
     }
-    val mag2 = Fft.rfftMag2(xw)
+    val mag2 = if ((n & (n - 1)) == 0) Fft.rfftMag2(xw) else dftMag2(xw)
     val out = new Array[Double](mag2.length)
     var f = 0
     while (f < mag2.length) {
@@ -119,6 +119,28 @@ case class SpectrumSeg(
       f += 1
     }
     new GenericArrayData(out)
+  }
+  // non-2^k nfft (the reference allows any): direct tabled DFT —
+  // O(n·nfreq) per segment but still one in-kernel loop, no row blowup
+  @transient private var trig: (Array[Double], Array[Double]) = null
+  private def dftMag2(xw: Array[Double]): Array[Double] = {
+    val n = xw.length
+    if (trig == null || trig._1.length != n)
+      trig = (
+        Array.tabulate(n)(k => math.cos(2.0 * math.Pi * k / n)),
+        Array.tabulate(n)(k => math.sin(2.0 * math.Pi * k / n))
+      )
+    val (cosT, sinT) = trig
+    Array.tabulate(n / 2 + 1) { f =>
+      var re = 0.0; var im = 0.0; var p = 0
+      while (p < n) {
+        val idx = (f * p) % n
+        re += xw(p) * cosT(idx)
+        im -= xw(p) * sinT(idx)
+        p += 1
+      }
+      re * re + im * im
+    }
   }
   override protected def withNewChildInternal(c: Expression): SpectrumSeg = copy(child = c)
 }

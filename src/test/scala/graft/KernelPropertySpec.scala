@@ -106,3 +106,48 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 }
+
+/** Non-power-of-two nfft goes through SpectrumSeg's direct-DFT branch;
+  * verify the full Welch pipeline against an independent naive
+  * implementation at nfft=48.
+  */
+class OddNfftSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("psdWelch at nfft=48 matches a naive single-machine Welch") {
+    val rnd = new scala.util.Random(31)
+    val xs = Array.fill(480)(rnd.nextDouble() * 4 - 2)
+    val df = xs.zipWithIndex.toSeq.map { case (v, i) => ("c", i.toLong, v) }.toDF("channel", "n", "x")
+    val cfg = graft.operators.SpectraOps.WelchCfg(nfft = 48, hop = 24)
+    val got = graft.operators.SpectraOps
+      .psdWelch(df, cfg)
+      .collect()
+      .map(r => r.getInt(1).toLong -> r.getDouble(3))
+      .toMap
+    // naive welch: hann(periodic), constant detrend, density scaling
+    val n = 48; val hop = 24
+    val win = Array.tabulate(n)(p => 0.5 - 0.5 * math.cos(2.0 * math.Pi * p / n))
+    val norm = 1.0 / (100.0 * win.map(w => w * w).sum)
+    val nsegs = (xs.length - n) / hop + 1
+    val acc = new Array[Double](n / 2 + 1)
+    for (s <- 0 until nsegs) {
+      val seg = xs.slice(s * hop, s * hop + n)
+      val m = seg.sum / n
+      val xw = seg.zip(win).map { case (v, w) => (v - m) * w }
+      for (f <- 0 to n / 2) {
+        var re = 0.0; var im = 0.0
+        for (p <- 0 until n) {
+          re += xw(p) * math.cos(2.0 * math.Pi * f * p / n)
+          im -= xw(p) * math.sin(2.0 * math.Pi * f * p / n)
+        }
+        val one = (re * re + im * im) * norm
+        acc(f) += (if (f == 0 || f == n / 2) one else one * 2.0)
+      }
+    }
+    for (f <- 0 to n / 2) {
+      val want = acc(f) / nsegs
+      assert(math.abs(got(f.toLong) - want) < 1e-5, s"f=$f: ${got(f.toLong)} vs $want")
+    }
+  }
+}
