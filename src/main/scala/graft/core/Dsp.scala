@@ -172,4 +172,18 @@ object Dsp {
     val s = d.toString
     if (s.contains("E")) s.replace("E", "e") else s + "e0"
   }
+
+  /** Engine-identical 6 dp rounding: floor(x·10⁶ + 0.5)/10⁶ with the
+    * same IEEE ops on both engines. Native round() half-case behavior
+    * differs between engines (Spark converts the double to an exact
+    * BigDecimal then HALF_UPs; DuckDB multiplies then nearbyints), so
+    * values landing exactly on a .xxxxxx5 boundary — e.g. any k/64
+    * ratio — hash-mismatch, and round() also preserves -0.0 while this
+    * normalizes it to +0.0 (floor(±0 + 0.5) = 0). Use for outputs whose
+    * value class makes half-boundaries or signed zeros likely.
+    */
+  def round6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.floor(c * 1e6 + 0.5).cast("double") / 1e6
+
+  def round6Sql(e: String): String = s"(floor(($e) * 1.0e6 + 0.5e0) / 1.0e6)"
 }

@@ -107,10 +107,10 @@ object TextStats {
         .documents(s, dir)
         .select(
           col("doc_id"),
-          round(awl, 6).as("avg_word_len"),
-          round(nDigit / nChars, 6).as("digit_ratio"),
-          round(nPunct / nChars, 6).as("punct_ratio"),
-          round(score, 6).as("quality")
+          graft.core.Dsp.round6(awl).as("avg_word_len"),
+          graft.core.Dsp.round6(nDigit / nChars).as("digit_ratio"),
+          graft.core.Dsp.round6(nPunct / nChars).as("punct_ratio"),
+          graft.core.Dsp.round6(score).as("quality")
         )
     },
     "text_fingerprint" -> { (s, dir) =>
@@ -136,10 +136,10 @@ object TextStats {
         "CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok, " +
         "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digit, " +
         "CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct FROM documents) " +
-        "SELECT doc_id, round((n_chars - (n_tok - 1)) / n_tok, 6) AS avg_word_len, " +
-        "round(n_digit / n_chars, 6) AS digit_ratio, round(n_punct / n_chars, 6) AS punct_ratio, " +
-        "round(greatest(0.0e0, least(1.0e0, 0.5e0 + 0.1e0 * ((n_chars - (n_tok - 1)) / n_tok - 4.0e0) " +
-        "- n_digit / n_chars - n_punct / n_chars)), 6) AS quality FROM base"),
+        s"SELECT doc_id, ${graft.core.Dsp.round6Sql("(n_chars - (n_tok - 1)) / n_tok")} AS avg_word_len, " +
+        s"${graft.core.Dsp.round6Sql("n_digit / n_chars")} AS digit_ratio, ${graft.core.Dsp.round6Sql("n_punct / n_chars")} AS punct_ratio, " +
+        s"${graft.core.Dsp.round6Sql("greatest(0.0e0, least(1.0e0, 0.5e0 + 0.1e0 * ((n_chars - (n_tok - 1)) / n_tok - 4.0e0) " +
+        "- n_digit / n_chars - n_punct / n_chars))")} AS quality FROM base"),
     "text_fingerprint" ->
       (s"WITH $shinglesSql " +
         "SELECT doc_id, min(md5(sh)) AS fp, count(*) AS n_shingles FROM shingles GROUP BY doc_id")

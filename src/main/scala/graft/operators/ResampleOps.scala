@@ -138,7 +138,7 @@ object ResampleOps {
         }.flatten
       }
       .toDF("channel", "n", "y")
-      .select(col("channel"), col("n"), round(col("y"), 6).as("y"))
+      .select(col("channel"), col("n"), Dsp.round6(col("y")).as("y"))
   }
 
   def downsample(sig: DataFrame, m: Int, h: Array[Double]): DataFrame =
@@ -167,18 +167,18 @@ object ResampleOps {
   }
 
   def downsampleSql(m: Int, h: Array[Double]): String =
-    s"${Signal.sigCte}, conv AS (SELECT channel, n, round(${sameExprSql(h)}, 6) AS y " +
+    s"${Signal.sigCte}, conv AS (SELECT channel, n, ${Dsp.round6Sql(sameExprSql(h))} AS y " +
       "FROM sig WINDOW w AS (PARTITION BY channel ORDER BY n)) " +
       s"SELECT channel, n // $m AS n, y FROM conv WHERE n % $m = 0"
 
   def upsampleSql(l: Int, h: Array[Double]): String =
     s"${Signal.sigCte}, stuffed AS (${zeroStuffSql(l)}) " +
-      s"SELECT channel, n, round(${sameExprSql(h.map(_ * l))}, 6) AS y " +
+      s"SELECT channel, n, ${Dsp.round6Sql(sameExprSql(h.map(_ * l)))} AS y " +
       "FROM stuffed WINDOW w AS (PARTITION BY channel ORDER BY n)"
 
   def resampleSql(l: Int, m: Int, h: Array[Double]): String =
     s"${Signal.sigCte}, stuffed AS (${zeroStuffSql(l)}), " +
-      s"conv AS (SELECT channel, n, round(${sameExprSql(h.map(_ * l))}, 6) AS y " +
+      s"conv AS (SELECT channel, n, ${Dsp.round6Sql(sameExprSql(h.map(_ * l)))} AS y " +
       "FROM stuffed WINDOW w AS (PARTITION BY channel ORDER BY n)) " +
       s"SELECT channel, n // $m AS n, y FROM conv WHERE n % $m = 0"
 
