@@ -139,6 +139,22 @@ object BaseQueries {
           row_number().over(w).as("rk")
         )
         .filter(col("rk") <= 3)
+    },
+    "q6_rollup" -> { (s, dir) =>
+      // hierarchical rollup: subtotals per (flag, status), per flag, grand
+      Tables
+        .lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 4).as("sum_qty"), count(lit(1)).as("n_rows"))
+    },
+    "q7_semi_join" -> { (s, dir) =>
+      // customers having at least one high-value order: semi join, then
+      // a dim rollup — the existence-predicate plan shape
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_totalprice") > 100000.0).select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_custs"))
     }
   )
 
@@ -163,6 +179,13 @@ object BaseQueries {
       ("SELECT o_orderpriority, o_orderkey, o_totalprice, rk FROM (" +
         "SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER (" +
         "PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk " +
-        "FROM orders) WHERE rk <= 3")
+        "FROM orders) WHERE rk <= 3"),
+    "q6_rollup" ->
+      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, " +
+        "count(*) AS n_rows FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
+    "q7_semi_join" ->
+      ("SELECT c_mktsegment, count(*) AS n_custs FROM customer " +
+        "WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0) " +
+        "GROUP BY c_mktsegment")
   )
 }
