@@ -146,6 +146,10 @@ object Api {
   def trainCentroids(emb: DataFrame, k: Int = 16): Array[Array[Double]] =
     llm.Similarity.kmeansParallel(emb, k)
 
+  /** Embedding-cosine near-duplicate pairs (banded hyperplane LSH). */
+  def embedDupes(emb: DataFrame, tau: Double = 0.4): DataFrame =
+    llm.Similarity.embedDupes(emb, tau)
+
   /** Multimodal: real PNG/WAV decode-feature passes + bilinear resize. */
   def pngFeatures(media: DataFrame): DataFrame = llm.Multimodal.pngFeatures(media)
   def wavFeatures(media: DataFrame): DataFrame = llm.Multimodal.wavFeatures(media)

@@ -319,16 +319,60 @@ object Similarity {
     * as 64-element literal lists rendered from the same driver-side
     * arrays the Spark plan uses.
     */
-  val bucketsSql: String = {
+  /** CTE chain ending in `b(vec_id, bucket)` — the 8-bit hyperplane
+    * signature, shared by the histogram and the near-dup pair stage.
+    */
+  private val lshCtes: String = {
     def planeDot(p: Array[Double]) =
       s"list_sum(list_transform(generate_series(1, 64), i -> list_extract(v, i) * list_extract(${arrSql(p)}, i)))"
     val sig = planes.zipWithIndex
       .map { case (p, idx) => s"(CASE WHEN ${planeDot(p)} > 0 THEN ${1L << idx} ELSE 0 END)" }
       .mkString(" + ")
-    "WITH vs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
-      s"b AS (SELECT vec_id, CAST($sig AS BIGINT) AS bucket FROM vs) " +
-      "SELECT bucket, count(*) AS n_vecs FROM b GROUP BY bucket"
+    "vs AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      s"b AS MATERIALIZED (SELECT vec_id, CAST($sig AS BIGINT) AS bucket FROM vs)"
   }
+
+  val bucketsSql: String =
+    s"WITH $lshCtes SELECT bucket, count(*) AS n_vecs FROM b GROUP BY bucket"
+
+  /** Embedding-cosine near-duplicate pairs: band the 8-bit hyperplane
+    * signature into 4×2-bit chunks, candidates = vectors sharing any
+    * band (an equi-join, never all-pairs — the recall/candidate-volume
+    * dial), verify cosine ≥ τ on candidates only. The dedup-family twin
+    * of the ANN path, for "drop near-identical embeddings" pipelines.
+    */
+  def embedDupes(emb: DataFrame, tau: Double = 0.4): DataFrame = {
+    val vs = vecsN(emb)
+    val sig = lshBuckets(emb).select(col("vec_id"), col("bucket"))
+    val bands = sig.select(
+      col("vec_id"),
+      posexplode(
+        array((0 until 4).map(b => shiftright(col("bucket"), 2 * b).bitwiseAND(lit(3L))): _*)
+      ).as(Seq("bi", "bv"))
+    )
+    val cand = bands
+      .select(col("vec_id").as("vid_a"), col("bi"), col("bv"))
+      .join(bands.select(col("vec_id").as("vid_b"), col("bi"), col("bv")), Seq("bi", "bv"))
+      .filter(col("vid_a") < col("vid_b"))
+      .select(col("vid_a"), col("vid_b"))
+      .distinct() // a pair can share several bands; score it once
+    cand
+      .join(vs.select(col("vec_id").as("vid_a"), col("v").as("va"), col("nrm").as("na")), Seq("vid_a"))
+      .join(vs.select(col("vec_id").as("vid_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("vid_b"))
+      .select(col("vid_a"), col("vid_b"), round(cosExpr, 6).as("cos"))
+      .filter(col("cos") >= tau)
+  }
+
+  def embedDupesSql(tau: Double = 0.4): String =
+    s"WITH $lshCtes, " +
+      "bands AS (SELECT vec_id, g.bi AS bi, (bucket >> (2 * g.bi)) & 3 AS bv FROM b, generate_series(0, 3) g(bi)), " +
+      "cand AS (SELECT DISTINCT a.vec_id AS vid_a, c.vec_id AS vid_b FROM bands a " +
+      "JOIN bands c ON a.bi = c.bi AND a.bv = c.bv AND a.vec_id < c.vec_id) " +
+      "SELECT vid_a, vid_b, cos FROM (SELECT k.vid_a, k.vid_b, " +
+      s"round($cosSqlExpr, 6) AS cos FROM " +
+      "(SELECT c.vid_a, c.vid_b, x.v AS va, y.v AS vb FROM cand c " +
+      "JOIN vs x ON x.vec_id = c.vid_a JOIN vs y ON y.vec_id = c.vid_b) k) " +
+      s"WHERE cos >= ${graft.core.Dsp.lit(tau)}"
 
   /** SQL twin of [[ivfTopk]] (nList=16, nProbe=4): deterministic
     * centroids (first nList vectors), argmin cell assignment with cid
@@ -358,12 +402,14 @@ object Similarity {
       lshBuckets(Tables.embeddings(s, dir))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_vecs"))
-    }
+    },
+    "dedup_embed" -> { (s, dir) => embedDupes(Tables.embeddings(s, dir)) }
   )
 
   def oracleSql: Map[String, String] = Map(
     "sim_topk" -> topkSql,
     "sim_buckets" -> bucketsSql,
-    "sim_ivf_topk" -> ivfTopkSql()
+    "sim_ivf_topk" -> ivfTopkSql(),
+    "dedup_embed" -> embedDupesSql()
   )
 }
