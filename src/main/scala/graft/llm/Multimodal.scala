@@ -152,14 +152,19 @@ object Multimodal {
     * every k-th kept — pure column ops, no driver involvement.
     */
   def frameSample(media: DataFrame, everyK: Int): DataFrame = {
+    // explicit substring framing (a \G-lookbehind split silently
+    // degrades to one frame per row under Java regex — caught by the
+    // DuckDB oracle, not by rows-only checks)
     val frameLen = 64
     media
+      .select(col("media_id"), hex(col("payload")).as("hx"))
+      .select(col("media_id"), col("hx"), explode(sequence(lit(0), lit(63))).as("frame_idx"))
+      .filter(col("frame_idx") % everyK === 0 && col("frame_idx") * frameLen < length(col("hx")))
       .select(
         col("media_id"),
-        posexplode(split(base64(col("payload")), s"(?<=\\G.{$frameLen})"))
+        col("frame_idx"),
+        col("hx").substr(col("frame_idx") * frameLen + 1, lit(frameLen)).as("frame_hex")
       )
-      .toDF("media_id", "frame_idx", "frame_b64")
-      .filter(col("frame_idx") % everyK === 0)
   }
 
   /** PNG media corpus: per document a deterministic grayscale image
@@ -280,7 +285,8 @@ object Multimodal {
         )
     },
     "mm_png_features" -> { (s, dir) => pngFeatures(pngMedia(s, dir)) },
-    "mm_wav_features" -> { (s, dir) => wavFeatures(wavMedia(s, dir)) }
+    "mm_wav_features" -> { (s, dir) => wavFeatures(wavMedia(s, dir)) },
+    "mm_frames" -> { (s, dir) => frameSample(syntheticMedia(s, dir), everyK = 2) }
   )
 
   /** The stub decode's per-byte stats ARE SQL-expressible here because
@@ -315,6 +321,13 @@ object Multimodal {
         "FROM d, generate_series(0, 270) g(t) WHERE g.t < n) " +
         "SELECT doc_id AS media_id, count(*) AS n_samples, " +
         "round(CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) / count(*), 6) AS mean_pcm, " +
-        "CAST(max(abs(v)) AS BIGINT) AS max_abs FROM s GROUP BY doc_id")
+        "CAST(max(abs(v)) AS BIGINT) AS max_abs FROM s GROUP BY doc_id"),
+    // every 2nd 64-hex-char (32-byte) frame of the payload (= utf-8
+    // text); hex, not base64 — Spark's base64 may MIME-chunk. Constant
+    // series bound: docs ≤ 2000 chars → hex ≤ 4000 chars
+    "mm_frames" ->
+      ("WITH b AS (SELECT doc_id AS media_id, upper(hex(CAST(text AS BLOB))) AS hx FROM documents) " +
+        "SELECT media_id, g.i AS frame_idx, substr(hx, CAST(g.i * 64 + 1 AS INT), 64) AS frame_hex " +
+        "FROM b, generate_series(0, 63) g(i) WHERE g.i % 2 = 0 AND g.i * 64 < length(hx)")
   )
 }
