@@ -53,10 +53,55 @@ object AnnoOps {
         .groupBy(col("n"), col("x"))
         .agg(max(col("lo").isNotNull).as("in_anno"))
       hit.select(col("n"), col("x"), col("in_anno"))
-    }
+    },
+    "anno_pinnacle" -> { (s, dir) => pinnacleRoundtrip(s, dir) }
   )
 
+  /** Pinnacle round-trip: the error events render as a Pinnacle-style
+    * TSV (preamble + header + one row per annotation at the anno_mask
+    * intervals, in seconds at fs=100), `Annotations.pinnacle` parses it
+    * back, and the oracle re-derives the same rows from the events
+    * table. The TSV write is driver-side by design: annotation files
+    * are the small human-produced side of a recording.
+    */
+  private val annoFs = 100.0
+
+  def pinnacleRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables
+      .events(s, dir)
+      .filter(col("event_type") === "error")
+      .select(col("event_id"))
+      .orderBy(col("event_id"))
+      .collect()
+      .map(_.getLong(0))
+    val lines =
+      Seq.fill(6)("meta\tvalue") ++
+        Seq("Number\tStart\tTime From Start\tTime To\tAnnotation\tChannel") ++
+        ids.zipWithIndex.map { case (_, k) =>
+          val start = (k.toLong * strideMul).toDouble / annoFs
+          val stop = (k.toLong * strideMul + dur).toDouble / annoFs
+          s"$k\tx\t$start\t$stop\terror\tclick"
+        }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_anno")
+    java.nio.file.Files.write(tmp.resolve("p.tsv"), lines.mkString("\n").getBytes("UTF-8"))
+    graft.sources.Annotations
+      .pinnacle(s, tmp.resolve("p.tsv").toString)
+      .select(
+        col("label"),
+        round(col("start_s"), 6).as("start_s"),
+        round(col("stop_s"), 6).as("stop_s"),
+        round(col("duration_s"), 6).as("duration_s"),
+        col("channel")
+      )
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "anno_pinnacle" ->
+      (s"WITH e AS (SELECT row_number() OVER (ORDER BY event_id) - 1 AS k FROM events WHERE event_type = 'error') " +
+        s"SELECT 'error' AS label, round(CAST(k * $strideMul AS DOUBLE) / 100.0, 6) AS start_s, " +
+        s"round(CAST(k * $strideMul + $dur AS DOUBLE) / 100.0, 6) AS stop_s, " +
+        s"round(CAST(k * $strideMul + $dur AS DOUBLE) / 100.0 - CAST(k * $strideMul AS DOUBLE) / 100.0, 6) AS duration_s, " +
+        "'click' AS channel FROM e"),
     "anno_mask" ->
       (s"${Signal.sigCte}, anno AS (SELECT (row_number() OVER (ORDER BY event_id) - 1) * $strideMul AS lo, " +
         s"(row_number() OVER (ORDER BY event_id) - 1) * $strideMul + $dur AS hi " +
