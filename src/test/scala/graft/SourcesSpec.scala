@@ -68,6 +68,30 @@ class EdfSpec extends AnyFunSuite {
     byKey.foreach { case (k, v) => assert(math.abs(back(k) - v) <= tol, s"$k") }
   }
 
+  test("writeSpark handles many recordings per partition (state-machine handoff)") {
+    import spark.implicits._
+    // 40 recordings over 4 shuffle partitions forces ~10 sequential
+    // recordings through each task's open-file state machine
+    val rows = for {
+      r <- 0 until 40
+      n <- 0 until 64
+    } yield (f"rec$r%02d", "ch", n.toLong, (r * 64 + n).toDouble % 97)
+    val dir = tmpDir
+    Edf.writeSpark(rows.toDF("recording", "channel", "n", "x"), dir, fs = 64.0, samplesPerRecord = 64)
+    assert(new java.io.File(dir).listFiles().length == 40)
+    val back = Edf.readSpark(spark, s"$dir/*.edf")
+    assert(back.count() == 40L * 64)
+    // spot-check one mid-pack recording decodes to its own values
+    val r17 = back
+      .filter(org.apache.spark.sql.functions.col("src").contains("rec17"))
+      .orderBy("n")
+      .collect()
+      .map(_.getDouble(3))
+    val want = (0 until 64).map(n => (17 * 64 + n).toDouble % 97)
+    val tol = 97.0 / 65534.0 * 1.01
+    r17.zip(want).foreach { case (g, w) => assert(math.abs(g - w) <= tol) }
+  }
+
   test("splitter produces readable per-channel files") {
     val chans = Seq("a" -> Array.fill(128)(1.0), "b" -> Array.fill(128)(2.0))
     val dir = tmpDir
