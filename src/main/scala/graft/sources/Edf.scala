@@ -184,7 +184,7 @@ object Edf {
           out.write(buf.array(), 0, hdr.recordBytes); buf.clear(); filled = 0
         }
         def close(): Unit = if (out != null) { flush(); out.close(); out = null }
-        it.foreach { case (rec, ch, n, x) =>
+        try it.foreach { case (rec, ch, n, x) =>
           if (rec != cur) {
             close()
             cur = rec
@@ -212,8 +212,7 @@ object Edf {
           buf.putShort((i * spr + (n % spr).toInt) * 2, dig.toShort)
           filled += 1
           if (filled == hdr.recordBytes / 2) flush()
-        }
-        close()
+        } finally close() // also releases the fd if the task fails mid-write
       }
   }
 
