@@ -96,17 +96,29 @@ object Dedup {
     */
   def jaccard(docs: DataFrame): DataFrame = {
     val cands = minhashCandidates(docs)
-    val dsh =
-      TextStats.shingles(docs).select(col("doc_id"), xxhash64(col("sh")).as("shh")).distinct()
-    val counts = dsh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = cands
-      .join(dsh.select(col("doc_id").as("doc_a"), col("shh")), Seq("doc_a"))
-      .join(dsh.select(col("doc_id").as("doc_b"), col("shh")), Seq("doc_b", "shh"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
-      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+    // one row per doc carrying its shingle-hash SET as an array: each
+    // candidate pair intersects row-locally (array_intersect is a hash
+    // probe) instead of exploding cands × shingles through two joins
+    val dsha = TextStats
+      .shingles(docs)
+      .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("shh")).as("shs"))
+    cands
+      .join(dsha.select(col("doc_id").as("doc_a"), col("shs").as("sha")), Seq("doc_a"))
+      .join(dsha.select(col("doc_id").as("doc_b"), col("shs").as("shb")), Seq("doc_b"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("n_inter"),
+        size(col("sha")).cast("long").as("na"),
+        size(col("shb")).cast("long").as("nb")
+      )
+      // the join-based oracle emits nothing for a candidate pair with an
+      // empty intersection (possible via a minhash permutation
+      // collision) — match that, don't emit jaccard = 0 rows
+      .filter(col("n_inter") > 0)
       .select(
         col("doc_a"),
         col("doc_b"),
