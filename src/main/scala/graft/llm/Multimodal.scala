@@ -24,6 +24,10 @@ object Multimodal {
 
   // ---- real codecs (JDK-only) ----
 
+  // ImageIO defaults to DISK-backed stream caches (a temp file per
+  // encode/decode call); in-memory caching removes that per-image I/O
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Encode an 8-bit grayscale raster as a real PNG. */
   def encodePng(gray: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)

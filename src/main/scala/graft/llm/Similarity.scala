@@ -336,10 +336,14 @@ object Similarity {
     s"WITH $lshCtes SELECT bucket, count(*) AS n_vecs FROM b GROUP BY bucket"
 
   /** Embedding-cosine near-duplicate pairs: band the 8-bit hyperplane
-    * signature into 4×2-bit chunks, candidates = vectors sharing any
-    * band (an equi-join, never all-pairs — the recall/candidate-volume
-    * dial), verify cosine ≥ τ on candidates only. The dedup-family twin
-    * of the ANN path, for "drop near-identical embeddings" pipelines.
+    * signature into 2×4-bit chunks, candidates = vectors sharing any
+    * band (an equi-join, never all-pairs), verify cosine ≥ τ on
+    * candidates only. Band width is the recall/candidate-volume dial:
+    * true near-dups (cos ≥ 0.9 ⇒ ~0.9 per-plane agreement) collide on
+    * a 4-bit band with p ≈ 0.66, so any-of-2 ≈ 88% recall, while a
+    * random pair collides with p ≈ 1/16 per band — candidates stay
+    * ~n²/16·corpus-density, not all-pairs. The dedup-family twin of
+    * the ANN path, for "drop near-identical embeddings" pipelines.
     */
   def embedDupes(emb: DataFrame, tau: Double = 0.4): DataFrame = {
     val vs = vecsN(emb)
@@ -347,7 +351,7 @@ object Similarity {
     val bands = sig.select(
       col("vec_id"),
       posexplode(
-        array((0 until 4).map(b => shiftright(col("bucket"), 2 * b).bitwiseAND(lit(3L))): _*)
+        array((0 until 2).map(b => shiftright(col("bucket"), 4 * b).bitwiseAND(lit(15L))): _*)
       ).as(Seq("bi", "bv"))
     )
     val cand = bands
@@ -365,7 +369,7 @@ object Similarity {
 
   def embedDupesSql(tau: Double = 0.4): String =
     s"WITH $lshCtes, " +
-      "bands AS (SELECT vec_id, g.bi AS bi, (bucket >> (2 * g.bi)) & 3 AS bv FROM b, generate_series(0, 3) g(bi)), " +
+      "bands AS (SELECT vec_id, g.bi AS bi, (bucket >> (4 * g.bi)) & 15 AS bv FROM b, generate_series(0, 1) g(bi)), " +
       "cand AS (SELECT DISTINCT a.vec_id AS vid_a, c.vec_id AS vid_b FROM bands a " +
       "JOIN bands c ON a.bi = c.bi AND a.bv = c.bv AND a.vec_id < c.vec_id) " +
       "SELECT vid_a, vid_b, cos FROM (SELECT k.vid_a, k.vid_b, " +
