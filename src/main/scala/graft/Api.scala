@@ -150,6 +150,10 @@ object Api {
   def embedDupes(emb: DataFrame, tau: Double = 0.4): DataFrame =
     llm.Similarity.embedDupes(emb, tau)
 
+  /** Quality-filter → dedup-keeper → train/val/test split pipeline. */
+  def curate(docs: DataFrame, minQuality: Double = 0.45): DataFrame =
+    llm.Curation.curate(docs, minQuality)
+
   /** Multimodal: real PNG/WAV decode-feature passes + bilinear resize. */
   def pngFeatures(media: DataFrame): DataFrame = llm.Multimodal.pngFeatures(media)
   def wavFeatures(media: DataFrame): DataFrame = llm.Multimodal.wavFeatures(media)

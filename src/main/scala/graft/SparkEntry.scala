@@ -46,6 +46,7 @@ object SparkEntry {
       llm.Dedup.queries ++
       llm.Similarity.queries ++
       llm.Multimodal.queries ++
+      llm.Curation.queries ++
       pipeline.PipelineOps.queries ++
       sources.EdfOps.queries ++
       streaming.StreamOps.queries
@@ -66,6 +67,7 @@ object SparkEntry {
       llm.Dedup.oracleSql ++
       llm.Similarity.oracleSql ++
       llm.Multimodal.oracleSql ++
+      llm.Curation.oracleSql ++
       pipeline.PipelineOps.oracleSql ++
       streaming.StreamOps.oracleSql
 }

@@ -1,0 +1,87 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{Dsp, Tables}
+
+/** End-to-end training-data curation: quality filter → exact-dedup
+  * keepers → deterministic train/val/test assignment — the canonical
+  * "raw corpus in, training splits out" flow, composed from the same
+  * primitives the individual gate queries check.
+  *
+  * Every stage is one shuffle-bounded relational step: the quality
+  * score is row-local, the keeper rule one window over the content
+  * hash (small groups, hash-partitioned), the split a pure function of
+  * doc_id — so the whole pipeline scales exactly like dedup_exact.
+  */
+object Curation {
+
+  /** The text_quality score as a reusable Column (same formula as the
+    * gate query, unrounded — filters compare the raw value).
+    */
+  def qualityScore: Column = {
+    val nTok = size(split(col("text"), " ")).cast("double")
+    val nChars = length(col("text")).cast("double")
+    val nDigit = length(regexp_replace(col("text"), "[^0-9]", "")).cast("double")
+    val nPunct = length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double")
+    val awl = (nChars - (nTok - 1)) / nTok
+    greatest(
+      lit(0.0),
+      least(lit(1.0), lit(0.5) + lit(0.1) * (awl - 4.0) - nDigit / nChars - nPunct / nChars)
+    )
+  }
+
+  private val qualitySql: String =
+    "greatest(0.0e0, least(1.0e0, 0.5e0 + 0.1e0 * ((n_chars - (n_tok - 1)) / n_tok - 4.0e0) " +
+      "- n_digit / n_chars - n_punct / n_chars))"
+
+  /** Deterministic 0–99 bucket from doc_id (md5-based so both engines
+    * agree); 90/5/5 → train/val/test.
+    */
+  private def splitCol: Column = {
+    val h100 = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 100
+    when(h100 < 90, "train").when(h100 < 95, "val").otherwise("test")
+  }
+
+  /** Curated corpus: keep docs with quality ≥ minQuality that are the
+    * keeper (min doc_id) of their exact-content group, assigned to a
+    * split. Output: (doc_id, split, quality).
+    */
+  def curate(docs: DataFrame, minQuality: Double = 0.45): DataFrame =
+    docs
+      .select(col("doc_id"), col("text"), qualityScore.as("quality"))
+      // quality gate FIRST: a dropped document must not shadow its
+      // duplicates as their keeper
+      .filter(col("quality") >= minQuality)
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), splitCol.as("split"), col("quality"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_splits" -> { (s, dir) =>
+      curate(Tables.documents(s, dir))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), Dsp.round6(avg(col("quality"))).as("avg_quality"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "curate_splits" ->
+      ("WITH base AS (SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS n_chars, " +
+        "CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok, " +
+        "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digit, " +
+        "CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct FROM documents), " +
+        s"scored AS (SELECT doc_id, text, $qualitySql AS quality FROM base), " +
+        "kept AS (SELECT doc_id, quality FROM (SELECT doc_id, quality, " +
+        "min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM scored WHERE quality >= 0.45e0) " +
+        "WHERE doc_id = keep_id), " +
+        "assigned AS (SELECT doc_id, quality, CASE " +
+        "WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train' " +
+        "WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val' " +
+        "ELSE 'test' END AS split FROM kept) " +
+        s"SELECT split, count(*) AS n_docs, ${Dsp.round6Sql("avg(quality)")} AS avg_quality " +
+        "FROM assigned GROUP BY split")
+  )
+}
