@@ -32,6 +32,13 @@ class HarnessSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
   }
 
+  test("every query is oracle-checked except the known rows-only set") {
+    // a new query silently missing its oracle would downgrade to the
+    // driver's weak rows-only check — fail loudly here instead
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(rowsOnly == Set("edf_roundtrip"), s"unexpected rows-only queries: $rowsOnly")
+  }
+
   test("all queries run non-empty at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
