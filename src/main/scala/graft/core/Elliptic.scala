@@ -168,6 +168,30 @@ object Elliptic {
     (n, wp)
   }
 
+  /** Elliptic band SOS from 2-element corners in Hz — mirrors openseize
+    * `iir.py:277` Ellip(fpass=[f1,f2], …): ellipord with array edges,
+    * then ellipap + lp2bp/lp2bs. The elliptic prototype already passes
+    * exactly −gpass dB at its edge (no cutoff adjustment needed); order
+    * comes from the degree equation at selectivity k = 1/nat.
+    */
+  def ellipBandSos(
+      fpass: (Double, Double),
+      fstop: (Double, Double),
+      gpass: Double,
+      gstop: Double,
+      fs: Double
+  ): Array[Array[Double]] = {
+    val (wo, bw, nat, bandstop) = Iir.bandNat(fpass, fstop, fs)
+    val ep = sqrt(pow(10.0, 0.1 * gpass) - 1.0)
+    val es = sqrt(pow(10.0, 0.1 * gstop) - 1.0)
+    val k = 1.0 / nat
+    val k1 = ep / es
+    val n = ceil(ellipK(k) * ellipKp(k1) / (ellipKp(k) * ellipK(k1))).toInt
+    val proto = ellipap(n, gpass, gstop)
+    val analog = if (bandstop) Iir.lp2bs(proto, wo, bw) else Iir.lp2bp(proto, wo, bw)
+    Iir.zpk2sos(Iir.bilinear(analog))
+  }
+
   /** Elliptic SOS meeting digital band specs at rate fs — mirrors
     * openseize `iir.py:277` Ellip (ellipord + iirfilter).
     */

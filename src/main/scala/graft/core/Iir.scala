@@ -62,6 +62,14 @@ object Iir {
 
   // ---- frequency transforms (analog, rad/s) ----
 
+  /** Complex square root, principal branch (im sign follows input). */
+  def csqrt(z: Complex): Complex = {
+    val r = math.hypot(z.re, z.im)
+    val re = sqrt(math.max(0.0, (r + z.re) / 2.0))
+    val im = sqrt(math.max(0.0, (r - z.re) / 2.0))
+    Complex(re, if (z.im >= 0) im else -im)
+  }
+
   def lp2lp(z: Zpk, wo: Double): Zpk = {
     val degree = z.poles.length - z.zeros.length
     Zpk(z.zeros.map(_ * wo), z.poles.map(_ * wo), z.gain * pow(wo, degree))
@@ -74,6 +82,101 @@ object Iir {
     val num = z.zeros.map(x => -x).foldLeft(Complex.one)(_ * _)
     val den = z.poles.map(x => -x).foldLeft(Complex.one)(_ * _)
     Zpk(zeros, poles, z.gain * (num / den).re)
+  }
+
+  /** Lowpass prototype → bandpass at center wo, width bw (scipy
+    * lp2bp_zpk): each root r maps to the pair r·bw/2 ± √((r·bw/2)²−wo²);
+    * the degree deficit becomes zeros at the origin; gain scales by
+    * bw^degree. Conjugate closure is preserved bit-exactly (csqrt
+    * mirrors the imaginary sign), so zpk2sos pairing stays valid.
+    */
+  def lp2bp(z: Zpk, wo: Double, bw: Double): Zpk = {
+    val degree = z.poles.length - z.zeros.length
+    val wo2 = Complex.real(wo * wo)
+    def split(r: Complex): Seq[Complex] = {
+      val rl = r * (bw / 2.0)
+      val d = csqrt(rl * rl - wo2)
+      Seq(rl + d, rl - d)
+    }
+    Zpk(
+      z.zeros.flatMap(split) ++ Seq.fill(degree)(Complex(0.0, 0.0)),
+      z.poles.flatMap(split),
+      z.gain * pow(bw, degree)
+    )
+  }
+
+  /** Lowpass prototype → bandstop at center wo, width bw (scipy
+    * lp2bs_zpk): roots invert first (r → (bw/2)/r) then split as in
+    * lp2bp; the degree deficit becomes zero pairs at ±j·wo on the
+    * stop-band center; gain scales by Π(−z)/Π(−p) of the prototype.
+    */
+  def lp2bs(z: Zpk, wo: Double, bw: Double): Zpk = {
+    val degree = z.poles.length - z.zeros.length
+    val half = Complex.real(bw / 2.0)
+    val wo2 = Complex.real(wo * wo)
+    def split(r: Complex): Seq[Complex] = {
+      val rh = half / r
+      val d = csqrt(rh * rh - wo2)
+      Seq(rh + d, rh - d)
+    }
+    val num = z.zeros.map(x => -x).foldLeft(Complex.one)(_ * _)
+    val den = z.poles.map(x => -x).foldLeft(Complex.one)(_ * _)
+    Zpk(
+      z.zeros.flatMap(split) ++
+        (1 to degree).flatMap(_ => Seq(Complex(0.0, wo), Complex(0.0, -wo))),
+      z.poles.flatMap(split),
+      z.gain * (num / den).re
+    )
+  }
+
+  /** Warped analog band geometry for 2-element band specs (Hz):
+    * (wo, bw, nat, isBandstop). wo/bw derive from the passband edges so
+    * they map to ±1 in the lowpass-prototype domain; nat is the smaller
+    * prototype frequency the stop edges reach (the design selectivity).
+    * This is scipy's band `buttord` math minus its bandstop passband-edge
+    * optimization — our order can exceed scipy's by one on asymmetric
+    * bandstop specs, never undershoot the attenuation.
+    */
+  private[core] def bandNat(
+      fpass: (Double, Double),
+      fstop: (Double, Double),
+      fs: Double
+  ): (Double, Double, Double, Boolean) = {
+    val nyq = fs / 2.0
+    def w(f: Double) = 4.0 * tan(Pi * (f / nyq) / 2.0)
+    val (p0, p1) = (w(fpass._1), w(fpass._2))
+    val (s0, s1) = (w(fstop._1), w(fstop._2))
+    val bandstop = fpass._1 < fstop._1 // passband surrounds the stopband
+    val wo2 = p0 * p1
+    val bw = p1 - p0
+    def om(x: Double) =
+      if (bandstop) bw * x / (wo2 - x * x) else (x * x - wo2) / (bw * x)
+    val nat = math.min(math.abs(om(s0)), math.abs(om(s1)))
+    (sqrt(wo2), bw, nat, bandstop)
+  }
+
+  /** Butterworth band SOS from 2-element corners in Hz — mirrors
+    * openseize `filtering/iir.py:44` Butter(fpass=[f1,f2], …), which the
+    * reference routes through scipy buttord with array edges. fpass
+    * inside fstop → bandpass; fpass outside → bandstop. The prototype
+    * cutoff is adjusted (bw·W0 / bw÷W0) so the response passes exactly
+    * −gpass dB at the given passband edges, as scipy's Wn does.
+    */
+  def butterBandSos(
+      fpass: (Double, Double),
+      fstop: (Double, Double),
+      gpass: Double,
+      gstop: Double,
+      fs: Double
+  ): Array[Array[Double]] = {
+    val (wo, bw, nat, bandstop) = bandNat(fpass, fstop, fs)
+    val gstopL = pow(10.0, 0.1 * gstop) - 1
+    val gpassL = pow(10.0, 0.1 * gpass) - 1
+    val n = ceil(log10(gstopL / gpassL) / (2.0 * log10(nat))).toInt
+    val w0 = pow(gpassL, -1.0 / (2.0 * n)) // prototype cutoff > 1
+    val proto = buttap(n)
+    val analog = if (bandstop) lp2bs(proto, wo, bw / w0) else lp2bp(proto, wo, bw * w0)
+    zpk2sos(bilinear(analog))
   }
 
   /** Bilinear transform, fs = 2 (scipy convention after prewarp). */

@@ -315,6 +315,13 @@ object FirOps {
   lazy val blackmanHp: Array[Double] = Dsp.firDesign("blackman", Seq(20), Seq(10), fs)
   lazy val kaiserLp: Array[Double] =
     Dsp.firDesign("kaiser", Seq(10), Seq(20), fs, gpass = 1.0, gstop = 40.0)
+
+  /** Kaiser bandstop: pass below 5 / above 30 Hz, reject 10–25 Hz —
+    * exercises the firwin "bandstop" band assembly (two passbands, DC
+    * normalization), the one designed band type no other query covers.
+    */
+  lazy val kaiserBs: Array[Double] =
+    Dsp.firDesign("kaiser", Seq(5, 30), Seq(10, 25), fs, gpass = 1.0, gstop = 40.0)
   lazy val remezLp: Array[Double] =
     graft.core.Remez.lowpass(fpass = 10, fstop = 20, fs = fs, gpass = 1.0, gstop = 40.0)
 
@@ -328,6 +335,7 @@ object FirOps {
     "fir_hann_bp" -> { (s, dir) => same(Signal.long(s, dir), hannBp) },
     "fir_blackman_hp" -> { (s, dir) => same(Signal.long(s, dir), blackmanHp) },
     "fir_kaiser_lp" -> { (s, dir) => same(Signal.long(s, dir), kaiserLp) },
+    "fir_kaiser_bs" -> { (s, dir) => same(Signal.long(s, dir), kaiserBs) },
     "fir_remez_lp" -> { (s, dir) => same(Signal.long(s, dir), remezLp) }
   )
 
@@ -343,6 +351,7 @@ object FirOps {
     "fir_hann_bp" -> sameSql(hannBp),
     "fir_blackman_hp" -> sameSql(blackmanHp),
     "fir_kaiser_lp" -> sameSql(kaiserLp),
+    "fir_kaiser_bs" -> sameSql(kaiserBs),
     "fir_remez_lp" -> sameSql(remezLp)
   )
 }

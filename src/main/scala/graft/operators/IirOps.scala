@@ -296,6 +296,17 @@ object IirOps {
   lazy val ellipLp: Array[Array[Double]] = graft.core.Elliptic.ellipSos(10, 20, 1.0, 40.0, fs)
   lazy val notch15: Array[Array[Double]] = Iir.notchSos(15.0, 30.0, fs)
 
+  /** Butter bandpass 10–20 Hz (stop <5, >30) — the theta/gamma band-
+    * isolation call shape, openseize's most common Butter usage
+    * (iir.py:44 with fpass=[f1,f2]). Order-5 prototype → 5 biquads.
+    */
+  lazy val butterBp: Array[Array[Double]] =
+    Iir.butterBandSos((10.0, 20.0), (5.0, 30.0), 1.0, 40.0, fs)
+
+  /** Elliptic bandstop: pass outside 10/30 Hz, reject 15–25 Hz. */
+  lazy val ellipBs: Array[Array[Double]] =
+    graft.core.Elliptic.ellipBandSos((10.0, 30.0), (15.0, 25.0), 1.0, 40.0, fs)
+
   /** Order-3 Butterworth lowpass at wn=0.2 (10 Hz @ fs=100) in ba form —
     * the transfer-function twin of the sos designs, exercising the
     * reference's ba-form lfilter/filtfilt path (numerical.py:414,449).
@@ -311,6 +322,8 @@ object IirOps {
     "iir_cheby2_hp" -> { (s, dir) => rounded(sosfilt(Signal.long(s, dir), cheby2Hp)) },
     "iir_ellip_lp" -> { (s, dir) => rounded(sosfilt(Signal.long(s, dir), ellipLp)) },
     "iir_notch" -> { (s, dir) => rounded(sosfilt(Signal.long(s, dir), notch15)) },
+    "iir_butter_bp" -> { (s, dir) => rounded(sosfilt(Signal.long(s, dir), butterBp)) },
+    "iir_ellip_bs" -> { (s, dir) => rounded(sosfilt(Signal.long(s, dir), ellipBs)) },
     "iir_butter_filtfilt" -> { (s, dir) => rounded(sosfiltfilt(Signal.long(s, dir), butterLp)) },
     "iir_lfilter_lp" -> { (s, dir) =>
       rounded(lfilter(Signal.long(s, dir), butterBa._1, butterBa._2))
@@ -326,6 +339,8 @@ object IirOps {
     "iir_cheby2_hp" -> sosfiltSql(cheby2Hp),
     "iir_ellip_lp" -> sosfiltSql(ellipLp),
     "iir_notch" -> sosfiltSql(notch15),
+    "iir_butter_bp" -> sosfiltSql(butterBp),
+    "iir_ellip_bs" -> sosfiltSql(ellipBs),
     "iir_butter_filtfilt" -> sosfiltfiltSql(butterLp),
     "iir_lfilter_lp" -> lfilterSql(butterBa._1, butterBa._2),
     "iir_filtfilt_ba" -> filtfiltBaSql(butterBa._1, butterBa._2)

@@ -40,6 +40,20 @@ class DspDesignSpec extends AnyFunSuite {
     assert(math.abs(math.abs(g) - 1.0) < 1e-12)
   }
 
+  test("kaiser bandstop: unit DC gain, >=40 dB rejection inside the stop band") {
+    val h = FirOps.kaiserBs // pass <5/>30, stop 10-25 Hz @ fs=100
+    assert(h.length % 2 == 1 && h.length <= 128, s"taps ${h.length}")
+    assert(math.abs(h.sum - 1.0) < 1e-12, s"DC gain ${h.sum}")
+    def db(fHz: Double): Double = {
+      val w = math.Pi * fHz / 50.0
+      val c = (h.length - 1) / 2
+      val g = h.indices.map(i => h(i) * math.cos(w * (i - c))).sum
+      -20 * math.log10(math.abs(g))
+    }
+    for (f <- Seq(12.5, 15.0, 17.5, 20.0, 22.5)) assert(db(f) >= 40.0, s"stop $f Hz: ${db(f)}")
+    for (f <- Seq(2.0, 40.0)) assert(db(f) <= 0.2, s"pass $f Hz: ${db(f)}")
+  }
+
   test("tap counts match reference formulas") {
     assert(FirOps.rect.length == 21)
     assert(FirOps.bartlettLp.length == 41)

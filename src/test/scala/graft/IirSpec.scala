@@ -30,8 +30,39 @@ class IirDesignSpec extends AnyFunSuite {
     assert(Iir.sosGain(sos, math.Pi * 0.5) > 0.99)
   }
 
+  test("butter bandpass meets band specs (exact -1 dB at both edges, -40 dB stops)") {
+    val sos = IirOps.butterBp // pass 10-20, stop <5/>30 @ fs=100
+    def db(wNorm: Double) = -20 * math.log10(Iir.sosGain(sos, math.Pi * wNorm))
+    assert(math.abs(db(0.2) - 1.0) < 1e-6, s"low edge ${db(0.2)}")
+    assert(math.abs(db(0.4) - 1.0) < 1e-6, s"high edge ${db(0.4)}")
+    assert(db(0.1) >= 40.0, s"low stop ${db(0.1)}")
+    assert(db(0.6) >= 40.0, s"high stop ${db(0.6)}")
+    // band center ~ geometric mean: essentially unity gain
+    val wc = 2.0 * math.atan(math.sqrt(math.tan(math.Pi * 0.1) * math.tan(math.Pi * 0.2)))
+    assert(db(wc / math.Pi) < 0.05, s"center ${db(wc / math.Pi)}")
+    // DC and Nyquist are hard zeros (zeros at z=+1 and z=-1)
+    assert(Iir.sosGain(sos, 1e-9) < 1e-6)
+    assert(Iir.sosGain(sos, math.Pi * (1 - 1e-9)) < 1e-6)
+  }
+
+  test("elliptic bandstop meets band specs (-1 dB pass edges, -40 dB inside stop)") {
+    val sos = IirOps.ellipBs // pass outside 10/30, stop 15-25 @ fs=100
+    def db(wNorm: Double) = -20 * math.log10(Iir.sosGain(sos, math.Pi * wNorm))
+    assert(db(0.2) <= 1.0 + 1e-9, s"low pass edge ${db(0.2)}")
+    assert(db(0.6) <= 1.0 + 1e-9, s"high pass edge ${db(0.6)}")
+    assert(db(0.3) >= 40.0, s"low stop edge ${db(0.3)}")
+    assert(db(0.5) >= 40.0, s"high stop edge ${db(0.5)}")
+    // stop-band center: >= gstop attenuation (even-order elliptic has no
+    // fill zeros at +-j*wo, so an equiripple floor, not a hard null)
+    val wc = 2.0 * math.atan(math.sqrt(math.tan(math.Pi * 0.1) * math.tan(math.Pi * 0.3)))
+    assert(db(wc / math.Pi) >= 40.0 - 1e-9, s"center ${db(wc / math.Pi)}")
+  }
+
   test("all designed filters are stable (poles inside unit circle)") {
-    for (sos <- Seq(IirOps.butterLp, IirOps.cheby1Lp, IirOps.notch15); s <- sos) {
+    for (
+      sos <- Seq(IirOps.butterLp, IirOps.cheby1Lp, IirOps.notch15, IirOps.butterBp, IirOps.ellipBs);
+      s <- sos
+    ) {
       val a1 = s(4); val a2 = s(5)
       // stability triangle for z^2 + a1 z + a2
       assert(math.abs(a2) < 1.0 && math.abs(a1) < 1.0 + a2, s"unstable section ${s.mkString(",")}")
