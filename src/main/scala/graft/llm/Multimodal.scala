@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Dsp, Tables}
 
 /** Multimodal-column plumbing: opaque binary payloads + typed metadata,
   * with decode / feature-extraction / resize / frame-sampling stages.
@@ -102,11 +102,16 @@ object Multimodal {
   }
 
   /** Synthetic media corpus derived from documents: payload = utf-8
-    * bytes, metadata typed as (width, height, format, n_frames).
+    * bytes, metadata typed as (width, height, format, n_frames). The
+    * corpus contract is ASCII (char length == byte length) — the
+    * mm_features oracle states byte stats via per-character codepoints,
+    * which only coincide under that contract; non-ASCII docs are
+    * excluded identically on both engines (`length = strlen` in DuckDB).
     */
   def syntheticMedia(spark: SparkSession, dir: String): DataFrame =
     Tables
       .documents(spark, dir)
+      .filter(length(col("text")) === octet_length(col("text")))
       .select(
         col("doc_id").as("media_id"),
         encode(col("text"), "UTF-8").as("payload"),
@@ -172,9 +177,11 @@ object Multimodal {
   }
 
   /** PNG media corpus: per document a deterministic grayscale image
-    * (pixel k = byte of the ASCII text at k mod len) encoded as a REAL
-    * PNG executor-side. Lossless, so the DuckDB oracle can state pixel
-    * facts directly from `documents.text`.
+    * (pixel k = codepoint of the text at char k mod len, mod 256)
+    * encoded as a REAL PNG executor-side. Codepoints — not UTF-8
+    * bytes — so the pixel definition matches DuckDB's `unicode(substr(
+    * text, …, 1))` for ANY text, not only ASCII. Lossless, so the
+    * oracle can state pixel facts directly from `documents.text`.
     */
   def pngMedia(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -184,10 +191,10 @@ object Multimodal {
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val bytes = text.getBytes("UTF-8")
-        val w = bytes.length % 64 + 1
-        val h = bytes.length % 48 + 1
-        val gray = Array.tabulate(w * h)(k => bytes(k % bytes.length))
+        val cps = text.codePoints().toArray
+        val w = cps.length % 64 + 1
+        val h = cps.length % 48 + 1
+        val gray = Array.tabulate(w * h)(k => (cps(k % cps.length) % 256).toByte)
         (id, encodePng(gray, w, h))
       })
       .toDF("media_id", "payload")
@@ -214,7 +221,9 @@ object Multimodal {
         col("media_id"),
         col("width"),
         col("height"),
-        round(col("mean_px"), 6).as("mean_px"),
+        // engine-identical rounding: w·h denominators hit powers of two,
+        // the exact-half class where native round() diverges (CLAUDE.md)
+        Dsp.round6(col("mean_px")).as("mean_px"),
         col("min_px"),
         col("max_px")
       )
@@ -255,7 +264,7 @@ object Multimodal {
       .select(
         col("media_id"),
         col("n_samples"),
-        round(col("mean_pcm"), 6).as("mean_pcm"),
+        Dsp.round6(col("mean_pcm")).as("mean_pcm"),
         col("max_abs")
       )
   }
@@ -280,13 +289,15 @@ object Multimodal {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_features" -> { (s, dir) =>
-      decodeFeatures(syntheticMedia(s, dir))
-        .select(
-          col("media_id"),
-          col("n_bytes"),
-          round(col("mean_byte"), 6).as("mean_byte"),
-          col("byte_range")
-        )
+      // ASCII gate (char length == byte length): the oracle states the
+      // payload's BYTE stats via per-CHARACTER codepoints, valid only
+      // when 1 char = 1 byte. Excluded identically on both engines.
+      decodeFeatures(syntheticMedia(s, dir)).select(
+        col("media_id"),
+        col("n_bytes"),
+        Dsp.round6(col("mean_byte")).as("mean_byte"),
+        col("byte_range")
+      )
     },
     "mm_png_features" -> { (s, dir) => pngFeatures(pngMedia(s, dir)) },
     "mm_wav_features" -> { (s, dir) => wavFeatures(wavMedia(s, dir)) },
@@ -301,9 +312,9 @@ object Multimodal {
   def oracleSql: Map[String, String] = Map(
     "mm_features" ->
       ("WITH ch AS (SELECT doc_id AS media_id, unicode(u.c) AS v " +
-        "FROM documents, unnest(string_split(text, '')) u(c)) " +
+        "FROM documents, unnest(string_split(text, '')) u(c) WHERE length(text) = strlen(text)) " +
         "SELECT media_id, CAST(count(*) AS DOUBLE) AS n_bytes, " +
-        "round(sum(CAST(v AS DOUBLE)) / count(*), 6) AS mean_byte, " +
+        Dsp.round6Sql("sum(CAST(v AS DOUBLE)) / count(*)") + " AS mean_byte, " +
         "CAST(max(v) - min(v) AS DOUBLE) AS byte_range FROM ch GROUP BY media_id"),
     // PNG is lossless: decode(encode(pixels)) == pixels, so the oracle
     // states the pixel stats straight from the generating text
@@ -312,10 +323,10 @@ object Multimodal {
         "length(text) % 64 + 1 AS w, length(text) % 48 + 1 AS h FROM documents WHERE length(text) > 0), " +
         // constant-bound series (w≤64, h≤48 ⇒ w·h≤3072) filtered per row:
         // this DuckDB build rejects lateral column bounds in generate_series
-        "px AS (SELECT doc_id, w, h, unicode(substr(text, CAST(g.k % len AS INT) + 1, 1)) AS v " +
+        "px AS (SELECT doc_id, w, h, unicode(substr(text, CAST(g.k % len AS INT) + 1, 1)) % 256 AS v " +
         "FROM d, generate_series(0, 3071) g(k) WHERE g.k < w * h) " +
         "SELECT doc_id AS media_id, max(w) AS width, max(h) AS height, " +
-        "round(CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) / count(*), 6) AS mean_px, " +
+        Dsp.round6Sql("CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) / count(*)") + " AS mean_px, " +
         "CAST(min(v) AS BIGINT) AS min_px, CAST(max(v) AS BIGINT) AS max_px " +
         "FROM px GROUP BY doc_id"),
     // PCM16 is lossless too: the oracle replays the waveform formula
@@ -324,13 +335,14 @@ object Multimodal {
         "s AS (SELECT doc_id, (doc_id * 131 + g.t * 17) % 2003 - 1001 AS v " +
         "FROM d, generate_series(0, 270) g(t) WHERE g.t < n) " +
         "SELECT doc_id AS media_id, count(*) AS n_samples, " +
-        "round(CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) / count(*), 6) AS mean_pcm, " +
+        Dsp.round6Sql("CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) / count(*)") + " AS mean_pcm, " +
         "CAST(max(abs(v)) AS BIGINT) AS max_abs FROM s GROUP BY doc_id"),
     // every 2nd 64-hex-char (32-byte) frame of the payload (= utf-8
     // text); hex, not base64 — Spark's base64 may MIME-chunk. Constant
     // series bound: docs ≤ 2000 chars → hex ≤ 4000 chars
     "mm_frames" ->
-      ("WITH b AS (SELECT doc_id AS media_id, upper(hex(CAST(text AS BLOB))) AS hx FROM documents) " +
+      ("WITH b AS (SELECT doc_id AS media_id, upper(hex(CAST(text AS BLOB))) AS hx " +
+        "FROM documents WHERE length(text) = strlen(text)) " +
         "SELECT media_id, g.i AS frame_idx, substr(hx, CAST(g.i * 64 + 1 AS INT), 64) AS frame_hex " +
         "FROM b, generate_series(0, 63) g(i) WHERE g.i % 2 = 0 AND g.i * 64 < length(hx)")
   )
