@@ -59,6 +59,84 @@ object Fft {
     Array.tabulate(n / 2 + 1)(f => re(f) * re(f) + im(f) * im(f))
   }
 
+  /** Reusable modified-periodogram kernel over one segment: detrend
+    * (none/constant/linear over implicit positions 0..n−1) → window →
+    * |RFFT|² (tabled DFT for non-2^k lengths) → normalization with
+    * optional one-sided doubling (skipping DC, and Nyquist only when it
+    * exists, i.e. for even n — scipy one-sided semantics). One instance
+    * caches the DFT trig tables; use one instance per task/thread.
+    * Shared by the `SpectrumSeg` Catalyst expression and the streaming
+    * frame scan in SpectraOps. The input array is not retained.
+    */
+  final class Periodogram(
+      win: Array[Double],
+      detrend: String,
+      norm: Double,
+      doubled: Boolean
+  ) extends Serializable {
+    require(
+      detrend == "constant" || detrend == "linear" || detrend == "none",
+      s"unknown detrend $detrend"
+    )
+    @transient private var cosT: Array[Double] = null
+    @transient private var sinT: Array[Double] = null
+
+    def apply(xs: Array[Double]): Array[Double] = {
+      val n = xs.length
+      val xw = new Array[Double](n)
+      detrend match {
+        case "constant" =>
+          var s = 0.0; var i = 0
+          while (i < n) { s += xs(i); i += 1 }
+          val m = s / n
+          i = 0
+          while (i < n) { xw(i) = (xs(i) - m) * win(i); i += 1 }
+        case "linear" =>
+          val pBar = (n - 1) / 2.0
+          val pVar = (n - 1.0) * (2.0 * n - 1.0) / 6.0 - pBar * pBar
+          var s = 0.0; var sp = 0.0; var i = 0
+          while (i < n) { s += xs(i); sp += i * xs(i); i += 1 }
+          val m = s / n
+          val slope = (sp / n - pBar * m) / pVar
+          i = 0
+          while (i < n) { xw(i) = (xs(i) - (m + slope * (i - pBar))) * win(i); i += 1 }
+        case _ =>
+          var i = 0
+          while (i < n) { xw(i) = xs(i) * win(i); i += 1 }
+      }
+      val mag2 = if ((n & (n - 1)) == 0) rfftMag2(xw) else dftMag2(xw)
+      val out = new Array[Double](mag2.length)
+      var f = 0
+      while (f < mag2.length) {
+        val one = mag2(f) * norm
+        val isNyquist = (n % 2 == 0) && f == n / 2
+        out(f) = if (doubled && f != 0 && !isNyquist) one * 2.0 else one
+        f += 1
+      }
+      out
+    }
+
+    // non-2^k n (the reference allows any): direct tabled DFT —
+    // O(n·nfreq) per segment but still one in-kernel loop, no row blowup
+    private def dftMag2(xw: Array[Double]): Array[Double] = {
+      val n = xw.length
+      if (cosT == null || cosT.length != n) {
+        cosT = Array.tabulate(n)(k => math.cos(2.0 * math.Pi * k / n))
+        sinT = Array.tabulate(n)(k => math.sin(2.0 * math.Pi * k / n))
+      }
+      Array.tabulate(n / 2 + 1) { f =>
+        var re = 0.0; var im = 0.0; var p = 0
+        while (p < n) {
+          val idx = (f * p) % n
+          re += xw(p) * cosT(idx)
+          im -= xw(p) * sinT(idx)
+          p += 1
+        }
+        re * re + im * im
+      }
+    }
+  }
+
   /** Linear convolution x ⊛ h via zero-padded FFT (length 2^k ≥ nx+nh−1). */
   def convolve(x: Array[Double], h: Array[Double]): Array[Double] = {
     val outLen = x.length + h.length - 1

@@ -75,6 +75,8 @@ case class WinRfftMag2(child: Expression, win: Seq[Double], demean: Boolean)
   * term explosion (×(nfft/2+1) rows per sample) for every Welch/STFT
   * variant; the explicit-DFT SQL stays as the oracle, agreeing after
   * 6 dp rounding (same bar the FFT fast path already clears).
+  * Delegates to the shared [[Fft.Periodogram]] kernel (also used by the
+  * streaming frame scan in SpectraOps).
   */
 case class SpectrumSeg(
     child: Expression,
@@ -84,64 +86,11 @@ case class SpectrumSeg(
     doubled: Boolean
 ) extends UnaryExpression
     with CodegenFallback {
-  @transient private lazy val w = win.toArray
+  @transient private lazy val kernel =
+    new Fft.Periodogram(win.toArray, detrend, norm, doubled)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-  override def nullSafeEval(v: Any): Any = {
-    val xs = v.asInstanceOf[ArrayData].toDoubleArray()
-    val n = xs.length
-    val xw = new Array[Double](n)
-    detrend match {
-      case "constant" =>
-        var s = 0.0; var i = 0
-        while (i < n) { s += xs(i); i += 1 }
-        val m = s / n
-        i = 0
-        while (i < n) { xw(i) = (xs(i) - m) * w(i); i += 1 }
-      case "linear" =>
-        val pBar = (n - 1) / 2.0
-        val pVar = (n - 1.0) * (2.0 * n - 1.0) / 6.0 - pBar * pBar
-        var s = 0.0; var sp = 0.0; var i = 0
-        while (i < n) { s += xs(i); sp += i * xs(i); i += 1 }
-        val m = s / n
-        val slope = (sp / n - pBar * m) / pVar
-        i = 0
-        while (i < n) { xw(i) = (xs(i) - (m + slope * (i - pBar))) * w(i); i += 1 }
-      case _ =>
-        var i = 0
-        while (i < n) { xw(i) = xs(i) * w(i); i += 1 }
-    }
-    val mag2 = if ((n & (n - 1)) == 0) Fft.rfftMag2(xw) else dftMag2(xw)
-    val out = new Array[Double](mag2.length)
-    var f = 0
-    while (f < mag2.length) {
-      val one = mag2(f) * norm
-      out(f) = if (doubled && f != 0 && f != n / 2) one * 2.0 else one
-      f += 1
-    }
-    new GenericArrayData(out)
-  }
-  // non-2^k nfft (the reference allows any): direct tabled DFT —
-  // O(n·nfreq) per segment but still one in-kernel loop, no row blowup
-  @transient private var trig: (Array[Double], Array[Double]) = null
-  private def dftMag2(xw: Array[Double]): Array[Double] = {
-    val n = xw.length
-    if (trig == null || trig._1.length != n)
-      trig = (
-        Array.tabulate(n)(k => math.cos(2.0 * math.Pi * k / n)),
-        Array.tabulate(n)(k => math.sin(2.0 * math.Pi * k / n))
-      )
-    val (cosT, sinT) = trig
-    Array.tabulate(n / 2 + 1) { f =>
-      var re = 0.0; var im = 0.0; var p = 0
-      while (p < n) {
-        val idx = (f * p) % n
-        re += xw(p) * cosT(idx)
-        im -= xw(p) * sinT(idx)
-        p += 1
-      }
-      re * re + im * im
-    }
-  }
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(kernel(v.asInstanceOf[ArrayData].toDoubleArray()))
   override protected def withNewChildInternal(c: Expression): SpectrumSeg = copy(child = c)
 }
 

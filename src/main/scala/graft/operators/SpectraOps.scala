@@ -70,76 +70,95 @@ object SpectraOps {
   /** Modified periodograms per (channel, seg, f).
     * boundary=false → welch framing; true → stft framing (zero-extended
     * by nfft/2, padded to cover the tail).
+    *
+    * Implementation (r5): a streaming channel-partitioned mapPartitions
+    * frame scan, replacing the explode(×nfft/hop) + groupBy(collect_list
+    * + sort_array(struct)) assembly. Shuffle volume drops from
+    * (nfft/hop)·n exploded rows to the n input rows — and to zero extra
+    * exchanges when `presorted` (the caller guarantees channel-
+    * partitioned, (channel, n)-sorted input, true straight off
+    * Signal.long, same contract as FirOps.convPlus). Each full frame
+    * runs the fused detrend→window→|RFFT|² kernel (shared with the
+    * SpectrumSeg expression). Task memory is O(block + nfft) regardless
+    * of channel length; stft boundary zeros are synthesized inside the
+    * scan, so the head/tail union and the per-channel count broadcast
+    * join disappear. This is the same rewrite that took the Hilbert
+    * family from 5.0 s to 1.0 s (convPlus).
     */
   def periodograms(
       sig: DataFrame,
       boundary: Boolean,
       doubled: Boolean,
-      cfg: WelchCfg = WelchCfg()
+      cfg: WelchCfg = WelchCfg(),
+      presorted: Boolean = false
   ): DataFrame = {
+    require(cfg.detrend == "constant" || cfg.detrend == "linear", s"unknown detrend ${cfg.detrend}")
+    val spark = sig.sparkSession
+    import spark.implicits._
     val nfftP = cfg.nfft
     val hopP = cfg.hop
-    // boundary (stft): zero-extend nfft/2 at the head and pad the tail to
-    // the next full segment — as explicit zero rows, so per-segment
-    // detrending sees the zeros exactly like the reference does.
-    val base =
-      if (!boundary) sig.select(col("channel"), col("n").as("m"), col("x"))
-      else {
-        val data = sig.select(col("channel"), (col("n") + nfftP / 2).as("m"), col("x"))
-        val bounds = sig.groupBy(col("channel")).agg(count(lit(1)).as("cnt"))
-        // extended length E = ceil(cnt/hop)*hop + nfft
-        val e = (ceil(col("cnt") / hopP) * hopP + nfftP).cast("bigint")
-        val head = bounds.select(
-          col("channel"),
-          explode(sequence(lit(0L), lit(nfftP / 2 - 1L))).as("m"),
-          lit(0.0).as("x")
-        )
-        val tail = bounds.select(
-          col("channel"),
-          explode(sequence(col("cnt") + nfftP / 2, e - 1)).as("m"),
-          lit(0.0).as("x")
-        )
-        data.unionByName(head).unionByName(tail)
+    require(nfftP % hopP == 0 && (!boundary || nfftP % 2 == 0), s"nfft $nfftP hop $hopP")
+    val win = cfg.win
+    val detrend = cfg.detrend
+    val norm = cfg.norm
+    val blockSize = math.max(1 << 16, 4 * nfftP)
+    val typed = sig
+      .select(col("channel"), col("n"), col("x"))
+      .as[(String, Long, Double)]
+    val ordered =
+      if (presorted) typed
+      else typed.repartition(col("channel")).sortWithinPartitions(col("channel"), col("n"))
+    val segs = ordered
+      .mapPartitions { (it0: Iterator[(String, Long, Double)]) =>
+        val kernel = new graft.functions.Fft.Periodogram(win, detrend, norm, doubled)
+        val in = it0.buffered
+        new Iterator[Iterator[(String, Long, Array[Double])]] {
+          private var ch: String = null
+          // extended-coordinate samples from index `base` (boundary mode
+          // prepends nfft/2 zeros and pads the tail to E = ceil(cnt/hop)
+          // ·hop + nfft, matching the reference's stft zero-extension)
+          private val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
+          private var base = 0L
+          private var s = 0L // next frame index to emit
+          private var nData = 0L
+          def hasNext: Boolean = in.hasNext || xs.nonEmpty
+
+          def next(): Iterator[(String, Long, Array[Double])] = {
+            if (xs.isEmpty) {
+              ch = in.head._1; base = 0L; s = 0L; nData = 0L
+              if (boundary) { var i = 0; while (i < nfftP / 2) { xs += 0.0; i += 1 } }
+            }
+            var read = 0
+            while (read < blockSize && in.hasNext && in.head._1 == ch) {
+              xs += in.next()._3; nData += 1; read += 1
+            }
+            val channelDone = !in.hasNext || in.head._1 != ch
+            if (channelDone && boundary) {
+              val e = ((nData + hopP - 1) / hopP) * hopP + nfftP
+              var i = base + xs.length
+              while (i < e) { xs += 0.0; i += 1 }
+            }
+            val avail = base + xs.length
+            val frame = new Array[Double](nfftP)
+            val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Array[Double])]
+            while (s * hopP + nfftP <= avail) {
+              var i = 0
+              while (i < nfftP) { frame(i) = xs((s * hopP + i - base).toInt); i += 1 }
+              out += ((ch, s, kernel(frame)))
+              s += 1
+            }
+            if (channelDone) xs.clear() // frames all emitted; next call starts fresh
+            else {
+              val dropTo = math.max(base, s * hopP)
+              val dropCount = (dropTo - base).toInt
+              if (dropCount > 0) { xs.remove(0, dropCount); base = dropTo }
+            }
+            out.iterator
+          }
+        }.flatten
       }
-    // per-channel segment count via a tiny aggregate + broadcast join:
-    // a count() over Window.partitionBy(channel) would buffer the whole
-    // channel in WindowExec — a memory cliff at millions of samples per
-    // channel (measured: 26 s vs 7 s at 16M samples)
-    val counts = base.groupBy(col("channel")).agg(count(lit(1)).as("_cnt"))
-    val nsegs = floor((col("_cnt") - nfftP) / hopP) + 1
-    val frames = base
-      .join(broadcast(counts), Seq("channel"))
-      .select(col("channel"), col("m"), col("x"), nsegs.cast("bigint").as("nsegs"))
-      .select(col("*"), explode(sequence(lit(0), lit(nfftP / hopP - 1))).as("d"))
-      .select(
-        col("channel"),
-        col("x"),
-        (col("m") / hopP).cast("bigint").minus(col("d")).as("s"),
-        col("m"),
-        col("nsegs")
-      )
-      .filter(col("s") >= 0 && col("s") < col("nsegs"))
-      .select(col("channel"), col("s"), (col("m") - col("s") * hopP).cast("int").as("p"), col("x"))
-    // segment assembly + one fused FFT kernel per segment (r3: replaces
-    // the explicit-DFT term explosion — ×(nfft/2+1) rows per sample —
-    // and the per-segment WindowExec detrend; the explicit-DFT SQL
-    // remains the oracle, agreeing after 6 dp rounding exactly like the
-    // FFT fast path always has)
-    require(cfg.detrend == "constant" || cfg.detrend == "linear", s"unknown detrend ${cfg.detrend}")
-    val segs = frames
-      .groupBy(col("channel"), col("s"))
-      .agg(
-        transform(sort_array(collect_list(struct(col("p"), col("x")))), e => e.getField("x"))
-          .as("xs")
-      )
-    segs
-      .select(
-        col("channel"),
-        col("s"),
-        posexplode(
-          graft.functions.exprs.spectrum_seg(col("xs"), cfg.win, cfg.detrend, cfg.norm, doubled)
-        ).as(Seq("f", "p2"))
-      )
+      .toDF("channel", "s", "p2s")
+    segs.select(col("channel"), col("s"), posexplode(col("p2s")).as(Seq("f", "p2")))
   }
 
   /** SQL twin of [[periodograms]] as a CTE chain ending in
@@ -198,8 +217,12 @@ object SpectraOps {
   }
 
   /** Welch PSD per (channel, f). */
-  def psdWelch(sig: DataFrame, cfg: WelchCfg = WelchCfg()): DataFrame =
-    periodograms(sig, boundary = false, doubled = true, cfg)
+  def psdWelch(
+      sig: DataFrame,
+      cfg: WelchCfg = WelchCfg(),
+      presorted: Boolean = false
+  ): DataFrame =
+    periodograms(sig, boundary = false, doubled = true, cfg, presorted)
       .groupBy(col("channel"), col("f"))
       .agg(avg(col("p2")).as("psd"), count(lit(1)).as("nsegs"))
       .select(
@@ -216,8 +239,8 @@ object SpectraOps {
       s"SELECT channel, f, round(f * ${Dsp.lit(fsv / cfg.nfft)}, 4) AS freq_hz, round(psd, 6) AS psd, nsegs FROM welch"
 
   /** STFT spectrogram |X|² per (channel, s, f), boundary + padded. */
-  def stft(sig: DataFrame): DataFrame =
-    periodograms(sig, boundary = true, doubled = false)
+  def stft(sig: DataFrame, presorted: Boolean = false): DataFrame =
+    periodograms(sig, boundary = true, doubled = false, presorted = presorted)
       .select(col("channel"), col("s"), col("f"), round(col("p2"), 6).as("sxx"))
 
   def stftSql: String =
@@ -239,8 +262,8 @@ object SpectraOps {
   private val bandB = 20 // 31.25 Hz  (14 intervals, even, Simpson-exact)
 
   /** Integrated band power per channel (metrics.power, Simpson rule). */
-  def bandPower(sig: DataFrame): DataFrame =
-    psdWelch(sig)
+  def bandPower(sig: DataFrame, presorted: Boolean = false): DataFrame =
+    psdWelch(sig, presorted = presorted)
       .filter(col("f") >= bandA && col("f") <= bandB)
       .groupBy(col("channel"))
       .agg(
@@ -255,8 +278,8 @@ object SpectraOps {
       s"FROM welch WHERE f >= $bandA AND f <= $bandB GROUP BY channel"
 
   /** PSD normalized by total power over the full band (metrics.power_norm). */
-  def psdNorm(sig: DataFrame): DataFrame = {
-    val psd = psdWelch(sig).select(col("channel"), col("f"), col("psd"))
+  def psdNorm(sig: DataFrame, presorted: Boolean = false): DataFrame = {
+    val psd = psdWelch(sig, presorted = presorted).select(col("channel"), col("f"), col("psd"))
     val cw = Window.partitionBy(col("channel"))
     psd
       .select(
@@ -288,8 +311,8 @@ object SpectraOps {
     s"($dofExpr) * power(1.0 - 2.0 / (9.0 * ($dofExpr)) + ($z) * sqrt(2.0 / (9.0 * ($dofExpr))), 3)"
 
   /** 95% CI bounds per (channel, f) (metrics.confidence_interval). */
-  def psdCi(sig: DataFrame): DataFrame = {
-    val psd = psdWelch(sig)
+  def psdCi(sig: DataFrame, presorted: Boolean = false): DataFrame = {
+    val psd = psdWelch(sig, presorted = presorted)
     val dof = (col("nsegs") * 2).cast("double")
     psd.select(
       col("channel"),
@@ -307,54 +330,17 @@ object SpectraOps {
       s"round(psd * $dof / (${whSql(dof, Dsp.lit(-z975))}), 6) AS ci_hi FROM welch"
   }
 
-  /** Segmented FFT Welch PSD — the large-nfft scale path. Frames are
-    * assembled by one channel-partitioned groupBy (no extra shuffle on
-    * top of the signal's partitioning); each frame runs detrend, window
-    * and |RFFT|² inside the custom `RfftMag2` expression, O(nfft·log
-    * nfft) instead of the O(nfft·nfreq) explicit inner product. Output
-    * matches [[psdWelch]] (for the same nfft) to FFT rounding error.
+  /** Segmented FFT Welch PSD — the large-nfft scale path: the same
+    * streaming frame scan as [[periodograms]] at nfft=nfftF, O(nfft·log
+    * nfft) radix-2 kernel per frame (numerically identical to the
+    * previous WinRfftMag2 assembly: same left-associated mean, same
+    * (|X|²·norm)·2 association).
     */
-  def psdWelchFast(sig: DataFrame, nfftF: Int): DataFrame = {
+  def psdWelchFast(sig: DataFrame, nfftF: Int, presorted: Boolean = false): DataFrame = {
     require((nfftF & (nfftF - 1)) == 0)
-    val hopF = nfftF / 2
-    val win = Array.tabulate(nfftF)(p => 0.5 - 0.5 * math.cos(2.0 * math.Pi * p / nfftF))
-    val norm = 1.0 / (fsv * win.map(w => w * w).sum)
-    // tiny aggregate + broadcast join, not a channel-window count (see
-    // periodograms — WindowExec would buffer whole channels)
-    val counts = sig.groupBy(col("channel")).agg(count(lit(1)).as("_cnt"))
-    val nsegs = (floor((col("_cnt") - nfftF) / hopF) + 1).cast("bigint")
-    val frames = sig
-      .join(broadcast(counts), Seq("channel"))
-      .select(col("channel"), col("n"), col("x"), nsegs.as("nsegs"))
-      .select(col("*"), explode(sequence(lit(0), lit(nfftF / hopF - 1))).as("d"))
-      .select(
-        col("channel"),
-        col("x"),
-        ((col("n") / hopF).cast("bigint") - col("d")).as("s"),
-        col("n"),
-        col("nsegs")
-      )
-      .filter(col("s") >= 0 && col("s") < col("nsegs"))
-      .select(col("channel"), col("s"), (col("n") - col("s") * hopF).cast("int").as("p"), col("x"))
-    val segs = frames
-      .groupBy(col("channel"), col("s"))
-      .agg(
-        transform(sort_array(collect_list(struct(col("p"), col("x")))), e => e.getField("x"))
-          .as("xs")
-      )
-    val p2s = segs.select(
-      col("channel"),
-      col("s"),
-      graft.functions.exprs.win_rfft_mag2(col("xs"), win, demean = true).as("p2s")
-    )
-    p2s
-      .select(col("channel"), posexplode(col("p2s")).as(Seq("f", "p2raw")))
-      .select(
-        col("channel"),
-        col("f").cast("bigint").as("f"),
-        (col("p2raw") * norm *
-          when(col("f") === 0 || col("f") === (nfftF / 2), 1.0).otherwise(2.0)).as("p2")
-      )
+    val cfg = WelchCfg(nfft = nfftF, hop = nfftF / 2)
+    periodograms(sig, boundary = false, doubled = true, cfg, presorted)
+      .select(col("channel"), col("f").cast("bigint").as("f"), col("p2"))
       .groupBy(col("channel"), col("f"))
       .agg(round(avg(col("p2")), 6).as("psd"), count(lit(1)).as("nsegs"))
   }
@@ -374,16 +360,21 @@ object SpectraOps {
   val cfgHamm75: WelchCfg = WelchCfg(winName = "hamming", hop = 16)
   val cfgLinear: WelchCfg = WelchCfg(detrend = "linear")
 
+  // presorted = true: Signal.long's ranking window leaves the data
+  // channel-partitioned and (channel, n)-sorted, so the frame scan fuses
+  // into the window stage with zero additional exchanges.
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "psd_welch_fast" -> { (s, dir) => psdWelchFast(Signal.long(s, dir), 128) },
-    "psd_welch" -> { (s, dir) => psdWelch(Signal.long(s, dir)) },
-    "psd_welch_spectrum" -> { (s, dir) => psdWelch(Signal.long(s, dir), cfgSpectrum) },
-    "psd_welch_hamm75" -> { (s, dir) => psdWelch(Signal.long(s, dir), cfgHamm75) },
-    "psd_welch_linear" -> { (s, dir) => psdWelch(Signal.long(s, dir), cfgLinear) },
-    "stft64" -> { (s, dir) => stft(Signal.long(s, dir)) },
-    "band_power" -> { (s, dir) => bandPower(Signal.long(s, dir)) },
-    "psd_norm" -> { (s, dir) => psdNorm(Signal.long(s, dir)) },
-    "psd_ci" -> { (s, dir) => psdCi(Signal.long(s, dir)) }
+    "psd_welch_fast" -> { (s, dir) => psdWelchFast(Signal.long(s, dir), 128, presorted = true) },
+    "psd_welch" -> { (s, dir) => psdWelch(Signal.long(s, dir), presorted = true) },
+    "psd_welch_spectrum" -> { (s, dir) =>
+      psdWelch(Signal.long(s, dir), cfgSpectrum, presorted = true)
+    },
+    "psd_welch_hamm75" -> { (s, dir) => psdWelch(Signal.long(s, dir), cfgHamm75, presorted = true) },
+    "psd_welch_linear" -> { (s, dir) => psdWelch(Signal.long(s, dir), cfgLinear, presorted = true) },
+    "stft64" -> { (s, dir) => stft(Signal.long(s, dir), presorted = true) },
+    "band_power" -> { (s, dir) => bandPower(Signal.long(s, dir), presorted = true) },
+    "psd_norm" -> { (s, dir) => psdNorm(Signal.long(s, dir), presorted = true) },
+    "psd_ci" -> { (s, dir) => psdCi(Signal.long(s, dir), presorted = true) }
   )
 
   def oracleSql: Map[String, String] = Map(
