@@ -31,10 +31,24 @@ object Prof {
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"PROF $name%-22s ${sec}%7.2f s  ${total / sec / 1e6}%8.2f Msamples/s  rows=$rows")
     }
+    // channel-partitioned, (channel, n)-sorted copy — what Signal.long
+    // hands the gate queries; isolates kernel+codec from the exchange
+    val sigSorted = sig.repartition(col("channel"))
+      .sortWithinPartitions(col("channel"), col("n")).persist()
+    sigSorted.count()
     t("warmup")(sig.limit(1000).count())
     val h75 = operators.HilbertOps.hilbertH
     t("convPlus_75tap")(operators.FirOps.convPlus(sig, h75).count())
     t("sosfilt_butter")(operators.IirOps.sosfilt(sig, operators.IirOps.butterLp).count())
+    t("sosfilt_presorted")(
+      operators.IirOps.sosfilt(sigSorted, operators.IirOps.butterLp, presorted = true).count()
+    )
+    t("sosfiltfilt_presorted")(
+      operators.IirOps.sosfiltfilt(sigSorted, operators.IirOps.butterLp, presorted = true).count()
+    )
+    t("psd_welch_presorted")(
+      operators.SpectraOps.psdWelch(sigSorted, presorted = true).count()
+    )
     t("polyResample_3_2")(operators.ResampleOps.polyResample(sig, 3, 2, operators.ResampleOps.hRes32).count())
     t("psd_welch_fft")(operators.SpectraOps.psdWelch(sig).count())
     t("stft64_fft")(operators.SpectraOps.stft(sig).count())

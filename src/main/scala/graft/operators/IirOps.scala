@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{Dsp, Iir, Signal}
@@ -25,124 +25,218 @@ import graft.core.{Dsp, Iir, Signal}
   */
 object IirOps {
 
-  /** Forward sosfilt. `ziScale = None` → zero initial state;
+  // ---- blocked recursion engine (r5) ----
+  //
+  // The recursion itself is a per-sample scalar loop either way; what
+  // the blocked layout removes is the per-sample JVM row codec and the
+  // per-pass exchanges. Rows are decoded exactly once into ~4096-sample
+  // blocks; every cascade pass and the zero-phase flip then touch only
+  // n/4096 array rows, and the final per-sample rows are re-created by
+  // codegen'd explode, not the tuple Encoder. With `presorted` (true
+  // straight off Signal.long, whose ranking window leaves the data
+  // channel-partitioned and (channel, n)-sorted) a forward pass adds no
+  // exchange at all, and sosfiltfilt's backward pass needs only a
+  // partition-local sort of block rows.
+
+  /** (channel, n0, sample indices, samples) — one fixed-size block. */
+  private type Blk = (String, Long, Array[Long], Array[Double])
+
+  private val blockLen = 4096
+
+  /** One sequential recurrence: `reset` seeds the state from the first
+    * processed sample of a channel, `step` advances one sample.
+    */
+  private trait Cascade extends Serializable {
+    def reset(x0: Double): Unit
+    def step(x: Double): Double
+  }
+
+  /** DF2T second-order-section cascade (scipy sosfilt recurrence). */
+  private final class SosCascade(
+      sos: Array[Array[Double]],
+      ziUnit: Option[Array[Array[Double]]]
+  ) extends Cascade {
+    private val nSec = sos.length
+    private val flat = sos.flatten // (b0 b1 b2 a0 a1 a2) * nSec
+    private val ziFlat = ziUnit.map(_.flatten).orNull
+    private val z1 = new Array[Double](nSec)
+    private val z2 = new Array[Double](nSec)
+    def reset(x0: Double): Unit =
+      if (ziFlat == null) { java.util.Arrays.fill(z1, 0.0); java.util.Arrays.fill(z2, 0.0) }
+      else {
+        var s = 0
+        while (s < nSec) { z1(s) = ziFlat(2 * s) * x0; z2(s) = ziFlat(2 * s + 1) * x0; s += 1 }
+      }
+    def step(x: Double): Double = {
+      var u = x
+      var s = 0
+      while (s < nSec) {
+        val b0 = flat(6 * s); val b1 = flat(6 * s + 1); val b2 = flat(6 * s + 2)
+        val a1 = flat(6 * s + 4); val a2 = flat(6 * s + 5)
+        val y = b0 * u + z1(s)
+        z1(s) = b1 * u + z2(s) - a1 * y
+        z2(s) = b2 * u - a2 * y
+        u = y
+        s += 1
+      }
+      u
+    }
+  }
+
+  /** DF2T general-order ba-form recurrence (scipy lfilter). */
+  private final class BaCascade(
+      b0: Array[Double],
+      a0: Array[Double],
+      ziUnit: Option[Array[Double]]
+  ) extends Cascade {
+    private val nn = math.max(b0.length, a0.length)
+    private val b = java.util.Arrays.copyOf(b0, nn)
+    private val a = java.util.Arrays.copyOf(a0, nn)
+    private val m = nn - 1
+    private val zi = ziUnit.orNull
+    private val z = new Array[Double](m)
+    def reset(x0: Double): Unit =
+      if (zi == null) java.util.Arrays.fill(z, 0.0)
+      else { var i = 0; while (i < m) { z(i) = zi(i) * x0; i += 1 } }
+    def step(x: Double): Double = {
+      val y = b(0) * x + (if (m > 0) z(0) else 0.0)
+      var i = 0
+      while (i < m - 1) {
+        z(i) = b(i + 1) * x + z(i + 1) - a(i + 1) * y
+        i += 1
+      }
+      if (m > 0) z(m - 1) = b(m) * x - a(m) * y
+      y
+    }
+  }
+
+  /** Decode (channel, n)-ordered rows into blocks, once. */
+  private def toBlocks(sig: DataFrame, presorted: Boolean): Dataset[Blk] = {
+    val spark = sig.sparkSession
+    import spark.implicits._
+    val typed = sig
+      .select(col("channel"), col("n"), col("x"))
+      .as[(String, Long, Double)]
+    val ordered =
+      if (presorted) typed
+      else typed.repartition(col("channel")).sortWithinPartitions(col("channel"), col("n"))
+    ordered.mapPartitions { it0 =>
+      val in = it0.buffered
+      new Iterator[Blk] {
+        def hasNext: Boolean = in.hasNext
+        def next(): Blk = {
+          val ch = in.head._1
+          val ns = new Array[Long](blockLen)
+          val xs = new Array[Double](blockLen)
+          var k = 0
+          while (k < blockLen && in.hasNext && in.head._1 == ch) {
+            val r = in.next(); ns(k) = r._2; xs(k) = r._3; k += 1
+          }
+          if (k == blockLen) (ch, ns(0), ns, xs)
+          else (ch, ns(0), java.util.Arrays.copyOf(ns, k), java.util.Arrays.copyOf(xs, k))
+        }
+      }
+    }
+  }
+
+  /** Run a recurrence over blocks. Forward expects blocks ascending by
+    * (channel, n0); `reverse` expects them descending and iterates each
+    * block's samples high-to-low (anti-causal pass). State carries
+    * across a channel's blocks; arithmetic is sample-for-sample the
+    * recurrence the recursive-CTE oracle replays.
+    */
+  private def scanBlocks(blocks: Dataset[Blk], mk: () => Cascade, reverse: Boolean): Dataset[Blk] = {
+    val spark = blocks.sparkSession
+    import spark.implicits._
+    blocks.mapPartitions { it =>
+      val c = mk()
+      var cur: String = null
+      it.map { case (ch, n0, ns, xs) =>
+        val m = xs.length
+        val ys = new Array[Double](m)
+        if (reverse) {
+          if (ch != cur) { cur = ch; c.reset(xs(m - 1)) }
+          var i = m - 1
+          while (i >= 0) { ys(i) = c.step(xs(i)); i -= 1 }
+        } else {
+          if (ch != cur) { cur = ch; c.reset(xs(0)) }
+          var i = 0
+          while (i < m) { ys(i) = c.step(xs(i)); i += 1 }
+        }
+        (ch, n0, ns, ys)
+      }
+    }
+  }
+
+  /** Partition-local descending block order for an anti-causal pass. */
+  private def descending(blocks: Dataset[Blk]): Dataset[Blk] =
+    blocks.sortWithinPartitions(col("_1"), col("_2").desc)
+
+  private def fromBlocks(blocks: Dataset[Blk]): DataFrame =
+    blocks
+      .toDF("channel", "n0", "ns", "ys")
+      .select(col("channel"), explode(arrays_zip(col("ns"), col("ys"))).as("z"))
+      .select(col("channel"), col("z.ns").as("n"), col("z.ys").as("y"))
+
+  /** Forward sosfilt. `ziUnit = None` → zero initial state;
     * `Some(zi)` → state = zi * (first sample of each channel).
-    * `reverse = true` runs anti-causally (descending n).
+    * `reverse = true` runs anti-causally (descending n). `presorted`:
+    * caller guarantees channel-partitioned, (channel, n)-sorted input.
     */
   def sosfilt(
       sig: DataFrame,
       sos: Array[Array[Double]],
       ziUnit: Option[Array[Array[Double]]] = None,
-      reverse: Boolean = false
+      reverse: Boolean = false,
+      presorted: Boolean = false
   ): DataFrame = {
-    val spark = sig.sparkSession
-    import spark.implicits._
-    val nSec = sos.length
-    val flat = sos.flatten // (b0 b1 b2 a0 a1 a2) * nSec
-    val ziFlat = ziUnit.map(_.flatten)
-    val sorted = sig
-      .select(col("channel"), col("n"), col("x"))
-      .as[(String, Long, Double)]
-      .repartition(col("channel"))
-    val ordered =
-      if (reverse) sorted.sortWithinPartitions(col("channel"), col("n").desc)
-      else sorted.sortWithinPartitions(col("channel"), col("n"))
-    ordered
-      .mapPartitions { it =>
-        val z1 = new Array[Double](nSec)
-        val z2 = new Array[Double](nSec)
-        var cur: String = null
-        it.map { case (ch, n, x) =>
-          if (ch != cur) {
-            cur = ch
-            ziFlat match {
-              case Some(zi) =>
-                var s = 0
-                while (s < nSec) { z1(s) = zi(2 * s) * x; z2(s) = zi(2 * s + 1) * x; s += 1 }
-              case None =>
-                java.util.Arrays.fill(z1, 0.0); java.util.Arrays.fill(z2, 0.0)
-            }
-          }
-          var u = x
-          var s = 0
-          while (s < nSec) {
-            val b0 = flat(6 * s); val b1 = flat(6 * s + 1); val b2 = flat(6 * s + 2)
-            val a1 = flat(6 * s + 4); val a2 = flat(6 * s + 5)
-            val y = b0 * u + z1(s)
-            z1(s) = b1 * u + z2(s) - a1 * y
-            z2(s) = b2 * u - a2 * y
-            u = y
-            s += 1
-          }
-          (ch, n, u)
-        }
-      }
-      .toDF("channel", "n", "y")
+    val blocks = toBlocks(sig, presorted)
+    val ordered = if (reverse) descending(blocks) else blocks
+    fromBlocks(scanBlocks(ordered, () => new SosCascade(sos, ziUnit), reverse))
   }
 
   /** Zero-phase forward-backward filter (openseize sosfiltfilt,
     * scipy padtype=None): forward with zi·x0, then the reverse pass with
-    * zi·y_last on the flipped forward output.
+    * zi·y_last on the flipped forward output. Both passes stay in the
+    * blocked layout — the flip is a partition-local sort of block rows,
+    * not a row-level exchange.
     */
-  def sosfiltfilt(sig: DataFrame, sos: Array[Array[Double]]): DataFrame = {
-    val zi = Iir.sosfiltZi(sos)
-    val fwd = sosfilt(sig, sos, Some(zi))
-    sosfilt(fwd.withColumnRenamed("y", "x"), sos, Some(zi), reverse = true)
+  def sosfiltfilt(
+      sig: DataFrame,
+      sos: Array[Array[Double]],
+      presorted: Boolean = false
+  ): DataFrame = {
+    val zi = Some(Iir.sosfiltZi(sos))
+    val fwd = scanBlocks(toBlocks(sig, presorted), () => new SosCascade(sos, zi), reverse = false)
+    fromBlocks(scanBlocks(descending(fwd), () => new SosCascade(sos, zi), reverse = true))
   }
 
   /** ba-form lfilter (reference numerical.py:414): direct-form II
-    * transposed, same channel-parallel engine as sosfilt.
+    * transposed, same blocked channel-parallel engine as sosfilt.
     */
   def lfilter(
       sig: DataFrame,
-      b0: Array[Double],
-      a0: Array[Double],
+      b: Array[Double],
+      a: Array[Double],
       ziUnit: Option[Array[Double]] = None,
-      reverse: Boolean = false
+      reverse: Boolean = false,
+      presorted: Boolean = false
   ): DataFrame = {
-    val spark = sig.sparkSession
-    import spark.implicits._
-    val n = math.max(b0.length, a0.length)
-    val b = java.util.Arrays.copyOf(b0, n)
-    val a = java.util.Arrays.copyOf(a0, n)
-    val m = n - 1
-    val sorted = sig
-      .select(col("channel"), col("n"), col("x"))
-      .as[(String, Long, Double)]
-      .repartition(col("channel"))
-    val ordered =
-      if (reverse) sorted.sortWithinPartitions(col("channel"), col("n").desc)
-      else sorted.sortWithinPartitions(col("channel"), col("n"))
-    ordered
-      .mapPartitions { it =>
-        val z = new Array[Double](m)
-        var cur: String = null
-        it.map { case (ch, idx, x) =>
-          if (ch != cur) {
-            cur = ch
-            ziUnit match {
-              case Some(zi) => var i = 0; while (i < m) { z(i) = zi(i) * x; i += 1 }
-              case None => java.util.Arrays.fill(z, 0.0)
-            }
-          }
-          val y = b(0) * x + (if (m > 0) z(0) else 0.0)
-          var i = 0
-          while (i < m - 1) {
-            z(i) = b(i + 1) * x + z(i + 1) - a(i + 1) * y
-            i += 1
-          }
-          if (m > 0) z(m - 1) = b(m) * x - a(m) * y
-          (ch, idx, y)
-        }
-      }
-      .toDF("channel", "n", "y")
+    val blocks = toBlocks(sig, presorted)
+    val ordered = if (reverse) descending(blocks) else blocks
+    fromBlocks(scanBlocks(ordered, () => new BaCascade(b, a, ziUnit), reverse))
   }
 
   /** ba-form zero-phase filtfilt (reference numerical.py:449). */
-  def filtfiltBa(sig: DataFrame, b: Array[Double], a: Array[Double]): DataFrame = {
-    val zi = Iir.lfilterZi(b, a)
-    val fwd = lfilter(sig, b, a, Some(zi))
-    lfilter(fwd.withColumnRenamed("y", "x"), b, a, Some(zi), reverse = true)
+  def filtfiltBa(
+      sig: DataFrame,
+      b: Array[Double],
+      a: Array[Double],
+      presorted: Boolean = false
+  ): DataFrame = {
+    val zi = Some(Iir.lfilterZi(b, a))
+    val fwd = scanBlocks(toBlocks(sig, presorted), () => new BaCascade(b, a, zi), reverse = false)
+    fromBlocks(scanBlocks(descending(fwd), () => new BaCascade(b, a, zi), reverse = true))
   }
 
   private def rounded(df: DataFrame): DataFrame =
@@ -316,20 +410,28 @@ object IirOps {
     Iir.zpk2tf(proto)
   }
 
+  // presorted = true: Signal.long's ranking window leaves the data
+  // channel-partitioned and (channel, n)-sorted, so the forward scans
+  // fuse into the window stage with zero additional exchanges.
+  private def sosQ(sos: Array[Array[Double]])(s: SparkSession, dir: String): DataFrame =
+    rounded(sosfilt(Signal.long(s, dir), sos, presorted = true))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "iir_butter_lp" -> { (s, dir) => rounded(sosfilt(Signal.long(s, dir), butterLp)) },
-    "iir_cheby1_lp" -> { (s, dir) => rounded(sosfilt(Signal.long(s, dir), cheby1Lp)) },
-    "iir_cheby2_hp" -> { (s, dir) => rounded(sosfilt(Signal.long(s, dir), cheby2Hp)) },
-    "iir_ellip_lp" -> { (s, dir) => rounded(sosfilt(Signal.long(s, dir), ellipLp)) },
-    "iir_notch" -> { (s, dir) => rounded(sosfilt(Signal.long(s, dir), notch15)) },
-    "iir_butter_bp" -> { (s, dir) => rounded(sosfilt(Signal.long(s, dir), butterBp)) },
-    "iir_ellip_bs" -> { (s, dir) => rounded(sosfilt(Signal.long(s, dir), ellipBs)) },
-    "iir_butter_filtfilt" -> { (s, dir) => rounded(sosfiltfilt(Signal.long(s, dir), butterLp)) },
+    "iir_butter_lp" -> sosQ(butterLp) _,
+    "iir_cheby1_lp" -> sosQ(cheby1Lp) _,
+    "iir_cheby2_hp" -> sosQ(cheby2Hp) _,
+    "iir_ellip_lp" -> sosQ(ellipLp) _,
+    "iir_notch" -> sosQ(notch15) _,
+    "iir_butter_bp" -> sosQ(butterBp) _,
+    "iir_ellip_bs" -> sosQ(ellipBs) _,
+    "iir_butter_filtfilt" -> { (s, dir) =>
+      rounded(sosfiltfilt(Signal.long(s, dir), butterLp, presorted = true))
+    },
     "iir_lfilter_lp" -> { (s, dir) =>
-      rounded(lfilter(Signal.long(s, dir), butterBa._1, butterBa._2))
+      rounded(lfilter(Signal.long(s, dir), butterBa._1, butterBa._2, presorted = true))
     },
     "iir_filtfilt_ba" -> { (s, dir) =>
-      rounded(filtfiltBa(Signal.long(s, dir), butterBa._1, butterBa._2))
+      rounded(filtfiltBa(Signal.long(s, dir), butterBa._1, butterBa._2, presorted = true))
     }
   )
 
