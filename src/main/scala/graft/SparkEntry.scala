@@ -69,6 +69,7 @@ object SparkEntry {
       llm.Multimodal.oracleSql ++
       llm.Curation.oracleSql ++
       pipeline.PipelineOps.oracleSql ++
+      sources.EdfOps.oracleSql ++
       streaming.StreamOps.oracleSql
 }
 

@@ -43,6 +43,28 @@ object Edf {
     def offset(i: Int): Double = physMin(i) - slope(i) * digMin(i)
   }
 
+  /** Quantize physical-range bounds to values whose 8-char ASCII header
+    * field round-trips exactly: 3 decimals (floor for min / ceil for
+    * max) below 1000 in magnitude, whole numbers above. This makes the
+    * writer-side quantization and the reader-side decode use the
+    * identical slope/offset (the raw min/max would silently truncate in
+    * the header, leaving the writer and reader with different gains),
+    * and gives the int16 round-trip a closed form a SQL oracle can
+    * replay: y = s·clamp(floor((x−o)/s + ½)) + o.
+    */
+  def physFloor(v: Double): Double =
+    if (math.abs(v) < 1000.0) math.floor(v * 1000.0) / 1000.0 else math.floor(v)
+
+  def physCeil(v: Double): Double =
+    if (math.abs(v) < 1000.0) math.ceil(v * 1000.0) / 1000.0 else math.ceil(v)
+
+  /** (physMin, physMax) for a channel with raw range [mn, mx]. */
+  def physRange(mn: Double, mx: Double): (Double, Double) = {
+    val pmn = physFloor(mn)
+    val pmx0 = physCeil(math.max(mx, mn + 1e-9))
+    (pmn, if (pmx0 <= pmn) pmn + 0.001 else pmx0)
+  }
+
   private def pad(s: String, n: Int): Array[Byte] = {
     val t = if (s.length > n) s.substring(0, n) else s + (" " * (n - s.length))
     t.getBytes(StandardCharsets.US_ASCII)
@@ -95,8 +117,9 @@ object Edf {
     val spr = samplesPerRecord
     val nRecords = len / spr
     require(nRecords * spr == len, s"length $len not a multiple of $spr")
-    val physMin = channels.map(_._2.min).toVector
-    val physMax = channels.map { case (_, xs) => math.max(xs.max, xs.min + 1e-9) }.toVector
+    val ranges = channels.map { case (_, xs) => physRange(xs.min, xs.max) }
+    val physMin = ranges.map(_._1).toVector
+    val physMax = ranges.map(_._2).toVector
     val hdr = Header(
       nRecords,
       spr / fs,
@@ -119,7 +142,10 @@ object Edf {
           val s = hdr.slope(i); val o = hdr.offset(i)
           var j = r * spr
           while (j < (r + 1) * spr) {
-            val dig = math.max(-32768, math.min(32767, math.round((xs(j) - o) / s))).toInt
+            // floor(v + ½), textually matching the SQL oracle (Math.round
+            // deviates from it on one pathological sub-half double)
+            val dig =
+              math.max(-32768L, math.min(32767L, math.floor((xs(j) - o) / s + 0.5).toLong)).toInt
             buf.putShort(dig.toShort)
             j += 1
           }
@@ -190,12 +216,13 @@ object Edf {
             cur = rec
             val chs = bc.value(rec)
             val nCh = chs.length
+            val ranges = chs.map(c => physRange(c._3, c._4))
             hdr = Header(
               (chs.head._2 / spr).toInt,
               spr / fs,
               chs.map(_._1),
-              chs.map(_._3).toVector,
-              chs.map(c => math.max(c._4, c._3 + 1e-9)).toVector,
+              ranges.map(_._1).toVector,
+              ranges.map(_._2).toVector,
               Vector.fill(nCh)(-32768),
               Vector.fill(nCh)(32767),
               Vector.fill(nCh)(spr)
@@ -208,7 +235,7 @@ object Edf {
           }
           val i = chIdx(ch)
           val s = hdr.slope(i); val o = hdr.offset(i)
-          val dig = math.max(-32768L, math.min(32767L, math.round((x - o) / s))).toInt
+          val dig = math.max(-32768L, math.min(32767L, math.floor((x - o) / s + 0.5).toLong)).toInt
           buf.putShort((i * spr + (n % spr).toInt) * 2, dig.toShort)
           filled += 1
           if (filled == hdr.recordBytes / 2) flush()
@@ -251,13 +278,81 @@ object Edf {
 
   /** Distributed EDF read: one task per file, records parsed in
     * executors → DataFrame (src, channel, n, x).
+    *
+    * Header-directed (r5): only the data records overlapping the
+    * requested per-channel sample range [start, stop) are read — the
+    * stream seeks past everything before and stops after — and only the
+    * selected channels are decoded (reference Reader.read(start, stop)
+    * + channels, file_io/edf.py:317). Peak task memory is ONE data
+    * record (Σspr·2 bytes), not the file, so recordings of any length
+    * stream without the 2 GiB JVM array cap, and a time-slice query
+    * over a TB-scale recording touches just the matching byte range.
     */
-  def readSpark(spark: SparkSession, pathGlob: String): DataFrame = {
+  def readSpark(
+      spark: SparkSession,
+      pathGlob: String,
+      start: Long = 0L,
+      stop: Long = Long.MaxValue,
+      channels: Seq[String] = Nil
+  ): DataFrame = {
     import spark.implicits._
+    val chSet = channels.toSet
     spark.sparkContext
       .binaryFiles(pathGlob)
       .flatMap { case (name, pds) =>
-        decode(pds.toArray()).map { case (ch, n, x) => (name, ch, n, x) }
+        val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(pds.open(), 1 << 16)
+        )
+        val first = new Array[Byte](256)
+        in.readFully(first)
+        val nSignals = new String(first, 252, 4, StandardCharsets.US_ASCII).trim.toInt
+        val rest = new Array[Byte](256 * nSignals)
+        in.readFully(rest)
+        val hdr = parseHeader(first ++ rest)
+        val sel = hdr.labels.indices.filter(i => chSet.isEmpty || chSet(hdr.labels(i))).toArray
+        // record span covering [start, stop) across the selected channels
+        val spans = sel.map { i =>
+          val spr = hdr.samplesPerRecord(i).toLong
+          // clamp before the ceil-division: stop = Long.MaxValue (read
+          // all) would overflow in (stop + spr - 1)
+          val stopC = math.max(0L, math.min(stop, hdr.nRecords.toLong * spr))
+          (start / spr, (stopC + spr - 1) / spr)
+        }
+        val rHi = if (spans.isEmpty) 0L else math.min(hdr.nRecords.toLong, spans.map(_._2).max)
+        val rLo = if (spans.isEmpty) 0L else math.min(math.max(0L, spans.map(_._1).min), rHi)
+        val chanOff = { // byte offset of each signal inside a record
+          val o = new Array[Int](hdr.nSignals); var acc = 0
+          for (i <- 0 until hdr.nSignals) { o(i) = acc; acc += hdr.samplesPerRecord(i) * 2 }
+          o
+        }
+        if (rLo < rHi) in.skipNBytes(rLo * hdr.recordBytes) else ()
+        val buf = new Array[Byte](hdr.recordBytes)
+        var closed = false
+        def closeIn(): Unit = if (!closed) { closed = true; in.close() }
+        new Iterator[Iterator[(String, String, Long, Double)]] {
+          private var r = rLo
+          def hasNext: Boolean = {
+            val h = r < rHi
+            if (!h) closeIn()
+            h
+          }
+          def next(): Iterator[(String, String, Long, Double)] = {
+            in.readFully(buf)
+            val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+            val rec = r
+            r += 1
+            // lazy per record; consumed fully before the next record
+            // overwrites buf (Iterator.flatten contract)
+            sel.iterator.flatMap { i =>
+              val spr = hdr.samplesPerRecord(i)
+              val sl = hdr.slope(i); val o = hdr.offset(i)
+              (0 until spr).iterator
+                .map(j => (rec * spr + j, bb.getShort(chanOff(i) + 2 * j)))
+                .filter { case (n, _) => n >= start && n < stop }
+                .map { case (n, d) => (name, hdr.labels(i), n, sl * d + o) }
+            }
+          }
+        }.flatten
       }
       .toDF("src", "channel", "n", "x")
   }

@@ -3,13 +3,21 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Signal
+import graft.core.{Dsp, Signal}
 
 /** Driver-contract entry for the EDF source: a deterministic
-  * write→read round-trip over the event signal (rows-only check — the
-  * DuckDB oracle cannot parse EDF).
+  * write→read round-trip over the event signal.
+  *
+  * Hash-checked (r5): the int16 quantization has a closed form — per
+  * (recording, channel), slope s = (pmax−pmin)/65535, offset
+  * o = pmin − s·(−32768), y = s·clamp(floor((x−o)/s + ½)) + o — because
+  * the writer quantizes the phys range to header-ASCII-exact bounds
+  * (Edf.physRange), so the DuckDB oracle replays the whole pipeline
+  * without parsing a byte of EDF.
   */
 object EdfOps {
+
+  private val spr = 64
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "edf_roundtrip" -> { (s, dir) =>
@@ -18,7 +26,6 @@ object EdfOps {
       // (Edf.writeSpark — no driver collect of signal data; the only
       // collects are per-channel count/min/max stats). readSpark then
       // reassembles the global sample index from the file names.
-      val spr = 64
       val sig = Signal.long(s, dir)
       val len =
         sig.groupBy(col("channel")).agg(count(lit(1)).as("c")).agg(min(col("c"))).head.getLong(0)
@@ -41,10 +48,36 @@ object EdfOps {
         .select(
           col("channel"),
           (col("rec_idx") * per + col("n")).as("n"),
-          round(col("x"), 2).as("x")
+          Dsp.round6(col("x")).as("x")
         )
     }
   )
 
-  def oracleSql: Map[String, String] = Map()
+  /** The quantization pipeline as SQL, literal-for-literal the writer's
+    * arithmetic (Edf.physRange / writeSpark dig / Reader decode).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "edf_roundtrip" -> (
+      s"${Signal.sigCte}, " +
+        "cnts AS (SELECT channel, count(*) AS c FROM sig GROUP BY channel), " +
+        "p1 AS (SELECT min(c) AS len FROM cnts), " +
+        s"p2 AS (SELECT len, greatest(1, least(4, len // $spr)) AS nrec FROM p1), " +
+        s"p3 AS (SELECT len, nrec, (len // nrec // $spr) * $spr AS per FROM p2), " +
+        "recs AS (SELECT s.channel, s.n, s.n // p3.per AS rec, s.x FROM sig s, p3 " +
+        "WHERE s.n < p3.per * p3.nrec), " +
+        "st AS (SELECT rec, channel, min(x) AS mn, " +
+        "greatest(max(x), min(x) + 1.0e-9) AS mx0 FROM recs GROUP BY rec, channel), " +
+        "rng AS (SELECT rec, channel, " +
+        "CASE WHEN abs(mn) < 1.0e3 THEN floor(mn * 1.0e3) / 1.0e3 ELSE floor(mn) END AS pmn, " +
+        "CASE WHEN abs(mx0) < 1.0e3 THEN ceil(mx0 * 1.0e3) / 1.0e3 ELSE ceil(mx0) END AS pmx0 " +
+        "FROM st), " +
+        "so0 AS (SELECT rec, channel, pmn, " +
+        "(CASE WHEN pmx0 <= pmn THEN pmn + 1.0e-3 ELSE pmx0 END - pmn) / 6.5535e4 AS s FROM rng), " +
+        "so AS (SELECT rec, channel, s, pmn - s * (-3.2768e4) AS o FROM so0), " +
+        "dec AS (SELECT r.channel, r.n, so.s * CAST(greatest(-32768, least(32767, " +
+        "CAST(floor((r.x - so.o) / so.s + 5.0e-1) AS BIGINT))) AS DOUBLE) + so.o AS y " +
+        "FROM recs r JOIN so ON r.rec = so.rec AND r.channel = so.channel) " +
+        s"SELECT channel, n, ${Dsp.round6Sql("y")} AS x FROM dec"
+    )
+  )
 }

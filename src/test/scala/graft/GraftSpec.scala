@@ -36,7 +36,7 @@ class HarnessSpec extends AnyFunSuite {
     // a new query silently missing its oracle would downgrade to the
     // driver's weak rows-only check — fail loudly here instead
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("edf_roundtrip"), s"unexpected rows-only queries: $rowsOnly")
+    assert(rowsOnly.isEmpty, s"unexpected rows-only queries: $rowsOnly")
   }
 
   test("all queries run non-empty at sf0.001") {

@@ -92,6 +92,43 @@ class EdfSpec extends AnyFunSuite {
     r17.zip(want).foreach { case (g, w) => assert(math.abs(g - w) <= tol) }
   }
 
+  test("ranged read decodes only the needed records and channels") {
+    import org.apache.spark.sql.functions.col
+    val chans = Seq(
+      "c0" -> Array.tabulate(256)(_.toDouble),
+      "c1" -> Array.tabulate(256)(i => 255.0 - i)
+    )
+    val dir = tmpDir
+    val full = s"$dir/full.edf"
+    Edf.write(full, chans, fs = 64.0, samplesPerRecord = 64) // 4 records
+    // ranged read == full read restricted to [100, 150)
+    val ranged = Edf
+      .readSpark(spark, full, start = 100, stop = 150)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    assert(ranged.size == 2 * 50 && ranged.keys.forall { case (_, n) => n >= 100 && n < 150 })
+    val fullRead = Edf
+      .readSpark(spark, full)
+      .filter(col("n") >= 100 && col("n") < 150)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    assert(ranged == fullRead)
+    // channel subset decodes only that channel
+    val one = Edf.readSpark(spark, full, channels = Seq("c1")).collect()
+    assert(one.length == 256 && one.forall(_.getString(1) == "c1"))
+    // proof of record pruning: chop the last 2 data records off the file
+    // (header still claims 4); a reader that touched bytes past record 1
+    // would hit EOF, a ranged read of records 0-1 must succeed
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(full))
+    val hdr = Edf.parseHeader(bytes)
+    val cut = java.util.Arrays.copyOf(bytes, hdr.headerBytes + 2 * hdr.recordBytes)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/cut.edf"), cut)
+    val pruned = Edf.readSpark(spark, s"$dir/cut.edf", start = 0, stop = 128)
+    assert(pruned.count() == 2 * 128)
+  }
+
   test("splitter produces readable per-channel files") {
     val chans = Seq("a" -> Array.fill(128)(1.0), "b" -> Array.fill(128)(2.0))
     val dir = tmpDir
