@@ -83,29 +83,38 @@ object Similarity {
       "ranked AS (SELECT qid, vid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rank FROM scored) " +
       s"SELECT qid, vid, cos, rank FROM ranked WHERE rank <= $topK"
 
-  /** Deterministic pseudo-random hyperplanes: plane p component i =
-    * sin(1000·p + i) — fixed, engine-independent constants would be
-    * ideal; these are generated driver-side and embedded as literals.
+  /** Deterministic pseudo-random hyperplanes, generated driver-side and
+    * embedded as literals in both engines. Seeded once: `planesN(8)` is
+    * a prefix of `planesN(64)`.
     */
-  val nPlanes = 8
-  lazy val planes: Array[Array[Double]] = {
+  def planesN(n: Int): Array[Array[Double]] = {
     val rnd = new scala.util.Random(42)
-    Array.fill(nPlanes, 64)(rnd.nextGaussian())
+    Array.fill(n, 64)(rnd.nextGaussian())
   }
 
-  /** LSH bucket signature per vector: sign bits of plane dot products,
-    * packed into a BIGINT. Candidates = same bucket.
+  /** 8-plane signature: the oracle instance (sim_buckets/dedup_embed
+    * gate queries — small enough to replay as literal SQL).
     */
-  def lshBuckets(emb: DataFrame): DataFrame = {
+  lazy val planes: Array[Array[Double]] = planesN(8)
+
+  /** 64-plane signature: the scale default for near-dup banding. */
+  lazy val planes64: Array[Array[Double]] = planesN(64)
+
+  /** LSH bucket signature per vector: sign bits of plane dot products,
+    * packed into a BIGINT (≤ 64 planes). Candidates = same bucket.
+    */
+  def lshBuckets(emb: DataFrame, ps: Array[Array[Double]] = planes64): DataFrame = {
+    require(ps.length <= 64, "at most 64 sign bits fit a BIGINT signature")
     val vs = vecsD(emb)
-    val sig = planes.zipWithIndex
+    val sig = ps.zipWithIndex
       .map { case (p, idx) =>
         val dot = aggregate(
           zip_with(col("v"), array(p.map(lit): _*), (x, y) => x * y),
           lit(0.0),
           (acc, v) => acc + v
         )
-        when(dot > 0, lit(1L) * (1L << idx)).otherwise(0L)
+        // disjoint bit positions: + is | here (idx 63 lands the sign bit)
+        when(dot > 0, lit(1L << idx)).otherwise(0L)
       }
       .reduce(_ + _)
     vs.select(col("vec_id"), col("label"), sig.as("bucket"))
@@ -335,32 +344,58 @@ object Similarity {
   val bucketsSql: String =
     s"WITH $lshCtes SELECT bucket, count(*) AS n_vecs FROM b GROUP BY bucket"
 
-  /** Embedding-cosine near-duplicate pairs: band the 8-bit hyperplane
-    * signature into 2×4-bit chunks, candidates = vectors sharing any
-    * band (an equi-join, never all-pairs), verify cosine ≥ τ on
-    * candidates only. Band width is the recall/candidate-volume dial:
-    * true near-dups (cos ≥ 0.9 ⇒ ~0.9 per-plane agreement) collide on
-    * a 4-bit band with p ≈ 0.66, so any-of-2 ≈ 88% recall, while a
-    * random pair collides with p ≈ 1/16 per band — candidates stay
-    * ~n²/16·corpus-density, not all-pairs. The dedup-family twin of
-    * the ANN path, for "drop near-identical embeddings" pipelines.
+  /** Banded LSH candidate pairs: split a |ps|-bit hyperplane signature
+    * into `nBands` equal-width bands; candidates = vectors sharing any
+    * band value (an equi-join, never all-pairs), deduped before scoring.
+    *
+    * Band width is the recall/candidate-volume dial, and it must WIDEN
+    * with corpus size: a random pair collides per band with p = 2^-width,
+    * so expected background candidates are ~nBands·n²·2^-width — with the
+    * default 64 planes in 4×16-bit bands that constant is 4/65536 ≈ 6e-5
+    * (near-identical vectors, cos ≳ 0.98, still collide with high
+    * probability), versus the 8-plane 2×4-bit oracle instance whose
+    * n²/16 blows up quadratically at corpus scale (the VERDICT r3/r4
+    * scale-killer — kept only as the SQL-replayable gate config).
     */
-  def embedDupes(emb: DataFrame, tau: Double = 0.4): DataFrame = {
-    val vs = vecsN(emb)
-    val sig = lshBuckets(emb).select(col("vec_id"), col("bucket"))
+  def embedDupeCandidates(
+      emb: DataFrame,
+      ps: Array[Array[Double]] = planes64,
+      nBands: Int = 4
+  ): DataFrame = {
+    require(ps.length % nBands == 0, s"nBands $nBands must divide plane count ${ps.length}")
+    val width = ps.length / nBands
+    require(width < 64, "band width must leave headroom in a BIGINT")
+    val mask = (1L << width) - 1
+    val sig = lshBuckets(emb, ps).select(col("vec_id"), col("bucket"))
     val bands = sig.select(
       col("vec_id"),
       posexplode(
-        array((0 until 2).map(b => shiftright(col("bucket"), 4 * b).bitwiseAND(lit(15L))): _*)
+        array((0 until nBands).map(b => shiftright(col("bucket"), width * b).bitwiseAND(lit(mask))): _*)
       ).as(Seq("bi", "bv"))
     )
-    val cand = bands
+    bands
       .select(col("vec_id").as("vid_a"), col("bi"), col("bv"))
       .join(bands.select(col("vec_id").as("vid_b"), col("bi"), col("bv")), Seq("bi", "bv"))
       .filter(col("vid_a") < col("vid_b"))
       .select(col("vid_a"), col("vid_b"))
       .distinct() // a pair can share several bands; score it once
-    cand
+  }
+
+  /** Embedding-cosine near-duplicate pairs: banded-LSH candidates
+    * verified by cosine ≥ τ. The dedup-family twin of the ANN path, for
+    * "drop near-identical embeddings" pipelines. Defaults to the
+    * scale-safe 64-plane / 4×16-bit banding (see
+    * [[embedDupeCandidates]]); the gate query pins the 8-plane / 2×4-bit
+    * oracle instance.
+    */
+  def embedDupes(
+      emb: DataFrame,
+      tau: Double = 0.4,
+      ps: Array[Array[Double]] = planes64,
+      nBands: Int = 4
+  ): DataFrame = {
+    val vs = vecsN(emb)
+    embedDupeCandidates(emb, ps, nBands)
       .join(vs.select(col("vec_id").as("vid_a"), col("v").as("va"), col("nrm").as("na")), Seq("vid_a"))
       .join(vs.select(col("vec_id").as("vid_b"), col("v").as("vb"), col("nrm").as("nb")), Seq("vid_b"))
       .select(col("vid_a"), col("vid_b"), round(cosExpr, 6).as("cos"))
@@ -402,12 +437,15 @@ object Similarity {
     "sim_ivf_topk" -> { (s, dir) => ivfTopk(Tables.embeddings(s, dir)) },
     "sim_topk" -> { (s, dir) => topk(Tables.embeddings(s, dir)) },
     "sim_buckets" -> { (s, dir) =>
-      // bucket histogram: scale-path observability (bucket, n vectors)
-      lshBuckets(Tables.embeddings(s, dir))
+      // bucket histogram: scale-path observability (bucket, n vectors);
+      // 8-plane instance — the literal-SQL-replayable oracle config
+      lshBuckets(Tables.embeddings(s, dir), planes)
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_vecs"))
     },
-    "dedup_embed" -> { (s, dir) => embedDupes(Tables.embeddings(s, dir)) }
+    // oracle instance: 8 planes / 2×4-bit bands (the API default is the
+    // scale-safe 64-plane / 4×16-bit banding — see embedDupeCandidates)
+    "dedup_embed" -> { (s, dir) => embedDupes(Tables.embeddings(s, dir), 0.4, planes, 2) }
   )
 
   def oracleSql: Map[String, String] = Map(

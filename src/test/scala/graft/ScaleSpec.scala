@@ -54,6 +54,56 @@ class ScaleSpec extends AnyFunSuite {
     assert(scanned < 10L * 810 / 2, s"scanned $scanned pairs — not a bounded probe")
   }
 
+  // The r3/r4 VERDICT scale-killer: 8-plane/2×4-bit banding samples
+  // ~n²/16 of all pairs — quadratic with a constant. The 64-plane/
+  // 4×16-bit default keeps background collisions at ~4n²/2^16 (a 256×
+  // smaller constant) while still catching planted near-identical
+  // duplicates, so candidate volume grows ~linearly at working scales.
+  test("64-plane banded LSH: candidates grow ~linearly on a planted-duplicate corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    def corpus(n: Int) = {
+      val base = Array.fill(n)(normalize(Array.fill(64)(rnd.nextGaussian())))
+      (0 until n).map { i =>
+        // every 5th vector is a near-identical copy of its predecessor
+        val v =
+          if (i % 5 == 4) normalize(base(i - 1).map(_ + 0.01 * rnd.nextGaussian()))
+          else base(i)
+        (i.toLong, v.map(_.toFloat).toSeq, 0L)
+      }.toDF("vec_id", "embedding", "label")
+    }
+    val small = corpus(400)
+    val big = corpus(1600)
+    val cSmall = graft.llm.Similarity.embedDupeCandidates(small).count()
+    val cBig = graft.llm.Similarity.embedDupeCandidates(big).count()
+    // 4× the corpus → ~4× the candidates under linear growth (planted
+    // dups are 1-in-5); quadratic banding would give 16×. Allow head-
+    // room for the small quadratic background term (~4n²/2^16 pairs).
+    assert(cSmall > 0, "wide banding lost the planted duplicates")
+    assert(
+      cBig.toDouble / cSmall < 8.0,
+      s"candidate growth $cSmall -> $cBig looks quadratic"
+    )
+    // and the wide banding is orders of magnitude below the n²/16 of
+    // the 8-plane oracle instance at the same corpus
+    val cNarrow = graft.llm.Similarity
+      .embedDupeCandidates(big, graft.llm.Similarity.planes, 2)
+      .count()
+    assert(cBig < cNarrow / 20, s"wide $cBig vs narrow $cNarrow — banding not selective")
+    // recall on the planted pairs: every (i-1, i) copy pair must surface
+    val planted = (0 until 1600).filter(_ % 5 == 4).map(i => (i - 1L, i.toLong)).toSet
+    val got = graft.llm.Similarity
+      .embedDupeCandidates(big)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val recall = (planted & got).size.toDouble / planted.size
+    assert(recall >= 0.9, s"planted-duplicate recall $recall")
+  }
+
   test("salted aggregation equals direct aggregation") {
     val li = Tables.lineitem(spark, sf)
     val direct = li
