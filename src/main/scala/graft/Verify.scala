@@ -11,6 +11,16 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     def keep(name: String): Boolean = only.forall(_.contains(name))
+    // a filtered dump also filters oracle_sql.json, so check.py over this
+    // out dir validates only the subset — mark it loudly and on disk so a
+    // stale partial run can't be mistaken for a full gate pass
+    only.foreach { names =>
+      val kept = SparkEntry.queries.keySet.intersect(names).size
+      val msg = s"FILTERED RUN ($kept of ${SparkEntry.queries.size} queries)"
+      System.err.println(s"[verify] $msg")
+      new java.io.File(outDir).mkdirs()
+      Files.writeString(Paths.get(s"$outDir/FILTERED_RUN"), msg)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -17,12 +17,7 @@ object Elliptic {
 
   private def cAbs(z: Complex): Double = hypot(z.re, z.im)
 
-  private def cSqrt(z: Complex): Complex = {
-    val r = cAbs(z)
-    val re = sqrt((r + z.re).max(0.0) / 2.0)
-    val im = sqrt((r - z.re).max(0.0) / 2.0)
-    Complex(re, if (z.im >= 0) im else -im)
-  }
+  private def cSqrt(z: Complex): Complex = Iir.csqrt(z)
 
   private def cLog(z: Complex): Complex = Complex(log(cAbs(z)), atan2(z.im, z.re))
 

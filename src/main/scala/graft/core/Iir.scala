@@ -142,16 +142,28 @@ object Iir {
       fstop: (Double, Double),
       fs: Double
   ): (Double, Double, Double, Boolean) = {
+    require(
+      fpass._1 < fpass._2 && fstop._1 < fstop._2,
+      s"band edges must be increasing: fpass=$fpass fstop=$fstop"
+    )
+    val bandstop0 = fpass._1 < fstop._1 // passband surrounds the stopband
+    require(
+      if (bandstop0) fpass._1 < fstop._1 && fstop._2 < fpass._2
+      else fstop._1 < fpass._1 && fpass._2 < fstop._2,
+      s"stopband and passband must nest: fpass=$fpass fstop=$fstop"
+    )
     val nyq = fs / 2.0
+    require(fpass._2 < nyq && fstop._2 < nyq, s"band edges must lie below Nyquist $nyq Hz")
     def w(f: Double) = 4.0 * tan(Pi * (f / nyq) / 2.0)
     val (p0, p1) = (w(fpass._1), w(fpass._2))
     val (s0, s1) = (w(fstop._1), w(fstop._2))
-    val bandstop = fpass._1 < fstop._1 // passband surrounds the stopband
+    val bandstop = bandstop0
     val wo2 = p0 * p1
     val bw = p1 - p0
     def om(x: Double) =
       if (bandstop) bw * x / (wo2 - x * x) else (x * x - wo2) / (bw * x)
     val nat = math.min(math.abs(om(s0)), math.abs(om(s1)))
+    require(nat > 1.0, s"degenerate band spec (selectivity $nat <= 1): fpass=$fpass fstop=$fstop")
     (sqrt(wo2), bw, nat, bandstop)
   }
 

@@ -169,15 +169,21 @@ object Similarity {
     import spark.implicits._
     // spherical: cluster on unit vectors so Euclidean cells rank cells
     // by cosine (d² = 2 − 2·v̂·c is monotone in the dot product)
+    // cached for the whole training run: every k-means|| round and every
+    // Lloyd iteration re-scans this projection (2–3 scans per round of
+    // the raw table otherwise — the ADVICE r3 re-scan waste)
     val ds = vecsN(emb)
       .select(col("vec_id"), transform(col("v"), x => x / col("nrm")).as("v"))
       .as[(Long, Seq[Double])]
       .map { case (id, v) => (id, v.toArray) }
+      .persist()
     val sc = spark.sparkContext
     val cands = scala.collection.mutable.ArrayBuffer(ds.orderBy(col("_1")).head()._2)
     for (r <- 1 to rounds) {
       val bc = sc.broadcast(cands.toArray)
-      val withCost = ds.map { case (id, v) => (id, v, minD2(v, bc.value)) }
+      // cached: the cost column feeds both the total and the sampling
+      // pass — without it each round recomputes the distance map twice
+      val withCost = ds.map { case (id, v) => (id, v, minD2(v, bc.value)) }.persist()
       val total = withCost.map(_._3).reduce(_ + _)
       if (total > 0) {
         val l = oversample.toDouble
@@ -186,6 +192,7 @@ object Similarity {
           .map(_._2)
           .collect()
       }
+      withCost.unpersist()
     }
     // weight each candidate by the corpus mass nearest to it
     val bcC = sc.broadcast(cands.toArray)
@@ -236,6 +243,7 @@ object Similarity {
         .toMap
       centers = centers.zipWithIndex.map { case (old, i) => agg.getOrElse(i, old) }
     }
+    ds.unpersist()
     centers
   }
 
