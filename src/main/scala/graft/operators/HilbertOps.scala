@@ -49,9 +49,9 @@ object HilbertOps {
   /** (channel, n, x, hx, env, phase): analytic amplitude and phase in
     * [0, 2π), reference Analytic semantics.
     */
-  def analytic(sig: DataFrame): DataFrame = {
+  def analytic(sig: DataFrame, presorted: Boolean = false): DataFrame = {
     val withH = FirOps
-      .convPlus(sig, hilbertH)
+      .convPlus(sig, hilbertH, presorted = presorted)
       .withColumnRenamed("y", "hx")
     val ph = atan2(col("hx"), col("x"))
     withH.select(
@@ -71,8 +71,8 @@ object HilbertOps {
       "CASE WHEN atan2(hx, x) < 0 THEN atan2(hx, x) + 2 * pi() ELSE atan2(hx, x) END AS phase FROM hil)"
 
   /** Envelope + phase per sample. */
-  def hilbertEnv(sig: DataFrame): DataFrame =
-    analytic(sig).select(
+  def hilbertEnv(sig: DataFrame, presorted: Boolean = false): DataFrame =
+    analytic(sig, presorted).select(
       col("channel"),
       col("n"),
       round(col("env"), 6).as("env"),
@@ -88,8 +88,8 @@ object HilbertOps {
     * row-locally — the self-join formulation computed the (75-tap)
     * analytic transform once per side and shuffled both into the join.
     */
-  def plv(sig: DataFrame): DataFrame = {
-    val ana = analytic(sig).select(col("channel"), col("n"), col("phase"))
+  def plv(sig: DataFrame, presorted: Boolean = false): DataFrame = {
+    val ana = analytic(sig, presorted).select(col("channel"), col("n"), col("phase"))
     val byN = ana
       .groupBy(col("n"))
       .agg(collect_list(struct(col("channel"), col("phase"))).as("cs"))
@@ -145,21 +145,33 @@ object HilbertOps {
     * [[phasePowerSig]]: phase events (channel, ne, nlen) with full
     * windows only, and per-sample standardized amplitude-band power.
     */
-  private def phaseEventsAndPower(sig: DataFrame): (DataFrame, DataFrame) = {
+  private def phaseEventsAndPower(
+      sig: DataFrame,
+      presorted: Boolean = false
+  ): (DataFrame, DataFrame) = {
     val s1 = sig.filter(col("channel") === "click")
-    val mx = Window.partitionBy(col("channel"))
+    // per-channel stats via tiny aggregate + broadcast join, NOT a
+    // channel window: Catalyst can't see mapPartitions output
+    // partitioning, so a Window here would re-exchange + re-sort the
+    // whole signal — the broadcast join is narrow and keeps the convPlus
+    // chain physically (channel, n)-ordered for the next presorted pass
     // phase path: bandpass -> analytic -> phase events
-    val pb = FirOps.convPlus(s1, phaseBandH).select(col("channel"), col("n"), col("y").as("x"))
+    val pb = FirOps
+      .convPlus(s1, phaseBandH, presorted = presorted)
+      .select(col("channel"), col("n"), col("y").as("x"))
     // pb is a projection directly over convPlus output: already channel-
     // partitioned and (channel, n)-sorted
     val phc = FirOps.convPlus(pb, hilbertH, presorted = true).withColumnRenamed("y", "hx")
     val phv = atan2(col("hx"), col("x"))
-    val ph = phc.select(
-      col("channel"),
-      col("n"),
-      round(when(phv < 0, phv + 2 * math.Pi).otherwise(phv), 6).as("ph"),
-      max(col("n")).over(mx).as("max_n")
-    )
+    val mxs = phc.groupBy(col("channel")).agg(max(col("n")).as("max_n"))
+    val ph = phc
+      .join(broadcast(mxs), Seq("channel"))
+      .select(
+        col("channel"),
+        col("n"),
+        round(when(phv < 0, phv + 2 * math.Pi).otherwise(phv), 6).as("ph"),
+        col("max_n")
+      )
     val events = ph
       .filter(
         (col("ph") < epsi || col("ph") > 2 * math.Pi - epsi) &&
@@ -167,20 +179,23 @@ object HilbertOps {
       )
       .select(col("channel"), col("n").as("ne"), (col("max_n") + 1).as("nlen"))
     // amplitude path: bandpass -> standardize -> analytic power
-    val ab = FirOps.convPlus(s1, ampBandH).select(col("channel"), col("n"), col("y").as("x"))
-    val z = ab.select(
-      col("channel"),
-      col("n"),
-      ((col("x") - avg(col("x")).over(mx)) / stddev_pop(col("x")).over(mx)).as("x")
-    )
-    val zp = FirOps.convPlus(z, hilbertH).withColumnRenamed("y", "hx")
+    val ab = FirOps
+      .convPlus(s1, ampBandH, presorted = presorted)
+      .select(col("channel"), col("n"), col("y").as("x"))
+    val stats = ab
+      .groupBy(col("channel"))
+      .agg(avg(col("x")).as("_mu"), stddev_pop(col("x")).as("_sd"))
+    val z = ab
+      .join(broadcast(stats), Seq("channel"))
+      .select(col("channel"), col("n"), ((col("x") - col("_mu")) / col("_sd")).as("x"))
+    val zp = FirOps.convPlus(z, hilbertH, presorted = true).withColumnRenamed("y", "hx")
     val pw =
       zp.select(col("channel"), col("n"), (col("x") * col("x") + col("hx") * col("hx")).as("pow"))
     (events, pw)
   }
 
-  def phasePower(sig: DataFrame): DataFrame = {
-    val (events, pw) = phaseEventsAndPower(sig)
+  def phasePower(sig: DataFrame, presorted: Boolean = false): DataFrame = {
+    val (events, pw) = phaseEventsAndPower(sig, presorted)
     // exploded equi-join: each event fans out to its 2·winHalf+1 window
     // positions — a hash join on (channel, n), not a range nested loop
     events
@@ -253,8 +268,8 @@ object HilbertOps {
     * positions; no range join, so surrogates cost nSurr× rows, not
     * nSurr× nested-loop probes.
     */
-  def phasePowerSig(sig: DataFrame): DataFrame = {
-    val (events, pw) = phaseEventsAndPower(sig)
+  def phasePowerSig(sig: DataFrame, presorted: Boolean = false): DataFrame = {
+    val (events, pw) = phaseEventsAndPower(sig, presorted)
     // one event-set table covering base (k = −1, unshifted) and the
     // nSurr circular-shift replicates — built in a single pass over
     // `events` so the FIR/power chains evaluate once, then one
@@ -333,10 +348,12 @@ object HilbertOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "hilbert_env" -> { (s, dir) => hilbertEnv(Signal.long(s, dir)) },
-    "plv" -> { (s, dir) => plv(Signal.long(s, dir)) },
-    "phase_power" -> { (s, dir) => phasePower(Signal.long(s, dir)) },
-    "phase_power_sig" -> { (s, dir) => phasePowerSig(Signal.long(s, dir)) }
+    // presorted: Signal.long leaves the data channel-partitioned and
+    // (channel, n)-sorted — the first convPlus pass adds no exchange
+    "hilbert_env" -> { (s, dir) => hilbertEnv(Signal.long(s, dir), presorted = true) },
+    "plv" -> { (s, dir) => plv(Signal.long(s, dir), presorted = true) },
+    "phase_power" -> { (s, dir) => phasePower(Signal.long(s, dir), presorted = true) },
+    "phase_power_sig" -> { (s, dir) => phasePowerSig(Signal.long(s, dir), presorted = true) }
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -68,7 +68,8 @@ object ResampleOps {
       l: Int,
       m: Int,
       h: Array[Double],
-      blockSizeHint: Int = 1 << 16
+      blockSizeHint: Int = 1 << 16,
+      presorted: Boolean = false
   ): DataFrame = {
     val spark = sig.sparkSession
     import spark.implicits._
@@ -78,11 +79,13 @@ object ResampleOps {
     val L = l.toLong
     val M = m.toLong
     val blockSize = math.max(blockSizeHint, 4 * taps)
-    sig
+    val typed = sig
       .select(col("channel"), col("n"), col("x"))
       .as[(String, Long, Double)]
-      .repartition(col("channel"))
-      .sortWithinPartitions(col("channel"), col("n"))
+    val ordered =
+      if (presorted) typed
+      else typed.repartition(col("channel")).sortWithinPartitions(col("channel"), col("n"))
+    ordered
       .mapPartitions { it =>
         val in = it.buffered
         new Iterator[Iterator[(String, Long, Double)]] {
@@ -141,14 +144,20 @@ object ResampleOps {
       .select(col("channel"), col("n"), Dsp.round6(col("y")).as("y"))
   }
 
-  def downsample(sig: DataFrame, m: Int, h: Array[Double]): DataFrame =
-    polyResample(sig, 1, m, h)
+  def downsample(sig: DataFrame, m: Int, h: Array[Double], presorted: Boolean = false): DataFrame =
+    polyResample(sig, 1, m, h, presorted = presorted)
 
-  def upsample(sig: DataFrame, l: Int, h: Array[Double]): DataFrame =
-    polyResample(sig, l, 1, h)
+  def upsample(sig: DataFrame, l: Int, h: Array[Double], presorted: Boolean = false): DataFrame =
+    polyResample(sig, l, 1, h, presorted = presorted)
 
-  def resample(sig: DataFrame, l: Int, m: Int, h: Array[Double]): DataFrame =
-    polyResample(sig, l, m, h)
+  def resample(
+      sig: DataFrame,
+      l: Int,
+      m: Int,
+      h: Array[Double],
+      presorted: Boolean = false
+  ): DataFrame =
+    polyResample(sig, l, m, h, presorted = presorted)
 
   // ---- oracle SQL twins (reuse FirOps expression rendering) ----
 
@@ -183,9 +192,11 @@ object ResampleOps {
       s"SELECT channel, n // $m AS n, y FROM conv WHERE n % $m = 0"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "down_2" -> { (s, dir) => downsample(Signal.long(s, dir), 2, hDown2) },
-    "up_3" -> { (s, dir) => upsample(Signal.long(s, dir), 3, hUp3) },
-    "resample_3_2" -> { (s, dir) => resample(Signal.long(s, dir), 3, 2, hRes32) }
+    // presorted: Signal.long leaves the data channel-partitioned and
+    // (channel, n)-sorted — the polyphase scan adds no exchange
+    "down_2" -> { (s, dir) => downsample(Signal.long(s, dir), 2, hDown2, presorted = true) },
+    "up_3" -> { (s, dir) => upsample(Signal.long(s, dir), 3, hUp3, presorted = true) },
+    "resample_3_2" -> { (s, dir) => resample(Signal.long(s, dir), 3, 2, hRes32, presorted = true) }
   )
 
   def oracleSql: Map[String, String] = Map(
