@@ -29,6 +29,36 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  // the presorted contract's observable: a DSP chain off Signal.long
+  // must plan exactly ONE row exchange (the ranking window's) — a
+  // regression that re-repartitions mid-chain (e.g. a Window over
+  // mapPartitions output, or a dropped presorted flag) shows up as a
+  // second exchange over the signal
+  private def exchangeCount(name: String): Int = {
+    val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    plan.linesIterator.count(l => l.contains("Exchange hashpartitioning"))
+  }
+
+  test("presorted DSP chains plan exactly one signal exchange") {
+    // psd_welch adds the (channel, f) aggregation exchange on top of the
+    // window's; the scans themselves must add none
+    val expect = Map(
+      "iir_butter_lp" -> 1,
+      "iir_butter_filtfilt" -> 1,
+      "iir_lfilter_lp" -> 1,
+      "hilbert_env" -> 1,
+      "down_2" -> 1,
+      "up_3" -> 1,
+      "resample_3_2" -> 1,
+      "stft64" -> 1,
+      "psd_welch" -> 2
+    )
+    val bad = expect.collect {
+      case (q, want) if exchangeCount(q) != want => s"$q: ${exchangeCount(q)} != $want"
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
   test("star join broadcasts its dimension sides") {
     val plan = SparkEntry.queries("q2_join")(spark, sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"q2_join should broadcast dims:\n${plan.take(600)}")
