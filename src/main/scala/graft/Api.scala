@@ -76,6 +76,27 @@ object Api {
   def Notch(f0: Double, q: Double, fs: Double): IirFilter =
     IirFilter(Iir.notchSos(f0, q, fs))
 
+  /** IIR band designs (reference passes 2-element fpass/fstop arrays to
+    * the same constructors; fpass inside fstop → bandpass, outside →
+    * bandstop with scipy's fminbound passband-edge order optimization).
+    */
+  private def band2(fp: Seq[Double], fst: Seq[Double]): ((Double, Double), (Double, Double)) = {
+    require(fp.length == 2 && fst.length == 2, s"band specs need 2 edges: fpass=$fp fstop=$fst")
+    ((fp(0), fp(1)), (fst(0), fst(1)))
+  }
+  def ButterBand(fpass: Seq[Double], fstop: Seq[Double], fs: Double, gpass: Double = 1.0, gstop: Double = 40.0): IirFilter = {
+    val (p, s) = band2(fpass, fstop); IirFilter(Iir.butterBandSos(p, s, gpass, gstop, fs))
+  }
+  def Cheby1Band(fpass: Seq[Double], fstop: Seq[Double], fs: Double, gpass: Double = 1.0, gstop: Double = 40.0): IirFilter = {
+    val (p, s) = band2(fpass, fstop); IirFilter(Iir.cheby1BandSos(p, s, gpass, gstop, fs))
+  }
+  def Cheby2Band(fpass: Seq[Double], fstop: Seq[Double], fs: Double, gpass: Double = 1.0, gstop: Double = 40.0): IirFilter = {
+    val (p, s) = band2(fpass, fstop); IirFilter(Iir.cheby2BandSos(p, s, gpass, gstop, fs))
+  }
+  def EllipBand(fpass: Seq[Double], fstop: Seq[Double], fs: Double, gpass: Double = 1.0, gstop: Double = 40.0): IirFilter = {
+    val (p, s) = band2(fpass, fstop); IirFilter(Elliptic.ellipBandSos(p, s, gpass, gstop, fs))
+  }
+
   /** Resampling (reference resampling.resampling). */
   def downsample(sig: DataFrame, m: Int, fs: Double): DataFrame =
     ResampleOps.downsample(sig, m, ResampleOps.antiAlias(1, m, fs))

@@ -167,7 +167,12 @@ object Elliptic {
     * `iir.py:277` Ellip(fpass=[f1,f2], …): ellipord with array edges,
     * then ellipap + lp2bp/lp2bs. The elliptic prototype already passes
     * exactly −gpass dB at its edge (no cutoff adjustment needed); order
-    * comes from the degree equation at selectivity k = 1/nat.
+    * comes from the degree equation at the fminbound-OPTIMIZED bandstop
+    * selectivity (scipy ellipord's band_stop_obj pass), while the band
+    * transform keeps the USER passband edges (ellipord returns wn = wp)
+    * — scipy quirk faithfully reproduced: strongly asymmetric bandstop
+    * specs can undershoot gstop at the far stop edge exactly as scipy
+    * does.
     */
   def ellipBandSos(
       fpass: (Double, Double),
@@ -176,14 +181,14 @@ object Elliptic {
       gstop: Double,
       fs: Double
   ): Array[Array[Double]] = {
-    val (wo, bw, nat, bandstop) = Iir.bandNat(fpass, fstop, fs)
+    val g = Iir.bandNat(fpass, fstop, gpass, gstop, fs, "ellip")
     val ep = sqrt(pow(10.0, 0.1 * gpass) - 1.0)
     val es = sqrt(pow(10.0, 0.1 * gstop) - 1.0)
-    val k = 1.0 / nat
+    val k = 1.0 / g.nat
     val k1 = ep / es
     val n = ceil(ellipK(k) * ellipKp(k1) / (ellipKp(k) * ellipK(k1))).toInt
     val proto = ellipap(n, gpass, gstop)
-    val analog = if (bandstop) Iir.lp2bs(proto, wo, bw) else Iir.lp2bp(proto, wo, bw)
+    val analog = if (g.bandstop) Iir.lp2bs(proto, g.wo, g.bw) else Iir.lp2bp(proto, g.wo, g.bw)
     Iir.zpk2sos(Iir.bilinear(analog))
   }
 

@@ -129,26 +129,139 @@ object Iir {
     )
   }
 
-  /** Warped analog band geometry for 2-element band specs (Hz):
-    * (wo, bw, nat, isBandstop). wo/bw derive from the passband edges so
-    * they map to ±1 in the lowpass-prototype domain; nat is the smaller
-    * prototype frequency the stop edges reach (the design selectivity).
-    * This is scipy's band `buttord` math minus its bandstop passband-edge
-    * optimization — our order can exceed scipy's by one on asymmetric
-    * bandstop specs, never undershoot the attenuation.
+  /** Bounded scalar minimization — Brent's FMIN (golden-section +
+    * successive parabolic interpolation, Forsythe–Malcolm–Moler,
+    * "Computer Methods for Mathematical Computations" 1977), the
+    * algorithm behind scipy `optimize.fminbound` with its default
+    * xatol=1e-5. Returns the abscissa of the minimum of f on [ax, bx].
+    */
+  def fminbound(
+      f: Double => Double,
+      ax: Double,
+      bx: Double,
+      xatol: Double = 1e-5,
+      maxFun: Int = 500
+  ): Double = {
+    require(ax < bx, s"fminbound needs ax < bx, got [$ax, $bx]")
+    val goldenMean = 0.5 * (3.0 - sqrt(5.0))
+    val sqrtEps = sqrt(2.220446049250313e-16)
+    var a = ax; var b = bx
+    var xf = a + goldenMean * (b - a)
+    var nfc = xf; var fulc = xf
+    var rat = 0.0; var e = 0.0
+    var fx = f(xf)
+    var num = 1
+    var ffulc = fx; var fnfc = fx
+    var xm = 0.5 * (a + b)
+    var tol1 = sqrtEps * math.abs(xf) + xatol / 3.0
+    var tol2 = 2.0 * tol1
+    while (math.abs(xf - xm) > (tol2 - 0.5 * (b - a)) && num < maxFun) {
+      var golden = true
+      if (math.abs(e) > tol1) { // try a parabolic fit through (xf, nfc, fulc)
+        var r = (xf - nfc) * (fx - ffulc)
+        var q = (xf - fulc) * (fx - fnfc)
+        var p = (xf - fulc) * q - (xf - nfc) * r
+        q = 2.0 * (q - r)
+        if (q > 0.0) p = -p
+        q = math.abs(q)
+        r = e
+        e = rat
+        if (math.abs(p) < math.abs(0.5 * q * r) && p > q * (a - xf) && p < q * (b - xf)) {
+          golden = false
+          rat = p / q
+          val x = xf + rat
+          if ((x - a) < tol2 || (b - x) < tol2) rat = tol1 * (if (xm - xf >= 0.0) 1.0 else -1.0)
+        }
+      }
+      if (golden) { // golden-section step into the larger interval
+        e = if (xf >= xm) a - xf else b - xf
+        rat = goldenMean * e
+      }
+      val x = xf + (if (rat >= 0.0) 1.0 else -1.0) * math.max(math.abs(rat), tol1)
+      val fu = f(x)
+      num += 1
+      if (fu <= fx) {
+        if (x >= xf) a = xf else b = xf
+        fulc = nfc; ffulc = fnfc
+        nfc = xf; fnfc = fx
+        xf = x; fx = fu
+      } else {
+        if (x < xf) a = x else b = x
+        if (fu <= fnfc || nfc == xf) {
+          fulc = nfc; ffulc = fnfc
+          nfc = x; fnfc = fu
+        } else if (fu <= ffulc || fulc == xf || fulc == nfc) {
+          fulc = x; ffulc = fu
+        }
+      }
+      xm = 0.5 * (a + b)
+      tol1 = sqrtEps * math.abs(xf) + xatol / 3.0
+      tol2 = 2.0 * tol1
+    }
+    xf
+  }
+
+  /** Fractional band order as a function of prototype selectivity nat —
+    * scipy `band_stop_obj`'s per-family order formulas (buttord /
+    * cheb1ord / ellipord internals).
+    */
+  private def bandFracOrder(kind: String, gpass: Double, gstop: Double): Double => Double = {
+    val gp = pow(10.0, 0.1 * gpass) - 1.0
+    val gs = pow(10.0, 0.1 * gstop) - 1.0
+    kind match {
+      case "butter" => nat => log10(gs / gp) / (2.0 * log10(nat))
+      case "cheby"  => nat => acosh(sqrt(gs / gp)) / acosh(nat)
+      case "ellip" =>
+        nat => {
+          val k = 1.0 / nat
+          val k1 = sqrt(gp / gs)
+          Elliptic.ellipK(k) * Elliptic.ellipKp(k1) / (Elliptic.ellipKp(k) * Elliptic.ellipK(k1))
+        }
+      case other => throw new IllegalArgumentException(s"unknown band order kind: $other")
+    }
+  }
+
+  /** Warped analog band geometry for 2-element band specs: `wo`/`bw`
+    * are center/width at the USER passband edges (they map to ±1 in the
+    * lowpass-prototype domain); `woAdj`/`bwAdj` at the scipy-optimized
+    * bandstop passband edges (identical to wo/bw for bandpass); `nat`
+    * is the optimized prototype selectivity that sets the order.
+    */
+  private[core] final case class BandGeom(
+      wo: Double,
+      bw: Double,
+      woAdj: Double,
+      bwAdj: Double,
+      nat: Double,
+      bandstop: Boolean
+  )
+
+  /** Band geometry + selectivity for 2-element band specs (Hz) — scipy's
+    * band `buttord`/`cheb1ord`/`ellipord` math INCLUDING the bandstop
+    * passband-edge optimization: each passband edge of a bandstop spec
+    * is free to move toward the stop band (the spec only bounds ripple
+    * OUTSIDE the user edges), and scipy picks the pair minimizing the
+    * fractional order via `fminbound` over `band_stop_obj`. One scipy
+    * divergence: trial edges that cross the band center make nat ≤ 1
+    * (scipy lets the objective go negative there and can return garbage
+    * orders for extreme specs); we reject such trials outright, which
+    * matches scipy everywhere scipy itself is well-defined.
     */
   private[core] def bandNat(
       fpass: (Double, Double),
       fstop: (Double, Double),
-      fs: Double
-  ): (Double, Double, Double, Boolean) = {
+      gpass: Double,
+      gstop: Double,
+      fs: Double,
+      kind: String
+  ): BandGeom = {
     require(
       fpass._1 < fpass._2 && fstop._1 < fstop._2,
       s"band edges must be increasing: fpass=$fpass fstop=$fstop"
     )
-    val bandstop0 = fpass._1 < fstop._1 // passband surrounds the stopband
+    val bandstop = fpass._1 < fstop._1 // passband surrounds the stopband
     require(
-      if (bandstop0) fpass._1 < fstop._1 && fstop._2 < fpass._2
+      if (bandstop) fpass._1 < fstop._1 && fstop._2 < fpass._2
       else fstop._1 < fpass._1 && fpass._2 < fstop._2,
       s"stopband and passband must nest: fpass=$fpass fstop=$fstop"
     )
@@ -157,14 +270,29 @@ object Iir {
     def w(f: Double) = 4.0 * tan(Pi * (f / nyq) / 2.0)
     val (p0, p1) = (w(fpass._1), w(fpass._2))
     val (s0, s1) = (w(fstop._1), w(fstop._2))
-    val bandstop = bandstop0
-    val wo2 = p0 * p1
-    val bw = p1 - p0
-    def om(x: Double) =
-      if (bandstop) bw * x / (wo2 - x * x) else (x * x - wo2) / (bw * x)
-    val nat = math.min(math.abs(om(s0)), math.abs(om(s1)))
-    require(nat > 1.0, s"degenerate band spec (selectivity $nat <= 1): fpass=$fpass fstop=$fstop")
-    (sqrt(wo2), bw, nat, bandstop)
+    def natAt(q0: Double, q1: Double): Double = {
+      val wo2 = q0 * q1
+      val b = q1 - q0
+      def om(x: Double) =
+        if (bandstop) b * x / (wo2 - x * x) else (x * x - wo2) / (b * x)
+      math.min(math.abs(om(s0)), math.abs(om(s1)))
+    }
+    val natUser = natAt(p0, p1)
+    require(natUser > 1.0, s"degenerate band spec (selectivity $natUser <= 1): fpass=$fpass fstop=$fstop")
+    if (!bandstop) BandGeom(sqrt(p0 * p1), p1 - p0, sqrt(p0 * p1), p1 - p0, natUser, bandstop = false)
+    else {
+      val frac = bandFracOrder(kind, gpass, gstop)
+      def obj(q0: Double, q1: Double): Double = {
+        val nat = natAt(q0, q1)
+        if (nat <= 1.0) Double.MaxValue else frac(nat)
+      }
+      // sequential, like scipy: the wp1 search uses the optimized wp0
+      val q0 = fminbound(x => obj(x, p1), p0, s0 - 1e-12)
+      val q1 = fminbound(x => obj(q0, x), s1 + 1e-12, p1)
+      val nat = natAt(q0, q1)
+      require(nat > 1.0, s"degenerate band spec after edge optimization: fpass=$fpass fstop=$fstop")
+      BandGeom(sqrt(p0 * p1), p1 - p0, sqrt(q0 * q1), q1 - q0, nat, bandstop = true)
+    }
   }
 
   /** Butterworth band SOS from 2-element corners in Hz — mirrors
@@ -172,7 +300,10 @@ object Iir {
     * reference routes through scipy buttord with array edges. fpass
     * inside fstop → bandpass; fpass outside → bandstop. The prototype
     * cutoff is adjusted (bw·W0 / bw÷W0) so the response passes exactly
-    * −gpass dB at the given passband edges, as scipy's Wn does.
+    * −gpass dB at the passband edges, as scipy's Wn does. Bandstop uses
+    * the fminbound-optimized passband edges for BOTH the order and the
+    * band transform (scipy buttord returns WN from the adjusted passb),
+    * so the attenuation guarantee holds at the lower order.
     */
   def butterBandSos(
       fpass: (Double, Double),
@@ -181,13 +312,64 @@ object Iir {
       gstop: Double,
       fs: Double
   ): Array[Array[Double]] = {
-    val (wo, bw, nat, bandstop) = bandNat(fpass, fstop, fs)
+    val g = bandNat(fpass, fstop, gpass, gstop, fs, "butter")
     val gstopL = pow(10.0, 0.1 * gstop) - 1
     val gpassL = pow(10.0, 0.1 * gpass) - 1
-    val n = ceil(log10(gstopL / gpassL) / (2.0 * log10(nat))).toInt
+    val n = ceil(log10(gstopL / gpassL) / (2.0 * log10(g.nat))).toInt
     val w0 = pow(gpassL, -1.0 / (2.0 * n)) // prototype cutoff > 1
     val proto = buttap(n)
-    val analog = if (bandstop) lp2bs(proto, wo, bw / w0) else lp2bp(proto, wo, bw * w0)
+    val analog = if (g.bandstop) lp2bs(proto, g.woAdj, g.bwAdj / w0) else lp2bp(proto, g.wo, g.bw * w0)
+    zpk2sos(bilinear(analog))
+  }
+
+  /** Chebyshev I band SOS — scipy cheb1ord + cheby1 with 2-element
+    * edges. The order comes from the OPTIMIZED bandstop selectivity but
+    * the band transform keeps the USER passband edges (scipy cheb1ord
+    * returns wn = wp), giving exact −gpass equiripple at the given
+    * edges; scipy quirk faithfully reproduced: on strongly asymmetric
+    * bandstop specs the far stop edge can undershoot gstop by the same
+    * margin scipy's design does.
+    */
+  def cheby1BandSos(
+      fpass: (Double, Double),
+      fstop: (Double, Double),
+      gpass: Double,
+      gstop: Double,
+      fs: Double
+  ): Array[Array[Double]] = {
+    val g = bandNat(fpass, fstop, gpass, gstop, fs, "cheby")
+    val gstopL = pow(10.0, 0.1 * gstop) - 1
+    val gpassL = pow(10.0, 0.1 * gpass) - 1
+    val n = ceil(acosh(sqrt(gstopL / gpassL)) / acosh(g.nat)).toInt
+    val proto = cheb1ap(n, gpass)
+    val analog = if (g.bandstop) lp2bs(proto, g.wo, g.bw) else lp2bp(proto, g.wo, g.bw)
+    zpk2sos(bilinear(analog))
+  }
+
+  /** Chebyshev II band SOS — scipy cheb2ord + cheby2. The type-II
+    * prototype reaches exactly −gpass at frequency 1/newFreq where
+    * newFreq = cosh(acosh√(gs/gp)/n) absorbs the integer-order slack,
+    * so scaling the (adjusted-edge) band width by newFreq (bandpass) or
+    * 1/newFreq (bandstop) pins the passband edges at exactly −gpass and
+    * puts the −gstop corners strictly inside the user stop band — the
+    * closed form behind cheb2ord's nat[] corner formulas.
+    */
+  def cheby2BandSos(
+      fpass: (Double, Double),
+      fstop: (Double, Double),
+      gpass: Double,
+      gstop: Double,
+      fs: Double
+  ): Array[Array[Double]] = {
+    val g = bandNat(fpass, fstop, gpass, gstop, fs, "cheby")
+    val gstopL = pow(10.0, 0.1 * gstop) - 1
+    val gpassL = pow(10.0, 0.1 * gpass) - 1
+    val n = ceil(acosh(sqrt(gstopL / gpassL)) / acosh(g.nat)).toInt
+    val newFreq = cosh(acosh(sqrt(gstopL / gpassL)) / n)
+    val proto = cheb2ap(n, gstop)
+    val analog =
+      if (g.bandstop) lp2bs(proto, g.woAdj, g.bwAdj / newFreq)
+      else lp2bp(proto, g.woAdj, g.bwAdj * newFreq)
     zpk2sos(bilinear(analog))
   }
 
@@ -224,26 +406,36 @@ object Iir {
     val sections = scala.collection.mutable.ArrayBuffer[Array[Double]]()
     var zrs = zr0 // real zeros yet to be placed
     var zps = zp // conjugate zero pairs yet to be placed
+    def takeZeroPair(): Array[Double] = zps match {
+      case (zc, _) +: rest =>
+        zps = rest; Array(1.0, -2.0 * zc.re, zc.abs2)
+      case _ =>
+        zrs match {
+          case r1 +: r2 +: rest =>
+            zrs = rest; Array(1.0, -(r1 + r2), r1 * r2)
+          case r1 +: rest =>
+            zrs = rest; Array(1.0, -r1, 0.0)
+          case _ => Array(1.0, 0.0, 0.0)
+        }
+    }
     // conjugate pole pairs: prefer a conjugate zero pair, else two (or
     // fewer) real zeros — keeps section count at ceil(order/2)
     for ((c, _) <- pp) {
-      val a = Array(1.0, -2.0 * c.re, c.abs2)
-      val b = zps match {
-        case (zc, _) +: rest =>
-          zps = rest; Array(1.0, -2.0 * zc.re, zc.abs2)
-        case _ =>
-          zrs match {
-            case r1 +: r2 +: rest =>
-              zrs = rest; Array(1.0, -(r1 + r2), r1 * r2)
-            case r1 +: rest =>
-              zrs = rest; Array(1.0, -r1, 0.0)
-            case _ => Array(1.0, 0.0, 0.0)
-          }
-      }
-      sections += Array(b(0), b(1), b(2), a(0), a(1), a(2))
+      val b = takeZeroPair()
+      sections += Array(b(0), b(1), b(2), 1.0, -2.0 * c.re, c.abs2)
     }
-    // real poles (odd order): first-order sections, one real zero each
-    for (p <- pr0) {
+    // real poles two at a time (wide band transforms split a real
+    // prototype pole into two real poles): a biquad that can still host
+    // a conjugate zero pair, as scipy's zpk2sos pairing does
+    var prs = pr0
+    while (prs.length >= 2) {
+      val (p1, p2) = (prs.head, prs.tail.head)
+      prs = prs.tail.tail
+      val b = takeZeroPair()
+      sections += Array(b(0), b(1), b(2), 1.0, -(p1 + p2), p1 * p2)
+    }
+    // odd leftover real pole: first-order section, one real zero
+    for (p <- prs) {
       val b = zrs match {
         case r +: rest => zrs = rest; Array(1.0, -r, 0.0)
         case _ => Array(1.0, 0.0, 0.0)
@@ -300,8 +492,12 @@ object Iir {
     Zpk(zeros, poles, (den / num).re)
   }
 
-  /** Chebyshev II minimal order; Wn = stopband edge (scipy cheb2ord
-    * simplified: order from the shared Chebyshev bound).
+  /** Chebyshev II minimal order; Wn is where the analog response first
+    * reaches −gstop at the integer order (scipy cheb2ord): newFreq =
+    * cosh(acosh√(gs/gp)/n) is the prototype frequency of exact −gpass,
+    * so mapping the passband edge through it gives a stop corner at or
+    * inside the user edge — the ceil slack goes to the stop side and
+    * the design passes exactly −gpass at wp.
     */
   def cheb2ord(wp: Double, ws: Double, gpass: Double, gstop: Double): (Int, Double) = {
     val highpass = wp > ws
@@ -310,7 +506,9 @@ object Iir {
     val gstopL = pow(10.0, 0.1 * gstop) - 1
     val gpassL = pow(10.0, 0.1 * gpass) - 1
     val n = ceil(acosh(sqrt(gstopL / gpassL)) / acosh(nat)).toInt
-    (n, ws)
+    val newFreq = cosh(acosh(sqrt(gstopL / gpassL)) / n)
+    val natAdj = if (highpass) wpw / newFreq else wpw * newFreq
+    (n, 2.0 / Pi * atan(natAdj))
   }
 
   /** Chebyshev II SOS — mirrors openseize `iir.py:200` Cheby2. */

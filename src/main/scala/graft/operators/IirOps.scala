@@ -401,6 +401,18 @@ object IirOps {
   lazy val ellipBs: Array[Array[Double]] =
     graft.core.Elliptic.ellipBandSos((10.0, 30.0), (15.0, 25.0), 1.0, 40.0, fs)
 
+  /** Cheby1 bandpass, same 10–20 Hz band as butterBp (iir.py:123 with
+    * fpass=[f1,f2]): equiripple passband needs order 4 vs Butter's 5.
+    */
+  lazy val cheby1Bp: Array[Array[Double]] =
+    Iir.cheby1BandSos((10.0, 20.0), (5.0, 30.0), 1.0, 40.0, fs)
+
+  /** Cheby2 bandstop, same 15–25 Hz notch as ellipBs (iir.py:200 with
+    * fpass=[f1,f2]): flat passband, equiripple −40 dB stop floor.
+    */
+  lazy val cheby2Bs: Array[Array[Double]] =
+    Iir.cheby2BandSos((10.0, 30.0), (15.0, 25.0), 1.0, 40.0, fs)
+
   /** Order-3 Butterworth lowpass at wn=0.2 (10 Hz @ fs=100) in ba form —
     * the transfer-function twin of the sos designs, exercising the
     * reference's ba-form lfilter/filtfilt path (numerical.py:414,449).
@@ -424,6 +436,8 @@ object IirOps {
     "iir_notch" -> sosQ(notch15) _,
     "iir_butter_bp" -> sosQ(butterBp) _,
     "iir_ellip_bs" -> sosQ(ellipBs) _,
+    "iir_cheby1_bp" -> sosQ(cheby1Bp) _,
+    "iir_cheby2_bs" -> sosQ(cheby2Bs) _,
     "iir_butter_filtfilt" -> { (s, dir) =>
       rounded(sosfiltfilt(Signal.long(s, dir), butterLp, presorted = true))
     },
@@ -443,6 +457,8 @@ object IirOps {
     "iir_notch" -> sosfiltSql(notch15),
     "iir_butter_bp" -> sosfiltSql(butterBp),
     "iir_ellip_bs" -> sosfiltSql(ellipBs),
+    "iir_cheby1_bp" -> sosfiltSql(cheby1Bp),
+    "iir_cheby2_bs" -> sosfiltSql(cheby2Bs),
     "iir_butter_filtfilt" -> sosfiltfiltSql(butterLp),
     "iir_lfilter_lp" -> lfilterSql(butterBa._1, butterBa._2),
     "iir_filtfilt_ba" -> filtfiltBaSql(butterBa._1, butterBa._2)

@@ -58,9 +58,62 @@ class IirDesignSpec extends AnyFunSuite {
     assert(db(wc / math.Pi) >= 40.0 - 1e-9, s"center ${db(wc / math.Pi)}")
   }
 
+  test("fminbound finds bounded minima (scipy Brent/FMIN)") {
+    assert(math.abs(Iir.fminbound(x => (x - 2.0) * (x - 2.0), 0.0, 5.0) - 2.0) < 1e-4)
+    assert(math.abs(Iir.fminbound(x => math.cos(x), 0.0, 6.0) - math.Pi) < 1e-4)
+    // monotone objective: minimum at the boundary, within xatol
+    assert(math.abs(Iir.fminbound(x => x, 1.0, 3.0) - 1.0) < 1e-4)
+  }
+
+  test("bandstop passband-edge optimization lowers the butter order and keeps specs") {
+    // symmetric-ish spec: optimized order 8 (unoptimized selectivity
+    // 1.902 would need ceil(4.587 / (2·log10 1.902)) = 9) — scipy parity
+    val sos = Iir.butterBandSos((10.0, 30.0), (15.0, 25.0), 1.0, 40.0, 100.0)
+    assert(sos.length == 8, s"expected order 8, got ${sos.length}")
+    def db(wNorm: Double) = -20 * math.log10(Iir.sosGain(sos, math.Pi * wNorm))
+    assert(db(0.2) <= 1.0 + 1e-9, s"low pass edge ${db(0.2)}")
+    assert(db(0.6) <= 1.0 + 1e-9 && db(0.6) > 0.9, s"high (binding) pass edge ${db(0.6)}")
+    assert(db(0.3) >= 40.0, s"low stop edge ${db(0.3)}")
+    assert(db(0.5) >= 40.0, s"high stop edge ${db(0.5)}")
+    // strongly asymmetric spec: designable at order 3 only because the
+    // passband edges move toward the stop band; real-pole splitting in
+    // the wide-band transform exercises the real-pole-pair sections
+    val asym = Iir.butterBandSos((5.0, 40.0), (20.0, 25.0), 1.0, 40.0, 100.0)
+    assert(asym.length == 3, s"expected order 3, got ${asym.length}")
+    def dbA(wNorm: Double) = -20 * math.log10(Iir.sosGain(asym, math.Pi * wNorm))
+    assert(dbA(0.1) <= 1.0 + 1e-9 && dbA(0.8) <= 1.0 + 1e-9, s"pass ${dbA(0.1)}/${dbA(0.8)}")
+    assert(dbA(0.4) >= 40.0 && dbA(0.5) >= 40.0, s"stop ${dbA(0.4)}/${dbA(0.5)}")
+  }
+
+  test("cheby1 bandpass meets band specs (exact -1 dB equiripple edges)") {
+    val sos = IirOps.cheby1Bp // pass 10-20, stop <5/>30 @ fs=100
+    def db(wNorm: Double) = -20 * math.log10(Iir.sosGain(sos, math.Pi * wNorm))
+    assert(math.abs(db(0.2) - 1.0) < 1e-6, s"low edge ${db(0.2)}")
+    assert(math.abs(db(0.4) - 1.0) < 1e-6, s"high edge ${db(0.4)}")
+    assert(db(0.1) >= 40.0, s"low stop ${db(0.1)}")
+    assert(db(0.6) >= 40.0, s"high stop ${db(0.6)}")
+    // fewer sections than the same-band butter: equiripple buys order
+    assert(sos.length < IirOps.butterBp.length, s"${sos.length} vs ${IirOps.butterBp.length}")
+  }
+
+  test("cheby2 bandstop meets band specs (flat pass, equiripple -40 dB stop)") {
+    val sos = IirOps.cheby2Bs // pass outside 10/30, stop 15-25 @ fs=100
+    def db(wNorm: Double) = -20 * math.log10(Iir.sosGain(sos, math.Pi * wNorm))
+    assert(db(0.2) <= 1.0 + 1e-9, s"low pass edge ${db(0.2)}")
+    assert(db(0.6) <= 1.0 + 1e-9, s"high pass edge ${db(0.6)}")
+    assert(db(0.3) >= 40.0 - 1e-6, s"low stop edge ${db(0.3)}")
+    assert(db(0.5) >= 40.0 - 1e-6, s"high stop edge ${db(0.5)}")
+    val wc = 2.0 * math.atan(math.sqrt(math.tan(math.Pi * 0.1) * math.tan(math.Pi * 0.3)))
+    assert(db(wc / math.Pi) >= 40.0 - 1e-6, s"center ${db(wc / math.Pi)}")
+    // DC and Nyquist pass flat (type II: no passband ripple)
+    assert(Iir.sosGain(sos, 1e-9) > 0.99)
+    assert(Iir.sosGain(sos, math.Pi * (1 - 1e-9)) > 0.99)
+  }
+
   test("all designed filters are stable (poles inside unit circle)") {
     for (
-      sos <- Seq(IirOps.butterLp, IirOps.cheby1Lp, IirOps.notch15, IirOps.butterBp, IirOps.ellipBs);
+      sos <- Seq(IirOps.butterLp, IirOps.cheby1Lp, IirOps.notch15, IirOps.butterBp, IirOps.ellipBs,
+        IirOps.cheby1Bp, IirOps.cheby2Bs);
       s <- sos
     ) {
       val a1 = s(4); val a2 = s(5)
