@@ -332,17 +332,18 @@ object Similarity {
   private def arrSql(xs: Array[Double]): String =
     xs.map(graft.core.Dsp.lit).mkString("[", ", ", "]")
 
-  /** SQL twin of [[lshBuckets]]+histogram: the 8 hyperplanes are embedded
-    * as 64-element literal lists rendered from the same driver-side
-    * arrays the Spark plan uses.
+  /** CTE chain ending in `b(vec_id, bucket)` — the |ps|-bit hyperplane
+    * signature (sign bits of literal-embedded plane dot products, packed
+    * exactly like [[lshBuckets]]: bit idx 63 lands on the BIGINT sign
+    * bit, and the disjoint-bit sum reproduces the two's-complement Long
+    * the Spark plan computes). The hyperplanes are rendered as
+    * 64-element literal lists from the same driver-side arrays the
+    * Spark plan uses.
     */
-  /** CTE chain ending in `b(vec_id, bucket)` — the 8-bit hyperplane
-    * signature, shared by the histogram and the near-dup pair stage.
-    */
-  private val lshCtes: String = {
+  private def lshCtes(ps: Array[Array[Double]]): String = {
     def planeDot(p: Array[Double]) =
       s"list_sum(list_transform(generate_series(1, 64), i -> list_extract(v, i) * list_extract(${arrSql(p)}, i)))"
-    val sig = planes.zipWithIndex
+    val sig = ps.zipWithIndex
       .map { case (p, idx) => s"(CASE WHEN ${planeDot(p)} > 0 THEN ${1L << idx} ELSE 0 END)" }
       .mkString(" + ")
     "vs AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
@@ -350,7 +351,7 @@ object Similarity {
   }
 
   val bucketsSql: String =
-    s"WITH $lshCtes SELECT bucket, count(*) AS n_vecs FROM b GROUP BY bucket"
+    s"WITH ${lshCtes(planes)} SELECT bucket, count(*) AS n_vecs FROM b GROUP BY bucket"
 
   /** Banded LSH candidate pairs: split a |ps|-bit hyperplane signature
     * into `nBands` equal-width bands; candidates = vectors sharing any
@@ -410,9 +411,11 @@ object Similarity {
       .filter(col("cos") >= tau)
   }
 
-  def embedDupesSql(tau: Double = 0.4): String =
-    s"WITH $lshCtes, " +
-      "bands AS (SELECT vec_id, g.bi AS bi, (bucket >> (4 * g.bi)) & 15 AS bv FROM b, generate_series(0, 1) g(bi)), " +
+  def embedDupesSql(tau: Double = 0.4, ps: Array[Array[Double]] = planes64, nBands: Int = 4): String = {
+    val width = ps.length / nBands
+    val mask = (1L << width) - 1
+    s"WITH ${lshCtes(ps)}, " +
+      s"bands AS (SELECT vec_id, g.bi AS bi, (bucket >> ($width * g.bi)) & $mask AS bv FROM b, generate_series(0, ${nBands - 1}) g(bi)), " +
       "cand AS (SELECT DISTINCT a.vec_id AS vid_a, c.vec_id AS vid_b FROM bands a " +
       "JOIN bands c ON a.bi = c.bi AND a.bv = c.bv AND a.vec_id < c.vec_id) " +
       "SELECT vid_a, vid_b, cos FROM (SELECT k.vid_a, k.vid_b, " +
@@ -420,6 +423,7 @@ object Similarity {
       "(SELECT c.vid_a, c.vid_b, x.v AS va, y.v AS vb FROM cand c " +
       "JOIN vs x ON x.vec_id = c.vid_a JOIN vs y ON y.vec_id = c.vid_b) k) " +
       s"WHERE cos >= ${graft.core.Dsp.lit(tau)}"
+  }
 
   /** SQL twin of [[ivfTopk]] (nList=16, nProbe=4): deterministic
     * centroids (first nList vectors), argmin cell assignment with cid
@@ -451,8 +455,13 @@ object Similarity {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_vecs"))
     },
-    // oracle instance: 8 planes / 2×4-bit bands (the API default is the
-    // scale-safe 64-plane / 4×16-bit banding — see embedDupeCandidates)
+    // oracle instance: 8 planes / 2×4-bit bands. Deliberately NOT the
+    // scale-default 64-plane banding: the gate corpus has no
+    // near-identical pairs (max pairwise cos ≈ 0.51 at sf0.01), so the
+    // wide-band config would return 0 rows — a vacuous gate. The
+    // narrow instance keeps the candidates→verify pipeline exercised;
+    // embedDupesSql is parameterized, so either config stays
+    // SQL-replayable.
     "dedup_embed" -> { (s, dir) => embedDupes(Tables.embeddings(s, dir), 0.4, planes, 2) }
   )
 
@@ -460,6 +469,6 @@ object Similarity {
     "sim_topk" -> topkSql,
     "sim_buckets" -> bucketsSql,
     "sim_ivf_topk" -> ivfTopkSql(),
-    "dedup_embed" -> embedDupesSql()
+    "dedup_embed" -> embedDupesSql(0.4, planes, 2)
   )
 }
