@@ -22,4 +22,18 @@ class ApiSpec extends AnyFunSuite {
     assert(Api.Butter(10, 20, 100).sos.map(_.toSeq).toSeq ==
       operators.IirOps.butterLp.map(_.toSeq).toSeq)
   }
+
+  test("IIR band facade mirrors 2-element reference specs") {
+    assert(Api.ButterBand(Seq(10, 20), Seq(5, 30), 100).sos.map(_.toSeq).toSeq ==
+      operators.IirOps.butterBp.map(_.toSeq).toSeq)
+    assert(Api.Cheby1Band(Seq(10, 20), Seq(5, 30), 100).sos.map(_.toSeq).toSeq ==
+      operators.IirOps.cheby1Bp.map(_.toSeq).toSeq)
+    assert(Api.Cheby2Band(Seq(10, 30), Seq(15, 25), 100).sos.map(_.toSeq).toSeq ==
+      operators.IirOps.cheby2Bs.map(_.toSeq).toSeq)
+    assert(Api.EllipBand(Seq(10, 30), Seq(15, 25), 100).sos.map(_.toSeq).toSeq ==
+      operators.IirOps.ellipBs.map(_.toSeq).toSeq)
+    // bandstop applies end to end through the zero-phase path
+    assert(Api.Cheby2Band(Seq(10, 30), Seq(15, 25), 100).apply(sig).count() > 0)
+    intercept[IllegalArgumentException](Api.ButterBand(Seq(10), Seq(5, 30), 100))
+  }
 }
