@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
@@ -94,6 +94,71 @@ case class SpectrumSeg(
   override protected def withNewChildInternal(c: Expression): SpectrumSeg = copy(child = c)
 }
 
+/** Left-associated dot product of two `array<double>` columns — the
+  * cosine-scoring hot path without `aggregate(zip_with(...))`'s
+  * per-element interpreted lambdas and intermediate zipped array.
+  * Accumulation is bit-identical to the fold it replaces (and to the
+  * oracle's `list_sum(list_transform(...))`): ((0 + a₀b₀) + a₁b₁) + …
+  * Inputs are fixed-width embedding vectors; length mismatch takes the
+  * common prefix (the zip_with form nulls the whole result instead —
+  * neither occurs on the 64-wide embeddings).
+  */
+case class DotD(left: Expression, right: Expression)
+    extends BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotD =
+    copy(left = l, right = r)
+}
+
+/** Dot product with a fixed driver-side kernel (LSH hyperplane
+  * projections): one expression per plane instead of a zip_with against
+  * a 64-literal array column. Same left-associated accumulation.
+  */
+case class DotLit(child: Expression, kernel: Seq[Double]) extends UnaryExpression with CodegenFallback {
+  @transient private lazy val h = kernel.toArray
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), h.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * h(i); i += 1 }
+    s
+  }
+  override protected def withNewChildInternal(c: Expression): DotLit = copy(child = c)
+}
+
+/** Σ(aᵢ−bᵢ)² — squared euclidean distance, left-associated like the
+  * `aggregate(zip_with((x,y) => (x-y)*(x-y)))` fold it replaces (the
+  * k-means / IVF cell-assignment hot path).
+  */
+case class SqDistD(left: Expression, right: Expression)
+    extends BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { val d = a.getDouble(i) - b.getDouble(i); s += d * d; i += 1 }
+    s
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SqDistD =
+    copy(left = l, right = r)
+}
+
 object exprs {
   def spectrum_seg(
       c: Column,
@@ -109,4 +174,10 @@ object exprs {
     Bridge.column(WinRfftMag2(Bridge.expression(c), win.toSeq, demean))
   def seg_conv(c: Column, h: Array[Double]): Column =
     Bridge.column(SegConv(Bridge.expression(c), h.toSeq))
+  def dot_d(a: Column, b: Column): Column =
+    Bridge.column(DotD(Bridge.expression(a), Bridge.expression(b)))
+  def dot_lit(c: Column, h: Array[Double]): Column =
+    Bridge.column(DotLit(Bridge.expression(c), h.toSeq))
+  def sq_dist(a: Column, b: Column): Column =
+    Bridge.column(SqDistD(Bridge.expression(a), Bridge.expression(b)))
 }

@@ -9,9 +9,11 @@ import graft.core.Tables
   * 64-dim float vectors).
   *
   * - `sim_topk`: brute-force cosine top-k of a query subset against the
-  *   corpus — the correctness baseline. Dot products run as
-  *   `aggregate(zip_with(...))` entirely inside codegen; ranking is one
-  *   window over the query key.
+  *   corpus — the correctness baseline. Dot products run as the native
+  *   `DotD`/`DotLit`/`SqDistD` expressions (a tight primitive loop per
+  *   row; Spark's higher-order zip_with/aggregate are CodegenFallback
+  *   with per-element lambda interpretation); ranking is one window
+  *   over the query key.
   * - `sim_lsh`: random-hyperplane LSH bucketing (sign of dot with
   *   deterministic hyperplanes) — the scale path bounding candidates per
   *   query; same cosine on candidates only.
@@ -39,18 +41,13 @@ object Similarity {
     * oracle's sqrt(Σv²) runs the same accumulation order.
     */
   private def vecsN(df: DataFrame): DataFrame =
-    vecsD(df).withColumn(
-      "nrm",
-      sqrt(aggregate(zip_with(col("v"), col("v"), (x, y) => x * y), lit(0.0), (acc, v) => acc + v))
-    )
+    vecsD(df).withColumn("nrm", sqrt(graft.functions.exprs.dot_d(col("v"), col("v"))))
 
   /** cosine(a, b) from precomputed norms na/nb; dot accumulates
     * sequentially left-to-right like the oracle.
     */
-  private def cosExpr: org.apache.spark.sql.Column = {
-    val dot = aggregate(zip_with(col("va"), col("vb"), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-    dot / (col("na") * col("nb"))
-  }
+  private def cosExpr: org.apache.spark.sql.Column =
+    graft.functions.exprs.dot_d(col("va"), col("vb")) / (col("na") * col("nb"))
 
   private val cosSqlExpr: String = {
     def dot(a: String, b: String) =
@@ -108,11 +105,7 @@ object Similarity {
     val vs = vecsD(emb)
     val sig = ps.zipWithIndex
       .map { case (p, idx) =>
-        val dot = aggregate(
-          zip_with(col("v"), array(p.map(lit): _*), (x, y) => x * y),
-          lit(0.0),
-          (acc, v) => acc + v
-        )
+        val dot = graft.functions.exprs.dot_lit(col("v"), p)
         // disjoint bit positions: + is | here (idx 63 lands the sign bit)
         when(dot > 0, lit(1L << idx)).otherwise(0L)
       }
@@ -283,11 +276,7 @@ object Similarity {
         .select(
           col(idCol),
           col("cid"),
-          aggregate(
-            zip_with(col(assignCol), col("cv"), (x, y) => (x - y) * (x - y)),
-            lit(0.0),
-            (acc, t) => acc + t
-          ).as("d2")
+          graft.functions.exprs.sq_dist(col(assignCol), col("cv")).as("d2")
         )
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col(idCol))
