@@ -1,11 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Custom Catalyst expressions for the segmented fast paths (preference
   * tier (b): a native Expression beats a UDF — no Row boxing, typed
@@ -138,6 +139,41 @@ case class DotLit(child: Expression, kernel: Seq[Double]) extends UnaryExpressio
   override protected def withNewChildInternal(c: Expression): DotLit = copy(child = c)
 }
 
+/** Distinct xxhash64 values (seed 42, Spark's `xxhash64`) of the w-word
+  * shingles of a pre-split token array, computed row-locally in one
+  * pass. Replaces explode(shingles) → xxhash64 → distinct →
+  * groupBy/collect_list — two shuffles of ~tokens× the doc count — with
+  * a plain projection. Shingle text and the position cap match
+  * TextStats.shingles (`tok_i ⧺ " " ⧺ … ⧺ tok_{i+w−1}`, positions
+  * 1..min(len−w+1, maxShingles)); docs shorter than w tokens yield an
+  * empty set (the exploded path yields no rows — same downstream
+  * result, intersections are empty either way).
+  */
+case class ShingleHashSet(child: Expression, w: Int, maxShingles: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val last = math.min(toks.numElements() - w + 1, maxShingles) // 1-based position count
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i < last) {
+      val parts = new Array[UTF8String](w)
+      var j = 0
+      while (j < w) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      val sh = UTF8String.concatWs(sep, parts: _*)
+      val h = XXH64.hashUnsafeBytes(sh.getBaseObject, sh.getBaseOffset, sh.numBytes, 42L)
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): ShingleHashSet = copy(child = c)
+}
+
 /** Σ(aᵢ−bᵢ)² — squared euclidean distance, left-associated like the
   * `aggregate(zip_with((x,y) => (x-y)*(x-y)))` fold it replaces (the
   * k-means / IVF cell-assignment hot path).
@@ -180,4 +216,6 @@ object exprs {
     Bridge.column(DotLit(Bridge.expression(c), h.toSeq))
   def sq_dist(a: Column, b: Column): Column =
     Bridge.column(SqDistD(Bridge.expression(a), Bridge.expression(b)))
+  def shingle_hash_set(toks: Column, w: Int, maxShingles: Int): Column =
+    Bridge.column(ShingleHashSet(Bridge.expression(toks), w, maxShingles))
 }

@@ -99,12 +99,17 @@ object Dedup {
     // one row per doc carrying its shingle-hash SET as an array: each
     // candidate pair intersects row-locally (array_intersect is a hash
     // probe) instead of exploding cands × shingles through two joins
-    val dsha = TextStats
-      .shingles(docs)
-      .select(col("doc_id"), xxhash64(col("sh")).as("shh"))
-      .distinct()
-      .groupBy(col("doc_id"))
-      .agg(collect_list(col("shh")).as("shs"))
+    // per-doc shingle-hash SET in one row-local pass (ShingleHashSet =
+    // the same xxhash64-of-shingle values the exploded formulation
+    // hashed): no explode, no distinct/groupBy shuffles of ~tokens x
+    // docs rows — dsha is a projection off the parquet scan
+    val dsha = docs
+      .select(
+        col("doc_id"),
+        graft.functions.exprs
+          .shingle_hash_set(split(col("text"), " "), 3, TextStats.maxTokens)
+          .as("shs")
+      )
     cands
       .join(dsha.select(col("doc_id").as("doc_a"), col("shs").as("sha")), Seq("doc_a"))
       .join(dsha.select(col("doc_id").as("doc_b"), col("shs").as("shb")), Seq("doc_b"))
