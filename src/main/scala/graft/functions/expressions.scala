@@ -174,6 +174,48 @@ case class ShingleHashSet(child: Expression, w: Int, maxShingles: Int)
   override protected def withNewChildInternal(c: Expression): ShingleHashSet = copy(child = c)
 }
 
+/** 64-bit SimHash (Charikar) of a pre-split token array, row-locally:
+  * per token OCCURRENCE, md5 → first 8 digest bytes MSB-first are the
+  * 64 bit votes (±1); signature bit b set on positive majority. Emits
+  * [sim_hi, sim_lo] — the two 32-bit halves the banded hamming join
+  * uses, bit-identical to the conv(substring(md5-hex))-based
+  * groupBy-of-64-conditional-aggregates it replaces (and to the
+  * oracle's hex-nibble walk), with no token explode/shuffle at all.
+  * Token positions cap at maxTokens, like TextStats.tokens.
+  */
+case class SimHash64(child: Expression, maxTokens: Int) extends UnaryExpression with CodegenFallback {
+  @transient private lazy val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val n = math.min(toks.numElements(), maxTokens)
+    val w = new Array[Int](64)
+    val digester = md.get()
+    var i = 0
+    while (i < n) {
+      digester.reset()
+      val d = digester.digest(toks.getUTF8String(i).getBytes)
+      var b = 0
+      while (b < 64) {
+        val bit = (d(b >> 3) >> (7 - (b & 7))) & 1
+        w(b) += 2 * bit - 1
+        b += 1
+      }
+      i += 1
+    }
+    var hi = 0L
+    var lo = 0L
+    var b = 0
+    while (b < 32) { if (w(b) > 0) hi |= 1L << (31 - b); b += 1 }
+    while (b < 64) { if (w(b) > 0) lo |= 1L << (63 - b); b += 1 }
+    new GenericArrayData(Array(hi, lo))
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
+}
+
 /** Σ(aᵢ−bᵢ)² — squared euclidean distance, left-associated like the
   * `aggregate(zip_with((x,y) => (x-y)*(x-y)))` fold it replaces (the
   * k-means / IVF cell-assignment hot path).
@@ -218,4 +260,6 @@ object exprs {
     Bridge.column(SqDistD(Bridge.expression(a), Bridge.expression(b)))
   def shingle_hash_set(toks: Column, w: Int, maxShingles: Int): Column =
     Bridge.column(ShingleHashSet(Bridge.expression(toks), w, maxShingles))
+  def simhash64(toks: Column, maxTokens: Int): Column =
+    Bridge.column(SimHash64(Bridge.expression(toks), maxTokens))
 }

@@ -147,30 +147,22 @@ object Dedup {
     * majority; emitted as two 32-bit halves (exact in BIGINT).
     */
   def simhash(docs: DataFrame): DataFrame = {
-    // The md5 hex splits into two 32-bit ints; bit b of the signature is
-    // a shift+mask, and the 64 per-bit majority counters are 64
-    // conditional aggregates in ONE groupBy — no 64× row explosion, no
-    // per-bit string ops, one exchange on doc_id (r3 rework: the
-    // explode-per-bit formulation dominated dedup_simhash_pairs).
-    // Bit values are identical to the hex-nibble walk the oracle runs.
-    val toks = TextStats.tokens(docs).select(col("doc_id"), md5(col("tok")).as("h"))
-    val ints = toks.select(
-      col("doc_id"),
-      conv(substring(col("h"), 1, 8), 16, 10).cast("long").as("hi"),
-      conv(substring(col("h"), 9, 8), 16, 10).cast("long").as("lo")
-    )
-    val wCols = (0 until 64).map { b =>
-      val bit = if (b < 32) shiftright(col("hi"), 31 - b) % 2 else shiftright(col("lo"), 63 - b) % 2
-      sum(bit * 2 - 1).as(s"w$b")
-    }
-    val packedHi =
-      (0 until 32).map(b => when(col(s"w$b") > 0, lit(1L << (31 - b))).otherwise(lit(0L))).reduce(_ + _)
-    val packedLo =
-      (32 until 64).map(b => when(col(s"w$b") > 0, lit(1L << (63 - b))).otherwise(lit(0L))).reduce(_ + _)
-    ints
-      .groupBy(col("doc_id"))
-      .agg(wCols.head, wCols.tail: _*)
-      .select(col("doc_id"), packedHi.as("sim_hi"), packedLo.as("sim_lo"))
+    // Row-local SimHash64 expression: per-token md5 bit votes and the
+    // majority pack run in one pass over the split token array — a pure
+    // projection, no token explode and no exchange at all (r5 rework;
+    // the r3 form was 64 conditional aggregates over an exploded token
+    // shuffle). Bit values are identical to the hex-nibble walk the
+    // oracle runs.
+    docs
+      .select(
+        col("doc_id"),
+        graft.functions.exprs.simhash64(split(col("text"), " "), TextStats.maxTokens).as("s2")
+      )
+      .select(
+        col("doc_id"),
+        element_at(col("s2"), 1).as("sim_hi"),
+        element_at(col("s2"), 2).as("sim_lo")
+      )
   }
 
   /** CTE chain ending in `sig(doc_id, sim_hi, sim_lo)` — shared by the
