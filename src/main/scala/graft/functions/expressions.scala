@@ -216,6 +216,53 @@ case class SimHash64(child: Expression, maxTokens: Int) extends UnaryExpression 
   override protected def withNewChildInternal(c: Expression): SimHash64 = copy(child = c)
 }
 
+/** MinHash signature of a pre-split token array, row-locally: for each
+  * w-word shingle position (capped like TextStats.shingles), h = first
+  * 4 md5 digest bytes of the shingle as an unsigned 32-bit int; the
+  * j-th output is min over shingles of (a_j·h + b_j) mod 2³². Values
+  * are identical to the exploded shingles → distinct → k-min-aggregate
+  * pipeline it replaces (min over occurrences = min over the distinct
+  * set), with no shuffle at all. Docs shorter than w tokens emit an
+  * empty array (posexplode then drops them, like the missing group).
+  */
+case class MinHashSig(child: Expression, w: Int, maxShingles: Int, a: Seq[Long], b: Seq[Long])
+    extends UnaryExpression
+    with CodegenFallback {
+  @transient private lazy val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  @transient private lazy val (aArr, bArr) = (a.toArray, b.toArray)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val last = math.min(toks.numElements() - w + 1, maxShingles)
+    if (last <= 0) return new GenericArrayData(Array.empty[Long])
+    val k = aArr.length
+    val mins = Array.fill(k)(Long.MaxValue)
+    val sep = UTF8String.fromString(" ")
+    val digester = md.get()
+    var i = 0
+    while (i < last) {
+      val parts = new Array[UTF8String](w)
+      var j = 0
+      while (j < w) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      digester.reset()
+      val d = digester.digest(UTF8String.concatWs(sep, parts: _*).getBytes)
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      j = 0
+      while (j < k) {
+        val p = (aArr(j) * h + bArr(j)) % 4294967296L
+        if (p < mins(j)) mins(j) = p
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
 /** Σ(aᵢ−bᵢ)² — squared euclidean distance, left-associated like the
   * `aggregate(zip_with((x,y) => (x-y)*(x-y)))` fold it replaces (the
   * k-means / IVF cell-assignment hot path).
@@ -262,4 +309,6 @@ object exprs {
     Bridge.column(ShingleHashSet(Bridge.expression(toks), w, maxShingles))
   def simhash64(toks: Column, maxTokens: Int): Column =
     Bridge.column(SimHash64(Bridge.expression(toks), maxTokens))
+  def minhash_sig(toks: Column, w: Int, maxShingles: Int, a: Array[Long], b: Array[Long]): Column =
+    Bridge.column(MinHashSig(Bridge.expression(toks), w, maxShingles, a.toSeq, b.toSeq))
 }

@@ -38,27 +38,20 @@ object Dedup {
     * j-th multiply-add permutation of h. Identical on both engines
     * (a_j·h + b_j < 2^63, no overflow).
     */
-  private def signatures(docs: DataFrame): DataFrame = {
-    // k min-aggregates in ONE groupBy over the shingle hashes (r3: the
-    // explode-×k formulation ran every shingle row through a generator
-    // before the partial agg); the tiny per-doc wide row then unpivots
-    // to (doc_id, j, minh) for the band join. Values unchanged.
-    val h32 = conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
-    val mins = (0 until numHashes).map { j =>
-      min((lit(permA(j)) * col("h") + lit(permB(j))) % mod32).as(s"m$j")
-    }
-    TextStats
-      .shingles(docs)
-      .select(col("doc_id"), col("sh"))
-      .distinct()
-      .select(col("doc_id"), h32.as("h"))
-      .groupBy(col("doc_id"))
-      .agg(mins.head, mins.tail: _*)
+  private def signatures(docs: DataFrame): DataFrame =
+    // row-local MinHashSig (r5; the r3 form was k min-aggregates over
+    // an exploded-shingle shuffle): the k minima come straight off the
+    // parquet scan as a projection, then unpivot to (doc_id, j, minh)
+    // for the band join. Values unchanged — min over shingle
+    // occurrences equals min over the distinct set.
+    docs
       .select(
         col("doc_id"),
-        posexplode(array((0 until numHashes).map(j => col(s"m$j")): _*)).as(Seq("j", "minh"))
+        graft.functions.exprs
+          .minhash_sig(split(col("text"), " "), 3, TextStats.maxTokens, permA, permB)
+          .as("ms")
       )
-  }
+      .select(col("doc_id"), posexplode(col("ms")).as(Seq("j", "minh")))
 
   private val signaturesSql: String = {
     val aSql = permA.mkString("[", ", ", "]")
