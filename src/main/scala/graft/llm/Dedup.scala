@@ -259,6 +259,52 @@ object Dedup {
       .toDF("doc_id", "h", "is_dup")
   }
 
+  /** Streaming MinHash-LSH near-dup candidates: signature rows key
+    * per-bucket state by band value (j, minh); each bucket remembers the
+    * docs it has seen and a newly arriving doc emits a candidate pair
+    * against every resident, then a stateful dropDuplicates collapses
+    * multi-band hits. Usable unchanged on a readStream source — the
+    * streaming generalization of [[minhashCandidates]] (in batch mode
+    * every bucket arrives at once and the output is exactly the batch
+    * candidate set, which is what the SQL oracle states).
+    *
+    * State is bounded: a bucket retains at most `maxBucket` newest
+    * residents (windowed LSH — the recall/state dial at corpus scale;
+    * within one batch all pairs still emit regardless of the cap).
+    * `MinhashStreamSpec` exercises the cross-batch state path.
+    */
+  def minhashDupStreaming(docs: DataFrame, maxBucket: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    docs
+      .select(
+        col("doc_id"),
+        graft.functions.exprs
+          .minhash_sig(split(col("text"), " "), 3, TextStats.maxTokens, permA, permB)
+          .as("ms")
+      )
+      .select(col("doc_id"), posexplode(col("ms")).as(Seq("j", "minh")))
+      .as[(Long, Int, Long)]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[Array[Long], (Long, Long)](
+        OutputMode.Append,
+        GroupStateTimeout.NoTimeout
+      ) { (_: (Int, Long), rows: Iterator[(Long, Int, Long)], state: GroupState[Array[Long]]) =>
+        val incoming = rows.map(_._1).toArray.sorted
+        val cur = scala.collection.mutable.ArrayBuffer[Long](state.getOption.getOrElse(Array.empty[Long]).toSeq: _*)
+        val out = scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        for (id <- incoming) {
+          for (r <- cur if r != id) out += ((math.min(r, id), math.max(r, id)))
+          cur += id
+        }
+        state.update(cur.takeRight(maxBucket).toArray)
+        out.iterator
+      }
+      .toDF("doc_a", "doc_b")
+      .dropDuplicates("doc_a", "doc_b")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> { (s, dir) =>
       Tables
@@ -266,6 +312,7 @@ object Dedup {
         .groupBy(md5(col("text")).as("h"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
     },
+    "dedup_stream_minhash" -> { (s, dir) => minhashDupStreaming(Tables.documents(s, dir)) },
     "dedup_minhash" -> { (s, dir) => minhashCandidates(Tables.documents(s, dir)) },
     "dedup_jaccard" -> { (s, dir) => jaccard(Tables.documents(s, dir)) },
     "dedup_simhash" -> { (s, dir) => simhash(Tables.documents(s, dir)) },
@@ -277,6 +324,8 @@ object Dedup {
     "dedup_exact" ->
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY md5(text)",
     "dedup_minhash" -> minhashCandidatesSql,
+    // the streaming LSH's batch twin IS the batch candidate set
+    "dedup_stream_minhash" -> minhashCandidatesSql,
     "dedup_jaccard" -> jaccardSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,

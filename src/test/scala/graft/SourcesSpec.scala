@@ -302,3 +302,58 @@ class DedupStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"first-arrival-wins violated: $got")
   }
 }
+
+class MinhashStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("streaming minhash LSH: near-dup pair surfaces across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again every day"
+    val nearDup = base.replace("lazy", "sleepy") // shares most 3-shingles
+    val other = "completely different words having nothing at all in common with anything"
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = graft.llm.Dedup
+      .minhashDupStreaming(docs)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("mh_stream_out")
+      .start()
+    input.addData((1L, base), (2L, other))
+    q.processAllAvailable()
+    val afterBatch1 = spark.sql("SELECT * FROM mh_stream_out").count()
+    input.addData((3L, nearDup)) // arrives a batch later, must hit 1's buckets via state
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark
+      .sql("SELECT doc_a, doc_b FROM mh_stream_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(afterBatch1 == 0, s"no pairs expected within batch 1, got $afterBatch1")
+    assert(pairs.contains((1L, 3L)), s"cross-batch near-dup pair missing: $pairs")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L), s"unrelated doc paired: $pairs")
+  }
+
+  test("batch mode equals the batch candidate set") {
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (12L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val stream = graft.llm.Dedup
+      .minhashDupStreaming(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val batch = graft.llm.Dedup
+      .minhashCandidates(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(stream == batch, s"stream $stream != batch $batch")
+  }
+}
