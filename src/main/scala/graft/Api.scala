@@ -53,6 +53,9 @@ object Api {
     FirFilter(Dsp.firDesign("kaiser", fpass, fstop, fs, gpass, gstop))
   def RemezLp(fpass: Double, fstop: Double, fs: Double, gpass: Double = 1.0, gstop: Double = 40.0): FirFilter =
     FirFilter(Remez.lowpass(fpass, fstop, fs, gpass, gstop))
+  def RemezBp(fstop1: Double, fpass1: Double, fpass2: Double, fstop2: Double, fs: Double,
+      gpass: Double = 1.0, gstop: Double = 40.0): FirFilter =
+    FirFilter(Remez.bandpass(fstop1, fpass1, fpass2, fstop2, fs, gpass, gstop))
   def Hilbert(width: Double, fs: Double, gpass: Double = 0.01, gstop: Double = 60.0): FirFilter =
     FirFilter(HilbertOps.hilbertDesign(width, fs, gpass, gstop))
 

@@ -188,6 +188,34 @@ object Remez {
     )
   }
 
+  /** Parks–McClellan bandpass — the scipy `remez` multiband call shape
+    * (reference routes arbitrary band layouts through the same
+    * exchange core): pass [fpass1, fpass2], stop below fstop1 / above
+    * fstop2, weights 1/δ per band, taps from the Bellanger estimate at
+    * the narrower transition.
+    */
+  def bandpass(
+      fstop1: Double,
+      fpass1: Double,
+      fpass2: Double,
+      fstop2: Double,
+      fs: Double,
+      gpass: Double,
+      gstop: Double
+  ): Array[Double] = {
+    require(fstop1 < fpass1 && fpass1 < fpass2 && fpass2 < fstop2, "bandpass edges must nest")
+    val dp = 1.0 - math.pow(10.0, -gpass / 20.0)
+    val ds = math.pow(10.0, -gstop / 20.0)
+    val n = bellangerTaps(dp, ds, fs, math.min(fpass1 - fstop1, fstop2 - fpass2))
+    remez(
+      n,
+      Seq((0.0, fstop1), (fpass1, fpass2), (fstop2, fs / 2.0)),
+      Seq(0.0, 1.0, 0.0),
+      Seq(1.0 / ds, 1.0 / dp, 1.0 / ds),
+      fs
+    )
+  }
+
   /** |H(e^{2πif/fs})| of a linear-phase FIR. */
   def firGain(h: Array[Double], fHz: Double, fs: Double): Double = {
     val w = 2.0 * Pi * fHz / fs

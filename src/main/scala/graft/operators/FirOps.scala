@@ -325,6 +325,12 @@ object FirOps {
   lazy val remezLp: Array[Double] =
     graft.core.Remez.lowpass(fpass = 10, fstop = 20, fs = fs, gpass = 1.0, gstop = 40.0)
 
+  /** Remez bandpass 10–20 Hz (stop <5, >30): the multiband
+    * Parks–McClellan call shape (three bands, per-band weights).
+    */
+  lazy val remezBp: Array[Double] =
+    graft.core.Remez.bandpass(5, 10, 20, 30, fs = fs, gpass = 1.0, gstop = 40.0)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "fir_oa_fast" -> { (s, dir) => sameFast(Signal.long(s, dir), kaiserLp) },
     "fir_rect" -> { (s, dir) => same(Signal.long(s, dir), rect) },
@@ -336,7 +342,8 @@ object FirOps {
     "fir_blackman_hp" -> { (s, dir) => same(Signal.long(s, dir), blackmanHp) },
     "fir_kaiser_lp" -> { (s, dir) => same(Signal.long(s, dir), kaiserLp) },
     "fir_kaiser_bs" -> { (s, dir) => same(Signal.long(s, dir), kaiserBs) },
-    "fir_remez_lp" -> { (s, dir) => same(Signal.long(s, dir), remezLp) }
+    "fir_remez_lp" -> { (s, dir) => same(Signal.long(s, dir), remezLp) },
+    "fir_remez_bp" -> { (s, dir) => same(Signal.long(s, dir), remezBp) }
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -352,6 +359,7 @@ object FirOps {
     "fir_blackman_hp" -> sameSql(blackmanHp),
     "fir_kaiser_lp" -> sameSql(kaiserLp),
     "fir_kaiser_bs" -> sameSql(kaiserBs),
-    "fir_remez_lp" -> sameSql(remezLp)
+    "fir_remez_lp" -> sameSql(remezLp),
+    "fir_remez_bp" -> sameSql(remezBp)
   )
 }

@@ -33,6 +33,22 @@ class RemezSpec extends AnyFunSuite {
     assert(att25 >= 36.0, s"stop 25 Hz: $att25 dB")
   }
 
+  test("remez bandpass meets its band specs") {
+    val h = Remez.bandpass(5, 10, 20, 30, fs = 100, gpass = 1.0, gstop = 40.0)
+    assert(h.length % 2 == 1)
+    h.indices.foreach(i => assert(math.abs(h(i) - h(h.length - 1 - i)) < 1e-9))
+    val dp = 1.0 - math.pow(10.0, -1.0 / 20)
+    for (f <- Seq(10.0, 12.0, 15.0, 18.0, 20.0)) {
+      val g = Remez.firGain(h, f, 100)
+      assert(math.abs(g - 1.0) <= dp * 1.2, s"pass $f Hz: $g")
+    }
+    // same Bellanger slack policy as the lowpass spec
+    for (f <- Seq(0.0, 3.0, 5.0, 30.0, 35.0, 45.0)) {
+      val att = -20 * math.log10(Remez.firGain(h, f, 100) + 1e-300)
+      assert(att >= 34.0, s"stop $f Hz: $att dB")
+    }
+  }
+
   test("equiripple: passband error alternates near the ripple bound") {
     val h = Remez.lowpass(10, 20, 100, 1.0, 40.0)
     val errs = (0 to 100).map(i => Remez.firGain(h, i * 0.1, 100) - 1.0)
