@@ -158,6 +158,36 @@ object BaseQueries {
       c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_custs"))
+    },
+    "q8_asof" -> { (s, dir) =>
+      // as-of join: each purchase picks the most recent view at-or-
+      // before its timestamp for the same user, (ts, id)-tie-ordered.
+      // Spark-first shape: ONE ordered window over the union of both
+      // event roles (they live in one table) — a single shuffle on
+      // user_id; no range join, no per-row backward scan. Both engines
+      // run the identical window, so the semantic corner (ties) hashes
+      // identically.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      Tables
+        .events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts_ns"), col("event_type"), col("value"))
+        // gate parity (sessionize precedent): DuckDB's TIMESTAMP view is
+        // micro-precision — truncate BEFORE the window so tie-ordering
+        // matches the oracle's (the operator itself is nanos-native)
+        .withColumn("ts_ns", col("ts_ns") - col("ts_ns") % 1000)
+        .withColumn(
+          "view_ts",
+          last(when(col("event_type") === "view", col("ts_ns")), ignoreNulls = true).over(w)
+        )
+        .withColumn(
+          "view_value",
+          last(when(col("event_type") === "view", graft.core.Dsp.round6(col("value"))), ignoreNulls = true).over(w)
+        )
+        .filter(col("event_type") === "purchase" && col("view_ts").isNotNull)
+        .select(col("event_id"), col("user_id"), col("ts_ns"), col("view_ts"), col("view_value"))
     }
   )
 
@@ -189,6 +219,15 @@ object BaseQueries {
     "q7_semi_join" ->
       ("SELECT c_mktsegment, count(*) AS n_custs FROM customer " +
         "WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0) " +
-        "GROUP BY c_mktsegment")
+        "GROUP BY c_mktsegment"),
+    "q8_asof" ->
+      ("WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, event_type, value FROM events), " +
+        "ao AS (SELECT event_id, user_id, ts_ns, event_type, " +
+        "last_value(CASE WHEN event_type = 'view' THEN ts_ns END IGNORE NULLS) OVER w AS view_ts, " +
+        s"last_value(CASE WHEN event_type = 'view' THEN ${graft.core.Dsp.round6Sql("value")} END IGNORE NULLS) OVER w AS view_value " +
+        "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT event_id, user_id, ts_ns, view_ts, view_value FROM ao " +
+        "WHERE event_type = 'purchase' AND view_ts IS NOT NULL")
   )
 }
