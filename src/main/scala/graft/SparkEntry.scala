@@ -188,6 +188,36 @@ object BaseQueries {
         )
         .filter(col("event_type") === "purchase" && col("view_ts").isNotNull)
         .select(col("event_id"), col("user_id"), col("ts_ns"), col("view_ts"), col("view_value"))
+    },
+    "q9_range" -> { (s, dir) =>
+      // bounded-interval range join (views within 1 h before each
+      // purchase, same user), scale-safe shape: bucketize the time axis
+      // at the window width, explode each probe row into the exactly-2
+      // buckets its window can overlap, equi-join on (user_id, bucket),
+      // then the exact range predicate — candidate volume is O(2·|p|)
+      // join rows instead of the quadratic theta-join, and the join
+      // stays a shuffled hash join Catalyst can plan. Bucket arithmetic
+      // is integral (`div`) — ts_ns exceeds 2^53, double division would
+      // misbucket near hour boundaries.
+      val hourNs = 3600000000000L
+      val ev = Tables
+        .events(s, dir)
+        .withColumn("ts_ns", col("ts_ns") - col("ts_ns") % 1000) // oracle micro-parity
+      val views = ev
+        .filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_ns").as("v_ts"), expr(s"ts_ns div $hourNs").as("bucket"))
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_ns"))
+        .withColumn(
+          "bucket",
+          explode(array(expr(s"(ts_ns - $hourNs) div $hourNs"), expr(s"ts_ns div $hourNs")))
+        )
+      purchases
+        .join(views, Seq("user_id", "bucket"))
+        .filter(col("v_ts") >= col("ts_ns") - hourNs && col("v_ts") <= col("ts_ns"))
+        .groupBy(col("event_id"), col("user_id"), col("ts_ns"))
+        .agg(count(lit(1)).as("n_views"))
     }
   )
 
@@ -228,6 +258,13 @@ object BaseQueries {
         "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id " +
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
         "SELECT event_id, user_id, ts_ns, view_ts, view_value FROM ao " +
-        "WHERE event_type = 'purchase' AND view_ts IS NOT NULL")
+        "WHERE event_type = 'purchase' AND view_ts IS NOT NULL"),
+    "q9_range" ->
+      ("WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, event_type FROM events), " +
+        "v AS (SELECT user_id, ts_ns AS v_ts FROM e WHERE event_type = 'view'), " +
+        "p AS (SELECT event_id, user_id, ts_ns FROM e WHERE event_type = 'purchase') " +
+        "SELECT p.event_id, p.user_id, p.ts_ns, count(*) AS n_views FROM p " +
+        "JOIN v ON v.user_id = p.user_id AND v.v_ts >= p.ts_ns - 3600000000000 AND v.v_ts <= p.ts_ns " +
+        "GROUP BY p.event_id, p.user_id, p.ts_ns")
   )
 }
