@@ -63,6 +63,34 @@ class ExprEquivalenceSpec extends AnyFunSuite {
     assert(fast == slow)
   }
 
+  test("MinHashSig equals the exploded distinct-shingle k-min pipeline") {
+    val docs = (0L until 50L).map(i => (i, randomText())).toDF("doc_id", "text")
+    // same permutation constants as Dedup (seed 13, 9 hashes)
+    val r13 = new scala.util.Random(13)
+    val pa = Array.fill(9)(r13.nextInt(1 << 30).toLong * 2 + 1)
+    val pb = Array.fill(9)(r13.nextInt(Int.MaxValue).toLong)
+    val fast = docs
+      .select(col("doc_id"), exprs.minhash_sig(split(col("text"), " "), 3, 1024, pa, pb).as("ms"))
+      .select(col("doc_id"), posexplode(col("ms")).as(Seq("j", "minh")))
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    // the r3 formulation, inlined: exploded distinct shingles -> 32-bit
+    // md5-prefix hash -> k multiply-add-mod min aggregates
+    val h32 = conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
+    val mins = (0 until 9).map { j =>
+      min((lit(pa(j)) * col("h") + lit(pb(j))) % 4294967296L).as(s"m$j")
+    }
+    val slow = graft.llm.TextStats
+      .shingles(docs)
+      .select(col("doc_id"), col("sh"))
+      .distinct()
+      .select(col("doc_id"), h32.as("h"))
+      .groupBy(col("doc_id"))
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"), posexplode(array((0 until 9).map(j => col(s"m$j")): _*)).as(Seq("j", "minh")))
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getLong(2))).toMap
+    assert(fast == slow)
+  }
+
   test("SimHash64 equals the conv(substring(md5)) majority-vote pipeline") {
     val docs = (0L until 50L).map(i => (i, randomText())).toDF("doc_id", "text")
     val fast = docs
