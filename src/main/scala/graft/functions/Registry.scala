@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL registration for graft's custom expressions, so plain
+  * `spark.sql(...)` (and any SQL-first tooling) can call them:
+  *
+  *   - cluster deployment: `--conf spark.sql.extensions=graft.GraftExtensions`
+  *   - existing session:   `graft.functions.GraftFunctions.register(spark)`
+  *
+  * Scalar parameters (shingle width, token caps) arrive as foldable int
+  * literals and are extracted at resolution time — the expressions
+  * themselves only carry data-dependent children.
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other =>
+      throw new IllegalArgumentException(s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft.functions", name) {
+      override def getUsage: String = usage
+    }
+
+  /** (identifier, info, builder) triples in SparkSessionExtensions'
+    * FunctionDescription shape.
+    */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (
+      FunctionIdentifier("graft_dot"),
+      info("graft_dot", "graft_dot(a, b) - left-associated dot product of two array<double>"),
+      (cs: Seq[Expression]) => DotD(cs(0), cs(1))
+    ),
+    (
+      FunctionIdentifier("graft_sq_dist"),
+      info("graft_sq_dist", "graft_sq_dist(a, b) - squared euclidean distance of two array<double>"),
+      (cs: Seq[Expression]) => SqDistD(cs(0), cs(1))
+    ),
+    (
+      FunctionIdentifier("graft_rfft_mag2"),
+      info("graft_rfft_mag2", "graft_rfft_mag2(xs) - |RFFT|^2 bin powers of a 2^k-length segment"),
+      (cs: Seq[Expression]) => RfftMag2(cs(0))
+    ),
+    (
+      FunctionIdentifier("graft_shingle_hashes"),
+      info(
+        "graft_shingle_hashes",
+        "graft_shingle_hashes(toks, w, maxShingles) - distinct xxhash64 of w-word shingles"
+      ),
+      (cs: Seq[Expression]) =>
+        ShingleHashSet(
+          cs(0),
+          intLit(cs(1), "graft_shingle_hashes", "w"),
+          intLit(cs(2), "graft_shingle_hashes", "maxShingles")
+        )
+    ),
+    (
+      FunctionIdentifier("graft_simhash64"),
+      info(
+        "graft_simhash64",
+        "graft_simhash64(toks, maxTokens) - [sim_hi, sim_lo] 32-bit halves of the 64-bit SimHash"
+      ),
+      (cs: Seq[Expression]) =>
+        SimHash64(cs(0), intLit(cs(1), "graft_simhash64", "maxTokens"))
+    )
+  )
+
+  /** Register into an already-running session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, fi, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, fi, builder)
+    }
+}
+
+/** `spark.sql.extensions` entry point (must live in a class with a
+  * no-arg constructor).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
