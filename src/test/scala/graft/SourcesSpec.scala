@@ -188,6 +188,42 @@ class StreamSpec extends AnyFunSuite {
     val n = spark.sql("SELECT count(*) FROM wm_out").collect()(0).getLong(0)
     assert(n >= 1, s"expected at least the closed hour-0 window, got $n")
   }
+
+  test("late data beyond the watermark is dropped, closed windows never re-emit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double)]
+    val events = input.toDF().toDF("ts_ns", "event_type", "value")
+    val q = graft.streaming.StreamOps
+      .windowedAggStream(events)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("wm_late_out")
+      .start()
+    val hour = 3600L * 1000000000L
+    input.addData((1000000000L, "a", 1.0)) // hour-0 window
+    q.processAllAvailable()
+    input.addData((3 * hour, "a", 2.0)) // advances watermark to hour 2
+    q.processAllAvailable()
+    input.addData((4 * hour, "a", 3.0)) // next batch flushes closed windows
+    q.processAllAvailable()
+    // hour-0 is closed and emitted exactly once with the on-time event
+    val h0 = spark
+      .sql("SELECT n, sum_value FROM wm_late_out WHERE window.start = to_timestamp(0)")
+      .collect()
+    assert(h0.length == 1, s"hour-0 emitted ${h0.length} times")
+    assert(h0(0).getLong(0) == 1 && h0(0).getDouble(1) == 1.0)
+    input.addData((2000000000L, "a", 100.0)) // 4h late: beyond watermark
+    input.addData((5 * hour, "a", 4.0)) // force another batch + flush
+    q.processAllAvailable()
+    q.stop()
+    val h0After = spark
+      .sql("SELECT n, sum_value FROM wm_late_out WHERE window.start = to_timestamp(0)")
+      .collect()
+    assert(h0After.length == 1, "late event re-opened a closed window")
+    assert(h0After(0).getLong(0) == 1 && h0After(0).getDouble(1) == 1.0, "late event leaked into hour-0")
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
