@@ -183,17 +183,24 @@ case class ShingleHashSet(child: Expression, w: Int, maxShingles: Int)
   * oracle's hex-nibble walk), with no token explode/shuffle at all.
   * Token positions cap at maxTokens, like TextStats.tokens.
   */
-case class SimHash64(child: Expression, maxTokens: Int) extends UnaryExpression with CodegenFallback {
-  @transient private lazy val md = new ThreadLocal[java.security.MessageDigest] {
+/** Per-thread MD5 instance shared by the hashing expressions
+  * (MessageDigest is stateful and not thread-safe).
+  */
+private object Md5 {
+  private val tl = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =
       java.security.MessageDigest.getInstance("MD5")
   }
+  def get(): java.security.MessageDigest = tl.get()
+}
+
+case class SimHash64(child: Expression, maxTokens: Int) extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any = {
     val toks = v.asInstanceOf[ArrayData]
     val n = math.min(toks.numElements(), maxTokens)
     val w = new Array[Int](64)
-    val digester = md.get()
+    val digester = Md5.get()
     var i = 0
     while (i < n) {
       digester.reset()
@@ -228,10 +235,6 @@ case class SimHash64(child: Expression, maxTokens: Int) extends UnaryExpression 
 case class MinHashSig(child: Expression, w: Int, maxShingles: Int, a: Seq[Long], b: Seq[Long])
     extends UnaryExpression
     with CodegenFallback {
-  @transient private lazy val md = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
   @transient private lazy val (aArr, bArr) = (a.toArray, b.toArray)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any = {
@@ -241,7 +244,7 @@ case class MinHashSig(child: Expression, w: Int, maxShingles: Int, a: Seq[Long],
     val k = aArr.length
     val mins = Array.fill(k)(Long.MaxValue)
     val sep = UTF8String.fromString(" ")
-    val digester = md.get()
+    val digester = Md5.get()
     var i = 0
     while (i < last) {
       val parts = new Array[UTF8String](w)
