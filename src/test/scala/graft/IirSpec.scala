@@ -58,6 +58,17 @@ class IirDesignSpec extends AnyFunSuite {
     assert(db(wc / math.Pi) >= 40.0 - 1e-9, s"center ${db(wc / math.Pi)}")
   }
 
+  test("degenerate band specs fail fast at the API boundary") {
+    // non-increasing edges
+    intercept[IllegalArgumentException](Iir.butterBandSos((20.0, 10.0), (5.0, 30.0), 1.0, 40.0, 100.0))
+    // stop band not nested in the pass band (and vice versa)
+    intercept[IllegalArgumentException](Iir.butterBandSos((10.0, 20.0), (15.0, 30.0), 1.0, 40.0, 100.0))
+    // edges at/above Nyquist
+    intercept[IllegalArgumentException](Iir.cheby1BandSos((10.0, 20.0), (5.0, 50.0), 1.0, 40.0, 100.0))
+    // zero-width transition: selectivity <= 1
+    intercept[IllegalArgumentException](Iir.cheby2BandSos((10.0, 20.0), (10.0, 20.0), 1.0, 40.0, 100.0))
+  }
+
   test("fminbound finds bounded minima (scipy Brent/FMIN)") {
     assert(math.abs(Iir.fminbound(x => (x - 2.0) * (x - 2.0), 0.0, 5.0) - 2.0) < 1e-4)
     assert(math.abs(Iir.fminbound(x => math.cos(x), 0.0, 6.0) - math.Pi) < 1e-4)
