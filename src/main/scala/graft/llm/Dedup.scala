@@ -218,15 +218,102 @@ object Dedup {
       .distinct()
   }
 
-  val simhashPairsSql: String =
-    s"WITH $simhashCtes, " +
-      "chunks AS (SELECT doc_id, g.ci AS ci, CASE g.ci WHEN 0 THEN sim_hi // 65536 WHEN 1 THEN sim_hi % 65536 " +
+  /** CTE chain ending in `pairs(doc_a, doc_b, hamming)` — the verified
+    * hamming≤3 near-dup pairs; shared by the pair dump and the
+    * connected-components oracle.
+    */
+  private val simhashPairsCtes: String =
+    s"$simhashCtes, " +
+      "chunks AS MATERIALIZED (SELECT doc_id, g.ci AS ci, CASE g.ci WHEN 0 THEN sim_hi // 65536 WHEN 1 THEN sim_hi % 65536 " +
       "WHEN 2 THEN sim_lo // 65536 ELSE sim_lo % 65536 END AS chunk FROM sig, generate_series(0, 3) g(ci)), " +
-      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM chunks a " +
-      "JOIN chunks b ON a.ci = b.ci AND a.chunk = b.chunk AND a.doc_id < b.doc_id) " +
-      "SELECT doc_a, doc_b, hamming FROM (SELECT c.doc_a, c.doc_b, " +
+      "cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM chunks a " +
+      "JOIN chunks b ON a.ci = b.ci AND a.chunk = b.chunk AND a.doc_id < b.doc_id), " +
+      "pairs AS MATERIALIZED (SELECT doc_a, doc_b, hamming FROM (SELECT c.doc_a, c.doc_b, " +
       "CAST(bit_count(xor(sa.sim_hi, sb.sim_hi)) + bit_count(xor(sa.sim_lo, sb.sim_lo)) AS BIGINT) AS hamming " +
-      "FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b) WHERE hamming <= 3"
+      "FROM cand c JOIN sig sa ON sa.doc_id = c.doc_a JOIN sig sb ON sb.doc_id = c.doc_b) WHERE hamming <= 3)"
+
+  val simhashPairsSql: String =
+    s"WITH $simhashPairsCtes SELECT doc_a, doc_b, hamming FROM pairs"
+
+  /** Connected components over an undirected near-dup pair graph —
+    * the step that turns pairwise candidates into actual dedup groups
+    * (every doc gets `comp_id` = the smallest doc_id reachable from it;
+    * a pipeline then keeps one doc per comp_id).
+    *
+    * Algorithm: iterative min-label propagation with pointer jumping
+    * (each round a node takes the min of its neighbors' labels, then
+    * shortcuts `comp := comp(comp)`), so convergence is O(log diameter)
+    * rounds rather than O(diameter) — near-dup clusters are usually
+    * dense and shallow, but a chain-shaped cluster must not stall the
+    * pipeline. Each round is two equi-joins on doc_id plus one
+    * aggregate; nothing is ever all-pairs and only a single Long per
+    * node is carried between rounds. Lineage is truncated per round
+    * (localCheckpoint; on a cluster this would be a reliable
+    * checkpoint). Labels only decrease, so sum(comp) is a strictly
+    * decreasing convergence witness — one cheap scalar per round
+    * instead of a changed-rows anti-join.
+    */
+  def components(nodes: DataFrame, pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    // iterate ONLY over nodes that touch an edge: a node with no
+    // neighbors can never change its label, and the pair graph is
+    // orders of magnitude smaller than the corpus (at 100 TB the
+    // near-dup pairs are a sliver of the documents) — singletons join
+    // back in one pass at the end
+    var labels = edges
+      .select(col("src").as("doc_id"))
+      .distinct()
+      .select(col("doc_id"), col("doc_id").as("comp"))
+      .localCheckpoint()
+    var prevSum = -1L
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("comp").as("nc")), Seq("dst"))
+        .groupBy(col("src"))
+        .agg(min(col("nc")).as("nbr"))
+      val stepped = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+        .select(col("doc_id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+      // pointer jump: follow the label's own label (labels are doc ids,
+      // and every doc id is a node, so the inner self-join is total)
+      val jumped = stepped
+        .join(
+          stepped.select(col("doc_id").as("jid"), col("comp").as("jcomp")),
+          col("comp") === col("jid")
+        )
+        .select(col("doc_id"), col("jcomp").as("comp"))
+        .localCheckpoint()
+      val s = jumped.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      labels = jumped
+      it += 1
+    }
+    edges.unpersist()
+    require(converged, s"components: not converged after $maxIters rounds")
+    nodes
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp_id"))
+  }
+
+  /** Oracle: transitive min-reachability as a recursive CTE — `reach`
+    * enumerates (doc, reachable doc) pairs (UNION dedup bounds it at
+    * Σ component-size², fine for gate-scale clusters), then comp_id =
+    * min over the reach set. Algorithm-independent: the converged
+    * Spark labels are the same canonical minima.
+    */
+  val componentsSql: String =
+    s"WITH RECURSIVE $simhashPairsCtes, " +
+      "edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+      "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+      "reach AS (SELECT doc_id, doc_id AS anc FROM documents " +
+      "UNION SELECT r.doc_id AS doc_id, e.dst AS anc FROM reach r JOIN edges e ON e.src = r.anc) " +
+      "SELECT doc_id, min(anc) AS comp_id FROM reach GROUP BY doc_id"
 
   /** Streaming exact dedup: first-arrival-wins per content hash with
     * O(1) state per distinct hash (the keeper's doc_id) — the stream
@@ -317,6 +404,10 @@ object Dedup {
     "dedup_jaccard" -> { (s, dir) => jaccard(Tables.documents(s, dir)) },
     "dedup_simhash" -> { (s, dir) => simhash(Tables.documents(s, dir)) },
     "dedup_simhash_pairs" -> { (s, dir) => simhashPairs(Tables.documents(s, dir)) },
+    "dedup_components" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      components(docs.select(col("doc_id")), simhashPairs(docs).select(col("doc_a"), col("doc_b")))
+    },
     "dedup_stream" -> { (s, dir) => dedupStreaming(Tables.documents(s, dir)) }
   )
 
@@ -329,6 +420,7 @@ object Dedup {
     "dedup_jaccard" -> jaccardSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
+    "dedup_components" -> componentsSql,
     "dedup_stream" ->
       ("SELECT doc_id, md5(text) AS h, " +
         "doc_id > min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup FROM documents")

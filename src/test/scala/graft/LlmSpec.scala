@@ -46,6 +46,34 @@ class LlmSpec extends AnyFunSuite {
     assert(h(1L) != h(3L))
   }
 
+  test("components: clusters collapse to min doc_id, singletons stand alone") {
+    val nodes = (1L to 8L).toDF("doc_id")
+    // two clusters {1,2,3} (via 1-2, 2-3) and {5,6}; 4,7,8 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val comp = Dedup
+      .components(nodes, pairs)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L))
+  }
+
+  test("components: no pairs at all leaves every node a singleton") {
+    val nodes = (1L to 4L).toDF("doc_id")
+    val pairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val comp = Dedup.components(nodes, pairs).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(comp.toSet == (1L to 4L).map(i => (i, i)).toSet)
+  }
+
+  test("components: a 64-node chain converges well inside the round cap") {
+    // worst case for plain min-propagation (diameter 63); pointer
+    // jumping must close it in O(log n) rounds
+    val nodes = (0L until 64L).toDF("doc_id")
+    val pairs = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val comp = Dedup.components(nodes, pairs, maxIters = 10).collect()
+    assert(comp.length == 64 && comp.forall(_.getLong(1) == 0L))
+  }
+
   test("lsh buckets put identical vectors together") {
     val vecs = Seq(
       (0L, Array.fill(64)(1.0f), 0),
