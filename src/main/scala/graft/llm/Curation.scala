@@ -59,12 +59,50 @@ object Curation {
       .filter(col("doc_id") === col("keep_id"))
       .select(col("doc_id"), splitCol.as("split"), col("quality"))
 
+  /** Benchmark decontamination core: for each candidate training doc,
+    * the number of distinct word w-shingles it shares with the
+    * benchmark corpus (docs sharing none emit no row). The GPT-3-style
+    * n-gram screen — production pipelines use w=13 on real text; the
+    * gate instance uses the shared w=3 shingle machinery because the
+    * synthetic docs draw ~100 tokens from a tiny vocabulary.
+    *
+    * Scale shape: both sides compute their shingle-hash SET row-locally
+    * (`ShingleHashSet` — a projection off the scan, no token shuffle);
+    * the benchmark side is distinct-reduced and BROADCAST (a benchmark
+    * suite is tiny next to a training corpus), so the screen is
+    * map-side work plus one aggregation by doc_id. The join runs on
+    * xxhash64 shingle hashes — the shuffle-free broadcast probe moves
+    * longs, not shingle strings (collision caveat as dedup_jaccard).
+    */
+  def decontamCounts(train: DataFrame, bench: DataFrame, w: Int = 3): DataFrame = {
+    def shs(d: DataFrame) = d.select(
+      col("doc_id"),
+      explode(
+        graft.functions.exprs.shingle_hash_set(split(col("text"), " "), w, TextStats.maxTokens)
+      ).as("sh")
+    )
+    shs(train)
+      .join(broadcast(shs(bench).select(col("sh")).distinct()), Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contam"))
+  }
+
+  /** Gate instance: decontaminate the train split against the test
+    * split of the same md5 90/5/5 assignment [[curate]] uses.
+    */
+  def decontam(docs: DataFrame): DataFrame = {
+    val h100 = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 100
+    val tagged = docs.withColumn("h100", h100)
+    decontamCounts(tagged.filter(col("h100") < 90), tagged.filter(col("h100") >= 95))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_splits" -> { (s, dir) =>
       curate(Tables.documents(s, dir))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), Dsp.round6(avg(col("quality"))).as("avg_quality"))
-    }
+    },
+    "decontam" -> { (s, dir) => decontam(Tables.documents(s, dir)) }
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -82,6 +120,15 @@ object Curation {
         "WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val' " +
         "ELSE 'test' END AS split FROM kept) " +
         s"SELECT split, count(*) AS n_docs, ${Dsp.round6Sql("avg(quality)")} AS avg_quality " +
-        "FROM assigned GROUP BY split")
+        "FROM assigned GROUP BY split"),
+    "decontam" ->
+      (s"WITH ${TextStats.shinglesSql}, " +
+        "dsh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM shingles), " +
+        "sp AS MATERIALIZED (SELECT doc_id, " +
+        "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS h100 FROM documents), " +
+        "bsh AS (SELECT DISTINCT sh FROM dsh JOIN sp USING (doc_id) WHERE h100 >= 95) " +
+        "SELECT d.doc_id, count(*) AS n_contam FROM dsh d " +
+        "JOIN sp s ON s.doc_id = d.doc_id AND s.h100 < 90 " +
+        "JOIN bsh b ON b.sh = d.sh GROUP BY d.doc_id")
   )
 }

@@ -74,6 +74,21 @@ class LlmSpec extends AnyFunSuite {
     assert(comp.length == 64 && comp.forall(_.getLong(1) == 0L))
   }
 
+  test("decontam counts shared shingles, clean docs emit no row") {
+    val train = Seq(
+      (1L, "secret bench phrase here plus extra words padding out"), // shares shingles
+      (2L, "completely different content with no overlap at all")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "the secret bench phrase here appears verbatim")).toDF("doc_id", "text")
+    val c = graft.llm.Curation
+      .decontamCounts(train, bench)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    // "secret bench phrase", "bench phrase here" are the shared 3-shingles
+    assert(c == Map(1L -> 2L))
+  }
+
   test("lsh buckets put identical vectors together") {
     val vecs = Seq(
       (0L, Array.fill(64)(1.0f), 0),
