@@ -67,7 +67,93 @@ object TextStats {
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for", "on", "with")
   private def stopInSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  // ---- BM25 scored retrieval (Robertson/Sparck-Jones; the corpus-
+  // search primitive a curation pipeline uses for targeted sampling
+  // and contamination triage) ----
+
+  private val bm25Terms = Seq("spark", "window", "dup") // mixed-df gate query
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
+  private val bm25TopK = 20
+
+  /** BM25 top-k: per-document term frequencies and document length are
+    * row-local projections off the scan (no token explode); the corpus
+    * stats (N, avgdl, per-term df) are ONE tiny aggregate broadcast
+    * back on a constant key; ranking is a global top-k
+    * (TakeOrderedAndProject — never a single-partition sort of the
+    * corpus). Ties at the cut rank deterministically by (rounded
+    * score desc, doc_id asc) on both engines.
+    *
+    * idf = ln(1 + (N − df + ½)/(df + ½)) — both engines evaluate the
+    * identical expression tree; every float output passes Dsp.round6.
+    */
+  def bm25(
+      docs: DataFrame,
+      terms: Seq[String] = bm25Terms,
+      k1: Double = bm25K1,
+      b: Double = bm25B,
+      topK: Int = bm25TopK
+  ): DataFrame = {
+    val toks = slice(split(col("text"), " "), 1, maxTokens)
+    val tfCols = terms.indices.map(i =>
+      size(filter(toks, x => x === lit(terms(i)))).cast("long").as(s"tf$i")
+    )
+    val base = docs.select(col("doc_id") +: size(toks).cast("long").as("dl") +: tfCols: _*)
+    val stats = base
+      .agg(
+        (sum(col("dl")).cast("double") / count(lit(1)).cast("double")).as("avgdl"),
+        count(lit(1)).cast("double").as("nn") +:
+          terms.indices.map(i =>
+            sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).cast("double").as(s"df$i")
+          ): _*
+      )
+      .withColumn("k", lit(1))
+    val scored = base
+      .withColumn("k", lit(1))
+      .join(broadcast(stats), Seq("k"))
+    val termScore = terms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val idf = log(lit(1.0) + (col("nn") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl").cast("double") / col("avgdl")))
+    }
+    scored
+      .select(col("doc_id"), graft.core.Dsp.round6(termScore.reduce(_ + _)).as("score"))
+      .filter(col("score") > 0.0)
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(topK)
+  }
+
+  def bm25Sql(
+      terms: Seq[String] = bm25Terms,
+      k1: Double = bm25K1,
+      b: Double = bm25B,
+      topK: Int = bm25TopK
+  ): String = {
+    import graft.core.Dsp.lit
+    val sliced = s"list_slice(string_split(text, ' '), 1, $maxTokens)"
+    val tfDefs = terms.indices
+      .map(i => s"len(list_filter($sliced, x -> x = '${terms(i)}')) AS tf$i")
+      .mkString(", ")
+    val dfDefs = terms.indices
+      .map(i => s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+      .mkString(", ")
+    val termScore = terms.indices
+      .map { i =>
+        s"ln(${lit(1.0)} + (nn - df$i + ${lit(0.5)}) / (df$i + ${lit(0.5)})) * " +
+          s"(CAST(tf$i AS DOUBLE) * ${lit(k1 + 1.0)}) / " +
+          s"(CAST(tf$i AS DOUBLE) + ${lit(k1)} * (${lit(1.0)} - ${lit(b)} + ${lit(b)} * CAST(dl AS DOUBLE) / avgdl))"
+      }
+      .mkString(" + ")
+    s"WITH base AS MATERIALIZED (SELECT doc_id, len($sliced) AS dl, $tfDefs FROM documents), " +
+      "stats AS (SELECT CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl, " +
+      s"CAST(count(*) AS DOUBLE) AS nn, $dfDefs FROM base), " +
+      s"scored AS (SELECT doc_id, ${graft.core.Dsp.round6Sql(termScore)} AS score FROM base, stats) " +
+      s"SELECT doc_id, score FROM scored WHERE score > 0.0e0 ORDER BY score DESC, doc_id ASC LIMIT $topK"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_bm25" -> { (s, dir) => bm25(Tables.documents(s, dir)) },
     "text_tokens" -> { (s, dir) =>
       Tables
         .documents(s, dir)
@@ -121,6 +207,7 @@ object TextStats {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "text_bm25" -> bm25Sql(),
     "text_tokens" ->
       ("SELECT doc_id, length(text) AS n_chars, len(string_split(text, ' ')) AS n_ws, " +
         "len(regexp_extract_all(text, '[a-z]+')) AS n_alpha FROM documents"),

@@ -89,6 +89,27 @@ class LlmSpec extends AnyFunSuite {
     assert(c == Map(1L -> 2L))
   }
 
+  test("bm25 ranks rare-term matches above common-term matches") {
+    val corpus = Seq(
+      (1L, "dup dup alpha beta"), // rare term, twice
+      (2L, "spark spark spark alpha beta"), // common term only
+      (3L, "alpha beta gamma"), // no query terms → no row
+      (4L, "spark alpha beta"),
+      (5L, "spark alpha beta"),
+      (6L, "spark alpha beta"),
+      (7L, "alpha dup beta") // rare term once
+    ).toDF("doc_id", "text")
+    val r = graft.llm.TextStats
+      .bm25(corpus, terms = Seq("spark", "dup"), topK = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(!r.exists(_._1 == 3L), "doc without query terms must not score")
+    val byId = r.toMap
+    // df(dup)=2 of 7 vs df(spark)=4 of 7 → dup matches outrank spark-only
+    assert(byId(1L) > byId(2L) && byId(7L) > byId(2L))
+    assert(r.sortBy(-_._2).head._1 == 1L, "two rare-term hits should rank first")
+  }
+
   test("lsh buckets put identical vectors together") {
     val vecs = Seq(
       (0L, Array.fill(64)(1.0f), 0),
