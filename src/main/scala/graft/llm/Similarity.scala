@@ -414,6 +414,154 @@ object Similarity {
       s"WHERE cos >= ${graft.core.Dsp.lit(tau)}"
   }
 
+  // ---- Product quantization (Jégou et al., TPAMI 2011): compress the
+  // corpus 32× (64 doubles → 8 byte-codes) and rank by asymmetric
+  // distance to the reconstruction — the memory-scale path when 100 TB
+  // of embeddings can't hold raw vectors in the serving tier. The gate
+  // instance keeps deterministic codebooks (subvectors of the first
+  // pqK vectors) so the DuckDB oracle can replay them; [[pqTrain]] is
+  // the per-subspace-Lloyd production path. ----
+
+  val pqM = 8 // subspaces
+  val pqK = 16 // centroids per subspace
+  private val pqSub = 64 / pqM
+
+  /** Deterministic gate codebooks: cb(j)(ci) = j-th subvector of the
+    * vector with vec_id = ci. One bounded driver collect (pqK rows) —
+    * the same shape the IVF gate's first-nList centroids use.
+    */
+  def pqCodebooks(emb: DataFrame): Array[Array[Array[Double]]] = {
+    val rows = vecsD(emb)
+      .filter(col("vec_id") < pqK)
+      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("v"))
+      .collect()
+    require(rows.length == pqK, s"corpus smaller than pqK=$pqK")
+    Array.tabulate(pqM, pqK) { (j, ci) =>
+      rows(ci).getSeq[Double](1).slice(j * pqSub, (j + 1) * pqSub).toArray
+    }
+  }
+
+  /** Row-local PQ encode + reconstruct: per subspace the 16 centroid
+    * distances, argmin (first-match = lowest code on ties), and the
+    * codebook row lookup all run as projections over literal arrays —
+    * a pure map off the scan, no shuffle, no join. Emits
+    * (vec_id, vq) with vq the 64-dim reconstruction.
+    */
+  def pqReconstruct(emb: DataFrame, cb: Array[Array[Array[Double]]]): DataFrame = {
+    val parts = (0 until pqM).map { j =>
+      val sv = slice(col("v"), j * pqSub + 1, pqSub)
+      val ds = array(
+        (0 until pqK).map(ci => graft.functions.exprs.sq_dist(sv, typedLit(cb(j)(ci).toSeq))): _*
+      )
+      // 1-based code; ties take the first (lowest) centroid index
+      val code = array_position(ds, array_min(ds)).cast("int")
+      element_at(typedLit(cb(j).map(_.toSeq).toSeq), code)
+    }
+    vecsD(emb).select(col("vec_id"), concat(parts: _*).as("vq"))
+  }
+
+  /** PQ top-k: exact query vectors (vec_id < nQueries, broadcast)
+    * against the PQ-reconstructed corpus, ranked by asymmetric squared
+    * distance. Corpus side never materializes raw vectors past the
+    * scan — at serving scale only the 8 codes per vector live in the
+    * index and reconstruction happens in the probe.
+    */
+  def pqTopk(emb: DataFrame, codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val cb = codebooks.getOrElse(pqCodebooks(emb))
+    val corpus = pqReconstruct(emb, cb).select(col("vec_id").as("vid"), col("vq").as("vb"))
+    val q = vecsD(emb)
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("va"))
+    broadcast(q)
+      .join(corpus, col("qid") =!= col("vid"))
+      .select(
+        col("qid"),
+        col("vid"),
+        graft.core.Dsp.round6(graft.functions.exprs.sq_dist(col("va"), col("vb"))).as("ad2")
+      )
+      .select(
+        col("qid"),
+        col("vid"),
+        col("ad2"),
+        row_number()
+          .over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("qid"))
+              .orderBy(col("ad2").asc, col("vid").asc)
+          )
+          .as("rank")
+      )
+      .filter(col("rank") <= topK)
+  }
+
+  /** SQL twin of [[pqTopk]]'s gate instance: codebooks re-derived from
+    * the first pqK vectors, argmin codes with lowest-index tiebreak,
+    * ordered subspace reassembly, 64-term asymmetric distance.
+    */
+  val pqTopkSql: String = {
+    val subD2 = s"list_sum(list_transform(generate_series(1, $pqSub), i -> " +
+      "(list_extract(s.sv, i) - list_extract(c.cv, i)) * (list_extract(s.sv, i) - list_extract(c.cv, i))))"
+    val ad2 = "list_sum(list_transform(generate_series(1, 64), i -> " +
+      "(list_extract(va, i) - list_extract(vb, i)) * (list_extract(va, i) - list_extract(vb, i))))"
+    "WITH vs AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      s"cb AS MATERIALIZED (SELECT g.j AS j, vec_id AS ci, list_slice(v, g.j * $pqSub + 1, (g.j + 1) * $pqSub) AS cv " +
+      s"FROM vs, generate_series(0, ${pqM - 1}) g(j) WHERE vec_id < $pqK), " +
+      s"subs AS (SELECT vec_id, g.j AS j, list_slice(v, g.j * $pqSub + 1, (g.j + 1) * $pqSub) AS sv " +
+      s"FROM vs, generate_series(0, ${pqM - 1}) g(j)), " +
+      s"dists AS (SELECT s.vec_id, s.j, c.ci, $subD2 AS d2 FROM subs s JOIN cb c ON c.j = s.j), " +
+      "codes AS (SELECT vec_id, j, ci FROM (SELECT vec_id, j, ci, " +
+      "row_number() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, ci ASC) AS rn FROM dists) WHERE rn = 1), " +
+      "recon AS MATERIALIZED (SELECT vec_id, flatten(list(cv ORDER BY j)) AS vq " +
+      "FROM codes JOIN cb USING (j, ci) GROUP BY vec_id), " +
+      s"pairs AS (SELECT q.vec_id AS qid, r.vec_id AS vid, q.v AS va, r.vq AS vb FROM vs q " +
+      s"JOIN recon r ON q.vec_id < $nQueries AND q.vec_id <> r.vec_id), " +
+      s"scored AS (SELECT qid, vid, ${graft.core.Dsp.round6Sql(ad2)} AS ad2 FROM pairs), " +
+      "ranked AS (SELECT qid, vid, ad2, row_number() OVER (PARTITION BY qid ORDER BY ad2 ASC, vid ASC) AS rank FROM scored) " +
+      s"SELECT qid, vid, ad2, rank FROM ranked WHERE rank <= $topK"
+  }
+
+  /** Production codebook trainer: per-subspace Lloyd iterations,
+    * initialized at the deterministic gate codebooks. Each iteration is
+    * one pass over the corpus — assignment is the same literal-array
+    * argmin projection the encoder uses (regenerated per round with the
+    * current codebooks), and the new centroids come back as ONE tiny
+    * aggregate (m·k·subdim cells) — never more than a few KB to the
+    * driver, never an all-pairs step. Empty cells keep their previous
+    * centroid.
+    */
+  def pqTrain(emb: DataFrame, iters: Int = 5): Array[Array[Array[Double]]] = {
+    val vs = vecsD(emb)
+    val subs = vs
+      .select(
+        col("vec_id"),
+        posexplode(array((0 until pqM).map(j => slice(col("v"), j * pqSub + 1, pqSub)): _*))
+          .as(Seq("j", "sv"))
+      )
+      .persist()
+    var cb = pqCodebooks(emb)
+    for (_ <- 1 to iters) {
+      val codeCol = coalesce((0 until pqM).map { j =>
+        val ds = array(
+          (0 until pqK).map(ci => graft.functions.exprs.sq_dist(col("sv"), typedLit(cb(j)(ci).toSeq))): _*
+        )
+        when(col("j") === j, array_position(ds, array_min(ds)))
+      }: _*)
+      val cells = subs
+        .select(col("j"), codeCol.as("ci"), posexplode(col("sv")).as(Seq("d", "x")))
+        .groupBy(col("j"), col("ci"), col("d"))
+        .agg(avg(col("x")).as("mx"))
+        .collect()
+      val next = cb.map(_.map(_.clone()))
+      cells.foreach { r =>
+        next(r.getInt(0))(r.getLong(1).toInt - 1)(r.getInt(2)) = r.getDouble(3)
+      }
+      cb = next
+    }
+    subs.unpersist()
+    cb
+  }
+
   /** SQL twin of [[ivfTopk]] (nList=16, nProbe=4): deterministic
     * centroids (first nList vectors), argmin cell assignment with cid
     * tiebreak, nProbe nearest cells per query, cosine on candidates only.
@@ -436,6 +584,7 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_topk" -> { (s, dir) => ivfTopk(Tables.embeddings(s, dir)) },
+    "sim_pq_topk" -> { (s, dir) => pqTopk(Tables.embeddings(s, dir)) },
     "sim_topk" -> { (s, dir) => topk(Tables.embeddings(s, dir)) },
     "sim_buckets" -> { (s, dir) =>
       // bucket histogram: scale-path observability (bucket, n vectors);
@@ -458,6 +607,7 @@ object Similarity {
     "sim_topk" -> topkSql,
     "sim_buckets" -> bucketsSql,
     "sim_ivf_topk" -> ivfTopkSql(),
+    "sim_pq_topk" -> pqTopkSql,
     "dedup_embed" -> embedDupesSql(0.4, planes, 2)
   )
 }

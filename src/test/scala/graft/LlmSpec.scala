@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.llm.{Dedup, Similarity}
@@ -108,6 +109,85 @@ class LlmSpec extends AnyFunSuite {
     // df(dup)=2 of 7 vs df(spark)=4 of 7 → dup matches outrank spark-only
     assert(byId(1L) > byId(2L) && byId(7L) > byId(2L))
     assert(r.sortBy(-_._2).head._1 == 1L, "two rare-term hits should rank first")
+  }
+
+  private def clusteredVecs(n: Int, nClusters: Int, noise: Double): Seq[(Long, Array[Float], Int)] = {
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(nClusters, 64)(rnd.nextGaussian())
+    (0 until n).map { i =>
+      val c = i % nClusters
+      (i.toLong, centers(c).map(x => (x + noise * rnd.nextGaussian()).toFloat), c)
+    }
+  }
+
+  test("pq: codebook-member vectors reconstruct exactly") {
+    // vectors 16..19 duplicate vectors 0..3, so their nearest centroid
+    // in every subspace is an exact match and vq == v bit-for-bit
+    val base = clusteredVecs(16, 16, 0.0)
+    val vecs = (base ++ base.take(4).map { case (id, v, c) => (id + 16, v, c) })
+      .toDF("vec_id", "embedding", "label")
+    val cb = Similarity.pqCodebooks(vecs)
+    val recon = Similarity
+      .pqReconstruct(vecs.select(col("vec_id"), col("embedding"), col("label")), cb)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+      .toMap
+    val orig = base.take(4).map { case (id, v, _) => id -> v.map(_.toDouble).toSeq }.toMap
+    for (id <- 0L until 4L) assert(recon(id + 16) == orig(id), s"vec ${id + 16} not exact")
+  }
+
+  test("pq: trained codebooks cut quantization error vs the untrained gate codebooks") {
+    val vecs = clusteredVecs(200, 10, 0.3).toDF("vec_id", "embedding", "label")
+    def mse(cb: Array[Array[Array[Double]]]): Double = {
+      val vd = vecs.select(
+        col("vec_id"),
+        org.apache.spark.sql.functions.transform(col("embedding"), x => x.cast("double")).as("v")
+      )
+      Similarity
+        .pqReconstruct(vecs, cb)
+        .join(vd, Seq("vec_id"))
+        .select(graft.functions.exprs.sq_dist(col("v"), col("vq")).as("e"))
+        .agg(org.apache.spark.sql.functions.avg(col("e")))
+        .head()
+        .getDouble(0)
+    }
+    val untrained = mse(Similarity.pqCodebooks(vecs))
+    val trained = mse(Similarity.pqTrain(vecs, iters = 3))
+    assert(trained < untrained * 0.8, s"trained $trained vs untrained $untrained")
+  }
+
+  test("pq top-k retrieves the right cluster; fine ranking stays sane") {
+    val all = clusteredVecs(200, 10, 0.3)
+    val vecs = all.toDF("vec_id", "embedding", "label")
+    val cb = Similarity.pqTrain(vecs, iters = 3)
+    val pq = Similarity
+      .pqTopk(vecs, Some(cb))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupMap(_._1)(_._2)
+    val cluster = all.map { case (id, _, c) => id -> c }.toMap
+    // PQ's contract is coarse retrieval: every hit must come from the
+    // query's own cluster (reconstructions collapse cluster members
+    // together, so exact within-cluster rank order is NOT promised)
+    val precision = (0L until 10L)
+      .map(q => pq(q).count(v => cluster(v) == cluster(q)) / 5.0)
+      .sum / 10.0
+    assert(precision >= 0.95, s"same-cluster precision@5 $precision")
+    // and the fine ranking still overlaps exact search far above chance
+    // (chance ≈ 5/199 per slot)
+    val exact = all.filter(_._1 < 10).map { case (qid, qv, _) =>
+      qid -> all
+        .filter(_._1 != qid)
+        .map { case (vid, vv, _) =>
+          (vid, qv.zip(vv).map { case (a, b) => (a - b).toDouble * (a - b) }.sum)
+        }
+        .sortBy { case (vid, d) => (d, vid) }
+        .take(5)
+        .map(_._1)
+        .toSet
+    }.toMap
+    val recall = (0L until 10L).map(q => pq(q).count(exact(q)) / 5.0).sum / 10.0
+    assert(recall >= 0.4, s"recall@5 vs exact $recall")
   }
 
   test("lsh buckets put identical vectors together") {

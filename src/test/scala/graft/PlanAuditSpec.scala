@@ -12,7 +12,7 @@ class PlanAuditSpec extends AnyFunSuite {
 
   // broadcast-nested-loop against literal/centroid sides ≤16 rows is the
   // intended shape for these (documented in SURVEY §5)
-  private val bnljAllowed = Set("sim_ivf_topk", "sim_topk", "anno_mask")
+  private val bnljAllowed = Set("sim_ivf_topk", "sim_topk", "sim_pq_topk", "anno_mask")
 
   test("no gate query plans a cartesian product or global sort exchange") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
