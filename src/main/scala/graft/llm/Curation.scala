@@ -96,16 +96,99 @@ object Curation {
     decontamCounts(tagged.filter(col("h100") < 90), tagged.filter(col("h100") >= 95))
   }
 
+  /** The full production flow, one composed oracle-checked query:
+    * quality gate → exact-dedup keepers → NEAR-dup clustering
+    * (simhash pairs → connected components, keep each cluster's min)
+    * → split assignment → decontaminate the train split against the
+    * test split → per-split counts. Every stage is the same primitive
+    * its standalone gate query checks; composing them end-to-end is
+    * the point — this is the "raw corpus in, clean training splits
+    * out" pipeline a 100 TB curation run executes.
+    */
+  def curateFull(docs: DataFrame, minQuality: Double = 0.45): DataFrame = {
+    val kept = docs
+      .select(col("doc_id"), col("text"), qualityScore.as("quality"))
+      .filter(col("quality") >= minQuality)
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("text"), col("quality"))
+    val comp = Dedup.components(
+      kept.select(col("doc_id")),
+      Dedup.simhashPairs(kept).select(col("doc_a"), col("doc_b"))
+    )
+    val canon = kept
+      .join(comp, Seq("doc_id"))
+      .filter(col("doc_id") === col("comp_id"))
+      .select(col("doc_id"), col("text"), col("quality"))
+    val assigned = canon.withColumn("split", splitCol)
+    val contaminated = decontamCounts(
+      assigned.filter(col("split") === "train"),
+      assigned.filter(col("split") === "test")
+    ).select(col("doc_id"))
+    assigned
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), Dsp.round6(avg(col("quality"))).as("avg_quality"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_splits" -> { (s, dir) =>
       curate(Tables.documents(s, dir))
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n_docs"), Dsp.round6(avg(col("quality"))).as("avg_quality"))
     },
+    "curate_full" -> { (s, dir) => curateFull(Tables.documents(s, dir)) },
     "decontam" -> { (s, dir) => decontam(Tables.documents(s, dir)) }
   )
 
+  private val qualityBaseSql: String =
+    "base AS (SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS n_chars, " +
+      "CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok, " +
+      "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digit, " +
+      "CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct FROM documents), " +
+      s"scored AS (SELECT doc_id, text, $qualitySql AS quality FROM base)"
+
+  private val splitCaseSql: String =
+    "CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train' " +
+      "WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val' " +
+      "ELSE 'test' END"
+
+  /** SQL twin of [[curateFull]]: the standalone stages' CTE chains
+    * composed — quality/keepers, the simhash pair chain re-rooted at
+    * `kept`, the recursive transitive-min components, split
+    * assignment, and the shingle-overlap decontam (the w=3 shingle
+    * CTE reuses the kept-rooted `toks` the simhash chain already
+    * built).
+    */
+  val curateFullSql: String = {
+    val shinglesPart = {
+      val s = TextStats.shinglesSql
+      s.substring(s.indexOf("shingles AS"))
+    }
+    s"WITH RECURSIVE $qualityBaseSql, " +
+      "kept AS MATERIALIZED (SELECT doc_id, text, quality FROM (SELECT doc_id, text, quality, " +
+      "min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM scored WHERE quality >= 0.45e0) " +
+      "WHERE doc_id = keep_id), " +
+      Dedup.simhashPairsCtesFrom("kept") + ", " +
+      "edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
+      "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
+      "reach AS (SELECT doc_id, doc_id AS anc FROM kept " +
+      "UNION SELECT r.doc_id AS doc_id, e.dst AS anc FROM reach r JOIN edges e ON e.src = r.anc), " +
+      "comp AS MATERIALIZED (SELECT doc_id, min(anc) AS comp_id FROM reach GROUP BY doc_id), " +
+      "canon AS MATERIALIZED (SELECT k.doc_id, k.text, k.quality FROM kept k " +
+      "JOIN comp c ON c.doc_id = k.doc_id AND c.comp_id = k.doc_id), " +
+      s"assigned AS MATERIALIZED (SELECT doc_id, text, quality, $splitCaseSql AS split FROM canon), " +
+      shinglesPart + ", " +
+      "dsh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM shingles), " +
+      "bsh AS MATERIALIZED (SELECT DISTINCT sh FROM dsh JOIN assigned a USING (doc_id) WHERE a.split = 'test'), " +
+      "contam AS (SELECT DISTINCT d.doc_id FROM dsh d " +
+      "JOIN assigned a ON a.doc_id = d.doc_id AND a.split = 'train' JOIN bsh b ON b.sh = d.sh) " +
+      s"SELECT split, count(*) AS n_docs, ${Dsp.round6Sql("avg(quality)")} AS avg_quality " +
+      "FROM assigned WHERE doc_id NOT IN (SELECT doc_id FROM contam) GROUP BY split"
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "curate_full" -> curateFullSql,
     "curate_splits" ->
       ("WITH base AS (SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS n_chars, " +
         "CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok, " +

@@ -235,6 +235,17 @@ object Dedup {
   val simhashPairsSql: String =
     s"WITH $simhashPairsCtes SELECT doc_a, doc_b, hamming FROM pairs"
 
+  /** The pair CTE chain re-rooted at `src(doc_id, text, …)` instead of
+    * the documents table — lets composed pipelines (curate_full) run
+    * the near-dup stage over an already-filtered doc set. The chain
+    * has exactly one scan site (the `toks` CTE).
+    */
+  def simhashPairsCtesFrom(src: String): String = {
+    val out = simhashPairsCtes.replace("FROM documents)", s"FROM $src)")
+    require(out != simhashPairsCtes, "scan site not found in simhash CTE chain")
+    out
+  }
+
   /** Connected components over an undirected near-dup pair graph —
     * the step that turns pairwise candidates into actual dedup groups
     * (every doc gets `comp_id` = the smallest doc_id reachable from it;

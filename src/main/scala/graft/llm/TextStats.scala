@@ -63,6 +63,31 @@ object TextStats {
       "list_extract(toks, g.i) || ' ' || list_extract(toks, g.i + 1) || ' ' || list_extract(toks, g.i + 2) AS sh " +
       s"FROM toks, generate_series(1, $maxTokens) g(i) WHERE g.i <= len(toks) - 2)"
 
+  /** Word 2-grams with position — the repetition-screen unit (kept
+    * separate from the w=3 [[shingles]] so the green dedup oracles'
+    * SQL strings stay byte-identical).
+    */
+  def shingles2(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        col("toks"),
+        explode(
+          sequence(lit(1), greatest(least(size(col("toks")) - 1, lit(maxTokens)), lit(0)))
+        ).as("i")
+      )
+      .select(
+        col("doc_id"),
+        concat_ws(" ", element_at(col("toks"), col("i")), element_at(col("toks"), col("i") + 1)).as("sh")
+      )
+
+  val shingles2Sql: String =
+    s"toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+      s"shingles2 AS (SELECT doc_id, " +
+      "list_extract(toks, g.i) || ' ' || list_extract(toks, g.i + 1) AS sh " +
+      s"FROM toks, generate_series(1, $maxTokens) g(i) WHERE g.i <= len(toks) - 1)"
+
   private val stopwords =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for", "on", "with")
   private def stopInSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
@@ -152,8 +177,36 @@ object TextStats {
       s"SELECT doc_id, score FROM scored WHERE score > 0.0e0 ORDER BY score DESC, doc_id ASC LIMIT $topK"
   }
 
+  /** Gopher-style repetition screen (Rae et al. 2021 §A1.1): fraction
+    * of 2-grams taken by the most frequent one, and fraction that are
+    * repeats of an earlier occurrence. High values flag boilerplate /
+    * degenerate text. Two-level aggregation — per-(doc, 2-gram) counts
+    * with map-side combine, then per-doc — a single shuffle on the
+    * (doc_id, sh) hash at any corpus size.
+    */
+  def repetition(docs: DataFrame): DataFrame =
+    shingles2(docs)
+      .groupBy(col("doc_id"), col("sh"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n2"), max(col("c")).as("top"), count(lit(1)).as("nd"))
+      .select(
+        col("doc_id"),
+        col("n2"),
+        graft.core.Dsp.round6(col("top") / col("n2")).as("frac_top_2gram"),
+        graft.core.Dsp.round6((col("n2") - col("nd")) / col("n2")).as("frac_dup_2gram")
+      )
+
+  val repetitionSql: String =
+    s"WITH $shingles2Sql, " +
+      "cnt AS (SELECT doc_id, sh, count(*) AS c FROM shingles2 GROUP BY doc_id, sh), " +
+      "agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n2, max(c) AS top, count(*) AS nd FROM cnt GROUP BY doc_id) " +
+      s"SELECT doc_id, n2, ${graft.core.Dsp.round6Sql("top / n2")} AS frac_top_2gram, " +
+      s"${graft.core.Dsp.round6Sql("(n2 - nd) / n2")} AS frac_dup_2gram FROM agg"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25" -> { (s, dir) => bm25(Tables.documents(s, dir)) },
+    "text_repetition" -> { (s, dir) => repetition(Tables.documents(s, dir)) },
     "text_tokens" -> { (s, dir) =>
       Tables
         .documents(s, dir)
@@ -208,6 +261,7 @@ object TextStats {
 
   def oracleSql: Map[String, String] = Map(
     "text_bm25" -> bm25Sql(),
+    "text_repetition" -> repetitionSql,
     "text_tokens" ->
       ("SELECT doc_id, length(text) AS n_chars, len(string_split(text, ' ')) AS n_ws, " +
         "len(regexp_extract_all(text, '[a-z]+')) AS n_alpha FROM documents"),
