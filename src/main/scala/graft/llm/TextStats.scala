@@ -204,9 +204,84 @@ object TextStats {
       s"SELECT doc_id, n2, ${graft.core.Dsp.round6Sql("top / n2")} AS frac_top_2gram, " +
       s"${graft.core.Dsp.round6Sql("(n2 - nd) / n2")} AS frac_dup_2gram FROM agg"
 
+  // ---- chunking & packing: the document → training-sequence step ----
+
+  private val chunkTok = 32 // tokens per chunk window (gate docs are ~100 tokens → several chunks each)
+  private val packCap = 256 // context-window capacity (tokens)
+  private val packSalts = 8 // parallel packing streams
+
+  /** Fixed-window chunking: split each doc's (capped) token array into
+    * `chunkTok`-token windows — the doc→sample step before training.
+    * Entirely row-local (explode over a computed range + array slice);
+    * the md5 of each chunk's re-joined text pins content alignment,
+    * not just counts, across engines.
+    */
+  def chunks(docs: DataFrame, winTok: Int = chunkTok): DataFrame = {
+    val toks = slice(split(col("text"), " "), 1, maxTokens)
+    docs
+      .select(col("doc_id"), toks.as("toks"), least(size(toks), lit(maxTokens)).as("dl"))
+      .select(
+        col("doc_id"),
+        col("toks"),
+        col("dl"),
+        explode(sequence(lit(0), expr(s"(dl - 1) div $winTok").cast("int"))).as("chunk_id")
+      )
+      .select(
+        col("doc_id"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        least(col("dl") - col("chunk_id") * winTok, lit(winTok)).cast("long").as("n_tok"),
+        md5(concat_ws(" ", slice(col("toks"), col("chunk_id") * winTok + 1, lit(winTok)))).as("chunk_md5")
+      )
+  }
+
+  def chunksSql(winTok: Int = chunkTok): String =
+    s"WITH t AS (SELECT doc_id, list_slice(string_split(text, ' '), 1, $maxTokens) AS toks FROM documents), " +
+      s"d AS (SELECT doc_id, toks, least(len(toks), $maxTokens) AS dl FROM t) " +
+      s"SELECT doc_id, CAST(g.c AS BIGINT) AS chunk_id, " +
+      s"CAST(least(dl - g.c * $winTok, $winTok) AS BIGINT) AS n_tok, " +
+      s"md5(array_to_string(list_slice(toks, g.c * $winTok + 1, g.c * $winTok + $winTok), ' ')) AS chunk_md5 " +
+      s"FROM d, generate_series(0, $maxTokens) g(c) WHERE g.c <= (dl - 1) // $winTok"
+
+  /** Concat-and-chunk sequence packing: docs are concatenated in
+    * doc_id order within `nSalts` parallel streams (salt = doc_id %
+    * nSalts) and the stream is sliced into `cap`-token context
+    * windows; emits where each doc lands (window index + offset of its
+    * first token). This is the data-loader's packing arithmetic as a
+    * query — integer-only, so no float parity surface. The salt bounds
+    * every window partition at corpus_size/nSalts — packing stays
+    * parallel at any scale (one global stream would be a
+    * single-partition window).
+    */
+  def pack(docs: DataFrame, cap: Int = packCap, nSalts: Int = packSalts): DataFrame = {
+    val dl = least(size(split(col("text"), " ")), lit(maxTokens)).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("salt"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs
+      .select(col("doc_id"), (col("doc_id") % nSalts).as("salt"), dl.as("dl"))
+      .select(col("doc_id"), col("salt"), col("dl"), (sum(col("dl")).over(w) - col("dl")).as("start"))
+      .select(
+        col("doc_id"),
+        col("salt"),
+        col("dl").as("n_tok"),
+        expr(s"start div $cap").as("bin_id"),
+        (col("start") % cap).as("bin_offset")
+      )
+  }
+
+  def packSql(cap: Int = packCap, nSalts: Int = packSalts): String =
+    s"WITH d AS (SELECT doc_id, doc_id % $nSalts AS salt, " +
+      s"CAST(least(len(string_split(text, ' ')), $maxTokens) AS BIGINT) AS dl FROM documents), " +
+      "s AS (SELECT doc_id, salt, dl, CAST(sum(dl) OVER (PARTITION BY salt ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - dl AS start FROM d) " +
+      s"SELECT doc_id, salt, dl AS n_tok, start // $cap AS bin_id, start % $cap AS bin_offset FROM s"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_bm25" -> { (s, dir) => bm25(Tables.documents(s, dir)) },
     "text_repetition" -> { (s, dir) => repetition(Tables.documents(s, dir)) },
+    "text_chunks" -> { (s, dir) => chunks(Tables.documents(s, dir)) },
+    "text_pack" -> { (s, dir) => pack(Tables.documents(s, dir)) },
     "text_tokens" -> { (s, dir) =>
       Tables
         .documents(s, dir)
@@ -262,6 +337,8 @@ object TextStats {
   def oracleSql: Map[String, String] = Map(
     "text_bm25" -> bm25Sql(),
     "text_repetition" -> repetitionSql,
+    "text_chunks" -> chunksSql(),
+    "text_pack" -> packSql(),
     "text_tokens" ->
       ("SELECT doc_id, length(text) AS n_chars, len(string_split(text, ' ')) AS n_ws, " +
         "len(regexp_extract_all(text, '[a-z]+')) AS n_alpha FROM documents"),

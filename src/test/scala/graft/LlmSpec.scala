@@ -190,6 +190,32 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall@5 vs exact $recall")
   }
 
+  test("chunking: window boundaries and tail sizes are exact") {
+    val doc = Seq((1L, (1 to 70).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val c = graft.llm.TextStats
+      .chunks(doc, winTok = 32)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(c.toSeq == Seq((0L, 32L), (1L, 32L), (2L, 6L)))
+  }
+
+  test("packing: windows fill in doc order per salt, offsets wrap at capacity") {
+    // one salt stream (ids all ≡ 0 mod 8): lengths 100, 100, 100 →
+    // starts 0, 100, 200 → bins 0, 0, 0 at cap 256? no: starts 0,100,200
+    // → bin 0 offset 0; bin 0 offset 100; bin 0 offset 200 — then a
+    // fourth doc starts at 300 → bin 1 offset 44
+    val docs = Seq(0L, 8L, 16L, 24L)
+      .map(id => (id, (1 to 100).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val p = graft.llm.TextStats
+      .pack(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(p.toSeq == Seq((0L, 0L, 0L), (8L, 0L, 100L), (16L, 0L, 200L), (24L, 1L, 44L)))
+  }
+
   test("lsh buckets put identical vectors together") {
     val vecs = Seq(
       (0L, Array.fill(64)(1.0f), 0),
