@@ -104,6 +104,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"planted-duplicate recall $recall")
   }
 
+  test("connected components resolve 20k planted clusters to their minima") {
+    // clusters {4k..4k+3} wired as stars from the min element — 5k
+    // components at once; the label loop must converge in a handful of
+    // rounds and assign every node its cluster min
+    val n = 20000L
+    val nodes = spark.range(n).withColumnRenamed("id", "doc_id")
+    val pairs = spark
+      .range(n)
+      .filter(col("id") % 4 =!= 0)
+      .select((col("id") - col("id") % 4).as("doc_a"), col("id").as("doc_b"))
+    val wrong = graft.llm.Dedup
+      .components(nodes, pairs)
+      .filter(col("comp_id") =!= col("doc_id") - col("doc_id") % 4)
+      .count()
+    assert(wrong == 0)
+  }
+
   test("salted aggregation equals direct aggregation") {
     val li = Tables.lineitem(spark, sf)
     val direct = li
