@@ -174,9 +174,44 @@ object Api {
   def embedDupes(emb: DataFrame, tau: Double = 0.4): DataFrame =
     llm.Similarity.embedDupes(emb, tau)
 
+  /** Connected components over near-dup pairs: every doc → the min
+    * doc_id reachable from it (the dedup-group canonicalizer).
+    */
+  def components(nodes: DataFrame, pairs: DataFrame): DataFrame =
+    llm.Dedup.components(nodes, pairs)
+
+  /** Product-quantization ANN: trained codebooks + asymmetric-distance
+    * top-k over the 32×-compressed corpus.
+    */
+  def pqTopk(emb: DataFrame, codebooks: Option[Array[Array[Array[Double]]]] = None): DataFrame =
+    llm.Similarity.pqTopk(emb, codebooks)
+  def trainPqCodebooks(emb: DataFrame, iters: Int = 5): Array[Array[Array[Double]]] =
+    llm.Similarity.pqTrain(emb, iters)
+
+  /** BM25 scored retrieval over the corpus for a fixed term set. */
+  def bm25(docs: DataFrame, terms: Seq[String]): DataFrame =
+    llm.TextStats.bm25(docs, terms)
+
+  /** Gopher-style 2-gram repetition screen. */
+  def repetition(docs: DataFrame): DataFrame = llm.TextStats.repetition(docs)
+
+  /** Fixed-window doc chunking / concat-and-chunk sequence packing. */
+  def chunkDocs(docs: DataFrame, winTok: Int): DataFrame = llm.TextStats.chunks(docs, winTok)
+  def packDocs(docs: DataFrame): DataFrame = llm.TextStats.pack(docs)
+
+  /** n-gram decontamination screen of `train` against `bench`. */
+  def decontam(train: DataFrame, bench: DataFrame, w: Int = 3): DataFrame =
+    llm.Curation.decontamCounts(train, bench, w)
+
   /** Quality-filter → dedup-keeper → train/val/test split pipeline. */
   def curate(docs: DataFrame, minQuality: Double = 0.45): DataFrame =
     llm.Curation.curate(docs, minQuality)
+
+  /** The full pipeline: quality → exact dedup → near-dup components →
+    * splits → train-vs-test decontamination → per-split summary.
+    */
+  def curateFull(docs: DataFrame, minQuality: Double = 0.45): DataFrame =
+    llm.Curation.curateFull(docs, minQuality)
 
   /** Multimodal: real PNG/WAV decode-feature passes + bilinear resize. */
   def pngFeatures(media: DataFrame): DataFrame = llm.Multimodal.pngFeatures(media)
