@@ -393,3 +393,40 @@ class MinhashStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(stream == batch, s"stream $stream != batch $batch")
   }
 }
+
+class DecontamStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("decontam runs as a stream-static join: counts accumulate across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val bench = Seq((100L, "the secret bench phrase here appears verbatim")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val train = input.toDF().toDF("doc_id", "text")
+    // the batch operator works unchanged on a readStream source: the
+    // benchmark side is static (broadcast), the per-doc aggregation is
+    // a streaming state store keyed by doc_id
+    val q = graft.llm.Curation
+      .decontamCounts(train, bench)
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("decontam_out")
+      .start()
+    input.addData((1L, "secret bench phrase here plus extra words padding out"))
+    q.processAllAvailable()
+    input.addData((2L, "completely different content with no overlap at all"),
+      (3L, "the secret bench phrase here too"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark
+      .sql("SELECT doc_id, n_contam FROM decontam_out")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    // doc 1 shares 2 shingles, doc 3 shares 3 ("the secret bench",
+    // "secret bench phrase", "bench phrase here"), doc 2 none
+    assert(got == Map(1L -> 2L, 3L -> 3L), s"stream-static decontam: $got")
+  }
+}
