@@ -448,7 +448,13 @@ object Similarity {
     * a pure map off the scan, no shuffle, no join. Emits
     * (vec_id, vq) with vq the 64-dim reconstruction.
     */
-  def pqReconstruct(emb: DataFrame, cb: Array[Array[Array[Double]]]): DataFrame = {
+  def pqReconstruct(emb: DataFrame, cb: Array[Array[Array[Double]]]): DataFrame =
+    pqReconstructV(vecsD(emb).select(col("vec_id"), col("v")), cb)
+
+  /** Same, over an already-projected (vec_id, v: array<double>) frame —
+    * the IVF+PQ path feeds residual vectors through here.
+    */
+  def pqReconstructV(vd: DataFrame, cb: Array[Array[Array[Double]]]): DataFrame = {
     val parts = (0 until pqM).map { j =>
       val sv = slice(col("v"), j * pqSub + 1, pqSub)
       val ds = array(
@@ -458,7 +464,7 @@ object Similarity {
       val code = array_position(ds, array_min(ds)).cast("int")
       element_at(typedLit(cb(j).map(_.toSeq).toSeq), code)
     }
-    vecsD(emb).select(col("vec_id"), concat(parts: _*).as("vq"))
+    vd.select(col("vec_id"), concat(parts: _*).as("vq"))
   }
 
   /** PQ top-k: exact query vectors (vec_id < nQueries, broadcast)
@@ -562,6 +568,133 @@ object Similarity {
     cb
   }
 
+  // ---- IVF+PQ (the FAISS IndexIVFPQ shape): coarse cells bound the
+  // candidates, PQ on the RESIDUAL (v − cell centroid) compresses what
+  // remains — residual magnitudes are much smaller than raw vectors, so
+  // the same 8-byte code budget buys far lower quantization error. The
+  // production ANN layout at 10⁹+ vectors: 8 B/vector index + nProbe/
+  // nList of the corpus scored per query. ----
+
+  /** Cell assignment + residuals (deterministic first-nList centroids —
+    * the oracle-replayable gate config). Emits (vid, cid, r).
+    */
+  private def ivfResiduals(emb: DataFrame, nList: Int): DataFrame = {
+    val vs = vecsD(emb)
+    val centsDf = vs
+      .filter(col("vec_id") < nList)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val d = vs
+      .select(col("vec_id"), col("v"))
+      .join(broadcast(centsDf))
+      .select(
+        col("vec_id"),
+        col("cid"),
+        col("v"),
+        col("cv"),
+        graft.functions.exprs.sq_dist(col("v"), col("cv")).as("d2")
+      )
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cid").asc)
+    d.select(col("vec_id").as("vid"), col("cid"), col("v"), col("cv"), row_number().over(w).as("cr"))
+      .filter(col("cr") === 1)
+      .select(col("vid"), col("cid"), zip_with(col("v"), col("cv"), (a, b) => a - b).as("r"))
+  }
+
+  /** IVF+PQ top-k: probe `nProbe` cells per query, rank candidates by
+    * the asymmetric distance between the query's residual-to-the-cell
+    * and the candidate's PQ-reconstructed residual. Residual codebooks
+    * are the residuals of vectors nList..nList+pqK−1 (deterministic and
+    * non-degenerate — the first nList residuals are zero by
+    * construction).
+    */
+  def ivfPqTopk(emb: DataFrame, nList: Int = 16, nProbe: Int = 4): DataFrame = {
+    val vs = vecsD(emb)
+    val resid = ivfResiduals(emb, nList).persist()
+    val cbRows = resid
+      .filter(col("vid") >= nList && col("vid") < nList + pqK)
+      .orderBy(col("vid"))
+      .collect()
+    require(cbRows.length == pqK, s"corpus smaller than nList+pqK=${nList + pqK}")
+    val cb = Array.tabulate(pqM, pqK) { (j, ci) =>
+      cbRows(ci).getSeq[Double](2).slice(j * pqSub, (j + 1) * pqSub).toArray
+    }
+    val reconR = pqReconstructV(resid.select(col("vid").as("vec_id"), col("r").as("v")), cb)
+      .select(col("vec_id").as("vid"), col("vq"))
+    val centsDf = vs
+      .filter(col("vec_id") < nList)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // probed cells per query: same window shape as assignment, keep nProbe
+    val qd = vs
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("va"))
+      .join(broadcast(centsDf))
+      .withColumn("d2", graft.functions.exprs.sq_dist(col("va"), col("cv")))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("d2").asc, col("cid").asc)
+    val qcells = qd
+      .select(col("qid"), col("cid"), col("va"), col("cv"), row_number().over(wq).as("cr"))
+      .filter(col("cr") <= nProbe)
+      .select(col("qid"), col("cid"), col("va"), col("cv"))
+    val assign = resid.select(col("vid"), col("cid"))
+    val scored = qcells
+      .join(assign, Seq("cid"))
+      .filter(col("qid") =!= col("vid"))
+      .join(reconR, Seq("vid"))
+      .select(
+        col("qid"),
+        col("vid"),
+        graft.core.Dsp
+          .round6(
+            graft.functions.exprs.sq_dist(zip_with(col("va"), col("cv"), (a, b) => a - b), col("vq"))
+          )
+          .as("ad2")
+      )
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("ad2").asc, col("vid").asc)
+    scored
+      .select(col("qid"), col("vid"), col("ad2"), row_number().over(w).as("rank"))
+      .filter(col("rank") <= topK)
+  }
+
+  /** SQL twin of [[ivfPqTopk]] (nList=16, nProbe=4). */
+  def ivfPqTopkSql(nList: Int = 16, nProbe: Int = 4): String = {
+    val d2 = "list_sum(list_transform(generate_series(1, 64), i -> " +
+      "(list_extract(a.v, i) - list_extract(c.cv, i)) * (list_extract(a.v, i) - list_extract(c.cv, i))))"
+    val subD2 = s"list_sum(list_transform(generate_series(1, $pqSub), i -> " +
+      "(list_extract(s.sv, i) - list_extract(c.cv, i)) * (list_extract(s.sv, i) - list_extract(c.cv, i))))"
+    val score = "list_sum(list_transform(generate_series(1, 64), i -> " +
+      "((list_extract(va, i) - list_extract(cv, i)) - list_extract(vq, i)) * " +
+      "((list_extract(va, i) - list_extract(cv, i)) - list_extract(vq, i))))"
+    "WITH vs AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      s"cents AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM vs WHERE vec_id < $nList), " +
+      s"dists AS (SELECT a.vec_id AS pid, c.cid AS cid, $d2 AS d2 FROM vs a CROSS JOIN cents c), " +
+      "rankedc AS MATERIALIZED (SELECT pid, cid, row_number() OVER (PARTITION BY pid ORDER BY d2 ASC, cid ASC) AS cr FROM dists), " +
+      "assign AS MATERIALIZED (SELECT pid AS vid, cid FROM rankedc WHERE cr = 1), " +
+      "resid AS MATERIALIZED (SELECT a.vid, a.cid, list_transform(generate_series(1, 64), i -> " +
+      "list_extract(v.v, i) - list_extract(c.cv, i)) AS r " +
+      "FROM assign a JOIN vs v ON v.vec_id = a.vid JOIN cents c ON c.cid = a.cid), " +
+      s"rcb AS MATERIALIZED (SELECT g.j AS j, vid - $nList AS ci, " +
+      s"list_slice(r, g.j * $pqSub + 1, (g.j + 1) * $pqSub) AS cv " +
+      s"FROM resid, generate_series(0, ${pqM - 1}) g(j) WHERE vid >= $nList AND vid < ${nList + pqK}), " +
+      s"rsubs AS (SELECT vid, g.j AS j, list_slice(r, g.j * $pqSub + 1, (g.j + 1) * $pqSub) AS sv " +
+      s"FROM resid, generate_series(0, ${pqM - 1}) g(j)), " +
+      s"rdists AS (SELECT s.vid, s.j, c.ci, $subD2 AS d2 FROM rsubs s JOIN rcb c ON c.j = s.j), " +
+      "rcodes AS (SELECT vid, j, ci FROM (SELECT vid, j, ci, " +
+      "row_number() OVER (PARTITION BY vid, j ORDER BY d2 ASC, ci ASC) AS rn FROM rdists) WHERE rn = 1), " +
+      "rrecon AS MATERIALIZED (SELECT vid, flatten(list(cv ORDER BY j)) AS vq " +
+      "FROM rcodes JOIN rcb USING (j, ci) GROUP BY vid), " +
+      s"qcells AS (SELECT pid AS qid, cid FROM rankedc WHERE cr <= $nProbe AND pid < $nQueries), " +
+      "pairs AS (SELECT q.qid, s.vid, qa.v AS va, c.cv AS cv, rr.vq AS vq FROM qcells q " +
+      "JOIN assign s ON s.cid = q.cid AND s.vid <> q.qid " +
+      "JOIN vs qa ON qa.vec_id = q.qid JOIN cents c ON c.cid = q.cid JOIN rrecon rr ON rr.vid = s.vid), " +
+      s"scored AS (SELECT qid, vid, ${graft.core.Dsp.round6Sql(score)} AS ad2 FROM pairs), " +
+      "ranked AS (SELECT qid, vid, ad2, row_number() OVER (PARTITION BY qid ORDER BY ad2 ASC, vid ASC) AS rank FROM scored) " +
+      s"SELECT qid, vid, ad2, rank FROM ranked WHERE rank <= $topK"
+  }
+
   /** SQL twin of [[ivfTopk]] (nList=16, nProbe=4): deterministic
     * centroids (first nList vectors), argmin cell assignment with cid
     * tiebreak, nProbe nearest cells per query, cosine on candidates only.
@@ -585,6 +718,7 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ivf_topk" -> { (s, dir) => ivfTopk(Tables.embeddings(s, dir)) },
     "sim_pq_topk" -> { (s, dir) => pqTopk(Tables.embeddings(s, dir)) },
+    "sim_ivfpq_topk" -> { (s, dir) => ivfPqTopk(Tables.embeddings(s, dir)) },
     "sim_topk" -> { (s, dir) => topk(Tables.embeddings(s, dir)) },
     "sim_buckets" -> { (s, dir) =>
       // bucket histogram: scale-path observability (bucket, n vectors);
@@ -608,6 +742,7 @@ object Similarity {
     "sim_buckets" -> bucketsSql,
     "sim_ivf_topk" -> ivfTopkSql(),
     "sim_pq_topk" -> pqTopkSql,
+    "sim_ivfpq_topk" -> ivfPqTopkSql(),
     "dedup_embed" -> embedDupesSql(0.4, planes, 2)
   )
 }

@@ -190,6 +190,21 @@ class LlmSpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall@5 vs exact $recall")
   }
 
+  test("ivf+pq top-k retrieves the query's cluster through the residual codes") {
+    val all = clusteredVecs(200, 10, 0.3)
+    val vecs = all.toDF("vec_id", "embedding", "label")
+    val r = Similarity
+      .ivfPqTopk(vecs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupMap(_._1)(_._2)
+    val cluster = all.map { case (id, _, c) => id -> c }.toMap
+    val precision = (0L until 10L)
+      .map(q => r(q).count(v => cluster(v) == cluster(q)) / 5.0)
+      .sum / 10.0
+    assert(precision >= 0.95, s"same-cluster precision@5 $precision")
+  }
+
   test("chunking: window boundaries and tail sizes are exact") {
     val doc = Seq((1L, (1 to 70).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
     val c = graft.llm.TextStats
