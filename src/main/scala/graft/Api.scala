@@ -188,6 +188,10 @@ object Api {
   def trainPqCodebooks(emb: DataFrame, iters: Int = 5): Array[Array[Array[Double]]] =
     llm.Similarity.pqTrain(emb, iters)
 
+  /** IVF+PQ: coarse cells bound candidates, PQ codes the residual. */
+  def ivfPqTopk(emb: DataFrame, nList: Int = 16, nProbe: Int = 4): DataFrame =
+    llm.Similarity.ivfPqTopk(emb, nList, nProbe)
+
   /** BM25 scored retrieval over the corpus for a fixed term set. */
   def bm25(docs: DataFrame, terms: Seq[String]): DataFrame =
     llm.TextStats.bm25(docs, terms)

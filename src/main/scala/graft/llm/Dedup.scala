@@ -292,13 +292,15 @@ object Dedup {
         .select(col("doc_id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
       // pointer jump: follow the label's own label (labels are doc ids,
       // and every doc id is a node, so the inner self-join is total)
+      // lazy checkpoint: the convergence aggregate right below is the
+      // one action that materializes it — one job per round, not two
       val jumped = stepped
         .join(
           stepped.select(col("doc_id").as("jid"), col("comp").as("jcomp")),
           col("comp") === col("jid")
         )
         .select(col("doc_id"), col("jcomp").as("comp"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val s = jumped.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0)
       converged = s == prevSum
       prevSum = s
