@@ -50,8 +50,53 @@ object EdfOps {
           (col("rec_idx") * per + col("n")).as("n"),
           Dsp.round6(col("x")).as("x")
         )
+    },
+    "edf_split" -> { (s, dir) =>
+      // splitter round-trip: write ONE multi-channel EDF, split it into
+      // two per-channel-group files (reference splitter, edf.py:780),
+      // read the splits back. The split re-quantizes (its phys ranges
+      // come from the already-quantized values), so the oracle is the
+      // closed-form int16 quantization applied twice.
+      val sig = Signal.long(s, dir)
+      val len =
+        sig.groupBy(col("channel")).agg(count(lit(1)).as("c")).agg(min(col("c"))).head.getLong(0)
+      val per = (len / spr) * spr
+      val recs = sig
+        .filter(col("n") < per)
+        .select(lit("rec0").as("recording"), col("channel"), col("n"), col("x"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_edf_split").toString
+      Edf.writeSpark(recs, tmp, fs = 100.0, samplesPerRecord = spr)
+      val src = s"$tmp/rec0.edf"
+      val hdr = Edf.parseHeader(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(src)))
+      val nCh = hdr.labels.length
+      Edf.splitter(
+        src,
+        Seq((0 until nCh / 2).toSeq, (nCh / 2 until nCh).toSeq),
+        Seq(s"$tmp/split_a.edf", s"$tmp/split_b.edf"),
+        fs = 100.0
+      )
+      Edf
+        .readSpark(s, s"$tmp/split_*.edf")
+        .select(col("channel"), col("n"), Dsp.round6(col("x")).as("x"))
     }
   )
+
+  /** One int16 quantize→decode pass as CTEs: phys-range floor/ceil to
+    * header-ASCII precision, slope/offset, clamp(floor(·+½)) — emits
+    * `<out>(channel, n, y)` from `<src>(channel, n, <xcol>)`.
+    */
+  private def quantCtes(src: String, xcol: String, tag: String, out: String): String =
+    s"st$tag AS (SELECT channel, min($xcol) AS mn, " +
+      s"greatest(max($xcol), min($xcol) + 1.0e-9) AS mx0 FROM $src GROUP BY channel), " +
+      s"rng$tag AS (SELECT channel, " +
+      "CASE WHEN abs(mn) < 1.0e3 THEN floor(mn * 1.0e3) / 1.0e3 ELSE floor(mn) END AS pmn, " +
+      "CASE WHEN abs(mx0) < 1.0e3 THEN ceil(mx0 * 1.0e3) / 1.0e3 ELSE ceil(mx0) END AS pmx0 " +
+      s"FROM st$tag), " +
+      s"so$tag AS (SELECT channel, s, pmn - s * (-3.2768e4) AS o FROM (SELECT channel, pmn, " +
+      s"(CASE WHEN pmx0 <= pmn THEN pmn + 1.0e-3 ELSE pmx0 END - pmn) / 6.5535e4 AS s FROM rng$tag)), " +
+      s"$out AS (SELECT r.channel, r.n, q.s * CAST(greatest(-32768, least(32767, " +
+      s"CAST(floor((r.$xcol - q.o) / q.s + 5.0e-1) AS BIGINT))) AS DOUBLE) + q.o AS y " +
+      s"FROM $src r JOIN so$tag q ON r.channel = q.channel)"
 
   /** The quantization pipeline as SQL, literal-for-literal the writer's
     * arithmetic (Edf.physRange / writeSpark dig / Reader decode).
@@ -78,6 +123,15 @@ object EdfOps {
         "CAST(floor((r.x - so.o) / so.s + 5.0e-1) AS BIGINT))) AS DOUBLE) + so.o AS y " +
         "FROM recs r JOIN so ON r.rec = so.rec AND r.channel = so.channel) " +
         s"SELECT channel, n, ${Dsp.round6Sql("y")} AS x FROM dec"
+    ),
+    "edf_split" -> (
+      s"${Signal.sigCte}, " +
+        "cnts AS (SELECT channel, count(*) AS c FROM sig GROUP BY channel), " +
+        s"p1 AS (SELECT (min(c) // $spr) * $spr AS per FROM cnts), " +
+        "recs AS MATERIALIZED (SELECT s.channel, s.n, s.x FROM sig s, p1 WHERE s.n < p1.per), " +
+        quantCtes("recs", "x", "1", "dec1") + ", " +
+        quantCtes("dec1", "y", "2", "dec2") + " " +
+        s"SELECT channel, n, ${Dsp.round6Sql("y")} AS x FROM dec2"
     )
   )
 }
