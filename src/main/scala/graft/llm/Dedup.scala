@@ -290,10 +290,11 @@ object Dedup {
       val stepped = labels
         .join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
         .select(col("doc_id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
-      // pointer jump: follow the label's own label (labels are doc ids,
-      // and every doc id is a node, so the inner self-join is total)
-      // lazy checkpoint: the convergence aggregate right below is the
-      // one action that materializes it — one job per round, not two
+      // pointer jump: follow the label's own label (labels are minima
+      // over edge-node ids, which are themselves edge nodes, so the
+      // inner self-join is total). Lazy checkpoint: the convergence
+      // aggregate right below is the one action that materializes it —
+      // one job per round, not two
       val jumped = stepped
         .join(
           stepped.select(col("doc_id").as("jid"), col("comp").as("jcomp")),
