@@ -81,7 +81,7 @@ object Fft {
     @transient private var cosT: Array[Double] = null
     @transient private var sinT: Array[Double] = null
 
-    def apply(xs: Array[Double]): Array[Double] = {
+    private def windowed(xs: Array[Double]): Array[Double] = {
       val n = xs.length
       val xw = new Array[Double](n)
       detrend match {
@@ -104,6 +104,47 @@ object Fft {
           var i = 0
           while (i < n) { xw(i) = xs(i) * win(i); i += 1 }
       }
+      xw
+    }
+
+    /** One-sided COMPLEX spectrum of the detrended+windowed frame,
+      * interleaved [re0, im0, …, re_{n/2}, im_{n/2}], unscaled — the
+      * cross-spectral input (coherence). Any global conjugation-
+      * convention difference cancels in |Pxy|²/(Pxx·Pyy).
+      */
+    def complexSpec(xs: Array[Double]): Array[Double] = {
+      val xw = windowed(xs)
+      val n = xw.length
+      val out = new Array[Double](2 * (n / 2 + 1))
+      if ((n & (n - 1)) == 0) {
+        val re = xw.clone(); val im = new Array[Double](n)
+        Fft.fft(re, im)
+        var f = 0
+        while (f <= n / 2) { out(2 * f) = re(f); out(2 * f + 1) = im(f); f += 1 }
+      } else {
+        if (cosT == null || cosT.length != n) {
+          cosT = Array.tabulate(n)(k => math.cos(2.0 * math.Pi * k / n))
+          sinT = Array.tabulate(n)(k => math.sin(2.0 * math.Pi * k / n))
+        }
+        var f = 0
+        while (f <= n / 2) {
+          var re = 0.0; var im = 0.0; var p = 0
+          while (p < n) {
+            val idx = (f * p) % n
+            re += xw(p) * cosT(idx)
+            im -= xw(p) * sinT(idx)
+            p += 1
+          }
+          out(2 * f) = re; out(2 * f + 1) = im
+          f += 1
+        }
+      }
+      out
+    }
+
+    def apply(xs: Array[Double]): Array[Double] = {
+      val n = xs.length
+      val xw = windowed(xs)
       val mag2 = if ((n & (n - 1)) == 0) rfftMag2(xw) else dftMag2(xw)
       val out = new Array[Double](mag2.length)
       var f = 0

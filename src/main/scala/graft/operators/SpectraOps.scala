@@ -92,6 +92,21 @@ object SpectraOps {
       cfg: WelchCfg = WelchCfg(),
       presorted: Boolean = false
   ): DataFrame = {
+    val segs = frameScan(sig, boundary, doubled, cfg, presorted)((k, fr) => k(fr))
+    segs.select(col("channel"), col("s"), posexplode(col("p2s")).as(Seq("f", "p2")))
+  }
+
+  /** The streaming frame assembly shared by the power (`periodograms`)
+    * and complex (`complexFrames`) paths: `kfn` maps each full frame
+    * through the per-partition kernel; emits (channel, s, p2s).
+    */
+  private def frameScan(
+      sig: DataFrame,
+      boundary: Boolean,
+      doubled: Boolean,
+      cfg: WelchCfg,
+      presorted: Boolean
+  )(kfn: (graft.functions.Fft.Periodogram, Array[Double]) => Array[Double]): DataFrame = {
     require(cfg.detrend == "constant" || cfg.detrend == "linear", s"unknown detrend ${cfg.detrend}")
     val spark = sig.sparkSession
     import spark.implicits._
@@ -108,7 +123,7 @@ object SpectraOps {
     val ordered =
       if (presorted) typed
       else typed.repartition(col("channel")).sortWithinPartitions(col("channel"), col("n"))
-    val segs = ordered
+    ordered
       .mapPartitions { (it0: Iterator[(String, Long, Double)]) =>
         val kernel = new graft.functions.Fft.Periodogram(win, detrend, norm, doubled)
         val in = it0.buffered
@@ -144,7 +159,7 @@ object SpectraOps {
             while (s * hopP + nfftP <= avail) {
               var i = 0
               while (i < nfftP) { frame(i) = xs((s * hopP + i - base).toInt); i += 1 }
-              out += ((ch, s, kernel(frame)))
+              out += ((ch, s, kfn(kernel, frame)))
               s += 1
             }
             if (channelDone) xs.clear() // frames all emitted; next call starts fresh
@@ -158,7 +173,6 @@ object SpectraOps {
         }.flatten
       }
       .toDF("channel", "s", "p2s")
-    segs.select(col("channel"), col("s"), posexplode(col("p2s")).as(Seq("f", "p2")))
   }
 
   /** SQL twin of [[periodograms]] as a CTE chain ending in
@@ -237,6 +251,66 @@ object SpectraOps {
     s"${Signal.sigCte}, ${periodogramsSql(boundary = false, doubled = true, cfg)}, " +
       "welch AS (SELECT channel, f, avg(p2) AS psd, count(*) AS nsegs FROM pgram GROUP BY channel, f) " +
       s"SELECT channel, f, round(f * ${Dsp.lit(fsv / cfg.nfft)}, 4) AS freq_hz, round(psd, 6) AS psd, nsegs FROM welch"
+
+  /** Magnitude-squared coherence Cxy = |Pxy|²/(Pxx·Pyy) per channel
+    * pair and frequency bin (Welch framing) — the standard EEG
+    * connectivity metric, a capability beyond the reference's own
+    * estimators but built from the same frame scan. The complex
+    * spectra come from one streaming pass; the channel-pair alignment
+    * is an equi-join on (segment, bin) — at corpus scale pairs form
+    * within a recording's few channels, never across the corpus.
+    * All norm/doubling scalings cancel in the ratio, as does any FFT
+    * conjugation convention.
+    */
+  def coherence(sig: DataFrame, cfg: WelchCfg = WelchCfg(), presorted: Boolean = false): DataFrame = {
+    val fr = frameScan(sig, boundary = false, doubled = false, cfg, presorted)((k, f) =>
+      k.complexSpec(f)
+    ).select(
+      col("channel"),
+      col("s"),
+      explode(
+        expr(
+          s"transform(sequence(0, ${cfg.nfft / 2}), ff -> " +
+            "struct(ff AS f, p2s[ff * 2] AS re, p2s[ff * 2 + 1] AS im))"
+        )
+      ).as("t")
+    ).select(col("channel"), col("s"), col("t.f").as("f"), col("t.re").as("re"), col("t.im").as("im"))
+    val a = fr.select(
+      col("channel").as("ch_a"), col("s"), col("f"), col("re").as("ra"), col("im").as("ia"))
+    val b = fr.select(
+      col("channel").as("ch_b"), col("s"), col("f"), col("re").as("rb"), col("im").as("ib"))
+    a.join(b, Seq("s", "f"))
+      .filter(col("ch_a") < col("ch_b"))
+      .groupBy(col("ch_a"), col("ch_b"), col("f"))
+      .agg(
+        avg(col("ra") * col("rb") + col("ia") * col("ib")).as("pxy_re"),
+        avg(col("ia") * col("rb") - col("ra") * col("ib")).as("pxy_im"),
+        avg(col("ra") * col("ra") + col("ia") * col("ia")).as("pxx"),
+        avg(col("rb") * col("rb") + col("ib") * col("ib")).as("pyy")
+      )
+      .select(
+        col("ch_a"),
+        col("ch_b"),
+        col("f"),
+        Dsp.round6(
+          (col("pxy_re") * col("pxy_re") + col("pxy_im") * col("pxy_im")) /
+            (col("pxx") * col("pyy"))
+        ).as("coh")
+      )
+  }
+
+  /** SQL twin of [[coherence]]: the periodogram chain's `spec` CTE
+    * carries the same complex spectra the frame scan emits.
+    */
+  def coherenceSql(cfg: WelchCfg = WelchCfg()): String =
+    s"${Signal.sigCte}, ${periodogramsSql(boundary = false, doubled = false, cfg)}, " +
+      "ja AS (SELECT a.channel AS ch_a, b.channel AS ch_b, a.s, a.f, " +
+      "a.xre AS ra, a.xim AS ia, b.xre AS rb, b.xim AS ib " +
+      "FROM spec a JOIN spec b ON a.s = b.s AND a.f = b.f AND a.channel < b.channel), " +
+      "cs AS (SELECT ch_a, ch_b, f, avg(ra * rb + ia * ib) AS pxy_re, " +
+      "avg(ia * rb - ra * ib) AS pxy_im, avg(ra * ra + ia * ia) AS pxx, " +
+      "avg(rb * rb + ib * ib) AS pyy FROM ja GROUP BY ch_a, ch_b, f) " +
+      s"SELECT ch_a, ch_b, f, ${Dsp.round6Sql("(pxy_re * pxy_re + pxy_im * pxy_im) / (pxx * pyy)")} AS coh FROM cs"
 
   /** STFT spectrogram |X|² per (channel, s, f), boundary + padded. */
   def stft(sig: DataFrame, presorted: Boolean = false): DataFrame =
@@ -366,6 +440,7 @@ object SpectraOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "psd_welch_fast" -> { (s, dir) => psdWelchFast(Signal.long(s, dir), 128, presorted = true) },
     "psd_welch" -> { (s, dir) => psdWelch(Signal.long(s, dir), presorted = true) },
+    "coherence" -> { (s, dir) => coherence(Signal.long(s, dir), presorted = true) },
     "psd_welch_spectrum" -> { (s, dir) =>
       psdWelch(Signal.long(s, dir), cfgSpectrum, presorted = true)
     },
@@ -380,6 +455,7 @@ object SpectraOps {
   def oracleSql: Map[String, String] = Map(
     "psd_welch_fast" -> psdWelchFastSql(128),
     "psd_welch" -> psdWelchSql(),
+    "coherence" -> coherenceSql(),
     "psd_welch_spectrum" -> psdWelchSql(cfgSpectrum),
     "psd_welch_hamm75" -> psdWelchSql(cfgHamm75),
     "psd_welch_linear" -> psdWelchSql(cfgLinear),

@@ -13,6 +13,26 @@ class SpectraSpec extends AnyFunSuite {
     .map(i => ("s0", i.toLong, math.sin(2 * math.Pi * 15.0 * i / 100.0)))
     .toDF("channel", "n", "x")
 
+  test("coherence: scaled copy fully coherent, independent noise is not") {
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 2048).flatMap { i =>
+      val x = math.sin(2 * math.Pi * 15.0 * i / 100.0) + 0.3 * rnd.nextGaussian()
+      val z = rnd.nextGaussian()
+      Seq(("a", i.toLong, x), ("b", i.toLong, 2.5 * x), ("c", i.toLong, z))
+    }.toDF("channel", "n", "x")
+    val coh = graft.operators.SpectraOps
+      .coherence(rows)
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getInt(2)) -> r.getDouble(3))
+      .toMap
+    // a vs b: identical up to scale -> coherence 1 at every bin
+    val ab = (0 to 32).map(f => coh(("a", "b"), f))
+    assert(ab.forall(c => c > 0.999), s"scaled copy should be fully coherent: ${ab.min}")
+    // a vs c: independent noise -> low average coherence
+    val ac = (0 to 32).map(f => coh(("a", "c"), f))
+    assert(ac.sum / ac.length < 0.3, s"independent channels too coherent: ${ac.sum / ac.length}")
+  }
+
   test("welch PSD of a sine peaks at its frequency bin") {
     val psd = SpectraOps
       .psdWelch(sine)
