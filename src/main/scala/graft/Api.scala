@@ -110,6 +110,7 @@ object Api {
 
   /** Spectral estimators (reference spectra.estimators). */
   def psd(sig: DataFrame): DataFrame = SpectraOps.psdWelch(sig)
+  def coherence(sig: DataFrame): DataFrame = SpectraOps.coherence(sig)
   def psdFast(sig: DataFrame, nfft: Int): DataFrame = SpectraOps.psdWelchFast(sig, nfft)
   def stft(sig: DataFrame): DataFrame = SpectraOps.stft(sig)
 
