@@ -215,6 +215,34 @@ class LlmSpec extends AnyFunSuite {
     assert(c.toSeq == Seq((0L, 32L), (1L, 32L), (2L, 6L)))
   }
 
+  test("chunking/packing edge cases: empty text and over-capacity docs") {
+    val docs = Seq(
+      (0L, ""), // split('') = [''] → one 1-token chunk
+      (8L, (1 to 300).map(i => s"x$i").mkString(" ")) // 300 > cap 256
+    ).toDF("doc_id", "text")
+    val c = graft.llm.TextStats
+      .chunks(docs, winTok = 32)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(c.count(_._1 == 0L) == 1 && c.find(_._1 == 0L).get._3 == 1L)
+    assert(c.count(_._1 == 8L) == 10) // ceil(300/32)
+    val p = graft.llm.TextStats
+      .pack(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    // same salt stream (both ≡ 0 mod 8): doc 0 (1 token) starts bin 0
+    // offset 0; doc 8 (300 tokens) starts bin 0 offset 1 and SPANS into
+    // bin 1 — concat-and-chunk places it by its start
+    assert(p.toSeq == Seq((0L, 1L, 0L, 0L), (8L, 300L, 0L, 1L)))
+  }
+
+  test("decontam with an empty benchmark side emits nothing") {
+    val train = Seq((1L, "some words here")).toDF("doc_id", "text")
+    val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.llm.Curation.decontamCounts(train, bench).count() == 0)
+  }
+
   test("packing: windows fill in doc order per salt, offsets wrap at capacity") {
     // one salt stream (ids all ≡ 0 mod 8): lengths 100, 100, 100 →
     // starts 0, 100, 200 → bins 0, 0, 0 at cap 256? no: starts 0,100,200
