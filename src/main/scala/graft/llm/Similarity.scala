@@ -610,7 +610,13 @@ object Similarity {
     */
   def ivfPqTopk(emb: DataFrame, nList: Int = 16, nProbe: Int = 4): DataFrame = {
     val vs = vecsD(emb)
-    val resid = ivfResiduals(emb, nList).persist()
+    // localCheckpoint, not persist: it materializes once for the
+    // codebook collect + both plan branches, and its blocks are
+    // ContextCleaner-reclaimed when unreferenced — a DataFrame persist
+    // would pin the CacheManager entry for the session lifetime (the
+    // query function returns before execution, so it can never call
+    // unpersist at the right time)
+    val resid = ivfResiduals(emb, nList).localCheckpoint()
     val cbRows = resid
       .filter(col("vid") >= nList && col("vid") < nList + pqK)
       .orderBy(col("vid"))

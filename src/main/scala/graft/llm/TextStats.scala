@@ -35,16 +35,20 @@ object TextStats {
       s"tokens AS (SELECT doc_id, g.i AS i, list_extract(toks, g.i) AS tok " +
       s"FROM toks, generate_series(1, $maxTokens) g(i) WHERE g.i <= len(toks))"
 
-  /** Word w-shingles (w=3), keeping position. */
+  /** Word w-shingles (w=3), keeping position. Docs with < 3 tokens are
+    * filtered BEFORE the index sequence: Spark's sequence(1, 0) is the
+    * DESCENDING [1, 0] (step defaults to -1), so the old greatest(…, 0)
+    * clamp produced an element_at(toks, 0) ANSI crash on tiny docs
+    * instead of zero rows.
+    */
   def shingles(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
       .select(
         col("doc_id"),
         col("toks"),
-        explode(
-          sequence(lit(1), greatest(least(size(col("toks")) - 2, lit(maxTokens)), lit(0)))
-        ).as("i")
+        explode(sequence(lit(1), least(size(col("toks")) - 2, lit(maxTokens)))).as("i")
       )
       .select(
         col("doc_id"),
@@ -70,12 +74,13 @@ object TextStats {
   def shingles2(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      // < 2 tokens → no 2-grams; filter BEFORE the sequence (see
+      // shingles: sequence(1, 0) descends, it is not empty)
+      .filter(size(col("toks")) >= 2)
       .select(
         col("doc_id"),
         col("toks"),
-        explode(
-          sequence(lit(1), greatest(least(size(col("toks")) - 1, lit(maxTokens)), lit(0)))
-        ).as("i")
+        explode(sequence(lit(1), least(size(col("toks")) - 1, lit(maxTokens)))).as("i")
       )
       .select(
         col("doc_id"),
@@ -217,6 +222,7 @@ object TextStats {
     * not just counts, across engines.
     */
   def chunks(docs: DataFrame, winTok: Int = chunkTok): DataFrame = {
+    require(winTok > 0, s"winTok must be positive, got $winTok")
     val toks = slice(split(col("text"), " "), 1, maxTokens)
     docs
       .select(col("doc_id"), toks.as("toks"), least(size(toks), lit(maxTokens)).as("dl"))

@@ -275,12 +275,33 @@ object SpectraOps {
         )
       ).as("t")
     ).select(col("channel"), col("s"), col("t.f").as("f"), col("t.re").as("re"), col("t.im").as("im"))
-    val a = fr.select(
-      col("channel").as("ch_a"), col("s"), col("f"), col("re").as("ra"), col("im").as("ia"))
-    val b = fr.select(
-      col("channel").as("ch_b"), col("s"), col("f"), col("re").as("rb"), col("im").as("ib"))
-    a.join(b, Seq("s", "f"))
-      .filter(col("ch_a") < col("ch_b"))
+    // ONE pass over the frame scan: a self-join would execute the
+    // whole detrend+window+FFT scan twice (no exchange below it to
+    // reuse when presorted). Instead group the few channels per
+    // (segment, bin) and form the a<b pairs row-locally.
+    fr.groupBy(col("s"), col("f"))
+      .agg(collect_list(struct(col("channel"), col("re"), col("im"))).as("cs"))
+      .select(
+        col("s"),
+        col("f"),
+        explode(
+          expr(
+            "filter(flatten(transform(cs, a -> transform(cs, b -> " +
+              "struct(a.channel AS ch_a, b.channel AS ch_b, a.re AS ra, a.im AS ia, " +
+              "b.re AS rb, b.im AS ib)))), p -> p.ch_a < p.ch_b)"
+          )
+        ).as("p")
+      )
+      .select(
+        col("s"),
+        col("f"),
+        col("p.ch_a").as("ch_a"),
+        col("p.ch_b").as("ch_b"),
+        col("p.ra").as("ra"),
+        col("p.ia").as("ia"),
+        col("p.rb").as("rb"),
+        col("p.ib").as("ib")
+      )
       .groupBy(col("ch_a"), col("ch_b"), col("f"))
       .agg(
         avg(col("ra") * col("rb") + col("ia") * col("ib")).as("pxy_re"),

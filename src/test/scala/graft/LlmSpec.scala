@@ -237,6 +237,14 @@ class LlmSpec extends AnyFunSuite {
     assert(p.toSeq == Seq((0L, 1L, 0L, 0L), (8L, 300L, 0L, 1L)))
   }
 
+  test("repetition and shingles survive tiny docs (no descending-sequence crash)") {
+    val docs = Seq((1L, ""), (2L, "one"), (3L, "one two"), (4L, "a b c d")).toDF("doc_id", "text")
+    val rep = graft.llm.TextStats.repetition(docs).collect().map(r => r.getLong(0)).toSet
+    assert(rep == Set(3L, 4L), "docs with < 2 tokens must emit nothing, not crash")
+    val sh = graft.llm.TextStats.shingles(docs).collect().map(r => r.getLong(0)).toSet
+    assert(sh == Set(4L), "docs with < 3 tokens must emit no 3-shingles")
+  }
+
   test("decontam with an empty benchmark side emits nothing") {
     val train = Seq((1L, "some words here")).toDF("doc_id", "text")
     val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
