@@ -305,6 +305,9 @@ object Dedup {
       val s = jumped.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0)
       converged = s == prevSum
       prevSum = s
+      // superseded rounds' checkpoint blocks are ContextCleaner-
+      // reclaimed once `labels` stops referencing them; peak live
+      // storage is ~two generations of (doc_id, comp) longs
       labels = jumped
       it += 1
     }
