@@ -189,6 +189,24 @@ object BaseQueries {
         .filter(col("event_type") === "purchase" && col("view_ts").isNotNull)
         .select(col("event_id"), col("user_id"), col("ts_ns"), col("view_ts"), col("view_value"))
     },
+    "sink_parquet" -> { (s, dir) =>
+      // sink surface: partitioned parquet write + partition-pruned
+      // read-back. The re-read filters to two lang partitions — the
+      // directory layout prunes the scan to those partitions (the
+      // 100 TB layout pattern: partition by coarse key, prune at read).
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
+      Tables
+        .documents(s, dir)
+        .write
+        .mode("overwrite")
+        .partitionBy("lang")
+        .parquet(tmp)
+      s.read
+        .parquet(tmp)
+        .filter(col("lang").isin("en", "zh"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), round(avg(col("n_chars")), 4).as("avg_chars"))
+    },
     "q9_range" -> { (s, dir) =>
       // bounded-interval range join (views within 1 h before each
       // purchase, same user), scale-safe shape: bucketize the time axis
@@ -259,6 +277,9 @@ object BaseQueries {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
         "SELECT event_id, user_id, ts_ns, view_ts, view_value FROM ao " +
         "WHERE event_type = 'purchase' AND view_ts IS NOT NULL"),
+    "sink_parquet" ->
+      ("SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars " +
+        "FROM documents WHERE lang IN ('en', 'zh') GROUP BY lang"),
     "q9_range" ->
       ("WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, event_type FROM events), " +
         "v AS (SELECT user_id, ts_ns AS v_ts FROM e WHERE event_type = 'view'), " +

@@ -67,6 +67,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"q2_join should broadcast dims:\n${plan.take(600)}")
   }
 
+  test("sink_parquet read-back prunes lang partitions at the scan") {
+    val plan = SparkEntry.queries("sink_parquet")(spark, sf).queryExecution.executedPlan.toString
+    val scan = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("lang"), s"lang partition filter not pushed: $scan")
+  }
+
   test("projection pruning reaches the parquet scan in q1_agg") {
     val plan = SparkEntry.queries("q1_agg")(spark, sf).queryExecution.executedPlan.toString
     val scan = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
