@@ -35,6 +35,36 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Watermarked stream-stream interval join — the streaming
+    * generalization of `q9_range`: each purchase matches the same
+    * user's views within the preceding `windowSec`. Both sides carry
+    * watermarks and the join predicate bounds event-time distance, so
+    * Spark can GC join state: a view older than the watermark minus
+    * the window can never match a future purchase and is dropped from
+    * the state store — bounded memory on an unbounded stream. Inner
+    * join + both-side watermarks → append-mode output.
+    */
+  def viewPurchaseJoin(events: DataFrame, windowSec: Long = 3600L): DataFrame = {
+    val base = events.select(
+      col("event_id"),
+      col("user_id"),
+      col("event_type"),
+      (col("ts_ns") / lit(1e9)).cast("timestamp").as("ts")
+    )
+    val views = base
+      .filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val purchases = base
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    purchases.join(
+      views,
+      expr(s"v_user = p_user AND v_ts >= p_ts - INTERVAL $windowSec SECONDS AND v_ts <= p_ts")
+    )
+  }
+
   /** Gap-based sessionization with per-key state
     * (flatMapGroupsWithState): events of one user belong to one session
     * while gaps stay under `gapNs`. Works on batch DataFrames (state

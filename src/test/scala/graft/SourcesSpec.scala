@@ -430,3 +430,40 @@ class DecontamStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got == Map(1L -> 2L, 3L -> 3L), s"stream-static decontam: $got")
   }
 }
+
+class StreamStreamJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("watermarked stream-stream interval join matches views to purchases across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val s = 1000000000L // 1 second in ns
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val events = input.toDF().toDF("event_id", "user_id", "event_type", "ts_ns")
+    val q = graft.streaming.StreamOps
+      .viewPurchaseJoin(events, windowSec = 100L)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("ssj_out")
+      .start()
+    // batch 1: two views for user 1, one view for user 2
+    input.addData((1L, 1L, "view", 10 * s), (2L, 1L, "view", 50 * s), (3L, 2L, "view", 10 * s))
+    q.processAllAvailable()
+    // batch 2: purchase by user 1 at t=60 (both views in window) and a
+    // purchase by user 2 at t=200 (its view at t=10 is outside 100 s)
+    input.addData((4L, 1L, "purchase", 60 * s), (5L, 2L, "purchase", 200 * s))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark
+      .sql("SELECT event_id, v_ts FROM ssj_out")
+      .collect()
+      .map(r => r.getLong(0))
+      .groupBy(identity)
+      .view
+      .mapValues(_.length)
+      .toMap
+    assert(got == Map(4L -> 2), s"purchase 4 should match both views, purchase 5 none: $got")
+  }
+}
