@@ -131,7 +131,52 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), Dsp.round6(avg(col("quality"))).as("avg_quality"))
   }
 
+  /** Deterministic stratified sampling + temperature-scaled mixture
+    * weights — the data-mix stage: each source keeps a fixed fraction
+    * chosen by content-independent md5 hashing (reproducible across
+    * runs and engines, no RNG state), and the kept counts produce
+    * n^alpha-normalized sampling weights (multinomial temperature
+    * mixing à la multilingual training recipes). One aggregation; the
+    * weight normalization runs over the handful of source rows.
+    */
+  def sampleMix(docs: DataFrame, alpha: Double = 0.7): DataFrame = {
+    val h1000 = conv(
+      substring(md5(concat(col("doc_id").cast("string"), lit(":"), col("source"))), 1, 8),
+      16,
+      10
+    ).cast("long") % 1000
+    val rate = when(col("source") === "src0", 900)
+      .when(col("source") === "src1", 500)
+      .when(col("source") === "src2", 250)
+      .otherwise(100)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    docs
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        sum(when(h1000 < rate, 1L).otherwise(0L)).as("n_kept")
+      )
+      .select(
+        col("source"),
+        col("n_total"),
+        col("n_kept"),
+        Dsp.round6(
+          pow(col("n_kept"), alpha) / sum(pow(col("n_kept"), alpha)).over(w)
+        ).as("mix_weight")
+      )
+  }
+
+  def sampleMixSql(alpha: Double = 0.7): String = {
+    val h = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 8)) AS BIGINT) % 1000"
+    val rate = "CASE source WHEN 'src0' THEN 900 WHEN 'src1' THEN 500 WHEN 'src2' THEN 250 ELSE 100 END"
+    s"WITH k AS (SELECT source, count(*) AS n_total, " +
+      s"CAST(sum(CASE WHEN $h < $rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept FROM documents GROUP BY source) " +
+      s"SELECT source, n_total, n_kept, " +
+      s"${Dsp.round6Sql(s"pow(n_kept, ${Dsp.lit(alpha)}) / sum(pow(n_kept, ${Dsp.lit(alpha)})) OVER ()")} AS mix_weight FROM k"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_mix" -> { (s, dir) => sampleMix(Tables.documents(s, dir)) },
     "curate_splits" -> { (s, dir) =>
       curate(Tables.documents(s, dir))
         .groupBy(col("split"))
@@ -188,6 +233,7 @@ object Curation {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "sample_mix" -> sampleMixSql(),
     "curate_full" -> curateFullSql,
     "curate_splits" ->
       ("WITH base AS (SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS n_chars, " +
