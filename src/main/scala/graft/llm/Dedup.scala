@@ -332,6 +332,46 @@ object Dedup {
       "UNION SELECT r.doc_id AS doc_id, e.dst AS anc FROM reach r JOIN edges e ON e.src = r.anc) " +
       "SELECT doc_id, min(anc) AS comp_id FROM reach GROUP BY doc_id"
 
+  /** Duplicated-span counts (exact-substring dedup signal, Lee et al.
+    * 2022 shape): for each doc, how many of its distinct word w-grams
+    * also appear in at least one OTHER doc. High counts flag docs that
+    * are largely recycled text even when no full-document pair exists.
+    * Row-local `ShingleHashSet` per doc, one (hash → doc count)
+    * aggregation, one semi-join back — never all-pairs.
+    */
+  def dupSpans(docs: DataFrame, w: Int = 5): DataFrame = {
+    val dsh = docs
+      .select(
+        col("doc_id"),
+        explode(
+          graft.functions.exprs.shingle_hash_set(split(col("text"), " "), w, TextStats.maxTokens)
+        ).as("sh")
+      )
+    val shared = dsh
+      .groupBy(col("sh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("sh"))
+    dsh
+      .join(shared, Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"))
+  }
+
+  def dupSpansSql(w: Int = 5): String = {
+    // w-gram variant of the shared shingle CTE (the w=3 chain is pinned
+    // by the green dedup oracles)
+    val gram = (0 until w)
+      .map(k => if (k == 0) "list_extract(toks, g.i)" else s"list_extract(toks, g.i + $k)")
+      .mkString(" || ' ' || ")
+    s"WITH toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+      s"sh$w AS (SELECT doc_id, $gram AS sh FROM toks, generate_series(1, ${TextStats.maxTokens}) g(i) " +
+      s"WHERE g.i <= len(toks) - ${w - 1}), " +
+      s"dsh AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM sh$w), " +
+      "shared AS (SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS nd FROM dsh GROUP BY sh) WHERE nd > 1) " +
+      "SELECT d.doc_id, count(*) AS n_dup_spans FROM dsh d JOIN shared s ON s.sh = d.sh GROUP BY d.doc_id"
+  }
+
   /** Streaming exact dedup: first-arrival-wins per content hash with
     * O(1) state per distinct hash (the keeper's doc_id) — the stream
     * twin of [[queries]]' dedup_exact, usable unchanged on a readStream
@@ -425,6 +465,7 @@ object Dedup {
       val docs = Tables.documents(s, dir)
       components(docs.select(col("doc_id")), simhashPairs(docs).select(col("doc_a"), col("doc_b")))
     },
+    "dedup_spans" -> { (s, dir) => dupSpans(Tables.documents(s, dir)) },
     "dedup_stream" -> { (s, dir) => dedupStreaming(Tables.documents(s, dir)) }
   )
 
@@ -438,6 +479,7 @@ object Dedup {
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_components" -> componentsSql,
+    "dedup_spans" -> dupSpansSql(),
     "dedup_stream" ->
       ("SELECT doc_id, md5(text) AS h, " +
         "doc_id > min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup FROM documents")

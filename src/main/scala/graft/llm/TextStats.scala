@@ -283,7 +283,43 @@ object TextStats {
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - dl AS start FROM d) " +
       s"SELECT doc_id, salt, dl AS n_tok, start // $cap AS bin_id, start % $cap AS bin_offset FROM s"
 
+  /** Corpus-unigram log-probability per doc — the cheap LM-quality
+    * proxy (docs whose tokens are globally rare score low; gibberish
+    * screens, mix diagnostics). Two tiny aggregates (vocab counts and
+    * the total) broadcast back onto the token stream; one per-doc
+    * aggregation. The vocab table is small relative to any corpus —
+    * the canonical broadcast-dim shape.
+    */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val toks = tokens(docs).select(col("doc_id"), col("tok"))
+    val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("ctf"))
+    val totals = tf.agg(sum(col("ctf")).as("ntok")).withColumn("k", lit(1))
+    toks
+      .join(broadcast(tf), Seq("tok"))
+      .withColumn("k", lit(1))
+      .join(broadcast(totals), Seq("k"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(log(col("ctf") / col("ntok"))).as("lp")
+      )
+      .select(
+        col("doc_id"),
+        col("n_tok"),
+        graft.core.Dsp.round6(col("lp") / col("n_tok")).as("avg_logprob")
+      )
+  }
+
+  val unigramLogProbSql: String =
+    s"WITH $tokensSql, " +
+      "tf AS MATERIALIZED (SELECT tok, count(*) AS ctf FROM tokens GROUP BY tok), " +
+      "tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS ntok FROM tf) " +
+      "SELECT doc_id, count(*) AS n_tok, " +
+      s"${graft.core.Dsp.round6Sql("sum(ln(ctf / ntok)) / count(*)")} AS avg_logprob " +
+      "FROM tokens t JOIN tf USING (tok), tot GROUP BY doc_id"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_unigram_lp" -> { (s, dir) => unigramLogProb(Tables.documents(s, dir)) },
     "text_bm25" -> { (s, dir) => bm25(Tables.documents(s, dir)) },
     "text_repetition" -> { (s, dir) => repetition(Tables.documents(s, dir)) },
     "text_chunks" -> { (s, dir) => chunks(Tables.documents(s, dir)) },
@@ -342,6 +378,7 @@ object TextStats {
 
   def oracleSql: Map[String, String] = Map(
     "text_bm25" -> bm25Sql(),
+    "text_unigram_lp" -> unigramLogProbSql,
     "text_repetition" -> repetitionSql,
     "text_chunks" -> chunksSql(),
     "text_pack" -> packSql(),
