@@ -14,8 +14,10 @@ class PlanAuditSpec extends AnyFunSuite {
   // ≤16 rows is the intended shape for these (documented in SURVEY §5);
   // text_bm25's is the 1-row corpus-stats aggregate (Catalyst folds the
   // constant join key away)
-  private val bnljAllowed =
-    Set("sim_ivf_topk", "sim_topk", "sim_pq_topk", "sim_ivfpq_topk", "anno_mask", "text_bm25")
+  private val bnljAllowed = Set(
+    "sim_ivf_topk", "sim_topk", "sim_pq_topk", "sim_ivfpq_topk", "anno_mask",
+    "text_bm25", "text_unigram_lp" // 1-row corpus-stats broadcast sides
+  )
 
   test("no gate query plans a cartesian product or global sort exchange") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
