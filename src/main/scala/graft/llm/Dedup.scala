@@ -348,8 +348,11 @@ object Dedup {
         ).as("sh")
       )
     val shared = dsh
+      // (doc_id, sh) is already distinct (ShingleHashSet emits a SET
+      // per doc), so plain count == distinct doc count — skip the
+      // two-phase distinct-aggregate expansion
       .groupBy(col("sh"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
+      .agg(count(lit(1)).as("nd"))
       .filter(col("nd") > 1)
       .select(col("sh"))
     dsh
