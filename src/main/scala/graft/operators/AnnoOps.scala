@@ -54,8 +54,45 @@ object AnnoOps {
         .agg(max(col("lo").isNotNull).as("in_anno"))
       hit.select(col("n"), col("x"), col("in_anno"))
     },
-    "anno_pinnacle" -> { (s, dir) => pinnacleRoundtrip(s, dir) }
+    "anno_pinnacle" -> { (s, dir) => pinnacleRoundtrip(s, dir) },
+    "epoch_extract" -> { (s, dir) =>
+      // Event-related epoching (the reference's canonical analysis
+      // pattern: slice [-pre, +post) samples around each annotation,
+      // every channel, relative-indexed). Scale-safe join shape as
+      // q9_range: bucketize the sample axis at the epoch span, explode
+      // each annotation into its ≤2 touched buckets, broadcast
+      // equi-join + exact predicate — a BroadcastHashJoin, never a
+      // nested-loop range join over the signal.
+      val sig = Signal.long(s, dir)
+      val errs = Tables.events(s, dir).filter(col("event_type") === "error").select(col("event_id"))
+      val anno = globalRank(errs, "event_id")
+        .select(col("k"), (col("k") * strideMul).as("center"))
+        .withColumn(
+          "bucket",
+          explode(
+            array(
+              expr(s"(center - $epochPre) div $epochSpan"),
+              expr(s"(center + $epochPost - 1) div $epochSpan")
+            )
+          )
+        )
+        .dropDuplicates()
+      sig
+        .withColumn("bucket", expr(s"n div $epochSpan"))
+        .join(broadcast(anno), Seq("bucket"))
+        .filter(col("n") >= col("center") - epochPre && col("n") < col("center") + epochPost)
+        .select(
+          col("k").as("epoch_id"),
+          col("channel"),
+          (col("n") - col("center")).as("rel_n"),
+          col("x")
+        )
+    }
   )
+
+  private val epochPre = 4L
+  private val epochPost = 8L
+  private val epochSpan = 16L // bucket width ≥ pre+post so ≤2 buckets per epoch
 
   /** Pinnacle round-trip: the error events render as a Pinnacle-style
     * TSV (preamble + header + one row per annotation at the anno_mask
@@ -107,6 +144,12 @@ object AnnoOps {
         s"(row_number() OVER (ORDER BY event_id) - 1) * $strideMul + $dur AS hi " +
         "FROM events WHERE event_type = 'error') " +
         "SELECT n, x, EXISTS (SELECT 1 FROM anno a WHERE sig.n >= a.lo AND sig.n < a.hi) AS in_anno " +
-        "FROM sig WHERE channel = 'click'")
+        "FROM sig WHERE channel = 'click'"),
+    "epoch_extract" ->
+      (s"${Signal.sigCte}, anno AS (SELECT row_number() OVER (ORDER BY event_id) - 1 AS k, " +
+        s"(row_number() OVER (ORDER BY event_id) - 1) * $strideMul AS center " +
+        "FROM events WHERE event_type = 'error') " +
+        "SELECT a.k AS epoch_id, s.channel, s.n - a.center AS rel_n, s.x " +
+        s"FROM sig s JOIN anno a ON s.n >= a.center - $epochPre AND s.n < a.center + $epochPost")
   )
 }

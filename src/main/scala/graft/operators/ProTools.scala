@@ -109,6 +109,37 @@ object ProTools {
         .long(s, dir)
         .filter(col("x") > 50.0)
         .select(col("channel"), (row_number().over(w) - 1).cast("bigint").as("n"), col("x"))
+    },
+    "car_reref" -> { (s, dir) =>
+      // Common-average re-reference (EEG montage step beyond the
+      // reference's own tools): subtract the cross-channel mean at each
+      // sample. Inherently a channel→sample transpose — the per-sample
+      // mean aggregates across channels, so the shuffle keys on n (at
+      // corpus scale the production layout blocks n to keep partitions
+      // bounded; per-recording channel counts are small constants).
+      val sig = Signal.long(s, dir)
+      val m = sig.groupBy(col("n")).agg(avg(col("x")).as("car"))
+      sig
+        .join(m, Seq("n"))
+        .select(col("channel"), col("n"), graft.core.Dsp.round6(col("x") - col("car")).as("y"))
+    },
+    "artifact_mask" -> { (s, dir) =>
+      // Artifact screen: per-channel z-score with the flag computed
+      // from the ROUNDED z on both engines, so the threshold compare
+      // can never straddle an engine ulp. Stats via tiny aggregate +
+      // broadcast join (never a Window buffer over the signal).
+      val sig = Signal.long(s, dir)
+      val stats = sig
+        .groupBy(col("channel"))
+        .agg(avg(col("x")).as("mu"), stddev_pop(col("x")).as("sd"))
+      sig
+        .join(broadcast(stats), Seq("channel"))
+        .select(
+          col("channel"),
+          col("n"),
+          graft.core.Dsp.round6((col("x") - col("mu")) / col("sd")).as("z")
+        )
+        .withColumn("is_artifact", abs(col("z")) > 2.5)
     }
   )
 
@@ -138,7 +169,16 @@ object ProTools {
           s"${graft.core.Dsp.lit(2.0 * math.Pi / 256.0)})), 6) AS y FROM sig"),
       "pro_mask" ->
         (s"$cte SELECT channel, CAST(row_number() OVER (PARTITION BY channel ORDER BY n) - 1 AS BIGINT) AS n, x " +
-          "FROM sig WHERE x > 50.0")
+          "FROM sig WHERE x > 50.0"),
+      "car_reref" ->
+        (s"$cte, m AS (SELECT n, avg(x) AS car FROM sig GROUP BY n) " +
+          s"SELECT s.channel, s.n, ${graft.core.Dsp.round6Sql("s.x - m.car")} AS y " +
+          "FROM sig s JOIN m ON m.n = s.n"),
+      "artifact_mask" ->
+        (s"$cte, st AS (SELECT channel, avg(x) AS mu, stddev_pop(x) AS sd FROM sig GROUP BY channel) " +
+          s"SELECT channel, n, z, abs(z) > 2.5 AS is_artifact FROM (" +
+          s"SELECT s.channel, s.n, ${graft.core.Dsp.round6Sql("(s.x - st.mu) / st.sd")} AS z " +
+          "FROM sig s JOIN st ON st.channel = s.channel)")
     )
   }
 }

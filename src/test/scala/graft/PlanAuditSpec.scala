@@ -15,7 +15,8 @@ class PlanAuditSpec extends AnyFunSuite {
   // text_bm25's is the 1-row corpus-stats aggregate (Catalyst folds the
   // constant join key away)
   private val bnljAllowed = Set(
-    "sim_ivf_topk", "sim_topk", "sim_pq_topk", "sim_ivfpq_topk", "anno_mask",
+    "sim_ivf_topk", "sim_topk", "sim_pq_topk", "sim_ivfpq_topk",
+    "anno_mask", "epoch_extract", // globalRank's one-row-per-4096-ids offset self-join
     "text_bm25", "text_unigram_lp" // 1-row corpus-stats broadcast sides
   )
 
