@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 
 import graft.core.{Dsp, Elliptic, Iir, Remez}
-import graft.operators.{FirOps, HilbertOps, IirOps, ResampleOps, SpectraOps}
+import graft.operators.{FirOps, HilbertOps, IirOps, ProTools, ResampleOps, SpectraOps}
 
 /** User-facing façade mirroring the reference's public API, so an
   * openseize user can port call-for-call:
@@ -111,6 +111,13 @@ object Api {
   /** Spectral estimators (reference spectra.estimators). */
   def psd(sig: DataFrame): DataFrame = SpectraOps.psdWelch(sig)
   def coherence(sig: DataFrame): DataFrame = SpectraOps.coherence(sig)
+
+  /** EEG preprocessing: common-average re-reference and per-channel
+    * z-score artifact screen (flag computed on the rounded z).
+    */
+  def carReref(sig: DataFrame): DataFrame = ProTools.carReref(sig)
+  def artifactMask(sig: DataFrame, threshold: Double = 2.5): DataFrame =
+    ProTools.artifactMask(sig, threshold)
   def psdFast(sig: DataFrame, nfft: Int): DataFrame = SpectraOps.psdWelchFast(sig, nfft)
   def stft(sig: DataFrame): DataFrame = SpectraOps.stft(sig)
 

@@ -110,38 +110,42 @@ object ProTools {
         .filter(col("x") > 50.0)
         .select(col("channel"), (row_number().over(w) - 1).cast("bigint").as("n"), col("x"))
     },
-    "car_reref" -> { (s, dir) =>
-      // Common-average re-reference (EEG montage step beyond the
-      // reference's own tools): subtract the cross-channel mean at each
-      // sample. Inherently a channel→sample transpose — the per-sample
-      // mean aggregates across channels, so the shuffle keys on n (at
-      // corpus scale the production layout blocks n to keep partitions
-      // bounded; per-recording channel counts are small constants).
-      val sig = Signal.long(s, dir)
-      val m = sig.groupBy(col("n")).agg(avg(col("x")).as("car"))
-      sig
-        .join(m, Seq("n"))
-        .select(col("channel"), col("n"), graft.core.Dsp.round6(col("x") - col("car")).as("y"))
-    },
-    "artifact_mask" -> { (s, dir) =>
-      // Artifact screen: per-channel z-score with the flag computed
-      // from the ROUNDED z on both engines, so the threshold compare
-      // can never straddle an engine ulp. Stats via tiny aggregate +
-      // broadcast join (never a Window buffer over the signal).
-      val sig = Signal.long(s, dir)
-      val stats = sig
-        .groupBy(col("channel"))
-        .agg(avg(col("x")).as("mu"), stddev_pop(col("x")).as("sd"))
-      sig
-        .join(broadcast(stats), Seq("channel"))
-        .select(
-          col("channel"),
-          col("n"),
-          graft.core.Dsp.round6((col("x") - col("mu")) / col("sd")).as("z")
-        )
-        .withColumn("is_artifact", abs(col("z")) > 2.5)
-    }
+    "car_reref" -> { (s, dir) => carReref(Signal.long(s, dir)) },
+    "artifact_mask" -> { (s, dir) => artifactMask(Signal.long(s, dir)) }
   )
+
+  /** Common-average re-reference (EEG montage step beyond the
+    * reference's own tools): subtract the cross-channel mean at each
+    * sample. Inherently a channel→sample transpose — the per-sample
+    * mean aggregates across channels, so the shuffle keys on n (at
+    * corpus scale the production layout blocks n to keep partitions
+    * bounded; per-recording channel counts are small constants).
+    */
+  def carReref(sig: DataFrame): DataFrame = {
+    val m = sig.groupBy(col("n")).agg(avg(col("x")).as("car"))
+    sig
+      .join(m, Seq("n"))
+      .select(col("channel"), col("n"), graft.core.Dsp.round6(col("x") - col("car")).as("y"))
+  }
+
+  /** Artifact screen: per-channel z-score with the flag computed from
+    * the ROUNDED z on both engines, so the threshold compare can never
+    * straddle an engine ulp. Stats via tiny aggregate + broadcast join
+    * (never a Window buffer over the signal).
+    */
+  def artifactMask(sig: DataFrame, threshold: Double = 2.5): DataFrame = {
+    val stats = sig
+      .groupBy(col("channel"))
+      .agg(avg(col("x")).as("mu"), stddev_pop(col("x")).as("sd"))
+    sig
+      .join(broadcast(stats), Seq("channel"))
+      .select(
+        col("channel"),
+        col("n"),
+        graft.core.Dsp.round6((col("x") - col("mu")) / col("sd")).as("z")
+      )
+      .withColumn("is_artifact", abs(col("z")) > threshold)
+  }
 
   def oracleSql: Map[String, String] = {
     val cte = Signal.sigCte
