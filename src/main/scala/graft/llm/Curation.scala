@@ -37,11 +37,18 @@ object Curation {
     "greatest(0.0e0, least(1.0e0, 0.5e0 + 0.1e0 * ((n_chars - (n_tok - 1)) / n_tok - 4.0e0) " +
       "- n_digit / n_chars - n_punct / n_chars))"
 
+  /** md5 bucket in [0, mod): THE deterministic cross-engine hash the
+    * split/decontam/sampling stages share (SQL twins render the same
+    * `CAST(concat('0x', substr(md5(…), 1, 8)) AS BIGINT) % mod`).
+    */
+  private def md5Bucket(key: Column, mod: Int): Column =
+    conv(substring(md5(key), 1, 8), 16, 10).cast("long") % mod
+
   /** Deterministic 0–99 bucket from doc_id (md5-based so both engines
     * agree); 90/5/5 → train/val/test.
     */
   private def splitCol: Column = {
-    val h100 = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 100
+    val h100 = md5Bucket(col("doc_id").cast("string"), 100)
     when(h100 < 90, "train").when(h100 < 95, "val").otherwise("test")
   }
 
@@ -91,8 +98,7 @@ object Curation {
     * split of the same md5 90/5/5 assignment [[curate]] uses.
     */
   def decontam(docs: DataFrame): DataFrame = {
-    val h100 = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 100
-    val tagged = docs.withColumn("h100", h100)
+    val tagged = docs.withColumn("h100", md5Bucket(col("doc_id").cast("string"), 100))
     decontamCounts(tagged.filter(col("h100") < 90), tagged.filter(col("h100") >= 95))
   }
 
@@ -140,29 +146,31 @@ object Curation {
     * weight normalization runs over the handful of source rows.
     */
   def sampleMix(docs: DataFrame, alpha: Double = 0.7): DataFrame = {
-    val h1000 = conv(
-      substring(md5(concat(col("doc_id").cast("string"), lit(":"), col("source"))), 1, 8),
-      16,
-      10
-    ).cast("long") % 1000
+    val h1000 = md5Bucket(concat(col("doc_id").cast("string"), lit(":"), col("source")), 1000)
     val rate = when(col("source") === "src0", 900)
       .when(col("source") === "src1", 500)
       .when(col("source") === "src2", 250)
       .otherwise(100)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy()
-    docs
+    val perSource = docs
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_total"),
         sum(when(h1000 < rate, 1L).otherwise(0L)).as("n_kept")
       )
+    // normalization total via the constant-key broadcast shape (bm25
+    // precedent) — a partition-less window would be the global
+    // single-partition exchange the plan audit bans
+    val tot = perSource
+      .agg(sum(pow(col("n_kept"), alpha)).as("wsum"))
+      .withColumn("k", lit(1))
+    perSource
+      .withColumn("k", lit(1))
+      .join(broadcast(tot), Seq("k"))
       .select(
         col("source"),
         col("n_total"),
         col("n_kept"),
-        Dsp.round6(
-          pow(col("n_kept"), alpha) / sum(pow(col("n_kept"), alpha)).over(w)
-        ).as("mix_weight")
+        Dsp.round6(pow(col("n_kept"), alpha) / col("wsum")).as("mix_weight")
       )
   }
 

@@ -340,6 +340,9 @@ object Dedup {
     * aggregation, one semi-join back — never all-pairs.
     */
   def dupSpans(docs: DataFrame, w: Int = 5): DataFrame = {
+    // localCheckpoint: dsh feeds both the shared-shingle aggregate and
+    // the final join — without it the scan + shingle explode runs twice
+    // (the oracle pins the same CTE with AS MATERIALIZED)
     val dsh = docs
       .select(
         col("doc_id"),
@@ -347,6 +350,7 @@ object Dedup {
           graft.functions.exprs.shingle_hash_set(split(col("text"), " "), w, TextStats.maxTokens)
         ).as("sh")
       )
+      .localCheckpoint()
     val shared = dsh
       // (doc_id, sh) is already distinct (ShingleHashSet emits a SET
       // per doc), so plain count == distinct doc count — skip the

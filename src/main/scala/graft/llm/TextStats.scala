@@ -285,17 +285,17 @@ object TextStats {
 
   /** Corpus-unigram log-probability per doc — the cheap LM-quality
     * proxy (docs whose tokens are globally rare score low; gibberish
-    * screens, mix diagnostics). Two tiny aggregates (vocab counts and
-    * the total) broadcast back onto the token stream; one per-doc
-    * aggregation. The vocab table is small relative to any corpus —
-    * the canonical broadcast-dim shape.
+    * screens, mix diagnostics). The vocab join deliberately carries NO
+    * broadcast hint: distinct-token counts are unbounded at web scale
+    * (hapax legomena grow with the corpus), so Catalyst must stay free
+    * to pick a shuffle hash join; only the 1-row total is broadcast.
     */
   def unigramLogProb(docs: DataFrame): DataFrame = {
     val toks = tokens(docs).select(col("doc_id"), col("tok"))
     val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("ctf"))
     val totals = tf.agg(sum(col("ctf")).as("ntok")).withColumn("k", lit(1))
     toks
-      .join(broadcast(tf), Seq("tok"))
+      .join(tf, Seq("tok"))
       .withColumn("k", lit(1))
       .join(broadcast(totals), Seq("k"))
       .groupBy(col("doc_id"))

@@ -133,7 +133,9 @@ object ProTools {
     * straddle an engine ulp. Stats via tiny aggregate + broadcast join
     * (never a Window buffer over the signal).
     */
-  def artifactMask(sig: DataFrame, threshold: Double = 2.5): DataFrame = {
+  val artifactThreshold = 2.5 // shared by the gate query AND its oracle
+
+  def artifactMask(sig: DataFrame, threshold: Double = artifactThreshold): DataFrame = {
     val stats = sig
       .groupBy(col("channel"))
       .agg(avg(col("x")).as("mu"), stddev_pop(col("x")).as("sd"))
@@ -180,7 +182,7 @@ object ProTools {
           "FROM sig s JOIN m ON m.n = s.n"),
       "artifact_mask" ->
         (s"$cte, st AS (SELECT channel, avg(x) AS mu, stddev_pop(x) AS sd FROM sig GROUP BY channel) " +
-          s"SELECT channel, n, z, abs(z) > 2.5 AS is_artifact FROM (" +
+          s"SELECT channel, n, z, abs(z) > ${graft.core.Dsp.lit(artifactThreshold)} AS is_artifact FROM (" +
           s"SELECT s.channel, s.n, ${graft.core.Dsp.round6Sql("(s.x - st.mu) / st.sd")} AS z " +
           "FROM sig s JOIN st ON st.channel = s.channel)")
     )

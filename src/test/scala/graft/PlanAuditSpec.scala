@@ -17,7 +17,7 @@ class PlanAuditSpec extends AnyFunSuite {
   private val bnljAllowed = Set(
     "sim_ivf_topk", "sim_topk", "sim_pq_topk", "sim_ivfpq_topk",
     "anno_mask", "epoch_extract", // globalRank's one-row-per-4096-ids offset self-join
-    "text_bm25", "text_unigram_lp" // 1-row corpus-stats broadcast sides
+    "text_bm25", "text_unigram_lp", "sample_mix" // 1-row corpus-stats broadcast sides
   )
 
   test("no gate query plans a cartesian product or global sort exchange") {
