@@ -18,7 +18,18 @@ import graft.core.Tables
   */
 object Dedup {
 
-  val numHashes = 9 // k minhash functions, used as 9 bands × 1 row (high recall)
+  val numHashes = 9 // k minhash functions, banded as numBands × bandRows
+
+  /** Banded-LSH parameters: 3 bands × 3 rows (threshold ≈ (1/b)^(1/r) ≈
+    * 0.69). With r > 1 a candidate needs ALL r minima of some band to
+    * coincide — bucket keys are r-tuples, so the "docs sharing any one
+    * common-shingle minimum all land in one bucket" hot-bucket blowup of
+    * the old 9×1 config (kept as [[minhashCandidatesR1]] for tests)
+    * cannot happen; candidate volume stays ~linear on skewed corpora
+    * (see ScaleSpec).
+    */
+  val bandRows = 3
+  val numBands = numHashes / bandRows
 
   /** Multiply-add-mod-2³² permutation constants: a_j odd (a bijection on
     * 32-bit ints), b_j arbitrary. One md5 per shingle + 9 integer
@@ -63,10 +74,51 @@ object Dedup {
       s"FROM dsh, generate_series(0, ${numHashes - 1}) g(j) GROUP BY doc_id, g.j)"
   }
 
-  /** LSH candidate pairs: docs sharing any band (here band = single
-    * signature row; set r>1 by hashing r signatures per band).
+  /** Banded signature rows (doc_id, band, bh): bh = xxhash64 of the
+    * band index and the band's r contiguous minhash values — one 64-bit
+    * bucket key per band, so the LSH join shuffles a single long
+    * regardless of r. The oracle joins on the raw value triple instead;
+    * the sets agree up to a ~2⁻⁶⁴ xxhash64 collision.
+    */
+  private def bandedSignatures(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        graft.functions.exprs
+          .minhash_sig(split(col("text"), " "), 3, TextStats.maxTokens, permA, permB)
+          .as("ms")
+      )
+      .select(
+        col("doc_id"),
+        posexplode(
+          array((0 until numBands).map { b =>
+            xxhash64(
+              (lit(b) +: (0 until bandRows).map(r => element_at(col("ms"), b * bandRows + r + 1))): _*
+            )
+          }: _*)
+        ).as(Seq("band", "bh"))
+      )
+
+  /** LSH candidate pairs: docs sharing ALL `bandRows` minhash values of
+    * at least one band (banded MinHash-LSH, the corpus-scale default).
     */
   def minhashCandidates(docs: DataFrame): DataFrame = {
+    val sigs = bandedSignatures(docs)
+    val a = sigs.select(col("doc_id").as("doc_a"), col("band"), col("bh"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("band"), col("bh"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+  }
+
+  /** The retired 9-bands × 1-row config (any single shared minhash value
+    * is a candidate). Test-only twin: high recall, but buckets keyed on
+    * one 32-bit minimum over common shingles blow up on skewed corpora —
+    * ScaleSpec demonstrates the candidate-volume gap vs the banded
+    * default.
+    */
+  def minhashCandidatesR1(docs: DataFrame): DataFrame = {
     val sigs = signatures(docs)
     val a = sigs.select(col("doc_id").as("doc_a"), col("j"), col("minh"))
     val b = sigs.select(col("doc_id").as("doc_b"), col("j"), col("minh"))
@@ -76,10 +128,23 @@ object Dedup {
       .distinct()
   }
 
+  /** `bands(doc_id, band, m0..m{r-1})` CTE appended to the signature
+    * chain — the oracle's value-tuple form of [[bandedSignatures]].
+    */
+  private val bandsSql: String = {
+    val cols = (0 until bandRows)
+      .map(r => s"min(CASE WHEN j % $bandRows = $r THEN minh END) AS m$r")
+      .mkString(", ")
+    s"bands AS (SELECT doc_id, j // $bandRows AS band, $cols FROM sigs GROUP BY doc_id, j // $bandRows)"
+  }
+
+  private val bandJoinOn: String =
+    (0 until bandRows).map(r => s"a.m$r = b.m$r").mkString("a.band = b.band AND ", " AND ", "")
+
   val minhashCandidatesSql: String =
-    s"WITH $signaturesSql " +
-      "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sigs a " +
-      "JOIN sigs b ON a.j = b.j AND a.minh = b.minh AND a.doc_id < b.doc_id"
+    s"WITH $signaturesSql, $bandsSql " +
+      s"SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
+      s"JOIN bands b ON $bandJoinOn AND a.doc_id < b.doc_id"
 
   /** Shingle-set Jaccard for each LSH candidate pair. The verification
     * join runs on 64-bit xxhash64 of the shingle, computed once — the
@@ -125,9 +190,9 @@ object Dedup {
   }
 
   val jaccardSql: String =
-    s"WITH $signaturesSql, " +
-      "cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM sigs a " +
-      "JOIN sigs b ON a.j = b.j AND a.minh = b.minh AND a.doc_id < b.doc_id), " +
+    s"WITH $signaturesSql, $bandsSql, " +
+      "cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
+      s"JOIN bands b ON $bandJoinOn AND a.doc_id < b.doc_id), " +
       "cnts AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id), " +
       "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter FROM cands c " +
       "JOIN dsh x ON x.doc_id = c.doc_a JOIN dsh y ON y.doc_id = c.doc_b AND y.sh = x.sh " +
@@ -410,8 +475,8 @@ object Dedup {
       .toDF("doc_id", "h", "is_dup")
   }
 
-  /** Streaming MinHash-LSH near-dup candidates: signature rows key
-    * per-bucket state by band value (j, minh); each bucket remembers the
+  /** Streaming MinHash-LSH near-dup candidates: banded signature rows
+    * key per-bucket state by (band, band hash); each bucket remembers the
     * docs it has seen and a newly arriving doc emits a candidate pair
     * against every resident, then a stateful dropDuplicates collapses
     * multi-band hits. Usable unchanged on a readStream source — the
@@ -428,14 +493,7 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    docs
-      .select(
-        col("doc_id"),
-        graft.functions.exprs
-          .minhash_sig(split(col("text"), " "), 3, TextStats.maxTokens, permA, permB)
-          .as("ms")
-      )
-      .select(col("doc_id"), posexplode(col("ms")).as(Seq("j", "minh")))
+    bandedSignatures(docs)
       .as[(Long, Int, Long)]
       .groupByKey(r => (r._2, r._3))
       .flatMapGroupsWithState[Array[Long], (Long, Long)](

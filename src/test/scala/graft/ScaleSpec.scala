@@ -104,6 +104,45 @@ class ScaleSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"planted-duplicate recall $recall")
   }
 
+  test("banded minhash (3 bands x 3 rows) kills the common-shingle hot bucket of the 9x1 config") {
+    import spark.implicits._
+    // skewed corpus: every doc embeds the same 3-token phrase, so all
+    // docs share exactly one shingle. Under 9x1 banding any doc whose
+    // minimum for SOME permutation lands on that shared shingle joins
+    // one giant bucket (P ~ 9/n_shingles per doc -> Σ|bucket|² pairs);
+    // under 3x3 banding a collision needs all 3 minima of a band to
+    // coincide (P ~ (1/n_shingles)³ -> none). Planted true near-dups
+    // (one tail token changed, jaccard ≈ 0.94) must still surface.
+    val rnd = new scala.util.Random(17)
+    val rows = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val planted = scala.collection.mutable.Set[(Long, Long)]()
+    var id = 0L
+    for (i <- 0 until 600) {
+      val body = Array.fill(30)("w" + rnd.nextInt(1000000))
+      val toks = body.take(15) ++ Array("lorem", "ipsum", "dolor") ++ body.drop(15)
+      val text = toks.mkString(" ")
+      rows += ((id, text)); id += 1
+      if (i % 20 == 0) {
+        rows += ((id, (toks.dropRight(1) :+ s"zz$i").mkString(" ")))
+        planted += ((id - 1, id)); id += 1
+      }
+    }
+    val docs = rows.toSeq.toDF("doc_id", "text")
+    val r1 = graft.llm.Dedup.minhashCandidatesR1(docs).count()
+    val bandedPairs = graft.llm.Dedup
+      .minhashCandidates(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(r1 > 500, s"skew fixture too mild: r=1 emitted only $r1 pairs")
+    assert(
+      bandedPairs.size < r1 / 10,
+      s"banding not selective: banded ${bandedPairs.size} vs r=1 $r1"
+    )
+    val recall = (planted & bandedPairs).size.toDouble / planted.size
+    assert(recall >= 0.85, s"planted near-dup recall $recall under banding")
+  }
+
   test("connected components resolve 20k planted clusters to their minima") {
     // clusters {4k..4k+3} wired as stars from the min element — 5k
     // components at once; the label loop must converge in a handful of
