@@ -38,6 +38,7 @@ object SparkEntry {
       operators.ProTools.queries ++
       operators.FirOps.queries ++
       operators.IirOps.queries ++
+      operators.ResponseOps.queries ++
       operators.ResampleOps.queries ++
       operators.SpectraOps.queries ++
       operators.HilbertOps.queries ++
@@ -59,6 +60,7 @@ object SparkEntry {
       operators.ProTools.oracleSql ++
       operators.FirOps.oracleSql ++
       operators.IirOps.oracleSql ++
+      operators.ResponseOps.oracleSql ++
       operators.ResampleOps.oracleSql ++
       operators.SpectraOps.oracleSql ++
       operators.HilbertOps.oracleSql ++
