@@ -21,6 +21,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val detailPath =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_DETAIL.json")
+    // dev-only subset filter (comma-separated names); the driver never
+    // sets it, so the artifact it reads is always the full run
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -39,7 +43,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     case class Timing(cold: Double, warmMedian: Double, warmSpread: Double)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }.map { case (name, fn) =>
       val cold = time(fn)
       val warms = Array(time(fn), time(fn), time(fn)).sorted
       name -> Timing(cold, warms(1), warms(2) - warms(0))
@@ -61,7 +65,8 @@ object Bench {
       .mkString("{", ",", "}")
     try
       Files.writeString(
-        Paths.get(detailPath),
+        // a filtered dev run must not clobber the driver's artifact
+        Paths.get(if (only.isDefined) detailPath + ".partial" else detailPath),
         s"""{"sf":"$sfDir","cold_total":$coldTotal,"warm_total":$warmTotal,"queries":$detail}"""
       )
     catch { case _: Throwable => () }

@@ -112,12 +112,18 @@ object Curation {
     * out" pipeline a 100 TB curation run executes.
     */
   def curateFull(docs: DataFrame, minQuality: Double = 0.45): DataFrame = {
+    // lazy localCheckpoint (gate functions return before execution, so
+    // persist/unpersist can't pair — CLAUDE.md precedent): the quality
+    // regexes + md5 dedup window feed the simhash pair graph, the
+    // component node set AND the canon join; without it the subtree
+    // runs three times. Materialized by the first components() action.
     val kept = docs
       .select(col("doc_id"), col("text"), qualityScore.as("quality"))
       .filter(col("quality") >= minQuality)
       .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
       .filter(col("doc_id") === col("keep_id"))
       .select(col("doc_id"), col("text"), col("quality"))
+      .localCheckpoint(false)
     val comp = Dedup.components(
       kept.select(col("doc_id")),
       Dedup.simhashPairs(kept).select(col("doc_a"), col("doc_b"))

@@ -330,20 +330,30 @@ object Dedup {
     * instead of a changed-rows anti-join.
     */
   def components(nodes: DataFrame, pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val edges = pairs
+    // eager localCheckpoint BEFORE the symmetrize union: the pair
+    // subtree (often an LSH candidate pipeline) computes exactly once;
+    // both union branches read the cached blocks. persist() here would
+    // evaluate the subtree once per branch AND leak without a paired
+    // unpersist (gate functions return before execution) —
+    // ContextCleaner reclaims checkpoint blocks instead.
+    val p = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
+      .localCheckpoint()
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
     // iterate ONLY over nodes that touch an edge: a node with no
     // neighbors can never change its label, and the pair graph is
     // orders of magnitude smaller than the corpus (at 100 TB the
     // near-dup pairs are a sliver of the documents) — singletons join
-    // back in one pass at the end
+    // back in one pass at the end.
+    // init fuses the first propagation round for free: label =
+    // min(own id, min neighbor id) is exactly what round 1 of the old
+    // doc_id-identity init computed, for the cost of the same single
+    // groupBy shuffle the distinct() needed anyway. Lazy checkpoint:
+    // round 1's convergence action materializes it in the same job.
     var labels = edges
-      .select(col("src").as("doc_id"))
-      .distinct()
-      .select(col("doc_id"), col("doc_id").as("comp"))
-      .localCheckpoint()
+      .groupBy(col("src").as("doc_id"))
+      .agg(least(col("doc_id"), min(col("dst"))).as("comp"))
+      .localCheckpoint(false)
     var prevSum = -1L
     var converged = false
     var it = 0
@@ -357,9 +367,7 @@ object Dedup {
         .select(col("doc_id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
       // pointer jump: follow the label's own label (labels are minima
       // over edge-node ids, which are themselves edge nodes, so the
-      // inner self-join is total). Lazy checkpoint: the convergence
-      // aggregate right below is the one action that materializes it —
-      // one job per round, not two
+      // inner self-join is total)
       val jumped = stepped
         .join(
           stepped.select(col("doc_id").as("jid"), col("comp").as("jcomp")),
@@ -367,16 +375,17 @@ object Dedup {
         )
         .select(col("doc_id"), col("jcomp").as("comp"))
         .localCheckpoint(false)
+      // the convergence aggregate IS the round's one materializing
+      // action (labels only decrease, so an unchanged sum means the
+      // round was a no-op). Superseded rounds' checkpoint blocks are
+      // ContextCleaner-reclaimed once `labels` stops referencing them;
+      // peak live storage is ~two generations of (doc_id, comp) longs.
       val s = jumped.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0)
       converged = s == prevSum
       prevSum = s
-      // superseded rounds' checkpoint blocks are ContextCleaner-
-      // reclaimed once `labels` stops referencing them; peak live
-      // storage is ~two generations of (doc_id, comp) longs
       labels = jumped
       it += 1
     }
-    edges.unpersist()
     require(converged, s"components: not converged after $maxIters rounds")
     nodes
       .join(labels, Seq("doc_id"), "left")
