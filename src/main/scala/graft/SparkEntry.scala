@@ -196,7 +196,7 @@ object BaseQueries {
       // read-back. The re-read filters to two lang partitions — the
       // directory layout prunes the scan to those partitions (the
       // 100 TB layout pattern: partition by coarse key, prune at read).
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sink").toString
+      val tmp = sources.Scratch.dir("sink_parquet")
       Tables
         .documents(s, dir)
         .write

@@ -40,7 +40,7 @@ object EdfOps {
           pmod(col("n"), lit(per)).as("n"),
           col("x")
         )
-      val tmp = java.nio.file.Files.createTempDirectory("graft_edf").toString
+      val tmp = Scratch.dir("edf_roundtrip")
       Edf.writeSpark(recs, tmp, fs = 100.0, samplesPerRecord = spr)
       Edf
         .readSpark(s, s"$tmp/*.edf")
@@ -64,7 +64,7 @@ object EdfOps {
       val recs = sig
         .filter(col("n") < per)
         .select(lit("rec0").as("recording"), col("channel"), col("n"), col("x"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_edf_split").toString
+      val tmp = Scratch.dir("edf_split")
       Edf.writeSpark(recs, tmp, fs = 100.0, samplesPerRecord = spr)
       val src = s"$tmp/rec0.edf"
       val hdr = Edf.parseHeader(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(src)))
@@ -78,6 +78,46 @@ object EdfOps {
       Edf
         .readSpark(s, s"$tmp/split_*.edf")
         .select(col("channel"), col("n"), Dsp.round6(col("x")).as("x"))
+    },
+    "edf_corpus" -> { (s, dir) =>
+      // multi-recording corpus rehearsal — the 100 TB ingest path: a
+      // fleet of EDF files → readSpark → partitioned parquet keyed by
+      // (recording, channel) → analytics against the PRUNED partition
+      // layout (PlanAuditSpec asserts the recording PartitionFilters
+      // reach the scan). Every other DSP gate query reads the single
+      // events-table adapter; this one exercises the real entry path.
+      val sig = Signal.long(s, dir)
+      val len =
+        sig.groupBy(col("channel")).agg(count(lit(1)).as("c")).agg(min(col("c"))).head.getLong(0)
+      val nRec = math.max(1L, math.min(10L, len / spr))
+      val per = (len / nRec / spr) * spr
+      val recs = sig
+        .filter(col("n") < per * nRec)
+        .select(
+          concat(lit("rec"), expr(s"CAST(n DIV $per AS BIGINT)")).as("recording"),
+          col("channel"),
+          pmod(col("n"), lit(per)).as("n"),
+          col("x")
+        )
+      val tmp = Scratch.dir("edf_corpus")
+      Edf.writeSpark(recs, tmp, fs = 100.0, samplesPerRecord = spr)
+      Edf
+        .readSpark(s, s"$tmp/*.edf")
+        .withColumn("recording", regexp_extract(col("src"), "(rec\\d+)\\.edf", 1))
+        .select(col("recording"), col("channel"), col("n"), col("x"))
+        .write
+        .mode("overwrite")
+        .partitionBy("recording", "channel")
+        .parquet(s"$tmp/pq")
+      s.read
+        .parquet(s"$tmp/pq")
+        .filter(col("recording").isin("rec0", s"rec${nRec - 1}"))
+        .groupBy(col("recording"), col("channel"))
+        .agg(
+          count(lit(1)).as("n_samples"),
+          Dsp.round6(avg(col("x"))).as("mean_x"),
+          Dsp.round6(max(col("x"))).as("max_x")
+        )
     }
   )
 
@@ -123,6 +163,31 @@ object EdfOps {
         "CAST(floor((r.x - so.o) / so.s + 5.0e-1) AS BIGINT))) AS DOUBLE) + so.o AS y " +
         "FROM recs r JOIN so ON r.rec = so.rec AND r.channel = so.channel) " +
         s"SELECT channel, n, ${Dsp.round6Sql("y")} AS x FROM dec"
+    ),
+    "edf_corpus" -> (
+      s"${Signal.sigCte}, " +
+        "cnts AS (SELECT channel, count(*) AS c FROM sig GROUP BY channel), " +
+        "p1 AS (SELECT min(c) AS len FROM cnts), " +
+        s"p2 AS (SELECT len, greatest(1, least(10, len // $spr)) AS nrec FROM p1), " +
+        s"p3 AS (SELECT len, nrec, (len // nrec // $spr) * $spr AS per FROM p2), " +
+        "recs AS (SELECT s.channel, s.n // p3.per AS rec, s.x FROM sig s, p3 " +
+        "WHERE s.n < p3.per * p3.nrec), " +
+        "st AS (SELECT rec, channel, min(x) AS mn, " +
+        "greatest(max(x), min(x) + 1.0e-9) AS mx0 FROM recs GROUP BY rec, channel), " +
+        "rng AS (SELECT rec, channel, " +
+        "CASE WHEN abs(mn) < 1.0e3 THEN floor(mn * 1.0e3) / 1.0e3 ELSE floor(mn) END AS pmn, " +
+        "CASE WHEN abs(mx0) < 1.0e3 THEN ceil(mx0 * 1.0e3) / 1.0e3 ELSE ceil(mx0) END AS pmx0 " +
+        "FROM st), " +
+        "so0 AS (SELECT rec, channel, pmn, " +
+        "(CASE WHEN pmx0 <= pmn THEN pmn + 1.0e-3 ELSE pmx0 END - pmn) / 6.5535e4 AS s FROM rng), " +
+        "so AS (SELECT rec, channel, s, pmn - s * (-3.2768e4) AS o FROM so0), " +
+        "dec AS (SELECT r.rec, r.channel, so.s * CAST(greatest(-32768, least(32767, " +
+        "CAST(floor((r.x - so.o) / so.s + 5.0e-1) AS BIGINT))) AS DOUBLE) + so.o AS y " +
+        "FROM recs r JOIN so ON r.rec = so.rec AND r.channel = so.channel) " +
+        "SELECT 'rec' || CAST(d.rec AS VARCHAR) AS recording, d.channel, " +
+        s"count(*) AS n_samples, ${Dsp.round6Sql("avg(y)")} AS mean_x, " +
+        s"${Dsp.round6Sql("max(y)")} AS max_x " +
+        "FROM dec d, p2 WHERE d.rec IN (0, p2.nrec - 1) GROUP BY d.rec, d.channel"
     ),
     "edf_split" -> (
       s"${Signal.sigCte}, " +

@@ -76,6 +76,12 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scan.contains("lang"), s"lang partition filter not pushed: $scan")
   }
 
+  test("edf_corpus read-back prunes recording partitions at the scan") {
+    val plan = SparkEntry.queries("edf_corpus")(spark, sf).queryExecution.executedPlan.toString
+    val scan = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("recording"), s"recording partition filter not pushed: $scan")
+  }
+
   test("projection pruning reaches the parquet scan in q1_agg") {
     val plan = SparkEntry.queries("q1_agg")(spark, sf).queryExecution.executedPlan.toString
     val scan = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
