@@ -81,18 +81,48 @@ object Curation {
     * xxhash64 shingle hashes — the shuffle-free broadcast probe moves
     * longs, not shingle strings (collision caveat as dedup_jaccard).
     */
-  def decontamCounts(train: DataFrame, bench: DataFrame, w: Int = 3): DataFrame = {
-    def shs(d: DataFrame) = d.select(
-      col("doc_id"),
-      explode(
-        graft.functions.exprs.shingle_hash_set(split(col("text"), " "), w, TextStats.maxTokens)
-      ).as("sh")
-    )
-    shs(train)
-      .join(broadcast(shs(bench).select(col("sh")).distinct()), Seq("sh"))
+  private def shingleRows(d: DataFrame, w: Int): DataFrame = d.select(
+    col("doc_id"),
+    explode(
+      graft.functions.exprs.shingle_hash_set(split(col("text"), " "), w, TextStats.maxTokens)
+    ).as("sh")
+  )
+
+  def decontamCounts(train: DataFrame, bench: DataFrame, w: Int = 3): DataFrame =
+    shingleRows(train, w)
+      .join(broadcast(shingleRows(bench, w).select(col("sh")).distinct()), Seq("sh"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_contam"))
-  }
+
+  /** Watermarked streaming decontam: the train stream carries an
+    * arrival timestamp `ts`; contamination counts finalize per
+    * (window, doc) once the watermark passes the window end, so the
+    * aggregation state store EVICTS finished docs instead of growing
+    * with the corpus (the complete-mode use of [[decontamCounts]] on a
+    * stream keeps every doc's row forever). A doc's shingles all arrive
+    * in its own row, so the per-window count is the full per-doc count
+    * as long as windows outlast a batch. Append-mode output.
+    */
+  def decontamStream(
+      train: DataFrame,
+      bench: DataFrame,
+      w: Int = 3,
+      windowDur: String = "10 seconds",
+      delay: String = "10 seconds"
+  ): DataFrame =
+    train
+      .select(
+        col("doc_id"),
+        col("ts"),
+        explode(
+          graft.functions.exprs.shingle_hash_set(split(col("text"), " "), w, TextStats.maxTokens)
+        ).as("sh")
+      )
+      .withWatermark("ts", delay)
+      .join(broadcast(shingleRows(bench, w).select(col("sh")).distinct()), Seq("sh"))
+      .groupBy(window(col("ts"), windowDur), col("doc_id"))
+      .agg(count(lit(1)).as("n_contam"))
+      .select(col("doc_id"), col("n_contam"))
 
   /** Gate instance: decontaminate the train split against the test
     * split of the same md5 90/5/5 assignment [[curate]] uses.

@@ -30,7 +30,9 @@ object StreamOps {
   /** Watermarked streaming variant on a proper timestamp column. */
   def windowedAggStream(events: DataFrame): DataFrame =
     events
-      .withColumn("ts", (col("ts_ns") / lit(1e9)).cast("timestamp"))
+      // integral ns→µs (CLAUDE.md rule): ts_ns exceeds 2^53, the double
+      // route loses up to ~256 ns — enough to flip a window boundary
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
@@ -49,7 +51,9 @@ object StreamOps {
       col("event_id"),
       col("user_id"),
       col("event_type"),
-      (col("ts_ns") / lit(1e9)).cast("timestamp").as("ts")
+      // integral ns→µs — a double-division round-off here could flip
+      // both the v_ts <= p_ts boundary match and watermark state GC
+      timestamp_micros(expr("ts_ns div 1000")).as("ts")
     )
     val views = base
       .filter(col("event_type") === "view")

@@ -429,6 +429,46 @@ class DecontamStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
     // "secret bench phrase", "bench phrase here"), doc 2 none
     assert(got == Map(1L -> 2L, 3L -> 3L), s"stream-static decontam: $got")
   }
+
+  test("windowed decontam stream finalizes docs and evicts their state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val bench = Seq((100L, "the secret bench phrase here appears verbatim")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val train = input.toDF().toDF("doc_id", "text", "ts")
+    val q = graft.llm.Curation
+      .decontamStream(train, bench)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("decontam_gc")
+      .start()
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // four batches with advancing event time: each batch's max ts moves
+    // the watermark, finalizing (append-emitting) earlier windows and
+    // evicting their aggregation state
+    input.addData((1L, "secret bench phrase here plus padding", t(0)))
+    q.processAllAvailable()
+    input.addData((2L, "the secret bench phrase here too", t(100)))
+    q.processAllAvailable()
+    input.addData((3L, "no overlap at all whatsoever", t(200)))
+    q.processAllAvailable()
+    input.addData((4L, "secret bench phrase here again", t(300)))
+    q.processAllAvailable()
+    val progs = q.recentProgress
+    q.stop()
+    val got = spark
+      .sql("SELECT doc_id, n_contam FROM decontam_gc")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    // doc 1 shares 2 shingles, doc 2 shares 3; doc 3 none (never
+    // emits); doc 4's window is still open at stop
+    assert(got.get(1L).contains(2L), s"doc 1 not finalized: $got")
+    assert(got.get(2L).contains(3L), s"doc 2 not finalized: $got")
+    val removed = progs.flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+    assert(removed > 0, "watermark never evicted aggregation state")
+  }
 }
 
 class StreamStreamJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
@@ -465,5 +505,39 @@ class StreamStreamJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
       .mapValues(_.length)
       .toMap
     assert(got == Map(4L -> 2), s"purchase 4 should match both views, purchase 5 none: $got")
+  }
+
+  test("watermark GCs interval-join state across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val s = 1000000000L // 1 second in ns
+    val h = 3600L
+    val input = MemoryStream[(Long, Long, String, Long)]
+    val events = input.toDF().toDF("event_id", "user_id", "event_type", "ts_ns")
+    val q = graft.streaming.StreamOps
+      .viewPurchaseJoin(events, windowSec = 100L)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("ssj_gc")
+      .start()
+    // batch 1-2: an early matching pair; batches 3-4 advance event time
+    // past the 2 h watermark so the early views' join state is GC'd
+    input.addData((1L, 1L, "view", 10 * s), (2L, 2L, "view", 20 * s))
+    q.processAllAvailable()
+    input.addData((3L, 1L, "purchase", 60 * s))
+    q.processAllAvailable()
+    input.addData((4L, 3L, "view", 5 * h * s), (5L, 3L, "purchase", 5 * h * s))
+    q.processAllAvailable()
+    input.addData((6L, 4L, "view", 10 * h * s), (7L, 4L, "purchase", 10 * h * s))
+    q.processAllAvailable()
+    val progs = q.recentProgress
+    q.stop()
+    val matched = spark.sql("SELECT event_id FROM ssj_gc").collect().map(_.getLong(0)).toSet
+    assert(matched.contains(3L), s"early purchase lost: $matched")
+    val totals = progs.flatMap(_.stateOperators.map(_.numRowsTotal))
+    val removed = progs.flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+    assert(removed > 0, "watermark never removed join state")
+    assert(totals.last < totals.max, s"state not bounded: $totals")
   }
 }
