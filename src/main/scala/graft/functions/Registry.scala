@@ -23,6 +23,19 @@ object GraftFunctions {
       throw new IllegalArgumentException(s"$fn: $arg must be an integer literal, got $other")
   }
 
+  private def longArrayLit(e: Expression, fn: String, arg: String): Seq[Long] = e match {
+    case org.apache.spark.sql.catalyst.expressions.CreateArray(children, _)
+        if children.nonEmpty && children.forall(_.foldable) =>
+      children.map(_.eval() match {
+        case l: Long => l
+        case i: Int  => i.toLong
+        case other =>
+          throw new IllegalArgumentException(s"$fn: $arg must be a bigint array literal, got $other")
+      })
+    case other =>
+      throw new IllegalArgumentException(s"$fn: $arg must be a bigint array literal, got $other")
+  }
+
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo("graft.functions", name) {
       override def getUsage: String = usage
@@ -68,6 +81,22 @@ object GraftFunctions {
       ),
       (cs: Seq[Expression]) =>
         SimHash64(cs(0), intLit(cs(1), "graft_simhash64", "maxTokens"))
+    ),
+    (
+      FunctionIdentifier("graft_minhash_sig"),
+      info(
+        "graft_minhash_sig",
+        "graft_minhash_sig(toks, w, maxShingles, a, b) - k multiply-add-mod-2^32 minhash " +
+          "minima over w-word shingles; a/b are bigint array literals (a_j odd)"
+      ),
+      (cs: Seq[Expression]) =>
+        MinHashSig(
+          cs(0),
+          intLit(cs(1), "graft_minhash_sig", "w"),
+          intLit(cs(2), "graft_minhash_sig", "maxShingles"),
+          longArrayLit(cs(3), "graft_minhash_sig", "a"),
+          longArrayLit(cs(4), "graft_minhash_sig", "b")
+        )
     )
   )
 
