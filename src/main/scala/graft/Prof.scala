@@ -2,10 +2,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Throughput profiler at synthetic scale: 16M samples × 8 channels
-  * (160× the sf0.1 signal) — validates that the marginal per-sample
-  * costs measured in BASELINE.md hold through a two-orders-of-magnitude
-  * scale-up, i.e. that no kernel hides an O(n²) or a memory cliff.
+/** Throughput profiler at synthetic scale — the scale-up guard that the
+  * marginal per-sample costs in BASELINE.md hold through orders of
+  * magnitude (no hidden O(n²), no memory cliff).
+  *
+  * `PROF_N` sets samples per channel (×8 channels): 2M → 16M total
+  * (160× sf0.1), 16M → 128M total (1600× sf0.1). `PROF_DOCS` > 0
+  * additionally replicates the sf0.1 documents table that many times
+  * (perturbed so content hashes differ) and runs the text/dedup
+  * pipeline at 10× corpus scale. Per phase it reports wall time,
+  * throughput, the max per-task peak execution memory and total spill —
+  * the cliff detectors.
   */
 object Prof {
   def main(args: Array[String]): Unit = {
@@ -14,6 +21,21 @@ object Prof {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
+
+    // per-phase task-memory high-water marks via listener
+    val peakMem = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spilled = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          peakMem.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+          spilled.addAndGet(m.memoryBytesSpilled)
+          ()
+        }
+      }
+    })
+
     val nPerCh = sys.env.getOrElse("PROF_N", "2000000").toLong
     val nCh = 8
     // deterministic synthetic signal, generated distributed
@@ -25,11 +47,15 @@ object Prof {
       )
     sig.persist()
     val total = sig.count()
-    def t(name: String)(f: => Long): Unit = {
+    def t(name: String, denom: Long = total)(f: => Long): Unit = {
+      peakMem.set(0L); spilled.set(0L)
       val t0 = System.nanoTime()
       val rows = f
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"PROF $name%-22s ${sec}%7.2f s  ${total / sec / 1e6}%8.2f Msamples/s  rows=$rows")
+      println(
+        f"PROF $name%-22s ${sec}%7.2f s  ${denom / sec / 1e6}%8.2f Mrows/s  " +
+          f"peakTaskMem=${peakMem.get / (1 << 20)}%5d MiB  spill=${spilled.get / (1 << 20)}%4d MiB  rows=$rows"
+      )
     }
     // channel-partitioned, (channel, n)-sorted copy — what Signal.long
     // hands the gate queries; isolates kernel+codec from the exchange
@@ -53,6 +79,37 @@ object Prof {
     t("psd_welch_fft")(operators.SpectraOps.psdWelch(sig).count())
     t("stft64_fft")(operators.SpectraOps.stft(sig).count())
     t("hilbert_env")(operators.HilbertOps.hilbertEnv(sig).count())
+
+    val docsX = sys.env.getOrElse("PROF_DOCS", "0").toInt
+    if (docsX > 0) {
+      val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+      val base = graft.core.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      // replicas get disjoint ids and perturbed text (distinct content
+      // hashes) so dedup work scales with the corpus, not degenerate
+      // all-duplicates
+      val docs = (0 until docsX)
+        .map(i =>
+          base.select(
+            (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            concat(col("text"), lit(s" replica$i")).as("text")
+          )
+        )
+        .reduce(_ union _)
+        .persist()
+      val nDocs = docs.count()
+      println(s"PROF docs corpus x$docsX = $nDocs docs")
+      t(s"docs${docsX}_exact", nDocs)(
+        docs.groupBy(md5(col("text")).as("h")).agg(count(lit(1))).count()
+      )
+      t(s"docs${docsX}_quality", nDocs)(llm.Curation.curate(docs).count())
+      t(s"docs${docsX}_minhash_lsh", nDocs)(llm.Dedup.minhashCandidates(docs).count())
+      t(s"docs${docsX}_simhash_pairs", nDocs)(llm.Dedup.simhashPairs(docs).count())
+      t(s"docs${docsX}_components", nDocs) {
+        llm.Dedup.components(docs.select(col("doc_id")), llm.Dedup.simhashPairs(docs)).count()
+      }
+      docs.unpersist()
+      ()
+    }
     spark.stop()
   }
 }
