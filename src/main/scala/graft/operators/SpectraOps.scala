@@ -417,13 +417,42 @@ object SpectraOps {
     )
   }
 
-  def psdCiSql: String = {
+  /** CTE chain ending in `cib(channel, f, ci_lo, ci_hi)` — shared by
+    * the flat CI dump and the banded plot-array assembly.
+    */
+  private def psdCiCtes: String = {
     val dof = "CAST(nsegs * 2 AS DOUBLE)"
     s"${Signal.sigCte}, ${periodogramsSql(boundary = false, doubled = true)}, " +
-      "welch AS (SELECT channel, f, round(avg(p2), 6) AS psd, count(*) AS nsegs FROM pgram GROUP BY channel, f) " +
-      s"SELECT channel, f, round(psd * $dof / (${whSql(dof, Dsp.lit(z975))}), 6) AS ci_lo, " +
-      s"round(psd * $dof / (${whSql(dof, Dsp.lit(-z975))}), 6) AS ci_hi FROM welch"
+      "welch AS (SELECT channel, f, round(avg(p2), 6) AS psd, count(*) AS nsegs FROM pgram GROUP BY channel, f), " +
+      s"cib AS (SELECT channel, f, round(psd * $dof / (${whSql(dof, Dsp.lit(z975))}), 6) AS ci_lo, " +
+      s"round(psd * $dof / (${whSql(dof, Dsp.lit(-z975))}), 6) AS ci_hi FROM welch)"
   }
+
+  def psdCiSql: String = s"$psdCiCtes SELECT channel, f, ci_lo, ci_hi FROM cib"
+
+  /** Banded-CI plot arrays (spectra/plotting.py:23 `banded` minus the
+    * matplotlib axis): per channel, the f-ascending (freqs, lower,
+    * upper) arrays that fill_between takes — the display-math assembly
+    * the reference viewer computes before plotting. API + spec only:
+    * the driver's row canon compares scalars, so the flat `psd_ci`
+    * gate query stays the hash-checked twin of these values
+    * ([[psdBandedSql]] is the DuckDB twin for SQL-first users).
+    */
+  def psdBanded(sig: DataFrame, presorted: Boolean = false): DataFrame =
+    psdCi(sig, presorted = presorted)
+      .groupBy(col("channel"))
+      .agg(sort_array(collect_list(struct(col("f"), col("ci_lo"), col("ci_hi")))).as("t"))
+      .select(
+        col("channel"),
+        expr("transform(t, s -> s.f)").as("freqs"),
+        expr("transform(t, s -> s.ci_lo)").as("lower"),
+        expr("transform(t, s -> s.ci_hi)").as("upper")
+      )
+
+  def psdBandedSql: String =
+    s"$psdCiCtes SELECT channel, list(f ORDER BY f) AS freqs, " +
+      "list(ci_lo ORDER BY f) AS lower, list(ci_hi ORDER BY f) AS upper " +
+      "FROM cib GROUP BY channel"
 
   /** Segmented FFT Welch PSD — the large-nfft scale path: the same
     * streaming frame scan as [[periodograms]] at nfft=nfftF, O(nfft·log

@@ -61,6 +61,25 @@ class SpectraSpec extends AnyFunSuite {
     assert(n == 65, s"got $n segments")
   }
 
+  test("psd_banded assembles the psd_ci rows into f-ascending plot arrays") {
+    import org.apache.spark.sql.functions._
+    val flat = SpectraOps
+      .psdCi(sine)
+      .orderBy("f")
+      .collect()
+      .map(r => (r.getInt(1), r.getDouble(2), r.getDouble(3)))
+    val banded = SpectraOps.psdBanded(sine).collect()
+    assert(banded.length == 1)
+    val row = banded(0)
+    val freqs = row.getSeq[Int](1)
+    val lower = row.getSeq[Double](2)
+    val upper = row.getSeq[Double](3)
+    assert(freqs == flat.map(_._1).toSeq, "freqs array out of order or wrong")
+    assert(lower == flat.map(_._2).toSeq)
+    assert(upper == flat.map(_._3).toSeq)
+    assert(freqs.sorted == freqs, "fill_between x-axis must ascend")
+  }
+
   test("psd_ci bounds are ordered and nonnegative") {
     val bad = SpectraOps.psdCi(sine).filter("ci_lo > ci_hi OR ci_lo < 0").count()
     assert(bad == 0, s"$bad rows with inverted/negative CI")
