@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 
 import graft.core.{Dsp, Elliptic, Iir, Remez}
-import graft.operators.{FirOps, HilbertOps, IirOps, ProTools, ResampleOps, SpectraOps}
+import graft.operators.{FirOps, HilbertOps, IirOps, ProTools, ResampleOps, ResponseOps, SpectraOps}
 
 /** User-facing façade mirroring the reference's public API, so an
   * openseize user can port call-for-call:
@@ -35,6 +35,22 @@ object Api {
       case other => throw new IllegalArgumentException(s"unknown mode $other")
     }
     def numtaps: Int = coeffs.length
+
+    /** Reference FIRViewer.frequency_response (mixins.py:288) as a
+      * DataFrame: (k, freq, mag, db) over worN points in [0, fs/2).
+      */
+    def frequencyResponse(
+        spark: org.apache.spark.sql.SparkSession,
+        fs: Double,
+        worN: Int = 512,
+        ropeDb: Double = -120.0
+    ): DataFrame = ResponseOps.freqz(spark, coeffs, Array(1.0), fs, worN, ropeDb)
+
+    /** Reference FIRViewer.impulse_response (mixins.py:277): the taps
+      * padded to a 1-second pulse response.
+      */
+    def impulseResponse(spark: org.apache.spark.sql.SparkSession, fs: Double): DataFrame =
+      ResponseOps.impulseFir(spark, coeffs, fs)
   }
 
   def Kaiser(fpass: Double, fstop: Double, fs: Double, gpass: Double = 1.0, gstop: Double = 40.0): FirFilter =
@@ -66,6 +82,20 @@ object Api {
     def apply(sig: DataFrame, dephase: Boolean = true): DataFrame =
       if (dephase) IirOps.sosfiltfilt(sig, sos) else IirOps.sosfilt(sig, sos)
     def order: Int = sos.map(s => if (s(5) == 0.0 && s(2) == 0.0) 1 else 2).sum
+
+    /** Reference IIRViewer.frequency_response (mixins.py:240). */
+    def frequencyResponse(
+        spark: org.apache.spark.sql.SparkSession,
+        fs: Double,
+        worN: Int = 512,
+        ropeDb: Double = -120.0
+    ): DataFrame = ResponseOps.sosFreqz(spark, sos, fs, worN, ropeDb)
+
+    /** Reference IIRViewer.impulse_response (mixins.py:226): a 1-second
+      * unit pulse through the cascade.
+      */
+    def impulseResponse(spark: org.apache.spark.sql.SparkSession, fs: Double): DataFrame =
+      ResponseOps.impulseSos(spark, sos, fs)
   }
 
   def Butter(fpass: Double, fstop: Double, fs: Double, gpass: Double = 1.0, gstop: Double = 40.0): IirFilter =
@@ -120,6 +150,12 @@ object Api {
     ProTools.artifactMask(sig, threshold)
   def psdFast(sig: DataFrame, nfft: Int): DataFrame = SpectraOps.psdWelchFast(sig, nfft)
   def stft(sig: DataFrame): DataFrame = SpectraOps.stft(sig)
+  def psdCi(sig: DataFrame): DataFrame = SpectraOps.psdCi(sig)
+
+  /** plotting.banded display assembly: per-channel f-ascending
+    * (freqs, lower, upper) fill_between arrays.
+    */
+  def psdBanded(sig: DataFrame): DataFrame = SpectraOps.psdBanded(sig)
 
   /** Analytic transform + coupling (reference experimental.coupling). */
   def analytic(sig: DataFrame): DataFrame = HilbertOps.analytic(sig)
@@ -214,6 +250,13 @@ object Api {
   /** n-gram decontamination screen of `train` against `bench`. */
   def decontam(train: DataFrame, bench: DataFrame, w: Int = 3): DataFrame =
     llm.Curation.decontamCounts(train, bench, w)
+
+  /** Watermarked streaming decontam (train carries a `ts` column):
+    * finalized docs leave the state store — bounded state on an
+    * unbounded stream.
+    */
+  def decontamStream(train: DataFrame, bench: DataFrame, w: Int = 3): DataFrame =
+    llm.Curation.decontamStream(train, bench, w)
 
   /** Quality-filter → dedup-keeper → train/val/test split pipeline. */
   def curate(docs: DataFrame, minQuality: Double = 0.45): DataFrame =

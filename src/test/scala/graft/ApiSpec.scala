@@ -17,6 +17,16 @@ class ApiSpec extends AnyFunSuite {
     assert(Api.plv(sig).count() == 10)
   }
 
+  test("filter viewer methods: frequency and impulse responses") {
+    val fr = Api.Butter(10, 20, 100).frequencyResponse(spark, 100.0).collect()
+    assert(fr.length == 512)
+    val dc = fr.minBy(_.getDouble(1)) // k = 0
+    assert(math.abs(dc.getDouble(2) - 1.0) < 1e-3, s"DC gain ${dc.getDouble(2)}")
+    assert(fr.filter(_.getDouble(1) >= 25).forall(_.getDouble(3) <= -39.9), "stopband leak")
+    assert(Api.Kaiser(10, 20, 100).impulseResponse(spark, 100.0).count() >= 100)
+    assert(Api.Butter(10, 20, 100).impulseResponse(spark, 100.0).count() == 100)
+  }
+
   test("facade designs equal the operator-layer designs") {
     assert(Api.Kaiser(10, 20, 100).coeffs.sameElements(operators.FirOps.kaiserLp))
     assert(Api.Butter(10, 20, 100).sos.map(_.toSeq).toSeq ==
