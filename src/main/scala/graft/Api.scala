@@ -215,6 +215,14 @@ object Api {
     llm.Similarity.kmeansParallel(emb, k)
 
   /** Embedding-cosine near-duplicate pairs (banded hyperplane LSH). */
+  /** SemDeDup-style semantic dedup: coarse-cell assignment bounds the
+    * candidate set; flags each vector whose cosine to a lower-id
+    * cell-mate reaches tau.
+    */
+  def semanticDupes(emb: DataFrame, tau: Double = 0.4,
+      centroids: Option[Array[Array[Double]]] = None): DataFrame =
+    llm.Similarity.semanticDupes(emb, tau, centroids = centroids)
+
   def embedDupes(emb: DataFrame, tau: Double = 0.4): DataFrame =
     llm.Similarity.embedDupes(emb, tau)
 
@@ -242,6 +250,12 @@ object Api {
 
   /** Gopher-style 2-gram repetition screen. */
   def repetition(docs: DataFrame): DataFrame = llm.TextStats.repetition(docs)
+
+  /** Corpus-LM quality proxies: per-doc average unigram / conditional
+    * bigram log-probability under the corpus's own counts.
+    */
+  def unigramLogProb(docs: DataFrame): DataFrame = llm.TextStats.unigramLogProb(docs)
+  def bigramLogProb(docs: DataFrame): DataFrame = llm.TextStats.bigramLogProb(docs)
 
   /** Fixed-window doc chunking / concat-and-chunk sequence packing. */
   def chunkDocs(docs: DataFrame, winTok: Int): DataFrame = llm.TextStats.chunks(docs, winTok)

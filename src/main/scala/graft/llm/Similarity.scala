@@ -721,7 +721,72 @@ object Similarity {
       s"SELECT qid, vid, cos, rank FROM ranked WHERE rank <= $topK"
   }
 
+  /** SemDeDup-shaped semantic dedup (Abbas et al. 2023): coarse cells
+    * bound the candidate set (never all-pairs across the corpus), then
+    * within each cell any vector whose cosine to a LOWER-id cell-mate
+    * reaches `tau` is flagged as that neighbor's duplicate — one row
+    * per flagged vector (vec_id, dup_of = lowest close neighbor,
+    * n_near). Cross-cell near-dups are missed by construction
+    * (SemDeDup's documented recall trade); cell population bounds the
+    * quadratic term exactly as in IVF. Deterministic first-`nList`
+    * data-point cells keep the oracle replayable; pass trained
+    * `kmeansParallel` centroids in production.
+    */
+  def semanticDupes(
+      emb: DataFrame,
+      tau: Double = 0.4,
+      nList: Int = 16,
+      centroids: Option[Array[Array[Double]]] = None
+  ): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vs = vecsN(emb)
+    val cents = centroids match {
+      case Some(cs) =>
+        cs.zipWithIndex.map { case (c, i) => (i.toLong, c.toSeq) }.toSeq.toDF("cid", "cv")
+      case None => vs.filter(col("vec_id") < nList).select(col("vec_id").as("cid"), col("v").as("cv"))
+    }
+    val d = vs
+      .join(broadcast(cents))
+      .select(
+        col("vec_id"),
+        col("cid"),
+        graft.functions.exprs.sq_dist(col("v"), col("cv")).as("d2")
+      )
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cid").asc)
+    val assign = d
+      .select(col("vec_id"), col("cid"), row_number().over(w).as("cr"))
+      .filter(col("cr") === 1)
+      .select(col("vec_id"), col("cid"))
+    val sides = assign.join(vs, Seq("vec_id"))
+    val a = sides.select(col("cid"), col("vec_id").as("dup_of"), col("v").as("va"), col("nrm").as("na"))
+    val b = sides.select(col("cid"), col("vec_id"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cid"))
+      .filter(col("dup_of") < col("vec_id"))
+      .filter(round(cosExpr, 6) >= tau)
+      .groupBy(col("vec_id"))
+      .agg(min(col("dup_of")).as("dup_of"), count(lit(1)).as("n_near"))
+  }
+
+  def semanticDupesSql(tau: Double = 0.4, nList: Int = 16): String = {
+    val d2 = "list_sum(list_transform(generate_series(1, 64), i -> " +
+      "(list_extract(a.v, i) - list_extract(c.cv, i)) * (list_extract(a.v, i) - list_extract(c.cv, i))))"
+    "WITH vs AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      s"cents AS (SELECT vec_id AS cid, v AS cv FROM vs WHERE vec_id < $nList), " +
+      s"dists AS (SELECT a.vec_id AS vid, c.cid AS cid, $d2 AS d2 FROM vs a CROSS JOIN cents c), " +
+      "assign AS MATERIALIZED (SELECT vid, cid FROM (SELECT vid, cid, " +
+      "row_number() OVER (PARTITION BY vid ORDER BY d2 ASC, cid ASC) AS cr FROM dists) WHERE cr = 1), " +
+      "pairs AS (SELECT x.vid AS dup_of, y.vid AS vec_id, vx.v AS va, vy.v AS vb " +
+      "FROM assign x JOIN assign y ON x.cid = y.cid AND x.vid < y.vid " +
+      "JOIN vs vx ON vx.vec_id = x.vid JOIN vs vy ON vy.vec_id = y.vid) " +
+      s"SELECT vec_id, min(dup_of) AS dup_of, count(*) AS n_near FROM pairs " +
+      s"WHERE round($cosSqlExpr, 6) >= ${graft.core.Dsp.lit(tau)} GROUP BY vec_id"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_semantic" -> { (s, dir) => semanticDupes(Tables.embeddings(s, dir)) },
     "sim_ivf_topk" -> { (s, dir) => ivfTopk(Tables.embeddings(s, dir)) },
     "sim_pq_topk" -> { (s, dir) => pqTopk(Tables.embeddings(s, dir)) },
     "sim_ivfpq_topk" -> { (s, dir) => ivfPqTopk(Tables.embeddings(s, dir)) },
@@ -746,6 +811,7 @@ object Similarity {
   def oracleSql: Map[String, String] = Map(
     "sim_topk" -> topkSql,
     "sim_buckets" -> bucketsSql,
+    "dedup_semantic" -> semanticDupesSql(),
     "sim_ivf_topk" -> ivfTopkSql(),
     "sim_pq_topk" -> pqTopkSql,
     "sim_ivfpq_topk" -> ivfPqTopkSql(),

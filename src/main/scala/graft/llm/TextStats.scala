@@ -310,6 +310,60 @@ object TextStats {
       )
   }
 
+  /** Bigram LM-quality proxy — the order-2 upgrade of
+    * [[unigramLogProb]]: per doc, the average corpus-conditional
+    * log P(w_i | w_{i-1}) = ln(n(w_{i-1} w_i) / n(w_{i-1} ·)), scoring
+    * the corpus against its own bigram table (no OOV: every scored
+    * bigram has count ≥ 1). Low scores flag locally-incoherent token
+    * streams that unigram frequency alone cannot see. Docs shorter
+    * than 2 tokens emit no row (filtered BEFORE the index sequence —
+    * Spark's descending-sequence crash class).
+    *
+    * Scale shape: bigram strings assemble row-locally off the token
+    * array, then two (bigram)- and (first-token)-keyed aggregations
+    * with map-side combine and hash joins back — the unigram shape ×2.
+    */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(
+        col("doc_id"),
+        explode(
+          expr(s"transform(sequence(1, least(size(toks) - 1, $maxTokens)), i -> " +
+            "concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")
+        ).as("bg")
+      )
+    val bgCounts = bg.groupBy(col("bg")).agg(count(lit(1)).as("n_ab"))
+    val firstCounts = bg
+      .select(substring_index(col("bg"), " ", 1).as("w1"))
+      .groupBy(col("w1"))
+      .agg(count(lit(1)).as("n_a"))
+    bg.join(bgCounts, Seq("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(firstCounts, Seq("w1"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(log(col("n_ab") / col("n_a"))).as("lp")
+      )
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        graft.core.Dsp.round6(col("lp") / col("n_bigrams")).as("avg_logprob")
+      )
+  }
+
+  val bigramLogProbSql: String =
+    "WITH tl AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+      s"bg AS MATERIALIZED (SELECT doc_id, list_extract(toks, g.i) || ' ' || list_extract(toks, g.i + 1) AS bg " +
+      s"FROM tl, generate_series(1, $maxTokens) g(i) WHERE len(toks) >= 2 AND g.i <= len(toks) - 1), " +
+      "bc AS MATERIALIZED (SELECT bg, count(*) AS n_ab FROM bg GROUP BY bg), " +
+      "fc AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS n_a FROM bg GROUP BY 1) " +
+      "SELECT doc_id, count(*) AS n_bigrams, " +
+      s"${graft.core.Dsp.round6Sql("sum(ln(n_ab / n_a)) / count(*)")} AS avg_logprob " +
+      "FROM bg b JOIN bc USING (bg) JOIN fc ON fc.w1 = split_part(b.bg, ' ', 1) GROUP BY doc_id"
+
   val unigramLogProbSql: String =
     s"WITH $tokensSql, " +
       "tf AS MATERIALIZED (SELECT tok, count(*) AS ctf FROM tokens GROUP BY tok), " +
@@ -320,6 +374,7 @@ object TextStats {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_unigram_lp" -> { (s, dir) => unigramLogProb(Tables.documents(s, dir)) },
+    "text_bigram_lp" -> { (s, dir) => bigramLogProb(Tables.documents(s, dir)) },
     "text_bm25" -> { (s, dir) => bm25(Tables.documents(s, dir)) },
     "text_repetition" -> { (s, dir) => repetition(Tables.documents(s, dir)) },
     "text_chunks" -> { (s, dir) => chunks(Tables.documents(s, dir)) },
@@ -379,6 +434,7 @@ object TextStats {
   def oracleSql: Map[String, String] = Map(
     "text_bm25" -> bm25Sql(),
     "text_unigram_lp" -> unigramLogProbSql,
+    "text_bigram_lp" -> bigramLogProbSql,
     "text_repetition" -> repetitionSql,
     "text_chunks" -> chunksSql(),
     "text_pack" -> packSql(),

@@ -267,6 +267,46 @@ class LlmSpec extends AnyFunSuite {
     assert(p.toSeq == Seq((0L, 0L, 0L), (8L, 0L, 100L), (16L, 0L, 200L), (24L, 1L, 44L)))
   }
 
+  test("semantic dedup flags near-identical cell-mates, spares the rest") {
+    val rnd = new scala.util.Random(21)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val base = Array.fill(16)(unit())
+    val near = base(3).map(x => (x + 0.01f * rnd.nextGaussian().toFloat))
+    val rows = base.zipWithIndex.map { case (v, i) => (i.toLong, v, 0) } ++
+      Seq((16L, near, 0), (17L, unit(), 0))
+    val dupes = Similarity
+      .semanticDupes(rows.toSeq.toDF("vec_id", "embedding", "label"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(dupes.get(16L).contains(3L), s"planted near-copy not flagged: $dupes")
+    assert(!dupes.contains(17L), s"unrelated vector flagged: $dupes")
+  }
+
+  test("bigram log-prob matches the hand-computed conditional LM") {
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "a b c"),
+      (3L, "z")
+    ).toDF("doc_id", "text")
+    val got = graft.llm.TextStats
+      .bigramLogProb(docs)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // corpus bigrams: "a b"×3, "b a"×1, "b c"×1; first-token counts a·=3, b·=2
+    // doc 1: ln(3/3) + ln(1/2) + ln(3/3) over 3 bigrams
+    // doc 2: ln(3/3) + ln(1/2) over 2 bigrams; doc 3: too short, no row
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got(1L)._1 == 3L && got(1L)._2 == r6(math.log(0.5) / 3))
+    assert(got(2L)._1 == 2L && got(2L)._2 == r6(math.log(0.5) / 2))
+    assert(!got.contains(3L))
+  }
+
   test("lsh buckets put identical vectors together") {
     val vecs = Seq(
       (0L, Array.fill(64)(1.0f), 0),
