@@ -261,6 +261,10 @@ object Api {
   def chunkDocs(docs: DataFrame, winTok: Int): DataFrame = llm.TextStats.chunks(docs, winTok)
   def packDocs(docs: DataFrame): DataFrame = llm.TextStats.pack(docs)
 
+  /** Exact-k deterministic per-source holdout sample. */
+  def sampleStratified(docs: DataFrame, k: Int = 50): DataFrame =
+    llm.Curation.sampleStratified(docs, k)
+
   /** n-gram decontamination screen of `train` against `bench`. */
   def decontam(train: DataFrame, bench: DataFrame, w: Int = 3): DataFrame =
     llm.Curation.decontamCounts(train, bench, w)

@@ -219,8 +219,31 @@ object Curation {
       s"${Dsp.round6Sql(s"pow(n_kept, ${Dsp.lit(alpha)}) / sum(pow(n_kept, ${Dsp.lit(alpha)})) OVER ()")} AS mix_weight FROM k"
   }
 
+  /** Exact-k deterministic stratified sample: within each source, rank
+    * docs by (md5(doc_id:source), doc_id) and keep the first k — the
+    * content-independent, engine-reproducible way to cut a FIXED-size
+    * holdout per stratum ([[sampleMix]]'s rate-based hash keep can't
+    * hit an exact count). One window shuffle keyed on source; stratum
+    * skew is bounded by the strata themselves, never a global window.
+    */
+  def sampleStratified(docs: DataFrame, k: Int = 50): DataFrame = {
+    val h = md5(concat(col("doc_id").cast("string"), lit(":"), col("source")))
+    val w = Window.partitionBy(col("source")).orderBy(h.asc, col("doc_id").asc)
+    docs
+      .select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+  }
+
+  def sampleStratifiedSql(k: Int = 50): String =
+    "SELECT doc_id, source, rk FROM (SELECT doc_id, source, " +
+      "row_number() OVER (PARTITION BY source " +
+      "ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || source) ASC, doc_id ASC) AS rk " +
+      s"FROM documents) WHERE rk <= $k"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_mix" -> { (s, dir) => sampleMix(Tables.documents(s, dir)) },
+    "sample_stratified" -> { (s, dir) => sampleStratified(Tables.documents(s, dir)) },
     "curate_splits" -> { (s, dir) =>
       curate(Tables.documents(s, dir))
         .groupBy(col("split"))
@@ -278,6 +301,7 @@ object Curation {
 
   def oracleSql: Map[String, String] = Map(
     "sample_mix" -> sampleMixSql(),
+    "sample_stratified" -> sampleStratifiedSql(),
     "curate_full" -> curateFullSql,
     "curate_splits" ->
       ("WITH base AS (SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS n_chars, " +

@@ -44,6 +44,24 @@ class ResponseSpec extends AnyFunSuite {
     assert(math.abs(atCut - 1.0 / math.sqrt(2)) < 0.03, s"cutoff gain $atCut")
   }
 
+  test("ba-form and sos-form freqz agree on the same design") {
+    val proto = Iir.bilinear(Iir.lp2lp(Iir.buttap(3), 4.0 * math.tan(math.Pi * 0.2 / 2)))
+    val (b, a) = Iir.zpk2tf(proto)
+    val sos = Iir.zpk2sos(proto)
+    val viaBa = ResponseOps
+      .freqz(spark, b, a, 100.0, 128)
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(2))
+      .toMap
+    val viaSos = ResponseOps
+      .sosFreqz(spark, sos, 100.0, 128)
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(2))
+      .toMap
+    for (k <- 0 until 128)
+      assert(math.abs(viaBa(k.toLong) - viaSos(k.toLong)) <= 1e-6, s"k=$k")
+  }
+
   test("FIR impulse response is the taps; SOS impulse sum is the DC gain") {
     val taps = Array(0.25, 0.5, 0.25)
     val h = ResponseOps
