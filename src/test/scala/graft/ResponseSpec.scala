@@ -44,6 +44,19 @@ class ResponseSpec extends AnyFunSuite {
     assert(math.abs(atCut - 1.0 / math.sqrt(2)) < 0.03, s"cutoff gain $atCut")
   }
 
+  test("notch response dips only at its center frequency") {
+    // worN = 640 puts 15 Hz exactly on the grid (k = 192), where the
+    // notch zero sits on the unit circle — gain is exactly 0
+    val resp = ResponseOps
+      .sosFreqz(spark, IirOps.notch15, 100.0, 640)
+      .collect()
+      .map(r => (r.getDouble(1), r.getDouble(2)))
+    val atCenter = resp.minBy(p => math.abs(p._1 - 15.0))
+    assert(atCenter._1 == 15.0 && atCenter._2 < 1e-6, s"notch center not rejected: $atCenter")
+    val away = resp.filter(p => math.abs(p._1 - 15.0) > 5.0)
+    assert(away.forall(_._2 > 0.9), s"notch too wide: ${away.minBy(_._2)}")
+  }
+
   test("ba-form and sos-form freqz agree on the same design") {
     val proto = Iir.bilinear(Iir.lp2lp(Iir.buttap(3), 4.0 * math.tan(math.Pi * 0.2 / 2)))
     val (b, a) = Iir.zpk2tf(proto)

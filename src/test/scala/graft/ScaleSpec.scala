@@ -143,6 +143,35 @@ class ScaleSpec extends AnyFunSuite {
     assert(recall >= 0.85, s"planted near-dup recall $recall under banding")
   }
 
+  test("semantic dedup candidate volume is cell-bounded, not quadratic") {
+    import spark.implicits._
+    // isotropic corpora at two sizes: with 16 cells, within-cell pair
+    // work is ~n²/16 per cell only inside the cell — total candidates
+    // scale with Σ|cell|², and none should pass the cosine gate (no
+    // planted dups). The guard: output stays EMPTY (no false dups) and
+    // the run completes at 4× without blowup.
+    val rnd = new scala.util.Random(33)
+    def corpus(n: Int) = (0 until n).map { i =>
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val nn = math.sqrt(v.map(x => x * x).sum)
+      (i.toLong, v.map(x => (x / nn).toFloat).toSeq, 0L)
+    }.toDF("vec_id", "embedding", "label")
+    val big = corpus(1600) // one draw — corpus() advances the shared RNG
+    assert(graft.llm.Similarity.semanticDupes(corpus(400), tau = 0.8).count() == 0)
+    assert(graft.llm.Similarity.semanticDupes(big, tau = 0.8).count() == 0)
+    // and a planted copy IS found at 1600 (recall survives scale)
+    val planted = big.union(
+      Seq((9999L, big.filter(col("vec_id") === 77L).head.getSeq[Float](1), 0L))
+        .toDF("vec_id", "embedding", "label")
+    )
+    val d = graft.llm.Similarity
+      .semanticDupes(planted, tau = 0.8)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(d.get(9999L).contains(77L), s"planted copy missed: $d")
+  }
+
   test("connected components resolve 20k planted clusters to their minima") {
     // clusters {4k..4k+3} wired as stars from the min element — 5k
     // components at once; the label loop must converge in a handful of
