@@ -261,6 +261,11 @@ object Api {
   def chunkDocs(docs: DataFrame, winTok: Int): DataFrame = llm.TextStats.chunks(docs, winTok)
   def packDocs(docs: DataFrame): DataFrame = llm.TextStats.pack(docs)
 
+  /** Per-source corpus profile: doc/token counts, mean quality,
+    * exact-duplicate surplus.
+    */
+  def corpusStats(docs: DataFrame): DataFrame = llm.Curation.corpusStats(docs)
+
   /** Exact-k deterministic per-source holdout sample. */
   def sampleStratified(docs: DataFrame, k: Int = 50): DataFrame =
     llm.Curation.sampleStratified(docs, k)

@@ -219,6 +219,31 @@ object Curation {
       s"${Dsp.round6Sql(s"pow(n_kept, ${Dsp.lit(alpha)}) / sum(pow(n_kept, ${Dsp.lit(alpha)})) OVER ()")} AS mix_weight FROM k"
   }
 
+  /** Per-source corpus profile — the "what is in this corpus" pass
+    * every curation run starts with: doc/token counts, mean quality and
+    * the exact-duplicate surplus, one row per source. A single
+    * two-phase aggregation (countDistinct expands internally); all
+    * other stats are map-side-combinable.
+    */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        Dsp.round6(avg(qualityScore)).as("avg_quality"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_exact_dups")
+      )
+
+  val corpusStatsSql: String =
+    "WITH b AS (SELECT source, text, CAST(length(text) AS DOUBLE) AS n_chars, " +
+      "CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok, " +
+      "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digit, " +
+      "CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct FROM documents) " +
+      "SELECT source, count(*) AS n_docs, CAST(sum(CAST(n_tok AS BIGINT)) AS BIGINT) AS n_tokens, " +
+      s"${Dsp.round6Sql(s"avg($qualitySql)")} AS avg_quality, " +
+      "CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups FROM b GROUP BY source"
+
   /** Exact-k deterministic stratified sample: within each source, rank
     * docs by (md5(doc_id:source), doc_id) and keep the first k — the
     * content-independent, engine-reproducible way to cut a FIXED-size
@@ -244,6 +269,7 @@ object Curation {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_mix" -> { (s, dir) => sampleMix(Tables.documents(s, dir)) },
     "sample_stratified" -> { (s, dir) => sampleStratified(Tables.documents(s, dir)) },
+    "corpus_stats" -> { (s, dir) => corpusStats(Tables.documents(s, dir)) },
     "curate_splits" -> { (s, dir) =>
       curate(Tables.documents(s, dir))
         .groupBy(col("split"))
@@ -302,6 +328,7 @@ object Curation {
   def oracleSql: Map[String, String] = Map(
     "sample_mix" -> sampleMixSql(),
     "sample_stratified" -> sampleStratifiedSql(),
+    "corpus_stats" -> corpusStatsSql,
     "curate_full" -> curateFullSql,
     "curate_splits" ->
       ("WITH base AS (SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS n_chars, " +
