@@ -293,6 +293,9 @@ object Api {
 
   /** Multimodal: real PNG/WAV decode-feature passes + bilinear resize. */
   def pngFeatures(media: DataFrame): DataFrame = llm.Multimodal.pngFeatures(media)
+
+  /** Spectral band-energy shares of decoded PCM16 audio clips. */
+  def wavSpectral(media: DataFrame): DataFrame = llm.Multimodal.wavSpectral(media)
   def wavFeatures(media: DataFrame): DataFrame = llm.Multimodal.wavFeatures(media)
   def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = llm.Multimodal.resize(media, w, h)
 

@@ -72,6 +72,80 @@ object Multimodal {
     Array.fill(bytes.length / 2)(bb.getShort())
   }
 
+  /** Spectral band-energy shares of decoded audio — the audio
+    * feature-extraction pattern of a training-data pipeline, end to
+    * end through the REAL javax.sound codec: decode PCM16, zero-pad /
+    * truncate to a 64-sample analysis frame, DFT bins k = 1..4 as
+    * literal-weighted dot products (the cos/sin tables are embedded as
+    * literals — the FIR lag-sum pattern — so both engines execute the
+    * identical IEEE arithmetic with NO runtime trig), and emit each
+    * bin's share of frame energy. The oracle replays the deterministic
+    * sample generator instead of decoding bytes (mm_wav_features
+    * precedent), so a codec regression breaks the hash.
+    */
+  def wavSpectral(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val n = 64
+    val decoded = media
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, wav) => (id, decodeWav(wav).map(_.toInt)) })
+      .toDF("media_id", "s")
+      .select(
+        col("media_id"),
+        slice(concat(col("s"), array_repeat(lit(0), n)), 1, n).as("p")
+      )
+    def dot(ws: Array[Double]): org.apache.spark.sql.Column =
+      ws.zipWithIndex
+        .map { case (w, t) => element_at(col("p"), t + 1).cast("double") * lit(w) }
+        .reduceLeft(_ + _)
+    val eTot = (0 until n)
+      .map(t => element_at(col("p"), t + 1).cast("double") * element_at(col("p"), t + 1))
+      .reduceLeft(_ + _)
+    val withSums = decoded.select(
+      col("media_id") +: eTot.as("etot") +: (1 to 4).flatMap { k =>
+        val cw = Array.tabulate(n)(t => math.cos(2 * math.Pi * k * t / n))
+        val sw = Array.tabulate(n)(t => math.sin(2 * math.Pi * k * t / n))
+        Seq(dot(cw).as(s"c$k"), dot(sw).as(s"s$k"))
+      }: _*
+    )
+    withSums.select(
+      col("media_id") +: (1 to 4).map { k =>
+        Dsp.round6(
+          (col(s"c$k") * col(s"c$k") + col(s"s$k") * col(s"s$k")) /
+            (lit(n.toDouble / 2) * greatest(col("etot"), lit(1e-9)))
+        ).as(s"band$k")
+      }: _*
+    )
+  }
+
+  /** DuckDB twin of [[wavSpectral]]: the generator's samples gathered
+    * into an ordered list, then the SAME left-associated
+    * literal-weighted sums.
+    */
+  val wavSpectralSql: String = {
+    val n = 64
+    def term(t: Int, w: Double) = s"list_extract(vs, ${t + 1}) * ${Dsp.lit(w)}"
+    def dot(ws: Array[Double]) =
+      ws.zipWithIndex.map { case (w, t) => term(t, w) }.mkString("(", " + ", ")")
+    val eTot = (0 until n)
+      .map(t => s"CAST(list_extract(vs, ${t + 1}) AS DOUBLE) * list_extract(vs, ${t + 1})")
+      .mkString("(", " + ", ")")
+    val bands = (1 to 4).map { k =>
+      val cw = Array.tabulate(n)(t => math.cos(2 * math.Pi * k * t / n))
+      val sw = Array.tabulate(n)(t => math.sin(2 * math.Pi * k * t / n))
+      Dsp.round6Sql(
+        s"(${dot(cw)} * ${dot(cw)} + ${dot(sw)} * ${dot(sw)}) / (${Dsp.lit(n / 2.0)} * greatest($eTot, 1.0e-9))"
+      ) + s" AS band$k"
+    }
+    "WITH d AS (SELECT doc_id, length(text) % 256 + 16 AS n FROM documents), " +
+      s"sm AS (SELECT doc_id, g.t AS t, CASE WHEN g.t < n THEN (doc_id * 131 + g.t * 17) % 2003 - 1001 ELSE 0 END AS v " +
+      s"FROM d, generate_series(0, ${n - 1}) g(t)), " +
+      "l AS (SELECT doc_id AS media_id, list(v ORDER BY t) AS vs FROM sm GROUP BY doc_id) " +
+      s"SELECT media_id, ${bands.mkString(", ")} FROM l"
+  }
+
   /** Real bilinear resize of an 8-bit grayscale raster (half-pixel
     * centers, edge clamp) — the actual pixel resample resizeStub stood
     * in for.
@@ -301,6 +375,7 @@ object Multimodal {
     },
     "mm_png_features" -> { (s, dir) => pngFeatures(pngMedia(s, dir)) },
     "mm_wav_features" -> { (s, dir) => wavFeatures(wavMedia(s, dir)) },
+    "mm_wav_spec" -> { (s, dir) => wavSpectral(wavMedia(s, dir)) },
     "mm_frames" -> { (s, dir) => frameSample(syntheticMedia(s, dir), everyK = 2) }
   )
 
@@ -337,6 +412,7 @@ object Multimodal {
         "SELECT doc_id AS media_id, count(*) AS n_samples, " +
         Dsp.round6Sql("CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) / count(*)") + " AS mean_pcm, " +
         "CAST(max(abs(v)) AS BIGINT) AS max_abs FROM s GROUP BY doc_id"),
+    "mm_wav_spec" -> wavSpectralSql,
     // every 2nd 64-hex-char (32-byte) frame of the payload (= utf-8
     // text); hex, not base64 — Spark's base64 may MIME-chunk. Constant
     // series bound: docs ≤ 2000 chars → hex ≤ 4000 chars
