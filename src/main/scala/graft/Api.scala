@@ -229,6 +229,21 @@ object Api {
   /** Connected components over near-dup pairs: every doc → the min
     * doc_id reachable from it (the dedup-group canonicalizer).
     */
+  /** Full MinHash dedup pipeline: LSH candidates → Jaccard ≥ minJ →
+    * components; every doc labeled with its dedup-group min.
+    */
+  def dedupGroups(docs: DataFrame, minJ: Double = 0.7): DataFrame =
+    llm.Dedup.components(
+      docs.select(org.apache.spark.sql.functions.col("doc_id")),
+      llm.Dedup
+        .jaccard(docs)
+        .filter(org.apache.spark.sql.functions.col("jaccard") >= minJ)
+        .select(
+          org.apache.spark.sql.functions.col("doc_a"),
+          org.apache.spark.sql.functions.col("doc_b")
+        )
+    )
+
   def components(nodes: DataFrame, pairs: DataFrame): DataFrame =
     llm.Dedup.components(nodes, pairs)
 

@@ -189,16 +189,23 @@ object Dedup {
       )
   }
 
-  val jaccardSql: String =
-    s"WITH $signaturesSql, $bandsSql, " +
+  /** CTE chain ending in `jac(doc_a, doc_b, jaccard)` — the verified
+    * LSH-candidate Jaccard scores; shared by the jaccard dump and the
+    * minhash-pipeline components oracle.
+    */
+  private val jaccardCtes: String =
+    s"$signaturesSql, $bandsSql, " +
       "cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
       s"JOIN bands b ON $bandJoinOn AND a.doc_id < b.doc_id), " +
       "cnts AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id), " +
       "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter FROM cands c " +
       "JOIN dsh x ON x.doc_id = c.doc_a JOIN dsh y ON y.doc_id = c.doc_b AND y.sh = x.sh " +
-      "GROUP BY c.doc_a, c.doc_b) " +
-      "SELECT i.doc_a, i.doc_b, round(i.n_inter / (ca.n_sh + cb.n_sh - i.n_inter), 6) AS jaccard " +
-      "FROM inter i JOIN cnts ca ON ca.doc_id = i.doc_a JOIN cnts cb ON cb.doc_id = i.doc_b"
+      "GROUP BY c.doc_a, c.doc_b), " +
+      "jac AS MATERIALIZED (SELECT i.doc_a, i.doc_b, round(i.n_inter / (ca.n_sh + cb.n_sh - i.n_inter), 6) AS jaccard " +
+      "FROM inter i JOIN cnts ca ON ca.doc_id = i.doc_a JOIN cnts cb ON cb.doc_id = i.doc_b)"
+
+  val jaccardSql: String =
+    s"WITH $jaccardCtes SELECT doc_a, doc_b, jaccard FROM jac"
 
   /** 64-bit SimHash from the first 16 hex chars of each token's md5:
     * per bit, sum ±1 over all token occurrences, bit set on positive
@@ -540,6 +547,17 @@ object Dedup {
       components(docs.select(col("doc_id")), simhashPairs(docs).select(col("doc_a"), col("doc_b")))
     },
     "dedup_spans" -> { (s, dir) => dupSpans(Tables.documents(s, dir)) },
+    "dedup_groups" -> { (s, dir) =>
+      // the canonical MinHash dedup pipeline end to end in ONE query:
+      // banded LSH candidates → shingle-Jaccard verification ≥ 0.7 →
+      // connected components → every doc labeled with its group min
+      // (a curation run then keeps one doc per comp_id)
+      val docs = Tables.documents(s, dir)
+      components(
+        docs.select(col("doc_id")),
+        jaccard(docs).filter(col("jaccard") >= 0.7).select(col("doc_a"), col("doc_b"))
+      )
+    },
     "dedup_stream" -> { (s, dir) => dedupStreaming(Tables.documents(s, dir)) }
   )
 
@@ -554,6 +572,14 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_components" -> componentsSql,
     "dedup_spans" -> dupSpansSql(),
+    "dedup_groups" ->
+      (s"WITH RECURSIVE $jaccardCtes, " +
+        "vpairs AS MATERIALIZED (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.7e0), " +
+        "edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM vpairs " +
+        "UNION ALL SELECT doc_b, doc_a FROM vpairs), " +
+        "reach AS (SELECT doc_id, doc_id AS anc FROM documents " +
+        "UNION SELECT r.doc_id AS doc_id, e.dst AS anc FROM reach r JOIN edges e ON e.src = r.anc) " +
+        "SELECT doc_id, min(anc) AS comp_id FROM reach GROUP BY doc_id"),
     "dedup_stream" ->
       ("SELECT doc_id, md5(text) AS h, " +
         "doc_id > min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup FROM documents")

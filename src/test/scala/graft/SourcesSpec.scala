@@ -229,6 +229,24 @@ class StreamSpec extends AnyFunSuite {
 class MultimodalSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("wav spectral bands equal a reference DFT; a bin-3 sine concentrates in band 3") {
+    import spark.implicits._
+    val n = 64
+    val samples = Array.tabulate(100)(t => (800 * math.sin(2 * math.Pi * 3 * t / n)).toShort)
+    val media = Seq((7L, graft.llm.Multimodal.encodeWav(samples))).toDF("media_id", "payload")
+    val row = graft.llm.Multimodal.wavSpectral(media).collect()(0)
+    val frame = samples.take(n).map(_.toDouble)
+    val etot = frame.map(x => x * x).sum
+    def share(k: Int): Double = {
+      val c = (0 until n).map(t => frame(t) * math.cos(2 * math.Pi * k * t / n)).sum
+      val s = (0 until n).map(t => frame(t) * math.sin(2 * math.Pi * k * t / n)).sum
+      (c * c + s * s) / (n / 2.0 * etot)
+    }
+    for (k <- 1 to 4)
+      assert(math.abs(row.getDouble(k) - share(k)) < 2e-6, s"band $k: ${row.getDouble(k)} vs ${share(k)}")
+    assert(row.getDouble(3) > 0.9, s"bin-3 sine should dominate band 3: $row")
+  }
+
   test("decodeFeatures emits one feature row per media row") {
     val media = graft.llm.Multimodal.syntheticMedia(spark, sf)
     val feats = graft.llm.Multimodal.decodeFeatures(media)
