@@ -47,11 +47,27 @@ object Prof {
       )
     sig.persist()
     val total = sig.count()
+    // onTaskEnd delivery is async — drain the bus before resetting the
+    // counters or stragglers from the previous phase leak into this one
+    // (listenerBus is private[spark]; reflection, with a sleep fallback)
+    val drainBus: () => Unit = {
+      val sc = spark.sparkContext
+      try {
+        val m = sc.getClass.getMethod("listenerBus")
+        val bus = m.invoke(sc)
+        val wait = bus.getClass.getMethod("waitUntilEmpty")
+        () => { wait.invoke(bus); () }
+      } catch {
+        case _: Throwable => () => Thread.sleep(200)
+      }
+    }
     def t(name: String, denom: Long = total)(f: => Long): Unit = {
+      drainBus()
       peakMem.set(0L); spilled.set(0L)
       val t0 = System.nanoTime()
       val rows = f
       val sec = (System.nanoTime() - t0) / 1e9
+      drainBus() // flush this phase's own onTaskEnd events before reading
       println(
         f"PROF $name%-22s ${sec}%7.2f s  ${denom / sec / 1e6}%8.2f Mrows/s  " +
           f"peakTaskMem=${peakMem.get / (1 << 20)}%5d MiB  spill=${spilled.get / (1 << 20)}%4d MiB  rows=$rows"

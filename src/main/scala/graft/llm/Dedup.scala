@@ -88,6 +88,12 @@ object Dedup {
           .minhash_sig(split(col("text"), " "), 3, TextStats.maxTokens, permA, permB)
           .as("ms")
       )
+      // docs shorter than the shingle window carry an EMPTY signature
+      // (MinHashSig, expressions.scala:243): element_at below would
+      // throw under ANSI, and with ANSI off every short doc would share
+      // one constant null-fed bucket per band. The oracle's shingles
+      // CTE emits no rows for them either, so dropping here is parity.
+      .filter(size(col("ms")) === numHashes)
       .select(
         col("doc_id"),
         posexplode(

@@ -61,10 +61,13 @@ object ResponseOps {
           if (j == 0) Dsp.lit(cj) else s"${Dsp.lit(cj)} * $f($j * $w)"
         }
         .mkString("(", " + ", ")")
-    def polySin(c: Array[Double]): String =
-      c.zipWithIndex
-        .collect { case (cj, j) if j > 0 => s"${Dsp.lit(cj)} * sin($j * $w)" }
-        .mkString("(", " + ", ")")
+    def polySin(c: Array[Double]): String = {
+      val terms =
+        c.zipWithIndex.collect { case (cj, j) if j > 0 => s"${Dsp.lit(cj)} * sin($j * $w)" }
+      // a = [1.0] (pure-FIR denominator) has no j>0 sin terms — emit a
+      // literal zero, not the unparseable "()"
+      if (terms.isEmpty) "(0.0e0)" else terms.mkString("(", " + ", ")")
+    }
     val mag2 =
       s"((${poly(b, "cos")} * ${poly(b, "cos")} + ${polySin(b)} * ${polySin(b)}) / " +
         s"(${poly(a, "cos")} * ${poly(a, "cos")} + ${polySin(a)} * ${polySin(a)}))"

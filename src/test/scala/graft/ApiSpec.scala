@@ -25,6 +25,12 @@ class ApiSpec extends AnyFunSuite {
     assert(fr.filter(_.getDouble(1) >= 25).forall(_.getDouble(3) <= -39.9), "stopband leak")
     assert(Api.Kaiser(10, 20, 100).impulseResponse(spark, 100.0).count() >= 100)
     assert(Api.Butter(10, 20, 100).impulseResponse(spark, 100.0).count() == 100)
+    // FIR path: a = [1.0] exercises the empty sin-polynomial branch
+    val firFr = Api.Kaiser(10, 20, 100).frequencyResponse(spark, 100.0).collect()
+    assert(firFr.length == 512)
+    val firDc = firFr.minBy(_.getDouble(1))
+    assert(math.abs(firDc.getDouble(2) - 1.0) < 1e-2, s"FIR DC gain ${firDc.getDouble(2)}")
+    assert(firFr.filter(_.getDouble(1) >= 25).forall(_.getDouble(3) <= -39.0), "FIR stopband leak")
   }
 
   test("facade designs equal the operator-layer designs") {

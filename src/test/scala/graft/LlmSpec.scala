@@ -245,6 +245,25 @@ class LlmSpec extends AnyFunSuite {
     assert(sh == Set(4L), "docs with < 3 tokens must emit no 3-shingles")
   }
 
+  test("minhash banding survives short docs (empty signature, no ANSI crash)") {
+    val mixed = Seq(
+      (1L, ""),
+      (2L, "one"),
+      (3L, "one two"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (6L, "x"),
+      (7L, "y")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup
+      .minhashCandidates(mixed)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(pairs == Set((4L, 5L)), s"short docs must neither crash nor co-bucket: $pairs")
+    assert(Dedup.jaccard(mixed).count() == 1)
+  }
+
   test("decontam with an empty benchmark side emits nothing") {
     val train = Seq((1L, "some words here")).toDF("doc_id", "text")
     val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
