@@ -44,6 +44,7 @@ object SparkEntry {
       operators.HilbertOps.queries ++
       operators.AnnoOps.queries ++
       llm.TextStats.queries ++
+      llm.Bpe.queries ++
       llm.Dedup.queries ++
       llm.Similarity.queries ++
       llm.Multimodal.queries ++
@@ -66,6 +67,7 @@ object SparkEntry {
       operators.HilbertOps.oracleSql ++
       operators.AnnoOps.oracleSql ++
       llm.TextStats.oracleSql ++
+      llm.Bpe.oracleSql ++
       llm.Dedup.oracleSql ++
       llm.Similarity.oracleSql ++
       llm.Multimodal.oracleSql ++

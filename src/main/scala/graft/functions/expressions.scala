@@ -287,7 +287,52 @@ case class SqDistD(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Total subword-token count of a whitespace-token array under a fixed
+  * BPE merge list (pair strings joined by U+001F, applied in training
+  * order — Sennrich et al. 2016 learn-time rewrite semantics; each
+  * replace is left-to-right non-overlapping, identical to DuckDB's
+  * replace()). Row-local: a projection off the scan, no shuffle.
+  */
+case class BpeCount(child: Expression, merges: Seq[String])
+    extends UnaryExpression
+    with CodegenFallback {
+  @transient private lazy val ms: Array[(String, String)] =
+    merges.map(p => (p, p.replace(graft.llm.Bpe.sep, ""))).toArray
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    var total = 0L
+    var i = 0
+    while (i < toks.numElements()) {
+      val t = toks.getUTF8String(i).toString
+      if (t.nonEmpty) {
+        // split into code points (DuckDB string_split(word, '') semantics)
+        val sb = new java.lang.StringBuilder(t.length * 2)
+        var ci = 0
+        while (ci < t.length) {
+          val cp = t.codePointAt(ci)
+          if (ci > 0) sb.append(graft.llm.Bpe.sep)
+          sb.appendCodePoint(cp)
+          ci += Character.charCount(cp)
+        }
+        var s = sb.toString
+        var mi = 0
+        while (mi < ms.length) { s = s.replace(ms(mi)._1, ms(mi)._2); mi += 1 }
+        var n = 1L
+        var k = 0
+        while (k < s.length) { if (s.charAt(k) == graft.llm.Bpe.sepChar) n += 1; k += 1 }
+        total += n
+      }
+      i += 1
+    }
+    total
+  }
+  override protected def withNewChildInternal(c: Expression): BpeCount = copy(child = c)
+}
+
 object exprs {
+  def bpe_count(toks: Column, merges: Seq[String]): Column =
+    Bridge.column(BpeCount(Bridge.expression(toks), merges))
   def spectrum_seg(
       c: Column,
       win: Array[Double],

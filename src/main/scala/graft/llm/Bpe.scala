@@ -1,0 +1,163 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Byte-pair-encoding subword tokenization (Sennrich et al. 2016) —
+  * real token budgets for the packing/mixture arithmetic that
+  * `text_pack`/`sample_mix` consume (whitespace counts misestimate
+  * subword counts by 1.3–2× on natural text).
+  *
+  * Design for cross-engine parity: the merge table derives
+  * DETERMINISTICALLY from the corpus (top-`vocabLimit` words by
+  * (count DESC, word ASC), then `nMerges` rounds of
+  * most-frequent-adjacent-pair with (count DESC, pair ASC) tie-break),
+  * so the DuckDB oracle re-derives the identical table from the same
+  * parquet — the pqCodebooks first-k-vectors pattern. Training state is
+  * a sep-joined symbol string per word; a merge rewrites ALL
+  * occurrences via left-to-right non-overlapping `replace` (identical
+  * semantics in java.lang.String and DuckDB). Application replays the
+  * merges IN TRAINING ORDER (the learn-time rewrite semantics) — a
+  * fold of `nMerges` replaces, no recursion — via the row-local
+  * [[graft.functions.BpeCount]] expression on the Spark side and
+  * nested `replace()` in the oracle.
+  *
+  * Scale: training collects one BOUNDED word-frequency table
+  * (`vocabLimit` rows — TakeOrdered, never the corpus) and iterates
+  * driver-side over ≤ vocabLimit short strings; application is a pure
+  * projection off the scan (no shuffle), and the per-doc count
+  * aggregation is the only exchange. At 100 TB the merge table is a
+  * trained-once artifact shipped as literals — exactly how production
+  * tokenizers deploy their merges.txt.
+  */
+object Bpe {
+
+  val nMerges = 32
+  val vocabLimit = 512
+
+  /** Symbol separator inside training state: below any corpus
+    * character (text is split on U+0020 space, so tokens never contain
+    * it). U+001E is the never-matching sentinel standing in for a merge
+    * when a degenerate corpus runs out of pairs.
+    */
+  val sep = "\u001F"
+  val sepChar = '\u001F'
+  val nope = "\u001E"
+
+  /** Deterministic BPE trainer over a (word, freq) table. Returns the
+    * merge list as sep-joined pair strings, length exactly [[nMerges]]
+    * (padded with [[nope]] when a tiny corpus exhausts its pairs —
+    * mirroring the oracle's empty-best coalesce).
+    */
+  def train(words: Seq[(String, Long)]): Seq[String] = {
+    var st: Array[(String, Long)] = words.map { case (w, f) =>
+      val sb = new java.lang.StringBuilder(w.length * 2)
+      var ci = 0
+      while (ci < w.length) {
+        val cp = w.codePointAt(ci)
+        if (ci > 0) sb.append(sep)
+        sb.appendCodePoint(cp)
+        ci += Character.charCount(cp)
+      }
+      (sb.toString, f)
+    }.toArray
+    val merges = Seq.newBuilder[String]
+    for (_ <- 0 until nMerges) {
+      val pc = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((s, f) <- st) {
+        val syms = s.split(sepChar)
+        var i = 0
+        while (i < syms.length - 1) {
+          val p = syms(i) + sep + syms(i + 1)
+          pc.update(p, pc.getOrElse(p, 0L) + f)
+          i += 1
+        }
+      }
+      if (pc.isEmpty) merges += nope
+      else {
+        // (count DESC, pair ASC): sep < every corpus char, so comparing
+        // the joined pair string equals comparing the (l, r) tuple
+        val best = pc.toSeq.minBy { case (p, c) => (-c, p) }._1
+        merges += best
+        val m = best.replace(sep, "")
+        st = st.map { case (s, f) => (s.replace(best, m), f) }
+      }
+    }
+    merges.result()
+  }
+
+  /** Gate-config merges: trained on the dir's own documents through the
+    * deterministic (count DESC, word ASC) top-[[vocabLimit]] vocabulary
+    * — one bounded driver collect, the pqCodebooks shape.
+    */
+  def gateMerges(docs: DataFrame): Seq[String] = {
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok").asc)
+      .limit(vocabLimit)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    train(words.toSeq)
+  }
+
+  /** (doc_id, n_ws, n_bpe): whitespace-token and BPE-subword counts per
+    * document. n_bpe ≥ n_ws always (every word is ≥ 1 subword).
+    */
+  def tokensBpe(docs: DataFrame): DataFrame = {
+    val merges = gateMerges(docs)
+    docs.select(
+      col("doc_id"),
+      size(filter(split(col("text"), " "), t => t =!= "")).cast("bigint").as("n_ws"),
+      graft.functions.exprs.bpe_count(split(col("text"), " "), merges).as("n_bpe")
+    )
+  }
+
+  /** DuckDB twin: the full trainer as a chain of [[nMerges]] CTE stages
+    * (pair-count → argmax → replace-rewrite) and the application as
+    * nested replace() over every distinct word, joined back to the
+    * token stream.
+    */
+  val tokensBpeSql: String = {
+    val SEP = "chr(31)"
+    val NOPE = "chr(30)"
+    val parts = Seq.newBuilder[String]
+    parts += "toks AS MATERIALIZED (SELECT doc_id, u.tok AS tok FROM documents, " +
+      "unnest(string_split(text, ' ')) AS u(tok) WHERE u.tok <> '')"
+    parts += s"vocab AS MATERIALIZED (SELECT tok AS word, count(*) AS freq FROM toks " +
+      s"GROUP BY tok ORDER BY freq DESC, word ASC LIMIT $vocabLimit)"
+    parts += s"st0 AS MATERIALIZED (SELECT array_to_string(string_split(word, ''), $SEP) AS syms, freq FROM vocab)"
+    for (r <- 0 until nMerges) {
+      val l = s"string_split(syms, $SEP)"
+      val pairs = s"list_transform(generate_series(1, len($l) - 1), i -> $l[i] || $SEP || $l[i + 1])"
+      parts += s"pc$r AS (SELECT u.p AS p, sum(freq) AS c FROM st$r, unnest($pairs) AS u(p) GROUP BY u.p)"
+      parts += s"b$r AS MATERIALIZED (SELECT p, replace(p, $SEP, '') AS m FROM pc$r ORDER BY c DESC, p ASC LIMIT 1)"
+      if (r < nMerges - 1)
+        parts += s"st${r + 1} AS MATERIALIZED (SELECT replace(syms, coalesce((SELECT p FROM b$r), $NOPE), " +
+          s"coalesce((SELECT m FROM b$r), $NOPE)) AS syms, freq FROM st$r)"
+    }
+    var app = s"array_to_string(string_split(word, ''), $SEP)"
+    for (r <- 0 until nMerges)
+      app = s"replace($app, coalesce((SELECT p FROM b$r), $NOPE), coalesce((SELECT m FROM b$r), $NOPE))"
+    parts += s"app AS MATERIALIZED (SELECT word, len(string_split($app, $SEP)) AS n_sub " +
+      "FROM (SELECT DISTINCT tok AS word FROM toks))"
+    // CAST: DuckDB sum(BIGINT) yields HUGEINT → float64 in the row canon
+    parts += "agg AS (SELECT t.doc_id AS doc_id, count(*) AS n_ws, CAST(sum(a.n_sub) AS BIGINT) AS n_bpe " +
+      "FROM toks t JOIN app a ON t.tok = a.word GROUP BY t.doc_id)"
+    "WITH " + parts.result().mkString(", ") +
+      " SELECT d.doc_id AS doc_id, coalesce(g.n_ws, 0) AS n_ws, coalesce(g.n_bpe, 0) AS n_bpe " +
+      "FROM documents d LEFT JOIN agg g ON d.doc_id = g.doc_id"
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_tokens_bpe" -> { (s, dir) => tokensBpe(Tables.documents(s, dir)) }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "text_tokens_bpe" -> tokensBpeSql
+  )
+}

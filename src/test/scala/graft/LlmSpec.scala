@@ -264,6 +264,47 @@ class LlmSpec extends AnyFunSuite {
     assert(Dedup.jaccard(mixed).count() == 1)
   }
 
+  test("bpe: trainer learns frequency-ordered merges, counts contract correctly") {
+    import graft.llm.Bpe
+    // classic Sennrich-style corpus: 'lo' then 'low' dominate
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val merges = Bpe.train(words)
+    assert(merges.length == Bpe.nMerges)
+    val s = Bpe.sep
+    // most frequent pair: e-s (newest 6 + widest 3 = 9)
+    assert(merges.head == s"e${s}s", s"first merge ${merges.head.replace(s, "|")}")
+    // second: es-t (9) — a merged symbol merging again = true hierarchical BPE
+    assert(merges(1) == s"es${s}t", s"second merge ${merges(1).replace(s, "|")}")
+    // l-o (7) beats n-e / w-e (6) next
+    assert(merges(2) == s"l${s}o")
+    // applying the merges through the expression: "newest newest" → 2 tokens
+    // of [n,e,w,est] = wait: est forms, then n-e? count via DataFrame
+    val df = Seq((1L, "newest"), (2L, "low low"), (3L, ""), (4L, "zzz qqq")).toDF("doc_id", "text")
+    val out = df
+      .select(
+        col("doc_id"),
+        graft.functions.exprs.bpe_count(
+          org.apache.spark.sql.functions.split(col("text"), " "), merges).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // newest = n|e|w|est → ne|w|est (n-e rank among merges) or stays 4: either
+    // way strictly < 6 chars and >= 1
+    assert(out(1L) >= 1 && out(1L) < 6, s"newest compressed to ${out(1L)}")
+    assert(out(3L) == 0, "empty doc counts zero")
+    assert(out(4L) == 6, "unseen-pair words stay at character count")
+    // low appears in training: l-o-w → lo w or low; 2 words ≤ 2 tokens each
+    assert(out(2L) <= 4 && out(2L) >= 2)
+  }
+
+  test("bpe: degenerate corpora (single chars, empty) neither crash nor merge") {
+    import graft.llm.Bpe
+    val merges = Bpe.train(Seq(("a", 3L), ("b", 2L)))
+    assert(merges.forall(_ == Bpe.nope), "no adjacent pairs → all sentinel merges")
+    assert(Bpe.train(Seq.empty).length == Bpe.nMerges)
+    val docs = Seq((1L, "a b a"), (2L, "ab")).toDF("doc_id", "text")
+    val out = Bpe.tokensBpe(docs).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.forall { case (_, ws, bpe) => bpe >= ws })
+  }
+
   test("decontam with an empty benchmark side emits nothing") {
     val train = Seq((1L, "some words here")).toDF("doc_id", "text")
     val bench = Seq.empty[(Long, String)].toDF("doc_id", "text")
