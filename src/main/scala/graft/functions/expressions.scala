@@ -174,6 +174,36 @@ case class ShingleHashSet(child: Expression, w: Int, maxShingles: Int)
   override protected def withNewChildInternal(c: Expression): ShingleHashSet = copy(child = c)
 }
 
+/** Positional variant of [[ShingleHashSet]]: the xxhash64 of EVERY
+  * w-gram position (no dedup), index k ↔ the gram starting at token
+  * k+1. posexplode turns it into the (position, gram-hash) stream the
+  * span-removal coverage computation needs — one row-local projection,
+  * the token array never rides along the explode.
+  */
+case class ShingleHashes(child: Expression, w: Int, maxShingles: Int)
+    extends UnaryExpression
+    with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val last = math.min(toks.numElements() - w + 1, maxShingles)
+    if (last <= 0) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](last)
+    val sep = UTF8String.fromString(" ")
+    var i = 0
+    while (i < last) {
+      val parts = new Array[UTF8String](w)
+      var j = 0
+      while (j < w) { parts(j) = toks.getUTF8String(i + j); j += 1 }
+      val sh = UTF8String.concatWs(sep, parts: _*)
+      out(i) = XXH64.hashUnsafeBytes(sh.getBaseObject, sh.getBaseOffset, sh.numBytes, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+}
+
 /** 64-bit SimHash (Charikar) of a pre-split token array, row-locally:
   * per token OCCURRENCE, md5 → first 8 digest bytes MSB-first are the
   * 64 bit votes (±1); signature bit b set on positive majority. Emits
@@ -355,6 +385,8 @@ object exprs {
     Bridge.column(SqDistD(Bridge.expression(a), Bridge.expression(b)))
   def shingle_hash_set(toks: Column, w: Int, maxShingles: Int): Column =
     Bridge.column(ShingleHashSet(Bridge.expression(toks), w, maxShingles))
+  def shingle_hashes(toks: Column, w: Int, maxShingles: Int): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(toks), w, maxShingles))
   def simhash64(toks: Column, maxTokens: Int): Column =
     Bridge.column(SimHash64(Bridge.expression(toks), maxTokens))
   def minhash_sig(toks: Column, w: Int, maxShingles: Int, a: Array[Long], b: Array[Long]): Column =

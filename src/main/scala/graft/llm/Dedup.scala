@@ -466,6 +466,92 @@ object Dedup {
       "SELECT d.doc_id, count(*) AS n_dup_spans FROM dsh d JOIN shared s ON s.sh = d.sh GROUP BY d.doc_id"
   }
 
+  /** Duplicate-span REMOVAL — the actual Lee et al. 2022 output: each
+    * doc rewritten with every w-gram span shared with another doc
+    * excised, emitting (doc_id, n_removed, md5_clean). Overlapping
+    * spans merge via position coverage (union of [i, i+w-1] over dup
+    * gram starts), computed row-locally from the collected start list.
+    *
+    * Scale: position gram-hashes are a row-local [[graft.functions.ShingleHashes]]
+    * projection (the token array never rides the explode); the shared
+    * set is one (hash, distinct-doc-count) aggregation; the only wide
+    * join is position-rows ⋈ shared on a 64-bit hash. Start lists per
+    * doc are bounded by maxTokens; the rewrite itself is a row-local
+    * higher-order-function pass. Tokens are the non-empty split (the
+    * rewrite re-joins with single spaces on both engines).
+    */
+  def spanRemoval(docs: DataFrame, w: Int = 5): DataFrame = {
+    // t0 feeds the gram stream AND the final rewrite join — checkpoint
+    // before the fan-out (components() precedent) so the scan + token
+    // filter runs once
+    val t0 = docs
+      .select(col("doc_id"), filter(split(col("text"), " "), x => x =!= "").as("toks"))
+      .localCheckpoint()
+    val grams = t0
+      .select(
+        col("doc_id"),
+        posexplode(
+          graft.functions.exprs.shingle_hashes(col("toks"), w, TextStats.maxTokens)
+        ).as(Seq("p", "gh"))
+      )
+      .select(col("doc_id"), (col("p") + 1).as("i"), col("gh"))
+      .localCheckpoint()
+    val shared = grams
+      .select(col("doc_id"), col("gh"))
+      .distinct()
+      .groupBy(col("gh"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("gh"))
+    val covl = grams
+      .join(shared, Seq("gh"))
+      .select(col("doc_id"), col("i"))
+      .distinct()
+      // i ranges over ascending starts; sequence(i, i+w-1) ascends
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (w - 1))).as("j"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("j")).as("cl"), count(lit(1)).as("n_removed"))
+    t0.join(covl, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        md5(
+          when(size(col("toks")) === 0, lit("")).otherwise(
+            concat_ws(
+              " ",
+              transform(
+                filter(
+                  sequence(lit(1), size(col("toks"))),
+                  j => not(array_contains(coalesce(col("cl"), array().cast("array<int>")), j))
+                ),
+                j => element_at(col("toks"), j)
+              )
+            )
+          )
+        ).as("md5_clean")
+      )
+  }
+
+  def spanRemovalSql(w: Int = 5): String = {
+    val gram = (0 until w)
+      .map(k => if (k == 0) "toks[g.i]" else s"toks[g.i + $k]")
+      .mkString(" || ' ' || ")
+    s"WITH t0 AS MATERIALIZED (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents), " +
+      s"g AS MATERIALIZED (SELECT doc_id, g.i AS i, $gram AS sh FROM t0, " +
+      s"generate_series(1, ${TextStats.maxTokens}) g(i) WHERE g.i <= len(toks) - ${w - 1}), " +
+      "shared AS (SELECT sh FROM (SELECT sh, count(DISTINCT doc_id) AS nd FROM g GROUP BY sh) WHERE nd > 1), " +
+      "dp AS (SELECT DISTINCT doc_id, i FROM g JOIN shared USING (sh)), " +
+      s"cov AS (SELECT DISTINCT doc_id, u.j AS j FROM dp, unnest(generate_series(i, i + ${w - 1})) u(j)), " +
+      "covl AS (SELECT doc_id, list(j) AS cl, count(*) AS n_removed FROM cov GROUP BY doc_id), " +
+      // coalesce: DuckDB array_to_string([]) is NULL, Spark concat_ws is ''
+      "clean AS (SELECT t.doc_id AS doc_id, coalesce(c.n_removed, 0) AS n_removed, " +
+      "coalesce(array_to_string(list_transform(list_filter(generate_series(1, len(t.toks)), " +
+      "j -> NOT list_contains(coalesce(c.cl, []), j)), j -> t.toks[j]), ' '), '') AS cleaned " +
+      "FROM t0 t LEFT JOIN covl c USING (doc_id)) " +
+      "SELECT doc_id, n_removed, md5(cleaned) AS md5_clean FROM clean"
+  }
+
   /** Streaming exact dedup: first-arrival-wins per content hash with
     * O(1) state per distinct hash (the keeper's doc_id) — the stream
     * twin of [[queries]]' dedup_exact, usable unchanged on a readStream
@@ -553,6 +639,7 @@ object Dedup {
       components(docs.select(col("doc_id")), simhashPairs(docs).select(col("doc_a"), col("doc_b")))
     },
     "dedup_spans" -> { (s, dir) => dupSpans(Tables.documents(s, dir)) },
+    "dedup_span_removal" -> { (s, dir) => spanRemoval(Tables.documents(s, dir)) },
     "dedup_groups" -> { (s, dir) =>
       // the canonical MinHash dedup pipeline end to end in ONE query:
       // banded LSH candidates → shingle-Jaccard verification ≥ 0.7 →
@@ -578,6 +665,7 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_components" -> componentsSql,
     "dedup_spans" -> dupSpansSql(),
+    "dedup_span_removal" -> spanRemovalSql(),
     "dedup_groups" ->
       (s"WITH RECURSIVE $jaccardCtes, " +
         "vpairs AS MATERIALIZED (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.7e0), " +

@@ -264,6 +264,29 @@ class LlmSpec extends AnyFunSuite {
     assert(Dedup.jaccard(mixed).count() == 1)
   }
 
+  test("span removal excises shared 5-grams, merges overlaps, spares unique docs") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "z z a b c d e q q"),
+      (3L, "totally different words here none shared"),
+      (4L, ""),
+      (5L, "a b c d e f z z z") // overlapping shared grams: [a..e] and [b..f]
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .spanRemoval(corpus)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    def m(s: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc1 shares 'a b c d e' (doc2) and 'b c d e f' (doc5): cover 1..6 → 'g h'
+    assert(out(1L) == ((6L, m("g h"))), s"doc1 ${out(1L)}")
+    assert(out(2L) == ((5L, m("z z q q"))))
+    assert(out(3L) == ((0L, m("totally different words here none shared"))))
+    assert(out(4L) == ((0L, m(""))))
+    assert(out(5L) == ((6L, m("z z z"))))
+  }
+
   test("bpe: trainer learns frequency-ordered merges, counts contract correctly") {
     import graft.llm.Bpe
     // classic Sennrich-style corpus: 'lo' then 'low' dominate
