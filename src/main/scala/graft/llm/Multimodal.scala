@@ -343,6 +343,113 @@ object Multimodal {
       )
   }
 
+  /** 64-bit difference hash (dHash) per image through the REAL codec:
+    * PNG-decode, bilinear-resize to a 9×8 grayscale thumbnail, bit
+    * (r, c) = [px(r, c) > px(r, c+1)] packed as two 32-bit halves —
+    * the standard perceptual near-dup signature (row-local per image,
+    * a projection off the scan). The generator→PNG→decode path is
+    * lossless and the resize arithmetic is replayed term-for-term by
+    * the oracle, so a codec or resize regression breaks the hash.
+    */
+  def phash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, png) =>
+        val (w, h, gray) = decodePng(png)
+        val t = bilinearResize(gray, w, h, 9, 8)
+        def px(r: Int, c: Int): Int = t(r * 9 + c) & 0xff
+        var hi = 0L; var lo = 0L
+        var b = 0
+        while (b < 64) {
+          val r = b / 8; val c = b % 8
+          val bit = if (px(r, c) > px(r, c + 1)) 1L else 0L
+          if (b < 32) hi += bit << (31 - b) else lo += bit << (63 - b)
+          b += 1
+        }
+        (id, hi, lo)
+      })
+      .toDF("media_id", "ph_hi", "ph_lo")
+  }
+
+  /** Image near-dup pairs: band the dHash into 4×16-bit chunks,
+    * candidates = images sharing any chunk (equi-join; pigeonhole makes
+    * hamming ≤ 3 recall exact), verify popcount(xor) ≤ maxHamming —
+    * the dedup_simhash_pairs shape applied to the multimodal column.
+    * Never O(n²); identical thumbnails (e.g. exact-dup source docs)
+    * form hamming-0 cliques.
+    */
+  def phashPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val chunks = phash(media).select(
+      col("media_id"),
+      col("ph_hi"),
+      col("ph_lo"),
+      posexplode(
+        array(
+          shiftright(col("ph_hi"), 16),
+          col("ph_hi").bitwiseAND(lit(65535L)),
+          shiftright(col("ph_lo"), 16),
+          col("ph_lo").bitwiseAND(lit(65535L))
+        )
+      ).as(Seq("ci", "chunk"))
+    )
+    val a = chunks.select(
+      col("media_id").as("media_a"), col("ph_hi").as("hi_a"), col("ph_lo").as("lo_a"),
+      col("ci"), col("chunk"))
+    val b = chunks.select(
+      col("media_id").as("media_b"), col("ph_hi").as("hi_b"), col("ph_lo").as("lo_b"),
+      col("ci"), col("chunk"))
+    a.join(b, Seq("ci", "chunk"))
+      .filter(col("media_a") < col("media_b"))
+      .select(
+        col("media_a"),
+        col("media_b"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long").as("hamming")
+      )
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Oracle twin of [[phashPairs]]: the PNG raster is replayed from the
+    * generating text (lossless codec), the bilinear resize term-for-term
+    * in the same association order, round as floor(x+0.5) on both
+    * engines (Java Math.round; native round() half-cases differ —
+    * CLAUDE.md), then the simhash-style chunk/hamming chain.
+    */
+  val phashPairsSql: String = {
+    def pxAt(y: String, x: String) =
+      s"CAST(unicode(substr(text, CAST((($y) * w + ($x)) % len AS INT) + 1, 1)) % 256 AS DOUBLE)"
+    val interp =
+      s"(1.0e0 - fy) * ((1.0e0 - fx) * ${pxAt("y0", "x0")} + fx * ${pxAt("y0", "x1")}) + " +
+        s"fy * ((1.0e0 - fx) * ${pxAt("y1", "x0")} + fx * ${pxAt("y1", "x1")})"
+    "WITH d AS MATERIALIZED (SELECT doc_id, text, length(text) AS len, " +
+      "length(text) % 64 + 1 AS w, length(text) % 48 + 1 AS h FROM documents WHERE length(text) > 0), " +
+      "s1 AS (SELECT doc_id, text, len, w, h, gj.j AS j, gi.i AS i, " +
+      "(j + 0.5e0) * h / 8 - 0.5e0 AS sy, (i + 0.5e0) * w / 9 - 0.5e0 AS sx " +
+      "FROM d, generate_series(0, 7) gj(j), generate_series(0, 8) gi(i)), " +
+      "s2 AS (SELECT *, greatest(0, least(h - 1, CAST(floor(sy) AS INT))) AS y0, " +
+      "greatest(0, least(w - 1, CAST(floor(sx) AS INT))) AS x0 FROM s1), " +
+      "s3 AS (SELECT *, least(h - 1, y0 + 1) AS y1, least(w - 1, x0 + 1) AS x1, " +
+      "greatest(0.0e0, least(1.0e0, sy - y0)) AS fy, greatest(0.0e0, least(1.0e0, sx - x0)) AS fx FROM s2), " +
+      s"px AS MATERIALIZED (SELECT doc_id, j, i, CAST(greatest(0.0e0, least(255.0e0, floor(($interp) + 0.5e0))) AS BIGINT) AS v FROM s3), " +
+      "bits AS (SELECT a.doc_id AS doc_id, a.j * 8 + a.i AS b, CASE WHEN a.v > b2.v THEN 1 ELSE 0 END AS bit " +
+      "FROM px a JOIN px b2 ON b2.doc_id = a.doc_id AND b2.j = a.j AND b2.i = a.i + 1 WHERE a.i < 8), " +
+      "sig AS MATERIALIZED (SELECT doc_id, " +
+      "CAST(sum(CASE WHEN b < 32 THEN bit * CAST(power(2.0e0, 31 - b) AS BIGINT) ELSE 0 END) AS BIGINT) AS ph_hi, " +
+      "CAST(sum(CASE WHEN b >= 32 THEN bit * CAST(power(2.0e0, 63 - b) AS BIGINT) ELSE 0 END) AS BIGINT) AS ph_lo " +
+      "FROM bits GROUP BY doc_id), " +
+      "chunks AS MATERIALIZED (SELECT doc_id, g.ci AS ci, CASE g.ci WHEN 0 THEN ph_hi // 65536 WHEN 1 THEN ph_hi % 65536 " +
+      "WHEN 2 THEN ph_lo // 65536 ELSE ph_lo % 65536 END AS chunk FROM sig, generate_series(0, 3) g(ci)), " +
+      "cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b FROM chunks a " +
+      "JOIN chunks b ON a.ci = b.ci AND a.chunk = b.chunk AND a.doc_id < b.doc_id) " +
+      "SELECT media_a, media_b, hamming FROM (SELECT c.media_a, c.media_b, " +
+      "CAST(bit_count(xor(sa.ph_hi, sb.ph_hi)) + bit_count(xor(sa.ph_lo, sb.ph_lo)) AS BIGINT) AS hamming " +
+      "FROM cand c JOIN sig sa ON sa.doc_id = c.media_a JOIN sig sb ON sb.doc_id = c.media_b) WHERE hamming <= 3"
+  }
+
   /** Real resize: PNG-decode, bilinear-resample the raster, re-encode. */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
     val spark = media.sparkSession
@@ -376,7 +483,8 @@ object Multimodal {
     "mm_png_features" -> { (s, dir) => pngFeatures(pngMedia(s, dir)) },
     "mm_wav_features" -> { (s, dir) => wavFeatures(wavMedia(s, dir)) },
     "mm_wav_spec" -> { (s, dir) => wavSpectral(wavMedia(s, dir)) },
-    "mm_frames" -> { (s, dir) => frameSample(syntheticMedia(s, dir), everyK = 2) }
+    "mm_frames" -> { (s, dir) => frameSample(syntheticMedia(s, dir), everyK = 2) },
+    "mm_phash_pairs" -> { (s, dir) => phashPairs(pngMedia(s, dir)) }
   )
 
   /** The stub decode's per-byte stats ARE SQL-expressible here because
@@ -420,6 +528,7 @@ object Multimodal {
       ("WITH b AS (SELECT doc_id AS media_id, upper(hex(CAST(text AS BLOB))) AS hx " +
         "FROM documents WHERE length(text) = strlen(text)) " +
         "SELECT media_id, g.i AS frame_idx, substr(hx, CAST(g.i * 64 + 1 AS INT), 64) AS frame_hex " +
-        "FROM b, generate_series(0, 63) g(i) WHERE g.i % 2 = 0 AND g.i * 64 < length(hx)")
+        "FROM b, generate_series(0, 63) g(i) WHERE g.i % 2 = 0 AND g.i * 64 < length(hx)"),
+    "mm_phash_pairs" -> phashPairsSql
   )
 }

@@ -264,6 +264,36 @@ class LlmSpec extends AnyFunSuite {
     assert(Dedup.jaccard(mixed).count() == 1)
   }
 
+  test("phash pairs: identical thumbnails pair at hamming 0, recall matches brute force") {
+    import graft.llm.Multimodal
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(40 * 30)(rnd.nextInt(256).toByte)
+    val tweak = base.clone(); tweak(5) = ((base(5) & 0xff) ^ 4).toByte // sub-pixel nudge
+    val other = Array.fill(40 * 30)(rnd.nextInt(256).toByte)
+    val media = Seq(
+      (1L, Multimodal.encodePng(base, 40, 30)),
+      (2L, Multimodal.encodePng(base, 40, 30)),
+      (3L, Multimodal.encodePng(tweak, 40, 30)),
+      (4L, Multimodal.encodePng(other, 40, 30))
+    ).toDF("media_id", "payload")
+    val sigs = Multimodal.phash(media).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(sigs(1L) == sigs(2L), "identical images must hash identically")
+    val pairs = Multimodal.phashPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) == 0L)
+    // banding recall is pigeonhole-exact: every brute-force hamming<=3
+    // pair must appear, nothing above 3 may
+    val ids = sigs.keys.toSeq.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      hm = java.lang.Long.bitCount(sigs(a)._1 ^ sigs(b)._1) +
+        java.lang.Long.bitCount(sigs(a)._2 ^ sigs(b)._2)
+      if hm <= 3
+    } yield (a, b) -> hm.toLong).toMap
+    assert(pairs == brute, s"banding $pairs vs brute $brute")
+  }
+
   test("span removal excises shared 5-grams, merges overlaps, spares unique docs") {
     val corpus = Seq(
       (1L, "a b c d e f g h"),
