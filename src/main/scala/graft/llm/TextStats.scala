@@ -372,7 +372,95 @@ object TextStats {
       s"${graft.core.Dsp.round6Sql("sum(ln(ctf / ntok)) / count(*)")} AS avg_logprob " +
       "FROM tokens t JOIN tf USING (tok), tot GROUP BY doc_id"
 
+  /** Multi-class language ID via per-language character-trigram
+    * log-probability tables with add-one smoothing — the standard
+    * n-gram langid shape (Cavnar–Trenkle). Tables train from `train`'s
+    * own (text, lang) pairs as two tiny aggregations; scoring is the
+    * canonical broadcast-dim join: positional doc trigrams × languages,
+    * left-joined to the (lang, trigram) table, summed, argmax by the
+    * ROUNDED score (round6 before ranking on both engines — raw float
+    * argmax could flip on sub-ulp score gaps). Docs with no trigram
+    * emit ('unk', 0.0).
+    *
+    * The GATE corpus's lang column is metadata uncorrelated with its
+    * synthetic text (word distributions are statistically identical
+    * across langs — measured L1 ≈ 0.03), so the gate checks PARITY of
+    * the full train+score pipeline; discriminative power is asserted in
+    * LlmSpec on planted languages with disjoint alphabets (the
+    * IVF-isotropic-corpus precedent).
+    *
+    * Scale: trigram tables are bounded by langs × charset³ regardless
+    * of corpus size — genuinely broadcastable; the score join is
+    * map-side, the per-(doc, lang) sum is the one exchange.
+    */
+  val langidMaxChars = 256
+
+  private def charTrigrams(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("lang"), substring(col("text"), 1, langidMaxChars).as("s"))
+      .filter(length(col("s")) >= 3)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        explode(expr("transform(sequence(1, length(s) - 2), i -> substring(s, i, 3))")).as("t")
+      )
+
+  def langidNgram(docs: DataFrame, trainOpt: Option[DataFrame] = None): DataFrame = {
+    // one trigram pass feeds training AND scoring when they share the
+    // corpus — checkpoint before the fan-out (components() precedent)
+    val tri = charTrigrams(docs).localCheckpoint()
+    val triT = trainOpt.map(charTrigrams).getOrElse(tri)
+    val tf = triT.groupBy(col("lang"), col("t")).agg(count(lit(1)).as("c"))
+    val nl = triT.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val vv = triT.agg(countDistinct(col("t")).as("v"))
+    val sc = tri
+      .select(col("doc_id"), col("t"))
+      .crossJoin(broadcast(nl))
+      .crossJoin(broadcast(vv))
+      .join(broadcast(tf).withColumnRenamed("lang", "lang2").withColumnRenamed("t", "t2"),
+        col("lang") === col("lang2") && col("t") === col("t2"), "left")
+      .select(
+        col("doc_id"),
+        col("lang"),
+        log((coalesce(col("c"), lit(0L)) + 1).cast("double") / (col("n") + col("v")).cast("double")).as("lp")
+      )
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(graft.core.Dsp.round6(sum(col("lp"))).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("lang").asc)
+    val pred = sc
+      .select(col("doc_id"), col("lang"), col("score"), row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+    docs
+      .select(col("doc_id"))
+      .join(pred, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("lang"), lit("unk")).as("lang_pred"),
+        coalesce(col("score"), lit(0.0)).as("score")
+      )
+  }
+
+  val langidNgramSql: String = {
+    val r6 = (e: String) => graft.core.Dsp.round6Sql(e)
+    s"WITH base AS MATERIALIZED (SELECT doc_id, lang, substr(text, 1, $langidMaxChars) AS s " +
+      "FROM documents WHERE length(substr(text, 1, " + langidMaxChars + ")) >= 3), " +
+      s"tri AS MATERIALIZED (SELECT doc_id, lang, substr(s, CAST(g.i AS INT), 3) AS t " +
+      s"FROM base, generate_series(1, ${langidMaxChars - 2}) g(i) WHERE g.i <= length(s) - 2), " +
+      "tf AS MATERIALIZED (SELECT lang, t, count(*) AS c FROM tri GROUP BY lang, t), " +
+      "nl AS MATERIALIZED (SELECT lang, count(*) AS n FROM tri GROUP BY lang), " +
+      "vv AS MATERIALIZED (SELECT count(DISTINCT t) AS v FROM tri), " +
+      "sc AS (SELECT d.doc_id AS doc_id, l.lang AS lang, " +
+      r6("sum(ln(CAST(coalesce(f.c, 0) + 1 AS DOUBLE) / CAST(l.n + w.v AS DOUBLE)))") + " AS score " +
+      "FROM tri d CROSS JOIN nl l CROSS JOIN vv w " +
+      "LEFT JOIN tf f ON f.lang = l.lang AND f.t = d.t GROUP BY d.doc_id, l.lang), " +
+      "r AS (SELECT doc_id, lang, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn FROM sc) " +
+      "SELECT d.doc_id AS doc_id, coalesce(r.lang, 'unk') AS lang_pred, coalesce(r.score, 0.0) AS score " +
+      "FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id AND r.rn = 1"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_langid_ngram" -> { (s, dir) => langidNgram(Tables.documents(s, dir)) },
     "text_unigram_lp" -> { (s, dir) => unigramLogProb(Tables.documents(s, dir)) },
     "text_bigram_lp" -> { (s, dir) => bigramLogProb(Tables.documents(s, dir)) },
     "text_bm25" -> { (s, dir) => bm25(Tables.documents(s, dir)) },
@@ -432,6 +520,7 @@ object TextStats {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "text_langid_ngram" -> langidNgramSql,
     "text_bm25" -> bm25Sql(),
     "text_unigram_lp" -> unigramLogProbSql,
     "text_bigram_lp" -> bigramLogProbSql,

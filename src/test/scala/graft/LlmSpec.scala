@@ -264,6 +264,39 @@ class LlmSpec extends AnyFunSuite {
     assert(Dedup.jaccard(mixed).count() == 1)
   }
 
+  test("langid ngram: holdout accuracy >= 0.95 on planted languages") {
+    import graft.llm.TextStats
+    // three synthetic languages with distinct (overlapping) character
+    // inventories — the gate corpus's lang column carries no textual
+    // signal, so discriminative power is proven here (IVF precedent)
+    val rnd = new scala.util.Random(17)
+    val alphabets = Map(
+      "aa" -> "abcdeft",
+      "bb" -> "stuvwxt",
+      "cc" -> "mnopqrt"
+    )
+    def word(alpha: String) =
+      (0 until 3 + rnd.nextInt(4)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    def doc(alpha: String) = (0 until 20).map(_ => word(alpha)).mkString(" ")
+    val rows = (0 until 300).map { i =>
+      val lang = Seq("aa", "bb", "cc")(i % 3)
+      (i.toLong, doc(alphabets(lang)), lang)
+    }
+    val train = rows.filter(_._1 % 5 != 0).toDF("doc_id", "text", "lang")
+    val holdout = rows.filter(_._1 % 5 == 0)
+    // score the holdout against tables trained WITHOUT it; holdout rows
+    // get a dummy label so no truth can leak through the score join
+    val houtDf = holdout.map { case (id, t, _) => (id, t, "??") }.toDF("doc_id", "text", "lang")
+    val pred = TextStats
+      .langidNgram(houtDf, trainOpt = Some(train))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    val truth = holdout.map { case (id, _, l) => id -> l }.toMap
+    val acc = truth.count { case (id, l) => pred.get(id).contains(l) }.toDouble / truth.size
+    assert(acc >= 0.95, s"holdout accuracy $acc over ${truth.size} docs")
+  }
+
   test("phash pairs: identical thumbnails pair at hamming 0, recall matches brute force") {
     import graft.llm.Multimodal
     val rnd = new scala.util.Random(7)
