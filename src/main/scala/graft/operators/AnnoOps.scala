@@ -18,7 +18,7 @@ import graft.core.{Signal, Tables}
   */
 object AnnoOps {
 
-  private val strideMul = 4L
+  private[graft] val strideMul = 4L
   private val dur = 10L
   private val rankBucket = 4096L // ≤4096 ids per rank partition
 
@@ -28,7 +28,7 @@ object AnnoOps {
     * earlier buckets, combined arithmetically. The offset side is one
     * row per bucket — broadcast-joined, never a global sort.
     */
-  private def globalRank(df: DataFrame, idCol: String): DataFrame = {
+  private[graft] def globalRank(df: DataFrame, idCol: String): DataFrame = {
     val bucketed = df.withColumn("b", (col(idCol) / rankBucket).cast("bigint"))
     val wb = Window.partitionBy(col("b")).orderBy(col(idCol))
     val rn = bucketed.withColumn("rn", row_number().over(wb).cast("bigint"))

@@ -269,7 +269,7 @@ object IirOps {
   /** Recursive-CTE forward sosfilt over input CTE `inp(channel, n, v)`;
     * emits CTE `outName(channel, n, y)`. zi as unit-scale pairs or zeros.
     */
-  private def sosfiltCte(
+  private[graft] def sosfiltCte(
       sos: Array[Array[Double]],
       inp: String,
       outName: String,

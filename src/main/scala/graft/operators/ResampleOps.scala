@@ -161,7 +161,7 @@ object ResampleOps {
 
   // ---- oracle SQL twins (reuse FirOps expression rendering) ----
 
-  private def sameExprSql(h: Array[Double]): String = {
+  private[graft] def sameExprSql(h: Array[Double]): String = {
     val l = (h.length - 1) / 2
     h.zipWithIndex
       .map { case (c, k) =>

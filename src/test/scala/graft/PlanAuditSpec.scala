@@ -18,7 +18,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_ivf_topk", "sim_topk", "sim_pq_topk", "sim_ivfpq_topk",
     "dedup_semantic", // same ≤16-row centroid-assignment broadcast as sim_ivf
     "anno_mask", "epoch_extract", // globalRank's one-row-per-4096-ids offset self-join
-    "text_bm25", "text_unigram_lp", "sample_mix" // 1-row corpus-stats broadcast sides
+    "eeg_workflow", // epoching via globalRank — same offset self-join
+    "text_bm25", "text_unigram_lp", "sample_mix", // 1-row corpus-stats broadcast sides
+    "text_langid_ngram" // per-lang count + 1-row vocab-size broadcast sides
   )
 
   test("no gate query plans a cartesian product or global sort exchange") {
