@@ -74,6 +74,29 @@ object StreamOps {
     * while gaps stay under `gapNs`. Works on batch DataFrames (state
     * collapses to a per-key fold) and streams alike.
     */
+  /** Shared gap fold: thread this batch's sorted timestamps through the
+    * open session, emitting closed sessions as (user, start, last, n).
+    */
+  private def foldGaps(
+      user: Long,
+      open0: Option[(Long, Long, Int)],
+      ts: Array[Long],
+      gapNs: Long
+  ): (Seq[(Long, Long, Long, Int)], Option[(Long, Long, Int)]) = {
+    var open = open0
+    val closed = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Int)]()
+    for (t <- ts) {
+      open = open match {
+        case Some((start, last, n)) if t - last <= gapNs => Some((start, t, n + 1))
+        case Some((start, last, n)) =>
+          closed += ((user, start, last, n))
+          Some((t, t, 1))
+        case None => Some((t, t, 1))
+      }
+    }
+    (closed.toSeq, open)
+  }
+
   def sessionize(events: DataFrame, gapNs: Long = 30L * 60 * 1000000000L, emitOpen: Boolean = true): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -90,18 +113,7 @@ object StreamOps {
         OutputMode.Append,
         GroupStateTimeout.NoTimeout
       ) { (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long, Int)]) =>
-        val ts = rows.map(_._2).toArray.sorted
-        var open = state.getOption
-        val closed = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Int)]()
-        for (t <- ts) {
-          open = open match {
-            case Some((start, last, n)) if t - last <= gapNs => Some((start, t, n + 1))
-            case Some((start, last, n)) =>
-              closed += ((user, start, last, n))
-              Some((t, t, 1))
-            case None => Some((t, t, 1))
-          }
-        }
+        val (closed, open) = foldGaps(user, state.getOption, rows.map(_._2).toArray.sorted, gapNs)
         open.foreach(state.update)
         // batch mode sees all data at once: the trailing open session is
         // final, emit it; a true stream would hold it for the next batch
@@ -109,6 +121,47 @@ object StreamOps {
           if (emitOpen) open.map { case (s, l, n) => (user, s, l, n) }.iterator
           else Iterator.empty
         closed.iterator ++ tail
+      }
+      .toDF("user_id", "start_ns", "end_ns", "n_events")
+  }
+
+  /** Streaming sessionize with EVICTING state: same gap fold, but a
+    * user idle past (last event + gap) relative to the watermark has
+    * their open session closed-and-emitted via EventTimeTimeout and the
+    * state row REMOVED — bounded state over unbounded key cardinality,
+    * which the batch twin's NoTimeout variant never needs (it sees all
+    * data at once). Without this, an unbounded user population grows
+    * the state store forever even though each row is O(1).
+    */
+  def sessionizeStream(events: DataFrame, gapNs: Long = 30L * 60 * 1000000000L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      // integral ns→µs (CLAUDE.md rule) for the event-time watermark
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts_ns"), col("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Int), (Long, Long, Long, Int)](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout
+      ) { (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)], state: GroupState[(Long, Long, Int)]) =>
+        if (state.hasTimedOut) {
+          // watermark passed last+gap: no future on-time event can
+          // extend this session — finalize it and free the state row
+          val out = state.getOption.map { case (s, l, n) => (user, s, l, n) }.iterator
+          state.remove()
+          out
+        } else {
+          val (closed, open) = foldGaps(user, state.getOption, rows.map(_._2).toArray.sorted, gapNs)
+          open.foreach { st =>
+            state.update(st)
+            state.setTimeoutTimestamp(st._2 / 1000000L + gapNs / 1000000L) // epoch ms
+          }
+          closed.iterator
+        }
       }
       .toDF("user_id", "start_ns", "end_ns", "n_events")
   }

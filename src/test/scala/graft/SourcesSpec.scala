@@ -224,6 +224,41 @@ class StreamSpec extends AnyFunSuite {
     assert(h0After.length == 1, "late event re-opened a closed window")
     assert(h0After(0).getLong(0) == 1 && h0After(0).getDouble(1) == 1.0, "late event leaked into hour-0")
   }
+
+  test("watermark evicts closed-window aggregation state across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double)]
+    val events = input.toDF().toDF("ts_ns", "event_type", "value")
+    val q = graft.streaming.StreamOps
+      .windowedAggStream(events)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("wm_gc_out")
+      .start()
+    val hour = 3600L * 1000000000L
+    // two state rows (types a, b) in hour 0; each later batch advances
+    // the watermark past the previous window, finalizing + evicting it
+    input.addData((1000000000L, "a", 1.0), (2000000000L, "b", 2.0))
+    q.processAllAvailable()
+    input.addData((3 * hour, "a", 3.0))
+    q.processAllAvailable()
+    input.addData((6 * hour, "a", 4.0))
+    q.processAllAvailable()
+    input.addData((9 * hour, "a", 5.0))
+    q.processAllAvailable()
+    val progs = q.recentProgress
+    q.stop()
+    val emitted = spark
+      .sql("SELECT event_type, n FROM wm_gc_out WHERE window.start = to_timestamp(0) ORDER BY event_type")
+      .collect()
+    assert(emitted.length == 2, s"hour-0 windows not finalized: ${emitted.length}")
+    val removed = progs.flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+    assert(removed > 0, "watermark never evicted window state")
+    val totals = progs.flatMap(_.stateOperators.map(_.numRowsTotal))
+    assert(totals.last < totals.max, s"window state not bounded: ${totals.toSeq}")
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
@@ -323,6 +358,49 @@ class SessionizeStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
     val got = spark.sql("SELECT * FROM sess_out ORDER BY start_ns").collect()
     assert(got.length == 1, s"want one closed session, got ${got.length}")
     assert(got(0).getLong(1) == 0L && got(0).getLong(2) == 10 * m && got(0).getInt(3) == 2)
+  }
+
+  test("sessionizeStream times out idle users and evicts their state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val m = 60L * 1000000000L // 1 minute in ns
+    val input = MemoryStream[(Long, Long)]
+    val events = input.toDF().toDF("ts_ns", "user_id")
+      .selectExpr("ts_ns", "user_id", "'e' AS event_type", "0.0 AS value")
+    val q = graft.streaming.StreamOps
+      .sessionizeStream(events)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sess_gc")
+      .start()
+    // two users open sessions; later batches advance the watermark past
+    // (last + gap) so EventTimeTimeout closes them and REMOVES state —
+    // the unbounded-key-cardinality guarantee the batch twin can't need.
+    // Times sit an hour off epoch zero: a ts equal to the initial
+    // watermark (0) is filtered as late before it reaches the fold.
+    val b = 60 * m
+    input.addData((b + 0 * m, 1L), (b + 10 * m, 1L), (b + 5 * m, 2L))
+    q.processAllAvailable()
+    input.addData((b + 120 * m, 3L)) // watermark b+110min > last+gap for users 1, 2
+    q.processAllAvailable()
+    input.addData((b + 240 * m, 4L)) // times out user 3
+    q.processAllAvailable()
+    input.addData((b + 360 * m, 5L)) // times out user 4
+    q.processAllAvailable()
+    val progs = q.recentProgress
+    q.stop()
+    val got = spark
+      .sql("SELECT user_id, start_ns, end_ns, n_events FROM sess_gc ORDER BY user_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.contains((1L, b, b + 10 * m, 2)), s"user 1 session not finalized: ${got.toSeq}")
+    assert(got.contains((2L, b + 5 * m, b + 5 * m, 1)), s"user 2 session not finalized: ${got.toSeq}")
+    assert(got.contains((3L, b + 120 * m, b + 120 * m, 1)), s"user 3 session not finalized: ${got.toSeq}")
+    val removed = progs.flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+    assert(removed >= 3, s"timeout never evicted session state (removed=$removed)")
+    val totals = progs.flatMap(_.stateOperators.map(_.numRowsTotal))
+    assert(totals.last < totals.max, s"session state not bounded: ${totals.toSeq}")
   }
 }
 
