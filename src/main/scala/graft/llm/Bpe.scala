@@ -117,12 +117,12 @@ object Bpe {
     )
   }
 
-  /** DuckDB twin: the full trainer as a chain of [[nMerges]] CTE stages
-    * (pair-count → argmax → replace-rewrite) and the application as
-    * nested replace() over every distinct word, joined back to the
-    * token stream.
+  /** DuckDB trainer + per-doc-count CTE chain, shared by every
+    * BPE-budgeted oracle: [[nMerges]] stages of pair-count → argmax →
+    * replace-rewrite, application as nested replace() over every
+    * distinct word, ending in `agg` = (doc_id, n_ws, n_bpe).
     */
-  val tokensBpeSql: String = {
+  private def bpeCtes: Seq[String] = {
     val SEP = "chr(31)"
     val NOPE = "chr(30)"
     val parts = Seq.newBuilder[String]
@@ -148,16 +148,64 @@ object Bpe {
     // CAST: DuckDB sum(BIGINT) yields HUGEINT → float64 in the row canon
     parts += "agg AS (SELECT t.doc_id AS doc_id, count(*) AS n_ws, CAST(sum(a.n_sub) AS BIGINT) AS n_bpe " +
       "FROM toks t JOIN app a ON t.tok = a.word GROUP BY t.doc_id)"
-    "WITH " + parts.result().mkString(", ") +
-      " SELECT d.doc_id AS doc_id, coalesce(g.n_ws, 0) AS n_ws, coalesce(g.n_bpe, 0) AS n_bpe " +
-      "FROM documents d LEFT JOIN agg g ON d.doc_id = g.doc_id"
+    parts.result()
   }
 
+  val tokensBpeSql: String =
+    "WITH " + bpeCtes.mkString(", ") +
+      " SELECT d.doc_id AS doc_id, coalesce(g.n_ws, 0) AS n_ws, coalesce(g.n_bpe, 0) AS n_bpe " +
+      "FROM documents d LEFT JOIN agg g ON d.doc_id = g.doc_id"
+
+  /** Sequence packing budgeted in REAL subword tokens — the text_pack
+    * arithmetic (8 salted streams, 256-token bins) with the document
+    * length measured by the trained BPE instead of whitespace words.
+    * This is the count a data loader actually packs by: whitespace
+    * budgeting under-fills bins by the subword inflation factor.
+    * Integer-only on top of the per-doc BPE count, so the only float
+    * surface is none; the merge-table projection adds no shuffle — the
+    * salt window is the one exchange (same shape as text_pack).
+    */
+  val packCap = 256
+  val packSalts = 8
+
+  def packBpe(docs: DataFrame, cap: Int = packCap, nSalts: Int = packSalts): DataFrame = {
+    val merges = gateMerges(docs)
+    val dl = least(
+      graft.functions.exprs.bpe_count(split(col("text"), " "), merges),
+      lit(TextStats.maxTokens)
+    ).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("salt"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs
+      .select(col("doc_id"), (col("doc_id") % nSalts).as("salt"), dl.as("dl"))
+      .select(col("doc_id"), col("salt"), col("dl"), (sum(col("dl")).over(w) - col("dl")).as("start"))
+      .select(
+        col("doc_id"),
+        col("salt"),
+        col("dl").as("n_tok"),
+        expr(s"start div $cap").as("bin_id"),
+        (col("start") % cap).as("bin_offset")
+      )
+  }
+
+  def packBpeSql(cap: Int = packCap, nSalts: Int = packSalts): String =
+    "WITH " + bpeCtes.mkString(", ") +
+      s", d2 AS (SELECT d.doc_id AS doc_id, d.doc_id % $nSalts AS salt, " +
+      s"CAST(least(coalesce(g.n_bpe, 0), ${TextStats.maxTokens}) AS BIGINT) AS dl " +
+      "FROM documents d LEFT JOIN agg g ON d.doc_id = g.doc_id), " +
+      "s AS (SELECT doc_id, salt, dl, CAST(sum(dl) OVER (PARTITION BY salt ORDER BY doc_id " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - dl AS start FROM d2) " +
+      s"SELECT doc_id, salt, dl AS n_tok, start // $cap AS bin_id, start % $cap AS bin_offset FROM s"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_tokens_bpe" -> { (s, dir) => tokensBpe(Tables.documents(s, dir)) }
+    "text_tokens_bpe" -> { (s, dir) => tokensBpe(Tables.documents(s, dir)) },
+    "text_pack_bpe" -> { (s, dir) => packBpe(Tables.documents(s, dir)) }
   )
 
   def oracleSql: Map[String, String] = Map(
-    "text_tokens_bpe" -> tokensBpeSql
+    "text_tokens_bpe" -> tokensBpeSql,
+    "text_pack_bpe" -> packBpeSql()
   )
 }

@@ -413,6 +413,28 @@ class LlmSpec extends AnyFunSuite {
     assert(p.toSeq == Seq((0L, 0L, 0L), (8L, 0L, 100L), (16L, 0L, 200L), (24L, 1L, 44L)))
   }
 
+  test("BPE packing is gapless per salt and budgets more tokens than whitespace") {
+    import graft.llm.Bpe
+    val docs = graft.core.Tables.documents(spark, sf)
+    val p = Bpe.packBpe(docs).localCheckpoint()
+    // offsets live inside the bin
+    assert(p.filter(col("bin_offset") < 0 || col("bin_offset") >= Bpe.packCap).isEmpty)
+    // gapless: per salt, total packed tokens equal the last doc's start+len
+    val bad = p
+      .groupBy("salt")
+      .agg(
+        org.apache.spark.sql.functions.sum(col("n_tok")).as("total"),
+        org.apache.spark.sql.functions
+          .max(col("bin_id") * Bpe.packCap + col("bin_offset") + col("n_tok"))
+          .as("end")
+      )
+      .filter(col("total") =!= col("end"))
+    assert(bad.isEmpty, "packing left a gap inside a salt stream")
+    // the BPE budget dominates the whitespace budget on every doc
+    val ws = graft.llm.TextStats.pack(docs).select(col("doc_id"), col("n_tok").as("n_ws"))
+    assert(p.join(ws, "doc_id").filter(col("n_tok") < col("n_ws")).isEmpty)
+  }
+
   test("semantic dedup flags near-identical cell-mates, spares the rest") {
     val rnd = new scala.util.Random(21)
     def unit(): Array[Float] = {
