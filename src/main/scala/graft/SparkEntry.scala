@@ -45,6 +45,7 @@ object SparkEntry {
       operators.AnnoOps.queries ++
       llm.TextStats.queries ++
       llm.Bpe.queries ++
+      llm.Dsir.queries ++
       llm.Dedup.queries ++
       llm.Similarity.queries ++
       llm.Multimodal.queries ++
@@ -68,6 +69,7 @@ object SparkEntry {
       operators.AnnoOps.oracleSql ++
       llm.TextStats.oracleSql ++
       llm.Bpe.oracleSql ++
+      llm.Dsir.oracleSql ++
       llm.Dedup.oracleSql ++
       llm.Similarity.oracleSql ++
       llm.Multimodal.oracleSql ++

@@ -435,6 +435,31 @@ class LlmSpec extends AnyFunSuite {
     assert(p.join(ws, "doc_id").filter(col("n_tok") < col("n_ws")).isEmpty)
   }
 
+  test("DSIR weights rank target-domain lookalikes above off-domain docs") {
+    import graft.llm.Dsir
+    val rnd = new scala.util.Random(33)
+    val aWords = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val bWords = Vector("uno", "dos", "tres", "cuatro", "cinco", "seis")
+    def doc(words: Vector[String]) =
+      (1 to 30).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    // target domain (src0) speaks vocabulary A; the raw pool (srcX)
+    // contains both A-like and B-like docs — DSIR must tilt toward A
+    val rows =
+      (0L until 20L).map(i => (i, doc(aWords), "en", Dsir.targetSource)) ++
+        (20L until 30L).map(i => (i, doc(aWords), "en", "srcX")) ++
+        (30L until 40L).map(i => (i, doc(bWords), "en", "srcX"))
+    val df = rows.toDF("doc_id", "text", "lang", "source")
+    val w = Dsir
+      .weights(df)
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(2))
+      .toMap
+    val aLike = (20L until 30L).map(w)
+    val bLike = (30L until 40L).map(w)
+    assert(aLike.min > bLike.max,
+      s"A-like raw docs must outrank B-like: min(A)=${aLike.min} max(B)=${bLike.max}")
+  }
+
   test("semantic dedup flags near-identical cell-mates, spares the rest") {
     val rnd = new scala.util.Random(21)
     def unit(): Array[Float] = {
