@@ -471,7 +471,91 @@ object TextStats {
       "FROM documents d LEFT JOIN r ON r.doc_id = d.doc_id AND r.rn = 1"
   }
 
+  /** The full Gopher quality rule set (Rae et al. 2021, Appendix A) as
+    * ONE row-local projection — word-count bounds, mean word length,
+    * symbol-to-word ratio, bullet/ellipsis line fractions, alphabetic
+    * word fraction, stop-word presence, and the conjunction `pass`.
+    * No shuffle, no UDF: the shape a 100 TB filter pass must have.
+    * Every ratio is round6'd and the flags compare on the ROUNDED
+    * values (artifact_mask precedent — a threshold can never straddle
+    * an engine ulp).
+    */
+  val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopher(docs: DataFrame): DataFrame = {
+    val r6 = graft.core.Dsp.round6 _
+    val toks = expr("filter(split(text, ' '), t -> t != '')")
+    val nw = size(toks).cast("long")
+    val sumLen = expr("aggregate(filter(split(text, ' '), t -> t != ''), CAST(0 AS BIGINT), (a, t) -> a + length(t))")
+    val nAlpha = expr("size(filter(filter(split(text, ' '), t -> t != ''), t -> t rlike '[A-Za-z]'))").cast("long")
+    val lines = expr("split(text, '\n')")
+    val nl = size(lines).cast("long")
+    val nBullet = expr("size(filter(split(text, '\n'), l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%'))").cast("long")
+    val nEllip = expr("size(filter(split(text, '\n'), l -> l LIKE '%...' OR l LIKE '%…'))").cast("long")
+    val nSym = ((length(col("text")) - length(regexp_replace(col("text"), "#", ""))) +
+      (length(col("text")) - length(regexp_replace(col("text"), "…", "")))).cast("long")
+    val nStop = gopherStops
+      .map(s => when(array_contains(toks, s), 1).otherwise(0))
+      .reduce(_ + _)
+      .cast("long")
+    val safe = (num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =>
+      r6(when(den > 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0)))
+    docs
+      .select(
+        col("doc_id"),
+        nw.as("n_words"),
+        safe(sumLen, nw).as("mean_word_len"),
+        safe(nSym, nw).as("symbol_ratio"),
+        safe(nAlpha, nw).as("alpha_frac"),
+        safe(nBullet, nl).as("bullet_frac"),
+        safe(nEllip, nl).as("ellipsis_frac"),
+        nStop.as("n_stopwords")
+      )
+      .withColumn(
+        "pass",
+        col("n_words") >= 50 && col("n_words") <= 100000 &&
+          col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+          col("symbol_ratio") <= 0.1 &&
+          col("alpha_frac") >= 0.8 &&
+          col("bullet_frac") <= 0.9 &&
+          col("ellipsis_frac") <= 0.3 &&
+          col("n_stopwords") >= 2
+      )
+  }
+
+  val gopherSql: String = {
+    val r6 = (e: String) => graft.core.Dsp.round6Sql(e)
+    val NL = "chr(10)"
+    val toks = "list_filter(string_split(text, ' '), t -> t <> '')"
+    val stops = gopherStops
+      .map(s => s"CASE WHEN list_contains($toks, '$s') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    def safe(num: String, den: String) =
+      r6(s"CASE WHEN $den > 0 THEN CAST($num AS DOUBLE) / CAST($den AS DOUBLE) ELSE 0.0 END")
+    "WITH b AS (SELECT doc_id, " +
+      s"CAST(len($toks) AS BIGINT) AS n_words, " +
+      s"CAST(coalesce(list_sum(list_transform($toks, t -> length(t))), 0) AS BIGINT) AS sum_len, " +
+      s"CAST(len(list_filter($toks, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha, " +
+      s"CAST(len(string_split(text, $NL)) AS BIGINT) AS n_lines, " +
+      s"CAST(len(list_filter(string_split(text, $NL), l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) AS BIGINT) AS n_bullet, " +
+      s"CAST(len(list_filter(string_split(text, $NL), l -> l LIKE '%...' OR l LIKE '%…')) AS BIGINT) AS n_ellip, " +
+      "CAST((length(text) - length(replace(text, '#', ''))) + (length(text) - length(replace(text, '…', ''))) AS BIGINT) AS n_sym, " +
+      s"CAST($stops AS BIGINT) AS n_stopwords FROM documents), " +
+      "r AS (SELECT doc_id, n_words, " +
+      safe("sum_len", "n_words") + " AS mean_word_len, " +
+      safe("n_sym", "n_words") + " AS symbol_ratio, " +
+      safe("n_alpha", "n_words") + " AS alpha_frac, " +
+      safe("n_bullet", "n_lines") + " AS bullet_frac, " +
+      safe("n_ellip", "n_lines") + " AS ellipsis_frac, " +
+      "n_stopwords FROM b) " +
+      "SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_frac, bullet_frac, ellipsis_frac, n_stopwords, " +
+      "(n_words >= 50 AND n_words <= 100000 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 " +
+      "AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3 " +
+      "AND n_stopwords >= 2) AS pass FROM r"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_gopher" -> { (s, dir) => gopher(Tables.documents(s, dir)) },
     "text_langid_ngram" -> { (s, dir) => langidNgram(Tables.documents(s, dir)) },
     "text_unigram_lp" -> { (s, dir) => unigramLogProb(Tables.documents(s, dir)) },
     "text_bigram_lp" -> { (s, dir) => bigramLogProb(Tables.documents(s, dir)) },
@@ -532,6 +616,7 @@ object TextStats {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "text_gopher" -> gopherSql,
     "text_langid_ngram" -> langidNgramSql,
     "text_bm25" -> bm25Sql(),
     "text_unigram_lp" -> unigramLogProbSql,

@@ -435,6 +435,26 @@ class LlmSpec extends AnyFunSuite {
     assert(p.join(ws, "doc_id").filter(col("n_tok") < col("n_ws")).isEmpty)
   }
 
+  test("gopher rules: each published screen fires on its designed offender") {
+    val good = ((1 to 60).map(i => s"word$i") ++ Seq("the", "and", "of")).mkString(" ")
+    val docs = Seq(
+      (1L, good), // passes everything
+      (2L, "the and of tiny"), // word count < 50
+      (3L, good.replace(" ", " # ")), // symbol ratio > 0.1
+      (4L, (1 to 60).map(_ => "zzz").mkString(" ")), // no stopwords
+      (5L, ((1 to 60).map(i => s"- w$i\n").mkString + "the and of")), // bullet lines
+      (6L, ((1 to 60).map(i => s"w$i...\n").mkString + "the and of")), // ellipsis lines
+      (7L, ((1 to 60).map(_ => "1234") ++ Seq("the", "and")).mkString(" ")) // alpha frac < 0.8
+    ).toDF("doc_id", "text")
+    val out = graft.llm.TextStats
+      .gopher(docs)
+      .collect()
+      .map(r => r.getLong(0) -> r.getBoolean(8))
+      .toMap
+    assert(out(1L), s"clean doc must pass: $out")
+    Seq(2L, 3L, 4L, 5L, 6L, 7L).foreach(id => assert(!out(id), s"doc $id should fail: $out"))
+  }
+
   test("DSIR weights rank target-domain lookalikes above off-domain docs") {
     import graft.llm.Dsir
     val rnd = new scala.util.Random(33)
