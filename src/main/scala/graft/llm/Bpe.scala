@@ -199,13 +199,68 @@ object Bpe {
       "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - dl AS start FROM d2) " +
       s"SELECT doc_id, salt, dl AS n_tok, start // $cap AS bin_id, start % $cap AS bin_offset FROM s"
 
+  /** Temperature mixture weights budgeted in REAL subword tokens: the
+    * sample_mix per-source deterministic sampling, but n^α is computed
+    * over the SUM OF BPE TOKENS of the kept docs, not the doc count —
+    * the quantity a trainer's sampler actually normalizes by (doc-count
+    * weighting over-weights short-doc sources by their length skew).
+    * Same scale shape as sample_mix: one corpus aggregation, a bounded
+    * per-source table, the 1-row normalizer broadcast back.
+    */
+  def mixBpe(docs: DataFrame, alpha: Double = 0.7): DataFrame = {
+    val merges = gateMerges(docs)
+    val h1000 = conv(
+      substring(md5(concat(col("doc_id").cast("string"), lit(":"), col("source"))), 1, 8),
+      16,
+      10
+    ).cast("long") % 1000
+    val rate = when(col("source") === "src0", 900)
+      .when(col("source") === "src1", 500)
+      .when(col("source") === "src2", 250)
+      .otherwise(100)
+    val nBpe = graft.functions.exprs.bpe_count(split(col("text"), " "), merges)
+    val perSource = docs
+      .select(col("source"), (h1000 < rate).as("kept"), nBpe.as("nb"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("nb")).otherwise(0L)).as("tok_kept")
+      )
+    val tot = perSource
+      .agg(sum(pow(col("tok_kept"), alpha)).as("wsum"))
+      .withColumn("k", lit(1))
+    perSource
+      .withColumn("k", lit(1))
+      .join(broadcast(tot), Seq("k"))
+      .select(
+        col("source"),
+        col("n_kept"),
+        col("tok_kept"),
+        graft.core.Dsp.round6(pow(col("tok_kept"), alpha) / col("wsum")).as("mix_weight")
+      )
+  }
+
+  def mixBpeSql(alpha: Double = 0.7): String = {
+    val h = "CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.source), 1, 8)) AS BIGINT) % 1000"
+    val rate = "CASE d.source WHEN 'src0' THEN 900 WHEN 'src1' THEN 500 WHEN 'src2' THEN 250 ELSE 100 END"
+    val a = graft.core.Dsp.lit(alpha)
+    "WITH " + bpeCtes.mkString(", ") +
+      s", k AS (SELECT d.source AS source, CAST(sum(CASE WHEN $h < $rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+      s"CAST(sum(CASE WHEN $h < $rate THEN coalesce(g.n_bpe, 0) ELSE 0 END) AS BIGINT) AS tok_kept " +
+      "FROM documents d LEFT JOIN agg g ON d.doc_id = g.doc_id GROUP BY d.source) " +
+      "SELECT source, n_kept, tok_kept, " +
+      s"${graft.core.Dsp.round6Sql(s"pow(tok_kept, $a) / sum(pow(tok_kept, $a)) OVER ()")} AS mix_weight FROM k"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens_bpe" -> { (s, dir) => tokensBpe(Tables.documents(s, dir)) },
-    "text_pack_bpe" -> { (s, dir) => packBpe(Tables.documents(s, dir)) }
+    "text_pack_bpe" -> { (s, dir) => packBpe(Tables.documents(s, dir)) },
+    "sample_mix_bpe" -> { (s, dir) => mixBpe(Tables.documents(s, dir)) }
   )
 
   def oracleSql: Map[String, String] = Map(
     "text_tokens_bpe" -> tokensBpeSql,
-    "text_pack_bpe" -> packBpeSql()
+    "text_pack_bpe" -> packBpeSql(),
+    "sample_mix_bpe" -> mixBpeSql()
   )
 }
