@@ -266,7 +266,46 @@ object Curation {
       "ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || source) ASC, doc_id ASC) AS rk " +
       s"FROM documents) WHERE rk <= $k"
 
+  /** C4-style line-level cleaning (Raffel et al. 2020 §2.2) as one
+    * row-local projection: keep only lines that end in terminal
+    * punctuation, have ≥ 3 words, and don't mention javascript; flag
+    * the whole page when it contains "lorem ipsum" or "{" or keeps
+    * fewer than 3 lines. Emits the cleaned text's md5 (the
+    * dedup_span_removal convention — a rewrite regression breaks the
+    * hash) plus the line counts. No shuffle, no UDF.
+    */
+  def c4Clean(docs: DataFrame): DataFrame = {
+    val lines = "split(text, '\n')"
+    val kept = s"filter($lines, l -> (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%\"') " +
+      "AND size(filter(split(l, ' '), t -> t != '')) >= 3 " +
+      "AND NOT contains(lower(l), 'javascript'))"
+    docs.select(
+      col("doc_id"),
+      expr(s"size($lines)").cast("long").as("n_lines"),
+      expr(s"size($kept)").cast("long").as("n_kept"),
+      md5(expr(s"concat_ws('\n', $kept)")).as("md5_clean"),
+      (expr("contains(lower(text), 'lorem ipsum')") ||
+        expr("contains(text, '{')") ||
+        expr(s"size($kept)") < 3).as("drop_page")
+    )
+  }
+
+  val c4CleanSql: String = {
+    val NL = "chr(10)"
+    val lines = s"string_split(text, $NL)"
+    val kept = s"list_filter($lines, l -> (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%\"') " +
+      "AND len(list_filter(string_split(l, ' '), t -> t <> '')) >= 3 " +
+      "AND NOT contains(lower(l), 'javascript'))"
+    // coalesce: DuckDB array_to_string of an empty list is NULL where
+    // Spark concat_ws is '' (dedup_span_removal precedent)
+    s"SELECT doc_id, CAST(len($lines) AS BIGINT) AS n_lines, CAST(len($kept) AS BIGINT) AS n_kept, " +
+      s"md5(coalesce(array_to_string($kept, $NL), '')) AS md5_clean, " +
+      s"(contains(lower(text), 'lorem ipsum') OR contains(text, '{') OR len($kept) < 3) AS drop_page " +
+      "FROM documents"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_c4_clean" -> { (s, dir) => c4Clean(Tables.documents(s, dir)) },
     "sample_mix" -> { (s, dir) => sampleMix(Tables.documents(s, dir)) },
     "sample_stratified" -> { (s, dir) => sampleStratified(Tables.documents(s, dir)) },
     "corpus_stats" -> { (s, dir) => corpusStats(Tables.documents(s, dir)) },
@@ -326,6 +365,7 @@ object Curation {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "text_c4_clean" -> c4CleanSql,
     "sample_mix" -> sampleMixSql(),
     "sample_stratified" -> sampleStratifiedSql(),
     "corpus_stats" -> corpusStatsSql,

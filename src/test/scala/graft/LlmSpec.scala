@@ -435,6 +435,31 @@ class LlmSpec extends AnyFunSuite {
     assert(p.join(ws, "doc_id").filter(col("n_tok") < col("n_ws")).isEmpty)
   }
 
+  test("c4 cleaning keeps terminal-punctuation lines and flags boilerplate pages") {
+    val docs = Seq(
+      (1L, "this line stays here.\nno punct line\nshort.\nenable javascript now please.\nanother good line stays!"),
+      (2L, "lorem ipsum dolor sit amet.\nsecond good line here.\nthird good line here.\nfourth good line here."),
+      (3L, "only one good line survives here.\nbad\nbad")
+    ).toDF("doc_id", "text")
+    val out = graft.llm.Curation
+      .c4Clean(docs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(4))))
+      .toMap
+    // doc 1: 5 lines; keeps the 2 well-formed ones ("short." has <3
+    // words, the javascript line is banned); <3 kept → page dropped
+    assert(out(1L) == ((5L, 2L, true)), s"doc 1: ${out(1L)}")
+    // doc 2: all 4 lines keep, but lorem ipsum flags the page
+    assert(out(2L) == ((4L, 4L, true)), s"doc 2: ${out(2L)}")
+    // doc 3: 1 kept line of 3 → dropped for page length
+    assert(out(3L) == ((3L, 1L, true)), s"doc 3: ${out(3L)}")
+    // and a page that passes: three good lines, no boilerplate
+    val ok = Seq((9L, "first good line is here.\nsecond good line too!\nthird good line as well?"))
+      .toDF("doc_id", "text")
+    val okRow = graft.llm.Curation.c4Clean(ok).collect()(0)
+    assert(okRow.getLong(2) == 3L && !okRow.getBoolean(4), s"clean page flagged: $okRow")
+  }
+
   test("gopher rules: each published screen fires on its designed offender") {
     val good = ((1 to 60).map(i => s"word$i") ++ Seq("the", "and", "of")).mkString(" ")
     val docs = Seq(
