@@ -290,7 +290,9 @@ object Curation {
     )
   }
 
-  val c4CleanSql: String = {
+  val c4CleanSql: String = c4CleanSqlFrom("documents")
+
+  def c4CleanSqlFrom(table: String): String = {
     val NL = "chr(10)"
     val lines = s"string_split(text, $NL)"
     val kept = s"list_filter($lines, l -> (l LIKE '%.' OR l LIKE '%!' OR l LIKE '%?' OR l LIKE '%\"') " +
@@ -301,10 +303,81 @@ object Curation {
     s"SELECT doc_id, CAST(len($lines) AS BIGINT) AS n_lines, CAST(len($kept) AS BIGINT) AS n_kept, " +
       s"md5(coalesce(array_to_string($kept, $NL), '')) AS md5_clean, " +
       s"(contains(lower(text), 'lorem ipsum') OR contains(text, '{') OR len($kept) < 3) AS drop_page " +
-      "FROM documents"
+      s"FROM $table"
   }
 
+  /** The round-7 operators composed end-to-end: quality gate →
+    * exact-dedup keepers → DSIR importance weights → per-source
+    * profile carrying the Gopher screen as a diagnostic column. The
+    * curate_full lesson applied to the LLM-selection stack — per-op
+    * gates prove pieces, this proves the composition.
+    *
+    * The per-source MEAN of round6-grid log-weights uses the
+    * integer-micro trick (eeg_workflow precedent): floor(lw·1e6+0.5)
+    * recovers each weight's exact micros, the bigint sum is
+    * order-independent, and one final division is deterministic on
+    * both engines — an avg(double) over grid values coin-flips
+    * exact-half roundings.
+    */
+  def curateLlm(docs: DataFrame, minQuality: Double = 0.45): DataFrame = {
+    // lazy checkpoint: the kept subtree feeds the DSIR gram stream
+    // (twice, via its train/score fan-out) and the final join
+    val kept = docs
+      .select(col("doc_id"), col("text"), col("source"), qualityScore.as("quality"))
+      .filter(col("quality") >= minQuality)
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("text"), col("source"))
+      .localCheckpoint(false)
+    val w = Dsir.weights(kept).select(col("doc_id"), col("log_weight"))
+    val gp = TextStats.gopher(docs).select(col("doc_id"), col("pass"))
+    kept
+      .join(w, Seq("doc_id"), "left")
+      .join(gp, Seq("doc_id"))
+      .select(
+        col("source"),
+        col("pass"),
+        floor(coalesce(col("log_weight"), lit(0.0)) * lit(1e6) + lit(0.5)).cast("long").as("m")
+      )
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_gopher_pass"),
+        sum(when(col("m") > 0, 1L).otherwise(0L)).as("n_target_leaning"),
+        sum(col("m")).as("sm")
+      )
+      .select(
+        col("source"),
+        col("n_kept"),
+        col("n_gopher_pass"),
+        col("n_target_leaning"),
+        Dsp.round6(col("sm").cast("double") / (col("n_kept").cast("double") * lit(1e6)))
+          .as("avg_log_weight")
+      )
+  }
+
+  def curateLlmSql(minQuality: Double = 0.45): String =
+    "WITH base AS (SELECT doc_id, text, source, CAST(length(text) AS DOUBLE) AS n_chars, " +
+      "CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok, " +
+      "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digit, " +
+      "CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct FROM documents), " +
+      s"q AS (SELECT doc_id, text, source FROM base WHERE $qualitySql >= ${Dsp.lit(minQuality)}), " +
+      "k AS MATERIALIZED (SELECT doc_id, text, source FROM " +
+      "(SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM q) WHERE doc_id = keep_id), " +
+      Dsir.weightsCtes("k") + ", " +
+      s"w AS (SELECT doc_id, ${Dsp.round6Sql("sum(lr)")} AS log_weight FROM gr JOIN tab USING (b) GROUP BY doc_id), " +
+      s"gop AS MATERIALIZED (${TextStats.gopherSqlFrom("documents")}), " +
+      "kk AS (SELECT k.source AS source, g2.pass AS pass, " +
+      "CAST(floor(coalesce(w.log_weight, 0.0) * 1.0e6 + 0.5e0) AS BIGINT) AS m " +
+      "FROM k LEFT JOIN w ON w.doc_id = k.doc_id JOIN gop g2 ON g2.doc_id = k.doc_id) " +
+      "SELECT source, count(*) AS n_kept, " +
+      "CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_gopher_pass, " +
+      "CAST(sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_target_leaning, " +
+      s"${Dsp.round6Sql("CAST(sum(m) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1.0e6)")} AS avg_log_weight " +
+      "FROM kk GROUP BY source"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_llm" -> { (s, dir) => curateLlm(Tables.documents(s, dir)) },
     "text_c4_clean" -> { (s, dir) => c4Clean(Tables.documents(s, dir)) },
     "sample_mix" -> { (s, dir) => sampleMix(Tables.documents(s, dir)) },
     "sample_stratified" -> { (s, dir) => sampleStratified(Tables.documents(s, dir)) },
@@ -365,6 +438,7 @@ object Curation {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "curate_llm" -> curateLlmSql(),
     "text_c4_clean" -> c4CleanSql,
     "sample_mix" -> sampleMixSql(),
     "sample_stratified" -> sampleStratifiedSql(),

@@ -76,8 +76,12 @@ object Dsir {
       )
   }
 
-  val weightsSql: String =
-    "WITH tl AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents), " +
+  val weightsSql: String = "WITH " + weightsCtes("documents") + " " + weightsSelect
+
+  /** CTE chain (tl/gr/c/t/tab) computing the weight table from `table`;
+    * compose with [[weightsSelect]] or embed in a larger oracle. */
+  def weightsCtes(table: String): String =
+    s"tl AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM $table), " +
       "gr AS MATERIALIZED (SELECT doc_id, source, " +
       "CAST(concat('0x', substr(md5(list_extract(toks, g.i) || ' ' || list_extract(toks, g.i + 1)), 1, 8)) AS BIGINT) " +
       s"% $nBuckets AS b " +
@@ -86,8 +90,10 @@ object Dsir {
       s"CAST(sum(CASE WHEN source = '$targetSource' THEN 1 ELSE 0 END) AS BIGINT) AS ct FROM gr GROUP BY b), " +
       "t AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt FROM c), " +
       s"tab AS (SELECT b, ln(CAST(ct + 1 AS DOUBLE) / CAST(nt + $nBuckets AS DOUBLE)) - " +
-      s"ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + $nBuckets AS DOUBLE)) AS lr FROM c, t) " +
-      "SELECT doc_id, count(*) AS n_grams, " +
+      s"ln(CAST(cr + 1 AS DOUBLE) / CAST(nr + $nBuckets AS DOUBLE)) AS lr FROM c, t)"
+
+  val weightsSelect: String =
+    "SELECT doc_id, count(*) AS n_grams, " +
       s"${graft.core.Dsp.round6Sql("sum(lr)")} AS log_weight " +
       "FROM gr JOIN tab USING (b) GROUP BY doc_id"
 

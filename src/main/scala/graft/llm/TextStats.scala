@@ -523,7 +523,9 @@ object TextStats {
       )
   }
 
-  val gopherSql: String = {
+  val gopherSql: String = gopherSqlFrom("documents")
+
+  def gopherSqlFrom(table: String): String = {
     val r6 = (e: String) => graft.core.Dsp.round6Sql(e)
     val NL = "chr(10)"
     val toks = "list_filter(string_split(text, ' '), t -> t <> '')"
@@ -540,7 +542,7 @@ object TextStats {
       s"CAST(len(list_filter(string_split(text, $NL), l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) AS BIGINT) AS n_bullet, " +
       s"CAST(len(list_filter(string_split(text, $NL), l -> l LIKE '%...' OR l LIKE '%…')) AS BIGINT) AS n_ellip, " +
       "CAST((length(text) - length(replace(text, '#', ''))) + (length(text) - length(replace(text, '…', ''))) AS BIGINT) AS n_sym, " +
-      s"CAST($stops AS BIGINT) AS n_stopwords FROM documents), " +
+      s"CAST($stops AS BIGINT) AS n_stopwords FROM $table), " +
       "r AS (SELECT doc_id, n_words, " +
       safe("sum_len", "n_words") + " AS mean_word_len, " +
       safe("n_sym", "n_words") + " AS symbol_ratio, " +

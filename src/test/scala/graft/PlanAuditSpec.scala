@@ -19,7 +19,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "dedup_semantic", // same ≤16-row centroid-assignment broadcast as sim_ivf
     "anno_mask", "epoch_extract", // globalRank's one-row-per-4096-ids offset self-join
     "eeg_workflow", // epoching via globalRank — same offset self-join
-    "text_bm25", "text_unigram_lp", "sample_mix", "sample_mix_bpe", "sample_dsir", // 1-row corpus-stats broadcast sides
+    "text_bm25", "text_unigram_lp", "sample_mix", "sample_mix_bpe", "sample_dsir", "curate_llm", // 1-row corpus-stats broadcast sides
     "text_langid_ngram" // per-lang count + 1-row vocab-size broadcast sides
   )
 
