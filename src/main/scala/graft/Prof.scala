@@ -99,7 +99,9 @@ object Prof {
     val docsX = sys.env.getOrElse("PROF_DOCS", "0").toInt
     if (docsX > 0) {
       val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-      val base = graft.core.Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      val base = graft.core.Tables
+        .documents(spark, sfDir)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
       // replicas get disjoint ids and perturbed text (distinct content
       // hashes) so dedup work scales with the corpus, not degenerate
       // all-duplicates
@@ -107,7 +109,9 @@ object Prof {
         .map(i =>
           base.select(
             (col("doc_id") + lit(i * 10000000L)).as("doc_id"),
-            concat(col("text"), lit(s" replica$i")).as("text")
+            concat(col("text"), lit(s" replica$i")).as("text"),
+            col("lang"),
+            col("source")
           )
         )
         .reduce(_ union _)
@@ -123,6 +127,12 @@ object Prof {
       t(s"docs${docsX}_components", nDocs) {
         llm.Dedup.components(docs.select(col("doc_id")), llm.Dedup.simhashPairs(docs)).count()
       }
+      // round-7 selection stack: all must stay row-local/one-shuffle
+      t(s"docs${docsX}_gopher", nDocs)(llm.TextStats.gopher(docs).count())
+      t(s"docs${docsX}_c4_clean", nDocs)(llm.Curation.c4Clean(docs).count())
+      t(s"docs${docsX}_dsir", nDocs)(llm.Dsir.weights(docs).count())
+      t(s"docs${docsX}_langid_ngram", nDocs)(llm.TextStats.langidNgram(docs).count())
+      t(s"docs${docsX}_tokens_bpe", nDocs)(llm.Bpe.tokensBpe(docs).count())
       docs.unpersist()
       ()
     }
