@@ -306,6 +306,51 @@ object Api {
   def curateFull(docs: DataFrame, minQuality: Double = 0.45): DataFrame =
     llm.Curation.curateFull(docs, minQuality)
 
+  /** The Gopher quality rule set (Rae et al. 2021) — per-doc screens +
+    * the conjunction `pass`, one row-local projection.
+    */
+  def gopherRules(docs: DataFrame): DataFrame = llm.TextStats.gopher(docs)
+
+  /** C4 line-level cleaning: kept-line counts, cleaned-text md5 and
+    * the page-drop flag.
+    */
+  def c4Clean(docs: DataFrame): DataFrame = llm.Curation.c4Clean(docs)
+
+  /** DSIR importance weights (Xie et al. 2023): per-doc
+    * log p_target − log p_raw under hashed-bigram models.
+    */
+  def dsirWeights(docs: DataFrame): DataFrame = llm.Dsir.weights(docs)
+
+  /** Multi-class char-trigram language ID, optionally with a separate
+    * training corpus.
+    */
+  def langId(docs: DataFrame, train: Option[DataFrame] = None): DataFrame =
+    llm.TextStats.langidNgram(docs, train)
+
+  /** BPE subword machinery: deterministic trainer, per-doc counts,
+    * token-budgeted packing, token-mass mixture weights.
+    */
+  def bpeMerges(docs: DataFrame): Seq[String] = llm.Bpe.gateMerges(docs)
+  def tokensBpe(docs: DataFrame): DataFrame = llm.Bpe.tokensBpe(docs)
+  def packDocsBpe(docs: DataFrame): DataFrame = llm.Bpe.packBpe(docs)
+  def mixWeightsBpe(docs: DataFrame, alpha: Double = 0.7): DataFrame =
+    llm.Bpe.mixBpe(docs, alpha)
+
+  /** Duplicate-span removal (Lee et al. 2022): excise cross-doc
+    * duplicate w-gram spans, emit removal counts + cleaned md5.
+    */
+  def removeDupSpans(docs: DataFrame): DataFrame = llm.Dedup.spanRemoval(docs)
+
+  /** Image perceptual-hash near-dup pairs through the PNG codec. */
+  def phashPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    llm.Multimodal.phashPairs(media, maxHamming)
+
+  /** Quality → exact dedup → DSIR weights → per-source selection
+    * profile (the LLM-selection composition).
+    */
+  def curateLlm(docs: DataFrame, minQuality: Double = 0.45): DataFrame =
+    llm.Curation.curateLlm(docs, minQuality)
+
   /** Multimodal: real PNG/WAV decode-feature passes + bilinear resize. */
   def pngFeatures(media: DataFrame): DataFrame = llm.Multimodal.pngFeatures(media)
 
@@ -318,4 +363,11 @@ object Api {
 
   def sessionize(events: DataFrame, gapNs: Long = 30L * 60 * 1000000000L): DataFrame =
     streaming.StreamOps.sessionize(events, gapNs)
+
+  /** Streaming sessionize whose idle users are finalized via
+    * EventTimeTimeout and REMOVED from the state store — bounded state
+    * over unbounded key cardinality.
+    */
+  def sessionizeStream(events: DataFrame, gapNs: Long = 30L * 60 * 1000000000L): DataFrame =
+    streaming.StreamOps.sessionizeStream(events, gapNs)
 }

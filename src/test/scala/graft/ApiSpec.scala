@@ -39,6 +39,21 @@ class ApiSpec extends AnyFunSuite {
       operators.IirOps.butterLp.map(_.toSeq).toSeq)
   }
 
+  test("round-7 selection facade endpoints run end to end") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    assert(Api.gopherRules(docs).columns.last == "pass")
+    assert(Api.gopherRules(docs).count() == docs.count())
+    assert(Api.c4Clean(docs).count() == docs.count())
+    assert(Api.dsirWeights(docs).count() > 0)
+    assert(Api.langId(docs).count() == docs.count())
+    assert(Api.bpeMerges(docs).length == graft.llm.Bpe.nMerges)
+    assert(Api.tokensBpe(docs).count() == docs.count())
+    assert(Api.packDocsBpe(docs).count() == docs.count())
+    assert(Api.mixWeightsBpe(docs).count() > 0)
+    assert(Api.removeDupSpans(docs).count() == docs.count())
+    assert(Api.curateLlm(docs).count() > 0)
+  }
+
   test("IIR band facade mirrors 2-element reference specs") {
     assert(Api.ButterBand(Seq(10, 20), Seq(5, 30), 100).sos.map(_.toSeq).toSeq ==
       operators.IirOps.butterBp.map(_.toSeq).toSeq)
