@@ -52,6 +52,7 @@ object SparkEntry {
       llm.Curation.queries ++
       pipeline.PipelineOps.queries ++
       sources.EdfOps.queries ++
+      sources.JsonlOps.queries ++
       streaming.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -76,6 +77,7 @@ object SparkEntry {
       llm.Curation.oracleSql ++
       pipeline.PipelineOps.oracleSql ++
       sources.EdfOps.oracleSql ++
+      sources.JsonlOps.oracleSql ++
       streaming.StreamOps.oracleSql
 }
 

@@ -332,6 +332,30 @@ class MultimodalSpec extends AnyFunSuite {
   }
 }
 
+class JsonlSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("JSONL round-trip preserves hostile strings exactly") {
+    val rows = Seq(
+      (1L, "plain text", "en", "s0", 10L),
+      (2L, "quote \" backslash \\ tab \t newline \n done", "en", "s0", 40L),
+      (3L, "unicode é中文 emoji 😀 nul-adjacent ", "zh", "s1", 30L),
+      (4L, "", "en", "s1", 0L),
+      (5L, "{\"looks\": \"like json\"}", "en", "s2", 22L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val tmp = graft.sources.Scratch.dir("jsonl_spec")
+    val back = graft.sources.JsonlOps.roundtrip(rows, tmp)
+    val a = rows.orderBy("doc_id").collect().map(_.toSeq)
+    val b = back.orderBy("doc_id").collect().map(_.toSeq)
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"roundtrip mutated: $x vs $y") }
+    // the written files are actually gzip part files
+    val files = new java.io.File(tmp).listFiles().map(_.getName)
+    assert(files.exists(_.endsWith(".json.gz")), files.toSeq.toString)
+  }
+}
+
 class SessionizeStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
   import TestSpark._
   import spark.implicits._
