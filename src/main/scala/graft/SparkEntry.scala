@@ -46,6 +46,7 @@ object SparkEntry {
       llm.TextStats.queries ++
       llm.Bpe.queries ++
       llm.Dsir.queries ++
+      llm.Classifier.queries ++
       llm.Dedup.queries ++
       llm.Similarity.queries ++
       llm.Multimodal.queries ++
@@ -71,6 +72,7 @@ object SparkEntry {
       llm.TextStats.oracleSql ++
       llm.Bpe.oracleSql ++
       llm.Dsir.oracleSql ++
+      llm.Classifier.oracleSql ++
       llm.Dedup.oracleSql ++
       llm.Similarity.oracleSql ++
       llm.Multimodal.oracleSql ++

@@ -76,7 +76,10 @@ object Dsir {
       )
   }
 
-  val weightsSql: String = "WITH " + weightsCtes("documents") + " " + weightsSelect
+  // def, not val: weightsSelect is declared below — a val here would
+  // capture it as null during object initialization (found r7: the
+  // dumped oracle string ended in "null" and DuckDB refused to parse)
+  def weightsSql: String = "WITH " + weightsCtes("documents") + " " + weightsSelect
 
   /** CTE chain (tl/gr/c/t/tab) computing the weight table from `table`;
     * compose with [[weightsSelect]] or embed in a larger oracle. */

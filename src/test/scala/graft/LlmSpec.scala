@@ -505,6 +505,32 @@ class LlmSpec extends AnyFunSuite {
       s"A-like raw docs must outrank B-like: min(A)=${aLike.min} max(B)=${bLike.max}")
   }
 
+  test("quality classifier learns the target slice and ranks lookalikes above off-domain") {
+    import graft.llm.Classifier
+    val rnd = new scala.util.Random(47)
+    val aWords = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    val bWords = Vector("uno", "dos", "tres", "cuatro", "cinco", "seis")
+    def doc(words: Vector[String]) =
+      (1 to 30).map(_ => words(rnd.nextInt(words.size))).mkString(" ")
+    // positives (src0) speak vocabulary A; the raw pool is half A-like,
+    // half B-like — the classifier must score A-like docs higher
+    val rows =
+      (0L until 20L).map(i => (i, doc(aWords), "en", Classifier.targetSource)) ++
+        (20L until 30L).map(i => (i, doc(aWords), "en", "srcX")) ++
+        (30L until 40L).map(i => (i, doc(bWords), "en", "srcX"))
+    val out = Classifier
+      .scores(rows.toDF("doc_id", "text", "lang", "source"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(2))
+      .toMap
+    val aLike = (20L until 30L).map(out)
+    val bLike = (30L until 40L).map(out)
+    assert(aLike.min > bLike.max,
+      s"A-like raw docs must outscore B-like: min(A)=${aLike.min} max(B)=${bLike.max}")
+    // the trained boundary actually separates the planted vocabularies
+    assert((0L until 20L).map(out).min > bLike.max, "target slice must outscore off-domain")
+  }
+
   test("semantic dedup flags near-identical cell-mates, spares the rest") {
     val rnd = new scala.util.Random(21)
     def unit(): Array[Float] = {
