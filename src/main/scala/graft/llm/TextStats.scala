@@ -556,7 +556,68 @@ object TextStats {
       "AND n_stopwords >= 2) AS pass FROM r"
   }
 
+  /** PII redaction (emails / NANP phones / IPv4) — the scrub pass a
+    * public-web corpus runs before training. Patterns avoid backslash
+    * escapes entirely, so ONE pattern string parses identically under
+    * Java regex (Spark) and RE2 (DuckDB). Wholly row-local: counts +
+    * sequential replace in a single projection, no shuffle. The test
+    * corpus is synthetic and PII-free, so the gate query PLANTS
+    * deterministic PII derived from doc_id (the mm_* generator
+    * precedent) and scrubs it; the oracle replays plant and scrub.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+  val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val ipRe = "[0-9]+[.][0-9]+[.][0-9]+[.][0-9]+"
+
+  /** (doc_id, n_emails, n_phones, n_ips, redacted) over a (doc_id, text) input. */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(col("text"), lit(ipRe), lit(0))).cast("long").as("n_ips"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col("text"), lit(emailRe), lit("<EMAIL>")),
+          lit(phoneRe),
+          lit("<PHONE>")
+        ),
+        lit(ipRe),
+        lit("<IP>")
+      ).as("redacted")
+    )
+
+  /** Deterministic PII planting: identical expression text on both
+    * engines (DuckDB accepts STRING as a VARCHAR alias). */
+  private val piiPlant: String =
+    "concat(text, " +
+      "CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', CAST(doc_id AS STRING), '@mail.example.com now') ELSE '' END, " +
+      "CASE WHEN doc_id % 5 = 0 THEN concat(' call ', CAST(doc_id % 900 + 100 AS STRING), '-555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'), ' soon') ELSE '' END, " +
+      "CASE WHEN doc_id % 7 = 0 THEN concat(' host 10.', CAST(doc_id % 256 AS STRING), '.0.', CAST(doc_id % 100 AS STRING), ' up') ELSE '' END)"
+
+  def pii(docs: DataFrame): DataFrame =
+    piiScrub(docs.select(col("doc_id"), expr(piiPlant).as("text")))
+      .select(
+        col("doc_id"),
+        col("n_emails"),
+        col("n_phones"),
+        col("n_ips"),
+        md5(col("redacted")).as("md5_clean")
+      )
+
+  val piiSql: String = {
+    def rep(s: String, re: String, r: String) = s"regexp_replace($s, '$re', '$r', 'g')"
+    val red = rep(rep(rep("text", emailRe, "<EMAIL>"), phoneRe, "<PHONE>"), ipRe, "<IP>")
+    s"WITH aug AS (SELECT doc_id, $piiPlant AS text FROM documents) " +
+      "SELECT doc_id, " +
+      s"CAST(len(regexp_extract_all(text, '$emailRe')) AS BIGINT) AS n_emails, " +
+      s"CAST(len(regexp_extract_all(text, '$phoneRe')) AS BIGINT) AS n_phones, " +
+      s"CAST(len(regexp_extract_all(text, '$ipRe')) AS BIGINT) AS n_ips, " +
+      s"md5($red) AS md5_clean FROM aug"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_pii" -> { (s, dir) => pii(Tables.documents(s, dir)) },
     "text_gopher" -> { (s, dir) => gopher(Tables.documents(s, dir)) },
     "text_langid_ngram" -> { (s, dir) => langidNgram(Tables.documents(s, dir)) },
     "text_unigram_lp" -> { (s, dir) => unigramLogProb(Tables.documents(s, dir)) },
@@ -618,6 +679,7 @@ object TextStats {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "text_pii" -> piiSql,
     "text_gopher" -> gopherSql,
     "text_langid_ngram" -> langidNgramSql,
     "text_bm25" -> bm25Sql(),

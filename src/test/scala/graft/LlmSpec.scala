@@ -505,6 +505,30 @@ class LlmSpec extends AnyFunSuite {
       s"A-like raw docs must outrank B-like: min(A)=${aLike.min} max(B)=${bLike.max}")
   }
 
+  test("PII scrub counts and redacts emails, phones, IPs; leaves clean text alone") {
+    import graft.llm.TextStats
+    val rows = Seq(
+      (1L, "mail a.b-c_d%x+1@sub.example.org and z@y.co end"), // two emails
+      (2L, "call 213-555-0042 or 800-555-1234 now"), // two phones
+      (3L, "hosts 10.0.0.1 and 192.168.255.254 up"), // two IPs
+      (4L, "all three: u@example.com 213-555-0042 10.0.0.1"),
+      (5L, "nothing to scrub here, not even v1.2 or a-b"),
+      (6L, "tricky: almost@an@email 123-45-6789 1.2.3") // none should match
+    ).toDF("doc_id", "text")
+    val out = TextStats
+      .piiScrub(rows)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(out(1L)._1 == 2 && out(1L)._4 == "mail <EMAIL> and <EMAIL> end")
+    assert(out(2L)._2 == 2 && out(2L)._4 == "call <PHONE> or <PHONE> now")
+    assert(out(3L)._3 == 2 && out(3L)._4 == "hosts <IP> and <IP> up")
+    assert(out(4L) == ((1L, 1L, 1L, "all three: <EMAIL> <PHONE> <IP>")))
+    assert(out(5L) == ((0L, 0L, 0L, "nothing to scrub here, not even v1.2 or a-b")))
+    // no dot-TLD after '@', SSN shape isn't a phone, 3 octets isn't an IP
+    assert(out(6L) == ((0L, 0L, 0L, "tricky: almost@an@email 123-45-6789 1.2.3")))
+  }
+
   test("quality classifier learns the target slice and ranks lookalikes above off-domain") {
     import graft.llm.Classifier
     val rnd = new scala.util.Random(47)
