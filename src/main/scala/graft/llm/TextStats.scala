@@ -354,15 +354,79 @@ object TextStats {
       )
   }
 
-  val bigramLogProbSql: String =
-    "WITH tl AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+  /** CTE chain (tl/bg/bc/fc/blp) ending in per-doc (doc_id, n_bigrams,
+    * avg_logprob); compose with a final select ([[bigramLogProbSql]])
+    * or embed in a larger oracle ([[ccnetSql]]). */
+  def bigramLogProbCtes(table: String): String =
+    s"tl AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $table), " +
       s"bg AS MATERIALIZED (SELECT doc_id, list_extract(toks, g.i) || ' ' || list_extract(toks, g.i + 1) AS bg " +
       s"FROM tl, generate_series(1, $maxTokens) g(i) WHERE len(toks) >= 2 AND g.i <= len(toks) - 1), " +
       "bc AS MATERIALIZED (SELECT bg, count(*) AS n_ab FROM bg GROUP BY bg), " +
-      "fc AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS n_a FROM bg GROUP BY 1) " +
-      "SELECT doc_id, count(*) AS n_bigrams, " +
+      "fc AS (SELECT split_part(bg, ' ', 1) AS w1, count(*) AS n_a FROM bg GROUP BY 1), " +
+      "blp AS MATERIALIZED (SELECT doc_id, count(*) AS n_bigrams, " +
       s"${graft.core.Dsp.round6Sql("sum(ln(n_ab / n_a)) / count(*)")} AS avg_logprob " +
-      "FROM bg b JOIN bc USING (bg) JOIN fc ON fc.w1 = split_part(b.bg, ' ', 1) GROUP BY doc_id"
+      "FROM bg b JOIN bc USING (bg) JOIN fc ON fc.w1 = split_part(b.bg, ' ', 1) GROUP BY doc_id)"
+
+  val bigramLogProbSql: String =
+    "WITH " + bigramLogProbCtes("documents") +
+      " SELECT doc_id, n_bigrams, avg_logprob FROM blp"
+
+  /** CCNet-style perplexity bucketing (Wenzek et al., LREC 2020): rank
+    * every document by LM score WITHIN ITS LANGUAGE and split each
+    * language into head / middle / tail terciles — the standard cheap
+    * quality tiering a multilingual web corpus gets before training.
+    * The LM here is the corpus's own bigram table ([[bigramLogProb]];
+    * higher avg log-prob = lower perplexity = better).
+    *
+    * Bucketing is by SCORE CUTOFF, not per-doc rank: the per-lang
+    * (score, count) aggregate — bounded by distinct 6dp scores, far
+    * smaller than the corpus — gets a running count ordered score-DESC,
+    * and a score lands in head/middle/tail by whether the cumulative
+    * count BEFORE it is under n/3 or 2n/3 (integer arithmetic, exact on
+    * both engines; ties share a bucket exactly as CCNet's value
+    * cutoffs do). At 100 TB this is the deployable shape: cutoffs come
+    * from an aggregate sized by score cardinality, bucketing is a
+    * row-local compare after an equi-join — never a corpus-wide sort.
+    */
+  def ccnet(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // fan-out rule: scored feeds both the cutoff aggregate and the
+    // final join — checkpoint so the bigram chain runs once
+    val scored = bigramLogProb(docs)
+      .select(col("doc_id"), col("avg_logprob"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .localCheckpoint(true)
+    val ag = scored
+      .groupBy(col("lang").as("lg"), col("avg_logprob").as("sc"))
+      .agg(count(lit(1)).as("c"))
+    val cum = sum(col("c")).over(Window.partitionBy(col("lg")).orderBy(col("sc").desc))
+    val n = sum(col("c")).over(Window.partitionBy(col("lg")))
+    val buckets = ag
+      .select(col("lg"), col("sc"), col("c"), cum.as("cum"), n.as("n"))
+      .select(
+        col("lg"),
+        col("sc"),
+        when(lit(3) * (col("cum") - col("c")) < col("n"), "head")
+          .when(lit(3) * (col("cum") - col("c")) < lit(2) * col("n"), "middle")
+          .otherwise("tail")
+          .as("ppl_bucket")
+      )
+    scored
+      .join(buckets, col("lang") === col("lg") && col("avg_logprob") === col("sc"))
+      .select(col("doc_id"), col("lang"), col("avg_logprob"), col("ppl_bucket"))
+  }
+
+  val ccnetSql: String =
+    "WITH " + bigramLogProbCtes("documents") + ", " +
+      "sl AS MATERIALIZED (SELECT d.doc_id, d.lang, b.avg_logprob FROM documents d JOIN blp b USING (doc_id)), " +
+      "ag AS MATERIALIZED (SELECT lang, avg_logprob AS sc, count(*) AS c FROM sl GROUP BY 1, 2), " +
+      "cw AS (SELECT lang, sc, c, " +
+      "sum(c) OVER (PARTITION BY lang ORDER BY sc DESC) AS cum, " +
+      "sum(c) OVER (PARTITION BY lang) AS n FROM ag), " +
+      "bk AS (SELECT lang, sc, CASE WHEN 3 * (cum - c) < n THEN 'head' " +
+      "WHEN 3 * (cum - c) < 2 * n THEN 'middle' ELSE 'tail' END AS ppl_bucket FROM cw) " +
+      "SELECT sl.doc_id, sl.lang, sl.avg_logprob, bk.ppl_bucket " +
+      "FROM sl JOIN bk ON bk.lang = sl.lang AND bk.sc = sl.avg_logprob"
 
   val unigramLogProbSql: String =
     s"WITH $tokensSql, " +
@@ -618,6 +682,7 @@ object TextStats {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pii" -> { (s, dir) => pii(Tables.documents(s, dir)) },
+    "sample_ccnet" -> { (s, dir) => ccnet(Tables.documents(s, dir)) },
     "text_gopher" -> { (s, dir) => gopher(Tables.documents(s, dir)) },
     "text_langid_ngram" -> { (s, dir) => langidNgram(Tables.documents(s, dir)) },
     "text_unigram_lp" -> { (s, dir) => unigramLogProb(Tables.documents(s, dir)) },
@@ -680,6 +745,7 @@ object TextStats {
 
   def oracleSql: Map[String, String] = Map(
     "text_pii" -> piiSql,
+    "sample_ccnet" -> ccnetSql,
     "text_gopher" -> gopherSql,
     "text_langid_ngram" -> langidNgramSql,
     "text_bm25" -> bm25Sql(),

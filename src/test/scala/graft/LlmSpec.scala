@@ -505,6 +505,26 @@ class LlmSpec extends AnyFunSuite {
       s"A-like raw docs must outrank B-like: min(A)=${aLike.min} max(B)=${bLike.max}")
   }
 
+  test("CCNet buckets split each language into ordered terciles") {
+    import graft.llm.TextStats
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    def doc() = (1 to 20).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val rows = (0L until 30L).map(i => (i, doc(), if (i % 2 == 0) "en" else "fr", "src"))
+    val out = TextStats
+      .ccnet(rows.toDF("doc_id", "text", "lang", "source"))
+      .collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getString(3)))
+    for (lang <- Seq("en", "fr")) {
+      val byBucket = out.filter(_._1 == lang).groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+      assert(byBucket.keySet == Set("head", "middle", "tail"), s"$lang buckets: ${byBucket.keySet}")
+      assert(byBucket("head").min >= byBucket("middle").max, s"$lang head/middle order")
+      assert(byBucket("middle").min >= byBucket("tail").max, s"$lang middle/tail order")
+      // 15 docs/lang → tercile sizes 5±ties
+      byBucket.values.foreach(v => assert(v.size >= 3 && v.size <= 7, s"$lang sizes: ${byBucket.view.mapValues(_.size).toMap}"))
+    }
+  }
+
   test("PII scrub counts and redacts emails, phones, IPs; leaves clean text alone") {
     import graft.llm.TextStats
     val rows = Seq(
