@@ -371,6 +371,100 @@ object TextStats {
     "WITH " + bigramLogProbCtes("documents") +
       " SELECT doc_id, n_bigrams, avg_logprob FROM blp"
 
+  /** The FULL Gopher repetition screen (Rae et al. 2021, App. A1) —
+    * the remaining two rule families [[repetition]] (n=2 only) and
+    * [[gopher]] (non-repetition rules) left uncovered: fraction of
+    * tokens inside occurrences of the most frequent n-gram for
+    * n = 2..4 (capped at 1 — overlapping occurrences can overcount),
+    * and the fraction of token positions covered by ANY n-gram that
+    * appears ≥2 times within the doc for n = 5..10 (overlaps counted
+    * once — the position-coverage union, token-level rather than the
+    * paper's characters). `pass` applies the published thresholds to
+    * the ROUNDED fractions (artifact_mask precedent; ratios over
+    * power-of-2 token counts land on exact 6dp halves, so Dsp.round6).
+    *
+    * Wholly per-doc: the 9-way n-gram stream is a projection (no
+    * checkpoint — cheap to recompute, the langid precedent), counts
+    * and coverage reduce per (doc, n) with map-side combine; the one
+    * data-sized exchange is the (doc, n, gram) aggregation. The ~9×
+    * token-volume constant is inherent to the published screen.
+    */
+  def repetitionFull(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), slice(split(col("text"), " "), 1, maxTokens).as("toks"))
+      .withColumn("nt", size(col("toks")))
+    val g = base
+      .select(col("doc_id"), col("nt"), col("toks"), explode(expr("sequence(2, 10)")).as("n"))
+      .filter(col("nt") >= col("n")) // BEFORE the index sequence (descending-sequence crash class)
+      .select(col("doc_id"), col("nt"), col("n"), col("toks"),
+        explode(expr("sequence(1, nt - n + 1)")).as("i"))
+      .select(col("doc_id"), col("nt"), col("n"), col("i"),
+        expr("concat_ws(' ', slice(toks, i, n))").as("gram"))
+    val c = g.groupBy(col("doc_id"), col("nt"), col("n"), col("gram")).agg(count(lit(1)).as("c"))
+    val topm = c
+      .filter(col("n") <= 4)
+      .groupBy(col("doc_id"), col("nt"), col("n"))
+      .agg(max(col("c")).as("mc"))
+      .select(col("doc_id"), col("n"),
+        graft.core.Dsp.round6(least(lit(1.0), (col("mc") * col("n")).cast("double") / col("nt"))).as("f"))
+    val dupm = g
+      .join(
+        c.filter(col("c") >= 2 && col("n") >= 5).select(col("doc_id"), col("n"), col("gram")),
+        Seq("doc_id", "n", "gram")
+      )
+      .select(col("doc_id"), col("nt"), col("n"), explode(expr("sequence(i, i + n - 1)")).as("p"))
+      .groupBy(col("doc_id"), col("nt"), col("n"))
+      .agg(countDistinct(col("p")).as("cov"))
+      .select(col("doc_id"), col("n"),
+        graft.core.Dsp.round6(col("cov").cast("double") / col("nt")).as("f"))
+    val metrics = topm.union(dupm)
+    val aggs = (2 to 4).map(n =>
+      coalesce(max(when(col("n") === n, col("f"))), lit(0.0)).as(s"frac_top_$n")) ++
+      (5 to 10).map(n =>
+        coalesce(max(when(col("n") === n, col("f"))), lit(0.0)).as(s"frac_dup_$n"))
+    base
+      .select(col("doc_id"), col("nt"))
+      .join(metrics, Seq("doc_id"), "left")
+      .groupBy(col("doc_id"), col("nt"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("pass", expr(repetitionPassExpr))
+  }
+
+  // ONE boolean expression string over the rounded fractions, parsed
+  // identically by both engines — the published App. A1 thresholds
+  private val repetitionPassExpr: String =
+    "(frac_top_2 <= 0.2e0 AND frac_top_3 <= 0.18e0 AND frac_top_4 <= 0.16e0 AND " +
+      "frac_dup_5 <= 0.15e0 AND frac_dup_6 <= 0.14e0 AND frac_dup_7 <= 0.13e0 AND " +
+      "frac_dup_8 <= 0.12e0 AND frac_dup_9 <= 0.11e0 AND frac_dup_10 <= 0.1e0)"
+
+  val repetitionFullSql: String = {
+    val r6 = (e: String) => graft.core.Dsp.round6Sql(e)
+    val tops = (2 to 4).map(n =>
+      s"coalesce(max(CASE WHEN n = $n THEN f END), 0.0e0) AS frac_top_$n").mkString(", ")
+    val dups = (5 to 10).map(n =>
+      s"coalesce(max(CASE WHEN n = $n THEN f END), 0.0e0) AS frac_dup_$n").mkString(", ")
+    s"WITH t AS (SELECT doc_id, list_slice(string_split(text, ' '), 1, $maxTokens) AS toks FROM documents), " +
+      "b AS (SELECT doc_id, toks, len(toks) AS nt FROM t), " +
+      "g AS MATERIALIZED (SELECT doc_id, nt, nn.n AS n, gi.i AS i, " +
+      "array_to_string(list_slice(toks, gi.i, gi.i + nn.n - 1), ' ') AS gram " +
+      "FROM b, (SELECT unnest(generate_series(2, 10)) AS n) nn, " +
+      s"generate_series(1, $maxTokens) gi(i) WHERE nt >= nn.n AND gi.i <= nt - nn.n + 1), " +
+      "c AS MATERIALIZED (SELECT doc_id, nt, n, gram, count(*) AS c FROM g GROUP BY doc_id, nt, n, gram), " +
+      "topm AS (SELECT doc_id, n, " +
+      r6("least(1.0e0, CAST(mc * n AS DOUBLE) / nt)") + " AS f " +
+      "FROM (SELECT doc_id, nt, n, max(c) AS mc FROM c WHERE n <= 4 GROUP BY doc_id, nt, n)), " +
+      "dpos AS (SELECT DISTINCT g.doc_id, g.nt, g.n, g.i + o.k AS p " +
+      "FROM g JOIN c ON c.doc_id = g.doc_id AND c.n = g.n AND c.gram = g.gram, " +
+      "generate_series(0, 9) o(k) WHERE c.c >= 2 AND g.n >= 5 AND o.k <= g.n - 1), " +
+      "dupm AS (SELECT doc_id, n, " + r6("CAST(count(*) AS DOUBLE) / nt") + " AS f " +
+      "FROM dpos GROUP BY doc_id, nt, n), " +
+      "m AS (SELECT * FROM topm UNION ALL SELECT * FROM dupm), " +
+      s"w AS (SELECT b.doc_id, b.nt, $tops, $dups " +
+      "FROM b LEFT JOIN m ON m.doc_id = b.doc_id GROUP BY b.doc_id, b.nt) " +
+      s"SELECT doc_id, nt, frac_top_2, frac_top_3, frac_top_4, frac_dup_5, frac_dup_6, " +
+      s"frac_dup_7, frac_dup_8, frac_dup_9, frac_dup_10, $repetitionPassExpr AS pass FROM w"
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al., LREC 2020): rank
     * every document by LM score WITHIN ITS LANGUAGE and split each
     * language into head / middle / tail terciles — the standard cheap
@@ -683,6 +777,7 @@ object TextStats {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_pii" -> { (s, dir) => pii(Tables.documents(s, dir)) },
     "sample_ccnet" -> { (s, dir) => ccnet(Tables.documents(s, dir)) },
+    "text_repetition_full" -> { (s, dir) => repetitionFull(Tables.documents(s, dir)) },
     "text_gopher" -> { (s, dir) => gopher(Tables.documents(s, dir)) },
     "text_langid_ngram" -> { (s, dir) => langidNgram(Tables.documents(s, dir)) },
     "text_unigram_lp" -> { (s, dir) => unigramLogProb(Tables.documents(s, dir)) },
@@ -746,6 +841,7 @@ object TextStats {
   def oracleSql: Map[String, String] = Map(
     "text_pii" -> piiSql,
     "sample_ccnet" -> ccnetSql,
+    "text_repetition_full" -> repetitionFullSql,
     "text_gopher" -> gopherSql,
     "text_langid_ngram" -> langidNgramSql,
     "text_bm25" -> bm25Sql(),

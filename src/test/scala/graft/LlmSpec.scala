@@ -505,6 +505,29 @@ class LlmSpec extends AnyFunSuite {
       s"A-like raw docs must outrank B-like: min(A)=${aLike.min} max(B)=${bLike.max}")
   }
 
+  test("full Gopher repetition screen: exact fractions on designed docs") {
+    import graft.llm.TextStats
+    val clean = (1 to 30).map(i => s"w$i").mkString(" ") // 30 distinct tokens
+    val dup5 = "p q r s t x p q r s t y" // 5-gram 'p q r s t' twice
+    val top2 = ("a b " * 10).trim // 'a b' dominates
+    val rows = Seq((1L, clean), (2L, dup5), (3L, top2)).toDF("doc_id", "text")
+    val out = TextStats
+      .repetitionFull(rows)
+      .collect()
+      .map(r => r.getLong(0) -> r.getValuesMap[Any](r.schema.fieldNames))
+      .toMap
+    // clean: top_n = n/30, no dup coverage, passes every threshold
+    assert(out(1L)("frac_top_2").asInstanceOf[Double] == 0.066667) // round6(2/30)
+    assert(out(1L)("frac_dup_5").asInstanceOf[Double] == 0.0)
+    assert(out(1L)("pass").asInstanceOf[Boolean])
+    // dup5: coverage = 10 of 12 positions
+    assert(out(2L)("frac_dup_5").asInstanceOf[Double] == 0.833333)
+    assert(!out(2L)("pass").asInstanceOf[Boolean])
+    // top2: 'a b' occurs 10x in 20 tokens → capped fraction 1.0
+    assert(out(3L)("frac_top_2").asInstanceOf[Double] == 1.0)
+    assert(!out(3L)("pass").asInstanceOf[Boolean])
+  }
+
   test("CCNet buckets split each language into ordered terciles") {
     import graft.llm.TextStats
     val rnd = new scala.util.Random(11)
