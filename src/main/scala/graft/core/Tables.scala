@@ -20,13 +20,26 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects by
-    * default; read nanos as epoch-nanos BIGINT (`ts_ns`). Works under any
-    * session (runtime conf, set before schema inference).
+  /** events.parquet's `ts` has shipped as TIMESTAMP(NANOS) in some corpus
+    * generations and TIMESTAMP(MICROS) in others; every operator consumes
+    * epoch-nanos BIGINT (`ts_ns`), so adapt on the observed schema:
+    *  - int64 (NANOS read via nanosAsLong): already epoch nanos.
+    *  - timestamp / timestamp_ntz (MICROS): epoch-micros × 1000 — exactly
+    *    DuckDB's `epoch_ns(ts)` view of the same parquet, so oracle parity
+    *    is preserved bit-for-bit. NTZ wall-clock is interpreted as UTC
+    *    (the session timezone is pinned to UTC), matching DuckDB's naive
+    *    TIMESTAMP semantics.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events").withColumnRenamed("ts", "ts_ns")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val df = table(spark, dir, "events")
+    val tsNs = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => col("ts")
+      case _ => unix_micros(col("ts").cast("timestamp")) * lit(1000L)
+    }
+    df.withColumn("ts", tsNs).withColumnRenamed("ts", "ts_ns")
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
