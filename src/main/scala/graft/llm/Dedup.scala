@@ -213,6 +213,105 @@ object Dedup {
   val jaccardSql: String =
     s"WITH $jaccardCtes SELECT doc_a, doc_b, jaccard FROM jac"
 
+  /** Ingest-time (incremental) near-dup: a new batch of documents is
+    * screened against the already-indexed corpus WITHOUT re-deduping the
+    * corpus — the pattern every continuously-ingesting pipeline runs,
+    * where re-running [[minhashCandidates]] over 100 TB per ingest is
+    * not an option. The batch is the md5(doc_id) % 10 == 7 slice (~10%,
+    * the deterministic split convention); the index is the rest.
+    *
+    * The index side's banded signatures are persisted to parquet (the
+    * signature store) and the batch joins against the store read-back —
+    * at production scale the store is maintained incrementally (append
+    * per ingest) and one ingest costs: one scan of the BATCH text
+    * (signatures + shingle sets are row-local projections), one
+    * equi-join of batch band keys against the store, and Jaccard
+    * verification on the candidates only. The indexed corpus text is
+    * never re-read; candidate volume is bounded by the banded-LSH
+    * selectivity exactly as in the batch pipeline.
+    *
+    * Output: one row per batch doc — candidate count, the minimum
+    * verified-duplicate index doc (`''` if none) and the dup flag.
+    */
+  def incrementalDedup(docs: DataFrame, tau: Double = 0.7): DataFrame = {
+    val spark = docs.sparkSession
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 10
+    val batch = docs.filter(bucket === 7)
+    val index = docs.filter(bucket =!= 7)
+    val store = graft.sources.Scratch.dir("dedup_incremental")
+    bandedSignatures(index).write.mode("overwrite").parquet(store)
+    val idxSigs = spark.read
+      .parquet(store)
+      .select(col("doc_id").as("doc_idx"), col("band"), col("bh"))
+    val newSigs = bandedSignatures(batch)
+      .select(col("doc_id").as("doc_new"), col("band"), col("bh"))
+    val cands = newSigs
+      .join(idxSigs, Seq("band", "bh"))
+      .select(col("doc_new"), col("doc_idx"))
+      .distinct()
+    val dsha = docs.select(
+      col("doc_id"),
+      graft.functions.exprs
+        .shingle_hash_set(split(col("text"), " "), 3, TextStats.maxTokens)
+        .as("shs")
+    )
+    val scored = cands
+      .join(dsha.select(col("doc_id").as("doc_new"), col("shs").as("sha")), Seq("doc_new"))
+      .join(dsha.select(col("doc_id").as("doc_idx"), col("shs").as("shb")), Seq("doc_idx"))
+      .select(
+        col("doc_new"),
+        col("doc_idx"),
+        size(array_intersect(col("sha"), col("shb"))).cast("double").as("ni"),
+        size(col("sha")).cast("double").as("na"),
+        size(col("shb")).cast("double").as("nb")
+      )
+      .select(
+        col("doc_new"),
+        col("doc_idx"),
+        round(col("ni") / (col("na") + col("nb") - col("ni")), 6).as("jac")
+      )
+    val agg = scored
+      .groupBy(col("doc_new"))
+      .agg(
+        count(lit(1)).as("n_cand"),
+        min(when(col("jac") >= tau, col("doc_idx"))).as("dup_of")
+      )
+      .withColumnRenamed("doc_new", "doc_id")
+    batch
+      .select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("dup_of"), lit("")).as("dup_of"),
+        col("dup_of").isNotNull.as("is_dup")
+      )
+  }
+
+  def incrementalDedupSql(tau: Double = 0.7): String = {
+    def h(alias: String) =
+      s"CAST(concat('0x', substr(md5(CAST($alias.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10"
+    s"WITH $signaturesSql, $bandsSql, " +
+      s"cands AS (SELECT DISTINCT b.doc_id AS doc_new, a.doc_id AS doc_idx FROM bands a " +
+      s"JOIN bands b ON $bandJoinOn AND a.doc_id <> b.doc_id " +
+      s"WHERE ${h("a")} <> 7 AND ${h("b")} = 7), " +
+      "cnts AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id), " +
+      "inter AS (SELECT c.doc_new, c.doc_idx, count(*) AS n_inter FROM cands c " +
+      "JOIN dsh x ON x.doc_id = c.doc_new JOIN dsh y ON y.doc_id = c.doc_idx AND y.sh = x.sh " +
+      "GROUP BY c.doc_new, c.doc_idx), " +
+      "jacs AS (SELECT c.doc_new, c.doc_idx, " +
+      "round(coalesce(i.n_inter, 0) / (ca.n_sh + cb.n_sh - coalesce(i.n_inter, 0)), 6) AS jac " +
+      "FROM cands c LEFT JOIN inter i ON i.doc_new = c.doc_new AND i.doc_idx = c.doc_idx " +
+      "JOIN cnts ca ON ca.doc_id = c.doc_new JOIN cnts cb ON cb.doc_id = c.doc_idx), " +
+      "agg AS (SELECT doc_new AS doc_id, count(*) AS n_cand, " +
+      s"min(CASE WHEN jac >= ${graft.core.Dsp.lit(tau)} THEN doc_idx END) AS dup_of " +
+      "FROM jacs GROUP BY doc_new) " +
+      "SELECT d.doc_id, CAST(coalesce(a.n_cand, 0) AS BIGINT) AS n_cand, " +
+      "coalesce(a.dup_of, '') AS dup_of, a.dup_of IS NOT NULL AS is_dup " +
+      s"FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id WHERE ${h("d")} = 7"
+  }
+
   /** 64-bit SimHash from the first 16 hex chars of each token's md5:
     * per bit, sum ±1 over all token occurrences, bit set on positive
     * majority; emitted as two 32-bit halves (exact in BIGINT).
@@ -651,7 +750,8 @@ object Dedup {
         jaccard(docs).filter(col("jaccard") >= 0.7).select(col("doc_a"), col("doc_b"))
       )
     },
-    "dedup_stream" -> { (s, dir) => dedupStreaming(Tables.documents(s, dir)) }
+    "dedup_stream" -> { (s, dir) => dedupStreaming(Tables.documents(s, dir)) },
+    "dedup_incremental" -> { (s, dir) => incrementalDedup(Tables.documents(s, dir)) }
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -676,6 +776,7 @@ object Dedup {
         "SELECT doc_id, min(anc) AS comp_id FROM reach GROUP BY doc_id"),
     "dedup_stream" ->
       ("SELECT doc_id, md5(text) AS h, " +
-        "doc_id > min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup FROM documents")
+        "doc_id > min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup FROM documents"),
+    "dedup_incremental" -> incrementalDedupSql()
   )
 }

@@ -785,7 +785,61 @@ object Similarity {
       s"WHERE round($cosSqlExpr, 6) >= ${graft.core.Dsp.lit(tau)} GROUP BY vec_id"
   }
 
+  /** Embedding-space benchmark decontamination — the semantic complement
+    * of the n-gram `decontam` screen (contaminated paraphrases share no
+    * shingles but sit next to the benchmark in embedding space). The
+    * benchmark split is vec_id % 10 == 0 (the held-out-suite stand-in);
+    * each train vector reports its nearest benchmark vector, the count
+    * of benchmark vectors within cosine ≥ τ, and the contamination flag.
+    *
+    * Scale shape: a benchmark suite is KBs–MBs against a 100 TB corpus,
+    * so the bench side broadcasts and scoring is map-side work over the
+    * corpus partitioning; all |bench| scores for a train vector are
+    * emitted inside its own partition, so the per-vector top-1/count
+    * reduce map-side-combines to ONE row per train vector before the
+    * only shuffle. Ties on the rounded cosine break to the smaller
+    * benchmark id on both engines (max over (cos, -bid) ↔ the oracle's
+    * cos DESC, bid ASC rank).
+    */
+  def decontamSemantic(emb: DataFrame, tau: Double = 0.4): DataFrame = {
+    val vs = vecsN(emb)
+    val bench = vs
+      .filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("bid"), col("v").as("vb"), col("nrm").as("nb"))
+    val train = vs
+      .filter(col("vec_id") % 10 =!= 0)
+      .select(col("vec_id"), col("v").as("va"), col("nrm").as("na"))
+    train
+      .join(broadcast(bench))
+      .select(col("vec_id"), col("bid"), round(cosExpr, 6).as("cos"))
+      .groupBy(col("vec_id"))
+      .agg(
+        max(struct(col("cos"), (-col("bid")).as("negb"))).as("m"),
+        sum(when(col("cos") >= tau, 1L).otherwise(0L)).as("n_near")
+      )
+      .select(
+        col("vec_id"),
+        (-col("m").getField("negb")).as("nearest_bench"),
+        col("m").getField("cos").as("max_cos"),
+        col("n_near"),
+        (col("m").getField("cos") >= tau).as("contaminated")
+      )
+  }
+
+  def decontamSemanticSql(tau: Double = 0.4): String = {
+    val t = graft.core.Dsp.lit(tau)
+    "WITH vs AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      s"scored AS (SELECT t.vec_id AS vec_id, b.bid AS bid, round($cosSqlExpr, 6) AS cos " +
+      "FROM (SELECT vec_id, v AS va FROM vs WHERE vec_id % 10 <> 0) t(vec_id, va) " +
+      "CROSS JOIN (SELECT vec_id AS bid, v AS vb FROM vs WHERE vec_id % 10 = 0) b(bid, vb)), " +
+      "ranked AS (SELECT vec_id, bid, cos, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, bid ASC) AS rk FROM scored), " +
+      s"agg AS (SELECT vec_id, CAST(sum(CASE WHEN cos >= $t THEN 1 ELSE 0 END) AS BIGINT) AS n_near FROM scored GROUP BY vec_id) " +
+      s"SELECT r.vec_id, r.bid AS nearest_bench, r.cos AS max_cos, a.n_near, r.cos >= $t AS contaminated " +
+      "FROM ranked r JOIN agg a ON a.vec_id = r.vec_id WHERE r.rk = 1"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decontam_semantic" -> { (s, dir) => decontamSemantic(Tables.embeddings(s, dir)) },
     "dedup_semantic" -> { (s, dir) => semanticDupes(Tables.embeddings(s, dir)) },
     "sim_ivf_topk" -> { (s, dir) => ivfTopk(Tables.embeddings(s, dir)) },
     "sim_pq_topk" -> { (s, dir) => pqTopk(Tables.embeddings(s, dir)) },
@@ -809,6 +863,7 @@ object Similarity {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "decontam_semantic" -> decontamSemanticSql(),
     "sim_topk" -> topkSql,
     "sim_buckets" -> bucketsSql,
     "dedup_semantic" -> semanticDupesSql(),
