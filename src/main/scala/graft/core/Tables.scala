@@ -27,13 +27,18 @@ object Tables {
     *  - timestamp / timestamp_ntz (MICROS): epoch-micros × 1000 — exactly
     *    DuckDB's `epoch_ns(ts)` view of the same parquet, so oracle parity
     *    is preserved bit-for-bit. NTZ wall-clock is interpreted as UTC
-    *    (the session timezone is pinned to UTC), matching DuckDB's naive
+    *    (every entrypoint's SparkSession builder — Verify, Bench, Prof,
+    *    TestSpark — pins `spark.sql.session.timeZone=UTC`; this accessor
+    *    deliberately does NOT mutate it), matching DuckDB's naive
     *    TIMESTAMP semantics.
+    *
+    * `nanosAsLong` IS set here (session-wide): without it Spark refuses
+    * to read NANOS parquet at all, and `events` is the only nanos table,
+    * so the setting is observable nowhere else.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = table(spark, dir, "events")
     val tsNs = df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => col("ts")

@@ -86,6 +86,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scan.contains("recording"), s"recording partition filter not pushed: $scan")
   }
 
+  test("dedup_incremental verify path never re-reads index-side text") {
+    // the per-ingest contract: every `documents` scan in the RETURNED
+    // plan must sit under the batch filter (md5 bucket == 7) — index
+    // text is only touched by the eager store build at construction
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val df = SparkEntry.queries("dedup_incremental")(spark, sf)
+    var docScans = 0
+    def audit(p: LogicalPlan, underBatch: Boolean): Seq[String] = p match {
+      case f: Filter =>
+        val isBatch = f.condition.toString.contains("md5")
+        f.children.flatMap(audit(_, underBatch || isBatch))
+      case r: LogicalRelation =>
+        val path = r.relation match {
+          case h: HadoopFsRelation => h.location.rootPaths.mkString(",")
+          case other => other.toString
+        }
+        if (path.contains("documents")) {
+          docScans += 1
+          if (!underBatch) Seq(path) else Nil
+        } else Nil
+      case other => other.children.flatMap(audit(_, underBatch))
+    }
+    val offenders = audit(df.queryExecution.optimizedPlan, underBatch = false)
+    assert(docScans > 0, "audit saw no documents relations — matcher is stale")
+    assert(offenders.isEmpty, s"unfiltered documents scans in verify plan: $offenders")
+  }
+
   test("projection pruning reaches the parquet scan in q1_agg") {
     val plan = SparkEntry.queries("q1_agg")(spark, sf).queryExecution.executedPlan.toString
     val scan = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
