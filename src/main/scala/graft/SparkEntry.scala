@@ -42,6 +42,7 @@ object SparkEntry {
       operators.ResampleOps.queries ++
       operators.SpectraOps.queries ++
       operators.HilbertOps.queries ++
+      operators.PacOps.queries ++
       operators.AnnoOps.queries ++
       llm.TextStats.queries ++
       llm.Bpe.queries ++
@@ -68,6 +69,7 @@ object SparkEntry {
       operators.ResampleOps.oracleSql ++
       operators.SpectraOps.oracleSql ++
       operators.HilbertOps.oracleSql ++
+      operators.PacOps.oracleSql ++
       operators.AnnoOps.oracleSql ++
       llm.TextStats.oracleSql ++
       llm.Bpe.oracleSql ++

@@ -303,6 +303,118 @@ object Multimodal {
       )
   }
 
+  // ---- "video" container: header-directed frame access ----
+
+  /** Serialize the deterministic fake video container: 8-byte header
+    * (magic "GVID", width byte, height byte, n_frames big-endian short)
+    * followed by n_frames raw w·h grayscale frames. No JVM video codec
+    * exists, so the CONTAINER is real (header-directed offsets, the EDF
+    * pattern applied to media) while the pixel payload is the
+    * deterministic fake the oracle can replay:
+    * px(f, p) = (doc_id·31 + f·17 + p·7) mod 256.
+    */
+  def encodeVideo(docId: Long): Array[Byte] = {
+    val w = (docId % 8 + 4).toInt
+    val h = (docId % 6 + 4).toInt
+    val nf = (docId % 12 + 5).toInt
+    val out = new Array[Byte](8 + nf * w * h)
+    out(0) = 'G'; out(1) = 'V'; out(2) = 'I'; out(3) = 'D'
+    out(4) = w.toByte; out(5) = h.toByte
+    out(6) = (nf >> 8).toByte; out(7) = (nf & 0xff).toByte
+    var f = 0
+    while (f < nf) {
+      var p = 0
+      while (p < w * h) {
+        out(8 + f * w * h + p) = ((docId * 31 + f * 17 + p * 7) % 256).toByte
+        p += 1
+      }
+      f += 1
+    }
+    out
+  }
+
+  /** Parse the container header + frames: (width, height, frames). */
+  def decodeVideo(payload: Array[Byte]): (Int, Int, Array[Array[Int]]) = {
+    require(
+      payload.length >= 8 && payload(0) == 'G' && payload(1) == 'V' &&
+        payload(2) == 'I' && payload(3) == 'D',
+      "bad GVID magic"
+    )
+    val w = payload(4) & 0xff
+    val h = payload(5) & 0xff
+    val nf = ((payload(6) & 0xff) << 8) | (payload(7) & 0xff)
+    val frames = Array.tabulate(nf)(f => Array.tabulate(w * h)(p => payload(8 + f * w * h + p) & 0xff))
+    (w, h, frames)
+  }
+
+  def videoMedia(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .documents(spark, dir)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map(id => (id, encodeVideo(id))))
+      .toDF("media_id", "payload")
+  }
+
+  private def round6d(v: Double): Double = math.floor(v * 1.0e6 + 0.5) / 1.0e6
+
+  /** Header-directed frame sampling + per-frame features THROUGH the
+    * binary: every `everyK`-th frame is decoded to (mean_px, max_px)
+    * plus `motion` = mean |px − px_prev_sampled| (0 for the first
+    * sampled frame) — the keyframe-statistics pass a video curation
+    * pipeline runs. Row-local mapPartitions (the mapInPandas batch
+    * shape): payload bytes never leave the executor, output is one
+    * small row per sampled frame.
+    */
+  def videoFrames(media: DataFrame, everyK: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val (w, h, frames) = decodeVideo(bytes)
+        val npx = w * h
+        frames.indices.collect {
+          case f if f % everyK == 0 =>
+            val cur = frames(f)
+            val mean = round6d(cur.sum.toDouble / npx)
+            val mx = cur.max.toLong
+            val motion =
+              if (f < everyK) 0.0
+              else {
+                val prev = frames(f - everyK)
+                var s = 0L; var p = 0
+                while (p < npx) { s += math.abs(cur(p) - prev(p)); p += 1 }
+                round6d(s.toDouble / npx)
+              }
+            (id, f.toLong, mean, mx, motion)
+        }
+      })
+      .toDF("media_id", "frame_idx", "mean_px", "max_px", "motion")
+  }
+
+  /** Oracle twin: replays the pixel formula per (doc, sampled frame)
+    * with the SAME integer-sum-then-divide arithmetic — a container
+    * regression (offset bug, header misparse) moves Spark's output off
+    * the replayed formula and breaks the hash.
+    */
+  def videoFramesSql(everyK: Int = 4): String =
+    "WITH d AS (SELECT doc_id, doc_id % 8 + 4 AS w, doc_id % 6 + 4 AS h, doc_id % 12 + 5 AS nf FROM documents), " +
+      s"fr AS (SELECT doc_id, w, h, nf, g.f AS f FROM d, generate_series(0, 16) g(f) " +
+      s"WHERE g.f % $everyK = 0 AND g.f < nf), " +
+      "px AS (SELECT doc_id, f, (doc_id * 31 + f * 17 + p.p * 7) % 256 AS v, " +
+      s"CASE WHEN f >= $everyK THEN abs((doc_id * 31 + f * 17 + p.p * 7) % 256 - " +
+      s"(doc_id * 31 + (f - $everyK) * 17 + p.p * 7) % 256) ELSE 0 END AS dv " +
+      "FROM fr, generate_series(0, 98) p(p) WHERE p.p < w * h) " +
+      "SELECT doc_id AS media_id, CAST(f AS BIGINT) AS frame_idx, " +
+      Dsp.round6Sql("CAST(sum(v) AS DOUBLE) / count(*)") + " AS mean_px, " +
+      "CAST(max(v) AS BIGINT) AS max_px, " +
+      s"CASE WHEN max(f) >= $everyK THEN " +
+      Dsp.round6Sql("CAST(sum(dv) AS DOUBLE) / count(*)") + " ELSE 0.0 END AS motion " +
+      "FROM px GROUP BY doc_id, f"
+
   /** WAV media corpus: per document a deterministic PCM16 waveform
     * s(t) = ((doc_id·131 + t·17) mod 2003) − 1001, n = len mod 256 + 16,
     * packed as a REAL RIFF/WAVE payload.
@@ -484,6 +596,7 @@ object Multimodal {
     "mm_wav_features" -> { (s, dir) => wavFeatures(wavMedia(s, dir)) },
     "mm_wav_spec" -> { (s, dir) => wavSpectral(wavMedia(s, dir)) },
     "mm_frames" -> { (s, dir) => frameSample(syntheticMedia(s, dir), everyK = 2) },
+    "mm_video_frames" -> { (s, dir) => videoFrames(videoMedia(s, dir)) },
     "mm_phash_pairs" -> { (s, dir) => phashPairs(pngMedia(s, dir)) }
   )
 
@@ -529,6 +642,7 @@ object Multimodal {
         "FROM documents WHERE length(text) = strlen(text)) " +
         "SELECT media_id, g.i AS frame_idx, substr(hx, CAST(g.i * 64 + 1 AS INT), 64) AS frame_hex " +
         "FROM b, generate_series(0, 63) g(i) WHERE g.i % 2 = 0 AND g.i * 64 < length(hx)"),
+    "mm_video_frames" -> videoFramesSql(),
     "mm_phash_pairs" -> phashPairsSql
   )
 }

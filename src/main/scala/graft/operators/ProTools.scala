@@ -111,8 +111,100 @@ object ProTools {
         .select(col("channel"), (row_number().over(w) - 1).cast("bigint").as("n"), col("x"))
     },
     "car_reref" -> { (s, dir) => carReref(Signal.long(s, dir)) },
-    "artifact_mask" -> { (s, dir) => artifactMask(Signal.long(s, dir)) }
+    "artifact_mask" -> { (s, dir) => artifactMask(Signal.long(s, dir)) },
+    "pro_extend" -> { (s, dir) => proExtend(Signal.long(s, dir)) }
   )
+
+  /** Boundary extension (arraytools.py:183,207,235,271 — zero/edge/
+    * even/odd extend; scipy's `*_ext` family, the filtfilt edge
+    * treatment). Gate shape: the first [[extLen]] samples per channel
+    * are extended by [[extN]] values at each end under all four modes.
+    *
+    * Scale shape: ONE tiny per-channel aggregate collects the ordered
+    * boundary slice (bounded: extLen values/channel); the four
+    * extensions are a row-local explode of a LITERAL coefficient map —
+    * x_out = sc·xs[si] + bc·xs[bi] covers every mode (odd extension is
+    * 2·boundary − mirror, i.e. bc=2, sc=−1) — so the whole operator
+    * adds zero shuffles beyond the slice agg. At production scale only
+    * the two boundary windows of each channel feed this; the interior
+    * never moves.
+    */
+  private val extLen = 16
+  private val extN = 4
+
+  /** (mode, n_out, si, sc, bi, bc): x_out = sc·xs[si] + bc·xs[bi],
+    * 0-based indices into the length-[[extLen]] head slice. One shared
+    * structure renders into BOTH plans, so the engines cannot drift.
+    */
+  private val extMap: Seq[(String, Int, Int, Double, Int, Double)] = {
+    val L = extLen
+    Seq("zero", "edge", "even", "odd").flatMap { mode =>
+      val left = (1 to extN).map { j =>
+        mode match {
+          case "zero" => (mode, -j, 0, 0.0, 0, 0.0)
+          case "edge" => (mode, -j, 0, 1.0, 0, 0.0)
+          case "even" => (mode, -j, j, 1.0, 0, 0.0)
+          case "odd" => (mode, -j, j, -1.0, 0, 2.0)
+        }
+      }
+      val right = (1 to extN).map { j =>
+        mode match {
+          case "zero" => (mode, L - 1 + j, 0, 0.0, 0, 0.0)
+          case "edge" => (mode, L - 1 + j, L - 1, 1.0, 0, 0.0)
+          case "even" => (mode, L - 1 + j, L - 1 - j, 1.0, 0, 0.0)
+          case "odd" => (mode, L - 1 + j, L - 1 - j, -1.0, L - 1, 2.0)
+        }
+      }
+      val interior = (0 until L).map(i => (mode, i, i, 1.0, 0, 0.0))
+      left ++ interior ++ right
+    }
+  }
+
+  def proExtend(sig: DataFrame): DataFrame = {
+    val mapExpr = extMap
+      .map { case (m, no, si, sc, bi, bc) =>
+        s"named_struct('mode', '$m', 'n_out', $no, 'si', $si, " +
+          s"'sc', ${graft.core.Dsp.lit(sc)}, 'bi', $bi, 'bc', ${graft.core.Dsp.lit(bc)})"
+      }
+      .mkString("array(", ", ", ")")
+    sig
+      .filter(col("n") < extLen)
+      .groupBy(col("channel"))
+      .agg(array_sort(collect_list(struct(col("n"), col("x")))).as("sx"))
+      .select(col("channel"), expr("transform(sx, e -> e.x)").as("xs"))
+      .select(col("channel"), col("xs"), explode(expr(mapExpr)).as("m"))
+      .select(
+        col("channel"),
+        col("m.mode").as("mode"),
+        col("m.n_out").cast("bigint").as("n"),
+        // Dsp.round6, not round(): zero-mode outputs are 0·x sums, the
+        // signed-zero class where native round() preserves -0.0
+        graft.core.Dsp
+          .round6(
+            col("m.sc") * element_at(col("xs"), col("m.si") + 1) +
+              col("m.bc") * element_at(col("xs"), col("m.bi") + 1)
+          )
+          .as("x")
+      )
+  }
+
+  /** DuckDB twin of [[proExtend]]'s literal map: a VALUES table off the
+    * same Scala structure.
+    */
+  private def extMapSql: String =
+    extMap
+      .map { case (m, no, si, sc, bi, bc) =>
+        s"('$m', $no, $si, ${graft.core.Dsp.lit(sc)}, $bi, ${graft.core.Dsp.lit(bc)})"
+      }
+      .mkString("m(mode, n_out, si, sc, bi, bc) AS (VALUES ", ", ", ")")
+
+  def proExtendSql: String =
+    s"${Signal.sigCte}, head AS (SELECT channel, list(x ORDER BY n) AS xs " +
+      s"FROM sig WHERE n < $extLen GROUP BY channel), $extMapSql " +
+      "SELECT channel, mode, CAST(n_out AS BIGINT) AS n, " +
+      graft.core.Dsp.round6Sql(
+        "sc * list_extract(xs, si + 1) + bc * list_extract(xs, bi + 1)"
+      ) + " AS x FROM head, m"
 
   /** Common-average re-reference (EEG montage step beyond the
     * reference's own tools): subtract the cross-channel mean at each
@@ -184,7 +276,8 @@ object ProTools {
         (s"$cte, st AS (SELECT channel, avg(x) AS mu, stddev_pop(x) AS sd FROM sig GROUP BY channel) " +
           s"SELECT channel, n, z, abs(z) > ${graft.core.Dsp.lit(artifactThreshold)} AS is_artifact FROM (" +
           s"SELECT s.channel, s.n, ${graft.core.Dsp.round6Sql("(s.x - st.mu) / st.sd")} AS z " +
-          "FROM sig s JOIN st ON st.channel = s.channel)")
+          "FROM sig s JOIN st ON st.channel = s.channel)"),
+      "pro_extend" -> proExtendSql
     )
   }
 }

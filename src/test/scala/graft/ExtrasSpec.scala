@@ -115,3 +115,28 @@ class EllipticSpec extends org.scalatest.funsuite.AnyFunSuite {
     sos.foreach(s => assert(math.abs(s(5)) < 1.0 && math.abs(s(4)) < 1.0 + s(5)))
   }
 }
+
+class PacSpec extends AnyFunSuite {
+  import TestSpark._
+  import graft.operators.PacOps
+
+  test("carrier FIR stays under the 128-term oracle lag-sum bound") {
+    assert(PacOps.carrierH.length <= 127, s"${PacOps.carrierH.length} taps")
+  }
+
+  test("pac_demo: envelope peaks at the modulator phase crest, troughs opposite") {
+    val rows = SparkEntry
+      .queries("pac_demo")(spark, sf)
+      .collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+      .toMap
+    assert(rows.keySet == (0 until PacOps.nBins).map(_.toLong).toSet, "one row per phase bin")
+    val crest = rows.maxBy(_._2)._1
+    val trough = rows.minBy(_._2)._1
+    // sin(phi) peaks at phi = pi/2 (bin 4 of 18) and bottoms at 3pi/2 (bin 13)
+    assert(math.abs(crest - 4L) <= 1, s"crest at bin $crest")
+    assert(math.abs(trough - 13L) <= 1, s"trough at bin $trough")
+    // strength 0.8 gives a 5x modulation depth; demand most of it survive
+    assert(rows(crest) / rows(trough) > 2.5, s"depth ${rows(crest) / rows(trough)}")
+  }
+}

@@ -74,6 +74,29 @@ class ProToolsSpec extends AnyFunSuite {
     assert(zeros >= 5 * raw.count())
   }
 
+  test("pro_extend: all four boundary modes match the scipy *_ext semantics") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // head slice is xs = 1..16 on one channel
+    val sig = (0 until 16).map(i => ("c", i.toLong, (i + 1).toDouble)).toDF("channel", "n", "x")
+    val out = operators.ProTools
+      .proExtend(sig)
+      .collect()
+      .map(r => (r.getString(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    assert(out.size == 4 * 24, "4 modes x (16 + 2*4) rows")
+    // interiors are passthrough in every mode
+    Seq("zero", "edge", "even", "odd").foreach(m => assert(out((m, 7L)) == 8.0))
+    assert(out(("zero", -1L)) == 0.0 && out(("zero", 19L)) == 0.0)
+    assert(out(("edge", -3L)) == 1.0 && out(("edge", 17L)) == 16.0)
+    // even: mirror about the end sample (x_out[-j] = x[j])
+    assert(out(("even", -1L)) == 2.0 && out(("even", -4L)) == 5.0)
+    assert(out(("even", 16L)) == 15.0 && out(("even", 19L)) == 12.0)
+    // odd: 180-degree rotation about the end sample (2*x_edge - mirror)
+    assert(out(("odd", -1L)) == 0.0 && out(("odd", -4L)) == -3.0)
+    assert(out(("odd", 16L)) == 17.0 && out(("odd", 19L)) == 20.0)
+  }
+
   test("pro_slice indices are dense from zero") {
     import org.apache.spark.sql.functions._
     val bad = q("pro_slice")

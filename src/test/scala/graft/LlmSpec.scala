@@ -37,6 +37,28 @@ class LlmSpec extends AnyFunSuite {
     assert(j((1L, 2L)) > 0.7 && j((1L, 2L)) < 1.0)
   }
 
+  test("incrementalDedup: planted batch near-dup flagged, clean batch doc passes") {
+    // doc_ids 4 and 5 md5-hash into the batch bucket (%10 == 7); 1, 2, 3
+    // land in the index slices. Doc 4 is a planted near-dup of index doc
+    // 1 (jaccard 7/9 ≥ tau 0.7); doc 5 shares nothing.
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"),
+      (3L, "red orange yellow green blue indigo violet umber ochre teal"),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (5L, "quick brown fox jumps over lazy dog near river bank")
+    ).toDF("doc_id", "text")
+    val out = Dedup
+      .incrementalDedup(d)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getBoolean(3))))
+      .toMap
+    assert(out.keySet == Set(4L, 5L), "output must be exactly the batch slice")
+    val (n4, dup4, is4) = out(4L)
+    assert(is4 && dup4 == "1" && n4 >= 1L, s"planted near-dup missed: ${out(4L)}")
+    assert(out(5L) == ((0L, "", false)), s"clean doc misflagged: ${out(5L)}")
+  }
+
   test("simhash: identical docs get identical hashes") {
     val h = Dedup
       .simhash(docs)
@@ -295,6 +317,30 @@ class LlmSpec extends AnyFunSuite {
     val truth = holdout.map { case (id, _, l) => id -> l }.toMap
     val acc = truth.count { case (id, l) => pred.get(id).contains(l) }.toDouble / truth.size
     assert(acc >= 0.95, s"holdout accuracy $acc over ${truth.size} docs")
+  }
+
+  test("video container: header round-trips, frame sampling and motion are exact") {
+    import graft.llm.Multimodal
+    // doc_id 10: w = 10%8+4 = 6, h = 10%6+4 = 8, nf = 10%12+5 = 15
+    val bytes = Multimodal.encodeVideo(10L)
+    val (w, h, frames) = Multimodal.decodeVideo(bytes)
+    assert(w == 6 && h == 8 && frames.length == 15)
+    assert(frames(3)(7) == ((10 * 31 + 3 * 17 + 7 * 7) % 256))
+    val media = Seq((10L, bytes)).toDF("media_id", "payload")
+    val rows = Multimodal
+      .videoFrames(media)
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getDouble(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(rows.keySet == Set(0L, 4L, 8L, 12L), "every 4th frame under nf=15")
+    // hand-computed frame-0 mean: pixels (310 + 7p) % 256 over p = 0..47
+    val px0 = (0 until 48).map(p => (310 + 7 * p) % 256)
+    assert(rows(0L)._1 == math.floor(px0.sum.toDouble / 48 * 1e6 + 0.5) / 1e6)
+    assert(rows(0L)._2 == px0.max.toLong && rows(0L)._3 == 0.0, "first sampled frame has no motion")
+    // motion of frame 4 vs frame 0: |(v + 68) mod 256 - v| per pixel
+    val px4 = (0 until 48).map(p => (310 + 4 * 17 + 7 * p) % 256)
+    val mot = px0.zip(px4).map { case (a, b) => math.abs(b - a) }.sum.toDouble / 48
+    assert(rows(4L)._3 == math.floor(mot * 1e6 + 0.5) / 1e6)
   }
 
   test("phash pairs: identical thumbnails pair at hamming 0, recall matches brute force") {
