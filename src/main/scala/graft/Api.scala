@@ -359,6 +359,37 @@ object Api {
   def wavFeatures(media: DataFrame): DataFrame = llm.Multimodal.wavFeatures(media)
   def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = llm.Multimodal.resize(media, w, h)
 
+  /** Header-directed video frame sampling: every k-th frame's stats +
+    * motion vs the previous sampled frame, row-local per payload.
+    */
+  def videoFrames(media: DataFrame, everyK: Int = 4): DataFrame =
+    llm.Multimodal.videoFrames(media, everyK)
+
+  /** Ingest-batch near-dup screen against the persisted signature +
+    * shingle stores (the incremental-dedup cadence).
+    */
+  def incrementalDedup(docs: DataFrame, tau: Double = 0.7): DataFrame =
+    llm.Dedup.incrementalDedup(docs, tau)
+
+  /** Zero-state streaming LSH screen of an ingest stream against the
+    * persisted signature store (+ [[writeSignatureStore]] to seed/append).
+    */
+  def incrementalScreenStream(docs: DataFrame, sigStore: String): DataFrame =
+    llm.Dedup.incrementalScreenStream(docs, sigStore)
+  def writeSignatureStore(docs: DataFrame, path: String, append: Boolean = false): Unit =
+    llm.Dedup.writeSignatureStore(docs, path, append)
+
+  /** Boundary extension (zero/edge/even/odd — the filtfilt edge
+    * treatment) of each channel's head slice.
+    */
+  def extendBoundary(sig: DataFrame): DataFrame = operators.ProTools.proExtend(sig)
+
+  /** PAC comodulogram demo: synthetic phase-amplitude-coupled signal →
+    * carrier-band envelope per modulator-phase bin.
+    */
+  def pacDemo(spark: org.apache.spark.sql.SparkSession): DataFrame =
+    operators.PacOps.pacDemo(spark)
+
   // ---- streaming ----
 
   def sessionize(events: DataFrame, gapNs: Long = 30L * 60 * 1000000000L): DataFrame =

@@ -744,6 +744,33 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
   }
 
+  /** Streaming twin of [[incrementalDedup]]'s screening step: a
+    * readStream of ingest documents LSH-screened against the static
+    * signature store — banded signatures are a row-local projection on
+    * the stream, the store side is a static parquet read Catalyst can
+    * broadcast, and no aggregation or dropDuplicates follows, so the
+    * query holds ZERO streaming state: per-microbatch cost is one batch
+    * scan plus one equi-join, at any ingest duration. Candidate pairs
+    * may repeat across batches (the downstream verifier dedupes);
+    * keeping the screen state-free is the 100 TB design choice.
+    */
+  def incrementalScreenStream(docs: DataFrame, sigStore: String): DataFrame = {
+    val idx = docs.sparkSession.read
+      .parquet(sigStore)
+      .select(col("doc_id").as("doc_idx"), col("band"), col("bh"))
+    bandedSignatures(docs)
+      .select(col("doc_id").as("doc_new"), col("band"), col("bh"))
+      .join(idx, Seq("band", "bh"))
+      .select(col("doc_new"), col("doc_idx"))
+  }
+
+  /** Persist the banded-signature store slice for [[incrementalScreenStream]]
+    * (overwrite to seed, append per ingest — the cadence
+    * [[incrementalDedup]] rehearses).
+    */
+  def writeSignatureStore(docs: DataFrame, path: String, append: Boolean): Unit =
+    bandedSignatures(docs).write.mode(if (append) "append" else "overwrite").parquet(path)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> { (s, dir) =>
       Tables

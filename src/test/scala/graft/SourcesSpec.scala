@@ -661,3 +661,54 @@ class StreamStreamJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(totals.last < totals.max, s"state not bounded: $totals")
   }
 }
+
+class IncrementalScreenStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("zero-state streaming LSH screen flags ingest near-dups against the signature store") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val store = graft.sources.Scratch.dir("inc_screen_spec")
+    // seed the store from slice A, then APPEND slice B — the ingest cadence
+    val sliceA = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    graft.llm.Dedup.writeSignatureStore(sliceA, store, append = false)
+    val sliceB = Seq(
+      (3L, "red orange yellow green blue indigo violet umber ochre teal")
+    ).toDF("doc_id", "text")
+    graft.llm.Dedup.writeSignatureStore(sliceB, store, append = true)
+    val input = MemoryStream[(Long, String)]
+    val docs = input.toDF().toDF("doc_id", "text")
+    val q = graft.llm.Dedup
+      .incrementalScreenStream(docs, store)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("inc_screen")
+      .start()
+    input.addData(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // near-dup of indexed 1
+      (11L, "quick brown fox jumps over lazy dog near river bank") // clean
+    )
+    q.processAllAvailable()
+    input.addData(
+      (12L, "red orange yellow green blue indigo violet umber ochre teal") // dup of APPENDED 3
+    )
+    q.processAllAvailable()
+    val progs = q.recentProgress
+    q.stop()
+    val got = spark
+      .sql("SELECT doc_new, doc_idx FROM inc_screen")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(got.contains((10L, 1L)), s"planted near-dup not screened: $got")
+    assert(got.contains((12L, 3L)), s"appended-slice dup not screened: $got")
+    assert(!got.exists(_._1 == 11L), s"clean doc flagged: $got")
+    // the screen is STATE-FREE: no stateful operator may appear in any progress
+    assert(progs.flatMap(_.stateOperators).isEmpty, "screen must hold zero streaming state")
+  }
+}
