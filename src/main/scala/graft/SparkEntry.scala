@@ -90,6 +90,49 @@ object SparkEntry {
   */
 object BaseQueries {
 
+  /** Bucketed co-located join — the shuffle-free-join layout pattern
+    * for repeated large⋈large joins at 100 TB: both sides are written
+    * `bucketBy(8, doc_id)` (same bucket count, same key, Murmur3 bucket
+    * assignment), so the join reads bucket i against bucket i and plans
+    * NO exchange on either side (PlanAuditSpec asserts zero Exchange in
+    * this subtree; at production scale the bucket count is sized to the
+    * cluster, the pattern is identical). The per-file `sortBy` lets
+    * single-file buckets skip the sort too; multi-file buckets add a
+    * partition-local sort, never a shuffle.
+    *
+    * At gate scale the embeddings side is tiny, so Catalyst rightly
+    * prefers a broadcast join (which sidesteps bucketing entirely);
+    * `forceSortMerge` pins the SortMergeJoin shape the pattern exists
+    * for — that is what PlanAuditSpec audits for zero Exchange.
+    */
+  def bucketedJoinRows(s: SparkSession, dir: String, forceSortMerge: Boolean = false): DataFrame = {
+    val store = sources.Scratch.dir("sink_bucketed")
+    s.sql("DROP TABLE IF EXISTS graft_bkt_docs")
+    s.sql("DROP TABLE IF EXISTS graft_bkt_emb")
+    Tables
+      .documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .write
+      .mode("overwrite")
+      .bucketBy(8, "doc_id")
+      .sortBy("doc_id")
+      .option("path", s"$store/docs")
+      .saveAsTable("graft_bkt_docs")
+    Tables
+      .embeddings(s, dir)
+      .select(col("vec_id").as("doc_id"), col("label"))
+      .write
+      .mode("overwrite")
+      .bucketBy(8, "doc_id")
+      .sortBy("doc_id")
+      .option("path", s"$store/emb")
+      .saveAsTable("graft_bkt_emb")
+    val d = s.table("graft_bkt_docs")
+    val e = s.table("graft_bkt_emb")
+    if (forceSortMerge) d.hint("merge").join(e.hint("merge"), Seq("doc_id"))
+    else d.join(e, Seq("doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> { (s, dir) =>
       Tables
@@ -219,6 +262,18 @@ object BaseQueries {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), round(avg(col("n_chars")), 4).as("avg_chars"))
     },
+    "sink_bucketed" -> { (s, dir) =>
+      // the co-located-join layout pattern: bucketed fact tables join
+      // WITHOUT a shuffle; the only exchange in this query is the final
+      // per-source aggregation's
+      bucketedJoinRows(s, dir)
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("bigint").as("total_chars"),
+          sum(col("label")).cast("bigint").as("label_sum")
+        )
+    },
     "q9_range" -> { (s, dir) =>
       // bounded-interval range join (views within 1 h before each
       // purchase, same user), scale-safe shape: bucketize the time axis
@@ -292,6 +347,10 @@ object BaseQueries {
     "sink_parquet" ->
       ("SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars " +
         "FROM documents WHERE lang IN ('en', 'zh') GROUP BY lang"),
+    "sink_bucketed" ->
+      ("SELECT d.source, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS total_chars, " +
+        "CAST(sum(e.label) AS BIGINT) AS label_sum FROM documents d " +
+        "JOIN embeddings e ON e.vec_id = d.doc_id GROUP BY d.source"),
     "q9_range" ->
       ("WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, event_type FROM events), " +
         "v AS (SELECT user_id, ts_ns AS v_ts FROM e WHERE event_type = 'view'), " +

@@ -114,6 +114,17 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"unfiltered documents scans in verify plan: $offenders")
   }
 
+  test("sink_bucketed joins co-located buckets with zero shuffle") {
+    // forceSortMerge pins the large-by-large shape bucketing exists for
+    // (at gate scale Catalyst rightly broadcasts the tiny side instead)
+    val joined = BaseQueries.bucketedJoinRows(spark, sf, forceSortMerge = true)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n${plan.take(600)}")
+    assert(plan.contains("Bucketed: true"), s"scan did not use buckets:\n${plan.take(1000)}")
+    assert(!plan.contains("Exchange"), s"bucketed join planned a shuffle:\n${plan.take(1000)}")
+    assert(joined.count() > 0, "bucketed join returned no rows")
+  }
+
   test("projection pruning reaches the parquet scan in q1_agg") {
     val plan = SparkEntry.queries("q1_agg")(spark, sf).queryExecution.executedPlan.toString
     val scan = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
