@@ -390,6 +390,17 @@ object Api {
   def pacDemo(spark: org.apache.spark.sql.SparkSession): DataFrame =
     operators.PacOps.pacDemo(spark)
 
+  /** Salted equi-join for hot-key skew (exact; dim side replicated per
+    * salt). See also core.Scale.bucketedJoin / saltedSumCount.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      dim: DataFrame,
+      key: String,
+      saltFrom: org.apache.spark.sql.Column,
+      saltBuckets: Int = 16
+  ): DataFrame = core.Scale.saltedJoin(big, dim, key, saltFrom, saltBuckets)
+
   // ---- streaming ----
 
   def sessionize(events: DataFrame, gapNs: Long = 30L * 60 * 1000000000L): DataFrame =

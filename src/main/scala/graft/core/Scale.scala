@@ -87,4 +87,28 @@ object Scale {
       Seq((sum(value), "s"), (count(lit(1)), "c")),
       Seq((n => sum(col(n)), "s"), (n => sum(col(n)), "c"))
     )
+
+  /** Salted equi-join for hot-key skew: every row of the (big, skewed)
+    * fact side gets a deterministic salt in [0, saltBuckets) derived
+    * from `saltFrom` (any per-row expression with spread — a row id, a
+    * timestamp; NOT the join key), and the dim side replicates once per
+    * salt value. The join key becomes (key, salt), so a hot key's rows
+    * land on `saltBuckets` reducers instead of one. Result equals the
+    * plain equi-join exactly; cost is saltBuckets× the DIM side only.
+    * Complements AQE skew-join (which splits oversized partitions at
+    * runtime): salting is the static fix when one key dwarfs the
+    * advisory partition size by itself or the join must avoid AQE
+    * replans.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      dim: DataFrame,
+      key: String,
+      saltFrom: Column,
+      saltBuckets: Int = 16
+  ): DataFrame = {
+    val b = big.withColumn("_salt", pmod(xxhash64(saltFrom), lit(saltBuckets.toLong)))
+    val d = dim.withColumn("_salt", explode(array((0 until saltBuckets).map(i => lit(i.toLong)): _*)))
+    b.join(d, Seq(key, "_salt")).drop("_salt")
+  }
 }

@@ -264,3 +264,67 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 }
+
+class SkewSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  test("salted join equals plain join and splits the hot key across reducers") {
+    // 50k fact rows, 80% on hot key 0; 50-key dim side
+    val big = spark
+      .range(0, 50000)
+      .select(
+        col("id"),
+        when(col("id") % 5 =!= 0, lit(0L)).otherwise(col("id") % 50).as("k")
+      )
+    val dim = spark.range(0, 50).select(col("id").as("k"), (col("id") * 10).as("v"))
+    val plain = big.join(dim, Seq("k")).agg(count(lit(1)), sum(col("v"))).collect()(0)
+    val salted = graft.core.Scale
+      .saltedJoin(big, dim, "k", saltFrom = col("id"), saltBuckets = 16)
+      .agg(count(lit(1)), sum(col("v")))
+      .collect()(0)
+    assert(salted == plain, s"salted join changed the result: $salted vs $plain")
+    // the shuffle story: partitioning by (k, salt) caps the biggest
+    // reducer at ~hot/16 where partitioning by k alone concentrates it
+    def maxPart(df: org.apache.spark.sql.DataFrame, cols: Seq[String]): Long = df
+      .repartition(32, cols.map(col): _*)
+      .mapPartitions(it => Iterator.single(it.length.toLong))
+      .collect()
+      .max
+    val unsaltedMax = maxPart(big, Seq("k"))
+    val saltedMax = maxPart(
+      big.withColumn("_salt", pmod(xxhash64(col("id")), lit(16L))),
+      Seq("k", "_salt")
+    )
+    assert(unsaltedMax >= 40000, s"hot key should dominate one partition: $unsaltedMax")
+    assert(
+      saltedMax * 4 < unsaltedMax,
+      s"salting should split the hot key: $saltedMax vs $unsaltedMax"
+    )
+  }
+
+  test("AQE splits a skewed sort-merge join at runtime") {
+    // session-scoped conf: a fresh session over the same context keeps
+    // the shared TestSpark session's planner settings untouched
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val big = s2
+      .range(0, 200000)
+      .select(
+        org.apache.spark.sql.functions.col("id"),
+        when(col("id") % 10 =!= 0, lit(0L)).otherwise(col("id") % 50).as("k")
+      )
+    val dim = s2.range(0, 50).select(col("id").as("k"), (col("id") * 10).as("v"))
+    val joined = big.join(dim, Seq("k"))
+    joined.collect() // AQE decides skew splits at runtime
+    val finalPlan = joined.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("skew=true"), s"AQE did not split the skewed partition:\n${finalPlan.take(1200)}")
+  }
+}
