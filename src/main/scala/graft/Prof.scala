@@ -134,6 +134,12 @@ object Prof {
       t(s"docs${docsX}_dsir", nDocs)(llm.Dsir.weights(docs).count())
       t(s"docs${docsX}_langid_ngram", nDocs)(llm.TextStats.langidNgram(docs).count())
       t(s"docs${docsX}_tokens_bpe", nDocs)(llm.Bpe.tokensBpe(docs).count())
+      // round-8 additions: incremental screen (store build + batch
+      // screen) and header-directed video frame stats
+      t(s"docs${docsX}_incremental", nDocs)(llm.Dedup.incrementalDedup(docs).count())
+      t(s"docs${docsX}_video_frames", nDocs)(
+        llm.Multimodal.videoFrames(llm.Multimodal.videoMediaFromIds(docs)).count()
+      )
       docs.unpersist()
       ()
     }

@@ -347,10 +347,13 @@ object Multimodal {
     (w, h, frames)
   }
 
-  def videoMedia(spark: SparkSession, dir: String): DataFrame = {
+  def videoMedia(spark: SparkSession, dir: String): DataFrame =
+    videoMediaFromIds(Tables.documents(spark, dir).select(col("doc_id")))
+
+  def videoMediaFromIds(ids: DataFrame): DataFrame = {
+    val spark = ids.sparkSession
     import spark.implicits._
-    Tables
-      .documents(spark, dir)
+    ids
       .select(col("doc_id"))
       .as[Long]
       .mapPartitions(_.map(id => (id, encodeVideo(id))))
