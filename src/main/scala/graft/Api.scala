@@ -390,6 +390,12 @@ object Api {
   def pacDemo(spark: org.apache.spark.sql.SparkSession): DataFrame =
     operators.PacOps.pacDemo(spark)
 
+  /** Feature-hashing doc embeddings: vocabulary-free signed-bucket
+    * vectors, l2-normalized, long-form (doc_id, bucket, weight).
+    */
+  def hashEmbed(docs: DataFrame, dim: Int = 64): DataFrame =
+    llm.TextStats.hashEmbed(docs, dim)
+
   /** Salted equi-join for hot-key skew (exact; dim side replicated per
     * salt). See also core.Scale.bucketedJoin / saltedSumCount.
     */

@@ -774,7 +774,56 @@ object TextStats {
       s"md5($red) AS md5_clean FROM aug"
   }
 
+  /** Feature-hashing document embeddings (the hashing trick,
+    * Weinberger et al. 2009): each token lands in one of `dim` signed
+    * buckets (bucket + sign both from the token's md5), per-doc bucket
+    * sums are l2-normalized — a vocabulary-free sparse embedding whose
+    * cosine equals signed bag-of-words cosine in expectation. Closes
+    * the text → embedding → ANN loop natively: the output feeds the
+    * sim_* family without an external model.
+    *
+    * Scale shape: one data-sized (doc, bucket) aggregation (map-side
+    * combine shrinks the token stream to ≤ dim rows per doc before the
+    * shuffle), then a per-doc window for the norm over ≤ dim rows.
+    * Output is long-form (doc_id, bucket, weight) — the driver-safe
+    * scalar layout and the natural sparse-vector form.
+    */
+  def hashEmbed(docs: DataFrame, dim: Int = 64): DataFrame = {
+    val t = tokens(docs).select(col("doc_id"), col("tok"))
+    val h = t.select(
+      col("doc_id"),
+      (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % dim).as("bucket"),
+      (conv(substring(md5(col("tok")), 9, 1), 16, 10).cast("long") % 2 * 2 - 1).as("sign")
+    )
+    val sums = h
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(sum(col("sign")).as("s"))
+      .filter(col("s") =!= 0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    sums.select(
+      col("doc_id"),
+      col("bucket"),
+      graft.core.Dsp
+        .round6(
+          col("s").cast("double") / sqrt(sum(col("s") * col("s")).over(w).cast("double"))
+        )
+        .as("weight")
+    )
+  }
+
+  def hashEmbedSql(dim: Int = 64): String =
+    s"WITH $tokensSql, h AS (SELECT doc_id, " +
+      s"CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % $dim AS bucket, " +
+      "CAST(concat('0x', substr(md5(tok), 9, 1)) AS BIGINT) % 2 * 2 - 1 AS sign FROM tokens), " +
+      "sums AS (SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS s FROM h " +
+      "GROUP BY doc_id, bucket HAVING sum(sign) <> 0) " +
+      "SELECT doc_id, bucket, " +
+      graft.core.Dsp.round6Sql(
+        "CAST(s AS DOUBLE) / sqrt(CAST(sum(s * s) OVER (PARTITION BY doc_id) AS DOUBLE))"
+      ) + " AS weight FROM sums"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_hash_embed" -> { (s, dir) => hashEmbed(Tables.documents(s, dir)) },
     "text_pii" -> { (s, dir) => pii(Tables.documents(s, dir)) },
     "sample_ccnet" -> { (s, dir) => ccnet(Tables.documents(s, dir)) },
     "text_repetition_full" -> { (s, dir) => repetitionFull(Tables.documents(s, dir)) },
@@ -839,6 +888,7 @@ object TextStats {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "text_hash_embed" -> hashEmbedSql(),
     "text_pii" -> piiSql,
     "sample_ccnet" -> ccnetSql,
     "text_repetition_full" -> repetitionFullSql,

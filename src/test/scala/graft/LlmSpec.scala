@@ -319,6 +319,22 @@ class LlmSpec extends AnyFunSuite {
     assert(acc >= 0.95, s"holdout accuracy $acc over ${truth.size} docs")
   }
 
+  test("hash embeddings: identical docs embed identically, vectors are unit norm") {
+    import graft.llm.TextStats
+    val vecs = TextStats
+      .hashEmbed(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1)
+      .map { case (id, rows) => id -> rows.map(t => t._2 -> t._3).toMap }
+    assert(vecs(1L) == vecs(4L), "identical text must embed identically")
+    assert(vecs(1L) != vecs(3L), "different text should differ")
+    vecs.foreach { case (id, v) =>
+      val norm = v.values.map(x => x * x).sum
+      assert(math.abs(norm - 1.0) < 1e-4, s"doc $id norm $norm")
+    }
+  }
+
   test("video container: header round-trips, frame sampling and motion are exact") {
     import graft.llm.Multimodal
     // doc_id 10: w = 10%8+4 = 6, h = 10%6+4 = 8, nf = 10%12+5 = 15
