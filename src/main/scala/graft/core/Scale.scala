@@ -107,6 +107,10 @@ object Scale {
       saltFrom: Column,
       saltBuckets: Int = 16
   ): DataFrame = {
+    require(
+      !big.columns.contains("_salt") && !dim.columns.contains("_salt"),
+      "saltedJoin reserves the _salt column; rename it on the input"
+    )
     val b = big.withColumn("_salt", pmod(xxhash64(saltFrom), lit(saltBuckets.toLong)))
     val d = dim.withColumn("_salt", explode(array((0 until saltBuckets).map(i => lit(i.toLong)): _*)))
     b.join(d, Seq(key, "_salt")).drop("_salt")

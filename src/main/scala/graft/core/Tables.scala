@@ -27,18 +27,24 @@ object Tables {
     *  - timestamp / timestamp_ntz (MICROS): epoch-micros × 1000 — exactly
     *    DuckDB's `epoch_ns(ts)` view of the same parquet, so oracle parity
     *    is preserved bit-for-bit. NTZ wall-clock is interpreted as UTC
-    *    (every entrypoint's SparkSession builder — Verify, Bench, Prof,
-    *    TestSpark — pins `spark.sql.session.timeZone=UTC`; this accessor
-    *    deliberately does NOT mutate it), matching DuckDB's naive
-    *    TIMESTAMP semantics.
+    *    matching DuckDB's naive TIMESTAMP semantics.
     *
-    * `nanosAsLong` IS set here (session-wide): without it Spark refuses
-    * to read NANOS parquet at all, and `events` is the only nanos table,
-    * so the setting is observable nowhere else.
+    * SESSION-WIDE SIDE EFFECT (deliberate): this accessor pins
+    * `spark.sql.session.timeZone=UTC` and `nanosAsLong`. The NTZ→epoch
+    * conversion is wrong under any other session timezone and there is
+    * no per-query override, so the pin must hold in EVERY session that
+    * reads events — including a driver-owned session this library does
+    * not build. The in-repo entrypoints (Verify, Bench, Prof,
+    * TestSpark) additionally pin it at build time so their OTHER
+    * queries render timestamps consistently even before events loads.
+    * nanosAsLong: without it Spark refuses to read NANOS parquet at
+    * all; `events` is the only nanos table, so it is observable
+    * nowhere else.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val df = table(spark, dir, "events")
     val tsNs = df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => col("ts")

@@ -231,10 +231,12 @@ object Dedup {
     * BATCH text (signatures + shingle sets are row-local projections),
     * one equi-join of batch band keys against the signature store, and
     * Jaccard verification joining candidates against the shingle store.
-    * The indexed corpus TEXT is never re-read — every `documents` scan
-    * in the returned plan carries the batch filter (PlanAuditSpec
-    * asserts this); candidate volume is bounded by the banded-LSH
-    * selectivity exactly as in the batch pipeline.
+    * The indexed corpus TEXT is never re-read and the batch is
+    * checkpointed after its single scan — the RETURNED plan reads only
+    * the checkpointed batch and the parquet stores, no `documents`
+    * relation at all (PlanAuditSpec asserts this); candidate volume is
+    * bounded by the banded-LSH selectivity exactly as in the batch
+    * pipeline.
     *
     * Re-constructing the query in one JVM rebuilds the stores (Scratch
     * empties the dir on re-acquisition) with byte-identical content —
@@ -250,7 +252,12 @@ object Dedup {
     val spark = docs.sparkSession
     val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
       .cast("long") % 10
-    val batch = docs.filter(bucket === 7)
+    // each slice feeds TWO store writes and the batch feeds THREE plan
+    // references — eager-checkpoint each filtered slice BEFORE the
+    // fan-out (CLAUDE.md components() precedent) so one ingest pays
+    // exactly one documents scan per slice, not one per reference;
+    // ContextCleaner reclaims the blocks
+    val batch = docs.filter(bucket === 7).localCheckpoint(true)
     def shingleSets(d: DataFrame): DataFrame = d.select(
       col("doc_id"),
       graft.functions.exprs
@@ -260,8 +267,8 @@ object Dedup {
     val store = graft.sources.Scratch.dir("dedup_incremental")
     val sigStore = s"$store/sigs"
     val shStore = s"$store/shingles"
-    val sliceA = docs.filter(bucket =!= 7 && bucket <= 4)
-    val sliceB = docs.filter(bucket =!= 7 && bucket > 4)
+    val sliceA = docs.filter(bucket =!= 7 && bucket <= 4).localCheckpoint(true)
+    val sliceB = docs.filter(bucket =!= 7 && bucket > 4).localCheckpoint(true)
     bandedSignatures(sliceA).write.mode("overwrite").parquet(sigStore)
     shingleSets(sliceA).write.mode("overwrite").parquet(shStore)
     bandedSignatures(sliceB).write.mode("append").parquet(sigStore)

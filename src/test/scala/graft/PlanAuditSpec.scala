@@ -86,32 +86,34 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scan.contains("recording"), s"recording partition filter not pushed: $scan")
   }
 
-  test("dedup_incremental verify path never re-reads index-side text") {
-    // the per-ingest contract: every `documents` scan in the RETURNED
-    // plan must sit under the batch filter (md5 bucket == 7) — index
-    // text is only touched by the eager store build at construction
-    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+  test("dedup_incremental verify path never re-reads corpus text") {
+    // the per-ingest contract: documents text is scanned ONLY by the
+    // eager store builds and the batch checkpoint at construction —
+    // the RETURNED plan reads the checkpointed batch and the parquet
+    // stores, never a `documents` relation
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     val df = SparkEntry.queries("dedup_incremental")(spark, sf)
-    var docScans = 0
-    def audit(p: LogicalPlan, underBatch: Boolean): Seq[String] = p match {
-      case f: Filter =>
-        val isBatch = f.condition.toString.contains("md5")
-        f.children.flatMap(audit(_, underBatch || isBatch))
-      case r: LogicalRelation =>
-        val path = r.relation match {
-          case h: HadoopFsRelation => h.location.rootPaths.mkString(",")
-          case other => other.toString
-        }
-        if (path.contains("documents")) {
-          docScans += 1
-          if (!underBatch) Seq(path) else Nil
-        } else Nil
-      case other => other.children.flatMap(audit(_, underBatch))
+    def relPaths(p: LogicalPlan): Seq[String] = {
+      val own = p match {
+        case r: LogicalRelation =>
+          r.relation match {
+            case h: HadoopFsRelation => Seq(h.location.rootPaths.mkString(","))
+            case other => Seq(other.toString)
+          }
+        case _ => Nil
+      }
+      own ++ p.children.flatMap(relPaths)
     }
-    val offenders = audit(df.queryExecution.optimizedPlan, underBatch = false)
-    assert(docScans > 0, "audit saw no documents relations — matcher is stale")
-    assert(offenders.isEmpty, s"unfiltered documents scans in verify plan: $offenders")
+    val paths = relPaths(df.queryExecution.optimizedPlan)
+    assert(
+      paths.count(_.contains("dedup_incremental")) >= 2,
+      s"audit saw no store reads — matcher is stale: $paths"
+    )
+    assert(
+      !paths.exists(_.contains("documents")),
+      s"returned plan re-reads documents: ${paths.filter(_.contains("documents"))}"
+    )
   }
 
   test("sink_bucketed joins co-located buckets with zero shuffle") {
