@@ -407,6 +407,13 @@ object Api {
       saltBuckets: Int = 16
   ): DataFrame = core.Scale.saltedJoin(big, dim, key, saltFrom, saltBuckets)
 
+  /** Misra–Gries heavy hitters (mergeable summary, no shuffle): keys
+    * with frequency > n/k are guaranteed present; counts underestimate
+    * by at most n/k.
+    */
+  def heavyHitters(df: DataFrame, key: org.apache.spark.sql.Column, k: Int): Seq[(String, Long)] =
+    core.Scale.heavyHitters(df, key, k)
+
   // ---- streaming ----
 
   def sessionize(events: DataFrame, gapNs: Long = 30L * 60 * 1000000000L): DataFrame =

@@ -115,4 +115,54 @@ object Scale {
     val d = dim.withColumn("_salt", explode(array((0 until saltBuckets).map(i => lit(i.toLong)): _*)))
     b.join(d, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** Misra–Gries heavy hitters as a mergeable summary (Agarwal et al.,
+    * "Mergeable Summaries", PODS 2012): each partition builds a
+    * (k−1)-counter sketch in one sequential pass, sketches merge
+    * associatively (combine counts, subtract the k-th largest, drop
+    * non-positives), and the result reaches the driver as ≤ k−1 rows —
+    * NO shuffle of the data, communication O(partitions · k). Every key
+    * with true frequency > n/k is guaranteed present, and each reported
+    * count underestimates the true count by at most n/k.
+    *
+    * This is the approximate first-profile pass a 100 TB corpus gets
+    * before any exact groupBy: one scan, tiny merge tree, bounded
+    * error — where an exact count would shuffle the full key stream.
+    */
+  def heavyHitters(df: DataFrame, key: Column, k: Int): Seq[(String, Long)] = {
+    require(k >= 2, "k must be at least 2")
+    import scala.collection.mutable
+    val kk = k // plain local capture; the closure must not drag the enclosing object in
+    val sketches = df
+      .select(key.cast("string").as("k"))
+      .na
+      .drop()
+      .rdd
+      .mapPartitions { it =>
+        val m = mutable.Map.empty[String, Long]
+        it.foreach { r =>
+          val s = r.getString(0)
+          if (m.contains(s)) m(s) += 1L
+          else if (m.size < kk - 1) m(s) = 1L
+          else {
+            // standard MG arrival on a full sketch: decrement every
+            // counter, evict zeros, discard the new item
+            m.keys.toList.foreach { key0 =>
+              m(key0) -= 1L
+              if (m(key0) <= 0) m.remove(key0)
+            }
+          }
+        }
+        Iterator.single(m.toMap)
+      }
+    val merged = sketches.treeReduce { (a, b) =>
+      val c = mutable.Map(a.toSeq: _*)
+      b.foreach { case (s, v) => c(s) = c.getOrElse(s, 0L) + v }
+      if (c.size > k - 1) {
+        val thr = c.values.toSeq.sorted(Ordering[Long].reverse)(k - 1)
+        c.toSeq.collect { case (s, v) if v - thr > 0 => s -> (v - thr) }.toMap
+      } else c.toMap
+    }
+    merged.toSeq.sortBy { case (s, v) => (-v, s) }
+  }
 }

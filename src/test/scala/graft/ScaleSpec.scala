@@ -328,3 +328,35 @@ class SkewSpec extends AnyFunSuite {
     assert(finalPlan.contains("skew=true"), s"AQE did not split the skewed partition:\n${finalPlan.take(1200)}")
   }
 }
+
+class SketchSpec extends AnyFunSuite {
+  import TestSpark._
+  import org.apache.spark.sql.functions._
+
+  test("Misra-Gries heavy hitters: guaranteed recall above n/k, bounded underestimate") {
+    // 100k rows: hot0 30%, hot1 20%, tail uniform over 1000 keys
+    val n = 100000L
+    val df = spark
+      .range(n)
+      .select(
+        when(col("id") % 10 < 3, lit("hot0"))
+          .when(col("id") % 10 < 5, lit("hot1"))
+          .otherwise(concat(lit("t"), (col("id") % 1000).cast("string")))
+          .as("k")
+      )
+    val k = 10
+    val hh = graft.core.Scale.heavyHitters(df, col("k"), k).toMap
+    assert(hh.size <= k - 1, s"sketch kept ${hh.size} counters")
+    assert(hh.contains("hot0") && hh.contains("hot1"), s"hot keys (freq > n/k) missing: $hh")
+    // MG estimates underestimate by at most n/k
+    assert(hh("hot0") <= 30000L && hh("hot0") >= 30000L - n / k, s"hot0 -> ${hh("hot0")}")
+    assert(hh("hot1") <= 20000L && hh("hot1") >= 20000L - n / k, s"hot1 -> ${hh("hot1")}")
+  }
+
+  test("HLL cardinality estimate lands inside the rsd band") {
+    val exact = 20000
+    val df = spark.range(exact.toLong).select(col("id").cast("string").as("k"))
+    val est = df.agg(approx_count_distinct(col("k"), 0.02).as("c")).collect()(0).getLong(0)
+    assert(math.abs(est - exact).toDouble / exact < 0.05, s"estimate $est vs $exact")
+  }
+}
