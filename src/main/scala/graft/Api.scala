@@ -416,8 +416,18 @@ object Api {
 
   // ---- streaming ----
 
-  def sessionize(events: DataFrame, gapNs: Long = 30L * 60 * 1000000000L): DataFrame =
-    streaming.StreamOps.sessionize(events, gapNs)
+  /** Gap-based sessions. `emitOpen` defaults to batch semantics (the
+    * trailing open session is final, emit it) for batch inputs and to
+    * hold-open for streaming inputs — an append-mode stream re-emitting
+    * the open session every microbatch would accumulate contradictory
+    * rows in the sink. Pass Some(...) to override.
+    */
+  def sessionize(
+      events: DataFrame,
+      gapNs: Long = 30L * 60 * 1000000000L,
+      emitOpen: Option[Boolean] = None
+  ): DataFrame =
+    streaming.StreamOps.sessionize(events, gapNs, emitOpen.getOrElse(!events.isStreaming))
 
   /** Streaming sessionize whose idle users are finalized via
     * EventTimeTimeout and REMOVED from the state store — bounded state

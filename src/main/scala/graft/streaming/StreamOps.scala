@@ -17,22 +17,30 @@ import graft.core.Tables
   */
 object StreamOps {
 
+  /** Integral ns→µs event time (CLAUDE.md rule): ts_ns exceeds 2^53,
+    * the double route loses up to ~256 ns — enough to flip a window
+    * boundary, a join bound, or watermark GC. One audited spot.
+    */
+  private def eventTimeMicros: org.apache.spark.sql.Column =
+    timestamp_micros(expr("ts_ns div 1000"))
+
   /** Hourly tumbling-window aggregate per event type. Works identically
     * on a batch DataFrame or a streaming one (unified API); bucket
     * arithmetic stays on epoch-nanos to avoid timezone semantics.
     */
   def windowedAgg(events: DataFrame): DataFrame =
     events
-      .select((col("ts_ns") / 3600000000000L).cast("bigint").as("hour_bucket"), col("event_type"), col("value"))
+      // integral bucket (CLAUDE.md rule): ts_ns exceeds 2^53, the double
+      // route rounds events within ~128 ns of an hour boundary into the
+      // wrong bucket while the oracle's `//` stays exact
+      .select(expr("ts_ns div 3600000000000").as("hour_bucket"), col("event_type"), col("value"))
       .groupBy(col("hour_bucket"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
 
   /** Watermarked streaming variant on a proper timestamp column. */
   def windowedAggStream(events: DataFrame): DataFrame =
     events
-      // integral ns→µs (CLAUDE.md rule): ts_ns exceeds 2^53, the double
-      // route loses up to ~256 ns — enough to flip a window boundary
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withColumn("ts", eventTimeMicros)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
@@ -51,9 +59,7 @@ object StreamOps {
       col("event_id"),
       col("user_id"),
       col("event_type"),
-      // integral ns→µs — a double-division round-off here could flip
-      // both the v_ts <= p_ts boundary match and watermark state GC
-      timestamp_micros(expr("ts_ns div 1000")).as("ts")
+      eventTimeMicros.as("ts")
     )
     val views = base
       .filter(col("event_type") === "view")
@@ -87,7 +93,10 @@ object StreamOps {
     val closed = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Int)]()
     for (t <- ts) {
       open = open match {
-        case Some((start, last, n)) if t - last <= gapNs => Some((start, t, n + 1))
+        // max(): a cross-batch late-but-admitted event (t < last) must
+        // extend the count without REGRESSING the session end — else a
+        // later close emits end_ns < start_ns and splits real sessions
+        case Some((start, last, n)) if t - last <= gapNs => Some((start, math.max(last, t), n + 1))
         case Some((start, last, n)) =>
           closed += ((user, start, last, n))
           Some((t, t, 1))
@@ -138,8 +147,7 @@ object StreamOps {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     events
-      // integral ns→µs (CLAUDE.md rule) for the event-time watermark
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .withColumn("ts", eventTimeMicros)
       .withWatermark("ts", "10 minutes")
       .select(col("user_id"), col("ts_ns"), col("ts"))
       .as[(Long, Long, java.sql.Timestamp)]
@@ -158,7 +166,10 @@ object StreamOps {
           val (closed, open) = foldGaps(user, state.getOption, rows.map(_._2).toArray.sorted, gapNs)
           open.foreach { st =>
             state.update(st)
-            state.setTimeoutTimestamp(st._2 / 1000000L + gapNs / 1000000L) // epoch ms
+            // ceil to ms: two floored terms could land the timeout up to
+            // ~2 ms BEFORE last+gap, closing a session an on-time
+            // boundary event should still extend
+            state.setTimeoutTimestamp((st._2 + gapNs) / 1000000L + 1) // epoch ms
           }
           closed.iterator
         }

@@ -384,6 +384,40 @@ class SessionizeStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got(0).getLong(1) == 0L && got(0).getLong(2) == 10 * m && got(0).getInt(3) == 2)
   }
 
+  test("sessionizeStream: a cross-batch late event extends the session without regressing its end") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val m = 60L * 1000000000L // 1 minute in ns
+    val input = MemoryStream[(Long, Long)]
+    val events = input.toDF().toDF("ts_ns", "user_id")
+    val q = graft.streaming.StreamOps
+      .sessionizeStream(events)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sess_late")
+      .start()
+    val b = 12L * 60 * m // 12:00
+    input.addData((b, 1L)) // opens (12:00, 12:00, 1); watermark -> 11:50
+    q.processAllAvailable()
+    input.addData((b - 5 * m, 1L)) // 11:55 — late but above the watermark
+    q.processAllAvailable()
+    // 12:28: gap from the true last (12:00) is 28 min <= 30 — one session.
+    // A regressed last (11:55) would see 33 min, close an INVERTED
+    // (end < start) session and split.
+    input.addData((b + 28 * m, 1L))
+    q.processAllAvailable()
+    input.addData((b + 240 * m, 9L)) // advance watermark far past last+gap
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark
+      .sql("SELECT start_ns, end_ns, n_events FROM sess_late WHERE user_id = 1")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.length == 1, s"late event split the session: ${rows.mkString(",")}")
+    assert(rows(0) == ((b, b + 28 * m, 3)), s"wrong session bounds: ${rows(0)}")
+  }
+
   test("sessionizeStream times out idle users and evicts their state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
