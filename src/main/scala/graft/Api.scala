@@ -336,6 +336,11 @@ object Api {
   def mixWeightsBpe(docs: DataFrame, alpha: Double = 0.7): DataFrame =
     llm.Bpe.mixBpe(docs, alpha)
 
+  /** The BPE segmentation surface: per-doc encoded form (md5), piece
+    * count, and the in-plan decode-identity witness.
+    */
+  def segmentsBpe(docs: DataFrame): DataFrame = llm.Bpe.segmentsBpe(docs)
+
   /** Duplicate-span removal (Lee et al. 2022): excise cross-doc
     * duplicate w-gram spans, emit removal counts + cleaned md5.
     */
@@ -344,6 +349,13 @@ object Api {
   /** Image perceptual-hash near-dup pairs through the PNG codec. */
   def phashPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
     llm.Multimodal.phashPairs(media, maxHamming)
+
+  /** Audio fingerprint near-dup pairs through the WAV codec
+    * (Haitsma–Kalker-shaped integer band-energy-delta signature).
+    */
+  def wavFingerprint(media: DataFrame): DataFrame = llm.Multimodal.wavFingerprint(media)
+  def wavFpPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    llm.Multimodal.wavFpPairs(media, maxHamming)
 
   /** Quality → exact dedup → DSIR weights → per-source selection
     * profile (the LLM-selection composition).

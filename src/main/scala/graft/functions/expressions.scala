@@ -6,7 +6,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.Bridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
 
 /** Custom Catalyst expressions for the segmented fast paths (preference
   * tier (b): a native Expression beats a UDF — no Row boxing, typed
@@ -360,9 +360,54 @@ case class BpeCount(child: Expression, merges: Seq[String])
   override protected def withNewChildInternal(c: Expression): BpeCount = copy(child = c)
 }
 
+/** The BPE SEGMENTATION itself, rendered back as one string: each
+  * token's subword pieces joined by U+001F, tokens re-joined by ' '
+  * (empty tokens preserved, so consecutive spaces survive) — hence
+  * removing every U+001F yields the ORIGINAL text exactly, the
+  * decode identity the text_bpe_segments gate asserts in-plan. Same
+  * merge semantics as [[BpeCount]] (training-order left-to-right
+  * non-overlapping replace, identical in java.lang.String and DuckDB).
+  * Row-local: a projection off the scan.
+  */
+case class BpeEncode(child: Expression, merges: Seq[String])
+    extends UnaryExpression
+    with CodegenFallback {
+  @transient private lazy val ms: Array[(String, String)] =
+    merges.map(p => (p, p.replace(graft.llm.Bpe.sep, ""))).toArray
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any = {
+    val toks = v.asInstanceOf[ArrayData]
+    val out = new java.lang.StringBuilder()
+    var i = 0
+    while (i < toks.numElements()) {
+      if (i > 0) out.append(' ')
+      val t = toks.getUTF8String(i).toString
+      if (t.nonEmpty) {
+        val sb = new java.lang.StringBuilder(t.length * 2)
+        var ci = 0
+        while (ci < t.length) {
+          val cp = t.codePointAt(ci)
+          if (ci > 0) sb.append(graft.llm.Bpe.sep)
+          sb.appendCodePoint(cp)
+          ci += Character.charCount(cp)
+        }
+        var s = sb.toString
+        var mi = 0
+        while (mi < ms.length) { s = s.replace(ms(mi)._1, ms(mi)._2); mi += 1 }
+        out.append(s)
+      }
+      i += 1
+    }
+    UTF8String.fromString(out.toString)
+  }
+  override protected def withNewChildInternal(c: Expression): BpeEncode = copy(child = c)
+}
+
 object exprs {
   def bpe_count(toks: Column, merges: Seq[String]): Column =
     Bridge.column(BpeCount(Bridge.expression(toks), merges))
+  def bpe_encode(toks: Column, merges: Seq[String]): Column =
+    Bridge.column(BpeEncode(Bridge.expression(toks), merges))
   def spectrum_seg(
       c: Column,
       win: Array[Double],

@@ -156,6 +156,48 @@ object Bpe {
       " SELECT d.doc_id AS doc_id, coalesce(g.n_ws, 0) AS n_ws, coalesce(g.n_bpe, 0) AS n_bpe " +
       "FROM documents d LEFT JOIN agg g ON d.doc_id = g.doc_id"
 
+  /** The tokenizer's SEGMENTATION surface — what a packing-aware data
+    * loader actually consumes: per doc the encoded form (subword
+    * pieces joined by U+001F within words, words by ' ') hashed to a
+    * scalar, the piece count, and the in-plan DECODE IDENTITY witness
+    * `decode_ok` = [strip every U+001F → original text]. Both engines
+    * build the encoded string with the same training-order replace
+    * chain (per-token on Spark, whole-text in the oracle — equivalent
+    * because merge patterns contain no space, so no occurrence spans a
+    * word boundary), so `enc_md5` pins the exact segmentation, not
+    * just its count. Row-local projection; no shuffle beyond the
+    * bounded trainer collect.
+    */
+  def segmentsBpe(docs: DataFrame): DataFrame = {
+    val merges = gateMerges(docs)
+    val toks = split(col("text"), " ")
+    val enc = graft.functions.exprs.bpe_encode(toks, merges)
+    docs.select(
+      col("doc_id"),
+      graft.functions.exprs.bpe_count(toks, merges).as("n_pieces"),
+      md5(enc.cast("binary")).as("enc_md5"),
+      (translate(enc, sep, "") === col("text")).as("decode_ok")
+    )
+  }
+
+  val segmentsBpeSql: String = {
+    val SEP = "chr(31)"
+    val NOPE = "chr(30)"
+    // sep-join each word's characters, rejoin words with ' ' (empty
+    // words survive as empty strings → exact spacing preserved), then
+    // the same 32-stage replace chain the per-word app CTE uses —
+    // patterns never contain a space, so whole-text replace ≡ per-word
+    var e = s"array_to_string(list_transform(string_split(text, ' '), w -> " +
+      s"array_to_string(string_split(w, ''), $SEP)), ' ')"
+    for (r <- 0 until nMerges)
+      e = s"replace($e, coalesce((SELECT p FROM b$r), $NOPE), coalesce((SELECT m FROM b$r), $NOPE))"
+    "WITH " + bpeCtes.mkString(", ") +
+      s", enc AS (SELECT d.doc_id AS doc_id, d.text AS text, $e AS e FROM documents d) " +
+      "SELECT e.doc_id AS doc_id, coalesce(g.n_bpe, 0) AS n_pieces, md5(e.e) AS enc_md5, " +
+      s"(replace(e.e, $SEP, '') = e.text) AS decode_ok " +
+      "FROM enc e LEFT JOIN agg g ON e.doc_id = g.doc_id"
+  }
+
   /** Sequence packing budgeted in REAL subword tokens — the text_pack
     * arithmetic (8 salted streams, 256-token bins) with the document
     * length measured by the trained BPE instead of whitespace words.
@@ -254,12 +296,14 @@ object Bpe {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens_bpe" -> { (s, dir) => tokensBpe(Tables.documents(s, dir)) },
+    "text_bpe_segments" -> { (s, dir) => segmentsBpe(Tables.documents(s, dir)) },
     "text_pack_bpe" -> { (s, dir) => packBpe(Tables.documents(s, dir)) },
     "sample_mix_bpe" -> { (s, dir) => mixBpe(Tables.documents(s, dir)) }
   )
 
   def oracleSql: Map[String, String] = Map(
     "text_tokens_bpe" -> tokensBpeSql,
+    "text_bpe_segments" -> segmentsBpeSql,
     "text_pack_bpe" -> packBpeSql(),
     "sample_mix_bpe" -> mixBpeSql()
   )

@@ -489,32 +489,32 @@ object Multimodal {
       .toDF("media_id", "ph_hi", "ph_lo")
   }
 
-  /** Image near-dup pairs: band the dHash into 4×16-bit chunks,
-    * candidates = images sharing any chunk (equi-join; pigeonhole makes
-    * hamming ≤ 3 recall exact), verify popcount(xor) ≤ maxHamming —
-    * the dedup_simhash_pairs shape applied to the multimodal column.
-    * Never O(n²); identical thumbnails (e.g. exact-dup source docs)
-    * form hamming-0 cliques.
+  /** Near-dup pairs over a 64-bit row-local signature split into two
+    * 32-bit halves (`hiCol`/`loCol` on `sig` alongside `media_id`):
+    * band into 4×16-bit chunks, candidates = rows sharing any chunk
+    * (equi-join; pigeonhole makes hamming ≤ 3 recall exact), verify
+    * popcount(xor) ≤ maxHamming — the dedup_simhash_pairs shape.
+    * Never O(n²); identical signatures form hamming-0 cliques.
     */
-  def phashPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val chunks = phash(media).select(
+  private def sigPairs64(sig: DataFrame, hiCol: String, loCol: String, maxHamming: Int): DataFrame = {
+    val chunks = sig.select(
       col("media_id"),
-      col("ph_hi"),
-      col("ph_lo"),
+      col(hiCol),
+      col(loCol),
       posexplode(
         array(
-          shiftright(col("ph_hi"), 16),
-          col("ph_hi").bitwiseAND(lit(65535L)),
-          shiftright(col("ph_lo"), 16),
-          col("ph_lo").bitwiseAND(lit(65535L))
+          shiftright(col(hiCol), 16),
+          col(hiCol).bitwiseAND(lit(65535L)),
+          shiftright(col(loCol), 16),
+          col(loCol).bitwiseAND(lit(65535L))
         )
       ).as(Seq("ci", "chunk"))
     )
     val a = chunks.select(
-      col("media_id").as("media_a"), col("ph_hi").as("hi_a"), col("ph_lo").as("lo_a"),
+      col("media_id").as("media_a"), col(hiCol).as("hi_a"), col(loCol).as("lo_a"),
       col("ci"), col("chunk"))
     val b = chunks.select(
-      col("media_id").as("media_b"), col("ph_hi").as("hi_b"), col("ph_lo").as("lo_b"),
+      col("media_id").as("media_b"), col(hiCol).as("hi_b"), col(loCol).as("lo_b"),
       col("ci"), col("chunk"))
     a.join(b, Seq("ci", "chunk"))
       .filter(col("media_a") < col("media_b"))
@@ -527,6 +527,10 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Image near-dup pairs: the dHash banded through [[sigPairs64]]. */
+  def phashPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    sigPairs64(phash(media), "ph_hi", "ph_lo", maxHamming)
 
   /** Oracle twin of [[phashPairs]]: the PNG raster is replayed from the
     * generating text (lossless codec), the bilinear resize term-for-term
@@ -565,6 +569,128 @@ object Multimodal {
       "FROM cand c JOIN sig sa ON sa.doc_id = c.media_a JOIN sig sb ON sb.doc_id = c.media_b) WHERE hamming <= 3"
   }
 
+  /** Text-derived WAV corpus for fingerprint near-dup: sample t of doc
+    * d is s(t) = ((cp(t mod len)·131 + t·17) mod 2003) − 1001 where cp
+    * is the codepoint of the text at char t mod len — duplicate TEXTS
+    * yield identical clips and near-dup texts mostly-identical clips
+    * (the [[pngMedia]] content-derived-pixels pattern applied to
+    * audio); n = len mod 256 + 16, packed as a REAL RIFF/WAVE payload.
+    */
+  def wavMediaText(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables
+      .documents(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val cps = text.codePoints().toArray
+        val n = cps.length % 256 + 16
+        val samples = Array.tabulate(n) { t =>
+          (((cps(t % cps.length).toLong * 131 + t.toLong * 17) % 2003) - 1001).toShort
+        }
+        (id, encodeWav(samples))
+      })
+      .toDF("media_id", "payload")
+  }
+
+  private val fpFrames = 33
+  private val fpFrameLen = 8
+
+  /** 64-bit audio fingerprint through the REAL javax.sound codec — the
+    * Haitsma–Kalker (2002, "A highly robust audio fingerprinting
+    * system") shape on an exact integer filterbank: the clip
+    * (truncated / zero-padded to 33 frames × 8 samples) yields per
+    * frame two INTEGER band energies — E1 = Σ v² (total) and
+    * E2 = Σ (Δv)² (high band; Δ is a one-tap high-pass) — and bit
+    * (f, band) is the sign of the energy time-delta
+    * [E_band(f) > E_band(f−1)] for f = 1..32: 2 bands × 32 frame steps
+    * = 64 bits. All comparisons are on exact BIGINT sums, so
+    * cross-engine parity has NO float sign-flip surface at near-zero
+    * deltas (the reason the bands aren't DFT magnitudes here).
+    * Row-local: a projection off the scan.
+    */
+  def wavFingerprint(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, wav) =>
+        val s = decodeWav(wav)
+        val n = fpFrames * fpFrameLen
+        val v = Array.tabulate(n)(t => if (t < s.length) s(t).toLong else 0L)
+        val e1 = new Array[Long](fpFrames)
+        val e2 = new Array[Long](fpFrames)
+        var f = 0
+        while (f < fpFrames) {
+          var t = f * fpFrameLen
+          while (t < (f + 1) * fpFrameLen) {
+            e1(f) += v(t) * v(t)
+            if (t % fpFrameLen != 0) { val d = v(t) - v(t - 1); e2(f) += d * d }
+            t += 1
+          }
+          f += 1
+        }
+        var hi = 0L; var lo = 0L
+        f = 1
+        while (f < fpFrames) {
+          val b1 = 2 * (f - 1)
+          val bit1 = if (e1(f) > e1(f - 1)) 1L else 0L
+          val bit2 = if (e2(f) > e2(f - 1)) 1L else 0L
+          if (b1 < 32) hi += bit1 << (31 - b1) else lo += bit1 << (63 - b1)
+          if (b1 + 1 < 32) hi += bit2 << (31 - (b1 + 1)) else lo += bit2 << (63 - (b1 + 1))
+          f += 1
+        }
+        (id, hi, lo)
+      })
+      .toDF("media_id", "fp_hi", "fp_lo")
+  }
+
+  /** Audio near-dup pairs: the fingerprint banded through
+    * [[sigPairs64]] — the mm_phash_pairs machinery applied to the
+    * audio modality.
+    */
+  def wavFpPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    sigPairs64(wavFingerprint(media), "fp_hi", "fp_lo", maxHamming)
+
+  /** Oracle twin of [[wavFpPairs]]: the PCM16 codec is lossless, so
+    * the sample formula is replayed from the generating text, band
+    * energies are the same exact BIGINT sums (lag window for Δv), bits
+    * pack via power-of-two weights (phash precedent), then the
+    * chunk/hamming chain. A codec, header, or framing regression moves
+    * Spark's bits off the replayed formula and breaks the hash.
+    */
+  val wavFpPairsSql: String = {
+    val nTot = fpFrames * fpFrameLen
+    "WITH d AS MATERIALIZED (SELECT doc_id, text, length(text) AS len, length(text) % 256 + 16 AS n " +
+      "FROM documents WHERE length(text) > 0), " +
+      s"sm AS (SELECT doc_id, g.t AS t, CASE WHEN g.t < n THEN " +
+      "(unicode(substr(text, CAST(g.t % len AS INT) + 1, 1)) * 131 + g.t * 17) % 2003 - 1001 ELSE 0 END AS v " +
+      s"FROM d, generate_series(0, ${nTot - 1}) g(t)), " +
+      "lg AS (SELECT doc_id, t, v, lag(v) OVER (PARTITION BY doc_id ORDER BY t) AS pv FROM sm), " +
+      s"en AS (SELECT doc_id, t // $fpFrameLen AS f, CAST(sum(v * v) AS BIGINT) AS e1, " +
+      s"CAST(sum(CASE WHEN t % $fpFrameLen <> 0 THEN (v - pv) * (v - pv) ELSE 0 END) AS BIGINT) AS e2 " +
+      s"FROM lg GROUP BY doc_id, t // $fpFrameLen), " +
+      "bits AS (SELECT a.doc_id AS doc_id, 2 * (a.f - 1) AS b1, " +
+      "CASE WHEN a.e1 > p.e1 THEN 1 ELSE 0 END AS bit1, " +
+      "CASE WHEN a.e2 > p.e2 THEN 1 ELSE 0 END AS bit2 " +
+      "FROM en a JOIN en p ON p.doc_id = a.doc_id AND p.f = a.f - 1), " +
+      "sig AS MATERIALIZED (SELECT doc_id, " +
+      "CAST(sum(CASE WHEN b1 < 32 THEN bit1 * CAST(power(2.0e0, 31 - b1) AS BIGINT) ELSE 0 END + " +
+      "CASE WHEN b1 + 1 < 32 THEN bit2 * CAST(power(2.0e0, 30 - b1) AS BIGINT) ELSE 0 END) AS BIGINT) AS fp_hi, " +
+      "CAST(sum(CASE WHEN b1 >= 32 THEN bit1 * CAST(power(2.0e0, 63 - b1) AS BIGINT) ELSE 0 END + " +
+      "CASE WHEN b1 + 1 >= 32 THEN bit2 * CAST(power(2.0e0, 62 - b1) AS BIGINT) ELSE 0 END) AS BIGINT) AS fp_lo " +
+      "FROM bits GROUP BY doc_id), " +
+      "chunks AS MATERIALIZED (SELECT doc_id, g.ci AS ci, CASE g.ci WHEN 0 THEN fp_hi // 65536 WHEN 1 THEN fp_hi % 65536 " +
+      "WHEN 2 THEN fp_lo // 65536 ELSE fp_lo % 65536 END AS chunk FROM sig, generate_series(0, 3) g(ci)), " +
+      "cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS media_a, b.doc_id AS media_b FROM chunks a " +
+      "JOIN chunks b ON a.ci = b.ci AND a.chunk = b.chunk AND a.doc_id < b.doc_id) " +
+      "SELECT media_a, media_b, hamming FROM (SELECT c.media_a, c.media_b, " +
+      "CAST(bit_count(xor(sa.fp_hi, sb.fp_hi)) + bit_count(xor(sa.fp_lo, sb.fp_lo)) AS BIGINT) AS hamming " +
+      "FROM cand c JOIN sig sa ON sa.doc_id = c.media_a JOIN sig sb ON sb.doc_id = c.media_b) WHERE hamming <= 3"
+  }
+
   /** Real resize: PNG-decode, bilinear-resample the raster, re-encode. */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
     val spark = media.sparkSession
@@ -600,7 +726,8 @@ object Multimodal {
     "mm_wav_spec" -> { (s, dir) => wavSpectral(wavMedia(s, dir)) },
     "mm_frames" -> { (s, dir) => frameSample(syntheticMedia(s, dir), everyK = 2) },
     "mm_video_frames" -> { (s, dir) => videoFrames(videoMedia(s, dir)) },
-    "mm_phash_pairs" -> { (s, dir) => phashPairs(pngMedia(s, dir)) }
+    "mm_phash_pairs" -> { (s, dir) => phashPairs(pngMedia(s, dir)) },
+    "mm_wav_fp_pairs" -> { (s, dir) => wavFpPairs(wavMediaText(s, dir)) }
   )
 
   /** The stub decode's per-byte stats ARE SQL-expressible here because
@@ -646,6 +773,7 @@ object Multimodal {
         "SELECT media_id, g.i AS frame_idx, substr(hx, CAST(g.i * 64 + 1 AS INT), 64) AS frame_hex " +
         "FROM b, generate_series(0, 63) g(i) WHERE g.i % 2 = 0 AND g.i * 64 < length(hx)"),
     "mm_video_frames" -> videoFramesSql(),
-    "mm_phash_pairs" -> phashPairsSql
+    "mm_phash_pairs" -> phashPairsSql,
+    "mm_wav_fp_pairs" -> wavFpPairsSql
   )
 }

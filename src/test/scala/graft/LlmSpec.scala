@@ -389,6 +389,67 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs == brute, s"banding $pairs vs brute $brute")
   }
 
+  test("wav fingerprint pairs: identical clips at hamming 0, recall matches brute force") {
+    import graft.llm.Multimodal
+    // clips from short texts so every char reaches the 264-sample window
+    def clip(text: String): Array[Byte] = {
+      val cps = text.codePoints().toArray
+      val n = cps.length % 256 + 16
+      Multimodal.encodeWav(Array.tabulate(n) { t =>
+        (((cps(t % cps.length).toLong * 131 + t.toLong * 17) % 2003) - 1001).toShort
+      })
+    }
+    val base = "the quick brown fox jumps over the lazy dog"
+    val media = Seq(
+      (1L, clip(base)),
+      (2L, clip(base)), // exact dup → identical fingerprint
+      (3L, clip(base.dropRight(1) + "x")), // one-char edit → few flipped bits
+      (4L, clip("completely unrelated text with different content entirely"))
+    ).toDF("media_id", "payload")
+    val sigs = Multimodal.wavFingerprint(media).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(sigs(1L) == sigs(2L), "identical clips must fingerprint identically")
+    def hm(a: Long, b: Long) = (sigs(a), sigs(b)) match {
+      case ((h1, l1), (h2, l2)) =>
+        java.lang.Long.bitCount(h1 ^ h2) + java.lang.Long.bitCount(l1 ^ l2)
+    }
+    // a one-char edit perturbs at most a handful of frames (often zero
+    // bits — sign-of-energy-delta is DESIGNED to absorb small nudges)
+    assert(hm(1L, 3L) <= 8, s"edit distance ${hm(1L, 3L)}")
+    assert(hm(1L, 4L) > 8, s"unrelated clips too close: ${hm(1L, 4L)}")
+    val pairs = Multimodal.wavFpPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) == 0L)
+    // banding recall is pigeonhole-exact at hamming <= 3
+    val ids = sigs.keys.toSeq.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      h = hm(a, b) if h <= 3
+    } yield (a, b) -> h.toLong).toMap
+    assert(pairs == brute, s"banding $pairs vs brute $brute")
+  }
+
+  test("bpe segments: decode identity holds and piece counts match tokensBpe") {
+    import graft.llm.Bpe
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat sat  on the mat"), // double space must survive round-trip
+      (3L, ""),
+      (4L, "the the the the cat cat cat"),
+      (5L, "unrelated words entirely different")
+    ).toDF("doc_id", "text")
+    val seg = Bpe.segmentsBpe(corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2), r.getBoolean(3)))).toMap
+    assert(seg.values.forall(_._3), s"decode identity violated: $seg")
+    val counts = Bpe.tokensBpe(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(seg.forall { case (id, (n, _, _)) => n == counts(id) },
+      "n_pieces must equal tokensBpe n_bpe")
+    // identical texts segment identically; different texts differently
+    assert(seg(1L)._2 != seg(2L)._2, "spacing must reach the encoded hash")
+    assert(seg(3L) == ((0L, seg(3L)._2, true)))
+  }
+
   test("span removal excises shared 5-grams, merges overlaps, spares unique docs") {
     val corpus = Seq(
       (1L, "a b c d e f g h"),
