@@ -157,6 +157,11 @@ object Api {
     */
   def psdBanded(sig: DataFrame): DataFrame = SpectraOps.psdBanded(sig)
 
+  /** 3-level Haar discrete wavelet transform per channel: details
+    * d1/d2/d3 + approximation a3, one shuffle (8-sample group pivot).
+    */
+  def dwtHaar(sig: DataFrame): DataFrame = SpectraOps.dwtHaar(sig)
+
   /** Analytic transform + coupling (reference experimental.coupling). */
   def analytic(sig: DataFrame): DataFrame = HilbertOps.analytic(sig)
   def plv(sig: DataFrame): DataFrame = HilbertOps.plv(sig)
@@ -356,6 +361,13 @@ object Api {
   def wavFingerprint(media: DataFrame): DataFrame = llm.Multimodal.wavFingerprint(media)
   def wavFpPairs(media: DataFrame, maxHamming: Int = 3): DataFrame =
     llm.Multimodal.wavFpPairs(media, maxHamming)
+
+  /** Corpus snapshot diff: per-doc added/removed/changed/unchanged
+    * between two snapshots — one full-outer id join, shuffle-free on
+    * the doc_id-bucketed layout.
+    */
+  def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame =
+    llm.Curation.corpusDiff(oldSnap, newSnap)
 
   /** Quality → exact dedup → DSIR weights → per-source selection
     * profile (the LLM-selection composition).

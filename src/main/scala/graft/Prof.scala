@@ -140,6 +140,13 @@ object Prof {
       t(s"docs${docsX}_video_frames", nDocs)(
         llm.Multimodal.videoFrames(llm.Multimodal.videoMediaFromIds(docs)).count()
       )
+      t(s"docs${docsX}_bpe_segments", nDocs)(llm.Bpe.segmentsBpe(docs).count())
+      // replicas of a >264-char doc share their clip prefix → hamming-0
+      // cliques of size docsX; pair volume is clique-quadratic BY DESIGN
+      // (every pair of a duplicate group IS a true positive)
+      t(s"docs${docsX}_wav_fp_pairs", nDocs)(
+        llm.Multimodal.wavFpPairs(llm.Multimodal.wavMediaFromDocs(docs)).count()
+      )
       docs.unpersist()
       ()
     }

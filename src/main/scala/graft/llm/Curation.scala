@@ -376,7 +376,53 @@ object Curation {
       s"${Dsp.round6Sql("CAST(sum(m) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1.0e6)")} AS avg_log_weight " +
       "FROM kk GROUP BY source"
 
+  /** Corpus snapshot diff — the versioning pass a continuously-ingested
+    * corpus runs between snapshots: per doc_id, `added` / `removed` /
+    * `changed` (content md5 moved) / `unchanged`. ONE full-outer
+    * equi-join on the id; content hashes are row-local projections. At
+    * 100 TB both snapshots live in the doc_id-bucketed layout
+    * (`sink_bucketed`), so the diff joins bucket-to-bucket with zero
+    * exchange. The gate config derives two synthetic snapshots from
+    * the one documents table (old = id % 7 ≠ 0, new = id % 5 ≠ 0 with
+    * id % 3 = 0 docs edited) so every status arm is exercised.
+    */
+  def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame): DataFrame = {
+    val a = oldSnap.select(col("doc_id"), md5(col("text")).as("h_old"))
+    val b = newSnap.select(col("doc_id"), md5(col("text")).as("h_new"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(
+        col("doc_id"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged")
+          .as("status")
+      )
+  }
+
+  def corpusDiffGate(docs: DataFrame): DataFrame = corpusDiff(
+    docs.filter(col("doc_id") % 7 =!= 0),
+    docs
+      .filter(col("doc_id") % 5 =!= 0)
+      .select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))
+          .as("text")
+      )
+  )
+
+  val corpusDiffSql: String =
+    "WITH a AS (SELECT doc_id, md5(text) AS h_old FROM documents WHERE doc_id % 7 <> 0), " +
+      "b AS (SELECT doc_id, md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) AS h_new " +
+      "FROM documents WHERE doc_id % 5 <> 0) " +
+      "SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, " +
+      "CASE WHEN a.h_old IS NULL THEN 'added' WHEN b.h_new IS NULL THEN 'removed' " +
+      "WHEN a.h_old <> b.h_new THEN 'changed' ELSE 'unchanged' END AS status " +
+      "FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_diff" -> { (s, dir) => corpusDiffGate(Tables.documents(s, dir)) },
     "curate_llm" -> { (s, dir) => curateLlm(Tables.documents(s, dir)) },
     "text_c4_clean" -> { (s, dir) => c4Clean(Tables.documents(s, dir)) },
     "sample_mix" -> { (s, dir) => sampleMix(Tables.documents(s, dir)) },
@@ -438,6 +484,7 @@ object Curation {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "corpus_diff" -> corpusDiffSql,
     "curate_llm" -> curateLlmSql(),
     "text_c4_clean" -> c4CleanSql,
     "sample_mix" -> sampleMixSql(),

@@ -576,10 +576,13 @@ object Multimodal {
     * (the [[pngMedia]] content-derived-pixels pattern applied to
     * audio); n = len mod 256 + 16, packed as a REAL RIFF/WAVE payload.
     */
-  def wavMediaText(spark: SparkSession, dir: String): DataFrame = {
+  def wavMediaText(spark: SparkSession, dir: String): DataFrame =
+    wavMediaFromDocs(Tables.documents(spark, dir))
+
+  def wavMediaFromDocs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables
-      .documents(spark, dir)
+    docs
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]

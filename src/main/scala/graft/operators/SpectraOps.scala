@@ -477,6 +477,65 @@ object SpectraOps {
     s"${Signal.sigCte}, ${periodogramsSql(boundary = false, doubled = true, WelchCfg(nfft = nfftF, hop = nfftF / 2))} " +
       "SELECT channel, f, round(avg(p2), 6) AS psd, count(*) AS nsegs FROM pgram GROUP BY channel, f"
 
+  /** 3-level Haar discrete wavelet transform per channel — the
+    * time-frequency decomposition EEG pipelines run besides Welch/STFT
+    * (beyond the reference's estimators). ONE exchange: samples group
+    * by (channel, n div 8) and the complete-8-sample pivot computes
+    * all three levels row-locally (the epoch-DFT conditional-agg
+    * pattern) — details d1 (4/group), d2 (2), d3 (1) plus the level-3
+    * approximation a3 (1): 8 coefficients per 8 samples, an orthogonal
+    * transform in one shuffle. Incomplete tail groups drop identically
+    * on both engines (HAVING count = 8). Both engines evaluate the
+    * SAME nested expression tree (fixed-order scalar arithmetic →
+    * exact IEEE parity), outputs round6.
+    */
+  private val haarC = 0.7071067811865476 // 1/sqrt 2
+
+  def dwtHaar(sig: DataFrame, presorted: Boolean = false): DataFrame = {
+    val base = if (presorted) sig else sig.repartition(col("channel"))
+    val aggs = count(lit(1)).as("cnt") +:
+      (0 until 8).map(i => max(when(col("n") % 8 === i, col("x"))).as(s"s$i"))
+    val p = base
+      .groupBy(col("channel"), expr("n div 8").as("g"))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("cnt") === 8)
+    def a1(j: Int): Column = (col(s"s${2 * j}") + col(s"s${2 * j + 1}")) * haarC
+    def d1(j: Int): Column = (col(s"s${2 * j}") - col(s"s${2 * j + 1}")) * haarC
+    def a2(j: Int): Column = (a1(2 * j) + a1(2 * j + 1)) * haarC
+    def d2(j: Int): Column = (a1(2 * j) - a1(2 * j + 1)) * haarC
+    val a3 = (a2(0) + a2(1)) * haarC
+    val d3 = (a2(0) - a2(1)) * haarC
+    def row(kind: String, k: Column, coef: Column) =
+      struct(lit(kind).as("kind"), k.cast("bigint").as("k"), Dsp.round6(coef).as("coef"))
+    val rows = array(
+      (0 until 4).map(j => row("d1", col("g") * 4 + j, d1(j))) ++
+        (0 until 2).map(j => row("d2", col("g") * 2 + j, d2(j))) ++
+        Seq(row("d3", col("g"), d3), row("a3", col("g"), a3)): _*
+    )
+    p.select(col("channel"), inline(rows))
+  }
+
+  val dwtHaarSql: String = {
+    val C = Dsp.lit(haarC)
+    def a1(j: Int): String = s"(s${2 * j} + s${2 * j + 1}) * $C"
+    def d1(j: Int): String = s"(s${2 * j} - s${2 * j + 1}) * $C"
+    def a2(j: Int): String = s"(${a1(2 * j)} + ${a1(2 * j + 1)}) * $C"
+    def d2(j: Int): String = s"(${a1(2 * j)} - ${a1(2 * j + 1)}) * $C"
+    val a3 = s"(${a2(0)} + ${a2(1)}) * $C"
+    val d3 = s"(${a2(0)} - ${a2(1)}) * $C"
+    val pivots = (0 until 8).map(i => s"max(CASE WHEN n % 8 = $i THEN x END) AS s$i").mkString(", ")
+    val arms =
+      (0 until 4).map(j => s"SELECT channel, 'd1' AS kind, g * 4 + $j AS k, ${Dsp.round6Sql(d1(j))} AS coef FROM q") ++
+        (0 until 2).map(j => s"SELECT channel, 'd2' AS kind, g * 2 + $j AS k, ${Dsp.round6Sql(d2(j))} AS coef FROM q") ++
+        Seq(
+          s"SELECT channel, 'd3' AS kind, g AS k, ${Dsp.round6Sql(d3)} AS coef FROM q",
+          s"SELECT channel, 'a3' AS kind, g AS k, ${Dsp.round6Sql(a3)} AS coef FROM q"
+        )
+    s"${Signal.sigCte}, p AS (SELECT channel, n // 8 AS g, count(*) AS cnt, $pivots " +
+      "FROM sig GROUP BY channel, n // 8), q AS MATERIALIZED (SELECT * FROM p WHERE cnt = 8) " +
+      arms.mkString(" UNION ALL ")
+  }
+
   /** Reference-psd parameter variants (estimators.py:60): scaling=
     * 'spectrum', hamming window at 75% overlap, detrend='linear'.
     */
@@ -499,7 +558,8 @@ object SpectraOps {
     "stft64" -> { (s, dir) => stft(Signal.long(s, dir), presorted = true) },
     "band_power" -> { (s, dir) => bandPower(Signal.long(s, dir), presorted = true) },
     "psd_norm" -> { (s, dir) => psdNorm(Signal.long(s, dir), presorted = true) },
-    "psd_ci" -> { (s, dir) => psdCi(Signal.long(s, dir), presorted = true) }
+    "psd_ci" -> { (s, dir) => psdCi(Signal.long(s, dir), presorted = true) },
+    "dwt_haar" -> { (s, dir) => dwtHaar(Signal.long(s, dir), presorted = true) }
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -512,6 +572,7 @@ object SpectraOps {
     "stft64" -> stftSql,
     "band_power" -> bandPowerSql,
     "psd_norm" -> psdNormSql,
-    "psd_ci" -> psdCiSql
+    "psd_ci" -> psdCiSql,
+    "dwt_haar" -> dwtHaarSql
   )
 }

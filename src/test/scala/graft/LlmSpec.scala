@@ -429,6 +429,15 @@ class LlmSpec extends AnyFunSuite {
     assert(pairs == brute, s"banding $pairs vs brute $brute")
   }
 
+  test("corpus diff: added/removed/changed/unchanged all classified") {
+    import graft.llm.Curation
+    val oldSnap = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val newSnap = Seq((2L, "beta"), (3L, "gamma EDITED"), (4L, "delta")).toDF("doc_id", "text")
+    val d = Curation.corpusDiff(oldSnap, newSnap).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"), s"$d")
+  }
+
   test("bpe segments: decode identity holds and piece counts match tokensBpe") {
     import graft.llm.Bpe
     val corpus = Seq(

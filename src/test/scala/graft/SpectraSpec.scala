@@ -33,6 +33,29 @@ class SpectraSpec extends AnyFunSuite {
     assert(ac.sum / ac.length < 0.3, s"independent channels too coherent: ${ac.sum / ac.length}")
   }
 
+  test("haar dwt: energy preserved, constant signal concentrates in a3, tail dropped") {
+    import org.apache.spark.sql.functions._
+    // 16 samples + a 3-sample incomplete tail that must be dropped
+    val vals = Seq(1.0, 3.0, -2.0, 4.0, 0.5, -1.5, 2.0, 2.0,
+      5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 5.0, 9.0, 9.0, 9.0)
+    val sig = vals.zipWithIndex.map { case (x, i) => ("c0", i.toLong, x) }
+      .toDF("channel", "n", "x")
+    val out = SpectraOps.dwtHaar(sig).collect()
+      .map(r => (r.getString(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(out.size == 16, s"two complete groups x 8 coefs, tail dropped: ${out.size}")
+    // orthonormal transform: Parseval within each complete group (to round6)
+    val eIn = vals.take(8).map(v => v * v).sum
+    val eOut = (0 until 4).map(j => out(("d1", j.toLong))).map(v => v * v).sum +
+      (0 until 2).map(j => out(("d2", j.toLong))).map(v => v * v).sum +
+      math.pow(out(("d3", 0L)), 2) + math.pow(out(("a3", 0L)), 2)
+    assert(math.abs(eIn - eOut) < 1e-4, s"Parseval violated: $eIn vs $eOut")
+    // group 2 is constant 5: all details 0, a3 = 5*8/ (2*sqrt2*... ) = 5*2^{3/2}
+    assert((0 until 4).forall(j => out(("d1", (4 + j).toLong)) == 0.0))
+    assert((0 until 2).forall(j => out(("d2", (2 + j).toLong)) == 0.0))
+    assert(out(("d3", 1L)) == 0.0)
+    assert(math.abs(out(("a3", 1L)) - 5.0 * math.pow(2.0, 1.5)) < 1e-6)
+  }
+
   test("welch PSD of a sine peaks at its frequency bin") {
     val psd = SpectraOps
       .psdWelch(sine)
