@@ -61,7 +61,10 @@ class PlanAuditSpec extends AnyFunSuite {
       "up_3" -> 1,
       "resample_3_2" -> 1,
       "stft64" -> 1,
-      "psd_welch" -> 2
+      "psd_welch" -> 2,
+      // the 8-sample pivot groups by (channel, g): channel partitioning
+      // from the ranking window already clusters it — no second exchange
+      "dwt_haar" -> 1
     )
     val bad = expect.collect {
       case (q, want) if exchangeCount(q) != want => s"$q: ${exchangeCount(q)} != $want"
