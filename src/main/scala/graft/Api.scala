@@ -162,6 +162,11 @@ object Api {
     */
   def dwtHaar(sig: DataFrame): DataFrame = SpectraOps.dwtHaar(sig)
 
+  /** Thomson multitaper PSD: K DPSS tapers (driver-solved) through one
+    * streaming frame scan, averaged over tapers and segments.
+    */
+  def psdMultitaper(sig: DataFrame): DataFrame = SpectraOps.psdMultitaper(sig)
+
   /** Analytic transform + coupling (reference experimental.coupling). */
   def analytic(sig: DataFrame): DataFrame = HilbertOps.analytic(sig)
   def plv(sig: DataFrame): DataFrame = HilbertOps.plv(sig)

@@ -186,4 +186,101 @@ object Dsp {
     org.apache.spark.sql.functions.floor(c * 1e6 + 0.5).cast("double") / 1e6
 
   def round6Sql(e: String): String = s"(floor(($e) * 1.0e6 + 0.5e0) / 1.0e6)"
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix —
+    * driver-side design math (the DPSS taper solve). Deterministic:
+    * fixed sweep order, fixed convergence threshold. Returns
+    * (eigenvalues, eigenvectors as rows of the second array), unsorted.
+    */
+  private def jacobiEig(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var converged = false
+    while (sweep < 100 && !converged) {
+      var off = 0.0
+      var p = 0
+      while (p < n) {
+        var q = p + 1
+        while (q < n) { off += a(p)(q) * a(p)(q); q += 1 }
+        p += 1
+      }
+      if (off < 1e-22) converged = true
+      else {
+        p = 0
+        while (p < n) {
+          var q = p + 1
+          while (q < n) {
+            if (math.abs(a(p)(q)) > 1e-300) {
+              val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+              val t =
+                if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+                else -1.0 / (-theta + math.sqrt(theta * theta + 1.0))
+              val c = 1.0 / math.sqrt(t * t + 1.0)
+              val s = t * c
+              val apq = a(p)(q)
+              val app = a(p)(p); val aqq = a(q)(q)
+              a(p)(p) = app - t * apq
+              a(q)(q) = aqq + t * apq
+              a(p)(q) = 0.0; a(q)(p) = 0.0
+              var i = 0
+              while (i < n) {
+                if (i != p && i != q) {
+                  val aip = a(i)(p); val aiq = a(i)(q)
+                  a(i)(p) = c * aip - s * aiq; a(p)(i) = a(i)(p)
+                  a(i)(q) = s * aip + c * aiq; a(q)(i) = a(i)(q)
+                }
+                val vip = v(i)(p); val viq = v(i)(q)
+                v(i)(p) = c * vip - s * viq
+                v(i)(q) = s * vip + c * viq
+                i += 1
+              }
+            }
+            q += 1
+          }
+          p += 1
+        }
+        sweep += 1
+      }
+    }
+    val evals = Array.tabulate(n)(i => a(i)(i))
+    val evecs = Array.tabulate(n)(k => Array.tabulate(n)(i => v(i)(k)))
+    (evals, evecs)
+  }
+
+  /** Discrete prolate spheroidal sequences (Slepian tapers) — the
+    * multitaper windows. Top-k eigenvectors of Slepian's symmetric
+    * tridiagonal commuting matrix (Percival & Walden 1993 §8.3; the
+    * same construction scipy.signal.windows.dpss uses): diagonal
+    * ((n−1−2i)/2)²·cos(2πW), off-diagonal (i+1)(n−1−i)/2, W = nw/n.
+    * Unit-l2-normalized with a deterministic sign convention (positive
+    * sum, else positive first significant element).
+    */
+  def dpss(n: Int, nw: Double, k: Int): Array[Array[Double]] = {
+    require(k >= 1 && k < n && nw > 0 && nw < n / 2.0, s"dpss($n, $nw, $k)")
+    val w = nw / n
+    val cw = math.cos(2.0 * math.Pi * w)
+    val m = Array.fill(n)(new Array[Double](n))
+    var i = 0
+    while (i < n) {
+      m(i)(i) = math.pow((n - 1 - 2.0 * i) / 2.0, 2) * cw
+      if (i < n - 1) {
+        val e = (i + 1.0) * (n - 1.0 - i) / 2.0
+        m(i)(i + 1) = e; m(i + 1)(i) = e
+      }
+      i += 1
+    }
+    val (evals, evecs) = jacobiEig(m)
+    val order = evals.indices.sortBy(j => -evals(j))
+    order.take(k).map { j =>
+      val t = evecs(j)
+      val nrm = math.sqrt(t.map(x => x * x).sum)
+      val sum = t.sum
+      val sgn =
+        if (math.abs(sum) > 1e-9) math.signum(sum)
+        else math.signum(t.find(x => math.abs(x) > 1e-9).getOrElse(1.0))
+      t.map(x => x * sgn / nrm)
+    }.toArray
+  }
 }

@@ -51,10 +51,11 @@ object SpectraOps {
       hop: Int = 32,
       winName: String = "hann",
       scaling: String = "density",
-      detrend: String = "constant"
+      detrend: String = "constant",
+      winOverride: Option[Array[Double]] = None // explicit taper (multitaper path)
   ) {
     /** Periodic ('fftbins') window, as scipy get_window returns. */
-    lazy val win: Array[Double] = Dsp.window(winName, nfft + 1).take(nfft)
+    lazy val win: Array[Double] = winOverride.getOrElse(Dsp.window(winName, nfft + 1).take(nfft))
     lazy val norm: Double = scaling match {
       case "density" => 1.0 / (fsv * win.map(w => w * w).sum)
       case "spectrum" => 1.0 / (win.sum * win.sum)
@@ -108,14 +109,28 @@ object SpectraOps {
       presorted: Boolean
   )(kfn: (graft.functions.Fft.Periodogram, Array[Double]) => Array[Double]): DataFrame = {
     require(cfg.detrend == "constant" || cfg.detrend == "linear", s"unknown detrend ${cfg.detrend}")
-    val spark = sig.sparkSession
-    import spark.implicits._
-    val nfftP = cfg.nfft
-    val hopP = cfg.hop
-    require(nfftP % hopP == 0 && (!boundary || nfftP % 2 == 0), s"nfft $nfftP hop $hopP")
     val win = cfg.win
     val detrend = cfg.detrend
     val norm = cfg.norm
+    frameScanMk(sig, boundary, cfg.nfft, cfg.hop, presorted) { () =>
+      val kernel = new graft.functions.Fft.Periodogram(win, detrend, norm, doubled)
+      fr => kfn(kernel, fr)
+    }
+  }
+
+  /** The raw streaming frame iterator: `mk` builds the executor-local
+    * per-frame kernel (called once per partition).
+    */
+  private def frameScanMk(
+      sig: DataFrame,
+      boundary: Boolean,
+      nfftP: Int,
+      hopP: Int,
+      presorted: Boolean
+  )(mk: () => Array[Double] => Array[Double]): DataFrame = {
+    val spark = sig.sparkSession
+    import spark.implicits._
+    require(nfftP % hopP == 0 && (!boundary || nfftP % 2 == 0), s"nfft $nfftP hop $hopP")
     val blockSize = math.max(1 << 16, 4 * nfftP)
     val typed = sig
       .select(col("channel"), col("n"), col("x"))
@@ -125,7 +140,7 @@ object SpectraOps {
       else typed.repartition(col("channel")).sortWithinPartitions(col("channel"), col("n"))
     ordered
       .mapPartitions { (it0: Iterator[(String, Long, Double)]) =>
-        val kernel = new graft.functions.Fft.Periodogram(win, detrend, norm, doubled)
+        val kernel = mk()
         val in = it0.buffered
         new Iterator[Iterator[(String, Long, Array[Double])]] {
           private var ch: String = null
@@ -159,7 +174,7 @@ object SpectraOps {
             while (s * hopP + nfftP <= avail) {
               var i = 0
               while (i < nfftP) { frame(i) = xs((s * hopP + i - base).toInt); i += 1 }
-              out += ((ch, s, kfn(kernel, frame)))
+              out += ((ch, s, kernel(frame)))
               s += 1
             }
             if (channelDone) xs.clear() // frames all emitted; next call starts fresh
@@ -184,7 +199,8 @@ object SpectraOps {
   def periodogramsSql(
       boundary: Boolean,
       doubled: Boolean,
-      cfg: WelchCfg = WelchCfg()
+      cfg: WelchCfg = WelchCfg(),
+      suffix: String = "" // CTE-name suffix so chains can coexist (multitaper)
   ): String = {
     val nfftP = cfg.nfft
     val hopP = cfg.hop
@@ -192,12 +208,12 @@ object SpectraOps {
       if (!boundary) "SELECT channel, n AS m, x FROM sig"
       else
         s"SELECT channel, n + ${nfftP / 2} AS m, x FROM sig " +
-          s"UNION ALL SELECT channel, h.g AS m, 0.0 AS x FROM bounds, generate_series(0, ${nfftP / 2 - 1}) h(g) " +
-          s"UNION ALL SELECT channel, cnt + ${nfftP / 2} + t.g AS m, 0.0 AS x FROM bounds, " +
+          s"UNION ALL SELECT channel, h.g AS m, 0.0 AS x FROM bounds$suffix, generate_series(0, ${nfftP / 2 - 1}) h(g) " +
+          s"UNION ALL SELECT channel, cnt + ${nfftP / 2} + t.g AS m, 0.0 AS x FROM bounds$suffix, " +
           s"generate_series(0, ${nfftP - 1}) t(g) " +
           s"WHERE cnt + ${nfftP / 2} + t.g < CAST(ceil(cnt / $hopP) * $hopP AS BIGINT) + $nfftP"
     val boundsCte =
-      if (boundary) "bounds AS (SELECT channel, count(*) AS cnt FROM sig GROUP BY channel), "
+      if (boundary) s"bounds$suffix AS (SELECT channel, count(*) AS cnt FROM sig GROUP BY channel), "
       else ""
     val nsegsExpr =
       s"CAST(floor((count(*) OVER (PARTITION BY channel) - $nfftP) / $hopP) + 1 AS BIGINT)"
@@ -215,19 +231,19 @@ object SpectraOps {
         s"CASE WHEN f = 0 OR f = ${nfftP / 2} THEN $oneExpr ELSE ($oneExpr) * 2.0 END"
       else oneExpr
     boundsCte +
-      s"ext AS ($baseExpr), " +
-      s"marked AS (SELECT channel, m, x, $nsegsExpr AS nsegs FROM ext), " +
-      s"frames AS (SELECT channel, s, CAST(m - s * $hopP AS INT) AS p, x FROM " +
-      s"(SELECT channel, x, m // $hopP - d.g AS s, m, nsegs FROM marked, generate_series(0, ${nfftP / hopP - 1}) d(g)) " +
+      s"ext$suffix AS ($baseExpr), " +
+      s"marked$suffix AS (SELECT channel, m, x, $nsegsExpr AS nsegs FROM ext$suffix), " +
+      s"frames$suffix AS (SELECT channel, s, CAST(m - s * $hopP AS INT) AS p, x FROM " +
+      s"(SELECT channel, x, m // $hopP - d.g AS s, m, nsegs FROM marked$suffix, generate_series(0, ${nfftP / hopP - 1}) d(g)) " +
       "WHERE s >= 0 AND s < nsegs), " +
-      s"windowed AS (SELECT channel, s, p, ($detrendExpr) * " +
-      s"list_extract(${arrSql(cfg.win)}, p + 1) AS xw FROM frames " +
+      s"windowed$suffix AS (SELECT channel, s, p, ($detrendExpr) * " +
+      s"list_extract(${arrSql(cfg.win)}, p + 1) AS xw FROM frames$suffix " +
       "WINDOW sw AS (PARTITION BY channel, s)), " +
-      s"terms AS (SELECT channel, s, f.g AS f, xw * list_extract(${arrSql(cfg.cosT)}, CAST((f.g * p) % $nfftP + 1 AS INT)) AS tre, " +
+      s"terms$suffix AS (SELECT channel, s, f.g AS f, xw * list_extract(${arrSql(cfg.cosT)}, CAST((f.g * p) % $nfftP + 1 AS INT)) AS tre, " +
       s"-xw * list_extract(${arrSql(cfg.sinT)}, CAST((f.g * p) % $nfftP + 1 AS INT)) AS tim " +
-      s"FROM windowed, generate_series(0, ${nfftP / 2}) f(g)), " +
-      "spec AS (SELECT channel, s, f, sum(tre) AS xre, sum(tim) AS xim FROM terms GROUP BY channel, s, f), " +
-      s"pgram AS (SELECT channel, s, f, $p2Expr AS p2 FROM spec)"
+      s"FROM windowed$suffix, generate_series(0, ${nfftP / 2}) f(g)), " +
+      s"spec$suffix AS (SELECT channel, s, f, sum(tre) AS xre, sum(tim) AS xim FROM terms$suffix GROUP BY channel, s, f), " +
+      s"pgram$suffix AS (SELECT channel, s, f, $p2Expr AS p2 FROM spec$suffix)"
   }
 
   /** Welch PSD per (channel, f). */
@@ -477,6 +493,69 @@ object SpectraOps {
     s"${Signal.sigCte}, ${periodogramsSql(boundary = false, doubled = true, WelchCfg(nfft = nfftF, hop = nfftF / 2))} " +
       "SELECT channel, f, round(avg(p2), 6) AS psd, count(*) AS nsegs FROM pgram GROUP BY channel, f"
 
+  /** Multitaper (Thomson / DPSS) PSD — the low-variance spectral
+    * estimator EEG practice reaches for beyond Welch (a capability the
+    * reference lacks). K Slepian tapers solve driver-side
+    * ([[Dsp.dpss]], Jacobi on the tridiagonal commuting matrix) and
+    * ride the SAME streaming frame scan as Welch: each non-overlapping
+    * nfft frame runs all K taper kernels in ONE visit (K small
+    * constant — no K-pass re-scan, no extra exchange), and the final
+    * (channel, f) aggregation averages over tapers AND segments
+    * together. Unit-norm tapers ⇒ density scaling per taper is
+    * 1/(fs·Σw²) with Σw² ≈ 1 from the actual array — driver-computed,
+    * embedded identically in both plans.
+    */
+  val mtK = 3
+  val mtNw = 4.0
+  lazy val mtTapers: Array[Array[Double]] = Dsp.dpss(nfft, mtNw, mtK)
+  lazy val mtCfgs: Array[WelchCfg] =
+    mtTapers.map(t => WelchCfg(nfft = nfft, hop = nfft, winOverride = Some(t)))
+
+  def psdMultitaper(sig: DataFrame, presorted: Boolean = false): DataFrame = {
+    val wins = mtTapers
+    val norms = mtCfgs.map(_.norm)
+    val fr = frameScanMk(sig, boundary = false, nfft, nfft, presorted) { () =>
+      val kernels = wins.zip(norms).map { case (w, nm) =>
+        new graft.functions.Fft.Periodogram(w, "constant", nm, doubled = true)
+      }
+      frame => {
+        val out = new Array[Double](mtK * nFreq)
+        var k = 0
+        while (k < kernels.length) {
+          val p = kernels(k)(frame)
+          System.arraycopy(p, 0, out, k * nFreq, nFreq)
+          k += 1
+        }
+        out
+      }
+    }
+    fr.select(col("channel"), posexplode(col("p2s")).as(Seq("i", "p2")))
+      .select(col("channel"), (col("i") % nFreq).cast("bigint").as("f"), col("p2"))
+      .groupBy(col("channel"), col("f"))
+      .agg(avg(col("p2")).as("psd"), count(lit(1)).as("nper"))
+      .select(
+        col("channel"),
+        col("f"),
+        round(col("f") * (fsv / nfft), 4).as("freq_hz"),
+        round(col("psd"), 6).as("psd"),
+        col("nper")
+      )
+  }
+
+  /** Oracle: one explicit-DFT periodogram chain per taper (suffixed
+    * CTEs), unioned, then the same avg-over-everything.
+    */
+  def psdMultitaperSql: String = {
+    val chains = mtCfgs.zipWithIndex
+      .map { case (c, i) => periodogramsSql(boundary = false, doubled = true, c, s"_t$i") }
+    val union = mtCfgs.indices
+      .map(i => s"SELECT channel, f, p2 FROM pgram_t$i")
+      .mkString(" UNION ALL ")
+    s"${Signal.sigCte}, ${chains.mkString(", ")}, allp AS ($union), " +
+      "mt AS (SELECT channel, f, avg(p2) AS psd, count(*) AS nper FROM allp GROUP BY channel, f) " +
+      s"SELECT channel, f, round(f * ${Dsp.lit(fsv / nfft)}, 4) AS freq_hz, round(psd, 6) AS psd, nper FROM mt"
+  }
+
   /** 3-level Haar discrete wavelet transform per channel — the
     * time-frequency decomposition EEG pipelines run besides Welch/STFT
     * (beyond the reference's estimators). ONE exchange: samples group
@@ -559,7 +638,8 @@ object SpectraOps {
     "band_power" -> { (s, dir) => bandPower(Signal.long(s, dir), presorted = true) },
     "psd_norm" -> { (s, dir) => psdNorm(Signal.long(s, dir), presorted = true) },
     "psd_ci" -> { (s, dir) => psdCi(Signal.long(s, dir), presorted = true) },
-    "dwt_haar" -> { (s, dir) => dwtHaar(Signal.long(s, dir), presorted = true) }
+    "dwt_haar" -> { (s, dir) => dwtHaar(Signal.long(s, dir), presorted = true) },
+    "psd_multitaper" -> { (s, dir) => psdMultitaper(Signal.long(s, dir), presorted = true) }
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -573,6 +653,7 @@ object SpectraOps {
     "band_power" -> bandPowerSql,
     "psd_norm" -> psdNormSql,
     "psd_ci" -> psdCiSql,
-    "dwt_haar" -> dwtHaarSql
+    "dwt_haar" -> dwtHaarSql,
+    "psd_multitaper" -> psdMultitaperSql
   )
 }

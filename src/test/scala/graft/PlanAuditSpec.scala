@@ -62,6 +62,8 @@ class PlanAuditSpec extends AnyFunSuite {
       "resample_3_2" -> 1,
       "stft64" -> 1,
       "psd_welch" -> 2,
+      "psd_multitaper" -> 2, // one frame-scan exchange + the (channel, f) agg
+
       // the 8-sample pivot groups by (channel, g): channel partitioning
       // from the ranking window already clusters it — no second exchange
       "dwt_haar" -> 1

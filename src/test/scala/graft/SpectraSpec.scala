@@ -33,6 +33,33 @@ class SpectraSpec extends AnyFunSuite {
     assert(ac.sum / ac.length < 0.3, s"independent channels too coherent: ${ac.sum / ac.length}")
   }
 
+  test("dpss tapers: orthonormal, and the multitaper PSD peaks at the sine bin") {
+    val t = graft.core.Dsp.dpss(64, 4.0, 3)
+    assert(t.length == 3 && t.forall(_.length == 64))
+    for (i <- 0 until 3; j <- i until 3) {
+      val dot = t(i).zip(t(j)).map { case (a, b) => a * b }.sum
+      val want = if (i == j) 1.0 else 0.0
+      assert(math.abs(dot - want) < 1e-9, s"<t$i, t$j> = $dot")
+    }
+    // taper 0 is the most spectrally concentrated: bell-shaped, no zero
+    // crossing; taper 1 is odd (one crossing)
+    assert(t(0).forall(_ >= 0.0) || t(0).forall(_ <= 0.0), "t0 must not change sign")
+    assert(t(1).sliding(2).count(p => p(0) * p(1) < 0) == 1, "t1 crosses zero once")
+    val psd = SpectraOps
+      .psdMultitaper(sine)
+      .collect()
+      .map(r => r.getLong(1) -> r.getDouble(3))
+      .toMap
+    // 15 Hz at fs=100, nfft=64 → bin 9.6. The nw=4 concentration band
+    // spreads the line over ±4 bins (the multitaper resolution/variance
+    // trade), so assert band concentration, not a single-bin peak:
+    // bins 5..14 must carry > 95% of total power
+    val total = psd.values.sum
+    val band = (5L to 14L).map(psd).sum
+    assert(band / total > 0.95, s"band share ${band / total}")
+    assert(psd.values.max == (5L to 14L).map(psd).max, "max bin inside the band")
+  }
+
   test("haar dwt: energy preserved, constant signal concentrates in a3, tail dropped") {
     import org.apache.spark.sql.functions._
     // 16 samples + a 3-sample incomplete tail that must be dropped
