@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 
 import graft.core.{Dsp, Elliptic, Iir, Remez}
-import graft.operators.{FirOps, HilbertOps, IirOps, ProTools, ResampleOps, ResponseOps, SpectraOps}
+import graft.operators.{CwtOps, FirOps, HilbertOps, IirOps, ProTools, ResampleOps, ResponseOps, SpectraOps, XcorrOps}
 
 /** User-facing façade mirroring the reference's public API, so an
   * openseize user can port call-for-call:
@@ -166,6 +166,14 @@ object Api {
     * streaming frame scan, averaged over tapers and segments.
     */
   def psdMultitaper(sig: DataFrame): DataFrame = SpectraOps.psdMultitaper(sig)
+
+  /** Normalized cross-correlation per channel pair at lags -L..+L. */
+  def xcorr(sig: DataFrame): DataFrame = XcorrOps.xcorr(sig)
+
+  /** Complex-Morlet CWT scalogram: |W_s x|^2 per sample at each scale —
+    * the whole bank rides one channel-window pass.
+    */
+  def cwtMorlet(sig: DataFrame): DataFrame = CwtOps.cwtMorlet(sig)
 
   /** Analytic transform + coupling (reference experimental.coupling). */
   def analytic(sig: DataFrame): DataFrame = HilbertOps.analytic(sig)
@@ -442,6 +450,18 @@ object Api {
     */
   def heavyHitters(df: DataFrame, key: org.apache.spark.sql.Column, k: Int): Seq[(String, Long)] =
     core.Scale.heavyHitters(df, key, k)
+
+  /** Bloom-filter decontamination screen: train docs with >= 1 shingle
+    * possibly in the benchmark split — m/8 bytes of broadcast state
+    * regardless of benchmark size, false positives only.
+    */
+  def bloomScreen(docs: DataFrame): DataFrame = llm.Sketches.bloomScreen(docs)
+
+  /** HyperLogLog per-source distinct-token estimate (m=64 registers) —
+    * the groupBy(source, register) MAX is the sketch merge, shuffling
+    * <= sources x m rows instead of every distinct value.
+    */
+  def hllDistinct(docs: DataFrame): DataFrame = llm.Sketches.hllDistinct(docs)
 
   // ---- streaming ----
 

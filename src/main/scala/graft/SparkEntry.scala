@@ -42,6 +42,8 @@ object SparkEntry {
       operators.ResampleOps.queries ++
       operators.SpectraOps.queries ++
       operators.HilbertOps.queries ++
+      operators.XcorrOps.queries ++
+      operators.CwtOps.queries ++
       operators.PacOps.queries ++
       operators.AnnoOps.queries ++
       llm.TextStats.queries ++
@@ -52,6 +54,7 @@ object SparkEntry {
       llm.Similarity.queries ++
       llm.Multimodal.queries ++
       llm.Curation.queries ++
+      llm.Sketches.queries ++
       pipeline.PipelineOps.queries ++
       sources.EdfOps.queries ++
       sources.JsonlOps.queries ++
@@ -69,6 +72,8 @@ object SparkEntry {
       operators.ResampleOps.oracleSql ++
       operators.SpectraOps.oracleSql ++
       operators.HilbertOps.oracleSql ++
+      operators.XcorrOps.oracleSql ++
+      operators.CwtOps.oracleSql ++
       operators.PacOps.oracleSql ++
       operators.AnnoOps.oracleSql ++
       llm.TextStats.oracleSql ++
@@ -79,6 +84,7 @@ object SparkEntry {
       llm.Similarity.oracleSql ++
       llm.Multimodal.oracleSql ++
       llm.Curation.oracleSql ++
+      llm.Sketches.oracleSql ++
       pipeline.PipelineOps.oracleSql ++
       sources.EdfOps.oracleSql ++
       sources.JsonlOps.oracleSql ++

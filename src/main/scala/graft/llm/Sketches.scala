@@ -1,0 +1,270 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Dsp, Tables}
+
+/** Probabilistic sketches as hash-checked gate queries: a Bloom-filter
+  * decontamination screen and HyperLogLog distinct-count profiling.
+  *
+  * Both are DETERMINISTIC approximations — the hash functions are fixed
+  * md5-derived integers computed identically by Spark and DuckDB, so the
+  * approximate answer itself is cross-engine hash-checkable (the same
+  * trick the exact queries use, applied to sketch state). This upgrades
+  * the sketch-profiling story from spec-only ([t]) to oracle-gated [x]:
+  * the gate pins not just "approximately right" but "exactly the answer
+  * this sketch must give".
+  *
+  * Scale rationale (the reason sketches exist at 100 TB):
+  *  - The Bloom filter compresses the broadcast side of a decontamination
+  *    screen ([[Curation.decontamCounts]] ships the benchmark's distinct
+  *    shingle-hash SET) to m/8 bytes of bit-array regardless of benchmark
+  *    size — the classic semi-join reduction. Build = one aggregation of
+  *    OR-able words (mergeable, map-side combined); probe = a broadcast
+  *    join against ≤ m/32 rows + one per-doc count. False positives only
+  *    (a contaminated doc can never slip through), rate set by m and k.
+  *  - HyperLogLog estimates per-group cardinality in m registers per
+  *    group: the groupBy(group, register) max IS the sketch merge, so the
+  *    shuffle carries ≤ groups×m rows instead of every distinct value —
+  *    the first-profile pass before any exact countDistinct at scale.
+  *
+  * Reference: Bloom (CACM 1970); Flajolet et al., HyperLogLog (AofA 2007);
+  * Misra–Gries heavy hitters already in [[graft.core.Scale]].
+  */
+object Sketches {
+
+  // ---------------------------------------------------------------------
+  // Bloom-filter decontamination screen
+  // ---------------------------------------------------------------------
+
+  /** Filter geometry: m bits as m/32-row (word, bits) pairs of 32-bit
+    * words (masks stay positive in a signed 64-bit lane on both engines),
+    * k independent md5 hashes obtained by salting the shingle with "j:".
+    */
+  val bloomBits = 4096
+  val bloomK = 3
+
+  /** Spark-side bit index of salt j for a shingle column: the first 8 md5
+    * hex digits as an integer mod m — identical to the oracle's
+    * CAST(concat('0x', substr(md5('j:' || sh), 1, 8)) AS BIGINT) % m.
+    */
+  private def bitIdx(j: Int, sh: Column): Column =
+    conv(substring(md5(concat(lit(s"$j:"), sh)), 1, 8), 16, 10).cast("long") % bloomBits
+
+  private def bitIdxSql(j: Int, sh: String): String =
+    s"CAST(concat('0x', substr(md5('$j:' || $sh), 1, 8)) AS BIGINT) % $bloomBits"
+
+  /** Bloom screen of the train split against the test split (the same
+    * md5 90/5/5 assignment [[Curation.decontam]] screens exactly):
+    * (doc_id, n_bloom) for every train doc with ≥ 1 distinct w=3 shingle
+    * the filter reports as possibly-in-benchmark. Superset guarantee:
+    * every doc [[Curation.decontam]] flags appears here with
+    * n_bloom ≥ n_contam (Bloom filters have no false negatives).
+    *
+    * Plan shape: benchmark shingles → k (word, mask) insertions →
+    * one ≤ m/32-row aggregation (sum DISTINCT of power-of-two masks ≡
+    * bitwise OR — mergeable, map-side combined); probe side joins the
+    * broadcast filter k times (no explode — the shingle stream never
+    * grows) and pays one per-doc aggregation. The benchmark text is
+    * touched once; the train text once.
+    */
+  def bloomScreen(docs: DataFrame): DataFrame = {
+    val tagged = docs.withColumn(
+      "h100",
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 100
+    )
+    val benchSh = TextStats
+      .shingles(tagged.filter(col("h100") >= 95))
+      .select(col("sh"))
+      .distinct()
+    val inserts = benchSh
+      .select(explode(array((0 until bloomK).map(j => bitIdx(j, col("sh"))): _*)).as("b"))
+      .select(
+        expr("b div 32").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(b % 32 AS INT))").as("mask")
+      )
+    val filter = inserts.groupBy(col("word")).agg(sum_distinct(col("mask")).as("bits"))
+
+    val probes = (0 until bloomK).foldLeft(
+      TextStats.shingles(tagged.filter(col("h100") < 90)).select(col("doc_id"), col("sh"))
+    ) { (df, j) =>
+      df.withColumn(s"b$j", bitIdx(j, col("sh")))
+        .withColumn(s"w$j", expr(s"b$j div 32"))
+        .withColumn(s"m$j", expr(s"shiftleft(CAST(1 AS BIGINT), CAST(b$j % 32 AS INT))"))
+    }
+    val joined = (0 until bloomK).foldLeft(probes) { (df, j) =>
+      df.join(
+        broadcast(filter.select(col("word").as(s"fw$j"), col("bits").as(s"fb$j"))),
+        col(s"w$j") === col(s"fw$j"),
+        "left"
+      )
+    }
+    val hit = (0 until bloomK)
+      .map(j => coalesce(col(s"fb$j"), lit(0L)).bitwiseAND(col(s"m$j")) =!= 0L)
+      .reduce(_ && _)
+    joined
+      .groupBy(col("doc_id"))
+      .agg(count_distinct(when(hit, col("sh"))).as("n_bloom"))
+      .filter(col("n_bloom") > 0)
+  }
+
+  def bloomScreenSql: String = {
+    val h100 = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+    val ins = (0 until bloomK)
+      .map { j =>
+        s"SELECT (${bitIdxSql(j, "sh")}) // 32 AS word, " +
+          s"(CAST(1 AS BIGINT) << ((${bitIdxSql(j, "sh")}) % 32)) AS mask FROM bsh"
+      }
+      .mkString(" UNION ALL ")
+    val probeCols = (0 until bloomK)
+      .map { j =>
+        s"(${bitIdxSql(j, "sh")}) // 32 AS w$j, (CAST(1 AS BIGINT) << ((${bitIdxSql(j, "sh")}) % 32)) AS m$j"
+      }
+      .mkString(", ")
+    val joins = (0 until bloomK)
+      .map(j => s"LEFT JOIN filt f$j ON f$j.word = p.w$j")
+      .mkString(" ")
+    val hit = (0 until bloomK)
+      .map(j => s"(coalesce(f$j.bits, 0) & p.m$j) <> 0")
+      .mkString(" AND ")
+    s"WITH ${TextStats.shinglesSql}, " +
+      s"sp AS MATERIALIZED (SELECT doc_id, $h100 AS h100 FROM documents), " +
+      "bsh AS MATERIALIZED (SELECT DISTINCT sh FROM shingles JOIN sp USING (doc_id) WHERE h100 >= 95), " +
+      s"filt AS MATERIALIZED (SELECT word, sum(DISTINCT mask) AS bits FROM ($ins) GROUP BY word), " +
+      "probes AS (SELECT doc_id, sh, " + probeCols +
+      " FROM shingles JOIN sp USING (doc_id) WHERE h100 < 90), " +
+      s"flagged AS (SELECT p.doc_id, CASE WHEN $hit THEN p.sh END AS fsh FROM probes p $joins) " +
+      "SELECT doc_id, count(DISTINCT fsh) AS n_bloom FROM flagged GROUP BY doc_id " +
+      "HAVING count(DISTINCT fsh) > 0"
+  }
+
+  // ---------------------------------------------------------------------
+  // HyperLogLog distinct-count profiling
+  // ---------------------------------------------------------------------
+
+  /** m = 64 registers; 52-bit hash (13 md5 hex digits — stays positive
+    * and exactly representable everywhere), low 6 bits pick the register,
+    * the remaining 46 bits supply the leading-zero rank ρ ∈ [1, 47].
+    */
+  val hllRegisters = 64
+  private val restBits = 46
+  private val alphaM2: Double = 0.7213 / (1.0 + 1.079 / hllRegisters) * hllRegisters * hllRegisters
+
+  /** ρ as a literal comparison chain over exact power-of-two integers —
+    * no log2 (floor(log2(x)) at a power-of-two boundary is a last-ulp
+    * coin flip between libms). Shared verbatim by both dialects.
+    */
+  private def rhoCase(rest: String): String = {
+    val arms = (0 until restBits)
+      .map(i => s"WHEN ($rest) >= ${1L << (restBits - 1 - i)} THEN ${i + 1}")
+      .mkString(" ")
+    s"(CASE $arms ELSE ${restBits + 1} END)"
+  }
+
+  /** 2^-ρ as exact IEEE literals (sums of ≤ m such terms are multiples of
+    * 2^-47 below 2^53·2^-47, so the accumulation is EXACT in any order —
+    * the cross-engine sum needs no rounding guard).
+    */
+  private def weightCase(mx: String): String = {
+    val arms = (1 to restBits + 1)
+      .map(r => s"WHEN ($mx) = $r THEN ${Dsp.lit(math.pow(2.0, -r))}")
+      .mkString(" ")
+    s"(CASE $arms END)"
+  }
+
+  /** Per-source distinct-token estimate: (source, n_exact, est_hll).
+    * The estimator follows Flajolet et al. 2007: raw = α·m²/Σ2^-M[j]
+    * with empty registers contributing 2^0, linear counting
+    * m·ln(m/V) when raw ≤ 2.5m and V (empty registers) > 0.
+    *
+    * Plan shape: one token scan → groupBy(source, register) MAX — the
+    * sketch merge itself, map-side combined, shuffling ≤ sources×m rows —
+    * then a sources-sized finishing aggregate. The n_exact column (a real
+    * countDistinct) is gate-scale evidencing of the estimate; at 100 TB
+    * it is precisely the pass HLL replaces.
+    */
+  def hllDistinct(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .select(
+        col("source"),
+        col("toks"),
+        explode(sequence(lit(1), least(size(col("toks")), lit(TextStats.maxTokens)))).as("i")
+      )
+      .select(col("source"), element_at(col("toks"), col("i")).as("tok"))
+    val hashed = toks
+      .select(
+        col("source"),
+        conv(substring(md5(col("tok")), 1, 13), 16, 10).cast("long").as("h52")
+      )
+      .select(
+        col("source"),
+        (col("h52") % hllRegisters).as("reg"),
+        expr(s"h52 div $hllRegisters").as("rest")
+      )
+      .withColumn("rho", expr(rhoCase("rest")))
+    val regs = hashed.groupBy(col("source"), col("reg")).agg(max(col("rho")).as("mx"))
+    val est = regs
+      .groupBy(col("source"))
+      .agg(
+        sum(expr(weightCase("mx"))).as("s_present"),
+        count(lit(1)).as("n_present")
+      )
+      .select(
+        col("source"),
+        (lit(hllRegisters) - col("n_present")).as("v"),
+        (lit(alphaM2) / (col("s_present") + (lit(hllRegisters) - col("n_present")))).as("raw")
+      )
+      .select(
+        col("source"),
+        Dsp.round6(
+          when(
+            col("raw") <= lit(2.5 * hllRegisters) && col("v") > 0,
+            lit(hllRegisters.toDouble) * log(lit(hllRegisters.toDouble) / col("v"))
+          ).otherwise(col("raw"))
+        ).as("est_hll")
+      )
+    val exact = docs
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .select(
+        col("source"),
+        col("toks"),
+        explode(sequence(lit(1), least(size(col("toks")), lit(TextStats.maxTokens)))).as("i")
+      )
+      .select(col("source"), element_at(col("toks"), col("i")).as("tok"))
+      .groupBy(col("source"))
+      .agg(count_distinct(col("tok")).as("n_exact"))
+    est.join(exact, Seq("source")).select(col("source"), col("n_exact"), col("est_hll"))
+  }
+
+  def hllDistinctSql: String = {
+    val m = hllRegisters
+    s"WITH toks AS (SELECT source, string_split(text, ' ') AS toks FROM documents), " +
+      s"tokens AS MATERIALIZED (SELECT source, list_extract(toks, g.i) AS tok " +
+      s"FROM toks, generate_series(1, ${TextStats.maxTokens}) g(i) WHERE g.i <= len(toks)), " +
+      "hashed AS (SELECT source, CAST(concat('0x', substr(md5(tok), 1, 13)) AS BIGINT) AS h52 FROM tokens), " +
+      s"sr AS (SELECT source, h52 % $m AS reg, h52 // $m AS rest FROM hashed), " +
+      s"regs AS (SELECT source, reg, max(${rhoCase("rest")}) AS mx FROM sr GROUP BY source, reg), " +
+      s"est AS (SELECT source, $m - count(*) AS v, " +
+      s"${Dsp.lit(alphaM2)} / (sum(${weightCase("mx")}) + ($m - count(*))) AS raw " +
+      "FROM regs GROUP BY source), " +
+      "exact AS (SELECT source, count(DISTINCT tok) AS n_exact FROM tokens GROUP BY source) " +
+      "SELECT e.source, x.n_exact, " +
+      Dsp.round6Sql(s"CASE WHEN e.raw <= ${Dsp.lit(2.5 * m)} AND e.v > 0 " +
+        s"THEN ${Dsp.lit(m.toDouble)} * ln(${Dsp.lit(m.toDouble)} / e.v) ELSE e.raw END") +
+      " AS est_hll FROM est e JOIN exact x ON x.source = e.source"
+  }
+
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bloom_screen" -> { (s, dir) => bloomScreen(Tables.documents(s, dir)) },
+    "sketch_hll" -> { (s, dir) => hllDistinct(Tables.documents(s, dir)) }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "bloom_screen" -> bloomScreenSql,
+    "sketch_hll" -> hllDistinctSql
+  )
+}

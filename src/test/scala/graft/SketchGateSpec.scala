@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.llm.{Curation, Sketches}
+import graft.operators.{CwtOps, XcorrOps}
+
+/** Properties of the round-8 sketch gate queries (bloom_screen,
+  * sketch_hll) and the DSP additions (xcorr, cwt_morlet).
+  */
+class SketchGateSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("bloom_screen is a superset of the exact decontam screen (no false negatives)") {
+    val docs = Tables.documents(spark, sf)
+    val exact = Curation
+      .decontam(docs)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_contam"))
+      .toMap
+    val bloom = Sketches
+      .bloomScreen(docs)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bloom"))
+      .toMap
+    assert(exact.nonEmpty, "decontam found no contaminated docs at sf0.001 — fixture broken")
+    exact.foreach { case (id, n) =>
+      assert(
+        bloom.getOrElse(id, 0L) >= n,
+        s"doc $id: exact screen counts $n contaminated shingles, bloom reports ${bloom.get(id)}"
+      )
+    }
+  }
+
+  test("sketch_hll estimates land within the m=64 error band on the corpus") {
+    val res = Sketches.hllDistinct(Tables.documents(spark, sf)).collect()
+    assert(res.nonEmpty)
+    res.foreach { r =>
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val est = r.getAs[Double]("est_hll")
+      assert(
+        math.abs(est - exact) / exact < 0.4,
+        s"source ${r.get(0)}: est $est vs exact $exact (rsd band is ~13%, 3sigma 39%)"
+      )
+    }
+  }
+
+  test("sketch_hll linear-counting regime is near-exact on a tiny vocabulary") {
+    import spark.implicits._
+    val text = (0 until 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, text, "en", "s1", text.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Sketches.hllDistinct(docs).collect()(0)
+    assert(r.getAs[Long]("n_exact") == 30L)
+    val est = r.getAs[Double]("est_hll")
+    assert(math.abs(est - 30.0) / 30.0 < 0.15, s"linear-counting estimate $est for 30 distinct")
+  }
+
+  test("xcorr recovers a planted 3-sample shift with |r| <= 1") {
+    import spark.implicits._
+    val n = 512
+    val a = (0 until n).map(i => ("a", i.toLong, math.sin(0.3 * i)))
+    val b = (0 until n).map(i => ("b", i.toLong, math.sin(0.3 * (i - 3))))
+    val sig = (a ++ b).toDF("channel", "n", "x")
+    val rows = XcorrOps.xcorr(sig).collect()
+    assert(rows.length == 2 * XcorrOps.maxLag + 1)
+    assert(rows.forall(r => math.abs(r.getAs[Double]("r")) <= 1.0 + 1e-9))
+    val best = rows.maxBy(_.getAs[Double]("r"))
+    // b[n] = a[n-3]: the correlation peak sits at lag +3 (b trails a)
+    assert(best.getAs[Int]("lag") == 3, s"peak at lag ${best.get(2)}")
+    assert(best.getAs[Double]("r") > 0.95, s"peak r = ${best.getAs[Double]("r")}")
+  }
+
+  test("cwt_morlet concentrates power at the scale matching the planted tone") {
+    import spark.implicits._
+    val n = 1024
+    // tone at scale 4's center frequency omega0 / (2 pi s) cycles/sample
+    val f = CwtOps.omega0 / (2 * math.Pi * 4)
+    val sig = (0 until n)
+      .map(i => ("c", i.toLong, math.cos(2 * math.Pi * f * i)))
+      .toDF("channel", "n", "x")
+    val m = CwtOps
+      .cwtMorlet(sig)
+      .agg(avg("pow_s2").as("p2"), avg("pow_s4").as("p4"), avg("pow_s8").as("p8"), avg("pow_s15").as("p15"))
+      .collect()(0)
+    val Seq(p2, p4, p8, p15) = Seq("p2", "p4", "p8", "p15").map(m.getAs[Double])
+    assert(p4 > 5 * p2 && p4 > 5 * p8 && p4 > 5 * p15, s"scale powers: $p2 $p4 $p8 $p15")
+  }
+}
