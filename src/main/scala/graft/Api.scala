@@ -170,6 +170,18 @@ object Api {
   /** Normalized cross-correlation per channel pair at lags -L..+L. */
   def xcorr(sig: DataFrame): DataFrame = XcorrOps.xcorr(sig)
 
+  /** Spectral entropy of the Welch PSD per channel (entropy_norm: 1 =
+    * white spectrum, 0 = pure tone).
+    */
+  def psdEntropy(sig: DataFrame): DataFrame = SpectraOps.psdEntropy(sig)
+
+  /** Threshold-crossing local-max peak detection on the rounded z-score. */
+  def detectPeaks(sig: DataFrame): DataFrame = ProTools.detectPeaks(sig)
+
+  /** Union of overlapping (label, lo, hi) annotation intervals. */
+  def mergeIntervals(intervals: DataFrame): DataFrame =
+    graft.operators.AnnoOps.mergeIntervals(intervals)
+
   /** Complex-Morlet CWT scalogram: |W_s x|^2 per sample at each scale —
     * the whole bank rides one channel-window pass.
     */

@@ -62,7 +62,11 @@ object Prof {
         case _: Throwable => () => Thread.sleep(200)
       }
     }
-    def t(name: String, denom: Long = total)(f: => Long): Unit = {
+    // PROF_ONLY=sub1,sub2 runs only phases whose name contains a listed
+    // substring — lets a 100x-docs run target the linear selection stack
+    // without paying the clique-quadratic-by-design pair phases
+    val only: Option[Set[String]] = sys.env.get("PROF_ONLY").map(_.split(",").toSet)
+    def t(name: String, denom: Long = total)(f: => Long): Unit = if (only.forall(_.exists(name.contains))) {
       drainBus()
       peakMem.set(0L); spilled.set(0L)
       val t0 = System.nanoTime()
@@ -136,6 +140,8 @@ object Prof {
       t(s"docs${docsX}_tokens_bpe", nDocs)(llm.Bpe.tokensBpe(docs).count())
       // round-8 additions: incremental screen (store build + batch
       // screen) and header-directed video frame stats
+      t(s"docs${docsX}_bloom_screen", nDocs)(llm.Sketches.bloomScreen(docs).count())
+      t(s"docs${docsX}_sketch_hll", nDocs)(llm.Sketches.hllDistinct(docs).count())
       t(s"docs${docsX}_incremental", nDocs)(llm.Dedup.incrementalDedup(docs).count())
       t(s"docs${docsX}_video_frames", nDocs)(
         llm.Multimodal.videoFrames(llm.Multimodal.videoMediaFromIds(docs)).count()

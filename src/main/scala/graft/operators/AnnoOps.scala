@@ -55,40 +55,91 @@ object AnnoOps {
       hit.select(col("n"), col("x"), col("in_anno"))
     },
     "anno_pinnacle" -> { (s, dir) => pinnacleRoundtrip(s, dir) },
-    "epoch_extract" -> { (s, dir) =>
-      // Event-related epoching (the reference's canonical analysis
-      // pattern: slice [-pre, +post) samples around each annotation,
-      // every channel, relative-indexed). Scale-safe join shape as
-      // q9_range: bucketize the sample axis at the epoch span, explode
-      // each annotation into its ≤2 touched buckets, broadcast
-      // equi-join + exact predicate — a BroadcastHashJoin, never a
-      // nested-loop range join over the signal.
-      val sig = Signal.long(s, dir)
-      val errs = Tables.events(s, dir).filter(col("event_type") === "error").select(col("event_id"))
-      val anno = globalRank(errs, "event_id")
-        .select(col("k"), (col("k") * strideMul).as("center"))
-        .withColumn(
-          "bucket",
-          explode(
-            array(
-              expr(s"(center - $epochPre) div $epochSpan"),
-              expr(s"(center + $epochPost - 1) div $epochSpan")
-            )
-          )
+    "epoch_extract" -> { (s, dir) => epochs(s, dir) },
+    "epoch_average" -> { (s, dir) =>
+      // Evoked response (ERP): the canonical follow-on to epoching —
+      // average the epoch stack across events per (channel, relative
+      // sample). One more aggregation on the epoch join's output; at
+      // scale it SHRINKS data to channels × (pre+post) rows, map-side
+      // combined.
+      epochs(s, dir)
+        .groupBy(col("channel"), col("rel_n"))
+        .agg(
+          graft.core.Dsp.round6(avg(col("x"))).as("erp"),
+          count(lit(1)).as("n_epochs")
         )
-        .dropDuplicates()
-      sig
-        .withColumn("bucket", expr(s"n div $epochSpan"))
-        .join(broadcast(anno), Seq("bucket"))
-        .filter(col("n") >= col("center") - epochPre && col("n") < col("center") + epochPost)
-        .select(
-          col("k").as("epoch_id"),
-          col("channel"),
-          (col("n") - col("center")).as("rel_n"),
-          col("x")
-        )
+    },
+    "anno_merge" -> { (s, dir) =>
+      // Overlapping-interval union (artifact/annotation coalescing —
+      // the preprocessing step between annotation ingest and as_mask):
+      // gap-and-islands over per-label ordered intervals. The window is
+      // partitioned by label (at production: (recording, label) — the
+      // annotation side of a recording is the small human-produced
+      // side); intervals are DISTINCT first so the ordering is tie-free
+      // on both engines.
+      val iv = Tables
+        .events(s, dir)
+        .select(col("event_type").as("label"), expr("ts_ns div 1000").as("lo"))
+        .distinct()
+        .withColumn("hi", col("lo") + lit(mergeGapUs))
+      mergeIntervals(iv)
     }
   )
+
+  /** Union of overlapping [lo, hi) intervals per label. Expects tie-free
+    * (label, lo) — pre-distinct the input.
+    */
+  def mergeIntervals(iv: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy(col("label")).orderBy(col("lo"))
+    val prevMax = max(col("hi")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1))
+    iv
+      .withColumn("ni", when(col("lo") > coalesce(prevMax, lit(0L)), 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("label"), col("island"))
+      .agg(
+        min(col("lo")).as("start_us"),
+        max(col("hi")).as("stop_us"),
+        count(lit(1)).as("n_merged")
+      )
+      .select(col("label"), col("island").as("island_id"), col("start_us"), col("stop_us"), col("n_merged"))
+  }
+
+  /** Event-related epoching (the reference's canonical analysis
+    * pattern: slice [-pre, +post) samples around each annotation,
+    * every channel, relative-indexed). Scale-safe join shape as
+    * q9_range: bucketize the sample axis at the epoch span, explode
+    * each annotation into its ≤2 touched buckets, broadcast
+    * equi-join + exact predicate — a BroadcastHashJoin, never a
+    * nested-loop range join over the signal.
+    */
+  private def epochs(s: SparkSession, dir: String): DataFrame = {
+    val sig = Signal.long(s, dir)
+    val errs = Tables.events(s, dir).filter(col("event_type") === "error").select(col("event_id"))
+    val anno = globalRank(errs, "event_id")
+      .select(col("k"), (col("k") * strideMul).as("center"))
+      .withColumn(
+        "bucket",
+        explode(
+          array(
+            expr(s"(center - $epochPre) div $epochSpan"),
+            expr(s"(center + $epochPost - 1) div $epochSpan")
+          )
+        )
+      )
+      .dropDuplicates()
+    sig
+      .withColumn("bucket", expr(s"n div $epochSpan"))
+      .join(broadcast(anno), Seq("bucket"))
+      .filter(col("n") >= col("center") - epochPre && col("n") < col("center") + epochPost)
+      .select(
+        col("k").as("epoch_id"),
+        col("channel"),
+        (col("n") - col("center")).as("rel_n"),
+        col("x")
+      )
+  }
+
+  private val mergeGapUs = 1200000000L // 20 min — mean event gap is ~21.5 min
 
   private val epochPre = 4L
   private val epochPost = 8L
@@ -146,10 +197,28 @@ object AnnoOps {
         "SELECT n, x, EXISTS (SELECT 1 FROM anno a WHERE sig.n >= a.lo AND sig.n < a.hi) AS in_anno " +
         "FROM sig WHERE channel = 'click'"),
     "epoch_extract" ->
-      (s"${Signal.sigCte}, anno AS (SELECT row_number() OVER (ORDER BY event_id) - 1 AS k, " +
-        s"(row_number() OVER (ORDER BY event_id) - 1) * $strideMul AS center " +
-        "FROM events WHERE event_type = 'error') " +
-        "SELECT a.k AS epoch_id, s.channel, s.n - a.center AS rel_n, s.x " +
-        s"FROM sig s JOIN anno a ON s.n >= a.center - $epochPre AND s.n < a.center + $epochPost")
+      (s"$epochCteSql " +
+        "SELECT epoch_id, channel, rel_n, x FROM ep"),
+    "epoch_average" ->
+      (s"$epochCteSql " +
+        s"SELECT channel, rel_n, ${graft.core.Dsp.round6Sql("avg(x)")} AS erp, count(*) AS n_epochs " +
+        "FROM ep GROUP BY channel, rel_n"),
+    "anno_merge" ->
+      (s"WITH iv AS (SELECT DISTINCT event_type AS label, epoch_us(ts) AS lo FROM events), " +
+        s"iv2 AS (SELECT label, lo, lo + $mergeGapUs AS hi FROM iv), " +
+        "f AS (SELECT label, lo, hi, CASE WHEN lo > coalesce(max(hi) OVER " +
+        "(PARTITION BY label ORDER BY lo ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) " +
+        "THEN 1 ELSE 0 END AS ni FROM iv2), " +
+        "g AS (SELECT label, lo, hi, sum(ni) OVER (PARTITION BY label ORDER BY lo " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM f) " +
+        "SELECT label, CAST(island AS BIGINT) AS island_id, min(lo) AS start_us, max(hi) AS stop_us, " +
+        "count(*) AS n_merged FROM g GROUP BY label, island")
   )
+
+  private def epochCteSql: String =
+    s"${Signal.sigCte}, anno AS (SELECT row_number() OVER (ORDER BY event_id) - 1 AS k, " +
+      s"(row_number() OVER (ORDER BY event_id) - 1) * $strideMul AS center " +
+      "FROM events WHERE event_type = 'error'), " +
+      "ep AS (SELECT a.k AS epoch_id, s.channel, s.n - a.center AS rel_n, s.x " +
+      s"FROM sig s JOIN anno a ON s.n >= a.center - $epochPre AND s.n < a.center + $epochPost)"
 }

@@ -112,8 +112,42 @@ object ProTools {
     },
     "car_reref" -> { (s, dir) => carReref(Signal.long(s, dir)) },
     "artifact_mask" -> { (s, dir) => artifactMask(Signal.long(s, dir)) },
+    "detect_peaks" -> { (s, dir) => detectPeaks(Signal.long(s, dir)) },
     "pro_extend" -> { (s, dir) => proExtend(Signal.long(s, dir)) }
   )
+
+  val peakThreshold = 1.5 // z threshold, shared with the oracle
+  val peakHalfW = 3 // local-max half window
+
+  /** Threshold-crossing peak detection (spike screening): a sample is a
+    * peak iff its ROUNDED z-score exceeds [[peakThreshold]] (ulp-proof
+    * compare, artifact_mask precedent) and it is the maximum of the
+    * ±[[peakHalfW]]-sample neighborhood (plateau samples all flag —
+    * deterministic on both engines; the comparison is between stored
+    * doubles, no arithmetic). Stats via tiny aggregate + broadcast join;
+    * the neighborhood max is one more frame in the channel window every
+    * FIR already rides — zero extra shuffles.
+    */
+  def detectPeaks(sig: DataFrame): DataFrame = {
+    val stats = sig
+      .groupBy(col("channel"))
+      .agg(avg(col("x")).as("mu"), stddev_pop(col("x")).as("sd"))
+    val w = Window
+      .partitionBy(col("channel"))
+      .orderBy(col("n"))
+      .rowsBetween(-peakHalfW, peakHalfW)
+    sig
+      .join(broadcast(stats), Seq("channel"))
+      .select(
+        col("channel"),
+        col("n"),
+        col("x"),
+        graft.core.Dsp.round6((col("x") - col("mu")) / col("sd")).as("z")
+      )
+      .withColumn("wmax", max(col("x")).over(w))
+      .filter(col("z") > peakThreshold && col("x") >= col("wmax"))
+      .select(col("channel"), col("n"), col("z"))
+  }
 
   /** Boundary extension (arraytools.py:183,207,235,271 — zero/edge/
     * even/odd extend; scipy's `*_ext` family, the filtfilt edge
@@ -277,6 +311,13 @@ object ProTools {
           s"SELECT channel, n, z, abs(z) > ${graft.core.Dsp.lit(artifactThreshold)} AS is_artifact FROM (" +
           s"SELECT s.channel, s.n, ${graft.core.Dsp.round6Sql("(s.x - st.mu) / st.sd")} AS z " +
           "FROM sig s JOIN st ON st.channel = s.channel)"),
+      "detect_peaks" ->
+        (s"$cte, st AS (SELECT channel, avg(x) AS mu, stddev_pop(x) AS sd FROM sig GROUP BY channel), " +
+          s"zx AS (SELECT s.channel, s.n, s.x, ${graft.core.Dsp.round6Sql("(s.x - st.mu) / st.sd")} AS z " +
+          "FROM sig s JOIN st ON st.channel = s.channel), " +
+          "wm AS (SELECT channel, n, x, z, max(x) OVER (PARTITION BY channel ORDER BY n " +
+          s"ROWS BETWEEN $peakHalfW PRECEDING AND $peakHalfW FOLLOWING) AS wmax FROM zx) " +
+          s"SELECT channel, n, z FROM wm WHERE z > ${graft.core.Dsp.lit(peakThreshold)} AND x >= wmax"),
       "pro_extend" -> proExtendSql
     )
   }

@@ -408,6 +408,38 @@ object SpectraOps {
       "welch AS (SELECT channel, f, round(avg(p2), 6) AS psd FROM pgram GROUP BY channel, f) " +
       s"SELECT channel, f, round(psd / (sum(psd * ${simpsonWeightSql(0, nfft / 2)}) OVER (PARTITION BY channel) * ${Dsp.lit(df / 3.0)}), 6) AS psd_norm FROM welch"
 
+  /** Spectral entropy per channel: Shannon entropy of the
+    * probability-normalized Welch PSD, plus the flatness-style
+    * normalization by ln(nbins) (1 = white spectrum, 0 = pure tone) —
+    * the standard scalar EEG complexity metric on top of the existing
+    * PSD scan; one window total + one channel aggregate, shrinking to
+    * channels rows.
+    */
+  def psdEntropy(sig: DataFrame, presorted: Boolean = false): DataFrame = {
+    val psd = psdWelch(sig, presorted = presorted).select(col("channel"), col("f"), col("psd"))
+    val cw = Window.partitionBy(col("channel"))
+    val nBins = nfft / 2 + 1
+    val hTerm = when(col("p") > 0, -col("p") * log(col("p"))).otherwise(lit(0.0))
+    psd
+      .select(col("channel"), (col("psd") / sum(col("psd")).over(cw)).as("p"))
+      .groupBy(col("channel"))
+      .agg(
+        Dsp.round6(sum(hTerm)).as("entropy"),
+        Dsp.round6(sum(hTerm) / lit(math.log(nBins.toDouble))).as("entropy_norm")
+      )
+  }
+
+  def psdEntropySql: String = {
+    val nBins = nfft / 2 + 1
+    val hTerm = "sum(CASE WHEN p > 0 THEN -p * ln(p) ELSE 0.0e0 END)"
+    s"${Signal.sigCte}, ${periodogramsSql(boundary = false, doubled = true)}, " +
+      "welch AS (SELECT channel, f, round(avg(p2), 6) AS psd FROM pgram GROUP BY channel, f), " +
+      "pn AS (SELECT channel, psd / sum(psd) OVER (PARTITION BY channel) AS p FROM welch) " +
+      s"SELECT channel, ${Dsp.round6Sql(hTerm)} AS entropy, " +
+      s"${Dsp.round6Sql(s"$hTerm / ${Dsp.lit(math.log(nBins.toDouble))}")} AS entropy_norm " +
+      "FROM pn GROUP BY channel"
+  }
+
   /** Chi-squared 95% CI factors via the Wilson–Hilferty approximation
     * (reference metrics.confidence_interval uses exact chi2.ppf; WH is
     * accurate to ~1e-3 at the dof here and is evaluated identically on
@@ -639,7 +671,8 @@ object SpectraOps {
     "psd_norm" -> { (s, dir) => psdNorm(Signal.long(s, dir), presorted = true) },
     "psd_ci" -> { (s, dir) => psdCi(Signal.long(s, dir), presorted = true) },
     "dwt_haar" -> { (s, dir) => dwtHaar(Signal.long(s, dir), presorted = true) },
-    "psd_multitaper" -> { (s, dir) => psdMultitaper(Signal.long(s, dir), presorted = true) }
+    "psd_multitaper" -> { (s, dir) => psdMultitaper(Signal.long(s, dir), presorted = true) },
+    "psd_entropy" -> { (s, dir) => psdEntropy(Signal.long(s, dir), presorted = true) }
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -654,6 +687,7 @@ object SpectraOps {
     "psd_norm" -> psdNormSql,
     "psd_ci" -> psdCiSql,
     "dwt_haar" -> dwtHaarSql,
-    "psd_multitaper" -> psdMultitaperSql
+    "psd_multitaper" -> psdMultitaperSql,
+    "psd_entropy" -> psdEntropySql
   )
 }

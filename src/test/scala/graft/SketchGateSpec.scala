@@ -73,6 +73,72 @@ class SketchGateSpec extends AnyFunSuite {
     assert(best.getAs[Double]("r") > 0.95, s"peak r = ${best.getAs[Double]("r")}")
   }
 
+  test("epoch_average ERP has a full epoch count at every relative sample") {
+    val erp = SparkEntry.queries("epoch_average")(spark, sf).collect()
+    assert(erp.nonEmpty)
+    val relNs = erp.map(_.getAs[Long]("rel_n")).distinct.sorted
+    assert(relNs.head == -4L && relNs.last == 7L, s"rel_n span ${relNs.head}..${relNs.last}")
+    // the ERP must be exactly the per-cell average of the epoch stack
+    val stack = SparkEntry
+      .queries("epoch_extract")(spark, sf)
+      .collect()
+      .groupBy(r => (r.getAs[String]("channel"), r.getAs[Long]("rel_n")))
+      .map { case (k, g) => k -> (g.length.toLong, g.map(_.getAs[Double]("x")).sum / g.length) }
+    erp.foreach { r =>
+      val (nExp, avgExp) = stack((r.getAs[String]("channel"), r.getAs[Long]("rel_n")))
+      assert(r.getAs[Long]("n_epochs") == nExp)
+      assert(math.abs(r.getAs[Double]("erp") - avgExp) < 1e-5)
+    }
+    assert(erp.length == stack.size)
+  }
+
+  test("anno_merge islands are disjoint, ordered, and cover every interval") {
+    val rows = SparkEntry.queries("anno_merge")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("label")).foreach { case (label, g) =>
+      val isl = g.sortBy(_.getAs[Long]("start_us"))
+      isl.foreach(r => assert(r.getAs[Long]("stop_us") > r.getAs[Long]("start_us")))
+      isl.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(
+            b.getAs[Long]("start_us") > a.getAs[Long]("stop_us"),
+            s"$label: islands overlap after merging"
+          )
+        case _ =>
+      }
+    }
+  }
+
+  test("detect_peaks finds exactly the planted spikes") {
+    import spark.implicits._
+    val n = 2000
+    val spikes = Set(100L, 500L, 1234L)
+    val sig = (0 until n)
+      .map(i => ("c", i.toLong, if (spikes(i.toLong)) 50.0 else math.sin(i * 0.7)))
+      .toDF("channel", "n", "x")
+    val found = graft.operators.ProTools.detectPeaks(sig).collect().map(_.getAs[Long]("n")).toSet
+    assert(found == spikes, s"found $found")
+  }
+
+  test("psd_entropy separates a pure tone from broadband noise") {
+    import spark.implicits._
+    val n = 4096
+    // deterministic "noise": irrational-frequency mix decorrelates bins
+    val rows =
+      (0 until n).map(i => ("tone", i.toLong, math.sin(2 * math.Pi * 0.25 * i))) ++
+        (0 until n).map { i =>
+          val v = math.sin(i * 1.234567) * math.sin(i * 0.7654321 + 1.0) + math.sin(i * 2.2360679)
+          ("noise", i.toLong, v)
+        }
+    val ent = graft.operators.SpectraOps
+      .psdEntropy(rows.toDF("channel", "n", "x"))
+      .collect()
+      .map(r => r.getAs[String]("channel") -> r.getAs[Double]("entropy_norm"))
+      .toMap
+    assert(ent("tone") < 0.35, s"tone entropy_norm ${ent("tone")}")
+    assert(ent("noise") > ent("tone") + 0.2, s"noise ${ent("noise")} vs tone ${ent("tone")}")
+  }
+
   test("cwt_morlet concentrates power at the scale matching the planted tone") {
     import spark.implicits._
     val n = 1024
