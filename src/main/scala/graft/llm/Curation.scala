@@ -219,6 +219,45 @@ object Curation {
       s"${Dsp.round6Sql(s"pow(n_kept, ${Dsp.lit(alpha)}) / sum(pow(n_kept, ${Dsp.lit(alpha)})) OVER ()")} AS mix_weight FROM k"
   }
 
+  /** Training-shard count for the gate corpus. At production the shard
+    * count is sized so one shard ≈ one write task's file (100 TB →
+    * ~100k shards), which keeps every window partition below at-task
+    * size by construction — the plan shape is identical, only the
+    * modulus grows with the corpus.
+    */
+  val nShards = 16
+
+  /** Deterministic global shuffle into training shards — the
+    * "randomize example order once, before training" pass every LLM
+    * data pipeline ends with, with no RNG state: the md5 of the doc id
+    * is both the shard assignment (row-local, mod [[nShards]]) and the
+    * within-shard sort key, so any two runs (and any two engines)
+    * produce the identical permutation. (doc_id, shard, pos).
+    *
+    * Plan shape: one shuffle total — the hash partition the per-shard
+    * position window needs; at production the same plan is written as
+    * `repartition(nShards, shard).sortWithinPartitions(k)` and `pos`
+    * falls out of the file row order for free.
+    */
+  def corpusShard(docs: DataFrame): DataFrame = {
+    val keyed = docs
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("k"))
+      .withColumn("shard", md5Bucket(col("doc_id").cast("string"), nShards))
+    keyed
+      .withColumn(
+        "pos",
+        row_number().over(Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))).cast("long")
+      )
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  def corpusShardSql: String = {
+    val h = s"CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % $nShards"
+    s"WITH keyed AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS k, $h AS shard FROM documents) " +
+      "SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS BIGINT) AS pos " +
+      "FROM keyed"
+  }
+
   /** Per-source corpus profile — the "what is in this corpus" pass
     * every curation run starts with: doc/token counts, mean quality and
     * the exact-duplicate surplus, one row per source. A single
@@ -425,6 +464,7 @@ object Curation {
     "corpus_diff" -> { (s, dir) => corpusDiffGate(Tables.documents(s, dir)) },
     "curate_llm" -> { (s, dir) => curateLlm(Tables.documents(s, dir)) },
     "text_c4_clean" -> { (s, dir) => c4Clean(Tables.documents(s, dir)) },
+    "corpus_shard" -> { (s, dir) => corpusShard(Tables.documents(s, dir)) },
     "sample_mix" -> { (s, dir) => sampleMix(Tables.documents(s, dir)) },
     "sample_stratified" -> { (s, dir) => sampleStratified(Tables.documents(s, dir)) },
     "corpus_stats" -> { (s, dir) => corpusStats(Tables.documents(s, dir)) },
@@ -487,6 +527,7 @@ object Curation {
     "corpus_diff" -> corpusDiffSql,
     "curate_llm" -> curateLlmSql(),
     "text_c4_clean" -> c4CleanSql,
+    "corpus_shard" -> corpusShardSql,
     "sample_mix" -> sampleMixSql(),
     "sample_stratified" -> sampleStratifiedSql(),
     "corpus_stats" -> corpusStatsSql,

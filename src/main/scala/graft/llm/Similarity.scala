@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Dsp, Tables}
 
 /** Similarity search over the embedding column (`embeddings.embedding`,
   * 64-dim float vectors).
@@ -838,7 +838,109 @@ object Similarity {
       "FROM ranked r JOIN agg a ON a.vec_id = r.vec_id WHERE r.rk = 1"
   }
 
+  // ---------------------------------------------------------------------
+  // PCA over the embedding corpus (embed_pca)
+  // ---------------------------------------------------------------------
+
+  /** Power-iteration steps. Convergence is geometric in the eigengap;
+    * the gate corpus converges to a small residual well before 24 (the
+    * PcaSpec pins the Rayleigh residual). Both engines run the SAME
+    * unnormalized chain, so even a not-fully-converged iterate is
+    * hash-identical cross-engine.
+    */
+  val pcaIters = 24
+  private val pcaDim = 64
+
+  /** Mean-centered covariance as a long-form (i, j, c) table — the d×d
+    * grid, d=64. ONE aggregation builds it: the double index explode
+    * fans each vector to d² products, the groupBy(i, j) sum is map-side
+    * combined, so the shuffle carries ≤ d² rows per partition no matter
+    * the corpus size (the distributed-covariance shape — X'X as an
+    * aggregation, never a driver-side matrix). c = Σxᵢxⱼ/n − μᵢμⱼ.
+    */
+  def pcaCov(df: DataFrame): DataFrame = {
+    val vs = vecsD(df)
+    val sxx = vs
+      .select(col("v"), posexplode(col("v")).as(Seq("i", "xi")))
+      .select(
+        col("i"),
+        col("xi"),
+        col("v"),
+        explode(sequence(lit(0), lit(pcaDim - 1))).as("j")
+      )
+      .select(col("i"), col("j"), (col("xi") * element_at(col("v"), col("j") + 1)).as("p"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("p")).as("sxx"), count(lit(1)).as("n"))
+    val mu = vs
+      .select(posexplode(col("v")).as(Seq("i", "xi")))
+      .groupBy(col("i"))
+      .agg(avg(col("xi")).as("mu"))
+    sxx
+      .join(broadcast(mu.select(col("i").as("mi"), col("mu").as("mu_i"))), col("i") === col("mi"))
+      .join(broadcast(mu.select(col("i").as("mj"), col("mu").as("mu_j"))), col("j") === col("mj"))
+      .select(col("i"), col("j"), (col("sxx") / col("n") - col("mu_i") * col("mu_j")).as("c"))
+  }
+
+  /** The iteration chain, rendered once and run by BOTH engines (Spark
+    * via spark.sql over a checkpointed cov temp view, DuckDB with the
+    * cov CTE inlined): v₀ = 1/8·𝟙, vₖ₊₁ = C·vₖ UNNORMALIZED (each level
+    * references its predecessor exactly once — a linear plan; values
+    * scale as λᵏ, far inside double range), one normalization at the
+    * end, λ by Rayleigh quotient, sign fixed at the largest-|loading|
+    * dimension. `mat` injects MATERIALIZED for DuckDB ("" for Spark).
+    */
+  private def pcaChainSql(covRef: String, mat: String): String = {
+    val chain = (1 to pcaIters)
+      .map { k =>
+        s"v$k AS$mat (SELECT c.i AS i, sum(c.c * p.x) AS x " +
+          s"FROM $covRef c JOIN v${k - 1} p ON p.i = c.j GROUP BY c.i)"
+      }
+      .mkString(", ")
+    val vL = s"v$pcaIters"
+    s"v0 AS$mat (SELECT DISTINCT i, ${Dsp.lit(0.125)} AS x FROM $covRef), $chain, " +
+      s"nrm AS$mat (SELECT sqrt(sum(x * x)) AS nv FROM $vL), " +
+      s"vn AS$mat (SELECT i, x / (SELECT nv FROM nrm) AS x FROM $vL), " +
+      s"lam AS$mat (SELECT sum(c.c * a.x * b.x) AS l " +
+      s"FROM $covRef c JOIN vn a ON a.i = c.i JOIN vn b ON b.i = c.j), " +
+      s"tr AS$mat (SELECT sum(c) AS t FROM $covRef WHERE i = j), " +
+      s"pick AS$mat (SELECT i FROM vn ORDER BY abs(x) DESC, i LIMIT 1), " +
+      s"sgn AS$mat (SELECT CASE WHEN x >= ${Dsp.lit(0.0)} THEN 1.0e0 ELSE -1.0e0 END AS s " +
+      "FROM vn WHERE i = (SELECT i FROM pick))"
+  }
+
+  private val pcaSelectSql: String =
+    s"SELECT vn.i AS dim, ${Dsp.round6Sql("vn.x * (SELECT s FROM sgn)")} AS loading, " +
+      s"${Dsp.round6Sql("(SELECT l FROM lam)")} AS lambda1, " +
+      s"${Dsp.round6Sql("(SELECT l FROM lam) / (SELECT t FROM tr)")} AS var_ratio FROM vn"
+
+  /** Top principal component of the embedding corpus: (dim, loading,
+    * lambda1, var_ratio) — the embedding-whitening/compression primitive
+    * (SemDeDup clusters in PCA space; retrieval stacks whiten before
+    * ANN). The expensive part — covariance — is one map-side-combined
+    * aggregation; the iteration itself runs on the d²-row cov table
+    * (KBs), checkpointed so the 12-step chain re-reads an in-memory
+    * block instead of re-deriving the aggregation per reference.
+    */
+  def pcaTop(s: SparkSession, df: DataFrame): DataFrame = {
+    val cov = pcaCov(df).localCheckpoint()
+    cov.createOrReplaceTempView("graft_pca_cov")
+    s.sql(s"WITH ${pcaChainSql("graft_pca_cov", "")} $pcaSelectSql")
+  }
+
+  def pcaSql: String =
+    "WITH vs AS MATERIALIZED (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      s"px AS MATERIALIZED (SELECT gi.i AS i, gj.i AS j, " +
+      "list_extract(v, gi.i + 1) * list_extract(v, gj.i + 1) AS p " +
+      s"FROM vs, generate_series(0, ${pcaDim - 1}) gi(i), generate_series(0, ${pcaDim - 1}) gj(i)), " +
+      "sxx AS MATERIALIZED (SELECT i, j, sum(p) AS sxx, count(*) AS n FROM px GROUP BY i, j), " +
+      s"mu AS MATERIALIZED (SELECT gi.i AS i, avg(list_extract(v, gi.i + 1)) AS mu " +
+      s"FROM vs, generate_series(0, ${pcaDim - 1}) gi(i) GROUP BY gi.i), " +
+      "cov AS MATERIALIZED (SELECT s.i AS i, s.j AS j, s.sxx / s.n - a.mu * b.mu AS c " +
+      "FROM sxx s JOIN mu a ON a.i = s.i JOIN mu b ON b.i = s.j), " +
+      s"${pcaChainSql("cov", " MATERIALIZED")} $pcaSelectSql"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "embed_pca" -> { (s, dir) => pcaTop(s, Tables.embeddings(s, dir)) },
     "decontam_semantic" -> { (s, dir) => decontamSemantic(Tables.embeddings(s, dir)) },
     "dedup_semantic" -> { (s, dir) => semanticDupes(Tables.embeddings(s, dir)) },
     "sim_ivf_topk" -> { (s, dir) => ivfTopk(Tables.embeddings(s, dir)) },
@@ -863,6 +965,7 @@ object Similarity {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "embed_pca" -> pcaSql,
     "decontam_semantic" -> decontamSemanticSql(),
     "sim_topk" -> topkSql,
     "sim_buckets" -> bucketsSql,

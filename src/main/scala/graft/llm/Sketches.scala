@@ -257,14 +257,97 @@ object Sketches {
   }
 
   // ---------------------------------------------------------------------
+  // Count–Min token-frequency sketch
+  // ---------------------------------------------------------------------
+
+  /** d×w counter grid (Cormode & Muthukrishnan 2005): d independent
+    * md5-derived hashes (salted "c j:"), point estimate = min over the d
+    * counters. Pure integer arithmetic — the sketch answer is exact on
+    * both engines, no rounding guard needed anywhere.
+    */
+  val cmsDepth = 3
+  val cmsWidth = 256
+
+  private def cmsBucket(j: Int, tok: Column): Column =
+    conv(substring(md5(concat(lit(s"c$j:"), tok)), 1, 8), 16, 10).cast("long") % cmsWidth
+
+  private def cmsBucketSql(j: Int, tok: String): String =
+    s"CAST(concat('0x', substr(md5('c$j:' || $tok), 1, 8)) AS BIGINT) % $cmsWidth"
+
+  /** Token-frequency profiling through a Count–Min sketch: the exact
+    * top-20 tokens (count desc, token asc — tie-free) with their true
+    * count and the CMS point estimate. est_cms ≥ n_exact always (CMS
+    * never undercounts — spec-pinned); the gap is the collision noise
+    * d and w control.
+    *
+    * Plan shape: build = one (row, bucket) aggregation of ≤ d·w counters
+    * (mergeable, map-side combined — the shuffle carries ≤ d·w rows per
+    * partition no matter the corpus size); probe = d broadcast joins of
+    * the 20-row probe set against the ≤ d·w-row counter table. At 100 TB
+    * the counter grid is the only state — KBs regardless of vocabulary —
+    * which is why CMS (not an exact groupBy) is the frequency-profiling
+    * pass at scale; the n_exact column is gate-scale evidencing of the
+    * estimate, exactly the pass the sketch replaces.
+    */
+  def cmsTopTokens(docs: DataFrame): DataFrame = {
+    val toks = TextStats.tokens(docs).select(col("tok"))
+    val inserts = toks
+      .select(
+        explode(
+          array((0 until cmsDepth).map(j =>
+            struct(lit(j).as("r"), cmsBucket(j, col("tok")).as("b"))
+          ): _*)
+        ).as("rb")
+      )
+      .select(col("rb.r").as("r"), col("rb.b").as("b"))
+    val counters = inserts.groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+    val top = toks
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col("tok"))
+      .limit(20)
+    val joined = (0 until cmsDepth).foldLeft(top) { (df, j) =>
+      df.withColumn(s"b$j", cmsBucket(j, col("tok")))
+        .join(
+          broadcast(
+            counters.filter(col("r") === j).select(col("b").as(s"fb$j"), col("c").as(s"c$j"))
+          ),
+          col(s"b$j") === col(s"fb$j")
+        )
+    }
+    joined.select(
+      col("tok"),
+      col("n_exact"),
+      least((0 until cmsDepth).map(j => col(s"c$j")): _*).as("est_cms")
+    )
+  }
+
+  def cmsTopTokensSql: String = {
+    val ins = (0 until cmsDepth)
+      .map(j => s"SELECT $j AS r, ${cmsBucketSql(j, "tok")} AS b FROM tokens")
+      .mkString(" UNION ALL ")
+    val joins = (0 until cmsDepth)
+      .map(j => s"JOIN counters c$j ON c$j.r = $j AND c$j.b = ${cmsBucketSql(j, "t.tok")}")
+      .mkString(" ")
+    val mins = (0 until cmsDepth).map(j => s"c$j.c").mkString(", ")
+    s"WITH ${TextStats.tokensSql}, " +
+      s"counters AS MATERIALIZED (SELECT r, b, count(*) AS c FROM ($ins) GROUP BY r, b), " +
+      "top AS MATERIALIZED (SELECT tok, count(*) AS n_exact FROM tokens GROUP BY tok " +
+      "ORDER BY n_exact DESC, tok LIMIT 20) " +
+      s"SELECT t.tok, t.n_exact, least($mins) AS est_cms FROM top t $joins"
+  }
+
+  // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bloom_screen" -> { (s, dir) => bloomScreen(Tables.documents(s, dir)) },
-    "sketch_hll" -> { (s, dir) => hllDistinct(Tables.documents(s, dir)) }
+    "sketch_hll" -> { (s, dir) => hllDistinct(Tables.documents(s, dir)) },
+    "sketch_cms" -> { (s, dir) => cmsTopTokens(Tables.documents(s, dir)) }
   )
 
   def oracleSql: Map[String, String] = Map(
     "bloom_screen" -> bloomScreenSql,
-    "sketch_hll" -> hllDistinctSql
+    "sketch_hll" -> hllDistinctSql,
+    "sketch_cms" -> cmsTopTokensSql
   )
 }

@@ -18,7 +18,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_ivf_topk", "sim_topk", "sim_pq_topk", "sim_ivfpq_topk",
     "dedup_semantic", // same ≤16-row centroid-assignment broadcast as sim_ivf
     "decontam_semantic", // benchmark-suite broadcast side (KBs–MBs at scale)
-    "anno_mask", "epoch_extract", // globalRank's one-row-per-4096-ids offset self-join
+    "anno_mask", "epoch_extract", "epoch_average", // globalRank's one-row-per-4096-ids offset self-join
     "eeg_workflow", // epoching via globalRank — same offset self-join
     "text_bm25", "text_unigram_lp", "sample_mix", "sample_mix_bpe", "sample_dsir", "curate_llm", // 1-row corpus-stats broadcast sides
     "text_langid_ngram" // per-lang count + 1-row vocab-size broadcast sides
