@@ -475,6 +475,31 @@ object Api {
     */
   def hllDistinct(docs: DataFrame): DataFrame = llm.Sketches.hllDistinct(docs)
 
+  /** Count–Min token-frequency profile of the exact top-20 tokens:
+    * (tok, n_exact, est_cms); est never undercounts. Build is one
+    * map-side-combined (row, bucket) aggregation of ≤ d·w counters.
+    */
+  def cmsTopTokens(docs: DataFrame): DataFrame = llm.Sketches.cmsTopTokens(docs)
+
+  /** Top principal component of the embedding corpus (dim, loading,
+    * lambda1, var_ratio) — distributed covariance as one aggregation,
+    * power-iteration on the d²-row cov table.
+    */
+  def pcaTop(spark: org.apache.spark.sql.SparkSession, emb: DataFrame): DataFrame =
+    llm.Similarity.pcaTop(spark, emb)
+
+  /** Deterministic md5-keyed shuffle into training shards:
+    * (doc_id, shard, pos) — the same permutation on every run/engine.
+    */
+  def corpusShard(docs: DataFrame): DataFrame = llm.Curation.corpusShard(docs)
+
+  /** Z-order (Morton) key formula over two bucketized dims as a SQL
+    * expression string (`divOp` = "div" for Spark, "//" for DuckDB) —
+    * the multi-dimensional clustering layout key.
+    */
+  def zValueSql(ub: String, vb: String, divOp: String = "div", bits: Int = 4): String =
+    core.Scale.zValueSql(ub, vb, divOp, bits)
+
   // ---- streaming ----
 
   /** Gap-based sessions. `emitOpen` defaults to batch semantics (the

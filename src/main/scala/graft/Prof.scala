@@ -147,6 +147,8 @@ object Prof {
         llm.Multimodal.videoFrames(llm.Multimodal.videoMediaFromIds(docs)).count()
       )
       t(s"docs${docsX}_bpe_segments", nDocs)(llm.Bpe.segmentsBpe(docs).count())
+      t(s"docs${docsX}_sketch_cms", nDocs)(llm.Sketches.cmsTopTokens(docs).count())
+      t(s"docs${docsX}_corpus_shard", nDocs)(llm.Curation.corpusShard(docs).count())
       // replicas of a >264-char doc share their clip prefix → hamming-0
       // cliques of size docsX; pair volume is clique-quadratic BY DESIGN
       // (every pair of a duplicate group IS a true positive)
@@ -155,6 +157,21 @@ object Prof {
       )
       docs.unpersist()
       ()
+    }
+
+    // PROF_EMB=k: k-thousand synthetic 64-dim vectors through the PCA
+    // covariance + power chain (cov cost is rows×d² — the only part
+    // that scales with the corpus; the iteration runs on d² rows)
+    val embK = sys.env.getOrElse("PROF_EMB", "0").toInt
+    if (embK > 0) {
+      val emb = spark
+        .range(embK * 1000L)
+        .select(
+          col("id").as("vec_id"),
+          transform(sequence(lit(1), lit(64)), j => sin(col("id") * 0.37 + j.cast("double"))).as("embedding")
+        )
+        .withColumn("label", lit(0))
+      t(s"emb${embK}k_pca", embK * 1000L)(llm.Similarity.pcaTop(spark, emb).count())
     }
     spark.stop()
   }

@@ -280,6 +280,54 @@ object BaseQueries {
           sum(col("label")).cast("bigint").as("label_sum")
         )
     },
+    "q10_cube" -> { (s, dir) =>
+      // full grouping-sets lattice: subtotals for every subset of
+      // (flag, status) plus the grand total, with the standard
+      // grouping_id bitmask (first column = MSB on both engines) —
+      // completes the rollup/cube analytic surface; same one-pass
+      // partial-agg expansion as q6_rollup
+      Tables
+        .lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          grouping_id().cast("bigint").as("gid"),
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          count(lit(1)).as("n_rows")
+        )
+    },
+    "layout_zorder" -> { (s, dir) =>
+      // the multi-dimensional clustering key: bucket (user_id, value)
+      // into 16×16 integral cells (value via the exact micro-grid —
+      // float bucket boundaries would be a cross-engine ulp coin flip),
+      // interleave to the 8-bit Morton code. Row-local except the
+      // 1-row min/max broadcast; ZorderSpec demonstrates the payoff —
+      // files range-partitioned by zval carry narrow min/max in BOTH
+      // dims, so value-only predicates skip most files where a
+      // user-sorted layout skips none.
+      val ev = Tables
+        .events(s, dir)
+        .select(
+          col("event_id"),
+          col("user_id"),
+          expr("CAST(floor(value * 1.0e6 + 0.5e0) AS BIGINT)").as("vi")
+        )
+      val stats = ev
+        .agg(
+          min(col("user_id")).as("umin"),
+          max(col("user_id")).as("umax"),
+          min(col("vi")).as("vmin"),
+          max(col("vi")).as("vmax")
+        )
+        .withColumn("k", lit(1))
+      ev.withColumn("k", lit(1))
+        .join(broadcast(stats), Seq("k"))
+        .withColumn("ub", expr("CAST(((user_id - umin) * 16) div (umax - umin + 1) AS INT)"))
+        .withColumn("vb", expr("CAST(((vi - vmin) * 16) div (vmax - vmin + 1) AS INT)"))
+        .select(
+          col("event_id"),
+          expr(s"CAST(${core.Scale.zValueSql("ub", "vb", "div")} AS INT)").as("zval")
+        )
+    },
     "q9_range" -> { (s, dir) =>
       // bounded-interval range join (views within 1 h before each
       // purchase, same user), scale-safe shape: bucketize the time axis
@@ -357,6 +405,18 @@ object BaseQueries {
       ("SELECT d.source, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS total_chars, " +
         "CAST(sum(e.label) AS BIGINT) AS label_sum FROM documents d " +
         "JOIN embeddings e ON e.vec_id = d.doc_id GROUP BY d.source"),
+    "q10_cube" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid, " +
+        "round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_rows " +
+        "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"),
+    "layout_zorder" ->
+      ("WITH e AS (SELECT event_id, user_id, CAST(floor(value * 1.0e6 + 0.5e0) AS BIGINT) AS vi FROM events), " +
+        "s AS (SELECT min(user_id) AS umin, max(user_id) AS umax, min(vi) AS vmin, max(vi) AS vmax FROM e), " +
+        "b AS (SELECT event_id, " +
+        "CAST(((e.user_id - s.umin) * 16) // (s.umax - s.umin + 1) AS INT) AS ub, " +
+        "CAST(((e.vi - s.vmin) * 16) // (s.vmax - s.vmin + 1) AS INT) AS vb FROM e, s) " +
+        s"SELECT event_id, CAST(${core.Scale.zValueSql("ub", "vb", "//")} AS INT) AS zval FROM b"),
     "q9_range" ->
       ("WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, event_type FROM events), " +
         "v AS (SELECT user_id, ts_ns AS v_ts FROM e WHERE event_type = 'view'), " +

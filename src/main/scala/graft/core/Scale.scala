@@ -116,6 +116,24 @@ object Scale {
     b.join(d, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Z-order (Morton) interleave of two `bits`-bit bucket expressions,
+    * rendered as pure {integer-divide, mod, multiply} arithmetic so the
+    * SAME formula runs on Spark (`divOp = "div"`) and DuckDB
+    * (`divOp = "//"`) with exact integer results. Bucket k of `ub`
+    * lands at bit 2k+1, of `vb` at bit 2k — a z-contiguous file covers
+    * a RECTANGLE in (ub, vb) space, which is what makes min/max file
+    * stats prune on EITHER filtered dimension (the multi-dimensional
+    * clustering layout Delta/Iceberg call Z-ordering; single-dim sort
+    * bounds only the sorted column's per-file range).
+    */
+  def zValueSql(ub: String, vb: String, divOp: String, bits: Int = 4): String =
+    (0 until bits)
+      .map { k =>
+        s"((($ub) $divOp ${1 << k}) % 2) * ${1L << (2 * k + 1)} + " +
+          s"((($vb) $divOp ${1 << k}) % 2) * ${1L << (2 * k)}"
+      }
+      .mkString(" + ")
+
   /** Misra–Gries heavy hitters as a mergeable summary (Agarwal et al.,
     * "Mergeable Summaries", PODS 2012): each partition builds a
     * (k−1)-counter sketch in one sequential pass, sketches merge

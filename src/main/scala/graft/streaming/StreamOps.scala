@@ -37,6 +37,40 @@ object StreamOps {
       .groupBy(col("hour_bucket"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
 
+  /** Per-hour top-N most-active users — the "trending keys" analytic:
+    * one (bucket, user) aggregation (map-side combined) shrinks the
+    * stream to distinct keys per window, then a rank window partitioned
+    * by the hour bucket over those aggregated rows (ties broken on
+    * user_id — hash-deterministic on both engines). The window runs on
+    * post-aggregation data: its partition size is bounded by distinct
+    * users per hour, never raw events.
+    */
+  def windowTopN(events: DataFrame, n: Int = 3): DataFrame = {
+    val counts = events
+      .select(expr("ts_ns div 3600000000000").as("hour_bucket"), col("user_id"))
+      .groupBy(col("hour_bucket"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hour_bucket"))
+      .orderBy(col("n_events").desc, col("user_id").asc)
+    counts.withColumn("rk", row_number().over(w)).filter(col("rk") <= n)
+  }
+
+  /** Streaming half of [[windowTopN]]: the watermarked windowed count.
+    * Structured Streaming does not chain a rank over a streaming
+    * aggregate in one query (by design — the rank is non-incremental);
+    * the production shape is this aggregate + a foreachBatch rank-and-
+    * upsert into the serving sink, which is exactly what the eviction
+    * spec drives. State = distinct (window, user) pairs below the
+    * watermark — bounded and GC'd like windowedAggStream's.
+    */
+  def windowTopNStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", eventTimeMicros)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+
   /** Watermarked streaming variant on a proper timestamp column. */
   def windowedAggStream(events: DataFrame): DataFrame =
     events
@@ -179,6 +213,7 @@ object StreamOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_agg" -> { (s, dir) => windowedAgg(Tables.events(s, dir)) },
+    "win_topn" -> { (s, dir) => windowTopN(Tables.events(s, dir)) },
     "sessionize" -> { (s, dir) =>
       // gate parity: DuckDB's TIMESTAMP view is micro-precision, so the
       // oracle's epoch_ns is always a multiple of 1000 — truncate here
@@ -194,6 +229,12 @@ object StreamOps {
     "win_agg" ->
       ("SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour_bucket, event_type, " +
         "count(*) AS n, round(sum(value), 4) AS sum_value FROM events GROUP BY 1, 2"),
+    "win_topn" ->
+      ("WITH c AS (SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS hour_bucket, user_id, " +
+        "count(*) AS n_events FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT hour_bucket, user_id, n_events, row_number() OVER (" +
+        "PARTITION BY hour_bucket ORDER BY n_events DESC, user_id ASC) AS rk FROM c) " +
+        "SELECT hour_bucket, user_id, n_events, rk FROM r WHERE rk <= 3"),
     // gap-and-islands twin of the stateful sessionizer: new session
     // when the per-user gap exceeds 30 min (in nanos), then one row per
     // (user, island) with bounds and count

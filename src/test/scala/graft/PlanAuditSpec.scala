@@ -20,7 +20,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "decontam_semantic", // benchmark-suite broadcast side (KBs–MBs at scale)
     "anno_mask", "epoch_extract", "epoch_average", // globalRank's one-row-per-4096-ids offset self-join
     "eeg_workflow", // epoching via globalRank — same offset self-join
-    "text_bm25", "text_unigram_lp", "sample_mix", "sample_mix_bpe", "sample_dsir", "curate_llm", // 1-row corpus-stats broadcast sides
+    "text_bm25", "text_unigram_lp", "sample_mix", "sample_mix_bpe", "sample_dsir", "curate_llm", "layout_zorder", // 1-row corpus-stats broadcast sides
     "text_langid_ngram" // per-lang count + 1-row vocab-size broadcast sides
   )
 

@@ -21,6 +21,47 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("z-order layout keeps per-file ranges narrow in BOTH dims; value-band queries skip files") {
+    val z = SparkEntry.queries("layout_zorder")(spark, sf)
+    val ev = Tables
+      .events(spark, sf)
+      .select(
+        col("event_id"),
+        col("user_id"),
+        expr("CAST(floor(value * 1.0e6 + 0.5e0) AS BIGINT)").as("vi")
+      )
+    val df = ev.join(z, Seq("event_id")).localCheckpoint()
+    val zdir = graft.sources.Scratch.dir("zorder_spec_z")
+    val ldir = graft.sources.Scratch.dir("zorder_spec_linear")
+    df.repartitionByRange(16, col("zval"))
+      .sortWithinPartitions(col("zval"))
+      .write.mode("overwrite").parquet(zdir)
+    df.repartitionByRange(16, col("user_id")).write.mode("overwrite").parquet(ldir)
+    def fileRanges(dir: String): Array[(Long, Long)] =
+      spark.read
+        .parquet(dir)
+        .select(col("_metadata.file_path").as("f"), col("vi"))
+        .groupBy(col("f"))
+        .agg(min(col("vi")).as("lo"), max(col("vi")).as("hi"))
+        .collect()
+        .map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+    val (vmin, vmax) = {
+      val r = df.agg(min(col("vi")), max(col("vi"))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    // a narrow value band (~5% of the range), any user: the predicate a
+    // user-sorted layout cannot skip on at all
+    val vlo = vmin + (vmax - vmin) * 2 / 5
+    val vhi = vmin + (vmax - vmin) * 9 / 20
+    def hits(rs: Array[(Long, Long)]) = rs.count { case (lo, hi) => hi >= vlo && lo <= vhi }
+    val (zr, lr) = (fileRanges(zdir), fileRanges(ldir))
+    assert(zr.length >= 12 && lr.length >= 12, s"expected ~16 files, got ${zr.length}/${lr.length}")
+    // user-sorted files each span ~the full value range -> no skipping
+    assert(hits(lr) >= lr.length - 2, s"linear layout unexpectedly skips: ${hits(lr)}/${lr.length}")
+    // z-ordered files cover (user, value) rectangles -> most files miss the band
+    assert(hits(zr) * 2 <= hits(lr), s"z-order hits ${hits(zr)} vs linear ${hits(lr)}")
+  }
+
   // The gate corpus's embeddings are near-uniform on the 64-sphere
   // (top-5 neighbors share a label 8.9% ≈ chance), where NO coarse
   // quantizer can reach 95% recall at a 4/16 probe budget — Lloyd

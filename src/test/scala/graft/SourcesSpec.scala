@@ -259,6 +259,55 @@ class StreamSpec extends AnyFunSuite {
     val totals = progs.flatMap(_.stateOperators.map(_.numRowsTotal))
     assert(totals.last < totals.max, s"window state not bounded: ${totals.toSeq}")
   }
+
+  test("streaming top-n: foreachBatch rank upsert finalizes hour-0 exactly; state evicted") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val events = input.toDF().toDF("ts_ns", "user_id")
+    // the production sink shape: append-mode aggregate -> per-batch rank
+    // -> upsert keyed by (window, rank)
+    val store = scala.collection.mutable.Map.empty[(Long, Long), (Long, Long)]
+    val q = graft.streaming.StreamOps
+      .windowTopNStream(events)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("start"))
+          .orderBy(col("n_events").desc, col("user_id").asc)
+        batch
+          .select(col("window.start").as("start"), col("user_id"), col("n_events"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .collect()
+          .foreach { r =>
+            store((r.getAs[java.sql.Timestamp]("start").getTime, r.getAs[Int]("rk").toLong)) =
+              (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))
+          }
+        ()
+      }
+      .start()
+    val hour = 3600L * 1000000000L
+    // hour-0 activity: user 1 x3, user 2 x2, users 3 and 4 x1
+    input.addData((1000000000L, 1L), (2000000000L, 1L), (3000000000L, 2L))
+    q.processAllAvailable()
+    input.addData((4000000000L, 1L), (5000000000L, 2L), (6000000000L, 3L), (7000000000L, 4L))
+    q.processAllAvailable()
+    input.addData((3 * hour, 9L)) // watermark past hour-0: finalize it
+    q.processAllAvailable()
+    input.addData((5 * hour, 9L)) // extra batch flushes + evicts
+    q.processAllAvailable()
+    val progs = q.recentProgress
+    q.stop()
+    // append mode emits hour-0's counts once, complete — the per-batch
+    // rank over that emission IS the final top-3 (ties on user_id)
+    val h0 = store.toSeq.collect { case ((0L, rk), (u, n)) => (rk, u, n) }.sorted
+    assert(h0 == Seq((1L, 1L, 3L), (2L, 2L, 2L), (3L, 3L, 1L)), s"hour-0 top-3: $h0")
+    val removed = progs.flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+    assert(removed > 0, "watermark never evicted top-n aggregate state")
+  }
 }
 
 class MultimodalSpec extends AnyFunSuite {
