@@ -493,6 +493,25 @@ object Api {
     */
   def corpusShard(docs: DataFrame): DataFrame = llm.Curation.corpusShard(docs)
 
+  /** Edit-distance near-dup verification of LSH candidate pairs:
+    * (doc_a, doc_b, lev, len_max, norm_edit, is_dup) over the first
+    * 512 chars — bounded O(clip²) per candidate.
+    */
+  def editDupes(docs: DataFrame, maxNorm: Double = 0.3): DataFrame =
+    llm.Dedup.editDupes(docs, maxNorm)
+
+  /** Per-user conversion funnel view→click→purchase in one pass
+    * (chained running-min windows, single shuffle): (user_id, t_view,
+    * t_click, t_purchase, stage).
+    */
+  def funnel(events: DataFrame): DataFrame = BaseQueries.funnel(events)
+
+  /** Per-hour top-N most-active users (batch); see
+    * streaming.StreamOps.windowTopNStream for the streaming half.
+    */
+  def windowTopN(events: DataFrame, n: Int = 3): DataFrame =
+    streaming.StreamOps.windowTopN(events, n)
+
   /** Z-order (Morton) key formula over two bucketized dims as a SQL
     * expression string (`divOp` = "div" for Spark, "//" for DuckDB) —
     * the multi-dimensional clustering layout key.

@@ -139,6 +139,47 @@ object BaseQueries {
     else d.join(e, Seq("doc_id"))
   }
 
+  /** Conversion funnel view → click → purchase per user in ONE pass:
+    * three chained running-min windows over the SAME (user_id)-
+    * partitioned (ts, id)-ordered frame — one shuffle total, and the
+    * final per-user aggregate reuses the window's partitioning (no
+    * second exchange). A click counts only with a view at-or-before it
+    * (its running v_ts is non-null), a purchase only with a qualifying
+    * click before it — the funnel's order constraint without a
+    * self-join per stage. Input: (user_id, event_id, ts_ns, event_type).
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_ns"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    events
+      .select(col("user_id"), col("event_id"), col("ts_ns"), col("event_type"))
+      .withColumn("v_ts", min(when(col("event_type") === "view", col("ts_ns"))).over(w))
+      .withColumn(
+        "c_ts",
+        min(when(col("event_type") === "click" && col("v_ts").isNotNull, col("ts_ns"))).over(w)
+      )
+      .withColumn(
+        "p_ts",
+        min(when(col("event_type") === "purchase" && col("c_ts").isNotNull, col("ts_ns"))).over(w)
+      )
+      .groupBy(col("user_id"))
+      .agg(
+        min(col("v_ts")).as("t_view"),
+        min(col("c_ts")).as("t_click"),
+        min(col("p_ts")).as("t_purchase")
+      )
+      .withColumn(
+        "stage",
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1)
+          .otherwise(0)
+          .cast("long")
+      )
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_agg" -> { (s, dir) =>
       Tables
@@ -280,6 +321,14 @@ object BaseQueries {
           sum(col("label")).cast("bigint").as("label_sum")
         )
     },
+    "events_funnel" -> { (s, dir) =>
+      funnel(
+        Tables
+          .events(s, dir)
+          // oracle micro-parity (q8 precedent): DuckDB sees micros
+          .withColumn("ts_ns", col("ts_ns") - col("ts_ns") % 1000)
+      )
+    },
     "q10_cube" -> { (s, dir) =>
       // full grouping-sets lattice: subtotals for every subset of
       // (flag, status) plus the grand total, with the standard
@@ -405,6 +454,20 @@ object BaseQueries {
       ("SELECT d.source, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS total_chars, " +
         "CAST(sum(e.label) AS BIGINT) AS label_sum FROM documents d " +
         "JOIN embeddings e ON e.vec_id = d.doc_id GROUP BY d.source"),
+    "events_funnel" -> {
+      val win = "(PARTITION BY user_id ORDER BY ts_ns, event_id ROWS UNBOUNDED PRECEDING)"
+      "WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, event_type FROM events), " +
+        "s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_ns END) OVER w AS v_ts " +
+        s"FROM e WINDOW w AS $win), " +
+        "s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND v_ts IS NOT NULL THEN ts_ns END) OVER w AS c_ts " +
+        s"FROM s1 WINDOW w AS $win), " +
+        "s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND c_ts IS NOT NULL THEN ts_ns END) OVER w AS p_ts " +
+        s"FROM s2 WINDOW w AS $win) " +
+        "SELECT user_id, min(v_ts) AS t_view, min(c_ts) AS t_click, min(p_ts) AS t_purchase, " +
+        "CAST(CASE WHEN min(p_ts) IS NOT NULL THEN 3 WHEN min(c_ts) IS NOT NULL THEN 2 " +
+        "WHEN min(v_ts) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage " +
+        "FROM s3 GROUP BY user_id"
+    },
     "q10_cube" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid, " +

@@ -195,6 +195,52 @@ object Dedup {
       )
   }
 
+  /** Edit-distance clip: verify cost is O(clip²) per candidate pair
+    * regardless of document length — the bounded-cost contract an
+    * all-lengths levenshtein would break at 100 TB.
+    */
+  val editClip = 512
+
+  /** Edit-distance near-dup verification of the banded-LSH candidates —
+    * the character-level member of the dedup family (Jaccard is
+    * set-level, SimHash bit-level): every candidate pair scored with
+    * levenshtein over the first [[editClip]] chars, `is_dup` at
+    * normalized distance ≤ `maxNorm`. Distance and lengths are exact
+    * integers on both engines (the corpus is ASCII; NOTE Spark counts
+    * code points where DuckDB counts bytes, so a production non-ASCII
+    * corpus must normalize first or route through the Jaccard verify).
+    *
+    * Scale shape: candidates come from the same banded equi-join as
+    * dedup_minhash (a sliver of the corpus); the quadratic-in-clip
+    * levenshtein runs row-locally on exactly those pairs.
+    */
+  def editDupes(docs: DataFrame, maxNorm: Double = 0.3): DataFrame = {
+    val txt = docs.select(col("doc_id"), substring(col("text"), 1, editClip).as("t"))
+    minhashCandidates(docs)
+      .join(txt.select(col("doc_id").as("doc_a"), col("t").as("ta")), Seq("doc_a"))
+      .join(txt.select(col("doc_id").as("doc_b"), col("t").as("tb")), Seq("doc_b"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("lev"),
+        greatest(length(col("ta")), length(col("tb"))).cast("long").as("len_max")
+      )
+      .withColumn("norm_edit", graft.core.Dsp.round6(col("lev") / col("len_max")))
+      .withColumn("is_dup", col("lev") <= col("len_max") * lit(maxNorm))
+  }
+
+  def editDupesSql(maxNorm: Double = 0.3): String =
+    s"WITH $signaturesSql, $bandsSql, " +
+      "cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
+      s"JOIN bands b ON $bandJoinOn AND a.doc_id < b.doc_id), " +
+      s"txt AS MATERIALIZED (SELECT doc_id, substr(text, 1, $editClip) AS t FROM documents), " +
+      "sc AS (SELECT c.doc_a, c.doc_b, CAST(levenshtein(ta.t, tb.t) AS BIGINT) AS lev, " +
+      "CAST(greatest(length(ta.t), length(tb.t)) AS BIGINT) AS len_max " +
+      "FROM cands c JOIN txt ta ON ta.doc_id = c.doc_a JOIN txt tb ON tb.doc_id = c.doc_b) " +
+      s"SELECT doc_a, doc_b, lev, len_max, " +
+      s"${graft.core.Dsp.round6Sql("CAST(lev AS DOUBLE) / len_max")} AS norm_edit, " +
+      s"lev <= len_max * ${graft.core.Dsp.lit(maxNorm)} AS is_dup FROM sc"
+
   /** CTE chain ending in `jac(doc_a, doc_b, jaccard)` — the verified
     * LSH-candidate Jaccard scores; shared by the jaccard dump and the
     * minhash-pipeline components oracle.
@@ -787,6 +833,7 @@ object Dedup {
     },
     "dedup_stream_minhash" -> { (s, dir) => minhashDupStreaming(Tables.documents(s, dir)) },
     "dedup_minhash" -> { (s, dir) => minhashCandidates(Tables.documents(s, dir)) },
+    "dedup_edit" -> { (s, dir) => editDupes(Tables.documents(s, dir)) },
     "dedup_jaccard" -> { (s, dir) => jaccard(Tables.documents(s, dir)) },
     "dedup_simhash" -> { (s, dir) => simhash(Tables.documents(s, dir)) },
     "dedup_simhash_pairs" -> { (s, dir) => simhashPairs(Tables.documents(s, dir)) },
@@ -815,6 +862,7 @@ object Dedup {
     "dedup_exact" ->
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY md5(text)",
     "dedup_minhash" -> minhashCandidatesSql,
+    "dedup_edit" -> editDupesSql(),
     // the streaming LSH's batch twin IS the batch candidate set
     "dedup_stream_minhash" -> minhashCandidatesSql,
     "dedup_jaccard" -> jaccardSql,

@@ -4,7 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.llm.{Curation, Similarity, Sketches}
+import graft.llm.{Curation, Dedup, Similarity, Sketches}
 import graft.operators.{CwtOps, XcorrOps}
 
 /** Properties of the round-8 sketch gate queries (bloom_screen,
@@ -128,6 +128,47 @@ class SketchGateSpec extends AnyFunSuite {
     // rerun is byte-identical (no RNG state anywhere)
     val again = Curation.corpusShard(docs).collect()
     assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
+
+  test("dedup_edit scores a planted one-word near-dup and never pairs the unrelated doc") {
+    import spark.implicits._
+    val base = (1 to 80).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("tok40", "tok4x")), // one in-place substitution
+      (3L, (1 to 80).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val rows = Dedup.editDupes(docs).collect()
+    assert(rows.length == 1, s"expected exactly the planted pair, got ${rows.length}")
+    val r = rows(0)
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    assert(r.getAs[Long]("lev") == 1L, s"lev ${r.getAs[Long]("lev")}")
+    assert(r.getAs[Boolean]("is_dup"))
+  }
+
+  test("events_funnel enforces stage ordering (click before view never counts)") {
+    import spark.implicits._
+    val us = 1000L // micro step in nanos
+    val rows = Seq(
+      // user 1: full ordered funnel
+      (1L, 10L, 1 * us, "view"), (1L, 11L, 2 * us, "click"), (1L, 12L, 3 * us, "purchase"),
+      // user 2: click precedes the only view -> stage stalls at 1
+      (2L, 20L, 1 * us, "click"), (2L, 21L, 2 * us, "view"), (2L, 22L, 3 * us, "purchase"),
+      // user 3: no click at all -> purchase can't count
+      (3L, 30L, 1 * us, "view"), (3L, 31L, 2 * us, "purchase"),
+      // user 4: never enters the funnel
+      (4L, 40L, 1 * us, "error"),
+      // users 5/6: view and click share a timestamp; event_id breaks the
+      // tie -> click-first stalls, view-first advances
+      (5L, 50L, 1 * us, "click"), (5L, 51L, 1 * us, "view"),
+      (6L, 61L, 1 * us, "view"), (6L, 62L, 1 * us, "click")
+    ).toDF("user_id", "event_id", "ts_ns", "event_type")
+    val out = BaseQueries
+      .funnel(rows)
+      .collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("stage"))
+      .toMap
+    assert(out == Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 1L, 6L -> 2L), s"$out")
   }
 
   test("xcorr recovers a planted 3-sample shift with |r| <= 1") {
