@@ -889,7 +889,8 @@ object Similarity {
     * end, λ by Rayleigh quotient, sign fixed at the largest-|loading|
     * dimension. `mat` injects MATERIALIZED for DuckDB ("" for Spark).
     */
-  private def pcaChainSql(covRef: String, mat: String): String = {
+  /** v₀ → normalized v_N: the iteration half of the chain. */
+  private def pcaIterSql(covRef: String, mat: String): String = {
     val chain = (1 to pcaIters)
       .map { k =>
         s"v$k AS$mat (SELECT c.i AS i, sum(c.c * p.x) AS x " +
@@ -899,32 +900,59 @@ object Similarity {
     val vL = s"v$pcaIters"
     s"v0 AS$mat (SELECT DISTINCT i, ${Dsp.lit(0.125)} AS x FROM $covRef), $chain, " +
       s"nrm AS$mat (SELECT sqrt(sum(x * x)) AS nv FROM $vL), " +
-      s"vn AS$mat (SELECT i, x / (SELECT nv FROM nrm) AS x FROM $vL), " +
-      s"lam AS$mat (SELECT sum(c.c * a.x * b.x) AS l " +
-      s"FROM $covRef c JOIN vn a ON a.i = c.i JOIN vn b ON b.i = c.j), " +
-      s"tr AS$mat (SELECT sum(c) AS t FROM $covRef WHERE i = j), " +
-      s"pick AS$mat (SELECT i FROM vn ORDER BY abs(x) DESC, i LIMIT 1), " +
-      s"sgn AS$mat (SELECT CASE WHEN x >= ${Dsp.lit(0.0)} THEN 1.0e0 ELSE -1.0e0 END AS s " +
-      "FROM vn WHERE i = (SELECT i FROM pick))"
+      s"vn AS$mat (SELECT i, x / (SELECT nv FROM nrm) AS x FROM $vL)"
   }
 
-  private val pcaSelectSql: String =
-    s"SELECT vn.i AS dim, ${Dsp.round6Sql("vn.x * (SELECT s FROM sgn)")} AS loading, " +
+  /** Rayleigh λ + sign fix + output off a (possibly checkpointed)
+    * `vnRef(i, x)` — the finishing half; referencing vn many times is
+    * free once it is materialized.
+    */
+  private def pcaFinishSql(covRef: String, vnRef: String, mat: String): String =
+    s"lam AS$mat (SELECT sum(c.c * a.x * b.x) AS l " +
+      s"FROM $covRef c JOIN $vnRef a ON a.i = c.i JOIN $vnRef b ON b.i = c.j), " +
+      s"tr AS$mat (SELECT sum(c) AS t FROM $covRef WHERE i = j), " +
+      s"pick AS$mat (SELECT i FROM $vnRef ORDER BY abs(x) DESC, i LIMIT 1), " +
+      s"sgn AS$mat (SELECT CASE WHEN x >= ${Dsp.lit(0.0)} THEN 1.0e0 ELSE -1.0e0 END AS s " +
+      s"FROM $vnRef WHERE i = (SELECT i FROM pick)) " +
+      s"SELECT $vnRef.i AS dim, ${Dsp.round6Sql(s"$vnRef.x * (SELECT s FROM sgn)")} AS loading, " +
       s"${Dsp.round6Sql("(SELECT l FROM lam)")} AS lambda1, " +
-      s"${Dsp.round6Sql("(SELECT l FROM lam) / (SELECT t FROM tr)")} AS var_ratio FROM vn"
+      s"${Dsp.round6Sql("(SELECT l FROM lam) / (SELECT t FROM tr)")} AS var_ratio FROM $vnRef"
 
   /** Top principal component of the embedding corpus: (dim, loading,
     * lambda1, var_ratio) — the embedding-whitening/compression primitive
     * (SemDeDup clusters in PCA space; retrieval stacks whiten before
-    * ANN). The expensive part — covariance — is one map-side-combined
-    * aggregation; the iteration itself runs on the d²-row cov table
-    * (KBs), checkpointed so the 12-step chain re-reads an in-memory
-    * block instead of re-deriving the aggregation per reference.
+    * ANN). The expensive part — covariance — is the ONE distributed
+    * map-side-combined aggregation; the 24-step iteration then runs on
+    * the collected d²-double matrix driver-side (the bounded-design-
+    * artifact shape of the quality-classifier gradient and the DPSS
+    * solve — a 64-dim eigen-iterate is not distributed work, and as 24
+    * tiny join-agg stages it costs 2.6 s of pure scheduling). The math
+    * is the oracle's chain verbatim: unnormalized steps from 0.125·𝟙,
+    * one normalization, Rayleigh λ, sign at the largest-|loading| dim;
+    * engine disagreement is the usual ≤1e-15 aggregation-order noise
+    * under round6.
     */
   def pcaTop(s: SparkSession, df: DataFrame): DataFrame = {
-    val cov = pcaCov(df).localCheckpoint()
-    cov.createOrReplaceTempView("graft_pca_cov")
-    s.sql(s"WITH ${pcaChainSql("graft_pca_cov", "")} $pcaSelectSql")
+    val d = pcaDim
+    val c = Array.ofDim[Double](d, d)
+    pcaCov(df).collect().foreach { r =>
+      c(r.getAs[Int]("i"))(r.getAs[Int]("j")) = r.getAs[Double]("c")
+    }
+    var v = Array.fill(d)(0.125)
+    for (_ <- 1 to pcaIters)
+      v = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
+    val nrm = math.sqrt(v.map(x => x * x).sum)
+    val vn = v.map(_ / nrm)
+    val lam = (0 until d).map(i => (0 until d).map(j => c(i)(j) * vn(i) * vn(j)).sum).sum
+    val tr = (0 until d).map(i => c(i)(i)).sum
+    var iMax = 0
+    for (i <- 1 until d) if (math.abs(vn(i)) > math.abs(vn(iMax))) iMax = i
+    val sgn = if (vn(iMax) >= 0.0) 1.0 else -1.0
+    def r6(x: Double): Double = math.floor(x * 1.0e6 + 0.5e0) / 1.0e6
+    import s.implicits._
+    (0 until d)
+      .map(i => (i, r6(vn(i) * sgn), r6(lam), r6(lam / tr)))
+      .toDF("dim", "loading", "lambda1", "var_ratio")
   }
 
   def pcaSql: String =
@@ -937,7 +965,7 @@ object Similarity {
       s"FROM vs, generate_series(0, ${pcaDim - 1}) gi(i) GROUP BY gi.i), " +
       "cov AS MATERIALIZED (SELECT s.i AS i, s.j AS j, s.sxx / s.n - a.mu * b.mu AS c " +
       "FROM sxx s JOIN mu a ON a.i = s.i JOIN mu b ON b.i = s.j), " +
-      s"${pcaChainSql("cov", " MATERIALIZED")} $pcaSelectSql"
+      s"${pcaIterSql("cov", " MATERIALIZED")}, ${pcaFinishSql("cov", "vn", " MATERIALIZED")}"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_pca" -> { (s, dir) => pcaTop(s, Tables.embeddings(s, dir)) },

@@ -79,6 +79,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"q2_join should broadcast dims:\n${plan.take(600)}")
   }
 
+  test("one-shuffle contracts: funnel and corpus_shard plan a single row exchange") {
+    // events_funnel: three chained windows + the per-user agg all ride
+    // ONE user_id hash partition; corpus_shard: the position window's
+    // shard partition is the only exchange. A second exchange in either
+    // is a dropped-partitioning regression.
+    for ((q, want) <- Seq("events_funnel" -> 1, "corpus_shard" -> 1)) {
+      val got = exchangeCount(q)
+      assert(got == want, s"$q: $got exchanges != $want")
+    }
+    // sketch_cms's top-20 must be TakeOrderedAndProject, not a global sort
+    val plan = SparkEntry.queries("sketch_cms")(spark, sf).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), "top-20 should plan TakeOrdered, not a global sort")
+  }
+
   test("sink_parquet read-back prunes lang partitions at the scan") {
     val plan = SparkEntry.queries("sink_parquet")(spark, sf).queryExecution.executedPlan.toString
     val scan = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
