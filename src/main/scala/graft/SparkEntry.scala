@@ -256,10 +256,22 @@ object BaseQueries {
       // customers having at least one high-value order: semi join, then
       // a dim rollup — the existence-predicate plan shape
       val c = Tables.customer(s, dir)
-      val o = Tables.orders(s, dir).filter(col("o_totalprice") > 100000.0).select(col("o_custkey"))
+      val o = Tables.orders(s, dir).filter(col("o_totalprice") > 400000.0).select(col("o_custkey"))
       c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_custs"))
+    },
+    "q11_anti_join" -> { (s, dir) =>
+      // customers with NO high-value order — q7's complement: the NOT
+      // EXISTS plan shape, a LeftAnti hash join on the same key the
+      // semi join uses; completes the existence-predicate family.
+      // (No-orders-at-all would be vacuous: 0 such customers at
+      // sf0.01 — every gate row must exercise the operator.)
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_totalprice") > 400000.0).select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_inactive"), round(avg(col("c_acctbal")), 4).as("avg_bal"))
     },
     "q8_asof" -> { (s, dir) =>
       // as-of join: each purchase picks the most recent view at-or-
@@ -437,6 +449,11 @@ object BaseQueries {
     "q7_semi_join" ->
       ("SELECT c_mktsegment, count(*) AS n_custs FROM customer " +
         "WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0) " +
+        "GROUP BY c_mktsegment"),
+    "q11_anti_join" ->
+      ("SELECT c_mktsegment, count(*) AS n_inactive, round(avg(c_acctbal), 4) AS avg_bal " +
+        "FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
+        "AND o_totalprice > 400000.0) " +
         "GROUP BY c_mktsegment"),
     "q8_asof" ->
       ("WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, event_type, value FROM events), " +

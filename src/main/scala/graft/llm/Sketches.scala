@@ -84,7 +84,15 @@ object Sketches {
         expr("b div 32").as("word"),
         expr("shiftleft(CAST(1 AS BIGINT), CAST(b % 32 AS INT))").as("mask")
       )
-    val filter = inserts.groupBy(col("word")).agg(sum_distinct(col("mask")).as("bits"))
+    // referenced once per salt below: the per-salt aliasing defeats
+    // exchange reuse (plan audit showed 3 separate benchmark-shingle
+    // scans), so materialize the ≤ m/32-row filter once — at corpus
+    // scale k re-scans of the benchmark stream vs KBs of checkpoint is
+    // no contest; at gate scale the two are timing-noise-equal
+    val filter = inserts
+      .groupBy(col("word"))
+      .agg(sum_distinct(col("mask")).as("bits"))
+      .localCheckpoint()
 
     val probes = (0 until bloomK).foldLeft(
       TextStats.shingles(tagged.filter(col("h100") < 90)).select(col("doc_id"), col("sh"))
@@ -300,7 +308,11 @@ object Sketches {
         ).as("rb")
       )
       .select(col("rb.r").as("r"), col("rb.b").as("b"))
-    val counters = inserts.groupBy(col("r"), col("b")).agg(count(lit(1)).as("c"))
+    // referenced once per hash row below — the r = j filters make the
+    // three subtrees distinct (no exchange reuse; the un-checkpointed
+    // plan re-scanned the token stream d times), so materialize the
+    // ≤ d·w counter grid once (bloomScreen note)
+    val counters = inserts.groupBy(col("r"), col("b")).agg(count(lit(1)).as("c")).localCheckpoint()
     val top = toks
       .groupBy(col("tok"))
       .agg(count(lit(1)).as("n_exact"))
