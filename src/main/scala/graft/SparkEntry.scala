@@ -261,6 +261,28 @@ object BaseQueries {
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_custs"))
     },
+    "q12_median" -> { (s, dir) =>
+      // exact grouped median WITHOUT engine percentile functions (whose
+      // interpolation/tie semantics differ cross-engine): rank
+      // arithmetic — row_number + group count in ONE window partition,
+      // median = avg of the middle position(s). Both engines run the
+      // identical integer math. Exact-median-per-group inherently
+      // orders each group once; the approximate path at 100 TB is a
+      // mergeable quantile sketch — this is the exact anchor it gets
+      // validated against.
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("o_orderpriority"))
+      Tables
+        .orders(s, dir)
+        .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+        .withColumn("rn", row_number().over(wOrd).cast("long"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .filter(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("(n + 2) div 2"))
+        .groupBy(col("o_orderpriority"))
+        .agg(round(avg(col("o_totalprice")), 4).as("median_price"), max(col("n")).as("n_orders"))
+    },
     "q11_anti_join" -> { (s, dir) =>
       // customers with NO high-value order — q7's complement: the NOT
       // EXISTS plan shape, a LeftAnti hash join on the same key the
@@ -450,6 +472,12 @@ object BaseQueries {
       ("SELECT c_mktsegment, count(*) AS n_custs FROM customer " +
         "WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0) " +
         "GROUP BY c_mktsegment"),
+    "q12_median" ->
+      ("WITH r AS (SELECT o_orderpriority, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn, " +
+        "count(*) OVER (PARTITION BY o_orderpriority) AS n FROM orders) " +
+        "SELECT o_orderpriority, round(avg(o_totalprice), 4) AS median_price, max(n) AS n_orders " +
+        "FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY o_orderpriority"),
     "q11_anti_join" ->
       ("SELECT c_mktsegment, count(*) AS n_inactive, round(avg(c_acctbal), 4) AS avg_bal " +
         "FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
