@@ -96,6 +96,15 @@ object SparkEntry {
   */
 object BaseQueries {
 
+  /** High-value-order threshold shared by q7_semi_join and q11_anti_join
+    * (complementary existence predicates over the same filtered orders
+    * side). ONE constant, rendered into the DataFrame filter AND the
+    * DuckDB oracle string via [[graft.core.Dsp.lit]], so the two engines
+    * cannot diverge — the r8 q7 regression was exactly a fourth copy of
+    * this literal drifting.
+    */
+  val hiValue: Double = 400000.0
+
   /** Bucketed co-located join — the shuffle-free-join layout pattern
     * for repeated large⋈large joins at 100 TB: both sides are written
     * `bucketBy(8, doc_id)` (same bucket count, same key, Murmur3 bucket
@@ -256,7 +265,7 @@ object BaseQueries {
       // customers having at least one high-value order: semi join, then
       // a dim rollup — the existence-predicate plan shape
       val c = Tables.customer(s, dir)
-      val o = Tables.orders(s, dir).filter(col("o_totalprice") > 400000.0).select(col("o_custkey"))
+      val o = Tables.orders(s, dir).filter(col("o_totalprice") > hiValue).select(col("o_custkey"))
       c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_custs"))
@@ -290,7 +299,7 @@ object BaseQueries {
       // (No-orders-at-all would be vacuous: 0 such customers at
       // sf0.01 — every gate row must exercise the operator.)
       val c = Tables.customer(s, dir)
-      val o = Tables.orders(s, dir).filter(col("o_totalprice") > 400000.0).select(col("o_custkey"))
+      val o = Tables.orders(s, dir).filter(col("o_totalprice") > hiValue).select(col("o_custkey"))
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_inactive"), round(avg(col("c_acctbal")), 4).as("avg_bal"))
@@ -470,7 +479,7 @@ object BaseQueries {
         "count(*) AS n_rows FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"),
     "q7_semi_join" ->
       ("SELECT c_mktsegment, count(*) AS n_custs FROM customer " +
-        "WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0) " +
+        s"WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > ${graft.core.Dsp.lit(hiValue)}) " +
         "GROUP BY c_mktsegment"),
     "q12_median" ->
       ("WITH r AS (SELECT o_orderpriority, o_totalprice, " +
@@ -481,7 +490,7 @@ object BaseQueries {
     "q11_anti_join" ->
       ("SELECT c_mktsegment, count(*) AS n_inactive, round(avg(c_acctbal), 4) AS avg_bal " +
         "FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey " +
-        "AND o_totalprice > 400000.0) " +
+        s"AND o_totalprice > ${graft.core.Dsp.lit(hiValue)}) " +
         "GROUP BY c_mktsegment"),
     "q8_asof" ->
       ("WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, event_type, value FROM events), " +
