@@ -61,14 +61,27 @@ object Bench {
       name -> Timing(cold, warms(1), warms(2) - warms(0))
     }
     def r3(d: Double): Double = math.rint(d * 1000) / 1000
+    // The stdout line must survive the driver's byte-bounded stdout TAIL:
+    // r8's full 156-query map (~4 KB) overflowed the window and the head
+    // of the line was clipped → parsed:null. The compact line therefore
+    // carries only a fixed HEADLINE subset in "queries" (~0.5 KB); the
+    // totals still sum every query, and the complete per-query map (cold,
+    // warm median, spread, deltas) lives in BENCH_DETAIL.json.
+    val headline = Vector(
+      "q1_agg", "q2_join", "q3_topk", "q4_running", "q5_topn_group", "q6_rollup",
+      "q7_semi_join", "q8_asof", "q9_range", "q10_cube", "q11_anti_join", "q12_median",
+      "psd_welch", "stft", "iir_butter_lp", "hilbert_env", "resample_3_2", "fir_oa_fast",
+      "dedup_exact", "dedup_minhash", "dedup_components", "sim_topk", "text_quality",
+      "curate_full"
+    )
     val qs = results
-      .map { case (k, t) => s"\"" + k + "\":" + r3(t.warmMedian) }
+      .collect { case (k, t) if headline.contains(k) => s"\"" + k + "\":" + r3(t.warmMedian) }
       .mkString("{", ",", "}")
     val warmTotal = r3(results.values.map(_.warmMedian).sum)
     val coldTotal = r3(results.values.map(_.cold).sum)
     val line =
       s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":$qs,""" +
-        s""""cold_total":$coldTotal,"sf":"$sfDir"}"""
+        s""""cold_total":$coldTotal,"n_queries":${results.size},"detail":"$detailPath","sf":"$sfDir"}"""
     // regressed = delta exceeds both runs' observed noise plus a 50 ms
     // floor — spread-sized wobble on a co-tenant machine is not a signal
     def delta(k: String, t: Timing): Option[(Double, Boolean)] =
