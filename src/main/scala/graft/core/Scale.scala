@@ -125,14 +125,21 @@ object Scale {
     * stats prune on EITHER filtered dimension (the multi-dimensional
     * clustering layout Delta/Iceberg call Z-ordering; single-dim sort
     * bounds only the sorted column's per-file range).
+    *
+    * Preconditions: `ub`/`vb` must evaluate NON-NEGATIVE (Spark `div`
+    * truncates toward zero, DuckDB `//` floors — they diverge on
+    * negatives), and `bits <= 31` so the interleaved weight 2^(2k+1)
+    * stays inside a signed 64-bit lane.
     */
-  def zValueSql(ub: String, vb: String, divOp: String, bits: Int = 4): String =
+  def zValueSql(ub: String, vb: String, divOp: String, bits: Int = 4): String = {
+    require(bits >= 1 && bits <= 31, s"zValueSql bits must be in [1, 31], got $bits")
     (0 until bits)
       .map { k =>
         s"((($ub) $divOp ${1 << k}) % 2) * ${1L << (2 * k + 1)} + " +
           s"((($vb) $divOp ${1 << k}) % 2) * ${1L << (2 * k)}"
       }
       .mkString(" + ")
+  }
 
   /** Misra–Gries heavy hitters as a mergeable summary (Agarwal et al.,
     * "Mergeable Summaries", PODS 2012): each partition builds a

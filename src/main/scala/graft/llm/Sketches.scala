@@ -350,16 +350,217 @@ object Sketches {
   }
 
   // ---------------------------------------------------------------------
+  // Dyadic Count-Min quantile sketch
+  // ---------------------------------------------------------------------
+
+  /** Mergeable quantile summary (Cormode & Muthukrishnan 2005, the
+    * dyadic-range application of the Count-Min sketch): values are
+    * quantized to an integer domain [0, 2^qLevels); each value inserts
+    * its ancestor node `vi div 2^lvl` at every dyadic level into a
+    * per-level CMS. The whole summary is ONE counter table keyed by
+    * (group, level, hash-row, bucket) — order-independent, exact
+    * integer state, and mergeable by plain addition (the groupBy count
+    * IS the merge, map-side combined; the shuffle carries at most
+    * groups·L·d·w rows no matter the corpus). That is the property
+    * q12_median's exact rank arithmetic lacks at 100 TB: exact grouped
+    * medians sort every group, the sketch pass shuffles a fixed-size
+    * grid.
+    *
+    * rank(x) = |{v < x}| is CLOSED-FORM over the sketch: [0, x) is the
+    * disjoint union of one dyadic node per set bit of x (the node
+    * `(x div 2^(l+1)) * 2` at level l), so the estimate is a sum of at
+    * most L CMS point lookups — each a min over d counters that can
+    * only OVERCOUNT, giving the one-sided guarantee est_rank ≥ rank
+    * with est_rank − rank ≤ Σ_l e·n/w collision noise (spec-pinned).
+    * Quantile extraction walks the binary tree top-down with L such
+    * lookups over the COLLECTED grid — bounded driver work, corpus
+    * independent (embed_pca precedent) — in [[quantileFromCounters]].
+    *
+    * Like sketch_hll/sketch_cms the hashes are fixed md5-derived
+    * integers computed identically by Spark and DuckDB, so the gate
+    * pins the exact counters AND the exact estimate the sketch must
+    * give, next to the exact rank it approximates.
+    */
+  val qLevels = 20 // domain 2^20 covers o_totalprice (< ~600k)
+  val qDepth = 3
+  val qWidth = 512
+
+  private def qBucket(r: Int, lvl: Column, node: Column): Column =
+    conv(
+      substring(md5(concat(lit(s"q$r:"), lvl.cast("string"), lit(":"), node.cast("string"))), 1, 8),
+      16,
+      10
+    ).cast("long") % qWidth
+
+  private def qBucketSql(r: Int, lvl: String, node: String): String =
+    s"CAST(concat('0x', substr(md5('q$r:' || $lvl || ':' || $node), 1, 8)) AS BIGINT) % $qWidth"
+
+  /** (lvl, p2 = 2^lvl) as exact integer literals shared by both engines
+    * (no pow() doubles anywhere near the integer math).
+    */
+  private def levelStructs: Column =
+    array((0 until qLevels).map(l => struct(lit(l).as("lvl"), lit(1L << l).as("p2"))): _*)
+
+  private def levelValuesSql: String =
+    (0 until qLevels).map(l => s"($l, ${1L << l})").mkString("VALUES ", ", ", "")
+
+  /** The sketch build: (g, lvl, r, b, c) counters for `value` grouped by
+    * `group`. Caller quantizes `value` to a non-negative BIGINT below
+    * 2^qLevels. Mergeable: counters from disjoint slices ADD (spec-pinned
+    * exactly equal to the single-pass build).
+    */
+  def dyadicCounters(rows: DataFrame, group: Column, value: Column): DataFrame = {
+    val lv = rows
+      .select(group.as("g"), value.as("vi"))
+      .select(col("g"), col("vi"), explode(levelStructs).as("l"))
+      .select(col("g"), col("l.lvl").as("lvl"), expr("vi div l.p2").as("node"))
+    lv.select(
+      col("g"),
+      col("lvl"),
+      explode(
+        array((0 until qDepth).map(r =>
+          struct(lit(r).as("r"), qBucket(r, col("lvl"), col("node")).as("b"))
+        ): _*)
+      ).as("rb")
+    ).select(col("g"), col("lvl"), col("rb.r").as("r"), col("rb.b").as("b"))
+      .groupBy(col("g"), col("lvl"), col("r"), col("b"))
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** Gate query: per order-priority group, the exact lower-median of
+    * o_totalprice (q12's rank arithmetic, single value — no averaging),
+    * its exact rank, and the sketch's closed-form rank estimate for the
+    * same point. Entirely integer output — the approximate answer
+    * itself is cross-engine hash-exact.
+    */
+  def quantileRank(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vals = orders
+      .select(
+        col("o_orderpriority").as("g"),
+        expr("CAST(floor(o_totalprice) AS BIGINT)").as("vi"),
+        col("o_totalprice"),
+        col("o_orderkey")
+      )
+      .localCheckpoint() // referenced by counters, median, and exact rank
+    val counters = dyadicCounters(vals, col("g"), col("vi")).localCheckpoint()
+    val wOrd = Window.partitionBy(col("g")).orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wAll = Window.partitionBy(col("g"))
+    val med = vals
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("g"), col("vi").as("xq"), col("n"))
+    val exact = vals
+      .join(med.select(col("g").as("mg"), col("xq")), col("g") === col("mg") && col("vi") < col("xq"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("exact_rank"))
+    val bits = med
+      .select(col("g"), col("xq"), explode(levelStructs).as("l"))
+      .filter(expr("(xq div l.p2) % 2 = 1"))
+      .select(col("g"), col("l.lvl").as("lvl"), expr("(xq div (2 * l.p2)) * 2").as("node"))
+    val looked = (0 until qDepth).foldLeft(bits) { (df, r) =>
+      df.withColumn(s"qb$r", qBucket(r, col("lvl"), col("node")))
+        .join(
+          broadcast(
+            counters
+              .filter(col("r") === r)
+              .select(col("g").as(s"cg$r"), col("lvl").as(s"cl$r"), col("b").as(s"cb$r"), col("c").as(s"c$r"))
+          ),
+          col("g") === col(s"cg$r") && col("lvl") === col(s"cl$r") && col(s"qb$r") === col(s"cb$r"),
+          "left"
+        )
+    }
+    val est = looked
+      .select(
+        col("g"),
+        least((0 until qDepth).map(r => coalesce(col(s"c$r"), lit(0L))): _*).as("node_est")
+      )
+      .groupBy(col("g"))
+      .agg(sum(col("node_est")).as("est_rank"))
+    med
+      .join(exact, Seq("g"))
+      .join(est, Seq("g"))
+      .select(
+        col("g").as("o_orderpriority"),
+        col("n").as("n_orders"),
+        col("xq").as("median_floor"),
+        col("exact_rank"),
+        col("est_rank")
+      )
+  }
+
+  def quantileRankSql: String = {
+    val ins = (0 until qDepth)
+      .map(r => s"SELECT g, lvl, $r AS r, ${qBucketSql(r, "lvl", "node")} AS b FROM ins")
+      .mkString(" UNION ALL ")
+    val joins = (0 until qDepth)
+      .map(r =>
+        s"LEFT JOIN cnt c$r ON c$r.g = bits.g AND c$r.lvl = bits.lvl AND c$r.r = $r " +
+          s"AND c$r.b = ${qBucketSql(r, "bits.lvl", "bits.node")}"
+      )
+      .mkString(" ")
+    val mins = (0 until qDepth).map(r => s"coalesce(c$r.c, 0)").mkString(", ")
+    s"WITH vals AS MATERIALIZED (SELECT o_orderpriority AS g, " +
+      "CAST(floor(o_totalprice) AS BIGINT) AS vi, o_totalprice, o_orderkey FROM orders), " +
+      s"lvls(lvl, p2) AS MATERIALIZED (${levelValuesSql}), " +
+      "ins AS (SELECT g, lvl, vi // p2 AS node FROM vals, lvls), " +
+      s"cnt AS MATERIALIZED (SELECT g, lvl, r, b, count(*) AS c FROM ($ins) GROUP BY g, lvl, r, b), " +
+      "med AS MATERIALIZED (SELECT g, vi AS xq, n FROM (" +
+      "SELECT g, vi, row_number() OVER (PARTITION BY g ORDER BY o_totalprice, o_orderkey) AS rn, " +
+      "count(*) OVER (PARTITION BY g) AS n FROM vals) WHERE rn = (n + 1) // 2), " +
+      "exact AS (SELECT m.g, count(*) AS exact_rank FROM vals v JOIN med m ON v.g = m.g " +
+      "WHERE v.vi < m.xq GROUP BY m.g), " +
+      "bits AS MATERIALIZED (SELECT m.g, l.lvl, (m.xq // (2 * l.p2)) * 2 AS node " +
+      "FROM med m, lvls l WHERE (m.xq // l.p2) % 2 = 1), " +
+      s"est AS (SELECT bits.g, CAST(sum(least($mins)) AS BIGINT) AS est_rank FROM bits $joins GROUP BY bits.g) " +
+      "SELECT m.g AS o_orderpriority, m.n AS n_orders, m.xq AS median_floor, " +
+      "x.exact_rank, e.est_rank FROM med m JOIN exact x ON x.g = m.g JOIN est e ON e.g = m.g"
+  }
+
+  /** JVM twin of [[qBucket]] for the driver-side descent. */
+  private def qBucketJvm(r: Int, lvl: Int, node: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    val hex = d.digest(s"q$r:$lvl:$node".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) % qWidth
+  }
+
+  /** Quantile extraction: top-down binary descent over the collected
+    * counter grid — at each level take the left child iff its estimated
+    * mass reaches the remaining target. O(groups·L·d) map lookups on
+    * the driver, corpus-independent; the grid itself is ≤ groups·L·d·w
+    * integers. Returns the estimated q-quantile leaf value, whose exact
+    * rank is within the summed per-level CMS noise of q·n (spec-pinned).
+    */
+  def quantileFromCounters(counters: Map[(String, Int, Int, Long), Long], g: String, n: Long, q: Double): Long = {
+    def est(lvl: Int, node: Long): Long =
+      (0 until qDepth).map(r => counters.getOrElse((g, lvl, r, qBucketJvm(r, lvl, node)), 0L)).min
+    val target = math.max(1L, math.ceil(q * n).toLong)
+    var x = 0L
+    var rank = 0L
+    var lvl = qLevels - 1
+    while (lvl >= 0) {
+      val left = est(lvl, x >> lvl)
+      if (rank + left >= target) () // descend left: bit stays 0
+      else { rank += left; x += (1L << lvl) }
+      lvl -= 1
+    }
+    x
+  }
+
+  // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bloom_screen" -> { (s, dir) => bloomScreen(Tables.documents(s, dir)) },
     "sketch_hll" -> { (s, dir) => hllDistinct(Tables.documents(s, dir)) },
-    "sketch_cms" -> { (s, dir) => cmsTopTokens(Tables.documents(s, dir)) }
+    "sketch_cms" -> { (s, dir) => cmsTopTokens(Tables.documents(s, dir)) },
+    "sketch_quantile" -> { (s, dir) => quantileRank(Tables.orders(s, dir)) }
   )
 
   def oracleSql: Map[String, String] = Map(
     "bloom_screen" -> bloomScreenSql,
     "sketch_hll" -> hllDistinctSql,
-    "sketch_cms" -> cmsTopTokensSql
+    "sketch_cms" -> cmsTopTokensSql,
+    "sketch_quantile" -> quantileRankSql
   )
 }
