@@ -824,6 +824,172 @@ object Dedup {
   def writeSignatureStore(docs: DataFrame, path: String, append: Boolean): Unit =
     bandedSignatures(docs).write.mode(if (append) "append" else "overwrite").parquet(path)
 
+  // ---------------------------------------------------------------------
+  // Near-dup docs by hashed-embedding cosine (text → embedding → ANN
+  // closed natively — the SemDeDup shape with no external model)
+  // ---------------------------------------------------------------------
+
+  /** Hyperplane count / banding for [[hashEmbedDupes]]. The gate
+    * instance (24 planes, 4×6-bit bands) is the SQL-replayable config;
+    * at corpus scale widen the bands exactly like
+    * [[Similarity.embedDupeCandidates]] — background collisions are
+    * ~nBands·n²·2^-width, so width must grow with log(n).
+    */
+  val hePlanes = 24
+  val heBands = 4
+
+  /** Near-duplicate document pairs by cosine over MEAN-CENTERED
+    * [[TextStats.hashEmbed]] feature-hashed embeddings: hyperplane-LSH
+    * banded candidates (an equi-join on (band, value) — never
+    * all-pairs), then exact cosine ≥ τ.
+    *
+    * Centering is what makes the LSH prune AND the threshold separate:
+    * raw signed-BoW vectors all share the corpus vocabulary component,
+    * so background cosine sits ~0.7 and hyperplane signatures agree for
+    * most pairs (measured on the gate corpus: 55k of 125k pairs above
+    * 0.6 uncentered; centered, background mean is ~0 and only the
+    * planted near-dups clear 0.8). The same subtraction SemDeDup-style
+    * pipelines apply before clustering.
+    *
+    * Cross-engine exactness with no float-sum-order hazard: the round6
+    * l2-normalized weights are exact 6-dp decimals, so micro-units
+    * wi = floor(w·1e6 + 0.5) are exact BIGINTs ≤ 1e6; the centered
+    * value cv = wi − floor(t_b/n) subtracts the floor-rounded bucket
+    * mean (≤ 1 micro-unit centering bias; floor of a correctly-rounded
+    * division of exact sub-2^53 integers is engine-identical). |cv| ≤
+    * 2e6 REGARDLESS of corpus size, so hyperplane sums, cosine
+    * numerator and norms stay overflow-safe exact BIGINTs at any n —
+    * unlike n·s − t_b scaling, whose norms overflow 2^63 past ~5k docs.
+    *
+    * Scale shape: the centering totals are a dim-row aggregate
+    * broadcast back; the dense centered grid is dim rows per doc; the
+    * signature is one per-doc aggregation; the verify joins touch only
+    * candidate pairs. At corpus scale widen the bands (see [[hePlanes]]).
+    */
+  def hashEmbedDupes(
+      docs: DataFrame,
+      tau: Double = 0.8,
+      dim: Int = 64,
+      nPlanes: Int = hePlanes,
+      nBands: Int = heBands
+  ): DataFrame = {
+    require(nPlanes % nBands == 0, s"nBands $nBands must divide plane count $nPlanes")
+    val width = nPlanes / nBands
+    val wi = TextStats
+      .hashEmbed(docs, dim)
+      .select(col("doc_id"), col("bucket"), expr("CAST(floor(weight * 1.0e6 + 0.5e0) AS BIGINT)").as("wi"))
+    // bucket totals + doc count: ≤ dim+1 values, broadcast
+    val totals = wi.groupBy(col("bucket")).agg(sum(col("wi")).as("t"))
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("n"))
+    // dense centered grid: cv(doc, b) = wi − floor(t_b/n) for EVERY
+    // bucket (docs absent from a bucket sit at −mean, not 0 — that IS
+    // centering)
+    val dense = docs
+      .select(col("doc_id"), explode(array((0 until dim).map(b => lit(b.toLong)): _*)).as("bucket"))
+      .join(wi, Seq("doc_id", "bucket"), "left")
+      .join(broadcast(totals), Seq("bucket"), "left")
+      .crossJoin(broadcast(nDocs))
+      .select(
+        col("doc_id"),
+        col("bucket"),
+        (coalesce(col("wi"), lit(0L)) -
+          floor(coalesce(col("t"), lit(0L)).cast("double") / col("n").cast("double")).cast("long")).as("cv")
+      )
+      .localCheckpoint() // referenced by the signature agg and both verify sides
+    def pSign(i: Int): Column =
+      conv(substring(md5(concat(lit(s"hp$i:"), col("bucket").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 2 * 2 - 1
+    val aggs = (0 until nPlanes).map(i => sum(col("cv") * pSign(i)).as(s"d$i")) :+
+      sum(col("cv") * col("cv")).as("n2")
+    val sig = dense
+      .groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        col("doc_id") +: col("n2") +:
+          (0 until nBands).map { j =>
+            (0 until width)
+              .map(k => when(col(s"d${j * width + k}") > 0, lit(1L << k)).otherwise(lit(0L)))
+              .reduce(_ + _)
+              .as(s"bv$j")
+          }: _*
+      )
+      .localCheckpoint() // fans out into the self-joined bands and both norm lookups
+    val bands = sig.select(
+      col("doc_id"),
+      posexplode(array((0 until nBands).map(j => col(s"bv$j")): _*)).as(Seq("bi", "bv"))
+    )
+    val cand = bands
+      .select(col("doc_id").as("doc_a"), col("bi"), col("bv"))
+      .join(bands.select(col("doc_id").as("doc_b"), col("bi"), col("bv")), Seq("bi", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct() // a pair can share several bands; score it once
+    val num = cand
+      .join(dense.select(col("doc_id").as("doc_a"), col("bucket"), col("cv").as("ca")), Seq("doc_a"))
+      .join(dense.select(col("doc_id").as("doc_b"), col("bucket"), col("cv").as("cb")), Seq("doc_b", "bucket"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("ca") * col("cb")).as("num"))
+    num
+      .join(sig.select(col("doc_id").as("doc_a"), col("n2").as("na2")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("n2").as("nb2")), Seq("doc_b"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        // n2 products overflow BIGINT — cast each factor to double first
+        graft.core.Dsp
+          .round6(col("num").cast("double") / sqrt(col("na2").cast("double") * col("nb2").cast("double")))
+          .as("cos")
+      )
+      .filter(col("cos") >= tau)
+  }
+
+  def hashEmbedDupesSql(
+      tau: Double = 0.8,
+      dim: Int = 64,
+      nPlanes: Int = hePlanes,
+      nBands: Int = heBands
+  ): String = {
+    val width = nPlanes / nBands
+    def pSignSql(i: Int) =
+      s"(CAST(concat('0x', substr(md5('hp$i:' || CAST(bucket AS VARCHAR)), 1, 8)) AS BIGINT) % 2 * 2 - 1)"
+    val ds = (0 until nPlanes)
+      .map(i => s"CAST(sum(cv * ${pSignSql(i)}) AS BIGINT) AS d$i")
+      .mkString(", ")
+    val bandSelects = (0 until nBands)
+      .map { j =>
+        val bv = (0 until width)
+          .map(k => s"(CASE WHEN d${j * width + k} > 0 THEN ${1L << k} ELSE 0 END)")
+          .mkString(" + ")
+        s"SELECT doc_id, $j AS bi, CAST($bv AS BIGINT) AS bv FROM sig"
+      }
+      .mkString(" UNION ALL ")
+    s"WITH ${TextStats.hashEmbedCtes(dim)}, " +
+      "wi AS MATERIALIZED (SELECT doc_id, bucket, " +
+      "CAST(floor(weight * 1.0e6 + 0.5e0) AS BIGINT) AS wi FROM we), " +
+      "tot AS MATERIALIZED (SELECT bucket, CAST(sum(wi) AS BIGINT) AS t FROM wi GROUP BY bucket), " +
+      "nn AS MATERIALIZED (SELECT count(DISTINCT doc_id) AS n FROM documents), " +
+      s"grid AS (SELECT d.doc_id, g.b AS bucket FROM documents d, generate_series(0, ${dim - 1}) g(b)), " +
+      "dense AS MATERIALIZED (SELECT grid.doc_id, grid.bucket, " +
+      "coalesce(w.wi, 0) - CAST(floor(CAST(coalesce(tt.t, 0) AS DOUBLE) / (SELECT n FROM nn)) AS BIGINT) AS cv FROM grid " +
+      "LEFT JOIN wi w ON w.doc_id = grid.doc_id AND w.bucket = grid.bucket " +
+      "LEFT JOIN tot tt ON tt.bucket = grid.bucket), " +
+      s"sig AS MATERIALIZED (SELECT doc_id, CAST(sum(cv * cv) AS BIGINT) AS n2, $ds " +
+      "FROM dense GROUP BY doc_id), " +
+      s"bands AS MATERIALIZED ($bandSelects), " +
+      "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
+      "JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id), " +
+      "num AS (SELECT c.doc_a, c.doc_b, CAST(sum(x.cv * y.cv) AS BIGINT) AS num FROM cand c " +
+      "JOIN dense x ON x.doc_id = c.doc_a " +
+      "JOIN dense y ON y.doc_id = c.doc_b AND y.bucket = x.bucket " +
+      "GROUP BY c.doc_a, c.doc_b) " +
+      "SELECT doc_a, doc_b, cos FROM (SELECT n.doc_a, n.doc_b, " +
+      graft.core.Dsp.round6Sql(
+        "CAST(n.num AS DOUBLE) / sqrt(CAST(sa.n2 AS DOUBLE) * CAST(sb.n2 AS DOUBLE))"
+      ) + " AS cos FROM num n " +
+      "JOIN sig sa ON sa.doc_id = n.doc_a JOIN sig sb ON sb.doc_id = n.doc_b) " +
+      s"WHERE cos >= ${graft.core.Dsp.lit(tau)}"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> { (s, dir) =>
       Tables
@@ -855,7 +1021,8 @@ object Dedup {
       )
     },
     "dedup_stream" -> { (s, dir) => dedupStreaming(Tables.documents(s, dir)) },
-    "dedup_incremental" -> { (s, dir) => incrementalDedup(Tables.documents(s, dir)) }
+    "dedup_incremental" -> { (s, dir) => incrementalDedup(Tables.documents(s, dir)) },
+    "dedup_hash_embed" -> { (s, dir) => hashEmbedDupes(Tables.documents(s, dir)) }
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -882,6 +1049,7 @@ object Dedup {
     "dedup_stream" ->
       ("SELECT doc_id, md5(text) AS h, " +
         "doc_id > min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup FROM documents"),
-    "dedup_incremental" -> incrementalDedupSql()
+    "dedup_incremental" -> incrementalDedupSql(),
+    "dedup_hash_embed" -> hashEmbedDupesSql()
   )
 }

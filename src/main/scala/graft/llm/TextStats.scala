@@ -788,17 +788,37 @@ object TextStats {
     * Output is long-form (doc_id, bucket, weight) — the driver-safe
     * scalar layout and the natural sparse-vector form.
     */
-  def hashEmbed(docs: DataFrame, dim: Int = 64): DataFrame = {
-    val t = tokens(docs).select(col("doc_id"), col("tok"))
-    val h = t.select(
-      col("doc_id"),
-      (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % dim).as("bucket"),
-      (conv(substring(md5(col("tok")), 9, 1), 16, 10).cast("long") % 2 * 2 - 1).as("sign")
-    )
-    val sums = h
+  /** The UN-normalized integer bucket sums under [[hashEmbed]] —
+    * (doc_id, bucket, s) with s = signed token count, exact BIGINTs on
+    * both engines. Exposed separately because every downstream geometric
+    * predicate that is scale-invariant (hyperplane sign bits, cosine)
+    * should run on these exact integers: the l2 normalization only
+    * divides by a positive scalar, so signs and cosines are unchanged,
+    * and the cross-engine float-sum-order hazard disappears.
+    */
+  def hashEmbedSums(docs: DataFrame, dim: Int = 64): DataFrame =
+    tokens(docs)
+      .select(
+        col("doc_id"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % dim).as("bucket"),
+        (conv(substring(md5(col("tok")), 9, 1), 16, 10).cast("long") % 2 * 2 - 1).as("sign")
+      )
       .groupBy(col("doc_id"), col("bucket"))
       .agg(sum(col("sign")).as("s"))
       .filter(col("s") =!= 0)
+
+  /** CTE chain ending in `sums(doc_id, bucket, s)` — the oracle twin of
+    * [[hashEmbedSums]].
+    */
+  def hashEmbedSumsCtes(dim: Int = 64): String =
+    s"$tokensSql, h AS (SELECT doc_id, " +
+      s"CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % $dim AS bucket, " +
+      "CAST(concat('0x', substr(md5(tok), 9, 1)) AS BIGINT) % 2 * 2 - 1 AS sign FROM tokens), " +
+      "sums AS MATERIALIZED (SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS s FROM h " +
+      "GROUP BY doc_id, bucket HAVING sum(sign) <> 0)"
+
+  def hashEmbed(docs: DataFrame, dim: Int = 64): DataFrame = {
+    val sums = hashEmbedSums(docs, dim)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
     sums.select(
       col("doc_id"),
@@ -811,16 +831,18 @@ object TextStats {
     )
   }
 
-  def hashEmbedSql(dim: Int = 64): String =
-    s"WITH $tokensSql, h AS (SELECT doc_id, " +
-      s"CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % $dim AS bucket, " +
-      "CAST(concat('0x', substr(md5(tok), 9, 1)) AS BIGINT) % 2 * 2 - 1 AS sign FROM tokens), " +
-      "sums AS (SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS s FROM h " +
-      "GROUP BY doc_id, bucket HAVING sum(sign) <> 0) " +
-      "SELECT doc_id, bucket, " +
+  /** CTE chain ending in `we(doc_id, bucket, weight)` — the oracle twin
+    * of [[hashEmbed]]'s normalized output.
+    */
+  def hashEmbedCtes(dim: Int = 64): String =
+    s"${hashEmbedSumsCtes(dim)}, " +
+      "we AS MATERIALIZED (SELECT doc_id, bucket, " +
       graft.core.Dsp.round6Sql(
         "CAST(s AS DOUBLE) / sqrt(CAST(sum(s * s) OVER (PARTITION BY doc_id) AS DOUBLE))"
-      ) + " AS weight FROM sums"
+      ) + " AS weight FROM sums)"
+
+  def hashEmbedSql(dim: Int = 64): String =
+    s"WITH ${hashEmbedCtes(dim)} SELECT doc_id, bucket, weight FROM we"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_hash_embed" -> { (s, dir) => hashEmbed(Tables.documents(s, dir)) },

@@ -750,6 +750,23 @@ class LlmSpec extends AnyFunSuite {
     assert(!dupes.contains(17L), s"unrelated vector flagged: $dupes")
   }
 
+  test("dedup_hash_embed finds the planted near-dup through a heavy shared vocabulary") {
+    import spark.implicits._
+    // every doc carries 100 shared tokens (raw signed-BoW background
+    // cosine ~0.75 — the regime where uncentered LSH stops pruning) plus
+    // 30 unique ones; doc 21 is doc 1 with 3 of its unique tokens edited
+    val shared = (1 to 100).map(i => s"common$i").mkString(" ")
+    def own(d: Int, repl: Map[Int, String] = Map.empty) =
+      (1 to 30).map(i => repl.getOrElse(i, s"doc${d}tok$i")).mkString(" ")
+    val docs = ((1 to 20).map(d => (d.toLong, s"$shared ${own(d)}")) :+
+      (21L, s"$shared ${own(1, Map(5 -> "edited5", 12 -> "edited12", 20 -> "edited20"))}"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.hashEmbedDupes(docs).collect()
+    val keys = pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(keys == Set((1L, 21L)), s"expected exactly the planted pair, got $keys")
+    assert(pairs(0).getAs[Double]("cos") > 0.85, s"cos ${pairs(0).getAs[Double]("cos")}")
+  }
+
   test("bigram log-prob matches the hand-computed conditional LM") {
     val docs = Seq(
       (1L, "a b a b"),
