@@ -889,18 +889,21 @@ object Similarity {
     * end, λ by Rayleigh quotient, sign fixed at the largest-|loading|
     * dimension. `mat` injects MATERIALIZED for DuckDB ("" for Spark).
     */
-  /** v₀ → normalized v_N: the iteration half of the chain. */
-  private def pcaIterSql(covRef: String, mat: String): String = {
+  /** v₀ → normalized v_N: the iteration half of the chain. `sfx`
+    * namespaces the internal CTEs so the deflation chain can run it
+    * once per component.
+    */
+  private def pcaIterSql(covRef: String, mat: String, sfx: String = ""): String = {
     val chain = (1 to pcaIters)
       .map { k =>
-        s"v$k AS$mat (SELECT c.i AS i, sum(c.c * p.x) AS x " +
-          s"FROM $covRef c JOIN v${k - 1} p ON p.i = c.j GROUP BY c.i)"
+        s"v$k$sfx AS$mat (SELECT c.i AS i, sum(c.c * p.x) AS x " +
+          s"FROM $covRef c JOIN v${k - 1}$sfx p ON p.i = c.j GROUP BY c.i)"
       }
       .mkString(", ")
-    val vL = s"v$pcaIters"
-    s"v0 AS$mat (SELECT DISTINCT i, ${Dsp.lit(0.125)} AS x FROM $covRef), $chain, " +
-      s"nrm AS$mat (SELECT sqrt(sum(x * x)) AS nv FROM $vL), " +
-      s"vn AS$mat (SELECT i, x / (SELECT nv FROM nrm) AS x FROM $vL)"
+    val vL = s"v$pcaIters$sfx"
+    s"v0$sfx AS$mat (SELECT DISTINCT i, ${Dsp.lit(0.125)} AS x FROM $covRef), $chain, " +
+      s"nrm$sfx AS$mat (SELECT sqrt(sum(x * x)) AS nv FROM $vL), " +
+      s"vn$sfx AS$mat (SELECT i, x / (SELECT nv FROM nrm$sfx) AS x FROM $vL)"
   }
 
   /** Rayleigh λ + sign fix + output off a (possibly checkpointed)
@@ -955,6 +958,96 @@ object Similarity {
       .toDF("dim", "loading", "lambda1", "var_ratio")
   }
 
+  /** Top-k principal components by DEFLATION on the same collected d²
+    * covariance: after extracting (λ_m, v_m), C_{m+1} = C_m − λ_m v_m v_mᵀ
+    * and the next power iterate runs on the deflated matrix. Driver
+    * cost O(k·iters·d²) — corpus-independent, the bounded-artifact
+    * shape [[pcaTop]] documents. The oracle replays the identical
+    * chain: per component the same 24 unnormalized steps, one
+    * normalization, Rayleigh λ, then the deflated covariance CTE.
+    * Deflation is sign-invariant (v vᵀ = (−v)(−v)ᵀ exactly, ±1
+    * multiplies are IEEE-exact), so the sign fix applies only at
+    * output. var_ratio is always against trace(C₀).
+    *
+    * Whitening under SemDeDup-style pipelines wants k components, not
+    * 1 — project out the top-k block, keep the residual geometry.
+    */
+  val pcaK = 3
+
+  def pcaTopK(s: SparkSession, df: DataFrame, k: Int = pcaK): DataFrame = {
+    val d = pcaDim
+    val c = Array.ofDim[Double](d, d)
+    pcaCov(df).collect().foreach { r =>
+      c(r.getAs[Int]("i"))(r.getAs[Int]("j")) = r.getAs[Double]("c")
+    }
+    val tr = (0 until d).map(i => c(i)(i)).sum
+    def r6(x: Double): Double = math.floor(x * 1.0e6 + 0.5e0) / 1.0e6
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double, Double, Double)]
+    for (m <- 0 until k) {
+      var v = Array.fill(d)(0.125)
+      for (_ <- 1 to pcaIters)
+        v = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      val vn = v.map(_ / nrm)
+      val lam = (0 until d).map(i => (0 until d).map(j => c(i)(j) * vn(i) * vn(j)).sum).sum
+      var iMax = 0
+      for (i <- 1 until d) if (math.abs(vn(i)) > math.abs(vn(iMax))) iMax = i
+      val sgn = if (vn(iMax) >= 0.0) 1.0 else -1.0
+      for (i <- 0 until d) out += ((m, i, r6(vn(i) * sgn), r6(lam), r6(lam / tr)))
+      for (i <- 0 until d; j <- 0 until d) c(i)(j) = c(i)(j) - lam * vn(i) * vn(j)
+    }
+    import s.implicits._
+    out.toSeq.toDF("comp", "dim", "loading", "lam", "var_ratio")
+  }
+
+  /** CTE chain from `cov` (named `cov0` here) through k deflations,
+    * ending in a UNION ALL over the per-component outputs.
+    */
+  private def pcaKChainSql(k: Int, mat: String): String = {
+    val per = (0 until k).map { m =>
+      val sfx = s"_$m"
+      val cov = s"cov$m"
+      val iter = pcaIterSql(cov, mat, sfx)
+      val lam = s"lam$sfx AS$mat (SELECT sum(c.c * a.x * b.x) AS l " +
+        s"FROM $cov c JOIN vn$sfx a ON a.i = c.i JOIN vn$sfx b ON b.i = c.j)"
+      val defl =
+        if (m == k - 1) ""
+        else
+          s", cov${m + 1} AS$mat (SELECT c.i AS i, c.j AS j, " +
+            s"c.c - (SELECT l FROM lam$sfx) * a.x * b.x AS c " +
+            s"FROM $cov c JOIN vn$sfx a ON a.i = c.i JOIN vn$sfx b ON b.i = c.j)"
+      s"$iter, $lam$defl"
+    }
+    val selects = (0 until k).map { m =>
+      val sfx = s"_$m"
+      s"SELECT $m AS comp, vn$sfx.i AS dim, " +
+        s"${Dsp.round6Sql(s"vn$sfx.x * (SELECT s FROM sgn$sfx)")} AS loading, " +
+        s"${Dsp.round6Sql(s"(SELECT l FROM lam$sfx)")} AS lam, " +
+        s"${Dsp.round6Sql(s"(SELECT l FROM lam$sfx) / (SELECT t FROM tr)")} AS var_ratio FROM vn$sfx"
+    }
+    val signs = (0 until k).map { m =>
+      val sfx = s"_$m"
+      s"pick$sfx AS$mat (SELECT i FROM vn$sfx ORDER BY abs(x) DESC, i LIMIT 1), " +
+        s"sgn$sfx AS$mat (SELECT CASE WHEN x >= ${Dsp.lit(0.0)} THEN 1.0e0 ELSE -1.0e0 END AS s " +
+        s"FROM vn$sfx WHERE i = (SELECT i FROM pick$sfx))"
+    }
+    s"tr AS$mat (SELECT sum(c) AS t FROM cov0 WHERE i = j), " +
+      per.mkString(", ") + ", " + signs.mkString(", ") + " " +
+      selects.mkString(" UNION ALL ")
+  }
+
+  def pcaKSql(k: Int = pcaK): String =
+    "WITH vs AS MATERIALIZED (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      s"px AS MATERIALIZED (SELECT gi.i AS i, gj.i AS j, " +
+      "list_extract(v, gi.i + 1) * list_extract(v, gj.i + 1) AS p " +
+      s"FROM vs, generate_series(0, ${pcaDim - 1}) gi(i), generate_series(0, ${pcaDim - 1}) gj(i)), " +
+      "sxx AS MATERIALIZED (SELECT i, j, sum(p) AS sxx, count(*) AS n FROM px GROUP BY i, j), " +
+      s"mu AS MATERIALIZED (SELECT gi.i AS i, avg(list_extract(v, gi.i + 1)) AS mu " +
+      s"FROM vs, generate_series(0, ${pcaDim - 1}) gi(i) GROUP BY gi.i), " +
+      "cov0 AS MATERIALIZED (SELECT s.i AS i, s.j AS j, s.sxx / s.n - a.mu * b.mu AS c " +
+      "FROM sxx s JOIN mu a ON a.i = s.i JOIN mu b ON b.i = s.j), " +
+      pcaKChainSql(k, " MATERIALIZED")
+
   def pcaSql: String =
     "WITH vs AS MATERIALIZED (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
       s"px AS MATERIALIZED (SELECT gi.i AS i, gj.i AS j, " +
@@ -969,6 +1062,7 @@ object Similarity {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_pca" -> { (s, dir) => pcaTop(s, Tables.embeddings(s, dir)) },
+    "embed_pca_k" -> { (s, dir) => pcaTopK(s, Tables.embeddings(s, dir)) },
     "decontam_semantic" -> { (s, dir) => decontamSemantic(Tables.embeddings(s, dir)) },
     "dedup_semantic" -> { (s, dir) => semanticDupes(Tables.embeddings(s, dir)) },
     "sim_ivf_topk" -> { (s, dir) => ivfTopk(Tables.embeddings(s, dir)) },
@@ -994,6 +1088,7 @@ object Similarity {
 
   def oracleSql: Map[String, String] = Map(
     "embed_pca" -> pcaSql,
+    "embed_pca_k" -> pcaKSql(),
     "decontam_semantic" -> decontamSemanticSql(),
     "sim_topk" -> topkSql,
     "sim_buckets" -> bucketsSql,

@@ -122,6 +122,53 @@ class SketchGateSpec extends AnyFunSuite {
     assert(pca.head.getAs[Double]("var_ratio") > 0.95, s"var_ratio ${pca.head.getAs[Double]("var_ratio")}")
   }
 
+  test("embed_pca_k recovers a planted 3-component spectrum in order, orthonormal") {
+    import spark.implicits._
+    // three planted orthogonal directions with variances 25 >> 9 >> 1,
+    // tiny isotropic residue — deflation must peel them in order
+    val dirs = Seq(
+      Array.tabulate(64)(j => if (j < 21) 1.0 / math.sqrt(21.0) else 0.0),
+      Array.tabulate(64)(j => if (j >= 21 && j < 42) 1.0 / math.sqrt(21.0) else 0.0),
+      Array.tabulate(64)(j => if (j >= 42) 1.0 / math.sqrt(22.0) else 0.0)
+    )
+    val amps = Seq(5.0, 3.0, 1.0)
+    val rows = (0 until 300).map { i =>
+      val coefs = amps.zipWithIndex.map { case (a, m) => a * math.sin(i * (0.31 + 0.37 * m) + m) }
+      val v = Array.tabulate(64) { j =>
+        (coefs.zip(dirs).map { case (cf, dd) => cf * dd(j) }.sum +
+          0.003 * math.sin(i * 2.17 + j * 1.3)).toFloat
+      }
+      (i.toLong, v, 0)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val pca = Similarity.pcaTopK(spark, df).collect()
+    assert(pca.length == 3 * 64)
+    val comps = pca.groupBy(_.getAs[Int]("comp")).map { case (m, g) =>
+      val v = new Array[Double](64)
+      g.foreach(r => v(r.getAs[Int]("dim")) = r.getAs[Double]("loading"))
+      m -> (v, g.head.getAs[Double]("lam"))
+    }
+    // unit norms, strict variance order, orthogonality
+    (0 until 3).foreach { m =>
+      val (v, _) = comps(m)
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-4, s"comp $m norm")
+    }
+    assert(comps(0)._2 > comps(1)._2 && comps(1)._2 > comps(2)._2,
+      s"lambdas out of order: ${comps.map(_._2._2)}")
+    for (a <- 0 until 3; b <- a + 1 until 3) {
+      val dot = (0 until 64).map(i => comps(a)._1(i) * comps(b)._1(i)).sum
+      assert(math.abs(dot) < 1e-3, s"components $a,$b not orthogonal: $dot")
+    }
+    // each recovered component aligns with its planted direction
+    (0 until 3).foreach { m =>
+      val align = (0 until 64).map(i => comps(m)._1(i) * dirs(m)(i)).sum
+      assert(math.abs(align) > 0.999, s"comp $m alignment $align")
+    }
+    // and the variance ratios reflect the planted 25:9:1 spectrum
+    val ratios = (0 until 3).map(m => pca.find(_.getAs[Int]("comp") == m).get.getAs[Double]("var_ratio"))
+    assert(ratios(0) > 2.0 * ratios(1) && ratios(1) > 5.0 * ratios(2), s"var ratios $ratios")
+  }
+
   test("corpus_shard is a deterministic permutation with dense per-shard positions") {
     val docs = Tables.documents(spark, sf)
     val n = docs.count()
