@@ -518,7 +518,10 @@ object Sketches {
       "x.exact_rank, e.est_rank FROM med m JOIN exact x ON x.g = m.g JOIN est e ON e.g = m.g"
   }
 
-  /** JVM twin of [[qBucket]] for the driver-side descent. */
+  /** JVM twin of [[qBucket]] for the driver-side descent — and for
+    * rendering probe lookups as literals at query-build time
+    * ([[corpusProfile]]'s est-below-x; the engines hash only on insert).
+    */
   private def qBucketJvm(r: Int, lvl: Int, node: Long): Long = {
     val d = java.security.MessageDigest.getInstance("MD5")
     val hex = d.digest(s"q$r:$lvl:$node".getBytes("UTF-8")).map("%02x".format(_)).mkString
@@ -549,18 +552,153 @@ object Sketches {
   }
 
   // ---------------------------------------------------------------------
+  // One-scan sketch-only corpus profile
+  // ---------------------------------------------------------------------
+
+  /** Fixed doc-length probes (tokens): the profile reports the
+    * estimated "docs shorter than X" rank at each, straight off the
+    * dyadic grid (closed-form set-bit decomposition — pure SQL, no
+    * descent needed).
+    */
+  val profProbes: Seq[Long] = Seq(32L, 64L) // the gate corpus averages ~57 tokens/doc
+
+  /** Set-bit decomposition of [0, x): one (lvl, node) per set bit. */
+  private def probeNodes(x: Long): Seq[(Int, Long)] =
+    (0 until qLevels).filter(l => ((x >> l) & 1L) == 1L).map(l => (l, (x >> (l + 1)) << 1))
+
+  /** est |{len < x}| as ONE aggregate expression over the insert grid —
+    * Σ over set-bit levels of least over hash rows of the conditional
+    * counter sum. Shared verbatim by both dialects.
+    */
+  private def estLtSql(x: Long): String =
+    probeNodes(x)
+      .map { case (l, node) =>
+        (0 until qDepth)
+          .map { r =>
+            val b = qBucketJvm(r, l, node)
+            s"coalesce(sum(CASE WHEN kind = 'q' AND k1 = $l AND k2 = $r AND k3 = $b THEN cnt END), 0)"
+          }
+          .mkString("least(", ", ", ")")
+      }
+      .mkString("(", " + ", ")")
+
+  // per-source finishing expressions over the grid — ONE string each,
+  // selectExpr'd by Spark and embedded in the DuckDB oracle
+  private def profileStage1: Seq[(String, String)] = Seq(
+    "CAST(coalesce(sum(CASE WHEN kind = 'c' THEN cnt END), 0) AS BIGINT)" -> "n_docs",
+    "CAST(coalesce(sum(CASE WHEN kind = 'c' THEN sm END), 0) AS BIGINT)" -> "n_tokens",
+    "count(CASE WHEN kind = 'h' THEN 1 END)" -> "n_present",
+    s"sum(CASE WHEN kind = 'h' THEN ${weightCase("mx")} END)" -> "s_present"
+  ) ++ profProbes.map(x => s"CAST(${estLtSql(x)} AS BIGINT)" -> s"est_lt_$x")
+
+  private def profileEstHll: String =
+    Dsp.round6Sql(
+      s"CASE WHEN ${Dsp.lit(alphaM2)} / (s_present + ($hllRegisters - n_present)) <= ${Dsp.lit(2.5 * hllRegisters)} " +
+        s"AND n_present < $hllRegisters " +
+        s"THEN ${Dsp.lit(hllRegisters.toDouble)} * ln(${Dsp.lit(hllRegisters.toDouble)} / ($hllRegisters - n_present)) " +
+        s"ELSE ${Dsp.lit(alphaM2)} / (s_present + ($hllRegisters - n_present)) END"
+    )
+
+  /** The 100 TB first-profile pass as ONE sketch-only scan: per source,
+    * exact doc/token counts, the HLL distinct-token estimate, and
+    * dyadic-CMS doc-length rank estimates at [[profProbes]] — all from
+    * a single pass over `documents` in which each doc row explodes into
+    * its typed sketch inserts (per-token HLL register candidates,
+    * per-doc dyadic level nodes, one count row). The insert stream
+    * aggregates map-side to ≤ groups·(m + L·d·w + 1) grid rows — that
+    * grid is the ONLY shuffle payload at any corpus size — and a
+    * second, grid-sized aggregation finishes per source.
+    *
+    * [[Curation.corpusStats]] is the exact twin (adds avg quality +
+    * exact-dup surplus but re-scans text per stat and pays a real
+    * countDistinct); this is the pass you run FIRST at 100 TB.
+    * PlanAuditSpec pins the single documents scan.
+    */
+  def corpusProfile(docs: DataFrame): DataFrame = {
+    val m = hllRegisters
+    val h52 = "CAST(conv(substring(md5(t), 1, 13), 16, 10) AS BIGINT)"
+    val tokIns = s"transform(slice(toks, 1, ${TextStats.maxTokens}), t -> named_struct(" +
+      s"'kind', 'h', 'k1', $h52 % $m, 'k2', CAST(0 AS BIGINT), 'k3', CAST(0 AS BIGINT), " +
+      s"'v', CAST(${rhoCase(s"($h52 div $m)")} AS BIGINT)))"
+    val qIns = (for { l <- 0 until qLevels; r <- 0 until qDepth } yield {
+      val node = s"(vq div ${1L << l})"
+      val bucket = s"CAST(conv(substring(md5(concat('q$r:', '$l', ':', CAST($node AS STRING))), 1, 8), 16, 10) AS BIGINT) % $qWidth"
+      s"named_struct('kind', 'q', 'k1', CAST($l AS BIGINT), 'k2', CAST($r AS BIGINT), " +
+        s"'k3', $bucket, 'v', CAST(1 AS BIGINT))"
+    }).mkString("array(", ", ", ")")
+    val cIns = "array(named_struct('kind', 'c', 'k1', CAST(0 AS BIGINT), 'k2', CAST(0 AS BIGINT), " +
+      "'k3', CAST(0 AS BIGINT), 'v', CAST(size(toks) AS BIGINT)))"
+    val grid = docs
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .select(
+        col("source"),
+        col("toks"),
+        expr(s"least(CAST(size(toks) AS BIGINT), ${(1L << qLevels) - 1})").as("vq")
+      )
+      .select(col("source"), explode(expr(s"concat($tokIns, $qIns, $cIns)")).as("ins"))
+      .select(
+        col("source"),
+        col("ins.kind").as("kind"),
+        col("ins.k1").as("k1"),
+        col("ins.k2").as("k2"),
+        col("ins.k3").as("k3"),
+        col("ins.v").as("v")
+      )
+      .groupBy(col("source"), col("kind"), col("k1"), col("k2"), col("k3"))
+      .agg(max(col("v")).as("mx"), count(lit(1)).as("cnt"), sum(col("v")).as("sm"))
+    grid
+      .groupBy(col("source"))
+      .agg(
+        expr(profileStage1.head._1).as(profileStage1.head._2),
+        profileStage1.tail.map { case (e, n) => expr(e).as(n) }: _*
+      )
+      .select(
+        col("source") +: col("n_docs") +: col("n_tokens") +:
+          expr(profileEstHll).as("est_hll") +:
+          profProbes.map(x => col(s"est_lt_$x")): _*
+      )
+  }
+
+  def corpusProfileSql: String = {
+    val m = hllRegisters
+    val h52 = "CAST(concat('0x', substr(md5(t), 1, 13)) AS BIGINT)"
+    val lrs = (for { l <- 0 until qLevels; r <- 0 until qDepth } yield s"($l, ${1L << l}, $r)")
+      .mkString("VALUES ", ", ", "")
+    val stage1 = profileStage1.map { case (e, n) => s"$e AS $n" }.mkString(", ")
+    s"WITH base AS MATERIALIZED (SELECT source, string_split(text, ' ') AS toks, " +
+      s"least(CAST(len(string_split(text, ' ')) AS BIGINT), ${(1L << qLevels) - 1}) AS vq FROM documents), " +
+      s"toki AS (SELECT source, list_extract(toks, g.i) AS t FROM base, " +
+      s"generate_series(1, ${TextStats.maxTokens}) g(i) WHERE g.i <= len(toks)), " +
+      s"hins AS (SELECT source, 'h' AS kind, $h52 % $m AS k1, CAST(0 AS BIGINT) AS k2, " +
+      s"CAST(0 AS BIGINT) AS k3, CAST(${rhoCase(s"($h52 // $m)")} AS BIGINT) AS v FROM toki), " +
+      s"qins AS (SELECT source, 'q' AS kind, CAST(lr.l AS BIGINT) AS k1, CAST(lr.r AS BIGINT) AS k2, " +
+      s"CAST(concat('0x', substr(md5('q' || lr.r || ':' || lr.l || ':' || CAST(vq // lr.p2 AS VARCHAR)), 1, 8)) AS BIGINT) % $qWidth AS k3, " +
+      s"CAST(1 AS BIGINT) AS v FROM base, ($lrs) lr(l, p2, r)), " +
+      "cins AS (SELECT source, 'c' AS kind, CAST(0 AS BIGINT) AS k1, CAST(0 AS BIGINT) AS k2, " +
+      "CAST(0 AS BIGINT) AS k3, CAST(len(toks) AS BIGINT) AS v FROM base), " +
+      "grid AS MATERIALIZED (SELECT source, kind, k1, k2, k3, max(v) AS mx, count(*) AS cnt, " +
+      "CAST(sum(v) AS BIGINT) AS sm FROM (SELECT * FROM hins UNION ALL SELECT * FROM qins " +
+      "UNION ALL SELECT * FROM cins) GROUP BY source, kind, k1, k2, k3), " +
+      s"fin AS (SELECT source, $stage1 FROM grid GROUP BY source) " +
+      s"SELECT source, n_docs, n_tokens, $profileEstHll AS est_hll, " +
+      profProbes.map(x => s"est_lt_$x").mkString(", ") + " FROM fin"
+  }
+
+  // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bloom_screen" -> { (s, dir) => bloomScreen(Tables.documents(s, dir)) },
     "sketch_hll" -> { (s, dir) => hllDistinct(Tables.documents(s, dir)) },
     "sketch_cms" -> { (s, dir) => cmsTopTokens(Tables.documents(s, dir)) },
-    "sketch_quantile" -> { (s, dir) => quantileRank(Tables.orders(s, dir)) }
+    "sketch_quantile" -> { (s, dir) => quantileRank(Tables.orders(s, dir)) },
+    "corpus_profile" -> { (s, dir) => corpusProfile(Tables.documents(s, dir)) }
   )
 
   def oracleSql: Map[String, String] = Map(
     "bloom_screen" -> bloomScreenSql,
     "sketch_hll" -> hllDistinctSql,
     "sketch_cms" -> cmsTopTokensSql,
-    "sketch_quantile" -> quantileRankSql
+    "sketch_quantile" -> quantileRankSql,
+    "corpus_profile" -> corpusProfileSql
   )
 }

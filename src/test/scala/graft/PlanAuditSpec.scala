@@ -135,6 +135,20 @@ class PlanAuditSpec extends AnyFunSuite {
     )
   }
 
+  test("corpus_profile reads documents exactly once") {
+    // the one-scan contract: every sketch insert (HLL, dyadic quantile,
+    // counts) rides ONE explode off ONE documents relation — a second
+    // scan would mean the union-of-inserts fan-out regressed to
+    // per-sketch subtrees
+    val plan = graft.llm.Sketches
+      .corpusProfile(core.Tables.documents(spark, sf))
+      .queryExecution
+      .executedPlan
+      .toString
+    val scans = plan.linesIterator.count(l => l.contains("FileScan") && l.contains("documents"))
+    assert(scans == 1, s"expected exactly 1 documents scan, found $scans")
+  }
+
   test("sink_bucketed joins co-located buckets with zero shuffle") {
     // forceSortMerge pins the large-by-large shape bucketing exists for
     // (at gate scale Catalyst rightly broadcasts the tiny side instead)

@@ -61,6 +61,47 @@ class QuantileSketchSpec extends AnyFunSuite {
     assert(merged == whole, "slice-built counters + addition != single-pass counters")
   }
 
+  test("corpus_profile agrees with its exact twins and the standalone sketches") {
+    val docs = Tables.documents(spark, sf)
+    val prof = Sketches
+      .corpusProfile(docs)
+      .collect()
+      .map(r => r.getAs[String]("source") -> r)
+      .toMap
+    // n_docs / n_tokens equal corpus_stats' exact counts
+    graft.llm.Curation.corpusStats(docs).collect().foreach { r =>
+      val p = prof(r.getAs[String]("source"))
+      assert(p.getAs[Long]("n_docs") == r.getAs[Long]("n_docs"))
+      assert(p.getAs[Long]("n_tokens") == r.getAs[Long]("n_tokens"))
+    }
+    // the one-scan HLL registers are the SAME sketch hllDistinct builds
+    Sketches.hllDistinct(docs).collect().foreach { r =>
+      val p = prof(r.getAs[String]("source"))
+      assert(
+        p.getAs[Double]("est_hll") == r.getAs[Double]("est_hll"),
+        s"${r.get(0)}: profile HLL ${p.getAs[Double]("est_hll")} != standalone ${r.getAs[Double]("est_hll")}"
+      )
+    }
+    // length-rank estimates: one-sided over the exact counts, within
+    // the single-lookup CMS bound (the probes are powers of two — one
+    // dyadic node each)
+    import org.apache.spark.sql.functions._
+    val lens = docs
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("len"))
+      .collect()
+      .groupBy(_.getAs[String]("source"))
+    Sketches.profProbes.foreach { x =>
+      lens.foreach { case (src, rs) =>
+        val exact = rs.count(_.getAs[Long]("len") < x)
+        val n = rs.length
+        val est = prof(src).getAs[Long](s"est_lt_$x")
+        val bound = math.ceil(math.E * n / Sketches.qWidth).toLong
+        assert(est >= exact, s"$src est_lt_$x $est < exact $exact")
+        assert(est - exact <= bound, s"$src est_lt_$x $est vs $exact exceeds bound $bound")
+      }
+    }
+  }
+
   test("quantileFromCounters median descent lands within the rank bound of the exact median") {
     val orders = Tables.orders(spark, sf)
     val vals = orders
