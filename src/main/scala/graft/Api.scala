@@ -540,4 +540,11 @@ object Api {
     */
   def sessionizeStream(events: DataFrame, gapNs: Long = 30L * 60 * 1000000000L): DataFrame =
     streaming.StreamOps.sessionizeStream(events, gapNs)
+
+  /** Streaming twin of [[funnel]]: per-user stage tracker with
+    * watermark eviction — final (t_view, t_click, t_purchase, stage)
+    * emitted once the watermark passes last activity + horizon.
+    */
+  def funnelStream(events: DataFrame, horizonNs: Long = 30L * 60 * 1000000000L): DataFrame =
+    streaming.StreamOps.funnelStream(events, horizonNs)
 }

@@ -211,6 +211,139 @@ object StreamOps {
       .toDF("user_id", "start_ns", "end_ns", "n_events")
   }
 
+  // ---------------------------------------------------------------------
+  // Streaming funnel
+  // ---------------------------------------------------------------------
+
+  /** (ts_ns, event_id) — the funnel's order key; (a < b) is the batch
+    * twin's window ORDER BY ts_ns, event_id.
+    */
+  private def ordLt(a: (Long, Long), b: (Long, Long)): Boolean =
+    a._1 < b._1 || (a._1 == b._1 && a._2 < b._2)
+
+  private def ordMin(a: Option[(Long, Long)], b: (Long, Long)): Option[(Long, Long)] =
+    Some(a.filter(x => ordLt(x, b)).getOrElse(b))
+
+  /** Per-user funnel state: first view, first QUALIFIED click, first
+    * qualified purchase (all (ts, id) order-minima), plus capped
+    * buffers of not-yet-qualified clicks/purchases (events that arrived
+    * before the view/click that could qualify them — a later-arriving
+    * earlier view promotes them). lastNs drives the eviction timeout.
+    */
+  private type FunnelSt = (
+      Option[(Long, Long)],
+      Option[(Long, Long)],
+      Option[(Long, Long)],
+      Seq[(Long, Long)],
+      Seq[(Long, Long)],
+      Long
+  )
+
+  /** Out-of-order buffer cap: only events preceding their qualifying
+    * stage in ARRIVAL order but following it in EVENT order need
+    * buffering, so the buffers hold the pre-first-view prefix — tiny in
+    * practice; the cap keeps adversarial streams O(1) per user (the
+    * capped-state contract minhashDupStreaming documents).
+    */
+  val funnelBufCap = 64
+
+  /** Fold a (ts, id)-sorted batch of events through the state. The
+    * semantics are EXACTLY the batch twin's chained running-min windows
+    * ([[graft.SparkEntry.funnel]]): a click counts only with a view
+    * at-or-before it in (ts, id) order, a purchase only with a
+    * qualifying click at-or-before it; outputs are ts-minima of the
+    * qualifying events. Late cross-batch events fold correctly because
+    * qualification only ever EXPANDS as the first view/click moves
+    * earlier — buffered candidates promote at that moment.
+    */
+  private def foldFunnel(st0: FunnelSt, evs: Array[(Long, Long, String)]): FunnelSt = {
+    var (v, c, p, cb, pb, lastNs) = st0
+    def promoteP(): Unit = c.foreach { cf =>
+      val (q, rest) = pb.partition(x => !ordLt(x, cf))
+      q.foreach(x => p = ordMin(p, x))
+      pb = rest
+    }
+    def promoteC(): Unit = v.foreach { vf =>
+      val (q, rest) = cb.partition(x => !ordLt(x, vf))
+      if (q.nonEmpty) {
+        q.foreach(x => c = ordMin(c, x))
+        promoteP()
+      }
+      cb = rest
+    }
+    for ((ts, id, tpe) <- evs) {
+      lastNs = math.max(lastNs, ts)
+      val e = (ts, id)
+      tpe match {
+        case "view" =>
+          if (v.forall(ordLt(e, _))) { v = Some(e); promoteC() }
+        case "click" =>
+          if (v.exists(vf => !ordLt(e, vf))) { c = ordMin(c, e); promoteP() }
+          else cb = (cb :+ e).sortWith(ordLt).take(funnelBufCap)
+        case "purchase" =>
+          if (c.exists(cf => !ordLt(e, cf))) p = ordMin(p, e)
+          else pb = (pb :+ e).sortWith(ordLt).take(funnelBufCap)
+        case _ => ()
+      }
+    }
+    (v, c, p, cb, pb, lastNs)
+  }
+
+  private def funnelOut(user: Long, st: FunnelSt): (Long, Option[Long], Option[Long], Option[Long], Long) = {
+    val (v, c, p, _, _, _) = st
+    val stage: Long = if (p.isDefined) 3L else if (c.isDefined) 2L else if (v.isDefined) 1L else 0L
+    (user, v.map(_._1), c.map(_._1), p.map(_._1), stage)
+  }
+
+  /** Streaming twin of the one-pass batch funnel: a per-user
+    * flatMapGroupsWithState stage tracker with watermark EVICTION —
+    * once the watermark passes a user's last activity + horizon, their
+    * final (t_view, t_click, t_purchase, stage) row is emitted and the
+    * state freed ([[sessionizeStream]] precedent: bounded state over
+    * unbounded users). Each invocation sorts its own micro-batch, so
+    * in-batch disorder is exact; cross-batch disorder is exact up to
+    * the [[funnelBufCap]] buffer (see [[foldFunnel]]). The batch twin
+    * `events_funnel` is the oracle-checked anchor.
+    */
+  def funnelStream(events: DataFrame, horizonNs: Long = 30L * 60 * 1000000000L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .withColumn("ts", eventTimeMicros)
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_id"), col("ts_ns"), col("event_type"), col("ts"))
+      .as[(Long, Long, Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelSt, (Long, Option[Long], Option[Long], Option[Long], Long)](
+        OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout
+      ) {
+        (
+            user: Long,
+            rows: Iterator[(Long, Long, Long, String, java.sql.Timestamp)],
+            state: GroupState[FunnelSt]
+        ) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(st => funnelOut(user, st)).iterator
+            state.remove()
+            out
+          } else {
+            val evs = rows.map(r => (r._3, r._2, r._4)).toArray.sortBy(e => (e._1, e._2))
+            val st = foldFunnel(
+              state.getOption.getOrElse((None, None, None, Nil, Nil, Long.MinValue)),
+              evs
+            )
+            state.update(st)
+            // ceil to ms (sessionizeStream note): never time out before
+            // an on-time boundary event could still arrive
+            state.setTimeoutTimestamp((st._6 + horizonNs) / 1000000L + 1) // epoch ms
+            Iterator.empty
+          }
+      }
+      .toDF("user_id", "t_view", "t_click", "t_purchase", "stage")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_agg" -> { (s, dir) => windowedAgg(Tables.events(s, dir)) },
     "win_topn" -> { (s, dir) => windowTopN(Tables.events(s, dir)) },

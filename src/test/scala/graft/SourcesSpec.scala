@@ -509,6 +509,88 @@ class SessionizeStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
     val totals = progs.flatMap(_.stateOperators.map(_.numRowsTotal))
     assert(totals.last < totals.max, s"session state not bounded: ${totals.toSeq}")
   }
+
+  test("funnelStream matches the batch funnel across out-of-order batches; state evicted") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val m = 60L * 1000000000L // 1 minute in ns
+    val b = 60 * m // an hour off epoch zero (initial-watermark note above)
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val events = input.toDF().toDF("user_id", "event_id", "ts_ns", "event_type")
+    val q = graft.streaming.StreamOps
+      .funnelStream(events)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("funnel_gc")
+      .start()
+    // batch 1: u1 view; u2 CLICK with no view yet (must buffer, not
+    // count); u3 view; u4 click at ts b+2m
+    input.addData(
+      (1L, 10L, b + 1 * m, "view"),
+      (2L, 20L, b + 2 * m, "click"),
+      (3L, 30L, b + 1 * m, "view"),
+      (4L, 40L, b + 2 * m, "click")
+    )
+    q.processAllAvailable()
+    // batch 2 — OUT OF ORDER: u2's view arrives late with an EARLIER
+    // ts, retro-qualifying the buffered click; u4's view arrives at the
+    // SAME ts as its click but with a HIGHER event_id — (ts, id) order
+    // says the view is after the click, so the click must stay
+    // unqualified; u1 clicks; u3 purchases with no click (buffers)
+    input.addData(
+      (2L, 21L, b + 1 * m, "view"),
+      (4L, 41L, b + 2 * m, "view"),
+      (1L, 11L, b + 2 * m, "click"),
+      (3L, 31L, b + 2 * m, "purchase")
+    )
+    q.processAllAvailable()
+    // batch 3: u1 completes the funnel
+    input.addData((1L, 12L, b + 3 * m, "purchase"))
+    q.processAllAvailable()
+    // advance the watermark past last+horizon to time everyone out,
+    // then once more so the timeouts fire and flush
+    input.addData((99L, 990L, b + 120 * m, "view"))
+    q.processAllAvailable()
+    input.addData((98L, 980L, b + 360 * m, "view"))
+    q.processAllAvailable()
+    val progs = q.recentProgress
+    q.stop()
+    val got = spark
+      .sql("SELECT user_id, t_view, t_click, t_purchase, stage FROM funnel_gc")
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getLong(4))))
+      .toMap
+    assert(got.contains(1L) && got.contains(2L) && got.contains(3L) && got.contains(4L),
+      s"not all users finalized: ${got.keySet}")
+    // and the finalized rows equal the batch twin on the same events
+    import spark.implicits._
+    val batch = BaseQueries
+      .funnel(
+        Seq(
+          (1L, 10L, b + 1 * m, "view"), (2L, 20L, b + 2 * m, "click"),
+          (3L, 30L, b + 1 * m, "view"), (4L, 40L, b + 2 * m, "click"),
+          (2L, 21L, b + 1 * m, "view"), (4L, 41L, b + 2 * m, "view"),
+          (1L, 11L, b + 2 * m, "click"), (3L, 31L, b + 2 * m, "purchase"),
+          (1L, 12L, b + 3 * m, "purchase")
+        ).toDF("user_id", "event_id", "ts_ns", "event_type")
+      )
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)), r.getLong(4))))
+      .toMap
+    batch.foreach { case (u, exp) =>
+      assert(got(u) == exp, s"user $u: stream ${got(u)} != batch $exp")
+    }
+    // the designed stage outcomes, explicitly
+    assert(got(1L)._4 == 3L, s"u1 should complete the funnel: ${got(1L)}")
+    assert(got(2L)._4 == 2L, s"u2's late earlier view must qualify the click: ${got(2L)}")
+    assert(got(3L)._4 == 1L, s"u3's purchase without a click must not count: ${got(3L)}")
+    assert(got(4L)._4 == 1L, s"u4's same-ts higher-id view must NOT qualify the click: ${got(4L)}")
+    val removed = progs.flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+    assert(removed >= 4, s"timeout never evicted funnel state (removed=$removed)")
+    val totals = progs.flatMap(_.stateOperators.map(_.numRowsTotal))
+    assert(totals.last < totals.max, s"funnel state not bounded: ${totals.toSeq}")
+  }
 }
 
 class DedupStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
