@@ -488,6 +488,39 @@ object Api {
   def pcaTop(spark: org.apache.spark.sql.SparkSession, emb: DataFrame): DataFrame =
     llm.Similarity.pcaTop(spark, emb)
 
+  /** Top-k principal components by deflation on the same collected
+    * covariance: (comp, dim, loading, lam, var_ratio).
+    */
+  def pcaTopK(spark: org.apache.spark.sql.SparkSession, emb: DataFrame, k: Int = llm.Similarity.pcaK): DataFrame =
+    llm.Similarity.pcaTopK(spark, emb, k)
+
+  /** Mergeable dyadic Count-Min quantile counters for `value` grouped
+    * by `group` (quantize to a non-negative BIGINT < 2^20 first);
+    * counters from disjoint slices add. Extract arbitrary quantiles
+    * from the collected grid with [[quantileFromCounters]].
+    */
+  def quantileCounters(rows: DataFrame, group: org.apache.spark.sql.Column, value: org.apache.spark.sql.Column): DataFrame =
+    llm.Sketches.dyadicCounters(rows, group, value)
+
+  /** Driver-side quantile extraction off collected [[quantileCounters]]
+    * — O(L·d) lookups, corpus-independent.
+    */
+  def quantileFromCounters(counters: Map[(String, Int, Int, Long), Long], g: String, n: Long, q: Double): Long =
+    llm.Sketches.quantileFromCounters(counters, g, n, q)
+
+  /** One-scan sketch-only corpus profile: per source, exact doc/token
+    * counts, HLL distinct-token estimate, and doc-length rank estimates
+    * at fixed probes — the 100 TB first-profile pass.
+    */
+  def corpusProfile(docs: DataFrame): DataFrame = llm.Sketches.corpusProfile(docs)
+
+  /** Near-dup doc pairs by mean-centered hashed-embedding cosine —
+    * text→embedding→ANN closed natively (banded hyperplane LSH, exact
+    * integer verify).
+    */
+  def hashEmbedDupes(docs: DataFrame, tau: Double = 0.8): DataFrame =
+    llm.Dedup.hashEmbedDupes(docs, tau)
+
   /** Deterministic md5-keyed shuffle into training shards:
     * (doc_id, shard, pos) — the same permutation on every run/engine.
     */

@@ -16,8 +16,11 @@ import org.apache.spark.sql.functions._
   */
 object Prof {
   def main(args: Array[String]): Unit = {
+    // PROF_SHUFFLE: shuffle-partition override — the knob a 100 TB run
+    // sizes FIRST; the 100x-docs decade uses it to show the pair-phase
+    // spill is partition sizing (per-task payload), not the algorithm
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("PROF_SHUFFLE", "32").toInt)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -142,6 +145,8 @@ object Prof {
       // screen) and header-directed video frame stats
       t(s"docs${docsX}_bloom_screen", nDocs)(llm.Sketches.bloomScreen(docs).count())
       t(s"docs${docsX}_sketch_hll", nDocs)(llm.Sketches.hllDistinct(docs).count())
+      t(s"docs${docsX}_corpus_profile", nDocs)(llm.Sketches.corpusProfile(docs).count())
+      t(s"docs${docsX}_hash_embed_dup", nDocs)(llm.Dedup.hashEmbedDupes(docs).count())
       t(s"docs${docsX}_incremental", nDocs)(llm.Dedup.incrementalDedup(docs).count())
       t(s"docs${docsX}_video_frames", nDocs)(
         llm.Multimodal.videoFrames(llm.Multimodal.videoMediaFromIds(docs)).count()
