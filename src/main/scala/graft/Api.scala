@@ -494,6 +494,13 @@ object Api {
   def pcaTopK(spark: org.apache.spark.sql.SparkSession, emb: DataFrame, k: Int = llm.Similarity.pcaK): DataFrame =
     llm.Similarity.pcaTopK(spark, emb, k)
 
+  /** PCA whitening over the top-k components: (vec_id, comp, y) with
+    * y_m = Σ L_m(i)(v_i − μ_i)/√λ_m — the SemDeDup pre-clustering
+    * projection.
+    */
+  def pcaWhiten(spark: org.apache.spark.sql.SparkSession, emb: DataFrame, k: Int = llm.Similarity.pcaK): DataFrame =
+    llm.Similarity.pcaWhiten(spark, emb, k)
+
   /** Mergeable dyadic Count-Min quantile counters for `value` grouped
     * by `group` (quantize to a non-negative BIGINT < 2^20 first);
     * counters from disjoint slices add. Extract arbitrary quantiles

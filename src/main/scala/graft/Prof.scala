@@ -17,8 +17,10 @@ import org.apache.spark.sql.functions._
 object Prof {
   def main(args: Array[String]): Unit = {
     // PROF_SHUFFLE: shuffle-partition override — the knob a 100 TB run
-    // sizes FIRST; the 100x-docs decade uses it to show the pair-phase
-    // spill is partition sizing (per-task payload), not the algorithm
+    // sizes first. Measured at the 100x-docs decade: 256 partitions did
+    // NOT reduce the pair-phase spill (it is the data-sized external
+    // sort of the true-positive pair stream, working as designed) and
+    // added scheduling overhead on 32 cores — recorded in BASELINE.md.
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("PROF_SHUFFLE", "32").toInt)
       .config("spark.sql.session.timeZone", "UTC")
@@ -146,7 +148,14 @@ object Prof {
       t(s"docs${docsX}_bloom_screen", nDocs)(llm.Sketches.bloomScreen(docs).count())
       t(s"docs${docsX}_sketch_hll", nDocs)(llm.Sketches.hllDistinct(docs).count())
       t(s"docs${docsX}_corpus_profile", nDocs)(llm.Sketches.corpusProfile(docs).count())
-      t(s"docs${docsX}_hash_embed_dup", nDocs)(llm.Dedup.hashEmbedDupes(docs).count())
+      // the SCALE banding (64 planes, 4x16-bit bands): the gate's
+      // 4x6-bit config is sized for the 500-doc gate corpus — at 50k+
+      // docs its 2^-6 per-band background collision rate admits tens of
+      // millions of false candidates (measured: ~78M pairs, 30+ GB of
+      // spill), exactly the widen-with-log(n) rule the scaladoc states
+      t(s"docs${docsX}_hash_embed_dup", nDocs)(
+        llm.Dedup.hashEmbedDupes(docs, 0.8, 64, 64, 4).count()
+      )
       t(s"docs${docsX}_incremental", nDocs)(llm.Dedup.incrementalDedup(docs).count())
       t(s"docs${docsX}_video_frames", nDocs)(
         llm.Multimodal.videoFrames(llm.Multimodal.videoMediaFromIds(docs)).count()

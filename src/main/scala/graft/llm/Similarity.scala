@@ -1004,6 +1004,14 @@ object Similarity {
     * ending in a UNION ALL over the per-component outputs.
     */
   private def pcaKChainSql(k: Int, mat: String): String = {
+    val (ctes, select) = pcaKChainParts(k, mat)
+    s"$ctes $select"
+  }
+
+  /** (ctes, final-select) halves of [[pcaKChainSql]] — split so
+    * [[pcaWhitenSql]] can wrap the select as one more CTE.
+    */
+  private def pcaKChainParts(k: Int, mat: String): (String, String) = {
     val per = (0 until k).map { m =>
       val sfx = s"_$m"
       val cov = s"cov$m"
@@ -1031,13 +1039,19 @@ object Similarity {
         s"sgn$sfx AS$mat (SELECT CASE WHEN x >= ${Dsp.lit(0.0)} THEN 1.0e0 ELSE -1.0e0 END AS s " +
         s"FROM vn$sfx WHERE i = (SELECT i FROM pick$sfx))"
     }
-    s"tr AS$mat (SELECT sum(c) AS t FROM cov0 WHERE i = j), " +
-      per.mkString(", ") + ", " + signs.mkString(", ") + " " +
+    (
+      s"tr AS$mat (SELECT sum(c) AS t FROM cov0 WHERE i = j), " +
+        per.mkString(", ") + ", " + signs.mkString(", "),
       selects.mkString(" UNION ALL ")
+    )
   }
 
-  def pcaKSql(k: Int = pcaK): String =
-    "WITH vs AS MATERIALIZED (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+  /** vs → px → sxx → mu → cov0: the covariance preamble shared by the
+    * k-component chain and the whitening projection (vs keeps vec_id —
+    * the chain ignores it, the projection needs it).
+    */
+  private def pcaKPreambleSql: String =
+    "vs AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
       s"px AS MATERIALIZED (SELECT gi.i AS i, gj.i AS j, " +
       "list_extract(v, gi.i + 1) * list_extract(v, gj.i + 1) AS p " +
       s"FROM vs, generate_series(0, ${pcaDim - 1}) gi(i), generate_series(0, ${pcaDim - 1}) gj(i)), " +
@@ -1045,8 +1059,54 @@ object Similarity {
       s"mu AS MATERIALIZED (SELECT gi.i AS i, avg(list_extract(v, gi.i + 1)) AS mu " +
       s"FROM vs, generate_series(0, ${pcaDim - 1}) gi(i) GROUP BY gi.i), " +
       "cov0 AS MATERIALIZED (SELECT s.i AS i, s.j AS j, s.sxx / s.n - a.mu * b.mu AS c " +
-      "FROM sxx s JOIN mu a ON a.i = s.i JOIN mu b ON b.i = s.j), " +
-      pcaKChainSql(k, " MATERIALIZED")
+      "FROM sxx s JOIN mu a ON a.i = s.i JOIN mu b ON b.i = s.j)"
+
+  def pcaKSql(k: Int = pcaK): String =
+    s"WITH $pcaKPreambleSql, ${pcaKChainSql(k, " MATERIALIZED")}"
+
+  /** PCA whitening — the projection SemDeDup-style pipelines run before
+    * clustering: y_m = Σ_i L_m(i)·(v_i − μ_i) / sqrt(λ_m) over the
+    * top-k components. Both engines project with the ROUND6 component
+    * outputs and a round6 mean (exact shared inputs; the remaining
+    * 64-term sum-order noise is absorbed by the final round6 —
+    * embed_pca precedent), so whitened coords are cross-engine
+    * hash-exact. Spark side: the k·d component table and the d-row mean
+    * broadcast onto one posexplode of the corpus — a single data-sized
+    * aggregation keyed (vec_id, comp); corpus-scale-safe.
+    */
+  def pcaWhiten(s: SparkSession, df: DataFrame, k: Int = pcaK): DataFrame = {
+    val pk = pcaTopK(s, df, k)
+    val mu6 = vecsD(df)
+      .select(posexplode(col("v")).as(Seq("i", "xi")))
+      .groupBy(col("i"))
+      .agg(Dsp.round6(avg(col("xi"))).as("mu6"))
+    vecsD(df)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "xi")))
+      .join(broadcast(mu6), Seq("i"))
+      .join(
+        broadcast(pk.select(col("comp"), col("dim").as("i"), col("loading"), col("lam"))),
+        Seq("i")
+      )
+      .groupBy(col("vec_id"), col("comp"))
+      .agg(
+        Dsp
+          .round6(sum(col("loading") * (col("xi") - col("mu6"))) / sqrt(max(col("lam"))))
+          .as("y")
+      )
+  }
+
+  def pcaWhitenSql(k: Int = pcaK): String = {
+    val (ctes, select) = pcaKChainParts(k, " MATERIALIZED")
+    s"WITH $pcaKPreambleSql, $ctes, " +
+      s"pk AS MATERIALIZED ($select), " +
+      s"mu6 AS MATERIALIZED (SELECT i, ${Dsp.round6Sql("mu")} AS mu6 FROM mu), " +
+      s"ev AS (SELECT vec_id, gi.i AS i, list_extract(v, gi.i + 1) AS xi " +
+      s"FROM vs, generate_series(0, ${pcaDim - 1}) gi(i)) " +
+      "SELECT vec_id, comp, " + Dsp.round6Sql("s / sqrt(l)") + " AS y FROM " +
+      "(SELECT e.vec_id, p.comp, sum(p.loading * (e.xi - m.mu6)) AS s, max(p.lam) AS l " +
+      "FROM ev e JOIN mu6 m ON m.i = e.i JOIN pk p ON p.dim = e.i " +
+      "GROUP BY e.vec_id, p.comp)"
+  }
 
   def pcaSql: String =
     "WITH vs AS MATERIALIZED (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
@@ -1063,6 +1123,7 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_pca" -> { (s, dir) => pcaTop(s, Tables.embeddings(s, dir)) },
     "embed_pca_k" -> { (s, dir) => pcaTopK(s, Tables.embeddings(s, dir)) },
+    "embed_whiten" -> { (s, dir) => pcaWhiten(s, Tables.embeddings(s, dir)) },
     "decontam_semantic" -> { (s, dir) => decontamSemantic(Tables.embeddings(s, dir)) },
     "dedup_semantic" -> { (s, dir) => semanticDupes(Tables.embeddings(s, dir)) },
     "sim_ivf_topk" -> { (s, dir) => ivfTopk(Tables.embeddings(s, dir)) },
@@ -1089,6 +1150,7 @@ object Similarity {
   def oracleSql: Map[String, String] = Map(
     "embed_pca" -> pcaSql,
     "embed_pca_k" -> pcaKSql(),
+    "embed_whiten" -> pcaWhitenSql(),
     "decontam_semantic" -> decontamSemanticSql(),
     "sim_topk" -> topkSql,
     "sim_buckets" -> bucketsSql,

@@ -169,6 +169,42 @@ class SketchGateSpec extends AnyFunSuite {
     assert(ratios(0) > 2.0 * ratios(1) && ratios(1) > 5.0 * ratios(2), s"var ratios $ratios")
   }
 
+  test("embed_whiten gives unit-variance, decorrelated coordinates on a planted spectrum") {
+    import spark.implicits._
+    val dirs = Seq(
+      Array.tabulate(64)(j => if (j < 21) 1.0 / math.sqrt(21.0) else 0.0),
+      Array.tabulate(64)(j => if (j >= 21 && j < 42) 1.0 / math.sqrt(21.0) else 0.0),
+      Array.tabulate(64)(j => if (j >= 42) 1.0 / math.sqrt(22.0) else 0.0)
+    )
+    val amps = Seq(5.0, 3.0, 1.0)
+    val rows = (0 until 300).map { i =>
+      val coefs = amps.zipWithIndex.map { case (a, m) => a * math.sin(i * (0.31 + 0.37 * m) + m) }
+      val v = Array.tabulate(64) { j =>
+        (coefs.zip(dirs).map { case (cf, dd) => cf * dd(j) }.sum +
+          0.003 * math.sin(i * 2.17 + j * 1.3)).toFloat
+      }
+      (i.toLong, v, 0)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val w = Similarity.pcaWhiten(spark, df).collect()
+    assert(w.length == 300 * 3)
+    val byComp = w.groupBy(_.getAs[Int]("comp")).map { case (m, g) =>
+      m -> g.sortBy(_.getAs[Long]("vec_id")).map(_.getAs[Double]("y"))
+    }
+    (0 until 3).foreach { m =>
+      val ys = byComp(m)
+      val mean = ys.sum / ys.length
+      val variance = ys.map(y => (y - mean) * (y - mean)).sum / ys.length
+      assert(math.abs(mean) < 0.05, s"comp $m mean $mean")
+      assert(math.abs(variance - 1.0) < 0.1, s"comp $m variance $variance not ~1")
+    }
+    for (a <- 0 until 3; b <- a + 1 until 3) {
+      val (ya, yb) = (byComp(a), byComp(b))
+      val corr = ya.zip(yb).map { case (x, y) => x * y }.sum / ya.length
+      assert(math.abs(corr) < 0.1, s"comps $a,$b correlated: $corr")
+    }
+  }
+
   test("corpus_shard is a deterministic permutation with dense per-shard positions") {
     val docs = Tables.documents(spark, sf)
     val n = docs.count()
