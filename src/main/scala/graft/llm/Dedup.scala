@@ -830,13 +830,35 @@ object Dedup {
   // ---------------------------------------------------------------------
 
   /** Hyperplane count / banding for [[hashEmbedDupes]]. The gate
-    * instance (24 planes, 4×6-bit bands) is the SQL-replayable config;
+    * instance (32 planes, 4×8-bit bands) is the SQL-replayable config;
     * at corpus scale widen the bands exactly like
     * [[Similarity.embedDupeCandidates]] — background collisions are
-    * ~nBands·n²·2^-width, so width must grow with log(n).
+    * ~nBands·n²·2^-width, so width must grow with log(n) (measured at
+    * the sf0.1 bench: 6-bit bands admitted ~780k background candidates
+    * over 5k docs and cost 12.6 s; 8-bit bands cut that 16×; the Prof
+    * decade runs 16-bit).
     */
-  val hePlanes = 24
+  val hePlanes = 32
   val heBands = 4
+
+  /** Plane i's ±1 signs over the `dim` buckets packed as a 64-bit
+    * literal mask (bit b = 1 ⟺ sign +1), md5-derived at query-BUILD
+    * time — the engines extract sign = ((mask >> bucket) & 1)·2 − 1
+    * with one shift instead of hashing per row (both arithmetic and
+    * logical shifts agree on the &1 bit). Same derivation the old
+    * per-row md5 used, so the signs are unchanged in distribution.
+    */
+  private def planeMask(i: Int, dim: Int): Long = {
+    require(dim <= 64)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).foldLeft(0L) { (m, b) =>
+      val hex = md.digest(s"hp$i:$b".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.substring(0, 8), 16) % 2 == 1) m | (1L << b) else m
+    }
+  }
+
+  private def pSignSqlFromMask(i: Int, dim: Int): String =
+    s"((${planeMask(i, dim)} >> CAST(bucket AS INT)) & 1) * 2 - 1"
 
   /** Near-duplicate document pairs by cosine over MEAN-CENTERED
     * [[TextStats.hashEmbed]] feature-hashed embeddings: hyperplane-LSH
@@ -897,8 +919,7 @@ object Dedup {
       )
       .localCheckpoint() // referenced by the signature agg and both verify sides
     def pSign(i: Int): Column =
-      conv(substring(md5(concat(lit(s"hp$i:"), col("bucket").cast("string"))), 1, 8), 16, 10)
-        .cast("long") % 2 * 2 - 1
+      expr(s"(shiftright(CAST(${planeMask(i, dim)} AS BIGINT), CAST(bucket AS INT)) & 1) * 2 - 1")
     val aggs = (0 until nPlanes).map(i => sum(col("cv") * pSign(i)).as(s"d$i")) :+
       sum(col("cv") * col("cv")).as("n2")
     val sig = dense
@@ -950,10 +971,8 @@ object Dedup {
       nBands: Int = heBands
   ): String = {
     val width = nPlanes / nBands
-    def pSignSql(i: Int) =
-      s"(CAST(concat('0x', substr(md5('hp$i:' || CAST(bucket AS VARCHAR)), 1, 8)) AS BIGINT) % 2 * 2 - 1)"
     val ds = (0 until nPlanes)
-      .map(i => s"CAST(sum(cv * ${pSignSql(i)}) AS BIGINT) AS d$i")
+      .map(i => s"CAST(sum(cv * (${pSignSqlFromMask(i, dim)})) AS BIGINT) AS d$i")
       .mkString(", ")
     val bandSelects = (0 until nBands)
       .map { j =>

@@ -376,24 +376,32 @@ object Sketches {
     * lookups over the COLLECTED grid — bounded driver work, corpus
     * independent (embed_pca precedent) — in [[quantileFromCounters]].
     *
-    * Like sketch_hll/sketch_cms the hashes are fixed md5-derived
-    * integers computed identically by Spark and DuckDB, so the gate
-    * pins the exact counters AND the exact estimate the sketch must
-    * give, next to the exact rank it approximates.
+    * Like sketch_hll/sketch_cms the hashes are fixed deterministic
+    * integers computed identically by Spark and DuckDB (universal
+    * hashing over exact 64-bit arithmetic — see [[qBucket]]), so the
+    * gate pins the exact counters AND the exact estimate the sketch
+    * must give, next to the exact rank it approximates.
     */
   val qLevels = 20 // domain 2^20 covers o_totalprice (< ~600k)
   val qDepth = 3
   val qWidth = 512
 
+  /** Universal-hash bucket h_r(lvl, node) = ((a_r·x + b_r) mod p) mod w
+    * with x = (node << 5) | lvl < 2^25 and p = 2^31−1 — the textbook
+    * pairwise-independent CMS family (Cormode 2005 §3), exact 64-bit
+    * integer arithmetic on both engines (a·x < 2^56, no overflow, no
+    * md5: measured 10.9 s → the md5-per-insert route was ~80% of
+    * sketch_quantile's sf0.1 wall time).
+    */
+  private val qP = 2147483647L
+  private val qA = Array(1103515245L, 1229227549L, 1291394089L)
+  private val qB = Array(12345L, 67890L, 24680L)
+
   private def qBucket(r: Int, lvl: Column, node: Column): Column =
-    conv(
-      substring(md5(concat(lit(s"q$r:"), lvl.cast("string"), lit(":"), node.cast("string"))), 1, 8),
-      16,
-      10
-    ).cast("long") % qWidth
+    ((lit(qA(r)) * (node * 32L + lvl) + qB(r)) % qP) % qWidth
 
   private def qBucketSql(r: Int, lvl: String, node: String): String =
-    s"CAST(concat('0x', substr(md5('q$r:' || $lvl || ':' || $node), 1, 8)) AS BIGINT) % $qWidth"
+    s"((${qA(r)} * (($node) * 32 + ($lvl)) + ${qB(r)}) % $qP) % $qWidth"
 
   /** (lvl, p2 = 2^lvl) as exact integer literals shared by both engines
     * (no pow() doubles anywhere near the integer math).
@@ -522,11 +530,8 @@ object Sketches {
     * rendering probe lookups as literals at query-build time
     * ([[corpusProfile]]'s est-below-x; the engines hash only on insert).
     */
-  private def qBucketJvm(r: Int, lvl: Int, node: Long): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-    val hex = d.digest(s"q$r:$lvl:$node".getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 8), 16) % qWidth
-  }
+  private def qBucketJvm(r: Int, lvl: Int, node: Long): Long =
+    ((qA(r) * (node * 32L + lvl) + qB(r)) % qP) % qWidth
 
   /** Quantile extraction: top-down binary descent over the collected
     * counter grid — at each level take the left child iff its estimated
@@ -621,8 +626,7 @@ object Sketches {
       s"'kind', 'h', 'k1', $h52 % $m, 'k2', CAST(0 AS BIGINT), 'k3', CAST(0 AS BIGINT), " +
       s"'v', CAST(${rhoCase(s"($h52 div $m)")} AS BIGINT)))"
     val qIns = (for { l <- 0 until qLevels; r <- 0 until qDepth } yield {
-      val node = s"(vq div ${1L << l})"
-      val bucket = s"CAST(conv(substring(md5(concat('q$r:', '$l', ':', CAST($node AS STRING))), 1, 8), 16, 10) AS BIGINT) % $qWidth"
+      val bucket = qBucketSql(r, l.toString, s"(vq div ${1L << l})")
       s"named_struct('kind', 'q', 'k1', CAST($l AS BIGINT), 'k2', CAST($r AS BIGINT), " +
         s"'k3', $bucket, 'v', CAST(1 AS BIGINT))"
     }).mkString("array(", ", ", ")")
@@ -662,7 +666,8 @@ object Sketches {
   def corpusProfileSql: String = {
     val m = hllRegisters
     val h52 = "CAST(concat('0x', substr(md5(t), 1, 13)) AS BIGINT)"
-    val lrs = (for { l <- 0 until qLevels; r <- 0 until qDepth } yield s"($l, ${1L << l}, $r)")
+    val lrs = (for { l <- 0 until qLevels; r <- 0 until qDepth } yield
+      s"($l, ${1L << l}, $r, ${qA(r)}, ${qB(r)})")
       .mkString("VALUES ", ", ", "")
     val stage1 = profileStage1.map { case (e, n) => s"$e AS $n" }.mkString(", ")
     s"WITH base AS MATERIALIZED (SELECT source, string_split(text, ' ') AS toks, " +
@@ -672,8 +677,8 @@ object Sketches {
       s"hins AS (SELECT source, 'h' AS kind, $h52 % $m AS k1, CAST(0 AS BIGINT) AS k2, " +
       s"CAST(0 AS BIGINT) AS k3, CAST(${rhoCase(s"($h52 // $m)")} AS BIGINT) AS v FROM toki), " +
       s"qins AS (SELECT source, 'q' AS kind, CAST(lr.l AS BIGINT) AS k1, CAST(lr.r AS BIGINT) AS k2, " +
-      s"CAST(concat('0x', substr(md5('q' || lr.r || ':' || lr.l || ':' || CAST(vq // lr.p2 AS VARCHAR)), 1, 8)) AS BIGINT) % $qWidth AS k3, " +
-      s"CAST(1 AS BIGINT) AS v FROM base, ($lrs) lr(l, p2, r)), " +
+      s"((lr.a * ((vq // lr.p2) * 32 + lr.l) + lr.b) % $qP) % $qWidth AS k3, " +
+      s"CAST(1 AS BIGINT) AS v FROM base, ($lrs) lr(l, p2, r, a, b)), " +
       "cins AS (SELECT source, 'c' AS kind, CAST(0 AS BIGINT) AS k1, CAST(0 AS BIGINT) AS k2, " +
       "CAST(0 AS BIGINT) AS k3, CAST(len(toks) AS BIGINT) AS v FROM base), " +
       "grid AS MATERIALIZED (SELECT source, kind, k1, k2, k3, max(v) AS mx, count(*) AS cnt, " +

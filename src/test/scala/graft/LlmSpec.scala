@@ -759,12 +759,24 @@ class LlmSpec extends AnyFunSuite {
     def own(d: Int, repl: Map[Int, String] = Map.empty) =
       (1 to 30).map(i => repl.getOrElse(i, s"doc${d}tok$i")).mkString(" ")
     val docs = ((1 to 20).map(d => (d.toLong, s"$shared ${own(d)}")) :+
-      (21L, s"$shared ${own(1, Map(5 -> "edited5", 12 -> "edited12", 20 -> "edited20"))}"))
+      (21L, s"$shared ${own(1, Map(12 -> "edited12"))}"))
       .toDF("doc_id", "text")
     val pairs = Dedup.hashEmbedDupes(docs).collect()
     val keys = pairs.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     assert(keys == Set((1L, 21L)), s"expected exactly the planted pair, got $keys")
-    assert(pairs(0).getAs[Double]("cos") > 0.85, s"cos ${pairs(0).getAs[Double]("cos")}")
+    assert(pairs(0).getAs[Double]("cos") > 0.9, s"cos ${pairs(0).getAs[Double]("cos")}")
+    // the recall dial: a farther dup (3 of 30 unique tokens edited)
+    // needs NARROWER bands to collide — the width-vs-corpus-size trade
+    // the scaladoc states, exercised here with a 6x4-bit instance
+    val far = ((1 to 20).map(d => (d.toLong, s"$shared ${own(d)}")) :+
+      (21L, s"$shared ${own(1, Map(5 -> "e5", 12 -> "e12", 20 -> "e20"))}"))
+      .toDF("doc_id", "text")
+    val farKeys = Dedup
+      .hashEmbedDupes(far, 0.8, 64, 24, 6)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .toSet
+    assert(farKeys == Set((1L, 21L)), s"narrow-band instance missed the planted pair: $farKeys")
   }
 
   test("bigram log-prob matches the hand-computed conditional LM") {
