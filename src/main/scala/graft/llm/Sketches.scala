@@ -498,10 +498,24 @@ object Sketches {
       )
   }
 
-  def quantileRankSql: String = {
+  /** Shared CTE prefix: vals → level table → inserts → counter grid →
+    * exact lower-median anchor.
+    */
+  private def quantileCtes: String = {
     val ins = (0 until qDepth)
       .map(r => s"SELECT g, lvl, $r AS r, ${qBucketSql(r, "lvl", "node")} AS b FROM ins")
       .mkString(" UNION ALL ")
+    s"vals AS MATERIALIZED (SELECT o_orderpriority AS g, " +
+      "CAST(floor(o_totalprice) AS BIGINT) AS vi, o_totalprice, o_orderkey FROM orders), " +
+      s"lvls(lvl, p2) AS MATERIALIZED (${levelValuesSql}), " +
+      "ins AS (SELECT g, lvl, vi // p2 AS node FROM vals, lvls), " +
+      s"cnt AS MATERIALIZED (SELECT g, lvl, r, b, count(*) AS c FROM ($ins) GROUP BY g, lvl, r, b), " +
+      "med AS MATERIALIZED (SELECT g, vi AS xq, n FROM (" +
+      "SELECT g, vi, row_number() OVER (PARTITION BY g ORDER BY o_totalprice, o_orderkey) AS rn, " +
+      "count(*) OVER (PARTITION BY g) AS n FROM vals) WHERE rn = (n + 1) // 2)"
+  }
+
+  def quantileRankSql: String = {
     val joins = (0 until qDepth)
       .map(r =>
         s"LEFT JOIN cnt c$r ON c$r.g = bits.g AND c$r.lvl = bits.lvl AND c$r.r = $r " +
@@ -509,14 +523,7 @@ object Sketches {
       )
       .mkString(" ")
     val mins = (0 until qDepth).map(r => s"coalesce(c$r.c, 0)").mkString(", ")
-    s"WITH vals AS MATERIALIZED (SELECT o_orderpriority AS g, " +
-      "CAST(floor(o_totalprice) AS BIGINT) AS vi, o_totalprice, o_orderkey FROM orders), " +
-      s"lvls(lvl, p2) AS MATERIALIZED (${levelValuesSql}), " +
-      "ins AS (SELECT g, lvl, vi // p2 AS node FROM vals, lvls), " +
-      s"cnt AS MATERIALIZED (SELECT g, lvl, r, b, count(*) AS c FROM ($ins) GROUP BY g, lvl, r, b), " +
-      "med AS MATERIALIZED (SELECT g, vi AS xq, n FROM (" +
-      "SELECT g, vi, row_number() OVER (PARTITION BY g ORDER BY o_totalprice, o_orderkey) AS rn, " +
-      "count(*) OVER (PARTITION BY g) AS n FROM vals) WHERE rn = (n + 1) // 2), " +
+    s"WITH $quantileCtes, " +
       "exact AS (SELECT m.g, count(*) AS exact_rank FROM vals v JOIN med m ON v.g = m.g " +
       "WHERE v.vi < m.xq GROUP BY m.g), " +
       "bits AS MATERIALIZED (SELECT m.g, l.lvl, (m.xq // (2 * l.p2)) * 2 AS node " +
@@ -524,6 +531,74 @@ object Sketches {
       s"est AS (SELECT bits.g, CAST(sum(least($mins)) AS BIGINT) AS est_rank FROM bits $joins GROUP BY bits.g) " +
       "SELECT m.g AS o_orderpriority, m.n AS n_orders, m.xq AS median_floor, " +
       "x.exact_rank, e.est_rank FROM med m JOIN exact x ON x.g = m.g JOIN est e ON e.g = m.g"
+  }
+
+  /** Gate query: the EXTRACTION loop itself, cross-engine — per group
+    * the exact lower-median anchor and the sketch-descended median.
+    * Spark runs [[quantileFromCounters]] on the collected grid (≤
+    * groups·L·d·w integers — bounded, corpus-independent; embed_pca
+    * precedent) and emits the results; the oracle replays the SAME
+    * 20-step top-down descent as chained CTEs whose per-level CMS
+    * lookups compute the universal-hash bucket of the RUNTIME node
+    * (pure integer arithmetic — this is what the md5 route could not
+    * replay). With this, build (sketch_quantile), merge (spec), and
+    * extract are all hash-gated.
+    */
+  def quantileExtract(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = orders.sparkSession
+    val vals = orders
+      .select(
+        col("o_orderpriority").as("g"),
+        expr("CAST(floor(o_totalprice) AS BIGINT)").as("vi"),
+        col("o_totalprice"),
+        col("o_orderkey")
+      )
+      .localCheckpoint() // feeds both the counter build and the anchor window
+    val counters = dyadicCounters(vals, col("g"), col("vi"))
+      .collect()
+      .map(r =>
+        (r.getAs[String]("g"), r.getAs[Int]("lvl"), r.getAs[Int]("r"), r.getAs[Long]("b")) ->
+          r.getAs[Long]("c")
+      )
+      .toMap
+    val wOrd = Window.partitionBy(col("g")).orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wAll = Window.partitionBy(col("g"))
+    val med = vals
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("g"), col("vi").as("xq"), col("n"))
+      .collect()
+    import s.implicits._
+    med
+      .map { r =>
+        val (g, xq, n) = (r.getAs[String]("g"), r.getAs[Long]("xq"), r.getAs[Long]("n"))
+        (g, n, xq, quantileFromCounters(counters, g, n, 0.5))
+      }
+      .toSeq
+      .toDF("o_orderpriority", "n_orders", "median_floor", "est_median")
+  }
+
+  def quantileExtractSql: String = {
+    def step(l: Int): String = {
+      val joins = (0 until qDepth)
+        .map(r =>
+          s"LEFT JOIN cnt c$r ON c$r.g = t.g AND c$r.lvl = $l AND c$r.r = $r " +
+            s"AND c$r.b = ${qBucketSql(r, l.toString, s"(t.x // ${1L << l})")}"
+        )
+        .mkString(" ")
+      val mins = (0 until qDepth).map(r => s"coalesce(c$r.c, 0)").mkString("least(", ", ", ")")
+      s"s$l AS MATERIALIZED (SELECT g, n, xq, target, " +
+        s"CASE WHEN rk + est >= target THEN x ELSE x + ${1L << l} END AS x, " +
+        "CASE WHEN rk + est >= target THEN rk ELSE rk + est END AS rk FROM (" +
+        s"SELECT t.g, t.n, t.xq, t.target, t.x, t.rk, $mins AS est FROM s${l + 1} t $joins))"
+    }
+    s"WITH $quantileCtes, " +
+      s"s$qLevels AS MATERIALIZED (SELECT g, n, xq, (n + 1) // 2 AS target, " +
+      "CAST(0 AS BIGINT) AS x, CAST(0 AS BIGINT) AS rk FROM med), " +
+      (qLevels - 1 to 0 by -1).map(step).mkString(", ") + " " +
+      "SELECT g AS o_orderpriority, n AS n_orders, xq AS median_floor, x AS est_median FROM s0"
   }
 
   /** JVM twin of [[qBucket]] for the driver-side descent — and for
@@ -696,6 +771,7 @@ object Sketches {
     "sketch_hll" -> { (s, dir) => hllDistinct(Tables.documents(s, dir)) },
     "sketch_cms" -> { (s, dir) => cmsTopTokens(Tables.documents(s, dir)) },
     "sketch_quantile" -> { (s, dir) => quantileRank(Tables.orders(s, dir)) },
+    "sketch_quantile_extract" -> { (s, dir) => quantileExtract(Tables.orders(s, dir)) },
     "corpus_profile" -> { (s, dir) => corpusProfile(Tables.documents(s, dir)) }
   )
 
@@ -704,6 +780,7 @@ object Sketches {
     "sketch_hll" -> hllDistinctSql,
     "sketch_cms" -> cmsTopTokensSql,
     "sketch_quantile" -> quantileRankSql,
+    "sketch_quantile_extract" -> quantileExtractSql,
     "corpus_profile" -> corpusProfileSql
   )
 }
