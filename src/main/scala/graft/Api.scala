@@ -528,6 +528,11 @@ object Api {
   def hashEmbedDupes(docs: DataFrame, tau: Double = 0.8): DataFrame =
     llm.Dedup.hashEmbedDupes(docs, tau)
 
+  /** Near-dup components with the HIGHEST-QUALITY member flagged as
+    * keeper: (doc_id, comp_id, q, keep).
+    */
+  def keepBest(docs: DataFrame): DataFrame = llm.Dedup.keepBest(docs)
+
   /** Deterministic md5-keyed shuffle into training shards:
     * (doc_id, shard, pos) — the same permutation on every run/engine.
     */

@@ -33,7 +33,7 @@ object Curation {
     )
   }
 
-  private val qualitySql: String =
+  private[llm] val qualitySql: String =
     "greatest(0.0e0, least(1.0e0, 0.5e0 + 0.1e0 * ((n_chars - (n_tok - 1)) / n_tok - 4.0e0) " +
       "- n_digit / n_chars - n_punct / n_chars))"
 

@@ -1009,6 +1009,49 @@ object Dedup {
       s"WHERE cos >= ${graft.core.Dsp.lit(tau)}"
   }
 
+  /** Cluster-representative selection by QUALITY: label every doc with
+    * its near-dup component and flag the highest-quality member (ties
+    * broken on doc_id over the round6 score — deterministic on both
+    * engines) as the keeper. The realistic final step of a dedup
+    * pipeline — min-id keepers ([[components]]' canonical label) throw
+    * away the best copy whenever a near-dup cluster mixes qualities;
+    * production dedup (e.g. the Gopher/FineWeb pipelines) keeps the
+    * best-scoring representative. One rank window partitioned by
+    * comp_id (bounded by cluster size, never global) on top of the
+    * existing components machinery.
+    */
+  def keepBest(docs: DataFrame): DataFrame = {
+    val comps = components(
+      docs.select(col("doc_id")),
+      jaccard(docs).filter(col("jaccard") >= 0.7).select(col("doc_a"), col("doc_b"))
+    )
+    val q = docs.select(col("doc_id"), graft.core.Dsp.round6(Curation.qualityScore).as("q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("comp_id"))
+      .orderBy(col("q").desc, col("doc_id").asc)
+    comps
+      .join(q, Seq("doc_id"))
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col("doc_id"), col("comp_id"), col("q"), col("keep"))
+  }
+
+  def keepBestSql: String =
+    s"WITH RECURSIVE $jaccardCtes, " +
+      "vpairs AS MATERIALIZED (SELECT doc_a, doc_b FROM jac WHERE jaccard >= 0.7e0), " +
+      "edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM vpairs " +
+      "UNION ALL SELECT doc_b, doc_a FROM vpairs), " +
+      "reach AS (SELECT doc_id, doc_id AS anc FROM documents " +
+      "UNION SELECT r.doc_id AS doc_id, e.dst AS anc FROM reach r JOIN edges e ON e.src = r.anc), " +
+      "comp AS MATERIALIZED (SELECT doc_id, min(anc) AS comp_id FROM reach GROUP BY doc_id), " +
+      "qb AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS n_chars, " +
+      "CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok, " +
+      "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digit, " +
+      "CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct FROM documents), " +
+      s"q AS MATERIALIZED (SELECT doc_id, ${graft.core.Dsp.round6Sql(Curation.qualitySql)} AS q FROM qb) " +
+      "SELECT c.doc_id, c.comp_id, q.q, " +
+      "row_number() OVER (PARTITION BY c.comp_id ORDER BY q.q DESC, c.doc_id) = 1 AS keep " +
+      "FROM comp c JOIN q ON q.doc_id = c.doc_id"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> { (s, dir) =>
       Tables
@@ -1041,7 +1084,8 @@ object Dedup {
     },
     "dedup_stream" -> { (s, dir) => dedupStreaming(Tables.documents(s, dir)) },
     "dedup_incremental" -> { (s, dir) => incrementalDedup(Tables.documents(s, dir)) },
-    "dedup_hash_embed" -> { (s, dir) => hashEmbedDupes(Tables.documents(s, dir)) }
+    "dedup_hash_embed" -> { (s, dir) => hashEmbedDupes(Tables.documents(s, dir)) },
+    "dedup_keep_best" -> { (s, dir) => keepBest(Tables.documents(s, dir)) }
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1069,6 +1113,7 @@ object Dedup {
       ("SELECT doc_id, md5(text) AS h, " +
         "doc_id > min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup FROM documents"),
     "dedup_incremental" -> incrementalDedupSql(),
-    "dedup_hash_embed" -> hashEmbedDupesSql()
+    "dedup_hash_embed" -> hashEmbedDupesSql(),
+    "dedup_keep_best" -> keepBestSql
   )
 }

@@ -779,6 +779,32 @@ class LlmSpec extends AnyFunSuite {
     assert(farKeys == Set((1L, 21L)), s"narrow-band instance missed the planted pair: $farKeys")
   }
 
+  test("dedup_keep_best keeps the highest-quality cluster member, not the min id") {
+    import spark.implicits._
+    // docs 1..3 are one near-dup cluster (≥0.7 shingle jaccard); doc 1
+    // (the min id — the canonical component label) is digit-polluted so
+    // its quality score is LOWEST; doc 4 is unrelated
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$base 111 222 333 444 555"),
+      (2L, s"$base extra"),
+      (3L, s"$base other tail"),
+      (4L, (1 to 40).map(i => s"zz$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val rows = Dedup.keepBest(docs).collect()
+    assert(rows.length == 4)
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // one cluster {1,2,3} labeled by the min id, plus the singleton
+    assert(Seq(1L, 2L, 3L).forall(byId(_).getAs[Long]("comp_id") == 1L))
+    assert(byId(4L).getAs[Long]("comp_id") == 4L && byId(4L).getAs[Boolean]("keep"))
+    // exactly one keeper in the cluster, and it is NOT doc 1
+    val keepers = Seq(1L, 2L, 3L).filter(byId(_).getAs[Boolean]("keep"))
+    assert(keepers.length == 1, s"cluster keepers: $keepers")
+    assert(keepers.head != 1L, "min-id doc kept despite lowest quality")
+    val kq = byId(keepers.head).getAs[Double]("q")
+    Seq(1L, 2L, 3L).foreach(d => assert(byId(d).getAs[Double]("q") <= kq))
+  }
+
   test("bigram log-prob matches the hand-computed conditional LM") {
     val docs = Seq(
       (1L, "a b a b"),
