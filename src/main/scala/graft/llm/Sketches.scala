@@ -694,7 +694,8 @@ object Sketches {
     * countDistinct); this is the pass you run FIRST at 100 TB.
     * PlanAuditSpec pins the single documents scan.
     */
-  def corpusProfile(docs: DataFrame): DataFrame = {
+  /** The one-scan insert-union grid build (see [[corpusProfile]]). */
+  def profileGrid(docs: DataFrame): DataFrame = {
     val m = hllRegisters
     val h52 = "CAST(conv(substring(md5(t), 1, 13), 16, 10) AS BIGINT)"
     val tokIns = s"transform(slice(toks, 1, ${TextStats.maxTokens}), t -> named_struct(" +
@@ -707,7 +708,7 @@ object Sketches {
     }).mkString("array(", ", ", ")")
     val cIns = "array(named_struct('kind', 'c', 'k1', CAST(0 AS BIGINT), 'k2', CAST(0 AS BIGINT), " +
       "'k3', CAST(0 AS BIGINT), 'v', CAST(size(toks) AS BIGINT)))"
-    val grid = docs
+    docs
       .select(col("source"), split(col("text"), " ").as("toks"))
       .select(
         col("source"),
@@ -725,6 +726,12 @@ object Sketches {
       )
       .groupBy(col("source"), col("kind"), col("k1"), col("k2"), col("k3"))
       .agg(max(col("v")).as("mx"), count(lit(1)).as("cnt"), sum(col("v")).as("sm"))
+  }
+
+  /** The per-source finishing aggregation over a (possibly merged)
+    * grid.
+    */
+  def profileFinish(grid: DataFrame): DataFrame =
     grid
       .groupBy(col("source"))
       .agg(
@@ -736,6 +743,32 @@ object Sketches {
           expr(profileEstHll).as("est_hll") +:
           profProbes.map(x => col(s"est_lt_$x")): _*
       )
+
+  def corpusProfile(docs: DataFrame): DataFrame = profileFinish(profileGrid(docs))
+
+  /** The profile's continuous-ingest cadence: the grid IS the persisted
+    * profile state (≤ groups·(m + L·d·w + 1) rows — KBs at any corpus
+    * size), and an ingest batch updates it by gridding ONLY the batch
+    * and merging with {max registers, summed counters} — never
+    * re-scanning the corpus. The gate seeds the store from the md5-even
+    * half of `documents`, ingests the odd half, and the merged profile
+    * must equal the single-pass full-corpus profile EXACTLY (the oracle
+    * is [[corpusProfileSql]] verbatim — mergeability is the checked
+    * property, dedup_incremental's store cadence the precedent).
+    */
+  def corpusProfileIncremental(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val store = graft.sources.Scratch.dir("corpus_profile_inc")
+    val h2 = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 2
+    // seed ingest: the even-bucket slice's grid becomes the store
+    profileGrid(docs.filter(h2 === 0)).write.mode("overwrite").parquet(s"$store/grid")
+    // ingest batch: grid the odd slice only, merge with the store
+    val merged = spark.read
+      .parquet(s"$store/grid")
+      .unionByName(profileGrid(docs.filter(h2 === 1)))
+      .groupBy(col("source"), col("kind"), col("k1"), col("k2"), col("k3"))
+      .agg(max(col("mx")).as("mx"), sum(col("cnt")).as("cnt"), sum(col("sm")).as("sm"))
+    profileFinish(merged)
   }
 
   def corpusProfileSql: String = {
@@ -772,7 +805,8 @@ object Sketches {
     "sketch_cms" -> { (s, dir) => cmsTopTokens(Tables.documents(s, dir)) },
     "sketch_quantile" -> { (s, dir) => quantileRank(Tables.orders(s, dir)) },
     "sketch_quantile_extract" -> { (s, dir) => quantileExtract(Tables.orders(s, dir)) },
-    "corpus_profile" -> { (s, dir) => corpusProfile(Tables.documents(s, dir)) }
+    "corpus_profile" -> { (s, dir) => corpusProfile(Tables.documents(s, dir)) },
+    "corpus_profile_inc" -> { (s, dir) => corpusProfileIncremental(Tables.documents(s, dir)) }
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -781,6 +815,9 @@ object Sketches {
     "sketch_cms" -> cmsTopTokensSql,
     "sketch_quantile" -> quantileRankSql,
     "sketch_quantile_extract" -> quantileExtractSql,
-    "corpus_profile" -> corpusProfileSql
+    "corpus_profile" -> corpusProfileSql,
+    // mergeability IS the checked property: the incremental store+batch
+    // merge must equal the single-pass profile bit-for-bit
+    "corpus_profile_inc" -> corpusProfileSql
   )
 }

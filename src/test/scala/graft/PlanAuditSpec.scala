@@ -149,6 +149,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(scans == 1, s"expected exactly 1 documents scan, found $scans")
   }
 
+  test("corpus_profile_inc ingest plan reads the store plus ONLY the batch slice") {
+    // the continuous-ingest contract: the seed slice is gridded once at
+    // store-build time (eager write at construction); the RETURNED plan
+    // merges the parquet store with a grid of the batch slice only —
+    // one filtered documents scan, at least one store scan
+    val plan = graft.llm.Sketches
+      .corpusProfileIncremental(core.Tables.documents(spark, sf))
+      .queryExecution
+      .executedPlan
+      .toString
+    val docScans = plan.linesIterator.count(l => l.contains("FileScan") && l.contains("documents"))
+    val storeScans = plan.linesIterator.count(l => l.contains("FileScan") && l.contains("corpus_profile_inc"))
+    assert(docScans == 1, s"expected exactly 1 batch documents scan, found $docScans")
+    assert(storeScans >= 1, s"store parquet not read (found $storeScans scans)")
+  }
+
   test("sink_bucketed joins co-located buckets with zero shuffle") {
     // forceSortMerge pins the large-by-large shape bucketing exists for
     // (at gate scale Catalyst rightly broadcasts the tiny side instead)
