@@ -372,6 +372,27 @@ object BaseQueries {
           .withColumn("ts_ns", col("ts_ns") - col("ts_ns") % 1000)
       )
     },
+    "events_retention" -> { (s, dir) =>
+      // cohort retention: users bucketed by first-activity week, counted
+      // per (cohort, week offset). Integral week bucketing on the
+      // micro-truncated clock (CLAUDE div + micros rules). Plan: one
+      // user-keyed shuffle builds the first-activity table, which
+      // Catalyst then BROADCASTS back onto the raw activity stream (the
+      // probe side never shuffles for the join — verified in the
+      // executed plan); past broadcast size both sides share the
+      // user_id partitioning for an SMJ. The countDistinct rollup is
+      // the expand + two-phase agg, the only other exchange.
+      val ev = Tables
+        .events(s, dir)
+        .select(
+          col("user_id"),
+          expr("(ts_ns - ts_ns % 1000) div 604800000000000").as("wk")
+        )
+      val first = ev.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      ev.join(first, Seq("user_id"))
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    },
     "q10_cube" -> { (s, dir) =>
       // full grouping-sets lattice: subtotals for every subset of
       // (flag, status) plus the grand total, with the standard
@@ -522,6 +543,12 @@ object BaseQueries {
         "WHEN min(v_ts) IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage " +
         "FROM s3 GROUP BY user_id"
     },
+    "events_retention" ->
+      ("WITH e AS (SELECT user_id, epoch_ns(ts) // 604800000000000 AS wk FROM events), " +
+        "f AS (SELECT user_id, min(wk) AS cohort_wk FROM e GROUP BY user_id) " +
+        "SELECT f.cohort_wk, e.wk - f.cohort_wk AS week_offset, " +
+        "count(DISTINCT e.user_id) AS n_active " +
+        "FROM e JOIN f ON f.user_id = e.user_id GROUP BY 1, 2"),
     "q10_cube" ->
       ("SELECT l_returnflag, l_linestatus, " +
         "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid, " +
