@@ -721,6 +721,92 @@ object Similarity {
       s"SELECT qid, vid, cos, rank FROM ranked WHERE rank <= $topK"
   }
 
+  /** The ANN SERVING layout: embeddings written `partitionBy(cell)`
+    * so a probe reads ONLY its nProbe cell partitions — on object
+    * storage, partition pruning is what turns IVF's candidate bound
+    * into an I/O bound (the scan skips (nList − nProbe)/nList of the
+    * corpus bytes; PlanAuditSpec pins the PartitionFilters). The gate
+    * runs query vec 0 through the layout: assignment identical to
+    * [[ivfCandidates]]' deterministic-centroid path, the probed cells
+    * a bounded nList-row driver collect rendered as partition-pruning
+    * literals, exact cosine + rank over the read-back candidates. The
+    * oracle is the single-query IVF SQL over raw embeddings — the
+    * float arrays round-trip parquet losslessly, so the layout must
+    * not change a single answer.
+    */
+  def ivfLayoutTopk(emb: DataFrame, nList: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    val store = graft.sources.Scratch.dir("sim_ivf_layout")
+    val vs = vecsN(emb)
+    val cents = vs.filter(col("vec_id") < nList).select(col("vec_id").as("cid"), col("v").as("cv"))
+    val d = vs
+      .join(broadcast(cents))
+      .select(col("vec_id"), col("cid"), graft.functions.exprs.sq_dist(col("v"), col("cv")).as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cid").asc)
+    val assign = d
+      .select(col("vec_id"), col("cid"), row_number().over(w).as("cr"))
+      .filter(col("cr") === 1)
+      .select(col("vec_id"), col("cid"))
+    emb
+      .select(col("vec_id"), col("embedding"))
+      .join(assign, Seq("vec_id"))
+      .write
+      .partitionBy("cid")
+      .mode("overwrite")
+      .parquet(s"$store/cells")
+    // the query's probe cells: an nList-row collect, rendered as
+    // partition-pruning literals (int: the partition column's inferred
+    // read-back type — a long literal would cast the column and defeat
+    // pruning)
+    val probeCells = d
+      .filter(col("vec_id") === 0)
+      .orderBy(col("d2").asc, col("cid").asc)
+      .limit(nProbe)
+      .select(col("cid"))
+      .collect()
+      .map(_.getLong(0).toInt)
+    val cand = vecsN(
+      spark.read
+        .parquet(s"$store/cells")
+        .filter(col("cid").isin(probeCells: _*))
+        .select(col("vec_id"), col("embedding"), lit(0).as("label"))
+    )
+      .filter(col("vec_id") =!= 0)
+      .select(lit(0L).as("qid"), col("vec_id").as("vid"), col("v").as("vb"), col("nrm").as("nb"))
+    val q = vs
+      .filter(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vid").asc)
+    cand
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("vid"), round(cosExpr, 6).as("cos"))
+      .select(col("qid"), col("vid"), col("cos"), row_number().over(wr).as("rank"))
+      .filter(col("rank") <= topK)
+  }
+
+  /** Single-query (qid = 0) twin of [[ivfTopkSql]] over raw embeddings
+    * — the oracle for the partition-pruned layout path.
+    */
+  def ivfLayoutTopkSql(nList: Int = 16, nProbe: Int = 4): String = {
+    val d2 = "list_sum(list_transform(generate_series(1, 64), i -> " +
+      "(list_extract(a.v, i) - list_extract(c.cv, i)) * (list_extract(a.v, i) - list_extract(c.cv, i))))"
+    "WITH vs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      s"cents AS (SELECT vec_id AS cid, v AS cv FROM vs WHERE vec_id < $nList), " +
+      s"dists AS (SELECT a.vec_id AS pid, c.cid AS cid, $d2 AS d2 FROM vs a CROSS JOIN cents c), " +
+      "rankedc AS (SELECT pid, cid, row_number() OVER (PARTITION BY pid ORDER BY d2 ASC, cid ASC) AS cr FROM dists), " +
+      "assign AS (SELECT pid AS vid, cid FROM rankedc WHERE cr = 1), " +
+      s"qcells AS (SELECT pid AS qid, cid FROM rankedc WHERE cr <= $nProbe AND pid = 0), " +
+      "pairs AS (SELECT q.qid, s.vid, qa.v AS va, cb.v AS vb FROM qcells q JOIN assign s ON s.cid = q.cid " +
+      "JOIN vs qa ON qa.vec_id = q.qid JOIN vs cb ON cb.vec_id = s.vid WHERE q.qid <> s.vid), " +
+      s"scored AS (SELECT DISTINCT qid, vid, round($cosSqlExpr, 6) AS cos FROM pairs), " +
+      "ranked AS (SELECT qid, vid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rank FROM scored) " +
+      s"SELECT qid, vid, cos, rank FROM ranked WHERE rank <= $topK"
+  }
+
   /** SemDeDup-shaped semantic dedup (Abbas et al. 2023): coarse cells
     * bound the candidate set (never all-pairs across the corpus), then
     * within each cell any vector whose cosine to a LOWER-id cell-mate
@@ -1127,6 +1213,7 @@ object Similarity {
     "decontam_semantic" -> { (s, dir) => decontamSemantic(Tables.embeddings(s, dir)) },
     "dedup_semantic" -> { (s, dir) => semanticDupes(Tables.embeddings(s, dir)) },
     "sim_ivf_topk" -> { (s, dir) => ivfTopk(Tables.embeddings(s, dir)) },
+    "sim_ivf_layout" -> { (s, dir) => ivfLayoutTopk(Tables.embeddings(s, dir)) },
     "sim_pq_topk" -> { (s, dir) => pqTopk(Tables.embeddings(s, dir)) },
     "sim_ivfpq_topk" -> { (s, dir) => ivfPqTopk(Tables.embeddings(s, dir)) },
     "sim_topk" -> { (s, dir) => topk(Tables.embeddings(s, dir)) },
@@ -1156,6 +1243,7 @@ object Similarity {
     "sim_buckets" -> bucketsSql,
     "dedup_semantic" -> semanticDupesSql(),
     "sim_ivf_topk" -> ivfTopkSql(),
+    "sim_ivf_layout" -> ivfLayoutTopkSql(),
     "sim_pq_topk" -> pqTopkSql,
     "sim_ivfpq_topk" -> ivfPqTopkSql(),
     "dedup_embed" -> embedDupesSql(0.4, planes, 2)

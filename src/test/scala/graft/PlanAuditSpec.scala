@@ -165,6 +165,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(storeScans >= 1, s"store parquet not read (found $storeScans scans)")
   }
 
+  test("sim_ivf_layout prunes cell partitions at the scan") {
+    // the ANN serving contract: the probe reads ONLY its nProbe cell
+    // partitions — the cid literals must reach the scan as
+    // PartitionFilters, not a post-scan filter
+    val df = graft.llm.Similarity.ivfLayoutTopk(core.Tables.embeddings(spark, sf))
+    val p = df.queryExecution.executedPlan.toString
+    val scan = p.linesIterator
+      .find(l => l.contains("PartitionFilters") && l.contains("sim_ivf_layout"))
+      .getOrElse("")
+    assert(scan.contains("cid"), s"cid partition filter not pushed: $scan")
+  }
+
   test("sink_bucketed joins co-located buckets with zero shuffle") {
     // forceSortMerge pins the large-by-large shape bucketing exists for
     // (at gate scale Catalyst rightly broadcasts the tiny side instead)
