@@ -388,6 +388,28 @@ object SpectraOps {
       s"SELECT channel, round(sum(psd * ${simpsonWeightSql(bandA, bandB)}) * ${Dsp.lit(df / 3.0)}, 6) AS band_power " +
       s"FROM welch WHERE f >= $bandA AND f <= $bandB GROUP BY channel"
 
+  /** Band-power TIME COURSE: the Simpson-integrated band power of
+    * every STFT frame — "theta power over time", the sliding-window
+    * analytic an EEG session review runs after the global [[bandPower]]
+    * summary. Pure composition: the stft frame scan (rounded sxx, the
+    * band_power parity precedent) plus one (channel, frame) aggregation
+    * over ≤ band-width rows — no new shuffle beyond the stft's own.
+    */
+  def bandPowerTc(sig: DataFrame, presorted: Boolean = false): DataFrame =
+    stft(sig, presorted = presorted)
+      .filter(col("f") >= bandA && col("f") <= bandB)
+      .groupBy(col("channel"), col("s"))
+      .agg(
+        round(sum(col("sxx") * simpsonWeight(col("f"), bandA, bandB)) * (df / 3.0), 6)
+          .as("band_power")
+      )
+
+  def bandPowerTcSql: String =
+    s"${Signal.sigCte}, ${periodogramsSql(boundary = true, doubled = false)}, " +
+      "sg AS (SELECT channel, s, f, round(p2, 6) AS sxx FROM pgram) " +
+      s"SELECT channel, s, round(sum(sxx * ${simpsonWeightSql(bandA, bandB)}) * ${Dsp.lit(df / 3.0)}, 6) AS band_power " +
+      s"FROM sg WHERE f >= $bandA AND f <= $bandB GROUP BY channel, s"
+
   /** PSD normalized by total power over the full band (metrics.power_norm). */
   def psdNorm(sig: DataFrame, presorted: Boolean = false): DataFrame = {
     val psd = psdWelch(sig, presorted = presorted).select(col("channel"), col("f"), col("psd"))
@@ -668,6 +690,7 @@ object SpectraOps {
     "psd_welch_linear" -> { (s, dir) => psdWelch(Signal.long(s, dir), cfgLinear, presorted = true) },
     "stft64" -> { (s, dir) => stft(Signal.long(s, dir), presorted = true) },
     "band_power" -> { (s, dir) => bandPower(Signal.long(s, dir), presorted = true) },
+    "band_power_tc" -> { (s, dir) => bandPowerTc(Signal.long(s, dir), presorted = true) },
     "psd_norm" -> { (s, dir) => psdNorm(Signal.long(s, dir), presorted = true) },
     "psd_ci" -> { (s, dir) => psdCi(Signal.long(s, dir), presorted = true) },
     "dwt_haar" -> { (s, dir) => dwtHaar(Signal.long(s, dir), presorted = true) },
@@ -684,6 +707,7 @@ object SpectraOps {
     "psd_welch_linear" -> psdWelchSql(cfgLinear),
     "stft64" -> stftSql,
     "band_power" -> bandPowerSql,
+    "band_power_tc" -> bandPowerTcSql,
     "psd_norm" -> psdNormSql,
     "psd_ci" -> psdCiSql,
     "dwt_haar" -> dwtHaarSql,

@@ -134,4 +134,27 @@ class SpectraSpec extends AnyFunSuite {
     val bad = SpectraOps.psdCi(sine).filter("ci_lo > ci_hi OR ci_lo < 0").count()
     assert(bad == 0, s"$bad rows with inverted/negative CI")
   }
+
+  test("band_power_tc tracks a mid-recording in-band burst") {
+    // 15 Hz tone (inside the 9.4–31 Hz Simpson band) present ONLY in
+    // the middle third — the time course must light up there and stay
+    // near zero elsewhere
+    val burst = (0 until 2048)
+      .map { i =>
+        val on = i >= 683 && i < 1365
+        ("s0", i.toLong, if (on) math.sin(2 * math.Pi * 15.0 * i / 100.0) else 0.0)
+      }
+      .toDF("channel", "n", "x")
+    val tc = SpectraOps
+      .bandPowerTc(burst)
+      .collect()
+      .map(r => r.getAs[Long]("s") -> r.getAs[Double]("band_power"))
+      .toMap
+    val frames = tc.keys.toSeq.sorted
+    val mid = frames.filter(s => s >= 24 && s <= 40) // frames fully inside the burst
+    val edge = frames.filter(s => s <= 18 || s >= 46)
+    val midMin = mid.map(tc).min
+    val edgeMax = edge.map(tc).max
+    assert(midMin > 10 * math.max(edgeMax, 1e-9), s"burst not tracked: mid>=$midMin edge<=$edgeMax")
+  }
 }
