@@ -774,16 +774,23 @@ object Similarity {
         .select(col("vec_id"), col("embedding"), lit(0).as("label"))
     )
       .filter(col("vec_id") =!= 0)
-      .select(lit(0L).as("qid"), col("vec_id").as("vid"), col("v").as("vb"), col("nrm").as("nb"))
-    val q = vs
-      .filter(col("vec_id") === 0)
-      .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
+      .select(col("vec_id").as("vid"), col("v").as("vb"), col("nrm").as("nb"))
+    // the query vector is ONE bounded row — embed it as literals and
+    // score row-locally (a constant-key join would plan a BNLJ; the
+    // per-term products commute exactly, so the literal-operand dot
+    // matches the oracle's va·vb bit-for-bit)
+    val qRow = vs.filter(col("vec_id") === 0).select(col("v"), col("nrm")).collect()(0)
+    val qLit = array(qRow.getSeq[Double](0).map(lit): _*)
+    val qNrm = qRow.getDouble(1)
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vid").asc)
     cand
-      .join(broadcast(q), Seq("qid"))
-      .select(col("qid"), col("vid"), round(cosExpr, 6).as("cos"))
+      .select(
+        lit(0L).as("qid"),
+        col("vid"),
+        round(graft.functions.exprs.dot_d(qLit, col("vb")) / (lit(qNrm) * col("nb")), 6).as("cos")
+      )
       .select(col("qid"), col("vid"), col("cos"), row_number().over(wr).as("rank"))
       .filter(col("rank") <= topK)
   }
