@@ -54,6 +54,31 @@ class ApiSpec extends AnyFunSuite {
     assert(Api.curateLlm(docs).count() > 0)
   }
 
+  test("round-9 facade endpoints run end to end") {
+    import org.apache.spark.sql.functions._
+    val docs = core.Tables.documents(spark, sf)
+    val emb = core.Tables.embeddings(spark, sf)
+    val orders = core.Tables.orders(spark, sf)
+    assert(Api.corpusProfile(docs).count() > 0)
+    assert(Api.hashEmbedDupes(docs).columns.toSeq == Seq("doc_a", "doc_b", "cos"))
+    assert(Api.keepBest(docs).count() == docs.count())
+    assert(Api.pcaTopK(spark, emb, 2).count() == 2 * 64)
+    assert(Api.pcaWhiten(spark, emb, 2).count() == 2 * emb.count())
+    val counters = Api
+      .quantileCounters(
+        orders,
+        col("o_orderpriority"),
+        expr("CAST(floor(o_totalprice) AS BIGINT)")
+      )
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getLong(3)) -> r.getLong(4))
+      .toMap
+    val g = orders.select(col("o_orderpriority")).head.getString(0)
+    val n = orders.filter(col("o_orderpriority") === g).count()
+    val med = Api.quantileFromCounters(counters, g, n, 0.5)
+    assert(med > 0, s"descended median $med")
+  }
+
   test("IIR band facade mirrors 2-element reference specs") {
     assert(Api.ButterBand(Seq(10, 20), Seq(5, 30), 100).sos.map(_.toSeq).toSeq ==
       operators.IirOps.butterBp.map(_.toSeq).toSeq)
