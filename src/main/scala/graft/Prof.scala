@@ -186,6 +186,10 @@ object Prof {
         )
         .withColumn("label", lit(0))
       t(s"emb${embK}k_pca", embK * 1000L)(llm.Similarity.pcaTop(spark, emb).count())
+      // deflation reuses the ONE collected covariance; extra components
+      // cost only driver iterate time — wall should track pcaTop
+      t(s"emb${embK}k_pca_k", embK * 1000L)(llm.Similarity.pcaTopK(spark, emb).count())
+      t(s"emb${embK}k_whiten", embK * 1000L)(llm.Similarity.pcaWhiten(spark, emb).count())
     }
     spark.stop()
   }

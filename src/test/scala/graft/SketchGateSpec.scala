@@ -205,6 +205,62 @@ class SketchGateSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus_profile_inc store+batch merge equals the single-pass profile") {
+    val docs = Tables.documents(spark, sf)
+    val once = Sketches.corpusProfile(docs).collect().map(_.toString).sorted.toSeq
+    val inc = Sketches.corpusProfileIncremental(docs).collect().map(_.toString).sorted.toSeq
+    assert(inc == once, "incremental grid merge diverged from the single-pass profile")
+  }
+
+  test("sim_ivf_layout answers equal the in-memory IVF path for the same query") {
+    val emb = Tables.embeddings(spark, sf)
+    val mem = Similarity
+      .ivfTopk(emb)
+      .filter(org.apache.spark.sql.functions.col("qid") === 0)
+      .collect()
+      .map(r => (r.getAs[Long]("vid"), r.getAs[Double]("cos"), r.getAs[Int]("rank")))
+      .sortBy(_._3)
+      .toSeq
+    val layout = Similarity
+      .ivfLayoutTopk(emb)
+      .collect()
+      .map(r => (r.getAs[Long]("vid"), r.getAs[Double]("cos"), r.getAs[Int]("rank")))
+      .sortBy(_._3)
+      .toSeq
+    assert(layout == mem, s"layout path diverged:\n$layout\nvs\n$mem")
+  }
+
+  test("events_retention cohorts and offsets on a planted timeline") {
+    import spark.implicits._
+    val wk = 604800000000000L
+    // u1 joins week 0, active weeks 0/1/3; u2 joins week 1, active 1;
+    // u3 joins week 0, active 0 only
+    val ev = Seq(
+      (1L, 0L * wk + 5), (1L, 1L * wk + 5), (1L, 3L * wk + 5),
+      (2L, 1L * wk + 9), (3L, 0L * wk + 1)
+    ).toDF("user_id", "ts_ns")
+    val got = SparkEntry
+      .queries("events_retention")(spark, sf) // shape check on real data
+    assert(got.columns.toSeq == Seq("cohort_wk", "week_offset", "n_active"))
+    val planted = {
+      import org.apache.spark.sql.functions._
+      val e = ev.select(col("user_id"), expr("(ts_ns - ts_ns % 1000) div 604800000000000").as("wk"))
+      val f = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort_wk"))
+      e.join(f, Seq("user_id"))
+        .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+    }
+    assert(planted == Map(
+      (0L, 0L) -> 2L, // u1 + u3 in their join week
+      (0L, 1L) -> 1L, // u1 returns week 1
+      (0L, 3L) -> 1L, // u1 returns week 3
+      (1L, 0L) -> 1L  // u2's own cohort
+    ), s"$planted")
+  }
+
   test("corpus_shard is a deterministic permutation with dense per-shard positions") {
     val docs = Tables.documents(spark, sf)
     val n = docs.count()
