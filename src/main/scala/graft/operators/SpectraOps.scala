@@ -395,20 +395,40 @@ object SpectraOps {
     * band_power parity precedent) plus one (channel, frame) aggregation
     * over ≤ band-width rows — no new shuffle beyond the stft's own.
     */
+  // the frame sum runs on INTEGER MICROS of the rounded sxx (exact
+  // BIGINT weighted sum, order-independent) with ONE shared literal
+  // scale multiply at the end — a float sum of the ~15 band terms
+  // differed by 1 ulp across engines and flipped the 6th decimal at
+  // sf0.1 row counts (caught by the full sf0.1 parity sweep; the
+  // 5-row global band_power has never hit the boundary)
+  private val tcScale = df / 3.0 / 1.0e6
+
+  private def simpsonWeightInt(a: Int, b: Int): Column =
+    when(col("f") === a || col("f") === b, 1L)
+      .otherwise(when((col("f") - a) % 2 === 1, 4L).otherwise(2L))
+
   def bandPowerTc(sig: DataFrame, presorted: Boolean = false): DataFrame =
     stft(sig, presorted = presorted)
       .filter(col("f") >= bandA && col("f") <= bandB)
       .groupBy(col("channel"), col("s"))
       .agg(
-        round(sum(col("sxx") * simpsonWeight(col("f"), bandA, bandB)) * (df / 3.0), 6)
+        Dsp
+          .round6(
+            sum(expr("CAST(floor(sxx * 1.0e6 + 0.5e0) AS BIGINT)") * simpsonWeightInt(bandA, bandB))
+              .cast("double") * lit(tcScale)
+          )
           .as("band_power")
       )
 
-  def bandPowerTcSql: String =
+  def bandPowerTcSql: String = {
+    val wInt = s"CASE WHEN f = $bandA OR f = $bandB THEN 1 WHEN (f - $bandA) % 2 = 1 THEN 4 ELSE 2 END"
     s"${Signal.sigCte}, ${periodogramsSql(boundary = true, doubled = false)}, " +
       "sg AS (SELECT channel, s, f, round(p2, 6) AS sxx FROM pgram) " +
-      s"SELECT channel, s, round(sum(sxx * ${simpsonWeightSql(bandA, bandB)}) * ${Dsp.lit(df / 3.0)}, 6) AS band_power " +
-      s"FROM sg WHERE f >= $bandA AND f <= $bandB GROUP BY channel, s"
+      "SELECT channel, s, " +
+      Dsp.round6Sql(
+        s"CAST(sum(CAST(floor(sxx * 1.0e6 + 0.5e0) AS BIGINT) * ($wInt)) AS DOUBLE) * ${Dsp.lit(tcScale)}"
+      ) + s" AS band_power FROM sg WHERE f >= $bandA AND f <= $bandB GROUP BY channel, s"
+  }
 
   /** PSD normalized by total power over the full band (metrics.power_norm). */
   def psdNorm(sig: DataFrame, presorted: Boolean = false): DataFrame = {
