@@ -276,9 +276,10 @@ object BaseQueries {
       // arithmetic — row_number + group count in ONE window partition,
       // median = avg of the middle position(s). Both engines run the
       // identical integer math. Exact-median-per-group inherently
-      // orders each group once; the approximate path at 100 TB is a
-      // mergeable quantile sketch — this is the exact anchor it gets
-      // validated against.
+      // orders each group once; the approximate path at 100 TB is the
+      // mergeable dyadic-CMS quantile sketch (sketch_quantile builds +
+      // rank-checks it, sketch_quantile_extract hash-gates the descent)
+      // — this is the exact anchor both get validated against.
       val wOrd = org.apache.spark.sql.expressions.Window
         .partitionBy(col("o_orderpriority"))
         .orderBy(col("o_totalprice"), col("o_orderkey"))
