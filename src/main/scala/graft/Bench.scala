@@ -70,10 +70,14 @@ object Bench {
     val headline = Vector(
       "q1_agg", "q2_join", "q3_topk", "q4_running", "q5_topn_group", "q6_rollup",
       "q7_semi_join", "q8_asof", "q9_range", "q10_cube", "q11_anti_join", "q12_median",
-      "psd_welch", "stft", "iir_butter_lp", "hilbert_env", "resample_3_2", "fir_oa_fast",
+      "psd_welch", "stft64", "iir_butter_lp", "hilbert_env", "resample_3_2", "fir_oa_fast",
       "dedup_exact", "dedup_minhash", "dedup_components", "sim_topk", "text_quality",
       "curate_full"
     )
+    // a renamed/removed query must fail loudly, not silently drop out of
+    // the compact line (r9: "stft" vs the real key "stft64")
+    val stale = headline.filterNot(results.contains)
+    require(stale.isEmpty, s"headline names not in the query map: ${stale.mkString(", ")}")
     val qs = results
       .collect { case (k, t) if headline.contains(k) => s"\"" + k + "\":" + r3(t.warmMedian) }
       .mkString("{", ",", "}")

@@ -782,17 +782,19 @@ object Similarity {
     val qRow = vs.filter(col("vec_id") === 0).select(col("v"), col("nrm")).collect()(0)
     val qLit = array(qRow.getSeq[Double](0).map(lit): _*)
     val qNrm = qRow.getDouble(1)
-    val wr = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid"))
-      .orderBy(col("cos").desc, col("vid").asc)
+    // top-k of ONE query: orderBy + limit plans TakeOrderedAndProject
+    // (per-partition heaps, no global sort). A window partitioned by the
+    // constant qid folds to an EMPTY partition spec — WindowExec would
+    // move every candidate to one task (the r9 regression; the
+    // no-empty-partition-window audit in PlanAuditSpec now pins this)
     cand
       .select(
         lit(0L).as("qid"),
         col("vid"),
         round(graft.functions.exprs.dot_d(qLit, col("vb")) / (lit(qNrm) * col("nb")), 6).as("cos")
       )
-      .select(col("qid"), col("vid"), col("cos"), row_number().over(wr).as("rank"))
-      .filter(col("rank") <= topK)
+      .orderBy(col("cos").desc, col("vid").asc)
+      .limit(topK)
   }
 
   /** Single-query (qid = 0) twin of [[ivfTopkSql]] over raw embeddings
@@ -811,7 +813,7 @@ object Similarity {
       "JOIN vs qa ON qa.vec_id = q.qid JOIN vs cb ON cb.vec_id = s.vid WHERE q.qid <> s.vid), " +
       s"scored AS (SELECT DISTINCT qid, vid, round($cosSqlExpr, 6) AS cos FROM pairs), " +
       "ranked AS (SELECT qid, vid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rank FROM scored) " +
-      s"SELECT qid, vid, cos, rank FROM ranked WHERE rank <= $topK"
+      s"SELECT qid, vid, cos FROM ranked WHERE rank <= $topK"
   }
 
   /** SemDeDup-shaped semantic dedup (Abbas et al. 2023): coarse cells

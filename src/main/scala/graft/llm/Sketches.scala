@@ -486,15 +486,18 @@ object Sketches {
       )
       .groupBy(col("g"))
       .agg(sum(col("node_est")).as("est_rank"))
+    // left joins: a group whose median has rank 0 (all values equal, or
+    // median_floor 0 with no set bits) has NO exact/est row — it must
+    // surface with rank 0, not silently drop (ADVICE r9)
     med
-      .join(exact, Seq("g"))
-      .join(est, Seq("g"))
+      .join(exact, Seq("g"), "left")
+      .join(est, Seq("g"), "left")
       .select(
         col("g").as("o_orderpriority"),
         col("n").as("n_orders"),
         col("xq").as("median_floor"),
-        col("exact_rank"),
-        col("est_rank")
+        coalesce(col("exact_rank"), lit(0L)).as("exact_rank"),
+        coalesce(col("est_rank"), lit(0L)).as("est_rank")
       )
   }
 
@@ -530,7 +533,8 @@ object Sketches {
       "FROM med m, lvls l WHERE (m.xq // l.p2) % 2 = 1), " +
       s"est AS (SELECT bits.g, CAST(sum(least($mins)) AS BIGINT) AS est_rank FROM bits $joins GROUP BY bits.g) " +
       "SELECT m.g AS o_orderpriority, m.n AS n_orders, m.xq AS median_floor, " +
-      "x.exact_rank, e.est_rank FROM med m JOIN exact x ON x.g = m.g JOIN est e ON e.g = m.g"
+      "coalesce(x.exact_rank, 0) AS exact_rank, coalesce(e.est_rank, 0) AS est_rank " +
+      "FROM med m LEFT JOIN exact x ON x.g = m.g LEFT JOIN est e ON e.g = m.g"
   }
 
   /** Gate query: the EXTRACTION loop itself, cross-engine — per group

@@ -54,29 +54,30 @@ object PathUtils {
     paths.map(stem).toSet.union(others.map(stem).toSet) --
       paths.map(stem).toSet.intersect(others.map(stem).toSet)
 
-  /** In-place bulk rename: replace `substring` in each file NAME with
-    * `replacement` (no copy).
+  /** In-place bulk rename: replace `substring` across the FULL path
+    * string with `replacement` (no copy) — reference path_utils.rename
+    * (:102) semantics: a match in a parent directory moves the file
+    * there (the target directory must exist).
     */
   def rename(paths: Seq[String], substring: String, replacement: String): Unit =
     paths.foreach { p =>
-      val fp = JPaths.get(p)
-      if (fp.getFileName.toString.contains(substring)) {
-        val target = fp.resolveSibling(fp.getFileName.toString.replace(substring, replacement))
-        Files.move(fp, target)
+      if (p.contains(substring)) {
+        Files.move(JPaths.get(p), JPaths.get(p.replace(substring, replacement)))
       }
     }
 
   /** Path-encoded metadata: each named pattern must carry exactly one
     * regex group; the group's first match in the path becomes the
-    * value.
+    * value. Patterns with no match in the path are SKIPPED, not raised
+    * (reference path_utils.metadata :142 documented semantics).
     */
   def metadata(path: String, patterns: (String, String)*): Map[String, String] =
-    patterns.map { case (name, pattern) =>
+    patterns.flatMap { case (name, pattern) =>
       val re = pattern.r
-      val m = re.findFirstMatchIn(path)
-      require(m.isDefined, s"pattern $pattern not found in $path")
-      require(m.get.groupCount == 1, s"pattern $pattern must contain exactly one group")
-      name -> m.get.group(1)
+      re.findFirstMatchIn(path).map { m =>
+        require(m.groupCount == 1, s"pattern $pattern must contain exactly one group")
+        name -> m.group(1)
+      }
     }.toMap
 
   /** The distributed bridge: list two globs, pair them by `pattern`,

@@ -53,9 +53,18 @@ class PathUtilsSpec extends AnyFunSuite {
       "mouse" -> """mouse_(\d+)"""
     )
     assert(md == Map("cohort" -> "12", "mouse" -> "07"))
-    intercept[IllegalArgumentException](
-      PathUtils.metadata("/x/y.edf", "absent" -> """zzz_(\d+)""")
-    )
+    // reference :142: missing patterns are SKIPPED, not raised
+    assert(PathUtils.metadata("/x/y.edf", "absent" -> """zzz_(\d+)""") == Map.empty)
+  }
+
+  test("rename matches across the full path string (reference :102 semantics)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_mvdir")
+    val src = java.nio.file.Files.createDirectory(base.resolve("batchA")).toFile
+    val dst = java.nio.file.Files.createDirectory(base.resolve("batchB")).toFile
+    val f = new java.io.File(src, "rec.edf"); f.createNewFile()
+    PathUtils.rename(Seq(f.getAbsolutePath), "batchA", "batchB")
+    assert(!f.exists() && new java.io.File(dst, "rec.edf").exists())
+    dst.listFiles().foreach(_.delete()); src.delete(); dst.delete(); base.toFile.delete()
   }
 
   test("pairedTable pairs two real directories into a keyed DataFrame") {

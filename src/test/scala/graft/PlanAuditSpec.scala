@@ -24,17 +24,41 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_langid_ngram" // per-lang count + 1-row vocab-size broadcast sides
   )
 
-  test("no gate query plans a cartesian product or global sort exchange") {
+  // a Window.partitionBy(constant) folds to an EMPTY partition spec and
+  // WindowExec moves the ENTIRE input to one task for the sort (the r9
+  // sim_ivf_layout regression — 8 `WARN WindowExec: No Partition Defined`
+  // lines in the bench tail were the only signal). This walk makes the
+  // r3 "no partition-less window anywhere" invariant mechanical.
+  private def emptyPartitionWindows(
+      p: org.apache.spark.sql.execution.SparkPlan
+  ): Seq[String] = {
+    val here = p match {
+      case w: org.apache.spark.sql.execution.window.WindowExecBase
+          if w.partitionSpec.isEmpty =>
+        Seq(w.nodeName)
+      case _ => Seq.empty
+    }
+    val kids = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.initialPlan)
+      case other => other.children
+    }
+    here ++ (kids ++ p.subqueries).flatMap(emptyPartitionWindows)
+  }
+
+  test("no gate query plans a cartesian product, global sort exchange, or partition-less window") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
-      val plan =
-        try fn(spark, sf).queryExecution.executedPlan.toString
+      val exec =
+        try fn(spark, sf).queryExecution.executedPlan
         catch { case e: Throwable => fail(s"$name failed to plan: $e") }
+      val plan = exec.toString
       if (plan.contains("CartesianProduct")) offenders += s"$name: CartesianProduct"
       if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
         offenders += s"$name: BroadcastNestedLoopJoin"
       if (plan.contains("Exchange SinglePartition") && !plan.contains("AdaptiveSparkPlan"))
         offenders += s"$name: Exchange SinglePartition"
+      emptyPartitionWindows(exec).foreach(w => offenders += s"$name: empty-partition $w")
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }

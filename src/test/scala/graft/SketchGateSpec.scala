@@ -218,14 +218,14 @@ class SketchGateSpec extends AnyFunSuite {
       .ivfTopk(emb)
       .filter(org.apache.spark.sql.functions.col("qid") === 0)
       .collect()
-      .map(r => (r.getAs[Long]("vid"), r.getAs[Double]("cos"), r.getAs[Int]("rank")))
-      .sortBy(_._3)
+      .map(r => (r.getAs[Long]("vid"), r.getAs[Double]("cos")))
+      .sortBy(t => (-t._2, t._1))
       .toSeq
     val layout = Similarity
       .ivfLayoutTopk(emb)
       .collect()
-      .map(r => (r.getAs[Long]("vid"), r.getAs[Double]("cos"), r.getAs[Int]("rank")))
-      .sortBy(_._3)
+      .map(r => (r.getAs[Long]("vid"), r.getAs[Double]("cos")))
+      .sortBy(t => (-t._2, t._1))
       .toSeq
     assert(layout == mem, s"layout path diverged:\n$layout\nvs\n$mem")
   }
