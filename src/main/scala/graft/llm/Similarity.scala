@@ -816,6 +816,91 @@ object Similarity {
       s"SELECT qid, vid, cos FROM ranked WHERE rank <= $topK"
   }
 
+  /** BATCH ANN serving over the pruned layout — [[ivfLayoutTopk]]
+    * generalized from one collected query row to a query TABLE (the
+    * shape a real serving pass hits first). Per-query probed cells come
+    * from the same assignment window restricted to the query rows; the
+    * UNION of probed cells (bounded by `nList` at ANY query-batch size)
+    * renders as partition-pruning literals so the store scan still
+    * reads only the probed cell partitions (PlanAuditSpec pins the cid
+    * PartitionFilters); candidates arrive via ONE broadcast equi-join
+    * of the tiny (qid, cid) probe table against the pruned read — the
+    * corpus side never shuffles; the rank window partitions by the REAL
+    * `qid` key (nQueries partitions — the r9 constant-key lesson). Each
+    * (qid, vid) pair surfaces exactly once by construction (a vector
+    * lives in one cell), so no dedup pass is needed. The oracle is
+    * [[ivfTopkSql]] VERBATIM over raw embeddings: float arrays
+    * round-trip parquet losslessly, so serving through the layout must
+    * not change a single answer.
+    */
+  def ivfServeTopk(emb: DataFrame, nList: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    val store = graft.sources.Scratch.dir("sim_ivf_serve")
+    val vs = vecsN(emb)
+    val cents = vs.filter(col("vec_id") < nList).select(col("vec_id").as("cid"), col("v").as("cv"))
+    val d = vs
+      .join(broadcast(cents))
+      .select(col("vec_id"), col("cid"), graft.functions.exprs.sq_dist(col("v"), col("cv")).as("d2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cid").asc)
+    val assign = d
+      .select(col("vec_id"), col("cid"), row_number().over(w).as("cr"))
+      .filter(col("cr") === 1)
+      .select(col("vec_id"), col("cid"))
+    emb
+      .select(col("vec_id"), col("embedding"))
+      .join(assign, Seq("vec_id"))
+      .write
+      .partitionBy("cid")
+      .mode("overwrite")
+      .parquet(s"$store/cells")
+    // probe cells per QUERY row only — the nQueries-row filter pushes to
+    // the scan, so this branch never re-ranks the corpus
+    val qcells = d
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("cid"), row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"))
+          .orderBy(col("d2").asc, col("cid").asc)
+      ).as("cr"))
+      .filter(col("cr") <= nProbe)
+      .select(col("qid"), col("cid"))
+      .localCheckpoint() // referenced by the literal collect AND the probe join
+    val probeCells = qcells
+      .select(col("cid"))
+      .distinct()
+      .collect()
+      .map(_.getLong(0).toInt)
+      .sorted
+    val cand = spark.read
+      .parquet(s"$store/cells")
+      .filter(col("cid").isin(probeCells: _*))
+      .select(
+        col("cid").cast("long").as("cid"),
+        col("vec_id").as("vid"),
+        transform(col("embedding"), x => x.cast("double")).as("vb")
+      )
+      .withColumn("nb", sqrt(graft.functions.exprs.dot_d(col("vb"), col("vb"))))
+    val qtab = vs
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vid").asc)
+    cand
+      .join(broadcast(qcells), Seq("cid"))
+      .filter(col("qid") =!= col("vid"))
+      .join(broadcast(qtab), Seq("qid"))
+      .select(
+        col("qid"),
+        col("vid"),
+        round(graft.functions.exprs.dot_d(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos")
+      )
+      .select(col("qid"), col("vid"), col("cos"), row_number().over(wr).as("rank"))
+      .filter(col("rank") <= topK)
+  }
+
   /** SemDeDup-shaped semantic dedup (Abbas et al. 2023): coarse cells
     * bound the candidate set (never all-pairs across the corpus), then
     * within each cell any vector whose cosine to a LOWER-id cell-mate
@@ -1223,6 +1308,7 @@ object Similarity {
     "dedup_semantic" -> { (s, dir) => semanticDupes(Tables.embeddings(s, dir)) },
     "sim_ivf_topk" -> { (s, dir) => ivfTopk(Tables.embeddings(s, dir)) },
     "sim_ivf_layout" -> { (s, dir) => ivfLayoutTopk(Tables.embeddings(s, dir)) },
+    "sim_ivf_serve" -> { (s, dir) => ivfServeTopk(Tables.embeddings(s, dir)) },
     "sim_pq_topk" -> { (s, dir) => pqTopk(Tables.embeddings(s, dir)) },
     "sim_ivfpq_topk" -> { (s, dir) => ivfPqTopk(Tables.embeddings(s, dir)) },
     "sim_topk" -> { (s, dir) => topk(Tables.embeddings(s, dir)) },
@@ -1253,6 +1339,9 @@ object Similarity {
     "dedup_semantic" -> semanticDupesSql(),
     "sim_ivf_topk" -> ivfTopkSql(),
     "sim_ivf_layout" -> ivfLayoutTopkSql(),
+    // serving through the layout must reproduce the in-memory IVF
+    // answers exactly — the oracle is the multi-query IVF SQL verbatim
+    "sim_ivf_serve" -> ivfTopkSql(),
     "sim_pq_topk" -> pqTopkSql,
     "sim_ivfpq_topk" -> ivfPqTopkSql(),
     "dedup_embed" -> embedDupesSql(0.4, planes, 2)

@@ -15,7 +15,7 @@ class PlanAuditSpec extends AnyFunSuite {
   // text_bm25's is the 1-row corpus-stats aggregate (Catalyst folds the
   // constant join key away)
   private val bnljAllowed = Set(
-    "sim_ivf_topk", "sim_topk", "sim_pq_topk", "sim_ivfpq_topk",
+    "sim_ivf_topk", "sim_ivf_serve", "sim_topk", "sim_pq_topk", "sim_ivfpq_topk",
     "dedup_semantic", // same ≤16-row centroid-assignment broadcast as sim_ivf
     "decontam_semantic", // benchmark-suite broadcast side (KBs–MBs at scale)
     "anno_mask", "epoch_extract", "epoch_average", // globalRank's one-row-per-4096-ids offset self-join
@@ -187,6 +187,19 @@ class PlanAuditSpec extends AnyFunSuite {
     val storeScans = plan.linesIterator.count(l => l.contains("FileScan") && l.contains("corpus_profile_inc"))
     assert(docScans == 1, s"expected exactly 1 batch documents scan, found $docScans")
     assert(storeScans >= 1, s"store parquet not read (found $storeScans scans)")
+  }
+
+  test("sim_ivf_serve prunes cell partitions and joins candidates broadcast") {
+    // batch serving contract: the probed-cell UNION must reach the store
+    // scan as PartitionFilters, and the probe/query joins must broadcast
+    // (the corpus side never shuffles)
+    val df = graft.llm.Similarity.ivfServeTopk(core.Tables.embeddings(spark, sf))
+    val p = df.queryExecution.executedPlan.toString
+    val scan = p.linesIterator
+      .find(l => l.contains("PartitionFilters") && l.contains("sim_ivf_serve"))
+      .getOrElse("")
+    assert(scan.contains("cid"), s"cid partition filter not pushed: $scan")
+    assert(p.contains("BroadcastHashJoin"), "probe/query joins should broadcast")
   }
 
   test("sim_ivf_layout prunes cell partitions at the scan") {

@@ -230,6 +230,21 @@ class SketchGateSpec extends AnyFunSuite {
     assert(layout == mem, s"layout path diverged:\n$layout\nvs\n$mem")
   }
 
+  test("sim_ivf_serve equals the in-memory IVF path for every query vector") {
+    val emb = Tables.embeddings(spark, sf)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("qid"), r.getAs[Long]("vid"), r.getAs[Double]("cos"), r.getAs[Int]("rank"))
+      )
+      .sortBy(t => (t._1, t._4))
+      .toSeq
+    val mem = canon(Similarity.ivfTopk(emb))
+    val served = canon(Similarity.ivfServeTopk(emb))
+    assert(served.map(_._1).distinct.size >= 4, "serving batch must cover >= 4 query vectors")
+    assert(served == mem, s"served answers diverged from the in-memory IVF path")
+  }
+
   test("events_retention cohorts and offsets on a planted timeline") {
     import spark.implicits._
     val wk = 604800000000000L
