@@ -619,10 +619,17 @@ object Sketches {
     * integers. Returns the estimated q-quantile leaf value, whose exact
     * rank is within the summed per-level CMS noise of q·n (spec-pinned).
     */
-  def quantileFromCounters(counters: Map[(String, Int, Int, Long), Long], g: String, n: Long, q: Double): Long = {
+  def quantileFromCounters(counters: Map[(String, Int, Int, Long), Long], g: String, n: Long, q: Double): Long =
+    quantileDescend(counters, g, math.max(1L, math.ceil(q * n).toLong))
+
+  /** The descent with an EXPLICIT integer target rank — callers that
+    * must match a SQL oracle compute the target with integer arithmetic
+    * ((n+1)//2, (9n+9)//10, …) on both engines; ceil(q·n) on doubles is
+    * a cross-engine hazard for any q that isn't exact in binary.
+    */
+  def quantileDescend(counters: Map[(String, Int, Int, Long), Long], g: String, target: Long): Long = {
     def est(lvl: Int, node: Long): Long =
       (0 until qDepth).map(r => counters.getOrElse((g, lvl, r, qBucketJvm(r, lvl, node)), 0L)).min
-    val target = math.max(1L, math.ceil(q * n).toLong)
     var x = 0L
     var rank = 0L
     var lvl = qLevels - 1
@@ -775,14 +782,16 @@ object Sketches {
     profileFinish(merged)
   }
 
-  def corpusProfileSql: String = {
+  /** CTE chain ending in the `grid` profile state — shared by the
+    * profile finish and the quantile-descent oracles.
+    */
+  private def profileGridCtes: String = {
     val m = hllRegisters
     val h52 = "CAST(concat('0x', substr(md5(t), 1, 13)) AS BIGINT)"
     val lrs = (for { l <- 0 until qLevels; r <- 0 until qDepth } yield
       s"($l, ${1L << l}, $r, ${qA(r)}, ${qB(r)})")
       .mkString("VALUES ", ", ", "")
-    val stage1 = profileStage1.map { case (e, n) => s"$e AS $n" }.mkString(", ")
-    s"WITH base AS MATERIALIZED (SELECT source, string_split(text, ' ') AS toks, " +
+    s"base AS MATERIALIZED (SELECT source, string_split(text, ' ') AS toks, " +
       s"least(CAST(len(string_split(text, ' ')) AS BIGINT), ${(1L << qLevels) - 1}) AS vq FROM documents), " +
       s"toki AS (SELECT source, list_extract(toks, g.i) AS t FROM base, " +
       s"generate_series(1, ${TextStats.maxTokens}) g(i) WHERE g.i <= len(toks)), " +
@@ -795,10 +804,79 @@ object Sketches {
       "CAST(0 AS BIGINT) AS k3, CAST(len(toks) AS BIGINT) AS v FROM base), " +
       "grid AS MATERIALIZED (SELECT source, kind, k1, k2, k3, max(v) AS mx, count(*) AS cnt, " +
       "CAST(sum(v) AS BIGINT) AS sm FROM (SELECT * FROM hins UNION ALL SELECT * FROM qins " +
-      "UNION ALL SELECT * FROM cins) GROUP BY source, kind, k1, k2, k3), " +
+      "UNION ALL SELECT * FROM cins) GROUP BY source, kind, k1, k2, k3)"
+  }
+
+  def corpusProfileSql: String = {
+    val stage1 = profileStage1.map { case (e, n) => s"$e AS $n" }.mkString(", ")
+    s"WITH $profileGridCtes, " +
       s"fin AS (SELECT source, $stage1 FROM grid GROUP BY source) " +
       s"SELECT source, n_docs, n_tokens, $profileEstHll AS est_hll, " +
       profProbes.map(x => s"est_lt_$x").mkString(", ") + " FROM fin"
+  }
+
+  /** Arbitrary-quantile probes off the profile grid: per source the
+    * estimated p50/p90 doc length (tokens, clamped at 2^qLevels − 1),
+    * descended from the SAME persisted grid the profile ships — no new
+    * corpus pass, the grid is the only state (what fixed build-time
+    * probes can't give a profile consumer who asks for a quantile after
+    * the fact). Spark collects the bounded q/c grid rows (≤ sources·
+    * (L·d·w + 1) integers, corpus-independent) and runs the
+    * [[quantileDescend]] loop driver-side; targets are INTEGER formulas
+    * ((n+1)//2, (9n+9)//10) on both engines — ceil(0.9·n) on doubles
+    * would be an ulp coin flip. The oracle replays the descent as
+    * chained CTEs whose per-level lookups hash the RUNTIME node
+    * (sketch_quantile_extract precedent), so build AND extraction are
+    * hash-gated on the profile's own grid.
+    */
+  def corpusProfileQuantiles(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    val rows = profileGrid(docs)
+      .filter(col("kind").isin("q", "c"))
+      .select(col("source"), col("kind"), col("k1"), col("k2"), col("k3"), col("cnt"))
+      .collect()
+    val counters = rows
+      .filter(_.getString(1) == "q")
+      .map(r =>
+        (r.getString(0), r.getLong(2).toInt, r.getLong(3).toInt, r.getLong(4)) -> r.getLong(5)
+      )
+      .toMap
+    import s.implicits._
+    rows
+      .filter(_.getString(1) == "c")
+      .map(r => (r.getString(0), r.getLong(5)))
+      .toSeq
+      .sortBy(_._1)
+      .flatMap { case (src, n) =>
+        Seq(("p50", (n + 1L) / 2L), ("p90", (9L * n + 9L) / 10L)).map { case (q, target) =>
+          (src, q, n, quantileDescend(counters, src, target))
+        }
+      }
+      .toDF("source", "q", "n_docs", "est_len")
+  }
+
+  def corpusProfileQuantilesSql: String = {
+    def step(l: Int): String = {
+      val joins = (0 until qDepth)
+        .map(r =>
+          s"LEFT JOIN grid c$r ON c$r.source = t.g AND c$r.kind = 'q' AND c$r.k1 = $l " +
+            s"AND c$r.k2 = $r AND c$r.k3 = ${qBucketSql(r, l.toString, s"(t.x // ${1L << l})")}"
+        )
+        .mkString(" ")
+      val mins = (0 until qDepth).map(r => s"coalesce(c$r.cnt, 0)").mkString("least(", ", ", ")")
+      s"p$l AS MATERIALIZED (SELECT g, q, n, target, " +
+        s"CASE WHEN rk + est >= target THEN x ELSE x + ${1L << l} END AS x, " +
+        "CASE WHEN rk + est >= target THEN rk ELSE rk + est END AS rk FROM (" +
+        s"SELECT t.g, t.q, t.n, t.target, t.x, t.rk, $mins AS est FROM p${l + 1} t $joins))"
+    }
+    s"WITH $profileGridCtes, " +
+      "nd AS (SELECT source AS g, cnt AS n FROM grid WHERE kind = 'c'), " +
+      s"p$qLevels AS MATERIALIZED (SELECT g, q, n, target, CAST(0 AS BIGINT) AS x, " +
+      "CAST(0 AS BIGINT) AS rk FROM (" +
+      "SELECT g, 'p50' AS q, n, (n + 1) // 2 AS target FROM nd " +
+      "UNION ALL SELECT g, 'p90' AS q, n, (9 * n + 9) // 10 AS target FROM nd)), " +
+      (qLevels - 1 to 0 by -1).map(step).mkString(", ") + " " +
+      "SELECT g AS source, q, n AS n_docs, x AS est_len FROM p0"
   }
 
   // ---------------------------------------------------------------------
@@ -810,7 +888,8 @@ object Sketches {
     "sketch_quantile" -> { (s, dir) => quantileRank(Tables.orders(s, dir)) },
     "sketch_quantile_extract" -> { (s, dir) => quantileExtract(Tables.orders(s, dir)) },
     "corpus_profile" -> { (s, dir) => corpusProfile(Tables.documents(s, dir)) },
-    "corpus_profile_inc" -> { (s, dir) => corpusProfileIncremental(Tables.documents(s, dir)) }
+    "corpus_profile_inc" -> { (s, dir) => corpusProfileIncremental(Tables.documents(s, dir)) },
+    "corpus_profile_quantiles" -> { (s, dir) => corpusProfileQuantiles(Tables.documents(s, dir)) }
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -822,6 +901,7 @@ object Sketches {
     "corpus_profile" -> corpusProfileSql,
     // mergeability IS the checked property: the incremental store+batch
     // merge must equal the single-pass profile bit-for-bit
-    "corpus_profile_inc" -> corpusProfileSql
+    "corpus_profile_inc" -> corpusProfileSql,
+    "corpus_profile_quantiles" -> corpusProfileQuantilesSql
   )
 }

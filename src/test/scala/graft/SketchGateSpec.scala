@@ -230,6 +230,34 @@ class SketchGateSpec extends AnyFunSuite {
     assert(layout == mem, s"layout path diverged:\n$layout\nvs\n$mem")
   }
 
+  test("corpus_profile_quantiles p50/p90 track the exact per-source quantiles") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val est = Sketches
+      .corpusProfileQuantiles(docs)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(3))
+      .toMap
+    val exact = docs
+      .select(
+        col("source"),
+        least(size(split(col("text"), " ")).cast("long"), lit((1L << Sketches.qLevels) - 1))
+          .as("len")
+      )
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (src, rows) =>
+        val ls = rows.map(_.getLong(1)).sorted
+        src -> (ls(((ls.length + 1) / 2 - 1).toInt), ls(((9L * ls.length + 9) / 10 - 1).toInt))
+      }
+    exact.foreach { case (src, (p50, p90)) =>
+      // CMS overcount is one-sided and tiny at gate counts (measured 0
+      // at sf0.01); allow 1 token of descent slack
+      assert(math.abs(est((src, "p50")) - p50) <= 1, s"$src p50: ${est((src, "p50"))} vs $p50")
+      assert(math.abs(est((src, "p90")) - p90) <= 1, s"$src p90: ${est((src, "p90"))} vs $p90")
+    }
+  }
+
   test("sim_ivf_serve equals the in-memory IVF path for every query vector") {
     val emb = Tables.embeddings(spark, sf)
     def canon(df: org.apache.spark.sql.DataFrame) = df
