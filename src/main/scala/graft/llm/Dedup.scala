@@ -1052,6 +1052,208 @@ object Dedup {
       "row_number() OVER (PARTITION BY c.comp_id ORDER BY q.q DESC, c.doc_id) = 1 AS keep " +
       "FROM comp c JOIN q ON q.doc_id = c.doc_id"
 
+  // ---------------------------------------------------------------------
+
+  /** `retrieve_chunks` config — the RAG retrieval loop closed natively:
+    * fixed-window chunking ([[TextStats.chunks]] arithmetic), per-CHUNK
+    * feature-hash embeddings ([[TextStats.hashEmbedSums]] formulas on
+    * the chunk token stream), mean-centered integer vectors
+    * ([[hashEmbedDupes]]'s overflow-safe centering), banded hyperplane
+    * candidates (equi-join — never all-pairs), exact integer cosine on
+    * candidates only, and a per-query rank window (real key). The gate
+    * instance is 8 planes / 2×4-bit bands (the SQL-replayable
+    * narrow config — see [[hePlanes]] for the widen-with-log(n) rule
+    * at corpus scale).
+    */
+  val rcPlanes = 8
+  val rcBands = 2
+  val rcTopK = 3
+  val rcQueryDocs = 4 // doc_id < 4 chunk 0 are the retrieval queries
+  val rcChunkTok = 32
+  val rcDim = 64
+
+  /** Top-k chunk retrieval for each query doc's first chunk: the
+    * text→chunk→embed→candidates→rank composition as ONE query. Scale
+    * shape: chunking and embedding are row-local + one (chunk, bucket)
+    * aggregation; centering totals are a dim-row broadcast; the
+    * candidate join is banded (background ~nBands·n·2^-width per
+    * query); cosine/norm joins touch candidates only; the final rank
+    * window partitions by the real query key.
+    */
+  def retrieveChunks(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val width = rcPlanes / rcBands
+    val toks = slice(split(col("text"), " "), 1, TextStats.maxTokens)
+    val ch = docs
+      .select(col("doc_id"), toks.as("toks"), least(size(toks), lit(TextStats.maxTokens)).as("dl"))
+      .select(
+        col("doc_id"),
+        col("toks"),
+        explode(sequence(lit(0), expr(s"(dl - 1) div $rcChunkTok").cast("int"))).as("c")
+      )
+      .select(
+        col("doc_id"),
+        col("c").cast("long").as("chunk_id"),
+        slice(col("toks"), (col("c") * rcChunkTok + lit(1)).cast("int"), lit(rcChunkTok)).as("ctoks")
+      )
+      .localCheckpoint() // feeds the token stream, the dense grid, and the chunk count
+    val sums = ch
+      .select(col("doc_id"), col("chunk_id"), explode(col("ctoks")).as("tok"))
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % rcDim).as("bucket"),
+        (conv(substring(md5(col("tok")), 9, 1), 16, 10).cast("long") % 2 * 2 - 1).as("sign")
+      )
+      .groupBy(col("doc_id"), col("chunk_id"), col("bucket"))
+      .agg(sum(col("sign")).as("s"))
+      .filter(col("s") =!= 0)
+    val totals = sums.groupBy(col("bucket")).agg(sum(col("s")).as("t"))
+    val nch = ch.select(count(lit(1)).as("n"))
+    val dense = ch
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        explode(array((0 until rcDim).map(b => lit(b.toLong)): _*)).as("bucket")
+      )
+      .join(sums, Seq("doc_id", "chunk_id", "bucket"), "left")
+      .join(broadcast(totals), Seq("bucket"), "left")
+      .crossJoin(broadcast(nch))
+      .select(
+        col("doc_id"),
+        col("chunk_id"),
+        col("bucket"),
+        (coalesce(col("s"), lit(0L)) -
+          floor(coalesce(col("t"), lit(0L)).cast("double") / col("n").cast("double"))
+            .cast("long")).as("cv")
+      )
+      .localCheckpoint() // referenced by the signature agg and both cosine sides
+    def pSign(i: Int) =
+      expr(s"(shiftright(CAST(${planeMask(i, rcDim)} AS BIGINT), CAST(bucket AS INT)) & 1) * 2 - 1")
+    val aggs = (0 until rcPlanes).map(i => sum(col("cv") * pSign(i)).as(s"d$i")) :+
+      sum(col("cv") * col("cv")).as("n2")
+    val sig = dense
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        col("doc_id") +: col("chunk_id") +: col("n2") +:
+          (0 until rcBands).map { j =>
+            (0 until width)
+              .map(k => when(col(s"d${j * width + k}") > 0, lit(1L << k)).otherwise(lit(0L)))
+              .reduce(_ + _)
+              .as(s"bv$j")
+          }: _*
+      )
+      .localCheckpoint() // fans out into query bands, corpus bands, and both norms
+    val bands = sig.select(
+      col("doc_id"),
+      col("chunk_id"),
+      posexplode(array((0 until rcBands).map(j => col(s"bv$j")): _*)).as(Seq("bi", "bv"))
+    )
+    val qb = bands
+      .filter(col("doc_id") < rcQueryDocs && col("chunk_id") === 0)
+      .select(col("doc_id").as("qdoc"), col("bi"), col("bv"))
+    val cand = bands
+      .join(broadcast(qb), Seq("bi", "bv"))
+      .filter(col("doc_id") =!= col("qdoc"))
+      .select(col("qdoc"), col("doc_id").as("doc_b"), col("chunk_id").as("chunk_b"))
+      .distinct() // a pair can share both bands; score it once
+    val num = cand
+      .join(
+        dense
+          .filter(col("chunk_id") === 0 && col("doc_id") < rcQueryDocs)
+          .select(col("doc_id").as("qdoc"), col("bucket"), col("cv").as("ca")),
+        Seq("qdoc")
+      )
+      .join(
+        dense.select(
+          col("doc_id").as("doc_b"),
+          col("chunk_id").as("chunk_b"),
+          col("bucket"),
+          col("cv").as("cb")
+        ),
+        Seq("doc_b", "chunk_b", "bucket")
+      )
+      .groupBy(col("qdoc"), col("doc_b"), col("chunk_b"))
+      .agg(sum(col("ca") * col("cb")).as("num"))
+    val qn = sig
+      .filter(col("chunk_id") === 0 && col("doc_id") < rcQueryDocs)
+      .select(col("doc_id").as("qdoc"), col("n2").as("na2"))
+    val w = Window
+      .partitionBy(col("qdoc"))
+      .orderBy(col("cos").desc, col("doc_b").asc, col("chunk_b").asc)
+    num
+      .join(broadcast(qn), Seq("qdoc"))
+      .join(
+        sig.select(col("doc_id").as("doc_b"), col("chunk_id").as("chunk_b"), col("n2").as("nb2")),
+        Seq("doc_b", "chunk_b")
+      )
+      .select(
+        col("qdoc"),
+        col("doc_b"),
+        col("chunk_b"),
+        graft.core.Dsp
+          .round6(
+            col("num").cast("double") / sqrt(col("na2").cast("double") * col("nb2").cast("double"))
+          )
+          .as("cos")
+      )
+      .select(col("qdoc"), col("doc_b"), col("chunk_b"), col("cos"), row_number().over(w).as("rank"))
+      .filter(col("rank") <= rcTopK)
+  }
+
+  def retrieveChunksSql: String = {
+    val width = rcPlanes / rcBands
+    val ds = (0 until rcPlanes)
+      .map(i => s"CAST(sum(cv * (${pSignSqlFromMask(i, rcDim)})) AS BIGINT) AS d$i")
+      .mkString(", ")
+    val bandSelects = (0 until rcBands)
+      .map { j =>
+        val bv = (0 until width)
+          .map(k => s"(CASE WHEN d${j * width + k} > 0 THEN ${1L << k} ELSE 0 END)")
+          .mkString(" + ")
+        s"SELECT doc_id, chunk_id, $j AS bi, CAST($bv AS BIGINT) AS bv FROM sig"
+      }
+      .mkString(" UNION ALL ")
+    s"WITH t AS (SELECT doc_id, list_slice(string_split(text, ' '), 1, ${TextStats.maxTokens}) AS toks FROM documents), " +
+      s"d AS (SELECT doc_id, toks, least(len(toks), ${TextStats.maxTokens}) AS dl FROM t), " +
+      s"ch AS MATERIALIZED (SELECT doc_id, CAST(g.c AS BIGINT) AS chunk_id, " +
+      s"list_slice(toks, g.c * $rcChunkTok + 1, g.c * $rcChunkTok + $rcChunkTok) AS ctoks " +
+      s"FROM d, generate_series(0, ${TextStats.maxTokens}) g(c) WHERE g.c <= (dl - 1) // $rcChunkTok), " +
+      s"ctok AS (SELECT doc_id, chunk_id, list_extract(ctoks, g.i) AS tok FROM ch, " +
+      s"generate_series(1, $rcChunkTok) g(i) WHERE g.i <= len(ctoks)), " +
+      s"h AS (SELECT doc_id, chunk_id, CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % $rcDim AS bucket, " +
+      "CAST(concat('0x', substr(md5(tok), 9, 1)) AS BIGINT) % 2 * 2 - 1 AS sign FROM ctok), " +
+      "sums AS MATERIALIZED (SELECT doc_id, chunk_id, bucket, CAST(sum(sign) AS BIGINT) AS s FROM h " +
+      "GROUP BY doc_id, chunk_id, bucket HAVING sum(sign) <> 0), " +
+      "tot AS MATERIALIZED (SELECT bucket, CAST(sum(s) AS BIGINT) AS t FROM sums GROUP BY bucket), " +
+      "nn AS MATERIALIZED (SELECT count(*) AS n FROM ch), " +
+      s"grid AS (SELECT ch.doc_id, ch.chunk_id, g.b AS bucket FROM ch, generate_series(0, ${rcDim - 1}) g(b)), " +
+      "dense AS MATERIALIZED (SELECT grid.doc_id, grid.chunk_id, grid.bucket, " +
+      "coalesce(s.s, 0) - CAST(floor(CAST(coalesce(tt.t, 0) AS DOUBLE) / (SELECT n FROM nn)) AS BIGINT) AS cv FROM grid " +
+      "LEFT JOIN sums s ON s.doc_id = grid.doc_id AND s.chunk_id = grid.chunk_id AND s.bucket = grid.bucket " +
+      "LEFT JOIN tot tt ON tt.bucket = grid.bucket), " +
+      s"sig AS MATERIALIZED (SELECT doc_id, chunk_id, CAST(sum(cv * cv) AS BIGINT) AS n2, $ds " +
+      "FROM dense GROUP BY doc_id, chunk_id), " +
+      s"bands AS MATERIALIZED ($bandSelects), " +
+      s"qb AS (SELECT doc_id AS qdoc, bi, bv FROM bands WHERE doc_id < $rcQueryDocs AND chunk_id = 0), " +
+      "cand AS (SELECT DISTINCT q.qdoc, b.doc_id AS doc_b, b.chunk_id AS chunk_b FROM qb q " +
+      "JOIN bands b ON b.bi = q.bi AND b.bv = q.bv AND b.doc_id <> q.qdoc), " +
+      "num AS (SELECT c.qdoc, c.doc_b, c.chunk_b, CAST(sum(x.cv * y.cv) AS BIGINT) AS num FROM cand c " +
+      s"JOIN dense x ON x.doc_id = c.qdoc AND x.chunk_id = 0 " +
+      "JOIN dense y ON y.doc_id = c.doc_b AND y.chunk_id = c.chunk_b AND y.bucket = x.bucket " +
+      "GROUP BY c.qdoc, c.doc_b, c.chunk_b), " +
+      "scored AS (SELECT n.qdoc, n.doc_b, n.chunk_b, " +
+      graft.core.Dsp.round6Sql(
+        "CAST(n.num AS DOUBLE) / sqrt(CAST(sa.n2 AS DOUBLE) * CAST(sb.n2 AS DOUBLE))"
+      ) + " AS cos " +
+      "FROM num n JOIN sig sa ON sa.doc_id = n.qdoc AND sa.chunk_id = 0 " +
+      "JOIN sig sb ON sb.doc_id = n.doc_b AND sb.chunk_id = n.chunk_b), " +
+      "ranked AS (SELECT qdoc, doc_b, chunk_b, cos, " +
+      "row_number() OVER (PARTITION BY qdoc ORDER BY cos DESC, doc_b, chunk_b) AS rank FROM scored) " +
+      s"SELECT qdoc, doc_b, chunk_b, cos, rank FROM ranked WHERE rank <= $rcTopK"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> { (s, dir) =>
       Tables
@@ -1085,7 +1287,8 @@ object Dedup {
     "dedup_stream" -> { (s, dir) => dedupStreaming(Tables.documents(s, dir)) },
     "dedup_incremental" -> { (s, dir) => incrementalDedup(Tables.documents(s, dir)) },
     "dedup_hash_embed" -> { (s, dir) => hashEmbedDupes(Tables.documents(s, dir)) },
-    "dedup_keep_best" -> { (s, dir) => keepBest(Tables.documents(s, dir)) }
+    "dedup_keep_best" -> { (s, dir) => keepBest(Tables.documents(s, dir)) },
+    "retrieve_chunks" -> { (s, dir) => retrieveChunks(Tables.documents(s, dir)) }
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1114,6 +1317,7 @@ object Dedup {
         "doc_id > min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup FROM documents"),
     "dedup_incremental" -> incrementalDedupSql(),
     "dedup_hash_embed" -> hashEmbedDupesSql(),
-    "dedup_keep_best" -> keepBestSql
+    "dedup_keep_best" -> keepBestSql,
+    "retrieve_chunks" -> retrieveChunksSql
   )
 }

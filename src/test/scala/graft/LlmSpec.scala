@@ -779,6 +779,32 @@ class LlmSpec extends AnyFunSuite {
     assert(farKeys == Set((1L, 21L)), s"narrow-band instance missed the planted pair: $farKeys")
   }
 
+  test("retrieve_chunks ranks the planted near-copy chunk first for its query") {
+    import spark.implicits._
+    // query docs are 0..3 (first chunk each). Doc 10's SECOND chunk
+    // (tokens 33..64) is a near-copy of query doc 1's first chunk;
+    // the other docs are unrelated vocabulary.
+    def toks(pfx: String, a: Int, b: Int) = (a to b).map(i => s"$pfx$i").mkString(" ")
+    val q1chunk = toks("q1w", 1, 32)
+    val docs = (
+      (0 to 3).map(d => (d.toLong, toks(s"q${d}w", 1, 40))) ++
+        (5 to 9).map(d => (d.toLong, toks(s"d${d}w", 1, 40))) :+
+        // chunk 0 = filler, chunk 1 = the near-copy (2 tokens edited)
+        (10L, s"${toks("fill", 1, 32)} ${q1chunk.replace("q1w3 ", "edited3 ").replace("q1w17 ", "edited17 ")}")
+    ).toDF("doc_id", "text")
+    val got = Dedup
+      .retrieveChunks(docs)
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("qdoc"), r.getAs[Int]("rank")) ->
+          (r.getAs[Long]("doc_b"), r.getAs[Long]("chunk_b"), r.getAs[Double]("cos"))
+      )
+      .toMap
+    val top = got.get((1L, 1))
+    assert(top.exists(t => t._1 == 10L && t._2 == 1L), s"planted chunk not ranked first: $got")
+    assert(top.exists(_._3 > 0.8), s"planted chunk cos too low: $top")
+  }
+
   test("dedup_keep_best keeps the highest-quality cluster member, not the min id") {
     import spark.implicits._
     // docs 1..3 are one near-dup cluster (≥0.7 shingle jaccard); doc 1
