@@ -190,6 +190,55 @@ object Prof {
       // cost only driver iterate time — wall should track pcaTop
       t(s"emb${embK}k_pca_k", embK * 1000L)(llm.Similarity.pcaTopK(spark, emb).count())
       t(s"emb${embK}k_whiten", embK * 1000L)(llm.Similarity.pcaWhiten(spark, emb).count())
+      // trained IVF+PQ end-to-end at the decade: a deterministic
+      // 64-cluster corpus (sin-hashed latent center + hash-DECORRELATED
+      // noise — a smooth sin(id·phase) noise term makes same-cluster
+      // members near-duplicates with sub-round6 margins, and no ANN
+      // config can then recover the exact top-5), kmeans|| cells +
+      // Lloyd residual codebooks + PQ-shortlist refine, recall@5
+      // scored against the exact cosine baseline
+      val nLatent = 64
+      val clustered = spark
+        .range(embK * 1000L)
+        .select(
+          col("id").as("vec_id"),
+          transform(
+            sequence(lit(1), lit(64)),
+            j =>
+              sin((col("id") % nLatent).cast("double") * 7.3 + j.cast("double") * 1.7) +
+                lit(0.15) * sin(
+                  ((col("id") * 1315423911L + j.cast("long") * 2654435761L) % 104729L)
+                    .cast("double") * 0.013
+                )
+          ).as("embedding")
+        )
+        .withColumn("label", lit(0))
+        .persist()
+      clustered.count()
+      var cents: Array[Array[Double]] = null
+      t(s"emb${embK}k_kmeans_train", embK * 1000L) {
+        cents = llm.Similarity.kmeansParallel(clustered, k = nLatent)
+        cents.length.toLong
+      }
+      var served: Set[(Long, Long)] = Set.empty
+      t(s"emb${embK}k_ivfpq_trained", embK * 1000L) {
+        val rows = llm.Similarity
+          .ivfPqTopkTrained(clustered, cents, nProbe = 8)
+          .select(col("qid"), col("vid"))
+          .collect()
+        served = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+        rows.length.toLong
+      }
+      val truth = llm.Similarity
+        .topk(clustered)
+        .select(col("qid"), col("vid"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      val recall = (truth & served).size.toDouble / truth.size
+      println(f"PROF emb${embK}k_ivfpq_recall@5 = $recall%.3f (vs exact cosine top-5, 10 queries)")
+      clustered.unpersist()
+      ()
     }
     spark.stop()
   }

@@ -95,6 +95,32 @@ class ScaleSpec extends AnyFunSuite {
     assert(scanned < 10L * 810 / 2, s"scanned $scanned pairs — not a bounded probe")
   }
 
+  // The trained END-TO-END composition: kmeans|| cells + Lloyd-trained
+  // residual codebooks, recall vs the exact cosine baseline — the
+  // production story the gate's deterministic first-16 centroids can't
+  // tell (the documented oracle trade).
+  test("trained IVF+PQ reaches recall@5 >= 0.9 vs the exact baseline") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val latent = Array.fill(16)(normalize(Array.fill(64)(rnd.nextGaussian())))
+    val rows = (0 until 810).map { i =>
+      val c = latent(i % 16)
+      val v = normalize(c.zip(Array.fill(64)(rnd.nextGaussian())).map { case (a, g) => a + 0.18 * g })
+      (i.toLong, v.map(_.toFloat).toSeq, (i % 16).toLong)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val cents = graft.llm.Similarity.kmeansParallel(emb, k = 16)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(graft.llm.Similarity.topk(emb))
+    val got = pairs(graft.llm.Similarity.ivfPqTopkTrained(emb, cents, nProbe = 4))
+    val recall = (truth & got).size.toDouble / truth.size
+    assert(recall >= 0.9, s"trained IVF+PQ recall@5 = $recall")
+  }
+
   // The r3/r4 VERDICT scale-killer: 8-plane/2×4-bit banding samples
   // ~n²/16 of all pairs — quadratic with a constant. The 64-plane/
   // 4×16-bit default keeps background collisions at ~4n²/2^16 (a 256×
