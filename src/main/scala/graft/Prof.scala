@@ -105,6 +105,9 @@ object Prof {
     t("psd_welch_fft")(operators.SpectraOps.psdWelch(sig).count())
     t("stft64_fft")(operators.SpectraOps.stft(sig).count())
     t("hilbert_env")(operators.HilbertOps.hilbertEnv(sig).count())
+    // 257-tap Morlet quadrature pair through ONE segment assembly +
+    // two SegConv FFT convolutions — the >128-tap CWT routing
+    t("cwt_long257")(operators.CwtOps.cwtMorletLong(sig).count())
 
     val docsX = sys.env.getOrElse("PROF_DOCS", "0").toInt
     if (docsX > 0) {

@@ -80,6 +80,55 @@ object CwtOps {
       s"SELECT channel, n, $pows FROM w8"
   }
 
+  /** The production route for scales past the lag-sum bound: 257 taps
+    * at scale 32 (>128 — outside the left-associated oracle-parity
+    * window, which is why this path is spec-pinned rather than
+    * hash-gated).
+    */
+  val longScale = 32
+
+  /** Long-scale scalogram power through the segmented overlap-add FFT
+    * path — the ">128-tap scales route through SegConv" promise made
+    * by [[cwtMorlet]]'s scaladoc, delivered: ONE [[FirOps.segAssemble]]
+    * scatter/densify pass per channel, then BOTH Morlet quadrature
+    * kernels run as [[graft.functions.exprs.seg_conv]] FFT convolutions
+    * over the same assembled segment (re/im never pay assembly twice),
+    * core regions explode back to rows. O(log segLen) per sample vs
+    * O(M) for the lag-sum bank. Contract (CwtLongSpec pins it):
+    * round6(re² + im²) on the 6-dp-rounded 'same' convolutions equals
+    * the lag-sum path under the same rounding — the fir_oa_fast parity
+    * bar.
+    */
+  def cwtMorletLong(sig: DataFrame, s: Int = longScale, segLen: Int = 1024): DataFrame = {
+    val (re, im) = kernel(s)
+    val l = (re.length - 1) / 2
+    val conv = FirOps
+      .segAssemble(sig, l, segLen)
+      .select(
+        col("channel"),
+        col("s"),
+        graft.functions.exprs.seg_conv(col("xs"), re).as("yr"),
+        graft.functions.exprs.seg_conv(col("xs"), im).as("yi")
+      )
+    val bounds = sig.groupBy(col("channel")).agg(max(col("n")).as("max_n"))
+    conv
+      .select(col("channel"), col("s"), posexplode(arrays_zip(col("yr"), col("yi"))).as(Seq("j", "z")))
+      .filter(col("j") >= 2 * l && col("j") < segLen + 2 * l)
+      .select(
+        col("channel"),
+        (col("s") * segLen + col("j") - 2 * l).cast("bigint").as("n"),
+        round(col("z.yr"), 6).as("re"),
+        round(col("z.yi"), 6).as("im")
+      )
+      .join(broadcast(bounds), Seq("channel"))
+      .filter(col("n") <= col("max_n"))
+      .select(
+        col("channel"),
+        col("n"),
+        Dsp.round6(col("re") * col("re") + col("im") * col("im")).as(s"pow_s$s")
+      )
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "cwt_morlet" -> { (s, dir) => cwtMorlet(Signal.long(s, dir), presorted = true) }
   )

@@ -148,9 +148,14 @@ object FirOps {
     * explodes back to rows. O(log S) per sample vs O(M) for the
     * lag-sum path — the win for kernels with hundreds+ taps.
     */
-  def sameFast(sig: DataFrame, h: Array[Double], segLen: Int = 1024): DataFrame = {
-    val m = h.length
-    val l = (m - 1) / 2
+  /** The scatter/assemble half of [[sameFast]]: samples land in their
+    * own segment plus L-sample halos of both neighbors, and each
+    * (channel, s) group densifies into the `segLen + 2l`-long `xs`
+    * array. Shared by any long-kernel consumer that wants SEVERAL
+    * convolutions per assembled segment (the long-scale CWT runs the
+    * re and im Morlet kernels over one assembly).
+    */
+  private[graft] def segAssemble(sig: DataFrame, l: Int, segLen: Int): DataFrame = {
     require(segLen > 2 * l, s"segLen $segLen must exceed kernel overlap ${2 * l}")
     // destinations: own segment, plus right halo of previous segment and
     // left halo of next segment
@@ -170,7 +175,7 @@ object FirOps {
     // head/tail, so the dense array is sorted values padded with zeros
     // on both sides (no per-element map lookups — those are O(n) on
     // Spark's ArrayBasedMapData and turn assembly quadratic)
-    val segs = scattered
+    scattered
       .groupBy(col("channel"), col("s"))
       .agg(
         min(col("i")).as("min_i"),
@@ -187,9 +192,14 @@ object FirOps {
           array_repeat(lit(0.0), lit(extLen - 1) - col("max_i").cast("int"))
         ).as("xs")
       )
+  }
+
+  def sameFast(sig: DataFrame, h: Array[Double], segLen: Int = 1024): DataFrame = {
+    val m = h.length
+    val l = (m - 1) / 2
     // full conv of xs (extLen) with h → index j = p + 2l maps to sample
     // n = s*segLen + p
-    val conv = segs.select(
+    val conv = segAssemble(sig, l, segLen).select(
       col("channel"),
       col("s"),
       graft.functions.exprs.seg_conv(col("xs"), h).as("ys")

@@ -59,6 +59,26 @@ class FastPathSpec extends AnyFunSuite {
     fast.foreach { case (k, v) => assert(math.abs(v - slow(k)) <= 1e-5, s"$k: $v vs ${slow(k)}") }
   }
 
+  test("long-scale CWT routes through SegConv and equals the lag-sum bank") {
+    import graft.operators.CwtOps
+    val s = CwtOps.longScale
+    val (re, im) = CwtOps.kernel(s)
+    assert(re.length > 128, s"scale $s must be in the long-kernel regime (${re.length} taps)")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val reRef = toMap(FirOps.same(sig, re))
+    val imRef = toMap(FirOps.same(sig, im))
+    val got = toMap(CwtOps.cwtMorletLong(sig, s))
+    assert(got.keySet == reRef.keySet, s"row sets differ: ${got.size} vs ${reRef.size}")
+    got.foreach { case (k, v) =>
+      val ref = { val a = reRef(k); val b = imRef(k); a * a + b * b }
+      assert(math.abs(v - ref) <= math.max(1e-4, 1e-5 * ref), s"$k: $v vs $ref")
+    }
+    // and the plan must carry the FFT expression, not a 257-term lag-sum
+    val plan = CwtOps.cwtMorletLong(sig, s).queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("segconv"), "SegConv not in the physical plan")
+  }
+
   test("fft welch equals the inner-product welch at nfft=64") {
     // run the fast path at the slow path's nfft for comparability
     val slow = SpectraOps
