@@ -1024,6 +1024,86 @@ object Similarity {
       .filter(col("rank") <= topK)
   }
 
+  /** Row-local cell assignment against LITERAL centroids — the
+    * window-free argmin streaming consumers need (streams can't rank):
+    * the nList (d2, cid) pairs sort as one literal-width array
+    * expression, ties break on the lower cid exactly like the window
+    * path's (d2 asc, cid asc) ordering. Emits (vec_id, v, cid).
+    */
+  def ivfAssign(emb: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    val dists = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        graft.functions.exprs.sq_dist(col("v"), typedLit(c.toSeq)).as("d2"),
+        lit(i.toLong).as("cid")
+      )
+    }: _*)
+    vecsD(emb).select(
+      col("vec_id"),
+      col("v"),
+      element_at(array_sort(dists), 1).getField("cid").as("cid")
+    )
+  }
+
+  /** STREAMING ANN serving twin: a stream of query vectors probed
+    * against the static cell layout — the serving cadence where
+    * queries arrive continuously while the index is a published
+    * artifact. Every per-row step is window-free (streams can't rank):
+    * probe cells come from sorting the literal nList-length (d2, cid)
+    * array row-locally ([[ivfAssign]]'s argmin generalized to
+    * top-nProbe), candidates via the stream-static equi-join on cid
+    * (the static side is the [[ivfAssign]]-keyed layout — at scale the
+    * partition-pruned store read), and the per-query top-k is ONE
+    * aggregation taking the sorted prefix of the collected candidate
+    * list (bounded by the probed-cell population). Batch-twin
+    * equality: StreamServeSpec pins the output against [[ivfTopk]]
+    * across micro-batches.
+    */
+  def serveStream(
+      queries: DataFrame,
+      cells: DataFrame,
+      cents: Array[Array[Double]],
+      nProbe: Int = 4
+  ): DataFrame = {
+    val qd = queries
+      .select(col("qid"), transform(col("embedding"), x => x.cast("double")).as("va"))
+      .withColumn("na", sqrt(graft.functions.exprs.dot_d(col("va"), col("va"))))
+    val dists = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(
+        graft.functions.exprs.sq_dist(col("va"), typedLit(c.toSeq)).as("d2"),
+        lit(i.toLong).as("cid")
+      )
+    }: _*)
+    val probed = qd
+      .select(col("qid"), col("va"), col("na"), explode(slice(array_sort(dists), 1, nProbe)).as("p"))
+      .select(col("qid"), col("va"), col("na"), col("p").getField("cid").as("cid"))
+    val cand = cells
+      .select(col("cid"), col("vec_id").as("vid"), col("v").as("vb"))
+      .withColumn("nb", sqrt(graft.functions.exprs.dot_d(col("vb"), col("vb"))))
+    probed
+      .join(cand, Seq("cid"))
+      .filter(col("qid") =!= col("vid"))
+      .select(
+        col("qid"),
+        col("vid"),
+        round(graft.functions.exprs.dot_d(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos")
+      )
+      .groupBy(col("qid"))
+      .agg(
+        slice(
+          array_sort(collect_list(struct((-col("cos")).as("nc"), col("vid"), col("cos")))),
+          1,
+          topK
+        ).as("top")
+      )
+      .select(col("qid"), posexplode(col("top")).as(Seq("r", "t")))
+      .select(
+        col("qid"),
+        col("t").getField("vid").as("vid"),
+        col("t").getField("cos").as("cos"),
+        (col("r") + 1).as("rank")
+      )
+  }
+
   /** SemDeDup-shaped semantic dedup (Abbas et al. 2023): coarse cells
     * bound the candidate set (never all-pairs across the corpus), then
     * within each cell any vector whose cosine to a LOWER-id cell-mate

@@ -829,9 +829,17 @@ object Sketches {
     * (sketch_quantile_extract precedent), so build AND extraction are
     * hash-gated on the profile's own grid.
     */
-  def corpusProfileQuantiles(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
-    val rows = profileGrid(docs)
+  def corpusProfileQuantiles(docs: DataFrame): DataFrame =
+    profileQuantilesFromGrid(profileGrid(docs))
+
+  /** The descent over any (possibly merged) profile grid — the
+    * incremental store's merged state extracts identically to the
+    * single-pass build (mergeable EXTRACTION, spec-pinned; the grid
+    * merge itself is the hash-gated corpus_profile_inc property).
+    */
+  def profileQuantilesFromGrid(gridDf: DataFrame): DataFrame = {
+    val s = gridDf.sparkSession
+    val rows = gridDf
       .filter(col("kind").isin("q", "c"))
       .select(col("source"), col("kind"), col("k1"), col("k2"), col("k3"), col("cnt"))
       .collect()

@@ -258,6 +258,20 @@ class SketchGateSpec extends AnyFunSuite {
     }
   }
 
+  test("profile quantiles extracted from a merged incremental grid equal the single-pass descent") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val h2 = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 2
+    val merged = Sketches
+      .profileGrid(docs.filter(h2 === 0))
+      .unionByName(Sketches.profileGrid(docs.filter(h2 === 1)))
+      .groupBy(col("source"), col("kind"), col("k1"), col("k2"), col("k3"))
+      .agg(max(col("mx")).as("mx"), sum(col("cnt")).as("cnt"), sum(col("sm")).as("sm"))
+    val inc = Sketches.profileQuantilesFromGrid(merged).collect().map(_.toString).sorted.toSeq
+    val once = Sketches.corpusProfileQuantiles(docs).collect().map(_.toString).sorted.toSeq
+    assert(inc == once, "merged-grid quantile descent diverged from the single-pass build")
+  }
+
   test("sim_ivf_serve equals the in-memory IVF path for every query vector") {
     val emb = Tables.embeddings(spark, sf)
     def canon(df: org.apache.spark.sql.DataFrame) = df
