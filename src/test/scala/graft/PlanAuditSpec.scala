@@ -36,6 +36,11 @@ class PlanAuditSpec extends AnyFunSuite {
       case w: org.apache.spark.sql.execution.window.WindowExecBase
           if w.partitionSpec.isEmpty =>
         Seq(w.nodeName)
+      // the rank-pushdown node is the same single-task sort when its
+      // partition spec is empty (Final mode)
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+          if w.partitionSpec.isEmpty =>
+        Seq(w.nodeName)
       case _ => Seq.empty
     }
     val kids = p match {
