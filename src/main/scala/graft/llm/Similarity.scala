@@ -788,6 +788,113 @@ object Similarity {
       .filter(col("rank") <= topK)
   }
 
+  /** Row-local PQ encode to ONE packed BIGINT — 4 bits per subspace
+    * code (pqK = 16), subspace j at bits [4j, 4j+4): the 8-byte
+    * serving payload that replaces 256 B of raw floats in the index
+    * tier. Disjoint bit fields sum ≡ OR, exact integer arithmetic.
+    */
+  def pqEncodePacked(vd: DataFrame, cb: Array[Array[Array[Double]]]): DataFrame = {
+    val parts = (0 until pqM).map { j =>
+      val sv = slice(col("v"), j * pqSub + 1, pqSub)
+      val ds = array(
+        (0 until pqK).map(ci => graft.functions.exprs.sq_dist(sv, typedLit(cb(j)(ci).toSeq))): _*
+      )
+      (array_position(ds, array_min(ds)) - 1).cast("long") * lit(1L << (4 * j))
+    }
+    vd.select(col("vec_id"), parts.reduce(_ + _).as("code"))
+  }
+
+  /** Unpack a packed code and reconstruct the vector from literal
+    * codebooks — bit-identical to [[pqReconstructV]] for the same
+    * codebooks (the store round-trips an exact BIGINT).
+    */
+  def pqDecodePacked(codes: DataFrame, cb: Array[Array[Array[Double]]]): DataFrame = {
+    val parts = (0 until pqM).map { j =>
+      val cj = expr(s"CAST((code div ${1L << (4 * j)}) % 16 + 1 AS INT)")
+      element_at(typedLit(cb(j).map(_.toSeq).toSeq), cj)
+    }
+    codes.withColumn("vq", concat(parts: _*)) // passthrough: keeps carrier columns (cid)
+  }
+
+  /** Batch ANN serving through a PACKED-CODES store: the IVF+PQ index
+    * written as `partitionBy(cid)` parquet whose data columns are ONLY
+    * (vid, code BIGINT) — 8 B/vector where [[ivfServeTopk]]'s layout
+    * stores 256 B of raw floats, the 32× I/O reduction that makes a
+    * 10⁹-vector serving tier scannable. Probe: the queries' probed-cell
+    * UNION renders as partition-pruning literals, candidates arrive via
+    * one broadcast equi-join of the (qid, cid) probe table, residual
+    * reconstruction happens IN the probe from literal codebooks
+    * ([[pqDecodePacked]]), rank per real qid key. The oracle is
+    * [[ivfPqTopkSql]] VERBATIM — serving through the codes store must
+    * reproduce the in-memory IVF+PQ answers exactly (codes are exact
+    * BIGINTs, reconstruction identical).
+    */
+  def ivfPqServeTopk(emb: DataFrame, nList: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    val store = graft.sources.Scratch.dir("sim_ivfpq_serve")
+    val vs = vecsD(emb)
+    val resid = ivfResiduals(emb, nList).localCheckpoint()
+    val cbRows = resid
+      .filter(col("vid") >= nList && col("vid") < nList + pqK)
+      .orderBy(col("vid"))
+      .collect()
+    require(cbRows.length == pqK, s"corpus smaller than nList+pqK=${nList + pqK}")
+    val cb = Array.tabulate(pqM, pqK) { (j, ci) =>
+      cbRows(ci).getSeq[Double](2).slice(j * pqSub, (j + 1) * pqSub).toArray
+    }
+    pqEncodePacked(resid.select(col("vid").as("vec_id"), col("r").as("v")), cb)
+      .select(col("vec_id").as("vid"), col("code"))
+      .join(resid.select(col("vid"), col("cid")), Seq("vid"))
+      .write
+      .partitionBy("cid")
+      .mode("overwrite")
+      .parquet(s"$store/codes")
+    val centsDf = vs
+      .filter(col("vec_id") < nList)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val qd = vs
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("va"))
+      .join(broadcast(centsDf))
+      .withColumn("d2", graft.functions.exprs.sq_dist(col("va"), col("cv")))
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("d2").asc, col("cid").asc)
+    val qcells = qd
+      .select(col("qid"), col("cid"), col("va"), col("cv"), row_number().over(wq).as("cr"))
+      .filter(col("cr") <= nProbe)
+      .select(col("qid"), col("cid"), col("va"), col("cv"))
+      .localCheckpoint() // referenced by the literal collect AND the probe join
+    val probeCells = qcells
+      .select(col("cid"))
+      .distinct()
+      .collect()
+      .map(_.getLong(0).toInt)
+      .sorted
+    val cand = spark.read
+      .parquet(s"$store/codes")
+      .filter(col("cid").isin(probeCells: _*))
+      .select(col("vid").as("vec_id"), col("code"), col("cid").cast("long").as("cid"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("ad2").asc, col("vid").asc)
+    pqDecodePacked(cand, cb)
+      .select(col("vec_id").as("vid"), col("cid"), col("vq"))
+      .join(broadcast(qcells), Seq("cid"))
+      .filter(col("qid") =!= col("vid"))
+      .select(
+        col("qid"),
+        col("vid"),
+        graft.core.Dsp
+          .round6(
+            graft.functions.exprs.sq_dist(zip_with(col("va"), col("cv"), (a, b) => a - b), col("vq"))
+          )
+          .as("ad2")
+      )
+      .select(col("qid"), col("vid"), col("ad2"), row_number().over(wr).as("rank"))
+      .filter(col("rank") <= topK)
+  }
+
   /** SQL twin of [[ivfPqTopk]] (nList=16, nProbe=4). */
   def ivfPqTopkSql(nList: Int = 16, nProbe: Int = 4): String = {
     val d2 = "list_sum(list_transform(generate_series(1, 64), i -> " +
@@ -1512,6 +1619,7 @@ object Similarity {
     "sim_ivf_topk" -> { (s, dir) => ivfTopk(Tables.embeddings(s, dir)) },
     "sim_ivf_layout" -> { (s, dir) => ivfLayoutTopk(Tables.embeddings(s, dir)) },
     "sim_ivf_serve" -> { (s, dir) => ivfServeTopk(Tables.embeddings(s, dir)) },
+    "sim_ivfpq_serve" -> { (s, dir) => ivfPqServeTopk(Tables.embeddings(s, dir)) },
     "sim_pq_topk" -> { (s, dir) => pqTopk(Tables.embeddings(s, dir)) },
     "sim_ivfpq_topk" -> { (s, dir) => ivfPqTopk(Tables.embeddings(s, dir)) },
     "sim_topk" -> { (s, dir) => topk(Tables.embeddings(s, dir)) },
@@ -1545,6 +1653,9 @@ object Similarity {
     // serving through the layout must reproduce the in-memory IVF
     // answers exactly — the oracle is the multi-query IVF SQL verbatim
     "sim_ivf_serve" -> ivfTopkSql(),
+    // the packed-codes store must reproduce the in-memory IVF+PQ
+    // answers exactly (codes round-trip as exact BIGINTs)
+    "sim_ivfpq_serve" -> ivfPqTopkSql(),
     "sim_pq_topk" -> pqTopkSql,
     "sim_ivfpq_topk" -> ivfPqTopkSql(),
     "dedup_embed" -> embedDupesSql(0.4, planes, 2)

@@ -15,7 +15,7 @@ class PlanAuditSpec extends AnyFunSuite {
   // text_bm25's is the 1-row corpus-stats aggregate (Catalyst folds the
   // constant join key away)
   private val bnljAllowed = Set(
-    "sim_ivf_topk", "sim_ivf_serve", "sim_topk", "sim_pq_topk", "sim_ivfpq_topk",
+    "sim_ivf_topk", "sim_ivf_serve", "sim_ivfpq_serve", "sim_topk", "sim_pq_topk", "sim_ivfpq_topk",
     "dedup_semantic", // same ≤16-row centroid-assignment broadcast as sim_ivf
     "decontam_semantic", // benchmark-suite broadcast side (KBs–MBs at scale)
     "anno_mask", "epoch_extract", "epoch_average", // globalRank's one-row-per-4096-ids offset self-join
@@ -205,6 +205,23 @@ class PlanAuditSpec extends AnyFunSuite {
       .getOrElse("")
     assert(scan.contains("cid"), s"cid partition filter not pushed: $scan")
     assert(p.contains("BroadcastHashJoin"), "probe/query joins should broadcast")
+  }
+
+  test("sim_ivfpq_serve reads ONLY packed codes from pruned cell partitions") {
+    // the codes-store contract: 8 B/vector — the scan's ReadSchema must
+    // carry (vid, code) and NO raw embedding column, and the probed-cell
+    // literals must reach it as PartitionFilters
+    val df = graft.llm.Similarity.ivfPqServeTopk(core.Tables.embeddings(spark, sf))
+    val p = df.queryExecution.executedPlan.toString
+    val scan = p.linesIterator
+      .find(l => l.contains("PartitionFilters") && l.contains("sim_ivfpq_serve"))
+      .getOrElse("")
+    assert(scan.contains("cid"), s"cid partition filter not pushed: $scan")
+    val schema = p.linesIterator
+      .find(l => l.contains("ReadSchema") && l.contains("sim_ivfpq_serve"))
+      .getOrElse(scan)
+    assert(schema.contains("code") && !schema.contains("embedding"),
+      s"store scan should read packed codes only: $schema")
   }
 
   test("sim_ivf_layout prunes cell partitions at the scan") {
