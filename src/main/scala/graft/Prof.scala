@@ -240,6 +240,31 @@ object Prof {
         .toSet
       val recall = (truth & served).size.toDouble / truth.size
       println(f"PROF emb${embK}k_ivfpq_recall@5 = $recall%.3f (vs exact cosine top-5, 10 queries)")
+      // the serving-tier I/O claim, measured: raw-float layout vs
+      // packed-codes store bytes for the SAME corpus + assignment
+      val cellsA = llm.Similarity.ivfAssign(clustered, cents)
+      val base = java.nio.file.Files.createTempDirectory("graft_prof_store").toString
+      cellsA
+        .select(col("vec_id"), col("v").as("embedding"), col("cid"))
+        .write.partitionBy("cid").mode("overwrite").parquet(s"$base/raw")
+      val cbP = llm.Similarity.pqTrainV(
+        cellsA.select(col("vec_id"), col("v")),
+        llm.Similarity.pqCodebooks(clustered),
+        iters = 1
+      )
+      llm.Similarity
+        .pqEncodePacked(cellsA.select(col("vec_id"), col("v")), cbP)
+        .join(cellsA.select(col("vec_id"), col("cid")), Seq("vec_id"))
+        .write.partitionBy("cid").mode("overwrite").parquet(s"$base/codes")
+      def dirBytes(p: String): Long = {
+        val f = new java.io.File(p)
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).getOrElse(Array.empty).map(x => dirBytes(x.getPath)).sum
+      }
+      val rawB = dirBytes(s"$base/raw"); val codeB = dirBytes(s"$base/codes")
+      println(
+        f"PROF emb${embK}k_store_bytes raw=${rawB / 1024}%d KiB codes=${codeB / 1024}%d KiB ratio=${rawB.toDouble / codeB}%.1fx"
+      )
       clustered.unpersist()
       ()
     }

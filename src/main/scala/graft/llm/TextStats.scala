@@ -240,6 +240,58 @@ object TextStats {
       )
   }
 
+  /** Content-defined chunking divisor: a token whose hash ≡ 0 (mod 16)
+    * ENDS its chunk, giving ~16-token mean chunks on the gate corpus.
+    */
+  val cdcDiv = 16
+
+  /** Content-DEFINED chunking (the gear/rolling-hash CDC family, per
+    * token): boundaries fall where the TOKEN's hash ≡ 0 mod [[cdcDiv]],
+    * so inserting or deleting text early in a document only perturbs
+    * chunks up to the next boundary — every later chunk keeps its
+    * content hash (the shift-robustness [[chunks]]' fixed windows lack,
+    * and what production dedup pipelines chunk with; spec-pinned on a
+    * planted head-insertion). chunk_id is a running boundary count
+    * (window over the doc_id partition); the chunk aggregation reuses
+    * the same hash partitioning (doc_id ⊆ (doc_id, chunk_id) — one
+    * shuffle total). chunk_md5 pins content alignment cross-engine.
+    */
+  def chunksCdc(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("i"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    tokens(docs)
+      .select(
+        col("doc_id"),
+        col("i"),
+        col("tok"),
+        (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % cdcDiv === 0)
+          .cast("long")
+          .as("b")
+      )
+      .select(col("doc_id"), col("i"), col("tok"), coalesce(sum(col("b")).over(w), lit(0L)).as("chunk_id"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_tok"),
+        md5(
+          concat_ws(
+            " ",
+            transform(sort_array(collect_list(struct(col("i"), col("tok")))), e => e.getField("tok"))
+          )
+        ).as("chunk_md5")
+      )
+  }
+
+  def chunksCdcSql: String =
+    s"WITH $tokensSql, " +
+      s"b AS (SELECT doc_id, i, tok, CASE WHEN CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % $cdcDiv = 0 " +
+      "THEN 1 ELSE 0 END AS b FROM tokens), " +
+      "cid AS (SELECT doc_id, i, tok, coalesce(CAST(sum(b) OVER (PARTITION BY doc_id ORDER BY i " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS chunk_id FROM b) " +
+      "SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_tok, " +
+      "md5(array_to_string(list(tok ORDER BY i), ' ')) AS chunk_md5 FROM cid GROUP BY doc_id, chunk_id"
+
   def chunksSql(winTok: Int = chunkTok): String =
     s"WITH t AS (SELECT doc_id, list_slice(string_split(text, ' '), 1, $maxTokens) AS toks FROM documents), " +
       s"d AS (SELECT doc_id, toks, least(len(toks), $maxTokens) AS dl FROM t) " +
@@ -856,6 +908,7 @@ object TextStats {
     "text_bm25" -> { (s, dir) => bm25(Tables.documents(s, dir)) },
     "text_repetition" -> { (s, dir) => repetition(Tables.documents(s, dir)) },
     "text_chunks" -> { (s, dir) => chunks(Tables.documents(s, dir)) },
+    "text_chunks_cdc" -> { (s, dir) => chunksCdc(Tables.documents(s, dir)) },
     "text_pack" -> { (s, dir) => pack(Tables.documents(s, dir)) },
     "text_tokens" -> { (s, dir) =>
       Tables
@@ -921,6 +974,7 @@ object TextStats {
     "text_bigram_lp" -> bigramLogProbSql,
     "text_repetition" -> repetitionSql,
     "text_chunks" -> chunksSql(),
+    "text_chunks_cdc" -> chunksCdcSql,
     "text_pack" -> packSql(),
     "text_tokens" ->
       ("SELECT doc_id, length(text) AS n_chars, len(string_split(text, ' ')) AS n_ws, " +

@@ -805,6 +805,29 @@ class LlmSpec extends AnyFunSuite {
     assert(top.exists(_._3 > 0.8), s"planted chunk cos too low: $top")
   }
 
+  test("CDC chunking survives a head insertion where fixed windows do not") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    val words = (1 to 200).map(_ => s"w${rnd.nextInt(5000)}").mkString(" ")
+    val docs = Seq((1L, words), (2L, s"inserted $words")).toDF("doc_id", "text")
+    def hashes(df: org.apache.spark.sql.DataFrame, d: Long) =
+      df.filter(org.apache.spark.sql.functions.col("doc_id") === d)
+        .select("chunk_md5")
+        .collect()
+        .map(_.getString(0))
+        .toSet
+    val cdc = graft.llm.TextStats.chunksCdc(docs)
+    val (a, b) = (hashes(cdc, 1L), hashes(cdc, 2L))
+    val cdcShared = (a & b).size.toDouble / a.size
+    // only the chunk containing the insertion point changes; everything
+    // after the next content boundary re-aligns
+    assert(cdcShared >= 0.8, s"CDC chunks not shift-robust: $cdcShared shared")
+    val fixed = graft.llm.TextStats.chunks(docs)
+    val (fa, fb) = (hashes(fixed, 1L), hashes(fixed, 2L))
+    val fixedShared = (fa & fb).size.toDouble / fa.size
+    assert(fixedShared < cdcShared, s"fixed windows should shift everywhere: $fixedShared")
+  }
+
   test("dedup_keep_best keeps the highest-quality cluster member, not the min id") {
     import spark.implicits._
     // docs 1..3 are one near-dup cluster (≥0.7 shingle jaccard); doc 1

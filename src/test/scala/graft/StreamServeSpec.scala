@@ -11,6 +11,51 @@ class StreamServeSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
+  test("cell store appends a new batch without rewriting existing partition files") {
+    // index freshness: new vectors assign row-locally against the SAME
+    // literal centroids and APPEND into their cid partitions — existing
+    // files are never rewritten, and the appended store equals a full
+    // rebuild row-for-row (the dedup_incremental cadence applied to ANN)
+    val emb = core.Tables.embeddings(spark, sf)
+    val vd = emb.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cents = vd
+      .filter(col("vec_id") < 16)
+      .orderBy(col("vec_id"))
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    val base = java.nio.file.Files.createTempDirectory("graft_store_append").toString
+    graft.llm.Similarity
+      .ivfAssign(emb.filter(col("vec_id") % 2 === 0), cents)
+      .write.partitionBy("cid").mode("overwrite").parquet(base)
+    def files(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isFile) Seq(f)
+        else Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      walk(new java.io.File(base))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.length())
+        .toMap
+    }
+    val before = files()
+    graft.llm.Similarity
+      .ivfAssign(emb.filter(col("vec_id") % 2 === 1), cents)
+      .write.partitionBy("cid").mode("append").parquet(base)
+    val after = files()
+    before.foreach { case (p, sz) =>
+      assert(after.get(p).contains(sz), s"append rewrote an existing file: $p")
+    }
+    assert(after.size > before.size, "append added no files")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cid").cast("long"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .sorted
+        .toSeq
+    val appended = canon(spark.read.parquet(base))
+    val rebuilt = canon(graft.llm.Similarity.ivfAssign(emb, cents))
+    assert(appended == rebuilt, "appended store diverged from a full rebuild")
+  }
+
   test("streaming ANN serving equals the batch IVF answers across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
