@@ -240,6 +240,43 @@ object TextStats {
       )
   }
 
+  /** Winnowing window (Schleimer et al., SIGMOD 2003): every length-w
+    * window over the 3-shingle hash stream contributes its MINIMUM —
+    * the distinct per-doc set GUARANTEES any shared token run of
+    * length ≥ w + 2 (window + shingle extent) yields a shared
+    * fingerprint, which the single global-min [[queries]]
+    * `text_fingerprint` can't promise. The overlap-detection primitive
+    * under plagiarism/contamination triage (MOSS).
+    */
+  val winnowW = 4
+
+  def winnow(docs: DataFrame, w: Int = winnowW): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("i"))
+      .rowsBetween(0, w - 1)
+    // full windows only (count = w); the distinct reuses the window's
+    // doc_id hash partitioning (doc_id ⊆ (doc_id, fp)) — one shuffle
+    shingles(docs)
+      .select(col("doc_id"), col("i"), md5(col("sh")).as("h"))
+      .select(
+        col("doc_id"),
+        min(col("h")).over(win).as("fp"),
+        count(lit(1)).over(win).as("cnt")
+      )
+      .filter(col("cnt") === w)
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+  }
+
+  def winnowSql(w: Int = winnowW): String = {
+    val frame = s"OVER (PARTITION BY doc_id ORDER BY i ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING)"
+    s"WITH $shinglesSql, " +
+      "h AS (SELECT doc_id, i, md5(sh) AS h FROM shingles), " +
+      s"wmin AS (SELECT doc_id, min(h) $frame AS fp, count(*) $frame AS cnt FROM h) " +
+      s"SELECT DISTINCT doc_id, fp FROM wmin WHERE cnt = $w"
+  }
+
   /** Content-defined chunking divisor: a token whose hash ≡ 0 (mod 16)
     * ENDS its chunk, giving ~16-token mean chunks on the gate corpus.
     */
@@ -909,6 +946,7 @@ object TextStats {
     "text_repetition" -> { (s, dir) => repetition(Tables.documents(s, dir)) },
     "text_chunks" -> { (s, dir) => chunks(Tables.documents(s, dir)) },
     "text_chunks_cdc" -> { (s, dir) => chunksCdc(Tables.documents(s, dir)) },
+    "text_winnow" -> { (s, dir) => winnow(Tables.documents(s, dir)) },
     "text_pack" -> { (s, dir) => pack(Tables.documents(s, dir)) },
     "text_tokens" -> { (s, dir) =>
       Tables
@@ -975,6 +1013,7 @@ object TextStats {
     "text_repetition" -> repetitionSql,
     "text_chunks" -> chunksSql(),
     "text_chunks_cdc" -> chunksCdcSql,
+    "text_winnow" -> winnowSql(),
     "text_pack" -> packSql(),
     "text_tokens" ->
       ("SELECT doc_id, length(text) AS n_chars, len(string_split(text, ' ')) AS n_ws, " +

@@ -805,6 +805,28 @@ class LlmSpec extends AnyFunSuite {
     assert(top.exists(_._3 > 0.8), s"planted chunk cos too low: $top")
   }
 
+  test("winnowing guarantees a shared fingerprint for a long shared run") {
+    import spark.implicits._
+    // a 12-token run shared between docs 1 and 2 (>= w + 2 = 6 tokens —
+    // the Schleimer guarantee threshold with 3-shingles and w = 4);
+    // doc 3 is disjoint vocabulary
+    val shared = (1 to 12).map(i => s"common$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"aa bb cc dd $shared ee ff gg"),
+      (2L, s"xx yy $shared zz ww"),
+      (3L, "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12 p13 p14 p15")
+    ).toDF("doc_id", "text")
+    val fps = graft.llm.TextStats
+      .winnow(docs)
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .groupBy(_._1)
+      .map { case (d, xs) => d -> xs.map(_._2).toSet }
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared run produced no shared fingerprint")
+    assert((fps(1L) & fps(3L)).isEmpty && (fps(2L) & fps(3L)).isEmpty,
+      "disjoint docs share a fingerprint")
+  }
+
   test("CDC chunking survives a head insertion where fixed windows do not") {
     import spark.implicits._
     val rnd = new scala.util.Random(21)
