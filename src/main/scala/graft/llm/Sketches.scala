@@ -264,6 +264,97 @@ object Sketches {
       " AS est_hll FROM est e JOIN exact x ON x.source = e.source"
   }
 
+  /** The HLL finisher over any (g, mx) register frame — shared by the
+    * windowed batch estimate and the streaming register-state twin
+    * (the spec finishes the watermark-evicted sink with this exact
+    * aggregation, so batch/stream equality is the pinned property).
+    */
+  def hllEstimateFromRegs(regs: DataFrame): DataFrame =
+    regs
+      .groupBy(col("g"))
+      .agg(
+        sum(expr(weightCase("mx"))).as("s_present"),
+        count(lit(1)).as("n_present")
+      )
+      .select(
+        col("g"),
+        (lit(hllRegisters) - col("n_present")).as("v"),
+        (lit(alphaM2) / (col("s_present") + (lit(hllRegisters) - col("n_present")))).as("raw")
+      )
+      .select(
+        col("g"),
+        Dsp.round6(
+          when(
+            col("raw") <= lit(2.5 * hllRegisters) && col("v") > 0,
+            lit(hllRegisters.toDouble) * log(lit(hllRegisters.toDouble) / col("v"))
+          ).otherwise(col("raw"))
+        ).as("est_hll")
+      )
+
+  /** Per-hour DISTINCT-USER estimate over the events stream — the
+    * continuous-analytics HLL: the register grid is keyed by the hour
+    * bucket, so the SAME mergeable state serves batch (this gate
+    * query) and streaming (the watermark-evicted register store of
+    * [[hllRegStream]]). Integral `div` bucketing (ts_ns > 2^53);
+    * user_id hashes as its decimal string on both engines; n_exact is
+    * the gate-scale evidencing countDistinct.
+    */
+  def hllDistinctWindowed(events: DataFrame): DataFrame = {
+    val hashed = events
+      .select(
+        expr("ts_ns div 3600000000000").as("g"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10).cast("long").as("h52")
+      )
+      .select(col("g"), (col("h52") % hllRegisters).as("reg"), expr(s"h52 div $hllRegisters").as("rest"))
+      .withColumn("rho", expr(rhoCase("rest")))
+    val regs = hashed.groupBy(col("g"), col("reg")).agg(max(col("rho")).as("mx"))
+    val exact = events
+      .select(expr("ts_ns div 3600000000000").as("g"), col("user_id"))
+      .groupBy(col("g"))
+      .agg(count_distinct(col("user_id")).as("n_exact"))
+    hllEstimateFromRegs(regs)
+      .join(exact, Seq("g"))
+      .select(col("g").as("hour_bucket"), col("n_exact"), col("est_hll"))
+  }
+
+  def hllDistinctWindowedSql: String = {
+    val m = hllRegisters
+    "WITH hashed AS (SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS g, " +
+      "CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 13)) AS BIGINT) AS h52 FROM events), " +
+      s"sr AS (SELECT g, h52 % $m AS reg, h52 // $m AS rest FROM hashed), " +
+      s"regs AS (SELECT g, reg, max(${rhoCase("rest")}) AS mx FROM sr GROUP BY g, reg), " +
+      s"est AS (SELECT g, $m - count(*) AS v, " +
+      s"${Dsp.lit(alphaM2)} / (sum(${weightCase("mx")}) + ($m - count(*))) AS raw FROM regs GROUP BY g), " +
+      "exact AS (SELECT CAST(epoch_ns(ts) // 3600000000000 AS BIGINT) AS g, " +
+      "count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1) " +
+      "SELECT e.g AS hour_bucket, x.n_exact, " +
+      Dsp.round6Sql(
+        s"CASE WHEN e.raw <= ${Dsp.lit(2.5 * m)} AND e.v > 0 " +
+          s"THEN ${Dsp.lit(m.toDouble)} * ln(${Dsp.lit(m.toDouble)} / e.v) ELSE e.raw END"
+      ) +
+      " AS est_hll FROM est e JOIN exact x ON x.g = e.g"
+  }
+
+  /** The streaming register store under [[hllDistinctWindowed]]: one
+    * watermarked (window, register) MAX aggregation — state is ≤ m rows
+    * per open window REGARDLESS of traffic, finalized windows append
+    * their registers and evict. Finishing is stateless
+    * ([[hllEstimateFromRegs]] over the sink), which is what keeps this
+    * single-stateful-agg and append-mode legal.
+    */
+  def hllRegStream(events: DataFrame, delay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .select(
+        org.apache.spark.sql.functions.window(col("ts"), "1 hour").as("w"),
+        conv(substring(md5(col("user_id").cast("string")), 1, 13), 16, 10).cast("long").as("h52")
+      )
+      .select(col("w"), (col("h52") % hllRegisters).as("reg"), expr(s"h52 div $hllRegisters").as("rest"))
+      .withColumn("rho", expr(rhoCase("rest")))
+      .groupBy(col("w"), col("reg"))
+      .agg(max(col("rho")).as("mx"))
+      .select(col("w.start").as("w_start"), col("reg"), col("mx"))
+
   // ---------------------------------------------------------------------
   // Count–Min token-frequency sketch
   // ---------------------------------------------------------------------
@@ -897,7 +988,8 @@ object Sketches {
     "sketch_quantile_extract" -> { (s, dir) => quantileExtract(Tables.orders(s, dir)) },
     "corpus_profile" -> { (s, dir) => corpusProfile(Tables.documents(s, dir)) },
     "corpus_profile_inc" -> { (s, dir) => corpusProfileIncremental(Tables.documents(s, dir)) },
-    "corpus_profile_quantiles" -> { (s, dir) => corpusProfileQuantiles(Tables.documents(s, dir)) }
+    "corpus_profile_quantiles" -> { (s, dir) => corpusProfileQuantiles(Tables.documents(s, dir)) },
+    "sketch_hll_win" -> { (s, dir) => hllDistinctWindowed(Tables.events(s, dir)) }
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -910,6 +1002,7 @@ object Sketches {
     // mergeability IS the checked property: the incremental store+batch
     // merge must equal the single-pass profile bit-for-bit
     "corpus_profile_inc" -> corpusProfileSql,
-    "corpus_profile_quantiles" -> corpusProfileQuantilesSql
+    "corpus_profile_quantiles" -> corpusProfileQuantilesSql,
+    "sketch_hll_win" -> hllDistinctWindowedSql
   )
 }

@@ -56,6 +56,62 @@ class StreamServeSpec extends AnyFunSuite {
     assert(appended == rebuilt, "appended store diverged from a full rebuild")
   }
 
+  test("streaming HLL register store finalizes windows equal to the batch estimate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val hourNs = 3600000000000L
+    // three hours of traffic, users overlapping across hours, delivered
+    // OUT OF ORDER within the watermark; a final far-future row closes
+    // every window
+    val evs = Seq(
+      (0L, 101L), (0L, 102L), (0L, 101L), (0L, 103L),
+      (1L, 102L), (1L, 104L), (1L, 105L),
+      (2L, 101L), (2L, 106L)
+    ).map { case (h, u) => (u, h * hourNs + (u % 7) * 60000000000L) }
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val stream = input.toDF().toDF("user_id", "ts")
+    val q = graft.llm.Sketches
+      .hllRegStream(stream, delay = "30 minutes")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("hll_regs")
+      .start()
+    def t(ns: Long) = new java.sql.Timestamp(ns / 1000000L)
+    // batch 1: hour 0 + an hour-1 row; batch 2: the REST of hour 0 (late
+    // but inside the watermark) + hour 1; batch 3: hour 2; batch 4 closes
+    input.addData(evs.take(3).map { case (u, ns) => (u, t(ns)) }: _*)
+    q.processAllAvailable()
+    input.addData(evs.slice(3, 7).map { case (u, ns) => (u, t(ns)) }: _*)
+    q.processAllAvailable()
+    input.addData(evs.drop(7).map { case (u, ns) => (u, t(ns)) }: _*)
+    q.processAllAvailable()
+    input.addData((999L, t(10L * hourNs)))
+    q.processAllAvailable()
+    val progs = q.recentProgress
+    q.stop()
+    val streamed = graft.llm.Sketches
+      .hllEstimateFromRegs(
+        spark.sql("SELECT w_start, reg, mx FROM hll_regs")
+          .select(unix_micros(col("w_start")).as("g"), col("reg"), col("mx"))
+      )
+      .collect()
+      .map(r => (r.getLong(0) / 3600000000L, r.getDouble(1)))
+      .toMap
+    import spark.implicits._
+    val batch = graft.llm.Sketches
+      .hllDistinctWindowed(evs.toDF("user_id", "ts_ns"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+      .toMap
+    assert(streamed.keySet.intersect(Set(0L, 1L, 2L)) == Set(0L, 1L, 2L), s"windows missing: $streamed")
+    Seq(0L, 1L, 2L).foreach { h =>
+      assert(streamed(h) == batch(h), s"hour $h: streamed ${streamed(h)} vs batch ${batch(h)}")
+    }
+    val removed = progs.flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+    assert(removed > 0, "watermark never evicted register state")
+  }
+
   test("streaming ANN serving equals the batch IVF answers across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
