@@ -107,10 +107,42 @@ object GraftFunctions {
     }
 }
 
+/** Analysis-time scale guardrail: a Window whose partition spec is
+  * empty or entirely foldable (a constant key — Catalyst folds it to an
+  * empty spec) funnels the ENTIRE input through one task for the sort.
+  * This bit the repo in r9 (sim_ivf_layout's `partitionBy(lit(0))`
+  * rank), and the only runtime signal was a WARN line in a bench log.
+  * Installed via [[GraftExtensions]] the guard fails such a query at
+  * ANALYSIS time — before a single task runs — when
+  * `spark.graft.failOnGlobalWindow=true` (default false, matching
+  * Spark's warn-only behavior). The check runs on the ANALYZED plan,
+  * where constant keys are still visible (folding happens later).
+  * PlanAuditSpec enforces the same invariant mechanically over every
+  * gate plan regardless of this conf.
+  */
+case class GlobalWindowCheck(spark: SparkSession)
+    extends (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan => Unit) {
+  override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    if (spark.conf.get("spark.graft.failOnGlobalWindow", "false").toBoolean) {
+      plan.foreach {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty || w.partitionSpec.forall(_.foldable) =>
+          throw new IllegalStateException(
+            "graft guardrail: partition-less window (every row moves through ONE task " +
+              s"for the sort at any scale); window expressions: ${w.windowExpressions.map(_.sql).mkString(", ")}. " +
+              "Partition by a real key, or use orderBy(...).limit(k) for a single-key top-k."
+          )
+        case _ => ()
+      }
+    }
+}
+
 /** `spark.sql.extensions` entry point (must live in a class with a
   * no-arg constructor).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectCheckRule(GlobalWindowCheck)
+  }
 }

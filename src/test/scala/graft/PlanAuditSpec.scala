@@ -207,6 +207,31 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), "probe/query joins should broadcast")
   }
 
+  test("GlobalWindowCheck rejects constant-partition windows at analysis time") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val chk = graft.functions.GlobalWindowCheck(spark)
+    val df = Seq((1L, 2.0), (2L, 3.0)).toDF("id", "x")
+    val bad = df.select(
+      col("id"),
+      row_number()
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(lit(0)).orderBy(col("x")))
+        .as("r")
+    )
+    val good = df.select(
+      col("id"),
+      row_number()
+        .over(org.apache.spark.sql.expressions.Window.partitionBy(col("id")).orderBy(col("x")))
+        .as("r")
+    )
+    spark.conf.set("spark.graft.failOnGlobalWindow", "true")
+    try {
+      intercept[IllegalStateException](chk(bad.queryExecution.analyzed))
+      chk(good.queryExecution.analyzed) // keyed window must pass
+    } finally spark.conf.unset("spark.graft.failOnGlobalWindow")
+    chk(bad.queryExecution.analyzed) // conf off: warn-only Spark default
+  }
+
   test("sim_ivfpq_serve reads ONLY packed codes from pruned cell partitions") {
     // the codes-store contract: 8 B/vector — the scan's ReadSchema must
     // carry (vid, code) and NO raw embedding column, and the probed-cell
