@@ -108,6 +108,15 @@ object Prof {
     // 257-tap Morlet quadrature pair through ONE segment assembly +
     // two SegConv FFT convolutions — the >128-tap CWT routing
     t("cwt_long257")(operators.CwtOps.cwtMorletLong(sig).count())
+    // PROF_ICA=1: FastICA fit over the 8-channel signal — one transpose
+    // shuffle + one tiny aggregate per fixed-point iteration (4
+    // components, capped iterations). The per-iteration scan is the
+    // cost driver; state back to the driver is c+1 doubles.
+    if (sys.env.getOrElse("PROF_ICA", "0") == "1") {
+      t("ica_fit4")(
+        operators.IcaOps.fastIca(sig, nComp = 4, maxIter = 12).unmix.length.toLong
+      )
+    }
 
     val docsX = sys.env.getOrElse("PROF_DOCS", "0").toInt
     if (docsX > 0) {
