@@ -101,6 +101,10 @@ class IcaSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
       .groupBy(_._1)
       .map { case (ch, rows) => ch -> rows.sortBy(_._2).map(_._3) }
+    // the cleaned long layout must feed the DSP stack unchanged
+    val psd = graft.operators.SpectraOps
+      .psdWelch(IcaOps.removeComponents(sig, model, Set(blinkComp)))
+    assert(psd.count() > 0, "cleaned signal did not flow into psd_welch")
     (0 until c).foreach { i =>
       val cleanCh = cleaned(s"c$i")
       // the blink must be gone from every channel...
