@@ -173,6 +173,16 @@ object Prof {
         llm.Multimodal.videoFrames(llm.Multimodal.videoMediaFromIds(docs)).count()
       )
       t(s"docs${docsX}_bpe_segments", nDocs)(llm.Bpe.segmentsBpe(docs).count())
+      // round-10 additions: shift-robust CDC chunking, winnowing
+      // fingerprints, and the full chunk→embed→retrieve composition
+      t(s"docs${docsX}_chunks_cdc", nDocs)(llm.TextStats.chunksCdc(docs).count())
+      t(s"docs${docsX}_winnow", nDocs)(llm.TextStats.winnow(docs).count())
+      // scale banding (16 planes, 2×8-bit): the gate's 2×4-bit config is
+      // sized for the 500-doc corpus; background candidates per query
+      // grow ~nBands·nChunks·2^-width (the hePlanes widen rule)
+      t(s"docs${docsX}_retrieve_chunks", nDocs)(
+        llm.Dedup.retrieveChunks(docs, nPlanes = 16, nBands = 2).count()
+      )
       t(s"docs${docsX}_sketch_cms", nDocs)(llm.Sketches.cmsTopTokens(docs).count())
       t(s"docs${docsX}_corpus_shard", nDocs)(llm.Curation.corpusShard(docs).count())
       // replicas of a >264-char doc share their clip prefix → hamming-0

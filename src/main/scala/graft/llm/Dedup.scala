@@ -1080,9 +1080,14 @@ object Dedup {
     * query); cosine/norm joins touch candidates only; the final rank
     * window partitions by the real query key.
     */
-  def retrieveChunks(docs: DataFrame): DataFrame = {
+  def retrieveChunks(
+      docs: DataFrame,
+      nPlanes: Int = rcPlanes,
+      nBands: Int = rcBands
+  ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val width = rcPlanes / rcBands
+    require(nPlanes % nBands == 0, s"nBands $nBands must divide plane count $nPlanes")
+    val width = nPlanes / nBands
     val toks = slice(split(col("text"), " "), 1, TextStats.maxTokens)
     val ch = docs
       .select(col("doc_id"), toks.as("toks"), least(size(toks), lit(TextStats.maxTokens)).as("dl"))
@@ -1130,14 +1135,14 @@ object Dedup {
       .localCheckpoint() // referenced by the signature agg and both cosine sides
     def pSign(i: Int) =
       expr(s"(shiftright(CAST(${planeMask(i, rcDim)} AS BIGINT), CAST(bucket AS INT)) & 1) * 2 - 1")
-    val aggs = (0 until rcPlanes).map(i => sum(col("cv") * pSign(i)).as(s"d$i")) :+
+    val aggs = (0 until nPlanes).map(i => sum(col("cv") * pSign(i)).as(s"d$i")) :+
       sum(col("cv") * col("cv")).as("n2")
     val sig = dense
       .groupBy(col("doc_id"), col("chunk_id"))
       .agg(aggs.head, aggs.tail: _*)
       .select(
         col("doc_id") +: col("chunk_id") +: col("n2") +:
-          (0 until rcBands).map { j =>
+          (0 until nBands).map { j =>
             (0 until width)
               .map(k => when(col(s"d${j * width + k}") > 0, lit(1L << k)).otherwise(lit(0L)))
               .reduce(_ + _)
@@ -1148,7 +1153,7 @@ object Dedup {
     val bands = sig.select(
       col("doc_id"),
       col("chunk_id"),
-      posexplode(array((0 until rcBands).map(j => col(s"bv$j")): _*)).as(Seq("bi", "bv"))
+      posexplode(array((0 until nBands).map(j => col(s"bv$j")): _*)).as(Seq("bi", "bv"))
     )
     val qb = bands
       .filter(col("doc_id") < rcQueryDocs && col("chunk_id") === 0)
