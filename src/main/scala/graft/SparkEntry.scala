@@ -409,6 +409,25 @@ object BaseQueries {
           count(lit(1)).as("n_rows")
         )
     },
+    "q13_gsets" -> { (s, dir) =>
+      // NON-hierarchical grouping sets ((flag), (status)) — the lattice
+      // shape neither rollup (prefix chain) nor cube (full power set)
+      // expresses: independent subtotal planes in the same one-pass
+      // partial-agg expansion; grouping_id bitmask semantics pinned by
+      // the q10 precedent (first column = MSB on both engines)
+      Tables
+        .lineitem(s, dir)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"),
+          col("l_linestatus")
+        )
+        .agg(
+          grouping_id().cast("bigint").as("gid"),
+          round(sum(col("l_quantity")), 4).as("sum_qty"),
+          count(lit(1)).as("n_rows")
+        )
+    },
     "layout_zorder" -> { (s, dir) =>
       // the multi-dimensional clustering key: bucket (user_id, value)
       // into 16×16 integral cells (value via the exact micro-grid —
@@ -555,6 +574,11 @@ object BaseQueries {
         "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid, " +
         "round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_rows " +
         "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"),
+    "q13_gsets" ->
+      ("SELECT l_returnflag, l_linestatus, " +
+        "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid, " +
+        "round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_rows " +
+        "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))"),
     "layout_zorder" ->
       ("WITH e AS (SELECT event_id, user_id, CAST(floor(value * 1.0e6 + 0.5e0) AS BIGINT) AS vi FROM events), " +
         "s AS (SELECT min(user_id) AS umin, max(user_id) AS umax, min(vi) AS vmin, max(vi) AS vmax FROM e), " +
