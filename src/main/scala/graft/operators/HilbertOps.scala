@@ -88,7 +88,10 @@ object HilbertOps {
     * row-locally — the self-join formulation computed the (75-tap)
     * analytic transform once per side and shuffled both into the join.
     */
-  def plv(sig: DataFrame, presorted: Boolean = false): DataFrame = {
+  /** Per-sample channel-pair phase frame (ch_a < ch_b, pa, pb) shared
+    * by the phase-connectivity estimators ([[plv]], [[pli]]).
+    */
+  private def phasePairs(sig: DataFrame, presorted: Boolean): DataFrame = {
     val ana = analytic(sig, presorted).select(col("channel"), col("n"), col("phase"))
     val byN = ana
       .groupBy(col("n"))
@@ -103,6 +106,10 @@ object HilbertOps {
         col("a.phase").as("pa"),
         col("b.phase").as("pb")
       )
+  }
+
+  def plv(sig: DataFrame, presorted: Boolean = false): DataFrame =
+    phasePairs(sig, presorted)
       .groupBy(col("ch_a"), col("ch_b"))
       .agg(
         round(
@@ -113,7 +120,36 @@ object HilbertOps {
         ).as("plv"),
         count(lit(1)).as("n_samples")
       )
+
+  /** Phase-Lag Index (Stam et al. 2007): |mean(sign(sin Δφ))| — unlike
+    * [[plv]] it discounts zero-lag (volume-conduction) coupling, which
+    * contributes sign 0/symmetric terms. The sign sum is ±1 integers
+    * (exact in any order); the k/n mean is an exact-half 6dp hazard
+    * class, hence Dsp.round6 on both engines. Same single pair frame
+    * and shuffle shape as plv.
+    */
+  def pli(sig: DataFrame, presorted: Boolean = false): DataFrame = {
+    val s = sin(col("pa") - col("pb"))
+    phasePairs(sig, presorted)
+      .groupBy(col("ch_a"), col("ch_b"))
+      .agg(
+        Dsp
+          .round6(abs(avg(when(s > 0, 1.0).when(s < 0, -1.0).otherwise(0.0))))
+          .as("pli"),
+        count(lit(1)).as("n_samples")
+      )
   }
+
+  def pliSql: String =
+    s"$analyticCteSql " +
+      "SELECT a.channel AS ch_a, b.channel AS ch_b, " +
+      Dsp.round6Sql(
+        "abs(avg(CASE WHEN sin(a.phase - b.phase) > 0 THEN 1.0 " +
+          "WHEN sin(a.phase - b.phase) < 0 THEN -1.0 ELSE 0.0 END))"
+      ) + " AS pli, " +
+      "count(*) AS n_samples " +
+      "FROM ana a JOIN ana b ON a.n = b.n AND a.channel < b.channel " +
+      "GROUP BY a.channel, b.channel"
 
   def plvSql: String =
     s"$analyticCteSql " +
@@ -352,6 +388,7 @@ object HilbertOps {
     // (channel, n)-sorted — the first convPlus pass adds no exchange
     "hilbert_env" -> { (s, dir) => hilbertEnv(Signal.long(s, dir), presorted = true) },
     "plv" -> { (s, dir) => plv(Signal.long(s, dir), presorted = true) },
+    "pli" -> { (s, dir) => pli(Signal.long(s, dir), presorted = true) },
     "phase_power" -> { (s, dir) => phasePower(Signal.long(s, dir), presorted = true) },
     "phase_power_sig" -> { (s, dir) => phasePowerSig(Signal.long(s, dir), presorted = true) }
   )
@@ -359,6 +396,7 @@ object HilbertOps {
   def oracleSql: Map[String, String] = Map(
     "hilbert_env" -> hilbertEnvSql,
     "plv" -> plvSql,
+    "pli" -> pliSql,
     "phase_power" -> phasePowerSql,
     "phase_power_sig" -> phasePowerSigSql
   )
