@@ -75,8 +75,10 @@ object Bench {
       "curate_full"
     )
     // a renamed/removed query must fail loudly, not silently drop out of
-    // the compact line (r9: "stft" vs the real key "stft64")
-    val stale = headline.filterNot(results.contains)
+    // the compact line (r9: "stft" vs the real key "stft64") — checked
+    // against the FULL query map, not this run's results, so a dev
+    // SPARK_GRAFT_BENCH_ONLY subset run doesn't trip it
+    val stale = headline.filterNot(SparkEntry.queries.contains)
     require(stale.isEmpty, s"headline names not in the query map: ${stale.mkString(", ")}")
     val qs = results
       .collect { case (k, t) if headline.contains(k) => s"\"" + k + "\":" + r3(t.warmMedian) }

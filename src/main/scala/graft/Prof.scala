@@ -262,7 +262,9 @@ object Prof {
       // the serving-tier I/O claim, measured: raw-float layout vs
       // packed-codes store bytes for the SAME corpus + assignment
       val cellsA = llm.Similarity.ivfAssign(clustered, cents)
-      val base = java.nio.file.Files.createTempDirectory("graft_prof_store").toString
+      // Scratch.dir: emptied on re-acquisition, deleted at JVM exit —
+      // repeated profiling runs must not accumulate ~53 MB of parquet
+      val base = graft.sources.Scratch.dir("prof_store")
       cellsA
         .select(col("vec_id"), col("v").as("embedding"), col("cid"))
         .write.partitionBy("cid").mode("overwrite").parquet(s"$base/raw")

@@ -888,45 +888,51 @@ object Dedup {
     * signature is one per-doc aggregation; the verify joins touch only
     * candidate pairs. At corpus scale widen the bands (see [[hePlanes]]).
     */
-  def hashEmbedDupes(
-      docs: DataFrame,
-      tau: Double = 0.8,
-      dim: Int = 64,
-      nPlanes: Int = hePlanes,
-      nBands: Int = heBands
-  ): DataFrame = {
+  /** Mean-centered dense grid + banded hyperplane signatures over an
+    * integer (key…, bucket, s) sum frame — the machinery shared by
+    * [[hashEmbedDupes]] (key = doc_id) and [[retrieveChunks]] (key =
+    * (doc_id, chunk_id)). Centering uses the overflow-safe
+    * floor(t_b/n) micro-bias documented on [[hashEmbedDupes]]; keys
+    * absent from a bucket sit at −mean, not 0 — that IS centering.
+    * Returns (dense(key…, bucket, cv), sig(key…, n2, bv0..)) — both
+    * localCheckpointed (each fans out into downstream joins).
+    */
+  private def centeredBandSignatures(
+      keys: DataFrame,
+      sums: DataFrame,
+      keyCols: Seq[String],
+      dim: Int,
+      nPlanes: Int,
+      nBands: Int
+  ): (DataFrame, DataFrame) = {
     require(nPlanes % nBands == 0, s"nBands $nBands must divide plane count $nPlanes")
     val width = nPlanes / nBands
-    val wi = TextStats
-      .hashEmbed(docs, dim)
-      .select(col("doc_id"), col("bucket"), expr("CAST(floor(weight * 1.0e6 + 0.5e0) AS BIGINT)").as("wi"))
-    // bucket totals + doc count: ≤ dim+1 values, broadcast
-    val totals = wi.groupBy(col("bucket")).agg(sum(col("wi")).as("t"))
-    val nDocs = docs.select(countDistinct(col("doc_id")).as("n"))
-    // dense centered grid: cv(doc, b) = wi − floor(t_b/n) for EVERY
-    // bucket (docs absent from a bucket sit at −mean, not 0 — that IS
-    // centering)
-    val dense = docs
-      .select(col("doc_id"), explode(array((0 until dim).map(b => lit(b.toLong)): _*)).as("bucket"))
-      .join(wi, Seq("doc_id", "bucket"), "left")
+    val kc = keyCols.map(col)
+    val totals = sums.groupBy(col("bucket")).agg(sum(col("s")).as("t"))
+    val nKeys = keys.select(count(lit(1)).as("n"))
+    val dense = keys
+      .select(kc :+ explode(array((0 until dim).map(b => lit(b.toLong)): _*)).as("bucket"): _*)
+      .join(sums, keyCols :+ "bucket", "left")
       .join(broadcast(totals), Seq("bucket"), "left")
-      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(nKeys))
       .select(
-        col("doc_id"),
-        col("bucket"),
-        (coalesce(col("wi"), lit(0L)) -
-          floor(coalesce(col("t"), lit(0L)).cast("double") / col("n").cast("double")).cast("long")).as("cv")
+        kc ++ Seq(
+          col("bucket"),
+          (coalesce(col("s"), lit(0L)) -
+            floor(coalesce(col("t"), lit(0L)).cast("double") / col("n").cast("double"))
+              .cast("long")).as("cv")
+        ): _*
       )
-      .localCheckpoint() // referenced by the signature agg and both verify sides
+      .localCheckpoint() // referenced by the signature agg and the scoring joins
     def pSign(i: Int): Column =
       expr(s"(shiftright(CAST(${planeMask(i, dim)} AS BIGINT), CAST(bucket AS INT)) & 1) * 2 - 1")
     val aggs = (0 until nPlanes).map(i => sum(col("cv") * pSign(i)).as(s"d$i")) :+
       sum(col("cv") * col("cv")).as("n2")
     val sig = dense
-      .groupBy(col("doc_id"))
+      .groupBy(kc: _*)
       .agg(aggs.head, aggs.tail: _*)
       .select(
-        col("doc_id") +: col("n2") +:
+        kc ++ Seq(col("n2")) ++
           (0 until nBands).map { j =>
             (0 until width)
               .map(k => when(col(s"d${j * width + k}") > 0, lit(1L << k)).otherwise(lit(0L)))
@@ -934,7 +940,28 @@ object Dedup {
               .as(s"bv$j")
           }: _*
       )
-      .localCheckpoint() // fans out into the self-joined bands and both norm lookups
+      .localCheckpoint() // fans out into the banded joins and norm lookups
+    (dense, sig)
+  }
+
+  def hashEmbedDupes(
+      docs: DataFrame,
+      tau: Double = 0.8,
+      dim: Int = 64,
+      nPlanes: Int = hePlanes,
+      nBands: Int = heBands
+  ): DataFrame = {
+    val wi = TextStats
+      .hashEmbed(docs, dim)
+      .select(col("doc_id"), col("bucket"), expr("CAST(floor(weight * 1.0e6 + 0.5e0) AS BIGINT)").as("s"))
+    val (dense, sig) = centeredBandSignatures(
+      docs.select(col("doc_id")),
+      wi,
+      Seq("doc_id"),
+      dim,
+      nPlanes,
+      nBands
+    )
     val bands = sig.select(
       col("doc_id"),
       posexplode(array((0 until nBands).map(j => col(s"bv$j")): _*)).as(Seq("bi", "bv"))
@@ -1086,8 +1113,6 @@ object Dedup {
       nBands: Int = rcBands
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(nPlanes % nBands == 0, s"nBands $nBands must divide plane count $nPlanes")
-    val width = nPlanes / nBands
     val toks = slice(split(col("text"), " "), 1, TextStats.maxTokens)
     val ch = docs
       .select(col("doc_id"), toks.as("toks"), least(size(toks), lit(TextStats.maxTokens)).as("dl"))
@@ -1113,43 +1138,14 @@ object Dedup {
       .groupBy(col("doc_id"), col("chunk_id"), col("bucket"))
       .agg(sum(col("sign")).as("s"))
       .filter(col("s") =!= 0)
-    val totals = sums.groupBy(col("bucket")).agg(sum(col("s")).as("t"))
-    val nch = ch.select(count(lit(1)).as("n"))
-    val dense = ch
-      .select(
-        col("doc_id"),
-        col("chunk_id"),
-        explode(array((0 until rcDim).map(b => lit(b.toLong)): _*)).as("bucket")
-      )
-      .join(sums, Seq("doc_id", "chunk_id", "bucket"), "left")
-      .join(broadcast(totals), Seq("bucket"), "left")
-      .crossJoin(broadcast(nch))
-      .select(
-        col("doc_id"),
-        col("chunk_id"),
-        col("bucket"),
-        (coalesce(col("s"), lit(0L)) -
-          floor(coalesce(col("t"), lit(0L)).cast("double") / col("n").cast("double"))
-            .cast("long")).as("cv")
-      )
-      .localCheckpoint() // referenced by the signature agg and both cosine sides
-    def pSign(i: Int) =
-      expr(s"(shiftright(CAST(${planeMask(i, rcDim)} AS BIGINT), CAST(bucket AS INT)) & 1) * 2 - 1")
-    val aggs = (0 until nPlanes).map(i => sum(col("cv") * pSign(i)).as(s"d$i")) :+
-      sum(col("cv") * col("cv")).as("n2")
-    val sig = dense
-      .groupBy(col("doc_id"), col("chunk_id"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(
-        col("doc_id") +: col("chunk_id") +: col("n2") +:
-          (0 until nBands).map { j =>
-            (0 until width)
-              .map(k => when(col(s"d${j * width + k}") > 0, lit(1L << k)).otherwise(lit(0L)))
-              .reduce(_ + _)
-              .as(s"bv$j")
-          }: _*
-      )
-      .localCheckpoint() // fans out into query bands, corpus bands, and both norms
+    val (dense, sig) = centeredBandSignatures(
+      ch.select(col("doc_id"), col("chunk_id")),
+      sums,
+      Seq("doc_id", "chunk_id"),
+      rcDim,
+      nPlanes,
+      nBands
+    )
     val bands = sig.select(
       col("doc_id"),
       col("chunk_id"),

@@ -865,12 +865,7 @@ object Similarity {
       .filter(col("cr") <= nProbe)
       .select(col("qid"), col("cid"), col("va"), col("cv"))
       .localCheckpoint() // referenced by the literal collect AND the probe join
-    val probeCells = qcells
-      .select(col("cid"))
-      .distinct()
-      .collect()
-      .map(_.getLong(0).toInt)
-      .sorted
+    val probeCells = probeCellLiterals(qcells)
     val cand = spark.read
       .parquet(s"$store/codes")
       .filter(col("cid").isin(probeCells: _*))
@@ -964,18 +959,30 @@ object Similarity {
     * float arrays round-trip parquet losslessly, so the layout must
     * not change a single answer.
     */
-  def ivfLayoutTopk(emb: DataFrame, nList: Int = 16, nProbe: Int = 4): DataFrame = {
-    val spark = emb.sparkSession
-    val store = graft.sources.Scratch.dir("sim_ivf_layout")
+  /** Distances of every vector to the deterministic first-`nList`
+    * centroids: (vec_id, cid, d2) — ids + metric ONLY (the r10 rule:
+    * wide payloads never ride the ranking windows built on this
+    * frame). Shared by the serving-layout paths.
+    */
+  private def centDists(emb: DataFrame, nList: Int): DataFrame = {
     val vs = vecsN(emb)
     val cents = vs.filter(col("vec_id") < nList).select(col("vec_id").as("cid"), col("v").as("cv"))
-    val d = vs
-      .join(broadcast(cents))
+    vs.join(broadcast(cents))
       .select(col("vec_id"), col("cid"), graft.functions.exprs.sq_dist(col("v"), col("cv")).as("d2"))
+  }
+
+  /** Deterministic-centroid cell assignment + the partitionBy(cid)
+    * raw-embedding store write shared by [[ivfLayoutTopk]] and
+    * [[ivfServeTopk]]; returns the store root. The serving-layout
+    * contract lives here ONCE: assignment ranks (vec_id, cid, d2)
+    * only, and the store keys raw embeddings by their cell partition.
+    */
+  private def writeRawCellStore(emb: DataFrame, nList: Int, name: String): String = {
+    val store = graft.sources.Scratch.dir(name)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("d2").asc, col("cid").asc)
-    val assign = d
+    val assign = centDists(emb, nList)
       .select(col("vec_id"), col("cid"), row_number().over(w).as("cr"))
       .filter(col("cr") === 1)
       .select(col("vec_id"), col("cid"))
@@ -986,11 +993,23 @@ object Similarity {
       .partitionBy("cid")
       .mode("overwrite")
       .parquet(s"$store/cells")
+    store
+  }
+
+  /** Probed-cell UNION as partition-pruning literals (int: the
+    * partition column's inferred read-back type — a long literal would
+    * cast the column and defeat pruning). Bounded by nList.
+    */
+  private def probeCellLiterals(qcells: DataFrame): Array[Int] =
+    qcells.select(col("cid")).distinct().collect().map(_.getLong(0).toInt).sorted
+
+  def ivfLayoutTopk(emb: DataFrame, nList: Int = 16, nProbe: Int = 4): DataFrame = {
+    val spark = emb.sparkSession
+    val store = writeRawCellStore(emb, nList, "sim_ivf_layout")
+    val vs = vecsN(emb)
     // the query's probe cells: an nList-row collect, rendered as
-    // partition-pruning literals (int: the partition column's inferred
-    // read-back type — a long literal would cast the column and defeat
-    // pruning)
-    val probeCells = d
+    // partition-pruning literals
+    val probeCells = centDists(emb, nList)
       .filter(col("vec_id") === 0)
       .orderBy(col("d2").asc, col("cid").asc)
       .limit(nProbe)
@@ -1065,29 +1084,11 @@ object Similarity {
     */
   def ivfServeTopk(emb: DataFrame, nList: Int = 16, nProbe: Int = 4): DataFrame = {
     val spark = emb.sparkSession
-    val store = graft.sources.Scratch.dir("sim_ivf_serve")
+    val store = writeRawCellStore(emb, nList, "sim_ivf_serve")
     val vs = vecsN(emb)
-    val cents = vs.filter(col("vec_id") < nList).select(col("vec_id").as("cid"), col("v").as("cv"))
-    val d = vs
-      .join(broadcast(cents))
-      .select(col("vec_id"), col("cid"), graft.functions.exprs.sq_dist(col("v"), col("cv")).as("d2"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("d2").asc, col("cid").asc)
-    val assign = d
-      .select(col("vec_id"), col("cid"), row_number().over(w).as("cr"))
-      .filter(col("cr") === 1)
-      .select(col("vec_id"), col("cid"))
-    emb
-      .select(col("vec_id"), col("embedding"))
-      .join(assign, Seq("vec_id"))
-      .write
-      .partitionBy("cid")
-      .mode("overwrite")
-      .parquet(s"$store/cells")
     // probe cells per QUERY row only — the nQueries-row filter pushes to
     // the scan, so this branch never re-ranks the corpus
-    val qcells = d
+    val qcells = centDists(emb, nList)
       .filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("cid"), row_number().over(
         org.apache.spark.sql.expressions.Window
@@ -1097,12 +1098,7 @@ object Similarity {
       .filter(col("cr") <= nProbe)
       .select(col("qid"), col("cid"))
       .localCheckpoint() // referenced by the literal collect AND the probe join
-    val probeCells = qcells
-      .select(col("cid"))
-      .distinct()
-      .collect()
-      .map(_.getLong(0).toInt)
-      .sorted
+    val probeCells = probeCellLiterals(qcells)
     val cand = spark.read
       .parquet(s"$store/cells")
       .filter(col("cid").isin(probeCells: _*))

@@ -116,14 +116,18 @@ object IcaOps {
 
   /** Per-sample channel vectors (n, v) in sorted-channel order — the
     * one inherent transpose shuffle, shared by fit and reconstruction.
+    * Samples missing any channel (dropped/trimmed rows — routine in
+    * EEG) are FILTERED, not emitted short: a 7-element vector would
+    * silently shift every later channel into the wrong slot.
     */
-  private def vectors(sig: DataFrame): DataFrame =
+  private def vectors(sig: DataFrame, nChannels: Int): DataFrame =
     sig
       .groupBy(col("n"))
       .agg(
         transform(sort_array(collect_list(struct(col("channel"), col("x")))), e => e.getField("x"))
           .as("v")
       )
+      .filter(size(col("v")) === nChannels)
 
   /** Fit FastICA (tanh contrast, deflation) on the per-sample channel
     * vectors. `nComp` defaults to the channel count (square model —
@@ -135,17 +139,22 @@ object IcaOps {
     val channels = sig.select(col("channel")).distinct().collect().map(_.getString(0)).sorted.toSeq
     val c = channels.length
     val k = if (nComp <= 0) c else math.min(nComp, c)
-    val ds = vectors(sig).select(col("v")).as[Seq[Double]].map(_.toArray).persist()
-    val nRows = ds.count().toDouble
-    // mean + covariance: one aggregate each (c and c² cells)
-    val mu = ds.reduce { (a, b) => Array.tabulate(c)(i => a(i) + b(i)) }.map(_ / nRows)
-    val cov = ds
-      .map { v =>
-        val z = Array.tabulate(c)(i => v(i) - mu(i))
-        Array.tabulate(c * c)(idx => z(idx / c) * z(idx % c))
+    val ds = vectors(sig, c).select(col("v")).as[Seq[Double]].map(_.toArray).persist()
+    require(ds.take(1).nonEmpty, "no complete samples (every n must carry all channels)")
+    // mean + covariance fused into ONE pass (cov = E[xxᵀ] − μμᵀ), so
+    // the whiten-once materialization below adds no net data pass
+    val (sumV, sumXX, cnt) = ds
+      .map(v => (v, Array.tabulate(c * c)(idx => v(idx / c) * v(idx % c)), 1L))
+      .reduce { (a, b) =>
+        (
+          Array.tabulate(c)(i => a._1(i) + b._1(i)),
+          Array.tabulate(c * c)(i => a._2(i) + b._2(i)),
+          a._3 + b._3
+        )
       }
-      .reduce { (a, b) => Array.tabulate(c * c)(i => a(i) + b(i)) }
-      .map(_ / nRows)
+    val nRows = cnt.toDouble
+    val mu = sumV.map(_ / nRows)
+    val cov = Array.tabulate(c * c)(idx => sumXX(idx) / nRows - mu(idx / c) * mu(idx % c))
     val (eig, vecs) = jacobiEig(Array.tabulate(c, c)((i, j) => cov(i * c + j)))
     // whitening W0 = D^(-1/2) Eᵀ (rows indexed by eigen-direction)
     val w0 = Array.tabulate(c, c) { (i, j) =>
@@ -157,6 +166,12 @@ object IcaOps {
         var s = 0.0; var j = 0; while (j < c) { s += w0(i)(j) * z(j); j += 1 }; s
       }
     }
+    // whiten ONCE: mu/w0 are fixed after the covariance step, so the
+    // k·maxIter fixed-point aggregates must not redo the O(c²) per-row
+    // projection each pass — the persisted table IS the whitened data
+    val zs = ds.map(whiten).persist()
+    zs.count()
+    ds.unpersist()
     val sc = spark.sparkContext
     // deflation: one tanh fixed-point per component, Gram–Schmidt
     // against the components already found; deterministic basis init
@@ -179,9 +194,8 @@ object IcaOps {
       while (it < maxIter && !done) {
         val bw = sc.broadcast(w)
         // ONE distributed aggregate: (Σ z·tanh(wᵀz), Σ (1 − tanh²))
-        val (sumZg, sumGp) = ds
-          .map { v =>
-            val z = whiten(v)
+        val (sumZg, sumGp) = zs
+          .map { z =>
             var d = 0.0; var i = 0; while (i < c) { d += bw.value(i) * z(i); i += 1 }
             val g = math.tanh(d)
             (Array.tabulate(c)(j => z(j) * g), 1.0 - g * g)
@@ -197,7 +211,7 @@ object IcaOps {
       }
       ws += w
     }
-    ds.unpersist()
+    zs.unpersist()
     // total unmixing U = W·W0 (k×c); mixing = U⁻¹ (square fit) or the
     // whitened-basis right-inverse restricted to the k components
     val wMat = ws.toArray
@@ -224,7 +238,7 @@ object IcaOps {
       )
       struct(lit(p).as("comp"), terms.reduce(_ + _).as("s"))
     }
-    vectors(sig)
+    vectors(sig, c)
       .select(col("n"), explode(array(comps: _*)).as("c"))
       .select(col("n"), col("c.comp").as("comp"), col("c.s").as("s"))
   }
@@ -252,7 +266,7 @@ object IcaOps {
       )
       struct(lit(model.channels(i)).as("channel"), (lit(model.mu(i)) + terms.reduce(_ + _)).as("x"))
     }
-    vectors(sig)
+    vectors(sig, c)
       .select(col("n"), explode(array(rows: _*)).as("r"))
       .select(col("r.channel").as("channel"), col("n"), col("r.x").as("x"))
   }
