@@ -88,14 +88,15 @@ object HilbertOps {
     * row-locally — the self-join formulation computed the (75-tap)
     * analytic transform once per side and shuffled both into the join.
     */
-  /** Per-sample channel-pair phase frame (ch_a < ch_b, pa, pb) shared
-    * by the phase-connectivity estimators ([[plv]], [[pli]]).
+  /** Per-sample channel-pair frame (ch_a < ch_b, pa, pb, ea, eb)
+    * shared by the phase-connectivity estimators ([[plv]], [[pli]],
+    * [[wpli]]) — phases AND envelopes ride the one n-keyed shuffle.
     */
   private def phasePairs(sig: DataFrame, presorted: Boolean): DataFrame = {
-    val ana = analytic(sig, presorted).select(col("channel"), col("n"), col("phase"))
+    val ana = analytic(sig, presorted).select(col("channel"), col("n"), col("phase"), col("env"))
     val byN = ana
       .groupBy(col("n"))
-      .agg(collect_list(struct(col("channel"), col("phase"))).as("cs"))
+      .agg(collect_list(struct(col("channel"), col("phase"), col("env"))).as("cs"))
     byN
       .select(col("cs"), explode(col("cs")).as("a"))
       .select(col("a"), explode(col("cs")).as("b"))
@@ -104,7 +105,9 @@ object HilbertOps {
         col("a.channel").as("ch_a"),
         col("b.channel").as("ch_b"),
         col("a.phase").as("pa"),
-        col("b.phase").as("pb")
+        col("b.phase").as("pb"),
+        col("a.env").as("ea"),
+        col("b.env").as("eb")
       )
   }
 
@@ -139,6 +142,39 @@ object HilbertOps {
         count(lit(1)).as("n_samples")
       )
   }
+
+  /** Weighted Phase-Lag Index (Vinck et al. 2011): |Σ Im S_ab| /
+    * Σ |Im S_ab| with Im S_ab = e_a·e_b·sin Δφ — [[pli]] weighted by
+    * the imaginary cross-spectrum magnitude, discounting near-zero-lag
+    * noise flips. Im terms are float PRODUCTS whose cross-engine SUM
+    * order differs (the band_power_tc 1-ulp class), so both engines
+    * accumulate floor(Im·1e6 + 0.5) micro-unit BIGINTs exactly and the
+    * ratio of the two exact integer sums rounds once at the end
+    * (micro-quantized estimator — documented, deterministic).
+    */
+  def wpli(sig: DataFrame, presorted: Boolean = false): DataFrame = {
+    val im = col("ea") * col("eb") * sin(col("pa") - col("pb"))
+    phasePairs(sig, presorted)
+      .select(col("ch_a"), col("ch_b"), floor(im * lit(1.0e6) + lit(0.5)).cast("long").as("iw"))
+      .groupBy(col("ch_a"), col("ch_b"))
+      .agg(
+        Dsp
+          .round6(abs(sum(col("iw"))).cast("double") / sum(abs(col("iw"))).cast("double"))
+          .as("wpli"),
+        count(lit(1)).as("n_samples")
+      )
+  }
+
+  private def imSqlExpr: String = "a.env * b.env * sin(a.phase - b.phase)"
+
+  def wpliSql: String =
+    s"$analyticCteSql, " +
+      "pw AS (SELECT a.channel AS ch_a, b.channel AS ch_b, " +
+      s"CAST(floor(($imSqlExpr) * 1.0e6 + 0.5e0) AS BIGINT) AS iw " +
+      "FROM ana a JOIN ana b ON a.n = b.n AND a.channel < b.channel) " +
+      "SELECT ch_a, ch_b, " +
+      Dsp.round6Sql("CAST(abs(sum(iw)) AS DOUBLE) / CAST(sum(abs(iw)) AS DOUBLE)") + " AS wpli, " +
+      "count(*) AS n_samples FROM pw GROUP BY ch_a, ch_b"
 
   def pliSql: String =
     s"$analyticCteSql " +
@@ -389,6 +425,7 @@ object HilbertOps {
     "hilbert_env" -> { (s, dir) => hilbertEnv(Signal.long(s, dir), presorted = true) },
     "plv" -> { (s, dir) => plv(Signal.long(s, dir), presorted = true) },
     "pli" -> { (s, dir) => pli(Signal.long(s, dir), presorted = true) },
+    "wpli" -> { (s, dir) => wpli(Signal.long(s, dir), presorted = true) },
     "phase_power" -> { (s, dir) => phasePower(Signal.long(s, dir), presorted = true) },
     "phase_power_sig" -> { (s, dir) => phasePowerSig(Signal.long(s, dir), presorted = true) }
   )
@@ -397,6 +434,7 @@ object HilbertOps {
     "hilbert_env" -> hilbertEnvSql,
     "plv" -> plvSql,
     "pli" -> pliSql,
+    "wpli" -> wpliSql,
     "phase_power" -> phasePowerSql,
     "phase_power_sig" -> phasePowerSigSql
   )

@@ -111,6 +111,7 @@ object ProTools {
         .select(col("channel"), (row_number().over(w) - 1).cast("bigint").as("n"), col("x"))
     },
     "car_reref" -> { (s, dir) => carReref(Signal.long(s, dir)) },
+    "montage_bipolar" -> { (s, dir) => montageBipolar(Signal.long(s, dir)) },
     "artifact_mask" -> { (s, dir) => artifactMask(Signal.long(s, dir)) },
     "detect_peaks" -> { (s, dir) => detectPeaks(Signal.long(s, dir)) },
     "pro_extend" -> { (s, dir) => proExtend(Signal.long(s, dir)) }
@@ -254,6 +255,43 @@ object ProTools {
       .select(col("channel"), col("n"), graft.core.Dsp.round6(col("x") - col("car")).as("y"))
   }
 
+  /** Longitudinal bipolar montage (beyond reference; the standard
+    * clinical EEG derivation): each output channel is the difference of
+    * two ADJACENT electrodes in channel order — "chA-chB" = x_A − x_B.
+    * One (n)-keyed transpose shuffle (car_reref precedent), pairs
+    * expand row-locally from the sorted per-sample struct array; docs
+    * with a single channel emit nothing (the size guard also dodges the
+    * descending-sequence gotcha). The oracle replays it as a rank
+    * self-join — same arithmetic, both sides Dsp.round6.
+    */
+  def montageBipolar(sig: DataFrame): DataFrame = {
+    import sig.sparkSession.implicits._
+    // GLOBAL channel ranks from a bounded collect (channels ≤ dozens) —
+    // a per-sample transpose would pair across gaps when a channel
+    // misses a sample, and a rank window over the distinct frame would
+    // be a partition-less window (the audited class)
+    val chs = sig.select(col("channel")).distinct().collect().map(_.getString(0)).sorted
+    val rkDf = broadcast(chs.zipWithIndex.toSeq.toDF("channel", "rk"))
+    val s2 = sig.join(rkDf, Seq("channel"))
+    val a = s2.select(col("channel").as("ca"), col("rk"), col("n"), col("x").as("xa"))
+    val b = s2.select(col("channel").as("cb"), (col("rk") - 1).as("rk"), col("n"), col("x").as("xb"))
+    a.join(b, Seq("rk", "n"))
+      .select(
+        concat(col("ca"), lit("-"), col("cb")).as("channel"),
+        col("n"),
+        graft.core.Dsp.round6(col("xa") - col("xb")).as("y")
+      )
+  }
+
+  def montageBipolarSql: String =
+    s"${Signal.sigCte}, " +
+      "r AS (SELECT channel, dense_rank() OVER (ORDER BY channel) AS rk " +
+      "FROM (SELECT DISTINCT channel FROM sig)), " +
+      "s2 AS (SELECT s.channel, r.rk, s.n, s.x FROM sig s JOIN r USING (channel)) " +
+      "SELECT a.channel || '-' || b.channel AS channel, a.n, " +
+      s"${graft.core.Dsp.round6Sql("a.x - b.x")} AS y " +
+      "FROM s2 a JOIN s2 b ON b.n = a.n AND b.rk = a.rk + 1"
+
   /** Artifact screen: per-channel z-score with the flag computed from
     * the ROUNDED z on both engines, so the threshold compare can never
     * straddle an engine ulp. Stats via tiny aggregate + broadcast join
@@ -302,6 +340,7 @@ object ProTools {
       "pro_mask" ->
         (s"$cte SELECT channel, CAST(row_number() OVER (PARTITION BY channel ORDER BY n) - 1 AS BIGINT) AS n, x " +
           "FROM sig WHERE x > 50.0"),
+      "montage_bipolar" -> montageBipolarSql,
       "car_reref" ->
         (s"$cte, m AS (SELECT n, avg(x) AS car FROM sig GROUP BY n) " +
           s"SELECT s.channel, s.n, ${graft.core.Dsp.round6Sql("s.x - m.car")} AS y " +
