@@ -278,7 +278,10 @@ object SpectraOps {
     * All norm/doubling scalings cancel in the ratio, as does any FFT
     * conjugation convention.
     */
-  def coherence(sig: DataFrame, cfg: WelchCfg = WelchCfg(), presorted: Boolean = false): DataFrame = {
+  /** Averaged cross-/auto-spectra per channel pair and bin — the shared
+    * frame under [[coherence]] and [[icoherence]].
+    */
+  private def crossSpectra(sig: DataFrame, cfg: WelchCfg, presorted: Boolean): DataFrame = {
     val fr = frameScan(sig, boundary = false, doubled = false, cfg, presorted)((k, f) =>
       k.complexSpec(f)
     ).select(
@@ -325,6 +328,13 @@ object SpectraOps {
         avg(col("ra") * col("ra") + col("ia") * col("ia")).as("pxx"),
         avg(col("rb") * col("rb") + col("ib") * col("ib")).as("pyy")
       )
+  }
+
+  /** SQL twin of [[coherence]]: the periodogram chain's `spec` CTE
+    * carries the same complex spectra the frame scan emits.
+    */
+  def coherence(sig: DataFrame, cfg: WelchCfg = WelchCfg(), presorted: Boolean = false): DataFrame =
+    crossSpectra(sig, cfg, presorted)
       .select(
         col("ch_a"),
         col("ch_b"),
@@ -334,20 +344,38 @@ object SpectraOps {
             (col("pxx") * col("pyy"))
         ).as("coh")
       )
-  }
 
-  /** SQL twin of [[coherence]]: the periodogram chain's `spec` CTE
-    * carries the same complex spectra the frame scan emits.
+  /** Imaginary coherency Im(Cxy) = Pxy_im / sqrt(Pxx·Pyy) (Nolte et
+    * al. 2004): zero-lag (volume-conduction) coupling is purely real,
+    * so the imaginary part isolates genuinely lagged interactions —
+    * the spectral-domain counterpart of [[graft.operators.HilbertOps.pli]].
+    * Same shared cross-spectra frame and shuffle shape as coherence.
     */
-  def coherenceSql(cfg: WelchCfg = WelchCfg()): String =
+  def icoherence(sig: DataFrame, cfg: WelchCfg = WelchCfg(), presorted: Boolean = false): DataFrame =
+    crossSpectra(sig, cfg, presorted)
+      .select(
+        col("ch_a"),
+        col("ch_b"),
+        col("f"),
+        Dsp.round6(col("pxy_im") / sqrt(col("pxx") * col("pyy"))).as("icoh")
+      )
+
+  private def crossSpectraCtes(cfg: WelchCfg): String =
     s"${Signal.sigCte}, ${periodogramsSql(boundary = false, doubled = false, cfg)}, " +
       "ja AS (SELECT a.channel AS ch_a, b.channel AS ch_b, a.s, a.f, " +
       "a.xre AS ra, a.xim AS ia, b.xre AS rb, b.xim AS ib " +
       "FROM spec a JOIN spec b ON a.s = b.s AND a.f = b.f AND a.channel < b.channel), " +
       "cs AS (SELECT ch_a, ch_b, f, avg(ra * rb + ia * ib) AS pxy_re, " +
       "avg(ia * rb - ra * ib) AS pxy_im, avg(ra * ra + ia * ia) AS pxx, " +
-      "avg(rb * rb + ib * ib) AS pyy FROM ja GROUP BY ch_a, ch_b, f) " +
+      "avg(rb * rb + ib * ib) AS pyy FROM ja GROUP BY ch_a, ch_b, f)"
+
+  def coherenceSql(cfg: WelchCfg = WelchCfg()): String =
+    s"${crossSpectraCtes(cfg)} " +
       s"SELECT ch_a, ch_b, f, ${Dsp.round6Sql("(pxy_re * pxy_re + pxy_im * pxy_im) / (pxx * pyy)")} AS coh FROM cs"
+
+  def icoherenceSql(cfg: WelchCfg = WelchCfg()): String =
+    s"${crossSpectraCtes(cfg)} " +
+      s"SELECT ch_a, ch_b, f, ${Dsp.round6Sql("pxy_im / sqrt(pxx * pyy)")} AS icoh FROM cs"
 
   /** STFT spectrogram |X|² per (channel, s, f), boundary + padded. */
   def stft(sig: DataFrame, presorted: Boolean = false): DataFrame =
@@ -703,6 +731,7 @@ object SpectraOps {
     "psd_welch_fast" -> { (s, dir) => psdWelchFast(Signal.long(s, dir), 128, presorted = true) },
     "psd_welch" -> { (s, dir) => psdWelch(Signal.long(s, dir), presorted = true) },
     "coherence" -> { (s, dir) => coherence(Signal.long(s, dir), presorted = true) },
+    "icoherence" -> { (s, dir) => icoherence(Signal.long(s, dir), presorted = true) },
     "psd_welch_spectrum" -> { (s, dir) =>
       psdWelch(Signal.long(s, dir), cfgSpectrum, presorted = true)
     },
@@ -722,6 +751,7 @@ object SpectraOps {
     "psd_welch_fast" -> psdWelchFastSql(128),
     "psd_welch" -> psdWelchSql(),
     "coherence" -> coherenceSql(),
+    "icoherence" -> icoherenceSql(),
     "psd_welch_spectrum" -> psdWelchSql(cfgSpectrum),
     "psd_welch_hamm75" -> psdWelchSql(cfgHamm75),
     "psd_welch_linear" -> psdWelchSql(cfgLinear),
