@@ -277,6 +277,46 @@ object TextStats {
       s"SELECT DISTINCT doc_id, fp FROM wmin WHERE cnt = $w"
   }
 
+  /** Stop-fingerprint cap for [[winnowOverlap]]: a fingerprint held by
+    * more than this many docs is boilerplate (the hot-key class — the
+    * df-cap is the winnowing analogue of the LSH band-width rule) and
+    * is dropped before pairing; shared-fp pairs scale as Σ df² ≤
+    * cap·|fps| instead of quadratically on hot keys.
+    */
+  val woMaxDf = 50
+  val woMinShared = 2
+
+  /** MOSS-style overlap triage: doc pairs ranked by the number of
+    * SHARED winnowing fingerprints — each shared fp witnesses a shared
+    * ≥ w+2-token run ([[winnow]]'s guarantee), so `n_shared` lower-
+    * bounds the overlapping-run count. Equi-join on fp (never
+    * all-pairs), stop-fingerprints df-capped.
+    */
+  def winnowOverlap(docs: DataFrame): DataFrame = {
+    val fps = winnow(docs).localCheckpoint() // feeds df counts + both pair sides
+    val keep = fps
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") <= woMaxDf && col("dfreq") >= 2) // df=1 can't pair
+      .select(col("fp"))
+    val f2 = fps.join(keep, Seq("fp"))
+    f2.select(col("fp"), col("doc_id").as("doc_a"))
+      .join(f2.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= woMinShared)
+  }
+
+  def winnowOverlapSql: String =
+    s"WITH wn AS MATERIALIZED (${winnowSql()}), " +
+      s"keep AS (SELECT fp FROM (SELECT fp, count(*) AS dfreq FROM wn GROUP BY fp) " +
+      s"WHERE dfreq <= $woMaxDf AND dfreq >= 2), " +
+      "f2 AS MATERIALIZED (SELECT wn.doc_id, wn.fp FROM wn JOIN keep USING (fp)) " +
+      "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared " +
+      "FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
+      s"GROUP BY a.doc_id, b.doc_id HAVING count(*) >= $woMinShared"
+
   /** Content-defined chunking divisor: a token whose hash ≡ 0 (mod 16)
     * ENDS its chunk, giving ~16-token mean chunks on the gate corpus.
     */
@@ -947,6 +987,7 @@ object TextStats {
     "text_chunks" -> { (s, dir) => chunks(Tables.documents(s, dir)) },
     "text_chunks_cdc" -> { (s, dir) => chunksCdc(Tables.documents(s, dir)) },
     "text_winnow" -> { (s, dir) => winnow(Tables.documents(s, dir)) },
+    "winnow_overlap" -> { (s, dir) => winnowOverlap(Tables.documents(s, dir)) },
     "text_pack" -> { (s, dir) => pack(Tables.documents(s, dir)) },
     "text_tokens" -> { (s, dir) =>
       Tables
@@ -1014,6 +1055,7 @@ object TextStats {
     "text_chunks" -> chunksSql(),
     "text_chunks_cdc" -> chunksCdcSql,
     "text_winnow" -> winnowSql(),
+    "winnow_overlap" -> winnowOverlapSql,
     "text_pack" -> packSql(),
     "text_tokens" ->
       ("SELECT doc_id, length(text) AS n_chars, len(string_split(text, ' ')) AS n_ws, " +
