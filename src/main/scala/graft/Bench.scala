@@ -72,7 +72,7 @@ object Bench {
       "q7_semi_join", "q8_asof", "q9_range", "q10_cube", "q11_anti_join", "q12_median",
       "psd_welch", "stft64", "iir_butter_lp", "hilbert_env", "resample_3_2", "fir_oa_fast",
       "dedup_exact", "dedup_minhash", "dedup_components", "sim_topk", "text_quality",
-      "curate_full"
+      "curate_full", "sim_ivf_serve", "retrieve_chunks"
     )
     // a renamed/removed query must fail loudly, not silently drop out of
     // the compact line (r9: "stft" vs the real key "stft64") — checked
