@@ -177,6 +177,10 @@ object Prof {
       // fingerprints, and the full chunk→embed→retrieve composition
       t(s"docs${docsX}_chunks_cdc", nDocs)(llm.TextStats.chunksCdc(docs).count())
       t(s"docs${docsX}_winnow", nDocs)(llm.TextStats.winnow(docs).count())
+      // the df-cap rule under the replica cliques: every original's fps
+      // are shared by its 9 siblings (true positives), while corpus
+      // boilerplate fps are capped out before pairing
+      t(s"docs${docsX}_winnow_overlap", nDocs)(llm.TextStats.winnowOverlap(docs).count())
       // scale banding (16 planes, 2×8-bit): the gate's 2×4-bit config is
       // sized for the 500-doc corpus; background candidates per query
       // grow ~nBands·nChunks·2^-width (the hePlanes widen rule)
