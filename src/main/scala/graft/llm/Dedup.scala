@@ -954,8 +954,11 @@ object Dedup {
     val wi = TextStats
       .hashEmbed(docs, dim)
       .select(col("doc_id"), col("bucket"), expr("CAST(floor(weight * 1.0e6 + 0.5e0) AS BIGINT)").as("s"))
+    // distinct keys frame: the oracle's nn CTE counts DISTINCT doc_id,
+    // so a documents table carrying a duplicated doc_id must not shift
+    // the centering mean on the Spark side only (ADVICE r10)
     val (dense, sig) = centeredBandSignatures(
-      docs.select(col("doc_id")),
+      docs.select(col("doc_id")).distinct(),
       wi,
       Seq("doc_id"),
       dim,

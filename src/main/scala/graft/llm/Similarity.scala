@@ -587,7 +587,11 @@ object Similarity {
   // nList of the corpus scored per query. ----
 
   /** Cell assignment + residuals (deterministic first-nList centroids —
-    * the oracle-replayable gate config). Emits (vid, cid, r).
+    * the oracle-replayable gate config). Emits (vid, cid, r). The
+    * argmin window ranks (vec_id, cid, d2) ONLY — the 64-double v/cv
+    * payloads join back AFTER the cr=1 filter (carrying them through
+    * the rank sort is the measured 4.3 GiB-spill pattern the trained
+    * path removed in r10; CLAUDE.md rule).
     */
   private def ivfResiduals(emb: DataFrame, nList: Int): DataFrame = {
     val vs = vecsD(emb)
@@ -600,16 +604,20 @@ object Similarity {
       .select(
         col("vec_id"),
         col("cid"),
-        col("v"),
-        col("cv"),
         graft.functions.exprs.sq_dist(col("v"), col("cv")).as("d2")
       )
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("d2").asc, col("cid").asc)
-    d.select(col("vec_id").as("vid"), col("cid"), col("v"), col("cv"), row_number().over(w).as("cr"))
+    d.select(col("vec_id"), col("cid"), row_number().over(w).as("cr"))
       .filter(col("cr") === 1)
-      .select(col("vid"), col("cid"), zip_with(col("v"), col("cv"), (a, b) => a - b).as("r"))
+      .join(vs.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(broadcast(centsDf), Seq("cid"))
+      .select(
+        col("vec_id").as("vid"),
+        col("cid"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("r")
+      )
   }
 
   /** IVF+PQ top-k: probe `nProbe` cells per query, rank candidates by

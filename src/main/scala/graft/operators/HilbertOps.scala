@@ -158,8 +158,14 @@ object HilbertOps {
       .select(col("ch_a"), col("ch_b"), floor(im * lit(1.0e6) + lit(0.5)).cast("long").as("iw"))
       .groupBy(col("ch_a"), col("ch_b"))
       .agg(
+        // A pair whose Im terms are all zero (in-phase or constant
+        // channels) would divide 0/0 — NaN on Spark, engine-dependent on
+        // DuckDB. Both engines pin the undefined ratio to 0.0.
         Dsp
-          .round6(abs(sum(col("iw"))).cast("double") / sum(abs(col("iw"))).cast("double"))
+          .round6(
+            when(sum(abs(col("iw"))) === 0, lit(0.0))
+              .otherwise(abs(sum(col("iw"))).cast("double") / sum(abs(col("iw"))).cast("double"))
+          )
           .as("wpli"),
         count(lit(1)).as("n_samples")
       )
@@ -173,7 +179,10 @@ object HilbertOps {
       s"CAST(floor(($imSqlExpr) * 1.0e6 + 0.5e0) AS BIGINT) AS iw " +
       "FROM ana a JOIN ana b ON a.n = b.n AND a.channel < b.channel) " +
       "SELECT ch_a, ch_b, " +
-      Dsp.round6Sql("CAST(abs(sum(iw)) AS DOUBLE) / CAST(sum(abs(iw)) AS DOUBLE)") + " AS wpli, " +
+      Dsp.round6Sql(
+        "CASE WHEN sum(abs(iw)) = 0 THEN 0.0e0 " +
+          "ELSE CAST(abs(sum(iw)) AS DOUBLE) / CAST(sum(abs(iw)) AS DOUBLE) END"
+      ) + " AS wpli, " +
       "count(*) AS n_samples FROM pw GROUP BY ch_a, ch_b"
 
   def pliSql: String =

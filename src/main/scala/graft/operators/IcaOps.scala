@@ -123,11 +123,15 @@ object IcaOps {
   private def vectors(sig: DataFrame, nChannels: Int): DataFrame =
     sig
       .groupBy(col("n"))
-      .agg(
-        transform(sort_array(collect_list(struct(col("channel"), col("x")))), e => e.getField("x"))
-          .as("v")
+      .agg(sort_array(collect_list(struct(col("channel"), col("x")))).as("cs"))
+      // size alone is not enough: a duplicated (channel, n) row plus one
+      // missing channel still counts nChannels but shifts every later
+      // channel into the wrong slot — require nChannels DISTINCT names
+      .filter(
+        size(col("cs")) === nChannels &&
+          size(array_distinct(transform(col("cs"), e => e.getField("channel")))) === nChannels
       )
-      .filter(size(col("v")) === nChannels)
+      .select(col("n"), transform(col("cs"), e => e.getField("x")).as("v"))
 
   /** Fit FastICA (tanh contrast, deflation) on the per-sample channel
     * vectors. `nComp` defaults to the channel count (square model —
