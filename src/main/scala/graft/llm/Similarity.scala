@@ -544,10 +544,20 @@ object Similarity {
     * the trained IVF+PQ composition feeds residual vectors through
     * here.
     */
+  /** floor(x·1e6+0.5)/1e6 — the Dsp.round6 formula applied driver-side
+    * to codebook entries. The trained-gate config quantizes every
+    * codebook to micros at each iteration boundary on BOTH engines, so
+    * the discrete argmin encode can never flip on a cross-engine
+    * float-sum-order ulp (an ulp in a MEAN would otherwise propagate
+    * into a different CODE — a hash mismatch, not a 6th-decimal one).
+    */
+  private def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
   def pqTrainV(
       vd: DataFrame,
       init: Array[Array[Array[Double]]],
-      iters: Int
+      iters: Int,
+      quantize: Boolean = false
   ): Array[Array[Array[Double]]] = {
     val subs = vd
       .select(
@@ -571,7 +581,8 @@ object Similarity {
         .collect()
       val next = cb.map(_.map(_.clone()))
       cells.foreach { r =>
-        next(r.getInt(0))(r.getLong(1).toInt - 1)(r.getInt(2)) = r.getDouble(3)
+        val m = r.getDouble(3)
+        next(r.getInt(0))(r.getLong(1).toInt - 1)(r.getInt(2)) = if (quantize) q6(m) else m
       }
       cb = next
     }
@@ -896,6 +907,156 @@ object Similarity {
       )
       .select(col("qid"), col("vid"), col("ad2"), row_number().over(wr).as("rank"))
       .filter(col("rank") <= topK)
+  }
+
+  /** TRAINED IVF+PQ, gate config — the oracle-replayable twin of
+    * [[ivfPqTopkTrained]]: deterministic first-nList coarse cells (the
+    * kmeans|| composition stays `[t]` — its seeding can't ride SQL
+    * CTEs), but the residual CODEBOOKS ARE TRAINED by the production
+    * [[pqTrainV]] Lloyd loop (init = first-pqK residuals, `iters`
+    * distributed assignment+mean rounds) and the serve path runs the
+    * full PQ-shortlist → exact-cosine REFINE composition (the FAISS
+    * IndexRefineFlat shape [[ivfPqTopkTrained]] measured recall@5 =
+    * 1.000 with at the 100k decade). Codebooks are micro-quantized at
+    * every iteration boundary on BOTH engines ([[q6]]) so the discrete
+    * encode/argmin chain is ulp-proof cross-engine; the oracle replays
+    * init → 2 Lloyd rounds → encode → probe → shortlist → refine as
+    * chained CTEs. Scale shape identical to [[ivfPqTopk]]: per-key
+    * windows, equi-join candidates, id-only ranking frames, literal
+    * codebooks; the refine reads refine×nQueries raw vectors, never
+    * the corpus.
+    */
+  def ivfPqTrainedGate(
+      emb: DataFrame,
+      nList: Int = 16,
+      nProbe: Int = 4,
+      iters: Int = 2,
+      refine: Int = 20
+  ): DataFrame = {
+    val resid = ivfResiduals(emb, nList).localCheckpoint()
+    val cbRows = resid
+      .filter(col("vid") >= nList && col("vid") < nList + pqK)
+      .orderBy(col("vid"))
+      .collect()
+    require(cbRows.length == pqK, s"corpus smaller than nList+pqK=${nList + pqK}")
+    val init = Array.tabulate(pqM, pqK) { (j, ci) =>
+      cbRows(ci).getSeq[Double](2).slice(j * pqSub, (j + 1) * pqSub).map(q6).toArray
+    }
+    val cb =
+      pqTrainV(resid.select(col("vid").as("vec_id"), col("r").as("v")), init, iters, quantize = true)
+    val reconR = pqReconstructV(resid.select(col("vid").as("vec_id"), col("r").as("v")), cb)
+      .select(col("vec_id").as("vid"), col("vq"))
+    val vs = vecsN(emb)
+    val centsDf = vs
+      .filter(col("vec_id") < nList)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val qn = vs
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
+      .localCheckpoint() // probed by the cell ranking, the PQ scoring, and the refine
+    // probe-cell ranking on (qid, cid, d2) only; va/cv join back after
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("d2").asc, col("cid").asc)
+    val qcells = qn
+      .join(broadcast(centsDf))
+      .select(col("qid"), col("cid"), graft.functions.exprs.sq_dist(col("va"), col("cv")).as("d2"))
+      .select(col("qid"), col("cid"), row_number().over(wq).as("cr"))
+      .filter(col("cr") <= nProbe)
+      .select(col("qid"), col("cid"))
+      .join(broadcast(centsDf), Seq("cid"))
+      .join(broadcast(qn.select(col("qid"), col("va"))), Seq("qid"))
+    val scored = qcells
+      .join(resid.select(col("vid"), col("cid")), Seq("cid"))
+      .filter(col("qid") =!= col("vid"))
+      .join(reconR, Seq("vid"))
+      .select(
+        col("qid"),
+        col("vid"),
+        graft.core.Dsp
+          .round6(
+            graft.functions.exprs.sq_dist(zip_with(col("va"), col("cv"), (a, b) => a - b), col("vq"))
+          )
+          .as("ad2")
+      )
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("ad2").asc, col("vid").asc)
+    val shortlist = scored
+      .select(col("qid"), col("vid"), row_number().over(ws).as("pq_rank"))
+      .filter(col("pq_rank") <= refine)
+      .select(col("qid"), col("vid"))
+    val exact = shortlist
+      .join(vs.select(col("vec_id").as("vid"), col("v").as("vb"), col("nrm").as("nb")), Seq("vid"))
+      .join(broadcast(qn.select(col("qid"), col("va"), col("na"))), Seq("qid"))
+      .select(col("qid"), col("vid"), round(cosExpr, 6).as("cos"))
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vid").asc)
+    exact
+      .select(col("qid"), col("vid"), col("cos"), row_number().over(wf).as("rank"))
+      .filter(col("rank") <= topK)
+  }
+
+  /** SQL twin of [[ivfPqTrainedGate]]: the full init → Lloyd → encode →
+    * probe → shortlist → refine chain as materialized CTEs, codebooks
+    * micro-quantized at every iteration boundary like the Spark side.
+    */
+  def ivfPqTrainedSql(nList: Int = 16, nProbe: Int = 4, iters: Int = 2, refine: Int = 20): String = {
+    val d2 = "list_sum(list_transform(generate_series(1, 64), i -> " +
+      "(list_extract(a.v, i) - list_extract(c.cv, i)) * (list_extract(a.v, i) - list_extract(c.cv, i))))"
+    val subD2 =
+      s"list_sum(list_transform(generate_series(1, $pqSub), i -> " +
+        "(list_extract(s.sv, i) - list_extract(c.cv, i)) * (list_extract(s.sv, i) - list_extract(c.cv, i))))"
+    val score = "list_sum(list_transform(generate_series(1, 64), i -> " +
+      "((list_extract(va, i) - list_extract(cv, i)) - list_extract(vq, i)) * " +
+      "((list_extract(va, i) - list_extract(cv, i)) - list_extract(vq, i))))"
+    // one Lloyd round: assign every residual subvector under cb{t-1},
+    // per-(j, ci, dim) mean, micro-quantize, empty cells keep cb{t-1}
+    def lloyd(t: Int): String = {
+      val prev = if (t == 1) "cb0" else s"cb${t - 1}"
+      s"d$t AS (SELECT s.vid, s.j, c.ci, $subD2 AS d2 FROM rsubs s JOIN $prev c ON c.j = s.j), " +
+        s"a$t AS (SELECT vid, j, ci FROM (SELECT vid, j, ci, " +
+        s"row_number() OVER (PARTITION BY vid, j ORDER BY d2 ASC, ci ASC) AS rn FROM d$t) WHERE rn = 1), " +
+        s"m$t AS (SELECT a.j, a.ci, u.i AS d, floor(avg(list_extract(s.sv, u.i)) * 1.0e6 + 0.5e0) / 1.0e6 AS mx " +
+        s"FROM a$t a JOIN rsubs s ON s.vid = a.vid AND s.j = a.j, generate_series(1, $pqSub) u(i) " +
+        "GROUP BY a.j, a.ci, u.i), " +
+        s"cb$t AS MATERIALIZED (SELECT p.j, p.ci, CASE WHEN m.ci IS NULL THEN p.cv ELSE m.cv END AS cv " +
+        s"FROM $prev p LEFT JOIN (SELECT j, ci, list(mx ORDER BY d) AS cv FROM m$t GROUP BY j, ci) m " +
+        "ON m.j = p.j AND m.ci = p.ci)"
+    }
+    val cbF = s"cb$iters"
+    "WITH vs AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      s"cents AS MATERIALIZED (SELECT vec_id AS cid, v AS cv FROM vs WHERE vec_id < $nList), " +
+      s"dists AS (SELECT a.vec_id AS pid, c.cid AS cid, $d2 AS d2 FROM vs a CROSS JOIN cents c), " +
+      "rankedc AS MATERIALIZED (SELECT pid, cid, row_number() OVER (PARTITION BY pid ORDER BY d2 ASC, cid ASC) AS cr FROM dists), " +
+      "assign AS MATERIALIZED (SELECT pid AS vid, cid FROM rankedc WHERE cr = 1), " +
+      "resid AS MATERIALIZED (SELECT a.vid, a.cid, list_transform(generate_series(1, 64), i -> " +
+      "list_extract(v.v, i) - list_extract(c.cv, i)) AS r " +
+      "FROM assign a JOIN vs v ON v.vec_id = a.vid JOIN cents c ON c.cid = a.cid), " +
+      s"rsubs AS MATERIALIZED (SELECT vid, g.j AS j, list_slice(r, g.j * $pqSub + 1, (g.j + 1) * $pqSub) AS sv " +
+      s"FROM resid, generate_series(0, ${pqM - 1}) g(j)), " +
+      s"cb0 AS MATERIALIZED (SELECT g.j AS j, vid - $nList AS ci, " +
+      s"list_transform(list_slice(r, g.j * $pqSub + 1, (g.j + 1) * $pqSub), x -> floor(x * 1.0e6 + 0.5e0) / 1.0e6) AS cv " +
+      s"FROM resid, generate_series(0, ${pqM - 1}) g(j) WHERE vid >= $nList AND vid < ${nList + pqK}), " +
+      (1 to iters).map(lloyd).mkString(", ") + ", " +
+      s"de AS (SELECT s.vid, s.j, c.ci, $subD2 AS d2 FROM rsubs s JOIN $cbF c ON c.j = s.j), " +
+      "ae AS (SELECT vid, j, ci FROM (SELECT vid, j, ci, " +
+      "row_number() OVER (PARTITION BY vid, j ORDER BY d2 ASC, ci ASC) AS rn FROM de) WHERE rn = 1), " +
+      s"rrecon AS MATERIALIZED (SELECT vid, flatten(list(cv ORDER BY j)) AS vq " +
+      s"FROM ae JOIN $cbF USING (j, ci) GROUP BY vid), " +
+      s"qcells AS (SELECT pid AS qid, cid FROM rankedc WHERE cr <= $nProbe AND pid < $nQueries), " +
+      "pqpairs AS (SELECT q.qid, s.vid, qa.v AS va, c.cv AS cv, rr.vq AS vq FROM qcells q " +
+      "JOIN assign s ON s.cid = q.cid AND s.vid <> q.qid " +
+      "JOIN vs qa ON qa.vec_id = q.qid JOIN cents c ON c.cid = q.cid JOIN rrecon rr ON rr.vid = s.vid), " +
+      s"pqscored AS (SELECT qid, vid, ${graft.core.Dsp.round6Sql(score)} AS ad2 FROM pqpairs), " +
+      s"shortlist AS (SELECT qid, vid FROM (SELECT qid, vid, " +
+      s"row_number() OVER (PARTITION BY qid ORDER BY ad2 ASC, vid ASC) AS rn FROM pqscored) WHERE rn <= $refine), " +
+      "xpairs AS (SELECT s.qid, s.vid, qa.v AS va, cb.v AS vb FROM shortlist s " +
+      "JOIN vs qa ON qa.vec_id = s.qid JOIN vs cb ON cb.vec_id = s.vid), " +
+      s"exact AS (SELECT qid, vid, round($cosSqlExpr, 6) AS cos FROM xpairs), " +
+      "ranked AS (SELECT qid, vid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rank FROM exact) " +
+      s"SELECT qid, vid, cos, rank FROM ranked WHERE rank <= $topK"
   }
 
   /** SQL twin of [[ivfPqTopk]] (nList=16, nProbe=4). */
@@ -1626,6 +1787,7 @@ object Similarity {
     "sim_ivfpq_serve" -> { (s, dir) => ivfPqServeTopk(Tables.embeddings(s, dir)) },
     "sim_pq_topk" -> { (s, dir) => pqTopk(Tables.embeddings(s, dir)) },
     "sim_ivfpq_topk" -> { (s, dir) => ivfPqTopk(Tables.embeddings(s, dir)) },
+    "sim_ivfpq_trained" -> { (s, dir) => ivfPqTrainedGate(Tables.embeddings(s, dir)) },
     "sim_topk" -> { (s, dir) => topk(Tables.embeddings(s, dir)) },
     "sim_buckets" -> { (s, dir) =>
       // bucket histogram: scale-path observability (bucket, n vectors);
@@ -1662,6 +1824,7 @@ object Similarity {
     "sim_ivfpq_serve" -> ivfPqTopkSql(),
     "sim_pq_topk" -> pqTopkSql,
     "sim_ivfpq_topk" -> ivfPqTopkSql(),
+    "sim_ivfpq_trained" -> ivfPqTrainedSql(),
     "dedup_embed" -> embedDupesSql(0.4, planes, 2)
   )
 }
