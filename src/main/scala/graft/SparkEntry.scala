@@ -45,6 +45,7 @@ object SparkEntry {
       operators.XcorrOps.queries ++
       operators.CwtOps.queries ++
       operators.PacOps.queries ++
+      operators.IcaOps.queries ++
       operators.AnnoOps.queries ++
       llm.TextStats.queries ++
       llm.Bpe.queries ++
@@ -75,6 +76,7 @@ object SparkEntry {
       operators.XcorrOps.oracleSql ++
       operators.CwtOps.oracleSql ++
       operators.PacOps.oracleSql ++
+      operators.IcaOps.oracleSql ++
       operators.AnnoOps.oracleSql ++
       llm.TextStats.oracleSql ++
       llm.Bpe.oracleSql ++

@@ -275,6 +275,99 @@ object IcaOps {
       .select(col("r.channel").as("channel"), col("n"), col("r.x").as("x"))
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map.empty
-  def oracleSql: Map[String, String] = Map.empty
+  // ---- gate queries: the PROJECTION half of ICA, hash-checked ----
+  //
+  // The fit itself stays spec-verified (IcaSpec planted-source recovery;
+  // its eigen/fixed-point chain can't ride SQL CTEs), but once fitted
+  // the unmixing is exact literal linear algebra — so the gate runs the
+  // REAL fastIca fit on the gate signal, embeds the fitted matrices as
+  // full-precision literals in BOTH plans (filter_response precedent:
+  // term order left-associated and identical, so the arithmetic is
+  // bit-identical cross-engine), and the oracle replays the projection.
+  // The oracle SQL is rendered by the query run itself (Verify runs
+  // every query BEFORE dumping oracle_sql.json); if it were ever dumped
+  // unfitted the placeholder is invalid SQL — a loud gate FAIL, never a
+  // silent pass.
+
+  private val modelCache = new java.util.concurrent.ConcurrentHashMap[String, IcaModel]()
+  @volatile private var cleanSqlVar: Option[String] = None
+  @volatile private var sourcesSqlVar: Option[String] = None
+  private val unfittedSql = "SELECT ica_gate_oracle_rendered_before_query_ran"
+
+  /** The gate's component to zero — deterministic pick. */
+  private val gateDrop = 0
+
+  private def gateModel(spark: SparkSession, dir: String): IcaModel =
+    modelCache.computeIfAbsent(dir, d => fastIca(Signal.long(spark, d)))
+
+  /** Pivot CTE: one row per complete sample with x0..x{c-1} in sorted
+    * channel order — the SQL twin of [[vectors]] (both its size and
+    * distinct-channel guards).
+    */
+  private def vecCte(channels: Seq[String]): String = {
+    val c = channels.length
+    val pivot = channels.zipWithIndex
+      .map { case (ch, j) => s"max(CASE WHEN channel = '$ch' THEN x END) AS x$j" }
+      .mkString(", ")
+    s"vec AS (SELECT n, $pivot FROM sig GROUP BY n " +
+      s"HAVING count(*) = $c AND count(DISTINCT channel) = $c)"
+  }
+
+  private def cleanSqlFor(model: IcaModel): String = {
+    import graft.core.Dsp
+    val c = model.channels.length
+    val keep = model.unmix.indices.map(p => if (p == gateDrop) 0.0 else 1.0)
+    val r = Array.tabulate(c, c) { (i, j) =>
+      var s = 0.0
+      for (p <- model.unmix.indices) s += model.mix(i)(p) * keep(p) * model.unmix(p)(j)
+      s
+    }
+    val selects = model.channels.indices.map { i =>
+      val terms = (0 until c)
+        .map(j => s"${Dsp.lit(r(i)(j))} * (x$j - ${Dsp.lit(model.mu(j))})")
+        .mkString(" + ")
+      s"SELECT '${model.channels(i)}' AS channel, n, " +
+        s"${Dsp.round6Sql(s"${Dsp.lit(model.mu(i))} + ($terms)")} AS x FROM vec"
+    }
+    s"${Signal.sigCte}, ${vecCte(model.channels)} ${selects.mkString(" UNION ALL ")}"
+  }
+
+  private def sourcesSqlFor(model: IcaModel): String = {
+    import graft.core.Dsp
+    val c = model.channels.length
+    val selects = model.unmix.indices.map { p =>
+      val terms = (0 until c)
+        .map(j => s"${Dsp.lit(model.unmix(p)(j))} * (x$j - ${Dsp.lit(model.mu(j))})")
+        .mkString(" + ")
+      s"SELECT n, $p AS comp, ${Dsp.round6Sql(terms)} AS s FROM vec"
+    }
+    s"${Signal.sigCte}, ${vecCte(model.channels)} ${selects.mkString(" UNION ALL ")}"
+  }
+
+  /** Artifact removal gate: fit on the gate signal, zero component
+    * [[gateDrop]], emit the cleaned long-format signal.
+    */
+  def icaClean(spark: SparkSession, dir: String): DataFrame = {
+    val model = gateModel(spark, dir)
+    cleanSqlVar = Some(cleanSqlFor(model))
+    removeComponents(Signal.long(spark, dir), model, Set(gateDrop))
+      .select(col("channel"), col("n"), graft.core.Dsp.round6(col("x")).as("x"))
+  }
+
+  /** Estimated-sources gate: the unmixing projection itself. */
+  def icaSources(spark: SparkSession, dir: String): DataFrame = {
+    val model = gateModel(spark, dir)
+    sourcesSqlVar = Some(sourcesSqlFor(model))
+    sources(Signal.long(spark, dir), model)
+      .select(col("n"), col("comp"), graft.core.Dsp.round6(col("s")).as("s"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ica_clean" -> { (s, dir) => icaClean(s, dir) },
+    "ica_sources" -> { (s, dir) => icaSources(s, dir) }
+  )
+  def oracleSql: Map[String, String] = Map(
+    "ica_clean" -> cleanSqlVar.getOrElse(unfittedSql),
+    "ica_sources" -> sourcesSqlVar.getOrElse(unfittedSql)
+  )
 }
