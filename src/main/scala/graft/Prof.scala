@@ -293,6 +293,38 @@ object Prof {
       clustered.unpersist()
       ()
     }
+
+    // PROF_BPE=k: distributed merge-batch BPE training of k merges over
+    // a deterministic Zipfian 200k-word vocabulary (the realistic
+    // trainer workload the 31-word gate corpus can't exercise). Each
+    // round = one pair-count aggregation over the VOCAB-sized state +
+    // one bounded safety scan; the round count printed is the number of
+    // corpus-independent Spark jobs k merges cost.
+    val bpeK = sys.env.getOrElse("PROF_BPE", "0").toInt
+    if (bpeK > 0) {
+      val nWords = 200000L
+      val words = spark
+        .range(1, nWords + 1)
+        .select(
+          // hex-derived word, length 4..11, Zipf-ish frequency ~ 1/rank
+          expr("substr(md5(CAST(id AS STRING)), 1, 4 + CAST(id % 8 AS INT))").as("word"),
+          greatest(lit(1L), (lit(2000000L) / col("id")).cast("long")).as("freq")
+        )
+        .groupBy(col("word"))
+        .agg(sum(col("freq")).as("freq"))
+        .persist()
+      words.count()
+      val rounds = new java.util.concurrent.atomic.AtomicLong(0L)
+      var learned = 0L
+      t(s"bpe_train$bpeK", nWords) {
+        val ms = llm.Bpe.trainDistributed(words, bpeK, onRound = _ => { rounds.incrementAndGet(); () })
+        learned = ms.count(_ != llm.Bpe.nope).toLong
+        learned
+      }
+      println(s"PROF bpe_train$bpeK rounds=${rounds.get} merges=$learned")
+      words.unpersist()
+      ()
+    }
     spark.stop()
   }
 }

@@ -51,7 +51,7 @@ object Bpe {
     * (padded with [[nope]] when a tiny corpus exhausts its pairs —
     * mirroring the oracle's empty-best coalesce).
     */
-  def train(words: Seq[(String, Long)]): Seq[String] = {
+  def train(words: Seq[(String, Long)], n: Int = nMerges): Seq[String] = {
     var st: Array[(String, Long)] = words.map { case (w, f) =>
       val sb = new java.lang.StringBuilder(w.length * 2)
       var ci = 0
@@ -64,7 +64,7 @@ object Bpe {
       (sb.toString, f)
     }.toArray
     val merges = Seq.newBuilder[String]
-    for (_ <- 0 until nMerges) {
+    for (_ <- 0 until n) {
       val pc = scala.collection.mutable.HashMap.empty[String, Long]
       for ((s, f) <- st) {
         val syms = s.split(sepChar)
@@ -86,6 +86,143 @@ object Bpe {
       }
     }
     merges.result()
+  }
+
+  /** Full word-frequency table of a documents frame — the distributed
+    * trainer's input (NO vocab cap: the state the trainer iterates is
+    * vocab-sized, so it never needs the gate's top-[[vocabLimit]]
+    * driver collect).
+    */
+  def vocabDf(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+
+  /** Distributed merge-BATCH trainer — the realistic-merge-count
+    * counterpart of [[train]] (which collects a bounded vocabulary and
+    * iterates driver-side). State is the sep-joined symbol table
+    * (word-vocabulary-sized, NEVER the corpus); each round costs one
+    * distributed pair-count aggregation (explode adjacent symbol pairs
+    * weighted by word freq → one map-side-combined sum → bounded
+    * TakeOrdered top-`topK`) plus one bounded safety scan, and applies
+    * a BATCH of merges — so `n` merges need far fewer than `n` corpus
+    * passes while the merge table stays EXACTLY what `n` sequential
+    * argmax rounds would produce (BpeTrainSpec pins equality).
+    *
+    * Sequential-equivalence argument (each round):
+    *   - accept ranked candidates until the first that could INTERACT
+    *     with an already-accepted merge (share/overlap its symbols or
+    *     contain its merged string): a non-interacting pair's count is
+    *     unchanged by the earlier merges of the batch, because replace
+    *     sites can only consume an occurrence of pair (x, y) when
+    *     x ends with a (site overlap / right fusion covers y) or
+    *     x starts with b / y ends with a (boundary fusion) — the scan
+    *     predicate is a superset of those conditions;
+    *   - every pair NOT accepted (interacting, ranked below the stop
+    *     point, or outside the top-K) has old count ≤ `stopC`, and any
+    *     pair CREATED by an accepted merge inherits ≤ the old count of
+    *     some interacting pair ≤ stopC — so keeping only accepted
+    *     counts STRICTLY > stopC guarantees each accepted pair is
+    *     still the (count DESC, pair ASC) argmax at its turn;
+    *   - counts can only INCREASE for pairs whose symbol contains an
+    *     accepted merged string as a substring (new occurrences appear
+    *     at replace sites); one bounded distributed check rejects any
+    *     batch merge whose merged string already occurs inside an
+    *     existing symbol, eliminating that case entirely;
+    *   - ties: equal-count accepted pairs are mutually non-interacting
+    *     and ranked pair-ASC — exactly sequential's tie order.
+    *   A round that can safely batch nothing falls back to the single
+    *   snapshot argmax, which is sequential-exact by definition.
+    *
+    * Returns exactly `n` merges, [[nope]]-padded when the vocabulary
+    * exhausts its pairs (the sequential trainer's padding).
+    */
+  def trainDistributed(
+      words: DataFrame,
+      n: Int,
+      topK: Int = 256,
+      onRound: Int => Unit = _ => ()
+  ): Seq[String] = {
+    var st = words
+      .select(regexp_replace(col("word"), "(?<=.)(?=.)", sep).as("syms"), col("freq"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[String]
+    var got = 0
+    var exhausted = false
+    while (got < n && !exhausted) {
+      val arr = split(col("syms"), sep)
+      val cand = st
+        .filter(size(arr) >= 2) // sequence(1, 0) DESCENDS — filter first (CLAUDE.md)
+        .select(
+          explode(
+            transform(
+              sequence(lit(1), size(arr) - 1),
+              i => concat(element_at(arr, i), lit(sep), element_at(arr, i + 1))
+            )
+          ).as("p"),
+          col("freq")
+        )
+        .groupBy(col("p"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("p").asc)
+        .limit(topK)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+      if (cand.isEmpty) exhausted = true
+      else {
+        val acc = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var stopC = if (cand.length == topK) cand.last._2 else 0L
+        var stopped = false
+        for ((p, c) <- cand if !stopped) {
+          val k = p.indexOf(sepChar)
+          val (a, b) = (p.substring(0, k), p.substring(k + 1))
+          val interacts = acc.exists { case (aj, bj, _) =>
+            val mj = aj + bj
+            a.contains(mj) || b.contains(mj) || a.startsWith(bj) || b.endsWith(aj) ||
+            (a.endsWith(aj) && b.startsWith(bj))
+          }
+          if (interacts) { stopC = math.max(stopC, c); stopped = true }
+          else acc += ((a, b, c))
+        }
+        var batch = acc.filter(_._3 > stopC).take(n - got).toSeq
+        if (batch.length > 1) {
+          // count-increase guard: truncate at the first merge whose
+          // merged string already occurs INSIDE an existing symbol
+          val checks = batch.map { case (a, b, _) =>
+            max(when(exists(arr, s => s.contains(a + b)), 1).otherwise(0))
+          }
+          val row = st.agg(checks.head, checks.tail: _*).collect()(0)
+          val bad = batch.indices.indexWhere(i => row.getInt(i) == 1)
+          if (bad >= 0) batch = batch.take(math.max(bad, 1))
+        }
+        if (batch.isEmpty) {
+          val (p, c) = cand.head
+          val k = p.indexOf(sepChar)
+          batch = Seq((p.substring(0, k), p.substring(k + 1), c))
+        }
+        var rewritten: org.apache.spark.sql.Column = col("syms")
+        for ((a, b, _) <- batch) {
+          rewritten = regexp_replace(
+            rewritten,
+            java.util.regex.Pattern.quote(a + sep + b),
+            java.util.regex.Matcher.quoteReplacement(a + b)
+          )
+        }
+        // checkpoint EVERY round: the next round's pair count and the
+        // safety scan both re-read the state, and measured at the 200k-
+        // word decade the re-evaluated regexp chain of a lazier cadence
+        // costs more than the checkpoint job (290 s vs 462 s per 1000
+        // merges at every-8-rounds)
+        st = st.select(rewritten.as("syms"), col("freq")).localCheckpoint()
+        batch.foreach { case (a, b, _) => merges += (a + sep + b) }
+        got += batch.length
+        onRound(batch.length)
+      }
+    }
+    val out = merges.result()
+    out ++ Seq.fill(n - out.length)(nope)
   }
 
   /** Gate-config merges: trained on the dir's own documents through the
