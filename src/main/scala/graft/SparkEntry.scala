@@ -55,6 +55,7 @@ object SparkEntry {
       llm.Similarity.queries ++
       llm.Multimodal.queries ++
       llm.Curation.queries ++
+      llm.Urls.queries ++
       llm.Sketches.queries ++
       pipeline.PipelineOps.queries ++
       sources.EdfOps.queries ++
@@ -86,6 +87,7 @@ object SparkEntry {
       llm.Similarity.oracleSql ++
       llm.Multimodal.oracleSql ++
       llm.Curation.oracleSql ++
+      llm.Urls.oracleSql ++
       llm.Sketches.oracleSql ++
       pipeline.PipelineOps.oracleSql ++
       sources.EdfOps.oracleSql ++

@@ -1,0 +1,149 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** URL/domain-level curation — the FIRST screen real web-corpus
+  * pipelines run (C4 §2.2 badwords/host filtering, RefinedWeb §3.1
+  * URL filtering + dedup by canonical URL), before any content-level
+  * dedup or quality pass: canonicalize the fetch URL, screen hosts
+  * against a blocklist, keep one document per canonical URL, and
+  * aggregate a per-host profile for domain-level policy decisions.
+  *
+  * The synthetic corpus carries no URLs, so the gate PLANTS
+  * deterministic doc_id-derived URLs (the text_pii plant precedent)
+  * with the real-world mess the canonicalizer must survive: scheme
+  * variation, www/WWW prefixes, mixed host case, default ports,
+  * trailing slashes, tracking params in shuffled positions, fragments
+  * — constructed so canonical groups of 3–4 variants exist at gate
+  * scale and query-param differences do NOT merge.
+  *
+  * Canonicalization (each rule anchored so DuckDB's first-match
+  * regexp_replace ≡ Spark's replace-all): lowercase host, strip
+  * `www.`, drop default port, drop fragment, strip trailing slashes,
+  * drop `utm_*` tracking params, sort surviving params. The canonical
+  * key deliberately drops the scheme — an http/https pair of the same
+  * resource is one document.
+  *
+  * Scale shape: parsing + canonicalization are wholly row-local
+  * projections off the scan; the URL dedup is ONE canon-keyed window
+  * (the same min-per-group shape dedup_exact uses — at 100 TB the
+  * canon key hash-partitions and nothing is ever all-pairs); the host
+  * profile is one host-keyed aggregation. The blocklist is a literal
+  * (broadcast-sized at any corpus: host blocklists are KBs–MBs).
+  */
+object Urls {
+
+  /** Deterministic URL plant — ONE expression string that parses
+    * identically in Spark SQL and DuckDB (no integer division, so no
+    * div/`//` dialect split). Canonical identity = (doc_id % 20 host,
+    * doc_id % 7 page, ref param when present): group members differ by
+    * 140 in doc_id, so scheme/www/case/port/slash/fragment vary within
+    * a group while ref-param docs stay distinct.
+    */
+  val urlPlant: String =
+    "concat(" +
+      "CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END, " +
+      "CASE WHEN doc_id % 3 = 0 THEN 'WWW.' WHEN doc_id % 3 = 1 THEN 'www.' ELSE '' END, " +
+      "CASE WHEN doc_id % 4 = 0 THEN 'Site' ELSE 'site' END, CAST(doc_id % 20 AS STRING), '.example.com', " +
+      "CASE WHEN doc_id % 10 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END) ELSE '' END, " +
+      "'/articles/', CAST(doc_id % 7 AS STRING), " +
+      "CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END, " +
+      "CASE WHEN doc_id % 6 = 0 THEN concat('?utm_source=feed&ref=', CAST(doc_id % 3 AS STRING)) " +
+      "WHEN doc_id % 6 = 3 THEN concat('?ref=', CAST(doc_id % 3 AS STRING), '&utm_campaign=x') ELSE '' END, " +
+      "CASE WHEN doc_id % 9 = 0 THEN '#sec2' ELSE '' END)"
+
+  /** Host blocklist (the C4-style badlist); literal-sized at any
+    * corpus scale.
+    */
+  val blockedHosts: Seq[String] = Seq("site7.example.com", "site13.example.com")
+
+  /** Canonicalization as Spark Columns over a `url` column. */
+  private def parsed(df: DataFrame): DataFrame = {
+    val rest = regexp_replace(col("url"), "^[A-Za-z]+://", "")
+    val hostport = regexp_extract(rest, "^[^/?#]+", 0)
+    val host =
+      regexp_replace(regexp_replace(lower(hostport), ":[0-9]+$", ""), "^www[.]", "")
+    val pathqf = substring(rest, length(hostport) + 1, lit(1 << 20))
+    val path = regexp_replace(regexp_extract(pathqf, "^[^?#]*", 0), "/+$", "")
+    val query = regexp_extract(pathqf, "[?]([^#]*)", 1)
+    val params = array_join(
+      array_sort(
+        filter(split(query, "&"), p => p =!= "" && substring(p, 1, 4) =!= "utm_")
+      ),
+      "&"
+    )
+    val canon =
+      concat(host, path, when(params =!= "", concat(lit("?"), params)).otherwise(lit("")))
+    df.withColumn("host", host)
+      .withColumn("canon", canon)
+      .withColumn("blocked", host.isin(blockedHosts: _*))
+  }
+
+  private def withKeep(df: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("canon"))
+    val survivorMin = min(when(!col("blocked"), col("doc_id"))).over(w)
+    df.withColumn("keep", !col("blocked") && col("doc_id") === survivorMin)
+  }
+
+  /** Per-doc URL curation verdict: (doc_id, host, canon, blocked, keep). */
+  def curateUrl(docs: DataFrame): DataFrame =
+    withKeep(parsed(docs.select(col("doc_id"), expr(urlPlant).as("url"))))
+      .select(col("doc_id"), col("host"), col("canon"), col("blocked"), col("keep"))
+
+  /** Per-host profile: the domain-level policy table. */
+  def urlHosts(docs: DataFrame): DataFrame =
+    withKeep(parsed(docs.select(col("doc_id"), expr(urlPlant).as("url"))))
+      .groupBy(col("host"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("canon")).as("n_canon"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        max(col("blocked")).as("blocked")
+      )
+
+  /** Shared DuckDB parse chain ending in CTE `k` =
+    * (doc_id, host, canon, blocked, keep).
+    */
+  private def parseCtes: String = {
+    val blist = blockedHosts.map(h => s"'$h'").mkString(", ")
+    s"WITH u AS (SELECT doc_id, $urlPlant AS url FROM documents), " +
+      "p1 AS (SELECT doc_id, regexp_replace(url, '^[A-Za-z]+://', '') AS rest FROM u), " +
+      "p2 AS (SELECT doc_id, rest, regexp_extract(rest, '^[^/?#]+', 0) AS hostport FROM p1), " +
+      "p3 AS (SELECT doc_id, " +
+      "regexp_replace(regexp_replace(lower(hostport), ':[0-9]+$', ''), '^www[.]', '') AS host, " +
+      "substr(rest, length(hostport) + 1) AS pathqf FROM p2), " +
+      "p4 AS (SELECT doc_id, host, " +
+      "regexp_replace(regexp_extract(pathqf, '^[^?#]*', 0), '/+$', '') AS path, " +
+      "regexp_extract(pathqf, '[?]([^#]*)', 1) AS query FROM p3), " +
+      "p5 AS (SELECT doc_id, host, path, " +
+      "coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'), " +
+      "p -> p <> '' AND substr(p, 1, 4) <> 'utm_')), '&'), '') AS params FROM p4), " +
+      "c AS (SELECT doc_id, host, " +
+      "host || path || (CASE WHEN params <> '' THEN '?' || params ELSE '' END) AS canon, " +
+      s"host IN ($blist) AS blocked FROM p5), " +
+      "k AS (SELECT doc_id, host, canon, blocked, " +
+      "(NOT blocked) AND doc_id = min(CASE WHEN blocked THEN NULL ELSE doc_id END) " +
+      "OVER (PARTITION BY canon) AS keep FROM c)"
+  }
+
+  val curateUrlSql: String =
+    s"$parseCtes SELECT doc_id, host, canon, blocked, keep FROM k"
+
+  val urlHostsSql: String =
+    s"$parseCtes SELECT host, count(*) AS n_docs, count(DISTINCT canon) AS n_canon, " +
+      "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, max(blocked) AS blocked " +
+      "FROM k GROUP BY host"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_url" -> { (s, dir) => curateUrl(Tables.documents(s, dir)) },
+    "curate_url_hosts" -> { (s, dir) => urlHosts(Tables.documents(s, dir)) }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "curate_url" -> curateUrlSql,
+    "curate_url_hosts" -> urlHostsSql
+  )
+}
