@@ -1258,6 +1258,45 @@ object Dedup {
       s"SELECT qdoc, doc_b, chunk_b, cos, rank FROM ranked WHERE rank <= $rcTopK"
   }
 
+  /** Chunk-level exact dedup with span accounting — the production
+    * RAG/pretraining dedup granularity: content-defined chunks
+    * ([[TextStats.chunksCdc]] — shift-robust boundaries, so a shared
+    * passage chunk-hashes identically wherever it sits in a document),
+    * ONE chunk_md5-keyed ranking that keeps the (doc_id, chunk_id)-min
+    * occurrence of every distinct chunk, and a per-doc rollup of how
+    * many chunks/tokens survive vs fall as duplicate spans. Scale
+    * shape: chunking reuses the tokens window's doc_id partitioning,
+    * the dedup is ONE equi-keyed window on the content hash (never
+    * all-pairs — the chunk-hash twin of dedup_exact), the rollup is a
+    * map-side-combined aggregation.
+    */
+  def dedupChunks(docs: DataFrame): DataFrame = {
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+    TextStats
+      .chunksCdc(docs)
+      .select(col("doc_id"), col("chunk_id"), col("n_tok"), row_number().over(wr).as("rn"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(col("n_tok")).as("n_tok"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("dup_chunks"),
+        sum(when(col("rn") > 1, col("n_tok")).otherwise(0L)).as("dup_tok"),
+        sum(when(col("rn") === 1, col("n_tok")).otherwise(0L)).as("kept_tok")
+      )
+  }
+
+  def dedupChunksSql: String =
+    s"WITH ch AS MATERIALIZED (${TextStats.chunksCdcSql}), " +
+      "r AS (SELECT doc_id, chunk_id, n_tok, " +
+      "row_number() OVER (PARTITION BY chunk_md5 ORDER BY doc_id, chunk_id) AS rn FROM ch) " +
+      "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks, CAST(sum(n_tok) AS BIGINT) AS n_tok, " +
+      "CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks, " +
+      "CAST(sum(CASE WHEN rn > 1 THEN n_tok ELSE 0 END) AS BIGINT) AS dup_tok, " +
+      "CAST(sum(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tok " +
+      "FROM r GROUP BY doc_id"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> { (s, dir) =>
       Tables
@@ -1291,6 +1330,7 @@ object Dedup {
     "dedup_stream" -> { (s, dir) => dedupStreaming(Tables.documents(s, dir)) },
     "dedup_incremental" -> { (s, dir) => incrementalDedup(Tables.documents(s, dir)) },
     "dedup_hash_embed" -> { (s, dir) => hashEmbedDupes(Tables.documents(s, dir)) },
+    "dedup_chunks" -> { (s, dir) => dedupChunks(Tables.documents(s, dir)) },
     "dedup_keep_best" -> { (s, dir) => keepBest(Tables.documents(s, dir)) },
     "retrieve_chunks" -> { (s, dir) => retrieveChunks(Tables.documents(s, dir)) }
   )
@@ -1321,6 +1361,7 @@ object Dedup {
         "doc_id > min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup FROM documents"),
     "dedup_incremental" -> incrementalDedupSql(),
     "dedup_hash_embed" -> hashEmbedDupesSql(),
+    "dedup_chunks" -> dedupChunksSql,
     "dedup_keep_best" -> keepBestSql,
     "retrieve_chunks" -> retrieveChunksSql
   )

@@ -850,6 +850,45 @@ class LlmSpec extends AnyFunSuite {
     assert(fixedShared < cdcShared, s"fixed windows should shift everywhere: $fixedShared")
   }
 
+  test("dedup_chunks accounts duplicate-chunk spans exactly against a hand count") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(33)
+    // doc 1 is original; doc 2 embeds doc 1's full text between fresh
+    // head/tail passages (the shared-passage case CDC re-aligns on);
+    // doc 3 is disjoint
+    val shared = (1 to 150).map(_ => s"s${rnd.nextInt(4000)}").mkString(" ")
+    val head = (1 to 40).map(_ => s"h${rnd.nextInt(4000)}").mkString(" ")
+    val tail = (1 to 40).map(_ => s"t${rnd.nextInt(4000)}").mkString(" ")
+    val other = (1 to 100).map(_ => s"o${rnd.nextInt(4000)}").mkString(" ")
+    val docs =
+      Seq((1L, shared), (2L, s"$head $shared $tail"), (3L, other)).toDF("doc_id", "text")
+    val out = Dedup.dedupChunks(docs).collect().map(r => r.getLong(0) -> r).toMap
+    // invariants: per-doc token conservation and keeper accounting
+    out.values.foreach { r =>
+      assert(r.getAs[Long]("dup_tok") + r.getAs[Long]("kept_tok") == r.getAs[Long]("n_tok"))
+    }
+    assert(out(1L).getAs[Long]("dup_chunks") == 0L, "doc 1 owns every first occurrence")
+    assert(out(3L).getAs[Long]("dup_chunks") == 0L, "disjoint doc has no dup chunks")
+    val d2 = out(2L)
+    assert(d2.getAs[Long]("dup_chunks") >= 5L, "embedded shared passage must fall as dup chunks")
+    // the duplicated token volume is most of the shared passage (CDC
+    // re-aligns after the head insertion's first boundary)
+    assert(d2.getAs[Long]("dup_tok") >= 100L, s"dup_tok = ${d2.getAs[Long]("dup_tok")}")
+    // cross-check against an independent chunk-hash count
+    val ch = graft.llm.TextStats.chunksCdc(docs)
+    val firstByHash = ch
+      .collect()
+      .groupBy(_.getString(3))
+      .values
+      .map(_.minBy(r => (r.getLong(0), r.getLong(1))))
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val expectDup2 = ch
+      .collect()
+      .count(r => r.getLong(0) == 2L && !firstByHash((r.getLong(0), r.getLong(1))))
+    assert(d2.getAs[Long]("dup_chunks") == expectDup2.toLong)
+  }
+
   test("dedup_keep_best keeps the highest-quality cluster member, not the min id") {
     import spark.implicits._
     // docs 1..3 are one near-dup cluster (≥0.7 shingle jaccard); doc 1
