@@ -641,6 +641,100 @@ object Dedup {
       "SELECT d.doc_id, count(*) AS n_dup_spans FROM dsh d JOIN shared s ON s.sh = d.sh GROUP BY d.doc_id"
   }
 
+  // ---- exact long-run extraction (Lee et al. 2022 §3, ExactSubstr):
+  // maximal cross-doc shared token runs of length ≥ runLen, found
+  // EXACTLY (up to md5 width — the dedup_exact convention) without a
+  // suffix array: a shared run of length R ≥ runLen contains exactly
+  // R − runLen + 1 shared runLen-gram starts, all consecutive, so
+  // (1) key every position by the md5 of its runLen-gram — the shuffle
+  //     sorts these keys exactly like the suffix array's first-k-bytes
+  //     radix pass, one (key → distinct-doc count) aggregation replaces
+  //     the pairwise suffix comparison;
+  // (2) positions whose gram is shared by ≥2 docs come back per doc and
+  //     a gaps-and-islands window (i − row_number over i) groups the
+  //     consecutive starts into maximal intervals: start = min(i),
+  //     run = count + runLen − 1.
+  // Never all-pairs; the only data-sized exchanges are the gram-key
+  // aggregation and the per-doc island window (which reuses doc
+  // partitioning). Within-doc self-repeats are deliberately NOT runs
+  // (distinct-doc count, matching dupSpans' cross-doc semantics). ----
+
+  /** Lee et al. 2022 use 50-token runs; the gate corpus (~54-token
+    * docs) PLANTS deterministic shared passages so the operator is
+    * non-vacuous (text_pii/curate_url precedent).
+    */
+  val runLen = 50
+  private val runPlantLen = 60
+
+  /** Planted passage variant v (0..2): [[runPlantLen]] tokens. */
+  private def runPassage(v: Int): String =
+    (1 to runPlantLen).map(i => s"r${v}x$i").mkString(" ")
+
+  /** ONE plant expression string that parses in both engines: docs with
+    * doc_id % 7 = 0 append one of three shared passages (~24 docs per
+    * passage at sf0.01 — real multi-doc run groups).
+    */
+  val runPlant: String =
+    "CASE WHEN doc_id % 7 = 0 THEN concat(text, ' ', " +
+      s"CASE WHEN doc_id % 3 = 0 THEN '${runPassage(0)}' " +
+      s"WHEN doc_id % 3 = 1 THEN '${runPassage(1)}' " +
+      s"ELSE '${runPassage(2)}' END) ELSE text END"
+
+  /** Maximal shared runs ≥ `w` tokens per doc: (doc_id, run_start,
+    * run_len), 1-based start over the non-empty token sequence.
+    */
+  def sharedRuns(docs: DataFrame, w: Int = runLen): DataFrame = {
+    val toks = slice(filter(split(col("text"), " "), x => x =!= ""), 1, TextStats.maxTokens)
+    val grams = docs
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(
+        col("doc_id"),
+        explode(
+          transform(
+            sequence(lit(1), size(col("toks")) - (w - 1)),
+            i => struct(i.as("i"), md5(concat_ws(" ", slice(col("toks"), i, lit(w)))).as("gh"))
+          )
+        ).as("g")
+      )
+      .select(col("doc_id"), col("g.i").as("i"), col("g.gh").as("gh"))
+      .localCheckpoint() // feeds the shared-key aggregate AND the island pass
+    val shared = grams
+      .select(col("doc_id"), col("gh"))
+      .distinct()
+      .groupBy(col("gh"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("gh"))
+    val wn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("i"))
+    grams
+      .join(shared, Seq("gh"))
+      .select(col("doc_id"), col("i"))
+      .distinct()
+      .select(col("doc_id"), col("i"), (col("i") - row_number().over(wn)).as("isl"))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(min(col("i")).as("run_start"), (count(lit(1)) + (w - 1)).as("run_len"))
+      .select(col("doc_id"), col("run_start"), col("run_len"))
+  }
+
+  /** Gate: runs over the planted corpus. */
+  def dedupRuns(docs: DataFrame): DataFrame =
+    sharedRuns(docs.select(col("doc_id"), expr(runPlant).as("text")))
+
+  def dedupRunsSql(w: Int = runLen): String =
+    s"WITH aug AS (SELECT doc_id, $runPlant AS text FROM documents), " +
+      s"t0 AS (SELECT doc_id, list_slice(list_filter(string_split(text, ' '), x -> x <> ''), 1, ${TextStats.maxTokens}) AS toks FROM aug), " +
+      s"g AS MATERIALIZED (SELECT doc_id, g.i AS i, " +
+      s"md5(array_to_string(list_slice(toks, g.i, g.i + ${w - 1}), ' ')) AS gh " +
+      s"FROM t0, generate_series(1, ${TextStats.maxTokens}) g(i) WHERE g.i <= len(toks) - ${w - 1}), " +
+      "shared AS (SELECT gh FROM (SELECT gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY gh) WHERE nd > 1), " +
+      "dp AS (SELECT DISTINCT doc_id, i FROM g JOIN shared USING (gh)), " +
+      "isl AS (SELECT doc_id, i, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS isl FROM dp) " +
+      s"SELECT doc_id, CAST(min(i) AS BIGINT) AS run_start, CAST(count(*) + ${w - 1} AS BIGINT) AS run_len " +
+      "FROM isl GROUP BY doc_id, isl"
+
   /** Duplicate-span REMOVAL — the actual Lee et al. 2022 output: each
     * doc rewritten with every w-gram span shared with another doc
     * excised, emitting (doc_id, n_removed, md5_clean). Overlapping
@@ -1315,6 +1409,7 @@ object Dedup {
       components(docs.select(col("doc_id")), simhashPairs(docs).select(col("doc_a"), col("doc_b")))
     },
     "dedup_spans" -> { (s, dir) => dupSpans(Tables.documents(s, dir)) },
+    "dedup_runs" -> { (s, dir) => dedupRuns(Tables.documents(s, dir)) },
     "dedup_span_removal" -> { (s, dir) => spanRemoval(Tables.documents(s, dir)) },
     "dedup_groups" -> { (s, dir) =>
       // the canonical MinHash dedup pipeline end to end in ONE query:
@@ -1347,6 +1442,7 @@ object Dedup {
     "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_components" -> componentsSql,
     "dedup_spans" -> dupSpansSql(),
+    "dedup_runs" -> dedupRunsSql(),
     "dedup_span_removal" -> spanRemovalSql(),
     "dedup_groups" ->
       (s"WITH RECURSIVE $jaccardCtes, " +

@@ -850,6 +850,55 @@ class LlmSpec extends AnyFunSuite {
     assert(fixedShared < cdcShared, s"fixed windows should shift everywhere: $fixedShared")
   }
 
+  test("sharedRuns finds planted long runs exactly: position, length, threshold, merging") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(44)
+    def fresh(p: String, n: Int) = (1 to n).map(_ => s"$p${rnd.nextInt(100000)}").mkString(" ")
+    val run55 = (1 to 55).map(i => s"shared$i").mkString(" ")
+    val run49 = (1 to 49).map(i => s"short$i").mkString(" ")
+    val runA = (1 to 50).map(i => s"a$i").mkString(" ")
+    val runB = (1 to 50).map(i => s"b$i").mkString(" ")
+    val runC = (1 to 50).map(i => s"c$i").mkString(" ")
+    val runD = (1 to 50).map(i => s"d$i").mkString(" ")
+    val docs = Seq(
+      // 55-run at position 21 of doc 1, position 1 of doc 2
+      (1L, s"${fresh("x", 20)} $run55 ${fresh("y", 30)}"),
+      (2L, s"$run55 ${fresh("z", 10)}"),
+      // 49-token shared run: below threshold, must NOT be reported
+      (3L, s"${fresh("p", 10)} $run49"),
+      (4L, s"$run49 ${fresh("q", 10)}"),
+      // two ADJACENT 50-runs in doc 5 shared with DIFFERENT partners:
+      // the boundary grams (spanning a|b) are shared with nobody, so
+      // these stay two maximal runs — not one 100-token interval
+      (5L, s"$runA $runB"),
+      (6L, s"${fresh("m", 5)} $runA"),
+      (7L, s"$runB ${fresh("n", 5)}"),
+      // full-copy pair: every gram start shared → ONE merged 100-run
+      (9L, s"$runC $runD"),
+      (10L, s"$runC $runD")
+    ).toDF("doc_id", "text")
+    val runs = Dedup
+      .sharedRuns(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("run_start").longValue(), r.getLong(2)))
+      .toSet
+    assert(runs.contains((1L, 21L, 55L)), s"doc 1 run wrong: $runs")
+    assert(runs.contains((2L, 1L, 55L)))
+    assert(!runs.exists(_._1 == 3L) && !runs.exists(_._1 == 4L), "sub-threshold run reported")
+    assert(
+      runs.contains((5L, 1L, 50L)) && runs.contains((5L, 51L, 50L)),
+      s"different-partner adjacent runs must stay separate: $runs"
+    )
+    assert(runs.contains((6L, 6L, 50L)) && runs.contains((7L, 1L, 50L)))
+    assert(
+      runs.contains((9L, 1L, 100L)) && runs.contains((10L, 1L, 100L)),
+      s"full-copy pair should merge to one maximal run: $runs"
+    )
+    // a doc's internal self-repeat is NOT a cross-doc run
+    val selfDoc = Seq((8L, s"$runA $runA")).toDF("doc_id", "text")
+    assert(Dedup.sharedRuns(selfDoc).count() == 0)
+  }
+
   test("dedup_chunks accounts duplicate-chunk spans exactly against a hand count") {
     import spark.implicits._
     val rnd = new scala.util.Random(33)
