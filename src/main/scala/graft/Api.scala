@@ -521,6 +521,60 @@ object Api {
     */
   def corpusProfile(docs: DataFrame): DataFrame = llm.Sketches.corpusProfile(docs)
 
+  /** Profile SERVICE — the continuous-ingest profile endpoint the
+    * one-scan corpus profile implies. The persisted state is the grid
+    * itself, a parquet table at `<store>/grid` with schema
+    * `(source STRING, kind STRING ∈ {h, q, c}, k1, k2, k3 BIGINT,
+    * mx, cnt, sm BIGINT)`:
+    *   - `h` rows: HLL registers — k1 = register, mx = max ρ;
+    *   - `q` rows: dyadic-CMS counters — (k1, k2, k3) = (level, row,
+    *     bucket), cnt = hits;
+    *   - `c` rows: exact doc/token totals — cnt = docs, sm = tokens.
+    * The grid is ≤ sources·(m + L·d·w + 1) rows — KBs at ANY corpus
+    * size — and merges by {max(mx), sum(cnt), sum(sm)}, so ingest
+    * never re-scans the corpus and serving reads ONLY the grid:
+    * `profile` finishes the per-source summary, `quantiles` descends
+    * arbitrary doc-length quantiles, both corpus-pass-free. The merge
+    * ≡ single-pass property is hash-gated (corpus_profile_inc) and the
+    * merged-extraction property spec-pinned; ApiSpec covers the
+    * service cadence end to end.
+    */
+  object ProfileService {
+
+    /** Initialize the store from a corpus slice (overwrites). */
+    def init(docs: DataFrame, store: String): Unit = {
+      llm.Sketches.profileGrid(docs).write.mode("overwrite").parquet(s"$store/grid")
+      ()
+    }
+
+    /** Ingest a batch: grid ONLY the batch, merge into the store. The
+      * merged grid is bounded (KBs), so it materializes via
+      * localCheckpoint before overwriting the path it was read from.
+      */
+    def ingest(docs: DataFrame, store: String): Unit = {
+      import org.apache.spark.sql.functions.{col, max, sum}
+      val spark = docs.sparkSession
+      val merged = spark.read
+        .parquet(s"$store/grid")
+        .unionByName(llm.Sketches.profileGrid(docs))
+        .groupBy(col("source"), col("kind"), col("k1"), col("k2"), col("k3"))
+        .agg(max(col("mx")).as("mx"), sum(col("cnt")).as("cnt"), sum(col("sm")).as("sm"))
+        .localCheckpoint()
+      merged.write.mode("overwrite").parquet(s"$store/grid")
+      ()
+    }
+
+    /** Per-source profile off the stored grid — NO corpus pass. */
+    def profile(spark: org.apache.spark.sql.SparkSession, store: String): DataFrame =
+      llm.Sketches.profileFinish(spark.read.parquet(s"$store/grid"))
+
+    /** p50/p90 doc-length probes descended off the stored grid — NO
+      * corpus pass (bounded grid collect + driver-side descent).
+      */
+    def quantiles(spark: org.apache.spark.sql.SparkSession, store: String): DataFrame =
+      llm.Sketches.profileQuantilesFromGrid(spark.read.parquet(s"$store/grid"))
+  }
+
   /** Near-dup doc pairs by mean-centered hashed-embedding cosine —
     * text→embedding→ANN closed natively (banded hyperplane LSH, exact
     * integer verify).

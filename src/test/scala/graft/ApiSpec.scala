@@ -79,6 +79,41 @@ class ApiSpec extends AnyFunSuite {
     assert(med > 0, s"descended median $med")
   }
 
+  test("ProfileService: init + ingest merge == single-pass profile, served grid-only") {
+    import org.apache.spark.sql.functions._
+    val docs = core.Tables.documents(spark, sf)
+    val store = sources.Scratch.dir("api_profile_service")
+    val h2 = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 2
+    // continuous-ingest cadence: seed with one slice, ingest the other
+    Api.ProfileService.init(docs.filter(h2 === 0), store)
+    Api.ProfileService.ingest(docs.filter(h2 === 1), store)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    // the served profile and quantiles come from the STORE ONLY and
+    // must equal the single-pass full-corpus answers exactly
+    assert(canon(Api.ProfileService.profile(spark, store)) == canon(Api.corpusProfile(docs)))
+    assert(
+      canon(Api.ProfileService.quantiles(spark, store)) ==
+        canon(llm.Sketches.corpusProfileQuantiles(docs))
+    )
+    // the store is the documented bounded layout: one grid table whose
+    // row count is corpus-independent (≤ sources·(m + L·d·w + 1))
+    val grid = spark.read.parquet(s"$store/grid")
+    assert(grid.columns.toSeq == Seq("source", "kind", "k1", "k2", "k3", "mx", "cnt", "sm"))
+    val nSources = docs.select(col("source")).distinct().count()
+    val bound = nSources * (llm.Sketches.hllRegisters +
+      llm.Sketches.qLevels * llm.Sketches.qDepth * llm.Sketches.qWidth + 1)
+    assert(grid.count() <= bound, s"grid ${grid.count()} exceeds bound $bound")
+    // a second ingest keeps serving consistent (monotone doc counts)
+    Api.ProfileService.ingest(docs.filter(h2 === 1).limit(5), store)
+    val n2 = Api.ProfileService
+      .profile(spark, store)
+      .agg(sum(col("n_docs")))
+      .head
+      .getLong(0)
+    assert(n2 == docs.count() + 5)
+  }
+
   test("IIR band facade mirrors 2-element reference specs") {
     assert(Api.ButterBand(Seq(10, 20), Seq(5, 30), 100).sos.map(_.toSeq).toSeq ==
       operators.IirOps.butterBp.map(_.toSeq).toSeq)
