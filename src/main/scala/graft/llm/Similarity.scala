@@ -599,35 +599,36 @@ object Similarity {
 
   /** Cell assignment + residuals (deterministic first-nList centroids —
     * the oracle-replayable gate config). Emits (vid, cid, r). The
-    * argmin window ranks (vec_id, cid, d2) ONLY — the 64-double v/cv
-    * payloads join back AFTER the cr=1 filter (carrying them through
-    * the rank sort is the measured 4.3 GiB-spill pattern the trained
-    * path removed in r10; CLAUDE.md rule).
+    * argmin is a `min_by` AGGREGATION keyed on the exact (d2, cid)
+    * struct order — map-side combinable (the nList candidate rows per
+    * vector collapse to ONE before any shuffle), no rank-sort window,
+    * and the min_by payload carries (cid, v, cv) in O(1) aggregation
+    * state per group — neither the wide-payload-through-a-sort spill
+    * pattern (measured 4.3 GiB at the 100k decade, r10) nor the r11
+    * first-draft's corpus-sized join-back (+0.4 s of gate-scale stage
+    * scheduling on the serve path).
     */
   private def ivfResiduals(emb: DataFrame, nList: Int): DataFrame = {
     val vs = vecsD(emb)
     val centsDf = vs
       .filter(col("vec_id") < nList)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val d = vs
-      .select(col("vec_id"), col("v"))
+    vs.select(col("vec_id"), col("v"))
       .join(broadcast(centsDf))
       .select(
         col("vec_id"),
-        col("cid"),
-        graft.functions.exprs.sq_dist(col("v"), col("cv")).as("d2")
+        struct(
+          graft.functions.exprs.sq_dist(col("v"), col("cv")).as("d2"),
+          col("cid")
+        ).as("key"),
+        struct(col("cid"), col("v"), col("cv")).as("pay")
       )
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id"))
-      .orderBy(col("d2").asc, col("cid").asc)
-    d.select(col("vec_id"), col("cid"), row_number().over(w).as("cr"))
-      .filter(col("cr") === 1)
-      .join(vs.select(col("vec_id"), col("v")), Seq("vec_id"))
-      .join(broadcast(centsDf), Seq("cid"))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("pay"), col("key")).as("pay"))
       .select(
         col("vec_id").as("vid"),
-        col("cid"),
-        zip_with(col("v"), col("cv"), (a, b) => a - b).as("r")
+        col("pay.cid").as("cid"),
+        zip_with(col("pay.v"), col("pay.cv"), (a, b) => a - b).as("r")
       )
   }
 
