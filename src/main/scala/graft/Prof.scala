@@ -195,6 +195,16 @@ object Prof {
       t(s"docs${docsX}_wav_fp_pairs", nDocs)(
         llm.Multimodal.wavFpPairs(llm.Multimodal.wavMediaFromDocs(docs)).count()
       )
+      // round-11 additions: URL curation (row-local canon + ONE
+      // canon-keyed min window), chunk-level exact dedup (one
+      // chunk_md5-keyed ranking off the CDC chunker), and exact
+      // long-run extraction — replicas differ only in their appended
+      // suffix, so every ≥runLen-token original body is a TRUE
+      // multi-doc shared run group at every decade (run groups of
+      // size docsX, never all-pairs: the gram aggregate is keyed)
+      t(s"docs${docsX}_curate_url", nDocs)(llm.Urls.curateUrl(docs).count())
+      t(s"docs${docsX}_dedup_chunks", nDocs)(llm.Dedup.dedupChunks(docs).count())
+      t(s"docs${docsX}_dedup_runs", nDocs)(llm.Dedup.sharedRuns(docs).count())
       docs.unpersist()
       ()
     }
