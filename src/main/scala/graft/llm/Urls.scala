@@ -3,7 +3,7 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Dsp, Tables}
 
 /** URL/domain-level curation — the FIRST screen real web-corpus
   * pipelines run (C4 §2.2 badwords/host filtering, RefinedWeb §3.1
@@ -132,6 +132,78 @@ object Urls {
   val curateUrlSql: String =
     s"$parseCtes SELECT doc_id, host, canon, blocked, keep FROM k"
 
+  /** RefinedWeb-order curation FUNNEL (§3 of the RefinedWeb paper:
+    * URL filtering → deduplication → content filtering, each stage
+    * consuming the previous stage's survivors): per host, the doc
+    * counts surviving each stage — n_docs → (blocked out) → n_url_kept
+    * (canonical-URL dedup) → n_quality (content score ≥ minQuality) →
+    * n_final (exact-content keeper among the survivors). The funnel
+    * table is what a domain-policy review actually reads ("how much of
+    * host X dies at each stage, and why").
+    *
+    * Plan shape: URL parse/canon and the quality score are row-local
+    * projections off ONE documents scan; stage membership needs the
+    * canon-keyed min window (URL dedup) and ONE md5(text)-keyed min
+    * window computed over survivor-conditional doc_ids (`min(CASE WHEN
+    * survivor THEN doc_id END)` — the exact-dedup keeper among
+    * survivors WITHOUT a second pass or self-join); the rollup is one
+    * host-keyed aggregation. Nothing is ever pairwise; both window
+    * keys hash-partition at any corpus size.
+    */
+  /** Deterministic content plant so BOTH downstream stages are
+    * non-vacuous at gate scale (the synthetic corpus has no exact
+    * dups and no sub-threshold quality): doc_id % 13 = 5 docs become
+    * one of three shared "mirror" passages (exact-dup groups whose
+    * members PASS the quality screen — the n_final stage must bite on
+    * quality survivors), and doc_id % 11 = 0 docs get 60 SHORT
+    * punctuation tokens appended — dragging mean word length toward 3
+    * AND the punct ratio up ~0.23 (a single long junk token would
+    * RAISE mean word length and cancel its own penalty). One
+    * expression string, parses identically in Spark SQL and DuckDB.
+    */
+  val webPlant: String =
+    "CASE WHEN doc_id % 13 = 5 THEN concat('the shared mirror passage variant ', " +
+      "CAST(doc_id % 3 AS STRING), " +
+      "' carrying enough plain words to pass every content screen cleanly') " +
+      "WHEN doc_id % 11 = 0 THEN concat(text, ' ', repeat('#! ', 60)) ELSE text END"
+
+  def curateWeb(docs: DataFrame, minQuality: Double = 0.45): DataFrame = {
+    val planted = docs.select(col("doc_id"), expr(webPlant).as("text"))
+    val u = withKeep(parsed(planted.select(col("doc_id"), col("text"), expr(urlPlant).as("url"))))
+    val q = u.withColumn("quality", Curation.qualityScore)
+    val surv = col("keep") && col("quality") >= lit(minQuality)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+    q.withColumn("keep_id", min(when(surv, col("doc_id"))).over(w))
+      .groupBy(col("host"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("blocked"), 1L).otherwise(0L)).as("n_blocked"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_url_kept"),
+        sum(when(surv, 1L).otherwise(0L)).as("n_quality"),
+        sum(when(surv && col("doc_id") === col("keep_id"), 1L).otherwise(0L)).as("n_final")
+      )
+  }
+
+  def curateWebSql(minQuality: Double = 0.45): String =
+    s"$parseCtes, " +
+      s"aug AS (SELECT doc_id, $webPlant AS text FROM documents), " +
+      "q0 AS (SELECT k.doc_id AS doc_id, host, blocked, keep, d.text AS text, " +
+      "CAST(length(d.text) AS DOUBLE) AS n_chars, " +
+      "CAST(len(string_split(d.text, ' ')) AS DOUBLE) AS n_tok, " +
+      "CAST(length(regexp_replace(d.text, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digit, " +
+      "CAST(length(regexp_replace(d.text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct " +
+      "FROM k JOIN aug d USING (doc_id)), " +
+      s"q1 AS (SELECT doc_id, host, blocked, keep, text, " +
+      s"(keep AND ${Curation.qualitySql} >= ${Dsp.lit(minQuality)}) AS surv FROM q0), " +
+      "f AS (SELECT host, blocked, keep, surv, doc_id, " +
+      "min(CASE WHEN surv THEN doc_id END) OVER (PARTITION BY md5(text)) AS keep_id FROM q1) " +
+      "SELECT host, count(*) AS n_docs, " +
+      "CAST(sum(CASE WHEN blocked THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked, " +
+      "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_url_kept, " +
+      "CAST(sum(CASE WHEN surv THEN 1 ELSE 0 END) AS BIGINT) AS n_quality, " +
+      "CAST(sum(CASE WHEN surv AND doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_final " +
+      "FROM f GROUP BY host"
+
   val urlHostsSql: String =
     s"$parseCtes SELECT host, count(*) AS n_docs, count(DISTINCT canon) AS n_canon, " +
       "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, max(blocked) AS blocked " +
@@ -139,11 +211,13 @@ object Urls {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_url" -> { (s, dir) => curateUrl(Tables.documents(s, dir)) },
-    "curate_url_hosts" -> { (s, dir) => urlHosts(Tables.documents(s, dir)) }
+    "curate_url_hosts" -> { (s, dir) => urlHosts(Tables.documents(s, dir)) },
+    "curate_web" -> { (s, dir) => curateWeb(Tables.documents(s, dir)) }
   )
 
   def oracleSql: Map[String, String] = Map(
     "curate_url" -> curateUrlSql,
-    "curate_url_hosts" -> urlHostsSql
+    "curate_url_hosts" -> urlHostsSql,
+    "curate_web" -> curateWebSql()
   )
 }

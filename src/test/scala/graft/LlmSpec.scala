@@ -998,6 +998,41 @@ class LlmSpec extends AnyFunSuite {
     assert(b(0L) == b(1L))
     assert(b(0L) != b(2L))
   }
+
+  test("curate_web funnel: each stage bites exactly where planted") {
+    import spark.implicits._
+    val good = (1 to 20).map(i => s"plain$i").mkString(" ")
+    // doc_ids chosen against the plants: 18 and 96 are mirror docs
+    // (≡5 mod 13, same %3 → identical planted text, different hosts);
+    // 22 is a junk doc (≡0 mod 11 → punctuation flood, quality fails);
+    // 281 shares doc 1's canonical URL (same %20/%7, no params on
+    // either) so URL dedup drops it; 7 sits on a blocked host
+    val docs = Seq(1L, 7L, 18L, 22L, 96L, 281L)
+      .map(id => (id, good))
+      .toDF("doc_id", "text")
+    val out = graft.llm.Urls
+      .curateWeb(docs)
+      .collect()
+      .map(r => r.getString(0) -> r)
+      .toMap
+    def f(h: String, c: String): Long = out(s"$h.example.com").getAs[Long](c)
+    // funnel monotonicity everywhere
+    out.values.foreach { r =>
+      val (d, b, u, q, fin) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_blocked"),
+        r.getAs[Long]("n_url_kept"), r.getAs[Long]("n_quality"), r.getAs[Long]("n_final"))
+      assert(u <= d - b && q <= u && fin <= q, s"non-monotone funnel row $r")
+    }
+    assert(f("site7", "n_blocked") == 1L && f("site7", "n_url_kept") == 0L)
+    // URL dedup: docs 1 and 281 share a canon → one survivor on site1
+    assert(f("site1", "n_docs") == 2L && f("site1", "n_url_kept") == 1L)
+    assert(f("site1", "n_final") == 1L)
+    // quality: the junk doc survives URL stages but dies at quality
+    assert(f("site2", "n_url_kept") == 1L && f("site2", "n_quality") == 0L)
+    // exact dedup: the mirror pair passes quality on both hosts but
+    // only the min doc_id (18, host site18) is final
+    assert(f("site18", "n_quality") == 1L && f("site18", "n_final") == 1L)
+    assert(f("site16", "n_quality") == 1L && f("site16", "n_final") == 0L)
+  }
 }
 
 class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
