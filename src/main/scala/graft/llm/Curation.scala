@@ -210,6 +210,62 @@ object Curation {
       )
   }
 
+  /** Token-budget mixture PLAN — the calculator that turns
+    * temperature-scaled weights into an actual run config: for a total
+    * training-token budget B, each source's target token draw and the
+    * implied epoch count (passes over the source — > 1 means the
+    * budget repeats it, the number a mixing config actually needs;
+    * cf. the epoch-per-source tables in Llama/Gopher data recipes).
+    *
+    * Cross-engine float discipline: the weight is materialized ONCE as
+    * integer micros (`w_micro = floor(ratio·1e6 + 0.5)` — the round6
+    * integer form), and the target is `w_micro × B/1e6` in EXACT
+    * BIGINT arithmetic (B is required divisible by 1e6), so the
+    * budget split can never flip on a floor-of-double ulp. One
+    * documents aggregation; the normalization joins over the handful
+    * of source rows (broadcast, constant-key — the bm25 shape).
+    */
+  def sampleBudget(docs: DataFrame, alpha: Double = 0.7, budget: Long = 10000000L): DataFrame = {
+    require(budget % 1000000L == 0, "budget must be a whole number of Mtokens")
+    val perSource = docs
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tok")
+      )
+    val tot = perSource
+      .agg(sum(pow(col("n_tok"), alpha)).as("wsum"))
+      .withColumn("k", lit(1))
+    perSource
+      .withColumn("k", lit(1))
+      .join(broadcast(tot), Seq("k"))
+      .withColumn(
+        "w_micro",
+        expr(s"CAST(floor(pow(n_tok, ${Dsp.lit(alpha)}) / wsum * 1.0e6 + 0.5e0) AS BIGINT)")
+      )
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_tok"),
+        (col("w_micro").cast("double") / lit(1000000.0)).as("mix_weight"),
+        (col("w_micro") * lit(budget / 1000000L)).as("target_tok"),
+        Dsp.round6(
+          (col("w_micro") * lit(budget / 1000000L)).cast("double") / col("n_tok").cast("double")
+        ).as("epochs")
+      )
+  }
+
+  def sampleBudgetSql(alpha: Double = 0.7, budget: Long = 10000000L): String = {
+    val bM = budget / 1000000L
+    s"WITH k AS (SELECT source, count(*) AS n_docs, " +
+      "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok FROM documents GROUP BY source), " +
+      s"w AS (SELECT source, n_docs, n_tok, CAST(floor(pow(n_tok, ${Dsp.lit(alpha)}) " +
+      s"/ sum(pow(n_tok, ${Dsp.lit(alpha)})) OVER () * 1.0e6 + 0.5e0) AS BIGINT) AS w_micro FROM k) " +
+      "SELECT source, n_docs, n_tok, CAST(w_micro AS DOUBLE) / 1000000.0e0 AS mix_weight, " +
+      s"w_micro * $bM AS target_tok, " +
+      s"${Dsp.round6Sql(s"CAST(w_micro * $bM AS DOUBLE) / CAST(n_tok AS DOUBLE)")} AS epochs FROM w"
+  }
+
   def sampleMixSql(alpha: Double = 0.7): String = {
     val h = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 8)) AS BIGINT) % 1000"
     val rate = "CASE source WHEN 'src0' THEN 900 WHEN 'src1' THEN 500 WHEN 'src2' THEN 250 ELSE 100 END"
@@ -466,6 +522,7 @@ object Curation {
     "text_c4_clean" -> { (s, dir) => c4Clean(Tables.documents(s, dir)) },
     "corpus_shard" -> { (s, dir) => corpusShard(Tables.documents(s, dir)) },
     "sample_mix" -> { (s, dir) => sampleMix(Tables.documents(s, dir)) },
+    "sample_budget" -> { (s, dir) => sampleBudget(Tables.documents(s, dir)) },
     "sample_stratified" -> { (s, dir) => sampleStratified(Tables.documents(s, dir)) },
     "corpus_stats" -> { (s, dir) => corpusStats(Tables.documents(s, dir)) },
     "curate_splits" -> { (s, dir) =>
@@ -529,6 +586,7 @@ object Curation {
     "text_c4_clean" -> c4CleanSql,
     "corpus_shard" -> corpusShardSql,
     "sample_mix" -> sampleMixSql(),
+    "sample_budget" -> sampleBudgetSql(),
     "sample_stratified" -> sampleStratifiedSql(),
     "corpus_stats" -> corpusStatsSql,
     "curate_full" -> curateFullSql,

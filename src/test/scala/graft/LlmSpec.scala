@@ -999,6 +999,22 @@ class LlmSpec extends AnyFunSuite {
     assert(b(0L) != b(2L))
   }
 
+  test("sample_budget conserves the token budget up to per-source rounding") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val rows = graft.llm.Curation.sampleBudget(docs, budget = 10000000L).collect()
+    val nSources = rows.length
+    // each w_micro rounds within 0.5 micro-units, so the split misses
+    // the budget by at most nSources half-units of B/1e6 tokens
+    val sumTarget = rows.map(_.getAs[Long]("target_tok")).sum
+    assert(math.abs(sumTarget - 10000000L) <= nSources * 5L, s"sum=$sumTarget")
+    rows.foreach { r =>
+      val epochs = r.getAs[Double]("epochs")
+      val expect = r.getAs[Long]("target_tok").toDouble / r.getAs[Long]("n_tok")
+      assert(math.abs(epochs - expect) < 1e-6)
+      assert(r.getAs[Double]("mix_weight") >= 0.0 && r.getAs[Double]("mix_weight") <= 1.0)
+    }
+  }
+
   test("curate_web funnel: each stage bites exactly where planted") {
     import spark.implicits._
     val good = (1 to 20).map(i => s"plain$i").mkString(" ")
