@@ -254,6 +254,45 @@ object Bpe {
     )
   }
 
+  /** Per-language tokenizer FERTILITY table — the "how expensive is
+    * this tokenizer on each language" diagnostic every multilingual
+    * data recipe reports (subwords per word, chars per subword; cf.
+    * the fertility tables in the XLM-R / BLOOM tokenizer analyses):
+    * one documents scan computing the whitespace/BPE counts row-local
+    * (the [[tokensBpe]] expressions inline — no self-join back to the
+    * scan), one lang-keyed aggregation. Ratios guard their zero
+    * denominators (wpli precedent) and integer sums divide once at the
+    * end, so the only float op is the final round6 division.
+    */
+  def corpusFertility(docs: DataFrame): DataFrame = {
+    val merges = gateMerges(docs)
+    docs
+      .select(
+        col("lang"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(filter(split(col("text"), " "), t => t =!= "")).cast("bigint").as("n_ws"),
+        graft.functions.exprs.bpe_count(split(col("text"), " "), merges).as("n_bpe")
+      )
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_ws")).as("n_ws"),
+        sum(col("n_bpe")).as("n_bpe"),
+        graft.core.Dsp
+          .round6(
+            when(sum(col("n_ws")) === 0, lit(0.0))
+              .otherwise(sum(col("n_bpe")).cast("double") / sum(col("n_ws")).cast("double"))
+          )
+          .as("fertility"),
+        graft.core.Dsp
+          .round6(
+            when(sum(col("n_bpe")) === 0, lit(0.0))
+              .otherwise(sum(col("n_chars")).cast("double") / sum(col("n_bpe")).cast("double"))
+          )
+          .as("chars_per_tok")
+      )
+  }
+
   /** DuckDB trainer + per-doc-count CTE chain, shared by every
     * BPE-budgeted oracle: [[nMerges]] stages of pair-count → argmax →
     * replace-rewrite, application as nested replace() over every
@@ -292,6 +331,20 @@ object Bpe {
     "WITH " + bpeCtes.mkString(", ") +
       " SELECT d.doc_id AS doc_id, coalesce(g.n_ws, 0) AS n_ws, coalesce(g.n_bpe, 0) AS n_bpe " +
       "FROM documents d LEFT JOIN agg g ON d.doc_id = g.doc_id"
+
+  val corpusFertilitySql: String = {
+    val r6 = (e: String) => graft.core.Dsp.round6Sql(e)
+    "WITH " + bpeCtes.mkString(", ") +
+      ", f AS (SELECT d.lang AS lang, CAST(length(d.text) AS BIGINT) AS n_chars, " +
+      "coalesce(g.n_ws, 0) AS n_ws, coalesce(g.n_bpe, 0) AS n_bpe " +
+      "FROM documents d LEFT JOIN agg g ON d.doc_id = g.doc_id) " +
+      "SELECT lang, count(*) AS n_docs, CAST(sum(n_ws) AS BIGINT) AS n_ws, " +
+      "CAST(sum(n_bpe) AS BIGINT) AS n_bpe, " +
+      r6("CASE WHEN sum(n_ws) = 0 THEN 0.0e0 ELSE CAST(sum(n_bpe) AS DOUBLE) / CAST(sum(n_ws) AS DOUBLE) END") +
+      " AS fertility, " +
+      r6("CASE WHEN sum(n_bpe) = 0 THEN 0.0e0 ELSE CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_bpe) AS DOUBLE) END") +
+      " AS chars_per_tok FROM f GROUP BY lang"
+  }
 
   /** The tokenizer's SEGMENTATION surface — what a packing-aware data
     * loader actually consumes: per doc the encoded form (subword
@@ -435,13 +488,15 @@ object Bpe {
     "text_tokens_bpe" -> { (s, dir) => tokensBpe(Tables.documents(s, dir)) },
     "text_bpe_segments" -> { (s, dir) => segmentsBpe(Tables.documents(s, dir)) },
     "text_pack_bpe" -> { (s, dir) => packBpe(Tables.documents(s, dir)) },
-    "sample_mix_bpe" -> { (s, dir) => mixBpe(Tables.documents(s, dir)) }
+    "sample_mix_bpe" -> { (s, dir) => mixBpe(Tables.documents(s, dir)) },
+    "corpus_fertility" -> { (s, dir) => corpusFertility(Tables.documents(s, dir)) }
   )
 
   def oracleSql: Map[String, String] = Map(
     "text_tokens_bpe" -> tokensBpeSql,
     "text_bpe_segments" -> segmentsBpeSql,
     "text_pack_bpe" -> packBpeSql(),
-    "sample_mix_bpe" -> mixBpeSql()
+    "sample_mix_bpe" -> mixBpeSql(),
+    "corpus_fertility" -> corpusFertilitySql
   )
 }
