@@ -141,6 +141,50 @@ object Scale {
       .mkString(" + ")
   }
 
+  /** Pre-flight partition-sizing advisory (the Spark analogue of the
+    * reference's host-RAM guard, openseize core/resources.py:10
+    * `assignable` — "will this fit before you allocate it"):
+    * estimate the plan's output bytes from Catalyst's statistics
+    * (parquet scans: file sizes; projections/filters: width- and
+    * selectivity-scaled propagation) and recommend the shuffle
+    * partition count that lands each partition at `targetPartitionBytes`.
+    *
+    * This is the number a 100 TB job sets `spark.sql.shuffle.partitions`
+    * (or passes to `repartition`) to BEFORE running: partitions sized
+    * over target spill; partitions sized far under it drown the
+    * scheduler in empty tasks. Driver-side metadata only — nothing
+    * executes, nothing is scanned.
+    */
+  final case class PartitionAdvice(
+      estimatedBytes: BigInt,
+      targetPartitionBytes: Long,
+      recommendedPartitions: Int,
+      currentShufflePartitions: Int
+  ) {
+    /** True when the session's current shuffle width would leave the
+      * average partition above the target (the spill-risk direction).
+      */
+    def underPartitioned: Boolean =
+      estimatedBytes > BigInt(targetPartitionBytes) * currentShufflePartitions
+  }
+
+  def advisePartitions(
+      df: DataFrame,
+      targetPartitionBytes: Long = 128L << 20,
+      maxPartitions: Int = 1 << 20
+  ): PartitionAdvice = {
+    require(targetPartitionBytes > 0, "targetPartitionBytes must be positive")
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val raw = (bytes + targetPartitionBytes - 1) / targetPartitionBytes
+    val rec = raw.max(1).min(maxPartitions).toInt
+    PartitionAdvice(
+      bytes,
+      targetPartitionBytes,
+      rec,
+      df.sparkSession.sessionState.conf.numShufflePartitions
+    )
+  }
+
   /** Misra–Gries heavy hitters as a mergeable summary (Agarwal et al.,
     * "Mergeable Summaries", PODS 2012): each partition builds a
     * (k−1)-counter sketch in one sequential pass, sketches merge

@@ -21,6 +21,30 @@ class ScaleSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("advisePartitions: ceil arithmetic, pruning-aware estimate, clamps, spill flag") {
+    val li = Tables.lineitem(spark, sf)
+    val full = Scale.advisePartitions(li, targetPartitionBytes = 64 * 1024)
+    assert(full.estimatedBytes > 0)
+    // exact ceil of the plan's own estimate at this target
+    val expect = ((full.estimatedBytes + 64 * 1024 - 1) / (64 * 1024)).toInt
+    assert(full.recommendedPartitions == expect)
+    // a 2-column projection must advise FEWER partitions than the full
+    // scan (column pruning shrinks the width-scaled size estimate)
+    val pruned = Scale.advisePartitions(
+      li.select(col("l_orderkey"), col("l_quantity")),
+      targetPartitionBytes = 64 * 1024
+    )
+    assert(pruned.estimatedBytes < full.estimatedBytes)
+    assert(pruned.recommendedPartitions <= full.recommendedPartitions)
+    // a huge target collapses to 1 partition; maxPartitions clamps up
+    assert(Scale.advisePartitions(li, targetPartitionBytes = Long.MaxValue).recommendedPartitions == 1)
+    assert(Scale.advisePartitions(li, targetPartitionBytes = 1, maxPartitions = 7).recommendedPartitions == 7)
+    // underPartitioned flags exactly when avg partition exceeds target
+    val tiny = Scale.advisePartitions(li, targetPartitionBytes = 16)
+    assert(tiny.underPartitioned, "16-byte target must flag the session width as under-partitioned")
+    assert(!Scale.advisePartitions(li, targetPartitionBytes = Long.MaxValue).underPartitioned)
+  }
+
   test("z-order layout keeps per-file ranges narrow in BOTH dims; value-band queries skip files") {
     val z = SparkEntry.queries("layout_zorder")(spark, sf)
     val ev = Tables
