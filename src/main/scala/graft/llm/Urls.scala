@@ -209,6 +209,31 @@ object Urls {
       "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, max(blocked) AS blocked " +
       "FROM k GROUP BY host"
 
+  /** Streaming canonical-URL dedup — the INGEST-time twin of
+    * [[curateUrl]]'s keeper window, for the crawl-frontier shape where
+    * URLs arrive continuously: each (doc_id, url, ts) canonicalizes
+    * row-local (the same [[parsed]] chain), the blocklist screens
+    * map-side, and `dropDuplicatesWithinWatermark("canon")` keeps only
+    * the FIRST arrival of each canonical URL inside the watermark
+    * horizon. State is one row per distinct canon within the horizon —
+    * EVICTED as the watermark passes, so it is bounded by
+    * arrival-rate × horizon, never corpus-sized (the state-eviction
+    * guarantee the spec asserts via numRowsRemoved).
+    *
+    * Keeper-rule caveat, by design: batch [[curateUrl]] keeps the MIN
+    * doc_id of a canonical group; the stream keeps the first ARRIVAL.
+    * They agree exactly when arrival order is doc_id order (the spec's
+    * batch-twin check); a production frontier also re-screens against
+    * the persisted URL store for arrivals beyond the horizon
+    * (dedup_incremental precedent).
+    */
+  def urlDedupStream(in: DataFrame, delay: String = "30 minutes"): DataFrame =
+    parsed(in)
+      .filter(!col("blocked"))
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("canon")
+      .select(col("doc_id"), col("host"), col("canon"), col("ts"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_url" -> { (s, dir) => curateUrl(Tables.documents(s, dir)) },
     "curate_url_hosts" -> { (s, dir) => urlHosts(Tables.documents(s, dir)) },

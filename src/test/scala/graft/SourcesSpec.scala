@@ -876,4 +876,53 @@ class IncrementalScreenStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
     // the screen is STATE-FREE: no stateful operator may appear in any progress
     assert(progs.flatMap(_.stateOperators).isEmpty, "screen must hold zero streaming state")
   }
+
+  test("urlDedupStream keeps first arrival per canon, screens blocklist, evicts state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val urls = input.toDF().toDF("doc_id", "url", "ts")
+    val q = graft.llm.Urls
+      .urlDedupStream(urls)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("url_dedup")
+      .start()
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    // batch 1: doc 1's messy variant of canon A + a blocked host
+    input.addData(
+      (1L, "https://WWW.SiteA.example.com:443/page/?utm_source=x", t(100000)),
+      (4L, "http://site7.example.com/spam", t(100000))
+    )
+    q.processAllAvailable()
+    // batch 2: doc 2 = clean variant of canon A (must drop), doc 3 new
+    input.addData(
+      (2L, "http://sitea.example.com/page", t(100060)),
+      (3L, "https://siteb.example.com/other", t(100060))
+    )
+    q.processAllAvailable()
+    // far-future row advances the watermark well past base + 30min,
+    // evicting canon-A state
+    input.addData((99L, "https://sitez.example.com/closer", t(200000)))
+    q.processAllAvailable()
+    // beyond the horizon the same canon is re-admitted — the documented
+    // watermark-bounded semantic (production re-screens the store)
+    input.addData((5L, "https://sitea.example.com/page", t(200050)))
+    q.processAllAvailable()
+    val progs = q.recentProgress
+    q.stop()
+    val got = spark
+      .sql("SELECT doc_id, canon FROM url_dedup")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .toSet
+    assert(got.contains((1L, "sitea.example.com/page")), s"first arrival missing: $got")
+    assert(!got.exists(_._1 == 2L), s"within-horizon canon dup emitted: $got")
+    assert(got.contains((3L, "siteb.example.com/other")), s"distinct canon missing: $got")
+    assert(!got.exists(_._1 == 4L), s"blocked host emitted: $got")
+    assert(got.exists(_._1 == 5L), "beyond-horizon arrival must be re-admitted")
+    val removed = progs.flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+    assert(removed > 0, "watermark never evicted canon state")
+  }
 }
