@@ -217,13 +217,21 @@ object Curation {
     * budget repeats it, the number a mixing config actually needs;
     * cf. the epoch-per-source tables in Llama/Gopher data recipes).
     *
-    * Cross-engine float discipline: the weight is materialized ONCE as
-    * integer micros (`w_micro = floor(ratio·1e6 + 0.5)` — the round6
-    * integer form), and the target is `w_micro × B/1e6` in EXACT
-    * BIGINT arithmetic (B is required divisible by 1e6), so the
-    * budget split can never flip on a floor-of-double ulp. One
-    * documents aggregation; the normalization joins over the handful
-    * of source rows (broadcast, constant-key — the bm25 shape).
+    * Cross-engine float discipline (band_power_tc integer-accumulation
+    * pattern): each pow(n_tok, α) term is quantized ONCE to integer
+    * micros (`p_micro = floor(pow·1e6 + 0.5)` BIGINT), the
+    * normalization sum runs over those integers (exact,
+    * order-independent — the cross-engine sum-order hazard is gone),
+    * and `w_micro = (2·p_micro·1e6 + wsum) div (2·wsum)` is exact
+    * BIGINT round-half-up. The target is `w_micro × B/1e6` in exact
+    * BIGINT arithmetic (B required divisible by 1e6), so the budget
+    * split can never flip on a floor-of-double ulp. Bound: p_micro·2e6
+    * must stay below 2^63, i.e. pow(n_tok, α) < ~4.6e6 per source
+    * (n_tok < ~3.5e9 at α = 0.7) — per-SOURCE aggregate scale, fine
+    * for any real mixture table. Empty sources (n_tok = 0) get
+    * epochs = 0 rather than a division crash. One documents
+    * aggregation; the normalization joins over the handful of source
+    * rows (broadcast, constant-key — the bm25 shape).
     */
   def sampleBudget(docs: DataFrame, alpha: Double = 0.7, budget: Long = 10000000L): DataFrame = {
     require(budget % 1000000L == 0, "budget must be a whole number of Mtokens")
@@ -233,25 +241,30 @@ object Curation {
         count(lit(1)).as("n_docs"),
         sum(size(split(col("text"), " ")).cast("long")).as("n_tok")
       )
+      .withColumn(
+        "p_micro",
+        expr(s"CAST(floor(pow(n_tok, ${Dsp.lit(alpha)}) * 1.0e6 + 0.5e0) AS BIGINT)")
+      )
     val tot = perSource
-      .agg(sum(pow(col("n_tok"), alpha)).as("wsum"))
+      .agg(sum(col("p_micro")).as("wsum"))
       .withColumn("k", lit(1))
     perSource
       .withColumn("k", lit(1))
       .join(broadcast(tot), Seq("k"))
-      .withColumn(
-        "w_micro",
-        expr(s"CAST(floor(pow(n_tok, ${Dsp.lit(alpha)}) / wsum * 1.0e6 + 0.5e0) AS BIGINT)")
-      )
+      .withColumn("w_micro", expr("(2L * p_micro * 1000000L + wsum) div (2L * wsum)"))
       .select(
         col("source"),
         col("n_docs"),
         col("n_tok"),
         (col("w_micro").cast("double") / lit(1000000.0)).as("mix_weight"),
         (col("w_micro") * lit(budget / 1000000L)).as("target_tok"),
-        Dsp.round6(
-          (col("w_micro") * lit(budget / 1000000L)).cast("double") / col("n_tok").cast("double")
-        ).as("epochs")
+        when(col("n_tok") === 0L, lit(0.0))
+          .otherwise(
+            Dsp.round6(
+              (col("w_micro") * lit(budget / 1000000L)).cast("double") / col("n_tok").cast("double")
+            )
+          )
+          .as("epochs")
       )
   }
 
@@ -259,11 +272,13 @@ object Curation {
     val bM = budget / 1000000L
     s"WITH k AS (SELECT source, count(*) AS n_docs, " +
       "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok FROM documents GROUP BY source), " +
-      s"w AS (SELECT source, n_docs, n_tok, CAST(floor(pow(n_tok, ${Dsp.lit(alpha)}) " +
-      s"/ sum(pow(n_tok, ${Dsp.lit(alpha)})) OVER () * 1.0e6 + 0.5e0) AS BIGINT) AS w_micro FROM k) " +
+      s"p AS (SELECT source, n_docs, n_tok, CAST(floor(pow(n_tok, ${Dsp.lit(alpha)}) " +
+      "* 1.0e6 + 0.5e0) AS BIGINT) AS p_micro FROM k), " +
+      "w AS (SELECT source, n_docs, n_tok, " +
+      "CAST((2 * p_micro * 1000000 + sum(p_micro) OVER ()) // (2 * sum(p_micro) OVER ()) AS BIGINT) AS w_micro FROM p) " +
       "SELECT source, n_docs, n_tok, CAST(w_micro AS DOUBLE) / 1000000.0e0 AS mix_weight, " +
       s"w_micro * $bM AS target_tok, " +
-      s"${Dsp.round6Sql(s"CAST(w_micro * $bM AS DOUBLE) / CAST(n_tok AS DOUBLE)")} AS epochs FROM w"
+      s"CASE WHEN n_tok = 0 THEN 0.0e0 ELSE ${Dsp.round6Sql(s"CAST(w_micro * $bM AS DOUBLE) / CAST(n_tok AS DOUBLE)")} END AS epochs FROM w"
   }
 
   def sampleMixSql(alpha: Double = 0.7): String = {

@@ -22,6 +22,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "anno_mask", "epoch_extract", "epoch_average", // globalRank's one-row-per-4096-ids offset self-join
     "eeg_workflow", // epoching via globalRank — same offset self-join
     "text_bm25", "text_unigram_lp", "sample_mix", "sample_mix_bpe", "sample_dsir", "curate_llm", "layout_zorder", // 1-row corpus-stats broadcast sides
+    "sample_budget", // same shape as sample_mix: per-source agg joined to a 1-ROW totals aggregate on a constant key Catalyst folds away — the broadcast side is exactly one row at any corpus size
+
     "text_langid_ngram" // per-lang count + 1-row vocab-size broadcast sides
   )
 
