@@ -60,15 +60,24 @@ object Urls {
     */
   val blockedHosts: Seq[String] = Seq("site7.example.com", "site13.example.com")
 
-  /** Canonicalization as Spark Columns over a `url` column. */
+  /** Canonicalization as Spark Columns over a `url` column. Only the
+    * scheme's DEFAULT port is stripped (`:80` for http, `:443` for
+    * https) — `host:8080` stays distinct from `host`; the query is
+    * extracted from the PRE-fragment substring, so a `?` occurring
+    * after `#` is fragment content and is dropped with the fragment.
+    */
   private def parsed(df: DataFrame): DataFrame = {
+    val scheme = lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1))
     val rest = regexp_replace(col("url"), "^[A-Za-z]+://", "")
     val hostport = regexp_extract(rest, "^[^/?#]+", 0)
-    val host =
-      regexp_replace(regexp_replace(lower(hostport), ":[0-9]+$", ""), "^www[.]", "")
+    val hostPort = when(scheme === "http", regexp_replace(lower(hostport), ":80$", ""))
+      .when(scheme === "https", regexp_replace(lower(hostport), ":443$", ""))
+      .otherwise(lower(hostport))
+    val host = regexp_replace(hostPort, "^www[.]", "")
     val pathqf = substring(rest, length(hostport) + 1, lit(1 << 20))
-    val path = regexp_replace(regexp_extract(pathqf, "^[^?#]*", 0), "/+$", "")
-    val query = regexp_extract(pathqf, "[?]([^#]*)", 1)
+    val prefrag = regexp_extract(pathqf, "^[^#]*", 0)
+    val path = regexp_replace(regexp_extract(prefrag, "^[^?]*", 0), "/+$", "")
+    val query = regexp_extract(prefrag, "[?](.*)", 1)
     val params = array_join(
       array_sort(
         filter(split(query, "&"), p => p =!= "" && substring(p, 1, 4) =!= "utm_")
@@ -87,6 +96,13 @@ object Urls {
     val survivorMin = min(when(!col("blocked"), col("doc_id"))).over(w)
     df.withColumn("keep", !col("blocked") && col("doc_id") === survivorMin)
   }
+
+  /** Row-local canonicalization of an arbitrary frame carrying a
+    * `url` column — the [[parsed]] chain exposed for ingest pipelines
+    * (and the canonicalizer-semantics spec): adds `host`, `canon`,
+    * `blocked`.
+    */
+  def canonicalize(df: DataFrame): DataFrame = parsed(df)
 
   /** Per-doc URL curation verdict: (doc_id, host, canon, blocked, keep). */
   def curateUrl(docs: DataFrame): DataFrame =
@@ -110,14 +126,18 @@ object Urls {
   private def parseCtes: String = {
     val blist = blockedHosts.map(h => s"'$h'").mkString(", ")
     s"WITH u AS (SELECT doc_id, $urlPlant AS url FROM documents), " +
-      "p1 AS (SELECT doc_id, regexp_replace(url, '^[A-Za-z]+://', '') AS rest FROM u), " +
-      "p2 AS (SELECT doc_id, rest, regexp_extract(rest, '^[^/?#]+', 0) AS hostport FROM p1), " +
+      "p1 AS (SELECT doc_id, lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme, " +
+      "regexp_replace(url, '^[A-Za-z]+://', '') AS rest FROM u), " +
+      "p2 AS (SELECT doc_id, scheme, rest, regexp_extract(rest, '^[^/?#]+', 0) AS hostport FROM p1), " +
       "p3 AS (SELECT doc_id, " +
-      "regexp_replace(regexp_replace(lower(hostport), ':[0-9]+$', ''), '^www[.]', '') AS host, " +
+      "regexp_replace(CASE WHEN scheme = 'http' THEN regexp_replace(lower(hostport), ':80$', '') " +
+      "WHEN scheme = 'https' THEN regexp_replace(lower(hostport), ':443$', '') " +
+      "ELSE lower(hostport) END, '^www[.]', '') AS host, " +
       "substr(rest, length(hostport) + 1) AS pathqf FROM p2), " +
+      "p3f AS (SELECT doc_id, host, regexp_extract(pathqf, '^[^#]*', 0) AS prefrag FROM p3), " +
       "p4 AS (SELECT doc_id, host, " +
-      "regexp_replace(regexp_extract(pathqf, '^[^?#]*', 0), '/+$', '') AS path, " +
-      "regexp_extract(pathqf, '[?]([^#]*)', 1) AS query FROM p3), " +
+      "regexp_replace(regexp_extract(prefrag, '^[^?]*', 0), '/+$', '') AS path, " +
+      "regexp_extract(prefrag, '[?](.*)', 1) AS query FROM p3f), " +
       "p5 AS (SELECT doc_id, host, path, " +
       "coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'), " +
       "p -> p <> '' AND substr(p, 1, 4) <> 'utm_')), '&'), '') AS params FROM p4), " +
@@ -233,6 +253,67 @@ object Urls {
       .withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("canon")
       .select(col("doc_id"), col("host"), col("canon"), col("ts"))
+
+  /** Seed the persisted canonical-URL store from a batch frontier
+    * slice: canonicalize, screen the blocklist, keep the first
+    * (ts, doc_id) arrival per canon — one keyed window, the
+    * [[curateUrl]] keeper shape. Store schema: (doc_id, host, canon,
+    * ts), hash-partitioned by the parquet writer on canon cardinality.
+    */
+  def seedUrlStore(in: DataFrame, store: String): Unit = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("canon"))
+      .orderBy(col("ts").asc, col("doc_id").asc)
+    parsed(in)
+      .filter(!col("blocked"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("host"), col("canon"), col("ts"))
+      .write
+      .mode("overwrite")
+      .parquet(store)
+    ()
+  }
+
+  /** PRODUCTION frontier ingest — the composition [[urlDedupStream]]'s
+    * scaladoc promises: the watermark dedup absorbs the in-horizon
+    * torrent with bounded state, and each micro-batch's survivors are
+    * RE-SCREENED against the persisted store (left ANTI on canon) so a
+    * canonical URL beyond the horizon — whose streaming state was
+    * evicted — is still suppressed; fresh canons append to the store
+    * (the dedup_incremental store-append cadence). Net guarantee: a
+    * canonical URL is emitted at most once EVER, while streaming state
+    * stays bounded by arrival-rate × horizon. The store read re-plans
+    * per batch (stream-static semantics), so same-run appends are
+    * visible to later batches; the anti-join is canon-keyed — at crawl
+    * scale the store side bucket-partitions and nothing is all-pairs.
+    * Seed the store (e.g. [[seedUrlStore]]) before starting.
+    * `onBatch` observes each batch's post-screen survivors (spec hook
+    * / metrics tap).
+    */
+  def urlDedupIngest(
+      in: DataFrame,
+      store: String,
+      delay: String = "30 minutes",
+      onBatch: DataFrame => Unit = _ => ()
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    urlDedupStream(in, delay).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val prior = spark.read.parquet(store).select(col("canon"))
+        // materialize the screen BEFORE appending to the path it read
+        // (read-own-append hazard — the localCheckpoint discipline)
+        val fresh = batch.join(prior, Seq("canon"), "left_anti").localCheckpoint()
+        fresh
+          .select(col("doc_id"), col("host"), col("canon"), col("ts"))
+          .write
+          .mode("append")
+          .parquet(store)
+        onBatch(fresh)
+        ()
+      }
+      .start()
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_url" -> { (s, dir) => curateUrl(Tables.documents(s, dir)) },

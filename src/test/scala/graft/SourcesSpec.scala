@@ -877,6 +877,29 @@ class IncrementalScreenStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(progs.flatMap(_.stateOperators).isEmpty, "screen must hold zero streaming state")
   }
 
+  test("URL canonicalizer: default-port-only strip, fragment-tail '?' never leaks into the key") {
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "https://host.example.com:8080/p"), // non-default port is identity
+      (2L, "https://host.example.com:443/p"), // https default stripped
+      (3L, "http://host.example.com:80/p"), // http default stripped
+      (4L, "http://host.example.com:443/p"), // 443 is NOT http's default
+      (5L, "https://host.example.com/p#f?a=1"), // '?' after '#' is fragment content
+      (6L, "https://host.example.com/p?a=1#f?b=2") // real query survives, fragment query dropped
+    ).toDF("doc_id", "url")
+    val canon = graft.llm.Urls
+      .canonicalize(urls)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("canon"))
+      .toMap
+    assert(canon(1L) == "host.example.com:8080/p")
+    assert(canon(2L) == "host.example.com/p")
+    assert(canon(3L) == "host.example.com/p")
+    assert(canon(4L) == "host.example.com:443/p")
+    assert(canon(5L) == "host.example.com/p")
+    assert(canon(6L) == "host.example.com/p?a=1")
+  }
+
   test("urlDedupStream keeps first arrival per canon, screens blocklist, evicts state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
@@ -922,6 +945,60 @@ class IncrementalScreenStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got.contains((3L, "siteb.example.com/other")), s"distinct canon missing: $got")
     assert(!got.exists(_._1 == 4L), s"blocked host emitted: $got")
     assert(got.exists(_._1 == 5L), "beyond-horizon arrival must be re-admitted")
+    val removed = progs.flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+    assert(removed > 0, "watermark never evicted canon state")
+  }
+
+  test("urlDedupIngest: store re-screen suppresses beyond-horizon re-arrivals, appends fresh canons") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val store = sources.Scratch.dir("url_ingest_store") + "/canon"
+    // seed: canon A is already known to the frontier
+    import spark.implicits._
+    graft.llm.Urls.seedUrlStore(
+      Seq((1L, "https://sitea.example.com/page", t(100000))).toDF("doc_id", "url", "ts"),
+      store
+    )
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = graft.llm.Urls.urlDedupIngest(
+      input.toDF().toDF("doc_id", "url", "ts"),
+      store,
+      onBatch = b => emitted ++= b.collect().map(_.getAs[Long]("doc_id"))
+    )
+    // batch 1: new canon B emits + appends; seeded canon A is screened
+    // by the STORE (its canon never entered streaming state)
+    input.addData(
+      (2L, "http://www.sitea.example.com/page/", t(100060)),
+      (3L, "https://siteb.example.com/other", t(100060))
+    )
+    q.processAllAvailable()
+    // batch 2: far-future arrival advances the watermark way past the
+    // horizon (evicting canon-B state), then batch 3 re-sends canon B
+    // BEYOND the horizon — the store screen must suppress it
+    input.addData((4L, "https://sitez.example.com/new", t(200000)))
+    q.processAllAvailable()
+    input.addData((5L, "https://siteb.example.com/other", t(200100)))
+    q.processAllAvailable()
+    val progs = q.recentProgress
+    q.stop()
+    assert(emitted.toSet == Set(3L, 4L), s"expected exactly the fresh canons, got $emitted")
+    // the store accumulated the seed + the two fresh canons, once each
+    val inStore = spark.read
+      .parquet(store)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("canon")))
+      .toSet
+    assert(
+      inStore == Set(
+        (1L, "sitea.example.com/page"),
+        (3L, "siteb.example.com/other"),
+        (4L, "sitez.example.com/new")
+      ),
+      s"store contents: $inStore"
+    )
+    // streaming state still bounded: the watermark op evicted rows
     val removed = progs.flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
     assert(removed > 0, "watermark never evicted canon state")
   }
