@@ -325,14 +325,40 @@ object Prof {
         .persist()
       words.count()
       val rounds = new java.util.concurrent.atomic.AtomicLong(0L)
-      var learned = 0L
+      var trained: Seq[String] = Seq.empty
       t(s"bpe_train$bpeK", nWords) {
-        val ms = llm.Bpe.trainDistributed(words, bpeK, onRound = _ => { rounds.incrementAndGet(); () })
-        learned = ms.count(_ != llm.Bpe.nope).toLong
-        learned
+        trained = llm.Bpe.trainDistributed(words, bpeK, onRound = _ => { rounds.incrementAndGet(); () })
+        trained.count(_ != llm.Bpe.nope).toLong
       }
-      println(s"PROF bpe_train$bpeK rounds=${rounds.get} merges=$learned")
+      println(s"PROF bpe_train$bpeK rounds=${rounds.get} merges=${trained.count(_ != llm.Bpe.nope)}")
       words.unpersist()
+      // ENCODE with the trained table — the production composition the
+      // 32-merge gate path can't exercise: a synthetic Zipf-draw corpus
+      // over the SAME vocabulary (head-heavy ranks via pow(u, 4)), one
+      // row-local bpe_count projection per doc. The BpeRewriter memo
+      // makes the cost per-DISTINCT-word, so the k-merge fold amortizes
+      // across the Zipf head; the k=32 prefix encode is timed as the
+      // baseline the gate config pays.
+      val nSynDocs = 50000L
+      val wordOf = (r: String) => s"substr(md5(CAST($r AS STRING)), 1, 4 + CAST($r % 8 AS INT))"
+      val rankOf = "1 + CAST(floor(pow(pmod(hash(id * 128 + i), 1048576) / 1048576.0e0, 4.0e0) * " +
+        s"${nWords - 1}) AS BIGINT)"
+      val synDocs = spark
+        .range(1, nSynDocs + 1)
+        .select(
+          col("id").as("doc_id"),
+          expr(s"array_join(transform(sequence(1, 128), i -> ${wordOf(s"($rankOf)")}), ' ')").as("text")
+        )
+        .persist()
+      val nSynTok = nSynDocs * 128L
+      synDocs.count()
+      t(s"bpe_encode${bpeK}_trained", nSynTok)(
+        llm.Bpe.tokensBpeWith(synDocs, trained).agg(sum(col("n_bpe"))).collect()(0).getLong(0)
+      )
+      t(s"bpe_encode32_prefix", nSynTok)(
+        llm.Bpe.tokensBpeWith(synDocs, trained.take(32)).agg(sum(col("n_bpe"))).collect()(0).getLong(0)
+      )
+      synDocs.unpersist()
       ()
     }
     spark.stop()

@@ -46,6 +46,28 @@ object Bpe {
   val sepChar = '\u001F'
   val nope = "\u001E"
 
+  /** Code-point string comparison — the order Spark's UTF8String
+    * binary comparison AND DuckDB's default collation both implement.
+    * Java String.compareTo is UTF-16 code-UNIT order, which diverges
+    * for strings mixing supplementary code points (≥ U+10000, whose
+    * high surrogates sort at 0xD800) with chars in U+E000–U+FFFF —
+    * the sequential trainer must tie-break in the SAME order as the
+    * distributed trainer's `orderBy(p.asc)` or the pinned
+    * batch ≡ sequential guarantee silently breaks on such vocabularies.
+    */
+  private[llm] def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   /** Deterministic BPE trainer over a (word, freq) table. Returns the
     * merge list as sep-joined pair strings, length exactly [[nMerges]]
     * (padded with [[nope]] when a tiny corpus exhausts its pairs —
@@ -77,9 +99,15 @@ object Bpe {
       }
       if (pc.isEmpty) merges += nope
       else {
-        // (count DESC, pair ASC): sep < every corpus char, so comparing
-        // the joined pair string equals comparing the (l, r) tuple
-        val best = pc.toSeq.minBy { case (p, c) => (-c, p) }._1
+        // (count DESC, pair ASC in CODE-POINT order — [[cpCompare]],
+        // matching the distributed trainer's binary orderBy and the
+        // DuckDB oracle's collation): sep < every corpus char, so
+        // comparing the joined pair string equals comparing the (l, r)
+        // tuple
+        var best: String = null
+        var bestC = Long.MinValue
+        for ((p, c) <- pc)
+          if (c > bestC || (c == bestC && cpCompare(p, best) < 0)) { best = p; bestC = c }
         merges += best
         val m = best.replace(sep, "")
         st = st.map { case (s, f) => (s.replace(best, m), f) }
@@ -242,17 +270,26 @@ object Bpe {
     train(words.toSeq)
   }
 
-  /** (doc_id, n_ws, n_bpe): whitespace-token and BPE-subword counts per
-    * document. n_bpe ≥ n_ws always (every word is ≥ 1 subword).
+  /** (doc_id, n_ws, n_bpe) under an EXPLICIT merge table — the
+    * production shape: the table is a trained-once artifact (e.g.
+    * [[trainDistributed]]'s output at realistic merge counts) shipped
+    * into the row-local projection, exactly how deployed tokenizers
+    * carry their merges.txt. Encode cost is per-DISTINCT-word thanks
+    * to the [[graft.functions.BpeRewriter]] memo, so 1000-merge tables
+    * encode at near-32-merge throughput on Zipfian corpora.
     */
-  def tokensBpe(docs: DataFrame): DataFrame = {
-    val merges = gateMerges(docs)
+  def tokensBpeWith(docs: DataFrame, merges: Seq[String]): DataFrame =
     docs.select(
       col("doc_id"),
       size(filter(split(col("text"), " "), t => t =!= "")).cast("bigint").as("n_ws"),
       graft.functions.exprs.bpe_count(split(col("text"), " "), merges).as("n_bpe")
     )
-  }
+
+  /** (doc_id, n_ws, n_bpe): whitespace-token and BPE-subword counts per
+    * document. n_bpe ≥ n_ws always (every word is ≥ 1 subword).
+    */
+  def tokensBpe(docs: DataFrame): DataFrame =
+    tokensBpeWith(docs, gateMerges(docs))
 
   /** Per-language tokenizer FERTILITY table — the "how expensive is
     * this tokenizer on each language" diagnostic every multilingual

@@ -69,6 +69,59 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(distTrain(words, n) == seqTrain(words, n))
   }
 
+  test("tie-break beyond the BMP: sequential and distributed agree in CODE-POINT order") {
+    // U+E000 (private use, one UTF-16 unit at 0xE000) vs U+10000
+    // (supplementary, surrogates from 0xD800): Java String.compareTo
+    // orders the SUPPLEMENTARY pair first (code-unit order), while
+    // UTF8String binary / DuckDB collation order U+E000 first (code
+    // points) — a count TIE between the two pairs is exactly where the
+    // old minBy-on-String tie-break diverged from orderBy(p.asc).
+    val priv = "\uE000"
+    val supp = new String(Character.toChars(0x10000))
+    val words = Seq((s"x$priv", 5L), (s"x$supp", 5L))
+    val s = seqTrain(words, 2)
+    val d = distTrain(words, 2)
+    assert(s == d)
+    assert(
+      s.head == s"x${Bpe.sep}$priv",
+      s"tie must resolve in code-point order (U+E000 < U+10000), got ${s.head.toList.map(_.toInt)}"
+    )
+  }
+
+  test("encode with the batch-trained table == encode with the sequential table") {
+    // the fidelity loop closed end-to-end: the table trainDistributed
+    // produces drives the SAME row-local encode the sequential table
+    // does — over a corpus assembled from the Zipf vocabulary itself.
+    val rnd = new scala.util.Random(7)
+    val words = (1 to 600).map { r =>
+      val len = 3 + rnd.nextInt(9)
+      val w = Array.fill(len)(('a' + rnd.nextInt(10)).toChar).mkString
+      (w, math.max(1L, 100000L / r))
+    }.distinct.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
+    val n = 200
+    val sTab = seqTrain(words, n)
+    val dTab = distTrain(words, n)
+    val pool = words.map(_._1).toArray
+    val docs = (1 to 40)
+      .map { i =>
+        val docRnd = new scala.util.Random(i)
+        (i.toLong, Array.fill(50)(pool(docRnd.nextInt(pool.length))).mkString(" "))
+      }
+      .toDF("doc_id", "text")
+    val enc = (tab: Seq[String]) =>
+      Bpe
+        .tokensBpeWith(docs, tab)
+        .orderBy("doc_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+        .toSeq
+    val se = enc(sTab)
+    assert(enc(dTab) == se)
+    // non-vacuous: the 200-merge table actually compresses vs 32 merges
+    val enc32 = enc(sTab.take(32))
+    assert(se.map(_._2).sum < enc32.map(_._2).sum)
+  }
+
   test("batching actually batches (fewer rounds than merges) on Zipf input") {
     // not a correctness property — a scale property: the round count is
     // what a 100 TB run pays one aggregation for, so the batcher must
