@@ -547,21 +547,68 @@ object Api {
       ()
     }
 
-    /** Ingest a batch: grid ONLY the batch, merge into the store. The
-      * merged grid is bounded (KBs), so it materializes via
-      * localCheckpoint before overwriting the path it was read from.
+    /** {max(mx), sum(cnt), sum(sm)} roll-up of a union of grids — the
+      * mergeability the grid schema is built around.
       */
-    def ingest(docs: DataFrame, store: String): Unit = {
+    private def mergeGrids(grids: DataFrame): DataFrame = {
       import org.apache.spark.sql.functions.{col, max, sum}
-      val spark = docs.sparkSession
-      val merged = spark.read
-        .parquet(s"$store/grid")
-        .unionByName(llm.Sketches.profileGrid(docs))
+      grids
         .groupBy(col("source"), col("kind"), col("k1"), col("k2"), col("k3"))
         .agg(max(col("mx")).as("mx"), sum(col("cnt")).as("cnt"), sum(col("sm")).as("sm"))
-        .localCheckpoint()
-      merged.write.mode("overwrite").parquet(s"$store/grid")
+    }
+
+    /** Publish a merged grid into `<store>/grid` via write-aside +
+      * rename (NOT mode("overwrite") on the live path, which deletes
+      * the old grid before the new write commits — a crash mid-write
+      * would permanently lose all accumulated sketch state on a
+      * service explicitly framed as continuous-ingest). The swap
+      * leaves either the complete old grid or the complete new one at
+      * every step boundary; rename is atomic on HDFS-like stores (on
+      * an object store, front this with the store's conditional-put
+      * committer).
+      */
+    private def publish(spark: org.apache.spark.sql.SparkSession, merged: DataFrame, store: String): Unit = {
+      val live = new org.apache.hadoop.fs.Path(s"$store/grid")
+      val next = new org.apache.hadoop.fs.Path(s"$store/grid.next")
+      val prev = new org.apache.hadoop.fs.Path(s"$store/grid.prev")
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      merged.write.mode("overwrite").parquet(next.toString)
+      fs.delete(prev, true)
+      if (fs.exists(live)) fs.rename(live, prev)
+      fs.rename(next, live)
+      fs.delete(prev, true)
       ()
+    }
+
+    /** Ingest a batch: grid ONLY the batch, merge into the store. The
+      * merged grid is bounded (KBs), so it materializes via
+      * localCheckpoint before the write-aside swap replaces the path
+      * it was read from.
+      */
+    def ingest(docs: DataFrame, store: String): Unit = {
+      val spark = docs.sparkSession
+      val merged = mergeGrids(
+        spark.read
+          .parquet(s"$store/grid")
+          .unionByName(llm.Sketches.profileGrid(docs))
+      ).localCheckpoint()
+      publish(spark, merged, store)
+    }
+
+    /** Consolidate TWO stores into `dest` (multi-cluster profile
+      * consolidation: each cluster ingests its own slice into its own
+      * store; the fleet-wide profile is one grid-sized merge — never a
+      * corpus pass). `dest` may alias either input store: the merged
+      * grid is checkpointed before the swap. Merge ≡ single-pass is
+      * pinned in ApiSpec.
+      */
+    def merge(spark: org.apache.spark.sql.SparkSession, storeA: String, storeB: String, dest: String): Unit = {
+      val merged = mergeGrids(
+        spark.read
+          .parquet(s"$storeA/grid")
+          .unionByName(spark.read.parquet(s"$storeB/grid"))
+      ).localCheckpoint()
+      publish(spark, merged, dest)
     }
 
     /** Per-source profile off the stored grid — NO corpus pass. */

@@ -114,6 +114,34 @@ class ApiSpec extends AnyFunSuite {
     assert(n2 == docs.count() + 5)
   }
 
+  test("ProfileService.merge: two independently-ingested stores consolidate == single-pass") {
+    import org.apache.spark.sql.functions._
+    val docs = core.Tables.documents(spark, sf)
+    val storeA = sources.Scratch.dir("api_profile_merge_a")
+    val storeB = sources.Scratch.dir("api_profile_merge_b")
+    val dest = sources.Scratch.dir("api_profile_merge_dest")
+    val h2 = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % 2
+    // two clusters, each profiling only its own slice
+    Api.ProfileService.init(docs.filter(h2 === 0), storeA)
+    Api.ProfileService.init(docs.filter(h2 === 1), storeB)
+    Api.ProfileService.merge(spark, storeA, storeB, dest)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(canon(Api.ProfileService.profile(spark, dest)) == canon(Api.corpusProfile(docs)))
+    assert(
+      canon(Api.ProfileService.quantiles(spark, dest)) ==
+        canon(llm.Sketches.corpusProfileQuantiles(docs))
+    )
+    // dest may alias an input: consolidating INTO storeA must serve the
+    // same fleet-wide profile (the checkpoint-before-swap guarantee)
+    Api.ProfileService.merge(spark, storeA, storeB, storeA)
+    assert(canon(Api.ProfileService.profile(spark, storeA)) == canon(Api.corpusProfile(docs)))
+    // no stray swap debris
+    val fs = new org.apache.hadoop.fs.Path(dest).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dest/grid.next")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dest/grid.prev")))
+  }
+
   test("IIR band facade mirrors 2-element reference specs") {
     assert(Api.ButterBand(Seq(10, 20), Seq(5, 30), 100).sos.map(_.toSeq).toSeq ==
       operators.IirOps.butterBp.map(_.toSeq).toSeq)
