@@ -595,6 +595,29 @@ object Api {
       publish(spark, merged, store)
     }
 
+    /** STREAMING ingest cadence — profile a document stream into the
+      * store without ever holding corpus-sized state: each micro-batch
+      * grids ONLY its own rows (bounded sketch work) and merges into
+      * the persisted grid via the crash-safe publish; a missing store
+      * is seeded by the first batch. The streaming query itself holds
+      * ZERO state (foreachBatch sink, no stateful operators) — the
+      * accumulated knowledge lives entirely in the KB-sized grid, so
+      * an unbounded ingest stream profiles at bounded memory forever
+      * (the incrementalScreenStream zero-state discipline applied to
+      * the profile family).
+      */
+    def ingestStream(docs: DataFrame, store: String): org.apache.spark.sql.streaming.StreamingQuery =
+      docs.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val spark = batch.sparkSession
+          val grid = new org.apache.hadoop.fs.Path(s"$store/grid")
+          val fs = grid.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(grid)) ingest(batch, store) else init(batch, store)
+          ()
+        }
+        .start()
+
     /** Consolidate TWO stores into `dest` (multi-cluster profile
       * consolidation: each cluster ingests its own slice into its own
       * store; the fleet-wide profile is one grid-sized merge — never a

@@ -1391,7 +1391,109 @@ object Dedup {
       "CAST(sum(CASE WHEN rn = 1 THEN n_tok ELSE 0 END) AS BIGINT) AS kept_tok " +
       "FROM r GROUP BY doc_id"
 
+  /** Corpus-wide LINE-level exact dedup — the C4 §2.2 / RefinedWeb §3.2
+    * boilerplate-line stage ("keep one occurrence of any line repeated
+    * across the corpus"): the granularity BETWEEN whole-doc
+    * [[Dedup]] `dedup_exact` and 5-gram [[spanRemoval]] — navigation
+    * chrome, cookie banners, subscribe prompts and syndicated passages
+    * repeat line-for-line across thousands of pages while the pages'
+    * bodies differ, so doc-level dedup misses them and n-gram spans
+    * over-fragment them.
+    *
+    * The synthetic corpus has no line structure, so the gate PLANTS it
+    * (urlPlant/text_pii precedent): each doc's tokens group into
+    * 8-token body lines; doc_id % 4 = 1 docs get a subscribe
+    * boilerplate line prepended (idx −1), doc_id % 6 = 2 docs an
+    * appended copyright line (idx 10⁶), and doc_id % 97 = 5 docs have
+    * their body REPLACED by a 2-line syndicated passage (full-copy
+    * cluster — every line of the later copies drops).
+    *
+    * Keeper rule: the corpus-FIRST occurrence — (min doc_id, then min
+    * idx within that doc) per line hash — survives; every other
+    * occurrence (including within-doc repeats) is dropped. Output per
+    * doc: (doc_id, n_lines, n_kept, md5_clean) where md5_clean hashes
+    * the kept lines re-joined in order.
+    *
+    * Scale shape: the line frame is a row-local projection + explode;
+    * the keeper needs TWO windows over the SAME md5(line) partition
+    * key (min doc, then conditional min idx — the second reuses the
+    * first's hash partitioning, one shuffle) and the per-doc rollup is
+    * one doc_id aggregation. Equi-keyed throughout — at 100 TB line
+    * hashes partition like any dedup key; nothing is pairwise.
+    */
+  val dlWin = 8
+  val dlBoiler1 = "subscribe to our newsletter for daily updates and exclusive offers"
+  val dlBoiler2 = "copyright twenty twenty four all rights reserved worldwide"
+  val dlShared1 = "the identical mirrored passage every syndicated copy carries verbatim"
+  val dlShared2 = "a second shared line completing the duplicated syndicated passage"
+
+  private def lineFrame(docs: DataFrame): DataFrame = {
+    // ONE corpus scan: the planted line array (prepend boiler | body-
+    // or-replacement | append boiler) assembles row-locally and
+    // explodes once — the oracle mirrors it as a UNION of per-plant
+    // selects (4 scans are free for DuckDB at gate scale; a 100 TB
+    // Spark plan must not pay them)
+    val toks = slice(filter(split(col("text"), " "), t => t =!= ""), 1, TextStats.maxTokens)
+    val emptySt = s"CAST(array() AS array<struct<idx:bigint,line:string>>)"
+    val linesExpr =
+      s"concat(" +
+        s"CASE WHEN doc_id % 4 = 1 THEN array(named_struct('idx', CAST(-1 AS BIGINT), 'line', '$dlBoiler1')) ELSE $emptySt END, " +
+        s"CASE WHEN doc_id % 97 = 5 THEN array(named_struct('idx', CAST(0 AS BIGINT), 'line', '$dlShared1'), " +
+        s"named_struct('idx', CAST(1 AS BIGINT), 'line', '$dlShared2')) " +
+        s"ELSE transform(sequence(0, CAST((size(toks) - 1) div $dlWin AS INT)), " +
+        s"i -> named_struct('idx', CAST(i AS BIGINT), 'line', array_join(slice(toks, i * $dlWin + 1, $dlWin), ' '))) END, " +
+        s"CASE WHEN doc_id % 6 = 2 THEN array(named_struct('idx', CAST(1000000 AS BIGINT), 'line', '$dlBoiler2')) ELSE $emptySt END)"
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), explode(expr(linesExpr)).as("s"))
+      .select(col("doc_id"), col("s.idx").as("idx"), col("s.line").as("line"))
+      .filter(col("line") =!= "")
+  }
+
+  def dedupLines(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    lineFrame(docs)
+      .withColumn("h", md5(col("line")))
+      .withColumn("min_doc", min(col("doc_id")).over(w))
+      .withColumn("min_idx", min(when(col("doc_id") === col("min_doc"), col("idx"))).over(w))
+      .withColumn("keep", col("doc_id") === col("min_doc") && col("idx") === col("min_idx"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        expr(
+          "md5(array_join(transform(array_sort(collect_list(CASE WHEN keep THEN struct(idx, line) END)), " +
+            "s -> s.line), chr(10)))"
+        ).as("md5_clean")
+      )
+  }
+
+  def dedupLinesSql: String =
+    "WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '')[1:" +
+      s"${TextStats.maxTokens}] AS toks FROM documents), " +
+      "body AS (SELECT doc_id, CAST(g.i AS BIGINT) AS idx, " +
+      s"array_to_string(toks[g.i * $dlWin + 1 : g.i * $dlWin + $dlWin], ' ') AS line " +
+      s"FROM t, generate_series(0, ${TextStats.maxTokens / dlWin}) g(i) " +
+      s"WHERE doc_id % 97 <> 5 AND g.i <= greatest((len(toks) - 1) // $dlWin, 0)), " +
+      "rep AS (SELECT doc_id, CAST(u.idx AS BIGINT) AS idx, " +
+      s"CASE u.idx WHEN 0 THEN '$dlShared1' ELSE '$dlShared2' END AS line " +
+      "FROM documents, unnest(generate_series(0, 1)) u(idx) WHERE doc_id % 97 = 5), " +
+      s"pre AS (SELECT doc_id, CAST(-1 AS BIGINT) AS idx, '$dlBoiler1' AS line FROM documents WHERE doc_id % 4 = 1), " +
+      s"app AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS idx, '$dlBoiler2' AS line FROM documents WHERE doc_id % 6 = 2), " +
+      "lines AS (SELECT doc_id, idx, line, md5(line) AS h FROM " +
+      "(SELECT * FROM body UNION ALL SELECT * FROM rep UNION ALL SELECT * FROM pre UNION ALL SELECT * FROM app) " +
+      "WHERE line <> ''), " +
+      "s1 AS (SELECT doc_id, idx, line, h, min(doc_id) OVER (PARTITION BY h) AS min_doc FROM lines), " +
+      "s2 AS (SELECT doc_id, idx, line, " +
+      "doc_id = min_doc AND idx = min(CASE WHEN doc_id = min_doc THEN idx END) OVER (PARTITION BY h) AS keep " +
+      "FROM s1) " +
+      "SELECT doc_id, count(*) AS n_lines, " +
+      "CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
+      "md5(coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY idx), '')) AS md5_clean " +
+      "FROM s2 GROUP BY doc_id"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_lines" -> { (s, dir) => dedupLines(Tables.documents(s, dir)) },
     "dedup_exact" -> { (s, dir) =>
       Tables
         .documents(s, dir)
@@ -1431,6 +1533,7 @@ object Dedup {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "dedup_lines" -> dedupLinesSql,
     "dedup_exact" ->
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY md5(text)",
     "dedup_minhash" -> minhashCandidatesSql,

@@ -973,7 +973,64 @@ object TextStats {
   def hashEmbedSql(dim: Int = 64): String =
     s"WITH ${hashEmbedCtes(dim)} SELECT doc_id, bucket, weight FROM we"
 
+  /** Unicode-SCRIPT histogram — the cheap, robust pre-router a
+    * multilingual pipeline runs BEFORE any model-based language ID
+    * (script is deterministic where langid is statistical: a Cyrillic
+    * page can't be English no matter what a trigram model says;
+    * fasttext-based stacks do exactly this screen first). Per doc:
+    * code-point counts per script class (Latin letters, digits,
+    * Cyrillic, CJK unified, Greek) + the dominant NON-Latin script
+    * ('none' when pure ASCII). All-BIGINT output — no float parity
+    * surface at all. Row-local projection off the scan, no shuffle.
+    *
+    * The corpus is ASCII, so the gate PLANTS script segments
+    * (urlPlant precedent): doc_id % 8 ∈ {3, 5, 7} appends a Cyrillic /
+    * CJK / Greek tail respectively.
+    */
+  val scriptPlant: String =
+    "CASE WHEN doc_id % 8 = 3 THEN concat(text, ' привет мир слов') " +
+      "WHEN doc_id % 8 = 5 THEN concat(text, ' 你好世界汉字') " +
+      "WHEN doc_id % 8 = 7 THEN concat(text, ' αλφα βητα') " +
+      "ELSE text END"
+
+  private val scriptClasses = Seq(
+    "n_latin" -> "A-Za-z",
+    "n_digit" -> "0-9",
+    "n_cyrillic" -> "\\x{0400}-\\x{04FF}",
+    "n_cjk" -> "\\x{4E00}-\\x{9FFF}",
+    "n_greek" -> "\\x{0370}-\\x{03FF}"
+  )
+
+  private val dominantNonLatin: String =
+    "CASE WHEN n_cyrillic = 0 AND n_cjk = 0 AND n_greek = 0 THEN 'none' " +
+      "WHEN n_cyrillic >= n_cjk AND n_cyrillic >= n_greek THEN 'cyrillic' " +
+      "WHEN n_cjk >= n_greek THEN 'cjk' ELSE 'greek' END"
+
+  def textScripts(docs: DataFrame): DataFrame = {
+    val counted = docs
+      .select(col("doc_id"), expr(scriptPlant).as("t2"))
+      .select(
+        Seq(col("doc_id"), length(col("t2")).cast("long").as("n_chars")) ++
+          scriptClasses.map { case (name, cls) =>
+            length(regexp_replace(col("t2"), s"[^$cls]", "")).cast("long").as(name)
+          }: _*
+      )
+    counted.withColumn("script", expr(dominantNonLatin))
+  }
+
+  def textScriptsSql: String =
+    s"WITH t AS (SELECT doc_id, $scriptPlant AS t2 FROM documents), " +
+      "c AS (SELECT doc_id, CAST(length(t2) AS BIGINT) AS n_chars, " +
+      scriptClasses
+        .map { case (name, cls) =>
+          s"CAST(length(regexp_replace(t2, '[^$cls]', '', 'g')) AS BIGINT) AS $name"
+        }
+        .mkString(", ") +
+      s" FROM t) SELECT doc_id, n_chars, ${scriptClasses.map(_._1).mkString(", ")}, " +
+      s"$dominantNonLatin AS script FROM c"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_scripts" -> { (s, dir) => textScripts(Tables.documents(s, dir)) },
     "text_hash_embed" -> { (s, dir) => hashEmbed(Tables.documents(s, dir)) },
     "text_pii" -> { (s, dir) => pii(Tables.documents(s, dir)) },
     "sample_ccnet" -> { (s, dir) => ccnet(Tables.documents(s, dir)) },
@@ -1042,6 +1099,7 @@ object TextStats {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "text_scripts" -> textScriptsSql,
     "text_hash_embed" -> hashEmbedSql(),
     "text_pii" -> piiSql,
     "sample_ccnet" -> ccnetSql,

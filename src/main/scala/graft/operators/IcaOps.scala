@@ -297,6 +297,15 @@ object IcaOps {
   /** The gate's component to zero — deterministic pick. */
   private val gateDrop = 0
 
+  /** Gate-latency note (r11 verdict §4): the FIRST (ica_clean |
+    * ica_sources) execution per dir pays the real FastICA fit inside
+    * the gate (~16 s cold at sf0.1 — the fixed-point iterations are
+    * per-iteration scans); the fitted model is cached here and shared
+    * by BOTH gates, so the pair costs one fit and warm runs are
+    * ~0.4 s. If per-query cold latency ever matters to the driver,
+    * pre-warm by calling either query once in Verify/Bench setup — no
+    * behavior change needed, the cache key is the data dir.
+    */
   private def gateModel(spark: SparkSession, dir: String): IcaModel =
     modelCache.computeIfAbsent(dir, d => fastIca(Signal.long(spark, d)))
 

@@ -142,6 +142,34 @@ class ApiSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dest/grid.prev")))
   }
 
+  test("ProfileService.ingestStream: zero-state stream profiles == single-pass over the union") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = core.Tables.documents(spark, sf).select("doc_id", "text", "lang", "source")
+    val rows = docs.collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val store = sources.Scratch.dir("api_profile_stream")
+    val input = MemoryStream[(Long, String, String, String)]
+    val q = Api.ProfileService.ingestStream(
+      input.toDF().toDF("doc_id", "text", "lang", "source"),
+      store
+    )
+    def tup(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))
+    input.addData(b1.map(tup).toIndexedSeq) // first batch seeds the store
+    q.processAllAvailable()
+    input.addData(b2.map(tup).toIndexedSeq)
+    q.processAllAvailable()
+    val progs = q.recentProgress
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(canon(Api.ProfileService.profile(spark, store)) == canon(Api.corpusProfile(docs)))
+    // the stream itself holds ZERO state — the grid is the only memory
+    assert(progs.flatMap(_.stateOperators).isEmpty, "profile ingest must hold no streaming state")
+  }
+
   test("IIR band facade mirrors 2-element reference specs") {
     assert(Api.ButterBand(Seq(10, 20), Seq(5, 30), 100).sos.map(_.toSeq).toSeq ==
       operators.IirOps.butterBp.map(_.toSeq).toSeq)

@@ -1015,6 +1015,61 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_lines: corpus-first keeper per line across boilerplate, shared-body and within-doc repeats") {
+    import spark.implicits._
+    val w8a = (1 to 8).map(i => s"ua$i").mkString(" ") // unique to doc 6
+    val w8s = (1 to 8).map(i => s"sh$i").mkString(" ") // shared by docs 3 and 7
+    val w8r = (1 to 8).map(i => s"rp$i").mkString(" ") // repeated within doc 11
+    val w8b = (1 to 8).map(i => s"nb$i").mkString(" ") // doc 9's own body
+    val w8c = (1 to 8).map(i => s"nc$i").mkString(" ") // doc 13's own body
+    val w8d = (1 to 8).map(i => s"nd$i").mkString(" ") // doc 8's own body
+    val w8e = (1 to 8).map(i => s"ne$i").mkString(" ") // doc 14's own body
+    // ids chosen against the plants: 9,13 ≡1 (mod 4) boiler-prepended;
+    // 8,14 ≡2 (mod 6) boiler-appended; 102,587 ≡5 (mod 97) body
+    // REPLACED by the shared passage; 3,6,7,11 hit no plant
+    val docs = Seq(
+      (3L, w8s), (6L, w8a), (7L, w8s), (11L, s"$w8r $w8r"),
+      (9L, w8b), (13L, w8c), (8L, w8d), (14L, w8e),
+      (102L, "ignored body"), (587L, "ignored body")
+    ).toDF("doc_id", "text")
+    val out = graft.llm.Dedup
+      .dedupLines(docs)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_lines"), r.getAs[Long]("n_kept")))
+      .toMap
+    assert(out(6L) == (1L, 1L)) // unique line kept
+    assert(out(3L) == (1L, 1L) && out(7L) == (1L, 0L)) // shared body: min doc keeps
+    assert(out(11L) == (2L, 1L)) // within-doc repeat collapses
+    assert(out(9L) == (2L, 2L) && out(13L) == (2L, 1L)) // subscribe boiler kept once
+    assert(out(8L) == (2L, 2L) && out(14L) == (2L, 1L)) // copyright boiler kept once
+    assert(out(102L) == (2L, 2L) && out(587L) == (2L, 0L)) // syndicated full copy
+    // a fully-dropped doc hashes the EMPTY clean text
+    val md587 = graft.llm.Dedup
+      .dedupLines(docs)
+      .filter($"doc_id" === 587L)
+      .head
+      .getAs[String]("md5_clean")
+    assert(md587 == java.security.MessageDigest.getInstance("MD5").digest(Array.empty[Byte]).map("%02x".format(_)).mkString)
+  }
+
+  test("text_scripts: planted script tails classify; pure-ASCII doc is 'none'") {
+    import spark.implicits._
+    val base = "plain ascii words only here"
+    val docs = Seq((3L, base), (5L, base), (7L, base), (8L, base)).toDF("doc_id", "text")
+    val out = graft.llm.TextStats
+      .textScripts(docs)
+      .collect()
+      .map(r =>
+        r.getAs[Long]("doc_id") ->
+          ((r.getAs[Long]("n_cyrillic"), r.getAs[Long]("n_cjk"), r.getAs[Long]("n_greek"), r.getAs[String]("script")))
+      )
+      .toMap
+    assert(out(3L)._1 > 0 && out(3L)._4 == "cyrillic")
+    assert(out(5L)._2 == 6 && out(5L)._4 == "cjk") // 6 CJK code points planted
+    assert(out(7L)._3 > 0 && out(7L)._4 == "greek")
+    assert(out(8L) == ((0L, 0L, 0L, "none")))
+  }
+
   test("sample_budget: an empty-text source gets epochs = 0, no division crash") {
     import spark.implicits._
     // whitespace-split can't produce n_tok = 0 from a non-empty source
