@@ -205,6 +205,12 @@ object Prof {
       t(s"docs${docsX}_curate_url", nDocs)(llm.Urls.curateUrl(docs).count())
       t(s"docs${docsX}_dedup_chunks", nDocs)(llm.Dedup.dedupChunks(docs).count())
       t(s"docs${docsX}_dedup_runs", nDocs)(llm.Dedup.sharedRuns(docs).count())
+      // round-12 additions: line-level dedup (replicas share every
+      // 8-token body line with their siblings EXCEPT the one carrying
+      // the replica suffix → line-hash groups of size docsX, keyed,
+      // never pairwise) and the row-local script histogram
+      t(s"docs${docsX}_dedup_lines", nDocs)(llm.Dedup.dedupLines(docs).count())
+      t(s"docs${docsX}_text_scripts", nDocs)(llm.TextStats.textScripts(docs).count())
       docs.unpersist()
       ()
     }

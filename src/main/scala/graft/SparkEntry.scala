@@ -193,7 +193,51 @@ object BaseQueries {
       )
   }
 
+  /** Event-rate anomaly screen — the ops-monitoring classic (z-score
+    * of each hour's event count against its trailing 24-hour history,
+    * per event type) with the cross-engine float surface reduced to
+    * ONE sqrt: the trailing count/sum/sum-of-squares are exact BIGINTs
+    * over the bucket window, z = (n·cnt − s)/sqrt(n·ss − s²) derives
+    * from exact-integer-valued doubles (sqrt and one divide are both
+    * correctly rounded — deterministic in both engines, then round6),
+    * and the spike FLAG never touches floats at all:
+    * num > 0 ∧ num² > 9·den² is pure integer compare (|z| > 3 with the
+    * sign). Buckets with zero events are absent from the history (the
+    * trailing frame is ROWS-based over present buckets — documented).
+    * The gate corpus is organically calm, so bucket % 101 = 7 counts
+    * are PLANTED ×5 (post-aggregation arithmetic plant — both engines
+    * apply it identically). Plan: one bucket aggregation, one
+    * event_type-keyed window, row-local math — two exchanges total.
+    */
+  def eventsAnomaly(events: DataFrame, bucketNs: Long = 3600000000000L, hist: Int = 24): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("bucket"))
+      .rowsBetween(-hist, -1)
+    events
+      .select(col("event_type"), expr(s"(ts_ns - ts_ns % 1000) div $bucketNs").as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("cnt0"))
+      .withColumn("cnt", col("cnt0") * when(col("bucket") % 101 === 7, 5L).otherwise(1L))
+      .withColumn("n", count(col("cnt")).over(w))
+      .withColumn("s", sum(col("cnt")).over(w))
+      .withColumn("ss", sum(col("cnt") * col("cnt")).over(w))
+      .filter(col("n") === hist)
+      .withColumn("num", col("n") * col("cnt") - col("s"))
+      .withColumn("den2", col("n") * col("ss") - col("s") * col("s"))
+      .select(
+        col("event_type"),
+        col("bucket"),
+        col("cnt"),
+        when(col("den2") === 0L, lit(0.0))
+          .otherwise(core.Dsp.round6(col("num").cast("double") / sqrt(col("den2").cast("double"))))
+          .as("z"),
+        (col("num") > 0L && col("num") * col("num") > lit(9L) * col("den2")).as("is_spike")
+      )
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_anomaly" -> { (s, dir) => eventsAnomaly(Tables.events(s, dir)) },
     "q1_agg" -> { (s, dir) =>
       Tables
         .lineitem(s, dir)
@@ -498,6 +542,18 @@ object BaseQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "events_anomaly" ->
+      ("WITH e AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket FROM events), " +
+        "c0 AS (SELECT event_type, bucket, count(*) AS cnt0 FROM e GROUP BY 1, 2), " +
+        "c AS (SELECT event_type, bucket, CAST(cnt0 * (CASE WHEN bucket % 101 = 7 THEN 5 ELSE 1 END) AS BIGINT) AS cnt FROM c0), " +
+        "w AS (SELECT event_type, bucket, cnt, count(cnt) OVER win AS n, sum(cnt) OVER win AS s, " +
+        "sum(cnt * cnt) OVER win AS ss FROM c " +
+        "WINDOW win AS (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)), " +
+        "f AS (SELECT event_type, bucket, cnt, CAST(n * cnt - s AS BIGINT) AS num, " +
+        "CAST(n * ss - s * s AS BIGINT) AS den2 FROM w WHERE n = 24) " +
+        "SELECT event_type, bucket, cnt, " +
+        s"CASE WHEN den2 = 0 THEN 0.0e0 ELSE ${core.Dsp.round6Sql("CAST(num AS DOUBLE) / sqrt(CAST(den2 AS DOUBLE))")} END AS z, " +
+        "(num > 0 AND num * num > 9 * den2) AS is_spike FROM f"),
     "q1_agg" ->
       ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty, " +
         "round(sum(l_extendedprice), 4) AS sum_price, round(avg(l_discount), 6) AS avg_disc, " +

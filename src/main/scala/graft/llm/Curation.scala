@@ -268,17 +268,79 @@ object Curation {
       )
   }
 
-  def sampleBudgetSql(alpha: Double = 0.7, budget: Long = 10000000L): String = {
-    val bM = budget / 1000000L
-    s"WITH k AS (SELECT source, count(*) AS n_docs, " +
+  /** The k → p → w CTE chain shared by the budget PLAN oracle and the
+    * budget-executing DRAW oracle: per-source totals, micro-quantized
+    * pow terms, exact-integer-normalized w_micro.
+    */
+  private def budgetCtes(alpha: Double): String =
+    s"k AS (SELECT source, count(*) AS n_docs, " +
       "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok FROM documents GROUP BY source), " +
       s"p AS (SELECT source, n_docs, n_tok, CAST(floor(pow(n_tok, ${Dsp.lit(alpha)}) " +
       "* 1.0e6 + 0.5e0) AS BIGINT) AS p_micro FROM k), " +
       "w AS (SELECT source, n_docs, n_tok, " +
-      "CAST((2 * p_micro * 1000000 + sum(p_micro) OVER ()) // (2 * sum(p_micro) OVER ()) AS BIGINT) AS w_micro FROM p) " +
+      "CAST((2 * p_micro * 1000000 + sum(p_micro) OVER ()) // (2 * sum(p_micro) OVER ()) AS BIGINT) AS w_micro FROM p)"
+
+  def sampleBudgetSql(alpha: Double = 0.7, budget: Long = 10000000L): String = {
+    val bM = budget / 1000000L
+    s"WITH ${budgetCtes(alpha)} " +
       "SELECT source, n_docs, n_tok, CAST(w_micro AS DOUBLE) / 1000000.0e0 AS mix_weight, " +
       s"w_micro * $bM AS target_tok, " +
       s"CASE WHEN n_tok = 0 THEN 0.0e0 ELSE ${Dsp.round6Sql(s"CAST(w_micro * $bM AS DOUBLE) / CAST(n_tok AS DOUBLE)")} END AS epochs FROM w"
+  }
+
+  /** Budget-EXECUTING sampler — the pass that turns [[sampleBudget]]'s
+    * per-source plan into an actual materialized draw: each doc gets
+    * `n_copies = floor(epochs)` guaranteed copies plus one residual
+    * Bernoulli copy at rate frac(epochs), drawn DETERMINISTICALLY from
+    * the doc's md5 (the sample_mix keyed-hash convention — any two
+    * runs and any two engines draw the same docs). The arithmetic is
+    * EXACT BIGINT end to end: base = target div src_tok, residual
+    * threshold frac_micro = (target mod src_tok)·10⁶ div src_tok —
+    * zero float surface, so the draw can never flip on an ulp.
+    * Σ n_copies·n_tok per source concentrates on target_tok (exact
+    * when epochs is integral; binomial around the residual otherwise).
+    *
+    * Scale shape: one documents scan projected row-local, one
+    * BROADCAST equi-join on source (the plan table is
+    * sources-cardinality — KBs at any corpus), plus [[sampleBudget]]'s
+    * own aggregates. Never pairwise, never a corpus shuffle.
+    */
+  def sampleDraw(docs: DataFrame, alpha: Double = 0.7, budget: Long = 10000000L): DataFrame = {
+    val plan = sampleBudget(docs, alpha, budget)
+      .select(col("source"), col("target_tok"), col("n_tok").as("src_tok"))
+    val perDoc = docs.select(
+      col("doc_id"),
+      col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tok")
+    )
+    perDoc
+      .join(broadcast(plan), Seq("source"))
+      .withColumn("base", expr("target_tok div src_tok"))
+      .withColumn("frac_micro", expr("((target_tok % src_tok) * 1000000L) div src_tok"))
+      .withColumn(
+        "h",
+        expr(
+          "CAST(conv(substr(md5(concat(CAST(doc_id AS STRING), ':', source)), 1, 8), 16, 10) AS BIGINT) % 1000000"
+        )
+      )
+      .select(
+        col("doc_id"),
+        col("source"),
+        col("n_tok"),
+        (col("base") + when(col("h") < col("frac_micro"), 1L).otherwise(0L)).as("n_copies")
+      )
+  }
+
+  def sampleDrawSql(alpha: Double = 0.7, budget: Long = 10000000L): String = {
+    val bM = budget / 1000000L
+    val h = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 8)) AS BIGINT) % 1000000"
+    s"WITH ${budgetCtes(alpha)}, " +
+      "d AS (SELECT doc_id, source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
+      s"j AS (SELECT d.doc_id, d.source, d.n_tok, w.n_tok AS src_tok, w.w_micro * $bM AS target_tok FROM d JOIN w USING (source)) " +
+      "SELECT doc_id, source, n_tok, " +
+      "CAST((target_tok // src_tok) + (CASE WHEN " +
+      s"($h) < ((target_tok % src_tok) * 1000000) // src_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_copies " +
+      "FROM j"
   }
 
   def sampleMixSql(alpha: Double = 0.7): String = {
@@ -538,6 +600,7 @@ object Curation {
     "corpus_shard" -> { (s, dir) => corpusShard(Tables.documents(s, dir)) },
     "sample_mix" -> { (s, dir) => sampleMix(Tables.documents(s, dir)) },
     "sample_budget" -> { (s, dir) => sampleBudget(Tables.documents(s, dir)) },
+    "sample_draw" -> { (s, dir) => sampleDraw(Tables.documents(s, dir)) },
     "sample_stratified" -> { (s, dir) => sampleStratified(Tables.documents(s, dir)) },
     "corpus_stats" -> { (s, dir) => corpusStats(Tables.documents(s, dir)) },
     "curate_splits" -> { (s, dir) =>
@@ -602,6 +665,7 @@ object Curation {
     "corpus_shard" -> corpusShardSql,
     "sample_mix" -> sampleMixSql(),
     "sample_budget" -> sampleBudgetSql(),
+    "sample_draw" -> sampleDrawSql(),
     "sample_stratified" -> sampleStratifiedSql(),
     "corpus_stats" -> corpusStatsSql,
     "curate_full" -> curateFullSql,

@@ -980,7 +980,112 @@ object Sketches {
 
   // ---------------------------------------------------------------------
 
+  /** HLL SET ALGEBRA — pairwise source-vocabulary overlap from the
+    * sketches alone (the question "how much does source A's vocabulary
+    * overlap source B's" at 100 TB, where the exact answer is a
+    * corpus-sized distinct-join): registers merge by per-register MAX
+    * (the union sketch — the same mergeability the grid store uses),
+    * |A∩B| comes from inclusion–exclusion est(A)+est(B)−est(A∪B)
+    * clamped at 0, and est_jaccard = inter/union. The UNROUNDED
+    * estimates feed the algebra; round6 applies once per output
+    * column. All work after the one token scan is register-grid-sized
+    * (sources·m rows; pairs·m for the union merge) — corpus-free.
+    */
+  private def estRawSql(v: String, raw: String): String = {
+    val m = hllRegisters
+    s"(CASE WHEN ($raw) <= ${Dsp.lit(2.5 * m)} AND ($v) > 0 " +
+      s"THEN ${Dsp.lit(m.toDouble)} * ln(${Dsp.lit(m.toDouble)} / ($v)) ELSE ($raw) END)"
+  }
+
+  private def estRawCol(v: org.apache.spark.sql.Column, raw: org.apache.spark.sql.Column) =
+    when(
+      raw <= lit(2.5 * hllRegisters) && v > 0,
+      lit(hllRegisters.toDouble) * log(lit(hllRegisters.toDouble) / v)
+    ).otherwise(raw)
+
+  def hllSetAlgebra(docs: DataFrame): DataFrame = {
+    val m = hllRegisters
+    val toks = docs
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .select(
+        col("source"),
+        col("toks"),
+        explode(sequence(lit(1), least(size(col("toks")), lit(TextStats.maxTokens)))).as("i")
+      )
+      .select(col("source"), element_at(col("toks"), col("i")).as("tok"))
+    // per-source register grid — referenced three ways below, so it is
+    // eagerly checkpointed (≤ sources·m rows; the fan-out rule)
+    val regs = toks
+      .select(col("source"), conv(substring(md5(col("tok")), 1, 13), 16, 10).cast("long").as("h52"))
+      .select(col("source"), (col("h52") % m).as("reg"), expr(s"h52 div $m").as("rest"))
+      .withColumn("rho", expr(rhoCase("rest")))
+      .groupBy(col("source"), col("reg"))
+      .agg(max(col("rho")).as("mx"))
+      .localCheckpoint()
+    def finish(grouped: DataFrame, keys: Seq[String], out: String): DataFrame =
+      grouped
+        .groupBy(keys.map(col): _*)
+        .agg(sum(expr(weightCase("mx"))).as("s_present"), count(lit(1)).as("n_present"))
+        .select(
+          keys.map(col) :+ {
+            val v = lit(m) - col("n_present")
+            val raw = lit(alphaM2) / (col("s_present") + (lit(m) - col("n_present")))
+            estRawCol(v, raw).as(out)
+          }: _*
+        )
+    val perSource = finish(regs, Seq("source"), "est")
+    val pairs = perSource
+      .select(col("source").as("src_a"), col("est").as("ea"))
+      .join(
+        perSource.select(col("source").as("src_b"), col("est").as("eb")),
+        col("src_a") < col("src_b")
+      )
+    val ra = pairs.select(col("src_a"), col("src_b")).join(regs.withColumnRenamed("source", "src_a"), Seq("src_a"))
+    val rb = pairs.select(col("src_a"), col("src_b")).join(regs.withColumnRenamed("source", "src_b"), Seq("src_b"))
+    val merged = ra
+      .select(col("src_a"), col("src_b"), col("reg"), col("mx"))
+      .unionByName(rb.select(col("src_a"), col("src_b"), col("reg"), col("mx")))
+      .groupBy(col("src_a"), col("src_b"), col("reg"))
+      .agg(max(col("mx")).as("mx"))
+    val eu = finish(merged, Seq("src_a", "src_b"), "eu")
+    pairs
+      .join(eu, Seq("src_a", "src_b"))
+      .withColumn("inter", greatest(col("ea") + col("eb") - col("eu"), lit(0.0)))
+      .select(
+        col("src_a"),
+        col("src_b"),
+        Dsp.round6(col("ea")).as("est_a"),
+        Dsp.round6(col("eb")).as("est_b"),
+        Dsp.round6(col("eu")).as("est_union"),
+        Dsp.round6(col("inter")).as("est_inter"),
+        Dsp.round6(col("inter") / col("eu")).as("est_jaccard")
+      )
+  }
+
+  def hllSetAlgebraSql: String = {
+    val m = hllRegisters
+    val rawOf = s"${Dsp.lit(alphaM2)} / (sum(${weightCase("mx")}) + ($m - count(*)))"
+    s"WITH toks AS (SELECT source, string_split(text, ' ') AS toks FROM documents), " +
+      s"tokens AS (SELECT source, list_extract(toks, g.i) AS tok " +
+      s"FROM toks, generate_series(1, ${TextStats.maxTokens}) g(i) WHERE g.i <= len(toks)), " +
+      "hashed AS (SELECT source, CAST(concat('0x', substr(md5(tok), 1, 13)) AS BIGINT) AS h52 FROM tokens), " +
+      s"sr AS (SELECT source, h52 % $m AS reg, h52 // $m AS rest FROM hashed), " +
+      s"regs AS MATERIALIZED (SELECT source, reg, max(${rhoCase("rest")}) AS mx FROM sr GROUP BY source, reg), " +
+      s"es AS (SELECT source, ${estRawSql(s"$m - count(*)", rawOf)} AS est FROM regs GROUP BY source), " +
+      "pairs AS (SELECT a.source AS src_a, b.source AS src_b, a.est AS ea, b.est AS eb " +
+      "FROM es a JOIN es b ON a.source < b.source), " +
+      "mg AS (SELECT p.src_a, p.src_b, r.reg, max(r.mx) AS mx FROM pairs p " +
+      "JOIN regs r ON r.source = p.src_a OR r.source = p.src_b GROUP BY p.src_a, p.src_b, r.reg), " +
+      s"eu AS (SELECT src_a, src_b, ${estRawSql(s"$m - count(*)", rawOf)} AS eu FROM mg GROUP BY src_a, src_b), " +
+      "fin AS (SELECT p.src_a, p.src_b, p.ea, p.eb, u.eu, greatest(p.ea + p.eb - u.eu, 0.0e0) AS inter " +
+      "FROM pairs p JOIN eu u ON u.src_a = p.src_a AND u.src_b = p.src_b) " +
+      s"SELECT src_a, src_b, ${Dsp.round6Sql("ea")} AS est_a, ${Dsp.round6Sql("eb")} AS est_b, " +
+      s"${Dsp.round6Sql("eu")} AS est_union, ${Dsp.round6Sql("inter")} AS est_inter, " +
+      s"${Dsp.round6Sql("inter / eu")} AS est_jaccard FROM fin"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sketch_hll_set" -> { (s, dir) => hllSetAlgebra(Tables.documents(s, dir)) },
     "bloom_screen" -> { (s, dir) => bloomScreen(Tables.documents(s, dir)) },
     "sketch_hll" -> { (s, dir) => hllDistinct(Tables.documents(s, dir)) },
     "sketch_cms" -> { (s, dir) => cmsTopTokens(Tables.documents(s, dir)) },
@@ -993,6 +1098,7 @@ object Sketches {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "sketch_hll_set" -> hllSetAlgebraSql,
     "bloom_screen" -> bloomScreenSql,
     "sketch_hll" -> hllDistinctSql,
     "sketch_cms" -> cmsTopTokensSql,

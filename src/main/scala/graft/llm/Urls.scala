@@ -295,16 +295,54 @@ object Urls {
       in: DataFrame,
       store: String,
       delay: String = "30 minutes",
-      onBatch: DataFrame => Unit = _ => ()
+      onBatch: DataFrame => Unit = _ => (),
+      bloomItems: Long = 0L
   ): org.apache.spark.sql.streaming.StreamingQuery =
     urlDedupStream(in, delay).writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         val prior = spark.read.parquet(store).select(col("canon"))
-        // materialize the screen BEFORE appending to the path it read
-        // (read-own-append hazard — the localCheckpoint discipline)
-        val fresh = batch.join(prior, Seq("canon"), "left_anti").localCheckpoint()
+        // Optional bloom pre-screen (bloomItems = expected store
+        // cardinality, 0 disables): at crawl scale the store side of
+        // the anti-join is the expensive read — a bloom built from the
+        // store turns the batch side into (a) rows the filter clears
+        // outright (definitely fresh — a bloom has NO false negatives,
+        // so skipping the join for them is exact) and (b) possible-hit
+        // rows, which alone pay the keyed anti-join that resolves the
+        // false positives. Spark's native bloom_filter_agg /
+        // might_contain expressions (the runtime-filter machinery) keep
+        // it codegen-side; the filter itself is fpp-sized, not
+        // store-sized. Production refreshes the bloom per batch here —
+        // a real frontier would snapshot it on a slower cadence.
+        val fresh = (if (bloomItems > 0L) {
+                       // bloom_filter_agg / might_contain are not in the
+                       // public FunctionRegistry — construct the same
+                       // catalyst expressions the runtime-filter rewrite
+                       // uses, via the Bridge
+                       import org.apache.spark.sql.graftbridge.Bridge
+                       import org.apache.spark.sql.catalyst.expressions.Literal
+                       val bfAgg = Bridge.column(
+                         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+                           Bridge.expression(xxhash64(col("canon"))),
+                           Literal(bloomItems),
+                           Literal(8L * bloomItems)
+                         ).toAggregateExpression()
+                       )
+                       val bf = prior.agg(bfAgg).head.getAs[Array[Byte]](0)
+                       val hit = Bridge.column(
+                         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+                           Bridge.expression(lit(bf)),
+                           Bridge.expression(xxhash64(col("canon")))
+                         )
+                       )
+                       val b = batch.localCheckpoint() // referenced by BOTH union branches (fan-out rule)
+                       val definitelyFresh = b.filter(!hit)
+                       val possible = b.filter(hit).join(prior, Seq("canon"), "left_anti")
+                       definitelyFresh.unionByName(possible)
+                     } else {
+                       batch.join(prior, Seq("canon"), "left_anti")
+                     }).localCheckpoint()
         fresh
           .select(col("doc_id"), col("host"), col("canon"), col("ts"))
           .write

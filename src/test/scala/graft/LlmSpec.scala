@@ -1070,6 +1070,44 @@ class LlmSpec extends AnyFunSuite {
     assert(out(8L) == ((0L, 0L, 0L, "none")))
   }
 
+  test("sample_draw executes the budget: floor-epochs guaranteed, residual draw conserves tokens") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf)
+    val budget = 10000000L
+    val plan = graft.llm.Curation
+      .sampleBudget(docs, budget = budget)
+      .collect()
+      .map(r => r.getAs[String]("source") -> ((r.getAs[Long]("target_tok"), r.getAs[Long]("n_tok"))))
+      .toMap
+    val draw = graft.llm.Curation.sampleDraw(docs, budget = budget).collect()
+    // every doc gets at least the integral-epoch guaranteed copies
+    draw.foreach { r =>
+      val (target, srcTok) = plan(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_copies") >= target / srcTok)
+      assert(r.getAs[Long]("n_copies") <= target / srcTok + 1)
+    }
+    // per-source drawn tokens concentrate on target_tok: the residual
+    // is a deterministic-hash binomial over frac_micro — allow 4 sigma
+    draw.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      val (target, srcTok) = plan(src)
+      val drawn = rows.map(r => r.getAs[Long]("n_copies") * r.getAs[Long]("n_tok")).sum
+      val frac = (target % srcTok).toDouble / srcTok
+      val maxTok = rows.map(_.getAs[Long]("n_tok")).max.toDouble
+      val sigma = math.sqrt(rows.length * frac * (1 - frac)) * maxTok
+      assert(
+        math.abs(drawn - target) <= math.max(4 * sigma, maxTok),
+        s"$src drew $drawn vs target $target (sigma=$sigma)"
+      )
+    }
+    // deterministic: a second evaluation draws the identical multiset
+    val again = graft.llm.Curation
+      .sampleDraw(docs, budget = budget)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_copies")))
+      .sortBy(_._1)
+    assert(again.toSeq == draw.map(r => (r.getLong(0), r.getAs[Long]("n_copies"))).sortBy(_._1).toSeq)
+  }
+
   test("sample_budget: an empty-text source gets epochs = 0, no division crash") {
     import spark.implicits._
     // whitespace-split can't produce n_tok = 0 from a non-empty source

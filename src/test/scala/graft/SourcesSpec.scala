@@ -1002,4 +1002,46 @@ class IncrementalScreenStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
     val removed = progs.flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
     assert(removed > 0, "watermark never evicted canon state")
   }
+
+  test("urlDedupIngest bloom pre-screen: same emissions and store as the plain anti-join") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val seed = Seq((1L, "https://sitea.example.com/page", t(100000))).toDF("doc_id", "url", "ts")
+    val batches = Seq(
+      Seq(
+        (2L, "http://www.sitea.example.com/page/", t(100060)), // known to store → screened
+        (3L, "https://siteb.example.com/other", t(100060)) // fresh
+      ),
+      Seq(
+        (4L, "https://sitea.example.com/page", t(100120)), // known again
+        (5L, "https://sitec.example.com/third", t(100120)) // fresh
+      )
+    )
+    def run(bloom: Long): (Set[Long], Set[(Long, String)]) = {
+      val store = sources.Scratch.dir(s"url_ingest_bloom_$bloom") + "/canon"
+      graft.llm.Urls.seedUrlStore(seed, store)
+      val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+      val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = graft.llm.Urls.urlDedupIngest(
+        input.toDF().toDF("doc_id", "url", "ts"),
+        store,
+        onBatch = b => emitted ++= b.collect().map(_.getAs[Long]("doc_id")),
+        bloomItems = bloom
+      )
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+      q.stop()
+      val inStore = spark.read
+        .parquet(store)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("canon")))
+        .toSet
+      (emitted.toSet, inStore)
+    }
+    val plain = run(0L)
+    val bloomed = run(100000L)
+    assert(bloomed == plain, s"bloom path diverged: $bloomed vs $plain")
+    assert(plain._1 == Set(3L, 5L))
+  }
 }
