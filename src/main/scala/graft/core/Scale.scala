@@ -234,4 +234,56 @@ object Scale {
     }
     merged.toSeq.sortBy { case (s, v) => (-v, s) }
   }
+
+  /** Pre-flight SKEW report for a join/aggregation key — the
+    * diagnostic a 100 TB run consults BEFORE choosing between a plain
+    * hash join, AQE skew handling, and [[saltedJoin]]: per-key counts
+    * are profiled in one aggregation, summarized to (p50, p90, max,
+    * top-k heavy keys), and the recommended salt factor is
+    * ceil(maxCount / max(p50, 1)) capped at `maxSalt` — the
+    * multiplicity that levels the heaviest key down to a median-sized
+    * task. A report with skew ≈ 1 means salting would only add
+    * overhead; a report with skew ≫ shuffle-width means even AQE's
+    * split is dominated by one key and the job wants the salted path.
+    *
+    * Cost: ONE keyed aggregation over the frame plus a
+    * counts-of-counts summary aggregation (second stage is
+    * distinct-keys-sized, and the driver only receives the k heavy
+    * rows + 4 numbers). For a cheaper approximate profile on a raw
+    * stream, use [[heavyHitters]] first.
+    */
+  final case class SkewReport(
+      nKeys: Long,
+      p50: Long,
+      p90: Long,
+      maxCount: Long,
+      heavy: Seq[(String, Long)],
+      recommendedSalt: Int
+  )
+
+  def skewReport(df: DataFrame, key: Column, k: Int = 10, maxSalt: Int = 256): SkewReport = {
+    import org.apache.spark.sql.functions._
+    val counts = df.select(key.cast("string").as("k")).na.drop().groupBy(col("k")).count()
+    // exact rank targets off the sorted counts — ONE pass over the
+    // distinct-key frame (percentile_approx would be cheaper still but
+    // the report drives a config decision; keep it exact)
+    val summary = counts
+      .agg(
+        count(lit(1)).as("n_keys"),
+        expr("percentile(count, 0.5e0)").cast("long").as("p50"),
+        expr("percentile(count, 0.9e0)").cast("long").as("p90"),
+        max(col("count")).as("mx")
+      )
+      .head
+    val heavy = counts
+      .orderBy(col("count").desc, col("k").asc)
+      .limit(k)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+    val (nKeys, p50, p90, mx) =
+      (summary.getLong(0), summary.getLong(1), summary.getLong(2), summary.getLong(3))
+    val salt = ((mx + math.max(p50, 1L) - 1L) / math.max(p50, 1L)).min(maxSalt.toLong).toInt
+    SkewReport(nKeys, p50, p90, mx, heavy, math.max(salt, 1))
+  }
 }

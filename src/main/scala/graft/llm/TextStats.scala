@@ -1029,7 +1029,60 @@ object TextStats {
       s" FROM t) SELECT doc_id, n_chars, ${scriptClasses.map(_._1).mkString(", ")}, " +
       s"$dominantNonLatin AS script FROM c"
 
+  /** Flesch readability metrics — the classic text-quality features
+    * (reading-ease + FK grade level) every document-quality feature
+    * set carries alongside the Gopher ratios. Syllables ≈ vowel-group
+    * count (the standard regex proxy), sentences = ceil(words/8) (the
+    * corpus has no sentence punctuation, so the 8-token line plant
+    * convention stands in — at production the splitter is a real
+    * sentence regex, same plan shape). Both scores evaluate as ONE
+    * shared closed-form expression string (the filter_response
+    * precedent: identical parse in Spark SQL and DuckDB, parity
+    * reduces to libm last-ulp noise under round6); the integer counts
+    * carry the evidence. Row-local projection, no shuffle.
+    */
+  private def fleschExprs: (String, String) = {
+    val ws = "(CAST(n_w AS DOUBLE) / CAST(n_s AS DOUBLE))"
+    val sw = "(CAST(n_syl AS DOUBLE) / CAST(n_w AS DOUBLE))"
+    (
+      s"(206.835e0 - 1.015e0 * $ws - 84.6e0 * $sw)",
+      s"(0.39e0 * $ws + 11.8e0 * $sw - 15.59e0)"
+    )
+  }
+
+  def textReadability(docs: DataFrame): DataFrame = {
+    val (ease, grade) = fleschExprs
+    docs
+      .select(
+        col("doc_id"),
+        size(filter(split(col("text"), " "), t => t =!= "")).cast("long").as("n_w"),
+        // group 0 = whole match (DuckDB's default — Spark defaults to 1)
+        size(regexp_extract_all(col("text"), lit("[aeiou]+"), lit(0))).cast("long").as("n_syl")
+      )
+      .withColumn("n_s", expr("(n_w + 7) div 8"))
+      .filter(col("n_w") > 0L)
+      .select(
+        col("doc_id"),
+        col("n_w"),
+        col("n_syl"),
+        col("n_s"),
+        graft.core.Dsp.round6(expr(ease)).as("flesch_ease"),
+        graft.core.Dsp.round6(expr(grade)).as("fk_grade")
+      )
+  }
+
+  def textReadabilitySql: String = {
+    val (ease, grade) = fleschExprs
+    "WITH c AS (SELECT doc_id, " +
+      "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_w, " +
+      "CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT) AS n_syl FROM documents), " +
+      "s AS (SELECT doc_id, n_w, n_syl, CAST((n_w + 7) // 8 AS BIGINT) AS n_s FROM c WHERE n_w > 0) " +
+      s"SELECT doc_id, n_w, n_syl, n_s, ${graft.core.Dsp.round6Sql(ease)} AS flesch_ease, " +
+      s"${graft.core.Dsp.round6Sql(grade)} AS fk_grade FROM s"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_readability" -> { (s, dir) => textReadability(Tables.documents(s, dir)) },
     "text_scripts" -> { (s, dir) => textScripts(Tables.documents(s, dir)) },
     "text_hash_embed" -> { (s, dir) => hashEmbed(Tables.documents(s, dir)) },
     "text_pii" -> { (s, dir) => pii(Tables.documents(s, dir)) },
@@ -1099,6 +1152,7 @@ object TextStats {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "text_readability" -> textReadabilitySql,
     "text_scripts" -> textScriptsSql,
     "text_hash_embed" -> hashEmbedSql(),
     "text_pii" -> piiSql,

@@ -45,6 +45,27 @@ class ScaleSpec extends AnyFunSuite {
     assert(!Scale.advisePartitions(li, targetPartitionBytes = Long.MaxValue).underPartitioned)
   }
 
+  test("skewReport: planted hot key dominates, salt levels it to the median, uniform key says don't salt") {
+    import spark.implicits._
+    // 1000 uniform keys × 10 rows + ONE hot key with 5000 rows
+    val uniform = spark.range(10000).select((col("id") % 1000).cast("string").as("k"))
+    val hot = spark.range(5000).select(lit("hotkey").as("k"))
+    val skewed = uniform.unionByName(hot)
+    val r = Scale.skewReport(skewed, col("k"), k = 3)
+    assert(r.nKeys == 1001)
+    assert(r.p50 == 10 && r.maxCount == 5000)
+    assert(r.heavy.head == ("hotkey", 5000L))
+    assert(r.heavy.length == 3)
+    // salt = ceil(5000 / 10) = 500, capped at the default 256
+    assert(r.recommendedSalt == 256)
+    val uncapped = Scale.skewReport(skewed, col("k"), maxSalt = 4096)
+    assert(uncapped.recommendedSalt == 500)
+    // a uniform frame advises salt 1 (don't salt)
+    val flat = Scale.skewReport(uniform, col("k"))
+    assert(flat.recommendedSalt == 1)
+    assert(flat.p50 == 10 && flat.p90 == 10 && flat.maxCount == 10)
+  }
+
   test("z-order layout keeps per-file ranges narrow in BOTH dims; value-band queries skip files") {
     val z = SparkEntry.queries("layout_zorder")(spark, sf)
     val ev = Tables
