@@ -1492,7 +1492,61 @@ object Dedup {
       "md5(coalesce(string_agg(CASE WHEN keep THEN line END, chr(10) ORDER BY idx), '')) AS md5_clean " +
       "FROM s2 GROUP BY doc_id"
 
+  /** The DEDUP REPORT — one per-source table answering "how duplicated
+    * is each source, at every granularity" (the number a data-mixture
+    * review reads before weighting sources): exact whole-doc dups,
+    * docs carrying duplicate CDC chunks + the token share those chunks
+    * represent, docs losing lines to corpus-wide line dedup, and docs
+    * sharing 5-gram spans. Composes the existing family passes (each
+    * granularity costs its own corpus pass by nature — the report is
+    * the run-once rollup of all four) and joins per-doc verdicts on
+    * doc_id before ONE source aggregation. chunk_dup_frac follows the
+    * integer-sums-then-one-divide discipline (exact BIGINT sums,
+    * single round6'd division).
+    */
+  def dedupReport(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
+    val keep = docs
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+      .withColumn("is_keeper", col("doc_id") === min(col("doc_id")).over(w))
+      .select(col("doc_id"), col("source"), col("is_keeper"))
+    val ch = dedupChunks(docs).select(col("doc_id"), col("n_tok"), col("dup_chunks"), col("dup_tok"))
+    val ln = dedupLines(docs).select(col("doc_id"), col("n_lines"), col("n_kept"))
+    val sp = dupSpans(docs).select(col("doc_id"), col("n_dup_spans"))
+    keep
+      .join(ch, Seq("doc_id"))
+      .join(ln, Seq("doc_id"))
+      .join(sp, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(!col("is_keeper"), 1L).otherwise(0L)).as("n_exact_dup"),
+        sum(when(col("dup_chunks") > 0L, 1L).otherwise(0L)).as("n_chunk_dup_docs"),
+        graft.core.Dsp
+          .round6(sum(col("dup_tok")).cast("double") / sum(col("n_tok")).cast("double"))
+          .as("chunk_dup_frac"),
+        sum(when(col("n_kept") < col("n_lines"), 1L).otherwise(0L)).as("n_line_dup_docs"),
+        sum(when(coalesce(col("n_dup_spans"), lit(0L)) > 0L, 1L).otherwise(0L)).as("n_span_docs")
+      )
+  }
+
+  def dedupReportSql: String =
+    "WITH ex AS (SELECT doc_id, source, md5(text) AS h FROM documents), " +
+      "keepx AS (SELECT doc_id, source, doc_id = min(doc_id) OVER (PARTITION BY h) AS is_keeper FROM ex), " +
+      s"chq AS (SELECT doc_id, n_tok, dup_chunks, dup_tok FROM ($dedupChunksSql) iq1), " +
+      s"lnq AS (SELECT doc_id, n_lines, n_kept FROM ($dedupLinesSql) iq2), " +
+      s"spq AS (SELECT doc_id, n_dup_spans FROM (${dupSpansSql()}) iq3) " +
+      "SELECT k.source, count(*) AS n_docs, " +
+      "CAST(sum(CASE WHEN NOT is_keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup, " +
+      "CAST(sum(CASE WHEN dup_chunks > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_chunk_dup_docs, " +
+      s"${graft.core.Dsp.round6Sql("CAST(sum(dup_tok) AS DOUBLE) / CAST(sum(chq.n_tok) AS DOUBLE)")} AS chunk_dup_frac, " +
+      "CAST(sum(CASE WHEN n_kept < n_lines THEN 1 ELSE 0 END) AS BIGINT) AS n_line_dup_docs, " +
+      "CAST(sum(CASE WHEN coalesce(n_dup_spans, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_span_docs " +
+      "FROM keepx k JOIN chq USING (doc_id) JOIN lnq USING (doc_id) LEFT JOIN spq USING (doc_id) " +
+      "GROUP BY k.source"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_dedup_report" -> { (s, dir) => dedupReport(Tables.documents(s, dir)) },
     "dedup_lines" -> { (s, dir) => dedupLines(Tables.documents(s, dir)) },
     "dedup_exact" -> { (s, dir) =>
       Tables
@@ -1533,6 +1587,7 @@ object Dedup {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "corpus_dedup_report" -> dedupReportSql,
     "dedup_lines" -> dedupLinesSql,
     "dedup_exact" ->
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY md5(text)",

@@ -1317,6 +1317,72 @@ object Similarity {
     )
   }
 
+  /** ANN store DELETION cadence — the half of index freshness the
+    * APPEND cadence doesn't cover (GDPR purges, re-crawled documents):
+    * deletions land as TOMBSTONE ids in a sidecar parquet — an
+    * O(deletions) append touching no store file — and serving reads
+    * the store through a vec_id-keyed LEFT ANTI against the sidecar.
+    * [[annCompact]] then rewrites ONLY the cells whose tombstone share
+    * crossed the threshold (dynamic partition overwrite — untouched
+    * cells keep their files byte-for-byte) and retires the applied
+    * tombstones, so compaction cost tracks the DELETED fraction, not
+    * the index size. The spec pins: view ≡ rebuild-minus-deleted,
+    * cold-cell file immutability under compaction, and view
+    * invariance across the compaction.
+    */
+  def annDelete(ids: DataFrame, tombDir: String): Unit = {
+    ids.select(col("vec_id")).write.mode("append").parquet(tombDir)
+    ()
+  }
+
+  def annServeView(spark: SparkSession, base: String, tombDir: String): DataFrame =
+    spark.read.parquet(base).join(spark.read.parquet(tombDir), Seq("vec_id"), "left_anti")
+
+  def annCompact(
+      spark: SparkSession,
+      base: String,
+      tombDir: String,
+      minDeletedShare: Double = 0.3
+  ): Seq[Long] = {
+    val store = spark.read.parquet(base)
+    val tombs = spark.read.parquet(tombDir).localCheckpoint()
+    val per = store
+      .join(spark.read.parquet(tombDir).withColumn("del", lit(true)), Seq("vec_id"), "left")
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"), sum(when(col("del"), 1L).otherwise(0L)).as("nd"))
+    // nd < n: a FULLY-dead cell has no live rows for dynamic overwrite
+    // to replace its partition with — it stays tombstoned (correct via
+    // the anti-join) until an explicit partition drop
+    val hot = per
+      .filter(
+        col("nd").cast("double") / col("n").cast("double") >= minDeletedShare &&
+          col("nd") < col("n")
+      )
+      .select(col("cid").cast("long"))
+      .collect()
+      .map(_.getLong(0))
+      .toSeq
+    if (hot.nonEmpty) {
+      // materialize BOTH rewrites before overwriting the paths they
+      // read (read-own-overwrite discipline)
+      val live = store
+        .filter(col("cid").isin(hot: _*))
+        .join(tombs, Seq("vec_id"), "left_anti")
+        .localCheckpoint()
+      val retired = store.filter(col("cid").isin(hot: _*)).select(col("vec_id"))
+      val remaining = tombs.join(retired, Seq("vec_id"), "left_anti").localCheckpoint()
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try live.write.partitionBy("cid").mode("overwrite").parquet(base)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      remaining.write.mode("overwrite").parquet(tombDir)
+    }
+    hot
+  }
+
   /** STREAMING ANN serving twin: a stream of query vectors probed
     * against the static cell layout — the serving cadence where
     * queries arrive continuously while the index is a published

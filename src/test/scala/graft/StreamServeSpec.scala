@@ -56,6 +56,63 @@ class StreamServeSpec extends AnyFunSuite {
     assert(appended == rebuilt, "appended store diverged from a full rebuild")
   }
 
+  test("ANN delete cadence: tombstoned view == rebuild-minus-deleted; compaction rewrites only hot cells") {
+    val emb = core.Tables.embeddings(spark, sf)
+    val vd = emb.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val cents = vd
+      .filter(col("vec_id") < 16)
+      .orderBy(col("vec_id"))
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    val base = java.nio.file.Files.createTempDirectory("graft_store_del").toString
+    val tomb = java.nio.file.Files.createTempDirectory("graft_store_del_t").toString + "/t"
+    val assigned = graft.llm.Similarity.ivfAssign(emb, cents).localCheckpoint()
+    assigned.write.partitionBy("cid").mode("overwrite").parquet(base)
+    // delete every other member of the largest cell — it crosses the
+    // 30% share threshold; every other cell stays at 0%
+    val byCell = assigned
+      .groupBy(col("cid"))
+      .count()
+      .orderBy(col("count").desc, col("cid").asc)
+      .head
+    val hotCid = byCell.getLong(0)
+    val hotIds = assigned
+      .filter(col("cid") === hotCid)
+      .select(col("vec_id"))
+      .orderBy(col("vec_id"))
+      .collect()
+      .map(_.getLong(0))
+    val doomed = hotIds.zipWithIndex.collect { case (id, i) if i % 2 == 0 => id }
+    import spark.implicits._
+    graft.llm.Similarity.annDelete(doomed.toSeq.toDF("vec_id"), tomb)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id")).collect().map(_.getLong(0)).sorted.toSeq
+    val expect = canon(assigned.filter(!col("vec_id").isInCollection(doomed)))
+    assert(canon(graft.llm.Similarity.annServeView(spark, base, tomb)) == expect)
+    def files(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isFile) Seq(f)
+        else Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      walk(new java.io.File(base))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.length())
+        .toMap
+    }
+    val before = files()
+    val compacted = graft.llm.Similarity.annCompact(spark, base, tomb, minDeletedShare = 0.3)
+    assert(compacted == Seq(hotCid), s"expected only the hot cell compacted, got $compacted")
+    val after = files()
+    // cold cells keep their files byte-for-byte; the hot cell's were replaced
+    before.foreach { case (p, sz) =>
+      if (!p.contains(s"cid=$hotCid")) assert(after.get(p).contains(sz), s"cold-cell file changed: $p")
+      else assert(!after.contains(p), s"hot-cell file survived compaction: $p")
+    }
+    // the view is invariant across compaction, and the applied
+    // tombstones are retired
+    assert(canon(graft.llm.Similarity.annServeView(spark, base, tomb)) == expect)
+    assert(spark.read.parquet(tomb).count() == 0L)
+  }
+
   test("streaming HLL register store finalizes windows equal to the batch estimate") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
