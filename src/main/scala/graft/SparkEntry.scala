@@ -209,16 +209,29 @@ object BaseQueries {
     * apply it identically). Plan: one bucket aggregation, one
     * event_type-keyed window, row-local math — two exchanges total.
     */
-  def eventsAnomaly(events: DataFrame, bucketNs: Long = 3600000000000L, hist: Int = 24): DataFrame = {
+  def eventsAnomaly(events: DataFrame, bucketNs: Long = 3600000000000L, hist: Int = 24): DataFrame =
+    anomalyScore(
+      events
+        .select(col("event_type"), expr(s"(ts_ns - ts_ns % 1000) div $bucketNs").as("bucket"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("cnt0"))
+        .withColumn("cnt", col("cnt0") * when(col("bucket") % 101 === 7, 5L).otherwise(1L)),
+      hist
+    )
+
+  /** The scoring half over any (event_type, bucket, cnt) frame —
+    * shared by the batch gate and the streaming bucket-store finisher
+    * (the hllRegStream pattern: the stream maintains CLOSED bucket
+    * counts with bounded watermark state; this exact aggregation
+    * finishes either side, so batch ≡ stream is pinned by sharing the
+    * code path).
+    */
+  def anomalyScore(buckets: DataFrame, hist: Int = 24): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type"))
       .orderBy(col("bucket"))
       .rowsBetween(-hist, -1)
-    events
-      .select(col("event_type"), expr(s"(ts_ns - ts_ns % 1000) div $bucketNs").as("bucket"))
-      .groupBy(col("event_type"), col("bucket"))
-      .agg(count(lit(1)).as("cnt0"))
-      .withColumn("cnt", col("cnt0") * when(col("bucket") % 101 === 7, 5L).otherwise(1L))
+    buckets
       .withColumn("n", count(col("cnt")).over(w))
       .withColumn("s", sum(col("cnt")).over(w))
       .withColumn("ss", sum(col("cnt") * col("cnt")).over(w))
@@ -382,6 +395,40 @@ object BaseQueries {
         )
         .filter(col("event_type") === "purchase" && col("view_ts").isNotNull)
         .select(col("event_id"), col("user_id"), col("ts_ns"), col("view_ts"), col("view_value"))
+    },
+    "rollup_inc" -> { (s, dir) =>
+      // INCREMENTAL AGGREGATE-VIEW MAINTENANCE — the materialized-
+      // rollup cadence every warehouse needs at 100 TB (recomputing a
+      // corpus-wide rollup per ingest batch is the anti-pattern): a
+      // persisted (flag, status) rollup store is seeded from one
+      // deterministic slice, then a DELTA batch aggregates ALONE
+      // (delta-sized work) and merges by +; the merged store must
+      // equal the full single-pass recompute (the oracle). Sums are
+      // EXACT: TPC-H quantities are integral, so the store carries
+      // BIGINT sums — the merge is order-independent (the
+      // corpus_profile_inc discipline applied to relational rollups).
+      val tmp = sources.Scratch.dir("rollup_inc")
+      val li = Tables
+        .lineitem(s, dir)
+        .select(
+          col("l_returnflag"),
+          col("l_linestatus"),
+          col("l_orderkey"),
+          col("l_quantity").cast("long").as("qty")
+        )
+      def agg(df: DataFrame) =
+        df.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n_rows"))
+      agg(li.filter(col("l_orderkey") % 4 =!= 0)).write.mode("overwrite").parquet(s"$tmp/store")
+      val delta = agg(li.filter(col("l_orderkey") % 4 === 0))
+      val merged = s.read
+        .parquet(s"$tmp/store")
+        .unionByName(delta)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("sum_qty")).as("sum_qty"), sum(col("n_rows")).as("n_rows"))
+        .localCheckpoint()
+      merged.write.mode("overwrite").parquet(s"$tmp/store")
+      s.read.parquet(s"$tmp/store")
     },
     "sink_parquet" -> { (s, dir) =>
       // sink surface: partitioned parquet write + partition-pruned
@@ -602,6 +649,9 @@ object BaseQueries {
         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
         "SELECT event_id, user_id, ts_ns, view_ts, view_value FROM ao " +
         "WHERE event_type = 'purchase' AND view_ts IS NOT NULL"),
+    "rollup_inc" ->
+      ("SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, " +
+        "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus"),
     "sink_parquet" ->
       ("SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars " +
         "FROM documents WHERE lang IN ('en', 'zh') GROUP BY lang"),

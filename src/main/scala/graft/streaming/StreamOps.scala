@@ -79,6 +79,29 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
+  /** Streaming half of `events_anomaly` (the windowTopN split applied
+    * to anomaly detection): the STREAM maintains watermarked per-type
+    * hourly counts — state bounded by types × horizon, each bucket
+    * emitted ONCE when the watermark closes it (append mode) — and the
+    * trailing-z scoring runs over the emitted bucket store via
+    * `SparkEntry.anomalyScore` (the identical aggregation the batch
+    * gate uses, so batch ≡ stream is pinned by the shared code path;
+    * the rank-like trailing window is non-incremental by design and
+    * stays out of the streaming query). Bucket id = epoch-hour of the
+    * window start, matching the batch twin's integral div bucketing.
+    */
+  def anomalyBucketsStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", eventTimeMicros)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        col("event_type"),
+        expr("unix_micros(window.start) * 1000 div 3600000000000").as("bucket"),
+        col("cnt")
+      )
+
   /** Watermarked stream-stream interval join — the streaming
     * generalization of `q9_range`: each purchase matches the same
     * user's views within the preceding `windowSec`. Both sides carry

@@ -168,6 +168,51 @@ class StreamSpec extends AnyFunSuite {
     assert(got(1).getString(1) == "b" && got(1).getLong(2) == 1)
   }
 
+  test("anomaly bucket stream: closed buckets equal the batch counts; scored tail flags the planted burst") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double)]
+    val events = input.toDF().toDF("ts_ns", "event_type", "value")
+    val q = graft.streaming.StreamOps
+      .anomalyBucketsStream(events)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("anom_buckets")
+      .start()
+    val h = 3600000000000L
+    // 26 calm hours with mild variation, then hour 26 bursts to 40
+    val rows = (0 until 26).flatMap { b =>
+      (0 until (2 + b % 3)).map(j => (b * h + j * 1000L + 1L, "a", 0.0))
+    } ++ (0 until 40).map(j => (26 * h + j * 1000L + 1L, "a", 0.0)) ++
+      Seq((40 * h, "a", 0.0)) // closer: advances the watermark past hour 27
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark
+      .sql("SELECT event_type, bucket, cnt FROM anom_buckets")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    // closed buckets match the batch per-bucket counts exactly
+    val expected = rows
+      .groupBy(r => r._1 / h)
+      .view
+      .filterKeys(_ <= 27)
+      .map { case (b, rs) => ("a", b, rs.size.toLong) }
+      .toSet
+    assert(emitted == expected, s"emitted $emitted\nexpected $expected")
+    // the shared scorer over the emitted store flags ONLY the burst
+    // (buckets 24+ have the full 24-bucket history)
+    val scored = graft.BaseQueries
+      .anomalyScore(spark.createDataFrame(emitted.toSeq).toDF("event_type", "bucket", "cnt"))
+      .collect()
+      .map(r => r.getAs[Long]("bucket") -> r.getAs[Boolean]("is_spike"))
+      .toMap
+    assert(scored(26L), "burst bucket must flag")
+    assert(scored.filter(_._2).keySet == Set(26L), s"only the burst should flag: $scored")
+  }
+
   test("watermarked event-time window stream runs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
