@@ -483,6 +483,78 @@ object TextStats {
       )
   }
 
+  /** Interpolated KNESER-NEY bigram scoring — the smoothing the
+    * CCNet/KenLM stack actually ships (the MLE [[bigramLogProb]] is
+    * the unsmoothed ceiling): absolute discount d = 0.75 with the
+    * continuation-probability backoff,
+    *   P(w2|w1) = (max(c(w1w2) − d, 0) + d · N1+(w1,·) · Pcont(w2)) / c(w1,·)
+    *   Pcont(w2) = N1+(·,w2) / |distinct bigram types|.
+    * All model inputs are INTEGER aggregates (bigram count, left
+    * count, distinct-right-per-left, distinct-left-per-right, total
+    * types); the score term is ONE shared closed-form expression
+    * string (filter_response precedent — both engines parse it
+    * verbatim, parity = libm ln ulps under round6; the per-doc sum
+    * order class matches the green bigram gate). Shape: the bigram
+    * stream feeds four keyed aggregations + one 1-row total
+    * (constant-key broadcast — the bm25 BNLJ shape), joins back, one
+    * doc rollup.
+    */
+  private val knTermSql: String =
+    "ln((greatest(CAST(n_ab AS DOUBLE) - 0.75e0, 0.0e0) + " +
+      "((0.75e0 * CAST(t1 AS DOUBLE)) * CAST(t2 AS DOUBLE)) / CAST(tt AS DOUBLE)) / CAST(n_a AS DOUBLE))"
+
+  def bigramKn(docs: DataFrame): DataFrame = {
+    val bg = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(
+        col("doc_id"),
+        explode(
+          expr(s"transform(sequence(1, least(size(toks) - 1, $maxTokens)), i -> " +
+            "concat(element_at(toks, i), ' ', element_at(toks, i + 1)))")
+        ).as("bg")
+      )
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .withColumn("w2", substring_index(col("bg"), " ", -1))
+      .localCheckpoint() // feeds FIVE aggregates + the scoring join (fan-out rule)
+    val bgCounts = bg.groupBy(col("bg")).agg(count(lit(1)).as("n_ab"))
+    val w1Stats = bg
+      .groupBy(col("w1"))
+      .agg(count(lit(1)).as("n_a"), count_distinct(col("w2")).as("t1"))
+    val w2Cont = bg
+      .select(col("w1"), col("w2"))
+      .distinct()
+      .groupBy(col("w2"))
+      .agg(count(lit(1)).as("t2"))
+    val total = bgCounts.agg(count(lit(1)).as("tt")).withColumn("k", lit(1))
+    bg.join(bgCounts, Seq("bg"))
+      .join(w1Stats, Seq("w1"))
+      .join(w2Cont, Seq("w2"))
+      .withColumn("k", lit(1))
+      .join(broadcast(total), Seq("k"))
+      .withColumn("term", expr(knTermSql))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("lp"))
+      .select(
+        col("doc_id"),
+        col("n_bigrams"),
+        graft.core.Dsp.round6(col("lp") / col("n_bigrams")).as("avg_logprob_kn")
+      )
+  }
+
+  val bigramKnSql: String =
+    s"WITH tl AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+      s"bg AS MATERIALIZED (SELECT doc_id, list_extract(toks, g.i) || ' ' || list_extract(toks, g.i + 1) AS bg " +
+      s"FROM tl, generate_series(1, $maxTokens) g(i) WHERE len(toks) >= 2 AND g.i <= len(toks) - 1), " +
+      "bgw AS MATERIALIZED (SELECT doc_id, bg, split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2 FROM bg), " +
+      "bc AS MATERIALIZED (SELECT bg, count(*) AS n_ab FROM bgw GROUP BY bg), " +
+      "w1s AS (SELECT w1, count(*) AS n_a, count(DISTINCT w2) AS t1 FROM bgw GROUP BY w1), " +
+      "w2s AS (SELECT w2, count(DISTINCT w1) AS t2 FROM bgw GROUP BY w2), " +
+      "tot AS (SELECT count(*) AS tt FROM bc) " +
+      "SELECT doc_id, count(*) AS n_bigrams, " +
+      s"${graft.core.Dsp.round6Sql(s"sum($knTermSql) / count(*)")} AS avg_logprob_kn " +
+      "FROM bgw JOIN bc USING (bg) JOIN w1s USING (w1) JOIN w2s USING (w2), tot GROUP BY doc_id"
+
   /** CTE chain (tl/bg/bc/fc/blp) ending in per-doc (doc_id, n_bigrams,
     * avg_logprob); compose with a final select ([[bigramLogProbSql]])
     * or embed in a larger oracle ([[ccnetSql]]). */
@@ -1083,6 +1155,7 @@ object TextStats {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_readability" -> { (s, dir) => textReadability(Tables.documents(s, dir)) },
+    "text_bigram_kn" -> { (s, dir) => bigramKn(Tables.documents(s, dir)) },
     "text_scripts" -> { (s, dir) => textScripts(Tables.documents(s, dir)) },
     "text_hash_embed" -> { (s, dir) => hashEmbed(Tables.documents(s, dir)) },
     "text_pii" -> { (s, dir) => pii(Tables.documents(s, dir)) },
@@ -1153,6 +1226,7 @@ object TextStats {
 
   def oracleSql: Map[String, String] = Map(
     "text_readability" -> textReadabilitySql,
+    "text_bigram_kn" -> bigramKnSql,
     "text_scripts" -> textScriptsSql,
     "text_hash_embed" -> hashEmbedSql(),
     "text_pii" -> piiSql,

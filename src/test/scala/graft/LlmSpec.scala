@@ -1070,6 +1070,24 @@ class LlmSpec extends AnyFunSuite {
     assert(out(8L) == ((0L, 0L, 0L, "none")))
   }
 
+  test("bigramKn matches the hand-computed interpolated Kneser-Ney probabilities") {
+    import spark.implicits._
+    // corpus: d1 = "a b a b", d2 = "a b c"
+    // c(ab)=3 c(ba)=1 c(bc)=1; n_a(a)=3 n_a(b)=2; t1(a)=1 t1(b)=2;
+    // Pcont = t2/T with t2(b)=t2(a)=t2(c)=1, T=3
+    // P(b|a) = (3-.75 + .75*1/3)/3 = 2.5/3; P(a|b) = P(c|b) = .375
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = graft.llm.TextStats
+      .bigramKn(docs)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_logprob_kn"))
+      .toMap
+    val pba = math.log(2.5 / 3.0)
+    val pab = math.log(0.375)
+    assert(math.abs(got(1L) - (2 * pba + pab) / 3.0) < 1e-6)
+    assert(math.abs(got(2L) - (pba + pab) / 2.0) < 1e-6)
+  }
+
   test("sample_draw executes the budget: floor-epochs guaranteed, residual draw conserves tokens") {
     import org.apache.spark.sql.functions._
     val docs = graft.core.Tables.documents(spark, sf)
