@@ -586,13 +586,47 @@ object Dedup {
     * min over the reach set. Algorithm-independent: the converged
     * Spark labels are the same canonical minima.
     */
-  val componentsSql: String =
+  /** The shared recursive reach prefix (through CTE `reach`) — the
+    * component labeling itself ([[componentsSql]]) and the size
+    * histogram ([[clusterSizesSql]]) both finish off it.
+    */
+  private val componentsSqlPrefix: String =
     s"WITH RECURSIVE $simhashPairsCtes, " +
       "edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs " +
       "UNION ALL SELECT doc_b, doc_a FROM pairs), " +
       "reach AS (SELECT doc_id, doc_id AS anc FROM documents " +
-      "UNION SELECT r.doc_id AS doc_id, e.dst AS anc FROM reach r JOIN edges e ON e.src = r.anc) " +
+      "UNION SELECT r.doc_id AS doc_id, e.dst AS anc FROM reach r JOIN edges e ON e.src = r.anc)"
+
+  val componentsSql: String =
+    s"$componentsSqlPrefix " +
       "SELECT doc_id, min(anc) AS comp_id FROM reach GROUP BY doc_id"
+
+  /** Near-dup CLUSTER-SIZE distribution — the dedup-QA histogram a
+    * pipeline review reads to sanity-check its near-dup config (a fat
+    * tail of giant clusters means the similarity threshold or band
+    * width is wrong — boilerplate is fusing unrelated docs; all-
+    * singletons means the screen is dead): (size, n_components) over
+    * the simhash component labeling, plus how many docs dedup would
+    * drop at that size (size − 1 per component). Two grid-sized
+    * aggregations on top of the existing components pass.
+    */
+  def clusterSizes(docs: DataFrame): DataFrame =
+    components(
+      docs.select(col("doc_id")),
+      simhashPairs(docs).select(col("doc_a"), col("doc_b"))
+    )
+      .groupBy(col("comp_id"))
+      .agg(count(lit(1)).as("size"))
+      .groupBy(col("size"))
+      .agg(count(lit(1)).as("n_components"))
+      .withColumn("docs_dropped", (col("size") - 1L) * col("n_components"))
+
+  val clusterSizesSql: String =
+    s"$componentsSqlPrefix, " +
+      "comp AS (SELECT doc_id, min(anc) AS comp_id FROM reach GROUP BY doc_id), " +
+      "sz AS (SELECT comp_id, count(*) AS size FROM comp GROUP BY comp_id) " +
+      "SELECT size, count(*) AS n_components, " +
+      "CAST((size - 1) * count(*) AS BIGINT) AS docs_dropped FROM sz GROUP BY size"
 
   /** Duplicated-span counts (exact-substring dedup signal, Lee et al.
     * 2022 shape): for each doc, how many of its distinct word w-grams
@@ -1547,6 +1581,7 @@ object Dedup {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_dedup_report" -> { (s, dir) => dedupReport(Tables.documents(s, dir)) },
+    "dedup_cluster_sizes" -> { (s, dir) => clusterSizes(Tables.documents(s, dir)) },
     "dedup_lines" -> { (s, dir) => dedupLines(Tables.documents(s, dir)) },
     "dedup_exact" -> { (s, dir) =>
       Tables
@@ -1588,6 +1623,7 @@ object Dedup {
 
   def oracleSql: Map[String, String] = Map(
     "corpus_dedup_report" -> dedupReportSql,
+    "dedup_cluster_sizes" -> clusterSizesSql,
     "dedup_lines" -> dedupLinesSql,
     "dedup_exact" ->
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY md5(text)",
