@@ -333,6 +333,86 @@ object TextStats {
     * the same hash partitioning (doc_id ⊆ (doc_id, chunk_id) — one
     * shuffle total). chunk_md5 pins content alignment cross-engine.
     */
+  /** CHAR-level gear-hash CDC — the FastCDC/gear family's granularity
+    * (the token-level [[chunksCdc]] needs a tokenizer; production
+    * dedup chunks raw bytes): the boundary test at position i hashes
+    * the trailing [[gearW]]-char window, Σ_j gear(c_{i−j})·3^j mod p
+    * (p = 2^31−1, gear = 15-bit md5-derived per-char constants), and
+    * i ends a chunk when i ≥ W and h ≡ 0 (mod [[gearDiv]]) — so an
+    * insertion perturbs boundaries only until the window clears it
+    * (shift-robustness, spec-pinned). The true FastCDC min/max bounds
+    * are the SEQUENTIAL variant (each boundary depends on the
+    * previous); this is the parallel form (cf. parallel-CDC designs
+    * that chunk unbounded then post-merge runts) — wholly positional,
+    * so the hash is a 48-term lag-sum over ONE doc-keyed window (exact
+    * BIGINT: terms < 2^46, sum < 2^52) and chunking is the same
+    * running boundary count as chunksCdc. One exchange total.
+    */
+  val gearW = 48
+  val gearDiv = 64
+  val gearMaxChars = 2048
+  private val gearP = 2147483647L
+
+  private def gearPow(j: Int): Long = {
+    var r = 1L
+    var k = 0
+    while (k < j) { r = r * 3 % gearP; k += 1 }
+    r
+  }
+
+  def chunksGear(docs: DataFrame): DataFrame = {
+    val chars = docs
+      .select(col("doc_id"), expr(s"substr(text, 1, $gearMaxChars)").as("t"))
+      .select(col("doc_id"), col("t"), explode(expr("sequence(1, length(t))")).as("i"))
+      .select(
+        col("doc_id"),
+        col("i"),
+        expr("substr(t, i, 1)").as("ch"),
+        expr("CAST(conv(substr(md5(substr(t, i, 1)), 1, 4), 16, 10) AS BIGINT) % 32768").as("g")
+      )
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("i"))
+    val hTerms = (0 until gearW)
+      .map(j => lag(col("g"), j, 0L).over(wOrd) * lit(gearPow(j)))
+      .reduce(_ + _)
+    val wRun = wOrd.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    chars
+      .withColumn("h", pmod(hTerms, lit(gearP)))
+      .withColumn(
+        "b",
+        (col("i") >= gearW && col("h") % gearDiv === 0L).cast("long")
+      )
+      .withColumn("chunk_id", coalesce(sum(col("b")).over(wRun), lit(0L)))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(
+        count(lit(1)).as("n_chars"),
+        md5(
+          concat_ws(
+            "",
+            transform(sort_array(collect_list(struct(col("i"), col("ch")))), e => e.getField("ch"))
+          )
+        ).as("chunk_md5")
+      )
+  }
+
+  def chunksGearSql: String = {
+    val terms = (0 until gearW)
+      .map(j => s"lag(g, $j, 0) OVER win * ${gearPow(j)}")
+      .mkString(" + ")
+    s"WITH t AS (SELECT doc_id, substr(text, 1, $gearMaxChars) AS t FROM documents), " +
+      "c AS (SELECT doc_id, g.i AS i, substr(t, g.i, 1) AS ch, " +
+      "CAST(concat('0x', substr(md5(substr(t, g.i, 1)), 1, 4)) AS BIGINT) % 32768 AS g " +
+      s"FROM t, generate_series(1, $gearMaxChars) g(i) WHERE g.i <= length(t)), " +
+      s"h AS (SELECT doc_id, i, ch, ($terms) % $gearP AS h FROM c " +
+      "WINDOW win AS (PARTITION BY doc_id ORDER BY i)), " +
+      s"b AS (SELECT doc_id, i, ch, CASE WHEN i >= $gearW AND h % $gearDiv = 0 THEN 1 ELSE 0 END AS b FROM h), " +
+      "cid AS (SELECT doc_id, i, ch, coalesce(CAST(sum(b) OVER (PARTITION BY doc_id ORDER BY i " +
+      "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS chunk_id FROM b) " +
+      "SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_chars, " +
+      "md5(string_agg(ch, '' ORDER BY i)) AS chunk_md5 FROM cid GROUP BY doc_id, chunk_id"
+  }
+
   def chunksCdc(docs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
@@ -1169,6 +1249,7 @@ object TextStats {
     "text_repetition" -> { (s, dir) => repetition(Tables.documents(s, dir)) },
     "text_chunks" -> { (s, dir) => chunks(Tables.documents(s, dir)) },
     "text_chunks_cdc" -> { (s, dir) => chunksCdc(Tables.documents(s, dir)) },
+    "text_chunks_gear" -> { (s, dir) => chunksGear(Tables.documents(s, dir)) },
     "text_winnow" -> { (s, dir) => winnow(Tables.documents(s, dir)) },
     "winnow_overlap" -> { (s, dir) => winnowOverlap(Tables.documents(s, dir)) },
     "text_pack" -> { (s, dir) => pack(Tables.documents(s, dir)) },
@@ -1240,6 +1321,7 @@ object TextStats {
     "text_repetition" -> repetitionSql,
     "text_chunks" -> chunksSql(),
     "text_chunks_cdc" -> chunksCdcSql,
+    "text_chunks_gear" -> chunksGearSql,
     "text_winnow" -> winnowSql(),
     "winnow_overlap" -> winnowOverlapSql,
     "text_pack" -> packSql(),

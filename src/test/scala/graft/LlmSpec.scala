@@ -850,6 +850,29 @@ class LlmSpec extends AnyFunSuite {
     assert(fixedShared < cdcShared, s"fixed windows should shift everywhere: $fixedShared")
   }
 
+  test("gear CDC chunking is char-level shift-robust: boundaries re-align after the window clears an insertion") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val text = (1 to 300).map(_ => s"w${rnd.nextInt(5000)}").mkString(" ")
+    val docs = Seq((1L, text), (2L, s"xyz $text")).toDF("doc_id", "text")
+    def hashes(d: Long) =
+      graft.llm.TextStats
+        .chunksGear(docs)
+        .filter($"doc_id" === d)
+        .select("chunk_md5")
+        .collect()
+        .map(_.getString(0))
+        .toSet
+    val (a, b) = (hashes(1L), hashes(2L))
+    // the 4-char head insertion perturbs chunking only until the first
+    // boundary past the 48-char gear window; later chunks re-align
+    // byte-for-byte. (The tail differs too: doc 2's char cap truncates
+    // 4 chars earlier — exclude at most the final chunk.)
+    val shared = (a & b).size.toDouble / a.size
+    assert(shared >= 0.7, s"gear chunks not shift-robust: $shared shared of ${a.size}")
+    assert(a.size >= 10, s"expected a healthy chunk count, got ${a.size}")
+  }
+
   test("sharedRuns finds planted long runs exactly: position, length, threshold, merging") {
     import spark.implicits._
     val rnd = new scala.util.Random(44)
