@@ -416,6 +416,66 @@ object Curation {
       s"${Dsp.round6Sql(s"avg($qualitySql)")} AS avg_quality, " +
       "CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups FROM b GROUP BY source"
 
+  /** The CORPUS CARD — the per-source datasheet row (Gebru et al.
+    * "Datasheets for Datasets" rendered as a query): volume (docs,
+    * tokens), vocabulary size (HLL estimate — the sketch answer, no
+    * distinct-join), mean quality, exact-dup surplus, chunk-level
+    * duplicated-token share, line-dedup-hit docs, non-Latin-script doc
+    * fraction, and mean FK grade. Each column family is the EXISTING
+    * proven pass composed per source and joined on the tiny source
+    * key; mean FK grade follows the integer-micros discipline (the
+    * per-doc grades are exact 6dp values — sum micros as BIGINT,
+    * divide once).
+    */
+  def corpusCard(docs: DataFrame): DataFrame = {
+    val ids = docs.select(col("doc_id"), col("source"))
+    val cs = corpusStats(docs)
+    val hl = Sketches.hllDistinct(docs).select(col("source"), col("est_hll"))
+    val dr = Dedup
+      .dedupReport(docs)
+      .select(col("source"), col("chunk_dup_frac"), col("n_line_dup_docs"))
+    val sc = TextStats
+      .textScripts(docs)
+      .join(ids, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        Dsp.round6(
+          sum(when(col("script") =!= "none", 1L).otherwise(0L)).cast("double") /
+            count(lit(1)).cast("double")
+        ).as("frac_nonlatin")
+      )
+    val rd = TextStats
+      .textReadability(docs)
+      .join(ids, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        Dsp.round6(
+          sum(expr("CAST(floor(fk_grade * 1.0e6 + 0.5e0) AS BIGINT)")).cast("double") /
+            (lit(1000000.0) * count(lit(1)).cast("double"))
+        ).as("avg_fk")
+      )
+    cs.join(hl, Seq("source"))
+      .join(dr, Seq("source"))
+      .join(sc, Seq("source"))
+      .join(rd, Seq("source"))
+  }
+
+  def corpusCardSql: String =
+    s"WITH cs AS (SELECT * FROM ($corpusStatsSql) q1), " +
+      s"hl AS (SELECT source, est_hll FROM (${Sketches.hllDistinctSql}) q2), " +
+      s"dr AS (SELECT source, chunk_dup_frac, n_line_dup_docs FROM (${Dedup.dedupReportSql}) q3), " +
+      s"sc AS (SELECT d.source, ${Dsp.round6Sql(
+          "CAST(sum(CASE WHEN s.script <> 'none' THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)"
+        )} AS frac_nonlatin " +
+      s"FROM (${TextStats.textScriptsSql}) s JOIN documents d USING (doc_id) GROUP BY d.source), " +
+      s"rd AS (SELECT d.source, ${Dsp.round6Sql(
+          "CAST(sum(CAST(floor(fk_grade * 1.0e6 + 0.5e0) AS BIGINT)) AS DOUBLE) / (1000000.0e0 * CAST(count(*) AS DOUBLE))"
+        )} AS avg_fk " +
+      s"FROM (${TextStats.textReadabilitySql}) r JOIN documents d USING (doc_id) GROUP BY d.source) " +
+      "SELECT cs.source, n_docs, n_tokens, avg_quality, n_exact_dups, est_hll, " +
+      "chunk_dup_frac, n_line_dup_docs, frac_nonlatin, avg_fk " +
+      "FROM cs JOIN hl USING (source) JOIN dr USING (source) JOIN sc USING (source) JOIN rd USING (source)"
+
   /** Exact-k deterministic stratified sample: within each source, rank
     * docs by (md5(doc_id:source), doc_id) and keep the first k — the
     * content-independent, engine-reproducible way to cut a FIXED-size
@@ -601,6 +661,7 @@ object Curation {
     "sample_mix" -> { (s, dir) => sampleMix(Tables.documents(s, dir)) },
     "sample_budget" -> { (s, dir) => sampleBudget(Tables.documents(s, dir)) },
     "sample_draw" -> { (s, dir) => sampleDraw(Tables.documents(s, dir)) },
+    "corpus_card" -> { (s, dir) => corpusCard(Tables.documents(s, dir)) },
     "sample_stratified" -> { (s, dir) => sampleStratified(Tables.documents(s, dir)) },
     "corpus_stats" -> { (s, dir) => corpusStats(Tables.documents(s, dir)) },
     "curate_splits" -> { (s, dir) =>
@@ -666,6 +727,7 @@ object Curation {
     "sample_mix" -> sampleMixSql(),
     "sample_budget" -> sampleBudgetSql(),
     "sample_draw" -> sampleDrawSql(),
+    "corpus_card" -> corpusCardSql,
     "sample_stratified" -> sampleStratifiedSql(),
     "corpus_stats" -> corpusStatsSql,
     "curate_full" -> curateFullSql,
