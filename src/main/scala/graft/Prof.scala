@@ -211,6 +211,14 @@ object Prof {
       // never pairwise) and the row-local script histogram
       t(s"docs${docsX}_dedup_lines", nDocs)(llm.Dedup.dedupLines(docs).count())
       t(s"docs${docsX}_text_scripts", nDocs)(llm.TextStats.textScripts(docs).count())
+      // round-12 second wave: char-level gear CDC (48-term lag-sum per
+      // char — the priciest row-local family, ~2048 chars × 48 lags),
+      // KN bigram scoring (four keyed aggs + joins back), and the
+      // composed per-source dedup report / datasheet card
+      t(s"docs${docsX}_chunks_gear", nDocs)(llm.TextStats.chunksGear(docs).count())
+      t(s"docs${docsX}_bigram_kn", nDocs)(llm.TextStats.bigramKn(docs).count())
+      t(s"docs${docsX}_dedup_report", nDocs)(llm.Dedup.dedupReport(docs).count())
+      t(s"docs${docsX}_corpus_card", nDocs)(llm.Curation.corpusCard(docs).count())
       docs.unpersist()
       ()
     }

@@ -97,6 +97,83 @@ object TextStats {
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for", "on", "with")
   private def stopInSql = stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents") — the unsupervised
+    * corpus-keyword pass curation reports lean on: candidate phrases
+    * are maximal stopword-delimited token runs; each word scores
+    * deg(w)/freq(w) where freq counts occurrences and deg sums the
+    * length of every phrase containing the occurrence (the
+    * co-occurrence-graph degree INCLUDING the self edge — the common
+    * implementation convention); a phrase scores the sum of its
+    * word scores, and the corpus keeps the global top-k distinct
+    * phrases.
+    *
+    * Scale shape: tokenize + stop-flag are row-local; the island id
+    * (running stopword count) is ONE doc-keyed window; phrase length
+    * a second window on the same partitioning's prefix
+    * (doc_id, isl); word stats ONE vocab-keyed aggregation joined
+    * back on the token (never all-pairs); top-k is
+    * orderBy(...).limit(k) — TakeOrderedAndProject, no global sort.
+    * Cross-engine the score is exact BIGINT micros:
+    * (deg·10⁶) div freq on both engines, summed as integers.
+    */
+  def textRake(docs: DataFrame, topK: Int = 30): DataFrame = {
+    val toks = docs
+      .select(
+        col("doc_id"),
+        posexplode(slice(split(col("text"), " "), 1, maxTokens)).as(Seq("pos0", "tok"))
+      )
+      .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("tok"))
+    val wIsl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("pos"))
+    val words = toks
+      .withColumn("stop", col("tok").isin(stopwords: _*))
+      .withColumn("isl", sum(when(col("stop"), 1L).otherwise(0L)).over(wIsl))
+      .filter(!col("stop") && col("tok") =!= "")
+    val wPhr =
+      org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"), col("isl"))
+    val wl = words.withColumn("plen", count(lit(1)).over(wPhr))
+    val ws = wl
+      .groupBy(col("tok"))
+      .agg(sum(col("plen")).as("deg"), count(lit(1)).as("freq"))
+      .withColumn("wscore", expr("(deg * 1000000) div freq"))
+    wl.join(ws.select(col("tok"), col("wscore")), Seq("tok"))
+      .groupBy(col("doc_id"), col("isl"))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("tok")))), x => x.getField("tok")),
+          " "
+        ).as("phrase"),
+        count(lit(1)).as("n_words"),
+        sum(col("wscore")).as("score_micros")
+      )
+      .groupBy(col("phrase"))
+      .agg(
+        max(col("n_words")).as("n_words"),
+        count(lit(1)).as("n_occur"),
+        max(col("score_micros")).as("score_micros")
+      )
+      .orderBy(col("score_micros").desc, col("phrase").asc)
+      .limit(topK)
+  }
+
+  val textRakeSql: String =
+    s"WITH toks AS (SELECT doc_id, list_slice(string_split(text, ' '), 1, $maxTokens) AS toks FROM documents), " +
+      s"t AS (SELECT doc_id, g.i AS pos, list_extract(toks, g.i) AS tok FROM toks, " +
+      s"generate_series(1, $maxTokens) g(i) WHERE g.i <= len(toks)), " +
+      s"f AS (SELECT doc_id, pos, tok, (tok IN $stopInSql) AS stop FROM t), " +
+      "i AS (SELECT *, sum(CASE WHEN stop THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY pos) AS isl FROM f), " +
+      "wrds AS (SELECT doc_id, isl, pos, tok FROM i WHERE NOT stop AND tok <> ''), " +
+      "wl AS (SELECT *, count(*) OVER (PARTITION BY doc_id, isl) AS plen FROM wrds), " +
+      "ws AS (SELECT tok, CAST((sum(plen) * 1000000) // count(*) AS BIGINT) AS wscore FROM wl GROUP BY tok), " +
+      "sc AS (SELECT wl.doc_id, wl.isl, wl.pos, wl.tok, ws.wscore FROM wl JOIN ws ON ws.tok = wl.tok), " +
+      "ph AS (SELECT doc_id, isl, string_agg(tok, ' ' ORDER BY pos) AS phrase, " +
+      "count(*) AS n_words, CAST(sum(wscore) AS BIGINT) AS score_micros FROM sc GROUP BY doc_id, isl) " +
+      "SELECT phrase, CAST(max(n_words) AS BIGINT) AS n_words, CAST(count(*) AS BIGINT) AS n_occur, " +
+      "max(score_micros) AS score_micros FROM ph GROUP BY phrase " +
+      "ORDER BY score_micros DESC, phrase ASC LIMIT 30"
+
   // ---- BM25 scored retrieval (Robertson/Sparck-Jones; the corpus-
   // search primitive a curation pipeline uses for targeted sampling
   // and contamination triage) ----
@@ -1235,6 +1312,7 @@ object TextStats {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_readability" -> { (s, dir) => textReadability(Tables.documents(s, dir)) },
+    "text_rake" -> { (s, dir) => textRake(Tables.documents(s, dir)) },
     "text_bigram_kn" -> { (s, dir) => bigramKn(Tables.documents(s, dir)) },
     "text_scripts" -> { (s, dir) => textScripts(Tables.documents(s, dir)) },
     "text_hash_embed" -> { (s, dir) => hashEmbed(Tables.documents(s, dir)) },
@@ -1307,6 +1385,7 @@ object TextStats {
 
   def oracleSql: Map[String, String] = Map(
     "text_readability" -> textReadabilitySql,
+    "text_rake" -> textRakeSql,
     "text_bigram_kn" -> bigramKnSql,
     "text_scripts" -> textScriptsSql,
     "text_hash_embed" -> hashEmbedSql(),

@@ -353,15 +353,114 @@ object Urls {
       }
       .start()
 
+  /** Host-graph PageRank — the domain-authority prior large web
+    * curations weight hosts by (the OPIC/harmonic-centrality role in
+    * Common Crawl's frontier and RefinedWeb's host policy): power
+    * iteration with damping 0.85 over the host link graph, dangling
+    * mass redistributed uniformly.
+    *
+    * The synthetic corpus carries no links, so the gate PLANTS a
+    * deterministic doc-derived edge set (the urlPlant precedent):
+    * each doc on host `doc_id % 20` emits two outlinks
+    * (`(3·doc_id+1) % 20`, `(7·doc_id+3) % 20`, self-loops dropped),
+    * and hosts 17–19 publish NO links — genuine dangling nodes that
+    * exercise the redistribution term every iteration (they still
+    * RECEIVE links, so they hold mass).
+    *
+    * Scale shape — the real distributed PageRank: each iteration is
+    * ONE src-keyed equi-join of the edge list against the rank
+    * vector plus ONE dst-keyed aggregation (both hash-partitioned;
+    * at web scale the edge list is bucketed by src and the join
+    * shuffles only ranks). The rank vector is eagerly checkpointed
+    * per iteration — it is referenced twice (contribution + dangling
+    * mass), and without the checkpoint the lazy plan fans out 2^k
+    * (the components() precedent). The node count and dangling mass
+    * ride 1-row broadcast stat frames (the bm25 shape). Arithmetic
+    * is exact BIGINT micros on both engines: rank·weight div
+    * out-weight per edge, teleport (0.15 of 10⁶ div n) + 0.85·
+    * (contribution + dangling div n) — the oracle replays all k
+    * iterations as chained CTEs and the output never touches a
+    * float.
+    */
+  def hostPagerank(docs: DataFrame, iters: Int = 8): DataFrame = {
+    val edges0 = docs
+      .select(
+        expr("doc_id % 20").as("src"),
+        explode(array(expr("(doc_id * 3 + 1) % 20"), expr("(doc_id * 7 + 3) % 20"))).as("dst")
+      )
+      .filter(col("src") =!= col("dst") && col("src") < 17)
+    val ed = edges0.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w")).localCheckpoint()
+    val ow = ed.groupBy(col("src")).agg(sum(col("w")).as("wout")).localCheckpoint()
+    val e = ed.join(ow, "src").localCheckpoint()
+    val hosts0 = ed
+      .select(col("src").as("host"))
+      .unionByName(ed.select(col("dst").as("host")))
+      .distinct()
+    val nRow = hosts0.agg(count(lit(1)).as("n"))
+    val hosts = hosts0.crossJoin(broadcast(nRow)).localCheckpoint()
+    var r = hosts.withColumn("r", expr("1000000 div n")).select(col("host"), col("r")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(r, col("src") === col("host"))
+        .select(col("dst"), expr("(r * w) div wout").as("c0"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c0")).as("c"))
+      val dang = r
+        .join(ow.select(col("src")), col("host") === col("src"), "left_anti")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dang"))
+      r = hosts
+        .join(contrib, col("host") === col("dst"), "left")
+        .crossJoin(broadcast(dang))
+        .select(
+          col("host"),
+          expr("(150000 * (1000000 div n) + 850000 * (coalesce(c, 0) + dang div n)) div 1000000")
+            .as("r")
+        )
+        .localCheckpoint()
+    }
+    r.select(col("host"), col("r").as("rank_micros"))
+  }
+
+  /** The oracle replays the plant + all `iters` power iterations as
+    * chained CTEs (exact integer arithmetic end to end).
+    */
+  def hostPagerankSql(iters: Int = 8): String = {
+    val head =
+      "WITH e0 AS (SELECT doc_id % 20 AS src, " +
+        "unnest([(doc_id * 3 + 1) % 20, (doc_id * 7 + 3) % 20]) AS dst FROM documents), " +
+        "e1 AS (SELECT src, dst FROM e0 WHERE src <> dst AND src < 17), " +
+        "ed AS MATERIALIZED (SELECT src, dst, count(*) AS w FROM e1 GROUP BY 1, 2), " +
+        "ow AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM ed GROUP BY 1), " +
+        "hosts AS MATERIALIZED (SELECT DISTINCT host FROM " +
+        "(SELECT src AS host FROM ed UNION ALL SELECT dst AS host FROM ed) u), " +
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM hosts), " +
+        "r0 AS MATERIALIZED (SELECT host, CAST(1000000 // nn.n AS BIGINT) AS r FROM hosts CROSS JOIN nn)"
+    val iterCtes = (1 to iters)
+      .map { k =>
+        val p = s"r${k - 1}"
+        s"c$k AS (SELECT ed.dst, CAST(sum((r.r * ed.w) // ow.wout) AS BIGINT) AS c FROM ed " +
+          s"JOIN $p r ON r.host = ed.src JOIN ow ON ow.src = ed.src GROUP BY ed.dst), " +
+          s"d$k AS (SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT) AS dang FROM $p r " +
+          "WHERE r.host NOT IN (SELECT src FROM ow)), " +
+          s"r$k AS MATERIALIZED (SELECT hosts.host, CAST((150000 * (1000000 // nn.n) + " +
+          s"850000 * (coalesce(c$k.c, 0) + d$k.dang // nn.n)) // 1000000 AS BIGINT) AS r " +
+          s"FROM hosts CROSS JOIN nn CROSS JOIN d$k LEFT JOIN c$k ON c$k.dst = hosts.host)"
+      }
+      .mkString(", ", ", ", " ")
+    head + iterCtes + s"SELECT host, r AS rank_micros FROM r$iters"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_url" -> { (s, dir) => curateUrl(Tables.documents(s, dir)) },
     "curate_url_hosts" -> { (s, dir) => urlHosts(Tables.documents(s, dir)) },
-    "curate_web" -> { (s, dir) => curateWeb(Tables.documents(s, dir)) }
+    "curate_web" -> { (s, dir) => curateWeb(Tables.documents(s, dir)) },
+    "curate_pagerank" -> { (s, dir) => hostPagerank(Tables.documents(s, dir)) }
   )
 
   def oracleSql: Map[String, String] = Map(
     "curate_url" -> curateUrlSql,
     "curate_url_hosts" -> urlHostsSql,
-    "curate_web" -> curateWebSql()
+    "curate_web" -> curateWebSql(),
+    "curate_pagerank" -> hostPagerankSql()
   )
 }

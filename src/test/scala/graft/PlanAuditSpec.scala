@@ -27,7 +27,9 @@ class PlanAuditSpec extends AnyFunSuite {
     "sketch_hll_set", // source-pair frame: non-equi (src_a < src_b) self-join of the SOURCES-sized estimate table (≤ tens of rows at any corpus — the corpus only feeds the one register-grid scan)
     "text_bigram_kn", // 1-row distinct-bigram-type total on a constant key (the bm25 shape)
 
-    "text_langid_ngram" // per-lang count + 1-row vocab-size broadcast sides
+    "text_langid_ngram", // per-lang count + 1-row vocab-size broadcast sides
+    "curate_pagerank", // power iteration's 1-row stat frames: node count + per-iteration dangling mass, crossJoin(broadcast(1-row)) by construction at any corpus size
+    "dedup_semdedup" // same ≤16-row centroid-assignment broadcast as sim_ivf / dedup_semantic
   )
 
   // a Window.partitionBy(constant) folds to an EMPTY partition spec and
