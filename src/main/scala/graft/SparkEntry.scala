@@ -556,6 +556,232 @@ object BaseQueries {
           expr(s"CAST(${core.Scale.zValueSql("ub", "vb", "div")} AS INT)").as("zval")
         )
     },
+    "q14_pivot" -> { (s, dir) =>
+      // PIVOT — the wide-report reshape (per-user event-type spend
+      // matrix): Spark's relational pivot with an EXPLICIT value list,
+      // so the plan is a single hash aggregation with one
+      // conditional-sum column per pivot value (no distinct-values
+      // pre-scan, no second shuffle — the form that survives 100 TB;
+      // an implicit pivot adds a distinct pass over the pivot column).
+      // Money sums ride exact integer cents (floor(v·100+0.5) — value
+      // is 2 dp by construction), so the wide sums hash exactly.
+      val ev = Tables
+        .events(s, dir)
+        .select(
+          col("user_id"),
+          col("event_type"),
+          expr("CAST(floor(value * 100 + 0.5e0) AS BIGINT)").as("cents")
+        )
+      val p = ev
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("view", "click", "signup", "purchase", "error"))
+        .agg(sum(col("cents")))
+      p.select(
+        col("user_id"),
+        coalesce(col("view"), lit(0L)).as("view_cents"),
+        coalesce(col("click"), lit(0L)).as("click_cents"),
+        coalesce(col("signup"), lit(0L)).as("signup_cents"),
+        coalesce(col("purchase"), lit(0L)).as("purchase_cents"),
+        coalesce(col("error"), lit(0L)).as("error_cents")
+      )
+    },
+    "q17_scd2" -> { (s, dir) =>
+      // SCD Type-2 dimension-history build — the warehouse-merge
+      // classic: collapse the per-user attribute stream (the planted
+      // `k` in props) into validity intervals [valid_from, valid_to)
+      // with a version counter and an is_current flag. Change
+      // detection (lag) and interval close (lead) share ONE user_id
+      // hash partitioning — the second window re-sorts the filtered
+      // survivors but never re-shuffles. Timestamps ride micros (the
+      // DuckDB TIMESTAMP view of the parquet is micro-precision).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val ev = Tables
+        .events(s, dir)
+        .select(
+          col("user_id"),
+          col("event_id"),
+          expr("(ts_ns - ts_ns % 1000) div 1000").as("ts_us"),
+          regexp_extract(col("props"), "[0-9]+", 0).cast("long").as("k")
+        )
+      ev.withColumn("prev_k", lag(col("k"), 1).over(w))
+        .filter(col("prev_k").isNull || col("k") =!= col("prev_k"))
+        .withColumn("valid_to", lead(col("ts_us"), 1).over(w))
+        .withColumn("version", row_number().over(w))
+        .select(
+          col("user_id"),
+          col("k"),
+          col("ts_us").as("valid_from"),
+          col("valid_to"),
+          col("version"),
+          col("valid_to").isNull.as("is_current")
+        )
+    },
+    "events_attribution" -> { (s, dir) =>
+      // Multi-touch marketing attribution — per purchase, credit the
+      // view/click touches of the same user inside a 24 h lookback
+      // under THREE models at once: linear (value split equally),
+      // first-touch, last-touch. Scale shape is the q9_range
+      // bucket-explode: purchases explode into the exactly-2 day
+      // buckets their lookback can overlap, equi-join on
+      // (user_id, bucket) — a touch's single bucket matches at most
+      // one branch, so no pair dedup is needed and the join stays a
+      // shuffled hash join. Credit arithmetic is exact BIGINT micros
+      // (cents·10⁴ div n_touches, both engines' integer division) —
+      // the output never touches a float. Purchases with zero touches
+      // carry no credit and drop out (documented: "direct"
+      // conversions are the complement of q9_range's n_views > 0).
+      val W = 86400000000000L
+      val ev = Tables
+        .events(s, dir)
+        .withColumn("ts_ns", col("ts_ns") - col("ts_ns") % 1000)
+      val touches = ev
+        .filter(col("event_type").isin("view", "click"))
+        .select(
+          col("user_id"),
+          col("event_type").as("t_type"),
+          col("event_id").as("t_id"),
+          col("ts_ns").as("t_ts"),
+          expr(s"ts_ns div ${W}L").as("bucket")
+        )
+      val purchases = ev
+        .filter(col("event_type") === "purchase")
+        .select(
+          col("event_id").as("p_id"),
+          col("user_id"),
+          col("ts_ns").as("p_ts"),
+          expr("CAST(floor(value * 100 + 0.5e0) AS BIGINT)").as("p_cents")
+        )
+        .withColumn(
+          "bucket",
+          explode(array(expr(s"(p_ts - ${W}L) div ${W}L"), expr(s"p_ts div ${W}L")))
+        )
+      val wp = org.apache.spark.sql.expressions.Window.partitionBy(col("p_id"))
+      purchases
+        .join(touches, Seq("user_id", "bucket"))
+        .filter(col("t_ts") < col("p_ts") && col("t_ts") >= col("p_ts") - W)
+        .withColumn("n_t", count(lit(1)).over(wp))
+        .withColumn("rk_f", row_number().over(wp.orderBy(col("t_ts").asc, col("t_id").asc)))
+        .withColumn("rk_l", row_number().over(wp.orderBy(col("t_ts").desc, col("t_id").desc)))
+        .groupBy(col("t_type"))
+        .agg(
+          count(lit(1)).as("n_touches"),
+          sum(when(col("rk_f") === 1, 1L).otherwise(0L)).as("n_first"),
+          sum(when(col("rk_l") === 1, 1L).otherwise(0L)).as("n_last"),
+          sum(expr("(p_cents * 10000) div n_t")).as("linear_micros"),
+          sum(when(col("rk_f") === 1, col("p_cents") * 10000L).otherwise(0L)).as("first_micros"),
+          sum(when(col("rk_l") === 1, col("p_cents") * 10000L).otherwise(0L)).as("last_micros")
+        )
+    },
+    "q15_unpivot" -> { (s, dir) =>
+      // UNPIVOT/melt — the wide→long reshape inverse of q14_pivot,
+      // via the native Dataset.unpivot (ANSI UNPIVOT): each wide row
+      // expands row-locally into one (user_id, event_type, cents) row
+      // per measure column — a Generate node, no shuffle beyond the
+      // pivot's own aggregation. The pair (q14, q15) is the report ↔
+      // storage reshape loop a warehouse runs constantly; at 100 TB
+      // both directions stay one-pass.
+      val ev = Tables
+        .events(s, dir)
+        .select(
+          col("user_id"),
+          col("event_type"),
+          expr("CAST(floor(value * 100 + 0.5e0) AS BIGINT)").as("cents")
+        )
+      val wide = ev
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("view", "click", "signup", "purchase", "error"))
+        .agg(sum(col("cents")))
+        .select(
+          col("user_id") +: Seq("view", "click", "signup", "purchase", "error")
+            .map(c => coalesce(col(c), lit(0L)).as(c)): _*
+        )
+      wide.unpivot(
+        Array(col("user_id")),
+        Array(col("view"), col("click"), col("signup"), col("purchase"), col("error")),
+        "etype",
+        "cents"
+      )
+    },
+    "q16_decile" -> { (s, dir) =>
+      // Per-segment balance deciles — the ntile ranking anchor:
+      // ntile(10) over (segment, ordered by exact integer cents with a
+      // unique custkey tie-break — ntile is only deterministic under a
+      // TOTAL order), rolled up to (segment, decile) boundary stats.
+      // Deliberately PARTITIONED: a global ntile is the empty-
+      // partition-window anti-pattern GlobalWindowCheck rejects; at
+      // corpus scale a global decile assignment rides the quantile
+      // sketch (sketch_quantile) instead.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_mktsegment"))
+        .orderBy(col("cents"), col("c_custkey"))
+      Tables
+        .customer(s, dir)
+        .select(
+          col("c_mktsegment"),
+          col("c_custkey"),
+          expr("CAST(floor(c_acctbal * 100 + 0.5e0) AS BIGINT)").as("cents")
+        )
+        .withColumn("decile", ntile(10).over(w))
+        .groupBy(col("c_mktsegment"), col("decile"))
+        .agg(
+          count(lit(1)).as("n"),
+          min(col("cents")).as("min_cents"),
+          max(col("cents")).as("max_cents")
+        )
+    },
+    "merge_upsert" -> { (s, dir) =>
+      // KEYED UPSERT-MERGE store maintenance (SCD Type-1 / MERGE INTO
+      // latest-wins) — the row-level twin of rollup_inc's aggregate
+      // maintenance: a persisted per-user attribute store (latest k by
+      // (ts, event_id), plus a summed event count) is seeded from one
+      // slice; the DELTA batch (event_id % 4 — deliberately
+      // interleaved in time, so the merge must handle out-of-order
+      // upserts, not just appends) collapses ALONE to one row per
+      // touched user, and the merge re-runs the same latest-wins
+      // keeper over store ∪ delta — associative, so the merged store
+      // equals the full single-pass recompute (the oracle). Work per
+      // ingest is delta-sized + store-sized, never a corpus re-scan;
+      // both the collapse and the merge share ONE user_id hash
+      // partitioning. Timestamps ride micros (DuckDB parity).
+      val tmp = sources.Scratch.dir("merge_upsert")
+      val ev = Tables
+        .events(s, dir)
+        .select(
+          col("user_id"),
+          col("event_id"),
+          expr("(ts_ns - ts_ns % 1000) div 1000").as("ts_us"),
+          regexp_extract(col("props"), "[0-9]+", 0).cast("long").as("k")
+        )
+      def latest(df: DataFrame): DataFrame = {
+        val wu = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts_us").desc, col("event_id").desc)
+        df.withColumn("rn", row_number().over(wu))
+          .withColumn(
+            "n_events",
+            sum(coalesce(col("n_events"), lit(1L)))
+              .over(org.apache.spark.sql.expressions.Window.partitionBy(col("user_id")))
+          )
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("k"), col("ts_us"), col("event_id"), col("n_events"))
+      }
+      val seeded = latest(ev.filter(col("event_id") % 4 =!= 0).withColumn("n_events", lit(1L)))
+      seeded.write.mode("overwrite").parquet(s"$tmp/store")
+      val delta = latest(ev.filter(col("event_id") % 4 === 0).withColumn("n_events", lit(1L)))
+      val merged = latest(s.read.parquet(s"$tmp/store").unionByName(delta)).localCheckpoint()
+      merged.write.mode("overwrite").parquet(s"$tmp/store")
+      s.read
+        .parquet(s"$tmp/store")
+        .select(
+          col("user_id"),
+          col("k").as("k_latest"),
+          col("ts_us"),
+          col("event_id").as("last_event_id"),
+          col("n_events")
+        )
+    },
     "q9_range" -> { (s, dir) =>
       // bounded-interval range join (views within 1 h before each
       // purchase, same user), scale-safe shape: bucketize the time axis
@@ -696,6 +922,69 @@ object BaseQueries {
         "CAST(((e.user_id - s.umin) * 16) // (s.umax - s.umin + 1) AS INT) AS ub, " +
         "CAST(((e.vi - s.vmin) * 16) // (s.vmax - s.vmin + 1) AS INT) AS vb FROM e, s) " +
         s"SELECT event_id, CAST(${core.Scale.zValueSql("ub", "vb", "//")} AS INT) AS zval FROM b"),
+    "q14_pivot" ->
+      ("SELECT user_id, " +
+        "CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN CAST(floor(value * 100 + 0.5e0) AS BIGINT) END), 0) AS BIGINT) AS view_cents, " +
+        "CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN CAST(floor(value * 100 + 0.5e0) AS BIGINT) END), 0) AS BIGINT) AS click_cents, " +
+        "CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN CAST(floor(value * 100 + 0.5e0) AS BIGINT) END), 0) AS BIGINT) AS signup_cents, " +
+        "CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN CAST(floor(value * 100 + 0.5e0) AS BIGINT) END), 0) AS BIGINT) AS purchase_cents, " +
+        "CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN CAST(floor(value * 100 + 0.5e0) AS BIGINT) END), 0) AS BIGINT) AS error_cents " +
+        "FROM events GROUP BY user_id"),
+    "q17_scd2" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, " +
+        "CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS k FROM events), " +
+        "c AS (SELECT *, lag(k) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_k FROM e), " +
+        "f AS (SELECT * FROM c WHERE prev_k IS NULL OR k <> prev_k) " +
+        "SELECT user_id, k, ts_us AS valid_from, " +
+        "lead(ts_us) OVER w AS valid_to, " +
+        "CAST(row_number() OVER w AS BIGINT) AS version, " +
+        "(lead(ts_us) OVER w IS NULL) AS is_current " +
+        "FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)"),
+    "events_attribution" ->
+      ("WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, event_type, value FROM events), " +
+        "t AS (SELECT user_id, event_type AS t_type, event_id AS t_id, ts_ns AS t_ts FROM e " +
+        "WHERE event_type IN ('view', 'click')), " +
+        "p AS (SELECT event_id AS p_id, user_id, ts_ns AS p_ts, " +
+        "CAST(floor(value * 100 + 0.5e0) AS BIGINT) AS p_cents FROM e WHERE event_type = 'purchase'), " +
+        "pr AS (SELECT p.p_id, p.p_cents, t.t_type, t.t_ts, t.t_id FROM p JOIN t " +
+        "ON t.user_id = p.user_id AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - 86400000000000), " +
+        "r AS (SELECT *, count(*) OVER (PARTITION BY p_id) AS n_t, " +
+        "row_number() OVER (PARTITION BY p_id ORDER BY t_ts, t_id) AS rk_f, " +
+        "row_number() OVER (PARTITION BY p_id ORDER BY t_ts DESC, t_id DESC) AS rk_l FROM pr) " +
+        "SELECT t_type, count(*) AS n_touches, " +
+        "CAST(sum(CASE WHEN rk_f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first, " +
+        "CAST(sum(CASE WHEN rk_l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_last, " +
+        "CAST(sum((p_cents * 10000) // n_t) AS BIGINT) AS linear_micros, " +
+        "CAST(sum(CASE WHEN rk_f = 1 THEN p_cents * 10000 ELSE 0 END) AS BIGINT) AS first_micros, " +
+        "CAST(sum(CASE WHEN rk_l = 1 THEN p_cents * 10000 ELSE 0 END) AS BIGINT) AS last_micros " +
+        "FROM r GROUP BY t_type"),
+    "q15_unpivot" ->
+      ("WITH p AS (SELECT user_id, " +
+        "CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN CAST(floor(value * 100 + 0.5e0) AS BIGINT) END), 0) AS BIGINT) AS v_view, " +
+        "CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN CAST(floor(value * 100 + 0.5e0) AS BIGINT) END), 0) AS BIGINT) AS v_click, " +
+        "CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN CAST(floor(value * 100 + 0.5e0) AS BIGINT) END), 0) AS BIGINT) AS v_signup, " +
+        "CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN CAST(floor(value * 100 + 0.5e0) AS BIGINT) END), 0) AS BIGINT) AS v_purchase, " +
+        "CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN CAST(floor(value * 100 + 0.5e0) AS BIGINT) END), 0) AS BIGINT) AS v_error " +
+        "FROM events GROUP BY user_id) " +
+        "SELECT user_id, 'view' AS etype, v_view AS cents FROM p " +
+        "UNION ALL SELECT user_id, 'click', v_click FROM p " +
+        "UNION ALL SELECT user_id, 'signup', v_signup FROM p " +
+        "UNION ALL SELECT user_id, 'purchase', v_purchase FROM p " +
+        "UNION ALL SELECT user_id, 'error', v_error FROM p"),
+    "q16_decile" ->
+      ("WITH c AS (SELECT c_mktsegment, c_custkey, " +
+        "CAST(floor(c_acctbal * 100 + 0.5e0) AS BIGINT) AS cents FROM customer), " +
+        "d AS (SELECT *, ntile(10) OVER (PARTITION BY c_mktsegment ORDER BY cents, c_custkey) AS decile FROM c) " +
+        "SELECT c_mktsegment, CAST(decile AS INT) AS decile, count(*) AS n, " +
+        "min(cents) AS min_cents, max(cents) AS max_cents " +
+        "FROM d GROUP BY c_mktsegment, decile"),
+    "merge_upsert" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, " +
+        "CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS k FROM events), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn, " +
+        "count(*) OVER (PARTITION BY user_id) AS n_events FROM e) " +
+        "SELECT user_id, k AS k_latest, ts_us, event_id AS last_event_id, " +
+        "CAST(n_events AS BIGINT) AS n_events FROM r WHERE rn = 1"),
     "q9_range" ->
       ("WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, event_type FROM events), " +
         "v AS (SELECT user_id, ts_ns AS v_ts FROM e WHERE event_type = 'view'), " +

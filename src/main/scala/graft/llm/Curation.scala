@@ -498,6 +498,62 @@ object Curation {
       "ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || source) ASC, doc_id ASC) AS rk " +
       s"FROM documents) WHERE rk <= $k"
 
+  /** Weighted sampling WITHOUT replacement, exact-k per stratum —
+    * Efraimidis & Spirakis 2006 (A-ES): each doc draws a deterministic
+    * uniform u from its md5 (13 hex digits = 52 exact bits, +1 so
+    * u ∈ (0, 2⁻⁵²·(2⁵²)] never hits 0) and ranks by u^(1/w) — realized
+    * as ln(u)/w, monotone-equivalent and overflow-free; the k largest
+    * keys per source are EXACTLY a weight-proportional without-
+    * replacement draw. The weight here is doc length (chars, clamped
+    * ≥ 1) — the "sample long docs proportionally more" curation knob
+    * ([[sampleStratified]] is the unweighted special case).
+    *
+    * Scale shape: the key is row-local; per-source top-k is one
+    * source-keyed window (strata bound the partitions). The SAME key
+    * makes a single-pass k-heap reservoir per partition, merged by
+    * keeping the k largest — mergeable across 1000 executors with
+    * O(k) state, which rate-based Bernoulli sampling can't give when
+    * an exact count is required. Cross-engine: u's numerator and the
+    * 2⁻⁵² scale are exact; ln is the one libm call (filter_response
+    * precedent), quantized to integer micros immediately — BOTH
+    * engines run the ONE shared expression string, and the ranking
+    * uses (key_micros, doc_id) so order is deterministic wherever the
+    * rounded key agrees.
+    */
+  def sampleWeighted(docs: DataFrame, k: Int = 25): DataFrame = {
+    val keySql =
+      "CAST(floor((ln((CAST(h52 AS DOUBLE) + 1.0e0) / 4503599627370496.0e0) / " +
+        "CAST(w AS DOUBLE)) * 1.0e6 + 0.5e0) AS BIGINT)"
+    val base = docs
+      .select(
+        col("doc_id"),
+        col("source"),
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"), col("source"))), 1, 13), 16, 10)
+          .cast("long")
+          .as("h52"),
+        greatest(col("n_chars"), lit(1L)).as("w")
+      )
+      .withColumn("key_micros", expr(keySql))
+    val wTop = Window
+      .partitionBy(col("source"))
+      .orderBy(col("key_micros").desc, col("doc_id").asc)
+    base
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("source"), col("w"), col("key_micros"), col("rk"))
+  }
+
+  def sampleWeightedSql(k: Int = 25): String = {
+    val h = "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 13)) AS BIGINT)"
+    val key =
+      "CAST(floor((ln((CAST(h52 AS DOUBLE) + 1.0e0) / 4503599627370496.0e0) / " +
+        "CAST(w AS DOUBLE)) * 1.0e6 + 0.5e0) AS BIGINT)"
+    s"WITH b AS (SELECT doc_id, source, $h AS h52, greatest(n_chars, 1) AS w FROM documents), " +
+      s"kx AS (SELECT doc_id, source, w, $key AS key_micros FROM b), " +
+      "r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY key_micros DESC, doc_id ASC) AS rk FROM kx) " +
+      s"SELECT doc_id, source, CAST(w AS BIGINT) AS w, key_micros, rk FROM r WHERE rk <= $k"
+  }
+
   /** C4-style line-level cleaning (Raffel et al. 2020 §2.2) as one
     * row-local projection: keep only lines that end in terminal
     * punctuation, have ≥ 3 words, and don't mention javascript; flag
@@ -663,6 +719,7 @@ object Curation {
     "sample_draw" -> { (s, dir) => sampleDraw(Tables.documents(s, dir)) },
     "corpus_card" -> { (s, dir) => corpusCard(Tables.documents(s, dir)) },
     "sample_stratified" -> { (s, dir) => sampleStratified(Tables.documents(s, dir)) },
+    "sample_weighted" -> { (s, dir) => sampleWeighted(Tables.documents(s, dir)) },
     "corpus_stats" -> { (s, dir) => corpusStats(Tables.documents(s, dir)) },
     "curate_splits" -> { (s, dir) =>
       curate(Tables.documents(s, dir))
@@ -729,6 +786,7 @@ object Curation {
     "sample_draw" -> sampleDrawSql(),
     "corpus_card" -> corpusCardSql,
     "sample_stratified" -> sampleStratifiedSql(),
+    "sample_weighted" -> sampleWeightedSql(),
     "corpus_stats" -> corpusStatsSql,
     "curate_full" -> curateFullSql,
     "curate_splits" ->

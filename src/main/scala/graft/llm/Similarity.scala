@@ -414,6 +414,89 @@ object Similarity {
       s"WHERE cos >= ${graft.core.Dsp.lit(tau)}"
   }
 
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    * at web-scale through semantic deduplication"): cluster the
+    * embedding space, then compare ONLY within-cluster pairs and keep
+    * one representative per near-duplicate set — the cluster-scoped
+    * alternative to [[embedDupes]]' LSH banding. Candidate volume is
+    * Σ|cell|² instead of n²: at 100 TB the cluster count k is sized so
+    * cells hold ~10⁴ vectors (the paper runs 11k clusters on LAION),
+    * and the per-cell self-join shuffles each vector ONCE by its cell
+    * key. Keep rule (deterministic): a vector is dropped iff a
+    * SMALLER-id vector in its cell scores rounded-cosine ≥ tau — the
+    * lowest id in each dup set survives (the dedup_exact keeper
+    * convention; the paper keeps a random member).
+    *
+    * Gate config uses the oracle-replayable deterministic centroids
+    * (first `nList` vectors — the sim_ivf convention); production
+    * swaps in [[kmeansParallel]] centroids, which changes WHERE pairs
+    * are compared, not the semantics. The threshold compares the
+    * ROUNDED cosine on both engines (artifact_mask precedent), and
+    * the argmin assignment rides the exact (d2, cid) struct order via
+    * one min_by aggregation (ivfResiduals shape — no rank window, no
+    * wide payload through a sort).
+    */
+  def semDedup(emb: DataFrame, nList: Int = 16, tau: Double = 0.4): DataFrame = {
+    val vs = vecsN(emb)
+    val centsDf = vs
+      .filter(col("vec_id") < nList)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // one row per vector after the map-side-combinable argmin; the
+    // frame feeds both sides of the pair join AND the final verdict —
+    // eager-checkpoint before the fan-out (components() precedent)
+    val av = vs
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .join(broadcast(centsDf))
+      .select(
+        col("vec_id"),
+        struct(
+          graft.functions.exprs.sq_dist(col("v"), col("cv")).as("d2"),
+          col("cid")
+        ).as("key"),
+        struct(col("cid"), col("v"), col("nrm")).as("pay")
+      )
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("pay"), col("key")).as("pay"))
+      .select(
+        col("vec_id"),
+        col("pay.cid").as("cid"),
+        col("pay.v").as("v"),
+        col("pay.nrm").as("nrm")
+      )
+      .localCheckpoint()
+    val dropped = av
+      .select(col("cid"), col("vec_id").as("vid_a"), col("v").as("va"), col("nrm").as("na"))
+      .join(
+        av.select(col("cid"), col("vec_id").as("vid_b"), col("v").as("vb"), col("nrm").as("nb")),
+        Seq("cid")
+      )
+      .filter(col("vid_a") < col("vid_b"))
+      .select(col("vid_b"), round(cosExpr, 6).as("cos"))
+      .filter(col("cos") >= tau)
+      .select(col("vid_b").as("dropped"))
+      .distinct()
+    av.select(col("vec_id"), col("cid"))
+      .join(dropped, col("vec_id") === col("dropped"), "left")
+      .select(col("vec_id"), col("cid"), col("dropped").isNull.as("kept"))
+  }
+
+  def semDedupSql(nList: Int = 16, tau: Double = 0.4): String = {
+    val d2 = "list_sum(list_transform(generate_series(1, 64), i -> " +
+      "(list_extract(a.v, i) - list_extract(c.cv, i)) * (list_extract(a.v, i) - list_extract(c.cv, i))))"
+    "WITH vs AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      s"cents AS (SELECT vec_id AS cid, v AS cv FROM vs WHERE vec_id < $nList), " +
+      s"dists AS (SELECT a.vec_id AS pid, c.cid AS cid, $d2 AS d2 FROM vs a CROSS JOIN cents c), " +
+      "rankedc AS (SELECT pid, cid, row_number() OVER (PARTITION BY pid ORDER BY d2 ASC, cid ASC) AS cr FROM dists), " +
+      "assign AS MATERIALIZED (SELECT pid AS vid, cid FROM rankedc WHERE cr = 1), " +
+      "pairs AS (SELECT y.vid AS vid_b, xa.v AS va, yb.v AS vb FROM assign x " +
+      "JOIN assign y ON y.cid = x.cid AND x.vid < y.vid " +
+      "JOIN vs xa ON xa.vec_id = x.vid JOIN vs yb ON yb.vec_id = y.vid), " +
+      s"scored AS (SELECT vid_b, round($cosSqlExpr, 6) AS cos FROM pairs), " +
+      s"dropped AS (SELECT DISTINCT vid_b FROM scored WHERE cos >= ${graft.core.Dsp.lit(tau)}) " +
+      "SELECT s.vid AS vec_id, s.cid, (d.vid_b IS NULL) AS kept " +
+      "FROM assign s LEFT JOIN dropped d ON d.vid_b = s.vid"
+  }
+
   // ---- Product quantization (Jégou et al., TPAMI 2011): compress the
   // corpus 32× (64 doubles → 8 byte-codes) and rank by asymmetric
   // distance to the reconstruction — the memory-scale path when 100 TB
@@ -1870,7 +1953,8 @@ object Similarity {
     // narrow instance keeps the candidates→verify pipeline exercised;
     // embedDupesSql is parameterized, so either config stays
     // SQL-replayable.
-    "dedup_embed" -> { (s, dir) => embedDupes(Tables.embeddings(s, dir), 0.4, planes, 2) }
+    "dedup_embed" -> { (s, dir) => embedDupes(Tables.embeddings(s, dir), 0.4, planes, 2) },
+    "dedup_semdedup" -> { (s, dir) => semDedup(Tables.embeddings(s, dir)) }
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1892,6 +1976,7 @@ object Similarity {
     "sim_pq_topk" -> pqTopkSql,
     "sim_ivfpq_topk" -> ivfPqTopkSql(),
     "sim_ivfpq_trained" -> ivfPqTrainedSql(),
-    "dedup_embed" -> embedDupesSql(0.4, planes, 2)
+    "dedup_embed" -> embedDupesSql(0.4, planes, 2),
+    "dedup_semdedup" -> semDedupSql()
   )
 }
