@@ -1225,3 +1225,54 @@ class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 }
+
+class SemDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import TestSpark._
+
+  test("semDedup drops planted within-cell near-dups, keeps the lowest id and distant vectors") {
+    import spark.implicits._
+    // 16 one-hot basis vectors are their own centroids (first-nList
+    // convention); 16 and 17 are scaled copies of e5 (cos = 1 with
+    // vec 5 exactly), 18 is e30-dominant with a small e7 component
+    // (assigned to cell 7, cos ≈ 0.30 < tau — kept)
+    def oneHot(i: Int, s: Float): Array[Float] = {
+      val a = Array.fill(64)(0.0f); a(i) = s; a
+    }
+    val v18 = { val a = Array.fill(64)(0.0f); a(7) = 0.3f; a(30) = 0.95f; a }
+    val rows = (0 until 16).map(i => (i.toLong, oneHot(i, 1.0f), 0)) ++
+      Seq((16L, oneHot(5, 0.9f), 0), (17L, oneHot(5, 0.8f), 0), (18L, v18, 0))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = graft.llm.Similarity
+      .semDedup(emb)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(out(16L) == ((5L, false)), s"16: ${out(16L)}")
+    assert(out(17L) == ((5L, false)), s"17: ${out(17L)}")
+    assert(out(5L) == ((5L, true)), s"5: ${out(5L)}")
+    assert(out(18L) == ((7L, true)), s"18: ${out(18L)}")
+    assert(out.values.count(!_._2) == 2, s"exactly the two planted dups drop: $out")
+  }
+
+  test("sampleWeighted: exact k per stratum, deterministic, and weight-proportional") {
+    import spark.implicits._
+    // source A: 40 unit-weight docs; source B: 10 docs (fewer than k);
+    // doc 999 in A carries a 10^6x weight — under A-ES its key
+    // ln(u)/w is ~10^6 closer to zero than any unit-weight doc's
+    // (P(excluded) < 1e-5 per competitor), so it must be drawn
+    val docs = ((1 to 40).map(i => (i.toLong, "A", 50L)) ++
+      (101 to 110).map(i => (i.toLong, "B", 50L)) :+ (999L, "A", 50000000L))
+      .toDF("doc_id", "source", "n_chars")
+    val out = graft.llm.Curation.sampleWeighted(docs, k = 25).collect()
+    val byteSrc = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byteSrc == Map("A" -> 25, "B" -> 10), s"stratum counts: $byteSrc")
+    assert(out.exists(_.getLong(0) == 999L), "heavy-weight doc not drawn")
+    // ranks dense from 1; keys non-positive (u <= 1 so ln(u) <= 0)
+    out.groupBy(_.getString(1)).values.foreach { rs =>
+      assert(rs.map(_.getInt(4)).sorted.sameElements(1 to rs.length))
+    }
+    assert(out.forall(_.getLong(3) <= 0L))
+    val again = graft.llm.Curation.sampleWeighted(docs, k = 25).collect()
+    assert(out.map(_.toString).sorted.sameElements(again.map(_.toString).sorted), "nondeterministic draw")
+  }
+}
