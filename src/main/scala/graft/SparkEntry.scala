@@ -782,6 +782,45 @@ object BaseQueries {
           col("n_events")
         )
     },
+    "events_markov" -> { (s, dir) =>
+      // First-order event-transition matrix — the clickstream Markov
+      // model behind next-event prediction and funnel diagnostics:
+      // per (prev_type, next_type), the transition count and the
+      // row-normalized probability in exact integer micros. ONE
+      // user-keyed lag window builds the bigram stream; the (prev,
+      // next) aggregation is types²-sized (tiny at any corpus size);
+      // the row normalizer is a prev-keyed window over that tiny
+      // grid — nothing after the first window touches corpus-sized
+      // data. (n·10⁶) div total on both engines — no float surface.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val grid = Tables
+        .events(s, dir)
+        .select(
+          col("user_id"),
+          col("event_id"),
+          expr("(ts_ns - ts_ns % 1000) div 1000").as("ts_us"),
+          col("event_type")
+        )
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      grid
+        .withColumn(
+          "total",
+          sum(col("n")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("prev_type"))
+          )
+        )
+        .select(
+          col("prev_type"),
+          col("next_type"),
+          col("n"),
+          expr("(n * 1000000) div total").as("p_micros")
+        )
+    },
     "q9_range" -> { (s, dir) =>
       // bounded-interval range join (views within 1 h before each
       // purchase, same user), scale-safe shape: bucketize the time axis
@@ -985,6 +1024,13 @@ object BaseQueries {
         "count(*) OVER (PARTITION BY user_id) AS n_events FROM e) " +
         "SELECT user_id, k AS k_latest, ts_us, event_id AS last_event_id, " +
         "CAST(n_events AS BIGINT) AS n_events FROM r WHERE rn = 1"),
+    "events_markov" ->
+      ("WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, event_type FROM events), " +
+        "b AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type FROM e), " +
+        "g AS (SELECT prev_type, event_type AS next_type, count(*) AS n FROM b " +
+        "WHERE prev_type IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT prev_type, next_type, CAST(n AS BIGINT) AS n, " +
+        "CAST((n * 1000000) // sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_micros FROM g"),
     "q9_range" ->
       ("WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, event_type FROM events), " +
         "v AS (SELECT user_id, ts_ns AS v_ts FROM e WHERE event_type = 'view'), " +

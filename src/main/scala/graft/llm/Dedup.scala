@@ -628,6 +628,42 @@ object Dedup {
       "SELECT size, count(*) AS n_components, " +
       "CAST((size - 1) * count(*) AS BIGINT) AS docs_dropped FROM sz GROUP BY size"
 
+  /** Soft deduplication — duplication-aware sampling weights instead
+    * of hard drops (the SoftDeDup/D4 reweighting family: removing all
+    * near-dups loses diversity inside the cluster; keeping them all
+    * over-trains on the repeated content; weighting each member
+    * 1/|cluster| makes every dup SET contribute one doc's worth of
+    * expected tokens while retaining intra-cluster variety). Per doc:
+    * its near-dup component, the component size, and the sampling
+    * weight 10⁶ div size in exact integer micros — the column a
+    * sampler ([[graft.llm.Curation.sampleWeighted]]) consumes
+    * directly as `w`. One comp_id-keyed count window on top of the
+    * existing components pass; singletons (never in any pair) weight
+    * 10⁶ exactly.
+    */
+  def softDedupWeights(docs: DataFrame): DataFrame =
+    components(
+      docs.select(col("doc_id")),
+      simhashPairs(docs).select(col("doc_a"), col("doc_b"))
+    )
+      .withColumn(
+        "size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("comp_id")))
+      )
+      .select(
+        col("doc_id"),
+        col("comp_id"),
+        col("size"),
+        expr("1000000 div size").as("w_micros")
+      )
+
+  val softDedupWeightsSql: String =
+    s"$componentsSqlPrefix, " +
+      "comp AS (SELECT doc_id, min(anc) AS comp_id FROM reach GROUP BY doc_id), " +
+      "sz AS (SELECT comp_id, count(*) AS size FROM comp GROUP BY comp_id) " +
+      "SELECT c.doc_id, c.comp_id, CAST(sz.size AS BIGINT) AS size, " +
+      "CAST(1000000 // sz.size AS BIGINT) AS w_micros FROM comp c JOIN sz USING (comp_id)"
+
   /** Duplicated-span counts (exact-substring dedup signal, Lee et al.
     * 2022 shape): for each doc, how many of its distinct word w-grams
     * also appear in at least one OTHER doc. High counts flag docs that
@@ -1582,6 +1618,7 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_dedup_report" -> { (s, dir) => dedupReport(Tables.documents(s, dir)) },
     "dedup_cluster_sizes" -> { (s, dir) => clusterSizes(Tables.documents(s, dir)) },
+    "dedup_weights" -> { (s, dir) => softDedupWeights(Tables.documents(s, dir)) },
     "dedup_lines" -> { (s, dir) => dedupLines(Tables.documents(s, dir)) },
     "dedup_exact" -> { (s, dir) =>
       Tables
@@ -1624,6 +1661,7 @@ object Dedup {
   def oracleSql: Map[String, String] = Map(
     "corpus_dedup_report" -> dedupReportSql,
     "dedup_cluster_sizes" -> clusterSizesSql,
+    "dedup_weights" -> softDedupWeightsSql,
     "dedup_lines" -> dedupLinesSql,
     "dedup_exact" ->
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY md5(text)",
