@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.core.{Dsp, Elliptic, Iir, Remez}
 import graft.operators.{CwtOps, FirOps, HilbertOps, IirOps, ProTools, ResampleOps, ResponseOps, SpectraOps, XcorrOps}
@@ -716,4 +717,94 @@ object Api {
     */
   def funnelStream(events: DataFrame, horizonNs: Long = 30L * 60 * 1000000000L): DataFrame =
     streaming.StreamOps.funnelStream(events, horizonNs)
+
+  /** Keyed latest-wins upsert store (SCD Type-1 / MERGE INTO
+    * maintenance) — the service form of the `merge_upsert` gate, and
+    * its streaming cadence. The store holds ONE row per key:
+    * `(user_id, k, ts_us, event_id, n_events)` — the latest attribute
+    * value by (ts_us, event_id) plus a summed event count. Both the
+    * batch gate and the stream share [[UpsertStore.collapse]], so
+    * batch ≡ stream is true by code path, not by parallel
+    * implementations (the anomalyScore discipline).
+    *
+    * Scale: each ingest collapses ONLY its batch (delta-sized work)
+    * and merges store ∪ delta under the same associative keeper — at
+    * 100 TB the store lives doc-bucketed so the merge joins
+    * bucket-to-bucket; the stream itself holds ZERO state (foreachBatch
+    * sink), so unbounded streams upsert at bounded memory forever.
+    * Publishes are crash-safe (write-aside + rename — the
+    * ProfileService discipline): a crash mid-write can never lose the
+    * accumulated store.
+    */
+  object UpsertStore {
+    import org.apache.spark.sql.expressions.Window
+
+    /** Latest-wins collapse to one row per key: max (ts_us, event_id)
+      * carries the attribute, n_events sums (input rows without an
+      * n_events column count 1 each). Associative: collapse(a ∪
+      * collapse(b)) == collapse(a ∪ b) — the property the merge and
+      * the oracle both lean on.
+      */
+    def collapse(df: DataFrame): DataFrame = {
+      val withN =
+        if (df.columns.contains("n_events")) df
+        else df.withColumn("n_events", lit(1L))
+      val wu = Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_us").desc, col("event_id").desc)
+      withN
+        .withColumn("rn", row_number().over(wu))
+        .withColumn("n_events", sum(col("n_events")).over(Window.partitionBy(col("user_id"))))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("k"), col("ts_us"), col("event_id"), col("n_events"))
+    }
+
+    private def publish(spark: SparkSession, merged: DataFrame, store: String): Unit = {
+      val live = new org.apache.hadoop.fs.Path(s"$store/table")
+      val next = new org.apache.hadoop.fs.Path(s"$store/table.next")
+      val prev = new org.apache.hadoop.fs.Path(s"$store/table.prev")
+      val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      merged.write.mode("overwrite").parquet(next.toString)
+      fs.delete(prev, true)
+      if (fs.exists(live)) fs.rename(live, prev)
+      fs.rename(next, live)
+      fs.delete(prev, true)
+      ()
+    }
+
+    /** Seed the store from a batch (collapses it first). */
+    def seed(df: DataFrame, store: String): Unit =
+      publish(df.sparkSession, collapse(df).localCheckpoint(), store)
+
+    /** Upsert one delta batch: collapse the delta ALONE, then re-run
+      * the same keeper over store ∪ delta. Out-of-order deltas are
+      * fine — latest-wins is a max, not an append.
+      */
+    def upsert(df: DataFrame, store: String): Unit = {
+      val spark = df.sparkSession
+      val merged = collapse(
+        spark.read.parquet(s"$store/table").unionByName(collapse(df))
+      ).localCheckpoint()
+      publish(spark, merged, store)
+    }
+
+    /** Streaming upsert cadence: zero streaming state, each
+      * micro-batch upserts (or seeds a missing store).
+      */
+    def upsertStream(df: DataFrame, store: String): org.apache.spark.sql.streaming.StreamingQuery =
+      df.writeStream
+        .outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val spark = batch.sparkSession
+          val live = new org.apache.hadoop.fs.Path(s"$store/table")
+          val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(live)) upsert(batch, store) else seed(batch, store)
+          ()
+        }
+        .start()
+
+    /** The current store contents. */
+    def serve(spark: SparkSession, store: String): DataFrame =
+      spark.read.parquet(s"$store/table")
+  }
 }

@@ -754,26 +754,13 @@ object BaseQueries {
           expr("(ts_ns - ts_ns % 1000) div 1000").as("ts_us"),
           regexp_extract(col("props"), "[0-9]+", 0).cast("long").as("k")
         )
-      def latest(df: DataFrame): DataFrame = {
-        val wu = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("user_id"))
-          .orderBy(col("ts_us").desc, col("event_id").desc)
-        df.withColumn("rn", row_number().over(wu))
-          .withColumn(
-            "n_events",
-            sum(coalesce(col("n_events"), lit(1L)))
-              .over(org.apache.spark.sql.expressions.Window.partitionBy(col("user_id")))
-          )
-          .filter(col("rn") === 1)
-          .select(col("user_id"), col("k"), col("ts_us"), col("event_id"), col("n_events"))
-      }
-      val seeded = latest(ev.filter(col("event_id") % 4 =!= 0).withColumn("n_events", lit(1L)))
-      seeded.write.mode("overwrite").parquet(s"$tmp/store")
-      val delta = latest(ev.filter(col("event_id") % 4 === 0).withColumn("n_events", lit(1L)))
-      val merged = latest(s.read.parquet(s"$tmp/store").unionByName(delta)).localCheckpoint()
-      merged.write.mode("overwrite").parquet(s"$tmp/store")
-      s.read
-        .parquet(s"$tmp/store")
+      // the gate runs the SERVICE path (Api.UpsertStore — the same
+      // collapse the streaming cadence uses), so batch gate, batch
+      // service, and stream share one keeper implementation
+      Api.UpsertStore.seed(ev.filter(col("event_id") % 4 =!= 0), tmp)
+      Api.UpsertStore.upsert(ev.filter(col("event_id") % 4 === 0), tmp)
+      Api.UpsertStore
+        .serve(s, tmp)
         .select(
           col("user_id"),
           col("k").as("k_latest"),

@@ -170,6 +170,40 @@ class ApiSpec extends AnyFunSuite {
     assert(progs.flatMap(_.stateOperators).isEmpty, "profile ingest must hold no streaming state")
   }
 
+  test("UpsertStore.upsertStream: zero-state out-of-order stream == collapse of the union") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // (user_id, event_id, ts_us, k) with batch 2 INTERLEAVED in time
+    // (user 1's latest row arrives in batch 1, so the batch-2 upsert
+    // must not clobber it — latest-wins is a max, not last-writer)
+    val all = Seq(
+      (1L, 10L, 100L, 7L), (1L, 11L, 300L, 9L), (2L, 12L, 50L, 3L),
+      (1L, 13L, 200L, 8L), (2L, 14L, 60L, 4L), (3L, 15L, 10L, 1L)
+    )
+    val (b1, b2) = all.splitAt(3)
+    val store = sources.Scratch.dir("api_upsert_stream")
+    val input = MemoryStream[(Long, Long, Long, Long)]
+    val q = Api.UpsertStore.upsertStream(
+      input.toDF().toDF("user_id", "event_id", "ts_us", "k"),
+      store
+    )
+    input.addData(b1) // seeds
+    q.processAllAvailable()
+    input.addData(b2)
+    q.processAllAvailable()
+    val progs = q.recentProgress
+    q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val full = Api.UpsertStore.collapse(all.toDF("user_id", "event_id", "ts_us", "k"))
+    assert(canon(Api.UpsertStore.serve(spark, store)) == canon(full))
+    // user 1: k=9 at ts 300 (from batch 1) survives the batch-2 upsert
+    val u1 = Api.UpsertStore.serve(spark, store).filter($"user_id" === 1L).head()
+    assert(u1.getLong(1) == 9L && u1.getLong(4) == 3L, s"u1: $u1")
+    assert(progs.flatMap(_.stateOperators).isEmpty, "upsert stream must hold no streaming state")
+  }
+
   test("IIR band facade mirrors 2-element reference specs") {
     assert(Api.ButterBand(Seq(10, 20), Seq(5, 30), 100).sos.map(_.toSeq).toSeq ==
       operators.IirOps.butterBp.map(_.toSeq).toSeq)
