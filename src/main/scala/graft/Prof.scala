@@ -219,6 +219,19 @@ object Prof {
       t(s"docs${docsX}_bigram_kn", nDocs)(llm.TextStats.bigramKn(docs).count())
       t(s"docs${docsX}_dedup_report", nDocs)(llm.Dedup.dedupReport(docs).count())
       t(s"docs${docsX}_corpus_card", nDocs)(llm.Curation.corpusCard(docs).count())
+      // round-12 third wave: RAKE keywords (two doc-keyed windows + one
+      // vocab agg), A-ES weighted sampling (row-local key + one
+      // source-keyed top-k window), PageRank (8 edge-join+agg rounds on
+      // a 20-node host graph — iteration scheduling, not data, is the
+      // cost), and soft-dedup weights off the components pass
+      t(s"docs${docsX}_text_rake", nDocs)(llm.TextStats.textRake(docs).count())
+      t(s"docs${docsX}_sample_weighted", nDocs)(
+        llm.Curation
+          .sampleWeighted(docs.withColumn("n_chars", length(col("text")).cast("long")))
+          .count()
+      )
+      t(s"docs${docsX}_pagerank", nDocs)(llm.Urls.hostPagerank(docs).count())
+      t(s"docs${docsX}_dedup_weights", nDocs)(llm.Dedup.softDedupWeights(docs).count())
       docs.unpersist()
       ()
     }

@@ -286,4 +286,56 @@ object Scale {
     val salt = ((mx + math.max(p50, 1L) - 1L) / math.max(p50, 1L)).min(maxSalt.toLong).toInt
     SkewReport(nKeys, p50, p90, mx, heavy, math.max(salt, 1))
   }
+
+  final case class CompactReport(
+      filesBefore: Int,
+      bytesBefore: Long,
+      filesAfter: Int,
+      compacted: Boolean
+  )
+
+  /** Small-file compaction — the table-maintenance pass every
+    * streaming/incremental sink needs at 100 TB (each micro-batch or
+    * ingest wave appends a handful of files; a year later the table is
+    * millions of KB-sized files and every scan pays an open/seek per
+    * file plus a listing storm on object storage). Rewrites the
+    * parquet directory into ceil(totalBytes / targetBytes) files and
+    * atomically swaps it into place (write-aside + rename — the
+    * ProfileService publish discipline, so a crash mid-compaction
+    * never loses the table). No-ops when the layout is already within
+    * `toleranceX` of the target file count — compaction must be
+    * idempotent-cheap enough to run on a schedule.
+    *
+    * Driver-side work is file-listing metadata only; the data moves
+    * through ONE round-robin repartition (no key assumptions — for a
+    * sorted/bucketed layout use [[bucketedJoin]]'s writer instead,
+    * compaction must not destroy bucket structure).
+    */
+  def compactFiles(
+      spark: SparkSession,
+      path: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      toleranceX: Double = 2.0
+  ): CompactReport = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs
+      .listStatus(live)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val bytes = parts.map(_.getLen).sum
+    val want = math.max(1, ((bytes + targetBytes - 1) / targetBytes).toInt)
+    if (parts.length <= math.ceil(want * toleranceX).toInt)
+      return CompactReport(parts.length, bytes, parts.length, compacted = false)
+    val next = new org.apache.hadoop.fs.Path(s"$path.next")
+    val prev = new org.apache.hadoop.fs.Path(s"$path.prev")
+    spark.read.parquet(path).repartition(want).write.mode("overwrite").parquet(next.toString)
+    fs.delete(prev, true)
+    fs.rename(live, prev)
+    fs.rename(next, live)
+    fs.delete(prev, true)
+    val after = fs
+      .listStatus(live)
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    CompactReport(parts.length, bytes, after, compacted = true)
+  }
 }

@@ -471,4 +471,22 @@ class SketchSpec extends AnyFunSuite {
     val est = df.agg(approx_count_distinct(col("k"), 0.02).as("c")).collect()(0).getLong(0)
     assert(math.abs(est - exact).toDouble / exact < 0.05, s"estimate $est vs $exact")
   }
+
+  test("compactFiles: many small files -> target count, rows preserved, idempotent no-op") {
+    import spark.implicits._
+    val dir = graft.sources.Scratch.dir("compact_spec")
+    val path = s"$dir/table"
+    val df = (1 to 10000).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+    df.repartition(64).write.mode("overwrite").parquet(path)
+    // ~10k tiny rows over 64 files; target sized so the rewrite wants
+    // a handful of files
+    val r = graft.core.Scale.compactFiles(spark, path, targetBytes = 256L * 1024)
+    assert(r.compacted && r.filesBefore == 64, s"$r")
+    assert(r.filesAfter < 8, s"files after: ${r.filesAfter}")
+    val back = spark.read.parquet(path).select(col("id")).as[Long].collect().sorted.toSeq
+    assert(back == (1L to 10000L).toSeq, "rows changed")
+    // second run is a no-op (already within tolerance of the target)
+    val r2 = graft.core.Scale.compactFiles(spark, path, targetBytes = 256L * 1024)
+    assert(!r2.compacted && r2.filesAfter == r.filesAfter, s"$r2")
+  }
 }
