@@ -769,6 +769,36 @@ object BaseQueries {
           col("n_events")
         )
     },
+    "events_hopwin" -> { (s, dir) =>
+      // HOPPING (sliding) window aggregation — 1 h windows every 30 min:
+      // the overlapping-window analytics shape (Spark's
+      // window(ts, "1 hour", "30 minutes")), realized through the
+      // scale-safe integral form: each event explodes into EXACTLY
+      // L/S = 2 window starts (integer div arithmetic — ts values
+      // exceed 2^53, double division misbuckets), then ONE
+      // (win, type) aggregation. Work is (L/S)·rows regardless of
+      // window length — never a per-window re-scan; the same explode
+      // is the streaming form's state key. Money rides exact cents.
+      val S = 1800000000L
+      Tables
+        .events(s, dir)
+        .select(
+          expr("(ts_ns - ts_ns % 1000) div 1000").as("ts_us"),
+          col("event_type"),
+          expr("CAST(floor(value * 100 + 0.5e0) AS BIGINT)").as("cents")
+        )
+        .withColumn(
+          "win_start_us",
+          explode(
+            array(
+              expr(s"(ts_us div ${S}L) * ${S}L"),
+              expr(s"((ts_us div ${S}L) - 1) * ${S}L")
+            )
+          )
+        )
+        .groupBy(col("win_start_us"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+    },
     "events_markov" -> { (s, dir) =>
       // First-order event-transition matrix — the clickstream Markov
       // model behind next-event prediction and funnel diagnostics:
@@ -1011,6 +1041,14 @@ object BaseQueries {
         "count(*) OVER (PARTITION BY user_id) AS n_events FROM e) " +
         "SELECT user_id, k AS k_latest, ts_us, event_id AS last_event_id, " +
         "CAST(n_events AS BIGINT) AS n_events FROM r WHERE rn = 1"),
+    "events_hopwin" ->
+      ("WITH e AS (SELECT epoch_ns(ts) // 1000 AS ts_us, event_type, " +
+        "CAST(floor(value * 100 + 0.5e0) AS BIGINT) AS cents FROM events), " +
+        "x AS (SELECT event_type, cents, unnest([" +
+        "(ts_us // 1800000000) * 1800000000, ((ts_us // 1800000000) - 1) * 1800000000" +
+        "]) AS win_start_us FROM e) " +
+        "SELECT win_start_us, event_type, count(*) AS n, " +
+        "CAST(sum(cents) AS BIGINT) AS sum_cents FROM x GROUP BY 1, 2"),
     "events_markov" ->
       ("WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us, event_type FROM events), " +
         "b AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_type FROM e), " +

@@ -174,6 +174,51 @@ object TextStats {
       "max(score_micros) AS score_micros FROM ph GROUP BY phrase " +
       "ORDER BY score_micros DESC, phrase ASC LIMIT 30"
 
+  /** Inverted-index build — the search-index construction pass
+    * ([[bm25]] SCORES ad hoc; this MATERIALIZES the index a serving
+    * tier reads): per token its document frequency, collection
+    * frequency, and the posting list itself, hash-pinned as the md5 of
+    * the ascending-doc_id list (array cells can't ride the driver
+    * canon; an index-build rewrite that reorders or drops a posting
+    * breaks the hash). ONE token scan → one (tok, doc) dedup + one
+    * tok-keyed aggregation — the classic MapReduce index build, all
+    * equi-keyed. At 100 TB postings are the product: the same plan
+    * writes `bucketBy(tok)` shards with delta-encoded lists; stopword
+    * postings are the known hot keys (df ≈ corpus size) — cap df or
+    * salt the tok key (Scale.skewReport decides).
+    */
+  def invertedIndex(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(
+        col("doc_id"),
+        explode(slice(split(col("text"), " "), 1, maxTokens)).as("tok")
+      )
+      .filter(col("tok") =!= "")
+    toks
+      .groupBy(col("tok"))
+      .agg(
+        count(lit(1)).as("cf"),
+        size(collect_set(col("doc_id"))).cast("long").as("df"),
+        md5(
+          array_join(
+            transform(array_sort(collect_set(col("doc_id"))), x => x.cast("string")),
+            ","
+          )
+        ).as("postings_md5")
+      )
+      .select(col("tok"), col("df"), col("cf"), col("postings_md5"))
+  }
+
+  val invertedIndexSql: String =
+    s"WITH toks AS (SELECT doc_id, unnest(list_slice(string_split(text, ' '), 1, $maxTokens)) AS tok FROM documents), " +
+      "f AS (SELECT doc_id, tok FROM toks WHERE tok <> ''), " +
+      "d AS (SELECT DISTINCT tok, doc_id FROM f), " +
+      "p AS (SELECT tok, count(*) AS df, " +
+      "md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS postings_md5 FROM d GROUP BY tok), " +
+      "c AS (SELECT tok, count(*) AS cf FROM f GROUP BY tok) " +
+      "SELECT p.tok, CAST(p.df AS BIGINT) AS df, CAST(c.cf AS BIGINT) AS cf, p.postings_md5 " +
+      "FROM p JOIN c USING (tok)"
+
   // ---- BM25 scored retrieval (Robertson/Sparck-Jones; the corpus-
   // search primitive a curation pipeline uses for targeted sampling
   // and contamination triage) ----
@@ -1313,6 +1358,7 @@ object TextStats {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_readability" -> { (s, dir) => textReadability(Tables.documents(s, dir)) },
     "text_rake" -> { (s, dir) => textRake(Tables.documents(s, dir)) },
+    "text_inv_index" -> { (s, dir) => invertedIndex(Tables.documents(s, dir)) },
     "text_bigram_kn" -> { (s, dir) => bigramKn(Tables.documents(s, dir)) },
     "text_scripts" -> { (s, dir) => textScripts(Tables.documents(s, dir)) },
     "text_hash_embed" -> { (s, dir) => hashEmbed(Tables.documents(s, dir)) },
@@ -1386,6 +1432,7 @@ object TextStats {
   def oracleSql: Map[String, String] = Map(
     "text_readability" -> textReadabilitySql,
     "text_rake" -> textRakeSql,
+    "text_inv_index" -> invertedIndexSql,
     "text_bigram_kn" -> bigramKnSql,
     "text_scripts" -> textScriptsSql,
     "text_hash_embed" -> hashEmbedSql(),
