@@ -219,6 +219,65 @@ object BaseQueries {
       hist
     )
 
+  /** EWMA one-step-ahead forecast + residual — the forecasting twin of
+    * [[eventsAnomaly]]'s z-score screen (capacity planning reads the
+    * forecast; alerting reads the residual). α = 1/4 EXACTLY so every
+    * weight (3/4)^j is an exact double and each product cnt·(3/4)^j is
+    * exact (counts < 2^21, 3^16 < 2^26 — the products stay integral
+    * multiples of 2^-32 below 2^53), making the 16-term sum exact in
+    * ANY evaluation order; both engines still evaluate the ONE shared
+    * Horner string left-to-right (the lag-sum discipline) and the only
+    * inexact steps are the final unbias divide and round6. One bucket
+    * aggregation + one type-keyed window — the events_anomaly shape.
+    */
+  val ewmaK = 16
+
+  def eventsEwma(events: DataFrame, bucketNs: Long = 3600000000000L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("bucket"))
+    val buckets = events
+      .select(col("event_type"), expr(s"(ts_ns - ts_ns % 1000) div $bucketNs").as("bucket"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val lagged = (1 to ewmaK).foldLeft(
+      buckets.withColumn("nlag", count(col("cnt")).over(w.rowsBetween(-ewmaK, -1)))
+    ) { (df, j) => df.withColumn(s"l$j", coalesce(lag(col("cnt"), j).over(w), lit(0L))) }
+    lagged
+      .filter(col("nlag") === ewmaK)
+      .selectExpr(
+        "event_type",
+        "bucket",
+        "cnt",
+        s"${core.Dsp.round6Sql(ewmaExpr)} AS forecast",
+        s"${core.Dsp.round6Sql(s"CAST(cnt AS DOUBLE) - ($ewmaExpr)")} AS resid"
+      )
+  }
+
+  /** The shared Horner chain: 0.25·(l1 + 0.75·(l2 + … 0.75·l16)) /
+    * (1 − 0.75^16) — parses identically in Spark SQL and DuckDB.
+    */
+  private def ewmaExpr: String = {
+    val horner = (1 until ewmaK).foldRight(s"CAST(l$ewmaK AS DOUBLE)") { (j, acc) =>
+      s"CAST(l$j AS DOUBLE) + 0.75e0 * ($acc)"
+    }
+    val norm = 1.0 - math.pow(0.75, ewmaK)
+    s"(0.25e0 * ($horner)) / ${core.Dsp.lit(norm)}"
+  }
+
+  private[graft] def eventsEwmaSql: String = {
+    val lags = (1 to ewmaK)
+      .map(j => s"coalesce(lag(cnt, $j) OVER win, 0) AS l$j")
+      .mkString(", ")
+    "WITH e AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket FROM events), " +
+      "c AS (SELECT event_type, bucket, count(*) AS cnt FROM e GROUP BY 1, 2), " +
+      s"w AS (SELECT event_type, bucket, cnt, count(cnt) OVER (PARTITION BY event_type ORDER BY bucket ROWS BETWEEN $ewmaK PRECEDING AND 1 PRECEDING) AS nlag, $lags FROM c " +
+      "WINDOW win AS (PARTITION BY event_type ORDER BY bucket)) " +
+      s"SELECT event_type, bucket, cnt, ${core.Dsp.round6Sql(ewmaExpr)} AS forecast, " +
+      s"${core.Dsp.round6Sql(s"CAST(cnt AS DOUBLE) - ($ewmaExpr)")} AS resid " +
+      s"FROM w WHERE nlag = $ewmaK"
+  }
+
   /** The scoring half over any (event_type, bucket, cnt) frame —
     * shared by the batch gate and the streaming bucket-store finisher
     * (the hllRegStream pattern: the stream maintains CLOSED bucket
@@ -251,6 +310,7 @@ object BaseQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_anomaly" -> { (s, dir) => eventsAnomaly(Tables.events(s, dir)) },
+    "events_ewma" -> { (s, dir) => eventsEwma(Tables.events(s, dir)) },
     "q1_agg" -> { (s, dir) =>
       Tables
         .lineitem(s, dir)
@@ -769,6 +829,39 @@ object BaseQueries {
           col("n_events")
         )
     },
+    "q18_closure" -> { (s, dir) =>
+      // Hierarchy traversal (org chart / BOM / category tree): each
+      // node's ROOT and DEPTH in a synthetic 10-ary part tree
+      // (parent = partkey div 10; keys < 10 are roots). POINTER
+      // DOUBLING, not parent-at-a-time walking: each round jumps every
+      // node to its ancestor's ancestor and ADDS the jumped distance,
+      // so 5 fixed rounds close any depth ≤ 2^5 (depth grows with
+      // log₁₀ of the corpus — at 10¹² parts that's 12 levels, still 4
+      // rounds; a per-level loop would pay depth× full-table joins).
+      // Each round is ONE id-keyed equi-join of the frame with itself;
+      // the frame is eagerly checkpointed per round (it feeds both
+      // join sides — the components() 2^k fan-out lesson). Roots are
+      // self-fixpoints (anc = id, d = 0), so converged rows pass
+      // through later rounds unchanged. Exact integers end to end.
+      var cur = Tables
+        .part(s, dir)
+        .select(
+          col("p_partkey").as("id"),
+          expr("CASE WHEN p_partkey div 10 = 0 THEN p_partkey ELSE p_partkey div 10 END").as("anc"),
+          expr("CASE WHEN p_partkey div 10 = 0 THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END").as("d")
+        )
+        .localCheckpoint()
+      for (_ <- 1 to 5) {
+        cur = cur
+          .join(
+            cur.select(col("id").as("jid"), col("anc").as("janc"), col("d").as("jd")),
+            col("anc") === col("jid")
+          )
+          .select(col("id"), col("janc").as("anc"), (col("d") + col("jd")).as("d"))
+          .localCheckpoint()
+      }
+      cur.select(col("id").as("p_partkey"), col("anc").as("root"), col("d").as("depth"))
+    },
     "events_hopwin" -> { (s, dir) =>
       // HOPPING (sliding) window aggregation — 1 h windows every 30 min:
       // the overlapping-window analytics shape (Spark's
@@ -871,6 +964,7 @@ object BaseQueries {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "events_ewma" -> eventsEwmaSql,
     "events_anomaly" ->
       ("WITH e AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket FROM events), " +
         "c0 AS (SELECT event_type, bucket, count(*) AS cnt0 FROM e GROUP BY 1, 2), " +
@@ -1041,6 +1135,16 @@ object BaseQueries {
         "count(*) OVER (PARTITION BY user_id) AS n_events FROM e) " +
         "SELECT user_id, k AS k_latest, ts_us, event_id AS last_event_id, " +
         "CAST(n_events AS BIGINT) AS n_events FROM r WHERE rn = 1"),
+    "q18_closure" ->
+      ("WITH RECURSIVE p AS MATERIALIZED (SELECT p_partkey AS id, p_partkey // 10 AS par FROM part), " +
+        "walk AS (SELECT id AS wid, (CASE WHEN par = 0 THEN id ELSE par END) AS wcur, " +
+        "(CASE WHEN par = 0 THEN 0 ELSE 1 END) AS wd FROM p " +
+        "UNION ALL SELECT w.wid AS wid, " +
+        "(CASE WHEN q.par = 0 THEN q.id ELSE q.par END) AS wcur, w.wd + 1 AS wd " +
+        "FROM walk w JOIN p q ON q.id = w.wcur WHERE q.par <> 0) " +
+        "SELECT wid AS p_partkey, CAST(wcur AS BIGINT) AS root, CAST(wd AS BIGINT) AS depth " +
+        "FROM (SELECT wid, wcur, wd, row_number() OVER (PARTITION BY wid ORDER BY wd DESC) AS rn FROM walk) " +
+        "WHERE rn = 1"),
     "events_hopwin" ->
       ("WITH e AS (SELECT epoch_ns(ts) // 1000 AS ts_us, event_type, " +
         "CAST(floor(value * 100 + 0.5e0) AS BIGINT) AS cents FROM events), " +
