@@ -480,6 +480,73 @@ object Similarity {
       .select(col("vec_id"), col("cid"), col("dropped").isNull.as("kept"))
   }
 
+  /** k-NN GRAPH materialization — every vector's k nearest neighbors
+    * as an edge table: the input to graph-based ANN serving, SemDeDup
+    * variants, label propagation over embeddings, and outlier
+    * screens. Candidates are cell-scoped exactly like [[semDedup]]
+    * (Σ|cell|² bounded, never n²); ranking partitions by the REAL
+    * per-vector key over the NARROW (vid_a, vid_b, cos) frame — the
+    * scalar cosine is computed before the window, so no wide payload
+    * rides the sort (the r10 ivfResiduals lesson). At scale the
+    * within-cell graph misses boundary-crossing true neighbors;
+    * production probes the nProbe nearest cells per vector (the
+    * sim_ivf multi-probe machinery) — same plan, more candidate rows.
+    */
+  def knnGraph(emb: DataFrame, nList: Int = 16, k: Int = 3): DataFrame = {
+    val vs = vecsN(emb)
+    val cents = vs
+      .filter(col("vec_id") < nList)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val av = vs
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .join(broadcast(cents))
+      .select(
+        col("vec_id"),
+        struct(
+          graft.functions.exprs.sq_dist(col("v"), col("cv")).as("d2"),
+          col("cid")
+        ).as("key"),
+        struct(col("cid"), col("v"), col("nrm")).as("pay")
+      )
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("pay"), col("key")).as("pay"))
+      .select(
+        col("vec_id"),
+        col("pay.cid").as("cid"),
+        col("pay.v").as("v"),
+        col("pay.nrm").as("nrm")
+      )
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vid_a"))
+      .orderBy(col("cos").desc, col("vid_b").asc)
+    av.select(col("cid"), col("vec_id").as("vid_a"), col("v").as("va"), col("nrm").as("na"))
+      .join(
+        av.select(col("cid"), col("vec_id").as("vid_b"), col("v").as("vb"), col("nrm").as("nb")),
+        Seq("cid")
+      )
+      .filter(col("vid_a") =!= col("vid_b"))
+      .select(col("vid_a"), col("vid_b"), round(cosExpr, 6).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  def knnGraphSql(nList: Int = 16, k: Int = 3): String = {
+    val d2 = "list_sum(list_transform(generate_series(1, 64), i -> " +
+      "(list_extract(a.v, i) - list_extract(c.cv, i)) * (list_extract(a.v, i) - list_extract(c.cv, i))))"
+    "WITH vs AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      s"cents AS (SELECT vec_id AS cid, v AS cv FROM vs WHERE vec_id < $nList), " +
+      s"dists AS (SELECT a.vec_id AS pid, c.cid AS cid, $d2 AS d2 FROM vs a CROSS JOIN cents c), " +
+      "rankedc AS (SELECT pid, cid, row_number() OVER (PARTITION BY pid ORDER BY d2 ASC, cid ASC) AS cr FROM dists), " +
+      "assign AS MATERIALIZED (SELECT pid AS vid, cid FROM rankedc WHERE cr = 1), " +
+      "pairs AS (SELECT x.vid AS vid_a, y.vid AS vid_b, xa.v AS va, yb.v AS vb FROM assign x " +
+      "JOIN assign y ON y.cid = x.cid AND x.vid <> y.vid " +
+      "JOIN vs xa ON xa.vec_id = x.vid JOIN vs yb ON yb.vec_id = y.vid), " +
+      s"scored AS (SELECT vid_a, vid_b, round($cosSqlExpr, 6) AS cos FROM pairs), " +
+      "r AS (SELECT vid_a, vid_b, cos, row_number() OVER (PARTITION BY vid_a ORDER BY cos DESC, vid_b ASC) AS rank FROM scored) " +
+      s"SELECT vid_a, vid_b, cos, rank FROM r WHERE rank <= $k"
+  }
+
   def semDedupSql(nList: Int = 16, tau: Double = 0.4): String = {
     val d2 = "list_sum(list_transform(generate_series(1, 64), i -> " +
       "(list_extract(a.v, i) - list_extract(c.cv, i)) * (list_extract(a.v, i) - list_extract(c.cv, i))))"
@@ -1954,7 +2021,8 @@ object Similarity {
     // embedDupesSql is parameterized, so either config stays
     // SQL-replayable.
     "dedup_embed" -> { (s, dir) => embedDupes(Tables.embeddings(s, dir), 0.4, planes, 2) },
-    "dedup_semdedup" -> { (s, dir) => semDedup(Tables.embeddings(s, dir)) }
+    "dedup_semdedup" -> { (s, dir) => semDedup(Tables.embeddings(s, dir)) },
+    "sim_knn_graph" -> { (s, dir) => knnGraph(Tables.embeddings(s, dir)) }
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1977,6 +2045,7 @@ object Similarity {
     "sim_ivfpq_topk" -> ivfPqTopkSql(),
     "sim_ivfpq_trained" -> ivfPqTrainedSql(),
     "dedup_embed" -> embedDupesSql(0.4, planes, 2),
-    "dedup_semdedup" -> semDedupSql()
+    "dedup_semdedup" -> semDedupSql(),
+    "sim_knn_graph" -> knnGraphSql()
   )
 }
