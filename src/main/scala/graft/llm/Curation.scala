@@ -554,6 +554,53 @@ object Curation {
       s"SELECT doc_id, source, CAST(w AS BIGINT) AS w, key_micros, rk FROM r WHERE rk <= $k"
   }
 
+  /** License / usage-restriction screen — the Code-LLM curation stage
+    * (The Stack's license filtering, opt-out compliance): detect
+    * license markers row-locally and classify each doc `restrictive`
+    * (GPL / all-rights-reserved), `permissive` (MIT / Apache / BSD /
+    * CC), or `none` — restrictive wins on mixed signals (the
+    * conservative compliance rule). The synthetic corpus carries no
+    * licenses, so the gate PLANTS deterministic markers in-query (the
+    * piiPlant convention; %11 ∧ %13 docs exercise the mixed arm).
+    * Pure row-local regexp counts off one scan; the marker patterns
+    * parse identically in Java regex and RE2.
+    */
+  private val licPlant: String =
+    "concat(text, " +
+      "CASE WHEN doc_id % 11 = 0 THEN ' this work is licensed under the mit license' ELSE '' END, " +
+      "CASE WHEN doc_id % 13 = 0 THEN ' copyright 2024 all rights reserved' ELSE '' END, " +
+      "CASE WHEN doc_id % 17 = 0 THEN ' distributed under the gnu general public license v3' ELSE '' END)"
+
+  private val licRestrictiveRe = "all rights reserved|gnu general public license|gpl v[0-9]"
+  private val licPermissiveRe = "mit license|apache license|bsd license|creative commons|cc-by"
+
+  def licenseScreen(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), expr(licPlant).as("text"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(licPermissiveRe), lit(0)))
+          .cast("long")
+          .as("n_permissive"),
+        size(regexp_extract_all(col("text"), lit(licRestrictiveRe), lit(0)))
+          .cast("long")
+          .as("n_restrictive")
+      )
+      .withColumn(
+        "license_class",
+        when(col("n_restrictive") > 0, lit("restrictive"))
+          .when(col("n_permissive") > 0, lit("permissive"))
+          .otherwise(lit("none"))
+      )
+
+  val licenseScreenSql: String =
+    s"WITH aug AS (SELECT doc_id, $licPlant AS text FROM documents), " +
+      s"c AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '$licPermissiveRe')) AS BIGINT) AS n_permissive, " +
+      s"CAST(len(regexp_extract_all(text, '$licRestrictiveRe')) AS BIGINT) AS n_restrictive FROM aug) " +
+      "SELECT doc_id, n_permissive, n_restrictive, " +
+      "CASE WHEN n_restrictive > 0 THEN 'restrictive' WHEN n_permissive > 0 THEN 'permissive' ELSE 'none' END AS license_class " +
+      "FROM c"
+
   /** C4-style line-level cleaning (Raffel et al. 2020 §2.2) as one
     * row-local projection: keep only lines that end in terminal
     * punctuation, have ≥ 3 words, and don't mention javascript; flag
@@ -713,6 +760,7 @@ object Curation {
     "corpus_diff" -> { (s, dir) => corpusDiffGate(Tables.documents(s, dir)) },
     "curate_llm" -> { (s, dir) => curateLlm(Tables.documents(s, dir)) },
     "text_c4_clean" -> { (s, dir) => c4Clean(Tables.documents(s, dir)) },
+    "curate_license" -> { (s, dir) => licenseScreen(Tables.documents(s, dir)) },
     "corpus_shard" -> { (s, dir) => corpusShard(Tables.documents(s, dir)) },
     "sample_mix" -> { (s, dir) => sampleMix(Tables.documents(s, dir)) },
     "sample_budget" -> { (s, dir) => sampleBudget(Tables.documents(s, dir)) },
@@ -780,6 +828,7 @@ object Curation {
     "corpus_diff" -> corpusDiffSql,
     "curate_llm" -> curateLlmSql(),
     "text_c4_clean" -> c4CleanSql,
+    "curate_license" -> licenseScreenSql,
     "corpus_shard" -> corpusShardSql,
     "sample_mix" -> sampleMixSql(),
     "sample_budget" -> sampleBudgetSql(),
