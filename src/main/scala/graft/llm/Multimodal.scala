@@ -597,6 +597,85 @@ object Multimodal {
       .toDF("media_id", "payload")
   }
 
+  /** WAV corpus with PLANTED silence for the VAD gate: every third
+    * 32-sample frame (frame % 3 == 0) is exact digital silence, the
+    * rest carry the deterministic pseudo-noise ((id·131 + t·17) mod
+    * 2003) − 1001; clip length (id % 7 + 4) frames so segment counts
+    * vary per media. Packed through the REAL RIFF/WAVE encoder — the
+    * oracle replays the generator, so a codec round-trip regression
+    * breaks the hash (mm_wav_features precedent).
+    */
+  def vadMediaFromIds(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (id % 7 + 4).toInt * 32
+        val samples = Array.tabulate(n) { t =>
+          if ((t / 32) % 3 == 0) 0.toShort
+          else (((id * 131 + t.toLong * 17) % 2003) - 1001).toShort
+        }
+        (id, encodeWav(samples))
+      })
+      .toDF("media_id", "payload")
+  }
+
+  /** Energy-based voice-activity detection — the audio-curation
+    * screen that drops silent stretches before transcription or
+    * feature extraction: per 32-sample frame the EXACT integer energy
+    * Σv², a frame is active iff energy > 0 (the plant is exact
+    * digital silence — a real deployment thresholds against a noise
+    * floor, same integer compare), and active runs collapse to
+    * segments via one lag window (gaps-and-islands). Per media:
+    * frame/active/segment counts + total energy, all BIGINT. Decode
+    * is the row-local codec kernel; the frame aggregation and segment
+    * window share the media_id partitioning.
+    */
+  def audioVad(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val frames = media
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, wav) => (id, decodeWav(wav).map(_.toInt)) })
+      .toDF("media_id", "s")
+      .select(col("media_id"), posexplode(col("s")).as(Seq("t", "v")))
+      .groupBy(col("media_id"), expr("t div 32").as("f"))
+      .agg(sum(col("v").cast("long") * col("v").cast("long")).as("e"))
+      .withColumn("act", col("e") > 0L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id"))
+      .orderBy(col("f"))
+    frames
+      .withColumn(
+        "ns",
+        when(col("act") && !coalesce(lag(col("act"), 1).over(w), lit(false)), 1L).otherwise(0L)
+      )
+      .groupBy(col("media_id"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(when(col("act"), 1L).otherwise(0L)).as("n_active"),
+        sum(col("ns")).as("n_segments"),
+        sum(col("e")).as("tot_energy")
+      )
+  }
+
+  val audioVadSql: String =
+    "WITH d AS (SELECT doc_id, (doc_id % 7 + 4) * 32 AS n FROM documents), " +
+      "s AS (SELECT doc_id, g.t AS t, CASE WHEN (g.t // 32) % 3 = 0 THEN 0 " +
+      "ELSE (doc_id * 131 + g.t * 17) % 2003 - 1001 END AS v " +
+      "FROM d, generate_series(0, 319) g(t) WHERE g.t < n), " +
+      "fr AS (SELECT doc_id, t // 32 AS f, sum(CAST(v AS BIGINT) * CAST(v AS BIGINT)) AS e FROM s GROUP BY 1, 2), " +
+      "a AS (SELECT doc_id, f, e, (e > 0) AS act FROM fr), " +
+      "seg AS (SELECT *, CASE WHEN act AND NOT coalesce(lag(act) OVER (PARTITION BY doc_id ORDER BY f), false) " +
+      "THEN 1 ELSE 0 END AS ns FROM a) " +
+      "SELECT doc_id AS media_id, count(*) AS n_frames, " +
+      "CAST(sum(CASE WHEN act THEN 1 ELSE 0 END) AS BIGINT) AS n_active, " +
+      "CAST(sum(ns) AS BIGINT) AS n_segments, CAST(sum(e) AS BIGINT) AS tot_energy " +
+      "FROM seg GROUP BY doc_id"
+
   private val fpFrames = 33
   private val fpFrameLen = 8
 
@@ -726,6 +805,7 @@ object Multimodal {
     },
     "mm_png_features" -> { (s, dir) => pngFeatures(pngMedia(s, dir)) },
     "mm_wav_features" -> { (s, dir) => wavFeatures(wavMedia(s, dir)) },
+    "mm_audio_vad" -> { (s, dir) => audioVad(vadMediaFromIds(Tables.documents(s, dir))) },
     "mm_wav_spec" -> { (s, dir) => wavSpectral(wavMedia(s, dir)) },
     "mm_frames" -> { (s, dir) => frameSample(syntheticMedia(s, dir), everyK = 2) },
     "mm_video_frames" -> { (s, dir) => videoFrames(videoMedia(s, dir)) },
@@ -767,6 +847,7 @@ object Multimodal {
         Dsp.round6Sql("CAST(sum(CAST(v AS BIGINT)) AS DOUBLE) / count(*)") + " AS mean_pcm, " +
         "CAST(max(abs(v)) AS BIGINT) AS max_abs FROM s GROUP BY doc_id"),
     "mm_wav_spec" -> wavSpectralSql,
+    "mm_audio_vad" -> audioVadSql,
     // every 2nd 64-hex-char (32-byte) frame of the payload (= utf-8
     // text); hex, not base64 — Spark's base64 may MIME-chunk. Constant
     // series bound: docs ≤ 2000 chars → hex ≤ 4000 chars
