@@ -658,6 +658,54 @@ object Api {
     */
   def keepBest(docs: DataFrame): DataFrame = llm.Dedup.keepBest(docs)
 
+  /** SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup —
+    * per vector (cid, kept); see [[llm.Similarity.semDedup]].
+    */
+  def semDedup(emb: DataFrame, tau: Double = 0.4): DataFrame =
+    llm.Similarity.semDedup(emb, tau = tau)
+
+  /** k-NN edge table over cell-scoped candidates. */
+  def knnGraph(emb: DataFrame, k: Int = 3): DataFrame =
+    llm.Similarity.knnGraph(emb, k = k)
+
+  /** Exact-k per-stratum weighted sample without replacement
+    * (Efraimidis–Spirakis A-ES over md5 uniforms — deterministic).
+    */
+  def sampleWeighted(docs: DataFrame, k: Int = 25): DataFrame =
+    llm.Curation.sampleWeighted(docs, k)
+
+  /** Duplication-aware sampling weights (10⁶ div |near-dup cluster|
+    * micros per doc) — the soft alternative to hard dropping.
+    */
+  def softDedupWeights(docs: DataFrame): DataFrame =
+    llm.Dedup.softDedupWeights(docs)
+
+  /** License/usage-restriction compliance screen. */
+  def licenseScreen(docs: DataFrame): DataFrame = llm.Curation.licenseScreen(docs)
+
+  /** Inverted-index build: per token df/cf + postings-list hash. */
+  def invertedIndex(docs: DataFrame): DataFrame = llm.TextStats.invertedIndex(docs)
+
+  /** RAKE keyword extraction (corpus top-k phrases). */
+  def rakeKeywords(docs: DataFrame, topK: Int = 30): DataFrame =
+    llm.TextStats.textRake(docs, topK)
+
+  /** Host-graph PageRank in exact integer micros. */
+  def hostPagerank(docs: DataFrame, iters: Int = 8): DataFrame =
+    llm.Urls.hostPagerank(docs, iters)
+
+  /** Energy-based voice-activity detection over WAV payloads. */
+  def audioVad(media: DataFrame): DataFrame = llm.Multimodal.audioVad(media)
+
+  /** Join-key skew diagnostic (decides plain vs AQE vs salted). */
+  def skewReport(df: DataFrame, key: org.apache.spark.sql.Column): core.Scale.SkewReport =
+    core.Scale.skewReport(df, key)
+
+  /** Small-file compaction with a crash-safe swap. */
+  def compactFiles(spark: SparkSession, path: String, targetBytes: Long = 128L * 1024 * 1024)
+      : core.Scale.CompactReport =
+    core.Scale.compactFiles(spark, path, targetBytes)
+
   /** Deterministic md5-keyed shuffle into training shards:
     * (doc_id, shard, pos) — the same permutation on every run/engine.
     */
