@@ -144,5 +144,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
     ext.injectCheckRule(GlobalWindowCheck)
+    // materialized-rollup matching (spark.graft.rollupRewrite=true +
+    // MaterializedRollups.register) — rewrite matching aggregates to
+    // scan the maintained KB-sized store instead of the base table
+    ext.injectOptimizerRule(graft.plans.RollupRewrite)
   }
 }
