@@ -531,10 +531,13 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  def knnGraphSql(nList: Int = 16, k: Int = 3): String = {
+  /** CTE list ending at `r(vid_a, vid_b, cos, rank)` — shared by the
+    * k-NN gate and the label-propagation chain built on it.
+    */
+  private def knnCtes(nList: Int): String = {
     val d2 = "list_sum(list_transform(generate_series(1, 64), i -> " +
       "(list_extract(a.v, i) - list_extract(c.cv, i)) * (list_extract(a.v, i) - list_extract(c.cv, i))))"
-    "WITH vs AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+    "vs AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
       s"cents AS (SELECT vec_id AS cid, v AS cv FROM vs WHERE vec_id < $nList), " +
       s"dists AS (SELECT a.vec_id AS pid, c.cid AS cid, $d2 AS d2 FROM vs a CROSS JOIN cents c), " +
       "rankedc AS (SELECT pid, cid, row_number() OVER (PARTITION BY pid ORDER BY d2 ASC, cid ASC) AS cr FROM dists), " +
@@ -543,8 +546,73 @@ object Similarity {
       "JOIN assign y ON y.cid = x.cid AND x.vid <> y.vid " +
       "JOIN vs xa ON xa.vec_id = x.vid JOIN vs yb ON yb.vec_id = y.vid), " +
       s"scored AS (SELECT vid_a, vid_b, round($cosSqlExpr, 6) AS cos FROM pairs), " +
-      "r AS (SELECT vid_a, vid_b, cos, row_number() OVER (PARTITION BY vid_a ORDER BY cos DESC, vid_b ASC) AS rank FROM scored) " +
-      s"SELECT vid_a, vid_b, cos, rank FROM r WHERE rank <= $k"
+      "r AS (SELECT vid_a, vid_b, cos, row_number() OVER (PARTITION BY vid_a ORDER BY cos DESC, vid_b ASC) AS rank FROM scored)"
+  }
+
+  def knnGraphSql(nList: Int = 16, k: Int = 3): String =
+    s"WITH ${knnCtes(nList)} SELECT vid_a, vid_b, cos, rank FROM r WHERE rank <= $k"
+
+  /** Label-propagation communities (Raghavan et al. 2007) over the
+    * [[knnGraph]] edge table — the clustering that needs NO centroid
+    * count: each synchronous round every vector adopts the most common
+    * label among its k-NN neighbors (tie → smallest label; isolated
+    * vectors keep their own), 5 fixed rounds. Per round: ONE
+    * edge⋈label equi-join + one (node, label) count aggregation + one
+    * node-keyed argmax window — all hash-partitioned on real keys; the
+    * label frame is checkpointed per round (it feeds the join and the
+    * fallback — the components() fan-out lesson). Deterministic by
+    * construction (synchronous updates, total tie order), so the
+    * oracle replays all rounds as chained CTEs.
+    */
+  def lpCommunities(emb: DataFrame, nList: Int = 16, k: Int = 3, rounds: Int = 5): DataFrame = {
+    val edges = knnGraph(emb, nList, k)
+      .select(col("vid_a").as("src"), col("vid_b").as("dst"))
+    val und = edges
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    val nodes = vecsD(emb).select(col("vec_id").as("id")).localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("lab")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val counts = und
+        .join(labels.select(col("id").as("dst"), col("lab")), Seq("dst"))
+        .groupBy(col("src"), col("lab"))
+        .agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src"))
+        .orderBy(col("c").desc, col("lab").asc)
+      val picked = counts
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src").as("id"), col("lab").as("newlab"))
+      labels = labels
+        .join(picked, Seq("id"), "left")
+        .select(col("id"), coalesce(col("newlab"), col("lab")).as("lab"))
+        .localCheckpoint()
+    }
+    labels.select(col("id").as("vec_id"), col("lab").as("community"))
+  }
+
+  def lpCommunitiesSql(nList: Int = 16, k: Int = 3, rounds: Int = 5): String = {
+    val prefix =
+      s"WITH ${knnCtes(nList)}, " +
+        s"kg AS MATERIALIZED (SELECT vid_a, vid_b FROM r WHERE rank <= $k), " +
+        "und AS MATERIALIZED (SELECT DISTINCT src, dst FROM " +
+        "(SELECT vid_a AS src, vid_b AS dst FROM kg UNION ALL SELECT vid_b, vid_a FROM kg)), " +
+        "nodes AS MATERIALIZED (SELECT vec_id AS id FROM vs), " +
+        "l0 AS MATERIALIZED (SELECT id, id AS lab FROM nodes)"
+    val iters = (1 to rounds)
+      .map { r =>
+        val p = s"l${r - 1}"
+        s"c$r AS (SELECT u.src AS src, l.lab AS lab, count(*) AS c FROM und u " +
+          s"JOIN $p l ON l.id = u.dst GROUP BY 1, 2), " +
+          s"p$r AS (SELECT src AS id, lab AS newlab FROM " +
+          s"(SELECT src, lab, row_number() OVER (PARTITION BY src ORDER BY c DESC, lab ASC) AS rn FROM c$r) WHERE rn = 1), " +
+          s"l$r AS MATERIALIZED (SELECT l.id AS id, coalesce(p.newlab, l.lab) AS lab " +
+          s"FROM $p l LEFT JOIN p$r p ON p.id = l.id)"
+      }
+      .mkString(", ", ", ", " ")
+    prefix + iters + s"SELECT id AS vec_id, lab AS community FROM l$rounds"
   }
 
   def semDedupSql(nList: Int = 16, tau: Double = 0.4): String = {
@@ -2022,7 +2090,8 @@ object Similarity {
     // SQL-replayable.
     "dedup_embed" -> { (s, dir) => embedDupes(Tables.embeddings(s, dir), 0.4, planes, 2) },
     "dedup_semdedup" -> { (s, dir) => semDedup(Tables.embeddings(s, dir)) },
-    "sim_knn_graph" -> { (s, dir) => knnGraph(Tables.embeddings(s, dir)) }
+    "sim_knn_graph" -> { (s, dir) => knnGraph(Tables.embeddings(s, dir)) },
+    "sim_communities" -> { (s, dir) => lpCommunities(Tables.embeddings(s, dir)) }
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2046,6 +2115,7 @@ object Similarity {
     "sim_ivfpq_trained" -> ivfPqTrainedSql(),
     "dedup_embed" -> embedDupesSql(0.4, planes, 2),
     "dedup_semdedup" -> semDedupSql(),
-    "sim_knn_graph" -> knnGraphSql()
+    "sim_knn_graph" -> knnGraphSql(),
+    "sim_communities" -> lpCommunitiesSql()
   )
 }

@@ -30,7 +30,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_langid_ngram", // per-lang count + 1-row vocab-size broadcast sides
     "curate_pagerank", // power iteration's 1-row stat frames: node count + per-iteration dangling mass, crossJoin(broadcast(1-row)) by construction at any corpus size
     "dedup_semdedup", // same ≤16-row centroid-assignment broadcast as sim_ivf / dedup_semantic
-    "sim_knn_graph" // same ≤16-row centroid-assignment broadcast as dedup_semdedup
+    "sim_knn_graph", // same ≤16-row centroid-assignment broadcast as dedup_semdedup
+    "sim_communities" // label propagation over sim_knn_graph's edges — same centroid broadcast
   )
 
   // a Window.partitionBy(constant) folds to an EMPTY partition spec and
