@@ -232,6 +232,13 @@ object Prof {
       )
       t(s"docs${docsX}_pagerank", nDocs)(llm.Urls.hostPagerank(docs).count())
       t(s"docs${docsX}_dedup_weights", nDocs)(llm.Dedup.softDedupWeights(docs).count())
+      // unigram-LM EM fit: corpus-sized work is the ONE word-count agg;
+      // each round is a pass over the distinct-word frame vs the
+      // broadcast vocab (tiny here — the synthetic corpus has a small
+      // word vocabulary; cost is round scheduling)
+      t(s"docs${docsX}_unigram_fit", nDocs)(
+        llm.Unigram.fit(docs).pieces.size.toLong
+      )
       docs.unpersist()
       ()
     }
@@ -249,6 +256,25 @@ object Prof {
         )
         .withColumn("label", lit(0))
       t(s"emb${embK}k_pca", embK * 1000L)(llm.Similarity.pcaTop(spark, emb).count())
+      // r12: cell-scoped families at the decade. Candidate volume is
+      // Σ|cell|², so nList MUST widen with n (the gate pins the
+      // oracle-replayable 16; 16 cells at 100k vectors on this smooth
+      // sin-curve corpus skewed one cell huge and the knn rank window
+      // shuffled 21 GiB — measured r12, fixed by the map-side top-k
+      // prune + this 128-cell scale config). The semdedup count
+      // filters on the verdict column — a bare count() lets Catalyst
+      // ELIMINATE the cardinality-preserving left join and skip the
+      // pair scoring entirely (measured: 1.5 s "decade" that computed
+      // nothing).
+      t(s"emb${embK}k_semdedup", embK * 1000L)(
+        llm.Similarity.semDedup(emb, nList = 128).filter(!col("kept")).count()
+      )
+      t(s"emb${embK}k_knn_graph", embK * 1000L)(
+        llm.Similarity.knnGraph(emb, nList = 128).count()
+      )
+      t(s"emb${embK}k_communities", embK * 1000L)(
+        llm.Similarity.lpCommunities(emb, nList = 128).count()
+      )
       // deflation reuses the ONE collected covariance; extra components
       // cost only driver iterate time — wall should track pcaTop
       t(s"emb${embK}k_pca_k", embK * 1000L)(llm.Similarity.pcaTopK(spark, emb).count())
@@ -292,6 +318,11 @@ object Prof {
         served = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
         rows.length.toLong
       }
+      // PROF_ONLY guard: when the trained phases were filtered out,
+      // cents is null / served empty — skip the recall + IO sections
+      // instead of reporting a bogus 0.000 (measured r12: a filtered
+      // run crashed on the unguarded ivfAssign)
+      if (cents != null && served.nonEmpty) {
       val truth = llm.Similarity
         .topk(clustered)
         .select(col("qid"), col("vid"))
@@ -327,6 +358,7 @@ object Prof {
       println(
         f"PROF emb${embK}k_store_bytes raw=${rawB / 1024}%d KiB codes=${codeB / 1024}%d KiB ratio=${rawB.toDouble / codeB}%.1fx"
       )
+      }
       clustered.unpersist()
       ()
     }

@@ -831,6 +831,22 @@ object BaseQueries {
           col("n_events")
         )
     },
+    "q19_setops" -> { (s, dir) =>
+      // Set-operation anchors — INTERSECT / EXCEPT as deduplicating
+      // set semantics (both plan as aggregations + joins, not row
+      // concatenation): customers who bought in BOTH halves of the
+      // order stream (intersect), only in the first (except), and the
+      // distinct-union total. Each leg is an equi-keyed aggregate —
+      // at scale the three legs share the custkey hash partitioning.
+      val o = Tables.orders(s, dir).select(col("o_custkey"), col("o_orderkey"))
+      val a = o.filter(col("o_orderkey") % 2 === 0).select(col("o_custkey"))
+      val b = o.filter(col("o_orderkey") % 2 =!= 0).select(col("o_custkey"))
+      def cnt(df: DataFrame, tag: String) =
+        df.agg(count(lit(1)).as("n")).select(lit(tag).as("op"), col("n"))
+      cnt(a.intersect(b), "intersect")
+        .unionByName(cnt(a.except(b), "except_even"))
+        .unionByName(cnt(a.union(b).distinct(), "union_distinct"))
+    },
     "q18_closure" -> { (s, dir) =>
       // Hierarchy traversal (org chart / BOM / category tree): each
       // node's ROOT and DEPTH in a synthetic 10-ary part tree
@@ -1137,6 +1153,13 @@ object BaseQueries {
         "count(*) OVER (PARTITION BY user_id) AS n_events FROM e) " +
         "SELECT user_id, k AS k_latest, ts_us, event_id AS last_event_id, " +
         "CAST(n_events AS BIGINT) AS n_events FROM r WHERE rn = 1"),
+    "q19_setops" ->
+      ("WITH o AS (SELECT o_custkey, o_orderkey FROM orders), " +
+        "a AS (SELECT o_custkey FROM o WHERE o_orderkey % 2 = 0), " +
+        "b AS (SELECT o_custkey FROM o WHERE o_orderkey % 2 <> 0) " +
+        "SELECT 'intersect' AS op, count(*) AS n FROM (SELECT * FROM a INTERSECT SELECT * FROM b) " +
+        "UNION ALL SELECT 'except_even', count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b) " +
+        "UNION ALL SELECT 'union_distinct', count(*) FROM (SELECT * FROM a UNION SELECT * FROM b)"),
     "q18_closure" ->
       ("WITH RECURSIVE p AS MATERIALIZED (SELECT p_partkey AS id, p_partkey // 10 AS par FROM part), " +
         "walk AS (SELECT id AS wid, (CASE WHEN par = 0 THEN id ELSE par END) AS wcur, " +

@@ -520,13 +520,39 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vid_a"))
       .orderBy(col("cos").desc, col("vid_b").asc)
-    av.select(col("cid"), col("vec_id").as("vid_a"), col("v").as("va"), col("nrm").as("na"))
+    val scoredPairs = av
+      .select(col("cid"), col("vec_id").as("vid_a"), col("v").as("va"), col("nrm").as("na"))
       .join(
         av.select(col("cid"), col("vec_id").as("vid_b"), col("v").as("vb"), col("nrm").as("nb")),
         Seq("cid")
       )
       .filter(col("vid_a") =!= col("vid_b"))
       .select(col("vid_a"), col("vid_b"), round(cosExpr, 6).as("cos"))
+    // MAP-SIDE partial top-k before the rank window: the candidate
+    // volume is Σ|cell|² and shuffling it into the window spilled
+    // 21 GiB at the 100k decade — a bounded per-(task, vid_a) heap
+    // prunes that shuffle to ≤ tasks·k rows per vector, and the exact
+    // window then re-ranks the union (global top-k == top-k of the
+    // per-task top-ks; the heap orders by the FULL (cos desc, vid_b)
+    // key, so no boundary tie can drop a row the window would keep)
+    val spark2 = emb.sparkSession
+    import spark2.implicits._
+    val pruned = scoredPairs
+      .as[(Long, Long, Double)]
+      .mapPartitions { it =>
+        val heaps =
+          scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.PriorityQueue[(Double, Long)]]
+        // min-heap under the keep-order: worst kept element on top
+        val ord = Ordering.by[(Double, Long), (Double, Long)] { case (c, b) => (-c, b) }
+        it.foreach { case (a, b, c) =>
+          val h = heaps.getOrElseUpdate(a, scala.collection.mutable.PriorityQueue.empty(ord))
+          h.enqueue((c, b))
+          if (h.size > k) { h.dequeue(); () }
+        }
+        heaps.iterator.flatMap { case (a, h) => h.iterator.map { case (c, b) => (a, b, c) } }
+      }
+      .toDF("vid_a", "vid_b", "cos")
+    pruned
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
