@@ -287,11 +287,132 @@ object Unigram {
     df.select(col("word"), col("freq"), expr(finalPick).as("best_micros"))
   }
 
+  // ---- WordPiece greedy segmentation (Wu et al. 2016, the BERT
+  // tokenizer's encode rule) over the SAME fitted vocab: longest-
+  // match-first from the left, versus unigram's global-likelihood
+  // Viterbi — the trio (BPE merge-replay, unigram Viterbi, WordPiece
+  // greedy) covers every production subword encode family. Greedy is
+  // sequential in the word, but a word advances ≥1 char per step, so
+  // 12 chained steps close any ≤12-char word — each step ONE shared
+  // expression string choosing the longest vocab piece at the cursor
+  // (a CASE over the literal vocab, longest length first), carrying
+  // (cursor, piece count, the accumulated segmentation string).
+  // Unsegmentable-at-cursor words mark n_pieces = -1 ([UNK] — cannot
+  // happen with char coverage, kept for fidelity to the rule). ----
+
+  @volatile private var wpSqlVar: Option[String] = None
+
+  /** Step expressions: pos_s, np_s, seg_s from step s−1 (identical
+    * strings on both engines; `substrFn` is substring/substr).
+    */
+  private def wpColumns(m: Model, substrFn: String): Seq[(String, String)] = {
+    (1 to 12).flatMap { s =>
+      val p = if (s == 1) "CAST(1 AS BIGINT)" else s"pos${s - 1}"
+      val np = if (s == 1) "CAST(0 AS BIGINT)" else s"np${s - 1}"
+      val sg = if (s == 1) "''" else s"seg${s - 1}"
+      // longest match at the cursor: try lengths maxPieceLen..1
+      val pick = (m.maxPieceLen to 1 by -1)
+        .map { j =>
+          s"WHEN ${lpCase(m, s"$substrFn(word, CAST($p AS INT), $j)")} IS NOT NULL " +
+            s"AND $p + $j <= length(word) + 1 THEN $j"
+        }
+        .mkString("CASE ", " ", " ELSE 0 END")
+      // done (cursor past end) or stuck (no piece): carry state
+      val guard = s"($p > length(word) OR $np < 0)"
+      Seq(
+        s"j$s" -> s"(CASE WHEN $guard THEN 0 ELSE $pick END)",
+        s"pos$s" -> s"(CASE WHEN $guard THEN $p WHEN j$s = 0 THEN $p ELSE $p + j$s END)",
+        s"np$s" -> (s"(CASE WHEN $guard THEN $np WHEN j$s = 0 THEN CAST(-1 AS BIGINT) " +
+          s"ELSE $np + 1 END)"),
+        s"seg$s" -> (s"(CASE WHEN $guard OR j$s = 0 THEN $sg " +
+          s"ELSE concat($sg, CASE WHEN $sg = '' THEN '' ELSE '|' END, " +
+          s"$substrFn(word, CAST($p AS INT), j$s)) END)")
+      )
+    }
+  }
+
+  private def wpSqlFor(m: Model): String = {
+    // one MATERIALIZED CTE per greedy step — a single SELECT with
+    // lateral aliases re-inlines each referenced alias and the 12-step
+    // chain expands exponentially in the binder (measured: check.py
+    // never returned); a CTE boundary evaluates every column once
+    val steps = wpColumns(m, "substr")
+      .grouped(4)
+      .zipWithIndex
+      .map { case (group, idx) =>
+        val s = idx + 1
+        val prev = if (s == 1) "wc" else s"dp${s - 1}"
+        val carry =
+          if (s == 1) "word, freq"
+          else s"word, freq"
+        val cols = group.map { case (n, e) => s"$e AS $n" }.mkString(", ")
+        val keep = s"pos$s, np$s, seg$s"
+        s"dp$s AS MATERIALIZED (SELECT $carry, $keep FROM (SELECT $carry, $cols FROM $prev))"
+      }
+      .mkString(", ")
+    "WITH t AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents), " +
+      "wc AS MATERIALIZED (SELECT word, count(*) AS freq FROM t WHERE word <> '' AND length(word) <= 12 GROUP BY word), " +
+      s"$steps " +
+      // UNK parity: the Scala encoder emits an EMPTY seg on a stuck
+      // word; the chain carries the partial prefix — blank it here
+      "SELECT word, CAST(freq AS BIGINT) AS freq, np12 AS n_pieces, " +
+      "md5(CASE WHEN np12 < 0 THEN '' ELSE seg12 END) AS seg_md5 FROM dp12"
+  }
+
+  /** Gate: greedy WordPiece segmentation of every corpus word under
+    * the corpus-fitted vocab — piece count AND the segmentation itself
+    * (md5 of the '|'-joined pieces) hash-checked cross-engine. The
+    * Spark side runs the REAL row-local Scala encoder ([[wordpiece]],
+    * the one the library ships) against the broadcast vocab; the
+    * oracle replays the greedy rule as a 12-step CASE chain over the
+    * literal vocab — so the gate pins ALGORITHM agreement between the
+    * production encoder and an independent SQL derivation. (A
+    * Spark-side 48-column chained-CASE plan was tried first and hit
+    * Catalyst's CollapseProject expression blowup — minutes of
+    * optimizer time at 31 rows; the imperative greedy loop is the
+    * honest row-local form.)
+    */
+  def wordpieceSeg(spark: SparkSession, dir: String): DataFrame = {
+    val m = gateModel(spark, dir)
+    wpSqlVar = Some(wpSqlFor(m))
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(m)
+    words(Tables.documents(spark, dir))
+      .as[(String, Long)]
+      .mapPartitions(_.map { case (w, f) =>
+        wordpiece(w, bc.value) match {
+          case Some(ps) => (w, f, ps.length.toLong, ps.mkString("|"))
+          case None => (w, f, -1L, "")
+        }
+      })
+      .toDF("word", "freq", "n_pieces", "seg")
+      .select(col("word"), col("freq"), col("n_pieces"), md5(col("seg")).as("seg_md5"))
+  }
+
+  /** Greedy WordPiece in Scala — the encoder the SQL gate must agree
+    * with (spec-pinned).
+    */
+  def wordpiece(word: String, m: Model): Option[Seq[String]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var pos = 0
+    while (pos < word.length) {
+      val j = (m.maxPieceLen to 1 by -1)
+        .find(l => pos + l <= word.length && m.pieces.contains(word.substring(pos, pos + l)))
+        .getOrElse(0)
+      if (j == 0) return None
+      out += word.substring(pos, pos + j)
+      pos += j
+    }
+    Some(out.toSeq)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "text_unigram_tok" -> { (s, dir) => unigramTok(s, dir) }
+    "text_unigram_tok" -> { (s, dir) => unigramTok(s, dir) },
+    "text_wordpiece_seg" -> { (s, dir) => wordpieceSeg(s, dir) }
   )
 
   def oracleSql: Map[String, String] = Map(
-    "text_unigram_tok" -> tokSqlVar.getOrElse(unfittedSql)
+    "text_unigram_tok" -> tokSqlVar.getOrElse(unfittedSql),
+    "text_wordpiece_seg" -> wpSqlVar.getOrElse(unfittedSql)
   )
 }

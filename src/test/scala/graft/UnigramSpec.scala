@@ -74,4 +74,22 @@ class UnigramSpec extends AnyFunSuite {
       assert(score > Long.MinValue / 8, s"$w unsegmentable at tiny vocab")
     }
   }
+
+  test("wordpiece greedy: longest-match-first, reassembles, None only off-vocab") {
+    val m = graft.llm.Unigram.Model(
+      Map("work" -> -1L, "wor" -> -1L, "w" -> -1L, "o" -> -1L, "r" -> -1L,
+        "k" -> -1L, "i" -> -1L, "n" -> -1L, "g" -> -1L, "ing" -> -1L),
+      maxPieceLen = 4
+    )
+    // greedy takes 'work' (len 4) over 'wor'; then 'ing' over 'i'
+    assert(graft.llm.Unigram.wordpiece("working", m).contains(Seq("work", "ing")))
+    assert(graft.llm.Unigram.wordpiece("working", m).get.mkString("") == "working")
+    // off-vocab char -> None (the [UNK] arm)
+    assert(graft.llm.Unigram.wordpiece("workz", m).isEmpty)
+    // greedy differs from optimal when a long first piece strands the
+    // tail - the documented WordPiece-vs-Viterbi contrast
+    val m2 = graft.llm.Unigram.Model(Map("ab" -> -1L, "a" -> -1L, "bc" -> -1L), 4)
+    assert(graft.llm.Unigram.wordpiece("abc", m2).isEmpty) // greedy: 'ab' then 'c' missing
+    assert(graft.llm.Unigram.viterbi("abc", m2)._2 == Seq("a", "bc")) // viterbi finds it
+  }
 }
