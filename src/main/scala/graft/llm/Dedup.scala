@@ -628,6 +628,66 @@ object Dedup {
       "SELECT size, count(*) AS n_components, " +
       "CAST((size - 1) * count(*) AS BIGINT) AS docs_dropped FROM sz GROUP BY size"
 
+  /** Dedup threshold-tuning curve — the QA table that picks the
+    * simhash hamming cutoff: for every threshold h in the EXACT regime
+    * (h ≤ 3 — the 4×16-bit banding guarantees recall there; beyond it
+    * pairs are candidates-only, deliberately out of this table),
+    * the cumulative pair count, how many docs have ANY partner at
+    * ≤ h, and how many the keep-min rule would DROP (docs with a
+    * smaller-id partner). One pairs pass (checkpointed — three
+    * aggregations read it), each a keyed aggregation + a ≤4-value
+    * threshold explode (`sequence(hamming, 3)` ascends — hamming ≤ 3
+    * by construction, never the descending-sequence trap); the h-keyed
+    * joins are 4-row broadcasts. Reading the curve: n_dropped jumping
+    * between h and h+1 means the corpus has a near-dup band there —
+    * the dedup_cluster_sizes fat-tail check's tuning companion.
+    */
+  def thresholdCurve(docs: DataFrame): DataFrame = {
+    val pairs = simhashPairs(docs).localCheckpoint()
+    def cum(df: DataFrame, minCol: String, out: String): DataFrame =
+      df.select(explode(sequence(col(minCol), lit(3L))).as("h"))
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as(out))
+    val nPairs = cum(pairs, "hamming", "n_pairs")
+    val matched = cum(
+      pairs
+        .select(col("doc_a").as("doc"), col("hamming"))
+        .unionByName(pairs.select(col("doc_b").as("doc"), col("hamming")))
+        .groupBy(col("doc"))
+        .agg(min(col("hamming")).as("mh")),
+      "mh",
+      "n_docs_matched"
+    )
+    val dropped = cum(
+      pairs.groupBy(col("doc_b")).agg(min(col("hamming")).as("mh")),
+      "mh",
+      "n_docs_dropped"
+    )
+    nPairs
+      .join(matched, Seq("h"), "left")
+      .join(dropped, Seq("h"), "left")
+      .select(
+        col("h"),
+        col("n_pairs"),
+        coalesce(col("n_docs_matched"), lit(0L)).as("n_docs_matched"),
+        coalesce(col("n_docs_dropped"), lit(0L)).as("n_docs_dropped")
+      )
+  }
+
+  val thresholdCurveSql: String =
+    s"WITH $simhashPairsCtes, " +
+      "e AS (SELECT g.h AS h FROM pairs, generate_series(0, 3) g(h) WHERE g.h >= hamming), " +
+      "np AS (SELECT h, count(*) AS n_pairs FROM e GROUP BY h), " +
+      "mh AS (SELECT doc, min(hamming) AS mh FROM " +
+      "(SELECT doc_a AS doc, hamming FROM pairs UNION ALL SELECT doc_b, hamming FROM pairs) GROUP BY doc), " +
+      "nm AS (SELECT g.h AS h, count(*) AS n_docs_matched FROM mh, generate_series(0, 3) g(h) WHERE g.h >= mh GROUP BY 1), " +
+      "md AS (SELECT doc_b AS doc, min(hamming) AS mh FROM pairs GROUP BY doc_b), " +
+      "nd AS (SELECT g.h AS h, count(*) AS n_docs_dropped FROM md, generate_series(0, 3) g(h) WHERE g.h >= mh GROUP BY 1) " +
+      "SELECT np.h AS h, CAST(n_pairs AS BIGINT) AS n_pairs, " +
+      "CAST(coalesce(nm.n_docs_matched, 0) AS BIGINT) AS n_docs_matched, " +
+      "CAST(coalesce(nd.n_docs_dropped, 0) AS BIGINT) AS n_docs_dropped " +
+      "FROM np LEFT JOIN nm ON nm.h = np.h LEFT JOIN nd ON nd.h = np.h"
+
   /** Soft deduplication — duplication-aware sampling weights instead
     * of hard drops (the SoftDeDup/D4 reweighting family: removing all
     * near-dups loses diversity inside the cluster; keeping them all
@@ -1619,6 +1679,7 @@ object Dedup {
     "corpus_dedup_report" -> { (s, dir) => dedupReport(Tables.documents(s, dir)) },
     "dedup_cluster_sizes" -> { (s, dir) => clusterSizes(Tables.documents(s, dir)) },
     "dedup_weights" -> { (s, dir) => softDedupWeights(Tables.documents(s, dir)) },
+    "dedup_threshold_curve" -> { (s, dir) => thresholdCurve(Tables.documents(s, dir)) },
     "dedup_lines" -> { (s, dir) => dedupLines(Tables.documents(s, dir)) },
     "dedup_exact" -> { (s, dir) =>
       Tables
@@ -1662,6 +1723,7 @@ object Dedup {
     "corpus_dedup_report" -> dedupReportSql,
     "dedup_cluster_sizes" -> clusterSizesSql,
     "dedup_weights" -> softDedupWeightsSql,
+    "dedup_threshold_curve" -> thresholdCurveSql,
     "dedup_lines" -> dedupLinesSql,
     "dedup_exact" ->
       "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY md5(text)",
