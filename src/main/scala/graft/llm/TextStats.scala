@@ -174,6 +174,74 @@ object TextStats {
       "max(score_micros) AS score_micros FROM ph GROUP BY phrase " +
       "ORDER BY score_micros DESC, phrase ASC LIMIT 30"
 
+  /** PMI collocations (Church & Hanks 1990) — the co-occurrence
+    * statistics pass under word2vec/GloVe-style training and phrase
+    * mining: ordered token pairs within a forward window of 2, scored
+    * by pointwise mutual information ln(p(a,b)/(p(a)p(b))) with
+    * p(a,b) = c_ab/P and p(a) = c_a/N; corpus keeps the top-k pairs
+    * with c_ab ≥ minCount. Scale shape: the windowed pair stream is an
+    * EQUI-join — each token re-keys itself to (doc, pos+d) for d ∈
+    * {1,2} and joins the token at that position (never a range/theta
+    * join); pair and unigram counts are vocab²-/vocab-sized keyed
+    * aggregations; the two 1-row totals ride broadcast stat frames
+    * (the bm25 shape); top-k is TakeOrderedAndProject. The ln is the
+    * one libm call — round6'd, and the ranking orders by the ROUNDED
+    * value with a (wa, wb) tie-break (sample_weighted precedent).
+    */
+  def textPmi(docs: DataFrame, topK: Int = 30, minCount: Int = 5): DataFrame = {
+    val toks = docs
+      .select(
+        col("doc_id"),
+        posexplode(slice(split(col("text"), " "), 1, maxTokens)).as(Seq("pos", "tok"))
+      )
+      .filter(col("tok") =!= "")
+    val shifted = toks
+      .select(col("doc_id"), col("pos"), col("tok").as("wa"))
+      .withColumn("d", explode(array(lit(1), lit(2))))
+      .select(col("doc_id"), (col("pos") + col("d")).as("pos"), col("wa"))
+    val pairCnt = shifted
+      .join(toks.select(col("doc_id"), col("pos"), col("tok").as("wb")), Seq("doc_id", "pos"))
+      .groupBy(col("wa"), col("wb"))
+      .agg(count(lit(1)).as("c_ab"))
+      .localCheckpoint()
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val nt = toks.agg(count(lit(1)).as("nt"))
+    val np = pairCnt.agg(sum(col("c_ab")).as("np"))
+    val pmiSql = graft.core.Dsp.round6Sql(
+      "ln((CAST(c_ab AS DOUBLE) * CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)) / " +
+        "(CAST(np AS DOUBLE) * CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)))"
+    )
+    pairCnt
+      .filter(col("c_ab") >= minCount)
+      .join(uni.select(col("tok").as("wa"), col("c").as("ca")), Seq("wa"))
+      .join(uni.select(col("tok").as("wb"), col("c").as("cb")), Seq("wb"))
+      .crossJoin(broadcast(nt))
+      .crossJoin(broadcast(np))
+      .select(col("wa"), col("wb"), col("c_ab"), expr(pmiSql).as("pmi"))
+      .orderBy(col("pmi").desc, col("wa").asc, col("wb").asc)
+      .limit(topK)
+  }
+
+  def textPmiSql(topK: Int = 30, minCount: Int = 5): String = {
+    val pmi = graft.core.Dsp.round6Sql(
+      "ln((CAST(c_ab AS DOUBLE) * CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)) / " +
+        "(CAST(np AS DOUBLE) * CAST(ca AS DOUBLE) * CAST(cb AS DOUBLE)))"
+    )
+    s"WITH toks AS (SELECT doc_id, list_slice(string_split(text, ' '), 1, $maxTokens) AS ts FROM documents), " +
+      "t AS (SELECT doc_id, g.i AS pos, list_extract(ts, g.i) AS tok FROM toks, " +
+      s"generate_series(1, $maxTokens) g(i) WHERE g.i <= len(ts) AND list_extract(ts, g.i) <> ''), " +
+      "pr AS MATERIALIZED (SELECT a.tok AS wa, b.tok AS wb, count(*) AS c_ab FROM t a " +
+      "JOIN t b ON b.doc_id = a.doc_id AND (b.pos = a.pos + 1 OR b.pos = a.pos + 2) GROUP BY 1, 2), " +
+      "uni AS MATERIALIZED (SELECT tok, count(*) AS c FROM t GROUP BY tok), " +
+      "nt AS (SELECT count(*) AS nt FROM t), " +
+      "np AS (SELECT CAST(sum(c_ab) AS BIGINT) AS np FROM pr) " +
+      s"SELECT wa, wb, CAST(c_ab AS BIGINT) AS c_ab, $pmi AS pmi FROM " +
+      "(SELECT pr.wa, pr.wb, pr.c_ab, ua.c AS ca, ub.c AS cb, nt.nt AS nt, np.np AS np FROM pr " +
+      "JOIN uni ua ON ua.tok = pr.wa JOIN uni ub ON ub.tok = pr.wb CROSS JOIN nt CROSS JOIN np " +
+      s"WHERE pr.c_ab >= $minCount) " +
+      s"ORDER BY pmi DESC, wa ASC, wb ASC LIMIT $topK"
+  }
+
   /** Inverted-index build — the search-index construction pass
     * ([[bm25]] SCORES ad hoc; this MATERIALIZES the index a serving
     * tier reads): per token its document frequency, collection
@@ -1359,6 +1427,7 @@ object TextStats {
     "text_readability" -> { (s, dir) => textReadability(Tables.documents(s, dir)) },
     "text_rake" -> { (s, dir) => textRake(Tables.documents(s, dir)) },
     "text_inv_index" -> { (s, dir) => invertedIndex(Tables.documents(s, dir)) },
+    "text_pmi" -> { (s, dir) => textPmi(Tables.documents(s, dir)) },
     "text_bigram_kn" -> { (s, dir) => bigramKn(Tables.documents(s, dir)) },
     "text_scripts" -> { (s, dir) => textScripts(Tables.documents(s, dir)) },
     "text_hash_embed" -> { (s, dir) => hashEmbed(Tables.documents(s, dir)) },
@@ -1433,6 +1502,7 @@ object TextStats {
     "text_readability" -> textReadabilitySql,
     "text_rake" -> textRakeSql,
     "text_inv_index" -> invertedIndexSql,
+    "text_pmi" -> textPmiSql(),
     "text_bigram_kn" -> bigramKnSql,
     "text_scripts" -> textScriptsSql,
     "text_hash_embed" -> hashEmbedSql(),

@@ -31,7 +31,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "curate_pagerank", // power iteration's 1-row stat frames: node count + per-iteration dangling mass, crossJoin(broadcast(1-row)) by construction at any corpus size
     "dedup_semdedup", // same ≤16-row centroid-assignment broadcast as sim_ivf / dedup_semantic
     "sim_knn_graph", // same ≤16-row centroid-assignment broadcast as dedup_semdedup
-    "sim_communities" // label propagation over sim_knn_graph's edges — same centroid broadcast
+    "sim_communities", // label propagation over sim_knn_graph's edges — same centroid broadcast
+    "text_pmi" // two 1-row totals stat frames (the bm25 shape)
   )
 
   // a Window.partitionBy(constant) folds to an EMPTY partition spec and
