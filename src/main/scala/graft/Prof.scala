@@ -239,6 +239,11 @@ object Prof {
       t(s"docs${docsX}_unigram_fit", nDocs)(
         llm.Unigram.fit(docs).pieces.size.toLong
       )
+      // threshold curve rides the pairs pass; PMI is the vocab²-keyed
+      // windowed-pair aggregation (the priciest text join family —
+      // pair volume ~ 2·tokens)
+      t(s"docs${docsX}_threshold_curve", nDocs)(llm.Dedup.thresholdCurve(docs).count())
+      t(s"docs${docsX}_text_pmi", nDocs)(llm.TextStats.textPmi(docs).count())
       docs.unpersist()
       ()
     }
