@@ -822,17 +822,24 @@ object Api {
 
     /** Seed the store from a batch (collapses it first). */
     def seed(df: DataFrame, store: String): Unit =
-      publish(df.sparkSession, collapse(df).localCheckpoint(), store)
+      publish(df.sparkSession, collapse(df), store)
 
     /** Upsert one delta batch: collapse the delta ALONE, then re-run
       * the same keeper over store ∪ delta. Out-of-order deltas are
       * fine — latest-wins is a max, not an append.
+      *
+      * No checkpoint here, deliberately: the merged plan is consumed
+      * exactly ONCE (the write-aside in publish), and that write reads
+      * the live table BEFORE either rename touches it — a
+      * localCheckpoint would materialize the whole store into
+      * block-manager memory per call with zero reuse to pay for it
+      * (the r12 bench measured exactly that as warm-run pressure).
       */
     def upsert(df: DataFrame, store: String): Unit = {
       val spark = df.sparkSession
       val merged = collapse(
         spark.read.parquet(s"$store/table").unionByName(collapse(df))
-      ).localCheckpoint()
+      )
       publish(spark, merged, store)
     }
 

@@ -41,6 +41,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // bench under the production extensions too (same session a
+      // cluster runs; rule overhead is part of the honest number)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.graft.failOnGlobalWindow", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // charge session/JIT warmup to a throwaway job, not the first query

@@ -27,6 +27,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the gate runs the session a CLUSTER would run: production
+      // extensions installed, analysis-time scale guard armed — any
+      // query GlobalWindowCheck rejects is a real finding
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.graft.failOnGlobalWindow", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -310,6 +310,20 @@ object Scale {
     * through ONE round-robin repartition (no key assumptions — for a
     * sorted/bucketed layout use [[bucketedJoin]]'s writer instead,
     * compaction must not destroy bucket structure).
+    *
+    * ATOMICITY CAVEAT: the swap is two renames, and between
+    * rename(live→prev) and rename(next→live) the live path does not
+    * exist — a concurrent reader in that (milliseconds-wide) window
+    * gets FileNotFound, and a crash inside it leaves the table only at
+    * `$path.prev`. No DATA is ever lost (the table is always complete
+    * at live, prev, or next), but recovery is required before the next
+    * read: [[recoverCompaction]] restores live from next (compaction
+    * finished writing) or prev (it didn't) and runs automatically at
+    * the head of every compactFiles call. A true single-rename swap
+    * needs a metadata layer (symlinked current-version dirs or a table
+    * format's manifest) — out of scope for a raw parquet directory;
+    * schedulers should quiesce readers around the compaction tick or
+    * read via a snapshot listing.
     */
   def compactFiles(
       spark: SparkSession,
@@ -319,6 +333,7 @@ object Scale {
   ): CompactReport = {
     val live = new org.apache.hadoop.fs.Path(path)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverCompaction(spark, path)
     val parts = fs
       .listStatus(live)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
@@ -337,5 +352,35 @@ object Scale {
       .listStatus(live)
       .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     CompactReport(parts.length, bytes, after, compacted = true)
+  }
+
+  /** Crash recovery for [[compactFiles]]'s two-rename window: if the
+    * live path is missing, restore it from `$path.next` when the
+    * compacted write completed (prefer it — it IS the new layout,
+    * finishing the interrupted swap) else from `$path.prev`; leftover
+    * aside dirs are cleared either way. No-op when live exists.
+    * Returns true if a restore happened.
+    */
+  def recoverCompaction(spark: SparkSession, path: String): Boolean = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = new org.apache.hadoop.fs.Path(s"$path.next")
+    val prev = new org.apache.hadoop.fs.Path(s"$path.prev")
+    if (fs.exists(live)) {
+      // a finished swap may still leave .prev behind if the final
+      // delete crashed; a crash BEFORE the first rename leaves .next.
+      // Either is stale once live exists.
+      fs.delete(prev, true)
+      fs.delete(next, true)
+      false
+    } else if (fs.exists(next) && fs.exists(new org.apache.hadoop.fs.Path(next, "_SUCCESS"))) {
+      fs.rename(next, live)
+      fs.delete(prev, true)
+      true
+    } else if (fs.exists(prev)) {
+      fs.rename(prev, live)
+      fs.delete(next, true)
+      true
+    } else false
   }
 }

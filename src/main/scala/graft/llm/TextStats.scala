@@ -553,6 +553,10 @@ object TextStats {
   def chunksGear(docs: DataFrame): DataFrame = {
     val chars = docs
       .select(col("doc_id"), expr(s"substr(text, 1, $gearMaxChars)").as("t"))
+      // sequence(1, 0) DESCENDS to [1, 0] (CLAUDE.md shingles gotcha):
+      // an empty doc would emit two phantom char rows the oracle's
+      // generate_series never produces — exclude it before exploding.
+      .filter(length(col("t")) >= 1)
       .select(col("doc_id"), col("t"), explode(expr("sequence(1, length(t))")).as("i"))
       .select(
         col("doc_id"),

@@ -330,16 +330,24 @@ object Urls {
                          ).toAggregateExpression()
                        )
                        val bf = prior.agg(bfAgg).head.getAs[Array[Byte]](0)
-                       val hit = Bridge.column(
-                         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
-                           Bridge.expression(lit(bf)),
-                           Bridge.expression(xxhash64(col("canon")))
+                       if (bf == null) {
+                         // zero-row store: the agg yields NULL, and
+                         // might_contain(NULL, …) is NULL — both union
+                         // branches would drop every row. The plain
+                         // anti-join is exact (and trivially cheap) here.
+                         batch.join(prior, Seq("canon"), "left_anti")
+                       } else {
+                         val hit = Bridge.column(
+                           org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+                             Bridge.expression(lit(bf)),
+                             Bridge.expression(xxhash64(col("canon")))
+                           )
                          )
-                       )
-                       val b = batch.localCheckpoint() // referenced by BOTH union branches (fan-out rule)
-                       val definitelyFresh = b.filter(!hit)
-                       val possible = b.filter(hit).join(prior, Seq("canon"), "left_anti")
-                       definitelyFresh.unionByName(possible)
+                         val b = batch.localCheckpoint() // referenced by BOTH union branches (fan-out rule)
+                         val definitelyFresh = b.filter(!hit)
+                         val possible = b.filter(hit).join(prior, Seq("canon"), "left_anti")
+                         definitelyFresh.unionByName(possible)
+                       }
                      } else {
                        batch.join(prior, Seq("canon"), "left_anti")
                      }).localCheckpoint()

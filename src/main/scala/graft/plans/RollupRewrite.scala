@@ -1,46 +1,66 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Divide, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.DoubleType
 
 /** Materialized-rollup REWRITE — the query-acceleration half of
   * `rollup_inc`'s maintenance half: once a rollup store is registered
-  * (group keys + exactly which sum/count columns it carries over which
-  * base table), any matching `Aggregate` is rewritten at OPTIMIZATION
+  * (base location + group keys + exactly which sum/count columns it
+  * carries), any matching `Aggregate` is rewritten at OPTIMIZATION
   * time to scan the KB-sized store instead of the 100 TB base table.
   * The maintenance cadence (seed + delta merge, proven merge ≡
   * recompute by the rollup_inc gate oracle) keeps the store fresh;
   * this rule makes every dashboard query pay store-scan cost without
   * the query author knowing the store exists — the classic
-  * materialized-view matching contract, scoped to the exact-match
-  * aggregate shape (no partial rollup derivation).
+  * materialized-view matching contract, now with the two standard
+  * lattice derivations:
+  *
+  *  - **subset group keys**: a query grouping on a SUBSET of the
+  *    store's keys re-aggregates the store (sum of partial sums /
+  *    sum of partial counts) — the rollup-lattice roll-up, still
+  *    store-sized work instead of base-sized.
+  *  - **avg from sum+count**: `avg(c)` answers as
+  *    `sum_store / count_store` (double division, Spark's own
+  *    Average(numeric) result type) when the store carries both.
   *
   * Matching is deliberately conservative (a rewrite that fires wrongly
   * is a correctness bug, one that doesn't fire is only a missed
   * speedup): the aggregate's child must be a bare relation (optionally
-  * under a pruning Project) whose columns include the registered base
-  * fingerprint; group keys must be exactly the registered key set;
-  * every output must be a group key, `sum(col)`, or `count(*)`/
-  * `count(1)` with a registered store column. Output attribute ids are
-  * preserved by aliasing the store's columns to the ORIGINAL exprIds,
-  * so parent operators resolve untouched.
+  * under a pruning Project) whose scan IDENTITY — the parquet root
+  * path, not just a column-name fingerprint — equals the registered
+  * base location (a same-schema table at another path/scale factor
+  * must NOT substitute); group keys must be a subset of the registered
+  * key set; every output must be a group key, `sum(col)`, `avg(col)`,
+  * or a non-null `count(*)`/`count(lit)` with the needed store
+  * columns. `count(NULL)` (counts zero rows — constant folding can
+  * produce it) is explicitly refused. Output attribute ids are
+  * preserved by aliasing to the ORIGINAL exprIds, so parent operators
+  * resolve untouched; any type drift between store and query refuses
+  * the rewrite.
   *
   * Enabled per session with `spark.graft.rollupRewrite=true`
   * (default off); stores register via [[MaterializedRollups.register]].
   */
 object MaterializedRollups {
 
-  /** @param baseCols    column-name fingerprint identifying the base
-    *                    relation (a superset match on the scan output)
+  /** @param basePath    parquet root path of the base table — the scan
+    *                    identity the rewrite binds to (a column-name
+    *                    fingerprint alone would silently substitute for
+    *                    any same-schema relation)
+    * @param baseCols    column-name sanity fingerprint (superset match
+    *                    on the scan output, secondary to basePath)
     * @param groupCols   the store's key columns (same names in store)
     * @param sumCols     base column → store column for sum() outputs
     * @param countCol    store column holding count(*) (None = not kept)
     * @param store       parquet path of the maintained rollup
     */
   final case class Spec(
+      basePath: String,
       baseCols: Set[String],
       groupCols: Set[String],
       sumCols: Map[String, String],
@@ -65,67 +85,112 @@ case class RollupRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def enabled: Boolean =
     spark.conf.get("spark.graft.rollupRewrite", "false").toBoolean
 
-  /** The aggregate child must be (a pruning Project over) a leaf
-    * relation carrying the fingerprint columns — anything else
-    * (filters, joins) would need store-side predicate derivation the
-    * conservative contract refuses.
+  /** scheme-insensitive path identity (file:/x vs /x) */
+  private def uriPath(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toUri.getPath
+
+  /** The aggregate child must be (a pruning Project over) a parquet
+    * scan whose root path IS the registered base location — anything
+    * else (filters, joins, other relations with the same schema) would
+    * need derivations the conservative contract refuses.
     */
   private def baseMatches(child: LogicalPlan, spec: Spec): Boolean = child match {
     case Project(projectList, grandchild)
         if projectList.forall(_.isInstanceOf[AttributeReference]) =>
       baseMatches(grandchild, spec)
-    case leaf if leaf.children.isEmpty =>
-      spec.baseCols.subsetOf(leaf.output.map(_.name).toSet)
+    case lr: LogicalRelation =>
+      val pathOk = lr.relation match {
+        case h: HadoopFsRelation =>
+          val want = uriPath(spec.basePath)
+          h.location.rootPaths.exists(p => p.toUri.getPath == want)
+        case _ => false
+      }
+      pathOk && spec.baseCols.subsetOf(lr.output.map(_.name).toSet)
     case _ => false
   }
 
-  private def storeColFor(e: NamedExpression, spec: Spec): Option[(String, String)] =
-    e match {
-      case a: AttributeReference if spec.groupCols.contains(a.name) =>
-        Some(a.name -> a.name)
-      case Alias(AggregateExpression(Sum(c: AttributeReference, _), _, false, None, _), nm)
-          if spec.sumCols.contains(c.name) =>
-        Some(nm -> spec.sumCols(c.name))
-      case Alias(AggregateExpression(Count(Seq(Literal(_, _))), _, false, None, _), nm) =>
-        spec.countCol.map(nm -> _)
-      case Alias(AggregateExpression(Count(Seq()), _, false, None, _), nm) =>
-        spec.countCol.map(nm -> _)
-      case _ => None
-    }
+  /** What a matched output translates to over the store. */
+  private sealed trait Tx
+  private case class KeyTx(storeCol: String) extends Tx
+  private case class SumTx(storeCol: String) extends Tx
+  private case object CountTx extends Tx
+  private case class AvgTx(sumStoreCol: String) extends Tx
+
+  private def txFor(e: NamedExpression, spec: Spec): Option[Tx] = e match {
+    case a: AttributeReference if spec.groupCols.contains(a.name) =>
+      Some(KeyTx(a.name))
+    case Alias(AggregateExpression(Sum(c: AttributeReference, _), _, false, None, _), _)
+        if spec.sumCols.contains(c.name) =>
+      Some(SumTx(spec.sumCols(c.name)))
+    case Alias(AggregateExpression(Average(c: AttributeReference, _), _, false, None, _), _)
+        if spec.sumCols.contains(c.name) && spec.countCol.isDefined =>
+      Some(AvgTx(spec.sumCols(c.name)))
+    // count(lit): the literal must be NON-NULL — count(NULL) counts
+    // zero rows and must never map to the count(*) store column
+    case Alias(AggregateExpression(Count(Seq(Literal(v, _))), _, false, None, _), _)
+        if v != null =>
+      spec.countCol.map(_ => CountTx)
+    case Alias(AggregateExpression(Count(Seq()), _, false, None, _), _) =>
+      spec.countCol.map(_ => CountTx)
+    case _ => None
+  }
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled || MaterializedRollups.all.isEmpty) plan
     else
       plan.transformUp {
-        case agg @ Aggregate(groupExprs, aggExprs, child, _) =>
+        case agg @ Aggregate(groupExprs, aggExprs, child, _)
+            if groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
           val keyNames = groupExprs.collect { case a: AttributeReference => a.name }.toSet
           MaterializedRollups.all
             .find { spec =>
-              groupExprs.forall(_.isInstanceOf[AttributeReference]) &&
-              keyNames == spec.groupCols &&
+              keyNames.subsetOf(spec.groupCols) &&
               baseMatches(child, spec) &&
-              aggExprs.forall(e => storeColFor(e, spec).isDefined)
+              aggExprs.forall(e => txFor(e, spec).isDefined)
             }
-            .flatMap { spec =>
-              val mapping = aggExprs.map(e => e -> storeColFor(e, spec).get._2)
-              val storePlan =
-                spark.read.parquet(spec.store).queryExecution.analyzed
-              val byName = storePlan.output.map(a => a.name -> a).toMap
-              // refuse on any type drift between store and aggregate —
-              // a silently-coerced rewrite is a correctness bug
-              val typesOk = mapping.forall { case (orig, storeName) =>
-                byName.get(storeName).exists(_.dataType == orig.dataType)
-              }
-              if (!typesOk) None
-              else
-                // alias to the ORIGINAL output exprIds so parents resolve
-                Some(Project(
-                  mapping.map { case (orig, storeName) =>
-                    Alias(byName(storeName), orig.name)(exprId = orig.exprId)
-                  },
-                  storePlan
-                ))
-            }
+            .flatMap { spec => rewrite(agg, keyNames, spec) }
             .getOrElse(agg)
       }
+
+  private def rewrite(agg: Aggregate, keyNames: Set[String], spec: Spec): Option[LogicalPlan] = {
+    val storePlan = spark.read.parquet(spec.store).queryExecution.analyzed
+    val byName = storePlan.output.map(a => a.name -> a).toMap
+    val exact = keyNames == spec.groupCols
+    val cnt = spec.countCol.flatMap(byName.get)
+
+    def dbl(e: Expression): Expression = Cast(e, DoubleType)
+    def sumOf(a: Attribute): Expression = Sum(a).toAggregateExpression()
+
+    // exact match: the store row IS the group — plain column reads.
+    // subset keys: re-aggregate the store (sum of partial sums/counts).
+    def translate(tx: Tx): Option[Expression] = tx match {
+      case KeyTx(n) => byName.get(n)
+      case SumTx(n) => byName.get(n).map(a => if (exact) a else sumOf(a))
+      case CountTx  => cnt.map(a => if (exact) a else sumOf(a))
+      case AvgTx(n) =>
+        for { s <- byName.get(n); c <- cnt } yield
+          if (exact) Divide(dbl(s), dbl(c))
+          else Divide(dbl(sumOf(s)), dbl(sumOf(c)))
+    }
+
+    val outs: Option[Seq[NamedExpression]] =
+      agg.aggregateExpressions.foldLeft(Option(Vector.empty[NamedExpression])) {
+        case (acc, orig) =>
+          for {
+            v <- acc
+            tx <- txFor(orig, spec)
+            ex <- translate(tx)
+            // refuse on any type drift between store and aggregate —
+            // a silently-coerced rewrite is a correctness bug
+            if ex.dataType == orig.dataType
+          } yield v :+ Alias(ex, orig.name)(exprId = orig.exprId)
+      }
+    val groupAttrs = keyNames.toSeq.sorted.flatMap(byName.get)
+    outs.collect {
+      case os if exact =>
+        Project(os, storePlan)
+      case os if groupAttrs.size == keyNames.size =>
+        Aggregate(groupAttrs, os, storePlan)
+    }
+  }
 }

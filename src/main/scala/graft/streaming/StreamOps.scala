@@ -102,6 +102,31 @@ object StreamOps {
         col("cnt")
       )
 
+  /** Streaming twin of `events_hopwin` — 1 h windows sliding every
+    * 30 min as ONE watermarked aggregation on Spark's native hopping
+    * window: the engine's internal per-event expansion is exactly the
+    * batch gate's L/S = 2 window-start explode (SparkEntry scaladoc
+    * noted the explode IS the streaming state key), so the state key
+    * matches the batch form and state stays ≤ types × L/S ×
+    * open-horizon windows. Each window is emitted ONCE when the
+    * watermark passes its end (append mode). Output schema matches the
+    * batch gate (win_start_us, event_type, n, sum_cents) so the
+    * equality spec compares row-for-row; money rides exact cents.
+    */
+  def hopWinStream(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", eventTimeMicros)
+      .withWatermark("ts", "1 hour")
+      .withColumn("cents", expr("CAST(floor(value * 100 + 0.5e0) AS BIGINT)"))
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .select(
+        expr("unix_micros(window.start)").as("win_start_us"),
+        col("event_type"),
+        col("n"),
+        col("sum_cents")
+      )
+
   /** Watermarked stream-stream interval join — the streaming
     * generalization of `q9_range`: each purchase matches the same
     * user's views within the preceding `windowSec`. Both sides carry

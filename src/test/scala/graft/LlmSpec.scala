@@ -871,6 +871,11 @@ class LlmSpec extends AnyFunSuite {
     val shared = (a & b).size.toDouble / a.size
     assert(shared >= 0.7, s"gear chunks not shift-robust: $shared shared of ${a.size}")
     assert(a.size >= 10, s"expected a healthy chunk count, got ${a.size}")
+    // empty doc: sequence(1, 0) DESCENDS in Spark — the pre-filter must
+    // keep it from emitting phantom char rows (oracle emits none)
+    val withEmpty = Seq((1L, "hello world"), (2L, "")).toDF("doc_id", "text")
+    val rows = graft.llm.TextStats.chunksGear(withEmpty).collect()
+    assert(rows.forall(_.getLong(0) == 1L), s"empty doc produced chunks: ${rows.mkString(",")}")
   }
 
   test("sharedRuns finds planted long runs exactly: position, length, threshold, merging") {

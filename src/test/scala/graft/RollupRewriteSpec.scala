@@ -7,18 +7,22 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The materialized-rollup matching rule end-to-end through a REAL
   * extensions-enabled session (spark.sql.extensions path): a
   * registered store replaces the base-table aggregate at optimization
-  * time, results are identical, and the rewrite never fires with the
-  * conf off, on non-matching shapes, or on type drift.
+  * time, results are identical, the lattice derivations (subset group
+  * keys via store re-aggregation; avg from sum+count) fire, and the
+  * rewrite never fires with the conf off, on non-matching shapes, on
+  * type drift, on count(NULL), or on a SAME-SCHEMA relation read from
+  * a different path (scan-identity binding).
   */
 class RollupRewriteSpec extends AnyFunSuite {
   import TestSpark._
 
-  test("registered rollup store replaces the base aggregate; equal results; conservative misses") {
+  test("registered rollup store replaces the base aggregate; subset keys + avg derive; conservative misses") {
     val li = core.Tables.lineitem(spark, sf)
     def agg(df: org.apache.spark.sql.DataFrame) =
       df.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity")).as("x"), count(lit(1)).as("c"))
-    val store = sources.Scratch.dir("rollup_rewrite_spec") + "/store"
+    val scratch = sources.Scratch.dir("rollup_rewrite_spec")
+    val store = scratch + "/store"
     agg(li)
       .select(
         col("l_returnflag"),
@@ -29,9 +33,13 @@ class RollupRewriteSpec extends AnyFunSuite {
       .write
       .mode("overwrite")
       .parquet(store)
+    // a SAME-SCHEMA copy of lineitem at another path — must NOT rewrite
+    val liCopy = scratch + "/li_copy"
+    li.limit(500).write.mode("overwrite").parquet(liCopy)
     plans.MaterializedRollups.register(
       "li_rollup",
       plans.MaterializedRollups.Spec(
+        basePath = s"$sf/lineitem.parquet",
         baseCols = Set("l_returnflag", "l_linestatus", "l_quantity"),
         groupCols = Set("l_returnflag", "l_linestatus"),
         sumCols = Map("l_quantity" -> "sum_qty"),
@@ -49,11 +57,9 @@ class RollupRewriteSpec extends AnyFunSuite {
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     try {
-      val expected = agg(core.Tables.lineitem(spark, sf))
-        .collect()
-        .map(_.toSeq.mkString("|"))
-        .sorted
-        .toSeq
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      val expected = rows(agg(core.Tables.lineitem(spark, sf)))
       val q = agg(core.Tables.lineitem(s2, sf))
       // conf off (default): the aggregate stays (base table scanned)
       assert(q.queryExecution.optimizedPlan.toString.contains("Aggregate"))
@@ -63,21 +69,66 @@ class RollupRewriteSpec extends AnyFunSuite {
       // substituted: no Aggregate left, the store's columns are read
       assert(!opt.contains("Aggregate"), s"aggregate not substituted:\n$opt")
       assert(opt.contains("sum_qty") && opt.contains("n_rows"), s"store not scanned:\n$opt")
-      val got = q2.collect().map(_.toSeq.mkString("|")).sorted.toSeq
-      assert(got == expected, "rewritten results differ from the direct aggregate")
-      // conservative misses: extra group key -> no rewrite
+      assert(rows(q2) == expected, "rewritten results differ from the direct aggregate")
+
+      // SUBSET group keys: rolls the store up instead of the base —
+      // plan = small re-aggregation over the store scan
+      def subsetQ(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("l_returnflag"))
+          .agg(sum(col("l_quantity")).as("x"), count(lit(1)).as("c"))
+      val sub = subsetQ(core.Tables.lineitem(s2, sf))
+      val subOpt = sub.queryExecution.optimizedPlan.toString
+      assert(subOpt.contains("Aggregate"), s"subset hit should re-aggregate:\n$subOpt")
+      assert(subOpt.contains("sum_qty") && !subOpt.contains("l_quantity"),
+        s"subset hit should scan the store, not the base:\n$subOpt")
+      assert(rows(sub) == rows(subsetQ(core.Tables.lineitem(spark, sf))),
+        "subset rewrite results differ from the direct aggregate")
+
+      // AVG from sum+count — exact-key and subset-key forms
+      def avgQ(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(avg(col("l_quantity")).as("a"))
+      val av = avgQ(core.Tables.lineitem(s2, sf))
+      val avOpt = av.queryExecution.optimizedPlan.toString
+      assert(!avOpt.contains("l_quantity") && avOpt.contains("sum_qty"),
+        s"avg hit should scan the store:\n$avOpt")
+      assert(rows(av) == rows(avgQ(core.Tables.lineitem(spark, sf))),
+        "avg-from-store results differ from the direct aggregate")
+      def avgSubQ(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("l_returnflag")).agg(avg(col("l_quantity")).as("a"))
+      assert(
+        rows(avgSubQ(core.Tables.lineitem(s2, sf))) ==
+          rows(avgSubQ(core.Tables.lineitem(spark, sf))),
+        "subset avg-from-store results differ"
+      )
+
+      // conservative misses:
+      // group key OUTSIDE the store's key set -> no rewrite
       val other = core.Tables
         .lineitem(s2, sf)
-        .groupBy(col("l_returnflag"))
+        .groupBy(col("l_shipdate"))
         .agg(sum(col("l_quantity")).as("x"))
-      assert(other.queryExecution.optimizedPlan.toString.contains("Aggregate"))
+      assert(other.queryExecution.optimizedPlan.toString.contains("l_shipdate"))
+      assert(!other.queryExecution.optimizedPlan.toString.contains("sum_qty"))
       // filtered child -> no rewrite (store can't answer a predicate)
       val filtered = core.Tables
         .lineitem(s2, sf)
         .filter(col("l_orderkey") > 100)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity")).as("x"), count(lit(1)).as("c"))
-      assert(filtered.queryExecution.optimizedPlan.toString.contains("Aggregate"))
+      assert(filtered.queryExecution.optimizedPlan.toString.contains("l_orderkey"))
+      // SAME SCHEMA, different path -> no rewrite (identity binding)
+      val copied = agg(s2.read.parquet(liCopy))
+      val copiedOpt = copied.queryExecution.optimizedPlan.toString
+      assert(copiedOpt.contains("Aggregate") && !copiedOpt.contains("sum_qty"),
+        s"copy relation must not substitute:\n$copiedOpt")
+      // count(NULL) counts zero rows -> must not map to the count store col
+      val nullCount = core.Tables
+        .lineitem(s2, sf)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(null)).as("c"))
+      val nc = nullCount.collect().map(_.getLong(2)).toSet
+      assert(nc == Set(0L), s"count(NULL) must stay 0, got $nc")
     } finally {
       s2.conf.unset("spark.graft.rollupRewrite")
       plans.MaterializedRollups.clear()

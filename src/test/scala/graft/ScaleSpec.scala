@@ -489,4 +489,37 @@ class SketchSpec extends AnyFunSuite {
     val r2 = graft.core.Scale.compactFiles(spark, path, targetBytes = 256L * 1024)
     assert(!r2.compacted && r2.filesAfter == r.filesAfter, s"$r2")
   }
+
+  test("recoverCompaction restores live from either side of the two-rename crash window") {
+    import spark.implicits._
+    val dir = graft.sources.Scratch.dir("compact_recover_spec")
+    val path = s"$dir/table"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val rows = (1 to 1000).map(i => (i.toLong, s"row$i")).toDF("id", "s")
+    def readBack() =
+      spark.read.parquet(path).select(col("id")).as[Long].collect().sorted.toSeq
+
+    // crash AFTER rename(live->prev), BEFORE next was written complete:
+    // only .prev holds the table -> restore from prev
+    rows.write.mode("overwrite").parquet(path)
+    assert(fs.rename(p(path), p(s"$path.prev")))
+    assert(graft.core.Scale.recoverCompaction(spark, path))
+    assert(readBack() == (1L to 1000L).toSeq, "prev restore lost rows")
+    assert(!fs.exists(p(s"$path.prev")))
+
+    // crash BETWEEN the renames with next complete: prefer .next (the
+    // new layout — the swap just finishes)
+    rows.repartition(2).write.mode("overwrite").parquet(s"$path.next")
+    assert(fs.rename(p(path), p(s"$path.prev")))
+    assert(graft.core.Scale.recoverCompaction(spark, path))
+    assert(readBack() == (1L to 1000L).toSeq, "next restore lost rows")
+    assert(!fs.exists(p(s"$path.prev")) && !fs.exists(p(s"$path.next")))
+
+    // live intact: no restore, stale aside dirs swept
+    rows.limit(10).write.mode("overwrite").parquet(s"$path.next")
+    assert(!graft.core.Scale.recoverCompaction(spark, path))
+    assert(!fs.exists(p(s"$path.next")) && readBack() == (1L to 1000L).toSeq)
+  }
 }

@@ -213,6 +213,60 @@ class StreamSpec extends AnyFunSuite {
     assert(scored.filter(_._2).keySet == Set(26L), s"only the burst should flag: $scored")
   }
 
+  test("hopping-window stream: closed windows equal the batch gate's explode form; emitted once; state evicted") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double)]
+    val events = input.toDF().toDF("ts_ns", "event_type", "value")
+    val q = graft.streaming.StreamOps
+      .hopWinStream(events)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("hop_out")
+      .start()
+    val h = 3600000000000L // ns per hour
+    // out-of-order events over ~4 hours, two types, then a far-future
+    // closer to advance the watermark past every real window
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val t = (rnd.nextInt(4 * 3600)).toLong * 1000000000L + 12 * h
+      (t, if (i % 3 == 0) "b" else "a", rnd.nextInt(500) / 100.0)
+    } :+ (40 * h, "closer", 0.0)
+    // shuffled arrival within the wave (out-of-order), then the closer —
+    // a second wave BELOW the advanced watermark would be late data and
+    // dropped by design, so the waves split at the watermark, not rows
+    input.addData(rnd.shuffle(rows.init): _*)
+    q.processAllAvailable()
+    input.addData(rows.last)
+    q.processAllAvailable()
+    val progs = q.recentProgress
+    q.stop()
+    val emitted = spark
+      .sql("SELECT win_start_us, event_type, n, sum_cents FROM hop_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // emitted once: no duplicate (window, type) keys across batches
+    val keys = emitted.map(e => (e._1, e._2))
+    assert(keys.distinct.length == keys.length, "a window re-emitted")
+    // batch-twin equality: the gate's L/S = 2 integral explode over the
+    // same rows (closed windows only — everything before the closer)
+    val S = 1800000000L
+    val expected = rows.init
+      .flatMap { case (ns, ty, v) =>
+        val us = (ns - ns % 1000) / 1000
+        val cents = math.floor(v * 100 + 0.5).toLong
+        Seq(((us / S) * S, ty, cents), ((us / S - 1) * S, ty, cents))
+      }
+      .groupBy(e => (e._1, e._2))
+      .map { case ((w, ty), es) => (w, ty, es.size.toLong, es.map(_._3).sum) }
+      .toSet
+    assert(emitted.toSet == expected, s"stream ${emitted.size} rows != batch ${expected.size}")
+    // watermark evicted closed-window state
+    val removed = progs.flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+    assert(removed > 0, "watermark never evicted hopping-window state")
+  }
+
   test("watermarked event-time window stream runs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
@@ -1088,5 +1142,35 @@ class IncrementalScreenStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
     val bloomed = run(100000L)
     assert(bloomed == plain, s"bloom path diverged: $bloomed vs $plain")
     assert(plain._1 == Set(3L, 5L))
+  }
+
+  test("urlDedupIngest bloom pre-screen on an EMPTY store: batch emitted, not dropped") {
+    // zero-row store → BloomFilterAggregate yields NULL; the guarded
+    // fallback must take the plain anti-join, not null-filter the batch
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val empty = Seq
+      .empty[(Long, String, java.sql.Timestamp)]
+      .toDF("doc_id", "url", "ts")
+    val store = sources.Scratch.dir("url_ingest_bloom_empty") + "/canon"
+    graft.llm.Urls.seedUrlStore(empty, store)
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = graft.llm.Urls.urlDedupIngest(
+      input.toDF().toDF("doc_id", "url", "ts"),
+      store,
+      onBatch = b => emitted ++= b.collect().map(_.getAs[Long]("doc_id")),
+      bloomItems = 100000L
+    )
+    input.addData(Seq((1L, "https://sitea.example.com/page", t(100000))))
+    q.processAllAvailable()
+    q.stop()
+    assert(emitted.toSet == Set(1L), s"empty-store bloom dropped the batch: $emitted")
+    assert(
+      spark.read.parquet(store).count() == 1L,
+      "fresh canon not appended through the empty-store path"
+    )
   }
 }
