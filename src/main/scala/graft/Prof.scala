@@ -234,11 +234,69 @@ object Prof {
       t(s"docs${docsX}_dedup_weights", nDocs)(llm.Dedup.softDedupWeights(docs).count())
       // unigram-LM EM fit: corpus-sized work is the ONE word-count agg;
       // each round is a pass over the distinct-word frame vs the
-      // broadcast vocab (tiny here — the synthetic corpus has a small
-      // word vocabulary; cost is round scheduling)
+      // broadcast vocab. Gate config first (the oracle-replayable
+      // shape), then the REALISTIC config — 1000-piece target, 4000-
+      // candidate seed, over the corpus's full distinct-word frame
+      // (reported) — the contract: per-round shuffle stays vocab-sized
+      // and the driver only ever holds the vocab
       t(s"docs${docsX}_unigram_fit", nDocs)(
         llm.Unigram.fit(docs).pieces.size.toLong
       )
+      val wordVocab = docs
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "" && length(col("w")) <= 12)
+        .select(countDistinct(col("w")))
+        .collect()(0)
+        .getLong(0)
+      println(s"PROF unigram word vocab = $wordVocab distinct words")
+      t(s"docs${docsX}_unigram_fit_v1000", nDocs)(
+        llm.Unigram.fit(docs, vocabSize = 1000, maxPieceLen = 4, rounds = 4).pieces.size.toLong
+      )
+      // REALISTIC-VOCABULARY decade: the sf corpus has a toy word
+      // vocabulary (41 distinct), so synthesize a syllabic corpus with
+      // ~10⁵ distinct words (50³ 3-syllable forms under a skewed rank —
+      // real subword structure for the EM to learn) and fit the
+      // 1000-piece target. Contract under test: the distinct-word
+      // frame stays distributed, per-round shuffle is vocab-sized, and
+      // the driver holds only the (≤4×1000 + charset) vocab.
+      locally {
+        val syl = Array(
+          "ba", "be", "bi", "bo", "bu", "da", "de", "di", "do", "du",
+          "ka", "ke", "ki", "ko", "ku", "la", "le", "li", "lo", "lu",
+          "ma", "me", "mi", "mo", "mu", "na", "ne", "ni", "no", "nu",
+          "pa", "pe", "pi", "po", "pu", "ra", "re", "ri", "ro", "ru",
+          "sa", "se", "si", "so", "su", "ta", "te", "ti", "to", "tu"
+        )
+        val sylCol = array(syl.map(lit).toIndexedSeq: _*)
+        def s3(r: org.apache.spark.sql.Column, div: Long) =
+          element_at(sylCol, (pmod(r / div, lit(50L)) + 1).cast("int"))
+        val nTok = 10000000L
+        val docsV = spark
+          .range(nTok)
+          .select(
+            (col("id") / 200L).cast("long").as("doc_id"),
+            least(
+              pmod(col("id") * 2654435761L, lit(100000L)),
+              pmod(col("id") * 40503L + 17L, lit(100000L))
+            ).as("r")
+          )
+          .select(col("doc_id"), concat(s3(col("r"), 1L), s3(col("r"), 50L), s3(col("r"), 2500L)).as("w"))
+          .groupBy(col("doc_id"))
+          .agg(concat_ws(" ", collect_list(col("w"))).as("text"))
+          .persist()
+        val nV = docsV.count()
+        val wv = docsV
+          .select(explode(split(col("text"), " ")).as("w"))
+          .select(countDistinct(col("w")))
+          .collect()(0)
+          .getLong(0)
+        println(s"PROF unigram 100k-vocab corpus: $nV docs, $wv distinct words, $nTok tokens")
+        t("unigram_fit_100kvocab_v1000", nTok)(
+          llm.Unigram.fit(docsV, vocabSize = 1000, maxPieceLen = 4, rounds = 4).pieces.size.toLong
+        )
+        docsV.unpersist()
+        ()
+      }
       // threshold curve rides the pairs pass; PMI is the vocab²-keyed
       // windowed-pair aggregation (the priciest text join family —
       // pair volume ~ 2·tokens)

@@ -44,21 +44,43 @@ object Unigram {
   /** Candidate seed: all substrings (length ≤ maxPieceLen) weighted by
     * word frequency; keeps every single character (coverage guarantee)
     * plus the top multi-char candidates.
+    *
+    * DISTRIBUTED (r13): the substring counts aggregate piece-keyed on
+    * the cluster and only the BOUNDED winners come back — all single
+    * chars (charset-sized) plus the top-k multis under the total
+    * (count desc, piece asc) order (deterministic, so the trained
+    * model is run-stable and the gate's literal-embedded oracle
+    * replays it). The former driver-side loop needed the whole corpus
+    * vocabulary collected — 10⁸ distinct words at 100 TB do not fit
+    * on a driver. Each of the two collects re-runs the vocabulary-
+    * sized flatMap+agg off the checkpointed word frame — cheaper than
+    * materializing the full distinct-substring table for reuse.
     */
-  private def seed(wc: Array[(String, Long)], vocabSize: Int, maxPieceLen: Int): Map[String, Double] = {
-    val counts = scala.collection.mutable.HashMap.empty[String, Long]
-    wc.foreach { case (w, f) =>
-      for (i <- 0 until w.length; j <- 1 to math.min(maxPieceLen, w.length - i)) {
-        val p = w.substring(i, i + j)
-        counts(p) = counts.getOrElse(p, 0L) + f
+  private def seed(wc: DataFrame, vocabSize: Int, maxPieceLen: Int): Map[String, Double] = {
+    val spark = wc.sparkSession
+    import spark.implicits._
+    def pieceCounts: DataFrame = wc
+      .as[(String, Long)]
+      .flatMap { case (w, f) =>
+        for {
+          i <- 0 until w.length
+          j <- 1 to math.min(maxPieceLen, w.length - i)
+        } yield (w.substring(i, i + j), f)
       }
-    }
-    val chars = counts.keys.filter(_.length == 1).toSeq
-    val multi = counts.toSeq
-      .filter(_._1.length > 1)
-      .sortBy { case (p, c) => (-c, p) }
-      .take(math.max(0, vocabSize - chars.length))
-    val kept = (chars.map(c => c -> counts(c)) ++ multi).toMap
+      .toDF("piece", "c")
+      .groupBy(col("piece"))
+      .agg(sum(col("c")).as("c"))
+    val chars = pieceCounts
+      .filter(length(col("piece")) === 1)
+      .as[(String, Long)]
+      .collect()
+    val multi = pieceCounts
+      .filter(length(col("piece")) > 1)
+      .orderBy(col("c").desc, col("piece").asc)
+      .limit(math.max(0, vocabSize - chars.length))
+      .as[(String, Long)]
+      .collect()
+    val kept = (chars ++ multi).toMap
     val total = kept.values.sum.toDouble
     kept.map { case (p, c) => p -> math.log(c / total) }
   }
@@ -149,13 +171,15 @@ object Unigram {
   ): (Model, Seq[Double]) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val wc = words(docs).as[(String, Long)].collect().sortBy(t => (t._1, t._2))
-    val wcDf = spark.createDataset(wc.toIndexedSeq).toDF("word", "freq")
+    // ONE corpus-sized pass builds the (word, freq) frame, which stays
+    // DISTRIBUTED (checkpointed — reused by the seed and every EM
+    // round); only vocab-sized results ever reach the driver
+    val wcDf = words(docs).localCheckpoint()
     // seed WIDE (all candidates up to 4× target), then prune GRADUALLY
     // toward the target — SentencePiece's shrink schedule; a hard cut
     // after round 1 freezes whatever the seed counts favored (measured:
     // 'work' lost to 'wo'+'rk' under an immediate cut)
-    var lp = seed(wc, math.max(vocabSize * 4, vocabSize), maxPieceLen)
+    var lp = seed(wcDf, math.max(vocabSize * 4, vocabSize), maxPieceLen)
     val nMulti0 = lp.keys.count(_.length > 1).toDouble
     val lls = scala.collection.mutable.ArrayBuffer.empty[Double]
     for (round <- 1 to rounds) {
