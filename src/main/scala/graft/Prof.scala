@@ -426,6 +426,108 @@ object Prof {
       ()
     }
 
+    // PROF_ANN=k: centroid-drift RETRAIN decade — k-thousand base
+    // vectors plus k-thousand SHIFTED vectors (different phase +
+    // offset: a region the base centroids never saw) assigned under
+    // the base-trained centroids = the stale-index state after
+    // sustained drifted ingest. Measures recall@10 for SHIFTED queries
+    // before vs after annRetrain (refit on a 5% sample, delta rewrite).
+    val annK = sys.env.getOrElse("PROF_ANN", "0").toInt
+    if (annK > 0) {
+      val n = annK * 1000L
+      def gen(idBase: Long, phase: Double, off: Double) = spark
+        .range(n)
+        .select(
+          (col("id") + idBase).as("vec_id"),
+          transform(
+            sequence(lit(1), lit(64)),
+            j =>
+              sin((col("id") % 64).cast("double") * 7.3 + j.cast("double") * (1.7 + phase)) +
+                lit(off) +
+                lit(0.15) * sin(
+                  ((col("id") * 1315423911L + j.cast("long") * 2654435761L) % 104729L)
+                    .cast("double") * 0.013
+                )
+          ).as("embedding"),
+          lit(0).as("label")
+        )
+      val baseC = gen(0L, 0.0, 0.0).persist()
+      val shifted = gen(n, 0.9, 0.8).persist()
+      baseC.count(); shifted.count()
+      var cents0: Array[Array[Double]] = null
+      t(s"ann${annK}k_train_base", n) {
+        cents0 = llm.Similarity.kmeansParallel(baseC, k = 64)
+        cents0.length.toLong
+      }
+      val store = graft.sources.Scratch.dir("prof_ann_drift") + "/cells"
+      llm.Similarity
+        .ivfAssign(baseC.unionByName(shifted), cents0)
+        .write.partitionBy("cid").mode("overwrite").parquet(store)
+      val qs = shifted
+        .filter(col("vec_id") < n + 30L)
+        .select(col("vec_id").as("qid"), transform(col("embedding"), x => x.cast("double")).as("qv"))
+        .localCheckpoint()
+      // recall@10 at nProbe=4 AND the operational drift cost: candidate
+      // rows per query (probed-cell population) + max cell size — a
+      // stale layout folds the whole shifted region into few giant
+      // cells, so even when probes still FIND the neighbors (recall
+      // holds) every query pays a corpus-fraction scan
+      def measure(cents: Array[Array[Double]]): (Double, Long, Long) = {
+        import org.apache.spark.sql.expressions.Window
+        val cells = spark.read
+          .parquet(store)
+          .select(col("cid").cast("long").as("cid"), col("vec_id").as("vid"), col("v").as("vb"))
+          .withColumn("nb", sqrt(graft.functions.exprs.dot_d(col("vb"), col("vb"))))
+        val dists = array(cents.zipWithIndex.map { case (c, i) =>
+          struct(
+            graft.functions.exprs.sq_dist(col("qv"), typedLit(c.toSeq)).as("d2"),
+            lit(i.toLong).as("cid")
+          )
+        }.toIndexedSeq: _*)
+        val probed = qs
+          .select(col("qid"), col("qv"), explode(slice(array_sort(dists), 1, 4)).as("p"))
+          .select(col("qid"), col("qv"), col("p").getField("cid").as("cid"))
+        val wr = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vid").asc)
+        def top10(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] = df
+          .filter(col("qid") =!= col("vid"))
+          .select(
+            col("qid"),
+            col("vid"),
+            (graft.functions.exprs.dot_d(col("qv"), col("vb")) /
+              (sqrt(graft.functions.exprs.dot_d(col("qv"), col("qv"))) * col("nb"))).as("cos")
+          )
+          .withColumn("rk", row_number().over(wr))
+          .filter(col("rk") <= 10)
+          .select(col("qid"), col("vid"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .toSet
+        val candPerQ = probed
+          .join(cells.select(col("cid")), Seq("cid"))
+          .count() / 30L
+        val maxCell = cells.groupBy(col("cid")).count().agg(max(col("count"))).collect()(0).getLong(0)
+        val ivf = top10(probed.join(cells, Seq("cid")))
+        val bf = top10(cells.crossJoin(broadcast(qs)))
+        ((ivf & bf).size.toDouble / bf.size, candPerQ, maxCell)
+      }
+      val (before, candB, maxB) = measure(cents0)
+      var centsNew: Array[Array[Double]] = null
+      var touchedN = 0
+      t(s"ann${annK}k_retrain", 2 * n) {
+        val (c2, touched) = llm.Similarity.annRetrain(spark, store, sampleFrac = 0.05, k = 64)
+        centsNew = c2
+        touchedN = touched.size
+        touched.size.toLong
+      }
+      val (after, candA, maxA) = measure(centsNew)
+      println(
+        f"PROF ann${annK}k_drift recall@10 shifted-queries before=$before%.3f after=$after%.3f " +
+          f"candPerQuery before=$candB after=$candA maxCell before=$maxB after=$maxA touchedCells=$touchedN"
+      )
+      baseC.unpersist(); shifted.unpersist()
+      ()
+    }
+
     // PROF_BPE=k: distributed merge-batch BPE training of k merges over
     // a deterministic Zipfian 200k-word vocabulary (the realistic
     // trainer workload the 31-word gate corpus can't exercise). Each

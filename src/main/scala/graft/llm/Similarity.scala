@@ -1627,6 +1627,77 @@ object Similarity {
     hot
   }
 
+  /** ANN centroid-drift RETRAIN — the maintenance leg append/delete/
+    * compact don't cover: after sustained ingest the trained centroids
+    * go stale (the corpus distribution moved) and recall decays
+    * because probed cells no longer bound the true neighbors. Refit
+    * kmeans‖ on a DETERMINISTIC md5 sample of the store (no RNG state
+    * — any two runs retrain identically), re-assign every vector
+    * row-locally against the new literal centroids, and rewrite ONLY
+    * the cells whose membership changed (dynamic partition overwrite —
+    * the dedup_incremental delta cadence): a cell no vector entered or
+    * left keeps its files byte-for-byte. Cells whose entire membership
+    * moved away get their partition dir dropped explicitly (dynamic
+    * overwrite can't replace a partition with zero rows — the
+    * annCompact dead-cell lesson). Cost = sample fit + one corpus
+    * assignment pass + touched-cell-sized write, never an index
+    * rebuild. Returns (new centroids, touched cell ids).
+    *
+    * Store layout: `(vec_id, v) partitionBy cid` — the [[ivfAssign]]
+    * serving layout the append/delete specs pin.
+    */
+  def annRetrain(
+      spark: SparkSession,
+      base: String,
+      sampleFrac: Double = 0.1,
+      k: Int = 16
+  ): (Array[Array[Double]], Seq[Long]) = {
+    val store = spark.read
+      .parquet(base)
+      .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid_old"))
+      .localCheckpoint() // read-own-overwrite + referenced by both join sides
+    val asEmb = store.select(col("vec_id"), col("v").as("embedding"), lit(0).as("label"))
+    val sample = asEmb.filter(
+      expr("CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 1000000")
+        < lit(math.max(1L, (sampleFrac * 1e6).toLong))
+    )
+    // degenerate store / tiny sample: fit on everything rather than crash
+    val fitOn = if (sample.limit(k).count() >= k) sample else asEmb
+    val newCents = kmeansParallel(fitOn, k)
+    val assigned = ivfAssign(asEmb, newCents)
+      .select(col("vec_id"), col("cid").as("cid_new"))
+    val joined = store.join(assigned, Seq("vec_id"))
+    val touched = joined
+      .filter(col("cid_old") =!= col("cid_new"))
+      .select(explode(array(col("cid_old"), col("cid_new"))).as("cid"))
+      .distinct()
+      .collect()
+      .map(_.getLong(0))
+      .toSeq
+      .sorted
+    if (touched.nonEmpty) {
+      val newMembers = joined
+        .filter(col("cid_new").isin(touched: _*))
+        .select(col("vec_id"), col("v"), col("cid_new").as("cid"))
+        .localCheckpoint() // materialize before overwriting what it reads
+      val populated = newMembers.select(col("cid")).distinct().collect().map(_.getLong(0)).toSet
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try newMembers.write.partitionBy("cid").mode("overwrite").parquet(base)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      touched.filterNot(populated).foreach { cid =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$base/cid=$cid"), true)
+        ()
+      }
+    }
+    (newCents, touched)
+  }
+
   /** STREAMING ANN serving twin: a stream of query vectors probed
     * against the static cell layout — the serving cadence where
     * queries arrive continuously while the index is a published

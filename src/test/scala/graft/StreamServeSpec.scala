@@ -113,6 +113,54 @@ class StreamServeSpec extends AnyFunSuite {
     assert(spark.read.parquet(tomb).count() == 0L)
   }
 
+  test("annRetrain: view equals a full rebuild under the new centroids; untouched cells keep their files") {
+    val emb = core.Tables.embeddings(spark, sf)
+    val vd = emb.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    // STALE centroids: raw first-16 data rows (what a drifted index
+    // would still be probing with)
+    val stale = vd
+      .filter(col("vec_id") < 16)
+      .orderBy(col("vec_id"))
+      .collect()
+      .map(_.getSeq[Double](1).toArray)
+    val base = java.nio.file.Files.createTempDirectory("graft_store_retrain").toString
+    graft.llm.Similarity
+      .ivfAssign(emb, stale)
+      .write.partitionBy("cid").mode("overwrite").parquet(base)
+    def files(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isFile) Seq(f)
+        else Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      walk(new java.io.File(base))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> f.length())
+        .toMap
+    }
+    val before = files()
+    val (newCents, touched) =
+      graft.llm.Similarity.annRetrain(spark, base, sampleFrac = 0.5, k = 16)
+    assert(touched.nonEmpty, "kmeans refit over a first-16-seeded layout should move members")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), col("cid").cast("long"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .sorted
+        .toSeq
+    // the retrained store IS a full re-assignment under the new centroids
+    assert(
+      canon(spark.read.parquet(base)) == canon(graft.llm.Similarity.ivfAssign(emb, newCents)),
+      "delta rewrite diverged from the full rebuild"
+    )
+    // cells no member entered or left keep their files byte-for-byte
+    val touchedSet = touched.map(c => s"cid=$c").toSet
+    val after = files()
+    before.foreach { case (p, sz) =>
+      if (!touchedSet.exists(p.contains)) {
+        assert(after.get(p).contains(sz), s"untouched-cell file changed: $p")
+      }
+    }
+  }
+
   test("streaming HLL register store finalizes windows equal to the batch estimate") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
