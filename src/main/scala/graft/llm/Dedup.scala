@@ -195,6 +195,65 @@ object Dedup {
       )
   }
 
+  /** One-sided shingle CONTAINMENT C(A→B) = |A∩B| / |A| for each LSH
+    * candidate pair — the asymmetric near-dup measure Jaccard dilutes
+    * (Broder's containment companion to resemblance): a document
+    * quoted wholesale inside a much larger one scores ≈1 on
+    * containment while its Jaccard shrinks toward |A|/|B|, so the
+    * quote/boilerplate-inclusion class of near-dup only this measure
+    * catches. Rides the SAME banded candidates and row-local
+    * shingle-hash sets as [[jaccard]] (no new corpus pass, no
+    * all-pairs); emits both directions plus the `contained` flag at
+    * max(cont) ≥ 0.8, compared on the ROUNDED values (ulp-proof
+    * threshold, artifact_mask precedent). Exact integer ratios k/n are
+    * the exact-half 6dp class → Dsp.round6 on BOTH engines.
+    */
+  def containment(docs: DataFrame): DataFrame = {
+    val cands = minhashCandidates(docs)
+    val dsha = docs
+      .select(
+        col("doc_id"),
+        graft.functions.exprs
+          .shingle_hash_set(split(col("text"), " "), 3, TextStats.maxTokens)
+          .as("shs")
+      )
+    cands
+      .join(dsha.select(col("doc_id").as("doc_a"), col("shs").as("sha")), Seq("doc_a"))
+      .join(dsha.select(col("doc_id").as("doc_b"), col("shs").as("shb")), Seq("doc_b"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        size(array_intersect(col("sha"), col("shb"))).cast("long").as("n_inter"),
+        size(col("sha")).cast("long").as("na"),
+        size(col("shb")).cast("long").as("nb")
+      )
+      // match the join-based oracle: empty intersections emit nothing
+      .filter(col("n_inter") > 0)
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        graft.core.Dsp.round6(col("n_inter") / col("na")).as("cont_a"),
+        graft.core.Dsp.round6(col("n_inter") / col("nb")).as("cont_b")
+      )
+      .withColumn("contained", greatest(col("cont_a"), col("cont_b")) >= lit(0.8))
+  }
+
+  val containmentSql: String = {
+    val ca = graft.core.Dsp.round6Sql("i.n_inter / ca.n_sh")
+    val cb = graft.core.Dsp.round6Sql("i.n_inter / cb.n_sh")
+    s"WITH $signaturesSql, $bandsSql, " +
+      "cands AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a " +
+      s"JOIN bands b ON $bandJoinOn AND a.doc_id < b.doc_id), " +
+      "cnts AS (SELECT doc_id, count(*) AS n_sh FROM dsh GROUP BY doc_id), " +
+      "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter FROM cands c " +
+      "JOIN dsh x ON x.doc_id = c.doc_a JOIN dsh y ON y.doc_id = c.doc_b AND y.sh = x.sh " +
+      "GROUP BY c.doc_a, c.doc_b), " +
+      s"cont AS MATERIALIZED (SELECT i.doc_a, i.doc_b, $ca AS cont_a, $cb AS cont_b " +
+      "FROM inter i JOIN cnts ca ON ca.doc_id = i.doc_a JOIN cnts cb ON cb.doc_id = i.doc_b) " +
+      s"SELECT doc_a, doc_b, cont_a, cont_b, " +
+      s"(greatest(cont_a, cont_b) >= ${graft.core.Dsp.lit(0.8)}) AS contained FROM cont"
+  }
+
   /** Edit-distance clip: verify cost is O(clip²) per candidate pair
     * regardless of document length — the bounded-cost contract an
     * all-lengths levenshtein would break at 100 TB.
@@ -1691,6 +1750,7 @@ object Dedup {
     "dedup_minhash" -> { (s, dir) => minhashCandidates(Tables.documents(s, dir)) },
     "dedup_edit" -> { (s, dir) => editDupes(Tables.documents(s, dir)) },
     "dedup_jaccard" -> { (s, dir) => jaccard(Tables.documents(s, dir)) },
+    "dedup_containment" -> { (s, dir) => containment(Tables.documents(s, dir)) },
     "dedup_simhash" -> { (s, dir) => simhash(Tables.documents(s, dir)) },
     "dedup_simhash_pairs" -> { (s, dir) => simhashPairs(Tables.documents(s, dir)) },
     "dedup_components" -> { (s, dir) =>
@@ -1732,6 +1792,7 @@ object Dedup {
     // the streaming LSH's batch twin IS the batch candidate set
     "dedup_stream_minhash" -> minhashCandidatesSql,
     "dedup_jaccard" -> jaccardSql,
+    "dedup_containment" -> containmentSql,
     "dedup_simhash" -> simhashSql,
     "dedup_simhash_pairs" -> simhashPairsSql,
     "dedup_components" -> componentsSql,

@@ -458,17 +458,90 @@ object Urls {
     head + iterCtes + s"SELECT host, r AS rank_micros FROM r$iters"
   }
 
+  /** Host-graph TRIANGLE COUNT — the local-cohesion metric web-graph
+    * QA reads next to PageRank (link-farm cliques triangle-saturate;
+    * organic hubs don't), over the same deterministic host link graph
+    * as [[hostPagerank]]. The scale shape is DEGREE-ORDERED
+    * ORIENTATION (the standard power-law-graph trick): direct each
+    * undirected edge from its lower-(degree, id) endpoint to the
+    * higher, which makes the orientation a DAG where every triangle
+    * has EXACTLY one (a→b, b→c, a→c) form — counted once, no 3!-fold
+    * dedup — and bounds the wedge join's fanout by the max ORIENTED
+    * out-degree, O(√m) on any graph (arboricity) instead of the max
+    * raw hub degree. Two equi-joins total; per-host participation is
+    * one corner explode + count.
+    */
+  def hostTriangles(docs: DataFrame): DataFrame = {
+    val und = docs
+      .select(
+        expr("doc_id % 20").as("src"),
+        // the pagerank generators alone are PARITY-FLIPPING affine maps
+        // (odd multiplier, odd offset) — the graph they build is
+        // bipartite and triangle-FREE; the third, parity-preserving
+        // generator breaks bipartiteness (25 triangles at every sf)
+        explode(
+          array(
+            expr("(doc_id * 3 + 1) % 20"),
+            expr("(doc_id * 7 + 3) % 20"),
+            expr("(doc_id * 9 + 4) % 20")
+          )
+        ).as("dst")
+      )
+      .filter(col("src") =!= col("dst") && col("src") < 17)
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+    val deg = und
+      .select(explode(array(col("u"), col("v"))).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("deg"))
+    val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+    val e = und
+      .join(deg.select(col("h").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("h").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(fwd, col("u")).otherwise(col("v")).as("a"),
+        when(fwd, col("v")).otherwise(col("u")).as("b")
+      )
+      .localCheckpoint() // referenced by all three join legs (fan-out rule)
+    val tri = e
+      .as("e1")
+      .join(e.as("e2"), col("e1.b") === col("e2.a"))
+      .join(e.as("e3"), col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("host"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_tri"))
+  }
+
+  val hostTrianglesSql: String =
+    "WITH e0 AS (SELECT doc_id % 20 AS src, " +
+      "unnest([(doc_id * 3 + 1) % 20, (doc_id * 7 + 3) % 20, (doc_id * 9 + 4) % 20]) AS dst FROM documents), " +
+      "und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v " +
+      "FROM e0 WHERE src <> dst AND src < 17), " +
+      "deg AS MATERIALIZED (SELECT h, count(*) AS deg FROM " +
+      "(SELECT u AS h FROM und UNION ALL SELECT v AS h FROM und) x GROUP BY h), " +
+      "e AS MATERIALIZED (SELECT " +
+      "CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v) THEN u ELSE v END AS a, " +
+      "CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v) THEN v ELSE u END AS b " +
+      "FROM und JOIN deg du ON du.h = und.u JOIN deg dv ON dv.h = und.v), " +
+      "tri AS MATERIALIZED (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 " +
+      "JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) " +
+      "SELECT host, count(*) AS n_tri FROM (SELECT unnest([x, y, z]) AS host FROM tri) c GROUP BY host"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_url" -> { (s, dir) => curateUrl(Tables.documents(s, dir)) },
     "curate_url_hosts" -> { (s, dir) => urlHosts(Tables.documents(s, dir)) },
     "curate_web" -> { (s, dir) => curateWeb(Tables.documents(s, dir)) },
-    "curate_pagerank" -> { (s, dir) => hostPagerank(Tables.documents(s, dir)) }
+    "curate_pagerank" -> { (s, dir) => hostPagerank(Tables.documents(s, dir)) },
+    "graph_triangles" -> { (s, dir) => hostTriangles(Tables.documents(s, dir)) }
   )
 
   def oracleSql: Map[String, String] = Map(
     "curate_url" -> curateUrlSql,
     "curate_url_hosts" -> urlHostsSql,
     "curate_web" -> curateWebSql(),
-    "curate_pagerank" -> hostPagerankSql()
+    "curate_pagerank" -> hostPagerankSql(),
+    "graph_triangles" -> hostTrianglesSql
   )
 }
