@@ -242,13 +242,15 @@ object Prof {
       t(s"docs${docsX}_unigram_fit", nDocs)(
         llm.Unigram.fit(docs).pieces.size.toLong
       )
-      val wordVocab = docs
-        .select(explode(split(col("text"), " ")).as("w"))
-        .filter(col("w") =!= "" && length(col("w")) <= 12)
-        .select(countDistinct(col("w")))
-        .collect()(0)
-        .getLong(0)
-      println(s"PROF unigram word vocab = $wordVocab distinct words")
+      if (only.forall(_.exists("unigram_fit_v1000".contains))) {
+        val wordVocab = docs
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(col("w") =!= "" && length(col("w")) <= 12)
+          .select(countDistinct(col("w")))
+          .collect()(0)
+          .getLong(0)
+        println(s"PROF unigram word vocab = $wordVocab distinct words")
+      }
       t(s"docs${docsX}_unigram_fit_v1000", nDocs)(
         llm.Unigram.fit(docs, vocabSize = 1000, maxPieceLen = 4, rounds = 4).pieces.size.toLong
       )
@@ -259,7 +261,9 @@ object Prof {
       // 1000-piece target. Contract under test: the distinct-word
       // frame stays distributed, per-round shuffle is vocab-sized, and
       // the driver holds only the (≤4×1000 + charset) vocab.
-      locally {
+      // (corpus build gated like its phase — a PROF_ONLY run filtered
+      // to other phases must not pay the 10M-token synthesis)
+      if (only.forall(_.exists("unigram_fit_100kvocab_v1000".contains))) {
         val syl = Array(
           "ba", "be", "bi", "bo", "bu", "da", "de", "di", "do", "du",
           "ka", "ke", "ki", "ko", "ku", "la", "le", "li", "lo", "lu",
@@ -301,6 +305,9 @@ object Prof {
       // windowed-pair aggregation (the priciest text join family —
       // pair volume ~ 2·tokens)
       t(s"docs${docsX}_threshold_curve", nDocs)(llm.Dedup.thresholdCurve(docs).count())
+      // r13: containment rides the same banded candidates + row-local
+      // shingle sets as jaccard — decade cost should track it
+      t(s"docs${docsX}_containment", nDocs)(llm.Dedup.containment(docs).count())
       t(s"docs${docsX}_text_pmi", nDocs)(llm.TextStats.textPmi(docs).count())
       docs.unpersist()
       ()
