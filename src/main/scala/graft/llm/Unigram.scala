@@ -399,6 +399,13 @@ object Unigram {
   def wordpieceSeg(spark: SparkSession, dir: String): DataFrame = {
     val m = gateModel(spark, dir)
     wpSqlVar = Some(wpSqlFor(m))
+    segFrame(spark, dir, m)
+  }
+
+  /** The row-local greedy segmentation frame under an arbitrary
+    * piece model — shared by the unigram-vocab and WP-trained gates.
+    */
+  private def segFrame(spark: SparkSession, dir: String, m: Model): DataFrame = {
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(m)
     words(Tables.documents(spark, dir))
@@ -411,6 +418,105 @@ object Unigram {
       })
       .toDF("word", "freq", "n_pieces", "seg")
       .select(col("word"), col("freq"), col("n_pieces"), md5(col("seg")).as("seg_md5"))
+  }
+
+  /** WordPiece LIKELIHOOD trainer (Schuster & Nakajima 2012 — the
+    * BERT trainer): each step merges the adjacent symbol pair
+    * maximizing count(ab) / (count(a)·count(b)) — the unigram-LM
+    * likelihood GAIN of fusing the pair — where BPE's criterion is the
+    * raw count(ab). The discriminating case (spec-planted): a
+    * frequent pair of independently-frequent symbols loses to a rarer
+    * pair whose parts occur ONLY together. Runs driver-side sequential
+    * over the bounded top-[[Bpe.vocabLimit]] word vocabulary (the
+    * gateMerges bounded-collect shape — a word vocab is Zipf-bounded
+    * at any corpus size; the corpus-sized work is the ONE word-count
+    * TakeOrdered). Argmax comparisons are EXACT cross-multiplied
+    * BigInt rationals with the (score DESC, merged-string ASC)
+    * tie-break — float ratios could flip on a ulp and break the
+    * run-determinism the gate's literal-embedded oracle needs.
+    * Returns a [[Model]] whose pieces are every single char (coverage)
+    * plus the merged strings, valued by final symbol count micros —
+    * the greedy encoder and the 12-step SQL gate machinery consume
+    * membership only.
+    */
+  def fitWordpiece(docs: DataFrame, nMerges: Int = 24): Model = {
+    val words0 = docs
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "" && length(col("tok")) <= 12)
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("tok").asc)
+      .limit(Bpe.vocabLimit)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    var sym: Array[(Array[String], Long)] =
+      words0.map { case (w, f) => (w.map(_.toString).toArray, f) }
+    val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+    var step = 0
+    var done = false
+    var lastCounts = Map.empty[String, Long]
+    while (step < nMerges && !done) {
+      val cs = scala.collection.mutable.HashMap.empty[String, Long]
+      val cp = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      sym.foreach { case (ss, f) =>
+        ss.foreach(s => cs(s) = cs.getOrElse(s, 0L) + f)
+        var i = 0
+        while (i < ss.length - 1) {
+          val k = (ss(i), ss(i + 1)); cp(k) = cp.getOrElse(k, 0L) + f; i += 1
+        }
+      }
+      lastCounts = cs.toMap
+      if (cp.isEmpty) done = true
+      else {
+        // argmax of c_ab/(c_a·c_b): exact rational compare — score(k)
+        // beats score(best) iff c_k·denom(best) > c_best·denom(k)
+        def denom(k: (String, String)) = BigInt(cs(k._1)) * BigInt(cs(k._2))
+        var best: ((String, String), Long) = null
+        for ((k, c) <- cp) {
+          if (best == null) best = (k, c)
+          else {
+            val cmp = (BigInt(c) * denom(best._1)).compare(BigInt(best._2) * denom(k))
+            if (cmp > 0 || (cmp == 0 && k._1 + k._2 < best._1._1 + best._1._2)) best = (k, c)
+          }
+        }
+        val (a, b) = best._1
+        merged += (a + b)
+        sym = sym.map { case (ss, f) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < ss.length) {
+            if (i < ss.length - 1 && ss(i) == a && ss(i + 1) == b) { out += (a + b); i += 2 }
+            else { out += ss(i); i += 1 }
+          }
+          (out.toArray, f)
+        }
+        step += 1
+      }
+    }
+    val chars = words0.flatMap(_._1.map(_.toString)).distinct
+    val pieces = (chars ++ merged).distinct
+      .map(p => p -> lastCounts.getOrElse(p, 0L) * 1000000L)
+      .toMap
+    Model(pieces, if (pieces.isEmpty) 1 else pieces.keys.map(_.length).max)
+  }
+
+  private val wpTrainedCache = new java.util.concurrent.ConcurrentHashMap[String, Model]()
+  @volatile private var wpTrainedSqlVar: Option[String] = None
+
+  /** Gate: greedy segmentation of every corpus word under the
+    * WP-LIKELIHOOD-trained vocab (24 merges fit on this corpus at
+    * query-build time) — the trained-tokenizer twin of
+    * `text_wordpiece_seg` (whose vocab is the unigram EM fit), closing
+    * the third trainer of the production family: BPE (count), unigram
+    * (EM), WordPiece (likelihood). Same literal-vocab 12-step
+    * MATERIALIZED CASE chain oracle; the trained pieces embed in BOTH
+    * plans, so the gate pins trainer determinism AND encoder/SQL
+    * algorithm agreement.
+    */
+  def wordpieceTrained(spark: SparkSession, dir: String): DataFrame = {
+    val m = wpTrainedCache.computeIfAbsent(dir, d => fitWordpiece(Tables.documents(spark, d)))
+    wpTrainedSqlVar = Some(wpSqlFor(m))
+    segFrame(spark, dir, m)
   }
 
   /** Greedy WordPiece in Scala — the encoder the SQL gate must agree
@@ -432,11 +538,13 @@ object Unigram {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_unigram_tok" -> { (s, dir) => unigramTok(s, dir) },
-    "text_wordpiece_seg" -> { (s, dir) => wordpieceSeg(s, dir) }
+    "text_wordpiece_seg" -> { (s, dir) => wordpieceSeg(s, dir) },
+    "text_wordpiece_trained" -> { (s, dir) => wordpieceTrained(s, dir) }
   )
 
   def oracleSql: Map[String, String] = Map(
     "text_unigram_tok" -> tokSqlVar.getOrElse(unfittedSql),
-    "text_wordpiece_seg" -> wpSqlVar.getOrElse(unfittedSql)
+    "text_wordpiece_seg" -> wpSqlVar.getOrElse(unfittedSql),
+    "text_wordpiece_trained" -> wpTrainedSqlVar.getOrElse(unfittedSql)
   )
 }

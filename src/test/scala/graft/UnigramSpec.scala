@@ -92,4 +92,34 @@ class UnigramSpec extends AnyFunSuite {
     assert(graft.llm.Unigram.wordpiece("abc", m2).isEmpty) // greedy: 'ab' then 'c' missing
     assert(graft.llm.Unigram.viterbi("abc", m2)._2 == Seq("a", "bc")) // viterbi finds it
   }
+
+  test("wordpiece likelihood trainer prefers the always-together pair over the frequent-but-independent one") {
+    import spark.implicits._
+    // 'st' is the most FREQUENT pair (120) but s and t are everywhere
+    // (score 120/(220*220)); 'xy' is rarer (30) but x and y occur ONLY
+    // together (score 30/(30*30)) -> WordPiece merges xy first where
+    // BPE (raw count) merges st first — the criterion discriminator
+    val text = (("st " * 120) + ("sa " * 100) + ("ta " * 100) + ("xy " * 30)).trim
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val m = graft.llm.Unigram.fitWordpiece(docs, nMerges = 1)
+    assert(m.pieces.contains("xy"), s"expected xy merged, pieces=${m.pieces.keys}")
+    assert(!m.pieces.contains("st"), "st must not merge on the first likelihood step")
+    val bpeFirst =
+      graft.llm.Bpe.train(Seq(("st", 120L), ("sa", 100L), ("ta", 100L), ("xy", 30L)), 1).head
+    assert(bpeFirst == "s" + graft.llm.Bpe.sep + "t", s"BPE picks raw count: $bpeFirst")
+    // the trained model still segments every corpus word (char coverage)
+    Seq("st", "sa", "ta", "xy").foreach { w =>
+      assert(graft.llm.Unigram.wordpiece(w, m).isDefined, s"$w unsegmentable")
+    }
+    assert(graft.llm.Unigram.wordpiece("xy", m).get == Seq("xy"))
+  }
+
+  test("wordpiece trainer is deterministic and merges are exact-rational ranked") {
+    import spark.implicits._
+    val text = (("ab " * 50) + ("cd " * 50) + ("ae " * 25) + ("ce " * 25)).trim
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    val m1 = graft.llm.Unigram.fitWordpiece(docs, nMerges = 3)
+    val m2 = graft.llm.Unigram.fitWordpiece(docs, nMerges = 3)
+    assert(m1.pieces.keySet == m2.pieces.keySet, "trainer nondeterministic across runs")
+  }
 }
