@@ -392,6 +392,53 @@ object StreamOps {
       .toDF("user_id", "t_view", "t_click", "t_purchase", "stage")
   }
 
+  /** Streaming cohort-retention twin of `events_retention`: per-user
+    * state is EXACTLY two longs forever — (cohort week, emitted-offset
+    * BITMASK over offsets 0..63) — so the state store holds |users|·16 B
+    * regardless of traffic, history length, or window count. Each
+    * (user, active-week) pair emits ONCE, the first time it is seen
+    * (repeat events in an already-emitted week hit the mask and emit
+    * nothing); the cohort rollup (countDistinct per (cohort, offset) —
+    * the batch gate's own aggregation) runs over the emitted store
+    * downstream, the anomalyBucketsStream stateful/rank split. Cohort
+    * policy: first week SEEN becomes the user's cohort; an event from
+    * an EARLIER week arriving after the user was already cohorted (the
+    * cross-batch out-of-order first contact) is dropped rather than
+    * re-based — re-basing would shift every already-emitted offset.
+    * The batch twin (min-week cohort) agrees whenever each user's
+    * first-week event arrives no later than their other weeks'
+    * micro-batches, the deploy-forward case; rows within one batch are
+    * sorted, so intra-batch disorder never diverges (spec-pinned).
+    */
+  def retentionStream(events: DataFrame, horizonWeeks: Int = 63): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id"), expr("(ts_ns - ts_ns % 1000) div 604800000000000").as("wk"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        OutputMode.Append,
+        GroupStateTimeout.NoTimeout
+      ) { (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
+        val wks = rows.map(_._2).toArray.sorted
+        var (cohort, mask) = state.getOption.getOrElse((Long.MaxValue, 0L))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        wks.foreach { wk =>
+          if (cohort == Long.MaxValue) cohort = wk
+          val off = wk - cohort
+          if (off >= 0 && off <= horizonWeeks && ((mask >> off) & 1L) == 0L) {
+            mask |= (1L << off)
+            out += ((cohort, off, user))
+          }
+        }
+        state.update((cohort, mask))
+        out.iterator
+      }
+      .toDF("cohort_wk", "week_offset", "user_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_agg" -> { (s, dir) => windowedAgg(Tables.events(s, dir)) },
     "win_topn" -> { (s, dir) => windowTopN(Tables.events(s, dir)) },

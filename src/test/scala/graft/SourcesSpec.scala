@@ -213,6 +213,62 @@ class StreamSpec extends AnyFunSuite {
     assert(scored.filter(_._2).keySet == Set(26L), s"only the burst should flag: $scored")
   }
 
+  test("retention stream: per-user bitmask state emits each (user, week) once; rollup equals the batch cohort counts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long)]
+    val events = input.toDF().toDF("user_id", "ts_ns")
+    val q = graft.streaming.StreamOps
+      .retentionStream(events)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("ret_out")
+      .start()
+    val wkNs = 604800000000000L
+    // 40 users, staggered cohorts, gappy activity, REPEAT events within
+    // weeks (mask dedup), intra-batch disorder; delivered in two waves
+    // split by week so no user's first contact arrives late
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 40L).flatMap { u =>
+      val cohort = u % 3
+      (0 to 8).filter(o => (u + o) % 4 != 1).flatMap { o =>
+        val wk = cohort + o
+        Seq.fill(1 + rnd.nextInt(3))((u, wk * wkNs + (u % 100) * 1000000L))
+      }
+    }
+    val (w1, w2) = rows.partition(_._2 < 5 * wkNs)
+    input.addData(rnd.shuffle(w1): _*)
+    q.processAllAvailable()
+    input.addData(rnd.shuffle(w2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark
+      .sql("SELECT cohort_wk, week_offset, user_id FROM ret_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(emitted.distinct.length == emitted.length, "a (user, week) pair re-emitted")
+    // rollup over the emitted store == the batch gate's aggregation
+    val got = emitted
+      .groupBy(e => (e._1, e._2))
+      .map { case (k, es) => (k._1, k._2, es.map(_._3).distinct.length.toLong) }
+      .toSet
+    val batch = rows
+      .map { case (u, ns) => (u, ns / wkNs) }
+      .distinct
+      .groupBy(_._1)
+      .toSeq
+      .flatMap { case (u, uws) =>
+        val cohort = uws.map(_._2).min
+        uws.map(_._2).distinct.map(wk => (cohort, wk - cohort, u))
+      }
+      .groupBy(e => (e._1, e._2))
+      .map { case (k, es) => (k._1, k._2, es.map(_._3).distinct.length.toLong) }
+      .toSet
+    assert(got == batch, s"stream rollup ${got.size} cells != batch ${batch.size}")
+  }
+
   test("hopping-window stream: closed windows equal the batch gate's explode form; emitted once; state evicted") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
