@@ -492,6 +492,66 @@ object BaseQueries {
       merged.write.mode("overwrite").parquet(s"$tmp/store")
       s.read.parquet(s"$tmp/store")
     },
+    "rollup_rewrite_serve" -> { (s, dir) =>
+      // THE OPTIMIZER RULE END-TO-END IN THE GATE SESSION: rollup_inc
+      // proves the store MAINTENANCE; this gate proves the store
+      // actually ANSWERS queries — a registered (flag, status) rollup
+      // substitutes for the corpus scan at OPTIMIZATION time inside
+      // the exact session a cluster runs (Verify installs
+      // graft.GraftExtensions), exercising the r13 SUBSET-key + avg
+      // derivations: the query groups by l_returnflag ALONE with an
+      // avg, so RollupRewrite must re-aggregate the store (sum of
+      // partial sums, avg = Σsum/Σcount). The gate THROWS unless the
+      // optimized plan stopped reading l_quantity (rewrite fired), and
+      // the rewritten rows hash against the plain-SQL oracle — a
+      // rewrite that fires wrongly cannot pass. All sums are EXACT
+      // (TPC-H quantities are integral doubles < 2^53), so rewrite ≡
+      // recompute bit-for-bit. Registration is scoped to this query:
+      // the 3-row result is collected (bounded) and the store
+      // unregistered before returning, so no other gate's plan can
+      // ever see it.
+      val tmp = sources.Scratch.dir("rollup_rewrite_serve")
+      val li = Tables.lineitem(s, dir)
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+        .write
+        .mode("overwrite")
+        .parquet(s"$tmp/store")
+      plans.MaterializedRollups.register(
+        "gate_li_rollup",
+        plans.MaterializedRollups.Spec(
+          basePath = s"$dir/lineitem.parquet",
+          baseCols = Set("l_returnflag", "l_linestatus", "l_quantity"),
+          groupCols = Set("l_returnflag", "l_linestatus"),
+          sumCols = Map("l_quantity" -> "sum_qty"),
+          countCol = Some("n_rows"),
+          store = s"$tmp/store"
+        )
+      )
+      try {
+        s.conf.set("spark.graft.rollupRewrite", "true")
+        val q = li
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sum(col("l_quantity")).as("sum_qty"),
+            avg(col("l_quantity")).as("avg_qty"),
+            count(lit(1)).as("n_rows")
+          )
+        val opt = q.queryExecution.optimizedPlan.toString
+        require(
+          !opt.contains("l_quantity") && opt.contains("sum_qty"),
+          s"rollup rewrite did not fire in the gate session:\n$opt"
+        )
+        val rows = q.collect().toIndexedSeq
+        s.createDataFrame(
+          s.sparkContext.parallelize(rows, 1),
+          q.schema
+        )
+      } finally {
+        s.conf.unset("spark.graft.rollupRewrite")
+        plans.MaterializedRollups.unregister("gate_li_rollup")
+      }
+    },
     "sink_parquet" -> { (s, dir) =>
       // sink surface: partitioned parquet write + partition-pruned
       // read-back. The re-read filters to two lang partitions — the
@@ -1046,6 +1106,9 @@ object BaseQueries {
     "rollup_inc" ->
       ("SELECT l_returnflag, l_linestatus, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, " +
         "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus"),
+    "rollup_rewrite_serve" ->
+      ("SELECT l_returnflag, sum(l_quantity) AS sum_qty, avg(l_quantity) AS avg_qty, " +
+        "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag"),
     "sink_parquet" ->
       ("SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars " +
         "FROM documents WHERE lang IN ('en', 'zh') GROUP BY lang"),
