@@ -313,6 +313,55 @@ object BaseQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_anomaly" -> { (s, dir) => eventsAnomaly(Tables.events(s, dir)) },
     "events_ewma" -> { (s, dir) => eventsEwma(Tables.events(s, dir)) },
+    "events_ab_test" -> { (s, dir) =>
+      // A/B experiment readout — the two-proportion z-test every
+      // product-analytics stack serves off the event stream: arm =
+      // user_id % 2 (deterministic assignment plant), metric = the
+      // user is HIGH-ERROR (error events ≥ 20% of their events —
+      // ne·5 ≥ nt, an exact integer compare; every-user-converts
+      // metrics make p̂ = 1 and the z denominator 0, probed on this
+      // corpus). The evidencing columns (n/conv per
+      // arm) are EXACT BIGINTs from two integer aggregations (one
+      // user-keyed, one 2-row arm rollup); z rides ONE shared formula
+      // string over those exact integers (closed-form double ops are
+      // bit-identical cross-engine; round6 per the float-output rule)
+      // and `significant` compares the ROUNDED z against 1.96 (the
+      // ulp-proof threshold discipline). Work: one user-keyed shuffle
+      // + a 2-row agg — at 100 TB the arm rollup is map-side combined.
+      val per = Tables
+        .events(s, dir)
+        .select(col("user_id"), col("event_type"))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("ne"),
+          count(lit(1)).as("nt")
+        )
+        .select(
+          (col("user_id") % 2).as("arm"),
+          when(col("ne") * 5 >= col("nt"), 1L).otherwise(0L).as("conv")
+        )
+        .groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+      val zExpr =
+        "((c0 / n0 - c1 / n1) / sqrt(((c0 + c1) / (n0 + n1)) * " +
+          s"(${graft.core.Dsp.lit(1.0)} - (c0 + c1) / (n0 + n1)) * " +
+          s"(${graft.core.Dsp.lit(1.0)} / n0 + ${graft.core.Dsp.lit(1.0)} / n1)))"
+      per
+        .agg(
+          sum(when(col("arm") === 0, col("n"))).as("n0"),
+          sum(when(col("arm") === 0, col("c"))).as("c0"),
+          sum(when(col("arm") === 1, col("n"))).as("n1"),
+          sum(when(col("arm") === 1, col("c"))).as("c1")
+        )
+        .selectExpr(
+          "n0",
+          "c0",
+          "n1",
+          "c1",
+          s"${graft.core.Dsp.round6Sql(zExpr)} AS z",
+          s"(abs(${graft.core.Dsp.round6Sql(zExpr)}) >= ${graft.core.Dsp.lit(1.96)}) AS significant"
+        )
+    },
     "q1_agg" -> { (s, dir) =>
       Tables
         .lineitem(s, dir)
@@ -1043,6 +1092,22 @@ object BaseQueries {
 
   def oracleSql: Map[String, String] = Map(
     "events_ewma" -> eventsEwmaSql,
+    "events_ab_test" -> {
+      val zExpr =
+        "((c0 / n0 - c1 / n1) / sqrt(((c0 + c1) / (n0 + n1)) * " +
+          s"(${graft.core.Dsp.lit(1.0)} - (c0 + c1) / (n0 + n1)) * " +
+          s"(${graft.core.Dsp.lit(1.0)} / n0 + ${graft.core.Dsp.lit(1.0)} / n1)))"
+      "WITH pu AS (SELECT user_id, sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS ne, " +
+        "count(*) AS nt FROM events GROUP BY user_id), " +
+        "ar AS (SELECT user_id % 2 AS arm, CASE WHEN ne * 5 >= nt THEN 1 ELSE 0 END AS conv FROM pu), " +
+        "ag AS MATERIALIZED (SELECT " +
+        "CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, " +
+        "CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, " +
+        "CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1 FROM ar) " +
+        s"SELECT n0, c0, n1, c1, ${graft.core.Dsp.round6Sql(zExpr)} AS z, " +
+        s"(abs(${graft.core.Dsp.round6Sql(zExpr)}) >= ${graft.core.Dsp.lit(1.96)}) AS significant FROM ag"
+    },
     "events_anomaly" ->
       ("WITH e AS (SELECT event_type, epoch_ns(ts) // 3600000000000 AS bucket FROM events), " +
         "c0 AS (SELECT event_type, bucket, count(*) AS cnt0 FROM e GROUP BY 1, 2), " +
