@@ -694,6 +694,33 @@ object Api {
   def hostPagerank(docs: DataFrame, iters: Int = 8): DataFrame =
     llm.Urls.hostPagerank(docs, iters)
 
+  /** Host-graph triangle count (degree-ordered orientation). */
+  def hostTriangles(docs: DataFrame): DataFrame = llm.Urls.hostTriangles(docs)
+
+  /** One-sided shingle containment per LSH candidate pair — the
+    * doc-in-doc / quote-inclusion near-dup measure Jaccard dilutes.
+    */
+  def containment(docs: DataFrame): DataFrame = llm.Dedup.containment(docs)
+
+  /** ANN centroid-drift retrain: sample refit + delta-sized cell
+    * rewrite; returns (new centroids, touched cells).
+    */
+  def annRetrain(spark: SparkSession, base: String, sampleFrac: Double = 0.1, k: Int = 16)
+      : (Array[Array[Double]], Seq[Long]) =
+    llm.Similarity.annRetrain(spark, base, sampleFrac, k)
+
+  /** WordPiece likelihood trainer (the BERT criterion). */
+  def fitWordpiece(docs: DataFrame, nMerges: Int = 24): llm.Unigram.Model =
+    llm.Unigram.fitWordpiece(docs, nMerges)
+
+  /** Streaming hopping-window aggregation (events_hopwin's twin). */
+  def hopWinStream(events: DataFrame): DataFrame =
+    streaming.StreamOps.hopWinStream(events)
+
+  /** Streaming cohort retention, 16 bytes of state per user. */
+  def retentionStream(events: DataFrame, horizonWeeks: Int = 63): DataFrame =
+    streaming.StreamOps.retentionStream(events, horizonWeeks)
+
   /** Energy-based voice-activity detection over WAV payloads. */
   def audioVad(media: DataFrame): DataFrame = llm.Multimodal.audioVad(media)
 
