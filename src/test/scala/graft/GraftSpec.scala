@@ -13,6 +13,10 @@ object TestSpark {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the test session IS the production session (the r13 Verify/
+      // Bench discipline): production rules loaded, so gates that
+      // exercise them (rollup_rewrite_serve) run here too
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
