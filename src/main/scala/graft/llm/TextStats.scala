@@ -551,43 +551,72 @@ object TextStats {
   }
 
   def chunksGear(docs: DataFrame): DataFrame = {
-    val chars = docs
+    // ROW-LOCAL KERNEL (r13): the original form exploded every char
+    // (≈2048 rows/doc) through a 48-lag window — one doc-keyed
+    // exchange plus a 10M-row window sort at sf0.1, 4.6 s warm as the
+    // priciest row-local gate. The hash is wholly positional within
+    // one doc, so the honest form (wordpiece precedent) is a per-doc
+    // Scala loop computing the IDENTICAL 48-term lag-sum mod p,
+    // boundary rule, and per-chunk md5 — ZERO exchanges, and the gate
+    // now pins algorithm agreement between this kernel and the
+    // independent SQL lag-sum derivation (chunksGearSql, unchanged).
+    // Exactness: terms g·3^j < 2^46, the 48-term sum < 2^52 — the
+    // same no-overflow argument the SQL relies on; per-char g memoizes
+    // (corpus charset is small). ASCII corpus: char == code point
+    // (the dedup_edit byte-vs-codepoint note applies to non-ASCII).
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val powers: Array[Long] = (0 until gearW).map(gearPow).toArray
+    docs
       .select(col("doc_id"), expr(s"substr(text, 1, $gearMaxChars)").as("t"))
-      // sequence(1, 0) DESCENDS to [1, 0] (CLAUDE.md shingles gotcha):
-      // an empty doc would emit two phantom char rows the oracle's
-      // generate_series never produces — exclude it before exploding.
+      // empty docs emit no chunks (the oracle's generate_series emits
+      // no char rows for them)
       .filter(length(col("t")) >= 1)
-      .select(col("doc_id"), col("t"), explode(expr("sequence(1, length(t))")).as("i"))
-      .select(
-        col("doc_id"),
-        col("i"),
-        expr("substr(t, i, 1)").as("ch"),
-        expr("CAST(conv(substr(md5(substr(t, i, 1)), 1, 4), 16, 10) AS BIGINT) % 32768").as("g")
-      )
-    val wOrd = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-      .orderBy(col("i"))
-    val hTerms = (0 until gearW)
-      .map(j => lag(col("g"), j, 0L).over(wOrd) * lit(gearPow(j)))
-      .reduce(_ + _)
-    val wRun = wOrd.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    chars
-      .withColumn("h", pmod(hTerms, lit(gearP)))
-      .withColumn(
-        "b",
-        (col("i") >= gearW && col("h") % gearDiv === 0L).cast("long")
-      )
-      .withColumn("chunk_id", coalesce(sum(col("b")).over(wRun), lit(0L)))
-      .groupBy(col("doc_id"), col("chunk_id"))
-      .agg(
-        count(lit(1)).as("n_chars"),
-        md5(
-          concat_ws(
-            "",
-            transform(sort_array(collect_list(struct(col("i"), col("ch")))), e => e.getField("ch"))
-          )
-        ).as("chunk_md5")
-      )
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hex(bytes: Array[Byte]): String = {
+          val sb = new java.lang.StringBuilder(bytes.length * 2)
+          bytes.foreach(b => sb.append(f"${b & 0xff}%02x"))
+          sb.toString
+        }
+        val gMemo = scala.collection.mutable.HashMap.empty[Char, Long]
+        def g(c: Char): Long = gMemo.getOrElseUpdate(
+          c, {
+            val h4 = hex(md.digest(String.valueOf(c).getBytes("UTF-8"))).substring(0, 4)
+            java.lang.Long.parseLong(h4, 16) % 32768L
+          }
+        )
+        it.flatMap { case (docId, t) =>
+          val n = t.length
+          val gs = new Array[Long](n + 1) // 1-based, gs(k ≤ 0) ≡ 0 (the lag default)
+          var i = 1
+          while (i <= n) { gs(i) = g(t.charAt(i - 1)); i += 1 }
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, String)]
+          var chunkId = 0L
+          var start = 1
+          i = 1
+          while (i <= n) {
+            var h = 0L
+            var j = 0
+            while (j < gearW) {
+              val k = i - j
+              if (k >= 1) h += gs(k) * powers(j)
+              j += 1
+            }
+            if (i >= gearW && h % gearP % gearDiv == 0L) {
+              out += ((docId, chunkId, (i - start + 1).toLong, hex(md.digest(t.substring(start - 1, i).getBytes("UTF-8")))))
+              chunkId += 1
+              start = i + 1
+            }
+            i += 1
+          }
+          if (start <= n)
+            out += ((docId, chunkId, (n - start + 1).toLong, hex(md.digest(t.substring(start - 1, n).getBytes("UTF-8")))))
+          out
+        }
+      }
+      .toDF("doc_id", "chunk_id", "n_chars", "chunk_md5")
   }
 
   def chunksGearSql: String = {
