@@ -721,6 +721,12 @@ object Api {
   def retentionStream(events: DataFrame, horizonWeeks: Int = 63): DataFrame =
     streaming.StreamOps.retentionStream(events, horizonWeeks)
 
+  /** Streaming event-transition (Markov bigram) stream, one-row state
+    * per user.
+    */
+  def markovStream(events: DataFrame): DataFrame =
+    streaming.StreamOps.markovStream(events)
+
   /** Energy-based voice-activity detection over WAV payloads. */
   def audioVad(media: DataFrame): DataFrame = llm.Multimodal.audioVad(media)
 

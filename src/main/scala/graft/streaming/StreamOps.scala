@@ -439,6 +439,50 @@ object StreamOps {
       .toDF("cohort_wk", "week_offset", "user_id")
   }
 
+  /** Streaming first-order transition stream — `events_markov`'s
+    * twin: per-user state is ONE row (the last (ts_us, event_id,
+    * type) processed), each micro-batch sorts its own rows per user
+    * by (ts_us, event_id), chains them from the stored last event,
+    * and emits the (prev_type, next_type) bigram stream; the
+    * types²-sized count/normalize rollup runs downstream over the
+    * emitted pairs (the retentionStream stateful/rollup split).
+    * Intra-batch disorder sorts away; a row older than the user's
+    * stored last (cross-batch late arrival) chains in PROCESSING
+    * order rather than retro-inserting — retro-insertion would
+    * retract an already-emitted bigram, which an append stream
+    * cannot do. Batch-twin equality therefore holds whenever each
+    * user's micro-batches respect event-time order (spec-pinned).
+    */
+  def markovStream(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .select(
+        col("user_id"),
+        col("event_id"),
+        expr("(ts_ns - ts_ns % 1000) div 1000").as("ts_us"),
+        col("event_type")
+      )
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String), (String, String)](
+        OutputMode.Append,
+        GroupStateTimeout.NoTimeout
+      ) { (_: Long, rows: Iterator[(Long, Long, Long, String)], state: GroupState[(Long, Long, String)]) =>
+        val evs = rows.map(r => (r._3, r._2, r._4)).toArray.sortBy(e => (e._1, e._2))
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+        var prev = state.getOption
+        evs.foreach { case (ts, id, ty) =>
+          prev.foreach { case (_, _, pt) => out += ((pt, ty)) }
+          prev = Some((ts, id, ty))
+        }
+        prev.foreach(state.update)
+        out.iterator
+      }
+      .toDF("prev_type", "next_type")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_agg" -> { (s, dir) => windowedAgg(Tables.events(s, dir)) },
     "win_topn" -> { (s, dir) => windowTopN(Tables.events(s, dir)) },

@@ -269,6 +269,51 @@ class StreamSpec extends AnyFunSuite {
     assert(got == batch, s"stream rollup ${got.size} cells != batch ${batch.size}")
   }
 
+  test("markov stream: chained bigrams across batches equal the batch lag window's transition counts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val events = input.toDF().toDF("user_id", "event_id", "ts_ns", "event_type")
+    val q = graft.streaming.StreamOps
+      .markovStream(events)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("mkv_out")
+      .start()
+    val types = Array("view", "click", "purchase", "error")
+    val rnd = new scala.util.Random(31)
+    // 20 users × 12 events each; per-user event-time order respected
+    // ACROSS the two waves (the documented contract), shuffled within
+    val rows = (0L until 20L).flatMap { u =>
+      (0 until 12).map(i => (u, u * 100 + i, (i * 1000L + u) * 1000000000L, types(rnd.nextInt(4))))
+    }
+    val (w1, w2) = rows.partition(_._3 < 6000L * 1000000000L)
+    input.addData(rnd.shuffle(w1): _*)
+    q.processAllAvailable()
+    input.addData(rnd.shuffle(w2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark
+      .sql("SELECT prev_type, next_type, count(*) AS n FROM mkv_out GROUP BY 1, 2")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // batch twin: per-user (ts, id)-ordered lag chain over ALL rows
+    val expected = rows
+      .groupBy(_._1)
+      .toSeq
+      .flatMap { case (_, es) =>
+        val sorted = es.sortBy(e => (e._3, e._2)).map(_._4)
+        sorted.sliding(2).collect { case Seq(a, b) => (a, b) }
+      }
+      .groupBy(identity)
+      .map { case ((a, b), g) => (a, b, g.size.toLong) }
+      .toSet
+    assert(got == expected, s"stream ${got.size} cells != batch ${expected.size}")
+  }
+
   test("hopping-window stream: closed windows equal the batch gate's explode form; emitted once; state evicted") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sq = spark.sqlContext
