@@ -124,7 +124,11 @@ object Unigram {
   }
 
   /** Corpus log-likelihood under the current vocab (EM's monotone
-    * objective — spec-pinned non-decreasing across rounds).
+    * objective — spec-pinned non-decreasing across rounds). Per-word
+    * contributions quantize to integer micros BEFORE the distributed
+    * sum (the expected-count discipline): a double reduce sums in
+    * nondeterministic partition order, and two runs differing by one
+    * ulp could flip a strict monotonicity comparison.
     */
   def logLikelihood(wc: DataFrame, lp: Map[String, Double], maxPieceLen: Int): Double = {
     val spark = wc.sparkSession
@@ -143,9 +147,9 @@ object Unigram {
             alpha(i) = lse(alpha(i), alpha(i - j) + p)
           }
         }
-        if (alpha(L) == NEG) 0.0 else alpha(L) * f
+        if (alpha(L) == NEG) 0L else math.floor(alpha(L) * f * 1e6 + 0.5).toLong
       })
-      .reduce(_ + _)
+      .reduce(_ + _) / 1e6
   }
 
   /** Train: seed → `rounds` EM rounds, pruning the lowest-probability
