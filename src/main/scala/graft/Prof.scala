@@ -535,6 +535,59 @@ object Prof {
       ()
     }
 
+    // PROF_TRI=k: triangle counting at k-thousand edges over a SKEWED
+    // host graph (min-of-two-uniforms degree skew — hubs exist, the
+    // power-law shape that breaks naive wedge joins): measures the
+    // degree-ordered-orientation contract — wedge fanout bounded by
+    // the max ORIENTED out-degree, so the candidate volume stays
+    // ~O(m^1.5) worst-case instead of Σ hub-degree² (the unoriented
+    // form on the same graph would pair every hub neighbor set).
+    val triK = sys.env.getOrElse("PROF_TRI", "0").toInt
+    if (triK > 0) {
+      val m = triK * 1000L
+      val nHosts = 100000L
+      // murmur3 mixing (an affine map mod n has period n — the first
+      // attempt produced 1e5 distinct edges from 1e6 draws); least-of-
+      // two-uniforms skews degrees so hubs exist
+      def h(seed: Int) = pmod(hash(col("id"), lit(seed)).cast("long"), lit(nHosts))
+      val edges = spark
+        .range(m)
+        .select(
+          least(h(1), h(2)).as("u0"),
+          least(h(3), h(4)).as("v0")
+        )
+        .filter(col("u0") =!= col("v0"))
+        .select(least(col("u0"), col("v0")).as("u"), greatest(col("u0"), col("v0")).as("v"))
+        .distinct()
+        .persist()
+      val mDist = edges.count()
+      val maxDeg = edges
+        .select(explode(array(col("u"), col("v"))).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("d"))
+        .agg(max(col("d"))).collect()(0).getLong(0)
+      println(s"PROF tri graph: $mDist distinct edges, $nHosts hosts, maxDeg=$maxDeg")
+      t(s"tri${triK}k_oriented", mDist) {
+        val deg = edges
+          .select(explode(array(col("u"), col("v"))).as("h"))
+          .groupBy(col("h")).agg(count(lit(1)).as("deg"))
+        val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
+        val e = edges
+          .join(deg.select(col("h").as("u"), col("deg").as("du")), Seq("u"))
+          .join(deg.select(col("h").as("v"), col("deg").as("dv")), Seq("v"))
+          .select(
+            when(fwd, col("u")).otherwise(col("v")).as("a"),
+            when(fwd, col("v")).otherwise(col("u")).as("b")
+          )
+          .localCheckpoint()
+        e.as("e1")
+          .join(e.as("e2"), col("e1.b") === col("e2.a"))
+          .join(e.as("e3"), col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+          .count()
+      }
+      edges.unpersist()
+      ()
+    }
+
     // PROF_BPE=k: distributed merge-batch BPE training of k merges over
     // a deterministic Zipfian 200k-word vocabulary (the realistic
     // trainer workload the 31-word gate corpus can't exercise). Each
