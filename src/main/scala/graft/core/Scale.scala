@@ -274,7 +274,7 @@ object Scale {
         expr("percentile(count, 0.9e0)").cast("long").as("p90"),
         max(col("count")).as("mx")
       )
-      .head
+      .head()
     val heavy = counts
       .orderBy(col("count").desc, col("k").asc)
       .limit(k)

@@ -627,7 +627,7 @@ object Dedup {
       // round was a no-op). Superseded rounds' checkpoint blocks are
       // ContextCleaner-reclaimed once `labels` stops referencing them;
       // peak live storage is ~two generations of (doc_id, comp) longs.
-      val s = jumped.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0)
+      val s = jumped.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
       converged = s == prevSum
       prevSum = s
       labels = jumped

@@ -329,7 +329,7 @@ object Urls {
                            Literal(8L * bloomItems)
                          ).toAggregateExpression()
                        )
-                       val bf = prior.agg(bfAgg).head.getAs[Array[Byte]](0)
+                       val bf = prior.agg(bfAgg).head().getAs[Array[Byte]](0)
                        if (bf == null) {
                          // zero-row store: the agg yields NULL, and
                          // might_contain(NULL, …) is NULL — both union

@@ -28,7 +28,7 @@ object EdfOps {
       // reassembles the global sample index from the file names.
       val sig = Signal.long(s, dir)
       val len =
-        sig.groupBy(col("channel")).agg(count(lit(1)).as("c")).agg(min(col("c"))).head.getLong(0)
+        sig.groupBy(col("channel")).agg(count(lit(1)).as("c")).agg(min(col("c"))).head().getLong(0)
       // up to 4 recordings, but never shorter than one data record each
       val nRecordings = math.max(1L, math.min(4L, len / spr))
       val per = (len / nRecordings / spr) * spr
@@ -59,7 +59,7 @@ object EdfOps {
       // closed-form int16 quantization applied twice.
       val sig = Signal.long(s, dir)
       val len =
-        sig.groupBy(col("channel")).agg(count(lit(1)).as("c")).agg(min(col("c"))).head.getLong(0)
+        sig.groupBy(col("channel")).agg(count(lit(1)).as("c")).agg(min(col("c"))).head().getLong(0)
       val per = (len / spr) * spr
       val recs = sig
         .filter(col("n") < per)
@@ -88,7 +88,7 @@ object EdfOps {
       // events-table adapter; this one exercises the real entry path.
       val sig = Signal.long(s, dir)
       val len =
-        sig.groupBy(col("channel")).agg(count(lit(1)).as("c")).agg(min(col("c"))).head.getLong(0)
+        sig.groupBy(col("channel")).agg(count(lit(1)).as("c")).agg(min(col("c"))).head().getLong(0)
       val nRec = math.max(1L, math.min(10L, len / spr))
       val per = (len / nRec / spr) * spr
       val recs = sig
