@@ -155,43 +155,96 @@ object FirOps {
     * convolutions per assembled segment (the long-scale CWT runs the
     * re and im Morlet kernels over one assembly).
     */
-  private[graft] def segAssemble(sig: DataFrame, l: Int, segLen: Int): DataFrame = {
+  /** Halo-extended segment assembly — (channel, s, xs[segLen + 2l])
+    * where xs covers global positions [s·segLen − l, s·segLen + segLen
+    * + l), zero-padded outside the signal. REQUIRES the Signal
+    * contract: contiguous n = 0..cnt−1 per channel (both call sites —
+    * sameFast and cwtMorletLong — feed it).
+    *
+    * STREAMING SCAN (r13): the original form scattered every sample
+    * into its 3 destination segments (core + two halos) and
+    * reassembled with a groupBy(collect_list + sort_array) — a 3n-row
+    * shuffle whose aggregation buffers spilled 17.6 GB at the
+    * 128M-sample decade. This is the same explode-assembly shape the
+    * r5 frameScan rewrite removed from the periodogram path, so the
+    * same fix applies: one channel-partitioned sort (zero extra
+    * exchanges when the caller pre-sorts), then a rolling iterator
+    * emits each segment once with its halos — task memory
+    * O(block + extLen) at any channel length, no shuffle of scattered
+    * rows at all. Segment arrays are value-identical to the scatter
+    * form (zeros and sample placement agree position-for-position);
+    * trailing segments whose core lies wholly past the signal end were
+    * only ever dropped by the callers' n ≤ max_n clip and are simply
+    * not emitted.
+    */
+  private[graft] def segAssemble(
+      sig: DataFrame,
+      l: Int,
+      segLen: Int,
+      presorted: Boolean = false
+  ): DataFrame = {
     require(segLen > 2 * l, s"segLen $segLen must exceed kernel overlap ${2 * l}")
-    // destinations: own segment, plus right halo of previous segment and
-    // left halo of next segment
-    val s0 = (col("n") / segLen).cast("bigint")
-    val pos = col("n") % segLen
-    val dests = array(
-      struct(s0.as("s"), (pos + l).as("i")), // core, offset by left halo
-      struct((s0 - 1).as("s"), (pos + segLen + l).as("i")), // right halo of prev
-      struct((s0 + 1).as("s"), (pos - segLen + l).as("i")) // left halo of next
-    )
+    val spark = sig.sparkSession
+    import spark.implicits._
     val extLen = segLen + 2 * l
-    val scattered = sig
-      .select(col("channel"), col("x"), explode(dests).as("d"))
-      .select(col("channel"), col("d.s").as("s"), col("d.i").as("i"), col("x"))
-      .filter(col("s") >= 0 && col("i") >= 0 && col("i") < extLen)
-    // positions within a segment are contiguous except at the signal
-    // head/tail, so the dense array is sorted values padded with zeros
-    // on both sides (no per-element map lookups — those are O(n) on
-    // Spark's ArrayBasedMapData and turn assembly quadratic)
-    scattered
-      .groupBy(col("channel"), col("s"))
-      .agg(
-        min(col("i")).as("min_i"),
-        max(col("i")).as("max_i"),
-        transform(sort_array(collect_list(struct(col("i"), col("x")))), e => e.getField("x"))
-          .as("vals")
-      )
-      .select(
-        col("channel"),
-        col("s"),
-        concat(
-          array_repeat(lit(0.0), col("min_i").cast("int")),
-          col("vals"),
-          array_repeat(lit(0.0), lit(extLen - 1) - col("max_i").cast("int"))
-        ).as("xs")
-      )
+    val blockSize = math.max(1 << 16, 4 * extLen)
+    val typed = sig.select(col("channel"), col("n"), col("x")).as[(String, Long, Double)]
+    val ordered =
+      if (presorted) typed
+      else typed.repartition(col("channel")).sortWithinPartitions(col("channel"), col("n"))
+    ordered
+      .mapPartitions { (it0: Iterator[(String, Long, Double)]) =>
+        val in = it0.buffered
+        new Iterator[Iterator[(String, Long, Array[Double])]] {
+          private var ch: String = null
+          // extended coordinates m = n + l; segment s occupies
+          // m ∈ [s·segLen, s·segLen + extLen)
+          private val xs = scala.collection.mutable.ArrayBuffer.empty[Double]
+          private var base = 0L
+          private var s = 0L
+          private var nData = 0L
+          def hasNext: Boolean = in.hasNext || xs.nonEmpty
+
+          def next(): Iterator[(String, Long, Array[Double])] = {
+            if (xs.isEmpty) {
+              ch = in.head._1; base = 0L; s = 0L; nData = 0L
+              var i = 0
+              while (i < l) { xs += 0.0; i += 1 } // head halo zeros
+            }
+            var read = 0
+            while (read < blockSize && in.hasNext && in.head._1 == ch) {
+              xs += in.next()._3; nData += 1; read += 1
+            }
+            val channelDone = !in.hasNext || in.head._1 != ch
+            if (channelDone) {
+              // pad the tail so the LAST core segment (s_max = (cnt−1)
+              // div segLen) completes: extended length E = s_max·segLen
+              // + extLen
+              val e = ((nData - 1).max(0L) / segLen) * segLen + extLen
+              var i = base + xs.length
+              while (i < e) { xs += 0.0; i += 1 }
+            }
+            val avail = base + xs.length
+            val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Array[Double])]
+            // only segments with in-signal core: s ≤ (cnt−1) div segLen
+            while (s * segLen + extLen <= avail && (!channelDone || s <= (nData - 1).max(0L) / segLen)) {
+              val seg = new Array[Double](extLen)
+              var i = 0
+              while (i < extLen) { seg(i) = xs((s * segLen + i - base).toInt); i += 1 }
+              out += ((ch, s, seg))
+              s += 1
+            }
+            if (channelDone) xs.clear()
+            else {
+              val dropTo = math.max(base, s * segLen)
+              val dropCount = (dropTo - base).toInt
+              if (dropCount > 0) { xs.remove(0, dropCount); base = dropTo }
+            }
+            out.iterator
+          }
+        }.flatten
+      }
+      .toDF("channel", "s", "xs")
   }
 
   def sameFast(sig: DataFrame, h: Array[Double], segLen: Int = 1024): DataFrame = {
