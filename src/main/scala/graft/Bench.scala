@@ -25,6 +25,16 @@ object Bench {
     // sets it, so the artifact it reads is always the full run
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    // solo/filtered runs in a fresh JVM inflate sub-second queries by
+    // 0.1–0.5 s (cold-start/JIT dominated — measured r13); make that
+    // unmissable in both the console and the artifact so a solo number
+    // is never adjudicated against a full-run number
+    if (only.isDefined)
+      System.err.println(
+        "[graft.Bench] WARNING: SPARK_GRAFT_BENCH_ONLY is set — solo-run " +
+          "timings are JVM-cold-start inflated (+0.1–0.5 s on sub-second " +
+          "queries); compare only against other solo runs"
+      )
     // previous round's detail (read BEFORE this run overwrites it):
     // per-query (warm_median, warm_spread) so the new artifact carries
     // machine-readable deltas — a regression shows up in the file
@@ -89,8 +99,9 @@ object Bench {
       .mkString("{", ",", "}")
     val warmTotal = r3(results.values.map(_.warmMedian).sum)
     val coldTotal = r3(results.values.map(_.cold).sum)
+    val soloTag = if (only.isDefined) s""""solo":true,""" else ""
     val line =
-      s"""{"metric":"total","value":$warmTotal,"unit":"sec","queries":$qs,""" +
+      s"""{"metric":"total","value":$warmTotal,"unit":"sec",$soloTag"queries":$qs,""" +
         s""""cold_total":$coldTotal,"n_queries":${results.size},"detail":"$detailPath","sf":"$sfDir"}"""
     // regressed = delta exceeds both runs' observed noise plus a 50 ms
     // floor — spread-sized wobble on a co-tenant machine is not a signal
@@ -115,7 +126,7 @@ object Bench {
       Files.writeString(
         // a filtered dev run must not clobber the driver's artifact
         Paths.get(if (only.isDefined) detailPath + ".partial" else detailPath),
-        s"""{"sf":"$sfDir","cold_total":$coldTotal,"warm_total":$warmTotal,""" +
+        s"""{"sf":"$sfDir",$soloTag"cold_total":$coldTotal,"warm_total":$warmTotal,""" +
           s""""regressions":$regressions,"queries":$detail}"""
       )
     catch { case _: Throwable => () }

@@ -480,7 +480,12 @@ object Unigram {
           if (best == null) best = (k, c)
           else {
             val cmp = (BigInt(c) * denom(best._1)).compare(BigInt(best._2) * denom(k))
-            if (cmp > 0 || (cmp == 0 && k._1 + k._2 < best._1._1 + best._1._2)) best = (k, c)
+            // tie-break on the PAIR, not the concatenation — (a,bc) and
+            // (ab,c) both render "abc", which would leave the winner to
+            // HashMap iteration order (ADVICE r13)
+            val tieWins = cmp == 0 &&
+              (k._1 < best._1._1 || (k._1 == best._1._1 && k._2 < best._1._2))
+            if (cmp > 0 || tieWins) best = (k, c)
           }
         }
         val (a, b) = best._1

@@ -203,10 +203,17 @@ object FirOps {
           private var base = 0L
           private var s = 0L
           private var nData = 0L
-          def hasNext: Boolean = in.hasNext || xs.nonEmpty
+          // channel-in-progress flag: xs.isEmpty is NOT a safe sentinel —
+          // with l == 0 (1–2-tap kernels) extLen == segLen and an emit
+          // round can drain the buffer exactly at a block boundary
+          // mid-channel, which would re-initialize state for the same
+          // channel and emit duplicate segment ids (ADVICE r13).
+          private var active = false
+          def hasNext: Boolean = in.hasNext || active
 
           def next(): Iterator[(String, Long, Array[Double])] = {
-            if (xs.isEmpty) {
+            if (!active) {
+              active = true
               ch = in.head._1; base = 0L; s = 0L; nData = 0L
               var i = 0
               while (i < l) { xs += 0.0; i += 1 } // head halo zeros
@@ -234,7 +241,7 @@ object FirOps {
               out += ((ch, s, seg))
               s += 1
             }
-            if (channelDone) xs.clear()
+            if (channelDone) { xs.clear(); active = false }
             else {
               val dropTo = math.max(base, s * segLen)
               val dropCount = (dropTo - base).toInt

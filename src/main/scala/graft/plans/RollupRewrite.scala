@@ -163,10 +163,21 @@ case class RollupRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
 
     // exact match: the store row IS the group — plain column reads.
     // subset keys: re-aggregate the store (sum of partial sums/counts).
+    // CountTx re-aggregation must coalesce to 0: a global count(*) over
+    // an EMPTY base returns 0, but Sum(cnt) over the (empty) store
+    // returns NULL (ADVICE r13). Avg is left as NULL/NULL ≡ the
+    // original's NULL — coalescing its denominator to 0 would instead
+    // throw DIVIDE_BY_ZERO under ANSI.
     def translate(tx: Tx): Option[Expression] = tx match {
       case KeyTx(n) => byName.get(n)
       case SumTx(n) => byName.get(n).map(a => if (exact) a else sumOf(a))
-      case CountTx  => cnt.map(a => if (exact) a else sumOf(a))
+      case CountTx =>
+        cnt.map { a =>
+          if (exact) a
+          else
+            org.apache.spark.sql.catalyst.expressions
+              .Coalesce(Seq(sumOf(a), Literal(0L)))
+        }
       case AvgTx(n) =>
         for { s <- byName.get(n); c <- cnt } yield
           if (exact) Divide(dbl(s), dbl(c))

@@ -411,6 +411,12 @@ object StreamOps {
     * sorted, so intra-batch disorder never diverges (spec-pinned).
     */
   def retentionStream(events: DataFrame, horizonWeeks: Int = 63): DataFrame = {
+    // the 16-byte state contract is a 64-bit offset mask: offsets > 63
+    // would wrap mod 64 and alias onto 0.. (ADVICE r13)
+    require(
+      horizonWeeks >= 0 && horizonWeeks <= 63,
+      s"horizonWeeks must be in [0, 63] (64-bit offset mask), got $horizonWeeks"
+    )
     val spark = events.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}

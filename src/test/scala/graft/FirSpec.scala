@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.expr
 
 import graft.core.Dsp
 import graft.operators.FirOps
@@ -101,5 +102,24 @@ class FirApplySpec extends AnyFunSuite {
     val fullv = convFull(xs, h)
     val want = fullv.slice(h.length - 1, xs.length).map(v => math.rint(v * 1e6) / 1e6)
     assert(got(operators.FirOps.valid(sigDf, h)).toSeq == want.toSeq)
+  }
+
+  test("sameFast 1-tap kernel survives exact block-boundary drain (ADVICE r13)") {
+    // l == 0 makes extLen == segLen, so with a channel longer than one
+    // 65536-sample read block the emit round drains the rolling buffer
+    // EXACTLY at the block boundary mid-channel; the old xs.isEmpty
+    // sentinel then re-initialized the channel state and emitted
+    // duplicate segment ids with misplaced data. 70000 > 65536 samples.
+    val cnt = 70000
+    val big = spark
+      .range(cnt)
+      .selectExpr("'c0' as channel", "id as n", "cast(id % 7 as double) as x")
+    val out = operators.FirOps.sameFast(big, Array(2.0)).cache()
+    try {
+      assert(out.count() == cnt, "row count must equal the signal length (no duplicates)")
+      assert(out.select("n").distinct().count() == cnt, "every n exactly once")
+      val bad = out.filter(expr("abs(y - 2.0 * (n % 7)) > 1e-9")).count()
+      assert(bad == 0, s"$bad samples misplaced after the block-boundary drain")
+    } finally { out.unpersist(); () }
   }
 }

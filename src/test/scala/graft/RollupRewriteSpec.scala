@@ -129,6 +129,41 @@ class RollupRewriteSpec extends AnyFunSuite {
         .agg(count(lit(null)).as("c"))
       val nc = nullCount.collect().map(_.getLong(2)).toSet
       assert(nc == Set(0L), s"count(NULL) must stay 0, got $nc")
+
+      // EMPTY base + EMPTY grouping set: global count(*) is 0, and the
+      // subset-keys derivation (Sum over the empty store) must coalesce
+      // to 0, not return NULL (ADVICE r13)
+      val emptyBase = scratch + "/empty_base"
+      val emptyStore = scratch + "/empty_store"
+      li.limit(0).write.mode("overwrite").parquet(emptyBase)
+      agg(s2.read.parquet(emptyBase))
+        .select(
+          col("l_returnflag"),
+          col("l_linestatus"),
+          col("x").as("sum_qty"),
+          col("c").as("n_rows")
+        )
+        .write
+        .mode("overwrite")
+        .parquet(emptyStore)
+      plans.MaterializedRollups.register(
+        "li_empty",
+        plans.MaterializedRollups.Spec(
+          basePath = emptyBase,
+          baseCols = Set("l_returnflag", "l_linestatus", "l_quantity"),
+          groupCols = Set("l_returnflag", "l_linestatus"),
+          sumCols = Map("l_quantity" -> "sum_qty"),
+          countCol = Some("n_rows"),
+          store = emptyStore
+        )
+      )
+      val globalCount =
+        s2.read.parquet(emptyBase).agg(count(lit(1)).as("c"), sum(col("l_quantity")).as("x"))
+      val gOpt = globalCount.queryExecution.optimizedPlan.toString
+      assert(gOpt.contains("n_rows"), s"global agg over registered base should rewrite:\n$gOpt")
+      val gRow = globalCount.collect().head
+      assert(gRow.getLong(0) == 0L, s"rewritten global count over empty base must be 0, got $gRow")
+      assert(gRow.isNullAt(1), s"rewritten global sum over empty base must stay NULL, got $gRow")
     } finally {
       s2.conf.unset("spark.graft.rollupRewrite")
       plans.MaterializedRollups.clear()
