@@ -641,6 +641,140 @@ object Curation {
       s"FROM $table"
   }
 
+  // ---------------------------------------------------------------
+  // text_html_extract — jusText/trafilatura-class boilerplate removal
+  // ---------------------------------------------------------------
+
+  /** Deterministic doc_id-derived HTML page around each document's
+    * text (the licPlant convention — the synthetic corpus has no HTML,
+    * so the gate plants it in-query): head with title + style + script,
+    * a nav bar of links, three content paragraphs sliced from the
+    * text, and two per-doc-id boilerplate offenders — a link farm
+    * (%7: drops ONLY on link density; its stopword density passes) and
+    * a copyright line (%5: drops ONLY on stopword density; it has no
+    * links and ≥3 words). Pure concat/CASE — parses identically in
+    * Spark SQL and DuckDB.
+    */
+  private[llm] val htmlPlantExpr: String =
+    "concat('<html><head><title>Doc ', CAST(doc_id AS STRING), '</title>', " +
+      "'<style>body { color: #333; margin: 0 }</style>', " +
+      "'<script>var tracker = 1; function f() { return 2; }</script>', " +
+      "'</head><body>', " +
+      "'<div><a href=\"/\">Home</a> <a href=\"/about\">About</a> <a href=\"/contact\">Contact</a> <a href=\"/login\">Login</a></div>', " +
+      "'<p>', substr(text, 1, 80), '</p>', " +
+      "'<p>', substr(text, 81, 80), '</p>', " +
+      "'<p>', substr(text, 161, 120), '</p>', " +
+      "CASE WHEN doc_id % 7 = 0 THEN '<p>See <a href=\"/x\">the partner links</a> and <a href=\"/y\">more of the deals</a> now</p>' ELSE '' END, " +
+      "CASE WHEN doc_id % 5 = 0 THEN '<p>Copyright 2024 MegaCorp Inc</p>' ELSE '' END, " +
+      "'</body></html>')"
+
+  /** Space-delimited stopword sentinel — membership via
+    * contains(' list ', ' w ') parses identically in both engines (no
+    * IN-inside-lambda dialect risk). */
+  private val htmlStops = "' the a an of to and in is it for on with '"
+
+  private def htmlPlainSpark(b: String): String =
+    s"trim(regexp_replace(regexp_replace($b, '<[^>]*>', ' '), ' +', ' '))"
+  private def htmlPlainDuck(b: String): String =
+    s"trim(regexp_replace(regexp_replace($b, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g'))"
+
+  /** Block keep rule (jusText-style, integer arithmetic only — no
+    * float-threshold parity hazard): ≥ 3 words, stopword density
+    * ≥ 10% (n_stop·10 ≥ n_words), and anchor-text length below half
+    * the plain length (link density < 0.5).
+    */
+  private def htmlKeepSpark(b: String): String = {
+    val plain = htmlPlainSpark(b)
+    s"size(filter(split($plain, ' '), w -> w != '')) >= 3 " +
+      s"AND size(filter(split($plain, ' '), w -> contains($htmlStops, concat(' ', lower(w), ' ')))) * 10 " +
+      s">= size(filter(split($plain, ' '), w -> w != '')) " +
+      s"AND length(concat_ws('', regexp_extract_all($b, '<a [^>]*>([^<]*)</a>', 1))) * 2 < length($plain)"
+  }
+  private def htmlKeepDuck(b: String): String = {
+    val plain = htmlPlainDuck(b)
+    s"len(list_filter(string_split($plain, ' '), w -> w <> '')) >= 3 " +
+      s"AND len(list_filter(string_split($plain, ' '), w -> contains($htmlStops, concat(' ', lower(w), ' ')))) * 10 " +
+      s">= len(list_filter(string_split($plain, ' '), w -> w <> '')) " +
+      s"AND length(coalesce(array_to_string(regexp_extract_all($b, '<a [^>]*>([^<]*)</a>', 1), ''), '')) * 2 < length($plain)"
+  }
+
+  /** HTML → text boilerplate extraction, one row-local scan (the
+    * text_c4_clean shape): strip script/style WITH contents, pull the
+    * title, segment on block-closing tags, keep/drop each block by the
+    * integer jusText rule above, and emit the per-doc summary — block
+    * counts, clean-text length, and the extracted text's md5 (a rewrite
+    * regression breaks the hash). Designed offenders in the plant pin
+    * each rule: nav + head fragment (min-words / link density),
+    * copyright line (stopword density), link farm (link density with
+    * PASSING stopword density), script/style (tag strip). No shuffle,
+    * no UDF — at 100 TB this is a pure map over the page scan.
+    */
+  def htmlExtract(docs: DataFrame): DataFrame = {
+    val kept = s"filter(blocks, b -> ${htmlKeepSpark("b")})"
+    val cleaned = s"concat_ws('\\n', transform($kept, b -> ${htmlPlainSpark("b")}))"
+    docs
+      .select(col("doc_id"), expr(htmlPlantExpr).as("html"))
+      .select(
+        col("doc_id"),
+        expr(
+          "regexp_replace(regexp_replace(html, '(?s)<script.*?</script>', ''), '(?s)<style.*?</style>', '')"
+        ).as("page")
+      )
+      .select(
+        col("doc_id"),
+        expr("regexp_extract(page, '<title>([^<]*)</title>', 1)").as("title"),
+        expr("split(page, '</p>|</div>|</head>')").as("blocks")
+      )
+      .select(
+        col("doc_id"),
+        col("title"),
+        expr("size(blocks)").cast("long").as("n_blocks"),
+        expr(s"size($kept)").cast("long").as("n_kept"),
+        expr(s"length($cleaned)").cast("long").as("n_clean_chars"),
+        expr(s"md5($cleaned)").as("md5_clean")
+      )
+  }
+
+  /** The extraction as a (doc_id, title, text) producer — the form the
+    * downstream curation stack (quality → dedup → splits) consumes
+    * when the corpus enters as HTML; spec-verified composition with
+    * [[qualityScore]].
+    */
+  def htmlExtractText(docs: DataFrame): DataFrame = {
+    val kept = s"filter(blocks, b -> ${htmlKeepSpark("b")})"
+    val cleaned = s"concat_ws('\\n', transform($kept, b -> ${htmlPlainSpark("b")}))"
+    docs
+      .select(col("doc_id"), expr(htmlPlantExpr).as("html"))
+      .select(
+        col("doc_id"),
+        expr(
+          "regexp_replace(regexp_replace(html, '(?s)<script.*?</script>', ''), '(?s)<style.*?</style>', '')"
+        ).as("page")
+      )
+      .select(
+        col("doc_id"),
+        expr("regexp_extract(page, '<title>([^<]*)</title>', 1)").as("title"),
+        expr("split(page, '</p>|</div>|</head>')").as("blocks")
+      )
+      .select(col("doc_id"), col("title"), expr(cleaned).as("text"))
+  }
+
+  val htmlExtractSql: String = {
+    val NL = "chr(10)"
+    val kept = s"list_filter(blocks, b -> ${htmlKeepDuck("b")})"
+    val cleaned =
+      s"coalesce(array_to_string(list_transform($kept, b -> ${htmlPlainDuck("b")}), $NL), '')"
+    s"WITH aug AS MATERIALIZED (SELECT doc_id, $htmlPlantExpr AS html FROM documents), " +
+      "strip AS MATERIALIZED (SELECT doc_id, " +
+      "regexp_replace(regexp_replace(html, '(?s)<script.*?</script>', '', 'g'), '(?s)<style.*?</style>', '', 'g') AS page FROM aug), " +
+      "seg AS MATERIALIZED (SELECT doc_id, regexp_extract(page, '<title>([^<]*)</title>', 1) AS title, " +
+      "string_split_regex(page, '</p>|</div>|</head>') AS blocks FROM strip), " +
+      s"outp AS MATERIALIZED (SELECT doc_id, title, CAST(len(blocks) AS BIGINT) AS n_blocks, " +
+      s"CAST(len($kept) AS BIGINT) AS n_kept, $cleaned AS cleaned FROM seg) " +
+      "SELECT doc_id, title, n_blocks, n_kept, CAST(length(cleaned) AS BIGINT) AS n_clean_chars, " +
+      "md5(cleaned) AS md5_clean FROM outp"
+  }
+
   /** The round-7 operators composed end-to-end: quality gate →
     * exact-dedup keepers → DSIR importance weights → per-source
     * profile carrying the Gopher screen as a diagnostic column. The
@@ -760,6 +894,7 @@ object Curation {
     "corpus_diff" -> { (s, dir) => corpusDiffGate(Tables.documents(s, dir)) },
     "curate_llm" -> { (s, dir) => curateLlm(Tables.documents(s, dir)) },
     "text_c4_clean" -> { (s, dir) => c4Clean(Tables.documents(s, dir)) },
+    "text_html_extract" -> { (s, dir) => htmlExtract(Tables.documents(s, dir)) },
     "curate_license" -> { (s, dir) => licenseScreen(Tables.documents(s, dir)) },
     "corpus_shard" -> { (s, dir) => corpusShard(Tables.documents(s, dir)) },
     "sample_mix" -> { (s, dir) => sampleMix(Tables.documents(s, dir)) },
@@ -828,6 +963,7 @@ object Curation {
     "corpus_diff" -> corpusDiffSql,
     "curate_llm" -> curateLlmSql(),
     "text_c4_clean" -> c4CleanSql,
+    "text_html_extract" -> htmlExtractSql,
     "curate_license" -> licenseScreenSql,
     "corpus_shard" -> corpusShardSql,
     "sample_mix" -> sampleMixSql(),

@@ -1211,6 +1211,49 @@ class LlmSpec extends AnyFunSuite {
     assert(f("site18", "n_quality") == 1L && f("site18", "n_final") == 1L)
     assert(f("site16", "n_quality") == 1L && f("site16", "n_final") == 0L)
   }
+
+  test("text_html_extract: each boilerplate rule drops its designed offender, content survives") {
+    import spark.implicits._
+    // stopword-rich content so the three <p> slices pass the 10%
+    // stopword rule; doc_id 35 plants BOTH the link farm (%7) and the
+    // copyright line (%5)
+    val t = ("the cat is on a mat and it is fine for now with the dog " * 8).trim
+    val docs = Seq((35L, t), (3L, t)).toDF("doc_id", "text")
+    val out = graft.llm.Curation
+      .htmlExtract(docs)
+      .collect()
+      .map(r => r.getLong(0) -> r)
+      .toMap
+    assert(out(35L).getString(1) == "Doc 35", "title extraction")
+    // 8 split segments with both plants, 6 without (head, nav, 3 <p>, tail)
+    assert(out(35L).getAs[Long]("n_blocks") == 8L)
+    assert(out(3L).getAs[Long]("n_blocks") == 6L)
+    // only the three content paragraphs survive — nav, head fragment,
+    // farm and copyright all drop
+    assert(out(35L).getAs[Long]("n_kept") == 3L)
+    assert(out(3L).getAs[Long]("n_kept") == 3L)
+    val txt = graft.llm.Curation
+      .htmlExtractText(docs)
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(2))
+      .toMap
+    // script/style stripped WITH contents; nav/farm/copyright dropped
+    for (bad <- Seq("tracker", "color", "Home", "partner", "Copyright", "<"))
+      assert(!txt(35L).contains(bad), s"boilerplate '$bad' leaked into extracted text")
+    assert(txt(35L).contains("the cat is on a mat"), "content lost")
+    // drop-rule isolation: the farm PASSES the stopword rule (planted
+    // 'the/of/and' anchors) so its drop is attributable to link density
+    // alone; the copyright line has no links and >= 3 words so its drop
+    // is attributable to stopword density alone. Both absent above.
+
+    // composition: the extracted text feeds the downstream quality
+    // screen without schema friction
+    val q = graft.llm.Curation
+      .htmlExtractText(docs)
+      .select(col("doc_id"), col("text"), graft.llm.Curation.qualityScore.as("quality"))
+      .collect()
+    assert(q.forall(r => !r.isNullAt(2)), "quality score over extracted text")
+  }
 }
 
 class IvfSpec extends org.scalatest.funsuite.AnyFunSuite {
