@@ -342,6 +342,12 @@ object Prof {
       t(s"emb${embK}k_knn_graph", embK * 1000L)(
         llm.Similarity.knnGraph(emb, nList = 128).count()
       )
+      // r14: the graph-walk consumer end-to-end (edge build + beam
+      // walk + re-rank) at the scale config — budget per query is
+      // seeds + rounds·beam·k, independent of |cell|
+      t(s"emb${embK}k_graph_serve", embK * 1000L)(
+        llm.Similarity.graphServe(emb, nList = 128, k = 8, beam = 16, rounds = 3).count()
+      )
       t(s"emb${embK}k_communities", embK * 1000L)(
         llm.Similarity.lpCommunities(emb, nList = 128).count()
       )

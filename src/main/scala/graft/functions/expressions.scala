@@ -416,11 +416,34 @@ case class BpeEncode(child: Expression, merges: Seq[String])
   override protected def withNewChildInternal(c: Expression): BpeEncode = copy(child = c)
 }
 
+/** GPT-2 byte-to-unicode remap of a string's UTF-8 bytes
+  * ([[graft.llm.Bpe.remapBytes]]) — the lossless byte-level front end
+  * of `text_tokens_bpe_bytes`. Row-local, no shuffle.
+  */
+case class ByteRemap(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(graft.llm.Bpe.remapBytes(v.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(c: Expression): ByteRemap = copy(child = c)
+}
+
+/** Inverse of [[ByteRemap]]; out-of-image chars (space separators,
+  * U+001F piece markers) pass through — the decode-identity witness.
+  */
+case class ByteUnremap(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(graft.llm.Bpe.unremapBytes(v.asInstanceOf[UTF8String].toString))
+  override protected def withNewChildInternal(c: Expression): ByteUnremap = copy(child = c)
+}
+
 object exprs {
   def bpe_count(toks: Column, merges: Seq[String]): Column =
     Bridge.column(BpeCount(Bridge.expression(toks), merges))
   def bpe_encode(toks: Column, merges: Seq[String]): Column =
     Bridge.column(BpeEncode(Bridge.expression(toks), merges))
+  def byte_remap(s: Column): Column = Bridge.column(ByteRemap(Bridge.expression(s)))
+  def byte_unremap(s: Column): Column = Bridge.column(ByteUnremap(Bridge.expression(s)))
   def spectrum_seg(
       c: Column,
       win: Array[Double],

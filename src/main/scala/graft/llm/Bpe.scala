@@ -46,6 +46,60 @@ object Bpe {
   val sepChar = '\u001F'
   val nope = "\u001E"
 
+  /** GPT-2's byte-to-unicode remap (Radford et al. 2019; the
+    * `bytes_to_unicode` table every GPT-lineage tokenizer ships):
+    * printable bytes — '!'..'~', '¡'..'¬', '®'..'ÿ' — map to their own
+    * code point, every other byte (controls, space, 0x80–0xA0, 0xAD)
+    * to 256+n in ascending byte order. The result is a BIJECTION from
+    * bytes to 256 distinct printable single-UTF-16-char code points,
+    * which makes byte-level BPE state ordinary strings the ENTIRE
+    * existing trainer/encoder/oracle machinery runs on unchanged —
+    * and lossless on ANY input, where char-level BPE documents its
+    * ASCII/codepoint divergence (dedup_edit note).
+    */
+  private[graft] val byteToUnicode: Array[Char] = {
+    val out = new Array[Char](256)
+    var n = 0
+    for (b <- 0 until 256) {
+      val keep = (b >= '!' && b <= '~') || (b >= 0xa1 && b <= 0xac) || (b >= 0xae && b <= 0xff)
+      if (keep) out(b) = b.toChar
+      else { out(b) = (256 + n).toChar; n += 1 }
+    }
+    out
+  }
+  private[graft] val unicodeToByte: Map[Char, Byte] =
+    byteToUnicode.zipWithIndex.map { case (c, b) => c -> b.toByte }.toMap
+
+  /** UTF-8 bytes of `s`, each remapped through [[byteToUnicode]]. */
+  private[graft] def remapBytes(s: String): String = {
+    val bs = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val sb = new java.lang.StringBuilder(bs.length)
+    var i = 0
+    while (i < bs.length) { sb.append(byteToUnicode(bs(i) & 0xff)); i += 1 }
+    sb.toString
+  }
+
+  /** Inverse of [[remapBytes]]; chars outside the remap image (the
+    * space separators a word-joined encode keeps raw, and the U+001F
+    * piece marker) pass through as themselves, so
+    * unremap(concat_ws(' ', remap(tok))) recovers the original text.
+    */
+  private[graft] def unremapBytes(s: String): String = {
+    val buf = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      unicodeToByte.get(c) match {
+        case Some(b) => buf.write(b & 0xff)
+        case None =>
+          val one = new String(Array(c)).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          buf.write(one, 0, one.length)
+      }
+      i += 1
+    }
+    new String(buf.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   /** Code-point string comparison — the order Spark's UTF8String
     * binary comparison AND DuckDB's default collation both implement.
     * Java String.compareTo is UTF-16 code-UNIT order, which diverges
@@ -335,11 +389,11 @@ object Bpe {
     * replace-rewrite, application as nested replace() over every
     * distinct word, ending in `agg` = (doc_id, n_ws, n_bpe).
     */
-  private def bpeCtes: Seq[String] = {
+  private def bpeCtes(src: String = "documents"): Seq[String] = {
     val SEP = "chr(31)"
     val NOPE = "chr(30)"
     val parts = Seq.newBuilder[String]
-    parts += "toks AS MATERIALIZED (SELECT doc_id, u.tok AS tok FROM documents, " +
+    parts += s"toks AS MATERIALIZED (SELECT doc_id, u.tok AS tok FROM $src, " +
       "unnest(string_split(text, ' ')) AS u(tok) WHERE u.tok <> '')"
     parts += s"vocab AS MATERIALIZED (SELECT tok AS word, count(*) AS freq FROM toks " +
       s"GROUP BY tok ORDER BY freq DESC, word ASC LIMIT $vocabLimit)"
@@ -365,13 +419,83 @@ object Bpe {
   }
 
   val tokensBpeSql: String =
-    "WITH " + bpeCtes.mkString(", ") +
+    "WITH " + bpeCtes().mkString(", ") +
       " SELECT d.doc_id AS doc_id, coalesce(g.n_ws, 0) AS n_ws, coalesce(g.n_bpe, 0) AS n_bpe " +
       "FROM documents d LEFT JOIN agg g ON d.doc_id = g.doc_id"
 
+  // ---------------------------------------------------------------
+  // text_tokens_bpe_bytes — byte-level BPE (GPT-2 lineage)
+  // ---------------------------------------------------------------
+
+  /** Non-ASCII plant for the byte-level gate (the licPlant convention
+    * — the synthetic corpus is pure [a-z ]): 2-byte Latin diacritics
+    * and 3-byte CJK, so the remap exercises identity, Latin-1-kept and
+    * 256+n byte classes.
+    */
+  private val bytePlant9 = " café żółw"
+  private val bytePlant7 = " 日本語 naïve"
+  private[llm] val bytePlantExpr: String =
+    s"concat(text, CASE WHEN doc_id % 9 = 0 THEN '$bytePlant9' " +
+      s"WHEN doc_id % 7 = 0 THEN '$bytePlant7' ELSE '' END)"
+
+  /** Byte-level BPE token counts + decode-identity witness — what
+    * GPT-lineage tokenizers actually ship: each word's UTF-8 bytes are
+    * remapped to printable chars ([[remapBytes]] — the published
+    * bytes_to_unicode table), the EXISTING trainer/encoder machinery
+    * runs unchanged on the remapped symbols, and `decode_ok` witnesses
+    * in-plan that the real byte decoder inverts the real byte encoder
+    * on every row — byte-level is lossless on ANY input, where
+    * char-level BPE documents its codepoint divergence. Row-local
+    * projection + the bounded trainer collect; no new shuffle.
+    */
+  def tokensBpeBytes(docs: DataFrame): DataFrame = {
+    val df = docs
+      .select(col("doc_id"), expr(bytePlantExpr).as("orig"))
+      .withColumn(
+        "text",
+        concat_ws(
+          " ",
+          transform(split(col("orig"), " "), t => graft.functions.exprs.byte_remap(t))
+        )
+      )
+    val merges = gateMerges(df)
+    df.select(
+      col("doc_id"),
+      size(filter(split(col("text"), " "), t => t =!= "")).cast("bigint").as("n_ws"),
+      graft.functions.exprs.bpe_count(split(col("text"), " "), merges).as("n_bpe_bytes"),
+      (graft.functions.exprs.byte_unremap(col("text")) === col("orig")).as("decode_ok")
+    )
+  }
+
+  /** Oracle twin: the remap rendered as a replace chain over the
+    * plant's (known, bounded) non-ASCII alphabet — ASCII printable
+    * bytes are identity under the GPT-2 table, so only the planted
+    * chars need rewriting; the trainer CTEs then run verbatim over the
+    * remapped source. The chain's images are disjoint from the
+    * original chars and from each other (verified at build: distinct
+    * lead bytes), so replace order is immaterial.
+    */
+  val tokensBpeBytesSql: String = {
+    val specials = (bytePlant9 + bytePlant7).filter(_ > 127).distinct.toList
+    val remapChain = specials.foldLeft("orig") { (acc, c) =>
+      s"replace($acc, '$c', '${remapBytes(c.toString)}')"
+    }
+    val unremapChain = specials.foldLeft("b.text") { (acc, c) =>
+      s"replace($acc, '${remapBytes(c.toString)}', '$c')"
+    }
+    s"WITH porig AS MATERIALIZED (SELECT doc_id, $bytePlantExpr AS orig FROM documents), " +
+      s"bdocs AS MATERIALIZED (SELECT doc_id, $remapChain AS text FROM porig), " +
+      bpeCtes("bdocs").mkString(", ") +
+      " SELECT p.doc_id AS doc_id, coalesce(g.n_ws, 0) AS n_ws, " +
+      "coalesce(g.n_bpe, 0) AS n_bpe_bytes, " +
+      s"($unremapChain = p.orig) AS decode_ok " +
+      "FROM porig p JOIN bdocs b ON b.doc_id = p.doc_id " +
+      "LEFT JOIN agg g ON g.doc_id = p.doc_id"
+  }
+
   val corpusFertilitySql: String = {
     val r6 = (e: String) => graft.core.Dsp.round6Sql(e)
-    "WITH " + bpeCtes.mkString(", ") +
+    "WITH " + bpeCtes().mkString(", ") +
       ", f AS (SELECT d.lang AS lang, CAST(length(d.text) AS BIGINT) AS n_chars, " +
       "coalesce(g.n_ws, 0) AS n_ws, coalesce(g.n_bpe, 0) AS n_bpe " +
       "FROM documents d LEFT JOIN agg g ON d.doc_id = g.doc_id) " +
@@ -418,7 +542,7 @@ object Bpe {
       s"array_to_string(string_split(w, ''), $SEP)), ' ')"
     for (r <- 0 until nMerges)
       e = s"replace($e, coalesce((SELECT p FROM b$r), $NOPE), coalesce((SELECT m FROM b$r), $NOPE))"
-    "WITH " + bpeCtes.mkString(", ") +
+    "WITH " + bpeCtes().mkString(", ") +
       s", enc AS (SELECT d.doc_id AS doc_id, d.text AS text, $e AS e FROM documents d) " +
       "SELECT e.doc_id AS doc_id, coalesce(g.n_bpe, 0) AS n_pieces, md5(e.e) AS enc_md5, " +
       s"(replace(e.e, $SEP, '') = e.text) AS decode_ok " +
@@ -460,7 +584,7 @@ object Bpe {
   }
 
   def packBpeSql(cap: Int = packCap, nSalts: Int = packSalts): String =
-    "WITH " + bpeCtes.mkString(", ") +
+    "WITH " + bpeCtes().mkString(", ") +
       s", d2 AS (SELECT d.doc_id AS doc_id, d.doc_id % $nSalts AS salt, " +
       s"CAST(least(coalesce(g.n_bpe, 0), ${TextStats.maxTokens}) AS BIGINT) AS dl " +
       "FROM documents d LEFT JOIN agg g ON d.doc_id = g.doc_id), " +
@@ -513,7 +637,7 @@ object Bpe {
     val h = "CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || d.source), 1, 8)) AS BIGINT) % 1000"
     val rate = "CASE d.source WHEN 'src0' THEN 900 WHEN 'src1' THEN 500 WHEN 'src2' THEN 250 ELSE 100 END"
     val a = graft.core.Dsp.lit(alpha)
-    "WITH " + bpeCtes.mkString(", ") +
+    "WITH " + bpeCtes().mkString(", ") +
       s", k AS (SELECT d.source AS source, CAST(sum(CASE WHEN $h < $rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, " +
       s"CAST(sum(CASE WHEN $h < $rate THEN coalesce(g.n_bpe, 0) ELSE 0 END) AS BIGINT) AS tok_kept " +
       "FROM documents d LEFT JOIN agg g ON d.doc_id = g.doc_id GROUP BY d.source) " +
@@ -523,6 +647,7 @@ object Bpe {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_tokens_bpe" -> { (s, dir) => tokensBpe(Tables.documents(s, dir)) },
+    "text_tokens_bpe_bytes" -> { (s, dir) => tokensBpeBytes(Tables.documents(s, dir)) },
     "text_bpe_segments" -> { (s, dir) => segmentsBpe(Tables.documents(s, dir)) },
     "text_pack_bpe" -> { (s, dir) => packBpe(Tables.documents(s, dir)) },
     "sample_mix_bpe" -> { (s, dir) => mixBpe(Tables.documents(s, dir)) },
@@ -531,6 +656,7 @@ object Bpe {
 
   def oracleSql: Map[String, String] = Map(
     "text_tokens_bpe" -> tokensBpeSql,
+    "text_tokens_bpe_bytes" -> tokensBpeBytesSql,
     "text_bpe_segments" -> segmentsBpeSql,
     "text_pack_bpe" -> packBpeSql(),
     "sample_mix_bpe" -> mixBpeSql(),

@@ -578,6 +578,136 @@ object Similarity {
   def knnGraphSql(nList: Int = 16, k: Int = 3): String =
     s"WITH ${knnCtes(nList)} SELECT vid_a, vid_b, cos, rank FROM r WHERE rank <= $k"
 
+  /** Graph-walk ANN serving over the materialized [[knnGraph]] edge
+    * table — the HNSW-layer-0 consumer the r13 verdict asked for: the
+    * k-NN graph finally has a serving path instead of being a terminal
+    * artifact. Per query: SEED at the query's `beam` nearest cell
+    * centroids (the IVF probe's entry points — centroids ARE corpus
+    * vectors in the deterministic config), then `rounds` bounded beam
+    * steps — score the visited set against the query, keep the top
+    * `beam` (rounded cos, vid tie-break — total order, the
+    * artifact_mask parity rule), expand their graph neighbors, union
+    * into visited — and finish with an exact re-rank of the visited
+    * set. Every step is an equi-join or a qid-partitioned window;
+    * per-round `localCheckpoint` stops the union fan-out re-evaluating
+    * the walk subtree (the components() rule). The candidate budget is
+    * seeds + rounds·beam·k rows per query — independent of cell size,
+    * which is the point: IVF's nProbe budget grows with |cell| ≈
+    * n/nList, the walk's doesn't, so at the 100k decade the walk
+    * reaches IVF-level recall at a tenth of the scored candidates
+    * (ScaleSpec pins recall ≥ IVF nProbe=4 at ≤ its budget). Gate
+    * config (nList=16, k=3, beam=4, rounds=2) is the SQL-replayable
+    * narrow one — the walk is deterministic by construction, so the
+    * oracle replays every round as chained CTEs (curate_pagerank
+    * precedent); ScaleSpec runs the scale config (k=8, beam=8,
+    * rounds=3) where the recall claim lives.
+    */
+  def graphServe(
+      emb: DataFrame,
+      nList: Int = 16,
+      k: Int = 3,
+      beam: Int = 4,
+      rounds: Int = 2,
+      nQ: Int = nQueries
+  ): DataFrame = {
+    val visited = graphWalkVisited(emb, nList, k, beam, rounds, nQ)
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vid").asc)
+    graphScore(emb, visited, nQ)
+      .filter(col("vid") =!= col("qid"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("vid"), col("cos"))
+  }
+
+  /** The walk's visited set (qid, vid) — exposed so ScaleSpec can
+    * count the candidate budget the serve pass actually scored. */
+  private[graft] def graphWalkVisited(
+      emb: DataFrame,
+      nList: Int,
+      k: Int,
+      beam: Int,
+      rounds: Int,
+      nQ: Int
+  ): DataFrame = {
+    val edges = knnGraph(emb, nList, k)
+      .select(col("vid_a"), col("vid_b"))
+      .localCheckpoint()
+    val seedW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cid").asc)
+    var visited = centDists(emb, nList)
+      .filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("cid"), row_number().over(seedW).as("cr"))
+      .filter(col("cr") <= beam)
+      .select(col("qid"), col("cid").cast("long").as("vid"))
+      .distinct()
+      .localCheckpoint()
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vid").asc)
+    for (_ <- 1 to rounds) {
+      val top = graphScore(emb, visited, nQ)
+        .withColumn("rn", row_number().over(bw))
+        .filter(col("rn") <= beam)
+        .select(col("qid"), col("vid"))
+      val expanded = top
+        .join(edges, top("vid") === edges("vid_a"))
+        .select(col("qid"), col("vid_b").as("vid"))
+      visited = visited.unionByName(expanded).distinct().localCheckpoint()
+    }
+    visited
+  }
+
+  /** Score a (qid, vid) frame against the query vectors: one equi-join
+    * on vid + one broadcast of the nQ-row query table. */
+  private def graphScore(emb: DataFrame, idx: DataFrame, nQ: Int): DataFrame = {
+    val vs = vecsN(emb)
+    val qtab = vs
+      .filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
+    idx
+      .join(vs.select(col("vec_id").as("vid"), col("v").as("vb"), col("nrm").as("nb")), Seq("vid"))
+      .join(broadcast(qtab), Seq("qid"))
+      .select(
+        col("qid"),
+        col("vid"),
+        round(graft.functions.exprs.dot_d(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cos")
+      )
+  }
+
+  /** Chained-CTE replay of [[graphServe]]'s deterministic walk: the
+    * knn CTE chain (vs/rankedc/assign/edges) + per-round score → beam
+    * → expand → union CTEs, exact re-rank at the end.
+    */
+  def graphServeSql(nList: Int = 16, k: Int = 3, beam: Int = 4, rounds: Int = 2): String = {
+    val sb = new StringBuilder
+    sb ++= s"WITH ${knnCtes(nList)}, "
+    sb ++= s"edges AS MATERIALIZED (SELECT vid_a, vid_b FROM r WHERE rank <= $k), "
+    sb ++= s"qv AS MATERIALIZED (SELECT vec_id AS qid, v AS va FROM vs WHERE vec_id < $nQueries), "
+    sb ++= s"v0 AS MATERIALIZED (SELECT DISTINCT pid AS qid, CAST(cid AS BIGINT) AS vid " +
+      s"FROM rankedc WHERE pid < $nQueries AND cr <= $beam), "
+    for (rd <- 1 to rounds) {
+      val prev = s"v${rd - 1}"
+      sb ++= s"p$rd AS (SELECT t.qid, t.vid, q.va AS va, b.v AS vb FROM $prev t " +
+        s"JOIN vs b ON b.vec_id = t.vid JOIN qv q ON q.qid = t.qid), "
+      sb ++= s"s$rd AS (SELECT qid, vid, round($cosSqlExpr, 6) AS cos FROM p$rd), "
+      sb ++= s"b$rd AS (SELECT qid, vid FROM (SELECT qid, vid, " +
+        s"row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rn FROM s$rd) WHERE rn <= $beam), "
+      sb ++= s"v$rd AS MATERIALIZED (SELECT DISTINCT qid, vid FROM " +
+        s"(SELECT qid, vid FROM $prev UNION ALL " +
+        s"SELECT b.qid, e.vid_b AS vid FROM b$rd b JOIN edges e ON e.vid_a = b.vid)), "
+    }
+    sb ++= s"pf AS (SELECT t.qid, t.vid, q.va AS va, b.v AS vb FROM v$rounds t " +
+      s"JOIN vs b ON b.vec_id = t.vid JOIN qv q ON q.qid = t.qid WHERE t.vid <> t.qid), "
+    sb ++= s"sf AS (SELECT qid, vid, round($cosSqlExpr, 6) AS cos FROM pf) "
+    sb ++= "SELECT qid, vid, cos FROM (SELECT qid, vid, cos, " +
+      s"row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rank FROM sf) WHERE rank <= $topK"
+    sb.toString
+  }
+
   /** Label-propagation communities (Raghavan et al. 2007) over the
     * [[knnGraph]] edge table — the clustering that needs NO centroid
     * count: each synchronous round every vector adopts the most common
@@ -2188,6 +2318,7 @@ object Similarity {
     "dedup_embed" -> { (s, dir) => embedDupes(Tables.embeddings(s, dir), 0.4, planes, 2) },
     "dedup_semdedup" -> { (s, dir) => semDedup(Tables.embeddings(s, dir)) },
     "sim_knn_graph" -> { (s, dir) => knnGraph(Tables.embeddings(s, dir)) },
+    "sim_graph_serve" -> { (s, dir) => graphServe(Tables.embeddings(s, dir)) },
     "sim_communities" -> { (s, dir) => lpCommunities(Tables.embeddings(s, dir)) }
   )
 
@@ -2213,6 +2344,7 @@ object Similarity {
     "dedup_embed" -> embedDupesSql(0.4, planes, 2),
     "dedup_semdedup" -> semDedupSql(),
     "sim_knn_graph" -> knnGraphSql(),
+    "sim_graph_serve" -> graphServeSql(),
     "sim_communities" -> lpCommunitiesSql()
   )
 }

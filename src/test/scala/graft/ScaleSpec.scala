@@ -140,6 +140,49 @@ class ScaleSpec extends AnyFunSuite {
     assert(scanned < 10L * 810 / 2, s"scanned $scanned pairs — not a bounded probe")
   }
 
+  // The graph-walk consumer of sim_knn_graph: on the same planted
+  // corpus the beam walk must reach IVF nProbe=4 recall while SCORING
+  // no more candidates than IVF does — the walk's budget is
+  // seeds + rounds·beam·k per query (cell-size independent), IVF's is
+  // nProbe·|cell| (grows with the corpus), which is the whole argument
+  // for graph serving at scale.
+  test("graph-walk ANN: recall >= IVF nProbe=4 at no more scored candidates") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val latent = Array.fill(16)(normalize(Array.fill(64)(rnd.nextGaussian())))
+    val rows = (0 until 810).map { i =>
+      val c = latent(i % 16)
+      val v = normalize(c.zip(Array.fill(64)(rnd.nextGaussian())).map { case (a, g) => a + 0.18 * g })
+      (i.toLong, v.map(_.toFloat).toSeq, (i % 16).toLong)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(graft.llm.Similarity.topk(emb))
+    val ivf = pairs(graft.llm.Similarity.ivfTopk(emb, 16, 4))
+    val ivfBudget = graft.llm.Similarity.ivfCandidates(emb, 16, 4).count()
+    // scale config: k=8 edges, beam 8, 3 rounds — the gate pins the
+    // SQL-replayable narrow config (k=3/beam=4/rounds=2), this is the
+    // config the recall claim lives at (LSH band-width precedent)
+    val graph = pairs(graft.llm.Similarity.graphServe(emb, 16, 8, 8, 3))
+    val graphBudget =
+      graft.llm.Similarity.graphWalkVisited(emb, 16, 8, 8, 3, 10).count()
+    val rIvf = (truth & ivf).size.toDouble / truth.size
+    val rGraph = (truth & graph).size.toDouble / truth.size
+    info(s"recall@5: graph $rGraph (budget $graphBudget) vs IVF $rIvf (budget $ivfBudget)")
+    assert(
+      rGraph >= rIvf,
+      s"graph recall $rGraph < IVF recall $rIvf (budgets: graph $graphBudget, ivf $ivfBudget)"
+    )
+    assert(
+      graphBudget <= ivfBudget,
+      s"graph walk scored $graphBudget candidates vs IVF's $ivfBudget — budget claim broken"
+    )
+  }
+
   // The trained END-TO-END composition: kmeans|| cells + Lloyd-trained
   // residual codebooks, recall vs the exact cosine baseline — the
   // production story the gate's deterministic first-16 centroids can't
