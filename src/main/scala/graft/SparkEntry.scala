@@ -579,18 +579,28 @@ object BaseQueries {
       )
       try {
         s.conf.set("spark.graft.rollupRewrite", "true")
-        val q = li
-          .groupBy(col("l_returnflag"))
-          .agg(
-            sum(col("l_quantity")).as("sum_qty"),
-            avg(col("l_quantity")).as("avg_qty"),
-            count(lit(1)).as("n_rows")
+        def probe(name: String, df: DataFrame): DataFrame = {
+          val q = df
+            .groupBy(col("l_returnflag"))
+            .agg(
+              sum(col("l_quantity")).as("sum_qty"),
+              avg(col("l_quantity")).as("avg_qty"),
+              count(lit(1)).as("n_rows")
+            )
+          val opt = q.queryExecution.optimizedPlan.toString
+          require(
+            !opt.contains("l_quantity") && opt.contains("sum_qty"),
+            s"rollup rewrite did not fire for probe '$name' in the gate session:\n$opt"
           )
-        val opt = q.queryExecution.optimizedPlan.toString
-        require(
-          !opt.contains("l_quantity") && opt.contains("sum_qty"),
-          s"rollup rewrite did not fire in the gate session:\n$opt"
-        )
+          q.withColumn("probe", lit(name))
+        }
+        // probe 'all': the r13 subset-key + avg derivations; probe
+        // 'filtered': the r14 FILTER SUBSUMPTION — an equality on a
+        // registered group key NOT in the query's grouping must
+        // re-aggregate the store WITH that filter (and still never
+        // read l_quantity)
+        val q = probe("all", li)
+          .unionByName(probe("filtered", li.filter(col("l_linestatus") === "F")))
         val rows = q.collect().toIndexedSeq
         s.createDataFrame(
           s.sparkContext.parallelize(rows, 1),
@@ -1173,7 +1183,11 @@ object BaseQueries {
         "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag, l_linestatus"),
     "rollup_rewrite_serve" ->
       ("SELECT l_returnflag, sum(l_quantity) AS sum_qty, avg(l_quantity) AS avg_qty, " +
-        "count(*) AS n_rows FROM lineitem GROUP BY l_returnflag"),
+        "count(*) AS n_rows, 'all' AS probe FROM lineitem GROUP BY l_returnflag " +
+        "UNION ALL " +
+        "SELECT l_returnflag, sum(l_quantity) AS sum_qty, avg(l_quantity) AS avg_qty, " +
+        "count(*) AS n_rows, 'filtered' AS probe FROM lineitem WHERE l_linestatus = 'F' " +
+        "GROUP BY l_returnflag"),
     "sink_parquet" ->
       ("SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars " +
         "FROM documents WHERE lang IN ('en', 'zh') GROUP BY lang"),

@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Divide, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Divide, EqualTo, Expression, In, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.DoubleType
@@ -89,25 +89,78 @@ case class RollupRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def uriPath(p: String): String =
     new org.apache.hadoop.fs.Path(p).toUri.getPath
 
-  /** The aggregate child must be (a pruning Project over) a parquet
-    * scan whose root path IS the registered base location — anything
-    * else (filters, joins, other relations with the same schema) would
-    * need derivations the conservative contract refuses.
+  /** The aggregate child must be (a pruning Project and/or a
+    * key-subsumable Filter over) a parquet scan whose root path IS the
+    * registered base location — anything else (joins, other relations
+    * with the same schema, non-key predicates) would need derivations
+    * the conservative contract refuses. Returns the collected filter
+    * predicates (empty = bare scan) or None on any non-match.
+    *
+    * FILTER SUBSUMPTION (r14): a conjunction of `key = literal` /
+    * `key IN (literals)` predicates on REGISTERED group keys is exact
+    * over the store — store rows partition by the full key set, so
+    * filtering store rows on key predicates selects precisely the
+    * groups the base filter would have kept. Anything else (non-key
+    * columns, expressions over keys, null literals, disjunctions)
+    * refuses.
     */
-  private def baseMatches(child: LogicalPlan, spec: Spec): Boolean = child match {
-    case Project(projectList, grandchild)
-        if projectList.forall(_.isInstanceOf[AttributeReference]) =>
-      baseMatches(grandchild, spec)
-    case lr: LogicalRelation =>
-      val pathOk = lr.relation match {
-        case h: HadoopFsRelation =>
-          val want = uriPath(spec.basePath)
-          h.location.rootPaths.exists(p => p.toUri.getPath == want)
-        case _ => false
-      }
-      pathOk && spec.baseCols.subsetOf(lr.output.map(_.name).toSet)
+  private def baseMatches(child: LogicalPlan, spec: Spec): Option[Seq[Expression]] =
+    child match {
+      case Project(projectList, grandchild)
+          if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+        baseMatches(grandchild, spec)
+      case Filter(cond, grandchild) =>
+        val preds = splitConjuncts(cond)
+        if (preds.forall(keyPredicate(_, spec))) baseMatches(grandchild, spec).map(preds ++ _)
+        else None
+      case lr: LogicalRelation =>
+        val pathOk = lr.relation match {
+          case h: HadoopFsRelation =>
+            val want = uriPath(spec.basePath)
+            h.location.rootPaths.exists(p => p.toUri.getPath == want)
+          case _ => false
+        }
+        if (pathOk && spec.baseCols.subsetOf(lr.output.map(_.name).toSet)) Some(Nil) else None
+      case _ => None
+    }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other     => Seq(other)
+  }
+
+  private def keyPredicate(e: Expression, spec: Spec): Boolean = e match {
+    case EqualTo(a: AttributeReference, l: Literal) =>
+      spec.groupCols.contains(a.name) && l.value != null
+    case EqualTo(l: Literal, a: AttributeReference) =>
+      spec.groupCols.contains(a.name) && l.value != null
+    case In(a: AttributeReference, elems) =>
+      spec.groupCols.contains(a.name) &&
+      elems.forall { case Literal(v, _) => v != null; case _ => false }
+    // InferFiltersFromConstraints plants isnotnull(key) next to the
+    // equality — exact over the store (keys are stored verbatim)
+    case org.apache.spark.sql.catalyst.expressions.IsNotNull(a: AttributeReference) =>
+      spec.groupCols.contains(a.name)
     case _ => false
   }
+
+  /** A key predicate with its attribute swapped for the store's
+    * same-named column (types must agree — drift refuses). */
+  private def rebasePred(p: Expression, byName: Map[String, Attribute]): Option[Expression] =
+    p match {
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        byName.get(a.name).filter(_.dataType == a.dataType).map(sa => EqualTo(sa, l))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        byName.get(a.name).filter(_.dataType == a.dataType).map(sa => EqualTo(sa, l))
+      case In(a: AttributeReference, elems) =>
+        byName.get(a.name).filter(_.dataType == a.dataType).map(sa => In(sa, elems))
+      case org.apache.spark.sql.catalyst.expressions.IsNotNull(a: AttributeReference) =>
+        byName
+          .get(a.name)
+          .filter(_.dataType == a.dataType)
+          .map(sa => org.apache.spark.sql.catalyst.expressions.IsNotNull(sa))
+      case _ => None
+    }
 
   /** What a matched output translates to over the store. */
   private sealed trait Tx
@@ -142,19 +195,41 @@ case class RollupRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         case agg @ Aggregate(groupExprs, aggExprs, child, _)
             if groupExprs.forall(_.isInstanceOf[AttributeReference]) =>
           val keyNames = groupExprs.collect { case a: AttributeReference => a.name }.toSet
-          MaterializedRollups.all
-            .find { spec =>
-              keyNames.subsetOf(spec.groupCols) &&
-              baseMatches(child, spec) &&
-              aggExprs.forall(e => txFor(e, spec).isDefined)
+          MaterializedRollups.all.view
+            .flatMap { spec =>
+              if (keyNames.subsetOf(spec.groupCols) &&
+                aggExprs.forall(e => txFor(e, spec).isDefined))
+                baseMatches(child, spec).map(preds => (spec, preds))
+              else None
             }
-            .flatMap { spec => rewrite(agg, keyNames, spec) }
+            .headOption
+            .flatMap { case (spec, preds) => rewrite(agg, keyNames, spec, preds) }
             .getOrElse(agg)
       }
 
-  private def rewrite(agg: Aggregate, keyNames: Set[String], spec: Spec): Option[LogicalPlan] = {
-    val storePlan = spark.read.parquet(spec.store).queryExecution.analyzed
-    val byName = storePlan.output.map(a => a.name -> a).toMap
+  private def rewrite(
+      agg: Aggregate,
+      keyNames: Set[String],
+      spec: Spec,
+      preds: Seq[Expression]
+  ): Option[LogicalPlan] = {
+    val storeBase = spark.read.parquet(spec.store).queryExecution.analyzed
+    val byName = storeBase.output.map(a => a.name -> a).toMap
+    // rebase each key predicate onto the store's attribute of the same
+    // name; a missing column (store schema drift) refuses the rewrite
+    val rebased: Option[Seq[Expression]] = preds.foldLeft(Option(Vector.empty[Expression])) {
+      case (acc, p) =>
+        for {
+          v <- acc
+          rp <- rebasePred(p, byName)
+        } yield v :+ rp
+    }
+    if (rebased.isEmpty) return None
+    val storePlan =
+      rebased.get.reduceOption(And) match {
+        case Some(cond) => Filter(cond, storeBase)
+        case None       => storeBase
+      }
     val exact = keyNames == spec.groupCols
     val cnt = spec.countCol.flatMap(byName.get)
 

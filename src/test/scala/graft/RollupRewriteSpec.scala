@@ -102,6 +102,30 @@ class RollupRewriteSpec extends AnyFunSuite {
         "subset avg-from-store results differ"
       )
 
+      // FILTER SUBSUMPTION (r14): an equality/IN on registered GROUP
+      // KEYS re-aggregates the store WITH the filter — exact because
+      // store rows partition by the full key set
+      def filteredQ(df: org.apache.spark.sql.DataFrame) =
+        df.filter(col("l_linestatus") === "F")
+          .groupBy(col("l_returnflag"))
+          .agg(sum(col("l_quantity")).as("x"), count(lit(1)).as("c"), avg(col("l_quantity")).as("a"))
+      val fq = filteredQ(core.Tables.lineitem(s2, sf))
+      val fqOpt = fq.queryExecution.optimizedPlan.toString
+      assert(!fqOpt.contains("l_quantity") && fqOpt.contains("sum_qty"),
+        s"key-equality filter should rewrite over the store:\n$fqOpt")
+      assert(rows(fq) == rows(filteredQ(core.Tables.lineitem(spark, sf))),
+        "filtered rewrite results differ from the direct aggregate")
+      // IN-list on a key, grouping on the OTHER key
+      def inQ(df: org.apache.spark.sql.DataFrame) =
+        df.filter(col("l_returnflag").isin("A", "N"))
+          .groupBy(col("l_linestatus"))
+          .agg(sum(col("l_quantity")).as("x"))
+      val iq = inQ(core.Tables.lineitem(s2, sf))
+      assert(!iq.queryExecution.optimizedPlan.toString.contains("l_quantity"),
+        "key-IN filter should rewrite over the store")
+      assert(rows(iq) == rows(inQ(core.Tables.lineitem(spark, sf))),
+        "IN-filtered rewrite results differ")
+
       // conservative misses:
       // group key OUTSIDE the store's key set -> no rewrite
       val other = core.Tables
@@ -110,13 +134,31 @@ class RollupRewriteSpec extends AnyFunSuite {
         .agg(sum(col("l_quantity")).as("x"))
       assert(other.queryExecution.optimizedPlan.toString.contains("l_shipdate"))
       assert(!other.queryExecution.optimizedPlan.toString.contains("sum_qty"))
-      // filtered child -> no rewrite (store can't answer a predicate)
+      // NON-KEY filter -> no rewrite (store can't answer a predicate
+      // on a column it aggregated away)
       val filtered = core.Tables
         .lineitem(s2, sf)
         .filter(col("l_orderkey") > 100)
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity")).as("x"), count(lit(1)).as("c"))
       assert(filtered.queryExecution.optimizedPlan.toString.contains("l_orderkey"))
+      // EXPRESSION filter over a key -> no rewrite (only bare
+      // key = literal / key IN (literals) subsume)
+      val exprFiltered = core.Tables
+        .lineitem(s2, sf)
+        .filter(concat(col("l_linestatus"), lit("x")) === "Fx")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("x"))
+      assert(exprFiltered.queryExecution.optimizedPlan.toString.contains("l_quantity"),
+        "expression filter must refuse the rewrite")
+      // RANGE predicate on a key -> no rewrite (not an equality/IN)
+      val rangeFiltered = core.Tables
+        .lineitem(s2, sf)
+        .filter(col("l_linestatus") > "A")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("x"))
+      assert(rangeFiltered.queryExecution.optimizedPlan.toString.contains("l_quantity"),
+        "range filter must refuse the rewrite")
       // SAME SCHEMA, different path -> no rewrite (identity binding)
       val copied = agg(s2.read.parquet(liCopy))
       val copiedOpt = copied.queryExecution.optimizedPlan.toString
