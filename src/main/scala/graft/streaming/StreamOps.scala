@@ -157,6 +157,81 @@ object StreamOps {
     )
   }
 
+  /** Streaming twin of `events_attribution` (r14) — the last
+    * events-family gate without one. The established stateful/rank
+    * split: the STREAM half is a watermarked stream-stream interval
+    * join (each purchase matches the same user's view/click touches
+    * inside the `lookbackSec` lookback — the [[viewPurchaseJoin]]
+    * machinery with the attribution predicate), emitting one
+    * (p_id, p_cents, t_type, t_id, t_ts) row per credited touch in
+    * append mode; the per-purchase credit ROLLUP
+    * ([[attributionCredits]] — count + first/last rank windows, exact
+    * BIGINT micros) runs over the emitted store downstream, because
+    * rank windows can't ride a stream. Watermarks on both sides bound
+    * join state: a touch older than watermark − lookback can never
+    * credit a future purchase and is GC'd (spec asserts eviction).
+    * Matches emit exactly once across ANY batch arrival order within
+    * the watermark (spec drives a purchase-before-touch batch split).
+    */
+  def attributionStream(events: DataFrame, lookbackSec: Long = 86400L): DataFrame = {
+    val base = events.select(
+      col("event_id"),
+      col("user_id"),
+      col("event_type"),
+      eventTimeMicros.as("ts"),
+      col("value")
+    )
+    val touches = base
+      .filter(col("event_type").isin("view", "click"))
+      .select(
+        col("user_id").as("t_user"),
+        col("event_type").as("t_type"),
+        col("event_id").as("t_id"),
+        col("ts").as("t_ts")
+      )
+      .withWatermark("t_ts", "2 hours")
+    val purchases = base
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id").as("p_id"),
+        col("user_id").as("p_user"),
+        col("ts").as("p_ts"),
+        expr("CAST(floor(value * 100 + 0.5e0) AS BIGINT)").as("p_cents")
+      )
+      .withWatermark("p_ts", "2 hours")
+    purchases
+      .join(
+        touches,
+        expr(
+          s"t_user = p_user AND t_ts < p_ts AND t_ts >= p_ts - INTERVAL $lookbackSec SECONDS"
+        )
+      )
+      .select(col("p_id"), col("p_cents"), col("t_type"), col("t_id"), col("t_ts"))
+  }
+
+  /** The rollup half of [[attributionStream]]: per-purchase touch
+    * count + first/last ranks over the emitted store, then the
+    * per-type credit table — the BATCH gate's own aggregation (exact
+    * BIGINT micros, linear/first/last models), run downstream of the
+    * stream because ranking windows can't ride one.
+    */
+  def attributionCredits(joined: DataFrame): DataFrame = {
+    val wp = org.apache.spark.sql.expressions.Window.partitionBy(col("p_id"))
+    joined
+      .withColumn("n_t", count(lit(1)).over(wp))
+      .withColumn("rk_f", row_number().over(wp.orderBy(col("t_ts").asc, col("t_id").asc)))
+      .withColumn("rk_l", row_number().over(wp.orderBy(col("t_ts").desc, col("t_id").desc)))
+      .groupBy(col("t_type"))
+      .agg(
+        count(lit(1)).as("n_touches"),
+        sum(when(col("rk_f") === 1, 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("rk_l") === 1, 1L).otherwise(0L)).as("n_last"),
+        sum(expr("(p_cents * 10000) div n_t")).as("linear_micros"),
+        sum(when(col("rk_f") === 1, col("p_cents") * 10000L).otherwise(0L)).as("first_micros"),
+        sum(when(col("rk_l") === 1, col("p_cents") * 10000L).otherwise(0L)).as("last_micros")
+      )
+  }
+
   /** Gap-based sessionization with per-key state
     * (flatMapGroupsWithState): events of one user belong to one session
     * while gaps stay under `gapNs`. Works on batch DataFrames (state

@@ -1025,6 +1025,71 @@ class StreamStreamJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(removed > 0, "watermark never removed join state")
     assert(totals.last < totals.max, s"state not bounded: $totals")
   }
+
+  test("attributionStream: finalized credits equal the batch model across out-of-order batches, state evicts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq = spark.sqlContext
+    val s = 1000000000L // 1 second in ns
+    val h = 3600L
+    val input = MemoryStream[(Long, Long, String, Long, Double)]
+    val events = input.toDF().toDF("event_id", "user_id", "event_type", "ts_ns", "value")
+    val q = graft.streaming.StreamOps
+      .attributionStream(events, lookbackSec = 100L)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("attr_out")
+      .start()
+    // batch 1: user 1's touches + user 2's stale view + user 3's
+    // PURCHASE (its touch arrives later — out-of-order across batches)
+    input.addData(
+      (1L, 1L, "view", 10 * s, 0.0),
+      (2L, 1L, "click", 50 * s, 0.0),
+      (3L, 2L, "view", 30 * s, 0.0),
+      (12L, 3L, "purchase", 500 * s, 2.0)
+    )
+    q.processAllAvailable()
+    // batch 2: user 1's purchase (both touches in lookback), user 2's
+    // purchase (view 270 s stale > 100 s lookback), user 3's LATE click
+    input.addData(
+      (10L, 1L, "purchase", 100 * s, 3.0),
+      (11L, 2L, "purchase", 300 * s, 5.0),
+      (4L, 3L, "click", 400 * s, 0.0)
+    )
+    q.processAllAvailable()
+    // batches 3-4: advance event time hours past watermark + lookback
+    // so early join state is GC'd (each also a 1-view purchase, cents 0)
+    input.addData((6L, 4L, "view", 5 * h * s, 0.0), (7L, 4L, "purchase", (5 * h + 1) * s, 0.0))
+    q.processAllAvailable()
+    input.addData((8L, 5L, "view", 10 * h * s, 0.0), (9L, 5L, "purchase", (10 * h + 1) * s, 0.0))
+    q.processAllAvailable()
+    val progs = q.recentProgress
+    q.stop()
+    // the rollup half over the emitted store — the batch gate's own
+    // credit aggregation (linear = cents·10⁴ div n_t; first/last ranks)
+    val credits = graft.streaming.StreamOps
+      .attributionCredits(spark.table("attr_out"))
+      .collect()
+      .map(r => r.getString(0) -> r.toSeq.drop(1))
+      .toMap
+    // hand-computed batch-model expectation:
+    // p10 (300c): view1 + click2 -> linear 1.5M each, first=view, last=click
+    // p11: no touches in lookback -> drops (the "direct" complement)
+    // p12 (200c): click4 alone -> first=last=click, 2M
+    // p7/p9 (0c): one view each -> first=last=view, 0 credit
+    assert(
+      credits("view") == Seq(3L, 3L, 2L, 1500000L, 3000000L, 0L),
+      s"view credits diverge from the batch model: ${credits.get("view")}"
+    )
+    assert(
+      credits("click") == Seq(2L, 1L, 2L, 3500000L, 2000000L, 5000000L),
+      s"click credits diverge from the batch model: ${credits.get("click")}"
+    )
+    val totals = progs.flatMap(_.stateOperators.map(_.numRowsTotal))
+    val removed = progs.flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+    assert(removed > 0, "watermark never removed attribution join state")
+    assert(totals.last < totals.max, s"attribution state not bounded: $totals")
+  }
 }
 
 class IncrementalScreenStreamSpec extends org.scalatest.funsuite.AnyFunSuite {
