@@ -590,6 +590,30 @@ object Prof {
           .join(e.as("e3"), col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
           .count()
       }
+      // r14: k-core peel on the same skewed graph — per round one
+      // exploded degree count + two equi-joins on the SHRINKING edge
+      // set; k chosen near the mean degree so the peel actually bites
+      t(s"tri${triK}k_kcore", mDist) {
+        var alive = edges.localCheckpoint()
+        // mean degree is 2m/n ≈ 20 but the skew concentrates mass low:
+        // k at HALF the mean leaves a non-trivial deep core while
+        // peeling most hosts — both the cascade and the survivors real
+        val k = math.max(2L, mDist / nHosts)
+        var n = 0L
+        for (_ <- 1 to 8) {
+          val keep = alive
+            .select(explode(array(col("u"), col("v"))).as("h"))
+            .groupBy(col("h")).agg(count(lit(1)).as("d"))
+            .filter(col("d") >= k)
+            .select(col("h"))
+          alive = alive
+            .join(keep.select(col("h").as("u")), Seq("u"))
+            .join(keep.select(col("h").as("v")), Seq("v"))
+            .localCheckpoint()
+          n = alive.count()
+        }
+        n
+      }
       edges.unpersist()
       ()
     }

@@ -529,12 +529,94 @@ object Urls {
       "JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) " +
       "SELECT host, count(*) AS n_tri FROM (SELECT unnest([x, y, z]) AS host FROM tri) c GROUP BY host"
 
+  /** Host-graph K-CORE membership — the second classic link-farm QA
+    * metric next to [[hostTriangles]] (a k-core is a maximal subgraph
+    * where every node keeps ≥ k neighbors; organic link neighborhoods
+    * shed into low cores, farm cliques sit in deep ones). Iterative
+    * peel as `rounds` BOUNDED rounds of degree-count → keep-filter →
+    * edge semi-join, per-round `localCheckpoint` (the LPA fan-out
+    * rule); rounds exceeds the measured fixpoint (2 on this graph) so
+    * the gate also witnesses convergence stability. k = 5 bisects the
+    * 20-host graph 8/12 with a real CASCADE (three hosts start at
+    * deg ≥ 5 and peel only after round-1 neighbors drop) — non-vacuity
+    * verified at every sf (the doc_id % 20 plant covers all residues
+    * at any sf, so the graph is identical). At scale each round is one
+    * exploded degree count + two equi-joins on the shrinking edge set
+    * — never more than O(m) per round, O(rounds·m) total.
+    */
+  def hostKcore(docs: DataFrame, k: Int = 5, rounds: Int = 4): DataFrame = {
+    val und = docs
+      .select(
+        expr("doc_id % 20").as("src"),
+        explode(
+          array(
+            expr("(doc_id * 3 + 1) % 20"),
+            expr("(doc_id * 7 + 3) % 20"),
+            expr("(doc_id * 9 + 4) % 20")
+          )
+        ).as("dst")
+      )
+      .filter(col("src") =!= col("dst") && col("src") < 17)
+      .select(least(col("src"), col("dst")).as("u"), greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+      .localCheckpoint() // feeds deg0 AND the peel chain (fan-out rule)
+    val deg0 = und
+      .select(explode(array(col("u"), col("v"))).as("host"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("deg0"))
+    var alive = und
+    for (_ <- 1 to rounds) {
+      val keep = alive
+        .select(explode(array(col("u"), col("v"))).as("h"))
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+        .select(col("h"))
+      alive = alive
+        .join(keep.select(col("h").as("u")), Seq("u"))
+        .join(keep.select(col("h").as("v")), Seq("v"))
+        .localCheckpoint() // referenced by next round's degree count AND semi-joins
+    }
+    val fin = alive
+      .select(explode(array(col("u"), col("v"))).as("host"))
+      .distinct()
+      .withColumn("in_core", lit(true))
+    deg0
+      .join(fin, Seq("host"), "left")
+      .select(col("host"), col("deg0"), coalesce(col("in_core"), lit(false)).as("in_core"))
+  }
+
+  /** Chained-CTE replay of every peel round (curate_pagerank
+    * precedent).
+    */
+  def hostKcoreSql(k: Int = 5, rounds: Int = 4): String = {
+    val sb = new StringBuilder
+    sb ++= "WITH e0 AS (SELECT doc_id % 20 AS src, " +
+      "unnest([(doc_id * 3 + 1) % 20, (doc_id * 7 + 3) % 20, (doc_id * 9 + 4) % 20]) AS dst FROM documents), " +
+      "a0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v " +
+      "FROM e0 WHERE src <> dst AND src < 17), " +
+      "deg0 AS MATERIALIZED (SELECT h, count(*) AS deg0 FROM " +
+      "(SELECT u AS h FROM a0 UNION ALL SELECT v AS h FROM a0) x GROUP BY h), "
+    for (r <- 1 to rounds) {
+      val p = s"a${r - 1}"
+      sb ++= s"k$r AS MATERIALIZED (SELECT h FROM (SELECT h, count(*) AS d FROM " +
+        s"(SELECT u AS h FROM $p UNION ALL SELECT v AS h FROM $p) x GROUP BY h) WHERE d >= $k), "
+      sb ++= s"a$r AS MATERIALIZED (SELECT a.u, a.v FROM $p a " +
+        s"JOIN k$r ku ON ku.h = a.u JOIN k$r kv ON kv.h = a.v), "
+    }
+    sb ++= s"fin AS (SELECT DISTINCT h FROM (SELECT u AS h FROM a$rounds UNION ALL SELECT v AS h FROM a$rounds) x) "
+    sb ++= "SELECT d.h AS host, d.deg0, (f.h IS NOT NULL) AS in_core " +
+      "FROM deg0 d LEFT JOIN fin f ON f.h = d.h"
+    sb.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_url" -> { (s, dir) => curateUrl(Tables.documents(s, dir)) },
     "curate_url_hosts" -> { (s, dir) => urlHosts(Tables.documents(s, dir)) },
     "curate_web" -> { (s, dir) => curateWeb(Tables.documents(s, dir)) },
     "curate_pagerank" -> { (s, dir) => hostPagerank(Tables.documents(s, dir)) },
-    "graph_triangles" -> { (s, dir) => hostTriangles(Tables.documents(s, dir)) }
+    "graph_triangles" -> { (s, dir) => hostTriangles(Tables.documents(s, dir)) },
+    "graph_kcore" -> { (s, dir) => hostKcore(Tables.documents(s, dir)) }
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -542,6 +624,7 @@ object Urls {
     "curate_url_hosts" -> urlHostsSql,
     "curate_web" -> curateWebSql(),
     "curate_pagerank" -> hostPagerankSql(),
-    "graph_triangles" -> hostTrianglesSql
+    "graph_triangles" -> hostTrianglesSql,
+    "graph_kcore" -> hostKcoreSql()
   )
 }
