@@ -618,6 +618,40 @@ object Prof {
       ()
     }
 
+    // PROF_RUNS=k: exact shared-run detection (dedup_runs machinery) at
+    // k-thousand REALISTIC-length docs — 300 unique filler tokens each,
+    // every 5th doc appending one of 10 shared 500-token (~3 KB)
+    // passages, so real multi-doc run groups exist at every length the
+    // island pass handles. The gate corpus is 54-token docs; this is
+    // the per-kernel decade the r13 lesson demands (the gram explode is
+    // ~n_tokens rows/doc and the gh aggregation + per-doc island window
+    // are the spill candidates).
+    val runsK = sys.env.getOrElse("PROF_RUNS", "0").toInt
+    if (runsK > 0) {
+      val nDocs = runsK * 1000L
+      val runDocs = spark
+        .range(nDocs)
+        .select(
+          col("id").as("doc_id"),
+          concat(
+            expr("concat_ws(' ', transform(sequence(1, 300), j -> concat('t', id, 'x', j)))"),
+            when(
+              col("id") % 5 === 0,
+              expr(
+                "concat(' ', concat_ws(' ', transform(sequence(1, 500), j -> concat('p', id % 10, 'x', j))))"
+              )
+            ).otherwise(lit(""))
+          ).as("text")
+        )
+        .persist()
+      runDocs.count()
+      // scale config: 64-bit rolling ShingleHashes gram ids (the md5
+      // gate form measured 1.5 GiB spill here — BASELINE.md r14)
+      t(s"runs${runsK}k_shared", nDocs)(llm.Dedup.sharedRunsFast(runDocs).count())
+      runDocs.unpersist()
+      ()
+    }
+
     // PROF_BPE=k: distributed merge-batch BPE training of k merges over
     // a deterministic Zipfian 200k-word vocabulary (the realistic
     // trainer workload the 31-word gate corpus can't exercise). Each

@@ -887,7 +887,39 @@ object Dedup {
         ).as("g")
       )
       .select(col("doc_id"), col("g.i").as("i"), col("g.gh").as("gh"))
-      .localCheckpoint() // feeds the shared-key aggregate AND the island pass
+    runsFromGrams(grams, w)
+  }
+
+  /** SCALE path of [[sharedRuns]] (r14): identical algorithm, but the
+    * position gram hash is the row-local 64-bit
+    * [[graft.functions.ShingleHashes]] rolling projection instead of
+    * an exploded 32-char md5 — the dedup_span_removal treatment. The
+    * realistic-length decade (50k 300–800-token docs) measured the
+    * md5 form spilling 1.5 GiB in the (doc_id, gh) distinct + island
+    * shuffles; the 8-byte hash cuts both the per-position hashing cost
+    * (O(w) md5 input per position) and the shuffle width. The gate
+    * pins the md5 oracle-replayable form; Prof runs this one (the
+    * LSH-band-width / nList convention), and a spec pins fast ≡ md5
+    * on the planted gate corpus.
+    */
+  def sharedRunsFast(docs: DataFrame, w: Int = runLen): DataFrame = {
+    val toks = slice(filter(split(col("text"), " "), x => x =!= ""), 1, TextStats.maxTokens)
+    val grams = docs
+      .select(
+        col("doc_id"),
+        graft.functions.exprs.shingle_hashes(toks, w, TextStats.maxTokens).as("ghs")
+      )
+      .select(col("doc_id"), posexplode(col("ghs")).as(Seq("i0", "gh")))
+      .select(col("doc_id"), (col("i0") + 1).as("i"), col("gh"))
+    runsFromGrams(grams, w)
+  }
+
+  /** Shared downstream of both gram producers: cross-doc shared-key
+    * screen, then the per-doc island window -> maximal runs.
+    */
+  private def runsFromGrams(grams0: DataFrame, w: Int): DataFrame = {
+    val grams =
+      grams0.localCheckpoint() // feeds the shared-key aggregate AND the island pass
     val shared = grams
       .select(col("doc_id"), col("gh"))
       .distinct()

@@ -925,6 +925,14 @@ class LlmSpec extends AnyFunSuite {
     // a doc's internal self-repeat is NOT a cross-doc run
     val selfDoc = Seq((8L, s"$runA $runA")).toDF("doc_id", "text")
     assert(Dedup.sharedRuns(selfDoc).count() == 0)
+    // the r14 64-bit scale path produces the IDENTICAL run table on
+    // the same corpus (collision-free at any realistic gram count)
+    val fast = Dedup
+      .sharedRunsFast(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("run_start").longValue(), r.getLong(2)))
+      .toSet
+    assert(fast == runs, s"sharedRunsFast diverged from the md5 form: $fast vs $runs")
   }
 
   test("dedup_chunks accounts duplicate-chunk spans exactly against a hand count") {
