@@ -61,6 +61,7 @@ object SparkEntry {
       pipeline.PipelineOps.queries ++
       sources.EdfOps.queries ++
       sources.JsonlOps.queries ++
+      sources.WarcOps.queries ++
       streaming.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -94,6 +95,7 @@ object SparkEntry {
       pipeline.PipelineOps.oracleSql ++
       sources.EdfOps.oracleSql ++
       sources.JsonlOps.oracleSql ++
+      sources.WarcOps.oracleSql ++
       streaming.StreamOps.oracleSql
 }
 

@@ -655,7 +655,7 @@ object Curation {
     * links and ≥3 words). Pure concat/CASE — parses identically in
     * Spark SQL and DuckDB.
     */
-  private[llm] val htmlPlantExpr: String =
+  private[graft] val htmlPlantExpr: String =
     "concat('<html><head><title>Doc ', CAST(doc_id AS STRING), '</title>', " +
       "'<style>body { color: #333; margin: 0 }</style>', " +
       "'<script>var tracker = 1; function f() { return 2; }</script>', " +
@@ -709,11 +709,12 @@ object Curation {
     * PASSING stopword density), script/style (tag strip). No shuffle,
     * no UDF — at 100 TB this is a pure map over the page scan.
     */
-  def htmlExtract(docs: DataFrame): DataFrame = {
-    val kept = s"filter(blocks, b -> ${htmlKeepSpark("b")})"
-    val cleaned = s"concat_ws('\\n', transform($kept, b -> ${htmlPlainSpark("b")}))"
-    docs
-      .select(col("doc_id"), expr(htmlPlantExpr).as("html"))
+  /** Shared first stages over a REAL (doc_id, html) frame — what a
+    * WARC-fed pipeline hands in: strip script/style, pull the title,
+    * segment into blocks.
+    */
+  private def htmlStages(pages: DataFrame): DataFrame =
+    pages
       .select(
         col("doc_id"),
         expr(
@@ -725,39 +726,38 @@ object Curation {
         expr("regexp_extract(page, '<title>([^<]*)</title>', 1)").as("title"),
         expr("split(page, '</p>|</div>|</head>')").as("blocks")
       )
-      .select(
-        col("doc_id"),
-        col("title"),
-        expr("size(blocks)").cast("long").as("n_blocks"),
-        expr(s"size($kept)").cast("long").as("n_kept"),
-        expr(s"length($cleaned)").cast("long").as("n_clean_chars"),
-        expr(s"md5($cleaned)").as("md5_clean")
-      )
+
+  /** Extraction summary over a real (doc_id, html) frame. */
+  def htmlExtractPages(pages: DataFrame): DataFrame = {
+    val kept = s"filter(blocks, b -> ${htmlKeepSpark("b")})"
+    val cleaned = s"concat_ws('\\n', transform($kept, b -> ${htmlPlainSpark("b")}))"
+    htmlStages(pages).select(
+      col("doc_id"),
+      col("title"),
+      expr("size(blocks)").cast("long").as("n_blocks"),
+      expr(s"size($kept)").cast("long").as("n_kept"),
+      expr(s"length($cleaned)").cast("long").as("n_clean_chars"),
+      expr(s"md5($cleaned)").as("md5_clean")
+    )
   }
 
-  /** The extraction as a (doc_id, title, text) producer — the form the
-    * downstream curation stack (quality → dedup → splits) consumes
-    * when the corpus enters as HTML; spec-verified composition with
-    * [[qualityScore]].
+  def htmlExtract(docs: DataFrame): DataFrame =
+    htmlExtractPages(docs.select(col("doc_id"), expr(htmlPlantExpr).as("html")))
+
+  /** The extraction as a (doc_id, title, text) producer over a real
+    * (doc_id, html) frame — the form the downstream curation stack
+    * (quality → dedup → splits) consumes when the corpus enters as
+    * HTML/WARC; spec-verified composition with [[qualityScore]] and
+    * the WARC reader.
     */
-  def htmlExtractText(docs: DataFrame): DataFrame = {
+  def htmlExtractTextPages(pages: DataFrame): DataFrame = {
     val kept = s"filter(blocks, b -> ${htmlKeepSpark("b")})"
     val cleaned = s"concat_ws('\\n', transform($kept, b -> ${htmlPlainSpark("b")}))"
-    docs
-      .select(col("doc_id"), expr(htmlPlantExpr).as("html"))
-      .select(
-        col("doc_id"),
-        expr(
-          "regexp_replace(regexp_replace(html, '(?s)<script.*?</script>', ''), '(?s)<style.*?</style>', '')"
-        ).as("page")
-      )
-      .select(
-        col("doc_id"),
-        expr("regexp_extract(page, '<title>([^<]*)</title>', 1)").as("title"),
-        expr("split(page, '</p>|</div>|</head>')").as("blocks")
-      )
-      .select(col("doc_id"), col("title"), expr(cleaned).as("text"))
+    htmlStages(pages).select(col("doc_id"), col("title"), expr(cleaned).as("text"))
   }
+
+  def htmlExtractText(docs: DataFrame): DataFrame =
+    htmlExtractTextPages(docs.select(col("doc_id"), expr(htmlPlantExpr).as("html")))
 
   val htmlExtractSql: String = {
     val NL = "chr(10)"

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.WarcOps
+
+/** WARC container source: distributed write → strict parse round-trip,
+  * composition with the HTML extraction stage (the real ingest chain
+  * WARC → HTML → text), and loud failure on malformed records.
+  */
+class WarcSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val t = ("the cat is on a mat and it is fine for now with the dog " * 8).trim
+
+  test("WARC write -> read roundtrips every record field") {
+    val docs = Seq((35L, t), (3L, t), (7L, t)).toDF("doc_id", "text")
+    val pages = docs.select(
+      col("doc_id"),
+      concat(lit("http://h/doc/"), col("doc_id").cast("string")).as("uri"),
+      expr(graft.llm.Curation.htmlPlantExpr).as("html")
+    )
+    val tmp = graft.sources.Scratch.dir("warc_spec")
+    WarcOps.writeSpark(pages, tmp, nFiles = 2)
+    val back = WarcOps.readSpark(spark, tmp + "/part-*.warc").collect()
+    assert(back.length == 3, "one record per page")
+    val byUri = back.map(r => r.getAs[String]("target_uri") -> r).toMap
+    val expected = pages.collect().map(r => (r.getString(1), r.getString(2))).toMap
+    for ((uri, html) <- expected) {
+      val r = byUri(uri)
+      assert(r.getAs[String]("http_status") == "200")
+      assert(r.getAs[String]("body") == html, s"body drift for $uri")
+      assert(r.getAs[String]("record_id").startsWith("<urn:uuid:"))
+    }
+  }
+
+  test("WARC -> htmlExtractTextPages equals the direct extraction (the ingest chain composes)") {
+    val docs = Seq((35L, t), (3L, t)).toDF("doc_id", "text")
+    val pages = docs.select(
+      col("doc_id"),
+      concat(lit("http://h/doc/"), col("doc_id").cast("string")).as("uri"),
+      expr(graft.llm.Curation.htmlPlantExpr).as("html")
+    )
+    val tmp = graft.sources.Scratch.dir("warc_spec_chain")
+    WarcOps.writeSpark(pages, tmp, nFiles = 2)
+    val viaWarc = graft.llm.Curation
+      .htmlExtractTextPages(
+        WarcOps
+          .readSpark(spark, tmp + "/part-*.warc")
+          .select(
+            regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+            col("body").as("html")
+          )
+      )
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    val direct = graft.llm.Curation
+      .htmlExtractText(docs)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    assert(viaWarc == direct, "WARC-fed extraction must equal the direct plant extraction")
+  }
+
+  test("malformed records fail loudly with file and offset") {
+    val good = WarcOps.record("0" * 32, "http://h/x", "<p>ok</p>")
+    // bad magic: strict parse must name the file, not resync silently
+    val badMagic = "HARC/9.9\r\nx: y\r\n\r\n".getBytes ++ good
+    val p1 = intercept[IllegalArgumentException](
+      WarcOps.parseRecords("f.warc", badMagic).toList
+    )
+    assert(p1.getMessage.contains("bad WARC magic") && p1.getMessage.contains("f.warc"))
+    // truncated payload: claim more bytes than exist
+    val truncated = new String(good, java.nio.charset.StandardCharsets.UTF_8)
+      .replaceFirst("Content-Length: [0-9]+", "Content-Length: 99999")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val p2 = intercept[IllegalArgumentException](
+      WarcOps.parseRecords("g.warc", truncated).toList
+    )
+    assert(p2.getMessage.contains("truncated payload") && p2.getMessage.contains("g.warc"))
+    // and the good record parses clean on its own
+    val ok = WarcOps.parseRecords("h.warc", good).toList
+    assert(ok.length == 1 && ok.head._5 == "<p>ok</p>")
+  }
+}
