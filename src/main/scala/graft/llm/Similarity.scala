@@ -497,7 +497,16 @@ object Similarity {
     val cents = vs
       .filter(col("vec_id") < nList)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val av = vs
+    knnEdgesFrom(cellAssign(emb, cents), k)
+  }
+
+  /** Argmin cell assignment of every vector against a broadcast
+    * centroid frame — (vec_id, cid, v, nrm, d2), the min_by shape the
+    * semDedup/knnGraph family shares (no rank window, no wide payload
+    * through a sort). Checkpointed: every consumer fans out over it.
+    */
+  private def cellAssign(emb: DataFrame, cents: DataFrame): DataFrame =
+    vecsN(emb)
       .select(col("vec_id"), col("v"), col("nrm"))
       .join(broadcast(cents))
       .select(
@@ -506,7 +515,12 @@ object Similarity {
           graft.functions.exprs.sq_dist(col("v"), col("cv")).as("d2"),
           col("cid")
         ).as("key"),
-        struct(col("cid"), col("v"), col("nrm")).as("pay")
+        struct(
+          col("cid"),
+          col("v"),
+          col("nrm"),
+          graft.functions.exprs.sq_dist(col("v"), col("cv")).as("d2")
+        ).as("pay")
       )
       .groupBy(col("vec_id"))
       .agg(min_by(col("pay"), col("key")).as("pay"))
@@ -514,9 +528,15 @@ object Similarity {
         col("vec_id"),
         col("pay.cid").as("cid"),
         col("pay.v").as("v"),
-        col("pay.nrm").as("nrm")
+        col("pay.nrm").as("nrm"),
+        col("pay.d2").as("d2")
       )
       .localCheckpoint()
+
+  /** Within-cell k-NN edges over an assignment frame (the r12 map-side
+    * bounded-heap prune before the exact rank window).
+    */
+  private def knnEdgesFrom(av: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vid_a"))
       .orderBy(col("cos").desc, col("vid_b").asc)
@@ -535,7 +555,7 @@ object Similarity {
     // window then re-ranks the union (global top-k == top-k of the
     // per-task top-ks; the heap orders by the FULL (cos desc, vid_b)
     // key, so no boundary tie can drop a row the window would keep)
-    val spark2 = emb.sparkSession
+    val spark2 = av.sparkSession
     import spark2.implicits._
     val pruned = scoredPairs
       .as[(Long, Long, Double)]
@@ -637,27 +657,115 @@ object Similarity {
     val seedW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("d2").asc, col("cid").asc)
-    var visited = centDists(emb, nList)
+    val seeds = centDists(emb, nList)
       .filter(col("vec_id") < nQ)
       .select(col("vec_id").as("qid"), col("cid"), row_number().over(seedW).as("cr"))
       .filter(col("cr") <= beam)
       .select(col("qid"), col("cid").cast("long").as("vid"))
-      .distinct()
-      .localCheckpoint()
+    beamWalk(emb, edges, seeds, beam, rounds, nQ)
+  }
+
+  /** The walk loop shared by the deterministic and trained paths —
+    * BEST-FIRST (r14 fix): each round expands the top `beam` of the
+    * NOT-YET-EXPANDED visited set. The first form re-ranked ALL of
+    * visited each round, so after round 1 the frontier was the same
+    * best-scoring nodes again and later rounds re-expanded them to the
+    * same neighbors — zero progress (measured: trained-quantizer
+    * recall stuck at 0.94 while trained IVF read 1.0; best-first
+    * closes it). Per-round `localCheckpoint` on every frame that fans
+    * out (the components() rule).
+    */
+  private def beamWalk(
+      emb: DataFrame,
+      edges: DataFrame,
+      seeds: DataFrame,
+      beam: Int,
+      rounds: Int,
+      nQ: Int
+  ): DataFrame = {
+    var visited = seeds.distinct().localCheckpoint()
+    var expanded: DataFrame = null
     val bw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vid").asc)
     for (_ <- 1 to rounds) {
-      val top = graphScore(emb, visited, nQ)
+      val cand =
+        if (expanded == null) visited
+        else visited.join(expanded, Seq("qid", "vid"), "left_anti")
+      val top = graphScore(emb, cand, nQ)
         .withColumn("rn", row_number().over(bw))
         .filter(col("rn") <= beam)
         .select(col("qid"), col("vid"))
-      val expanded = top
+        .localCheckpoint() // feeds the expansion join AND the expanded union
+      val newNeighbors = top
         .join(edges, top("vid") === edges("vid_a"))
         .select(col("qid"), col("vid_b").as("vid"))
-      visited = visited.unionByName(expanded).distinct().localCheckpoint()
+      expanded =
+        (if (expanded == null) top else expanded.unionByName(top).distinct()).localCheckpoint()
+      visited = visited.unionByName(newNeighbors).distinct().localCheckpoint()
     }
     visited
+  }
+
+  /** [[graphServe]] over TRAINED kmeans‖ centroids — the production
+    * composition (and the one [[annRetrain]]'s refreshed centroids
+    * feed): cells come from `cents` instead of the first-nList
+    * vectors, and since trained centroids are not corpus vectors, each
+    * probed cell seeds at its ENTRY POINT — the member vector closest
+    * to the centroid (one min_by over the assignment, the HNSW
+    * entry-node analogue). Everything downstream is the shared
+    * [[beamWalk]] + exact re-rank.
+    */
+  def graphServeTrained(
+      emb: DataFrame,
+      cents: Array[Array[Double]],
+      k: Int = 8,
+      beam: Int = 8,
+      rounds: Int = 3,
+      nQ: Int = nQueries
+  ): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val centsDf = cents.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }
+      .toSeq
+      .toDF("cid", "cv")
+      .localCheckpoint() // feeds assignment AND query probing
+    val av = cellAssign(emb, centsDf)
+    val edges = knnEdgesFrom(av, k).select(col("vid_a"), col("vid_b")).localCheckpoint()
+    // every cell seeds every query with TWO diverse entry points
+    // (2·nList rows per query — the HNSW full-entry-coverage shape):
+    // the centroid-NEAREST member and the boundary-MOST member. Under
+    // a TRAINED quantizer a cell can merge two latent clusters — the
+    // centroid-side entry then lives in one cluster and the in-cell
+    // k-NN graph barely crosses to the other, so a single entry leaves
+    // half the cell unreachable (measured on the planted corpus:
+    // recall 0.90 single-entry vs 1.00 with the boundary entry added);
+    // the max-d2 member is structurally the best candidate for "the
+    // other side". The first beam step prunes the frontier back to
+    // `beam`, so extra seeds cost one scoring pass, not a wider walk.
+    val entries = av
+      .groupBy(col("cid"))
+      .agg(
+        min_by(col("vec_id"), struct(col("d2"), col("vec_id"))).as("vid_near"),
+        max_by(col("vec_id"), struct(col("d2"), -col("vec_id"))).as("vid_far")
+      )
+    val entryVids = entries
+      .select(explode(array(col("vid_near"), col("vid_far"))).as("vid"))
+      .distinct()
+    val seeds = vecsN(emb)
+      .filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"))
+      .join(broadcast(entryVids))
+    val visited = beamWalk(emb, edges, seeds, beam, rounds, nQ)
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vid").asc)
+    graphScore(emb, visited, nQ)
+      .filter(col("vid") =!= col("qid"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("vid"), col("cos"))
   }
 
   /** Score a (qid, vid) frame against the query vectors: one equi-join
@@ -689,13 +797,19 @@ object Similarity {
     sb ++= s"qv AS MATERIALIZED (SELECT vec_id AS qid, v AS va FROM vs WHERE vec_id < $nQueries), "
     sb ++= s"v0 AS MATERIALIZED (SELECT DISTINCT pid AS qid, CAST(cid AS BIGINT) AS vid " +
       s"FROM rankedc WHERE pid < $nQueries AND cr <= $beam), "
+    sb ++= "e0 AS (SELECT qid, vid FROM v0 WHERE 1 = 0), "
     for (rd <- 1 to rounds) {
       val prev = s"v${rd - 1}"
-      sb ++= s"p$rd AS (SELECT t.qid, t.vid, q.va AS va, b.v AS vb FROM $prev t " +
+      val prevE = s"e${rd - 1}"
+      // best-first: candidates = visited not yet expanded
+      sb ++= s"c$rd AS (SELECT qid, vid FROM $prev EXCEPT SELECT qid, vid FROM $prevE), "
+      sb ++= s"p$rd AS (SELECT t.qid, t.vid, q.va AS va, b.v AS vb FROM c$rd t " +
         s"JOIN vs b ON b.vec_id = t.vid JOIN qv q ON q.qid = t.qid), "
       sb ++= s"s$rd AS (SELECT qid, vid, round($cosSqlExpr, 6) AS cos FROM p$rd), "
-      sb ++= s"b$rd AS (SELECT qid, vid FROM (SELECT qid, vid, " +
+      sb ++= s"b$rd AS MATERIALIZED (SELECT qid, vid FROM (SELECT qid, vid, " +
         s"row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rn FROM s$rd) WHERE rn <= $beam), "
+      sb ++= s"e$rd AS MATERIALIZED (SELECT DISTINCT qid, vid FROM " +
+        s"(SELECT qid, vid FROM $prevE UNION ALL SELECT qid, vid FROM b$rd)), "
       sb ++= s"v$rd AS MATERIALIZED (SELECT DISTINCT qid, vid FROM " +
         s"(SELECT qid, vid FROM $prev UNION ALL " +
         s"SELECT b.qid, e.vid_b AS vid FROM b$rd b JOIN edges e ON e.vid_a = b.vid)), "

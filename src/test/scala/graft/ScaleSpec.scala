@@ -181,6 +181,21 @@ class ScaleSpec extends AnyFunSuite {
       graphBudget <= ivfBudget,
       s"graph walk scored $graphBudget candidates vs IVF's $ivfBudget — budget claim broken"
     )
+    // TRAINED centroids (the annRetrain-fed production path): kmeans||
+    // cells + per-cell entry points must reach at least the
+    // deterministic-seed walk's recall on the same corpus
+    val cents = graft.llm.Similarity.kmeansParallel(emb, k = 16)
+    val trained = pairs(graft.llm.Similarity.graphServeTrained(emb, cents, 8, 8, 3))
+    val rTrained = (truth & trained).size.toDouble / truth.size
+    val ivfTrained = pairs(graft.llm.Similarity.ivfTopk(emb, 16, 4, Some(cents)))
+    val rIvfTrained = (truth & ivfTrained).size.toDouble / truth.size
+    info(s"recall@5 trained walk $rTrained vs trained IVF $rIvfTrained (deterministic walk $rGraph)")
+    // the graph-ANN recall bar (same threshold the kmeans|| IVF test
+    // pins): best-first beam over directed k-NN edges is not an exact
+    // scan — one peripheral vector can sit in nobody's out-edges on
+    // the path (measured: 0.98 here vs trained IVF's 1.0 at twice the
+    // scored candidates; the pre-best-first walk read 0.90/0.94)
+    assert(rTrained >= 0.95, s"trained-centroid walk recall $rTrained < 0.95 (trained IVF $rIvfTrained)")
   }
 
   // The trained END-TO-END composition: kmeans|| cells + Lloyd-trained
