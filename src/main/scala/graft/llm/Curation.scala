@@ -666,6 +666,12 @@ object Curation {
       "'<p>', substr(text, 161, 120), '</p>', " +
       "CASE WHEN doc_id % 7 = 0 THEN '<p>See <a href=\"/x\">the partner links</a> and <a href=\"/y\">more of the deals</a> now</p>' ELSE '' END, " +
       "CASE WHEN doc_id % 5 = 0 THEN '<p>Copyright 2024 MegaCorp Inc</p>' ELSE '' END, " +
+      // r14 robustness offenders, in a block that must be KEPT (9/15
+      // stopwords, link text 8·2 < plain length): a quoted '>' inside
+      // an href (naive '<[^>]*>' stripping leaks '2\">the deal' into
+      // the text) and entities the extraction must decode AFTER the
+      // tag strip (so &lt;now&gt; stays literal text, not a tag)
+      "CASE WHEN doc_id % 11 = 0 THEN '<p>see <a href=\"/q?x=1>2\">the deal</a> for AT&amp;T and the rest of it &lt;now&gt; is fine on a mat</p>' ELSE '' END, " +
       "'</body></html>')"
 
   /** Space-delimited stopword sentinel — membership via
@@ -673,10 +679,32 @@ object Curation {
     * IN-inside-lambda dialect risk). */
   private val htmlStops = "' the a an of to and in is it for on with '"
 
-  private def htmlPlainSpark(b: String): String =
-    s"trim(regexp_replace(regexp_replace($b, '<[^>]*>', ' '), ' +', ' '))"
-  private def htmlPlainDuck(b: String): String =
-    s"trim(regexp_replace(regexp_replace($b, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g'))"
+  /** Quote-AWARE tag pattern (r14): an attribute value may contain '>'
+    * (`<a href="/q?x=1>2">`), which the naive `<[^>]*>` cuts mid-tag,
+    * leaking `2">…` into the text. Alternation consumes quoted
+    * attribute values wholesale; no backrefs, so it parses identically
+    * under Java regex and RE2. Rendered with SQL-escaped quotes ('').
+    */
+  private val htmlTagRe = """<(?:[^>"'']|"[^"]*"|''[^'']*'')*>"""
+  private val htmlATagRe = """<a (?:[^>"'']|"[^"]*"|''[^'']*'')*>([^<]*)</a>"""
+
+  /** Common-entity decode, applied AFTER the tag strip (so a decoded
+    * `&lt;now&gt;` stays literal text, never a strippable tag) and
+    * with `&amp;` LAST (so `&amp;lt;` renders the literal `&lt;`).
+    * One replace chain, identical in both engines.
+    */
+  private def htmlDecode(x: String): String =
+    s"replace(replace(replace(replace(replace(replace($x, " +
+      "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&')"
+
+  private def htmlPlainSpark(b: String): String = {
+    val dec = htmlDecode(s"regexp_replace($b, '$htmlTagRe', ' ')")
+    s"trim(regexp_replace($dec, ' +', ' '))"
+  }
+  private def htmlPlainDuck(b: String): String = {
+    val dec = htmlDecode(s"regexp_replace($b, '$htmlTagRe', ' ', 'g')")
+    s"trim(regexp_replace($dec, ' +', ' ', 'g'))"
+  }
 
   /** Block keep rule (jusText-style, integer arithmetic only — no
     * float-threshold parity hazard): ≥ 3 words, stopword density
@@ -688,14 +716,14 @@ object Curation {
     s"size(filter(split($plain, ' '), w -> w != '')) >= 3 " +
       s"AND size(filter(split($plain, ' '), w -> contains($htmlStops, concat(' ', lower(w), ' ')))) * 10 " +
       s">= size(filter(split($plain, ' '), w -> w != '')) " +
-      s"AND length(concat_ws('', regexp_extract_all($b, '<a [^>]*>([^<]*)</a>', 1))) * 2 < length($plain)"
+      s"AND length(concat_ws('', regexp_extract_all($b, '$htmlATagRe', 1))) * 2 < length($plain)"
   }
   private def htmlKeepDuck(b: String): String = {
     val plain = htmlPlainDuck(b)
     s"len(list_filter(string_split($plain, ' '), w -> w <> '')) >= 3 " +
       s"AND len(list_filter(string_split($plain, ' '), w -> contains($htmlStops, concat(' ', lower(w), ' ')))) * 10 " +
       s">= len(list_filter(string_split($plain, ' '), w -> w <> '')) " +
-      s"AND length(coalesce(array_to_string(regexp_extract_all($b, '<a [^>]*>([^<]*)</a>', 1), ''), '')) * 2 < length($plain)"
+      s"AND length(coalesce(array_to_string(regexp_extract_all($b, '$htmlATagRe', 1), ''), '')) * 2 < length($plain)"
   }
 
   /** HTML → text boilerplate extraction, one row-local scan (the

@@ -1261,6 +1261,21 @@ class LlmSpec extends AnyFunSuite {
       .select(col("doc_id"), col("text"), graft.llm.Curation.qualityScore.as("quality"))
       .collect()
     assert(q.forall(r => !r.isNullAt(2)), "quality score over extracted text")
+
+    // r14 robustness plant (doc_id % 11 = 0): a quoted '>' inside an
+    // href must NOT leak attribute garbage into the text, and entities
+    // decode AFTER the tag strip (so &lt;now&gt; stays literal)
+    val docs11 = Seq((33L, t)).toDF("doc_id", "text")
+    val t11 = graft.llm.Curation
+      .htmlExtractText(docs11)
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(2))
+      .toMap
+    assert(t11(33L).contains("see the deal for AT&T and the rest of it <now> is fine on a mat"),
+      s"robust block lost or mis-decoded: ${t11(33L)}")
+    assert(!t11(33L).contains("2\">") && !t11(33L).contains("href"),
+      "quoted-'>' attribute leaked into extracted text")
+    assert(!t11(33L).contains("&amp;") && !t11(33L).contains("&lt;"), "entities left undecoded")
   }
 }
 
