@@ -618,6 +618,52 @@ object Prof {
       ()
     }
 
+    // PROF_WEB=k: the r14 web-ingest chain at k-thousand pages — plant
+    // ~1.5 KB of HTML per doc, write WARC segments (32 files), parse
+    // them back, run the robust extraction. Per-kernel decade coverage
+    // for the WARC codec and the quote-aware/entity-decoding regex
+    // stack (both row-local; the numbers are the Mrows/s the chain
+    // sustains and the proof there is no per-record cliff).
+    val webK = sys.env.getOrElse("PROF_WEB", "0").toInt
+    if (webK > 0) {
+      val nPages = webK * 1000L
+      val webDocs = spark
+        .range(nPages)
+        .select(
+          col("id").as("doc_id"),
+          expr(
+            "concat_ws(' ', transform(sequence(1, 200), j -> " +
+              "CASE WHEN j % 7 = 0 THEN 'the' WHEN j % 5 = 0 THEN 'of' ELSE concat('w', (id + j) % 997) END))"
+          ).as("text")
+        )
+      val pages = webDocs
+        .select(
+          col("doc_id"),
+          concat(lit("http://h/doc/"), col("doc_id").cast("string")).as("uri"),
+          expr(graft.llm.Curation.htmlPlantExpr).as("html")
+        )
+        .persist()
+      pages.count()
+      val warcDir = sources.Scratch.dir("prof_warc")
+      t(s"web${webK}k_warc_write", nPages) {
+        sources.WarcOps.writeSpark(pages, warcDir, nFiles = 32)
+        nPages
+      }
+      t(s"web${webK}k_warc_read", nPages)(
+        sources.WarcOps.readSpark(spark, warcDir + "/part-*.warc").count()
+      )
+      t(s"web${webK}k_html_extract", nPages)(
+        llm.Curation.htmlExtractPages(pages).filter(col("n_kept") > 0).count()
+      )
+      // byte-level BPE end-to-end (remap + trainer collect + encode)
+      // on the same corpus — the ByteRemap expression's decade
+      t(s"web${webK}k_bpe_bytes", nPages)(
+        llm.Bpe.tokensBpeBytes(webDocs).filter(col("decode_ok")).count()
+      )
+      pages.unpersist()
+      ()
+    }
+
     // PROF_RUNS=k: exact shared-run detection (dedup_runs machinery) at
     // k-thousand REALISTIC-length docs — 300 unique filler tokens each,
     // every 5th doc appending one of 10 shared 500-token (~3 KB)
