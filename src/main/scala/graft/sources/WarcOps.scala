@@ -155,6 +155,46 @@ object WarcOps {
       .toDF("warc_file", "rec_offset", "record_id", "target_uri", "http_status", "body")
   }
 
+  /** STREAMING WARC ingest — the crawl-side arrival pattern: segment
+    * files land in a directory and each micro-batch parses only the
+    * NEW files (Structured Streaming's `binaryFile` source tracks seen
+    * paths; maxFilesPerTrigger bounds batch size). The parse is the
+    * same strict row-local codec as [[readSpark]] and entirely
+    * stateless, so downstream row-local stages (`htmlExtractTextPages`
+    * → quality screens) compose onto the stream unchanged — the
+    * streaming twin of the WARC → HTML → text chain (spec pins
+    * stream ≡ batch and incremental pickup).
+    */
+  def ingestStream(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 8): DataFrame = {
+    import spark.implicits._
+    spark.readStream
+      .format("binaryFile")
+      // the source's FIXED schema — streaming sources refuse inference
+      .schema(
+        org.apache.spark.sql.types.StructType(
+          Seq(
+            org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types
+              .StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+            org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)
+          )
+        )
+      )
+      .option("pathGlobFilter", "*.warc")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        parseRecords(name, bytes).map { case (off, rid, uri, status, body) =>
+          (name, off, rid, uri, status, body)
+        }
+      }
+      .toDF("warc_file", "rec_offset", "record_id", "target_uri", "http_status", "body")
+  }
+
   /** Gate: documents → planted HTML pages → WARC segments → parse back,
     * proven content-preserving by per-record body hashes the oracle
     * recomputes straight off the parquet (jsonl_roundtrip shape; the

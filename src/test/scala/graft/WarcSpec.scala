@@ -65,6 +65,56 @@ class WarcSpec extends AnyFunSuite {
     assert(viaWarc == direct, "WARC-fed extraction must equal the direct plant extraction")
   }
 
+  test("streaming WARC ingest: stream-parsed extraction equals batch, new segments picked up incrementally") {
+    val docsA = Seq((35L, t), (3L, t)).toDF("doc_id", "text")
+    val docsB = Seq((11L, t)).toDF("doc_id", "text")
+    def pagesOf(d: org.apache.spark.sql.DataFrame) = d.select(
+      col("doc_id"),
+      concat(lit("http://h/doc/"), col("doc_id").cast("string")).as("uri"),
+      expr(graft.llm.Curation.htmlPlantExpr).as("html")
+    )
+    val tmp = graft.sources.Scratch.dir("warc_stream_spec")
+    WarcOps.writeSpark(pagesOf(docsA), tmp, nFiles = 2)
+    // the streaming chain: ingest → HTML extraction, both stateless
+    val q = graft.llm.Curation
+      .htmlExtractTextPages(
+        WarcOps
+          .ingestStream(spark, tmp)
+          .select(
+            regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+            col("body").as("html")
+          )
+      )
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("warc_stream_out")
+      .start()
+    q.processAllAvailable()
+    val afterA = spark.table("warc_stream_out").count()
+    assert(afterA == 2, s"first drop should parse 2 pages, got $afterA")
+    // a NEW segment lands — only it is parsed in the next batch
+    WarcOps.writeSpark(pagesOf(docsB), tmp + "/more", nFiles = 1)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(tmp + "/more/part-00000.warc"),
+      java.nio.file.Paths.get(tmp + "/part-late.warc")
+    )
+    q.processAllAvailable()
+    q.stop()
+    val got = spark
+      .table("warc_stream_out")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    assert(got.keySet == Set(35L, 3L, 11L), s"incremental pickup missed a segment: ${got.keySet}")
+    val direct = graft.llm.Curation
+      .htmlExtractText(Seq((35L, t), (3L, t), (11L, t)).toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    assert(got == direct, "stream-parsed extraction must equal the batch path")
+  }
+
   test("malformed records fail loudly with file and offset") {
     val good = WarcOps.record("0" * 32, "http://h/x", "<p>ok</p>")
     // bad magic: strict parse must name the file, not resync silently
