@@ -407,6 +407,70 @@ object Prof {
         .toSet
       val recall = (truth & served).size.toDouble / truth.size
       println(f"PROF emb${embK}k_ivfpq_recall@5 = $recall%.3f (vs exact cosine top-5, 10 queries)")
+      // r14: the TRAINED graph-walk serving path. NOT on `clustered` —
+      // its sub-round6 within-cluster margins make the exact top-5 a
+      // vid-tie LOTTERY among ~1500 rounded ties, which an exhaustive
+      // cell scan (IVF) wins by construction and ANY bounded-subset
+      // visitor loses (measured 0.14 before this was understood — the
+      // metric was measuring tie order, not retrieval). The walk's
+      // decade corpus therefore carries REAL margins: the same latent
+      // sin centers with a 0.6-amplitude hash-decorrelated noise term,
+      // where nearest neighbors separate far above 1e-6.
+      val navigable = spark
+        .range(embK * 1000L)
+        .select(
+          col("id").as("vec_id"),
+          transform(
+            sequence(lit(1), lit(64)),
+            j =>
+              sin((col("id") % nLatent).cast("double") * 7.3 + j.cast("double") * 1.7) +
+                lit(0.6) * sin(
+                  ((col("id") * 2246822519L + j.cast("long") * 3266489917L) % 104729L)
+                    .cast("double") * 0.017
+                )
+          ).as("embedding")
+        )
+        .withColumn("label", lit(0))
+        .persist()
+      navigable.count()
+      // widen the cell count so cells stay WALKABLE (~200 members —
+      // the nList-widens-with-corpus rule applied to graph serving:
+      // at 64 cells/1562 members the in-cell 8-NN graph navigates
+      // poorly in 64 dims — recall 0.52/0.64 at beam 32; see
+      // BASELINE.md r14 for the measured boundary)
+      val navCells = math.max(nLatent, (embK * 1000) / 200)
+      var cents2: Array[Array[Double]] = null
+      t(s"emb${embK}k_kmeans_nav", embK * 1000L) {
+        cents2 = llm.Similarity.kmeansParallel(navigable, k = navCells)
+        cents2.length.toLong
+      }
+      var walkPairs: Set[(Long, Long)] = Set.empty
+      t(s"emb${embK}k_graph_serve_tr", embK * 1000L) {
+        val rows2 = llm.Similarity
+          .graphServeTrained(navigable, cents2, k = 8, beam = 16, rounds = 4)
+          .select(col("qid"), col("vid"))
+          .collect()
+        walkPairs = rows2.map(r => (r.getLong(0), r.getLong(1))).toSet
+        rows2.length.toLong
+      }
+      val truthNav = llm.Similarity
+        .topk(navigable)
+        .select(col("qid"), col("vid"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      val ivfNav = llm.Similarity
+        .ivfTopk(navigable, navCells, 8, Some(cents2))
+        .select(col("qid"), col("vid"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      val walkRecall = (truthNav & walkPairs).size.toDouble / truthNav.size
+      val ivfNavRecall = (truthNav & ivfNav).size.toDouble / truthNav.size
+      println(
+        f"PROF emb${embK}k_graph_serve_tr_recall@5 = $walkRecall%.3f (trained IVF nProbe=8: $ivfNavRecall%.3f)"
+      )
+      navigable.unpersist()
       // the serving-tier I/O claim, measured: raw-float layout vs
       // packed-codes store bytes for the SAME corpus + assignment
       val cellsA = llm.Similarity.ivfAssign(clustered, cents)

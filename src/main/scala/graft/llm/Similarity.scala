@@ -533,14 +533,44 @@ object Similarity {
       )
       .localCheckpoint()
 
-  /** Within-cell k-NN edges over an assignment frame (the r12 map-side
-    * bounded-heap prune before the exact rank window).
+  /** Multi-probe cell assignment: each vector lands in its `nProbe`
+    * nearest cells — the documented cure for within-cell edge
+    * fragmentation (a latent neighborhood split across cells has no
+    * single-cell pair group containing its true-neighbor pairs; with
+    * nProbe ≥ 2 adjacent fragments co-occur in a shared cell).
+    * Candidate volume scales ~nProbe² per pair group.
     */
-  private def knnEdgesFrom(av: DataFrame, k: Int): DataFrame = {
+  private def cellAssignMulti(emb: DataFrame, cents: DataFrame, nProbe: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cid").asc)
+    vecsN(emb)
+      .select(col("vec_id"), col("v"), col("nrm"))
+      .join(broadcast(cents))
+      .select(
+        col("vec_id"),
+        col("cid"),
+        col("v"),
+        col("nrm"),
+        graft.functions.exprs.sq_dist(col("v"), col("cv")).as("d2")
+      )
+      .withColumn("cr", row_number().over(w))
+      .filter(col("cr") <= nProbe)
+      .drop("cr")
+      .localCheckpoint()
+  }
+
+  /** Within-cell k-NN edges over an assignment frame (the r12 map-side
+    * bounded-heap prune before the exact rank window). `dedup` is
+    * required when the assignment is multi-probe: a pair sharing two
+    * probed cells surfaces twice with the same cosine, and duplicate
+    * rows through the rank window would occupy two ranks.
+    */
+  private def knnEdgesFrom(av: DataFrame, k: Int, dedup: Boolean = false): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vid_a"))
       .orderBy(col("cos").desc, col("vid_b").asc)
-    val scoredPairs = av
+    val scoredPairs0 = av
       .select(col("cid"), col("vec_id").as("vid_a"), col("v").as("va"), col("nrm").as("na"))
       .join(
         av.select(col("cid"), col("vec_id").as("vid_b"), col("v").as("vb"), col("nrm").as("nb")),
@@ -548,6 +578,13 @@ object Similarity {
       )
       .filter(col("vid_a") =!= col("vid_b"))
       .select(col("vid_a"), col("vid_b"), round(cosExpr, 6).as("cos"))
+    // multi-probe dedup happens INSIDE the heap (enqueue-time contains
+    // check — a duplicate pair must not crowd a real edge out of the
+    // k slots) plus one distinct AFTER the prune (cross-task dups on
+    // the ≤ tasks·k stream). A distinct on the raw candidate stream
+    // here was measured at 47 GiB spill on the 100k decade — the
+    // pre-heap shuffle the r12 lesson exists to avoid.
+    val scoredPairs = scoredPairs0
     // MAP-SIDE partial top-k before the rank window: the candidate
     // volume is Σ|cell|² and shuffling it into the window spilled
     // 21 GiB at the 100k decade — a bounded per-(task, vid_a) heap
@@ -566,13 +603,21 @@ object Similarity {
         val ord = Ordering.by[(Double, Long), (Double, Long)] { case (c, b) => (-c, b) }
         it.foreach { case (a, b, c) =>
           val h = heaps.getOrElseUpdate(a, scala.collection.mutable.PriorityQueue.empty(ord))
-          h.enqueue((c, b))
-          if (h.size > k) { h.dequeue(); () }
+          // dedup on enqueue (O(k) contains, k is small): under a
+          // multi-probe assignment the same pair arrives once per
+          // shared cell and must not occupy two of the k slots
+          if (!dedup || !h.exists(_ == ((c, b)))) {
+            h.enqueue((c, b))
+            if (h.size > k) { h.dequeue(); () }
+          }
         }
         heaps.iterator.flatMap { case (a, h) => h.iterator.map { case (c, b) => (a, b, c) } }
       }
       .toDF("vid_a", "vid_b", "cos")
-    pruned
+    // cross-task duplicates survive two heaps; the pruned stream is
+    // ≤ tasks·k rows per vector, so a distinct here is cheap
+    val deduped = if (dedup) pruned.distinct() else pruned
+    deduped
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
@@ -722,7 +767,8 @@ object Similarity {
       k: Int = 8,
       beam: Int = 8,
       rounds: Int = 3,
-      nQ: Int = nQueries
+      nQ: Int = nQueries,
+      nProbeBuild: Int = 1
   ): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -731,8 +777,12 @@ object Similarity {
       .toSeq
       .toDF("cid", "cv")
       .localCheckpoint() // feeds assignment AND query probing
-    val av = cellAssign(emb, centsDf)
-    val edges = knnEdgesFrom(av, k).select(col("vid_a"), col("vid_b")).localCheckpoint()
+    val av =
+      if (nProbeBuild <= 1) cellAssign(emb, centsDf)
+      else cellAssignMulti(emb, centsDf, nProbeBuild)
+    val edges = knnEdgesFrom(av, k, dedup = nProbeBuild > 1)
+      .select(col("vid_a"), col("vid_b"))
+      .localCheckpoint()
     // every cell seeds every query with TWO diverse entry points
     // (2·nList rows per query — the HNSW full-entry-coverage shape):
     // the centroid-NEAREST member and the boundary-MOST member. Under

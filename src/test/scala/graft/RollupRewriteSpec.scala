@@ -151,6 +151,20 @@ class RollupRewriteSpec extends AnyFunSuite {
         .agg(sum(col("l_quantity")).as("x"))
       assert(exprFiltered.queryExecution.optimizedPlan.toString.contains("l_quantity"),
         "expression filter must refuse the rewrite")
+      // HAVING composes for free: a Filter ABOVE the Aggregate
+      // references the aggregate's output attrs, which the rewrite
+      // preserves by exprId — the plan under it still rewrites
+      def havingQ(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("l_returnflag"))
+          .agg(sum(col("l_quantity")).as("x"), count(lit(1)).as("c"))
+          .filter(col("c") > 100)
+      val hq = havingQ(core.Tables.lineitem(s2, sf))
+      val hqOpt = hq.queryExecution.optimizedPlan.toString
+      assert(!hqOpt.contains("l_quantity") && hqOpt.contains("sum_qty"),
+        s"HAVING-shaped filter must not block the rewrite:\n$hqOpt")
+      assert(rows(hq) == rows(havingQ(core.Tables.lineitem(spark, sf))),
+        "HAVING over the rewritten aggregate diverged")
+
       // RANGE predicate on a key -> no rewrite (not an equality/IN)
       val rangeFiltered = core.Tables
         .lineitem(s2, sf)
