@@ -92,8 +92,14 @@ object Bpe {
       unicodeToByte.get(c) match {
         case Some(b) => buf.write(b & 0xff)
         case None =>
-          val one = new String(Array(c)).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          // pass-through by CODE POINT (remap output never contains
+          // astral chars, but a general caller's pass-through must not
+          // split a surrogate pair into two replacement bytes)
+          val cp = s.codePointAt(i)
+          val one = new String(Character.toChars(cp))
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
           buf.write(one, 0, one.length)
+          i += Character.charCount(cp) - 1
       }
       i += 1
     }

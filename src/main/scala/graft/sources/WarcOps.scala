@@ -232,11 +232,44 @@ object WarcOps {
       "SELECT doc_id, target_uri, '200' AS http_status, " +
       "CAST(length(html) AS BIGINT) AS n_body_chars, md5(html) AS body_md5 FROM pages"
 
+  /** Integration gate: the FULL ingest chain under the oracle — pages
+    * written to real WARC segments, parsed back, and run through the
+    * HTML extraction; the oracle computes the extraction straight off
+    * the planted pages, so a hash match proves the file round-trip is
+    * byte-exact AND the extraction is path-independent.
+    */
+  def warcHtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val pages = Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        concat(
+          lit("http://site"),
+          (col("doc_id") % 20).cast("string"),
+          lit(".example.com/doc/"),
+          col("doc_id").cast("string")
+        ).as("uri"),
+        expr(graft.llm.Curation.htmlPlantExpr).as("html")
+      )
+    val out = Scratch.dir("warc_html_extract")
+    writeSpark(pages, out, nFiles = 4)
+    graft.llm.Curation.htmlExtractPages(
+      readSpark(s, out + "/part-*.warc")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("body").as("html")
+        )
+    )
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "warc_roundtrip" -> { (s, dir) => roundtripAgg(s, dir) }
+    "warc_roundtrip" -> { (s, dir) => roundtripAgg(s, dir) },
+    "warc_html_extract" -> { (s, dir) => warcHtmlExtract(s, dir) }
   )
 
   def oracleSql: Map[String, String] = Map(
-    "warc_roundtrip" -> roundtripAggSql
+    "warc_roundtrip" -> roundtripAggSql,
+    // the extraction oracle verbatim — the WARC leg must be invisible
+    "warc_html_extract" -> graft.llm.Curation.htmlExtractSql
   )
 }
