@@ -600,9 +600,14 @@ object BaseQueries {
         // 'filtered': the r14 FILTER SUBSUMPTION — an equality on a
         // registered group key NOT in the query's grouping must
         // re-aggregate the store WITH that filter (and still never
-        // read l_quantity)
+        // read l_quantity); probe 'range': the r15 RANGE subsumption —
+        // key >= lit AND key < lit partitions exactly like IN over the
+        // store's key set
         val q = probe("all", li)
           .unionByName(probe("filtered", li.filter(col("l_linestatus") === "F")))
+          .unionByName(
+            probe("range", li.filter(col("l_returnflag") >= "A" && col("l_returnflag") < "R"))
+          )
         val rows = q.collect().toIndexedSeq
         s.createDataFrame(
           s.sparkContext.parallelize(rows, 1),
@@ -1189,7 +1194,11 @@ object BaseQueries {
         "UNION ALL " +
         "SELECT l_returnflag, sum(l_quantity) AS sum_qty, avg(l_quantity) AS avg_qty, " +
         "count(*) AS n_rows, 'filtered' AS probe FROM lineitem WHERE l_linestatus = 'F' " +
-        "GROUP BY l_returnflag"),
+        "GROUP BY l_returnflag " +
+        "UNION ALL " +
+        "SELECT l_returnflag, sum(l_quantity) AS sum_qty, avg(l_quantity) AS avg_qty, " +
+        "count(*) AS n_rows, 'range' AS probe FROM lineitem " +
+        "WHERE l_returnflag >= 'A' AND l_returnflag < 'R' GROUP BY l_returnflag"),
     "sink_parquet" ->
       ("SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars " +
         "FROM documents WHERE lang IN ('en', 'zh') GROUP BY lang"),

@@ -416,24 +416,72 @@ case class BpeEncode(child: Expression, merges: Seq[String])
   override protected def withNewChildInternal(c: Expression): BpeEncode = copy(child = c)
 }
 
+/** Static UTF8String-level kernels shared by the interpreted eval AND
+  * the generated code of [[ByteRemap]]/[[ByteUnremap]] — one
+  * implementation, so interpreted ≡ codegen by construction. A plain
+  * top-level object compiles with static forwarders, which is what the
+  * janino-compiled generated Java calls.
+  */
+object ByteCodec {
+  /** Per-byte UTF-8 image of each remapped byte (all images are 1–2
+    * bytes: the GPT-2 table's 512 code points stay under U+0200).
+    */
+  private val enc: Array[Array[Byte]] = Array.tabulate(256) { b =>
+    graft.llm.Bpe
+      .byteToUnicode(b)
+      .toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+  def remap(s: UTF8String): UTF8String = {
+    val in = s.getBytes
+    var len = 0
+    var i = 0
+    while (i < in.length) { len += enc(in(i) & 0xff).length; i += 1 }
+    val out = new Array[Byte](len)
+    var o = 0
+    i = 0
+    while (i < in.length) {
+      val e = enc(in(i) & 0xff)
+      out(o) = e(0)
+      if (e.length == 2) out(o + 1) = e(1)
+      o += e.length
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+  def unremap(s: UTF8String): UTF8String =
+    UTF8String.fromString(graft.llm.Bpe.unremapBytes(s.toString))
+}
+
 /** GPT-2 byte-to-unicode remap of a string's UTF-8 bytes
   * ([[graft.llm.Bpe.remapBytes]]) — the lossless byte-level front end
-  * of `text_tokens_bpe_bytes`. Row-local, no shuffle.
+  * of `text_tokens_bpe_bytes`. Row-local, no shuffle. Codegen'd (r15):
+  * stays inside whole-stage codegen instead of forcing the fallback
+  * boundary through the byte-BPE projection.
   */
-case class ByteRemap(child: Expression) extends UnaryExpression with CodegenFallback {
+case class ByteRemap(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
-  override def nullSafeEval(v: Any): Any =
-    UTF8String.fromString(graft.llm.Bpe.remapBytes(v.asInstanceOf[UTF8String].toString))
+  override def nullSafeEval(v: Any): Any = ByteCodec.remap(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode
+  ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ByteCodec.remap($c)")
   override protected def withNewChildInternal(c: Expression): ByteRemap = copy(child = c)
 }
 
 /** Inverse of [[ByteRemap]]; out-of-image chars (space separators,
   * U+001F piece markers) pass through — the decode-identity witness.
+  * Codegen'd (r15).
   */
-case class ByteUnremap(child: Expression) extends UnaryExpression with CodegenFallback {
+case class ByteUnremap(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
-  override def nullSafeEval(v: Any): Any =
-    UTF8String.fromString(graft.llm.Bpe.unremapBytes(v.asInstanceOf[UTF8String].toString))
+  override def nullSafeEval(v: Any): Any = ByteCodec.unremap(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode
+  ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ByteCodec.unremap($c)")
   override protected def withNewChildInternal(c: Expression): ByteUnremap = copy(child = c)
 }
 

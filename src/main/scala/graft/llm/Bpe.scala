@@ -477,12 +477,35 @@ object Bpe {
     * plant's (known, bounded) non-ASCII alphabet — ASCII printable
     * bytes are identity under the GPT-2 table, so only the planted
     * chars need rewriting; the trainer CTEs then run verbatim over the
-    * remapped source. The chain's images are disjoint from the
-    * original chars and from each other (verified at build: distinct
-    * lead bytes), so replace order is immaterial.
+    * remapped source. Replace order is immaterial under TWO invariants
+    * the build now ASSERTS (r15 — images do NOT have distinct lead
+    * bytes; é/ó/ï all share 0xC3): (1) no special char occurs inside
+    * any OTHER special's image, so the remap chain never rewrites an
+    * already-written image and the unremap chain never manufactures a
+    * spurious special; (2) no image occurs inside a concatenation of
+    * two images except as the expected prefix/suffix, so adjacent
+    * planted specials ("żół") cannot yield a boundary-spanning match.
+    * Editing the plants re-runs the assertion at class init.
     */
   val tokensBpeBytesSql: String = {
     val specials = (bytePlant9 + bytePlant7).filter(_ > 127).distinct.toList
+    val img = specials.map(c => c -> remapBytes(c.toString)).toMap
+    for (c1 <- specials; c2 <- specials if c1 != c2)
+      require(
+        !img(c2).contains(c1),
+        s"byte-plant invariant: special '$c1' occurs in the image of '$c2'"
+      )
+    for (c <- specials; a <- specials; b <- specials) {
+      val cat = img(a) + img(b)
+      var i = cat.indexOf(img(c))
+      while (i >= 0) {
+        require(
+          (i == 0 && c == a) || (i == img(a).length && c == b),
+          s"byte-plant invariant: image of '$c' spans images of '$a'+'$b' at $i"
+        )
+        i = cat.indexOf(img(c), i + 1)
+      }
+    }
     val remapChain = specials.foldLeft("orig") { (acc, c) =>
       s"replace($acc, '$c', '${remapBytes(c.toString)}')"
     }

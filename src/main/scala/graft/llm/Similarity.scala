@@ -544,19 +544,27 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("d2").asc, col("cid").asc)
-    vecsN(emb)
+    // rank on the NARROW (vec_id, cid, d2) frame only — the wide
+    // embedding array must not ride the window sort (the r10
+    // ivfPqTopkTrained spill lesson; r15 ADVICE fix) — and join the
+    // payload back after the prune. `vs` feeds both the distance
+    // compute and the payload join: checkpoint before the fan-out.
+    val vs = vecsN(emb)
       .select(col("vec_id"), col("v"), col("nrm"))
+      .localCheckpoint()
+    val picks = vs
       .join(broadcast(cents))
       .select(
         col("vec_id"),
         col("cid"),
-        col("v"),
-        col("nrm"),
         graft.functions.exprs.sq_dist(col("v"), col("cv")).as("d2")
       )
       .withColumn("cr", row_number().over(w))
       .filter(col("cr") <= nProbe)
-      .drop("cr")
+      .select(col("vec_id"), col("cid"), col("d2"))
+    picks
+      .join(vs, Seq("vec_id"))
+      .select(col("vec_id"), col("cid"), col("v"), col("nrm"), col("d2"))
       .localCheckpoint()
   }
 

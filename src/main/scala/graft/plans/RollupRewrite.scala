@@ -96,12 +96,14 @@ case class RollupRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * the conservative contract refuses. Returns the collected filter
     * predicates (empty = bare scan) or None on any non-match.
     *
-    * FILTER SUBSUMPTION (r14): a conjunction of `key = literal` /
-    * `key IN (literals)` predicates on REGISTERED group keys is exact
-    * over the store — store rows partition by the full key set, so
-    * filtering store rows on key predicates selects precisely the
-    * groups the base filter would have kept. Anything else (non-key
-    * columns, expressions over keys, null literals, disjunctions)
+    * FILTER SUBSUMPTION (r14, widened r15): a conjunction of
+    * `key = literal` / `key IN (literals)` / `key <|<=|>|>= literal`
+    * predicates on REGISTERED group keys is exact over the store —
+    * store rows partition by the full key set with keys stored
+    * verbatim, so filtering store rows on key predicates selects
+    * precisely the groups the base filter would have kept. Anything
+    * else (non-key columns, expressions over keys, column-to-column
+    * comparisons, null literals, null-safe equality, disjunctions)
     * refuses.
     */
   private def baseMatches(child: LogicalPlan, spec: Spec): Option[Seq[Expression]] =
@@ -130,10 +132,6 @@ case class RollupRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   }
 
   private def keyPredicate(e: Expression, spec: Spec): Boolean = e match {
-    case EqualTo(a: AttributeReference, l: Literal) =>
-      spec.groupCols.contains(a.name) && l.value != null
-    case EqualTo(l: Literal, a: AttributeReference) =>
-      spec.groupCols.contains(a.name) && l.value != null
     case In(a: AttributeReference, elems) =>
       spec.groupCols.contains(a.name) &&
       elems.forall { case Literal(v, _) => v != null; case _ => false }
@@ -141,6 +139,21 @@ case class RollupRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     // equality — exact over the store (keys are stored verbatim)
     case org.apache.spark.sql.catalyst.expressions.IsNotNull(a: AttributeReference) =>
       spec.groupCols.contains(a.name)
+    // =, <, <=, >, >= between a registered key and a non-null literal
+    // (r15 range subsumption): keys are stored VERBATIM, so any plain
+    // comparison selects exactly the store rows whose groups the base
+    // filter would have kept — `key >= lit AND key < lit` partitions
+    // like IN over the store's key set. EqualNullSafe stays refused
+    // (NULL-keeping semantics — conservative arm).
+    case cmp: org.apache.spark.sql.catalyst.expressions.BinaryComparison
+        if !cmp.isInstanceOf[org.apache.spark.sql.catalyst.expressions.EqualNullSafe] =>
+      (cmp.left, cmp.right) match {
+        case (a: AttributeReference, l: Literal) =>
+          spec.groupCols.contains(a.name) && l.value != null
+        case (l: Literal, a: AttributeReference) =>
+          spec.groupCols.contains(a.name) && l.value != null
+        case _ => false
+      }
     case _ => false
   }
 
@@ -148,10 +161,6 @@ case class RollupRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     * same-named column (types must agree — drift refuses). */
   private def rebasePred(p: Expression, byName: Map[String, Attribute]): Option[Expression] =
     p match {
-      case EqualTo(a: AttributeReference, l: Literal) =>
-        byName.get(a.name).filter(_.dataType == a.dataType).map(sa => EqualTo(sa, l))
-      case EqualTo(l: Literal, a: AttributeReference) =>
-        byName.get(a.name).filter(_.dataType == a.dataType).map(sa => EqualTo(sa, l))
       case In(a: AttributeReference, elems) =>
         byName.get(a.name).filter(_.dataType == a.dataType).map(sa => In(sa, elems))
       case org.apache.spark.sql.catalyst.expressions.IsNotNull(a: AttributeReference) =>
@@ -159,6 +168,24 @@ case class RollupRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
           .get(a.name)
           .filter(_.dataType == a.dataType)
           .map(sa => org.apache.spark.sql.catalyst.expressions.IsNotNull(sa))
+      // =, <, <=, >, >= (the r15 range subsumption, EqualTo included):
+      // rebuild the SAME comparison node with the attribute swapped for
+      // the store's same-named column — operand order preserved
+      case cmp: org.apache.spark.sql.catalyst.expressions.BinaryComparison
+          if !cmp.isInstanceOf[org.apache.spark.sql.catalyst.expressions.EqualNullSafe] =>
+        (cmp.left, cmp.right) match {
+          case (a: AttributeReference, l: Literal) =>
+            byName
+              .get(a.name)
+              .filter(_.dataType == a.dataType)
+              .map(sa => cmp.withNewChildren(Seq(sa, l)))
+          case (l: Literal, a: AttributeReference) =>
+            byName
+              .get(a.name)
+              .filter(_.dataType == a.dataType)
+              .map(sa => cmp.withNewChildren(Seq(l, sa)))
+          case _ => None
+        }
       case _ => None
     }
 

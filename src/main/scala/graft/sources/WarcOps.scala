@@ -61,53 +61,90 @@ object WarcOps {
 
   /** Distributed WARC egress of a (doc_id, uri, html) frame: `nFiles`
     * segments, one per task.
+    *
+    * Cluster-portable (r15): each task writes through the Hadoop
+    * `FileSystem` resolved FROM the output path (so `outDir` may be
+    * `hdfs://`, `s3a://`, or a bare local path routed by
+    * `fs.defaultFS`) with the write-aside + rename discipline the
+    * compaction code uses (`Scale.compactFiles`): the segment lands at
+    * `.part-NNNNN.warc.tmp` and is renamed into place only after a
+    * clean close, so a killed task can never leave a half-written
+    * segment under the final name. The driver's Hadoop configuration
+    * rides to executors via [[org.apache.spark.SerializableWritable]].
     */
   def writeSpark(pages: DataFrame, outDir: String, nFiles: Int = 4): Unit = {
     val spark = pages.sparkSession
     import spark.implicits._
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val hconf =
+      new org.apache.spark.SerializableWritable(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(root)
     pages
       .select(col("doc_id"), col("uri"), col("html"))
       .as[(Long, String, String)]
       .repartition(nFiles, col("doc_id"))
       .foreachPartition { (it: Iterator[(Long, String, String)]) =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        var out: java.io.BufferedOutputStream = null
-        try {
-          it.foreach { case (id, uri, html) =>
-            if (out == null)
-              out = new java.io.BufferedOutputStream(
-                new java.io.FileOutputStream(f"$outDir/part-$pid%05d.warc")
-              )
-            out.write(record(f"$id%016x-0000-0000-0000-000000000000", uri, html))
-          }
-        } finally if (out != null) out.close() // empty partitions write no file
+        if (it.hasNext) { // empty partitions write no file
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val dir = new org.apache.hadoop.fs.Path(outDir)
+          val fs = dir.getFileSystem(hconf.value)
+          val tmp = new org.apache.hadoop.fs.Path(dir, f".part-$pid%05d.warc.tmp")
+          val dst = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.warc")
+          val out = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
+          try {
+            it.foreach { case (id, uri, html) =>
+              out.write(record(f"$id%016x-0000-0000-0000-000000000000", uri, html))
+            }
+          } finally out.close()
+          if (fs.exists(dst)) fs.delete(dst, false)
+          require(fs.rename(tmp, dst), s"WARC egress: rename $tmp -> $dst failed")
+        }
       }
   }
 
-  /** Parse every record of one WARC segment. Emits
-    * (offset, recordId, targetUri, httpStatus, body).
+  /** Parse every record of one WARC segment INCREMENTALLY off an
+    * `InputStream` — task memory is O(one record), never O(segment),
+    * so a ~1 GiB-by-convention Common Crawl segment parses in a small
+    * constant heap (r15 — the readSpark `pds.toArray()` cliff is gone).
+    * Emits (offset, recordId, targetUri, httpStatus, body).
+    *
+    * The parser is strictly sequential (one byte of lookahead), which
+    * is all WARC needs: headers to the blank line, then exactly
+    * `Content-Length` payload bytes. Strictness contract unchanged: a
+    * malformed record throws with its file + offset.
     */
-  private[graft] def parseRecords(
+  private[graft] def parseStream(
       file: String,
-      bytes: Array[Byte]
+      in0: java.io.InputStream
   ): Iterator[(Long, String, String, String, String)] =
     new Iterator[(Long, String, String, String, String)] {
-      private var pos = 0
-      // skip trailing CRLFs between records / at EOF
+      private val in = new java.io.BufferedInputStream(in0, 1 << 16)
+      private var pos = 0L // offset of `la` within the segment
+      private var la: Int = in.read() // one-byte lookahead; -1 = EOF
+      private def consume(): Int = { val b = la; la = in.read(); pos += 1; b }
+      // skip CRLFs between records / at EOF (record terminator is CRLFCRLF)
       private def skipCrlf(): Unit =
-        while (pos + 1 < bytes.length && bytes(pos) == '\r' && bytes(pos + 1) == '\n') pos += 2
+        while (la == '\r') {
+          consume()
+          require(consume() == '\n', s"$file: bare CR between records at offset ${pos - 2}")
+        }
       skipCrlf()
-      def hasNext: Boolean = pos < bytes.length
+      def hasNext: Boolean = la != -1
       def next(): (Long, String, String, String, String) = {
-        val off = pos.toLong
+        val off = pos
         def line(): String = {
           val start = pos
-          while (pos + 1 < bytes.length && !(bytes(pos) == '\r' && bytes(pos + 1) == '\n')) pos += 1
-          require(pos + 1 < bytes.length, s"$file: truncated header line at offset $start")
-          val s = new String(bytes, start, pos - start, StandardCharsets.UTF_8)
-          pos += 2
-          s
+          val sb = new java.lang.StringBuilder(64)
+          var done = false
+          while (!done) {
+            val b = consume()
+            require(b != -1, s"$file: truncated header line at offset $start")
+            if (b == '\r') {
+              require(consume() == '\n', s"$file: bare CR in header line at offset $start")
+              done = true
+            } else sb.append(b.toChar) // WARC named headers are ASCII
+          }
+          sb.toString
         }
         val magic = line()
         require(magic == "WARC/1.0", s"$file: bad WARC magic '$magic' at offset $off")
@@ -126,21 +163,51 @@ object WarcOps {
           h = line()
         }
         require(len >= 0, s"$file: record at offset $off missing Content-Length")
-        require(pos + len <= bytes.length, s"$file: truncated payload at offset $off")
-        val payload = new String(bytes, pos, len, StandardCharsets.UTF_8)
-        pos += len
+        val buf = new Array[Byte](len)
+        if (len > 0) {
+          require(la != -1, s"$file: truncated payload at offset $off")
+          buf(0) = la.toByte // the lookahead byte is payload byte 0
+          var got = 1
+          while (got < len) {
+            val n = in.read(buf, got, len - got)
+            require(n > 0, s"$file: truncated payload at offset $off")
+            got += n
+          }
+          pos += len
+          la = in.read()
+        }
+        val payload = new String(buf, StandardCharsets.UTF_8)
         skipCrlf()
         // HTTP payload: status line, headers, blank line, body
         val hdrEnd = payload.indexOf(CRLF + CRLF)
-        require(hdrEnd >= 0, s"$file: payload at offset $off has no HTTP header terminator")
-        val status = payload.substring(0, payload.indexOf(CRLF)).split(" ")(1)
+        require(hdrEnd > 0, s"$file: payload at offset $off has no HTTP header terminator")
+        val statusLine = payload.substring(0, payload.indexOf(CRLF))
+        val sp = statusLine.indexOf(' ')
+        require(
+          sp > 0 && sp + 1 < statusLine.length,
+          s"$file: malformed HTTP status line '$statusLine' at offset $off"
+        )
+        val status = statusLine.substring(sp + 1).split(" ")(0)
         val body = payload.substring(hdrEnd + 4)
         (off, recordId, uri, status, body)
       }
     }
 
+  /** Byte-array convenience wrapper over [[parseStream]] — the
+    * streaming ingest path (the `binaryFile` source hands whole-file
+    * `content` bytes by contract) and specs.
+    */
+  private[graft] def parseRecords(
+      file: String,
+      bytes: Array[Byte]
+  ): Iterator[(Long, String, String, String, String)] =
+    parseStream(file, new java.io.ByteArrayInputStream(bytes))
+
   /** Distributed WARC read: one task per segment file (the EDF corpus
-    * parallelism argument), row-local strict parsing.
+    * parallelism argument), row-local strict parsing — INCREMENTAL off
+    * the `PortableDataStream` (r15): the segment is never materialized
+    * in task memory; the stream closes on iterator exhaustion and (for
+    * failed/short-circuited tasks) on task completion.
     */
   def readSpark(spark: SparkSession, glob: String): DataFrame = {
     import spark.implicits._
@@ -148,7 +215,10 @@ object WarcOps {
       .binaryFiles(glob)
       .flatMap { case (path, pds) =>
         val name = path.substring(path.lastIndexOf('/') + 1)
-        parseRecords(name, pds.toArray()).map { case (off, rid, uri, status, body) =>
+        val in = pds.open()
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => in.close())
+        parseStream(name, in).map { case (off, rid, uri, status, body) =>
           (name, off, rid, uri, status, body)
         }
       }

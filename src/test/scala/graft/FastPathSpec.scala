@@ -96,4 +96,37 @@ class FastPathSpec extends AnyFunSuite {
     assert(fast.keySet == slow.keySet)
     fast.foreach { case (k, v) => assert(math.abs(v - slow(k)) <= 1e-4, s"$k: $v vs ${slow(k)}") }
   }
+
+  test("ByteRemap/ByteUnremap codegen equals the interpreted eval and the String kernels") {
+    import org.apache.spark.sql.functions._
+    // identity ASCII, kept Latin-1, 256+n bytes, CJK, supplementary plane
+    val samples = Seq("plain ascii", " café żółw", "日本語 naïve", "emoji 😀 tail", "")
+    // repartition so ConvertToLocalRelation can't fold the projection
+    // driver-side — the expressions must run on executors, codegen'd
+    val df = samples.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s").repartition(2)
+    val got = df
+      .select(
+        col("id"),
+        graft.functions.exprs.byte_remap(col("s")).as("r"),
+        graft.functions.exprs.byte_unremap(graft.functions.exprs.byte_remap(col("s"))).as("rt")
+      )
+      .collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+    for ((s, i) <- samples.zipWithIndex) {
+      assert(got(i.toLong)._1 == graft.llm.Bpe.remapBytes(s), s"remap drift on '$s'")
+      assert(got(i.toLong)._2 == s, s"unremap identity broke on '$s'")
+    }
+    // the projection must be codegen-capable: the FINAL adaptive plan
+    // (post-execution) shows a WholeStageCodegen span (the `*(n)`
+    // prefix) on the Project — a CodegenFallback expression would
+    // leave the Project bare
+    val proj = df.select(graft.functions.exprs.byte_remap(col("s")))
+    proj.collect()
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(
+      "\\*\\(\\d+\\) Project".r.findFirstIn(plan).isDefined,
+      s"byte remap fell out of whole-stage codegen:\n$plan"
+    )
+  }
 }

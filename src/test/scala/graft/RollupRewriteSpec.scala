@@ -165,14 +165,29 @@ class RollupRewriteSpec extends AnyFunSuite {
       assert(rows(hq) == rows(havingQ(core.Tables.lineitem(spark, sf))),
         "HAVING over the rewritten aggregate diverged")
 
-      // RANGE predicate on a key -> no rewrite (not an equality/IN)
-      val rangeFiltered = core.Tables
+      // RANGE predicate on a key (r15): FIRES — keys are stored
+      // verbatim, so key >= lit AND key < lit partitions exactly like
+      // IN over the store's key set
+      def rangeQ(df: org.apache.spark.sql.DataFrame) =
+        df.filter(col("l_linestatus") > "A" && col("l_returnflag") >= "A" && col("l_returnflag") < "Z")
+          .groupBy(col("l_returnflag"))
+          .agg(sum(col("l_quantity")).as("x"), count(lit(1)).as("c"))
+      val rq = rangeQ(core.Tables.lineitem(s2, sf))
+      val rqOpt = rq.queryExecution.optimizedPlan.toString
+      assert(!rqOpt.contains("l_quantity") && rqOpt.contains("sum_qty"),
+        s"key-range filter should rewrite over the store (r15):\n$rqOpt")
+      assert(rows(rq) == rows(rangeQ(core.Tables.lineitem(spark, sf))),
+        "range-filtered rewrite results differ from the direct aggregate")
+      // key-to-KEY comparison (no literal) -> no rewrite: two-key
+      // predicates still partition groups exactly, but the
+      // conservative contract only derives literal comparisons
+      val colCmp = core.Tables
         .lineitem(s2, sf)
-        .filter(col("l_linestatus") > "A")
+        .filter(col("l_linestatus") > col("l_returnflag"))
         .groupBy(col("l_returnflag"))
         .agg(sum(col("l_quantity")).as("x"))
-      assert(rangeFiltered.queryExecution.optimizedPlan.toString.contains("l_quantity"),
-        "range filter must refuse the rewrite")
+      assert(colCmp.queryExecution.optimizedPlan.toString.contains("l_quantity"),
+        "column-to-column comparison must refuse the rewrite")
       // SAME SCHEMA, different path -> no rewrite (identity binding)
       val copied = agg(s2.read.parquet(liCopy))
       val copiedOpt = copied.queryExecution.optimizedPlan.toString

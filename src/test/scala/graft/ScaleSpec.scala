@@ -196,6 +196,14 @@ class ScaleSpec extends AnyFunSuite {
     // the path (measured: 0.98 here vs trained IVF's 1.0 at twice the
     // scored candidates; the pre-best-first walk read 0.90/0.94)
     assert(rTrained >= 0.95, s"trained-centroid walk recall $rTrained < 0.95 (trained IVF $rIvfTrained)")
+    // multi-probe edge BUILD (nProbeBuild=2 — cellAssignMulti + the
+    // enqueue-time heap dedup): boundary-crossing edges exist that the
+    // single-cell build misses, so recall must not drop (r15 — the
+    // path finally runs under a test; it previously had zero coverage)
+    val multi = pairs(graft.llm.Similarity.graphServeTrained(emb, cents, 8, 8, 3, nProbeBuild = 2))
+    val rMulti = (truth & multi).size.toDouble / truth.size
+    info(s"recall@5 multi-probe-build walk $rMulti vs single $rTrained")
+    assert(rMulti >= rTrained, s"nProbeBuild=2 recall $rMulti < single-probe $rTrained")
   }
 
   // The trained END-TO-END composition: kmeans|| cells + Lloyd-trained

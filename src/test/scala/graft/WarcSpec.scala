@@ -135,4 +135,45 @@ class WarcSpec extends AnyFunSuite {
     val ok = WarcOps.parseRecords("h.warc", good).toList
     assert(ok.length == 1 && ok.head._5 == "<p>ok</p>")
   }
+
+  test("malformed HTTP status line fails with file and offset, not a raw index error") {
+    // status line with no space after the version token
+    val httpNoSpace = "HTTP/1.1\r\nContent-Type: text/html\r\n\r\nbody"
+    val p = httpNoSpace.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val rec = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:1>\r\n" +
+      s"WARC-Target-URI: http://h/x\r\nContent-Length: ${p.length}\r\n\r\n").getBytes ++
+      p ++ "\r\n\r\n".getBytes
+    val e1 = intercept[IllegalArgumentException](WarcOps.parseRecords("s.warc", rec).toList)
+    assert(
+      e1.getMessage.contains("malformed HTTP status line") && e1.getMessage.contains("s.warc"),
+      s"got: ${e1.getMessage}"
+    )
+    // payload whose header block STARTS with CRLF (empty status line)
+    val p2 = "\r\n\r\nbody".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val rec2 = ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:2>\r\n" +
+      s"WARC-Target-URI: http://h/y\r\nContent-Length: ${p2.length}\r\n\r\n").getBytes ++
+      p2 ++ "\r\n\r\n".getBytes
+    val e2 = intercept[IllegalArgumentException](WarcOps.parseRecords("t.warc", rec2).toList)
+    assert(e2.getMessage.contains("t.warc"), s"got: ${e2.getMessage}")
+  }
+
+  test("write/read route through the Hadoop FileSystem API (explicit file: scheme URI)") {
+    val docs = Seq((35L, t), (3L, t)).toDF("doc_id", "text")
+    val pages = docs.select(
+      col("doc_id"),
+      concat(lit("http://h/doc/"), col("doc_id").cast("string")).as("uri"),
+      expr(graft.llm.Curation.htmlPlantExpr).as("html")
+    )
+    val local = graft.sources.Scratch.dir("warc_fs_spec")
+    val fsUri = "file://" + local // resolved by Path.getFileSystem, not java.io
+    WarcOps.writeSpark(pages, fsUri, nFiles = 2)
+    // no tmp write-aside files may survive the rename discipline
+    val leftovers = new java.io.File(local).listFiles().map(_.getName).filter(_.endsWith(".tmp"))
+    assert(leftovers.isEmpty, s"write-aside leftovers: ${leftovers.mkString(",")}")
+    val back = WarcOps.readSpark(spark, fsUri + "/part-*.warc")
+    assert(back.count() == 2)
+    val bodies = back.select("body").as[String].collect().toSet
+    val want = pages.select("html").as[String].collect().toSet
+    assert(bodies == want, "fs-routed round trip must be byte-exact")
+  }
 }
