@@ -728,6 +728,49 @@ object Prof {
       ()
     }
 
+    // PROF_WARCSEG=mb: realistic SEGMENT-SIZE decade for the WARC codec
+    // (r15 — the ADVICE boundary: PROF_WEB used ~1.5 KB pages across 32
+    // small files; Common Crawl segments are ~1 GiB). Writes ~mb MB of
+    // WARC as 4 large segments of ~200 KB records, then parses them
+    // back through the INCREMENTAL PortableDataStream path — task
+    // memory is O(record) by construction (the pre-r15 pds.toArray()
+    // form allocated the whole segment per task), so segment size
+    // scales freely; the read phase must stay spill-free with per-task
+    // allocations bounded by the record size, not the segment.
+    val segMb = sys.env.getOrElse("PROF_WARCSEG", "0").toInt
+    if (segMb > 0) {
+      val pageKb = 200L
+      val nPages = segMb * 1024L / pageKb
+      val reps = pageKb * 1024 / 40
+      val big = spark
+        .range(nPages)
+        .select(
+          col("id").as("doc_id"),
+          concat(lit("http://h/doc/"), col("id").cast("string")).as("uri"),
+          expr(s"repeat(concat('<p>chunk ', CAST(id AS STRING), ' body word</p>'), $reps)")
+            .as("html")
+        )
+      val dir = sources.Scratch.dir("prof_warcseg")
+      val planted = big.agg(sum(length(col("html")))).collect()(0).getLong(0)
+      t(s"warcseg${segMb}mb_write", nPages) {
+        sources.WarcOps.writeSpark(big, dir, nFiles = 4)
+        nPages
+      }
+      t(s"warcseg${segMb}mb_read", nPages) {
+        // sum of body lengths forces full record materialization and
+        // must equal the planted byte count EXACTLY (ASCII bodies)
+        val got = sources.WarcOps
+          .readSpark(spark, dir + "/part-*.warc")
+          .agg(sum(length(col("body"))))
+          .collect()(0)
+          .getLong(0)
+        require(got == planted, s"parsed $got body bytes != $planted planted")
+        nPages
+      }
+      println(s"PROF warcseg: ${planted / (1024 * 1024)} MiB of bodies across 4 segments")
+      ()
+    }
+
     // PROF_RUNS=k: exact shared-run detection (dedup_runs machinery) at
     // k-thousand REALISTIC-length docs — 300 unique filler tokens each,
     // every 5th doc appending one of 10 shared 500-token (~3 KB)
