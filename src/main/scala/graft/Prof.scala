@@ -470,6 +470,60 @@ object Prof {
       println(
         f"PROF emb${embK}k_graph_serve_tr_recall@5 = $walkRecall%.3f (trained IVF nProbe=8: $ivfNavRecall%.3f)"
       )
+      // PROF_FATCELL: the r15 in-cell hierarchy at the r14 measured
+      // boundary — 64 FAT cells (~embK·1000/64 members each; flat
+      // walk recall 0.52–0.64 there, BASELINE.md r14). The hierarchy
+      // (md5 pivot draw, up/down links, per-cell pivot CLIQUE) must
+      // lift recall at a budget under IVF nProbe=1's cell scan.
+      if (sys.env.contains("PROF_FATCELL")) {
+        var centsF: Array[Array[Double]] = null
+        t(s"emb${embK}k_kmeans_fat64", embK * 1000L) {
+          centsF = llm.Similarity.kmeansParallel(navigable, k = 64)
+          centsF.length.toLong
+        }
+        // PROF_FATSWEEP=rounds:beam:kDown[,rounds:beam:kDown…]
+        // (default one config) — all configs share the trained
+        // centroids and the truth set, so a sweep costs one walk each
+        val fatCfgs = sys.env
+          .getOrElse("PROF_FATSWEEP", "8:8:8")
+          .split(",")
+          .map { s => val a = s.split(":"); (a(0).toInt, a(1).toInt, a(2).toInt) }
+        val ivfFat = llm.Similarity
+          .ivfTopk(navigable, 64, 1, Some(centsF))
+          .select(col("qid"), col("vid"))
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+          .toSet
+        val ivfFatRecall = (truthNav & ivfFat).size.toDouble / truthNav.size
+        val ivfFatBudget = llm.Similarity.ivfCandidates(navigable, 64, 1, Some(centsF)).count()
+        for ((fatRounds, fatBeam, fatKd) <- fatCfgs) {
+          var fatPairs: Set[(Long, Long)] = Set.empty
+          t(s"emb${embK}k_graph_hier_fat_r${fatRounds}b${fatBeam}d$fatKd", embK * 1000L) {
+            val rows3 = llm.Similarity
+              .graphServeTrained(
+                navigable,
+                centsF,
+                k = 8,
+                beam = fatBeam,
+                rounds = fatRounds,
+                hier = true,
+                kDown = fatKd
+              )
+              .select(col("qid"), col("vid"))
+              .collect()
+            fatPairs = rows3.map(r => (r.getLong(0), r.getLong(1))).toSet
+            rows3.length.toLong
+          }
+          val fatRecall = (truthNav & fatPairs).size.toDouble / truthNav.size
+          val fatBudget = llm.Similarity
+            .trainedWalkVisited(navigable, centsF, 8, fatBeam, fatRounds, 10, 1, hier = true, kDown = fatKd)
+            .count()
+          println(
+            f"PROF emb${embK}k_graph_hier_fat r$fatRounds/b$fatBeam/d$fatKd recall@5 = $fatRecall%.3f " +
+              f"(budget $fatBudget) vs IVF nProbe=1 $ivfFatRecall%.3f (budget $ivfFatBudget)"
+          )
+        }
+      }
       navigable.unpersist()
       // the serving-tier I/O claim, measured: raw-float layout vs
       // packed-codes store bytes for the SAME corpus + assignment

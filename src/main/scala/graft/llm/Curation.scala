@@ -787,21 +787,29 @@ object Curation {
   def htmlExtractText(docs: DataFrame): DataFrame =
     htmlExtractTextPages(docs.select(col("doc_id"), expr(htmlPlantExpr).as("html")))
 
-  val htmlExtractSql: String = {
+  /** The extraction chain's CTE prefix, ending at
+    * `outp(doc_id, title, n_blocks, n_kept, cleaned)` — shared by the
+    * text_html_extract oracle and the WET/WAT round-trip oracles (r15:
+    * the derivative formats must hash against the SAME extraction).
+    */
+  private[graft] val htmlExtractCtes: String = {
     val NL = "chr(10)"
     val kept = s"list_filter(blocks, b -> ${htmlKeepDuck("b")})"
     val cleaned =
       s"coalesce(array_to_string(list_transform($kept, b -> ${htmlPlainDuck("b")}), $NL), '')"
-    s"WITH aug AS MATERIALIZED (SELECT doc_id, $htmlPlantExpr AS html FROM documents), " +
+    s"aug AS MATERIALIZED (SELECT doc_id, $htmlPlantExpr AS html FROM documents), " +
       "strip AS MATERIALIZED (SELECT doc_id, " +
       "regexp_replace(regexp_replace(html, '(?s)<script.*?</script>', '', 'g'), '(?s)<style.*?</style>', '', 'g') AS page FROM aug), " +
       "seg AS MATERIALIZED (SELECT doc_id, regexp_extract(page, '<title>([^<]*)</title>', 1) AS title, " +
       "string_split_regex(page, '</p>|</div>|</head>') AS blocks FROM strip), " +
       s"outp AS MATERIALIZED (SELECT doc_id, title, CAST(len(blocks) AS BIGINT) AS n_blocks, " +
-      s"CAST(len($kept) AS BIGINT) AS n_kept, $cleaned AS cleaned FROM seg) " +
+      s"CAST(len($kept) AS BIGINT) AS n_kept, $cleaned AS cleaned FROM seg)"
+  }
+
+  val htmlExtractSql: String =
+    s"WITH $htmlExtractCtes " +
       "SELECT doc_id, title, n_blocks, n_kept, CAST(length(cleaned) AS BIGINT) AS n_clean_chars, " +
       "md5(cleaned) AS md5_clean FROM outp"
-  }
 
   /** The round-7 operators composed end-to-end: quality gate →
     * exact-dedup keepers → DSIR importance weights → per-source

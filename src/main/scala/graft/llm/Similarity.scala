@@ -480,6 +480,104 @@ object Similarity {
       .select(col("vec_id"), col("cid"), col("dropped").isNull.as("kept"))
   }
 
+  /** D4-style cluster-proportional sampling (Tirumala et al. 2023 —
+    * "D4: Improving LLM Pretraining via Document De-Duplication and
+    * Diversification"): the published next step after SemDeDup, riveted
+    * from pieces this engine already proves one gate each —
+    *
+    *  1. semantic cells ([[semDedup]]'s assignment);
+    *  2. the SemDeDup KEEP set (near-duplicate prototypes dropped);
+    *  3. α-flattened per-CELL token budgets over the KEPT mass — an
+    *     over-dense cell loses mass twice: its near-dups are dropped
+    *     before weighing, and the sub-linear n^α flattening shrinks
+    *     what remains (diversity-aware, duplication-aware);
+    *  4. the exact-BIGINT md5 draw ([[graft.llm.Curation.sampleDraw]]
+    *     mechanics): n_copies = target div cell_tok plus one residual
+    *     Bernoulli copy keyed on md5(vec_id:cid) — deterministic,
+    *     engine-independent, zero float surface in any decision.
+    *
+    * Scale shape: semDedup's cell-bounded pair work + one broadcast of
+    * the nList-row plan; the draw is a row-local projection.
+    */
+  def sampleD4(
+      emb: DataFrame,
+      docs: DataFrame,
+      nList: Int = 16,
+      tau: Double = 0.4,
+      alpha: Double = 0.7,
+      budget: Long = 1000000L
+  ): DataFrame = {
+    require(budget % 1000000L == 0, "budget must be a whole number of Mtokens")
+    val kept = semDedup(emb, nList, tau) // (vec_id, cid, kept)
+    val toks = docs.select(
+      col("doc_id").as("vec_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok")
+    )
+    // feeds the plan aggregation AND the final draw — checkpoint
+    val base = kept.join(toks, Seq("vec_id")).localCheckpoint()
+    val perCell = base
+      .filter(col("kept"))
+      .groupBy(col("cid"))
+      .agg(sum(col("n_tok")).as("cell_tok"))
+      .withColumn(
+        "p_micro",
+        expr(s"CAST(floor(pow(cell_tok, ${graft.core.Dsp.lit(alpha)}) * 1.0e6 + 0.5e0) AS BIGINT)")
+      )
+    // normalization via the constant-key broadcast (bm25 shape)
+    val tot = perCell.agg(sum(col("p_micro")).as("wsum")).withColumn("k", lit(1))
+    val plan = perCell
+      .withColumn("k", lit(1))
+      .join(broadcast(tot), Seq("k"))
+      .withColumn("w_micro", expr("(2L * p_micro * 1000000L + wsum) div (2L * wsum)"))
+      .select(
+        col("cid"),
+        col("cell_tok"),
+        (col("w_micro") * lit(budget / 1000000L)).as("target_tok")
+      )
+    base
+      .join(broadcast(plan), Seq("cid"))
+      .withColumn("bs", expr("target_tok div cell_tok"))
+      .withColumn("frac_micro", expr("((target_tok % cell_tok) * 1000000L) div cell_tok"))
+      .withColumn(
+        "h",
+        expr(
+          "CAST(conv(substr(md5(concat(CAST(vec_id AS STRING), ':', CAST(cid AS STRING))), 1, 8), 16, 10) AS BIGINT) % 1000000"
+        )
+      )
+      .select(
+        col("vec_id"),
+        col("cid"),
+        col("kept"),
+        col("n_tok"),
+        when(col("kept"), col("bs") + when(col("h") < col("frac_micro"), 1L).otherwise(0L))
+          .otherwise(lit(0L))
+          .as("n_copies")
+      )
+  }
+
+  def sampleD4Sql(
+      nList: Int = 16,
+      tau: Double = 0.4,
+      alpha: Double = 0.7,
+      budget: Long = 1000000L
+  ): String = {
+    val bM = budget / 1000000L
+    val h =
+      "CAST(concat('0x', substr(md5(CAST(b.vid AS VARCHAR) || ':' || CAST(b.cid AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000"
+    s"WITH ${semDedupCtes(nList, tau)}, " +
+      "dt AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok FROM documents), " +
+      "basej AS MATERIALIZED (SELECT k.vid, k.cid, k.kept, dt.n_tok FROM keep k JOIN dt ON dt.doc_id = k.vid), " +
+      "pc AS (SELECT cid, CAST(sum(n_tok) AS BIGINT) AS cell_tok FROM basej WHERE kept GROUP BY cid), " +
+      s"p2 AS (SELECT cid, cell_tok, CAST(floor(pow(cell_tok, ${graft.core.Dsp.lit(alpha)}) * 1.0e6 + 0.5e0) AS BIGINT) AS p_micro FROM pc), " +
+      "w2 AS (SELECT cid, cell_tok, CAST((2 * p_micro * 1000000 + sum(p_micro) OVER ()) // (2 * sum(p_micro) OVER ()) AS BIGINT) AS w_micro FROM p2), " +
+      s"pl AS (SELECT cid, cell_tok, w_micro * $bM AS target_tok FROM w2) " +
+      "SELECT b.vid AS vec_id, b.cid, b.kept, b.n_tok, " +
+      "CAST(CASE WHEN b.kept THEN (pl.target_tok // pl.cell_tok) + " +
+      s"(CASE WHEN ($h) < ((pl.target_tok % pl.cell_tok) * 1000000) // pl.cell_tok THEN 1 ELSE 0 END) " +
+      "ELSE 0 END AS BIGINT) AS n_copies " +
+      "FROM basej b JOIN pl ON pl.cid = b.cid"
+  }
+
   /** k-NN GRAPH materialization — every vector's k nearest neighbors
     * as an edge table: the input to graph-based ANN serving, SemDeDup
     * variants, label propagation over embeddings, and outlier
@@ -776,7 +874,35 @@ object Similarity {
       beam: Int = 8,
       rounds: Int = 3,
       nQ: Int = nQueries,
-      nProbeBuild: Int = 1
+      nProbeBuild: Int = 1,
+      hier: Boolean = false,
+      kDown: Int = 4
+  ): DataFrame = {
+    val visited =
+      trainedWalkVisited(emb, cents, k, beam, rounds, nQ, nProbeBuild, hier, kDown)
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vid").asc)
+    graphScore(emb, visited, nQ)
+      .filter(col("vid") =!= col("qid"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("vid"), col("cos"))
+  }
+
+  /** The trained walk's visited set — exposed so ScaleSpec/Prof can
+    * count the candidate budget the serve pass actually scored
+    * (graphWalkVisited twin for the trained path). */
+  private[graft] def trainedWalkVisited(
+      emb: DataFrame,
+      cents: Array[Array[Double]],
+      k: Int,
+      beam: Int,
+      rounds: Int,
+      nQ: Int,
+      nProbeBuild: Int = 1,
+      hier: Boolean = false,
+      kDown: Int = 4
   ): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -788,8 +914,11 @@ object Similarity {
     val av =
       if (nProbeBuild <= 1) cellAssign(emb, centsDf)
       else cellAssignMulti(emb, centsDf, nProbeBuild)
-    val edges = knnEdgesFrom(av, k, dedup = nProbeBuild > 1)
+    val knn = knnEdgesFrom(av, k, dedup = nProbeBuild > 1)
       .select(col("vid_a"), col("vid_b"))
+    // hier: union the in-cell hierarchy (fat-cell regime — the r14
+    // measured boundary this layer exists to cross)
+    val edges = (if (hier) knn.unionByName(hierEdges(av, kDown)).distinct() else knn)
       .localCheckpoint()
     // every cell seeds every query with TWO diverse entry points
     // (2·nList rows per query — the HNSW full-entry-coverage shape):
@@ -815,6 +944,119 @@ object Similarity {
       .filter(col("vec_id") < nQ)
       .select(col("vec_id").as("qid"))
       .join(broadcast(entryVids))
+    beamWalk(emb, edges, seeds, beam, rounds, nQ)
+  }
+
+  /** In-cell HIERARCHY edges — the published cure for the measured
+    * fat-cell boundary (BASELINE.md r14: flat in-cell 8/16-NN graphs
+    * are NOT navigable at ~1500-member cells in 64 dims — recall
+    * 0.52–0.64; this is exactly why HNSW has hierarchy and long-range
+    * links). One coarse layer per cell, built off the SAME assignment
+    * frame the k-NN edges use:
+    *
+    *  - PIVOTS: each cell samples ⌈√m⌉ members by md5(vec_id) order —
+    *    deterministic, so the oracle replays the draw (sample_draw
+    *    convention); pivot count WIDENS with cell size (the nList
+    *    rule applied inside the cell).
+    *  - UP-links: every member → its nearest pivot (one min_by).
+    *  - DOWN-links: every pivot → its `kDown` nearest members.
+    *  - PIVOT CLIQUE: every pivot → every other pivot in its cell.
+    *
+    * The pivot layer is a CLIQUE, not a k-NN graph, and that is the
+    * load-bearing choice: a nearest-pivot graph inherits the base
+    * graph's geometry (on a low-intrinsic-dimension cloud the k-NN
+    * graph is a long near-chain, and so is its pivot subsample —
+    * measured here: sparse pivot links left fat-cell recall at 0.04),
+    * while the clique crosses the whole cell in ONE hop at hub
+    * granularity. Out-degree stays bounded at √m — the same order as
+    * the member×pivot build itself — so expansion cost per beam node
+    * is O(√m), and best-first then runs: member → its hub (1 hop) →
+    * any hub (1 hop) → kDown members under the best hub (1 hop) →
+    * local k-NN refinement. Cost: the member×pivot frame is Σ m·√m
+    * NARROW rows per cell (vid, pid, d2 — no wide payload rides any
+    * window; the r10 rule); the clique is Σ m edges per cell. Per-cell
+    * work, so the build scales with the corpus exactly like the k-NN
+    * edge build it augments.
+    */
+  private[graft] def hierEdges(av: DataFrame, kDown: Int = 2): DataFrame = {
+    val sizes = av
+      .groupBy(col("cid"))
+      .agg(ceil(sqrt(count(lit(1)))).cast("int").as("np"))
+    val wCell = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid"))
+      .orderBy(col("pr").asc, col("vec_id").asc)
+    val pivots = av
+      .select(col("cid"), col("vec_id"), md5(col("vec_id").cast("string")).as("pr"))
+      .withColumn("rn", row_number().over(wCell))
+      .join(broadcast(sizes), Seq("cid"))
+      .filter(col("rn") <= col("np"))
+      .select(col("cid"), col("vec_id").as("pid"))
+    // pivot vectors feed member×pivot AND pivot×pivot — checkpoint
+    // before the fan-out (components() rule)
+    val pvecs = pivots
+      .join(av.select(col("vec_id").as("pid"), col("v").as("pv")), Seq("pid"))
+      .localCheckpoint()
+    val mp = av
+      .select(col("cid"), col("vec_id"), col("v"))
+      .join(pvecs, Seq("cid"))
+      .filter(col("vec_id") =!= col("pid"))
+      .select(
+        col("vec_id"),
+        col("pid"),
+        graft.functions.exprs.sq_dist(col("v"), col("pv")).as("d2")
+      )
+      .localCheckpoint() // feeds up-links AND down-links
+    val up = mp
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("pid"), struct(col("d2"), col("pid"))).as("pid"))
+      .select(col("vec_id").as("vid_a"), col("pid").as("vid_b"))
+    val wPiv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid"))
+      .orderBy(col("d2").asc, col("vec_id").asc)
+    val down = mp
+      .withColumn("rn", row_number().over(wPiv))
+      .filter(col("rn") <= kDown)
+      .select(col("pid").as("vid_a"), col("vec_id").as("vid_b"))
+    val pedges = pvecs
+      .select(col("cid"), col("pid").as("pa"))
+      .join(pvecs.select(col("cid"), col("pid").as("pb")), Seq("cid"))
+      .filter(col("pa") =!= col("pb"))
+      .select(col("pa").as("vid_a"), col("pb").as("vid_b"))
+    up.unionByName(down).unionByName(pedges)
+  }
+
+  /** [[graphServe]] with the in-cell hierarchy unioned into the edge
+    * frame — the deterministic (oracle-replayable) config of the
+    * fat-cell fix: same seeds, same walk, same exact re-rank; only the
+    * edge table gains the up/down/pivot long-range links.
+    */
+  def graphServeHier(
+      emb: DataFrame,
+      nList: Int = 16,
+      k: Int = 3,
+      kDown: Int = 2,
+      beam: Int = 4,
+      rounds: Int = 2,
+      nQ: Int = nQueries
+  ): DataFrame = {
+    val vs = vecsN(emb)
+    val cents = vs
+      .filter(col("vec_id") < nList)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val av = cellAssign(emb, cents)
+    val edges = knnEdgesFrom(av, k)
+      .select(col("vid_a"), col("vid_b"))
+      .unionByName(hierEdges(av, kDown))
+      .distinct()
+      .localCheckpoint()
+    val seedW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cid").asc)
+    val seeds = centDists(emb, nList)
+      .filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("cid"), row_number().over(seedW).as("cr"))
+      .filter(col("cr") <= beam)
+      .select(col("qid"), col("cid").cast("long").as("vid"))
     val visited = beamWalk(emb, edges, seeds, beam, rounds, nQ)
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid"))
@@ -824,6 +1066,68 @@ object Similarity {
       .withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= topK)
       .select(col("qid"), col("vid"), col("cos"))
+  }
+
+  /** Chained-CTE replay of [[graphServeHier]]: the knn chain + the
+    * hierarchy CTEs (md5-ordered pivot draw, up/down/pivot edges) +
+    * the same per-round walk chain as [[graphServeSql]].
+    */
+  def graphServeHierSql(
+      nList: Int = 16,
+      k: Int = 3,
+      kDown: Int = 2,
+      beam: Int = 4,
+      rounds: Int = 2
+  ): String = {
+    val d2of = (a: String, b: String) =>
+      "list_sum(list_transform(generate_series(1, 64), i -> " +
+        s"(list_extract($a, i) - list_extract($b, i)) * (list_extract($a, i) - list_extract($b, i))))"
+    val sb = new StringBuilder
+    sb ++= s"WITH ${knnCtes(nList)}, "
+    sb ++= "hsz AS (SELECT cid, CAST(ceil(sqrt(count(*))) AS INT) AS np FROM assign GROUP BY cid), "
+    sb ++= "prnk AS (SELECT vid, cid, row_number() OVER (PARTITION BY cid " +
+      "ORDER BY md5(CAST(vid AS VARCHAR)) ASC, vid ASC) AS rn FROM assign), "
+    sb ++= "piv AS MATERIALIZED (SELECT p.cid, p.vid AS pid FROM prnk p " +
+      "JOIN hsz h ON h.cid = p.cid WHERE p.rn <= h.np), "
+    sb ++= "mp AS MATERIALIZED (SELECT a.vid, p.pid, " +
+      s"${d2of("x.v", "y.v")} AS d2 FROM assign a JOIN piv p ON p.cid = a.cid " +
+      "JOIN vs x ON x.vec_id = a.vid JOIN vs y ON y.vec_id = p.pid WHERE a.vid <> p.pid), "
+    sb ++= "up AS (SELECT vid AS vid_a, pid AS vid_b FROM (SELECT vid, pid, " +
+      "row_number() OVER (PARTITION BY vid ORDER BY d2 ASC, pid ASC) AS rn FROM mp) WHERE rn = 1), "
+    sb ++= s"dn AS (SELECT pid AS vid_a, vid AS vid_b FROM (SELECT pid, vid, " +
+      s"row_number() OVER (PARTITION BY pid ORDER BY d2 ASC, vid ASC) AS rn FROM mp) WHERE rn <= $kDown), "
+    sb ++= "pe AS (SELECT x.pid AS vid_a, y.pid AS vid_b FROM piv x " +
+      "JOIN piv y ON y.cid = x.cid AND x.pid <> y.pid), "
+    sb ++= s"edges AS MATERIALIZED (SELECT DISTINCT vid_a, vid_b FROM (" +
+      s"SELECT vid_a, vid_b FROM r WHERE rank <= $k " +
+      "UNION ALL SELECT vid_a, vid_b FROM up " +
+      "UNION ALL SELECT vid_a, vid_b FROM dn " +
+      "UNION ALL SELECT vid_a, vid_b FROM pe)), "
+    sb ++= s"qv AS MATERIALIZED (SELECT vec_id AS qid, v AS va FROM vs WHERE vec_id < $nQueries), "
+    sb ++= s"v0 AS MATERIALIZED (SELECT DISTINCT pid AS qid, CAST(cid AS BIGINT) AS vid " +
+      s"FROM rankedc WHERE pid < $nQueries AND cr <= $beam), "
+    sb ++= "e0 AS (SELECT qid, vid FROM v0 WHERE 1 = 0), "
+    for (rd <- 1 to rounds) {
+      val prev = s"v${rd - 1}"
+      val prevE = s"e${rd - 1}"
+      sb ++= s"c$rd AS (SELECT qid, vid FROM $prev EXCEPT SELECT qid, vid FROM $prevE), "
+      sb ++= s"p$rd AS (SELECT t.qid, t.vid, q.va AS va, b.v AS vb FROM c$rd t " +
+        s"JOIN vs b ON b.vec_id = t.vid JOIN qv q ON q.qid = t.qid), "
+      sb ++= s"s$rd AS (SELECT qid, vid, round($cosSqlExpr, 6) AS cos FROM p$rd), "
+      sb ++= s"b$rd AS MATERIALIZED (SELECT qid, vid FROM (SELECT qid, vid, " +
+        s"row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rn FROM s$rd) WHERE rn <= $beam), "
+      sb ++= s"e$rd AS MATERIALIZED (SELECT DISTINCT qid, vid FROM " +
+        s"(SELECT qid, vid FROM $prevE UNION ALL SELECT qid, vid FROM b$rd)), "
+      sb ++= s"v$rd AS MATERIALIZED (SELECT DISTINCT qid, vid FROM " +
+        s"(SELECT qid, vid FROM $prev UNION ALL " +
+        s"SELECT b.qid, e.vid_b AS vid FROM b$rd b JOIN edges e ON e.vid_a = b.vid)), "
+    }
+    sb ++= s"pf AS (SELECT t.qid, t.vid, q.va AS va, b.v AS vb FROM v$rounds t " +
+      s"JOIN vs b ON b.vec_id = t.vid JOIN qv q ON q.qid = t.qid WHERE t.vid <> t.qid), "
+    sb ++= s"sf AS (SELECT qid, vid, round($cosSqlExpr, 6) AS cos FROM pf) "
+    sb ++= "SELECT qid, vid, cos FROM (SELECT qid, vid, cos, " +
+      s"row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rank FROM sf) WHERE rank <= $topK"
+    sb.toString
   }
 
   /** Score a (qid, vid) frame against the query vectors: one equi-join
@@ -943,10 +1247,12 @@ object Similarity {
     prefix + iters + s"SELECT id AS vec_id, lab AS community FROM l$rounds"
   }
 
-  def semDedupSql(nList: Int = 16, tau: Double = 0.4): String = {
+  /** The semDedup CTE chain ending at `keep(vid, cid, kept)` — shared
+    * by the semdedup gate oracle and the D4 sampler's oracle (r15). */
+  private def semDedupCtes(nList: Int, tau: Double): String = {
     val d2 = "list_sum(list_transform(generate_series(1, 64), i -> " +
       "(list_extract(a.v, i) - list_extract(c.cv, i)) * (list_extract(a.v, i) - list_extract(c.cv, i))))"
-    "WITH vs AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+    "vs AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
       s"cents AS (SELECT vec_id AS cid, v AS cv FROM vs WHERE vec_id < $nList), " +
       s"dists AS (SELECT a.vec_id AS pid, c.cid AS cid, $d2 AS d2 FROM vs a CROSS JOIN cents c), " +
       "rankedc AS (SELECT pid, cid, row_number() OVER (PARTITION BY pid ORDER BY d2 ASC, cid ASC) AS cr FROM dists), " +
@@ -955,10 +1261,14 @@ object Similarity {
       "JOIN assign y ON y.cid = x.cid AND x.vid < y.vid " +
       "JOIN vs xa ON xa.vec_id = x.vid JOIN vs yb ON yb.vec_id = y.vid), " +
       s"scored AS (SELECT vid_b, round($cosSqlExpr, 6) AS cos FROM pairs), " +
-      s"dropped AS (SELECT DISTINCT vid_b FROM scored WHERE cos >= ${graft.core.Dsp.lit(tau)}) " +
-      "SELECT s.vid AS vec_id, s.cid, (d.vid_b IS NULL) AS kept " +
-      "FROM assign s LEFT JOIN dropped d ON d.vid_b = s.vid"
+      s"dropped AS (SELECT DISTINCT vid_b FROM scored WHERE cos >= ${graft.core.Dsp.lit(tau)}), " +
+      "keep AS MATERIALIZED (SELECT s.vid, s.cid, (d.vid_b IS NULL) AS kept " +
+      "FROM assign s LEFT JOIN dropped d ON d.vid_b = s.vid)"
   }
+
+  def semDedupSql(nList: Int = 16, tau: Double = 0.4): String =
+    s"WITH ${semDedupCtes(nList, tau)} " +
+      "SELECT vid AS vec_id, cid, kept FROM keep"
 
   // ---- Product quantization (Jégou et al., TPAMI 2011): compress the
   // corpus 32× (64 doubles → 8 byte-codes) and rank by asymmetric
@@ -2491,6 +2801,8 @@ object Similarity {
     "dedup_semdedup" -> { (s, dir) => semDedup(Tables.embeddings(s, dir)) },
     "sim_knn_graph" -> { (s, dir) => knnGraph(Tables.embeddings(s, dir)) },
     "sim_graph_serve" -> { (s, dir) => graphServe(Tables.embeddings(s, dir)) },
+    "sim_graph_hier" -> { (s, dir) => graphServeHier(Tables.embeddings(s, dir)) },
+    "sample_d4" -> { (s, dir) => sampleD4(Tables.embeddings(s, dir), Tables.documents(s, dir)) },
     "sim_communities" -> { (s, dir) => lpCommunities(Tables.embeddings(s, dir)) }
   )
 
@@ -2517,6 +2829,8 @@ object Similarity {
     "dedup_semdedup" -> semDedupSql(),
     "sim_knn_graph" -> knnGraphSql(),
     "sim_graph_serve" -> graphServeSql(),
+    "sim_graph_hier" -> graphServeHierSql(),
+    "sample_d4" -> sampleD4Sql(),
     "sim_communities" -> lpCommunitiesSql()
   )
 }

@@ -37,18 +37,26 @@ object WarcOps {
 
   private val CRLF = "\r\n"
 
-  /** Render one WARC/1.0 `response` record. `body` is the HTTP entity
-    * (ASCII or UTF-8); the HTTP status line + headers are synthesized.
+  /** Render one WARC/1.0 record of the given `warcType` with a RAW
+    * payload (no HTTP envelope) — the WET (`conversion`) / WAT
+    * (`metadata`) record shape (r15: the Common Crawl sibling formats
+    * are themselves WARC containers, differing only in record type and
+    * payload).
     */
-  def record(recordId: String, targetUri: String, body: String): Array[Byte] = {
-    val http = "HTTP/1.1 200 OK" + CRLF + "Content-Type: text/html" + CRLF + CRLF + body
-    val payload = http.getBytes(StandardCharsets.UTF_8)
+  def recordRaw(
+      recordId: String,
+      targetUri: String,
+      warcType: String,
+      contentType: String,
+      body: String
+  ): Array[Byte] = {
+    val payload = body.getBytes(StandardCharsets.UTF_8)
     val head = "WARC/1.0" + CRLF +
-      "WARC-Type: response" + CRLF +
+      s"WARC-Type: $warcType" + CRLF +
       s"WARC-Record-ID: <urn:uuid:$recordId>" + CRLF +
       "WARC-Date: 2024-01-01T00:00:00Z" + CRLF +
       s"WARC-Target-URI: $targetUri" + CRLF +
-      "Content-Type: application/http; msgtype=response" + CRLF +
+      s"Content-Type: $contentType" + CRLF +
       s"Content-Length: ${payload.length}" + CRLF + CRLF
     val hb = head.getBytes(StandardCharsets.UTF_8)
     val out = new Array[Byte](hb.length + payload.length + 4)
@@ -58,6 +66,18 @@ object WarcOps {
     out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
     out
   }
+
+  /** Render one WARC/1.0 `response` record. `body` is the HTTP entity
+    * (ASCII or UTF-8); the HTTP status line + headers are synthesized.
+    */
+  def record(recordId: String, targetUri: String, body: String): Array[Byte] =
+    recordRaw(
+      recordId,
+      targetUri,
+      "response",
+      "application/http; msgtype=response",
+      "HTTP/1.1 200 OK" + CRLF + "Content-Type: text/html" + CRLF + CRLF + body
+    )
 
   /** Distributed WARC egress of a (doc_id, uri, html) frame: `nFiles`
     * segments, one per task.
@@ -72,29 +92,78 @@ object WarcOps {
     * segment under the final name. The driver's Hadoop configuration
     * rides to executors via [[org.apache.spark.SerializableWritable]].
     */
-  def writeSpark(pages: DataFrame, outDir: String, nFiles: Int = 4): Unit = {
-    val spark = pages.sparkSession
+  def writeSpark(pages: DataFrame, outDir: String, nFiles: Int = 4): Unit =
+    writeRows(
+      pages.select(col("doc_id"), col("uri"), col("html")),
+      outDir,
+      nFiles,
+      ".warc",
+      (id, uri, body) => record(f"$id%016x-0000-0000-0000-000000000000", uri, body)
+    )
+
+  /** WET egress — the Common Crawl extracted-text derivative: one
+    * `conversion` record per page, payload = the page's clean text
+    * (what [[graft.llm.Curation.htmlExtractTextPages]] emits). Input
+    * frame: (doc_id, uri, text).
+    */
+  def writeWetSpark(texts: DataFrame, outDir: String, nFiles: Int = 4): Unit =
+    writeRows(
+      texts.select(col("doc_id"), col("uri"), col("text")),
+      outDir,
+      nFiles,
+      ".wet",
+      (id, uri, body) =>
+        recordRaw(f"$id%016x-0000-0000-0000-000000000001", uri, "conversion", "text/plain", body)
+    )
+
+  /** WAT egress — the Common Crawl metadata derivative: one `metadata`
+    * record per page, payload = a JSON summary of the page. Input
+    * frame: (doc_id, uri, json).
+    */
+  def writeWatSpark(meta: DataFrame, outDir: String, nFiles: Int = 4): Unit =
+    writeRows(
+      meta.select(col("doc_id"), col("uri"), col("json")),
+      outDir,
+      nFiles,
+      ".wat",
+      (id, uri, body) =>
+        recordRaw(
+          f"$id%016x-0000-0000-0000-000000000002",
+          uri,
+          "metadata",
+          "application/json",
+          body
+        )
+    )
+
+  /** The shared distributed egress: `nFiles` segments, one per task,
+    * through the Hadoop FileSystem with write-aside + rename. */
+  private def writeRows(
+      rows: DataFrame,
+      outDir: String,
+      nFiles: Int,
+      suffix: String,
+      render: (Long, String, String) => Array[Byte]
+  ): Unit = {
+    val spark = rows.sparkSession
     import spark.implicits._
     val hconf =
       new org.apache.spark.SerializableWritable(spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(outDir)
     root.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(root)
-    pages
-      .select(col("doc_id"), col("uri"), col("html"))
+    rows
       .as[(Long, String, String)]
-      .repartition(nFiles, col("doc_id"))
+      .repartition(nFiles, col(rows.columns.head))
       .foreachPartition { (it: Iterator[(Long, String, String)]) =>
         if (it.hasNext) { // empty partitions write no file
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val dir = new org.apache.hadoop.fs.Path(outDir)
           val fs = dir.getFileSystem(hconf.value)
-          val tmp = new org.apache.hadoop.fs.Path(dir, f".part-$pid%05d.warc.tmp")
-          val dst = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.warc")
+          val tmp = new org.apache.hadoop.fs.Path(dir, f".part-$pid%05d$suffix.tmp")
+          val dst = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d$suffix")
           val out = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
           try {
-            it.foreach { case (id, uri, html) =>
-              out.write(record(f"$id%016x-0000-0000-0000-000000000000", uri, html))
-            }
+            it.foreach { case (id, uri, body) => out.write(render(id, uri, body)) }
           } finally out.close()
           if (fs.exists(dst)) fs.delete(dst, false)
           require(fs.rename(tmp, dst), s"WARC egress: rename $tmp -> $dst failed")
@@ -148,7 +217,7 @@ object WarcOps {
         }
         val magic = line()
         require(magic == "WARC/1.0", s"$file: bad WARC magic '$magic' at offset $off")
-        var recordId = ""; var uri = ""; var len = -1
+        var recordId = ""; var uri = ""; var len = -1; var wtype = ""
         var h = line()
         while (h.nonEmpty) {
           val i = h.indexOf(':')
@@ -157,12 +226,14 @@ object WarcOps {
           k match {
             case "WARC-Record-ID"  => recordId = v
             case "WARC-Target-URI" => uri = v
+            case "WARC-Type"       => wtype = v
             case "Content-Length"  => len = v.toInt
             case _                 => ()
           }
           h = line()
         }
         require(len >= 0, s"$file: record at offset $off missing Content-Length")
+        require(wtype.nonEmpty, s"$file: record at offset $off missing WARC-Type")
         val buf = new Array[Byte](len)
         if (len > 0) {
           require(la != -1, s"$file: truncated payload at offset $off")
@@ -178,18 +249,24 @@ object WarcOps {
         }
         val payload = new String(buf, StandardCharsets.UTF_8)
         skipCrlf()
-        // HTTP payload: status line, headers, blank line, body
-        val hdrEnd = payload.indexOf(CRLF + CRLF)
-        require(hdrEnd > 0, s"$file: payload at offset $off has no HTTP header terminator")
-        val statusLine = payload.substring(0, payload.indexOf(CRLF))
-        val sp = statusLine.indexOf(' ')
-        require(
-          sp > 0 && sp + 1 < statusLine.length,
-          s"$file: malformed HTTP status line '$statusLine' at offset $off"
-        )
-        val status = statusLine.substring(sp + 1).split(" ")(0)
-        val body = payload.substring(hdrEnd + 4)
-        (off, recordId, uri, status, body)
+        if (wtype == "response") {
+          // HTTP payload: status line, headers, blank line, body
+          val hdrEnd = payload.indexOf(CRLF + CRLF)
+          require(hdrEnd > 0, s"$file: payload at offset $off has no HTTP header terminator")
+          val statusLine = payload.substring(0, payload.indexOf(CRLF))
+          val sp = statusLine.indexOf(' ')
+          require(
+            sp > 0 && sp + 1 < statusLine.length,
+            s"$file: malformed HTTP status line '$statusLine' at offset $off"
+          )
+          val status = statusLine.substring(sp + 1).split(" ")(0)
+          val body = payload.substring(hdrEnd + 4)
+          (off, recordId, uri, status, body)
+        } else {
+          // conversion (WET) / metadata (WAT) / request / warcinfo:
+          // the payload IS the body — no HTTP envelope, no status
+          (off, recordId, uri, "", payload)
+        }
       }
     }
 
@@ -332,14 +409,97 @@ object WarcOps {
     )
   }
 
+  private def uriExpr =
+    concat(
+      lit("http://site"),
+      (col("doc_id") % 20).cast("string"),
+      lit(".example.com/doc/"),
+      col("doc_id").cast("string")
+    )
+
+  /** WET round trip: plant pages → extraction → WET segments → parse
+    * back; the oracle recomputes the extraction's clean text straight
+    * off the plant (shared CTE chain with text_html_extract), so a
+    * hash match proves WET bodies ARE the extraction output and the
+    * conversion-record file leg is byte-exact.
+    */
+  def wetRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val pages = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), expr(graft.llm.Curation.htmlPlantExpr).as("html"))
+    val wet = graft.llm.Curation
+      .htmlExtractTextPages(pages)
+      .select(col("doc_id"), uriExpr.as("uri"), col("text"))
+    val out = Scratch.dir("wet_roundtrip")
+    writeWetSpark(wet, out)
+    readSpark(s, out + "/part-*.wet")
+      .select(
+        regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+        length(col("body")).cast("long").as("n_wet_chars"),
+        md5(col("body")).as("wet_md5")
+      )
+  }
+
+  val wetRoundtripSql: String =
+    s"WITH ${graft.llm.Curation.htmlExtractCtes} " +
+      "SELECT doc_id, CAST(length(cleaned) AS BIGINT) AS n_wet_chars, md5(cleaned) AS wet_md5 " +
+      "FROM outp"
+
+  /** WAT round trip: the per-page metadata JSON (title + block counts
+    * + clean-char count, built with one deterministic concat) written
+    * as `metadata` records and parsed back VERBATIM — the gate output
+    * carries the JSON body itself, so the oracle's recomputed string
+    * must match character-for-character.
+    */
+  def watRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val pages = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), expr(graft.llm.Curation.htmlPlantExpr).as("html"))
+    val meta = graft.llm.Curation
+      .htmlExtractPages(pages)
+      .select(
+        col("doc_id"),
+        uriExpr.as("uri"),
+        concat(
+          lit("{\"title\":\""),
+          col("title"),
+          lit("\",\"n_blocks\":"),
+          col("n_blocks").cast("string"),
+          lit(",\"n_kept\":"),
+          col("n_kept").cast("string"),
+          lit(",\"n_clean_chars\":"),
+          col("n_clean_chars").cast("string"),
+          lit("}")
+        ).as("json")
+      )
+    val out = Scratch.dir("wat_roundtrip")
+    writeWatSpark(meta, out)
+    readSpark(s, out + "/part-*.wat")
+      .select(
+        regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+        col("body").as("wat_json")
+      )
+  }
+
+  val watRoundtripSql: String =
+    s"WITH ${graft.llm.Curation.htmlExtractCtes} " +
+      "SELECT doc_id, concat('{\"title\":\"', title, '\",\"n_blocks\":', " +
+      "CAST(n_blocks AS VARCHAR), ',\"n_kept\":', CAST(n_kept AS VARCHAR), " +
+      "',\"n_clean_chars\":', CAST(CAST(length(cleaned) AS BIGINT) AS VARCHAR), '}') AS wat_json " +
+      "FROM outp"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "warc_roundtrip" -> { (s, dir) => roundtripAgg(s, dir) },
-    "warc_html_extract" -> { (s, dir) => warcHtmlExtract(s, dir) }
+    "warc_html_extract" -> { (s, dir) => warcHtmlExtract(s, dir) },
+    "wet_roundtrip" -> { (s, dir) => wetRoundtrip(s, dir) },
+    "wat_roundtrip" -> { (s, dir) => watRoundtrip(s, dir) }
   )
 
   def oracleSql: Map[String, String] = Map(
     "warc_roundtrip" -> roundtripAggSql,
     // the extraction oracle verbatim — the WARC leg must be invisible
-    "warc_html_extract" -> graft.llm.Curation.htmlExtractSql
+    "warc_html_extract" -> graft.llm.Curation.htmlExtractSql,
+    "wet_roundtrip" -> wetRoundtripSql,
+    "wat_roundtrip" -> watRoundtripSql
   )
 }

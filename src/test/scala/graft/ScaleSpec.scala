@@ -206,6 +206,105 @@ class ScaleSpec extends AnyFunSuite {
     assert(rMulti >= rTrained, s"nProbeBuild=2 recall $rMulti < single-probe $rTrained")
   }
 
+  // The r14 measured boundary: flat in-cell k-NN graphs are NOT
+  // navigable at fat cells (recall 0.52-0.64 at ~1562 members in the
+  // 100k decade — BASELINE.md r14). The r15 in-cell hierarchy (md5
+  // pivot draw + up/down/pivot long-range links) must lift recall in
+  // exactly that regime, at a scored-candidate budget still under a
+  // recall-equivalent IVF probe. Spec scale: the decade's `navigable`
+  // corpus construction (real margins — sin centers + 0.6
+  // hash-decorrelated noise) shrunk to 4 trained cells x ~600 members.
+  test("fat-cell regime: in-cell hierarchy lifts walk recall at a budget under IVF's") {
+    val nLat = 4
+    val emb = spark
+      .range(2400L)
+      .select(
+        col("id").as("vec_id"),
+        transform(
+          sequence(lit(1), lit(64)),
+          j =>
+            sin((col("id") % nLat).cast("double") * 7.3 + j.cast("double") * 1.7) +
+              lit(0.6) * sin(
+                ((col("id") * 2246822519L + j.cast("long") * 3266489917L) % 104729L)
+                  .cast("double") * 0.017
+              )
+        ).as("embedding")
+      )
+      .withColumn("label", lit(0))
+      .localCheckpoint()
+    val cents = graft.llm.Similarity.kmeansParallel(emb, k = nLat)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(graft.llm.Similarity.topk(emb))
+    // SAME walk config both sides (k=8, beam=8, rounds=8) — only the
+    // hierarchy edges differ; kDown=8 is the fat-cell scale config
+    val flat = pairs(graft.llm.Similarity.graphServeTrained(emb, cents, 8, 8, 8))
+    val hier =
+      pairs(graft.llm.Similarity.graphServeTrained(emb, cents, 8, 8, 8, hier = true, kDown = 8))
+    val rFlat = (truth & flat).size.toDouble / truth.size
+    val rHier = (truth & hier).size.toDouble / truth.size
+    val hierBudget = graft.llm.Similarity
+      .trainedWalkVisited(emb, cents, 8, 8, 8, 10, 1, hier = true, kDown = 8)
+      .count()
+    val ivfBudget = graft.llm.Similarity.ivfCandidates(emb, nLat, 1, Some(cents)).count()
+    info(s"fat-cell recall@5: flat $rFlat, hier $rHier (budgets: hier $hierBudget, ivf nProbe=1 $ivfBudget)")
+    assert(rHier >= 0.9, s"hierarchy walk recall $rHier < 0.9 in the fat-cell regime (flat: $rFlat)")
+    assert(rHier >= rFlat, s"hierarchy must not lose to the flat walk ($rHier < $rFlat)")
+    assert(
+      hierBudget < ivfBudget,
+      s"hier budget $hierBudget not under IVF nProbe=1's $ivfBudget — the serving argument broken"
+    )
+  }
+
+  // D4 (dedup + diversify) sampling: an over-dense cluster — same
+  // latent direction stuffed with near-duplicates — must end up with a
+  // SMALLER share of the drawn tokens than its raw share, through both
+  // legs: SemDeDup drops its near-dups before weighing, and the n^α
+  // flattening shrinks what remains. A naive proportional draw (or
+  // sample_mix over sources, blind to embedding density) preserves the
+  // raw share — exactly what D4 exists to correct.
+  test("sample_d4: over-dense clusters are down-weighted vs their raw token share") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    // centroid ids 0/1 anchor two cells (nList=2 deterministic config);
+    // cluster 0 = 160 NEAR-DUPLICATES of one point (cos > 0.99),
+    // cluster 1 = 40 well-spread distinct points (cos ~ 0.86)
+    val c0 = normalize(Array.fill(64)(rnd.nextGaussian()))
+    val c1 = normalize(Array.fill(64)(rnd.nextGaussian()))
+    val rows = (0L until 200L).map { i =>
+      val (c, eps) = if (i % 5 != 4) (c0, 0.02) else (c1, 0.6)
+      val v = normalize(c.zip(Array.fill(64)(rnd.nextGaussian())).map { case (a, g) => a + eps * g })
+      (i, v.map(_.toFloat).toSeq, i % 5)
+    }
+    // vec_id 0 lands in cluster 0, vec_id 4 in cluster 1 (i%5 layout),
+    // so the first-2-centroids convention gives one anchor per cluster
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val docs = rows.map { case (i, _, _) => (i, "w " * 49 + "w", "src0") }.toDF("doc_id", "text", "source")
+    val out = graft.llm.Similarity
+      .sampleD4(emb, docs, nList = 2, tau = 0.95, alpha = 0.7, budget = 1000000L)
+      .collect()
+    val dense = out.filter(_.getLong(0) % 5 != 4)
+    val sparse = out.filter(_.getLong(0) % 5 == 4)
+    val denseKept = dense.count(_.getBoolean(2))
+    assert(denseKept < dense.length / 4, s"semdedup should gut the near-dup cluster, kept $denseKept/${dense.length}")
+    assert(sparse.count(_.getBoolean(2)) == sparse.length, "the spread cluster must survive intact")
+    def drawn(rs: Array[org.apache.spark.sql.Row]) = rs.map(r => r.getLong(4) * r.getLong(3)).sum
+    val dDense = drawn(dense).toDouble
+    val total = dDense + drawn(sparse)
+    val rawShare = dense.length.toDouble / out.length // 0.8
+    val drawnShare = dDense / total
+    info(s"dense cluster: raw share $rawShare, drawn share $drawnShare (kept $denseKept/${dense.length})")
+    assert(
+      drawnShare < rawShare / 2,
+      s"over-dense cluster share $drawnShare not down-weighted vs raw $rawShare"
+    )
+    // budget concentration: the draw lands near the requested 1 Mtok
+    assert(math.abs(total - 1000000.0) < 50000.0, s"total drawn tokens $total far from the 1 Mtok budget")
+  }
+
   // The trained END-TO-END composition: kmeans|| cells + Lloyd-trained
   // residual codebooks, recall vs the exact cosine baseline — the
   // production story the gate's deterministic first-16 centroids can't

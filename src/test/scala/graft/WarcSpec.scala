@@ -157,6 +157,52 @@ class WarcSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("t.warc"), s"got: ${e2.getMessage}")
   }
 
+  test("WET/WAT derivative records roundtrip; WET bodies equal the direct extraction text") {
+    val docs = Seq((35L, t), (3L, t), (11L, t)).toDF("doc_id", "text")
+    val pages = docs.select(col("doc_id"), expr(graft.llm.Curation.htmlPlantExpr).as("html"))
+    val direct = graft.llm.Curation
+      .htmlExtractTextPages(pages)
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(2))
+      .toMap
+    val wet = graft.llm.Curation
+      .htmlExtractTextPages(pages)
+      .select(
+        col("doc_id"),
+        concat(lit("http://h/doc/"), col("doc_id").cast("string")).as("uri"),
+        col("text")
+      )
+    val tmp = graft.sources.Scratch.dir("wet_spec")
+    WarcOps.writeWetSpark(wet, tmp, nFiles = 2)
+    val back = WarcOps
+      .readSpark(spark, tmp + "/part-*.wet")
+      .collect()
+      .map(r =>
+        r.getAs[String]("target_uri").split("/").last.toLong ->
+          (r.getAs[String]("http_status"), r.getAs[String]("body"))
+      )
+      .toMap
+    assert(back.keySet == direct.keySet)
+    for ((id, text) <- direct) {
+      assert(back(id)._1 == "", "conversion records carry no HTTP status")
+      assert(back(id)._2 == text, s"WET body drift for doc $id")
+    }
+    // WAT: metadata JSON roundtrips verbatim
+    val meta = docs.select(
+      col("doc_id"),
+      concat(lit("http://h/doc/"), col("doc_id").cast("string")).as("uri"),
+      concat(lit("{\"doc\":"), col("doc_id").cast("string"), lit("}")).as("json")
+    )
+    val tmp2 = graft.sources.Scratch.dir("wat_spec")
+    WarcOps.writeWatSpark(meta, tmp2, nFiles = 1)
+    val backWat = WarcOps
+      .readSpark(spark, tmp2 + "/part-*.wat")
+      .collect()
+      .map(r => r.getAs[String]("target_uri").split("/").last.toLong -> r.getAs[String]("body"))
+      .toMap
+    assert(backWat == Map(35L -> "{\"doc\":35}", 3L -> "{\"doc\":3}", 11L -> "{\"doc\":11}"))
+  }
+
   test("write/read route through the Hadoop FileSystem API (explicit file: scheme URI)") {
     val docs = Seq((35L, t), (3L, t)).toDF("doc_id", "text")
     val pages = docs.select(
