@@ -92,14 +92,34 @@ object WarcOps {
     * segment under the final name. The driver's Hadoop configuration
     * rides to executors via [[org.apache.spark.SerializableWritable]].
     */
-  def writeSpark(pages: DataFrame, outDir: String, nFiles: Int = 4): Unit =
+  def writeSpark(pages: DataFrame, outDir: String, nFiles: Int = 4, gzip: Boolean = false): Unit =
     writeRows(
       pages.select(col("doc_id"), col("uri"), col("html")),
       outDir,
       nFiles,
-      ".warc",
-      (id, uri, body) => record(f"$id%016x-0000-0000-0000-000000000000", uri, body)
+      if (gzip) ".warc.gz" else ".warc",
+      (id, uri, body) => {
+        val rec = record(f"$id%016x-0000-0000-0000-000000000000", uri, body)
+        if (gzip) gzipMember(rec) else rec
+      }
     )
+
+  /** One gzip MEMBER per record — the actual Common Crawl convention
+    * (every .warc.gz is a concatenation of independently-compressed
+    * members, so a byte-range fetch of one record decompresses without
+    * the rest of the segment). The reader needs no per-record framing:
+    * `GZIPInputStream` transparently reads concatenated members, so
+    * the same incremental [[parseStream]] runs over the decompressed
+    * stream.
+    */
+  private def gzipMember(rec: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(rec.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(rec)
+    gz.finish()
+    gz.close()
+    bos.toByteArray
+  }
 
   /** WET egress — the Common Crawl extracted-text derivative: one
     * `conversion` record per page, payload = the page's clean text
@@ -292,7 +312,16 @@ object WarcOps {
       .binaryFiles(glob)
       .flatMap { case (path, pds) =>
         val name = path.substring(path.lastIndexOf('/') + 1)
-        val in = pds.open()
+        // gzip sniffed by MAGIC, not extension (a glob may mix plain
+        // and .gz segments); GZIPInputStream reads the concatenated
+        // per-record members transparently, so offsets are within the
+        // DECOMPRESSED stream for gz segments
+        val raw = new java.io.BufferedInputStream(pds.open(), 1 << 16)
+        raw.mark(2)
+        val b0 = raw.read(); val b1 = raw.read()
+        raw.reset()
+        val in: java.io.InputStream =
+          if (b0 == 0x1f && b1 == 0x8b) new java.util.zip.GZIPInputStream(raw, 1 << 16) else raw
         val tc = org.apache.spark.TaskContext.get()
         if (tc != null) tc.addTaskCompletionListener[Unit](_ => in.close())
         parseStream(name, in).map { case (off, rid, uri, status, body) =>
@@ -347,7 +376,7 @@ object WarcOps {
     * recomputes straight off the parquet (jsonl_roundtrip shape; the
     * htmlPlantExpr is already a dual-dialect string).
     */
-  def roundtripAgg(s: SparkSession, dir: String): DataFrame = {
+  def roundtripAgg(s: SparkSession, dir: String, gzip: Boolean = false): DataFrame = {
     val pages = Tables
       .documents(s, dir)
       .select(
@@ -360,9 +389,9 @@ object WarcOps {
         ).as("uri"),
         expr(graft.llm.Curation.htmlPlantExpr).as("html")
       )
-    val out = Scratch.dir("warc_roundtrip")
-    writeSpark(pages, out, nFiles = 4)
-    readSpark(s, out + "/part-*.warc")
+    val out = Scratch.dir(if (gzip) "warc_gz_roundtrip" else "warc_roundtrip")
+    writeSpark(pages, out, nFiles = 4, gzip = gzip)
+    readSpark(s, out + (if (gzip) "/part-*.warc.gz" else "/part-*.warc"))
       .select(
         regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
         col("target_uri"),
@@ -407,6 +436,31 @@ object WarcOps {
           col("body").as("html")
         )
     )
+  }
+
+  /** STREAMING WET egress — the emission twin of [[ingestStream]]: a
+    * crawl pipeline streams WARC segments in and WET derivatives out.
+    * Each micro-batch's (doc_id, uri, text) rows land as WET segments
+    * under `outDir/batch-<id>/` through the SAME distributed
+    * Hadoop-FS writer (foreachBatch — per-batch directories keep
+    * segment names collision-free across batches; a restart re-runs
+    * an uncommitted batch into the same directory, and the write-aside
+    * + rename discipline makes that overwrite clean). Read back with
+    * readSpark over the glob `batch-&#47;part-&#42;.wet`.
+    */
+  def emitWetStream(
+      texts: DataFrame,
+      outDir: String,
+      checkpoint: String,
+      nFiles: Int = 2
+  ): org.apache.spark.sql.streaming.StreamingQuery = {
+    val fn: (DataFrame, Long) => Unit = (batch, batchId) =>
+      if (!batch.isEmpty) writeWetSpark(batch, f"$outDir/batch-$batchId%05d", nFiles)
+    texts.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch(fn)
+      .start()
   }
 
   private def uriExpr =
@@ -490,6 +544,7 @@ object WarcOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "warc_roundtrip" -> { (s, dir) => roundtripAgg(s, dir) },
+    "warc_gz_roundtrip" -> { (s, dir) => roundtripAgg(s, dir, gzip = true) },
     "warc_html_extract" -> { (s, dir) => warcHtmlExtract(s, dir) },
     "wet_roundtrip" -> { (s, dir) => wetRoundtrip(s, dir) },
     "wat_roundtrip" -> { (s, dir) => watRoundtrip(s, dir) }
@@ -497,6 +552,8 @@ object WarcOps {
 
   def oracleSql: Map[String, String] = Map(
     "warc_roundtrip" -> roundtripAggSql,
+    // same oracle — the compression leg must be invisible
+    "warc_gz_roundtrip" -> roundtripAggSql,
     // the extraction oracle verbatim — the WARC leg must be invisible
     "warc_html_extract" -> graft.llm.Curation.htmlExtractSql,
     "wet_roundtrip" -> wetRoundtripSql,

@@ -24,6 +24,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_bm25", "text_unigram_lp", "sample_mix", "sample_mix_bpe", "sample_dsir", "curate_llm", "layout_zorder", // 1-row corpus-stats broadcast sides
     "sample_budget", // same shape as sample_mix: per-source agg joined to a 1-ROW totals aggregate on a constant key Catalyst folds away — the broadcast side is exactly one row at any corpus size
     "sample_draw", // embeds sample_budget's plan (same 1-row totals BNLJ); the draw's own join is a keyed broadcast equi-join on source
+    "sample_d4", // same sample_budget shape: nList-row per-cell aggregate joined to a 1-ROW totals aggregate on a constant key; the draw join itself is a keyed broadcast on cid
     "sketch_hll_set", // source-pair frame: non-equi (src_a < src_b) self-join of the SOURCES-sized estimate table (≤ tens of rows at any corpus — the corpus only feeds the one register-grid scan)
     "text_bigram_kn", // 1-row distinct-bigram-type total on a constant key (the bm25 shape)
 

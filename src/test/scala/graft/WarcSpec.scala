@@ -115,6 +115,55 @@ class WarcSpec extends AnyFunSuite {
     assert(got == direct, "stream-parsed extraction must equal the batch path")
   }
 
+  test("streaming WET emission: WARC in -> extraction -> WET out equals the batch path") {
+    val docsA = Seq((35L, t), (3L, t)).toDF("doc_id", "text")
+    val docsB = Seq((11L, t)).toDF("doc_id", "text")
+    def pagesOf(d: org.apache.spark.sql.DataFrame) = d.select(
+      col("doc_id"),
+      concat(lit("http://h/doc/"), col("doc_id").cast("string")).as("uri"),
+      expr(graft.llm.Curation.htmlPlantExpr).as("html")
+    )
+    val in = graft.sources.Scratch.dir("wet_stream_in")
+    val out = graft.sources.Scratch.dir("wet_stream_out")
+    val ckpt = graft.sources.Scratch.dir("wet_stream_ckpt")
+    WarcOps.writeSpark(pagesOf(docsA), in, nFiles = 2)
+    val texts = graft.llm.Curation
+      .htmlExtractTextPages(
+        WarcOps
+          .ingestStream(spark, in)
+          .select(
+            regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+            col("body").as("html")
+          )
+      )
+      .select(
+        col("doc_id"),
+        concat(lit("http://h/doc/"), col("doc_id").cast("string")).as("uri"),
+        col("text")
+      )
+    val q = WarcOps.emitWetStream(texts, out, ckpt)
+    q.processAllAvailable()
+    // a LATE segment lands — the next batch emits a NEW wet directory
+    WarcOps.writeSpark(pagesOf(docsB), in + "/more", nFiles = 1)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(in + "/more/part-00000.warc"),
+      java.nio.file.Paths.get(in + "/part-late.warc")
+    )
+    q.processAllAvailable()
+    q.stop()
+    val got = WarcOps
+      .readSpark(spark, out + "/batch-*/part-*.wet")
+      .collect()
+      .map(r => r.getAs[String]("target_uri").split("/").last.toLong -> r.getAs[String]("body"))
+      .toMap
+    val direct = graft.llm.Curation
+      .htmlExtractText(Seq((35L, t), (3L, t), (11L, t)).toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(2))
+      .toMap
+    assert(got == direct, "stream-emitted WET must equal the batch extraction text")
+  }
+
   test("malformed records fail loudly with file and offset") {
     val good = WarcOps.record("0" * 32, "http://h/x", "<p>ok</p>")
     // bad magic: strict parse must name the file, not resync silently
@@ -155,6 +204,58 @@ class WarcSpec extends AnyFunSuite {
       p2 ++ "\r\n\r\n".getBytes
     val e2 = intercept[IllegalArgumentException](WarcOps.parseRecords("t.warc", rec2).toList)
     assert(e2.getMessage.contains("t.warc"), s"got: ${e2.getMessage}")
+  }
+
+  test("gzip WARC: per-record gzip members roundtrip; plain and gz segments mix in one glob") {
+    val docsA = Seq((35L, t), (3L, t)).toDF("doc_id", "text")
+    val docsB = Seq((11L, t)).toDF("doc_id", "text")
+    def pagesOf(d: org.apache.spark.sql.DataFrame) = d.select(
+      col("doc_id"),
+      concat(lit("http://h/doc/"), col("doc_id").cast("string")).as("uri"),
+      expr(graft.llm.Curation.htmlPlantExpr).as("html")
+    )
+    val tmp = graft.sources.Scratch.dir("warc_gz_spec")
+    WarcOps.writeSpark(pagesOf(docsA), tmp, nFiles = 1, gzip = true)
+    WarcOps.writeSpark(pagesOf(docsB), tmp, nFiles = 1) // plain, same dir
+    // the gz segment really is gzip (magic bytes) and smaller than raw
+    val gzFile = new java.io.File(tmp).listFiles().find(_.getName.endsWith(".warc.gz")).get
+    val head = java.nio.file.Files.readAllBytes(gzFile.toPath).take(2)
+    assert((head(0) & 0xff) == 0x1f && (head(1) & 0xff) == 0x8b, "missing gzip magic")
+    // one glob reads BOTH compressed and plain segments (magic-sniffed)
+    val back = WarcOps
+      .readSpark(spark, tmp + "/part-*.warc*")
+      .collect()
+      .map(r => r.getAs[String]("target_uri").split("/").last.toLong -> r.getAs[String]("body"))
+      .toMap
+    val want = (pagesOf(docsA).collect() ++ pagesOf(docsB).collect())
+      .map(r => r.getLong(0) -> r.getString(2))
+      .toMap
+    assert(back == want, "mixed plain+gz glob must roundtrip byte-exact")
+    // writer convention: one gzip member PER RECORD (the CC byte-range
+    // fetch contract) — the 2-record segment carries >= 2 member
+    // headers (1f 8b 08; deflate bytes can only ever ADD matches)
+    val bytes = java.nio.file.Files.readAllBytes(gzFile.toPath)
+    val members = (0 until bytes.length - 2).count(i =>
+      (bytes(i) & 0xff) == 0x1f && (bytes(i + 1) & 0xff) == 0x8b && (bytes(i + 2) & 0xff) == 0x08
+    )
+    assert(members >= 2, s"expected one gzip member per record, found $members header(s)")
+    // and the reader handles INDEPENDENTLY produced concatenated
+    // members (a file assembled from separate gzip writes)
+    def gz1(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(b); g.close()
+      bos.toByteArray
+    }
+    val r1 = WarcOps.record("0" * 32, "http://h/a", "<p>one</p>")
+    val r2 = WarcOps.record("1" * 32, "http://h/b", "<p>two</p>")
+    val tmp2 = graft.sources.Scratch.dir("warc_gz_concat_spec")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(tmp2 + "/part-00000.warc.gz"),
+      gz1(r1) ++ gz1(r2)
+    )
+    val cat = WarcOps.readSpark(spark, tmp2 + "/part-*.warc.gz").collect()
+    assert(cat.map(_.getAs[String]("body")).toSet == Set("<p>one</p>", "<p>two</p>"))
   }
 
   test("WET/WAT derivative records roundtrip; WET bodies equal the direct extraction text") {
