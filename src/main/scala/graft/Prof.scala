@@ -778,6 +778,34 @@ object Prof {
       t(s"web${webK}k_bpe_bytes", nPages)(
         llm.Bpe.tokensBpeBytes(webDocs).filter(col("decode_ok")).count()
       )
+      // r15 derivative-emission decades: WET (extraction text as
+      // conversion records) and gzipped WARC (one member per record)
+      val wetDir = sources.Scratch.dir("prof_wet")
+      val texts = llm.Curation
+        .htmlExtractTextPages(pages)
+        .select(
+          col("doc_id"),
+          concat(lit("http://h/doc/"), col("doc_id").cast("string")).as("uri"),
+          col("text")
+        )
+        .persist()
+      texts.count()
+      t(s"web${webK}k_wet_write", nPages) {
+        sources.WarcOps.writeWetSpark(texts, wetDir, nFiles = 32)
+        nPages
+      }
+      t(s"web${webK}k_wet_read", nPages)(
+        sources.WarcOps.readSpark(spark, wetDir + "/part-*.wet").count()
+      )
+      texts.unpersist()
+      val gzDir = sources.Scratch.dir("prof_warc_gz")
+      t(s"web${webK}k_warc_gz_write", nPages) {
+        sources.WarcOps.writeSpark(pages, gzDir, nFiles = 32, gzip = true)
+        nPages
+      }
+      t(s"web${webK}k_warc_gz_read", nPages)(
+        sources.WarcOps.readSpark(spark, gzDir + "/part-*.warc.gz").count()
+      )
       pages.unpersist()
       ()
     }

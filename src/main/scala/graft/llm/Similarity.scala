@@ -1270,6 +1270,109 @@ object Similarity {
     s"WITH ${semDedupCtes(nList, tau)} " +
       "SELECT vid AS vec_id, cid, kept FROM keep"
 
+  /** SQ8 scalar-quantized serving — the OTHER standard compressed tier
+    * next to PQ (faiss's ScalarQuantizer): each vector stores 64 int8
+    * codes + one max-abs scale (8× under raw doubles, 4× under
+    * float32; PQ's 64× sits below it in the accuracy/bytes lattice).
+    * q_i = round-half-up(v_i/m·127) with m = max|v_i|; the candidate
+    * score is the EXACT BIGINT code dot times the two scales —
+    * engine-independent integers under the shared floor(x+0.5)
+    * convention, so the oracle replays the whole shortlist. Serve =
+    * approx-rank (top `shortlist` per query, rounded-6dp approx cos +
+    * vid tie-break) → exact re-rank of the shortlist (the PQ refine
+    * shape). Gate config scores query×corpus directly (the sim_topk
+    * brute baseline's shape — broadcast of the 10-row query table, the
+    * wide arrays never enter a shuffle or a window: ranking runs on
+    * the NARROW (qid, vid, approx) frame); at scale the candidate
+    * stream comes IVF-scoped exactly like sim_pq_topk.
+    */
+  def sq8Topk(emb: DataFrame, shortlist: Int = 20, nQ: Int = nQueries): DataFrame = {
+    val vs = vecsN(emb)
+    val quant = vs.select(
+      col("vec_id"),
+      col("v"),
+      col("nrm"),
+      expr("greatest(array_max(transform(v, x -> abs(x))), 1.0e-30)").as("m")
+    )
+    val coded = quant
+      .select(
+        col("vec_id"),
+        col("v"),
+        col("nrm"),
+        col("m"),
+        expr("transform(v, x -> CAST(floor(x / m * 127.0e0 + 0.5e0) AS BIGINT))").as("q")
+      )
+      .localCheckpoint() // feeds the query table AND the corpus side
+    val qtab = coded
+      .filter(col("vec_id") < nQ)
+      .select(
+        col("vec_id").as("qid"),
+        col("q").as("qa"),
+        col("m").as("ma"),
+        col("nrm").as("na")
+      )
+    val approx = coded
+      .select(col("vec_id").as("vid"), col("q").as("qb"), col("m").as("mb"), col("nrm").as("nb"))
+      .join(broadcast(qtab))
+      .filter(col("vid") =!= col("qid"))
+      .select(
+        col("qid"),
+        col("vid"),
+        round(
+          expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
+            .cast("double") * col("ma") * col("mb") / lit(127.0 * 127.0) / (col("na") * col("nb")),
+          6
+        ).as("approx")
+      )
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("approx").desc, col("vid").asc)
+    val short = approx
+      .withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= shortlist)
+      .select(col("qid"), col("vid"), col("approx"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vid").asc)
+    short
+      .join(coded.select(col("vec_id").as("vid"), col("v").as("vb"), col("nrm").as("nb")), Seq("vid"))
+      .join(broadcast(vs.filter(col("vec_id") < nQ).select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))), Seq("qid"))
+      .select(
+        col("qid"),
+        col("vid"),
+        col("approx").as("cos_sq8"),
+        round(graft.functions.exprs.dot_d(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cos")
+      )
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("vid"), col("cos"), col("cos_sq8"))
+  }
+
+  def sq8TopkSql(shortlist: Int = 20): String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, 64), i -> list_extract($a, i) * list_extract($b, i)))"
+    val dotq = dot("qv.qa", "c.q")
+    val cosExact = s"${dot("q.v", "b.v")} / (sqrt(${dot("q.v", "q.v")}) * sqrt(${dot("b.v", "b.v")}))"
+    "WITH vs AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      s"nr AS (SELECT vec_id, v, sqrt(${dot("v", "v")}) AS nrm FROM vs), " +
+      "qt AS (SELECT vec_id, v, nrm, " +
+      "greatest(list_max(list_transform(v, x -> abs(x))), 1.0e-30) AS m FROM nr), " +
+      "coded AS MATERIALIZED (SELECT vec_id, v, nrm, m, " +
+      "list_transform(v, x -> CAST(floor(x / m * 127.0e0 + 0.5e0) AS BIGINT)) AS q FROM qt), " +
+      s"qv AS (SELECT vec_id AS qid, q AS qa, m AS ma, nrm AS na FROM coded WHERE vec_id < $nQueries), " +
+      "ap AS (SELECT qv.qid, c.vec_id AS vid, " +
+      s"round(CAST($dotq AS DOUBLE) * qv.ma * c.m / (127.0e0 * 127.0e0) / (qv.na * c.nrm), 6) AS approx " +
+      "FROM coded c CROSS JOIN qv WHERE c.vec_id <> qv.qid), " +
+      s"sh AS MATERIALIZED (SELECT qid, vid, approx FROM (SELECT qid, vid, approx, " +
+      s"row_number() OVER (PARTITION BY qid ORDER BY approx DESC, vid ASC) AS rn FROM ap) WHERE rn <= $shortlist), " +
+      "ex AS (SELECT s.qid, s.vid, s.approx AS cos_sq8, " +
+      s"round($cosExact, 6) AS cos FROM sh s " +
+      "JOIN vs b ON b.vec_id = s.vid JOIN vs q ON q.vec_id = s.qid) " +
+      "SELECT qid, vid, cos, cos_sq8 FROM (SELECT qid, vid, cos, cos_sq8, " +
+      s"row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rank FROM ex) WHERE rank <= $topK"
+  }
+
   // ---- Product quantization (Jégou et al., TPAMI 2011): compress the
   // corpus 32× (64 doubles → 8 byte-codes) and rank by asymmetric
   // distance to the reconstruction — the memory-scale path when 100 TB
@@ -2803,6 +2906,7 @@ object Similarity {
     "sim_graph_serve" -> { (s, dir) => graphServe(Tables.embeddings(s, dir)) },
     "sim_graph_hier" -> { (s, dir) => graphServeHier(Tables.embeddings(s, dir)) },
     "sample_d4" -> { (s, dir) => sampleD4(Tables.embeddings(s, dir), Tables.documents(s, dir)) },
+    "sim_sq8_topk" -> { (s, dir) => sq8Topk(Tables.embeddings(s, dir)) },
     "sim_communities" -> { (s, dir) => lpCommunities(Tables.embeddings(s, dir)) }
   )
 
@@ -2831,6 +2935,7 @@ object Similarity {
     "sim_graph_serve" -> graphServeSql(),
     "sim_graph_hier" -> graphServeHierSql(),
     "sample_d4" -> sampleD4Sql(),
+    "sim_sq8_topk" -> sq8TopkSql(),
     "sim_communities" -> lpCommunitiesSql()
   )
 }

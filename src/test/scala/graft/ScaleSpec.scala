@@ -256,6 +256,32 @@ class ScaleSpec extends AnyFunSuite {
     )
   }
 
+  // SQ8 scalar quantization (8x under raw doubles): the int8-code
+  // shortlist must still contain the exact top-5 — the compressed
+  // tier's accuracy claim, on the same planted corpus the IVF/PQ
+  // tests use.
+  test("SQ8 shortlist preserves the exact top-5 (recall >= 0.95)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val latent = Array.fill(16)(normalize(Array.fill(64)(rnd.nextGaussian())))
+    val rows = (0 until 810).map { i =>
+      val c = latent(i % 16)
+      val v = normalize(c.zip(Array.fill(64)(rnd.nextGaussian())).map { case (a, g) => a + 0.18 * g })
+      (i.toLong, v.map(_.toFloat).toSeq, (i % 16).toLong)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(graft.llm.Similarity.topk(emb))
+    val got = pairs(graft.llm.Similarity.sq8Topk(emb))
+    val recall = (truth & got).size.toDouble / truth.size
+    info(s"SQ8 recall@5 = $recall")
+    assert(recall >= 0.95, s"SQ8 recall@5 = $recall")
+  }
+
   // D4 (dedup + diversify) sampling: an over-dense cluster — same
   // latent direction stuffed with near-duplicates — must end up with a
   // SMALLER share of the drawn tokens than its raw share, through both
