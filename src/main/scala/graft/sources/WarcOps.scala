@@ -92,7 +92,13 @@ object WarcOps {
     * segment under the final name. The driver's Hadoop configuration
     * rides to executors via [[org.apache.spark.SerializableWritable]].
     */
-  def writeSpark(pages: DataFrame, outDir: String, nFiles: Int = 4, gzip: Boolean = false): Unit =
+  def writeSpark(
+      pages: DataFrame,
+      outDir: String,
+      nFiles: Int = 4,
+      gzip: Boolean = false,
+      warcinfo: Boolean = false
+  ): Unit =
     writeRows(
       pages.select(col("doc_id"), col("uri"), col("html")),
       outDir,
@@ -101,7 +107,22 @@ object WarcOps {
       (id, uri, body) => {
         val rec = record(f"$id%016x-0000-0000-0000-000000000000", uri, body)
         if (gzip) gzipMember(rec) else rec
-      }
+      },
+      // real CC segments open with a warcinfo header record describing
+      // the writer (its own gzip member in .gz segments); readers see
+      // it as warc_type='warcinfo' and filter on type
+      header =
+        if (!warcinfo) None
+        else {
+          val info = recordRaw(
+            "ffffffff-0000-0000-0000-000000000000",
+            "",
+            "warcinfo",
+            "application/warc-fields",
+            "software: graft\r\nformat: WARC File Format 1.0\r\n"
+          )
+          Some(if (gzip) gzipMember(info) else info)
+        }
     )
 
   /** One gzip MEMBER per record — the actual Common Crawl convention
@@ -163,7 +184,8 @@ object WarcOps {
       outDir: String,
       nFiles: Int,
       suffix: String,
-      render: (Long, String, String) => Array[Byte]
+      render: (Long, String, String) => Array[Byte],
+      header: Option[Array[Byte]] = None
   ): Unit = {
     val spark = rows.sparkSession
     import spark.implicits._
@@ -183,6 +205,7 @@ object WarcOps {
           val dst = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d$suffix")
           val out = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
           try {
+            header.foreach(out.write)
             it.foreach { case (id, uri, body) => out.write(render(id, uri, body)) }
           } finally out.close()
           if (fs.exists(dst)) fs.delete(dst, false)
@@ -205,8 +228,8 @@ object WarcOps {
   private[graft] def parseStream(
       file: String,
       in0: java.io.InputStream
-  ): Iterator[(Long, String, String, String, String)] =
-    new Iterator[(Long, String, String, String, String)] {
+  ): Iterator[(Long, String, String, String, String, String)] =
+    new Iterator[(Long, String, String, String, String, String)] {
       private val in = new java.io.BufferedInputStream(in0, 1 << 16)
       private var pos = 0L // offset of `la` within the segment
       private var la: Int = in.read() // one-byte lookahead; -1 = EOF
@@ -219,7 +242,7 @@ object WarcOps {
         }
       skipCrlf()
       def hasNext: Boolean = la != -1
-      def next(): (Long, String, String, String, String) = {
+      def next(): (Long, String, String, String, String, String) = {
         val off = pos
         def line(): String = {
           val start = pos
@@ -281,11 +304,11 @@ object WarcOps {
           )
           val status = statusLine.substring(sp + 1).split(" ")(0)
           val body = payload.substring(hdrEnd + 4)
-          (off, recordId, uri, status, body)
+          (off, recordId, uri, wtype, status, body)
         } else {
           // conversion (WET) / metadata (WAT) / request / warcinfo:
           // the payload IS the body — no HTTP envelope, no status
-          (off, recordId, uri, "", payload)
+          (off, recordId, uri, wtype, "", payload)
         }
       }
     }
@@ -297,7 +320,7 @@ object WarcOps {
   private[graft] def parseRecords(
       file: String,
       bytes: Array[Byte]
-  ): Iterator[(Long, String, String, String, String)] =
+  ): Iterator[(Long, String, String, String, String, String)] =
     parseStream(file, new java.io.ByteArrayInputStream(bytes))
 
   /** Distributed WARC read: one task per segment file (the EDF corpus
@@ -324,11 +347,11 @@ object WarcOps {
           if (b0 == 0x1f && b1 == 0x8b) new java.util.zip.GZIPInputStream(raw, 1 << 16) else raw
         val tc = org.apache.spark.TaskContext.get()
         if (tc != null) tc.addTaskCompletionListener[Unit](_ => in.close())
-        parseStream(name, in).map { case (off, rid, uri, status, body) =>
-          (name, off, rid, uri, status, body)
+        parseStream(name, in).map { case (off, rid, uri, wtype, status, body) =>
+          (name, off, rid, wtype, uri, status, body)
         }
       }
-      .toDF("warc_file", "rec_offset", "record_id", "target_uri", "http_status", "body")
+      .toDF("warc_file", "rec_offset", "record_id", "warc_type", "target_uri", "http_status", "body")
   }
 
   /** STREAMING WARC ingest — the crawl-side arrival pattern: segment
@@ -364,11 +387,11 @@ object WarcOps {
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
         val name = path.substring(path.lastIndexOf('/') + 1)
-        parseRecords(name, bytes).map { case (off, rid, uri, status, body) =>
-          (name, off, rid, uri, status, body)
+        parseRecords(name, bytes).map { case (off, rid, uri, wtype, status, body) =>
+          (name, off, rid, wtype, uri, status, body)
         }
       }
-      .toDF("warc_file", "rec_offset", "record_id", "target_uri", "http_status", "body")
+      .toDF("warc_file", "rec_offset", "record_id", "warc_type", "target_uri", "http_status", "body")
   }
 
   /** Gate: documents → planted HTML pages → WARC segments → parse back,

@@ -182,7 +182,7 @@ class WarcSpec extends AnyFunSuite {
     assert(p2.getMessage.contains("truncated payload") && p2.getMessage.contains("g.warc"))
     // and the good record parses clean on its own
     val ok = WarcOps.parseRecords("h.warc", good).toList
-    assert(ok.length == 1 && ok.head._5 == "<p>ok</p>")
+    assert(ok.length == 1 && ok.head._6 == "<p>ok</p>" && ok.head._4 == "response")
   }
 
   test("malformed HTTP status line fails with file and offset, not a raw index error") {
@@ -204,6 +204,26 @@ class WarcSpec extends AnyFunSuite {
       p2 ++ "\r\n\r\n".getBytes
     val e2 = intercept[IllegalArgumentException](WarcOps.parseRecords("t.warc", rec2).toList)
     assert(e2.getMessage.contains("t.warc"), s"got: ${e2.getMessage}")
+  }
+
+  test("warcinfo segment headers: emitted first, typed in the read-back, response rows unaffected") {
+    val docs = Seq((35L, t), (3L, t)).toDF("doc_id", "text")
+    val pages = docs.select(
+      col("doc_id"),
+      concat(lit("http://h/doc/"), col("doc_id").cast("string")).as("uri"),
+      expr(graft.llm.Curation.htmlPlantExpr).as("html")
+    )
+    val tmp = graft.sources.Scratch.dir("warcinfo_spec")
+    WarcOps.writeSpark(pages, tmp, nFiles = 2, warcinfo = true)
+    val back = WarcOps.readSpark(spark, tmp + "/part-*.warc")
+    val byType = back.groupBy("warc_type").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("warcinfo" -> 2L, "response" -> 2L), s"got $byType")
+    // warcinfo records sit at offset 0 of each segment
+    val infoOffs = back.filter(col("warc_type") === "warcinfo").select("rec_offset").collect().map(_.getLong(0))
+    assert(infoOffs.forall(_ == 0L), "warcinfo must open the segment")
+    // and the response payloads are untouched by the leading header
+    val bodies = back.filter(col("warc_type") === "response").select("body").as[String].collect().toSet
+    assert(bodies == pages.select("html").as[String].collect().toSet)
   }
 
   test("gzip WARC: per-record gzip members roundtrip; plain and gz segments mix in one glob") {
