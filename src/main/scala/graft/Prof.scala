@@ -548,9 +548,16 @@ object Prof {
         if (f.isFile) f.length()
         else Option(f.listFiles()).getOrElse(Array.empty).map(x => dirBytes(x.getPath)).sum
       }
+      // SQ8 sits between raw and PQ in the serving-bytes lattice
+      llm.Similarity
+        .sq8Encode(cellsA.select(col("vec_id"), col("v")))
+        .join(cellsA.select(col("vec_id"), col("cid")), Seq("vec_id"))
+        .write.partitionBy("cid").mode("overwrite").parquet(s"$base/sq8")
       val rawB = dirBytes(s"$base/raw"); val codeB = dirBytes(s"$base/codes")
+      val sq8B = dirBytes(s"$base/sq8")
       println(
-        f"PROF emb${embK}k_store_bytes raw=${rawB / 1024}%d KiB codes=${codeB / 1024}%d KiB ratio=${rawB.toDouble / codeB}%.1fx"
+        f"PROF emb${embK}k_store_bytes raw=${rawB / 1024}%d KiB sq8=${sq8B / 1024}%d KiB " +
+          f"codes=${codeB / 1024}%d KiB pq_ratio=${rawB.toDouble / codeB}%.1fx sq8_ratio=${rawB.toDouble / sq8B}%.1fx"
       )
       }
       clustered.unpersist()

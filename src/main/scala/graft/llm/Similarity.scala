@@ -1349,6 +1349,19 @@ object Similarity {
       .select(col("qid"), col("vid"), col("cos"), col("cos_sq8"))
   }
 
+  /** SQ8 codes as a STORE: (vec_id, m float, q tinyint[64]) — the
+    * serving-tier layout between raw (8 B/dim) and PQ (1 B/subspace):
+    * 1 B/dim + one scale. Input frame: (vec_id, v).
+    */
+  def sq8Encode(vecs: DataFrame): DataFrame =
+    vecs
+      .withColumn("m", expr("greatest(array_max(transform(v, x -> abs(x))), 1.0e-30)"))
+      .select(
+        col("vec_id"),
+        col("m").cast("float").as("m"),
+        expr("transform(v, x -> CAST(floor(x / m * 127.0e0 + 0.5e0) AS TINYINT))").as("q")
+      )
+
   def sq8TopkSql(shortlist: Int = 20): String = {
     def dot(a: String, b: String) =
       s"list_sum(list_transform(generate_series(1, 64), i -> list_extract($a, i) * list_extract($b, i)))"
