@@ -832,8 +832,14 @@ object Similarity {
       seeds: DataFrame,
       beam: Int,
       rounds: Int,
-      nQ: Int
+      nQ: Int,
+      score: DataFrame => DataFrame = null
   ): DataFrame = {
+    // default scorer: exact cosine; the SQ8 serving path swaps in the
+    // code-dot approximation (the walk only needs ORDER, the final
+    // re-rank stays exact either way)
+    val sc: DataFrame => DataFrame =
+      if (score != null) score else (idx: DataFrame) => graphScore(emb, idx, nQ)
     var visited = seeds.distinct().localCheckpoint()
     var expanded: DataFrame = null
     val bw = org.apache.spark.sql.expressions.Window
@@ -843,7 +849,7 @@ object Similarity {
       val cand =
         if (expanded == null) visited
         else visited.join(expanded, Seq("qid", "vid"), "left_anti")
-      val top = graphScore(emb, cand, nQ)
+      val top = sc(cand)
         .withColumn("rn", row_number().over(bw))
         .filter(col("rn") <= beam)
         .select(col("qid"), col("vid"))
@@ -1068,6 +1074,81 @@ object Similarity {
       .select(col("qid"), col("vid"), col("cos"))
   }
 
+  /** [[graphServeHier]] walking on SQ8 CODE scores — the full
+    * HNSW-over-quantized serving stack: the walk's per-round ranking
+    * reads the 8×-smaller [[sq8Encode]] tier (exact BIGINT code dot ×
+    * scales — the sim_sq8_topk scoring, so every round is still
+    * oracle-replayable), and only the FINAL re-rank of the visited set
+    * touches raw vectors. At scale this is the I/O shape that matters:
+    * the serving tier holds codes, the raw store is only hit for
+    * topK·nQ rows per query batch.
+    */
+  def graphServeHierSq8(
+      emb: DataFrame,
+      nList: Int = 16,
+      k: Int = 3,
+      kDown: Int = 2,
+      beam: Int = 4,
+      rounds: Int = 2,
+      nQ: Int = nQueries
+  ): DataFrame = {
+    val vs = vecsN(emb)
+    val cents = vs
+      .filter(col("vec_id") < nList)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val av = cellAssign(emb, cents)
+    val edges = knnEdgesFrom(av, k)
+      .select(col("vid_a"), col("vid_b"))
+      .unionByName(hierEdges(av, kDown))
+      .distinct()
+      .localCheckpoint()
+    val coded = vs
+      .withColumn("m", expr("greatest(array_max(transform(v, x -> abs(x))), 1.0e-30)"))
+      .select(
+        col("vec_id"),
+        col("nrm"),
+        col("m"),
+        expr("transform(v, x -> CAST(floor(x / m * 127.0e0 + 0.5e0) AS BIGINT))").as("q")
+      )
+      .localCheckpoint() // feeds the query side AND every round's score
+    val qside = coded
+      .filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("q").as("qa"), col("m").as("ma"), col("nrm").as("na"))
+    val scoreSq8: DataFrame => DataFrame = idx =>
+      idx
+        .join(
+          coded.select(col("vec_id").as("vid"), col("q").as("qb"), col("m").as("mb"), col("nrm").as("nb")),
+          Seq("vid")
+        )
+        .join(broadcast(qside), Seq("qid"))
+        .select(
+          col("qid"),
+          col("vid"),
+          round(
+            expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
+              .cast("double") * col("ma") * col("mb") / lit(127.0 * 127.0) / (col("na") * col("nb")),
+            6
+          ).as("cos")
+        )
+    val seedW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("d2").asc, col("cid").asc)
+    val seeds = centDists(emb, nList)
+      .filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("cid"), row_number().over(seedW).as("cr"))
+      .filter(col("cr") <= beam)
+      .select(col("qid"), col("cid").cast("long").as("vid"))
+    val visited = beamWalk(emb, edges, seeds, beam, rounds, nQ, scoreSq8)
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vid").asc)
+    graphScore(emb, visited, nQ)
+      .filter(col("vid") =!= col("qid"))
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("vid"), col("cos"))
+  }
+
   /** Chained-CTE replay of [[graphServeHier]]: the knn chain + the
     * hierarchy CTEs (md5-ordered pivot draw, up/down/pivot edges) +
     * the same per-round walk chain as [[graphServeSql]].
@@ -1078,6 +1159,23 @@ object Similarity {
       kDown: Int = 2,
       beam: Int = 4,
       rounds: Int = 2
+  ): String = graphServeHierSqlBuilder(nList, k, kDown, beam, rounds, sq8 = false)
+
+  def graphServeHierSq8Sql(
+      nList: Int = 16,
+      k: Int = 3,
+      kDown: Int = 2,
+      beam: Int = 4,
+      rounds: Int = 2
+  ): String = graphServeHierSqlBuilder(nList, k, kDown, beam, rounds, sq8 = true)
+
+  private def graphServeHierSqlBuilder(
+      nList: Int,
+      k: Int,
+      kDown: Int,
+      beam: Int,
+      rounds: Int,
+      sq8: Boolean
   ): String = {
     val d2of = (a: String, b: String) =>
       "list_sum(list_transform(generate_series(1, 64), i -> " +
@@ -1104,16 +1202,36 @@ object Similarity {
       "UNION ALL SELECT vid_a, vid_b FROM dn " +
       "UNION ALL SELECT vid_a, vid_b FROM pe)), "
     sb ++= s"qv AS MATERIALIZED (SELECT vec_id AS qid, v AS va FROM vs WHERE vec_id < $nQueries), "
+    if (sq8) {
+      val dvv = "list_sum(list_transform(generate_series(1, 64), i -> " +
+        "list_extract(v, i) * list_extract(v, i)))"
+      sb ++= s"qt8 AS (SELECT vec_id, v, sqrt($dvv) AS nrm, " +
+        "greatest(list_max(list_transform(v, x -> abs(x))), 1.0e-30) AS m FROM vs), "
+      sb ++= "coded AS MATERIALIZED (SELECT vec_id, nrm, m, " +
+        "list_transform(v, x -> CAST(floor(x / m * 127.0e0 + 0.5e0) AS BIGINT)) AS q FROM qt8), "
+      sb ++= s"qv8 AS MATERIALIZED (SELECT vec_id AS qid, q AS qa, m AS ma, nrm AS na " +
+        s"FROM coded WHERE vec_id < $nQueries), "
+    }
     sb ++= s"v0 AS MATERIALIZED (SELECT DISTINCT pid AS qid, CAST(cid AS BIGINT) AS vid " +
       s"FROM rankedc WHERE pid < $nQueries AND cr <= $beam), "
     sb ++= "e0 AS (SELECT qid, vid FROM v0 WHERE 1 = 0), "
+    val dotq = "list_sum(list_transform(generate_series(1, 64), i -> " +
+      "list_extract(qa, i) * list_extract(qb, i)))"
     for (rd <- 1 to rounds) {
       val prev = s"v${rd - 1}"
       val prevE = s"e${rd - 1}"
       sb ++= s"c$rd AS (SELECT qid, vid FROM $prev EXCEPT SELECT qid, vid FROM $prevE), "
-      sb ++= s"p$rd AS (SELECT t.qid, t.vid, q.va AS va, b.v AS vb FROM c$rd t " +
-        s"JOIN vs b ON b.vec_id = t.vid JOIN qv q ON q.qid = t.qid), "
-      sb ++= s"s$rd AS (SELECT qid, vid, round($cosSqlExpr, 6) AS cos FROM p$rd), "
+      if (sq8) {
+        sb ++= s"p$rd AS (SELECT t.qid, t.vid, q.qa AS qa, q.ma AS ma, q.na AS na, " +
+          s"b.q AS qb, b.m AS mb, b.nrm AS nb FROM c$rd t " +
+          s"JOIN coded b ON b.vec_id = t.vid JOIN qv8 q ON q.qid = t.qid), "
+        sb ++= s"s$rd AS (SELECT qid, vid, " +
+          s"round(CAST($dotq AS DOUBLE) * ma * mb / (127.0e0 * 127.0e0) / (na * nb), 6) AS cos FROM p$rd), "
+      } else {
+        sb ++= s"p$rd AS (SELECT t.qid, t.vid, q.va AS va, b.v AS vb FROM c$rd t " +
+          s"JOIN vs b ON b.vec_id = t.vid JOIN qv q ON q.qid = t.qid), "
+        sb ++= s"s$rd AS (SELECT qid, vid, round($cosSqlExpr, 6) AS cos FROM p$rd), "
+      }
       sb ++= s"b$rd AS MATERIALIZED (SELECT qid, vid FROM (SELECT qid, vid, " +
         s"row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rn FROM s$rd) WHERE rn <= $beam), "
       sb ++= s"e$rd AS MATERIALIZED (SELECT DISTINCT qid, vid FROM " +
@@ -2920,6 +3038,7 @@ object Similarity {
     "sim_graph_hier" -> { (s, dir) => graphServeHier(Tables.embeddings(s, dir)) },
     "sample_d4" -> { (s, dir) => sampleD4(Tables.embeddings(s, dir), Tables.documents(s, dir)) },
     "sim_sq8_topk" -> { (s, dir) => sq8Topk(Tables.embeddings(s, dir)) },
+    "sim_graph_hier_sq8" -> { (s, dir) => graphServeHierSq8(Tables.embeddings(s, dir)) },
     "sim_communities" -> { (s, dir) => lpCommunities(Tables.embeddings(s, dir)) }
   )
 
@@ -2949,6 +3068,7 @@ object Similarity {
     "sim_graph_hier" -> graphServeHierSql(),
     "sample_d4" -> sampleD4Sql(),
     "sim_sq8_topk" -> sq8TopkSql(),
+    "sim_graph_hier_sq8" -> graphServeHierSq8Sql(),
     "sim_communities" -> lpCommunitiesSql()
   )
 }

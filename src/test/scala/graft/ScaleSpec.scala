@@ -282,6 +282,34 @@ class ScaleSpec extends AnyFunSuite {
     assert(recall >= 0.95, s"SQ8 recall@5 = $recall")
   }
 
+  // The full HNSW-over-quantized stack: the hier walk RANKING from
+  // SQ8 codes (8x smaller serving tier) must not lose retrieval vs the
+  // exact-scored walk — only the final re-rank touches raw vectors.
+  test("SQ8-scored hier walk matches the exact-scored walk's recall") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val latent = Array.fill(16)(normalize(Array.fill(64)(rnd.nextGaussian())))
+    val rows = (0 until 810).map { i =>
+      val c = latent(i % 16)
+      val v = normalize(c.zip(Array.fill(64)(rnd.nextGaussian())).map { case (a, g) => a + 0.18 * g })
+      (i.toLong, v.map(_.toFloat).toSeq, (i % 16).toLong)
+    }
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("qid", "vid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(graft.llm.Similarity.topk(emb))
+    val exact = pairs(graft.llm.Similarity.graphServeHier(emb, 16, 8, 4, 8, 3))
+    val viaSq8 = pairs(graft.llm.Similarity.graphServeHierSq8(emb, 16, 8, 4, 8, 3))
+    val rExact = (truth & exact).size.toDouble / truth.size
+    val rSq8 = (truth & viaSq8).size.toDouble / truth.size
+    info(s"hier walk recall@5: exact-scored $rExact, sq8-scored $rSq8")
+    assert(rSq8 >= rExact - 0.05, s"SQ8 walk recall $rSq8 lost more than 0.05 vs exact $rExact")
+    assert(rSq8 >= 0.9, s"SQ8 walk recall $rSq8 < 0.9")
+  }
+
   // D4 (dedup + diversify) sampling: an over-dense cluster — same
   // latent direction stuffed with near-duplicates — must end up with a
   // SMALLER share of the drawn tokens than its raw share, through both
