@@ -523,17 +523,27 @@ object WarcOps {
       "FROM outp"
 
   /** WAT round trip: the per-page metadata JSON (title + block counts
-    * + clean-char count, built with one deterministic concat) written
-    * as `metadata` records and parsed back VERBATIM — the gate output
-    * carries the JSON body itself, so the oracle's recomputed string
-    * must match character-for-character.
+    * + clean-char count + the OUTLINK list — what a link-graph stage
+    * like curate_pagerank consumes straight from WAT without
+    * re-parsing HTML; r15 enrichment) written as `metadata` records
+    * and parsed back VERBATIM — the gate output carries the JSON body
+    * itself, so the oracle's recomputed string must match
+    * character-for-character. Outlinks come from the quote-bounded
+    * href group ([^"]*), so the values can never contain a quote and
+    * the JSON array needs no escaping.
     */
   def watRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val pages = Tables
       .documents(s, dir)
       .select(col("doc_id"), expr(graft.llm.Curation.htmlPlantExpr).as("html"))
+      .localCheckpoint() // feeds the extraction AND the outlink scan
+    val links = pages.select(
+      col("doc_id"),
+      expr("regexp_extract_all(html, '<a href=\"([^\"]*)\"', 1)").as("links")
+    )
     val meta = graft.llm.Curation
       .htmlExtractPages(pages)
+      .join(links, Seq("doc_id"))
       .select(
         col("doc_id"),
         uriExpr.as("uri"),
@@ -546,6 +556,9 @@ object WarcOps {
           col("n_kept").cast("string"),
           lit(",\"n_clean_chars\":"),
           col("n_clean_chars").cast("string"),
+          lit(",\"links\":"),
+          when(size(col("links")) === 0, lit("[]"))
+            .otherwise(concat(lit("[\""), array_join(col("links"), "\",\""), lit("\"]"))),
           lit("}")
         ).as("json")
       )
@@ -559,11 +572,14 @@ object WarcOps {
   }
 
   val watRoundtripSql: String =
-    s"WITH ${graft.llm.Curation.htmlExtractCtes} " +
-      "SELECT doc_id, concat('{\"title\":\"', title, '\",\"n_blocks\":', " +
-      "CAST(n_blocks AS VARCHAR), ',\"n_kept\":', CAST(n_kept AS VARCHAR), " +
-      "',\"n_clean_chars\":', CAST(CAST(length(cleaned) AS BIGINT) AS VARCHAR), '}') AS wat_json " +
-      "FROM outp"
+    s"WITH ${graft.llm.Curation.htmlExtractCtes}, " +
+      "lk AS (SELECT doc_id, regexp_extract_all(html, '<a href=\"([^\"]*)\"', 1) AS links FROM aug) " +
+      "SELECT o.doc_id, concat('{\"title\":\"', o.title, '\",\"n_blocks\":', " +
+      "CAST(o.n_blocks AS VARCHAR), ',\"n_kept\":', CAST(o.n_kept AS VARCHAR), " +
+      "',\"n_clean_chars\":', CAST(CAST(length(o.cleaned) AS BIGINT) AS VARCHAR), " +
+      "',\"links\":', CASE WHEN len(lk.links) = 0 THEN '[]' " +
+      "ELSE concat('[\"', array_to_string(lk.links, '\",\"'), '\"]') END, '}') AS wat_json " +
+      "FROM outp o JOIN lk ON lk.doc_id = o.doc_id"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "warc_roundtrip" -> { (s, dir) => roundtripAgg(s, dir) },
