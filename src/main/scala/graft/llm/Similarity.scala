@@ -1480,6 +1480,108 @@ object Similarity {
         expr("transform(v, x -> CAST(floor(x / m * 127.0e0 + 0.5e0) AS TINYINT))").as("q")
       )
 
+  /** SQ8 over IVF-SCOPED candidates — the scale form of [[sq8Topk]]
+    * (its brute query×corpus shape is the gate baseline; a 100 TB
+    * serve never scans all codes): nProbe cells bound the candidate
+    * stream exactly like sim_ivf_topk, the SQ8 tier ranks it, and
+    * only the top-`shortlist` rows are refined from raw vectors.
+    */
+  def sq8TopkIvf(
+      emb: DataFrame,
+      nList: Int = 16,
+      nProbe: Int = 4,
+      shortlist: Int = 20,
+      nQ: Int = nQueries
+  ): DataFrame = {
+    val vs = vecsN(emb)
+    val coded = vs
+      .withColumn("m", expr("greatest(array_max(transform(v, x -> abs(x))), 1.0e-30)"))
+      .select(
+        col("vec_id"),
+        col("nrm"),
+        col("m"),
+        expr("transform(v, x -> CAST(floor(x / m * 127.0e0 + 0.5e0) AS BIGINT))").as("q")
+      )
+      .localCheckpoint() // feeds the query side AND the candidate side
+    val qside = coded
+      .filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("q").as("qa"), col("m").as("ma"), col("nrm").as("na"))
+    val approx = ivfCandidates(emb, nList, nProbe)
+      .join(
+        coded.select(col("vec_id").as("vid"), col("q").as("qb"), col("m").as("mb"), col("nrm").as("nb")),
+        Seq("vid")
+      )
+      .join(broadcast(qside), Seq("qid"))
+      .select(
+        col("qid"),
+        col("vid"),
+        round(
+          expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
+            .cast("double") * col("ma") * col("mb") / lit(127.0 * 127.0) / (col("na") * col("nb")),
+          6
+        ).as("approx")
+      )
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("approx").desc, col("vid").asc)
+    val short = approx
+      .withColumn("rn", row_number().over(ws))
+      .filter(col("rn") <= shortlist)
+      .select(col("qid"), col("vid"), col("approx"))
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vid").asc)
+    short
+      .join(vs.select(col("vec_id").as("vid"), col("v").as("vb"), col("nrm").as("nb")), Seq("vid"))
+      .join(
+        broadcast(
+          vs.filter(col("vec_id") < nQ)
+            .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
+        ),
+        Seq("qid")
+      )
+      .select(
+        col("qid"),
+        col("vid"),
+        col("approx").as("cos_sq8"),
+        round(graft.functions.exprs.dot_d(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+          .as("cos")
+      )
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= topK)
+      .select(col("qid"), col("vid"), col("cos"), col("cos_sq8"))
+  }
+
+  def sq8TopkIvfSql(nList: Int = 16, nProbe: Int = 4, shortlist: Int = 20): String = {
+    def dot(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, 64), i -> list_extract($a, i) * list_extract($b, i)))"
+    val d2 = "list_sum(list_transform(generate_series(1, 64), i -> " +
+      "(list_extract(a.v, i) - list_extract(c.cv, i)) * (list_extract(a.v, i) - list_extract(c.cv, i))))"
+    val cosExact = s"${dot("q.v", "b.v")} / (sqrt(${dot("q.v", "q.v")}) * sqrt(${dot("b.v", "b.v")}))"
+    "WITH vs AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      s"cents AS (SELECT vec_id AS cid, v AS cv FROM vs WHERE vec_id < $nList), " +
+      s"dists AS (SELECT a.vec_id AS pid, c.cid AS cid, $d2 AS d2 FROM vs a CROSS JOIN cents c), " +
+      "rankedc AS (SELECT pid, cid, row_number() OVER (PARTITION BY pid ORDER BY d2 ASC, cid ASC) AS cr FROM dists), " +
+      "assign AS (SELECT pid AS vid, cid FROM rankedc WHERE cr = 1), " +
+      s"qcells AS (SELECT pid AS qid, cid FROM rankedc WHERE cr <= $nProbe AND pid < $nQueries), " +
+      "cand AS (SELECT DISTINCT q.qid, s.vid FROM qcells q JOIN assign s ON s.cid = q.cid WHERE q.qid <> s.vid), " +
+      s"nr AS (SELECT vec_id, v, sqrt(${dot("v", "v")}) AS nrm FROM vs), " +
+      "qt AS (SELECT vec_id, v, nrm, greatest(list_max(list_transform(v, x -> abs(x))), 1.0e-30) AS m FROM nr), " +
+      "coded AS MATERIALIZED (SELECT vec_id, nrm, m, " +
+      "list_transform(v, x -> CAST(floor(x / m * 127.0e0 + 0.5e0) AS BIGINT)) AS q FROM qt), " +
+      s"qv AS (SELECT vec_id AS qid, q AS qa, m AS ma, nrm AS na FROM coded WHERE vec_id < $nQueries), " +
+      "ap AS (SELECT cand.qid, cand.vid, " +
+      s"round(CAST(${dot("qv.qa", "b.q")} AS DOUBLE) * qv.ma * b.m / (127.0e0 * 127.0e0) / (qv.na * b.nrm), 6) AS approx " +
+      "FROM cand JOIN coded b ON b.vec_id = cand.vid JOIN qv ON qv.qid = cand.qid), " +
+      s"sh AS MATERIALIZED (SELECT qid, vid, approx FROM (SELECT qid, vid, approx, " +
+      s"row_number() OVER (PARTITION BY qid ORDER BY approx DESC, vid ASC) AS rn FROM ap) WHERE rn <= $shortlist), " +
+      "ex AS (SELECT s.qid, s.vid, s.approx AS cos_sq8, " +
+      s"round($cosExact, 6) AS cos FROM sh s " +
+      "JOIN vs b ON b.vec_id = s.vid JOIN vs q ON q.vec_id = s.qid) " +
+      "SELECT qid, vid, cos, cos_sq8 FROM (SELECT qid, vid, cos, cos_sq8, " +
+      s"row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rank FROM ex) WHERE rank <= $topK"
+  }
+
   def sq8TopkSql(shortlist: Int = 20): String = {
     def dot(a: String, b: String) =
       s"list_sum(list_transform(generate_series(1, 64), i -> list_extract($a, i) * list_extract($b, i)))"
@@ -3039,6 +3141,7 @@ object Similarity {
     "sample_d4" -> { (s, dir) => sampleD4(Tables.embeddings(s, dir), Tables.documents(s, dir)) },
     "sim_sq8_topk" -> { (s, dir) => sq8Topk(Tables.embeddings(s, dir)) },
     "sim_graph_hier_sq8" -> { (s, dir) => graphServeHierSq8(Tables.embeddings(s, dir)) },
+    "sim_sq8_ivf" -> { (s, dir) => sq8TopkIvf(Tables.embeddings(s, dir)) },
     "sim_communities" -> { (s, dir) => lpCommunities(Tables.embeddings(s, dir)) }
   )
 
@@ -3069,6 +3172,7 @@ object Similarity {
     "sample_d4" -> sampleD4Sql(),
     "sim_sq8_topk" -> sq8TopkSql(),
     "sim_graph_hier_sq8" -> graphServeHierSq8Sql(),
+    "sim_sq8_ivf" -> sq8TopkIvfSql(),
     "sim_communities" -> lpCommunitiesSql()
   )
 }
