@@ -496,9 +496,13 @@ object Prof {
           .toSet
         val ivfFatRecall = (truthNav & ivfFat).size.toDouble / truthNav.size
         val ivfFatBudget = llm.Similarity.ivfCandidates(navigable, 64, 1, Some(centsF)).count()
+        // PROF_FATSQ8=1: rank the walk from the SQ8 code tier (the
+        // full trained + hierarchy + quantized production stack)
+        val fatSq8 = sys.env.getOrElse("PROF_FATSQ8", "0") == "1"
         for ((fatRounds, fatBeam, fatKd) <- fatCfgs) {
           var fatPairs: Set[(Long, Long)] = Set.empty
-          t(s"emb${embK}k_graph_hier_fat_r${fatRounds}b${fatBeam}d$fatKd", embK * 1000L) {
+          val tag = if (fatSq8) "_sq8" else ""
+          t(s"emb${embK}k_graph_hier_fat${tag}_r${fatRounds}b${fatBeam}d$fatKd", embK * 1000L) {
             val rows3 = llm.Similarity
               .graphServeTrained(
                 navigable,
@@ -507,7 +511,8 @@ object Prof {
                 beam = fatBeam,
                 rounds = fatRounds,
                 hier = true,
-                kDown = fatKd
+                kDown = fatKd,
+                sq8 = fatSq8
               )
               .select(col("qid"), col("vid"))
               .collect()
@@ -516,10 +521,12 @@ object Prof {
           }
           val fatRecall = (truthNav & fatPairs).size.toDouble / truthNav.size
           val fatBudget = llm.Similarity
-            .trainedWalkVisited(navigable, centsF, 8, fatBeam, fatRounds, 10, 1, hier = true, kDown = fatKd)
+            .trainedWalkVisited(
+              navigable, centsF, 8, fatBeam, fatRounds, 10, 1,
+              hier = true, kDown = fatKd, sq8 = fatSq8)
             .count()
           println(
-            f"PROF emb${embK}k_graph_hier_fat r$fatRounds/b$fatBeam/d$fatKd recall@5 = $fatRecall%.3f " +
+            f"PROF emb${embK}k_graph_hier_fat$tag r$fatRounds/b$fatBeam/d$fatKd recall@5 = $fatRecall%.3f " +
               f"(budget $fatBudget) vs IVF nProbe=1 $ivfFatRecall%.3f (budget $ivfFatBudget)"
           )
         }

@@ -882,10 +882,11 @@ object Similarity {
       nQ: Int = nQueries,
       nProbeBuild: Int = 1,
       hier: Boolean = false,
-      kDown: Int = 4
+      kDown: Int = 4,
+      sq8: Boolean = false
   ): DataFrame = {
     val visited =
-      trainedWalkVisited(emb, cents, k, beam, rounds, nQ, nProbeBuild, hier, kDown)
+      trainedWalkVisited(emb, cents, k, beam, rounds, nQ, nProbeBuild, hier, kDown, sq8)
     val wr = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vid").asc)
@@ -908,7 +909,8 @@ object Similarity {
       nQ: Int,
       nProbeBuild: Int = 1,
       hier: Boolean = false,
-      kDown: Int = 4
+      kDown: Int = 4,
+      sq8: Boolean = false
   ): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
@@ -950,7 +952,41 @@ object Similarity {
       .filter(col("vec_id") < nQ)
       .select(col("vec_id").as("qid"))
       .join(broadcast(entryVids))
-    beamWalk(emb, edges, seeds, beam, rounds, nQ)
+    beamWalk(emb, edges, seeds, beam, rounds, nQ, if (sq8) sq8Scorer(emb, nQ) else null)
+  }
+
+  /** SQ8 coded frame + the approx scorer over it — the walk-ranking
+    * leg shared by [[graphServeHierSq8]] and the trained sq8 path. */
+  private def sq8Scorer(emb: DataFrame, nQ: Int): DataFrame => DataFrame = {
+    val coded = vecsN(emb)
+      .withColumn("m", expr("greatest(array_max(transform(v, x -> abs(x))), 1.0e-30)"))
+      .select(
+        col("vec_id"),
+        col("nrm"),
+        col("m"),
+        expr("transform(v, x -> CAST(floor(x / m * 127.0e0 + 0.5e0) AS BIGINT))").as("q")
+      )
+      .localCheckpoint() // feeds the query side AND every round's score
+    val qside = coded
+      .filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("q").as("qa"), col("m").as("ma"), col("nrm").as("na"))
+    idx =>
+      idx
+        .join(
+          coded
+            .select(col("vec_id").as("vid"), col("q").as("qb"), col("m").as("mb"), col("nrm").as("nb")),
+          Seq("vid")
+        )
+        .join(broadcast(qside), Seq("qid"))
+        .select(
+          col("qid"),
+          col("vid"),
+          round(
+            expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
+              .cast("double") * col("ma") * col("mb") / lit(127.0 * 127.0) / (col("na") * col("nb")),
+            6
+          ).as("cos")
+        )
   }
 
   /** In-cell HIERARCHY edges — the published cure for the measured
@@ -1102,34 +1138,7 @@ object Similarity {
       .unionByName(hierEdges(av, kDown))
       .distinct()
       .localCheckpoint()
-    val coded = vs
-      .withColumn("m", expr("greatest(array_max(transform(v, x -> abs(x))), 1.0e-30)"))
-      .select(
-        col("vec_id"),
-        col("nrm"),
-        col("m"),
-        expr("transform(v, x -> CAST(floor(x / m * 127.0e0 + 0.5e0) AS BIGINT))").as("q")
-      )
-      .localCheckpoint() // feeds the query side AND every round's score
-    val qside = coded
-      .filter(col("vec_id") < nQ)
-      .select(col("vec_id").as("qid"), col("q").as("qa"), col("m").as("ma"), col("nrm").as("na"))
-    val scoreSq8: DataFrame => DataFrame = idx =>
-      idx
-        .join(
-          coded.select(col("vec_id").as("vid"), col("q").as("qb"), col("m").as("mb"), col("nrm").as("nb")),
-          Seq("vid")
-        )
-        .join(broadcast(qside), Seq("qid"))
-        .select(
-          col("qid"),
-          col("vid"),
-          round(
-            expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
-              .cast("double") * col("ma") * col("mb") / lit(127.0 * 127.0) / (col("na") * col("nb")),
-            6
-          ).as("cos")
-        )
+    val scoreSq8 = sq8Scorer(emb, nQ)
     val seedW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("d2").asc, col("cid").asc)

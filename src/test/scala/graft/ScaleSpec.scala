@@ -254,6 +254,14 @@ class ScaleSpec extends AnyFunSuite {
       hierBudget < ivfBudget,
       s"hier budget $hierBudget not under IVF nProbe=1's $ivfBudget — the serving argument broken"
     )
+    // the full production stack: trained centroids + hierarchy + SQ8
+    // code ranking — quantized walk ordering must not cost recall
+    val hierSq8 = pairs(
+      graft.llm.Similarity.graphServeTrained(emb, cents, 8, 8, 8, hier = true, kDown = 8, sq8 = true)
+    )
+    val rSq8 = (truth & hierSq8).size.toDouble / truth.size
+    info(s"fat-cell trained+hier+sq8 recall@5: $rSq8 (exact-scored hier: $rHier)")
+    assert(rSq8 >= rHier - 0.05, s"sq8-ranked trained walk recall $rSq8 lost > 0.05 vs $rHier")
   }
 
   // SQ8 scalar quantization (8x under raw doubles): the int8-code
