@@ -147,34 +147,49 @@ object WarcOps {
     * (what [[graft.llm.Curation.htmlExtractTextPages]] emits). Input
     * frame: (doc_id, uri, text).
     */
-  def writeWetSpark(texts: DataFrame, outDir: String, nFiles: Int = 4): Unit =
+  def writeWetSpark(
+      texts: DataFrame,
+      outDir: String,
+      nFiles: Int = 4,
+      gzip: Boolean = false
+  ): Unit =
     writeRows(
       texts.select(col("doc_id"), col("uri"), col("text")),
       outDir,
       nFiles,
-      ".wet",
-      (id, uri, body) =>
-        recordRaw(f"$id%016x-0000-0000-0000-000000000001", uri, "conversion", "text/plain", body)
+      if (gzip) ".wet.gz" else ".wet",
+      (id, uri, body) => {
+        val rec =
+          recordRaw(f"$id%016x-0000-0000-0000-000000000001", uri, "conversion", "text/plain", body)
+        if (gzip) gzipMember(rec) else rec
+      }
     )
 
   /** WAT egress — the Common Crawl metadata derivative: one `metadata`
     * record per page, payload = a JSON summary of the page. Input
     * frame: (doc_id, uri, json).
     */
-  def writeWatSpark(meta: DataFrame, outDir: String, nFiles: Int = 4): Unit =
+  def writeWatSpark(
+      meta: DataFrame,
+      outDir: String,
+      nFiles: Int = 4,
+      gzip: Boolean = false
+  ): Unit =
     writeRows(
       meta.select(col("doc_id"), col("uri"), col("json")),
       outDir,
       nFiles,
-      ".wat",
-      (id, uri, body) =>
-        recordRaw(
+      if (gzip) ".wat.gz" else ".wat",
+      (id, uri, body) => {
+        val rec = recordRaw(
           f"$id%016x-0000-0000-0000-000000000002",
           uri,
           "metadata",
           "application/json",
           body
         )
+        if (gzip) gzipMember(rec) else rec
+      }
     )
 
   /** The shared distributed egress: `nFiles` segments, one per task,

@@ -308,20 +308,30 @@ class WarcSpec extends AnyFunSuite {
       assert(back(id)._1 == "", "conversion records carry no HTTP status")
       assert(back(id)._2 == text, s"WET body drift for doc $id")
     }
-    // WAT: metadata JSON roundtrips verbatim
+    // WAT: metadata JSON roundtrips verbatim — through the GZIPPED
+    // derivative form (.wat.gz, per-record members like .warc.gz)
     val meta = docs.select(
       col("doc_id"),
       concat(lit("http://h/doc/"), col("doc_id").cast("string")).as("uri"),
       concat(lit("{\"doc\":"), col("doc_id").cast("string"), lit("}")).as("json")
     )
     val tmp2 = graft.sources.Scratch.dir("wat_spec")
-    WarcOps.writeWatSpark(meta, tmp2, nFiles = 1)
+    WarcOps.writeWatSpark(meta, tmp2, nFiles = 1, gzip = true)
     val backWat = WarcOps
-      .readSpark(spark, tmp2 + "/part-*.wat")
+      .readSpark(spark, tmp2 + "/part-*.wat.gz")
       .collect()
       .map(r => r.getAs[String]("target_uri").split("/").last.toLong -> r.getAs[String]("body"))
       .toMap
     assert(backWat == Map(35L -> "{\"doc\":35}", 3L -> "{\"doc\":3}", 11L -> "{\"doc\":11}"))
+    // gzipped WET roundtrips the extraction text too
+    val tmp3 = graft.sources.Scratch.dir("wet_gz_spec")
+    WarcOps.writeWetSpark(wet, tmp3, nFiles = 1, gzip = true)
+    val backGz = WarcOps
+      .readSpark(spark, tmp3 + "/part-*.wet.gz")
+      .collect()
+      .map(r => r.getAs[String]("target_uri").split("/").last.toLong -> r.getAs[String]("body"))
+      .toMap
+    assert(backGz == direct, "gzipped WET body drift")
   }
 
   test("write/read route through the Hadoop FileSystem API (explicit file: scheme URI)") {
