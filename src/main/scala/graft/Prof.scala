@@ -787,6 +787,54 @@ object Prof {
       t(s"web${webK}k_html_extract", nPages)(
         llm.Curation.htmlExtractPages(pages).filter(col("n_kept") > 0).count()
       )
+      // r15 CDX decades: the index projection (row-local SURT/digest
+      // off the parse) and ranged-read serving of a 1-in-20 sample —
+      // the wayback consumer's O(record)-per-lookup contract at scale
+      t(s"web${webK}k_cdx_build", nPages)(
+        sources.WarcOps
+          .cdxIndex(sources.WarcOps.readSpark(spark, warcDir + "/part-*.warc"))
+          .filter(col("digest").isNotNull)
+          .count()
+      )
+      // r15 revisit decade: crawl-2 egress against crawl-1's CDX —
+      // the storage-dedup join + conditional render at page scale
+      // (~1/3 of pages change inside the render window)
+      t(s"web${webK}k_warc_revisit", nPages) {
+        val cdx1 = sources.WarcOps
+          .cdxIndex(sources.WarcOps.readSpark(spark, warcDir + "/part-*.warc"))
+          .select(col("url").as("uri"), col("digest"))
+        val pages2 = webDocs
+          .select(
+            col("doc_id"),
+            expr("CASE WHEN doc_id % 3 = 0 THEN concat('CHANGED ', text) ELSE text END").as("text")
+          )
+          .select(
+            col("doc_id"),
+            concat(lit("http://h/doc/"), col("doc_id").cast("string")).as("uri"),
+            expr(graft.llm.Curation.htmlPlantExpr).as("html")
+          )
+        val revDir = sources.Scratch.dir("prof_revisit")
+        sources.WarcOps.writeRevisitSpark(pages2, cdx1, revDir, nFiles = 32)
+        sources.WarcOps
+          .readSpark(spark, revDir + "/part-*.warc")
+          .filter(col("warc_type") === "revisit")
+          .count()
+      }
+      t(s"web${webK}k_cdx_lookup", nPages / 20) {
+        val cdx = sources.WarcOps
+          .cdxIndex(sources.WarcOps.readSpark(spark, warcDir + "/part-*.warc"))
+          .select(
+            regexp_extract(col("urlkey"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+            col("warc_file"),
+            col("rec_offset"),
+            col("rec_length")
+          )
+          .filter(col("doc_id") % 20 === 0)
+        sources.WarcOps
+          .fetchRecords(cdx, warcDir)
+          .filter(col("fetch_status") === "200")
+          .count()
+      }
       // byte-level BPE end-to-end (remap + trainer collect + encode)
       // on the same corpus — the ByteRemap expression's decade
       t(s"web${webK}k_bpe_bytes", nPages)(

@@ -3114,6 +3114,93 @@ object Similarity {
       "FROM sxx s JOIN mu a ON a.i = s.i JOIN mu b ON b.i = s.j), " +
       s"${pcaIterSql("cov", " MATERIALIZED")}, ${pcaFinishSql("cov", "vn", " MATERIALIZED")}"
 
+  // ---- Hybrid retrieval: reciprocal rank fusion (Cormack, Clarke &
+  // Buettcher, SIGIR 2009) — the standard way production RAG stacks
+  // combine a lexical (BM25) leg with a dense (embedding-cosine) leg
+  // without score calibration: fused(d) = Σ_legs 1/(k + rank_leg(d)),
+  // rank-based so the legs' incomparable score scales never meet ----
+
+  private val rrfK = 60 // the paper's constant
+  private val rrfTopN = 20 // per-leg candidate depth
+  private val rrfOut = 10
+
+  /** Assign 1-based ranks to an ALREADY top-N-limited (doc_id, score)
+    * frame without a global window (GlobalWindowCheck): one
+    * sorted-prefix aggregation — collect the ≤N pairs, array_sort by
+    * (score desc, doc_id asc), posexplode (the serveStream row-local
+    * ranking shape). The upstream TakeOrderedAndProject bounds the
+    * array width, so the single-group agg is O(topN) everywhere.
+    */
+  private def rrfRank(top: DataFrame, leg: String): DataFrame =
+    top
+      .agg(collect_list(struct(col("score"), col("doc_id"))).as("xs"))
+      .select(
+        posexplode(
+          expr(
+            "array_sort(xs, (a, b) -> CASE WHEN a.score > b.score THEN -1 " +
+              "WHEN a.score < b.score THEN 1 WHEN a.doc_id < b.doc_id THEN -1 " +
+              "WHEN a.doc_id > b.doc_id THEN 1 ELSE 0 END)"
+          )
+        )
+      )
+      .select(
+        col("col.doc_id").as("doc_id"),
+        lit(leg).as("leg"),
+        (col("pos") + 1).cast("long").as("r")
+      )
+
+  /** Fused top-`rrfOut`: BM25 top-N over `documents` (the text_bm25
+    * machinery verbatim) ∪ cosine top-N against the vec_id-0 query
+    * over `embeddings` (vec_id ≡ doc_id in the corpus), combined by
+    * RRF in EXACT integer nanos (10⁹ div (k + rank) — rank fusion is
+    * rank-based, so nothing here ever needs float parity). Scale
+    * shape: each leg is its gate's proven plan ending in a
+    * TakeOrderedAndProject; the fusion is a union of two ≤N-row
+    * frames + one doc_id groupBy — the corpus is touched exactly once
+    * per leg regardless of size.
+    */
+  def retrieveRrf(docs: DataFrame, emb: DataFrame): DataFrame = {
+    val lex = rrfRank(TextStats.bm25(docs), "lex")
+    val vs = vecsN(emb)
+    val q = vs.filter(col("vec_id") === 0).select(col("v").as("va"), col("nrm").as("na"))
+    val denseTop = vs
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id").as("doc_id"), col("v").as("vb"), col("nrm").as("nb"))
+      .crossJoin(broadcast(q))
+      .select(col("doc_id"), round(cosExpr, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+      .limit(rrfTopN)
+    lex
+      .unionByName(rrfRank(denseTop, "dense"))
+      .groupBy(col("doc_id"))
+      .agg(
+        coalesce(max(when(col("leg") === "lex", col("r"))), lit(0L)).as("lex_rank"),
+        coalesce(max(when(col("leg") === "dense", col("r"))), lit(0L)).as("dense_rank"),
+        sum(expr(s"1000000000 div ($rrfK + r)")).as("rrf_nanos")
+      )
+      .orderBy(col("rrf_nanos").desc, col("doc_id").asc)
+      .limit(rrfOut)
+  }
+
+  val retrieveRrfSql: String = {
+    val bm25 = TextStats.bm25Sql()
+    "WITH lexr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r " +
+      s"FROM ($bm25) lx), " +
+      "rvs AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      "rq AS (SELECT v AS va FROM rvs WHERE vec_id = 0), " +
+      "rsc AS (SELECT c.vec_id AS doc_id, " +
+      s"round($cosSqlExpr, 6) AS score " +
+      "FROM (SELECT vec_id, v AS vb FROM rvs WHERE vec_id <> 0) c(vec_id, vb) CROSS JOIN rq), " +
+      s"dtop AS (SELECT doc_id, score FROM rsc ORDER BY score DESC, doc_id ASC LIMIT $rrfTopN), " +
+      "denr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r FROM dtop), " +
+      "u AS (SELECT doc_id, 'lex' AS leg, r FROM lexr UNION ALL SELECT doc_id, 'dense' AS leg, r FROM denr), " +
+      "f AS (SELECT doc_id, CAST(coalesce(max(CASE WHEN leg = 'lex' THEN r END), 0) AS BIGINT) AS lex_rank, " +
+      "CAST(coalesce(max(CASE WHEN leg = 'dense' THEN r END), 0) AS BIGINT) AS dense_rank, " +
+      s"CAST(sum(1000000000 // ($rrfK + r)) AS BIGINT) AS rrf_nanos FROM u GROUP BY doc_id) " +
+      "SELECT doc_id, lex_rank, dense_rank, rrf_nanos FROM f " +
+      s"ORDER BY rrf_nanos DESC, doc_id ASC LIMIT $rrfOut"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "embed_pca" -> { (s, dir) => pcaTop(s, Tables.embeddings(s, dir)) },
     "embed_pca_k" -> { (s, dir) => pcaTopK(s, Tables.embeddings(s, dir)) },
@@ -3128,6 +3215,9 @@ object Similarity {
     "sim_ivfpq_topk" -> { (s, dir) => ivfPqTopk(Tables.embeddings(s, dir)) },
     "sim_ivfpq_trained" -> { (s, dir) => ivfPqTrainedGate(Tables.embeddings(s, dir)) },
     "sim_topk" -> { (s, dir) => topk(Tables.embeddings(s, dir)) },
+    "retrieve_rrf" -> { (s, dir) =>
+      retrieveRrf(Tables.documents(s, dir), Tables.embeddings(s, dir))
+    },
     "sim_buckets" -> { (s, dir) =>
       // bucket histogram: scale-path observability (bucket, n vectors);
       // 8-plane instance — the literal-SQL-replayable oracle config
@@ -3160,6 +3250,7 @@ object Similarity {
     "embed_whiten" -> pcaWhitenSql(),
     "decontam_semantic" -> decontamSemanticSql(),
     "sim_topk" -> topkSql,
+    "retrieve_rrf" -> retrieveRrfSql,
     "sim_buckets" -> bucketsSql,
     "dedup_semantic" -> semanticDupesSql(),
     "sim_ivf_topk" -> ivfTopkSql(),

@@ -109,6 +109,132 @@ object Urls {
     withKeep(parsed(docs.select(col("doc_id"), expr(urlPlant).as("url"))))
       .select(col("doc_id"), col("host"), col("canon"), col("blocked"), col("keep"))
 
+  /** SURT (Sort-friendly URI Reordering Transform) key — the URL form
+    * every CDX index and wayback-style lookup sorts on (Common Crawl's
+    * `cdx-*.gz` urlkey field): host labels REVERSED and comma-joined
+    * (`com,example,site3`), a `)` separator, then the canonical
+    * path+query. Reversal puts a domain's entire subtree under one
+    * lexicographic prefix, so "every capture under *.example.com" is a
+    * RANGE SCAN — the property that makes a 100 TB crawl's index
+    * sorted-mergeable and prefix-shardable. Row-local (split + reverse
+    * + join); `rest` is the canonical path (+ `?params`) with the
+    * leading host already removed.
+    */
+  def surtCol(host: Column, rest: Column): Column =
+    concat(array_join(reverse(split(host, "[.]")), ","), lit(")"), rest)
+
+  /** Gate shape: doc_id, host, surt over the adversarial [[urlPlant]]
+    * corpus (scheme/case/www/port/slash/fragment/utm variants) — the
+    * canonicalizer feeds the SURT, so group members collapse to ONE
+    * key and the key is range-scannable by domain.
+    */
+  def urlSurt(docs: DataFrame): DataFrame =
+    parsed(docs.select(col("doc_id"), expr(urlPlant).as("url")))
+      .select(
+        col("doc_id"),
+        col("host"),
+        surtCol(col("host"), expr("substr(canon, length(host) + 1)")).as("surt")
+      )
+
+  val urlSurtSql: String =
+    s"$parseCtes SELECT doc_id, host, " +
+      "array_to_string(list_reverse(string_split(host, '.')), ',') || ')' || " +
+      "substr(canon, length(host) + 1) AS surt FROM k"
+
+  /** robots.txt politeness rules — the screen a crawler applies BEFORE
+    * a URL ever reaches fetch (RFC 9309): per host, `Allow` /
+    * `Disallow` path prefixes; the MOST SPECIFIC (longest) matching
+    * rule governs, an `allow` wins a length tie, and a URL with no
+    * matching rule is allowed. Deterministic plant over the 20 hosts:
+    * hosts ≡0 (mod 3) disallow `/articles` wholesale but carve back
+    * `/articles/5` (longer allow overrides) and carry an exact-tie
+    * pair on `/articles/2` (allow wins the tie); hosts ≡1 disallow
+    * only `/articles/3`; hosts ≡2 publish no rules. With urlPlant's
+    * path ≡ doc_id (mod 7), every arm is populated at every sf.
+    */
+  val robotsRules: Seq[(String, String, String)] = (0 until 20).flatMap { n =>
+    val h = s"site$n.example.com"
+    n % 3 match {
+      case 0 =>
+        Seq(
+          (h, "disallow", "/articles"),
+          (h, "allow", "/articles/5"),
+          (h, "allow", "/articles/2"),
+          (h, "disallow", "/articles/2")
+        )
+      case 1 => Seq((h, "disallow", "/articles/3"))
+      case _ => Seq.empty
+    }
+  }
+
+  /** Per-doc robots verdict: (doc_id, host, path, allowed, rule_dir,
+    * rule_prefix). Scale shape: the rule table is a BROADCAST literal
+    * dim (a real robots corpus is ~KBs per host — still broadcast
+    * class), the match is an equi-join on host with a row-local
+    * prefix filter, and the longest-match argmax is ONE map-side
+    * aggregation over ≤rules-per-host rows per doc — no window, no
+    * shuffle beyond the doc_id groupBy. The tie-break rides the
+    * struct order (prefix length, then allow-beats-disallow); equal
+    * lengths force equal prefixes, so the order is total.
+    */
+  def crawlRobots(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val u = parsed(docs.select(col("doc_id"), expr(urlPlant).as("url")))
+      .select(
+        col("doc_id"),
+        col("host"),
+        regexp_extract(expr("substr(canon, length(host) + 1)"), "^[^?]*", 0).as("path")
+      )
+    val rules = robotsRules.toDF("r_host", "directive", "prefix")
+    u.join(
+      broadcast(rules),
+      col("host") === col("r_host") && col("path").startsWith(col("prefix")),
+      "left"
+    ).groupBy(col("doc_id"), col("host"), col("path"))
+      .agg(
+        max(
+          when(
+            col("prefix").isNotNull,
+            struct(
+              length(col("prefix")).as("l"),
+              when(col("directive") === "allow", 1).otherwise(0).as("a"),
+              col("prefix").as("p")
+            )
+          )
+        ).as("best")
+      )
+      .select(
+        col("doc_id"),
+        col("host"),
+        col("path"),
+        coalesce(col("best.a") === 1, lit(true)).as("allowed"),
+        when(col("best.a").isNull, lit(""))
+          .when(col("best.a") === 1, lit("allow"))
+          .otherwise(lit("disallow"))
+          .as("rule_dir"),
+        coalesce(col("best.p"), lit("")).as("rule_prefix")
+      )
+  }
+
+  val crawlRobotsSql: String = {
+    val vals = robotsRules
+      .map { case (h, d, p) => s"('$h', '$d', '$p')" }
+      .mkString(", ")
+    s"$parseCtes, pp AS (SELECT doc_id, host, " +
+      "regexp_extract(substr(canon, length(host) + 1), '^[^?]*', 0) AS path FROM k), " +
+      s"rules(r_host, directive, prefix) AS (VALUES $vals), " +
+      "m AS (SELECT pp.doc_id, pp.host, pp.path, r.directive, r.prefix, " +
+      "row_number() OVER (PARTITION BY pp.doc_id ORDER BY " +
+      "CASE WHEN r.prefix IS NULL THEN -1 ELSE length(r.prefix) END DESC, " +
+      "CASE WHEN r.directive = 'allow' THEN 1 ELSE 0 END DESC) AS rn " +
+      "FROM pp LEFT JOIN rules r ON r.r_host = pp.host AND starts_with(pp.path, r.prefix)) " +
+      "SELECT doc_id, host, path, " +
+      "CASE WHEN prefix IS NULL THEN TRUE ELSE directive = 'allow' END AS allowed, " +
+      "coalesce(directive, '') AS rule_dir, coalesce(prefix, '') AS rule_prefix " +
+      "FROM m WHERE rn = 1"
+  }
+
   /** Per-host profile: the domain-level policy table. */
   def urlHosts(docs: DataFrame): DataFrame =
     withKeep(parsed(docs.select(col("doc_id"), expr(urlPlant).as("url"))))
@@ -613,6 +739,8 @@ object Urls {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_url" -> { (s, dir) => curateUrl(Tables.documents(s, dir)) },
     "curate_url_hosts" -> { (s, dir) => urlHosts(Tables.documents(s, dir)) },
+    "url_surt" -> { (s, dir) => urlSurt(Tables.documents(s, dir)) },
+    "crawl_robots" -> { (s, dir) => crawlRobots(Tables.documents(s, dir)) },
     "curate_web" -> { (s, dir) => curateWeb(Tables.documents(s, dir)) },
     "curate_pagerank" -> { (s, dir) => hostPagerank(Tables.documents(s, dir)) },
     "graph_triangles" -> { (s, dir) => hostTriangles(Tables.documents(s, dir)) },
@@ -622,6 +750,8 @@ object Urls {
   def oracleSql: Map[String, String] = Map(
     "curate_url" -> curateUrlSql,
     "curate_url_hosts" -> urlHostsSql,
+    "url_surt" -> urlSurtSql,
+    "crawl_robots" -> crawlRobotsSql,
     "curate_web" -> curateWebSql(),
     "curate_pagerank" -> hostPagerankSql(),
     "graph_triangles" -> hostTrianglesSql,

@@ -48,7 +48,8 @@ object WarcOps {
       targetUri: String,
       warcType: String,
       contentType: String,
-      body: String
+      body: String,
+      extraHeaders: Seq[(String, String)] = Seq.empty
   ): Array[Byte] = {
     val payload = body.getBytes(StandardCharsets.UTF_8)
     val head = "WARC/1.0" + CRLF +
@@ -56,6 +57,7 @@ object WarcOps {
       s"WARC-Record-ID: <urn:uuid:$recordId>" + CRLF +
       "WARC-Date: 2024-01-01T00:00:00Z" + CRLF +
       s"WARC-Target-URI: $targetUri" + CRLF +
+      extraHeaders.map { case (k, v) => s"$k: $v" + CRLF }.mkString +
       s"Content-Type: $contentType" + CRLF +
       s"Content-Length: ${payload.length}" + CRLF + CRLF
     val hb = head.getBytes(StandardCharsets.UTF_8)
@@ -67,17 +69,19 @@ object WarcOps {
     out
   }
 
+  /** The synthesized HTTP envelope head of every `response` record —
+    * exposed so the CDX length oracle derives its constants from the
+    * ONE definition (editing the envelope can't silently skew the
+    * oracle arithmetic).
+    */
+  private[sources] val httpHead: String =
+    "HTTP/1.1 200 OK" + CRLF + "Content-Type: text/html" + CRLF + CRLF
+
   /** Render one WARC/1.0 `response` record. `body` is the HTTP entity
     * (ASCII or UTF-8); the HTTP status line + headers are synthesized.
     */
   def record(recordId: String, targetUri: String, body: String): Array[Byte] =
-    recordRaw(
-      recordId,
-      targetUri,
-      "response",
-      "application/http; msgtype=response",
-      "HTTP/1.1 200 OK" + CRLF + "Content-Type: text/html" + CRLF + CRLF + body
-    )
+    recordRaw(recordId, targetUri, "response", "application/http; msgtype=response", httpHead + body)
 
   /** Distributed WARC egress of a (doc_id, uri, html) frame: `nFiles`
     * segments, one per task.
@@ -104,7 +108,7 @@ object WarcOps {
       outDir,
       nFiles,
       if (gzip) ".warc.gz" else ".warc",
-      (id, uri, body) => {
+      (id, uri, body, _) => {
         val rec = record(f"$id%016x-0000-0000-0000-000000000000", uri, body)
         if (gzip) gzipMember(rec) else rec
       },
@@ -158,7 +162,7 @@ object WarcOps {
       outDir,
       nFiles,
       if (gzip) ".wet.gz" else ".wet",
-      (id, uri, body) => {
+      (id, uri, body, _) => {
         val rec =
           recordRaw(f"$id%016x-0000-0000-0000-000000000001", uri, "conversion", "text/plain", body)
         if (gzip) gzipMember(rec) else rec
@@ -180,7 +184,7 @@ object WarcOps {
       outDir,
       nFiles,
       if (gzip) ".wat.gz" else ".wat",
-      (id, uri, body) => {
+      (id, uri, body, _) => {
         val rec = recordRaw(
           f"$id%016x-0000-0000-0000-000000000002",
           uri,
@@ -192,14 +196,64 @@ object WarcOps {
       }
     )
 
+  /** Crawl-over-crawl dedup at INGEST — the Common Crawl `revisit`
+    * convention: when a refetched page's payload digest matches the
+    * PREVIOUS crawl's CDX digest, the writer emits a `revisit` record
+    * (WARC-Profile identical-payload-digest, WARC-Refers-To-Target-URI,
+    * EMPTY payload) instead of re-storing the body — the storage dedup
+    * that keeps month-over-month archive growth sublinear (unchanged
+    * pages cost ~300 header bytes, not their payload). `pages` =
+    * (doc_id, uri, html) of the new crawl; `priorCdx` = (uri, digest)
+    * — the previous crawl's index IS the dedup store. The decision is
+    * ONE equi-join on uri (hash-partitioned at any scale; no content
+    * ever moves for unchanged pages beyond its local md5).
+    */
+  def writeRevisitSpark(
+      pages: DataFrame,
+      priorCdx: DataFrame,
+      outDir: String,
+      nFiles: Int = 4
+  ): Unit =
+    writeRows(
+      pages
+        .select(col("doc_id"), col("uri"), col("html"))
+        .join(priorCdx.select(col("uri"), col("digest").as("prior_digest")), Seq("uri"), "left")
+        .select(
+          col("doc_id"),
+          col("uri"),
+          col("html"),
+          when(
+            col("prior_digest").isNotNull && md5(col("html")) === col("prior_digest"),
+            lit("revisit")
+          ).otherwise(lit("response")).as("kind")
+        ),
+      outDir,
+      nFiles,
+      ".warc",
+      (id, uri, body, kind) =>
+        if (kind == "revisit")
+          recordRaw(
+            f"$id%016x-0000-0000-0000-000000000003",
+            uri,
+            "revisit",
+            "message/http",
+            "",
+            Seq(
+              "WARC-Refers-To-Target-URI" -> uri,
+              "WARC-Profile" -> "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
+            )
+          )
+        else record(f"$id%016x-0000-0000-0000-000000000000", uri, body)
+    )
+
   /** The shared distributed egress: `nFiles` segments, one per task,
     * through the Hadoop FileSystem with write-aside + rename. */
   private def writeRows(
-      rows: DataFrame,
+      rows: DataFrame, // (id, uri, body [, kind]) — kind defaults to ''
       outDir: String,
       nFiles: Int,
       suffix: String,
-      render: (Long, String, String) => Array[Byte],
+      render: (Long, String, String, String) => Array[Byte],
       header: Option[Array[Byte]] = None
   ): Unit = {
     val spark = rows.sparkSession
@@ -208,10 +262,13 @@ object WarcOps {
       new org.apache.spark.SerializableWritable(spark.sparkContext.hadoopConfiguration)
     val root = new org.apache.hadoop.fs.Path(outDir)
     root.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(root)
-    rows
-      .as[(Long, String, String)]
+    val rows4 =
+      if (rows.columns.length >= 4) rows
+      else rows.withColumn("kind", lit(""))
+    rows4
+      .as[(Long, String, String, String)]
       .repartition(nFiles, col(rows.columns.head))
-      .foreachPartition { (it: Iterator[(Long, String, String)]) =>
+      .foreachPartition { (it: Iterator[(Long, String, String, String)]) =>
         if (it.hasNext) { // empty partitions write no file
           val pid = org.apache.spark.TaskContext.getPartitionId()
           val dir = new org.apache.hadoop.fs.Path(outDir)
@@ -221,7 +278,7 @@ object WarcOps {
           val out = new java.io.BufferedOutputStream(fs.create(tmp, true), 1 << 16)
           try {
             header.foreach(out.write)
-            it.foreach { case (id, uri, body) => out.write(render(id, uri, body)) }
+            it.foreach { case (id, uri, body, kind) => out.write(render(id, uri, body, kind)) }
           } finally out.close()
           if (fs.exists(dst)) fs.delete(dst, false)
           require(fs.rename(tmp, dst), s"WARC egress: rename $tmp -> $dst failed")
@@ -233,7 +290,13 @@ object WarcOps {
     * `InputStream` — task memory is O(one record), never O(segment),
     * so a ~1 GiB-by-convention Common Crawl segment parses in a small
     * constant heap (r15 — the readSpark `pds.toArray()` cliff is gone).
-    * Emits (offset, recordId, targetUri, httpStatus, body).
+    * Emits (offset, recordId, targetUri, warcType, httpStatus, body,
+    * recordLength, warcDate) — the length is the EXACT byte span of
+    * the record including its CRLFCRLF terminator, so per-file record
+    * lengths tile the segment: offset(k) = Σ length(<k). That tiling
+    * is what a CDX index (the Common Crawl lookup sidecar) stores, and
+    * what lets a wayback-style consumer fetch ONE record with a ranged
+    * read ([[cdxLookup]]).
     *
     * The parser is strictly sequential (one byte of lookahead), which
     * is all WARC needs: headers to the blank line, then exactly
@@ -243,8 +306,8 @@ object WarcOps {
   private[graft] def parseStream(
       file: String,
       in0: java.io.InputStream
-  ): Iterator[(Long, String, String, String, String, String)] =
-    new Iterator[(Long, String, String, String, String, String)] {
+  ): Iterator[(Long, String, String, String, String, String, Long, String)] =
+    new Iterator[(Long, String, String, String, String, String, Long, String)] {
       private val in = new java.io.BufferedInputStream(in0, 1 << 16)
       private var pos = 0L // offset of `la` within the segment
       private var la: Int = in.read() // one-byte lookahead; -1 = EOF
@@ -257,7 +320,7 @@ object WarcOps {
         }
       skipCrlf()
       def hasNext: Boolean = la != -1
-      def next(): (Long, String, String, String, String, String) = {
+      def next(): (Long, String, String, String, String, String, Long, String) = {
         val off = pos
         def line(): String = {
           val start = pos
@@ -275,7 +338,7 @@ object WarcOps {
         }
         val magic = line()
         require(magic == "WARC/1.0", s"$file: bad WARC magic '$magic' at offset $off")
-        var recordId = ""; var uri = ""; var len = -1; var wtype = ""
+        var recordId = ""; var uri = ""; var len = -1; var wtype = ""; var wdate = ""
         var h = line()
         while (h.nonEmpty) {
           val i = h.indexOf(':')
@@ -285,6 +348,7 @@ object WarcOps {
             case "WARC-Record-ID"  => recordId = v
             case "WARC-Target-URI" => uri = v
             case "WARC-Type"       => wtype = v
+            case "WARC-Date"       => wdate = v
             case "Content-Length"  => len = v.toInt
             case _                 => ()
           }
@@ -307,6 +371,11 @@ object WarcOps {
         }
         val payload = new String(buf, StandardCharsets.UTF_8)
         skipCrlf()
+        // the CRLFCRLF terminator belongs to the record; after
+        // skipCrlf, pos sits on the NEXT record's first byte (or EOF),
+        // so the span [off, pos) is the record's exact byte length and
+        // per-file lengths tile the segment — the CDX contract
+        val recLen = pos - off
         if (wtype == "response") {
           // HTTP payload: status line, headers, blank line, body
           val hdrEnd = payload.indexOf(CRLF + CRLF)
@@ -319,11 +388,11 @@ object WarcOps {
           )
           val status = statusLine.substring(sp + 1).split(" ")(0)
           val body = payload.substring(hdrEnd + 4)
-          (off, recordId, uri, wtype, status, body)
+          (off, recordId, uri, wtype, status, body, recLen, wdate)
         } else {
           // conversion (WET) / metadata (WAT) / request / warcinfo:
           // the payload IS the body — no HTTP envelope, no status
-          (off, recordId, uri, wtype, "", payload)
+          (off, recordId, uri, wtype, "", payload, recLen, wdate)
         }
       }
     }
@@ -335,8 +404,143 @@ object WarcOps {
   private[graft] def parseRecords(
       file: String,
       bytes: Array[Byte]
-  ): Iterator[(Long, String, String, String, String, String)] =
+  ): Iterator[(Long, String, String, String, String, String, Long, String)] =
     parseStream(file, new java.io.ByteArrayInputStream(bytes))
+
+  /** Split a `.warc.gz` segment into its gzip MEMBERS, tracking each
+    * member's COMPRESSED byte span — the coordinates a CDX over .gz
+    * segments must store: a ranged fetch addresses compressed bytes,
+    * so the decompressed-stream offsets [[readSpark]] reports for .gz
+    * files can never serve one. (This is exactly the Common Crawl
+    * contract: cdx offsets/lengths point at whole gzip members, and a
+    * byte-range GET + gunzip yields one record.)
+    *
+    * Each member's header is parsed manually (FLG extra/name/comment/
+    * hcrc fields honored), the deflate body runs through a raw
+    * `Inflater(nowrap)` with exact input accounting (unused tail bytes
+    * are pushed back), and the 8-byte trailer's ISIZE is validated
+    * against the inflated length — so the emitted (offset, length)
+    * spans tile the file byte-exactly, the same invariant the plain
+    * parser's spans carry.
+    */
+  private[graft] def gzMembers(
+      file: String,
+      in0: java.io.InputStream
+  ): Iterator[(Long, Long, Array[Byte])] =
+    new Iterator[(Long, Long, Array[Byte])] {
+      private val in = new java.io.PushbackInputStream(
+        new java.io.BufferedInputStream(in0, 1 << 16),
+        1 << 15
+      )
+      private var pos = 0L
+      def hasNext: Boolean = {
+        val b = in.read()
+        if (b == -1) false
+        else { in.unread(b); true }
+      }
+      def next(): (Long, Long, Array[Byte]) = {
+        val start = pos
+        def u8(): Int = {
+          val b = in.read()
+          require(b != -1, s"$file: truncated gzip member at offset $start")
+          pos += 1
+          b
+        }
+        require(
+          u8() == 0x1f && u8() == 0x8b,
+          s"$file: bad gzip magic at offset $start"
+        )
+        require(u8() == 8, s"$file: unsupported gzip method at offset $start")
+        val flg = u8()
+        var i = 0
+        while (i < 6) { u8(); i += 1 } // MTIME, XFL, OS
+        if ((flg & 4) != 0) { // FEXTRA
+          val xlen = u8() | (u8() << 8)
+          var j = 0
+          while (j < xlen) { u8(); j += 1 }
+        }
+        if ((flg & 8) != 0) while (u8() != 0) () // FNAME, NUL-terminated
+        if ((flg & 16) != 0) while (u8() != 0) () // FCOMMENT
+        if ((flg & 2) != 0) { u8(); u8() } // FHCRC
+        val inf = new java.util.zip.Inflater(true)
+        val out = new java.io.ByteArrayOutputStream(1 << 15)
+        val feed = new Array[Byte](8192)
+        val chunk = new Array[Byte](8192)
+        var lastN = 0
+        try {
+          while (!inf.finished()) {
+            if (inf.needsInput()) {
+              lastN = in.read(feed)
+              require(lastN > 0, s"$file: truncated gzip member at offset $start")
+              pos += lastN
+              inf.setInput(feed, 0, lastN)
+            }
+            val k = inf.inflate(chunk)
+            if (k > 0) out.write(chunk, 0, k)
+            else
+              require(
+                inf.finished() || inf.needsInput(),
+                s"$file: stalled gzip member at offset $start"
+              )
+          }
+          val rem = inf.getRemaining
+          if (rem > 0) { // unused tail belongs to the trailer / next member
+            in.unread(feed, lastN - rem, rem)
+            pos -= rem
+          }
+        } finally inf.end()
+        var t = 0
+        while (t < 4) { u8(); t += 1 } // CRC32 (deflate integrity implied)
+        var isize = 0L
+        t = 0
+        while (t < 4) { isize |= (u8().toLong << (8 * t)); t += 1 }
+        require(
+          isize == (out.size.toLong & 0xffffffffL),
+          s"$file: gzip ISIZE mismatch at offset $start"
+        )
+        (start, pos - start, out.toByteArray)
+      }
+    }
+
+  /** Distributed read of `.warc.gz` segments with COMPRESSED member
+    * coordinates: one gzip member per record (the writer's and Common
+    * Crawl's convention — a member holding more than one record throws),
+    * each member strict-parsed in isolation; `rec_offset`/`rec_length`
+    * are the member's compressed byte span, so [[cdxIndex]] over this
+    * frame yields an index whose coordinates a ranged fetch on the .gz
+    * file can actually serve ([[fetchRecords]] with gz=true).
+    */
+  def readSparkGz(spark: SparkSession, glob: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext
+      .binaryFiles(glob)
+      .flatMap { case (path, pds) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
+        val raw = pds.open()
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => raw.close())
+        gzMembers(name, raw).map { case (memOff, memLen, bytes) =>
+          val recs = parseRecords(name, bytes).toList
+          require(
+            recs.length == 1,
+            s"$name: gzip member at offset $memOff holds ${recs.length} records (one expected)"
+          )
+          val (_, rid, uri, wtype, status, body, _, wdate) = recs.head
+          (name, memOff, memLen, rid, wtype, wdate, uri, status, body)
+        }
+      }
+      .toDF(
+        "warc_file",
+        "rec_offset",
+        "rec_length",
+        "record_id",
+        "warc_type",
+        "warc_date",
+        "target_uri",
+        "http_status",
+        "body"
+      )
+  }
 
   /** Distributed WARC read: one task per segment file (the EDF corpus
     * parallelism argument), row-local strict parsing — INCREMENTAL off
@@ -362,11 +566,21 @@ object WarcOps {
           if (b0 == 0x1f && b1 == 0x8b) new java.util.zip.GZIPInputStream(raw, 1 << 16) else raw
         val tc = org.apache.spark.TaskContext.get()
         if (tc != null) tc.addTaskCompletionListener[Unit](_ => in.close())
-        parseStream(name, in).map { case (off, rid, uri, wtype, status, body) =>
-          (name, off, rid, wtype, uri, status, body)
+        parseStream(name, in).map { case (off, rid, uri, wtype, status, body, recLen, wdate) =>
+          (name, off, recLen, rid, wtype, wdate, uri, status, body)
         }
       }
-      .toDF("warc_file", "rec_offset", "record_id", "warc_type", "target_uri", "http_status", "body")
+      .toDF(
+        "warc_file",
+        "rec_offset",
+        "rec_length",
+        "record_id",
+        "warc_type",
+        "warc_date",
+        "target_uri",
+        "http_status",
+        "body"
+      )
   }
 
   /** STREAMING WARC ingest — the crawl-side arrival pattern: segment
@@ -402,11 +616,21 @@ object WarcOps {
       .as[(String, Array[Byte])]
       .flatMap { case (path, bytes) =>
         val name = path.substring(path.lastIndexOf('/') + 1)
-        parseRecords(name, bytes).map { case (off, rid, uri, wtype, status, body) =>
-          (name, off, rid, wtype, uri, status, body)
+        parseRecords(name, bytes).map { case (off, rid, uri, wtype, status, body, recLen, wdate) =>
+          (name, off, recLen, rid, wtype, wdate, uri, status, body)
         }
       }
-      .toDF("warc_file", "rec_offset", "record_id", "warc_type", "target_uri", "http_status", "body")
+      .toDF(
+        "warc_file",
+        "rec_offset",
+        "rec_length",
+        "record_id",
+        "warc_type",
+        "warc_date",
+        "target_uri",
+        "http_status",
+        "body"
+      )
   }
 
   /** Gate: documents → planted HTML pages → WARC segments → parse back,
@@ -596,12 +820,387 @@ object WarcOps {
       "ELSE concat('[\"', array_to_string(lk.links, '\",\"'), '\"]') END, '}') AS wat_json " +
       "FROM outp o JOIN lk ON lk.doc_id = o.doc_id"
 
+  /** CDX index of a parsed-record frame — the THIRD Common Crawl
+    * sidecar (next to WET/WAT): per record, the SURT urlkey, the
+    * 14-digit capture timestamp, and the (file, offset, length,
+    * digest, status) a wayback-style consumer needs to fetch exactly
+    * ONE record with a ranged read. Wholly row-local off the parse
+    * (the parser already emits exact byte spans that tile the
+    * segment); at crawl scale the index is sorted/bucketed by urlkey
+    * downstream, which SURT makes a per-domain range scan.
+    */
+  def cdxIndex(recs: DataFrame): DataFrame =
+    graft.llm.Urls
+      .canonicalize(recs.withColumn("url", col("target_uri")))
+      .select(
+        col("warc_file"),
+        col("rec_offset"),
+        col("rec_length"),
+        graft.llm.Urls
+          .surtCol(col("host"), expr("substr(canon, length(host) + 1)"))
+          .as("urlkey"),
+        // the ORIGINAL fetch URL rides next to the sort key, as in real
+        // CDXJ lines — consumers (and the revisit writer) join on it
+        col("target_uri").as("url"),
+        regexp_replace(col("warc_date"), "[-:TZ]", "").as("cdx_ts"),
+        col("warc_type"),
+        col("http_status"),
+        md5(col("body")).as("digest")
+      )
+
+  /** CDX length-oracle constants, derived from the ONE record renderer
+    * (a probe render, never hand-counted bytes): a response record's
+    * total length is `cdxFixed + len(uri) + len(str(hHttp + L)) +
+    * hHttp + L` where L = body length — the only non-linearity is the
+    * Content-Length digit count.
+    */
+  private[sources] val cdxHttpLen: Int =
+    httpHead.getBytes(StandardCharsets.UTF_8).length
+  private[sources] val cdxFixed: Int = {
+    val probe = record(f"${0L}%016x-0000-0000-0000-000000000000", "", "")
+    probe.length - cdxHttpLen - String.valueOf(cdxHttpLen).length
+  }
+
+  /** Gate: plant pages → WARC segments (WITH a leading warcinfo
+    * record, so the offset math is exercised past a non-response
+    * header) → parse → CDX. Three independent proofs ride the output:
+    * `tiled` (each record's offset equals the sum of all prior record
+    * lengths in its segment — the warcinfo row is inside the prefix
+    * sums, so its length is covered transitively), `file_exact` (the
+    * per-segment length sum equals the FILESYSTEM's byte count for
+    * the file), and `rec_length` itself against the oracle's
+    * arithmetic render of the record. urlkey/digest/status/timestamp
+    * replay straight off the plant.
+    */
+  /** Shared proof frame for the plain/gz CDX gates: plant → segments
+    * (warcinfo-headed) → parse (decompressed-stream spans for plain,
+    * COMPRESSED member spans for .gz) → CDX projection + the tiling
+    * and filesystem-size checks.
+    */
+  private def cdxProof(
+      s: SparkSession,
+      dir: String,
+      scratchName: String,
+      gzip: Boolean
+  ): DataFrame = {
+    import s.implicits._
+    val pages = Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        uriExpr.as("uri"),
+        expr(graft.llm.Curation.htmlPlantExpr).as("html")
+      )
+    val out = Scratch.dir(scratchName)
+    writeSpark(pages, out, nFiles = 4, gzip = gzip, warcinfo = true)
+    val glob = if (gzip) "part-*.warc.gz" else "part-*.warc"
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val sizes = fs
+      .globStatus(new org.apache.hadoop.fs.Path(out, glob))
+      .map(st => (st.getPath.getName, st.getLen))
+      .toSeq
+      .toDF("warc_file", "file_len")
+    val recs =
+      if (gzip) readSparkGz(s, out + "/" + glob) else readSpark(s, out + "/" + glob)
+    val byFile = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("warc_file"))
+    val ordered = byFile
+      .orderBy(col("rec_offset"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    cdxIndex(recs)
+      .withColumn(
+        "tiled",
+        col("rec_offset") === coalesce(sum(col("rec_length")).over(ordered), lit(0L))
+      )
+      .withColumn("seg_len", sum(col("rec_length")).over(byFile))
+      .join(broadcast(sizes), "warc_file")
+      .filter(col("warc_type") === "response")
+      .withColumn(
+        "doc_id",
+        regexp_extract(col("urlkey"), "/doc/([0-9]+)$", 1).cast("long")
+      )
+      .withColumn("file_exact", col("seg_len") === col("file_len"))
+  }
+
+  def cdxGate(s: SparkSession, dir: String): DataFrame =
+    cdxProof(s, dir, "warc_cdx", gzip = false)
+      .select(
+        col("doc_id"),
+        col("urlkey"),
+        col("cdx_ts"),
+        col("http_status"),
+        col("rec_length"),
+        col("digest"),
+        col("tiled"),
+        col("file_exact")
+      )
+
+  /** The .gz twin: coordinates are COMPRESSED member spans (the real
+    * Common Crawl cdx contract), so `rec_length` is codec output and
+    * stays out of the oracle compare — the proofs here are tiling
+    * (members cover the file exactly: gap-free, overlap-free, ending
+    * at the filesystem byte count) plus the content columns replayed
+    * off the plant.
+    */
+  def cdxGzGate(s: SparkSession, dir: String): DataFrame =
+    cdxProof(s, dir, "warc_cdx_gz", gzip = true)
+      .select(
+        col("doc_id"),
+        col("urlkey"),
+        col("cdx_ts"),
+        col("http_status"),
+        col("digest"),
+        col("tiled"),
+        col("file_exact")
+      )
+
+  val cdxGateSql: String =
+    "WITH pages AS (SELECT doc_id, " +
+      "concat('http://site', CAST(doc_id % 20 AS STRING), '.example.com/doc/', CAST(doc_id AS STRING)) AS uri, " +
+      s"${graft.llm.Curation.htmlPlantExpr} AS html FROM documents) " +
+      "SELECT doc_id, " +
+      "concat('com,example,site', CAST(doc_id % 20 AS STRING), ')/doc/', CAST(doc_id AS STRING)) AS urlkey, " +
+      "'20240101000000' AS cdx_ts, '200' AS http_status, " +
+      s"CAST($cdxFixed + length(uri) + length(CAST($cdxHttpLen + length(html) AS VARCHAR)) + " +
+      s"$cdxHttpLen + length(html) AS BIGINT) AS rec_length, " +
+      "md5(html) AS digest, TRUE AS tiled, TRUE AS file_exact FROM pages"
+
+  /** The CDX CONSUMER — wayback-style single-record serving: given
+    * index rows, fetch each record with a RANGED filesystem read
+    * (`seek(offset)` + exactly `length` bytes — O(record) I/O per
+    * lookup regardless of segment size, the property the whole
+    * offset/length machinery exists for) and strict-parse the slice
+    * in isolation. The gate fetches the doc_id ≡ 0 (mod 5) subset and
+    * hashes the served bodies; the oracle recomputes the digests off
+    * the plant, so a match proves the index coordinates land on
+    * byte-exact record boundaries.
+    */
+  /** The ranged-read core: fetch each record named by a CDX row
+    * (doc_id, warc_file, rec_offset, rec_length) from `segDir` with
+    * `seek(offset)` + exactly `length` bytes and strict-parse the
+    * slice in isolation — O(record) I/O and memory per lookup,
+    * partition-parallel over the lookup set. Emits the served
+    * record's status and body md5.
+    */
+  def fetchRecords(cdxRows: DataFrame, segDir: String, gz: Boolean = false): DataFrame = {
+    val s = cdxRows.sparkSession
+    import s.implicits._
+    val hconf =
+      new org.apache.spark.SerializableWritable(s.sparkContext.hadoopConfiguration)
+    cdxRows
+      .select(col("doc_id"), col("warc_file"), col("rec_offset"), col("rec_length"))
+      .as[(Long, String, Long, Long)]
+      .mapPartitions { it =>
+        val dirPath = new org.apache.hadoop.fs.Path(segDir)
+        val fs = dirPath.getFileSystem(hconf.value)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (docId, file, off, len) =>
+          val in = fs.open(new org.apache.hadoop.fs.Path(dirPath, file))
+          val buf =
+            try {
+              in.seek(off)
+              val b = new Array[Byte](len.toInt)
+              in.readFully(b)
+              b
+            } finally in.close()
+          // a .gz span is one compressed member — gunzip it first (the
+          // byte-range-GET + gunzip serving shape)
+          val rec: java.io.InputStream =
+            if (gz)
+              new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(buf), 1 << 14)
+            else new java.io.ByteArrayInputStream(buf)
+          val (_, _, _, _, status, body, _, _) = parseStream(file, rec).next()
+          md.reset()
+          val hex = md
+            .digest(body.getBytes(StandardCharsets.UTF_8))
+            .map(b => f"$b%02x")
+            .mkString
+          (docId, status, hex)
+        }
+      }
+      .toDF("doc_id", "fetch_status", "fetch_md5")
+  }
+
+  def cdxLookup(s: SparkSession, dir: String): DataFrame = {
+    val pages = Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        uriExpr.as("uri"),
+        expr(graft.llm.Curation.htmlPlantExpr).as("html")
+      )
+    val out = Scratch.dir("cdx_lookup")
+    writeSpark(pages, out, nFiles = 4)
+    val wanted = cdxIndex(readSpark(s, out + "/part-*.warc"))
+      .filter(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("urlkey"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+        col("warc_file"),
+        col("rec_offset"),
+        col("rec_length")
+      )
+      .filter(col("doc_id") % 5 === 0)
+    fetchRecords(wanted, out)
+  }
+
+  val cdxLookupSql: String =
+    "SELECT doc_id, '200' AS fetch_status, " +
+      s"md5(${graft.llm.Curation.htmlPlantExpr}) AS fetch_md5 " +
+      "FROM documents WHERE doc_id % 5 = 0"
+
+  val cdxGzGateSql: String =
+    "WITH pages AS (SELECT doc_id, " +
+      s"${graft.llm.Curation.htmlPlantExpr} AS html FROM documents) " +
+      "SELECT doc_id, " +
+      "concat('com,example,site', CAST(doc_id % 20 AS STRING), ')/doc/', CAST(doc_id AS STRING)) AS urlkey, " +
+      "'20240101000000' AS cdx_ts, '200' AS http_status, " +
+      "md5(html) AS digest, TRUE AS tiled, TRUE AS file_exact FROM pages"
+
+  /** Serving off .gz: ranged read of ONE compressed member + gunzip +
+    * strict parse — the byte-range-GET shape every wayback/CC consumer
+    * runs against the live archive.
+    */
+  def cdxGzLookup(s: SparkSession, dir: String): DataFrame = {
+    val pages = Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        uriExpr.as("uri"),
+        expr(graft.llm.Curation.htmlPlantExpr).as("html")
+      )
+    val out = Scratch.dir("cdx_gz_lookup")
+    writeSpark(pages, out, nFiles = 4, gzip = true)
+    val wanted = cdxIndex(readSparkGz(s, out + "/part-*.warc.gz"))
+      .filter(col("warc_type") === "response")
+      .select(
+        regexp_extract(col("urlkey"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+        col("warc_file"),
+        col("rec_offset"),
+        col("rec_length")
+      )
+      .filter(col("doc_id") % 5 === 0)
+    fetchRecords(wanted, out, gz = true)
+  }
+
+  /** Gate: two crawls of the same URLs — crawl 2 appends ' updated
+    * now' to every doc_id ≡ 0 (mod 3) document's TEXT, but the plant
+    * only renders the first 280 chars, so long changed docs still
+    * produce a byte-identical page (the content-changed /
+    * payload-identical case real crawls hit constantly — it must
+    * classify `revisit`). Crawl 1 is written, CDX-indexed, and its
+    * digests drive [[writeRevisitSpark]] for crawl 2; the gate parses
+    * crawl 2's segments back. The oracle replays the REAL rule —
+    * response iff md5(html2) ≠ md5(html1) — by rendering both plants,
+    * so the classification, the empty revisit payloads, and the
+    * re-stored response bodies all hash-check.
+    */
+  def warcRevisit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pages1 = docs.select(
+      col("doc_id"),
+      uriExpr.as("uri"),
+      expr(graft.llm.Curation.htmlPlantExpr).as("html")
+    )
+    val prev = Scratch.dir("warc_revisit_prev")
+    writeSpark(pages1, prev, nFiles = 4)
+    val cdx1 = cdxIndex(readSpark(s, prev + "/part-*.warc"))
+      .filter(col("warc_type") === "response")
+      .select(col("url").as("uri"), col("digest"))
+    val pages2 = docs
+      .select(
+        col("doc_id"),
+        expr(
+          "CASE WHEN doc_id % 3 = 0 THEN concat(text, ' updated now') ELSE text END"
+        ).as("text")
+      )
+      .select(
+        col("doc_id"),
+        uriExpr.as("uri"),
+        expr(graft.llm.Curation.htmlPlantExpr).as("html")
+      )
+    val out = Scratch.dir("warc_revisit")
+    writeRevisitSpark(pages2, cdx1, out, nFiles = 4)
+    readSpark(s, out + "/part-*.warc")
+      .select(
+        regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+        col("warc_type"),
+        length(col("body")).cast("long").as("n_body_chars"),
+        md5(col("body")).as("body_md5")
+      )
+  }
+
+  val warcRevisitSql: String =
+    "WITH t2 AS (SELECT doc_id, " +
+      "CASE WHEN doc_id % 3 = 0 THEN concat(text, ' updated now') ELSE text END AS text " +
+      "FROM documents), " +
+      s"rp1 AS (SELECT doc_id, ${graft.llm.Curation.htmlPlantExpr} AS html FROM documents), " +
+      s"rp2 AS (SELECT doc_id, ${graft.llm.Curation.htmlPlantExpr} AS html FROM t2) " +
+      "SELECT p2.doc_id, " +
+      "CASE WHEN md5(p2.html) <> md5(p1.html) THEN 'response' ELSE 'revisit' END AS warc_type, " +
+      "CASE WHEN md5(p2.html) <> md5(p1.html) THEN CAST(length(p2.html) AS BIGINT) ELSE 0 END AS n_body_chars, " +
+      "CASE WHEN md5(p2.html) <> md5(p1.html) THEN md5(p2.html) ELSE md5('') END AS body_md5 " +
+      "FROM rp2 p2 JOIN rp1 p1 ON p1.doc_id = p2.doc_id"
+
+  /** CDX shard LAYOUT — the cluster.idx pattern: the index is stored
+    * partitioned by the SURT host prefix (the leading reversed-domain
+    * component SURT exists to expose) so a domain lookup PRUNES to one
+    * shard directory at the scan, and "every capture under
+    * *.example.com" is a directory-local range scan instead of an
+    * index-wide pass. Gate: segments → CDX → partitioned parquet →
+    * read back filtered to two hosts (the plan-audit spec pins the
+    * PartitionFilters pushdown); output aggregates per host with an
+    * order-pinned urlkey-list md5 so the shard CONTENTS hash-check
+    * against the plant.
+    */
+  def cdxLayout(s: SparkSession, dir: String): DataFrame = {
+    val pages = Tables
+      .documents(s, dir)
+      .select(
+        col("doc_id"),
+        uriExpr.as("uri"),
+        expr(graft.llm.Curation.htmlPlantExpr).as("html")
+      )
+    val out = Scratch.dir("cdx_layout_warc")
+    writeSpark(pages, out, nFiles = 4)
+    val shards = Scratch.dir("cdx_layout_shards")
+    cdxIndex(readSpark(s, out + "/part-*.warc"))
+      .filter(col("warc_type") === "response")
+      .withColumn("surt_host", regexp_extract(col("urlkey"), "^([^)]+)", 1))
+      .write
+      .mode("overwrite")
+      .partitionBy("surt_host")
+      .parquet(shards)
+    s.read
+      .parquet(shards)
+      .filter(col("surt_host").isin("com,example,site3", "com,example,site7"))
+      .groupBy(col("surt_host"))
+      .agg(
+        count(lit(1)).as("n_caps"),
+        md5(array_join(array_sort(collect_list(col("urlkey"))), ",")).as("urlkeys_md5")
+      )
+  }
+
+  val cdxLayoutSql: String =
+    "WITH ck AS (SELECT doc_id, " +
+      "concat('com,example,site', CAST(doc_id % 20 AS STRING), ')/doc/', CAST(doc_id AS STRING)) AS urlkey, " +
+      "concat('com,example,site', CAST(doc_id % 20 AS STRING)) AS surt_host FROM documents) " +
+      "SELECT surt_host, CAST(count(*) AS BIGINT) AS n_caps, " +
+      "md5(string_agg(urlkey, ',' ORDER BY urlkey)) AS urlkeys_md5 FROM ck " +
+      "WHERE surt_host IN ('com,example,site3', 'com,example,site7') GROUP BY surt_host"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "warc_roundtrip" -> { (s, dir) => roundtripAgg(s, dir) },
     "warc_gz_roundtrip" -> { (s, dir) => roundtripAgg(s, dir, gzip = true) },
     "warc_html_extract" -> { (s, dir) => warcHtmlExtract(s, dir) },
     "wet_roundtrip" -> { (s, dir) => wetRoundtrip(s, dir) },
-    "wat_roundtrip" -> { (s, dir) => watRoundtrip(s, dir) }
+    "wat_roundtrip" -> { (s, dir) => watRoundtrip(s, dir) },
+    "warc_cdx" -> { (s, dir) => cdxGate(s, dir) },
+    "cdx_lookup" -> { (s, dir) => cdxLookup(s, dir) },
+    "warc_cdx_gz" -> { (s, dir) => cdxGzGate(s, dir) },
+    "cdx_gz_lookup" -> { (s, dir) => cdxGzLookup(s, dir) },
+    "warc_revisit" -> { (s, dir) => warcRevisit(s, dir) },
+    "cdx_layout" -> { (s, dir) => cdxLayout(s, dir) }
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -611,6 +1210,14 @@ object WarcOps {
     // the extraction oracle verbatim — the WARC leg must be invisible
     "warc_html_extract" -> graft.llm.Curation.htmlExtractSql,
     "wet_roundtrip" -> wetRoundtripSql,
-    "wat_roundtrip" -> watRoundtripSql
+    "wat_roundtrip" -> watRoundtripSql,
+    "warc_cdx" -> cdxGateSql,
+    "cdx_lookup" -> cdxLookupSql,
+    "warc_cdx_gz" -> cdxGzGateSql,
+    // serving must be compression-invariant: the gz leg answers the
+    // SAME oracle as the plain leg
+    "cdx_gz_lookup" -> cdxLookupSql,
+    "warc_revisit" -> warcRevisitSql,
+    "cdx_layout" -> cdxLayoutSql
   )
 }

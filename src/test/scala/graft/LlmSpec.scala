@@ -1220,6 +1220,85 @@ class LlmSpec extends AnyFunSuite {
     assert(f("site16", "n_quality") == 1L && f("site16", "n_final") == 0L)
   }
 
+  test("url_surt: host labels reverse behind the canonicalizer; domain becomes a key prefix") {
+    import spark.implicits._
+    // doc 0 exercises the full mess: https + WWW. + mixed case + :443
+    // + trailing slash + utm param + fragment — all must wash out
+    val docs = Seq((0L, "x"), (281L, "x"), (122L, "x")).toDF("doc_id", "text")
+    val out = graft.llm.Urls
+      .urlSurt(docs)
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("surt"))
+      .toMap
+    assert(out(0L) == "com,example,site0)/articles/0?ref=0", s"got ${out(0L)}")
+    assert(out(281L) == "com,example,site1)/articles/1", s"got ${out(281L)}")
+    assert(out(122L) == "com,example,site2)/articles/3", s"got ${out(122L)}")
+    // every surt of one host shares the host's reversed prefix — the
+    // range-scan property
+    assert(out.values.forall(_.matches("com,example,site[0-9]+\\).*")))
+  }
+
+  test("crawl_robots: longest rule governs, allow wins ties, no rule means allowed") {
+    import spark.implicits._
+    // host = doc_id%20, path = /articles/{doc_id%7}
+    val docs = Seq(
+      40L, // host0 (rules), path /articles/5: allow /articles/5 beats disallow /articles
+      100L, // host0, path /articles/2: exact allow/disallow TIE at /articles/2 -> allow
+      120L, // host0, path /articles/1: only disallow /articles matches
+      101L, // host1, path /articles/3: disallow /articles/3
+      141L, // host1, path /articles/1: no rule matches -> allowed
+      122L // host2, path /articles/3: host publishes no rules -> allowed
+    ).map((_, "x")).toDF("doc_id", "text")
+    val out = graft.llm.Urls
+      .crawlRobots(docs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Boolean]("allowed"), r.getAs[String]("rule_dir"), r.getAs[String]("rule_prefix"))))
+      .toMap
+    assert(out(40L) == ((true, "allow", "/articles/5")), s"got ${out(40L)}")
+    assert(out(100L) == ((true, "allow", "/articles/2")), s"got ${out(100L)}")
+    assert(out(120L) == ((false, "disallow", "/articles")), s"got ${out(120L)}")
+    assert(out(101L) == ((false, "disallow", "/articles/3")), s"got ${out(101L)}")
+    assert(out(141L) == ((true, "", "")), s"got ${out(141L)}")
+    assert(out(122L) == ((true, "", "")), s"got ${out(122L)}")
+  }
+
+  test("retrieve_rrf: both-leg docs outrank single-leg winners; missing legs rank 0") {
+    import spark.implicits._
+    // lexical corpus: equal doc length (10 tokens), tf(spark) 4/2/1 on
+    // docs 9/3/5 -> lex ranks 1/2/3; everyone else scores 0 and drops
+    val fill = "alpha beta gamma delta"
+    val docs = Seq(
+      (9L, s"spark spark spark spark aa bb $fill"),
+      (3L, s"spark spark aa bb cc dd $fill"),
+      (5L, s"spark aa bb cc dd ee $fill"),
+      (109L, s"aa bb cc dd ee ff $fill"),
+      (7L, s"gg hh ii jj kk ll $fill")
+    ).toDF("doc_id", "text")
+    // dense corpus: query = vec 0; cos(109)=1 > cos(3)~0.98 > cos(7)~0.71
+    def v(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0f); parts.foreach { case (i, x) => a(i) = x }; a
+    }
+    val emb = Seq(
+      (0L, v(0 -> 1f), 0),
+      (109L, v(0 -> 2f), 0),
+      (3L, v(0 -> 1f, 1 -> 0.2f), 0),
+      (7L, v(0 -> 1f, 1 -> 1f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.llm.Similarity
+      .retrieveRrf(docs, emb)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 3 (rank 2 in BOTH legs) fuses above either leg's rank-1 doc:
+    // 2*(1e9 div 62) = 32258064 > 1e9 div 61 = 16393442
+    assert(out.map(_._1).toSeq == Seq(3L, 9L, 109L, 5L, 7L), s"got ${out.toSeq}")
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(3L) == ((3L, 2L, 2L, 32258064L)))
+    assert(byId(9L) == ((9L, 1L, 0L, 16393442L)), "lex-only doc must report dense_rank 0")
+    assert(byId(109L) == ((109L, 0L, 1L, 16393442L)), "dense-only doc must report lex_rank 0")
+    assert(byId(5L) == ((5L, 3L, 0L, 15873015L)))
+    assert(byId(7L) == ((7L, 0L, 3L, 15873015L)))
+  }
+
   test("text_html_extract: each boilerplate rule drops its designed offender, content survives") {
     import spark.implicits._
     // stopword-rich content so the three <p> slices pass the 10%

@@ -35,7 +35,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "dedup_semdedup", // same ≤16-row centroid-assignment broadcast as sim_ivf / dedup_semantic
     "sim_knn_graph", // same ≤16-row centroid-assignment broadcast as dedup_semdedup
     "sim_communities", // label propagation over sim_knn_graph's edges — same centroid broadcast
-    "text_pmi" // two 1-row totals stat frames (the bm25 shape)
+    "text_pmi", // two 1-row totals stat frames (the bm25 shape)
+    "retrieve_rrf" // embeds text_bm25's 1-row stats broadcast + a 1-ROW dense-query broadcast (the sim_topk query-table shape, N=1)
   )
 
   // a Window.partitionBy(constant) folds to an EMPTY partition spec and
@@ -140,6 +141,12 @@ class PlanAuditSpec extends AnyFunSuite {
     val plan = SparkEntry.queries("sink_parquet")(spark, sf).queryExecution.executedPlan.toString
     val scan = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
     assert(scan.contains("lang"), s"lang partition filter not pushed: $scan")
+  }
+
+  test("cdx_layout read-back prunes surt_host shard partitions at the scan") {
+    val plan = SparkEntry.queries("cdx_layout")(spark, sf).queryExecution.executedPlan.toString
+    val scan = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(scan.contains("surt_host"), s"surt_host partition filter not pushed: $scan")
   }
 
   test("edf_corpus read-back prunes recording partitions at the scan") {
