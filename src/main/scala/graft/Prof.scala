@@ -868,6 +868,14 @@ object Prof {
       t(s"web${webK}k_warc_gz_read", nPages)(
         sources.WarcOps.readSpark(spark, gzDir + "/part-*.warc.gz").count()
       )
+      // r15 gz CDX decade: member splitting with compressed-byte
+      // accounting (the Inflater path) at page scale
+      t(s"web${webK}k_cdx_gz_build", nPages)(
+        sources.WarcOps
+          .cdxIndex(sources.WarcOps.readSparkGz(spark, gzDir + "/part-*.warc.gz"))
+          .filter(col("digest").isNotNull)
+          .count()
+      )
       pages.unpersist()
       ()
     }

@@ -1417,20 +1417,15 @@ object Dedup {
   val rcChunkTok = 32
   val rcDim = 64
 
-  /** Top-k chunk retrieval for each query doc's first chunk: the
-    * text→chunk→embed→candidates→rank composition as ONE query. Scale
-    * shape: chunking and embedding are row-local + one (chunk, bucket)
-    * aggregation; centering totals are a dim-row broadcast; the
-    * candidate join is banded (background ~nBands·n·2^-width per
-    * query); cosine/norm joins touch candidates only; the final rank
-    * window partitions by the real query key.
+  /** Shared chunk-embedding machinery: (dense grid, signatures,
+    * exploded band frame) over the fixed-window chunks — the prefix
+    * [[retrieveChunks]] and [[retrieveMaxsim]] both stand on.
     */
-  def retrieveChunks(
+  private def chunkBandFrames(
       docs: DataFrame,
-      nPlanes: Int = rcPlanes,
-      nBands: Int = rcBands
-  ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      nPlanes: Int,
+      nBands: Int
+  ): (DataFrame, DataFrame, DataFrame) = {
     val toks = slice(split(col("text"), " "), 1, TextStats.maxTokens)
     val ch = docs
       .select(col("doc_id"), toks.as("toks"), least(size(toks), lit(TextStats.maxTokens)).as("dl"))
@@ -1469,6 +1464,24 @@ object Dedup {
       col("chunk_id"),
       posexplode(array((0 until nBands).map(j => col(s"bv$j")): _*)).as(Seq("bi", "bv"))
     )
+    (dense, sig, bands)
+  }
+
+  /** Top-k chunk retrieval for each query doc's first chunk: the
+    * text→chunk→embed→candidates→rank composition as ONE query. Scale
+    * shape: chunking and embedding are row-local + one (chunk, bucket)
+    * aggregation; centering totals are a dim-row broadcast; the
+    * candidate join is banded (background ~nBands·n·2^-width per
+    * query); cosine/norm joins touch candidates only; the final rank
+    * window partitions by the real query key.
+    */
+  def retrieveChunks(
+      docs: DataFrame,
+      nPlanes: Int = rcPlanes,
+      nBands: Int = rcBands
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (dense, sig, bands) = chunkBandFrames(docs, nPlanes, nBands)
     val qb = bands
       .filter(col("doc_id") < rcQueryDocs && col("chunk_id") === 0)
       .select(col("doc_id").as("qdoc"), col("bi"), col("bv"))
@@ -1521,7 +1534,10 @@ object Dedup {
       .filter(col("rank") <= rcTopK)
   }
 
-  def retrieveChunksSql: String = {
+  /** The shared oracle prefix (everything through `bands`) for the
+    * chunk-retrieval family — ends WITHOUT a trailing comma.
+    */
+  private def rcPrefixSql: String = {
     val width = rcPlanes / rcBands
     val ds = (0 until rcPlanes)
       .map(i => s"CAST(sum(cv * (${pSignSqlFromMask(i, rcDim)})) AS BIGINT) AS d$i")
@@ -1554,7 +1570,11 @@ object Dedup {
       "LEFT JOIN tot tt ON tt.bucket = grid.bucket), " +
       s"sig AS MATERIALIZED (SELECT doc_id, chunk_id, CAST(sum(cv * cv) AS BIGINT) AS n2, $ds " +
       "FROM dense GROUP BY doc_id, chunk_id), " +
-      s"bands AS MATERIALIZED ($bandSelects), " +
+      s"bands AS MATERIALIZED ($bandSelects)"
+  }
+
+  def retrieveChunksSql: String = {
+    s"$rcPrefixSql, " +
       s"qb AS (SELECT doc_id AS qdoc, bi, bv FROM bands WHERE doc_id < $rcQueryDocs AND chunk_id = 0), " +
       "cand AS (SELECT DISTINCT q.qdoc, b.doc_id AS doc_b, b.chunk_id AS chunk_b FROM qb q " +
       "JOIN bands b ON b.bi = q.bi AND b.bv = q.bv AND b.doc_id <> q.qdoc), " +
@@ -1572,6 +1592,135 @@ object Dedup {
       "row_number() OVER (PARTITION BY qdoc ORDER BY cos DESC, doc_b, chunk_b) AS rank FROM scored) " +
       s"SELECT qdoc, doc_b, chunk_b, cos, rank FROM ranked WHERE rank <= $rcTopK"
   }
+
+  val msCand = 32 // candidate docs per query after the collision-count cap
+  val msTopK = 3
+
+  /** Late-interaction retrieval (ColBERT MaxSim — Khattab & Zaharia,
+    * SIGIR 2020): score(q, d) = Σ_{query chunks} max_{doc chunks} cos —
+    * every query chunk finds its best-matching passage, so a document
+    * matching DIFFERENT query aspects in different places outranks one
+    * matching a single aspect once. Served as published systems serve
+    * it, in two stages: (1) candidate DOCUMENTS from banded chunk
+    * collisions, capped at `msCand` per query by collision count
+    * (deterministic tie on doc id) — the candidate bound is
+    * independent of corpus size, the property that makes late
+    * interaction servable; (2) the FULL query-chunk × doc-chunk cosine
+    * grid inside each candidate pair (bounded by chunks-per-doc²,
+    * never corpus-sized). Parity: each chunk cosine is round6'd, the
+    * per-query-chunk max is monotone in the rounded value, and the
+    * final sum runs in exact integer MICROS (the band_power_tc
+    * float-sum rule — a float Σ of rounded values would flip 6th
+    * decimals cross-engine).
+    */
+  def retrieveMaxsim(
+      docs: DataFrame,
+      nPlanes: Int = rcPlanes,
+      nBands: Int = rcBands
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (dense, sig, bands) = chunkBandFrames(docs, nPlanes, nBands)
+    val qb = bands
+      .filter(col("doc_id") < rcQueryDocs)
+      .select(col("doc_id").as("qdoc"), col("chunk_id").as("chunk_q"), col("bi"), col("bv"))
+    val coll = bands
+      .join(broadcast(qb), Seq("bi", "bv"))
+      .filter(col("doc_id") =!= col("qdoc"))
+      .select(col("qdoc"), col("chunk_q"), col("doc_id").as("doc_b"), col("chunk_id").as("chunk_b"))
+      .distinct()
+    val wc = Window.partitionBy(col("qdoc")).orderBy(col("ncoll").desc, col("doc_b").asc)
+    val cand = coll
+      .groupBy(col("qdoc"), col("doc_b"))
+      .agg(count(lit(1)).as("ncoll"))
+      .select(col("qdoc"), col("doc_b"), row_number().over(wc).as("cr"))
+      .filter(col("cr") <= msCand)
+      .select(col("qdoc"), col("doc_b"))
+    val num = cand
+      .join(
+        dense
+          .filter(col("doc_id") < rcQueryDocs)
+          .select(
+            col("doc_id").as("qdoc"),
+            col("chunk_id").as("chunk_q"),
+            col("bucket"),
+            col("cv").as("ca")
+          ),
+        Seq("qdoc")
+      )
+      .join(
+        dense.select(
+          col("doc_id").as("doc_b"),
+          col("chunk_id").as("chunk_b"),
+          col("bucket"),
+          col("cv").as("cb")
+        ),
+        Seq("doc_b", "bucket")
+      )
+      .groupBy(col("qdoc"), col("chunk_q"), col("doc_b"), col("chunk_b"))
+      .agg(sum(col("ca") * col("cb")).as("num"))
+    val qn = sig
+      .filter(col("doc_id") < rcQueryDocs)
+      .select(col("doc_id").as("qdoc"), col("chunk_id").as("chunk_q"), col("n2").as("na2"))
+    val cos = num
+      .join(broadcast(qn), Seq("qdoc", "chunk_q"))
+      .join(
+        sig.select(col("doc_id").as("doc_b"), col("chunk_id").as("chunk_b"), col("n2").as("nb2")),
+        Seq("doc_b", "chunk_b")
+      )
+      .select(
+        col("qdoc"),
+        col("chunk_q"),
+        col("doc_b"),
+        graft.core.Dsp
+          .round6(
+            col("num").cast("double") / sqrt(col("na2").cast("double") * col("nb2").cast("double"))
+          )
+          .as("cos")
+      )
+    val best = cos
+      .groupBy(col("qdoc"), col("doc_b"), col("chunk_q"))
+      .agg(expr("CAST(floor(max(cos) * 1000000 + 0.5) AS BIGINT)").as("m"))
+    val w = Window.partitionBy(col("qdoc")).orderBy(col("maxsim_micros").desc, col("doc_b").asc)
+    best
+      .groupBy(col("qdoc"), col("doc_b"))
+      .agg(sum(col("m")).as("maxsim_micros"), count(lit(1)).as("n_qchunks"))
+      .select(
+        col("qdoc"),
+        col("doc_b"),
+        col("n_qchunks"),
+        col("maxsim_micros"),
+        row_number().over(w).as("rank")
+      )
+      .filter(col("rank") <= msTopK)
+  }
+
+  def retrieveMaxsimSql: String =
+    s"$rcPrefixSql, " +
+      s"qb AS (SELECT doc_id AS qdoc, chunk_id AS chunk_q, bi, bv FROM bands WHERE doc_id < $rcQueryDocs), " +
+      "coll AS (SELECT DISTINCT q.qdoc, q.chunk_q, b.doc_id AS doc_b, b.chunk_id AS chunk_b " +
+      "FROM qb q JOIN bands b ON b.bi = q.bi AND b.bv = q.bv AND b.doc_id <> q.qdoc), " +
+      "candn AS (SELECT qdoc, doc_b, count(*) AS ncoll FROM coll GROUP BY 1, 2), " +
+      s"cand AS (SELECT qdoc, doc_b FROM (SELECT qdoc, doc_b, " +
+      "row_number() OVER (PARTITION BY qdoc ORDER BY ncoll DESC, doc_b) AS cr FROM candn) " +
+      s"WHERE cr <= $msCand), " +
+      "mnum AS (SELECT c.qdoc, x.chunk_id AS chunk_q, c.doc_b, y.chunk_id AS chunk_b, " +
+      "CAST(sum(x.cv * y.cv) AS BIGINT) AS num FROM cand c " +
+      s"JOIN dense x ON x.doc_id = c.qdoc AND x.doc_id < $rcQueryDocs " +
+      "JOIN dense y ON y.doc_id = c.doc_b AND y.bucket = x.bucket " +
+      "GROUP BY 1, 2, 3, 4), " +
+      "mcos AS (SELECT n.qdoc, n.chunk_q, n.doc_b, " +
+      graft.core.Dsp.round6Sql(
+        "CAST(n.num AS DOUBLE) / sqrt(CAST(sa.n2 AS DOUBLE) * CAST(sb.n2 AS DOUBLE))"
+      ) + " AS cos " +
+      "FROM mnum n JOIN sig sa ON sa.doc_id = n.qdoc AND sa.chunk_id = n.chunk_q " +
+      "JOIN sig sb ON sb.doc_id = n.doc_b AND sb.chunk_id = n.chunk_b), " +
+      "mbest AS (SELECT qdoc, doc_b, chunk_q, " +
+      "CAST(floor(max(cos) * 1000000 + 0.5) AS BIGINT) AS m FROM mcos GROUP BY 1, 2, 3), " +
+      "ms AS (SELECT qdoc, doc_b, CAST(count(*) AS BIGINT) AS n_qchunks, " +
+      "CAST(sum(m) AS BIGINT) AS maxsim_micros FROM mbest GROUP BY 1, 2), " +
+      "mranked AS (SELECT qdoc, doc_b, n_qchunks, maxsim_micros, " +
+      "row_number() OVER (PARTITION BY qdoc ORDER BY maxsim_micros DESC, doc_b) AS rank FROM ms) " +
+      s"SELECT qdoc, doc_b, n_qchunks, maxsim_micros, rank FROM mranked WHERE rank <= $msTopK"
 
   /** Chunk-level exact dedup with span accounting — the production
     * RAG/pretraining dedup granularity: content-defined chunks
@@ -1808,7 +1957,8 @@ object Dedup {
     "dedup_hash_embed" -> { (s, dir) => hashEmbedDupes(Tables.documents(s, dir)) },
     "dedup_chunks" -> { (s, dir) => dedupChunks(Tables.documents(s, dir)) },
     "dedup_keep_best" -> { (s, dir) => keepBest(Tables.documents(s, dir)) },
-    "retrieve_chunks" -> { (s, dir) => retrieveChunks(Tables.documents(s, dir)) }
+    "retrieve_chunks" -> { (s, dir) => retrieveChunks(Tables.documents(s, dir)) },
+    "retrieve_maxsim" -> { (s, dir) => retrieveMaxsim(Tables.documents(s, dir)) }
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1846,6 +1996,7 @@ object Dedup {
     "dedup_hash_embed" -> hashEmbedDupesSql(),
     "dedup_chunks" -> dedupChunksSql,
     "dedup_keep_best" -> keepBestSql,
-    "retrieve_chunks" -> retrieveChunksSql
+    "retrieve_chunks" -> retrieveChunksSql,
+    "retrieve_maxsim" -> retrieveMaxsimSql
   )
 }

@@ -3114,6 +3114,63 @@ object Similarity {
       "FROM sxx s JOIN mu a ON a.i = s.i JOIN mu b ON b.i = s.j), " +
       s"${pcaIterSql("cov", " MATERIALIZED")}, ${pcaFinishSql("cov", "vn", " MATERIALIZED")}"
 
+  // ---- Filtered ANN: metadata-constrained top-k (the faiss
+  // IDSelector / "filtered search" serving feature): only candidates
+  // satisfying a metadata predicate may rank. The filter composes into
+  // the IVF candidate stream BEFORE any scoring (pre-filtering) — a
+  // post-filter of an unconstrained top-k under-returns whenever the
+  // predicate is selective, which is exactly when filtering matters ----
+
+  /** IVF top-k among `label === labelKeep` vectors only: cell
+    * ASSIGNMENT stays unfiltered (cells describe the whole corpus —
+    * the store is built once, filters arrive per query), the filter
+    * lands on the candidate join's corpus side, so non-matching
+    * candidates drop before their dot product is ever computed.
+    * Matches ivfTopk's plan otherwise (broadcast query table, narrow
+    * ranking frame).
+    */
+  def filteredTopk(
+      emb: DataFrame,
+      nList: Int = 16,
+      nProbe: Int = 4,
+      labelKeep: Int = 1
+  ): DataFrame = {
+    val vs = vecsN(emb)
+    val corpus = vs
+      .filter(col("label") === labelKeep)
+      .select(col("vec_id").as("vid"), col("v").as("vb"), col("nrm").as("nb"))
+    val q = vs
+      .filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("v").as("va"), col("nrm").as("na"))
+    val scored = ivfCandidates(emb, nList, nProbe)
+      .join(corpus, Seq("vid")) // the pre-filter: inner join drops non-label candidates
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("vid"), round(cosExpr, 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("vid").asc)
+    scored
+      .select(col("qid"), col("vid"), col("cos"), row_number().over(w).as("rank"))
+      .filter(col("rank") <= topK)
+  }
+
+  def filteredTopkSql(nList: Int = 16, nProbe: Int = 4, labelKeep: Int = 1): String = {
+    val d2 = "list_sum(list_transform(generate_series(1, 64), i -> " +
+      "(list_extract(a.v, i) - list_extract(c.cv, i)) * (list_extract(a.v, i) - list_extract(c.cv, i))))"
+    "WITH vs AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), " +
+      s"cents AS (SELECT vec_id AS cid, v AS cv FROM vs WHERE vec_id < $nList), " +
+      s"dists AS (SELECT a.vec_id AS pid, c.cid AS cid, $d2 AS d2 FROM vs a CROSS JOIN cents c), " +
+      "rankedc AS (SELECT pid, cid, row_number() OVER (PARTITION BY pid ORDER BY d2 ASC, cid ASC) AS cr FROM dists), " +
+      "assign AS (SELECT pid AS vid, cid FROM rankedc WHERE cr = 1), " +
+      s"qcells AS (SELECT pid AS qid, cid FROM rankedc WHERE cr <= $nProbe AND pid < $nQueries), " +
+      "pairs AS (SELECT q.qid, s.vid, qa.v AS va, cb.v AS vb FROM qcells q JOIN assign s ON s.cid = q.cid " +
+      "JOIN vs qa ON qa.vec_id = q.qid JOIN vs cb ON cb.vec_id = s.vid " +
+      s"WHERE q.qid <> s.vid AND cb.label = $labelKeep), " +
+      s"scored AS (SELECT DISTINCT qid, vid, round($cosSqlExpr, 6) AS cos FROM pairs), " +
+      "ranked AS (SELECT qid, vid, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid ASC) AS rank FROM scored) " +
+      s"SELECT qid, vid, cos, rank FROM ranked WHERE rank <= $topK"
+  }
+
   // ---- Hybrid retrieval: reciprocal rank fusion (Cormack, Clarke &
   // Buettcher, SIGIR 2009) — the standard way production RAG stacks
   // combine a lexical (BM25) leg with a dense (embedding-cosine) leg
@@ -3218,6 +3275,7 @@ object Similarity {
     "retrieve_rrf" -> { (s, dir) =>
       retrieveRrf(Tables.documents(s, dir), Tables.embeddings(s, dir))
     },
+    "sim_filtered_topk" -> { (s, dir) => filteredTopk(Tables.embeddings(s, dir)) },
     "sim_buckets" -> { (s, dir) =>
       // bucket histogram: scale-path observability (bucket, n vectors);
       // 8-plane instance — the literal-SQL-replayable oracle config
@@ -3251,6 +3309,7 @@ object Similarity {
     "decontam_semantic" -> decontamSemanticSql(),
     "sim_topk" -> topkSql,
     "retrieve_rrf" -> retrieveRrfSql,
+    "sim_filtered_topk" -> filteredTopkSql(),
     "sim_buckets" -> bucketsSql,
     "dedup_semantic" -> semanticDupesSql(),
     "sim_ivf_topk" -> ivfTopkSql(),

@@ -235,6 +235,47 @@ object Urls {
       "FROM m WHERE rn = 1"
   }
 
+  /** Frontier SCHEDULING — the politeness stage after the robots
+    * screen: each host serves fetches one at a time with a per-host
+    * crawl delay (the robots Crawl-delay convention), so a frontier
+    * batch maps to (host, slot) with fetch_at = slot · delay. Only
+    * robots-ALLOWED URLs are scheduled (the two screens compose).
+    * Deterministic delay plant: 500 · (1 + host# mod 3) ms — three
+    * politeness classes. Scale shape: slot assignment is ONE window
+    * per host key (the natural frontier partitioning — a 100 TB
+    * crawl's frontier shards by host anyway, and per-host sequencing
+    * is inherently ordered); everything else is row-local.
+    */
+  def crawlSchedule(docs: DataFrame): DataFrame = {
+    val allowed = crawlRobots(docs).filter(col("allowed"))
+    val delayMs =
+      expr("500 * (1 + CAST(substr(host, 5, length(host) - 16) AS BIGINT) % 3)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host"))
+      .orderBy(col("doc_id"))
+    allowed
+      .withColumn("slot", row_number().over(w).cast("long"))
+      .select(
+        col("doc_id"),
+        col("host"),
+        col("path"),
+        col("slot"),
+        ((col("slot") - 1) * delayMs).as("fetch_at_ms")
+      )
+  }
+
+  /** The robots oracle rides as a subquery (allowed rows only), then
+    * the per-host politeness window replays slot · delay exactly.
+    */
+  val crawlScheduleSql: String =
+    "WITH rb AS (SELECT doc_id, host, path, allowed FROM (" + crawlRobotsSql + ") t), " +
+      "al AS (SELECT doc_id, host, path FROM rb WHERE allowed), " +
+      "sl AS (SELECT doc_id, host, path, " +
+      "CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id) AS BIGINT) AS slot FROM al) " +
+      "SELECT doc_id, host, path, slot, " +
+      "(slot - 1) * (500 * (1 + CAST(substr(host, 5, length(host) - 16) AS BIGINT) % 3)) AS fetch_at_ms " +
+      "FROM sl"
+
   /** Per-host profile: the domain-level policy table. */
   def urlHosts(docs: DataFrame): DataFrame =
     withKeep(parsed(docs.select(col("doc_id"), expr(urlPlant).as("url"))))
@@ -741,6 +782,7 @@ object Urls {
     "curate_url_hosts" -> { (s, dir) => urlHosts(Tables.documents(s, dir)) },
     "url_surt" -> { (s, dir) => urlSurt(Tables.documents(s, dir)) },
     "crawl_robots" -> { (s, dir) => crawlRobots(Tables.documents(s, dir)) },
+    "crawl_schedule" -> { (s, dir) => crawlSchedule(Tables.documents(s, dir)) },
     "curate_web" -> { (s, dir) => curateWeb(Tables.documents(s, dir)) },
     "curate_pagerank" -> { (s, dir) => hostPagerank(Tables.documents(s, dir)) },
     "graph_triangles" -> { (s, dir) => hostTriangles(Tables.documents(s, dir)) },
@@ -752,6 +794,7 @@ object Urls {
     "curate_url_hosts" -> urlHostsSql,
     "url_surt" -> urlSurtSql,
     "crawl_robots" -> crawlRobotsSql,
+    "crawl_schedule" -> crawlScheduleSql,
     "curate_web" -> curateWebSql(),
     "curate_pagerank" -> hostPagerankSql(),
     "graph_triangles" -> hostTrianglesSql,

@@ -1262,6 +1262,83 @@ class LlmSpec extends AnyFunSuite {
     assert(out(122L) == ((true, "", "")), s"got ${out(122L)}")
   }
 
+  test("sim_filtered_topk: predicate pre-filters candidates; near neighbors of the wrong label never rank") {
+    import spark.implicits._
+    def v(parts: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0f); parts.foreach { case (i, x) => a(i) = x }; a
+    }
+    // query space: vec 0..9 are queries (nQueries = 10); q1..q9 sit on
+    // orthogonal axes so they can't crowd q0's top-k. Corpus: vec 20
+    // is ALMOST q0 but label 0 — it must never appear; label-1
+    // vectors 21..22 at decreasing cosine fill q0's top-k instead
+    val rows = Seq((0L, v(0 -> 1f, 1 -> 0.01f), 1)) ++
+      (1L to 9L).map(i => (i, v(i.toInt + 1 -> 1f), 1)) ++ Seq(
+        (20L, v(0 -> 1f), 0), // the near-twin with the WRONG label
+        (21L, v(0 -> 1f, 1 -> 0.3f), 1),
+        (22L, v(0 -> 1f, 1 -> 0.8f), 1),
+        (23L, v(1 -> 1f), 1) // orthogonal-ish, still label 1
+      )
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = graft.llm.Similarity
+      .filteredTopk(emb, nList = 4, nProbe = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty)
+    val labels = rows.map(r => r._1 -> r._3).toMap
+    assert(out.forall { case (_, vid) => labels(vid) == 1 }, s"wrong-label vid ranked: ${out.toSeq}")
+    assert(!out.exists(_._2 == 20L), "the near-twin with label 0 must be pre-filtered")
+    // query 0's top hits include the label-1 neighbors
+    val q0 = out.filter(_._1 == 0L).map(_._2).toSet
+    assert(q0.contains(21L) && q0.contains(22L), s"q0 got $q0")
+  }
+
+  test("crawl_schedule: robots survivors get per-host sequential slots at the host's politeness delay") {
+    import spark.implicits._
+    // host1 (delay 1000 ms): docs 141, 161 allowed, 101 disallowed
+    // (path /articles/3); host2 (delay 1500): doc 122; host3 (delay
+    // 500): doc 123 (path /articles/4, no rule for host3 ≡ 0 mod 3?
+    // host3 % 3 = 0 -> blanket disallow /articles) — use host5 instead
+    val docs = Seq(141L, 161L, 101L, 122L, 185L).map((_, "x")).toDF("doc_id", "text")
+    val out = graft.llm.Urls
+      .crawlSchedule(docs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getAs[String]("host"), r.getAs[Long]("slot"), r.getAs[Long]("fetch_at_ms"))))
+      .toMap
+    assert(!out.contains(101L), "disallowed URL must not be scheduled")
+    // host1: two fetches, doc_id order, 1000 ms apart (1 % 3 = 1 -> 2·500)
+    assert(out(141L) == (("site1.example.com", 1L, 0L)), s"got ${out(141L)}")
+    assert(out(161L) == (("site1.example.com", 2L, 1000L)), s"got ${out(161L)}")
+    // host2: delay class 2 % 3 = 2 -> 1500 ms, single fetch at 0
+    assert(out(122L) == (("site2.example.com", 1L, 0L)))
+    // host5: 5 % 3 = 2 -> no rules, allowed, slot 1
+    assert(out(185L)._1 == "site5.example.com" && out(185L)._2 == 1L)
+  }
+
+  test("retrieve_maxsim: a doc matching BOTH query aspects outranks one matching a single aspect") {
+    import spark.implicits._
+    // two 32-token "aspects" A and B (one chunk each at rcChunkTok=32)
+    val A = (1 to 32).map(i => s"alpha$i").mkString(" ")
+    val B = (1 to 32).map(i => s"beta$i").mkString(" ")
+    val C = (1 to 32).map(i => s"noise$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$A $B"), // the query: chunks [A, B]
+      (10L, s"$B $A"), // matches BOTH aspects (order-swapped)
+      (11L, s"$A $C") // matches only aspect A
+    ).toDF("doc_id", "text")
+    val out = graft.llm.Dedup
+      .retrieveMaxsim(docs)
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3), r.getInt(4))))
+      .toMap
+    // hash embeddings are bags of tokens, so the swapped-order doc's
+    // chunks match the query chunks exactly: maxsim = 2 x 1.0
+    assert(out(10L)._2 == 2000000L, s"both-aspect doc: ${out(10L)}")
+    assert(out(10L)._1 == 2L, "two query chunks must contribute")
+    // the single-aspect doc scores ~1.0 + hash noise, strictly below
+    assert(out(11L)._2 < 1700000L && out(11L)._2 > 500000L, s"single-aspect doc: ${out(11L)}")
+    assert(out(10L)._3 == 1 && out(11L)._3 == 2, s"ranks: $out")
+  }
+
   test("retrieve_rrf: both-leg docs outrank single-leg winners; missing legs rank 0") {
     import spark.implicits._
     // lexical corpus: equal doc length (10 tokens), tf(spark) 4/2/1 on
