@@ -187,6 +187,12 @@ object Prof {
       t(s"docs${docsX}_retrieve_chunks", nDocs)(
         llm.Dedup.retrieveChunks(docs, nPlanes = 16, nBands = 2).count()
       )
+      // r15: late-interaction MaxSim at the same scale banding — the
+      // collision cap keeps stage 2 candidate-bounded, so the decade
+      // pins that the full chunk-grid stage never goes corpus-sized
+      t(s"docs${docsX}_retrieve_maxsim", nDocs)(
+        llm.Dedup.retrieveMaxsim(docs, nPlanes = 16, nBands = 2).count()
+      )
       t(s"docs${docsX}_sketch_cms", nDocs)(llm.Sketches.cmsTopTokens(docs).count())
       t(s"docs${docsX}_corpus_shard", nDocs)(llm.Curation.corpusShard(docs).count())
       // replicas of a >264-char doc share their clip prefix → hamming-0

@@ -276,6 +276,68 @@ object Urls {
       "(slot - 1) * (500 * (1 + CAST(substr(host, 5, length(host) - 16) AS BIGINT) % 3)) AS fetch_at_ms " +
       "FROM sl"
 
+  /** Row-local robots decision as ONE generated expression — the
+    * streaming-safe twin of [[crawlRobots]]' join+aggregate (a stream
+    * can't run an unwatermarked per-doc aggregation, and the rule
+    * table is a LITERAL, so the longest-match argmax folds into a
+    * `greatest` over per-rule conditional structs at plan time).
+    * Null = no rule matched (allowed).
+    */
+  private def robotsBestCol(host: Column, path: Column): Column =
+    greatest(robotsRules.map { case (h, d, p) =>
+      when(
+        host === h && path.startsWith(p),
+        struct(
+          lit(p.length).as("l"),
+          lit(if (d == "allow") 1 else 0).as("a"),
+          lit(p).as("p")
+        )
+      )
+    }: _*)
+
+  /** STREAMING frontier scheduling — the ingest twin of
+    * [[crawlSchedule]]: URL candidates arrive in micro-batches, the
+    * robots screen runs row-local on the stream (the literal-rule
+    * `greatest` fold — no aggregation state), and per-host slot
+    * counters persist in `flatMapGroupsWithState` (state = ONE long
+    * per host: the next free slot), so politeness sequencing holds
+    * ACROSS batches — a host's rate limit doesn't reset because a new
+    * batch arrived. Rows sort by doc_id inside each (batch, host)
+    * group, so a doc_id-ordered arrival stream reproduces the batch
+    * scheduler exactly (spec-pinned).
+    */
+  def scheduleStream(in: DataFrame): DataFrame = {
+    val spark = in.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val u = parsed(in.select(col("doc_id"), expr(urlPlant).as("url")))
+      .select(
+        col("doc_id"),
+        col("host"),
+        regexp_extract(expr("substr(canon, length(host) + 1)"), "^[^?]*", 0).as("path")
+      )
+    val best = robotsBestCol(col("host"), col("path"))
+    u.withColumn("best", best)
+      .filter(col("best").isNull || col("best.a") === 1)
+      .select(col("doc_id"), col("host"), col("path"))
+      .as[(Long, String, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, String, String, Long, Long)](
+        OutputMode.Append,
+        GroupStateTimeout.NoTimeout
+      ) { (host: String, rows: Iterator[(Long, String, String)], state: GroupState[Long]) =>
+        val start = state.getOption.getOrElse(0L)
+        val sorted = rows.toArray.sortBy(_._1)
+        val delay = 500L * (1 + host.drop(4).takeWhile(_.isDigit).toLong % 3)
+        val out = sorted.zipWithIndex.map { case ((id, h, path), i) =>
+          (id, h, path, start + i + 1, (start + i) * delay)
+        }
+        state.update(start + sorted.length)
+        out.iterator
+      }
+      .toDF("doc_id", "host", "path", "slot", "fetch_at_ms")
+  }
+
   /** Per-host profile: the domain-level policy table. */
   def urlHosts(docs: DataFrame): DataFrame =
     withKeep(parsed(docs.select(col("doc_id"), expr(urlPlant).as("url"))))

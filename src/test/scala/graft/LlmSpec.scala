@@ -1314,6 +1314,43 @@ class LlmSpec extends AnyFunSuite {
     assert(out(185L)._1 == "site5.example.com" && out(185L)._2 == 1L)
   }
 
+  test("scheduleStream: per-host slots continue across batches; robots screen holds on the stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = graft.llm.Urls
+      .scheduleStream(input.toDF().toDF("doc_id", "text"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("sched_stream_out")
+      .start()
+    // batch 1: host1 gets doc 141 (slot 1); 101 is robots-disallowed
+    input.addData((141L, "x"), (101L, "x"))
+    q.processAllAvailable()
+    // batch 2: host1's NEXT fetch (161) must take slot 2 at +1000 ms —
+    // the counter survived the batch boundary
+    input.addData((161L, "x"), (122L, "x"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark
+      .table("sched_stream_out")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("slot"), r.getAs[Long]("fetch_at_ms"))))
+      .toMap
+    assert(!got.contains(101L), "disallowed URL scheduled on the stream")
+    assert(got(141L) == ((1L, 0L)) && got(161L) == ((2L, 1000L)), s"slot continuity broke: $got")
+    assert(got(122L) == ((1L, 0L)))
+    // and the stream's verdict equals the batch scheduler on the union
+    val batch = graft.llm.Urls
+      .crawlSchedule(Seq(141L, 101L, 161L, 122L).map((_, "x")).toDF("doc_id", "text"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("slot"), r.getAs[Long]("fetch_at_ms"))))
+      .toMap
+    assert(got == batch, s"stream != batch: $got vs $batch")
+  }
+
   test("retrieve_maxsim: a doc matching BOTH query aspects outranks one matching a single aspect") {
     import spark.implicits._
     // two 32-token "aspects" A and B (one chunk each at rcChunkTok=32)
