@@ -1212,6 +1212,31 @@ object Dedup {
     * Returns (dense(key…, bucket, cv), sig(key…, n2, bv0..)) — both
     * localCheckpointed (each fans out into downstream joins).
     */
+  /** r15 scale rework — measured at the 500k-doc / 5M-chunk decade:
+    * the original form materialized the FULL corpus-wide centered grid
+    * (keys × dim rows — 320M at the decade, a data-sized checkpoint
+    * the 8g default heap couldn't even aggregate) just to (a) sign the
+    * hyperplanes and (b) score candidates. Both uses collapse:
+    *
+    * (a) SIGNATURES from the SPARSE sums alone — algebra, not
+    * approximation: with m_b = floor(t_b/n) the per-bucket centering
+    * mean and σ_b ∈ {−1,+1} the plane signs,
+    * `d_i = Σ_b (s_b − m_b)σ_b = Σ_{nonzero} s_b σ_b − Σ_{ALL b} m_b σ_b`
+    * — the second term is a per-plane CONSTANT; likewise
+    * `n2 = Σ_{nonzero}(s_b² − 2 s_b m_b) + Σ_b m_b²`. The aggregation
+    * input shrinks from keys×dim to the nonzero rows, and the grid
+    * join disappears.
+    *
+    * (b) the dense grid only ever scores CANDIDATES, a banded-join-
+    * bounded set — `denseOf(subset)` builds it for exactly those keys.
+    *
+    * m_b, the per-plane constants, and Σm² ride as LITERALS from one
+    * bounded driver collect (dim rows — the codebook-collect class),
+    * computed with the SAME floor-of-double-ratio expression as
+    * before, so every emitted value is bit-identical to the grid form
+    * and the unchanged DuckDB oracles (which still replay the dense
+    * grid) keep hashing.
+    */
   private def centeredBandSignatures(
       keys: DataFrame,
       sums: DataFrame,
@@ -1219,44 +1244,64 @@ object Dedup {
       dim: Int,
       nPlanes: Int,
       nBands: Int
-  ): (DataFrame, DataFrame) = {
+  ): (DataFrame => DataFrame, DataFrame) = {
     require(nPlanes % nBands == 0, s"nBands $nBands must divide plane count $nPlanes")
     val width = nPlanes / nBands
     val kc = keyCols.map(col)
-    val totals = sums.groupBy(col("bucket")).agg(sum(col("s")).as("t"))
-    val nKeys = keys.select(count(lit(1)).as("n"))
-    val dense = keys
-      .select(kc :+ explode(array((0 until dim).map(b => lit(b.toLong)): _*)).as("bucket"): _*)
-      .join(sums, keyCols :+ "bucket", "left")
-      .join(broadcast(totals), Seq("bucket"), "left")
-      .crossJoin(broadcast(nKeys))
-      .select(
-        kc ++ Seq(
-          col("bucket"),
-          (coalesce(col("s"), lit(0L)) -
-            floor(coalesce(col("t"), lit(0L)).cast("double") / col("n").cast("double"))
-              .cast("long")).as("cv")
-        ): _*
-      )
-      .localCheckpoint() // referenced by the signature agg and the scoring joins
+    // pin the token aggregation once: totals, signatures, and every
+    // candidate grid read this checkpoint
+    val sumsC = sums.localCheckpoint()
+    val n = keys.count()
+    val tArr = Array.fill(dim)(0L)
+    sumsC
+      .groupBy(col("bucket"))
+      .agg(sum(col("s")).as("t"))
+      .collect()
+      .foreach(r => tArr(r.getAs[Long]("bucket").toInt) = r.getAs[Long]("t"))
+    // the exact expression the grid form evaluated per row
+    val mArr = tArr.map(t => math.floor(t.toDouble / n.toDouble).toLong)
+    val mLit = array(mArr.map(lit): _*)
+    def mOf(bucket: Column): Column = element_at(mLit, bucket.cast("int") + 1)
+    def sgn(mask: Long, b: Int): Long = (((mask >> b) & 1L) * 2L) - 1L
+    val cPlane = (0 until nPlanes).map { i =>
+      val mask = planeMask(i, dim)
+      (0 until dim).map(b => mArr(b) * sgn(mask, b)).sum
+    }
+    val c2 = mArr.map(m => m * m).sum
     def pSign(i: Int): Column =
       expr(s"(shiftright(CAST(${planeMask(i, dim)} AS BIGINT), CAST(bucket AS INT)) & 1) * 2 - 1")
-    val aggs = (0 until nPlanes).map(i => sum(col("cv") * pSign(i)).as(s"d$i")) :+
-      sum(col("cv") * col("cv")).as("n2")
-    val sig = dense
-      .groupBy(kc: _*)
-      .agg(aggs.head, aggs.tail: _*)
+    val aggs = (0 until nPlanes).map(i => sum(col("s") * pSign(i)).as(s"sd$i")) :+
+      sum(col("s") * col("s") - lit(2L) * col("s") * mOf(col("bucket"))).as("sn2")
+    val sp = sumsC.groupBy(kc: _*).agg(aggs.head, aggs.tail: _*)
+    // a key whose every token-sign cancelled has NO nonzero bucket —
+    // it still carries the all-constant centered row (left join)
+    val sig = keys
+      .join(sp, keyCols, "left")
       .select(
-        kc ++ Seq(col("n2")) ++
+        kc ++ Seq((coalesce(col("sn2"), lit(0L)) + lit(c2)).as("n2")) ++
           (0 until nBands).map { j =>
             (0 until width)
-              .map(k => when(col(s"d${j * width + k}") > 0, lit(1L << k)).otherwise(lit(0L)))
+              .map { k =>
+                val i = j * width + k
+                when(coalesce(col(s"sd$i"), lit(0L)) - lit(cPlane(i)) > 0, lit(1L << k))
+                  .otherwise(lit(0L))
+              }
               .reduce(_ + _)
               .as(s"bv$j")
           }: _*
       )
       .localCheckpoint() // fans out into the banded joins and norm lookups
-    (dense, sig)
+    val denseOf: DataFrame => DataFrame = subset =>
+      subset
+        .select(kc :+ explode(array((0 until dim).map(b => lit(b.toLong)): _*)).as("bucket"): _*)
+        .join(sumsC, keyCols :+ "bucket", "left")
+        .select(
+          kc ++ Seq(
+            col("bucket"),
+            (coalesce(col("s"), lit(0L)) - mOf(col("bucket"))).as("cv")
+          ): _*
+        )
+    (denseOf, sig)
   }
 
   def hashEmbedDupes(
@@ -1272,7 +1317,7 @@ object Dedup {
     // distinct keys frame: the oracle's nn CTE counts DISTINCT doc_id,
     // so a documents table carrying a duplicated doc_id must not shift
     // the centering mean on the Spark side only (ADVICE r10)
-    val (dense, sig) = centeredBandSignatures(
+    val (denseOf, sig) = centeredBandSignatures(
       docs.select(col("doc_id")).distinct(),
       wi,
       Seq("doc_id"),
@@ -1290,9 +1335,17 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct() // a pair can share several bands; score it once
+    // centered vectors built for the CANDIDATE docs only (r15: the
+    // corpus-wide grid is gone — candidates are banded-join bounded)
+    val cd = denseOf(
+      cand
+        .select(col("doc_a").as("doc_id"))
+        .unionByName(cand.select(col("doc_b").as("doc_id")))
+        .distinct()
+    ).localCheckpoint() // both join sides read it
     val num = cand
-      .join(dense.select(col("doc_id").as("doc_a"), col("bucket"), col("cv").as("ca")), Seq("doc_a"))
-      .join(dense.select(col("doc_id").as("doc_b"), col("bucket"), col("cv").as("cb")), Seq("doc_b", "bucket"))
+      .join(cd.select(col("doc_id").as("doc_a"), col("bucket"), col("cv").as("ca")), Seq("doc_a"))
+      .join(cd.select(col("doc_id").as("doc_b"), col("bucket"), col("cv").as("cb")), Seq("doc_b", "bucket"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(sum(col("ca") * col("cb")).as("num"))
     num
@@ -1425,7 +1478,7 @@ object Dedup {
       docs: DataFrame,
       nPlanes: Int,
       nBands: Int
-  ): (DataFrame, DataFrame, DataFrame) = {
+  ): (DataFrame => DataFrame, DataFrame, DataFrame) = {
     val toks = slice(split(col("text"), " "), 1, TextStats.maxTokens)
     val ch = docs
       .select(col("doc_id"), toks.as("toks"), least(size(toks), lit(TextStats.maxTokens)).as("dl"))
@@ -1451,7 +1504,7 @@ object Dedup {
       .groupBy(col("doc_id"), col("chunk_id"), col("bucket"))
       .agg(sum(col("sign")).as("s"))
       .filter(col("s") =!= 0)
-    val (dense, sig) = centeredBandSignatures(
+    val (denseOf, sig) = centeredBandSignatures(
       ch.select(col("doc_id"), col("chunk_id")),
       sums,
       Seq("doc_id", "chunk_id"),
@@ -1464,7 +1517,7 @@ object Dedup {
       col("chunk_id"),
       posexplode(array((0 until nBands).map(j => col(s"bv$j")): _*)).as(Seq("bi", "bv"))
     )
-    (dense, sig, bands)
+    (denseOf, sig, bands)
   }
 
   /** Top-k chunk retrieval for each query doc's first chunk: the
@@ -1481,7 +1534,7 @@ object Dedup {
       nBands: Int = rcBands
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (dense, sig, bands) = chunkBandFrames(docs, nPlanes, nBands)
+    val (denseOf, sig, bands) = chunkBandFrames(docs, nPlanes, nBands)
     val qb = bands
       .filter(col("doc_id") < rcQueryDocs && col("chunk_id") === 0)
       .select(col("doc_id").as("qdoc"), col("bi"), col("bv"))
@@ -1490,15 +1543,23 @@ object Dedup {
       .filter(col("doc_id") =!= col("qdoc"))
       .select(col("qdoc"), col("doc_id").as("doc_b"), col("chunk_id").as("chunk_b"))
       .distinct() // a pair can share both bands; score it once
+    // centered vectors for the QUERY and CANDIDATE chunks only (r15:
+    // the corpus-wide grid is gone — candidates are banded-bounded)
+    val qd = denseOf(
+      sig
+        .filter(col("doc_id") < rcQueryDocs && col("chunk_id") === 0)
+        .select(col("doc_id"), col("chunk_id"))
+    )
+    val bd = denseOf(
+      cand.select(col("doc_b").as("doc_id"), col("chunk_b").as("chunk_id")).distinct()
+    )
     val num = cand
       .join(
-        dense
-          .filter(col("chunk_id") === 0 && col("doc_id") < rcQueryDocs)
-          .select(col("doc_id").as("qdoc"), col("bucket"), col("cv").as("ca")),
+        qd.select(col("doc_id").as("qdoc"), col("bucket"), col("cv").as("ca")),
         Seq("qdoc")
       )
       .join(
-        dense.select(
+        bd.select(
           col("doc_id").as("doc_b"),
           col("chunk_id").as("chunk_b"),
           col("bucket"),
@@ -1619,7 +1680,7 @@ object Dedup {
       nBands: Int = rcBands
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (dense, sig, bands) = chunkBandFrames(docs, nPlanes, nBands)
+    val (denseOf, sig, bands) = chunkBandFrames(docs, nPlanes, nBands)
     val qb = bands
       .filter(col("doc_id") < rcQueryDocs)
       .select(col("doc_id").as("qdoc"), col("chunk_id").as("chunk_q"), col("bi"), col("bv"))
@@ -1635,20 +1696,28 @@ object Dedup {
       .select(col("qdoc"), col("doc_b"), row_number().over(wc).as("cr"))
       .filter(col("cr") <= msCand)
       .select(col("qdoc"), col("doc_b"))
+    // centered vectors for every query chunk and every chunk of the
+    // capped candidate docs (r15: no corpus-wide grid)
+    val qd = denseOf(
+      sig.filter(col("doc_id") < rcQueryDocs).select(col("doc_id"), col("chunk_id"))
+    )
+    val bd = denseOf(
+      sig
+        .join(cand.select(col("doc_b").as("doc_id")).distinct(), Seq("doc_id"))
+        .select(col("doc_id"), col("chunk_id"))
+    )
     val num = cand
       .join(
-        dense
-          .filter(col("doc_id") < rcQueryDocs)
-          .select(
-            col("doc_id").as("qdoc"),
-            col("chunk_id").as("chunk_q"),
-            col("bucket"),
-            col("cv").as("ca")
-          ),
+        qd.select(
+          col("doc_id").as("qdoc"),
+          col("chunk_id").as("chunk_q"),
+          col("bucket"),
+          col("cv").as("ca")
+        ),
         Seq("qdoc")
       )
       .join(
-        dense.select(
+        bd.select(
           col("doc_id").as("doc_b"),
           col("chunk_id").as("chunk_b"),
           col("bucket"),

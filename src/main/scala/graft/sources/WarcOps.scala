@@ -1189,6 +1189,74 @@ object WarcOps {
       "md5(string_agg(urlkey, ',' ORDER BY urlkey)) AS urlkeys_md5 FROM ck " +
       "WHERE surt_host IN ('com,example,site3', 'com,example,site7') GROUP BY surt_host"
 
+  /** The ARCHIVE'S LOGICAL VIEW across crawls — wayback's "serve the
+    * latest capture": crawl 2's CDX carries `response` rows (changed
+    * pages, stored) and `revisit` rows (unchanged pages, NOT stored —
+    * their bytes live in crawl 1). Resolution is one equi-join: a
+    * revisit row takes its serving coordinates and digest from the
+    * PRIOR crawl's CDX row for the same URL. The gate proves the
+    * invariant the whole dedup machinery exists to preserve: after
+    * resolution, EVERY url serves exactly its latest content
+    * (served_digest == md5(html₂) for all docs — for revisit rows
+    * that equality holds precisely because payload-identity is what
+    * classified them), while `src` records which crawl physically
+    * holds the bytes.
+    */
+  def cdxResolve(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pages1 = docs.select(
+      col("doc_id"),
+      uriExpr.as("uri"),
+      expr(graft.llm.Curation.htmlPlantExpr).as("html")
+    )
+    val prev = Scratch.dir("cdx_resolve_prev")
+    writeSpark(pages1, prev, nFiles = 4)
+    val cdx1 = cdxIndex(readSpark(s, prev + "/part-*.warc"))
+      .filter(col("warc_type") === "response")
+      .select(col("url"), col("digest").as("prev_digest"))
+      .localCheckpoint() // feeds the revisit writer AND the resolution join
+    val pages2 = docs
+      .select(
+        col("doc_id"),
+        expr(
+          "CASE WHEN doc_id % 3 = 0 THEN concat(text, ' updated now') ELSE text END"
+        ).as("text")
+      )
+      .select(
+        col("doc_id"),
+        uriExpr.as("uri"),
+        expr(graft.llm.Curation.htmlPlantExpr).as("html")
+      )
+    val out = Scratch.dir("cdx_resolve_new")
+    writeRevisitSpark(pages2, cdx1.select(col("url").as("uri"), col("prev_digest").as("digest")), out)
+    cdxIndex(readSpark(s, out + "/part-*.warc"))
+      .join(cdx1, Seq("url"), "left")
+      .select(
+        regexp_extract(col("urlkey"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+        col("urlkey"),
+        when(col("warc_type") === "revisit", col("prev_digest"))
+          .otherwise(col("digest"))
+          .as("served_digest"),
+        when(col("warc_type") === "revisit", lit("prev")).otherwise(lit("new")).as("src")
+      )
+  }
+
+  /** Resolution must hand every URL its LATEST content: the oracle
+    * renders crawl 2's plant directly — a hash match proves the
+    * revisit indirection is lossless.
+    */
+  val cdxResolveSql: String =
+    "WITH t2 AS (SELECT doc_id, " +
+      "CASE WHEN doc_id % 3 = 0 THEN concat(text, ' updated now') ELSE text END AS text " +
+      "FROM documents), " +
+      s"rp1 AS (SELECT doc_id, ${graft.llm.Curation.htmlPlantExpr} AS html FROM documents), " +
+      s"rp2 AS (SELECT doc_id, ${graft.llm.Curation.htmlPlantExpr} AS html FROM t2) " +
+      "SELECT p2.doc_id, " +
+      "concat('com,example,site', CAST(p2.doc_id % 20 AS STRING), ')/doc/', CAST(p2.doc_id AS STRING)) AS urlkey, " +
+      "md5(p2.html) AS served_digest, " +
+      "CASE WHEN md5(p2.html) <> md5(p1.html) THEN 'new' ELSE 'prev' END AS src " +
+      "FROM rp2 p2 JOIN rp1 p1 ON p1.doc_id = p2.doc_id"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "warc_roundtrip" -> { (s, dir) => roundtripAgg(s, dir) },
     "warc_gz_roundtrip" -> { (s, dir) => roundtripAgg(s, dir, gzip = true) },
@@ -1200,7 +1268,8 @@ object WarcOps {
     "warc_cdx_gz" -> { (s, dir) => cdxGzGate(s, dir) },
     "cdx_gz_lookup" -> { (s, dir) => cdxGzLookup(s, dir) },
     "warc_revisit" -> { (s, dir) => warcRevisit(s, dir) },
-    "cdx_layout" -> { (s, dir) => cdxLayout(s, dir) }
+    "cdx_layout" -> { (s, dir) => cdxLayout(s, dir) },
+    "cdx_resolve" -> { (s, dir) => cdxResolve(s, dir) }
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1218,6 +1287,7 @@ object WarcOps {
     // SAME oracle as the plain leg
     "cdx_gz_lookup" -> cdxLookupSql,
     "warc_revisit" -> warcRevisitSql,
-    "cdx_layout" -> cdxLayoutSql
+    "cdx_layout" -> cdxLayoutSql,
+    "cdx_resolve" -> cdxResolveSql
   )
 }
