@@ -1212,8 +1212,10 @@ object Dedup {
     * Returns (dense(key…, bucket, cv), sig(key…, n2, bv0..)) — both
     * localCheckpointed (each fans out into downstream joins).
     */
-  /** r15 scale rework — measured at the 500k-doc / 5M-chunk decade:
-    * the original form materialized the FULL corpus-wide centered grid
+  /** Sparse form — the CHUNK family's shape ([[retrieveChunks]] /
+    * [[retrieveMaxsim]]: 32-token vectors over 64 buckets, keys = every
+    * chunk). r15 scale rework, measured at the 5M-chunk decade: the
+    * grid form materialized the FULL corpus-wide centered grid
     * (keys × dim rows — 320M at the decade, a data-sized checkpoint
     * the 8g default heap couldn't even aggregate) just to (a) sign the
     * hyperplanes and (b) score candidates. Both uses collapse:
@@ -1237,6 +1239,62 @@ object Dedup {
     * and the unchanged DuckDB oracles (which still replay the dense
     * grid) keep hashing.
     */
+  /** Grid form — the right shape when vectors are DENSE in the bucket
+    * space and keys are corpus-bounded (doc-level hash embeddings:
+    * ~90 tokens over 64 buckets makes the grid the SAME order as the
+    * nonzero sums, so the sparse algebra saves nothing and its extra
+    * job barriers cost ~40% at gate scale — measured r15: 6.5 → 9.1 s
+    * solo). One checkpointed grid serves the signature aggregation
+    * and the scoring joins. The CHUNK family (sparse 32-token vectors,
+    * 10× the keys) uses [[centeredBandSignatures]] instead.
+    */
+  private def gridBandSignatures(
+      keys: DataFrame,
+      sums: DataFrame,
+      keyCols: Seq[String],
+      dim: Int,
+      nPlanes: Int,
+      nBands: Int
+  ): (DataFrame, DataFrame) = {
+    require(nPlanes % nBands == 0, s"nBands $nBands must divide plane count $nPlanes")
+    val width = nPlanes / nBands
+    val kc = keyCols.map(col)
+    val totals = sums.groupBy(col("bucket")).agg(sum(col("s")).as("t"))
+    val nKeys = keys.select(count(lit(1)).as("n"))
+    val dense = keys
+      .select(kc :+ explode(array((0 until dim).map(b => lit(b.toLong)): _*)).as("bucket"): _*)
+      .join(sums, keyCols :+ "bucket", "left")
+      .join(broadcast(totals), Seq("bucket"), "left")
+      .crossJoin(broadcast(nKeys))
+      .select(
+        kc ++ Seq(
+          col("bucket"),
+          (coalesce(col("s"), lit(0L)) -
+            floor(coalesce(col("t"), lit(0L)).cast("double") / col("n").cast("double"))
+              .cast("long")).as("cv")
+        ): _*
+      )
+      .localCheckpoint() // referenced by the signature agg and the scoring joins
+    def pSign(i: Int): Column =
+      expr(s"(shiftright(CAST(${planeMask(i, dim)} AS BIGINT), CAST(bucket AS INT)) & 1) * 2 - 1")
+    val aggs = (0 until nPlanes).map(i => sum(col("cv") * pSign(i)).as(s"d$i")) :+
+      sum(col("cv") * col("cv")).as("n2")
+    val sig = dense
+      .groupBy(kc: _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        kc ++ Seq(col("n2")) ++
+          (0 until nBands).map { j =>
+            (0 until width)
+              .map(k => when(col(s"d${j * width + k}") > 0, lit(1L << k)).otherwise(lit(0L)))
+              .reduce(_ + _)
+              .as(s"bv$j")
+          }: _*
+      )
+      .localCheckpoint() // fans out into the banded joins and norm lookups
+    (dense, sig)
+  }
+
   private def centeredBandSignatures(
       keys: DataFrame,
       sums: DataFrame,
@@ -1317,7 +1375,7 @@ object Dedup {
     // distinct keys frame: the oracle's nn CTE counts DISTINCT doc_id,
     // so a documents table carrying a duplicated doc_id must not shift
     // the centering mean on the Spark side only (ADVICE r10)
-    val (denseOf, sig) = centeredBandSignatures(
+    val (dense, sig) = gridBandSignatures(
       docs.select(col("doc_id")).distinct(),
       wi,
       Seq("doc_id"),
@@ -1335,17 +1393,9 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct() // a pair can share several bands; score it once
-    // centered vectors built for the CANDIDATE docs only (r15: the
-    // corpus-wide grid is gone — candidates are banded-join bounded)
-    val cd = denseOf(
-      cand
-        .select(col("doc_a").as("doc_id"))
-        .unionByName(cand.select(col("doc_b").as("doc_id")))
-        .distinct()
-    ).localCheckpoint() // both join sides read it
     val num = cand
-      .join(cd.select(col("doc_id").as("doc_a"), col("bucket"), col("cv").as("ca")), Seq("doc_a"))
-      .join(cd.select(col("doc_id").as("doc_b"), col("bucket"), col("cv").as("cb")), Seq("doc_b", "bucket"))
+      .join(dense.select(col("doc_id").as("doc_a"), col("bucket"), col("cv").as("ca")), Seq("doc_a"))
+      .join(dense.select(col("doc_id").as("doc_b"), col("bucket"), col("cv").as("cb")), Seq("doc_b", "bucket"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(sum(col("ca") * col("cb")).as("num"))
     num
@@ -1543,6 +1593,7 @@ object Dedup {
       .filter(col("doc_id") =!= col("qdoc"))
       .select(col("qdoc"), col("doc_id").as("doc_b"), col("chunk_id").as("chunk_b"))
       .distinct() // a pair can share both bands; score it once
+      .localCheckpoint() // feeds the candidate grid AND the num join
     // centered vectors for the QUERY and CANDIDATE chunks only (r15:
     // the corpus-wide grid is gone — candidates are banded-bounded)
     val qd = denseOf(
@@ -1696,6 +1747,7 @@ object Dedup {
       .select(col("qdoc"), col("doc_b"), row_number().over(wc).as("cr"))
       .filter(col("cr") <= msCand)
       .select(col("qdoc"), col("doc_b"))
+      .localCheckpoint() // feeds the candidate grid AND the num join
     // centered vectors for every query chunk and every chunk of the
     // capped candidate docs (r15: no corpus-wide grid)
     val qd = denseOf(
