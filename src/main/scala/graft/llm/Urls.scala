@@ -177,16 +177,11 @@ object Urls {
     * struct order (prefix length, then allow-beats-disallow); equal
     * lengths force equal prefixes, so the order is total.
     */
-  def crawlRobots(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
-    val u = parsed(docs.select(col("doc_id"), expr(urlPlant).as("url")))
-      .select(
-        col("doc_id"),
-        col("host"),
-        regexp_extract(expr("substr(canon, length(host) + 1)"), "^[^?]*", 0).as("path")
-      )
-    val rules = robotsRules.toDF("r_host", "directive", "prefix")
+  /** The longest-match screen over an arbitrary (r_host, directive,
+    * prefix) rule frame — shared by the literal-rule gate and the
+    * robots.txt PARSER gate.
+    */
+  private def robotsMatch(u: DataFrame, rules: DataFrame): DataFrame =
     u.join(
       broadcast(rules),
       col("host") === col("r_host") && col("path").startsWith(col("prefix")),
@@ -215,7 +210,106 @@ object Urls {
           .as("rule_dir"),
         coalesce(col("best.p"), lit("")).as("rule_prefix")
       )
+
+  /** (doc_id, host, path) off the planted-URL canonicalizer — the
+    * frame both robots gates screen.
+    */
+  private def urlPathFrame(docs: DataFrame): DataFrame =
+    parsed(docs.select(col("doc_id"), expr(urlPlant).as("url")))
+      .select(
+        col("doc_id"),
+        col("host"),
+        regexp_extract(expr("substr(canon, length(host) + 1)"), "^[^?]*", 0).as("path")
+      )
+
+  def crawlRobots(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    robotsMatch(urlPathFrame(docs), robotsRules.toDF("r_host", "directive", "prefix"))
   }
+
+  /** Per-host robots.txt DOCUMENT plant — the same policy as
+    * [[robotsRules]], rendered as the text a fetcher would retrieve
+    * (comment, User-agent group, Allow/Disallow lines, Crawl-delay);
+    * one dual-dialect expression over a host-number column `hn`
+    * (newlines via chr(10) — identical in both engines).
+    */
+  val robotsTxtPlant: String =
+    "concat('# robots.txt for site', CAST(hn AS STRING), chr(10), " +
+      "'User-agent: *', chr(10), " +
+      "CASE WHEN hn % 3 = 0 THEN concat('Disallow: /articles', chr(10), " +
+      "'Allow: /articles/5', chr(10), 'Allow: /articles/2', chr(10), " +
+      "'Disallow: /articles/2', chr(10), 'Crawl-delay: 2', chr(10)) " +
+      "WHEN hn % 3 = 1 THEN concat('Disallow: /articles/3', chr(10)) " +
+      "ELSE concat('# no rules for this host', chr(10)) END)"
+
+  /** robots.txt PARSING + screening — fetch→parse→screen closed end
+    * to end: the per-host robots DOCUMENTS are split into lines
+    * (simple string ops, no regex-dialect surface), Allow/Disallow
+    * lines become the rule table, Crawl-delay is pulled per host
+    * (default 1 s), and the SAME longest-match screen runs over the
+    * parsed rules. Scale shape: parsing is row-local over a
+    * hosts-sized frame (robots corpora are KBs per host — broadcast
+    * class at any crawl size); spec pins parsed ≡ literal-rule
+    * verdicts on every doc.
+    */
+  def crawlRobotsParsed(docs: DataFrame): DataFrame = {
+    val hosts = docs
+      .select(expr("doc_id % 20").as("hn"))
+      .distinct()
+      .select(
+        concat(lit("site"), col("hn").cast("string"), lit(".example.com")).as("r_host"),
+        expr(robotsTxtPlant).as("txt")
+      )
+      .localCheckpoint() // feeds the rule lines AND the delay scan
+    val lines = hosts.select(col("r_host"), explode(split(col("txt"), "\n")).as("line"))
+    val rules = lines
+      .filter(col("line").startsWith("Allow: ") || col("line").startsWith("Disallow: "))
+      .select(
+        col("r_host"),
+        lower(element_at(split(col("line"), ": "), 1)).as("directive"),
+        element_at(split(col("line"), ": "), 2).as("prefix")
+      )
+    val delays = hosts.select(
+      col("r_host").as("host"),
+      coalesce(
+        expr("CAST(nullif(regexp_extract(txt, 'Crawl-delay: ([0-9]+)', 1), '') AS BIGINT)"),
+        lit(1L)
+      ).as("crawl_delay_s")
+    )
+    robotsMatch(urlPathFrame(docs), rules)
+      .join(broadcast(delays), Seq("host"))
+      .select(
+        col("doc_id"),
+        col("host"),
+        col("path"),
+        col("allowed"),
+        col("rule_dir"),
+        col("rule_prefix"),
+        col("crawl_delay_s")
+      )
+  }
+
+  val crawlRobotsParsedSql: String =
+    s"$parseCtes, pp AS (SELECT doc_id, host, " +
+      "regexp_extract(substr(canon, length(host) + 1), '^[^?]*', 0) AS path FROM k), " +
+      "hn AS (SELECT DISTINCT doc_id % 20 AS hn FROM documents), " +
+      "rt AS MATERIALIZED (SELECT concat('site', CAST(hn AS STRING), '.example.com') AS r_host, " +
+      s"$robotsTxtPlant AS txt FROM hn), " +
+      "ln AS (SELECT r_host, unnest(string_split(txt, chr(10))) AS line FROM rt), " +
+      "rules AS (SELECT r_host, lower(string_split(line, ': ')[1]) AS directive, " +
+      "string_split(line, ': ')[2] AS prefix FROM ln " +
+      "WHERE starts_with(line, 'Allow: ') OR starts_with(line, 'Disallow: ')), " +
+      "dl AS (SELECT r_host AS host, coalesce(CAST(nullif(regexp_extract(txt, 'Crawl-delay: ([0-9]+)', 1), '') AS BIGINT), 1) AS crawl_delay_s FROM rt), " +
+      "m AS (SELECT pp.doc_id, pp.host, pp.path, r.directive, r.prefix, " +
+      "row_number() OVER (PARTITION BY pp.doc_id ORDER BY " +
+      "CASE WHEN r.prefix IS NULL THEN -1 ELSE length(r.prefix) END DESC, " +
+      "CASE WHEN r.directive = 'allow' THEN 1 ELSE 0 END DESC) AS rn " +
+      "FROM pp LEFT JOIN rules r ON r.r_host = pp.host AND starts_with(pp.path, r.prefix)) " +
+      "SELECT m.doc_id, m.host, m.path, " +
+      "CASE WHEN m.prefix IS NULL THEN TRUE ELSE m.directive = 'allow' END AS allowed, " +
+      "coalesce(m.directive, '') AS rule_dir, coalesce(m.prefix, '') AS rule_prefix, " +
+      "dl.crawl_delay_s FROM m JOIN dl ON dl.host = m.host WHERE m.rn = 1"
 
   val crawlRobotsSql: String = {
     val vals = robotsRules
@@ -844,6 +938,7 @@ object Urls {
     "curate_url_hosts" -> { (s, dir) => urlHosts(Tables.documents(s, dir)) },
     "url_surt" -> { (s, dir) => urlSurt(Tables.documents(s, dir)) },
     "crawl_robots" -> { (s, dir) => crawlRobots(Tables.documents(s, dir)) },
+    "crawl_robots_parsed" -> { (s, dir) => crawlRobotsParsed(Tables.documents(s, dir)) },
     "crawl_schedule" -> { (s, dir) => crawlSchedule(Tables.documents(s, dir)) },
     "curate_web" -> { (s, dir) => curateWeb(Tables.documents(s, dir)) },
     "curate_pagerank" -> { (s, dir) => hostPagerank(Tables.documents(s, dir)) },
@@ -856,6 +951,7 @@ object Urls {
     "curate_url_hosts" -> urlHostsSql,
     "url_surt" -> urlSurtSql,
     "crawl_robots" -> crawlRobotsSql,
+    "crawl_robots_parsed" -> crawlRobotsParsedSql,
     "crawl_schedule" -> crawlScheduleSql,
     "curate_web" -> curateWebSql(),
     "curate_pagerank" -> hostPagerankSql(),

@@ -1314,6 +1314,28 @@ class LlmSpec extends AnyFunSuite {
     assert(out(185L)._1 == "site5.example.com" && out(185L)._2 == 1L)
   }
 
+  test("crawl_robots_parsed: rules parsed from robots.txt text reproduce the literal-rule verdicts") {
+    import spark.implicits._
+    val docs = Seq(40L, 100L, 120L, 101L, 141L, 122L, 185L).map((_, "x")).toDF("doc_id", "text")
+    val lit = graft.llm.Urls
+      .crawlRobots(docs)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(3), r.getString(4), r.getString(5))))
+      .toMap
+    val parsed = graft.llm.Urls
+      .crawlRobotsParsed(docs)
+      .collect()
+      .map(r =>
+        r.getLong(0) -> ((r.getBoolean(3), r.getString(4), r.getString(5), r.getAs[Long]("crawl_delay_s")))
+      )
+      .toMap
+    for ((id, (al, d, p)) <- lit)
+      assert(parsed(id)._1 == al && parsed(id)._2 == d && parsed(id)._3 == p, s"doc $id: ${parsed(id)} vs ${lit(id)}")
+    // Crawl-delay parsed only where planted (hosts ≡ 0 mod 3 -> 2 s)
+    assert(parsed(40L)._4 == 2L && parsed(120L)._4 == 2L, s"delay: ${parsed(40L)}")
+    assert(parsed(101L)._4 == 1L && parsed(122L)._4 == 1L, "default delay where absent")
+  }
+
   test("scheduleStream: per-host slots continue across batches; robots screen holds on the stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
