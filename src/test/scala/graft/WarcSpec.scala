@@ -523,6 +523,52 @@ class WarcSpec extends AnyFunSuite {
     )
   }
 
+  test("streaming frontier: WARC ingest -> URL extraction -> politeness scheduling composes as one stream") {
+    // the crawl loop's discovery leg: segments land, their pages name
+    // new doc ids, and the frontier schedules the NEXT fetches with
+    // per-host slot counters that survive batch boundaries
+    val docsA = Seq((141L, t), (101L, t)).toDF("doc_id", "text")
+    val docsB = Seq((161L, t)).toDF("doc_id", "text")
+    def pagesOf(d: org.apache.spark.sql.DataFrame) = d.select(
+      col("doc_id"),
+      concat(lit("http://h/doc/"), col("doc_id").cast("string")).as("uri"),
+      expr(graft.llm.Curation.htmlPlantExpr).as("html")
+    )
+    val dir = graft.sources.Scratch.dir("frontier_stream_spec")
+    WarcOps.writeSpark(pagesOf(docsA), dir, nFiles = 1)
+    val q = graft.llm.Urls
+      .scheduleStream(
+        WarcOps
+          .ingestStream(spark, dir)
+          .select(
+            regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+            lit("x").as("text")
+          )
+      )
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("frontier_stream_out")
+      .start()
+    q.processAllAvailable()
+    // a LATE segment names doc 161 (same host as 141) — its slot must
+    // CONTINUE the host's politeness sequence
+    WarcOps.writeSpark(pagesOf(docsB), dir + "/more", nFiles = 1)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dir + "/more/part-00000.warc"),
+      java.nio.file.Paths.get(dir + "/part-late.warc")
+    )
+    q.processAllAvailable()
+    q.stop()
+    val got = spark
+      .table("frontier_stream_out")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getAs[Long]("slot"), r.getAs[Long]("fetch_at_ms"))))
+      .toMap
+    assert(!got.contains(101L), "robots-disallowed URL scheduled from the WARC stream")
+    assert(got(141L) == ((1L, 0L)) && got(161L) == ((2L, 1000L)), s"got $got")
+  }
+
   test("write/read route through the Hadoop FileSystem API (explicit file: scheme URI)") {
     val docs = Seq((35L, t), (3L, t)).toDF("doc_id", "text")
     val pages = docs.select(
