@@ -841,6 +841,69 @@ object Prof {
           .filter(col("fetch_status") === "200")
           .count()
       }
+      // r16 dated-merge decade: THREE dated crawls (full base crawl +
+      // two overlapping re-crawl subsets with changed text), CDX-indexed
+      // and merged latest-wins by capture time — the merge itself is one
+      // urlkey groupBy over index rows; ≥3 crawls proves the multi-crawl
+      // path beyond the gate's plant. Crawls B/C are written untimed
+      // (egress decades are covered above); the timer pays the 3-dir
+      // parse + index + merge.
+      val mrgRoot = sources.Scratch.dir("prof_cdx_merge")
+      locally {
+        def crawlOf(sub: String, date: String, mod: Int, sfx: String): Unit =
+          sources.WarcOps.writeSpark(
+            webDocs
+              .filter(col("doc_id") % mod === 0)
+              .select(col("doc_id"), expr(s"concat(text, ' $sfx')").as("text"))
+              .select(
+                col("doc_id"),
+                concat(lit("http://h/doc/"), col("doc_id").cast("string")).as("uri"),
+                expr(graft.llm.Curation.htmlPlantExpr).as("html")
+              ),
+            mrgRoot + "/" + sub,
+            nFiles = 32,
+            date = date
+          )
+        crawlOf("c2", "2024-02-01T00:00:00Z", 3, "v2")
+        crawlOf("c3", "2024-03-01T00:00:00Z", 5, "v3")
+      }
+      def mergeChain(): org.apache.spark.sql.DataFrame = {
+        def cdxOf(dir: String, sub: String) =
+          sources.WarcOps
+            .cdxIndex(sources.WarcOps.readSpark(spark, dir + "/part-*.warc"))
+            .filter(col("warc_type") === "response")
+            .withColumn("warc_file", concat_ws("/", lit(sub), col("warc_file")))
+        cdxOf(warcDir, "c1")
+          .unionByName(cdxOf(mrgRoot + "/c2", "c2"))
+          .unionByName(cdxOf(mrgRoot + "/c3", "c3"))
+      }
+      t(s"web${webK}k_cdx_merge3", nPages)(
+        // latest_ts rides the max_by — filtering on it forces the full
+        // argmax, not just the prunable capture count
+        sources.WarcOps
+          .cdxMergeLatest(mergeChain())
+          .filter(col("latest_ts") > "0")
+          .count()
+      )
+      // r16 recrawl-priority decade: change-rate estimate + prioritized
+      // politeness schedule off the same 3-crawl chain (urls rewritten
+      // onto the 20-host site plant so the schedule's host-delay class
+      // parses)
+      t(s"web${webK}k_crawl_priority", nPages) {
+        val chain = mergeChain().withColumn(
+          "url",
+          concat(
+            lit("http://site"),
+            (regexp_extract(col("urlkey"), "/doc/([0-9]+)$", 1).cast("long") % 20).cast("string"),
+            lit(".example.com/doc/"),
+            regexp_extract(col("urlkey"), "/doc/([0-9]+)$", 1)
+          )
+        )
+        sources.WarcOps
+          .prioritySchedule(sources.WarcOps.recrawlPriority(chain))
+          .filter(col("fetch_at_ms") >= 0)
+          .count()
+      }
       // byte-level BPE end-to-end (remap + trainer collect + encode)
       // on the same corpus — the ByteRemap expression's decade
       t(s"web${webK}k_bpe_bytes", nPages)(

@@ -1749,15 +1749,23 @@ object Dedup {
       .select(col("qdoc"), col("doc_b"))
       .localCheckpoint() // feeds the candidate grid AND the num join
     // centered vectors for every query chunk and every chunk of the
-    // capped candidate docs (r15: no corpus-wide grid)
-    val qd = denseOf(
-      sig.filter(col("doc_id") < rcQueryDocs).select(col("doc_id"), col("chunk_id"))
-    )
-    val bd = denseOf(
-      sig
-        .join(cand.select(col("doc_b").as("doc_id")).distinct(), Seq("doc_id"))
-        .select(col("doc_id"), col("chunk_id"))
-    )
+    // capped candidate docs (r15: no corpus-wide grid; r16: ONE keyed
+    // union builds the grid once — the query and candidate keysets
+    // ride a single explode + sums join instead of two, halving the
+    // sparse path's job barriers — then the checkpointed grid serves
+    // both sides of the scoring join, values unchanged per key)
+    val gridKeys = sig
+      .filter(col("doc_id") < rcQueryDocs)
+      .select(col("doc_id"), col("chunk_id"))
+      .unionByName(
+        sig
+          .join(cand.select(col("doc_b").as("doc_id")).distinct(), Seq("doc_id"))
+          .select(col("doc_id"), col("chunk_id"))
+      )
+      .distinct()
+    val grid = denseOf(gridKeys).localCheckpoint() // feeds BOTH scoring sides
+    val qd = grid.filter(col("doc_id") < rcQueryDocs)
+    val bd = grid // the num join's (doc_b, bucket) keys restrict to candidates
     val num = cand
       .join(
         qd.select(

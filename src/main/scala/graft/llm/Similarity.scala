@@ -1113,7 +1113,7 @@ object Similarity {
   /** [[graphServeHier]] walking on SQ8 CODE scores — the full
     * HNSW-over-quantized serving stack: the walk's per-round ranking
     * reads the 8×-smaller [[sq8Encode]] tier (exact BIGINT code dot ×
-    * scales — the sim_sq8_topk scoring, so every round is still
+    * scales — the sq8Topk scoring (ScaleSpec-pinned vs exact), so every round is still
     * oracle-replayable), and only the FINAL re-rank of the visited set
     * touches raw vectors. At scale this is the I/O shape that matters:
     * the serving tier holds codes, the raw store is only hit for
@@ -3294,9 +3294,13 @@ object Similarity {
     "dedup_semdedup" -> { (s, dir) => semDedup(Tables.embeddings(s, dir)) },
     "sim_knn_graph" -> { (s, dir) => knnGraph(Tables.embeddings(s, dir)) },
     "sim_graph_serve" -> { (s, dir) => graphServe(Tables.embeddings(s, dir)) },
-    "sim_graph_hier" -> { (s, dir) => graphServeHier(Tables.embeddings(s, dir)) },
     "sample_d4" -> { (s, dir) => sampleD4(Tables.embeddings(s, dir), Tables.documents(s, dir)) },
-    "sim_sq8_topk" -> { (s, dir) => sq8Topk(Tables.embeddings(s, dir)) },
+    // r16 gate-budget review (r15 verdict #3): sim_graph_hier_sq8 is the
+    // ONLY gated hier-walk form — it builds the same hierarchy as
+    // graphServeHier and additionally exercises the quantized serving
+    // tier; exact≡sq8 walk parity is pinned in ScaleSpec. Likewise the
+    // brute sq8Topk gate is retired for sim_sq8_ivf (the scale form);
+    // brute-vs-exact recall stays pinned in ScaleSpec.
     "sim_graph_hier_sq8" -> { (s, dir) => graphServeHierSq8(Tables.embeddings(s, dir)) },
     "sim_sq8_ivf" -> { (s, dir) => sq8TopkIvf(Tables.embeddings(s, dir)) },
     "sim_communities" -> { (s, dir) => lpCommunities(Tables.embeddings(s, dir)) }
@@ -3327,9 +3331,7 @@ object Similarity {
     "dedup_semdedup" -> semDedupSql(),
     "sim_knn_graph" -> knnGraphSql(),
     "sim_graph_serve" -> graphServeSql(),
-    "sim_graph_hier" -> graphServeHierSql(),
     "sample_d4" -> sampleD4Sql(),
-    "sim_sq8_topk" -> sq8TopkSql(),
     "sim_graph_hier_sq8" -> graphServeHierSq8Sql(),
     "sim_sq8_ivf" -> sq8TopkIvfSql(),
     "sim_communities" -> lpCommunitiesSql()

@@ -400,11 +400,20 @@ object Urls {
     * group, so a doc_id-ordered arrival stream reproduces the batch
     * scheduler exactly (spec-pinned).
     */
-  def scheduleStream(in: DataFrame): DataFrame = {
+  def scheduleStream(in: DataFrame): DataFrame =
+    scheduleStreamUrls(in.select(col("doc_id"), expr(urlPlant).as("url")))
+
+  /** [[scheduleStream]] over REAL (doc_id, url) rows — the composable
+    * form the discovery chain's dedup leg feeds (r16): canonical URLs
+    * coming off the persisted frontier store stream straight into the
+    * robots screen + per-host politeness slots; the plant-bound
+    * [[scheduleStream]] delegates here.
+    */
+  def scheduleStreamUrls(in: DataFrame): DataFrame = {
     val spark = in.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val u = parsed(in.select(col("doc_id"), expr(urlPlant).as("url")))
+    val u = parsed(in.select(col("doc_id"), col("url")))
       .select(
         col("doc_id"),
         col("host"),

@@ -37,11 +37,27 @@ object WarcOps {
 
   private val CRLF = "\r\n"
 
+  /** Default capture timestamp when a writer isn't handed one. Every
+    * date rendered into a record must keep this EXACT ISO-8601 Zulu
+    * seconds shape (fixed 20 bytes) — the CDX length oracle's
+    * arithmetic derives its constants from a probe render and holds
+    * for any date of the same width ([[cdxFixed]]).
+    */
+  private[sources] val defaultWarcDate = "2024-01-01T00:00:00Z"
+
+  private def requireWarcDate(date: String): Unit =
+    require(
+      date.matches("""\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}Z"""),
+      s"WARC-Date '$date' must be ISO-8601 Zulu seconds (yyyy-MM-ddTHH:mm:ssZ)"
+    )
+
   /** Render one WARC/1.0 record of the given `warcType` with a RAW
     * payload (no HTTP envelope) — the WET (`conversion`) / WAT
     * (`metadata`) record shape (r15: the Common Crawl sibling formats
     * are themselves WARC containers, differing only in record type and
-    * payload).
+    * payload). `date` is the record's capture time (r16: threaded from
+    * the writer so multi-crawl archives carry REAL per-crawl
+    * timestamps — the dated cross-crawl CDX merge keys on it).
     */
   def recordRaw(
       recordId: String,
@@ -49,13 +65,15 @@ object WarcOps {
       warcType: String,
       contentType: String,
       body: String,
-      extraHeaders: Seq[(String, String)] = Seq.empty
+      extraHeaders: Seq[(String, String)] = Seq.empty,
+      date: String = defaultWarcDate
   ): Array[Byte] = {
+    requireWarcDate(date)
     val payload = body.getBytes(StandardCharsets.UTF_8)
     val head = "WARC/1.0" + CRLF +
       s"WARC-Type: $warcType" + CRLF +
       s"WARC-Record-ID: <urn:uuid:$recordId>" + CRLF +
-      "WARC-Date: 2024-01-01T00:00:00Z" + CRLF +
+      s"WARC-Date: $date" + CRLF +
       s"WARC-Target-URI: $targetUri" + CRLF +
       extraHeaders.map { case (k, v) => s"$k: $v" + CRLF }.mkString +
       s"Content-Type: $contentType" + CRLF +
@@ -80,8 +98,20 @@ object WarcOps {
   /** Render one WARC/1.0 `response` record. `body` is the HTTP entity
     * (ASCII or UTF-8); the HTTP status line + headers are synthesized.
     */
-  def record(recordId: String, targetUri: String, body: String): Array[Byte] =
-    recordRaw(recordId, targetUri, "response", "application/http; msgtype=response", httpHead + body)
+  def record(
+      recordId: String,
+      targetUri: String,
+      body: String,
+      date: String = defaultWarcDate
+  ): Array[Byte] =
+    recordRaw(
+      recordId,
+      targetUri,
+      "response",
+      "application/http; msgtype=response",
+      httpHead + body,
+      date = date
+    )
 
   /** Distributed WARC egress of a (doc_id, uri, html) frame: `nFiles`
     * segments, one per task.
@@ -101,7 +131,8 @@ object WarcOps {
       outDir: String,
       nFiles: Int = 4,
       gzip: Boolean = false,
-      warcinfo: Boolean = false
+      warcinfo: Boolean = false,
+      date: String = defaultWarcDate
   ): Unit =
     writeRows(
       pages.select(col("doc_id"), col("uri"), col("html")),
@@ -109,7 +140,7 @@ object WarcOps {
       nFiles,
       if (gzip) ".warc.gz" else ".warc",
       (id, uri, body, _) => {
-        val rec = record(f"$id%016x-0000-0000-0000-000000000000", uri, body)
+        val rec = record(f"$id%016x-0000-0000-0000-000000000000", uri, body, date)
         if (gzip) gzipMember(rec) else rec
       },
       // real CC segments open with a warcinfo header record describing
@@ -123,7 +154,8 @@ object WarcOps {
             "",
             "warcinfo",
             "application/warc-fields",
-            "software: graft\r\nformat: WARC File Format 1.0\r\n"
+            "software: graft\r\nformat: WARC File Format 1.0\r\n",
+            date = date
           )
           Some(if (gzip) gzipMember(info) else info)
         }
@@ -155,7 +187,8 @@ object WarcOps {
       texts: DataFrame,
       outDir: String,
       nFiles: Int = 4,
-      gzip: Boolean = false
+      gzip: Boolean = false,
+      date: String = defaultWarcDate
   ): Unit =
     writeRows(
       texts.select(col("doc_id"), col("uri"), col("text")),
@@ -164,7 +197,14 @@ object WarcOps {
       if (gzip) ".wet.gz" else ".wet",
       (id, uri, body, _) => {
         val rec =
-          recordRaw(f"$id%016x-0000-0000-0000-000000000001", uri, "conversion", "text/plain", body)
+          recordRaw(
+            f"$id%016x-0000-0000-0000-000000000001",
+            uri,
+            "conversion",
+            "text/plain",
+            body,
+            date = date
+          )
         if (gzip) gzipMember(rec) else rec
       }
     )
@@ -177,7 +217,8 @@ object WarcOps {
       meta: DataFrame,
       outDir: String,
       nFiles: Int = 4,
-      gzip: Boolean = false
+      gzip: Boolean = false,
+      date: String = defaultWarcDate
   ): Unit =
     writeRows(
       meta.select(col("doc_id"), col("uri"), col("json")),
@@ -190,7 +231,8 @@ object WarcOps {
           uri,
           "metadata",
           "application/json",
-          body
+          body,
+          date = date
         )
         if (gzip) gzipMember(rec) else rec
       }
@@ -212,7 +254,8 @@ object WarcOps {
       pages: DataFrame,
       priorCdx: DataFrame,
       outDir: String,
-      nFiles: Int = 4
+      nFiles: Int = 4,
+      date: String = defaultWarcDate
   ): Unit =
     writeRows(
       pages
@@ -241,9 +284,10 @@ object WarcOps {
             Seq(
               "WARC-Refers-To-Target-URI" -> uri,
               "WARC-Profile" -> "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"
-            )
+            ),
+            date = date
           )
-        else record(f"$id%016x-0000-0000-0000-000000000000", uri, body)
+        else record(f"$id%016x-0000-0000-0000-000000000000", uri, body, date)
     )
 
   /** The shared distributed egress: `nFiles` segments, one per task,
@@ -1257,6 +1301,263 @@ object WarcOps {
       "CASE WHEN md5(p2.html) <> md5(p1.html) THEN 'new' ELSE 'prev' END AS src " +
       "FROM rp2 p2 JOIN rp1 p1 ON p1.doc_id = p2.doc_id"
 
+  /** DATED cross-crawl CDX merge — the other half of the archive
+    * serving contract next to [[cdxResolve]] (which only follows the
+    * revisit indirection): when a URL is RE-CRAWLED as a full
+    * `response` in several crawls, "serve the latest capture" must
+    * pick by CAPTURE TIME (`cdx_ts`, the WARC-Date the r16 writer
+    * threads through every record), never by ingestion order —
+    * wayback's merged cluster.idx semantics. One `groupBy(urlkey)`
+    * with an exact `max_by` on (cdx_ts, warc_file, rec_offset): a
+    * single hash shuffle on the index key at any archive size (at
+    * 100 TB the CDX is already sorted/bucketed by urlkey, so the
+    * partial aggregation is map-side and the merge never touches
+    * payload bytes — index rows only).
+    */
+  def cdxMergeLatest(cdx: DataFrame): DataFrame =
+    cdx
+      .groupBy(col("urlkey"))
+      .agg(
+        count(lit(1)).as("n_caps"),
+        max_by(
+          struct(
+            col("url"),
+            col("cdx_ts"),
+            col("warc_file"),
+            col("rec_offset"),
+            col("rec_length"),
+            col("digest")
+          ),
+          // total order: capture time first; (file, offset) breaks the
+          // pathological same-second duplicate deterministically
+          struct(col("cdx_ts"), col("warc_file"), col("rec_offset"))
+        ).as("top")
+      )
+      .select(
+        col("urlkey"),
+        col("top.url").as("url"),
+        col("top.cdx_ts").as("latest_ts"),
+        col("n_caps"),
+        col("top.warc_file").as("warc_file"),
+        col("top.rec_offset").as("rec_offset"),
+        col("top.rec_length").as("rec_length"),
+        col("top.digest").as("served_digest")
+      )
+
+  /** Gate: THREE dated crawls of overlapping URL sets — crawl A
+    * (2024-01) fetches every doc, crawl B (2024-02) re-crawls the
+    * doc_id ≡ 0 (mod 3) subset with ' v2' appended to the text, crawl
+    * C (2024-03) re-crawls the mod-5 subset with ' v3' — written as
+    * full RESPONSE records (the re-crawl case [[cdxResolve]]'s
+    * revisit indirection does not cover). The three archives are
+    * CDX-indexed and unioned deliberately OUT of capture order (C,
+    * then A, then B): the merge must still hand every URL its latest
+    * capture by cdx_ts — a mod-15 doc serves crawl C's digest even
+    * though crawl B was ingested after it. The oracle renders each
+    * doc's expected latest plant directly; `warc_file` is prefixed
+    * with its crawl subdir so the merged coordinates stay SERVABLE
+    * across crawl directories (the spec fetches them back byte-exact).
+    */
+  def cdxMergeGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def pagesOf(d: DataFrame): DataFrame =
+      d.select(col("doc_id"), uriExpr.as("uri"), expr(graft.llm.Curation.htmlPlantExpr).as("html"))
+    val root = Scratch.dir("cdx_merge")
+    writeSpark(pagesOf(docs), root + "/crawlA", nFiles = 4, date = "2024-01-01T00:00:00Z")
+    writeSpark(
+      pagesOf(
+        docs
+          .filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"))
+      ),
+      root + "/crawlB",
+      nFiles = 4,
+      date = "2024-02-01T00:00:00Z"
+    )
+    writeSpark(
+      pagesOf(
+        docs
+          .filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), concat(col("text"), lit(" v3")).as("text"))
+      ),
+      root + "/crawlC",
+      nFiles = 4,
+      date = "2024-03-01T00:00:00Z"
+    )
+    def cdxOf(sub: String): DataFrame =
+      cdxIndex(readSpark(s, root + "/" + sub + "/part-*.warc"))
+        .filter(col("warc_type") === "response")
+        .withColumn("warc_file", concat_ws("/", lit(sub), col("warc_file")))
+    val chain = cdxOf("crawlC").unionByName(cdxOf("crawlA")).unionByName(cdxOf("crawlB"))
+    cdxMergeLatest(chain)
+      .select(
+        regexp_extract(col("urlkey"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+        col("urlkey"),
+        col("latest_ts"),
+        col("n_caps"),
+        col("served_digest")
+      )
+  }
+
+  /** Latest-wins replay: each doc's expected capture set is (A always,
+    * B iff mod 3, C iff mod 5) and the winner is the latest present —
+    * rendered straight off the plants, so a hash match proves the
+    * merge picked by capture time for every URL.
+    */
+  val cdxMergeSql: String =
+    "WITH tb AS (SELECT doc_id, concat(text, ' v2') AS text FROM documents WHERE doc_id % 3 = 0), " +
+      "tc AS (SELECT doc_id, concat(text, ' v3') AS text FROM documents WHERE doc_id % 5 = 0), " +
+      s"ma AS (SELECT doc_id, ${graft.llm.Curation.htmlPlantExpr} AS html FROM documents), " +
+      s"mb AS (SELECT doc_id, ${graft.llm.Curation.htmlPlantExpr} AS html FROM tb), " +
+      s"mc AS (SELECT doc_id, ${graft.llm.Curation.htmlPlantExpr} AS html FROM tc) " +
+      "SELECT a.doc_id, " +
+      "concat('com,example,site', CAST(a.doc_id % 20 AS STRING), ')/doc/', CAST(a.doc_id AS STRING)) AS urlkey, " +
+      "CASE WHEN c.doc_id IS NOT NULL THEN '20240301000000' " +
+      "WHEN b.doc_id IS NOT NULL THEN '20240201000000' " +
+      "ELSE '20240101000000' END AS latest_ts, " +
+      "CAST(1 + (CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END) + " +
+      "(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caps, " +
+      "md5(coalesce(c.html, b.html, a.html)) AS served_digest " +
+      "FROM ma a LEFT JOIN mb b ON b.doc_id = a.doc_id LEFT JOIN mc c ON c.doc_id = a.doc_id"
+
+  /** Per-URL CHANGE-RATE estimate off the archive's own dated history
+    * — the Common-Crawl-style freshness loop's input: the multi-crawl
+    * CDX chain ([[cdxMergeLatest]]'s input shape — urlkey, url,
+    * cdx_ts, digest) IS a per-URL observation series, and k
+    * consecutive-capture digest changes over n captures is the
+    * change-rate estimator recrawl prioritization runs on. Exact
+    * integer rate (`rate_ppm = k·10⁶ div (n−1)`, 0 for single
+    * captures) so the oracle replays it. One narrow lag window + one
+    * aggregation, both keyed on urlkey — at archive scale this is a
+    * map-side pass over the urlkey-sorted CDX, index rows only.
+    */
+  def recrawlPriority(cdx: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("urlkey"))
+      .orderBy(col("cdx_ts").asc)
+    cdx
+      .select(col("urlkey"), col("url"), col("cdx_ts"), col("digest"))
+      .withColumn("prev_digest", lag(col("digest"), 1).over(w))
+      .groupBy(col("urlkey"))
+      .agg(
+        max_by(col("url"), col("cdx_ts")).as("url"),
+        count(lit(1)).as("n_caps"),
+        sum(
+          when(col("prev_digest").isNotNull && col("digest") =!= col("prev_digest"), 1L)
+            .otherwise(0L)
+        ).as("n_changes")
+      )
+      .withColumn(
+        "rate_ppm",
+        when(col("n_caps") > 1, expr("n_changes * 1000000 div (n_caps - 1)")).otherwise(lit(0L))
+      )
+  }
+
+  /** RECRAWL scheduling — [[graft.llm.Urls.crawlSchedule]]'s politeness
+    * shape (per-host slots × the 3-class host delay) consuming
+    * [[recrawlPriority]]'s column: within each host, slots are ordered
+    * by change rate DESCENDING (a frequently-changing URL is refetched
+    * before a static one — the freshness loop's whole point), with an
+    * md5(urlkey) tie-break so equal-rate URLs order deterministically
+    * but without doc-id bias. The window partitions on the real host
+    * key (aliased before the window) over a NARROW frame.
+    */
+  def prioritySchedule(pri: DataFrame): DataFrame = {
+    val delayMs =
+      expr("500 * (1 + CAST(substr(host, 5, length(host) - 16) AS BIGINT) % 3)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host"))
+      .orderBy(
+        col("rate_ppm").desc,
+        col("n_changes").desc,
+        md5(col("urlkey")).asc,
+        col("urlkey").asc
+      )
+    pri
+      .withColumn("host", regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1))
+      .select(col("urlkey"), col("host"), col("n_caps"), col("n_changes"), col("rate_ppm"))
+      .withColumn("slot", row_number().over(w).cast("long"))
+      .withColumn("fetch_at_ms", (col("slot") - 1) * delayMs)
+  }
+
+  /** Gate: a FOUR-capture dated chain per URL (base → mod-3 docs
+    * change → mod-5 docs change → everything reverts), priority off
+    * the chain, schedule off the priority. The capture pattern makes
+    * MID-RANGE rates (0, 2/3, 1 of intervals changed), and — because
+    * the plant renders only the first 280 chars of text — long docs
+    * re-crawl with UNCHANGED payloads, so capture count and change
+    * count genuinely decouple (the saturated-rate probe rule: rates
+    * are not all 0 or all 1 at any sf). The chain is built in-memory
+    * in cdxIndex's column shape (ts literals + plant digests) — the
+    * file-backed dated chain is [[cdxMergeGate]]'s subject, and the
+    * spec runs this operator over REAL dated segments to pin the
+    * contract.
+    */
+  def crawlPriorityGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def cap(ts: String, textCase: String): DataFrame =
+      docs
+        .select(col("doc_id"), expr(textCase).as("text"))
+        .select(
+          col("doc_id"),
+          lit(ts).as("cdx_ts"),
+          md5(expr(graft.llm.Curation.htmlPlantExpr)).as("digest")
+        )
+    val chain = cap("20240101000000", "text")
+      .unionByName(
+        cap("20240201000000", "CASE WHEN doc_id % 3 = 0 THEN concat(text, ' v2') ELSE text END")
+      )
+      .unionByName(
+        cap("20240301000000", "CASE WHEN doc_id % 5 = 0 THEN concat(text, ' v3') ELSE text END")
+      )
+      .unionByName(cap("20240401000000", "text"))
+      .withColumn(
+        "urlkey",
+        concat(
+          lit("com,example,site"),
+          (col("doc_id") % 20).cast("string"),
+          lit(")/doc/"),
+          col("doc_id").cast("string")
+        )
+      )
+      .withColumn("url", uriExpr)
+    prioritySchedule(recrawlPriority(chain))
+      .select(
+        regexp_extract(col("urlkey"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+        col("host"),
+        col("n_caps"),
+        col("n_changes"),
+        col("rate_ppm"),
+        col("slot"),
+        col("fetch_at_ms")
+      )
+  }
+
+  /** Chain → lag → change counts → rate → per-host priority window,
+    * replayed verbatim (exact integers end to end).
+    */
+  val crawlPrioritySql: String = {
+    val plant = graft.llm.Curation.htmlPlantExpr
+    "WITH cb AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN concat(text, ' v2') ELSE text END AS text FROM documents), " +
+      "cc AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN concat(text, ' v3') ELSE text END AS text FROM documents), " +
+      s"ch AS (SELECT doc_id, '20240101000000' AS cdx_ts, md5($plant) AS digest FROM documents " +
+      s"UNION ALL SELECT doc_id, '20240201000000', md5($plant) FROM cb " +
+      s"UNION ALL SELECT doc_id, '20240301000000', md5($plant) FROM cc " +
+      s"UNION ALL SELECT doc_id, '20240401000000', md5($plant) FROM documents), " +
+      "lg AS (SELECT doc_id, digest, lag(digest) OVER (PARTITION BY doc_id ORDER BY cdx_ts) AS prev FROM ch), " +
+      "pr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_caps, " +
+      "CAST(sum(CASE WHEN prev IS NOT NULL AND digest <> prev THEN 1 ELSE 0 END) AS BIGINT) AS n_changes " +
+      "FROM lg GROUP BY doc_id), " +
+      "pp AS (SELECT doc_id, n_caps, n_changes, " +
+      "CAST(CASE WHEN n_caps > 1 THEN n_changes * 1000000 // (n_caps - 1) ELSE 0 END AS BIGINT) AS rate_ppm, " +
+      "concat('site', CAST(doc_id % 20 AS STRING), '.example.com') AS host, " +
+      "concat('com,example,site', CAST(doc_id % 20 AS STRING), ')/doc/', CAST(doc_id AS STRING)) AS urlkey FROM pr), " +
+      "sl AS (SELECT doc_id, host, n_caps, n_changes, rate_ppm, " +
+      "CAST(row_number() OVER (PARTITION BY host ORDER BY rate_ppm DESC, n_changes DESC, md5(urlkey) ASC, urlkey ASC) AS BIGINT) AS slot FROM pp) " +
+      "SELECT doc_id, host, n_caps, n_changes, rate_ppm, slot, " +
+      "CAST((slot - 1) * (500 * (1 + CAST(substr(host, 5, length(host) - 16) AS BIGINT) % 3)) AS BIGINT) AS fetch_at_ms FROM sl"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "warc_roundtrip" -> { (s, dir) => roundtripAgg(s, dir) },
     "warc_gz_roundtrip" -> { (s, dir) => roundtripAgg(s, dir, gzip = true) },
@@ -1269,7 +1570,9 @@ object WarcOps {
     "cdx_gz_lookup" -> { (s, dir) => cdxGzLookup(s, dir) },
     "warc_revisit" -> { (s, dir) => warcRevisit(s, dir) },
     "cdx_layout" -> { (s, dir) => cdxLayout(s, dir) },
-    "cdx_resolve" -> { (s, dir) => cdxResolve(s, dir) }
+    "cdx_resolve" -> { (s, dir) => cdxResolve(s, dir) },
+    "cdx_merge" -> { (s, dir) => cdxMergeGate(s, dir) },
+    "crawl_priority" -> { (s, dir) => crawlPriorityGate(s, dir) }
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1288,6 +1591,8 @@ object WarcOps {
     "cdx_gz_lookup" -> cdxLookupSql,
     "warc_revisit" -> warcRevisitSql,
     "cdx_layout" -> cdxLayoutSql,
-    "cdx_resolve" -> cdxResolveSql
+    "cdx_resolve" -> cdxResolveSql,
+    "cdx_merge" -> cdxMergeSql,
+    "crawl_priority" -> crawlPrioritySql
   )
 }

@@ -17,7 +17,6 @@ class PlanAuditSpec extends AnyFunSuite {
   private val bnljAllowed = Set(
     "sim_ivf_topk", "sim_ivf_serve", "sim_ivfpq_serve", "sim_topk", "sim_pq_topk", "sim_ivfpq_topk",
     "sim_ivfpq_trained", // same ≤16-row centroid broadcast as the other IVF paths
-    "sim_sq8_topk", // same 10-row query-table broadcast as sim_topk (the brute baseline shape)
     "sim_sq8_ivf", // embeds ivfCandidates' ≤16-row centroid broadcast (the sim_ivf_topk shape)
     "dedup_semantic", // same ≤16-row centroid-assignment broadcast as sim_ivf
     "decontam_semantic", // benchmark-suite broadcast side (KBs–MBs at scale)

@@ -569,6 +569,177 @@ class WarcSpec extends AnyFunSuite {
     assert(got(141L) == ((1L, 0L)) && got(161L) == ((2L, 1000L)), s"got $got")
   }
 
+  test("discovery stream with the dedup leg: re-discovered URLs suppressed, slot sequence continues") {
+    // the COMPLETE discovery loop: WARC ingest → URL extraction →
+    // canonical dedup (watermark + persisted-store anti-join:
+    // at-most-once-EVER emission) → robots → politeness slots — two
+    // coupled streaming queries connected by the frontier store (the
+    // storage-linked composition a production crawler runs)
+    val dir = graft.sources.Scratch.dir("discovery_dedup_spec")
+    val store = graft.sources.Scratch.dir("discovery_dedup_store") + "/canon"
+    graft.llm.Urls.seedUrlStore(
+      Seq.empty[(Long, String, java.sql.Timestamp)].toDF("doc_id", "url", "ts"),
+      store
+    )
+    def pagesOf(ids: Seq[Long]) = ids
+      .map(i => (i, t))
+      .toDF("doc_id", "text")
+      .select(
+        col("doc_id"),
+        concat(lit("http://site4.example.com/doc/"), col("doc_id").cast("string")).as("uri"),
+        expr(graft.llm.Curation.htmlPlantExpr).as("html")
+      )
+    WarcOps.writeSpark(pagesOf(Seq(141L, 151L)), dir, nFiles = 1, date = "2024-01-01T00:00:00Z")
+    def ingest() = WarcOps
+      .ingestStream(spark, dir)
+      .select(
+        regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+        col("target_uri").as("url"),
+        to_timestamp(col("warc_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("ts")
+      )
+    val q1a = graft.llm.Urls.urlDedupIngest(ingest(), store)
+    // stage 2: the store's appended survivors ARE the discovery log —
+    // stream them into the robots screen + per-host slot counters
+    val frontier = spark.readStream
+      .schema(spark.read.parquet(store).schema)
+      .parquet(store)
+      .select(col("doc_id"), concat(lit("http://"), col("canon")).as("url"))
+    val q2 = graft.llm.Urls
+      .scheduleStreamUrls(frontier)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("discovery_dedup_out")
+      .start()
+    q1a.processAllAvailable()
+    q2.processAllAvailable()
+    // RESTART stage 1 with FRESH streaming state (no checkpoint): the
+    // late segment re-discovers 141 and names new 161, and the rewound
+    // source also replays segment 1 — at-most-once-ever now rests
+    // ENTIRELY on the persisted store's anti-join
+    q1a.stop()
+    WarcOps.writeSpark(pagesOf(Seq(141L, 161L)), dir + "/more", nFiles = 1, date = "2024-02-01T00:00:00Z")
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(dir + "/more/part-00000.warc"),
+      java.nio.file.Paths.get(dir + "/part-late.warc")
+    )
+    val q1b = graft.llm.Urls.urlDedupIngest(ingest(), store)
+    q1b.processAllAvailable()
+    q2.processAllAvailable()
+    q1b.stop()
+    q2.stop()
+    val rows = spark
+      .table("discovery_dedup_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("slot"), r.getAs[Long]("fetch_at_ms")))
+    assert(rows.length == 3, s"each canonical URL must be scheduled exactly once ever: $rows")
+    val slots = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+    // site4's delay class: 500 · (1 + 4 % 3) = 1000 ms; 161 CONTINUES
+    // the host's sequence (slot 3) even though its batch followed a
+    // stage-1 restart and a re-discovery
+    assert(slots(141L) == ((1L, 0L)), s"got $slots")
+    assert(slots(151L) == ((2L, 1000L)), s"got $slots")
+    assert(slots(161L) == ((3L, 2000L)), s"got $slots")
+  }
+
+  test("dated CDX merge: latest capture wins by WARC-Date, ingest order irrelevant, coordinates serve") {
+    // a malformed writer date fails loudly, before any bytes land
+    intercept[IllegalArgumentException](WarcOps.record("x", "http://h/", "b", "2024-13-99"))
+    val short = "tiny doc about a cat"
+    val docs1 = Seq((3L, short + " one"), (5L, short + " base")).toDF("doc_id", "text")
+    val docs2 = Seq((3L, short + " two"), (5L, short + " base")).toDF("doc_id", "text")
+    val docs3 = Seq((3L, short + " midway")).toDF("doc_id", "text")
+    def pages(d: org.apache.spark.sql.DataFrame) = d.select(
+      col("doc_id"),
+      concat(lit("http://site4.example.com/doc/"), col("doc_id").cast("string")).as("uri"),
+      expr(graft.llm.Curation.htmlPlantExpr).as("html")
+    )
+    val root = graft.sources.Scratch.dir("cdx_merge_spec")
+    WarcOps.writeSpark(pages(docs1), root + "/c1", nFiles = 1, date = "2024-01-15T00:00:00Z")
+    WarcOps.writeSpark(pages(docs2), root + "/c2", nFiles = 1, date = "2024-03-15T00:00:00Z")
+    WarcOps.writeSpark(pages(docs3), root + "/c3", nFiles = 1, date = "2024-02-15T00:00:00Z")
+    def cdxOf(sub: String) = WarcOps
+      .cdxIndex(WarcOps.readSpark(spark, root + s"/$sub/part-*.warc"))
+      .filter(col("warc_type") === "response")
+      .withColumn("warc_file", concat_ws("/", lit(sub), col("warc_file")))
+    // ingest deliberately OUT of capture order, with the OLDER February
+    // crawl (c3) arriving after the March one (c2): capture time, not
+    // ingestion order, must pick the winner
+    val m1 = WarcOps.cdxMergeLatest(cdxOf("c2").unionByName(cdxOf("c1")).unionByName(cdxOf("c3")))
+    val m2 = WarcOps.cdxMergeLatest(cdxOf("c3").unionByName(cdxOf("c2")).unionByName(cdxOf("c1")))
+    val rows = m1.collect().map(r => r.getAs[String]("urlkey") -> r).toMap
+    val d3 = rows("com,example,site4)/doc/3")
+    assert(d3.getAs[String]("latest_ts") == "20240315000000", "March must win over later-ingested February")
+    assert(d3.getAs[Long]("n_caps") == 3L)
+    assert(rows("com,example,site4)/doc/5").getAs[Long]("n_caps") == 2L)
+    assert(
+      m1.orderBy("urlkey").collect().toSeq == m2.orderBy("urlkey").collect().toSeq,
+      "merge must be ingestion-order invariant"
+    )
+    // the merged coordinates stay SERVABLE across crawl directories:
+    // a ranged fetch of each winner returns the LATEST body bytes
+    val wanted = m1.select(
+      regexp_extract(col("urlkey"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+      col("warc_file"),
+      col("rec_offset"),
+      col("rec_length")
+    )
+    val served = WarcOps
+      .fetchRecords(wanted, root)
+      .collect()
+      .map(r => r.getLong(0) -> r.getAs[String]("fetch_md5"))
+      .toMap
+    val expect = pages(docs2)
+      .select(col("doc_id"), md5(col("html")))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(served(3L) == expect(3L), "doc 3 must serve the March capture's bytes")
+    assert(served(5L) == expect(5L))
+  }
+
+  test("recrawl priority: a frequently-changing URL outranks a static one within its host") {
+    // in-memory chain in cdxIndex's column shape: X changes every
+    // capture, Y never does — same host, so they compete for slots
+    val chain = Seq(
+      ("com,example,site4)/x", "http://site4.example.com/x", "20240101000000", "d1"),
+      ("com,example,site4)/x", "http://site4.example.com/x", "20240201000000", "d2"),
+      ("com,example,site4)/x", "http://site4.example.com/x", "20240301000000", "d3"),
+      ("com,example,site4)/y", "http://site4.example.com/y", "20240101000000", "e1"),
+      ("com,example,site4)/y", "http://site4.example.com/y", "20240201000000", "e1"),
+      ("com,example,site4)/y", "http://site4.example.com/y", "20240301000000", "e1")
+    ).toDF("urlkey", "url", "cdx_ts", "digest")
+    val sched = WarcOps
+      .prioritySchedule(WarcOps.recrawlPriority(chain))
+      .collect()
+      .map(r => r.getAs[String]("urlkey") -> r)
+      .toMap
+    val x = sched("com,example,site4)/x")
+    val y = sched("com,example,site4)/y")
+    assert(x.getAs[Long]("rate_ppm") == 1000000L && y.getAs[Long]("rate_ppm") == 0L)
+    assert(x.getAs[Long]("slot") == 1L && y.getAs[Long]("slot") == 2L, "changing URL must take slot 1")
+    assert(x.getAs[Long]("fetch_at_ms") < y.getAs[Long]("fetch_at_ms"))
+    // the same operator off REAL dated segments: two crawls of one page
+    // whose text changes — the archive's own history drives the estimate
+    val root = graft.sources.Scratch.dir("crawl_priority_spec")
+    def onePage(txt: String) = Seq((9L, txt))
+      .toDF("doc_id", "text")
+      .select(
+        col("doc_id"),
+        lit("http://site4.example.com/doc/9").as("uri"),
+        expr(graft.llm.Curation.htmlPlantExpr).as("html")
+      )
+    WarcOps.writeSpark(onePage("cat doc v1"), root + "/c1", nFiles = 1, date = "2024-01-01T00:00:00Z")
+    WarcOps.writeSpark(onePage("cat doc v2"), root + "/c2", nFiles = 1, date = "2024-02-01T00:00:00Z")
+    def cdxOf(sub: String) = WarcOps
+      .cdxIndex(WarcOps.readSpark(spark, root + s"/$sub/part-*.warc"))
+      .filter(col("warc_type") === "response")
+    val pri = WarcOps.recrawlPriority(cdxOf("c1").unionByName(cdxOf("c2"))).collect()
+    assert(pri.length == 1)
+    assert(pri.head.getAs[Long]("n_caps") == 2L && pri.head.getAs[Long]("n_changes") == 1L)
+    assert(pri.head.getAs[Long]("rate_ppm") == 1000000L)
+  }
+
   test("write/read route through the Hadoop FileSystem API (explicit file: scheme URI)") {
     val docs = Seq((35L, t), (3L, t)).toDF("doc_id", "text")
     val pages = docs.select(
