@@ -895,4 +895,36 @@ object Api {
     def serve(spark: SparkSession, store: String): DataFrame =
       spark.read.parquet(s"$store/table")
   }
+
+  // ---- r16: discovery + fetch-side surface ----
+
+  /** Render per-host sitemap XML from (doc_id, host, canon) URL rows. */
+  def sitemapRender(urls: DataFrame): DataFrame = llm.Sitemaps.sitemapRender(urls)
+
+  /** Parse fetched urlset XML (host, xml) → per-URL rows with
+    * freshness hints; row-local, stream-safe.
+    */
+  def sitemapParse(sm: DataFrame): DataFrame = llm.Sitemaps.sitemapParse(sm)
+
+  /** Robots-screened, freshness-ordered politeness slots off parsed
+    * sitemap URLs.
+    */
+  def sitemapFrontier(parsed: DataFrame): DataFrame = llm.Sitemaps.sitemapFrontier(parsed)
+
+  /** Charset sniff (BOM > header > meta prescan > UTF-8) + transcode
+    * over (doc_id, header, payload) fetched responses.
+    */
+  def decodeFetched(fetched: DataFrame): DataFrame = sources.Charsets.decodeFetched(fetched)
+
+  /** DoReMi-style one-round domain reweighting off the corpus unigram
+    * LM's per-source excess loss.
+    */
+  def mixDoremi(docs: DataFrame, eta: Double = 100.0): DataFrame =
+    llm.Curation.mixDoremi(docs, eta)
+
+  /** Fused recrawl prioritization: sitemap-lastmod freshness class over
+    * CDX change rate, scheduled into per-host politeness slots.
+    */
+  def fusedRecrawlSchedule(cdx: DataFrame, sitemap: DataFrame): DataFrame =
+    sources.WarcOps.fusedSchedule(sources.WarcOps.fusedPriority(cdx, sitemap))
 }

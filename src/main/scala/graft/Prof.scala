@@ -945,6 +945,44 @@ object Prof {
           .filter(col("digest").isNotNull)
           .count()
       )
+      // r16 sitemap decades: sharded render (protocol shape — one
+      // host-keyed agg over entry strings, files capped at 100 URLs so
+      // the shard window and index leg both exercise) and the row-local
+      // parse back; parse count must tile the URL set exactly
+      val smUrls = webDocs
+        .select(
+          col("doc_id"),
+          concat(lit("h"), (col("doc_id") % 997).cast("string"), lit(".example.com")).as("host"),
+          concat(
+            lit("h"),
+            (col("doc_id") % 997).cast("string"),
+            lit(".example.com/doc/"),
+            col("doc_id").cast("string")
+          ).as("canon")
+        )
+      val smSharded = llm.Sitemaps.sitemapRenderSharded(smUrls, maxPerFile = 100)
+      t(s"web${webK}k_sitemap_render", nPages) {
+        smSharded.localCheckpoint().count()
+      }
+      val smCk = smSharded.localCheckpoint()
+      t(s"web${webK}k_sitemap_parse", nPages) {
+        val n = llm.Sitemaps.sitemapParse(smCk.select(col("host"), col("xml"))).count()
+        require(n == nPages, s"sitemap parse tiling: $n != $nPages")
+        n
+      }
+      // r16 charset decade: sniff + transcode over the five-arm plant
+      // (row-local decode under codegen); every row must roundtrip
+      t(s"web${webK}k_charset_decode", nPages) {
+        val out = sources.Charsets
+          .decodeFetched(sources.Charsets.fetchPlant(webDocs))
+          .join(
+            webDocs.select(col("doc_id"), expr(sources.Charsets.pageExpr).as("page")),
+            Seq("doc_id")
+          )
+        val n = out.filter(col("text_out") === col("page")).count()
+        require(n == nPages, s"charset roundtrip: $n != $nPages")
+        n
+      }
       pages.unpersist()
       ()
     }

@@ -57,11 +57,13 @@ object SparkEntry {
       llm.Multimodal.queries ++
       llm.Curation.queries ++
       llm.Urls.queries ++
+      llm.Sitemaps.queries ++
       llm.Sketches.queries ++
       pipeline.PipelineOps.queries ++
       sources.EdfOps.queries ++
       sources.JsonlOps.queries ++
       sources.WarcOps.queries ++
+      sources.Charsets.queries ++
       streaming.StreamOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -91,11 +93,13 @@ object SparkEntry {
       llm.Multimodal.oracleSql ++
       llm.Curation.oracleSql ++
       llm.Urls.oracleSql ++
+      llm.Sitemaps.oracleSql ++
       llm.Sketches.oracleSql ++
       pipeline.PipelineOps.oracleSql ++
       sources.EdfOps.oracleSql ++
       sources.JsonlOps.oracleSql ++
       sources.WarcOps.oracleSql ++
+      sources.Charsets.oracleSql ++
       streaming.StreamOps.oracleSql
 }
 

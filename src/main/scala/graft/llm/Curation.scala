@@ -926,6 +926,109 @@ object Curation {
       "WHEN a.h_old <> b.h_new THEN 'changed' ELSE 'unchanged' END AS status " +
       "FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id"
 
+  /** DoReMi-style domain reweighting (Xie et al. 2023, arXiv
+    * 2305.10429) in its deterministic one-round form: the mixture
+    * optimizer's exponentiated-gradient update, driven by each
+    * domain's EXCESS loss over the corpus-wide reference — here the
+    * per-token NLL under the corpus unigram LM (the engine's own
+    * `unigramLogProb` proxy; the published method uses a small proxy
+    * model, the UPDATE RULE is what this operator implements):
+    *
+    *   w_s ∝ base_s · exp(η · max(0, loss_s − loss_ref)),  base_s =
+    *   token share — domains the reference model finds HARDER than
+    *   average get upweighted, at-or-below-average domains keep their
+    *   token-proportional base.
+    *
+    * Cross-engine float discipline (band_power_tc / sample_budget
+    * pattern): per-doc log-prob sums quantize ONCE to integer micros,
+    * per-source sums run over exact BIGINTs, loss/excess/exp evaluate
+    * on those integers in one identical expression tree (libm last-ulp
+    * class under round6), and the normalization quantizes each
+    * unnormalized weight to micros before the integer wsum — no
+    * cross-engine float-sum ordering anywhere. Two constant-key 1-row
+    * totals joins (the bm25/sample_budget broadcast shape, PlanAudit
+    * allowlisted). Scale shape: one token-keyed aggregation + one
+    * doc-keyed aggregation + source-row arithmetic — dedup_exact
+    * class at any corpus size.
+    */
+  def mixDoremi(docs: DataFrame, eta: Double = 100.0): DataFrame = {
+    val toks = TextStats.tokens(docs).select(col("doc_id"), col("tok"))
+    val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("ctf"))
+    val tot = tf.agg(sum(col("ctf")).as("ntok")).withColumn("k", lit(1))
+    val perDoc = toks
+      .join(tf, Seq("tok"))
+      .withColumn("k", lit(1))
+      .join(broadcast(tot), Seq("k"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tok_d"),
+        floor(sum(log(col("ctf") / col("ntok"))) * 1e6 + 0.5).cast("long").as("lp6")
+      )
+    // checkpoint BEFORE the fan-out: perSrc feeds the totals aggregate
+    // AND the scored rows (components() rule) — ≤ sources rows
+    val perSrc = perDoc
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok_d")).as("n_tok"),
+        sum(col("lp6")).as("lp6_s")
+      )
+      .localCheckpoint()
+    val tot2 = perSrc
+      .agg(sum(col("n_tok")).as("ntok_tot"), sum(col("lp6_s")).as("lp6_tot"))
+      .withColumn("k", lit(1))
+    val scored = perSrc
+      .withColumn("k", lit(1))
+      .join(broadcast(tot2), Seq("k"))
+      .withColumn("loss", -(col("lp6_s") / lit(1e6)) / col("n_tok"))
+      .withColumn("ref_loss", -(col("lp6_tot") / lit(1e6)) / col("ntok_tot"))
+      .withColumn("excess", greatest(lit(0.0), col("loss") - col("ref_loss")))
+      .withColumn(
+        "u6",
+        floor((col("n_tok") / col("ntok_tot")) * exp(lit(eta) * col("excess")) * 1e6 + 0.5)
+          .cast("long")
+      )
+      .localCheckpoint()
+    val ws = scored.agg(sum(col("u6")).as("wsum")).withColumn("k", lit(1))
+    scored
+      .withColumn("k", lit(1))
+      .join(broadcast(ws), Seq("k"))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_tok"),
+        Dsp.round6(col("loss")).as("loss"),
+        Dsp.round6(col("excess")).as("excess"),
+        Dsp.round6(col("u6").cast("double") / col("wsum").cast("double")).as("mix_weight")
+      )
+  }
+
+  def mixDoremiSql(eta: Double = 100.0): String = {
+    val e = Dsp.lit(eta)
+    val lossE = "-(lp6_s / 1.0e6) / n_tok"
+    val refE = "-(lp6_tot / 1.0e6) / ntok_tot"
+    val excessE = s"greatest(0.0e0, $lossE - ($refE))"
+    s"WITH ${TextStats.tokensSql}, " +
+      "tf AS MATERIALIZED (SELECT tok, count(*) AS ctf FROM tokens GROUP BY tok), " +
+      "tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS ntok FROM tf), " +
+      "perdoc AS MATERIALIZED (SELECT doc_id, count(*) AS n_tok_d, " +
+      "CAST(floor(sum(ln(ctf / ntok)) * 1.0e6 + 0.5e0) AS BIGINT) AS lp6 " +
+      "FROM tokens t JOIN tf USING (tok), tot GROUP BY doc_id), " +
+      "persrc AS MATERIALIZED (SELECT d.source, count(*) AS n_docs, " +
+      "CAST(sum(p.n_tok_d) AS BIGINT) AS n_tok, CAST(sum(p.lp6) AS BIGINT) AS lp6_s " +
+      "FROM perdoc p JOIN documents d USING (doc_id) GROUP BY d.source), " +
+      "tot2 AS (SELECT CAST(sum(n_tok) AS BIGINT) AS ntok_tot, " +
+      "CAST(sum(lp6_s) AS BIGINT) AS lp6_tot FROM persrc), " +
+      s"sc AS MATERIALIZED (SELECT source, n_docs, n_tok, $lossE AS loss, $excessE AS excess, " +
+      s"CAST(floor((n_tok / ntok_tot) * exp($e * ($excessE)) * 1.0e6 + 0.5e0) AS BIGINT) AS u6 " +
+      "FROM persrc, tot2), " +
+      "ws AS (SELECT CAST(sum(u6) AS BIGINT) AS wsum FROM sc) " +
+      s"SELECT source, n_docs, n_tok, ${Dsp.round6Sql("loss")} AS loss, " +
+      s"${Dsp.round6Sql("excess")} AS excess, " +
+      s"${Dsp.round6Sql("u6 / wsum")} AS mix_weight FROM sc, ws"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_diff" -> { (s, dir) => corpusDiffGate(Tables.documents(s, dir)) },
     "curate_llm" -> { (s, dir) => curateLlm(Tables.documents(s, dir)) },
@@ -936,6 +1039,7 @@ object Curation {
     "sample_mix" -> { (s, dir) => sampleMix(Tables.documents(s, dir)) },
     "sample_budget" -> { (s, dir) => sampleBudget(Tables.documents(s, dir)) },
     "sample_draw" -> { (s, dir) => sampleDraw(Tables.documents(s, dir)) },
+    "mix_doremi" -> { (s, dir) => mixDoremi(Tables.documents(s, dir)) },
     "corpus_card" -> { (s, dir) => corpusCard(Tables.documents(s, dir)) },
     "sample_stratified" -> { (s, dir) => sampleStratified(Tables.documents(s, dir)) },
     "sample_weighted" -> { (s, dir) => sampleWeighted(Tables.documents(s, dir)) },
@@ -1005,6 +1109,7 @@ object Curation {
     "sample_mix" -> sampleMixSql(),
     "sample_budget" -> sampleBudgetSql(),
     "sample_draw" -> sampleDrawSql(),
+    "mix_doremi" -> mixDoremiSql(),
     "corpus_card" -> corpusCardSql,
     "sample_stratified" -> sampleStratifiedSql(),
     "sample_weighted" -> sampleWeightedSql(),

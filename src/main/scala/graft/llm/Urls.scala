@@ -241,7 +241,13 @@ object Urls {
       "'Allow: /articles/5', chr(10), 'Allow: /articles/2', chr(10), " +
       "'Disallow: /articles/2', chr(10), 'Crawl-delay: 2', chr(10)) " +
       "WHEN hn % 3 = 1 THEN concat('Disallow: /articles/3', chr(10)) " +
-      "ELSE concat('# no rules for this host', chr(10)) END)"
+      "ELSE concat('# no rules for this host', chr(10)) END, " +
+      // r16: half the hosts DECLARE their sitemap (the RFC 9309 §2.3 /
+      // sitemaps.org discovery convention); the rule/delay parsers must
+      // ignore the unknown directive (gate hashes unchanged), and
+      // robotsSitemaps extracts it to seed sitemap fetches
+      "CASE WHEN hn % 2 = 0 THEN concat('Sitemap: https://site', CAST(hn AS STRING), " +
+      "'.example.com/sitemap.xml', chr(10)) ELSE '' END)"
 
   /** robots.txt PARSING + screening — fetch→parse→screen closed end
     * to end: the per-host robots DOCUMENTS are split into lines
@@ -377,7 +383,7 @@ object Urls {
     * `greatest` over per-rule conditional structs at plan time).
     * Null = no rule matched (allowed).
     */
-  private def robotsBestCol(host: Column, path: Column): Column =
+  private[llm] def robotsBestCol(host: Column, path: Column): Column =
     greatest(robotsRules.map { case (h, d, p) =>
       when(
         host === h && path.startsWith(p),
@@ -455,7 +461,7 @@ object Urls {
   /** Shared DuckDB parse chain ending in CTE `k` =
     * (doc_id, host, canon, blocked, keep).
     */
-  private def parseCtes: String = {
+  private[llm] def parseCtes: String = {
     val blist = blockedHosts.map(h => s"'$h'").mkString(", ")
     s"WITH u AS (SELECT doc_id, $urlPlant AS url FROM documents), " +
       "p1 AS (SELECT doc_id, lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme, " +

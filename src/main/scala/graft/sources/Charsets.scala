@@ -1,0 +1,184 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Charset sniffing + transcoding — the fetch-side step every real
+  * crawl needs between "payload bytes" and "text": a response's bytes
+  * arrive in whatever encoding the publisher used, declared (when
+  * declared at all) in up to three conflicting places. The resolution
+  * order implemented here is the standard one (WHATWG encoding sniff /
+  * HTML5 prescan, as production crawlers apply it to non-browser
+  * fetches):
+  *
+  *   1. a byte-order mark wins over everything (UTF-8 / UTF-16BE/LE);
+  *   2. else the HTTP `Content-Type` header's `charset=` parameter;
+  *   3. else a `<meta charset=…>` / `<meta http-equiv=… content=…>`
+  *      declaration found by decoding a bounded prefix as Latin-1 (the
+  *      ASCII-superset prescan — meta tags are ASCII, so any
+  *      single-byte decoding exposes them);
+  *   4. else UTF-8 (the modern web default).
+  *
+  * Declared labels normalize through a WHATWG-style alias table
+  * (`windows-1252`/`latin1`/`iso_8859-1` → ISO-8859-1, `utf8` → UTF-8,
+  * unknown labels → UTF-8) before decoding, because the JVM/engine
+  * decoder wants canonical names and real-web labels are a zoo.
+  *
+  * Everything is ROW-LOCAL (sniff = a few regexes over a 1 KiB prefix,
+  * transcode = one `decode` per row under whole-stage codegen), so the
+  * stage runs map-side at any crawl scale — no shuffle, no state. The
+  * gate plants five declaration arms (header / meta-charset / BOM with
+  * a CONFLICTING header / meta-http-equiv / undeclared) with payloads
+  * REALLY encoded per-arm (Latin-1 vs UTF-8 bytes genuinely differ on
+  * the non-ASCII salt), and proves the decoded text md5-equals the
+  * original plant — the full bytes→text roundtrip, replayed by the
+  * oracle arithmetically (Latin-1 bytes = chars; UTF-8 bytes = strlen).
+  */
+object Charsets {
+
+  /** UTF-8 byte-order mark. */
+  val bomUtf8: Array[Byte] = Array(0xEF.toByte, 0xBB.toByte, 0xBF.toByte)
+
+  // ---- gate plant (dual-dialect expression strings) ----
+
+  /** The page string: optional meta declaration per arm + a non-ASCII
+    * salt ("café nº<d> über") so Latin-1 and UTF-8 byte lengths
+    * genuinely differ and a wrong decode cannot md5-match.
+    */
+  val pageExpr: String =
+    "concat('<html><head>', " +
+      "CASE WHEN doc_id % 5 = 1 THEN '<meta charset=\"windows-1252\">' " +
+      "WHEN doc_id % 5 = 3 THEN '<meta http-equiv=\"Content-Type\" content=\"text/html; charset=UTF-8\">' " +
+      "ELSE '' END, " +
+      "'<title>Doc ', CAST(doc_id AS STRING), '</title></head><body><p>', " +
+      "substr(text, 1, 120), " +
+      "' café nº', CAST(doc_id % 10 AS STRING), ' über</p></body></html>')"
+
+  /** The HTTP Content-Type header per arm; arm 2 DECLARES Latin-1 but
+    * ships a UTF-8 BOM — the BOM must win.
+    */
+  val headerExpr: String =
+    "CASE WHEN doc_id % 5 = 0 THEN 'Content-Type: text/html; charset=ISO-8859-1' " +
+      "WHEN doc_id % 5 = 2 THEN 'Content-Type: text/html; charset=ISO-8859-1' " +
+      "ELSE 'Content-Type: text/html' END"
+
+  /** Fetched-response plant: (doc_id, header string, payload bytes) —
+    * bytes REALLY encoded per arm (the only Spark-side-only step; the
+    * oracle replays its consequences arithmetically).
+    */
+  def fetchPlant(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), expr(pageExpr).as("page"), expr(headerExpr).as("header"))
+      .withColumn(
+        "payload",
+        when(col("doc_id") % 5 <= 1, encode(col("page"), "ISO-8859-1"))
+          .when(col("doc_id") % 5 === 2, concat(lit(bomUtf8), encode(col("page"), "UTF-8")))
+          .otherwise(encode(col("page"), "UTF-8"))
+      )
+      .select(col("doc_id"), col("header"), col("payload"))
+
+  // ---- the operator ----
+
+  private def aliasNorm(label: Column): Column = {
+    val l = lower(label)
+    when(l.isin("iso-8859-1", "latin1", "latin-1", "iso_8859-1", "windows-1252", "cp1252", "l1"),
+      "iso-8859-1")
+      .when(l.isin("utf-8", "utf8", "unicode-1-1-utf-8"), "utf-8")
+      .when(l.isin("us-ascii", "ascii"), "us-ascii")
+      .when(l.isin("utf-16be"), "utf-16be")
+      .when(l.isin("utf-16le", "utf-16"), "utf-16le")
+      .otherwise("utf-8") // unknown label: the modern-web fallback
+  }
+
+  /** Sniff + transcode over (doc_id, header, payload): adds
+    * `src` (bom|header|meta|default), `declared` (the raw winning
+    * label, '' when none), `charset` (normalized decode charset) and
+    * `text_out` (the decoded string, BOM stripped). Row-local.
+    */
+  def decodeFetched(fetched: DataFrame): DataFrame = {
+    val bom3 = upper(hex(expr("substring(payload, 1, 3)")))
+    val bom2 = upper(hex(expr("substring(payload, 1, 2)")))
+    val bomCs = when(bom3 === "EFBBBF", "utf-8")
+      .when(bom2 === "FEFF", "utf-16be")
+      .when(bom2 === "FFFE", "utf-16le")
+    val headerDecl =
+      nullif(regexp_extract(col("header"), "(?i)charset=([A-Za-z0-9_\\-]+)", 1), lit(""))
+    // HTML5 prescan: decode a bounded prefix as Latin-1 (ASCII-superset)
+    // and look for a meta declaration — meta tags are ASCII, so this is
+    // encoding-safe for any single/multi-byte ASCII-compatible payload
+    val prefix = decode(expr("substring(payload, 1, 1024)"), "ISO-8859-1")
+    val metaDecl =
+      nullif(
+        regexp_extract(prefix, "(?i)<meta[^>]*charset=\"?([A-Za-z0-9_\\-]+)", 1),
+        lit("")
+      )
+    val src = when(bomCs.isNotNull, "bom")
+      .when(headerDecl.isNotNull, "header")
+      .when(metaDecl.isNotNull, "meta")
+      .otherwise("default")
+    val declared = coalesce(bomCs, headerDecl, metaDecl, lit(""))
+    val cs = when(col("src") === "bom", col("declared"))
+      .when(col("src") === "default", "utf-8")
+      .otherwise(aliasNorm(col("declared")))
+    val body = when(col("charset") === "utf-8" && col("src") === "bom",
+      expr("substring(payload, 4, octet_length(payload) - 3)"))
+      .when(
+        col("charset").isin("utf-16be", "utf-16le") && col("src") === "bom",
+        expr("substring(payload, 3, octet_length(payload) - 2)")
+      )
+      .otherwise(col("payload"))
+    val textOut = when(col("charset") === "iso-8859-1", decode(col("body"), "ISO-8859-1"))
+      .when(col("charset") === "us-ascii", decode(col("body"), "US-ASCII"))
+      .when(col("charset") === "utf-16be", decode(col("body"), "UTF-16BE"))
+      .when(col("charset") === "utf-16le", decode(col("body"), "UTF-16LE"))
+      .otherwise(decode(col("body"), "UTF-8"))
+    fetched
+      .withColumn("src", src)
+      .withColumn("declared", declared)
+      .withColumn("charset", cs)
+      .withColumn("body", body)
+      .withColumn("text_out", textOut)
+      .drop("body")
+  }
+
+  /** crawl_charset gate: the five-arm plant through the REAL sniff +
+    * decode; md5(text_out) must equal md5 of the original page string
+    * — bytes→text roundtrip proven per row, all replayed by arithmetic
+    * in the oracle.
+    */
+  def crawlCharsetGate(docs: DataFrame): DataFrame =
+    decodeFetched(fetchPlant(docs))
+      .select(
+        col("doc_id"),
+        col("src"),
+        col("declared"),
+        col("charset"),
+        octet_length(col("payload")).cast("long").as("n_bytes"),
+        length(col("text_out")).cast("long").as("n_chars"),
+        md5(col("text_out")).as("text_md5")
+      )
+
+  val crawlCharsetSql: String =
+    s"WITH p AS (SELECT doc_id, $pageExpr AS page FROM documents) " +
+      "SELECT doc_id, " +
+      "CASE WHEN doc_id % 5 = 0 THEN 'header' WHEN doc_id % 5 = 1 THEN 'meta' " +
+      "WHEN doc_id % 5 = 2 THEN 'bom' WHEN doc_id % 5 = 3 THEN 'meta' ELSE 'default' END AS src, " +
+      "CASE WHEN doc_id % 5 = 0 THEN 'ISO-8859-1' WHEN doc_id % 5 = 1 THEN 'windows-1252' " +
+      "WHEN doc_id % 5 = 2 THEN 'utf-8' WHEN doc_id % 5 = 3 THEN 'UTF-8' ELSE '' END AS declared, " +
+      "CASE WHEN doc_id % 5 <= 1 THEN 'iso-8859-1' ELSE 'utf-8' END AS charset, " +
+      // Latin-1 arms: one byte per char; BOM arm: 3 + UTF-8 bytes
+      "CAST(CASE WHEN doc_id % 5 <= 1 THEN length(page) " +
+      "WHEN doc_id % 5 = 2 THEN 3 + strlen(page) ELSE strlen(page) END AS BIGINT) AS n_bytes, " +
+      "CAST(length(page) AS BIGINT) AS n_chars, " +
+      "md5(page) AS text_md5 FROM p"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "crawl_charset" -> { (s, dir) => crawlCharsetGate(Tables.documents(s, dir)) }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "crawl_charset" -> crawlCharsetSql
+  )
+}

@@ -1533,6 +1533,177 @@ object WarcOps {
       )
   }
 
+  /** FUSED recrawl prioritization — both freshness signals a real
+    * crawler holds, combined: the PUBLISHER's (sitemap `lastmod`, r16's
+    * `Sitemaps` leg) and the OBSERVED one (the dated CDX chain's
+    * change rate, [[recrawlPriority]]). The fusion rule is the one
+    * production freshness loops use: "the publisher says this URL
+    * changed since our last capture" is a must-fetch CLASS, not a
+    * score — within each host, class-0 URLs (sitemap lastmod strictly
+    * after our latest capture) schedule before every class-1 URL
+    * (listed-but-not-newer, or absent from the sitemap — an absent
+    * listing is no evidence of change), and WITHIN a class the
+    * observed rate orders as before. Everything stays exact
+    * (14-digit-timestamp string compare, integer rate) so the oracle
+    * replays the whole fusion.
+    *
+    * Scale shape: one urlkey-keyed aggregation over index rows + one
+    * broadcast-or-hash equi-join to the sitemap frame + the per-host
+    * politeness window — [[prioritySchedule]]'s cost plus a join that
+    * shuffles only (urlkey, ts) pairs.
+    */
+  def fusedPriority(cdx: DataFrame, sitemap: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("urlkey"))
+      .orderBy(col("cdx_ts").asc)
+    cdx
+      .select(col("urlkey"), col("url"), col("cdx_ts"), col("digest"))
+      .withColumn("prev_digest", lag(col("digest"), 1).over(w))
+      .groupBy(col("urlkey"))
+      .agg(
+        max_by(col("url"), col("cdx_ts")).as("url"),
+        max(col("cdx_ts")).as("latest_ts"),
+        count(lit(1)).as("n_caps"),
+        sum(
+          when(col("prev_digest").isNotNull && col("digest") =!= col("prev_digest"), 1L)
+            .otherwise(0L)
+        ).as("n_changes")
+      )
+      .withColumn(
+        "rate_ppm",
+        when(col("n_caps") > 1, expr("n_changes * 1000000 div (n_caps - 1)")).otherwise(lit(0L))
+      )
+      .join(sitemap.select(col("urlkey"), col("sm_ts")), Seq("urlkey"), "left")
+      .withColumn(
+        "fresh_class",
+        when(col("sm_ts").isNotNull && col("sm_ts") > col("latest_ts"), 0).otherwise(1)
+      )
+  }
+
+  /** [[prioritySchedule]]'s politeness window consuming the fused
+    * ordering: class first, observed rate within class.
+    */
+  def fusedSchedule(pri: DataFrame): DataFrame = {
+    val delayMs =
+      expr("500 * (1 + CAST(substr(host, 5, length(host) - 16) AS BIGINT) % 3)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host"))
+      .orderBy(
+        col("fresh_class").asc,
+        col("rate_ppm").desc,
+        col("n_changes").desc,
+        md5(col("urlkey")).asc,
+        col("urlkey").asc
+      )
+    pri
+      .withColumn("host", regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1))
+      .select(
+        col("urlkey"),
+        col("host"),
+        col("fresh_class"),
+        col("n_caps"),
+        col("n_changes"),
+        col("rate_ppm")
+      )
+      .withColumn("slot", row_number().over(w).cast("long"))
+      .withColumn("fetch_at_ms", (col("slot") - 1) * delayMs)
+  }
+
+  /** Gate: a 4-capture chain where captures 3 and 4 cover SUBSETS
+    * (mod-2 / mod-4), so `latest_ts` genuinely varies per URL
+    * (20240201/0301/0401) and capture counts decouple from change
+    * counts — plus a sitemap frame listing all but the mod-9=7 URLs
+    * with the [[graft.llm.Sitemaps.lastmodExpr]] date as a 14-digit
+    * timestamp. Probed non-vacuous at every sf: both classes, mixed
+    * rates, unlisted URLs, and class-0 URLs with LOWER rates than
+    * class-1 URLs in the same host (the fusion must override the
+    * rate). Oracle replays chain → lag → counts → join → class →
+    * window verbatim.
+    */
+  def crawlPriorityFusedGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def cap(ts: String, textCase: String, modFilter: Int): DataFrame = {
+      val base = if (modFilter > 1) docs.filter(col("doc_id") % modFilter === 0) else docs
+      base
+        .select(col("doc_id"), expr(textCase).as("text"))
+        .select(
+          col("doc_id"),
+          lit(ts).as("cdx_ts"),
+          md5(expr(graft.llm.Curation.htmlPlantExpr)).as("digest")
+        )
+    }
+    val chain = cap("20240101000000", "text", 1)
+      .unionByName(
+        cap("20240201000000", "CASE WHEN doc_id % 3 = 0 THEN concat(text, ' v2') ELSE text END", 1)
+      )
+      .unionByName(
+        cap("20240301000000", "CASE WHEN doc_id % 5 = 0 THEN concat(text, ' v3') ELSE text END", 2)
+      )
+      .unionByName(cap("20240401000000", "text", 4))
+      .withColumn(
+        "urlkey",
+        concat(
+          lit("com,example,site"),
+          (col("doc_id") % 20).cast("string"),
+          lit(")/doc/"),
+          col("doc_id").cast("string")
+        )
+      )
+      .withColumn("url", uriExpr)
+    val sitemap = docs
+      .filter(col("doc_id") % 9 =!= 7)
+      .select(
+        concat(
+          lit("com,example,site"),
+          (col("doc_id") % 20).cast("string"),
+          lit(")/doc/"),
+          col("doc_id").cast("string")
+        ).as("urlkey"),
+        concat(
+          regexp_replace(expr(graft.llm.Sitemaps.lastmodExpr), "-", ""),
+          lit("000000")
+        ).as("sm_ts")
+      )
+    fusedSchedule(fusedPriority(chain, sitemap))
+      .select(
+        regexp_extract(col("urlkey"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+        col("host"),
+        col("fresh_class"),
+        col("n_caps"),
+        col("n_changes"),
+        col("rate_ppm"),
+        col("slot"),
+        col("fetch_at_ms")
+      )
+  }
+
+  val crawlPriorityFusedSql: String = {
+    val plant = graft.llm.Curation.htmlPlantExpr
+    val lm = graft.llm.Sitemaps.lastmodExpr
+    "WITH cb AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN concat(text, ' v2') ELSE text END AS text FROM documents), " +
+      "cc AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN concat(text, ' v3') ELSE text END AS text FROM documents WHERE doc_id % 2 = 0), " +
+      "cd AS (SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0), " +
+      s"ch AS (SELECT doc_id, '20240101000000' AS cdx_ts, md5($plant) AS digest FROM documents " +
+      s"UNION ALL SELECT doc_id, '20240201000000', md5($plant) FROM cb " +
+      s"UNION ALL SELECT doc_id, '20240301000000', md5($plant) FROM cc " +
+      s"UNION ALL SELECT doc_id, '20240401000000', md5($plant) FROM cd), " +
+      "lg AS (SELECT doc_id, digest, cdx_ts, lag(digest) OVER (PARTITION BY doc_id ORDER BY cdx_ts) AS prev FROM ch), " +
+      "pr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_caps, max(cdx_ts) AS latest_ts, " +
+      "CAST(sum(CASE WHEN prev IS NOT NULL AND digest <> prev THEN 1 ELSE 0 END) AS BIGINT) AS n_changes " +
+      "FROM lg GROUP BY doc_id), " +
+      s"sm AS (SELECT doc_id, concat(replace($lm, '-', ''), '000000') AS sm_ts FROM documents WHERE doc_id % 9 <> 7), " +
+      "pp AS (SELECT pr.doc_id, n_caps, n_changes, latest_ts, " +
+      "CAST(CASE WHEN n_caps > 1 THEN n_changes * 1000000 // (n_caps - 1) ELSE 0 END AS BIGINT) AS rate_ppm, " +
+      "CASE WHEN sm.sm_ts IS NOT NULL AND sm.sm_ts > pr.latest_ts THEN 0 ELSE 1 END AS fresh_class, " +
+      "concat('site', CAST(pr.doc_id % 20 AS STRING), '.example.com') AS host, " +
+      "concat('com,example,site', CAST(pr.doc_id % 20 AS STRING), ')/doc/', CAST(pr.doc_id AS STRING)) AS urlkey " +
+      "FROM pr LEFT JOIN sm ON sm.doc_id = pr.doc_id), " +
+      "sl AS (SELECT doc_id, host, fresh_class, n_caps, n_changes, rate_ppm, " +
+      "CAST(row_number() OVER (PARTITION BY host ORDER BY fresh_class ASC, rate_ppm DESC, n_changes DESC, md5(urlkey) ASC, urlkey ASC) AS BIGINT) AS slot FROM pp) " +
+      "SELECT doc_id, host, fresh_class, n_caps, n_changes, rate_ppm, slot, " +
+      "CAST((slot - 1) * (500 * (1 + CAST(substr(host, 5, length(host) - 16) AS BIGINT) % 3)) AS BIGINT) AS fetch_at_ms FROM sl"
+  }
+
   /** Chain → lag → change counts → rate → per-host priority window,
     * replayed verbatim (exact integers end to end).
     */
@@ -1572,7 +1743,8 @@ object WarcOps {
     "cdx_layout" -> { (s, dir) => cdxLayout(s, dir) },
     "cdx_resolve" -> { (s, dir) => cdxResolve(s, dir) },
     "cdx_merge" -> { (s, dir) => cdxMergeGate(s, dir) },
-    "crawl_priority" -> { (s, dir) => crawlPriorityGate(s, dir) }
+    "crawl_priority" -> { (s, dir) => crawlPriorityGate(s, dir) },
+    "crawl_priority_fused" -> { (s, dir) => crawlPriorityFusedGate(s, dir) }
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1593,6 +1765,7 @@ object WarcOps {
     "cdx_layout" -> cdxLayoutSql,
     "cdx_resolve" -> cdxResolveSql,
     "cdx_merge" -> cdxMergeSql,
-    "crawl_priority" -> crawlPrioritySql
+    "crawl_priority" -> crawlPrioritySql,
+    "crawl_priority_fused" -> crawlPriorityFusedSql
   )
 }

@@ -36,7 +36,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_communities", // label propagation over sim_knn_graph's edges — same centroid broadcast
     "text_pmi", // two 1-row totals stat frames (the bm25 shape)
     "retrieve_rrf", // embeds text_bm25's 1-row stats broadcast + a 1-ROW dense-query broadcast (the sim_topk query-table shape, N=1)
-    "sim_filtered_topk" // embeds ivfCandidates' ≤16-row centroid broadcast (the sim_ivf_topk shape)
+    "sim_filtered_topk", // embeds ivfCandidates' ≤16-row centroid broadcast (the sim_ivf_topk shape)
+    "mix_doremi" // three 1-row totals stat frames (corpus token total, source totals, weight sum) — the bm25/sample_budget shape
   )
 
   // a Window.partitionBy(constant) folds to an EMPTY partition spec and
