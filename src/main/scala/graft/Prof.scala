@@ -155,6 +155,12 @@ object Prof {
       t(s"docs${docsX}_dsir", nDocs)(llm.Dsir.weights(docs).count())
       t(s"docs${docsX}_langid_ngram", nDocs)(llm.TextStats.langidNgram(docs).count())
       t(s"docs${docsX}_tokens_bpe", nDocs)(llm.Bpe.tokensBpe(docs).count())
+      // r16 mixture-optimizer decade: the unigram-LM shape (token
+      // explode + tf join) plus source-row arithmetic — must track
+      // text_unigram_lp's cost, never the corpus
+      t(s"docs${docsX}_mix_doremi", nDocs)(
+        llm.Curation.mixDoremi(docs).filter(col("mix_weight") >= 0).count()
+      )
       // round-8 additions: incremental screen (store build + batch
       // screen) and header-directed video frame stats
       t(s"docs${docsX}_bloom_screen", nDocs)(llm.Sketches.bloomScreen(docs).count())
@@ -904,6 +910,34 @@ object Prof {
           .filter(col("fetch_at_ms") >= 0)
           .count()
       }
+      // r16 fused-priority decade: the publisher-signal class join over
+      // the same 3-crawl chain — a synthetic sitemap lists 8/9 of URLs
+      // with ~half the lastmods after the latest capture, so both
+      // classes populate and the join/window carry real selectivity
+      t(s"web${webK}k_priority_fused", nPages) {
+        val chain = mergeChain().withColumn(
+          "url",
+          concat(
+            lit("http://site"),
+            (regexp_extract(col("urlkey"), "/doc/([0-9]+)$", 1).cast("long") % 20).cast("string"),
+            lit(".example.com/doc/"),
+            regexp_extract(col("urlkey"), "/doc/([0-9]+)$", 1)
+          )
+        )
+        // the chain's urlkeys are SURT('http://h/doc/N') = 'h)/doc/N'
+        val smAligned = webDocs
+          .filter(col("doc_id") % 9 =!= 7)
+          .select(
+            concat(lit("h)/doc/"), col("doc_id").cast("string")).as("urlkey"),
+            when(col("doc_id") % 2 === 0, "20240601000000")
+              .otherwise("20230101000000")
+              .as("sm_ts")
+          )
+        sources.WarcOps
+          .fusedSchedule(sources.WarcOps.fusedPriority(chain, smAligned))
+          .filter(col("fetch_at_ms") >= 0)
+          .count()
+      }
       // byte-level BPE end-to-end (remap + trainer collect + encode)
       // on the same corpus — the ByteRemap expression's decade
       t(s"web${webK}k_bpe_bytes", nPages)(
@@ -970,15 +1004,35 @@ object Prof {
         require(n == nPages, s"sitemap parse tiling: $n != $nPages")
         n
       }
+      // refetch diff at page scale: two full parses + the loc-keyed
+      // full-outer join (narrow string rows; status must split)
+      t(s"web${webK}k_sitemap_diff", nPages) {
+        val v1 = llm.Sitemaps.sitemapParse(smCk.select(col("host"), col("xml")))
+        val v2p = llm.Sitemaps.sitemapRenderWith(
+          smUrls.filter(col("doc_id") % 11 =!= 5),
+          when(col("doc_id") % 3 === 0, expr(llm.Sitemaps.lastmodV2Expr))
+            .otherwise(expr(llm.Sitemaps.lastmodExpr))
+        )
+        val v2 = llm.Sitemaps.sitemapParse(v2p)
+        val byStatus = llm.Sitemaps
+          .sitemapDiff(v1, v2)
+          .groupBy(col("status"))
+          .count()
+          .collect()
+          .map(r => r.getString(0) -> r.getLong(1))
+          .toMap
+        require(
+          byStatus.getOrElse("changed", 0L) > 0 && byStatus.getOrElse("removed", 0L) > 0,
+          s"diff decade vacuous: $byStatus"
+        )
+        byStatus.values.sum
+      }
       // r16 charset decade: sniff + transcode over the five-arm plant
-      // (row-local decode under codegen); every row must roundtrip
+      // (row-local decode under codegen); every row must roundtrip —
+      // compared IN-FRAME (the plant keeps `page`), so the timer pays
+      // the operator, not an artificial 200k×1.4KB string-join shuffle
       t(s"web${webK}k_charset_decode", nPages) {
-        val out = sources.Charsets
-          .decodeFetched(sources.Charsets.fetchPlant(webDocs))
-          .join(
-            webDocs.select(col("doc_id"), expr(sources.Charsets.pageExpr).as("page")),
-            Seq("doc_id")
-          )
+        val out = sources.Charsets.decodeFetched(sources.Charsets.fetchPlant(webDocs))
         val n = out.filter(col("text_out") === col("page")).count()
         require(n == nPages, s"charset roundtrip: $n != $nPages")
         n

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -64,9 +64,11 @@ object Charsets {
       "WHEN doc_id % 5 = 2 THEN 'Content-Type: text/html; charset=ISO-8859-1' " +
       "ELSE 'Content-Type: text/html' END"
 
-  /** Fetched-response plant: (doc_id, header string, payload bytes) —
-    * bytes REALLY encoded per arm (the only Spark-side-only step; the
-    * oracle replays its consequences arithmetically).
+  /** Fetched-response plant: (doc_id, page, header string, payload
+    * bytes) — bytes REALLY encoded per arm (the only Spark-side-only
+    * step; the oracle replays its consequences arithmetically). The
+    * original `page` string rides along so roundtrip checks compare
+    * in-frame (no join).
     */
   def fetchPlant(docs: DataFrame): DataFrame =
     docs
@@ -77,70 +79,97 @@ object Charsets {
           .when(col("doc_id") % 5 === 2, concat(lit(bomUtf8), encode(col("page"), "UTF-8")))
           .otherwise(encode(col("page"), "UTF-8"))
       )
-      .select(col("doc_id"), col("header"), col("payload"))
+      .select(col("doc_id"), col("page"), col("header"), col("payload"))
 
   // ---- the operator ----
 
-  private def aliasNorm(label: Column): Column = {
-    val l = lower(label)
-    when(l.isin("iso-8859-1", "latin1", "latin-1", "iso_8859-1", "windows-1252", "cp1252", "l1"),
-      "iso-8859-1")
-      .when(l.isin("utf-8", "utf8", "unicode-1-1-utf-8"), "utf-8")
-      .when(l.isin("us-ascii", "ascii"), "us-ascii")
-      .when(l.isin("utf-16be"), "utf-16be")
-      .when(l.isin("utf-16le", "utf-16"), "utf-16le")
-      .otherwise("utf-8") // unknown label: the modern-web fallback
-  }
-
-  /** Sniff + transcode over (doc_id, header, payload): adds
+  /** Sniff + transcode over (…, header, payload): adds
     * `src` (bom|header|meta|default), `declared` (the raw winning
     * label, '' when none), `charset` (normalized decode charset) and
-    * `text_out` (the decoded string, BOM stripped). Row-local.
+    * `text_out` (the decoded string, BOM stripped); all other input
+    * columns pass through.
+    *
+    * Implemented as a row-local Scala kernel (`mapPartitions`, the
+    * WARC-codec class): the declarative withColumn chain inlined the
+    * meta-prescan (prefix decode + regex) ~30× per row under
+    * CollapseProject — measured 7.6 s vs this kernel's sub-second at
+    * 200k pages — and a per-record byte codec is exactly the shape
+    * the repo's mapPartitions rule sanctions. Regexes precompile once
+    * per partition; decoding uses the JVM charset decoders with the
+    * standard replace-malformed policy. Stateless, so streaming-safe.
     */
   def decodeFetched(fetched: DataFrame): DataFrame = {
-    val bom3 = upper(hex(expr("substring(payload, 1, 3)")))
-    val bom2 = upper(hex(expr("substring(payload, 1, 2)")))
-    val bomCs = when(bom3 === "EFBBBF", "utf-8")
-      .when(bom2 === "FEFF", "utf-16be")
-      .when(bom2 === "FFFE", "utf-16le")
-    val headerDecl =
-      nullif(regexp_extract(col("header"), "(?i)charset=([A-Za-z0-9_\\-]+)", 1), lit(""))
-    // HTML5 prescan: decode a bounded prefix as Latin-1 (ASCII-superset)
-    // and look for a meta declaration — meta tags are ASCII, so this is
-    // encoding-safe for any single/multi-byte ASCII-compatible payload
-    val prefix = decode(expr("substring(payload, 1, 1024)"), "ISO-8859-1")
-    val metaDecl =
-      nullif(
-        regexp_extract(prefix, "(?i)<meta[^>]*charset=\"?([A-Za-z0-9_\\-]+)", 1),
-        lit("")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val inSchema = fetched.schema
+    val outSchema = StructType(
+      inSchema.fields ++ Seq(
+        StructField("src", StringType),
+        StructField("declared", StringType),
+        StructField("charset", StringType),
+        StructField("text_out", StringType)
       )
-    val src = when(bomCs.isNotNull, "bom")
-      .when(headerDecl.isNotNull, "header")
-      .when(metaDecl.isNotNull, "meta")
-      .otherwise("default")
-    val declared = coalesce(bomCs, headerDecl, metaDecl, lit(""))
-    val cs = when(col("src") === "bom", col("declared"))
-      .when(col("src") === "default", "utf-8")
-      .otherwise(aliasNorm(col("declared")))
-    val body = when(col("charset") === "utf-8" && col("src") === "bom",
-      expr("substring(payload, 4, octet_length(payload) - 3)"))
-      .when(
-        col("charset").isin("utf-16be", "utf-16le") && col("src") === "bom",
-        expr("substring(payload, 3, octet_length(payload) - 2)")
-      )
-      .otherwise(col("payload"))
-    val textOut = when(col("charset") === "iso-8859-1", decode(col("body"), "ISO-8859-1"))
-      .when(col("charset") === "us-ascii", decode(col("body"), "US-ASCII"))
-      .when(col("charset") === "utf-16be", decode(col("body"), "UTF-16BE"))
-      .when(col("charset") === "utf-16le", decode(col("body"), "UTF-16LE"))
-      .otherwise(decode(col("body"), "UTF-8"))
-    fetched
-      .withColumn("src", src)
-      .withColumn("declared", declared)
-      .withColumn("charset", cs)
-      .withColumn("body", body)
-      .withColumn("text_out", textOut)
-      .drop("body")
+    )
+    val hIdx = inSchema.fieldIndex("header")
+    val pIdx = inSchema.fieldIndex("payload")
+    fetched.mapPartitions { rows =>
+      val headerRe = java.util.regex.Pattern.compile("(?i)charset=([A-Za-z0-9_\\-]+)")
+      val metaRe =
+        java.util.regex.Pattern.compile("(?i)<meta[^>]*charset=\"?([A-Za-z0-9_\\-]+)")
+      val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+      def reFind(p: java.util.regex.Pattern, s: String): String = {
+        val m = p.matcher(s)
+        if (m.find() && m.group(1).nonEmpty) m.group(1) else null
+      }
+      rows.map { r =>
+        val header = r.getString(hIdx)
+        val payload = r.getAs[Array[Byte]](pIdx)
+        val bomCs =
+          if (payload.length >= 3 && payload(0) == 0xEF.toByte &&
+            payload(1) == 0xBB.toByte && payload(2) == 0xBF.toByte) "utf-8"
+          else if (payload.length >= 2 && payload(0) == 0xFE.toByte && payload(1) == 0xFF.toByte)
+            "utf-16be"
+          else if (payload.length >= 2 && payload(0) == 0xFF.toByte && payload(1) == 0xFE.toByte)
+            "utf-16le"
+          else null
+        val headerDecl = reFind(headerRe, header)
+        // HTML5 prescan: a bounded prefix decoded as Latin-1 (an
+        // ASCII superset) exposes the ASCII meta tag for any
+        // ASCII-compatible payload encoding
+        lazy val metaDecl =
+          reFind(metaRe, new String(payload, 0, math.min(payload.length, 1024), latin1))
+        val (src, declared) =
+          if (bomCs != null) ("bom", bomCs)
+          else if (headerDecl != null) ("header", headerDecl)
+          else if (metaDecl != null) ("meta", metaDecl)
+          else ("default", "")
+        val cs =
+          if (src == "bom") declared
+          else if (src == "default") "utf-8"
+          else aliasNormName(declared)
+        val bomLen = if (src != "bom") 0 else if (cs == "utf-8") 3 else 2
+        val jcs = cs match {
+          case "iso-8859-1" => latin1
+          case "us-ascii" => java.nio.charset.StandardCharsets.US_ASCII
+          case "utf-16be" => java.nio.charset.StandardCharsets.UTF_16BE
+          case "utf-16le" => java.nio.charset.StandardCharsets.UTF_16LE
+          case _ => java.nio.charset.StandardCharsets.UTF_8
+        }
+        val textOut = new String(payload, bomLen, payload.length - bomLen, jcs)
+        Row.fromSeq(r.toSeq ++ Seq(src, declared, cs, textOut))
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+  }
+
+  /** [[aliasNorm]]'s plain-Scala twin for the kernel path. */
+  private def aliasNormName(label: String): String = label.toLowerCase match {
+    case "iso-8859-1" | "latin1" | "latin-1" | "iso_8859-1" | "windows-1252" | "cp1252" | "l1" =>
+      "iso-8859-1"
+    case "utf-8" | "utf8" | "unicode-1-1-utf-8" => "utf-8"
+    case "us-ascii" | "ascii" => "us-ascii"
+    case "utf-16be" => "utf-16be"
+    case "utf-16le" | "utf-16" => "utf-16le"
+    case _ => "utf-8"
   }
 
   /** crawl_charset gate: the five-arm plant through the REAL sniff +

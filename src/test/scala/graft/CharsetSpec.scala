@@ -12,12 +12,7 @@ class CharsetSpec extends AnyFunSuite {
   private lazy val docs = core.Tables.documents(spark, sf)
 
   test("every plant arm decodes back to the exact page string") {
-    val out = Charsets
-      .decodeFetched(Charsets.fetchPlant(docs))
-      .join(
-        docs.select(col("doc_id"), expr(Charsets.pageExpr).as("page")),
-        Seq("doc_id")
-      )
+    val out = Charsets.decodeFetched(Charsets.fetchPlant(docs))
     assert(out.filter(col("text_out") =!= col("page")).count() == 0)
     // every arm populated
     assert(out.select("src").distinct().count() == 4)
