@@ -1393,11 +1393,33 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct() // a pair can share several bands; score it once
+    // ARRAY-PACKED verify (r16): the grid-join form shuffled pairs × 64
+    // bucket rows into a pair-keyed aggregate — at the 500k-doc decade
+    // (where the replica corpus holds ~20M TRUE pairs) that 1.3e9-row
+    // external sort exceeded the machine's spill disk. Packing each
+    // doc's 64 centered values into ONE array row makes the dot
+    // row-local: the pair stream moves each vector once per join side
+    // and reduces immediately — no pair×bucket aggregate exists at any
+    // scale. Values are EXACTLY the old sum: integer products ≤ 2^46
+    // over 64 terms accumulate double-exactly, so the rounded cosine
+    // (and the oracle, which still replays the grid sum) is unchanged.
+    val packed = dense
+      .groupBy(col("doc_id"))
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("bucket"), col("cv")))),
+          x => x.getField("cv").cast("double")
+        ).as("vec")
+      )
+      .localCheckpoint() // both pair sides read it
     val num = cand
-      .join(dense.select(col("doc_id").as("doc_a"), col("bucket"), col("cv").as("ca")), Seq("doc_a"))
-      .join(dense.select(col("doc_id").as("doc_b"), col("bucket"), col("cv").as("cb")), Seq("doc_b", "bucket"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(sum(col("ca") * col("cb")).as("num"))
+      .join(packed.select(col("doc_id").as("doc_a"), col("vec").as("va")), Seq("doc_a"))
+      .join(packed.select(col("doc_id").as("doc_b"), col("vec").as("vb")), Seq("doc_b"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        graft.functions.exprs.dot_d(col("va"), col("vb")).as("num")
+      )
     num
       .join(sig.select(col("doc_id").as("doc_a"), col("n2").as("na2")), Seq("doc_a"))
       .join(sig.select(col("doc_id").as("doc_b"), col("n2").as("nb2")), Seq("doc_b"))
@@ -1406,7 +1428,7 @@ object Dedup {
         col("doc_b"),
         // n2 products overflow BIGINT — cast each factor to double first
         graft.core.Dsp
-          .round6(col("num").cast("double") / sqrt(col("na2").cast("double") * col("nb2").cast("double")))
+          .round6(col("num") / sqrt(col("na2").cast("double") * col("nb2").cast("double")))
           .as("cos")
       )
       .filter(col("cos") >= tau)

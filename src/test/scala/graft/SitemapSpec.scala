@@ -187,6 +187,89 @@ class SitemapSpec extends AnyFunSuite {
     assert(got.map(_._1).toSet == Set("/doc/a", "/doc/b", "/doc/c"))
   }
 
+  test("unified discovery: WARC crawl and sitemap delta union into ONE deduped scheduled frontier") {
+    // the complete discovery composition, both sources at once: crawled
+    // segments name URLs (leg A), the publisher's sitemap re-fetch
+    // names URLs (leg B) — the two streams UNION into the same
+    // canonical-dedup store (at-most-once-ever across sources: a URL
+    // the crawl already found must not re-enter the frontier when the
+    // sitemap lists it), and survivors ride the robots screen +
+    // per-host politeness slots with sequence continuity across legs
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = graft.sources.Scratch.dir("unified_discovery_spec")
+    val store = graft.sources.Scratch.dir("unified_discovery_store") + "/canon"
+    graft.llm.Urls.seedUrlStore(
+      Seq.empty[(Long, String, java.sql.Timestamp)].toDF("doc_id", "url", "ts"),
+      store
+    )
+    // leg A: a crawled segment names 141 and 151 on site4
+    val text = (1 to 300).map(i => s"w$i").mkString(" ")
+    val pages = Seq(141L, 151L)
+      .map(i => (i, text))
+      .toDF("doc_id", "text")
+      .select(
+        col("doc_id"),
+        concat(lit("http://site4.example.com/doc/"), col("doc_id").cast("string")).as("uri"),
+        expr(graft.llm.Curation.htmlPlantExpr).as("html")
+      )
+    graft.sources.WarcOps.writeSpark(pages, dir, nFiles = 1, date = "2024-01-01T00:00:00Z")
+    val warcLeg = graft.sources.WarcOps
+      .ingestStream(spark, dir)
+      .select(
+        regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+        col("target_uri").as("url"),
+        to_timestamp(col("warc_date"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("ts")
+      )
+    // leg B: the sitemap delta stream (re-fetch diff output shape)
+    val smIn = MemoryStream[(String, String)]
+    val smLeg = Sitemaps
+      .sitemapParse(smIn.toDF().toDF("host", "xml"))
+      .select(
+        regexp_extract(col("loc"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+        col("loc").as("url"),
+        to_timestamp(col("lastmod"), "yyyy-MM-dd").as("ts")
+      )
+    val q1 = graft.llm.Urls.urlDedupIngest(warcLeg.unionByName(smLeg), store)
+    val frontier = spark.readStream
+      .schema(spark.read.parquet(store).schema)
+      .parquet(store)
+      .select(col("doc_id"), concat(lit("http://"), col("canon")).as("url"))
+    val q2 = graft.llm.Urls
+      .scheduleStreamUrls(frontier)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("unified_discovery_out")
+      .start()
+    // phase 1: the crawl leg only
+    q1.processAllAvailable()
+    q2.processAllAvailable()
+    // phase 2: the publisher's sitemap update re-lists crawled 141 AND
+    // names new 171 — only 171 may enter the frontier
+    val sm =
+      "<?xml version=\"1.0\"?><urlset>" +
+        "<url><loc>http://site4.example.com/doc/141</loc><lastmod>2024-02-02</lastmod></url>" +
+        "<url><loc>http://site4.example.com/doc/171</loc><lastmod>2024-02-02</lastmod></url>" +
+        "</urlset>"
+    smIn.addData(("site4.example.com", sm))
+    q1.processAllAvailable()
+    q2.processAllAvailable()
+    q1.stop()
+    q2.stop()
+    val rows = spark
+      .table("unified_discovery_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("slot"), r.getAs[Long]("fetch_at_ms")))
+    assert(rows.length == 3, s"each canonical URL scheduled exactly once across BOTH sources: ${rows.toSeq}")
+    val slots = rows.map(r => r._1 -> ((r._2, r._3))).toMap
+    // site4 delay class 1000 ms; 171 (sitemap-discovered) CONTINUES the
+    // host's slot sequence behind the two crawl-discovered URLs
+    assert(slots(141L) == ((1L, 0L)), s"got $slots")
+    assert(slots(151L) == ((2L, 1000L)), s"got $slots")
+    assert(slots(171L) == ((3L, 2000L)), s"got $slots")
+  }
+
   test("sitemap diff: all four statuses populated; delta = added+changed only") {
     val diff = Sitemaps.sitemapDiffGate(docs).cache()
     val byStatus = diff.groupBy("status").count().as[(String, Long)].collect().toMap
