@@ -927,4 +927,27 @@ object Api {
     */
   def fusedRecrawlSchedule(cdx: DataFrame, sitemap: DataFrame): DataFrame =
     sources.WarcOps.fusedSchedule(sources.WarcOps.fusedPriority(cdx, sitemap))
+
+  // ---- r17: redirect resolution, archive serving, export ----
+
+  /** Resolve HTTP redirect chains over a (url, location) fetch log by
+    * pointer doubling on canonical keys: adds status (ok/dangling/
+    * loop), n_hops, final_canon — the canonical-dedup key after 3xx.
+    */
+  def resolveRedirects(fetched: DataFrame, rounds: Int = 4): DataFrame =
+    llm.Urls.resolveRedirects(fetched, rounds)
+
+  /** Archive serving view: the dated cross-crawl merge annotated with
+    * the publisher's sitemap lastmod (`publisher_ts`) and a `stale`
+    * flag (publisher strictly newer than the latest capture).
+    */
+  def archiveServeView(merged: DataFrame, sitemap: DataFrame): DataFrame =
+    sources.WarcOps.archiveServeView(merged, sitemap)
+
+  /** Per-shard export manifest of the curated+tokenized+packed corpus:
+    * doc count, exact capped token count, packed-bin count, and the
+    * shard-ordered content fingerprint.
+    */
+  def exportManifest(docs: DataFrame, minQuality: Double = 0.45): DataFrame =
+    llm.Curation.exportManifest(docs, minQuality)
 }

@@ -184,9 +184,13 @@ object Prof {
       t(s"docs${docsX}_chunks_cdc", nDocs)(llm.TextStats.chunksCdc(docs).count())
       t(s"docs${docsX}_winnow", nDocs)(llm.TextStats.winnow(docs).count())
       // the df-cap rule under the replica cliques: every original's fps
-      // are shared by its 9 siblings (true positives), while corpus
-      // boilerplate fps are capped out before pairing
-      t(s"docs${docsX}_winnow_overlap", nDocs)(llm.TextStats.winnowOverlap(docs).count())
+      // are shared by its docsX−1 siblings (true positives), so the cap
+      // must WIDEN with the replica factor — 5·docsX keeps the 10×
+      // behavior identical (cap 50 = the gate default) and de-vacuates
+      // 100× (df ≈ 100 was silently capped out by the fixed 50; r16)
+      t(s"docs${docsX}_winnow_overlap", nDocs)(
+        llm.TextStats.winnowOverlap(docs, maxDf = 5 * docsX).count()
+      )
       // scale banding (16 planes, 2×8-bit): the gate's 2×4-bit config is
       // sized for the 500-doc corpus; background candidates per query
       // grow ~nBands·nChunks·2^-width (the hePlanes widen rule)
@@ -215,6 +219,26 @@ object Prof {
       // multi-doc shared run group at every decade (run groups of
       // size docsX, never all-pairs: the gram aggregate is keyed)
       t(s"docs${docsX}_curate_url", nDocs)(llm.Urls.curateUrl(docs).count())
+      // r17: redirect-chain resolution at the decade — 4 doubling
+      // joins over the canon-keyed frame; the status filter forces the
+      // join chain (the bare-count join-elimination trap)
+      t(s"docs${docsX}_crawl_redirects", nDocs)(
+        llm.Urls
+          .resolveRedirects(
+            docs.select(
+              col("doc_id"),
+              expr(llm.Urls.redirectUrlExpr).as("url"),
+              expr(llm.Urls.redirectLocExpr).as("location")
+            )
+          )
+          .filter(col("status") === "ok")
+          .count()
+      )
+      // r17: the export capstone at the decade — keep-set window + BPE
+      // count + ONE shard-keyed aggregation (manifest = 16 rows)
+      t(s"docs${docsX}_export_manifest", nDocs)(
+        llm.Curation.exportManifest(docs).agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+      )
       t(s"docs${docsX}_dedup_chunks", nDocs)(llm.Dedup.dedupChunks(docs).count())
       t(s"docs${docsX}_dedup_runs", nDocs)(llm.Dedup.sharedRuns(docs).count())
       // round-12 additions: line-level dedup (replicas share every

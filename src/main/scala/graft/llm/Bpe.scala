@@ -395,7 +395,7 @@ object Bpe {
     * replace-rewrite, application as nested replace() over every
     * distinct word, ending in `agg` = (doc_id, n_ws, n_bpe).
     */
-  private def bpeCtes(src: String = "documents"): Seq[String] = {
+  private[llm] def bpeCtes(src: String = "documents"): Seq[String] = {
     val SEP = "chr(31)"
     val NOPE = "chr(30)"
     val parts = Seq.newBuilder[String]

@@ -881,6 +881,85 @@ object Curation {
       s"${Dsp.round6Sql("CAST(sum(m) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 1.0e6)")} AS avg_log_weight " +
       "FROM kk GROUP BY source"
 
+  /** Training-data EXPORT capstone — the composed proof that the
+    * pipeline's ACTUAL PRODUCT is token-exact end to end: the curated
+    * keep set (quality screen + exact-dedup keeper, [[curateLlm]]'s
+    * selection verbatim) is BPE-tokenized under the trained merge
+    * table ([[Bpe.gateMerges]]), assigned to deterministic training
+    * shards (the [[corpusShard]] md5 key = shard AND within-shard
+    * order), and each shard emits its MANIFEST row: doc count, EXACT
+    * capped token count, packed-sequence count at [[Bpe.packCap]]
+    * tokens/bin, and an order-sensitive content fingerprint
+    * (md5 over the shard-ordered per-doc content md5s — a replay of
+    * the shard file a writer would emit). Every piece is gated solo
+    * (curate_llm / text_pack_bpe / corpus_shard); this gate pins the
+    * COMPOSITION: a drift anywhere — selection, tokenizer, shard
+    * assignment, shard order, packing arithmetic — moves a manifest
+    * row.
+    *
+    * Scale shape: the quality/dedup window, one merge-table row-local
+    * projection, ONE shard-keyed aggregation — at 100 TB the shard
+    * modulus grows with the corpus (corpusShard's note) and the
+    * content hash pipes through the same per-shard write task that
+    * emits the file; nothing here is driver-sized (the manifest
+    * itself is nShards rows).
+    */
+  def exportManifest(docs: DataFrame, minQuality: Double = 0.45, cap: Int = Bpe.packCap): DataFrame = {
+    val kept = docs
+      .select(col("doc_id"), col("text"), qualityScore.as("quality"))
+      .filter(col("quality") >= minQuality)
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
+      .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("text"))
+    val merges = Bpe.gateMerges(docs)
+    val keyed = kept.select(
+      col("doc_id"),
+      col("text"),
+      md5(col("doc_id").cast("string")).as("sk"),
+      md5Bucket(col("doc_id").cast("string"), nShards).as("shard"),
+      least(
+        graft.functions.exprs.bpe_count(split(col("text"), " "), merges),
+        lit(TextStats.maxTokens)
+      ).cast("long").as("n_tok")
+    )
+    // sk is a unique fixed-width hex prefix of each element, so the
+    // lexicographic array_sort IS the shard order (sitemap render
+    // precedent for deterministic collect_list ordering)
+    keyed
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        md5(array_join(array_sort(collect_list(concat(col("sk"), md5(col("text"))))), ""))
+          .as("content_md5")
+      )
+      .select(
+        col("shard"),
+        col("n_docs"),
+        col("n_tokens"),
+        expr(s"(n_tokens + ${cap - 1}) div $cap").as("n_bins"),
+        col("content_md5")
+      )
+  }
+
+  def exportManifestSql(minQuality: Double = 0.45, cap: Int = Bpe.packCap): String =
+    "WITH base AS (SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS n_chars, " +
+      "CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok, " +
+      "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digit, " +
+      "CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct FROM documents), " +
+      s"q AS (SELECT doc_id, text FROM base WHERE $qualitySql >= ${Dsp.lit(minQuality)}), " +
+      "k AS MATERIALIZED (SELECT doc_id, text FROM " +
+      "(SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM q) WHERE doc_id = keep_id), " +
+      Bpe.bpeCtes().mkString(", ") + ", " +
+      "kd AS MATERIALIZED (SELECT kk.doc_id AS doc_id, kk.text AS text, " +
+      "md5(CAST(kk.doc_id AS VARCHAR)) AS sk, " +
+      s"CAST(concat('0x', substr(md5(CAST(kk.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % $nShards AS shard, " +
+      s"CAST(least(coalesce(g.n_bpe, 0), ${TextStats.maxTokens}) AS BIGINT) AS n_tok " +
+      "FROM k kk LEFT JOIN agg g ON g.doc_id = kk.doc_id) " +
+      "SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
+      s"(CAST(sum(n_tok) AS BIGINT) + ${cap - 1}) // $cap AS n_bins, " +
+      "md5(string_agg(sk || md5(text), '' ORDER BY sk)) AS content_md5 FROM kd GROUP BY shard"
+
   /** Corpus snapshot diff — the versioning pass a continuously-ingested
     * corpus runs between snapshots: per doc_id, `added` / `removed` /
     * `changed` (content md5 moved) / `unchanged`. ONE full-outer
@@ -944,8 +1023,15 @@ object Curation {
     * per-source sums run over exact BIGINTs, loss/excess/exp evaluate
     * on those integers in one identical expression tree (libm last-ulp
     * class under round6), and the normalization quantizes each
-    * unnormalized weight to micros before the integer wsum — no
-    * cross-engine float-sum ordering anywhere. Two constant-key 1-row
+    * unnormalized weight to micros before the integer wsum. RESIDUAL
+    * hazard (r16 advice, shared verbatim with `unigramLogProb`): the
+    * per-doc `sum(log …)` itself is a float sum whose accumulation
+    * order neither engine fixes, so a last-ulp shift could flip the
+    * micro-quantization on an exact half boundary — a fully order-free
+    * form needs per-TOKEN micro-quantization (a semantics + oracle
+    * change). Mitigation is the standing CLAUDE.md cadence: this query
+    * rides every full sf0.1 sweep; all per-source sums PAST the
+    * quantization are exact. Two constant-key 1-row
     * totals joins (the bm25/sample_budget broadcast shape, PlanAudit
     * allowlisted). Scale shape: one token-keyed aggregation + one
     * doc-keyed aggregation + source-row arithmetic — dedup_exact
@@ -1032,6 +1118,7 @@ object Curation {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_diff" -> { (s, dir) => corpusDiffGate(Tables.documents(s, dir)) },
     "curate_llm" -> { (s, dir) => curateLlm(Tables.documents(s, dir)) },
+    "export_manifest" -> { (s, dir) => exportManifest(Tables.documents(s, dir)) },
     "text_c4_clean" -> { (s, dir) => c4Clean(Tables.documents(s, dir)) },
     "text_html_extract" -> { (s, dir) => htmlExtract(Tables.documents(s, dir)) },
     "curate_license" -> { (s, dir) => licenseScreen(Tables.documents(s, dir)) },
@@ -1102,6 +1189,7 @@ object Curation {
   def oracleSql: Map[String, String] = Map(
     "corpus_diff" -> corpusDiffSql,
     "curate_llm" -> curateLlmSql(),
+    "export_manifest" -> exportManifestSql(),
     "text_c4_clean" -> c4CleanSql,
     "text_html_extract" -> htmlExtractSql,
     "curate_license" -> licenseScreenSql,

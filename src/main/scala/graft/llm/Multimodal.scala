@@ -491,41 +491,101 @@ object Multimodal {
 
   /** Near-dup pairs over a 64-bit row-local signature split into two
     * 32-bit halves (`hiCol`/`loCol` on `sig` alongside `media_id`):
-    * band into 4×16-bit chunks, candidates = rows sharing any chunk
-    * (equi-join; pigeonhole makes hamming ≤ 3 recall exact), verify
-    * popcount(xor) ≤ maxHamming — the dedup_simhash_pairs shape.
-    * Never O(n²); identical signatures form hamming-0 cliques.
+    * band into 4×16-bit chunks, candidates = signatures sharing any
+    * chunk (equi-join; pigeonhole makes hamming ≤ 3 recall exact),
+    * verify popcount(xor) ≤ maxHamming — the dedup_simhash_pairs shape.
+    *
+    * Scale shape (r17, the hash_embed array-packed lesson applied to
+    * the pair-stream class): the banded join runs over DISTINCT
+    * signatures only, so candidate volume scales with signature
+    * diversity, never with duplication — identical-signature cliques
+    * (the dominant mass of a near-dup corpus: every exact re-encode,
+    * every replica) are expanded ONLY at output, where they are the
+    * answer and hence inherently output-sized. Each inter-signature
+    * pair is emitted exactly once by a row-local first-matching-chunk
+    * predicate on the xor (all chunks below the joined `ci` must
+    * differ), which removes the `distinct()` shuffle over the
+    * candidate stream entirely. Measured at the 500k-doc decade: the
+    * row-banded form exhausted the spill disk (≥36 GB, cut at ≥35 min,
+    * r16); this form's candidate join is bounded by distinct-sig
+    * collisions alone.
     */
   private def sigPairs64(sig: DataFrame, hiCol: String, loCol: String, maxHamming: Int): DataFrame = {
-    val chunks = sig.select(
-      col("media_id"),
-      col(hiCol),
-      col(loCol),
+    // decode/fingerprint is the expensive subtree and fans out below —
+    // eager-checkpoint (gate functions return before execution, so
+    // persist/unpersist can never bracket it; CLAUDE.md precedent)
+    val s = sig.select(col("media_id"), col(hiCol).as("hi"), col(loCol).as("lo")).localCheckpoint()
+    val sigs = s.groupBy(col("hi"), col("lo")).agg(min(col("media_id")).as("rep"))
+    // membership: media_id -> its signature's representative (rep is
+    // unique per distinct signature, so rep order is a total order on
+    // signatures). Reused by the intra expansion and both inter sides.
+    val mem = s.join(sigs, Seq("hi", "lo")).select(col("rep"), col("media_id")).localCheckpoint()
+    val chunked = sigs.select(
+      col("rep"),
+      col("hi"),
+      col("lo"),
       posexplode(
         array(
-          shiftright(col(hiCol), 16),
-          col(hiCol).bitwiseAND(lit(65535L)),
-          shiftright(col(loCol), 16),
-          col(loCol).bitwiseAND(lit(65535L))
+          shiftright(col("hi"), 16),
+          col("hi").bitwiseAND(lit(65535L)),
+          shiftright(col("lo"), 16),
+          col("lo").bitwiseAND(lit(65535L))
         )
       ).as(Seq("ci", "chunk"))
     )
-    val a = chunks.select(
-      col("media_id").as("media_a"), col(hiCol).as("hi_a"), col(loCol).as("lo_a"),
-      col("ci"), col("chunk"))
-    val b = chunks.select(
-      col("media_id").as("media_b"), col(hiCol).as("hi_b"), col(loCol).as("lo_b"),
-      col("ci"), col("chunk"))
-    a.join(b, Seq("ci", "chunk"))
-      .filter(col("media_a") < col("media_b"))
+    val a = chunked.select(
+      col("rep").as("rep_a"), col("hi").as("hi_a"), col("lo").as("lo_a"), col("ci"), col("chunk"))
+    val b = chunked.select(
+      col("rep").as("rep_b"), col("hi").as("hi_b"), col("lo").as("lo_b"), col("ci"), col("chunk"))
+    val xh = col("hi_a").bitwiseXOR(col("hi_b"))
+    val xl = col("lo_a").bitwiseXOR(col("lo_b"))
+    // chunk j of the xor is zero iff the signatures agree on chunk j;
+    // keeping a candidate row only when every chunk BELOW the joined
+    // index differs makes the emission exactly-once without a shuffle
+    val eq0 = shiftright(xh, 16) === 0L
+    val eq1 = xh.bitwiseAND(lit(65535L)) === 0L
+    val eq2 = shiftright(xl, 16) === 0L
+    val firstMatch = (col("ci") === 0) or
+      (col("ci") === 1 && !eq0) or
+      (col("ci") === 2 && !eq0 && !eq1) or
+      (col("ci") === 3 && !eq0 && !eq1 && !eq2)
+    val sigPairs = a
+      .join(b, Seq("ci", "chunk"))
+      .filter(col("rep_a") < col("rep_b"))
+      .filter(firstMatch)
       .select(
-        col("media_a"),
-        col("media_b"),
-        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
-          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long").as("hamming")
+        col("rep_a"),
+        col("rep_b"),
+        (bit_count(xh) + bit_count(xl)).cast("long").as("hamming")
       )
       .filter(col("hamming") <= maxHamming)
-      .distinct()
+    // expansion back to media pairs: cliques (hamming 0 by identity)
+    // plus the cross product of the two cliques of each qualifying
+    // signature pair — both are the answer set itself. The merge hints
+    // are LOAD-BEARING: as broadcast joins the two expansions fuse
+    // into ONE codegen pipeline, and codegen cannot suspend inside a
+    // join's match loop — a single sig-pair row of two large cliques
+    // (m_a × m_b) materializes its whole cross product COPIED into the
+    // stage's row buffer before processNext can return (measured: 8930
+    // × 5140 ≈ 46M buffered rows per outer row, OOM at any heap).
+    // Sort-merge joins put an exchange between the two expansions, so
+    // per-row buffering is bounded by ONE clique's member list.
+    val intra = mem
+      .as("x")
+      .join(
+        mem.as("y").hint("merge"),
+        col("x.rep") === col("y.rep") && col("x.media_id") < col("y.media_id")
+      )
+      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"), lit(0L).as("hamming"))
+    val inter = sigPairs
+      .join(mem.select(col("rep").as("rep_a"), col("media_id").as("id_a")).hint("merge"), Seq("rep_a"))
+      .join(mem.select(col("rep").as("rep_b"), col("media_id").as("id_b")).hint("merge"), Seq("rep_b"))
+      .select(
+        least(col("id_a"), col("id_b")).as("media_a"),
+        greatest(col("id_a"), col("id_b")).as("media_b"),
+        col("hamming")
+      )
+    intra.unionByName(inter)
   }
 
   /** Image near-dup pairs: the dHash banded through [[sigPairs64]]. */

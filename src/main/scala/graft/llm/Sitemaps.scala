@@ -323,14 +323,20 @@ object Sitemaps {
     * at any sitemap size.
     */
   def sitemapDiff(prev: DataFrame, next: DataFrame): DataFrame = {
-    val a = prev.select(col("loc"), col("lastmod").as("lastmod_old"))
-    val b = next.select(col("loc"), col("lastmod").as("lastmod_new"))
+    // explicit per-side presence markers: lastmod is OPTIONAL per the
+    // protocol (sitemapParse legitimately emits NULL lastmod), so
+    // presence must never be inferred from lastmod nullness — a URL
+    // listed without lastmod in only one snapshot is added/removed,
+    // not "unchanged" (r16 advice). `changed` uses null-safe equality
+    // so NULL→dated (publisher starts emitting lastmod) is a change.
+    val a = prev.select(col("loc"), col("lastmod").as("lastmod_old"), lit(true).as("in_old"))
+    val b = next.select(col("loc"), col("lastmod").as("lastmod_new"), lit(true).as("in_new"))
     a.join(b, Seq("loc"), "full_outer")
       .select(
         col("loc"),
-        when(col("lastmod_old").isNull && col("lastmod_new").isNotNull, "added")
-          .when(col("lastmod_new").isNull && col("lastmod_old").isNotNull, "removed")
-          .when(col("lastmod_old") =!= col("lastmod_new"), "changed")
+        when(!coalesce(col("in_old"), lit(false)), "added")
+          .when(!coalesce(col("in_new"), lit(false)), "removed")
+          .when(!(col("lastmod_old") <=> col("lastmod_new")), "changed")
           .otherwise("unchanged")
           .as("status"),
         col("lastmod_old"),

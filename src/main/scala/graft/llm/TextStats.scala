@@ -481,13 +481,21 @@ object TextStats {
     * ≥ w+2-token run ([[winnow]]'s guarantee), so `n_shared` lower-
     * bounds the overlapping-run count. Equi-join on fp (never
     * all-pairs), stop-fingerprints df-capped.
+    *
+    * `maxDf` must WIDEN with the corpus's expected duplication factor
+    * (the LSH band-width / nList companion rule): a cap below the true
+    * duplicate-group size silently drops every true-positive
+    * fingerprint and the screen goes VACUOUS — measured at the
+    * 100×-replica decade, where df ≈ 100 > the gate cap 50 returned 0
+    * pairs vs 221k at 10× (r16 finding). The gate pins the
+    * oracle-replayable [[woMaxDf]]; Prof runs the widened scale config.
     */
-  def winnowOverlap(docs: DataFrame): DataFrame = {
+  def winnowOverlap(docs: DataFrame, maxDf: Int = woMaxDf): DataFrame = {
     val fps = winnow(docs).localCheckpoint() // feeds df counts + both pair sides
     val keep = fps
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("dfreq"))
-      .filter(col("dfreq") <= woMaxDf && col("dfreq") >= 2) // df=1 can't pair
+      .filter(col("dfreq") <= maxDf && col("dfreq") >= 2) // df=1 can't pair
       .select(col("fp"))
     val f2 = fps.join(keep, Seq("fp"))
     f2.select(col("fp"), col("doc_id").as("doc_a"))

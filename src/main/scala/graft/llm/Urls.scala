@@ -66,14 +66,23 @@ object Urls {
     * extracted from the PRE-fragment substring, so a `?` occurring
     * after `#` is fragment content and is dropped with the fragment.
     */
-  private def parsed(df: DataFrame): DataFrame = {
-    val scheme = lower(regexp_extract(col("url"), "^([A-Za-z]+)://", 1))
-    val rest = regexp_replace(col("url"), "^[A-Za-z]+://", "")
+  private def hostCol(u: Column): Column = {
+    val scheme = lower(regexp_extract(u, "^([A-Za-z]+)://", 1))
+    val rest = regexp_replace(u, "^[A-Za-z]+://", "")
     val hostport = regexp_extract(rest, "^[^/?#]+", 0)
     val hostPort = when(scheme === "http", regexp_replace(lower(hostport), ":80$", ""))
       .when(scheme === "https", regexp_replace(lower(hostport), ":443$", ""))
       .otherwise(lower(hostport))
-    val host = regexp_replace(hostPort, "^www[.]", "")
+    regexp_replace(hostPort, "^www[.]", "")
+  }
+
+  /** The canonical key of a url Column — [[parsed]]'s chain as a
+    * row-local column function, reusable wherever a SECOND url column
+    * must canonicalize in the same frame (redirect Location targets).
+    */
+  def canonCol(u: Column): Column = {
+    val rest = regexp_replace(u, "^[A-Za-z]+://", "")
+    val hostport = regexp_extract(rest, "^[^/?#]+", 0)
     val pathqf = substring(rest, length(hostport) + 1, lit(1 << 20))
     val prefrag = regexp_extract(pathqf, "^[^#]*", 0)
     val path = regexp_replace(regexp_extract(prefrag, "^[^?]*", 0), "/+$", "")
@@ -84,10 +93,13 @@ object Urls {
       ),
       "&"
     )
-    val canon =
-      concat(host, path, when(params =!= "", concat(lit("?"), params)).otherwise(lit("")))
+    concat(hostCol(u), path, when(params =!= "", concat(lit("?"), params)).otherwise(lit("")))
+  }
+
+  private def parsed(df: DataFrame): DataFrame = {
+    val host = hostCol(col("url"))
     df.withColumn("host", host)
-      .withColumn("canon", canon)
+      .withColumn("canon", canonCol(col("url")))
       .withColumn("blocked", host.isin(blockedHosts: _*))
   }
 
@@ -948,8 +960,157 @@ object Urls {
     sb.toString
   }
 
+  /** HTTP redirect-chain resolution — the fetch-side hop real crawls
+    * spend ~30% of their responses on (3xx + Location): every fetched
+    * URL resolves to the FINAL canonical key its chain lands on, with
+    * loop and dangling-target detection. Chains are followed by
+    * POINTER DOUBLING over the canon-keyed redirect map (the
+    * q18_closure shape — `rounds` squarings cover 2^rounds hops, so
+    * the browser-class 16-hop budget costs 4 equi-joins, never a
+    * per-hop full-table walk), and each hop's Location is
+    * canonicalized BEFORE lookup (servers emit www/scheme/fragment
+    * variants; the map is keyed by canonical identity — redirect
+    * target ≡ canonical key, which is exactly what lets the resolved
+    * frame compose into [[curateUrl]]-style dedup).
+    *
+    * Statuses: `ok` (landed on a fetched, non-redirecting URL — n_hops
+    * and final_canon populated), `dangling` (landed on a target absent
+    * from the fetch log: 1 + unknown), `loop` (still redirecting after
+    * 2^rounds hops — a cycle; hops/canon are NULL, the crawler drops
+    * the URL). Input contract: one row per fetched url with a nullable
+    * `location` column (at most one Location per url — HTTP semantics);
+    * all input columns pass through.
+    *
+    * Scale shape: row-local canonicalization, one key-dedup aggregate,
+    * `rounds` self equi-joins of a |fetch-log|-sized (key, cur, h)
+    * frame (each eagerly checkpointed — the frame feeds both join
+    * sides, components() rule), and two broadcast-or-hash membership
+    * joins for the status — no per-hop scans, nothing pairwise.
+    */
+  def resolveRedirects(fetched: DataFrame, rounds: Int = 4): DataFrame = {
+    val base = fetched
+      .withColumn("_src_canon", canonCol(col("url")))
+      .withColumn("_dst_canon", when(col("location").isNotNull, canonCol(col("location"))))
+      .localCheckpoint() // feeds the map, the universe, and the final join
+    var j = base
+      .select(
+        col("_src_canon").as("jsrc"),
+        struct(
+          coalesce(col("_dst_canon"), col("_src_canon")).as("cur"),
+          when(col("_dst_canon").isNotNull, 1L).otherwise(0L).as("h")
+        ).as("st")
+      )
+      .groupBy(col("jsrc"))
+      .agg(max(col("st")).as("st")) // deterministic dedup of repeated fetches of one canon
+      .select(col("jsrc"), col("st.cur").as("cur"), col("st.h").as("h"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      j = j
+        .join(
+          j.select(col("jsrc").as("bsrc"), col("cur").as("bcur"), col("h").as("bh")),
+          col("cur") === col("bsrc"),
+          "left"
+        )
+        .select(
+          col("jsrc"),
+          coalesce(col("bcur"), col("cur")).as("cur"),
+          (col("h") + coalesce(col("bh"), lit(0L))).as("h")
+        )
+        .localCheckpoint()
+    }
+    val eSrc = base
+      .filter(col("_dst_canon").isNotNull)
+      .select(col("_src_canon").as("cur"))
+      .distinct()
+      .withColumn("_looping", lit(true))
+    val univ = base.select(col("_src_canon").as("cur")).distinct().withColumn("_known", lit(true))
+    val isLoop = coalesce(col("_looping"), lit(false))
+    val resolved = j
+      .join(eSrc, Seq("cur"), "left")
+      .join(univ, Seq("cur"), "left")
+      .select(
+        col("jsrc").as("_src_canon"),
+        when(isLoop, "loop")
+          .when(!coalesce(col("_known"), lit(false)), "dangling")
+          .otherwise("ok")
+          .as("status"),
+        when(isLoop, lit(null).cast("long")).otherwise(col("h")).as("n_hops"),
+        when(isLoop, lit(null).cast("string")).otherwise(col("cur")).as("final_canon")
+      )
+    base.join(resolved, Seq("_src_canon")).drop("_src_canon", "_dst_canon")
+  }
+
+  /** crawl_redirects plant — deterministic fetch log over the docs'
+    * id arithmetic; every arm live at every sf (doc_ids contiguous
+    * from 0):
+    *   - d % 5 ∈ {1, 2}: redirect to url(d−1) — so %5=2 docs ride a
+    *     2-hop chain (2 → 1 → 0-final), %5=1 a 1-hop one
+    *   - d % 20 = 9 ↔ d % 20 = 19: a planted 2-CYCLE (d ↔ d+10)
+    *   - d % 20 = 14: redirect to a never-fetched target (dangling)
+    *   - everything else: a 200, no Location.
+    * The EMITTED Location decorates the target with source-dependent
+    * scheme/WWW./fragment variants, so each hop only chains if the
+    * resolver canonicalizes before map lookup (the composition under
+    * test); the oracle replays canon keys arithmetically.
+    */
+  val redirectUrlExpr: String =
+    "concat('http', CASE WHEN doc_id % 2 = 0 THEN 's' ELSE '' END, '://', " +
+      "CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END, " +
+      "'site', CAST(doc_id % 20 AS STRING), '.example.com/r/', CAST(doc_id AS STRING))"
+
+  private def redirectLocOf(t: String): String =
+    "concat('http', CASE WHEN doc_id % 4 = 0 THEN 's' ELSE '' END, '://', " +
+      "CASE WHEN doc_id % 6 = 0 THEN 'WWW.' ELSE '' END, " +
+      s"'site', CAST(($t) % 20 AS STRING), '.example.com/r/', CAST(($t) AS STRING), " +
+      "CASE WHEN doc_id % 9 = 0 THEN '#frag' ELSE '' END)"
+
+  val redirectLocExpr: String =
+    s"CASE WHEN doc_id % 5 IN (1, 2) THEN ${redirectLocOf("doc_id - 1")} " +
+      s"WHEN doc_id % 20 = 9 THEN ${redirectLocOf("doc_id + 10")} " +
+      s"WHEN doc_id % 20 = 19 THEN ${redirectLocOf("doc_id - 10")} " +
+      s"WHEN doc_id % 20 = 14 THEN ${redirectLocOf("doc_id + 1000000000")} " +
+      "ELSE NULL END"
+
+  def crawlRedirectsGate(s: SparkSession, dir: String): DataFrame = {
+    val fetched = Tables
+      .documents(s, dir)
+      .select(col("doc_id"), expr(redirectUrlExpr).as("url"), expr(redirectLocExpr).as("location"))
+    resolveRedirects(fetched)
+      .select(col("doc_id"), col("url"), col("status"), col("n_hops"), col("final_canon"))
+  }
+
+  /** Oracle: canon keys computed ARITHMETICALLY from the plant (the
+    * real string canonicalizer is Spark's side of the bargain), the
+    * same 4 doubling steps as materialized left-join CTEs.
+    */
+  val crawlRedirectsSql: String = {
+    def ck(x: String): String =
+      s"concat('site', CAST(($x) % 20 AS STRING), '.example.com/r/', CAST(($x) AS STRING))"
+    def dbl(k: Int): String =
+      s"j$k AS MATERIALIZED (SELECT a.jsrc, coalesce(b.cur, a.cur) AS cur, " +
+        s"a.h + coalesce(b.h, CAST(0 AS BIGINT)) AS h " +
+        s"FROM j${k - 1} a LEFT JOIN j${k - 1} b ON b.jsrc = a.cur)"
+    s"WITH uu AS MATERIALIZED (SELECT doc_id, $redirectUrlExpr AS url, ${ck("doc_id")} AS canon FROM documents), " +
+      s"m AS MATERIALIZED (SELECT ${ck("doc_id")} AS src, ${ck("doc_id - 1")} AS dst FROM documents WHERE doc_id % 5 IN (1, 2) " +
+      s"UNION ALL SELECT ${ck("doc_id")}, ${ck("doc_id + 10")} FROM documents WHERE doc_id % 20 = 9 " +
+      s"UNION ALL SELECT ${ck("doc_id")}, ${ck("doc_id - 10")} FROM documents WHERE doc_id % 20 = 19 " +
+      s"UNION ALL SELECT ${ck("doc_id")}, ${ck("doc_id + 1000000000")} FROM documents WHERE doc_id % 20 = 14), " +
+      "j0 AS MATERIALIZED (SELECT u.canon AS jsrc, coalesce(m.dst, u.canon) AS cur, " +
+      "CASE WHEN m.dst IS NULL THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS h " +
+      "FROM uu u LEFT JOIN m ON m.src = u.canon), " +
+      s"${dbl(1)}, ${dbl(2)}, ${dbl(3)}, ${dbl(4)} " +
+      "SELECT u.doc_id, u.url, " +
+      "CASE WHEN lm.src IS NOT NULL THEN 'loop' WHEN kn.canon IS NULL THEN 'dangling' ELSE 'ok' END AS status, " +
+      "CASE WHEN lm.src IS NOT NULL THEN CAST(NULL AS BIGINT) ELSE j.h END AS n_hops, " +
+      "CASE WHEN lm.src IS NOT NULL THEN NULL ELSE j.cur END AS final_canon " +
+      "FROM uu u JOIN j4 j ON j.jsrc = u.canon " +
+      "LEFT JOIN (SELECT DISTINCT src FROM m) lm ON lm.src = j.cur " +
+      "LEFT JOIN (SELECT DISTINCT canon FROM uu) kn ON kn.canon = j.cur"
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_url" -> { (s, dir) => curateUrl(Tables.documents(s, dir)) },
+    "crawl_redirects" -> { (s, dir) => crawlRedirectsGate(s, dir) },
     "curate_url_hosts" -> { (s, dir) => urlHosts(Tables.documents(s, dir)) },
     "url_surt" -> { (s, dir) => urlSurt(Tables.documents(s, dir)) },
     "crawl_robots" -> { (s, dir) => crawlRobots(Tables.documents(s, dir)) },
@@ -963,6 +1124,7 @@ object Urls {
 
   def oracleSql: Map[String, String] = Map(
     "curate_url" -> curateUrlSql,
+    "crawl_redirects" -> crawlRedirectsSql,
     "curate_url_hosts" -> urlHostsSql,
     "url_surt" -> urlSurtSql,
     "crawl_robots" -> crawlRobotsSql,

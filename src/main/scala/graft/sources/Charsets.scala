@@ -122,8 +122,13 @@ object Charsets {
         if (m.find() && m.group(1).nonEmpty) m.group(1) else null
       }
       rows.map { r =>
-        val header = r.getString(hIdx)
-        val payload = r.getAs[Array[Byte]](pIdx)
+        // null tolerance (r16 advice): real fetch frames carry rows
+        // with no Content-Type header or an empty body — sniff treats
+        // a missing header as undeclared and a missing payload as
+        // empty bytes (decodes to "", default charset)
+        val header = if (r.isNullAt(hIdx)) "" else r.getString(hIdx)
+        val payload =
+          if (r.isNullAt(pIdx)) Array.emptyByteArray else r.getAs[Array[Byte]](pIdx)
         val bomCs =
           if (payload.length >= 3 && payload(0) == 0xEF.toByte &&
             payload(1) == 0xBB.toByte && payload(2) == 0xBF.toByte) "utf-8"

@@ -1344,6 +1344,28 @@ object WarcOps {
         col("top.digest").as("served_digest")
       )
 
+  /** Archive SERVING view — [[cdxMergeLatest]]'s capture-side answer
+    * annotated with the PUBLISHER's freshness claim (sitemap
+    * `<lastmod>`, r16's `Sitemaps` leg): `publisher_ts` rides next to
+    * `latest_ts`, and `stale` reuses the fused-priority CLASS rule on
+    * the serving side — a lastmod STRICTLY after our latest capture
+    * means the archive is serving a copy the publisher has since
+    * replaced (the "this snapshot may be outdated" banner / recrawl
+    * escalation signal); an unlisted URL carries NULL and is never
+    * flagged (absence is no evidence of change). The sitemap side is
+    * pre-aggregated to max(sm_ts) per urlkey — duplicate listings are
+    * protocol-legal and must not fan the serving row out (the
+    * [[fusedPriority]] rule).
+    */
+  def archiveServeView(merged: DataFrame, sitemap: DataFrame): DataFrame =
+    merged
+      .join(
+        sitemap.groupBy(col("urlkey")).agg(max(col("sm_ts")).as("publisher_ts")),
+        Seq("urlkey"),
+        "left"
+      )
+      .withColumn("stale", coalesce(col("publisher_ts") > col("latest_ts"), lit(false)))
+
   /** Gate: THREE dated crawls of overlapping URL sets — crawl A
     * (2024-01) fetches every doc, crawl B (2024-02) re-crawls the
     * doc_id ≡ 0 (mod 3) subset with ' v2' appended to the text, crawl
@@ -1357,7 +1379,19 @@ object WarcOps {
     * doc's expected latest plant directly; `warc_file` is prefixed
     * with its crawl subdir so the merged coordinates stay SERVABLE
     * across crawl directories (the spec fetches them back byte-exact).
+    *
+    * r17: the merged view is served THROUGH [[archiveServeView]] with
+    * a planted sitemap — publisher arms: mod-9=7 unlisted (NULL,
+    * never stale), mod-4=1 dated 2024-04 (after every capture —
+    * always stale), mod-4=2 dated 2024-01-15 (stale exactly for the
+    * crawl-A-only docs: listed-not-newer for every re-crawled one),
+    * rest dated equal to crawl A (the boundary: equality is NOT
+    * stale). Every arm non-vacuous at every sf.
     */
+  val mergeSitemapTsExpr: String =
+    "CASE WHEN doc_id % 4 = 1 THEN '20240401000000' " +
+      "WHEN doc_id % 4 = 2 THEN '20240115000000' ELSE '20240101000000' END"
+
   def cdxMergeGate(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     def pagesOf(d: DataFrame): DataFrame =
@@ -1389,13 +1423,26 @@ object WarcOps {
         .filter(col("warc_type") === "response")
         .withColumn("warc_file", concat_ws("/", lit(sub), col("warc_file")))
     val chain = cdxOf("crawlC").unionByName(cdxOf("crawlA")).unionByName(cdxOf("crawlB"))
-    cdxMergeLatest(chain)
+    val sitemap = docs
+      .filter(col("doc_id") % 9 =!= 7)
+      .select(
+        concat(
+          lit("com,example,site"),
+          (col("doc_id") % 20).cast("string"),
+          lit(")/doc/"),
+          col("doc_id").cast("string")
+        ).as("urlkey"),
+        expr(mergeSitemapTsExpr).as("sm_ts")
+      )
+    archiveServeView(cdxMergeLatest(chain), sitemap)
       .select(
         regexp_extract(col("urlkey"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
         col("urlkey"),
         col("latest_ts"),
         col("n_caps"),
-        col("served_digest")
+        col("served_digest"),
+        col("publisher_ts"),
+        col("stale")
       )
   }
 
@@ -1409,8 +1456,8 @@ object WarcOps {
       "tc AS (SELECT doc_id, concat(text, ' v3') AS text FROM documents WHERE doc_id % 5 = 0), " +
       s"ma AS (SELECT doc_id, ${graft.llm.Curation.htmlPlantExpr} AS html FROM documents), " +
       s"mb AS (SELECT doc_id, ${graft.llm.Curation.htmlPlantExpr} AS html FROM tb), " +
-      s"mc AS (SELECT doc_id, ${graft.llm.Curation.htmlPlantExpr} AS html FROM tc) " +
-      "SELECT a.doc_id, " +
+      s"mc AS (SELECT doc_id, ${graft.llm.Curation.htmlPlantExpr} AS html FROM tc), " +
+      "mg AS MATERIALIZED (SELECT a.doc_id AS doc_id, " +
       "concat('com,example,site', CAST(a.doc_id % 20 AS STRING), ')/doc/', CAST(a.doc_id AS STRING)) AS urlkey, " +
       "CASE WHEN c.doc_id IS NOT NULL THEN '20240301000000' " +
       "WHEN b.doc_id IS NOT NULL THEN '20240201000000' " +
@@ -1418,7 +1465,11 @@ object WarcOps {
       "CAST(1 + (CASE WHEN b.doc_id IS NOT NULL THEN 1 ELSE 0 END) + " +
       "(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_caps, " +
       "md5(coalesce(c.html, b.html, a.html)) AS served_digest " +
-      "FROM ma a LEFT JOIN mb b ON b.doc_id = a.doc_id LEFT JOIN mc c ON c.doc_id = a.doc_id"
+      "FROM ma a LEFT JOIN mb b ON b.doc_id = a.doc_id LEFT JOIN mc c ON c.doc_id = a.doc_id), " +
+      s"sm AS (SELECT doc_id, $mergeSitemapTsExpr AS sm_ts FROM documents WHERE doc_id % 9 <> 7) " +
+      "SELECT mg.doc_id, mg.urlkey, mg.latest_ts, mg.n_caps, mg.served_digest, " +
+      "sm.sm_ts AS publisher_ts, coalesce(sm.sm_ts > mg.latest_ts, false) AS stale " +
+      "FROM mg LEFT JOIN sm ON sm.doc_id = mg.doc_id"
 
   /** Per-URL CHANGE-RATE estimate off the archive's own dated history
     * — the Common-Crawl-style freshness loop's input: the multi-crawl
@@ -1573,7 +1624,16 @@ object WarcOps {
         "rate_ppm",
         when(col("n_caps") > 1, expr("n_changes * 1000000 div (n_caps - 1)")).otherwise(lit(0L))
       )
-      .join(sitemap.select(col("urlkey"), col("sm_ts")), Seq("urlkey"), "left")
+      // pre-aggregate the sitemap side: duplicate listings of a loc are
+      // protocol-legal (repeated entries, the same URL across sitemap
+      // files) and would fan the priority row out into multiple
+      // politeness slots downstream (r16 advice) — freshness only needs
+      // the NEWEST publisher date per urlkey
+      .join(
+        sitemap.groupBy(col("urlkey")).agg(max(col("sm_ts")).as("sm_ts")),
+        Seq("urlkey"),
+        "left"
+      )
       .withColumn(
         "fresh_class",
         when(col("sm_ts").isNotNull && col("sm_ts") > col("latest_ts"), 0).otherwise(1)

@@ -94,4 +94,20 @@ class CharsetSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(
       (1L, "iso-8859-1"), (2L, "utf-8"), (3L, "utf-8"), (4L, "iso-8859-1")))
   }
+
+  test("null header / null payload rows sniff without NPE (real fetch frames carry both)") {
+    val in = Seq(
+      (1L, null.asInstanceOf[String], "café".getBytes("UTF-8")),
+      (2L, "Content-Type: text/html; charset=ISO-8859-1", null.asInstanceOf[Array[Byte]]),
+      (3L, null.asInstanceOf[String], null.asInstanceOf[Array[Byte]])
+    ).toDF("doc_id", "header", "payload")
+    val out = Charsets.decodeFetched(in).select("doc_id", "src", "charset", "text_out")
+      .as[(Long, String, String, String)].collect().sortBy(_._1)
+    // no header → undeclared (default UTF-8 decode of the real bytes);
+    // no payload → empty text under the header's declared charset;
+    // neither → empty default row, never a crash
+    assert(out(0) == ((1L, "default", "utf-8", "café")))
+    assert(out(1) == ((2L, "header", "iso-8859-1", "")))
+    assert(out(2) == ((3L, "default", "utf-8", "")))
+  }
 }

@@ -1,0 +1,135 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.llm.{Bpe, Curation, TextStats, Urls}
+
+/** Behavior pins for the r17 redirect resolver: loop/budget
+  * termination, canonicalize-before-lookup chaining, and the
+  * chain-to-canonical-dedup composition the operator exists for.
+  */
+class RedirectSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def resolve(rows: Seq[(String, String)]) =
+    Urls
+      .resolveRedirects(rows.toDF("url", "location"))
+      .select("url", "status", "n_hops", "final_canon")
+      .as[(String, String, Option[Long], Option[String])]
+      .collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4)))
+      .toMap
+
+  test("a 2-cycle terminates as status=loop with NULL hops/canon; bystanders resolve") {
+    val got = resolve(Seq(
+      ("http://h.example.com/a", "http://h.example.com/b"),
+      ("http://h.example.com/b", "http://h.example.com/a"),
+      ("http://h.example.com/c", null)
+    ))
+    assert(got("http://h.example.com/a") == (("loop", None, None)))
+    assert(got("http://h.example.com/b") == (("loop", None, None)))
+    assert(got("http://h.example.com/c") == (("ok", Some(0L), Some("h.example.com/c"))))
+  }
+
+  test("each hop canonicalizes the Location before map lookup (WWW/scheme/fragment variants chain)") {
+    val got = resolve(Seq(
+      ("http://h.example.com/p0", null),
+      // Location decorated: https + WWW. + fragment — canon must strip all three to chain
+      ("http://h.example.com/p1", "https://WWW.h.example.com/p0#frag"),
+      ("https://www.h.example.com/p2", "HTTP://h.example.com:80/p1")
+    ))
+    assert(got("http://h.example.com/p1") == (("ok", Some(1L), Some("h.example.com/p0"))))
+    assert(got("https://www.h.example.com/p2") == (("ok", Some(2L), Some("h.example.com/p0"))))
+  }
+
+  test("hop budget: a 10-hop chain resolves exactly; a 20-hop chain exceeds 2^4 and is dropped as loop") {
+    val chain10 = (0 until 10).map(i => (s"http://c.example.com/n$i", s"http://c.example.com/n${i + 1}"))
+    val chain20 = (0 until 20).map(i => (s"http://d.example.com/n$i", s"http://d.example.com/n${i + 1}"))
+    val fin = Seq(("http://c.example.com/n10", null), ("http://d.example.com/n20", null))
+    val got = resolve(chain10 ++ chain20 ++ fin)
+    assert(got("http://c.example.com/n0") == (("ok", Some(10L), Some("c.example.com/n10"))))
+    assert(got("http://d.example.com/n0") == (("loop", None, None)))
+    // the tail of the 20-chain is inside budget and resolves fine
+    assert(got("http://d.example.com/n5") == (("ok", Some(15L), Some("d.example.com/n20"))))
+  }
+
+  test("dangling: a redirect to a never-fetched target reports the unknown canon") {
+    val got = resolve(Seq(("http://h.example.com/gone", "http://elsewhere.example.com/x")))
+    assert(got("http://h.example.com/gone") == (("dangling", Some(1L), Some("elsewhere.example.com/x"))))
+  }
+
+  test("composition: sources redirecting to variant Locations of one page share a final_canon dedup key") {
+    val docs = core.Tables.documents(spark, sf)
+    val resolved = Urls.crawlRedirectsGate(spark, sf)
+    // every %5=1 and %5=2 doc lands on its chain's %5=0 base page;
+    // group by final_canon: the base doc plus its two redirectors
+    // collapse to ONE canonical key (what curate_url-style dedup keys on)
+    val grp = resolved
+      .filter(col("status") === "ok")
+      .groupBy(col("final_canon"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keeper"))
+    val full = grp.filter(col("n") >= 3).count()
+    assert(full > 0, "chains collapse 3+ sources onto one canonical key")
+    // and resolution is idempotent on final pages: a %5=0 doc's canon is its own
+    val base = resolved.filter(col("doc_id") % 5 === 0 && col("doc_id") % 20 =!= 14 &&
+      col("doc_id") % 20 =!= 9 && col("doc_id") % 20 =!= 19)
+    assert(base.filter(col("n_hops") =!= 0).count() == 0)
+    assert(docs.count() == resolved.count(), "one verdict per fetched URL")
+  }
+}
+
+/** Pins for the r17 export capstone: token-exact accounting and
+  * input-order invariance of the manifest.
+  */
+class ExportManifestSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private lazy val docs = core.Tables.documents(spark, sf)
+
+  test("manifest totals are token-exact against an independent tokenize of the kept set") {
+    val manifest = Curation.exportManifest(docs).cache()
+    // independent replay of the keep set (curate_llm's selection)
+    val kept = docs
+      .select(col("doc_id"), col("text"), Curation.qualityScore.as("quality"))
+      .filter(col("quality") >= 0.45)
+      .withColumn(
+        "keep_id",
+        min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+        )
+      )
+      .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id"), col("text"))
+    val toks = Bpe
+      .tokensBpeWith(kept, Bpe.gateMerges(docs))
+      .select(least(col("n_bpe"), lit(TextStats.maxTokens.toLong)).as("t"))
+      .agg(sum(col("t")).as("tot"), count(lit(1)).as("n"))
+      .as[(Long, Long)]
+      .collect()(0)
+    val got = manifest
+      .agg(sum(col("n_tokens")), sum(col("n_docs")))
+      .as[(Long, Long)]
+      .collect()(0)
+    assert(got == toks, s"manifest $got vs independent tokenize $toks")
+    // all 16 shards populated; bins = ceil(tokens/256) per shard
+    assert(manifest.count() == Curation.nShards.toLong)
+    assert(
+      manifest
+        .filter(col("n_bins") =!= expr(s"(n_tokens + ${Bpe.packCap - 1}) div ${Bpe.packCap}"))
+        .count() == 0
+    )
+  }
+
+  test("the manifest is invariant to input partitioning/order (the shard order is content-defined)") {
+    val a = Curation.exportManifest(docs).orderBy("shard").collect().toSeq
+    val b = Curation
+      .exportManifest(docs.repartition(7, col("text")).sortWithinPartitions(desc("doc_id")))
+      .orderBy("shard")
+      .collect()
+      .toSeq
+    assert(a == b)
+  }
+}

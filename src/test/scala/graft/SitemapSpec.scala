@@ -318,4 +318,38 @@ class SitemapSpec extends AnyFunSuite {
       .select("doc_id", "allowed", "rule_dir", "rule_prefix")
     assert(parsed.exceptAll(literal).count() == 0 && literal.exceptAll(parsed).count() == 0)
   }
+
+  test("diff presence is per-side, never inferred from optional lastmod (r16 advice)") {
+    // lastmod is protocol-optional: URLs listed WITHOUT it must still
+    // diff as added/removed on presence, NULL<->dated is a change, and
+    // NULL==NULL is unchanged
+    val prev = Seq(
+      ("http://h/a", null.asInstanceOf[String]), // removed (no lastmod either side)
+      ("http://h/b", null.asInstanceOf[String]), // unchanged (NULL == NULL)
+      ("http://h/c", null.asInstanceOf[String]), // changed (NULL -> dated)
+      ("http://h/d", "2024-01-01")               // changed (dated -> NULL)
+    ).toDF("loc", "lastmod")
+    val next = Seq(
+      ("http://h/b", null.asInstanceOf[String]),
+      ("http://h/c", "2024-02-02"),
+      ("http://h/d", null.asInstanceOf[String]),
+      ("http://h/e", null.asInstanceOf[String]) // added (no lastmod)
+    ).toDF("loc", "lastmod")
+    val got = Sitemaps
+      .sitemapDiff(prev, next)
+      .select("loc", "status")
+      .as[(String, String)]
+      .collect()
+      .toMap
+    assert(got == Map(
+      "http://h/a" -> "removed",
+      "http://h/b" -> "unchanged",
+      "http://h/c" -> "changed",
+      "http://h/d" -> "changed",
+      "http://h/e" -> "added"
+    ), got.toString)
+    // and the frontier-bound delta picks up the lastmod-less addition
+    val delta = Sitemaps.sitemapDelta(prev, next).select("loc").as[String].collect().toSet
+    assert(delta == Set("http://h/c", "http://h/d", "http://h/e"))
+  }
 }
