@@ -950,4 +950,11 @@ object Api {
     */
   def exportManifest(docs: DataFrame, minQuality: Double = 0.45): DataFrame =
     llm.Curation.exportManifest(docs, minQuality)
+
+  /** Incremental re-export between two corpus snapshots: the new
+    * manifest with a per-shard `dirty` flag — only flagged shard files
+    * need rewriting.
+    */
+  def exportManifestInc(oldDocs: DataFrame, newDocs: DataFrame, minQuality: Double = 0.45): DataFrame =
+    llm.Curation.exportManifestInc(oldDocs, newDocs, minQuality)
 }

@@ -239,6 +239,14 @@ object Prof {
       t(s"docs${docsX}_export_manifest", nDocs)(
         llm.Curation.exportManifest(docs).agg(sum(col("n_tokens"))).collect()(0).getLong(0)
       )
+      // r17: incremental re-export — two manifest chains + a 16-row
+      // join; the dirty filter forces both sides
+      t(s"docs${docsX}_export_manifest_inc", nDocs)(
+        llm.Curation
+          .exportManifestInc(docs.filter(col("doc_id") % 1000 =!= 7), docs)
+          .filter(col("dirty"))
+          .count()
+      )
       t(s"docs${docsX}_dedup_chunks", nDocs)(llm.Dedup.dedupChunks(docs).count())
       t(s"docs${docsX}_dedup_runs", nDocs)(llm.Dedup.sharedRuns(docs).count())
       // round-12 additions: line-level dedup (replicas share every

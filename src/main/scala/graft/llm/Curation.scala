@@ -904,14 +904,16 @@ object Curation {
     * emits the file; nothing here is driver-sized (the manifest
     * itself is nShards rows).
     */
-  def exportManifest(docs: DataFrame, minQuality: Double = 0.45, cap: Int = Bpe.packCap): DataFrame = {
+  def exportManifest(docs: DataFrame, minQuality: Double = 0.45, cap: Int = Bpe.packCap): DataFrame =
+    manifestOf(docs, Bpe.gateMerges(docs), minQuality, cap)
+
+  private def manifestOf(docs: DataFrame, merges: Seq[String], minQuality: Double, cap: Int): DataFrame = {
     val kept = docs
       .select(col("doc_id"), col("text"), qualityScore.as("quality"))
       .filter(col("quality") >= minQuality)
       .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
       .filter(col("doc_id") === col("keep_id"))
       .select(col("doc_id"), col("text"))
-    val merges = Bpe.gateMerges(docs)
     val keyed = kept.select(
       col("doc_id"),
       col("text"),
@@ -942,6 +944,59 @@ object Curation {
       )
   }
 
+  /** INCREMENTAL export — the economics a 100 TB re-export runs on:
+    * between two corpus snapshots, only shards whose CONTENT
+    * fingerprint moved need rewriting. Both snapshots manifest under
+    * the SAME tokenizer artifact (merges trained on the CURRENT
+    * corpus — a production incremental export pins merges.txt, it
+    * never retrains per snapshot), and `dirty` is a null-safe
+    * fingerprint compare per shard — a doc added, removed, or edited
+    * anywhere flips exactly its shard's flag, every other shard's
+    * manifest row is byte-identical and its file is NOT rewritten.
+    * (A shard present only in the OLD snapshot would need a delete —
+    * with md5 shard assignment that means the corpus lost ~1/nShards
+    * of itself; out of scope here.) Two shard-keyed aggregations + a
+    * 16-row join.
+    */
+  def exportManifestInc(
+      oldDocs: DataFrame,
+      newDocs: DataFrame,
+      minQuality: Double = 0.45,
+      cap: Int = Bpe.packCap
+  ): DataFrame = {
+    val merges = Bpe.gateMerges(newDocs)
+    val newM = manifestOf(newDocs, merges, minQuality, cap)
+    val oldM = manifestOf(oldDocs, merges, minQuality, cap)
+    newM
+      .join(oldM.select(col("shard"), col("content_md5").as("old_md5")), Seq("shard"), "left")
+      .select(
+        col("shard"),
+        col("n_docs"),
+        col("n_tokens"),
+        col("n_bins"),
+        col("content_md5"),
+        (!(col("content_md5") <=> col("old_md5"))).as("dirty")
+      )
+  }
+
+  /** Gate plant: a SPARSE snapshot delta over fixed ids present at
+    * every sf — docs 3/103 added (absent from the old snapshot), 7/207
+    * removed (absent from the new), 11 edited — so the dirty set is a
+    * handful of shards and BOTH flag arms stay non-vacuous at every sf
+    * (a mod-arm delta touches every shard at sf0.1 — probed).
+    */
+  def exportManifestIncGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val newDocs = docs
+      .filter(!col("doc_id").isin(7L, 207L))
+      .select(
+        col("doc_id"),
+        when(col("doc_id") === 11, concat(col("text"), lit(" rev2"))).otherwise(col("text")).as("text")
+      )
+    val oldDocs = docs.filter(!col("doc_id").isin(3L, 103L)).select(col("doc_id"), col("text"))
+    exportManifestInc(oldDocs, newDocs)
+  }
+
   def exportManifestSql(minQuality: Double = 0.45, cap: Int = Bpe.packCap): String =
     "WITH base AS (SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS n_chars, " +
       "CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok, " +
@@ -959,6 +1014,44 @@ object Curation {
       "SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
       s"(CAST(sum(n_tok) AS BIGINT) + ${cap - 1}) // $cap AS n_bins, " +
       "md5(string_agg(sk || md5(text), '' ORDER BY sk)) AS content_md5 FROM kd GROUP BY shard"
+
+  /** Oracle of [[exportManifestInc]]: one BPE-CTE chain trained on the
+    * NEW snapshot (the pinned tokenizer artifact), applied to the old
+    * snapshot through the same per-word `app` table (the plant has no
+    * old-only words — the synthetic vocabulary is corpus-wide), the
+    * manifest chain rendered per snapshot, dirty = IS DISTINCT FROM.
+    */
+  def exportManifestIncSql(minQuality: Double = 0.45, cap: Int = Bpe.packCap): String = {
+    def manifestCtes(pfx: String, src: String, agg: String): String =
+      s"base$pfx AS (SELECT doc_id, text, CAST(length(text) AS DOUBLE) AS n_chars, " +
+        "CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok, " +
+        "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS n_digit, " +
+        s"CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE) AS n_punct FROM $src), " +
+        s"q$pfx AS (SELECT doc_id, text FROM base$pfx WHERE $qualitySql >= ${Dsp.lit(minQuality)}), " +
+        s"k$pfx AS MATERIALIZED (SELECT doc_id, text FROM " +
+        s"(SELECT *, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM q$pfx) WHERE doc_id = keep_id), " +
+        s"kd$pfx AS MATERIALIZED (SELECT kk.doc_id AS doc_id, kk.text AS text, " +
+        "md5(CAST(kk.doc_id AS VARCHAR)) AS sk, " +
+        s"CAST(concat('0x', substr(md5(CAST(kk.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % $nShards AS shard, " +
+        s"CAST(least(coalesce(g.n_bpe, 0), ${TextStats.maxTokens}) AS BIGINT) AS n_tok " +
+        s"FROM k$pfx kk LEFT JOIN $agg g ON g.doc_id = kk.doc_id), " +
+        s"m$pfx AS MATERIALIZED (SELECT shard, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens, " +
+        s"md5(string_agg(sk || md5(text), '' ORDER BY sk)) AS content_md5 FROM kd$pfx GROUP BY shard)"
+    "WITH nd AS MATERIALIZED (SELECT doc_id, " +
+      "CASE WHEN doc_id = 11 THEN text || ' rev2' ELSE text END AS text " +
+      "FROM documents WHERE doc_id NOT IN (7, 207)), " +
+      "od AS MATERIALIZED (SELECT doc_id, text FROM documents WHERE doc_id NOT IN (3, 103)), " +
+      Bpe.bpeCtes("nd").mkString(", ") + ", " +
+      "tokso AS (SELECT doc_id, u.tok AS tok FROM od, unnest(string_split(text, ' ')) AS u(tok) WHERE u.tok <> ''), " +
+      "aggo AS (SELECT t.doc_id AS doc_id, CAST(sum(a.n_sub) AS BIGINT) AS n_bpe " +
+      "FROM tokso t JOIN app a ON t.tok = a.word GROUP BY t.doc_id), " +
+      manifestCtes("n", "nd", "agg") + ", " +
+      manifestCtes("o", "od", "aggo") + " " +
+      "SELECT mn.shard, mn.n_docs, mn.n_tokens, " +
+      s"(mn.n_tokens + ${cap - 1}) // $cap AS n_bins, mn.content_md5, " +
+      "(mn.content_md5 IS DISTINCT FROM mo.content_md5) AS dirty " +
+      "FROM mn mn LEFT JOIN mo mo ON mo.shard = mn.shard"
+  }
 
   /** Corpus snapshot diff — the versioning pass a continuously-ingested
     * corpus runs between snapshots: per doc_id, `added` / `removed` /
@@ -1119,6 +1212,7 @@ object Curation {
     "corpus_diff" -> { (s, dir) => corpusDiffGate(Tables.documents(s, dir)) },
     "curate_llm" -> { (s, dir) => curateLlm(Tables.documents(s, dir)) },
     "export_manifest" -> { (s, dir) => exportManifest(Tables.documents(s, dir)) },
+    "export_manifest_inc" -> { (s, dir) => exportManifestIncGate(s, dir) },
     "text_c4_clean" -> { (s, dir) => c4Clean(Tables.documents(s, dir)) },
     "text_html_extract" -> { (s, dir) => htmlExtract(Tables.documents(s, dir)) },
     "curate_license" -> { (s, dir) => licenseScreen(Tables.documents(s, dir)) },
@@ -1190,6 +1284,7 @@ object Curation {
     "corpus_diff" -> corpusDiffSql,
     "curate_llm" -> curateLlmSql(),
     "export_manifest" -> exportManifestSql(),
+    "export_manifest_inc" -> exportManifestIncSql(),
     "text_c4_clean" -> c4CleanSql,
     "text_html_extract" -> htmlExtractSql,
     "curate_license" -> licenseScreenSql,

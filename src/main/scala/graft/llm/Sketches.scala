@@ -609,6 +609,11 @@ object Sketches {
       "count(*) OVER (PARTITION BY g) AS n FROM vals) WHERE rn = (n + 1) // 2)"
   }
 
+  /** Oracle of the r17-retired `sketch_quantile` gate, retained as the
+    * cross-engine reference rendering of the dyadic range-query
+    * decomposition (the descent gate covers the build; see the
+    * gate-budget note in [[queries]]).
+    */
   def quantileRankSql: String = {
     val joins = (0 until qDepth)
       .map(r =>
@@ -1089,7 +1094,14 @@ object Sketches {
     "bloom_screen" -> { (s, dir) => bloomScreen(Tables.documents(s, dir)) },
     "sketch_hll" -> { (s, dir) => hllDistinct(Tables.documents(s, dir)) },
     "sketch_cms" -> { (s, dir) => cmsTopTokens(Tables.documents(s, dir)) },
-    "sketch_quantile" -> { (s, dir) => quantileRank(Tables.orders(s, dir)) },
+    // r17 gate-budget review (r16 verdict #7): sketch_quantile_extract
+    // is the ONLY gated dyadic-sketch form — it builds the same counter
+    // grid as quantileRank and additionally hash-pins the 20-step
+    // descent, whose per-level CMS bucket lookups derail on any counter
+    // drift (the build is covered through the consumer). quantileRank
+    // stays API + QuantileSketchSpec-pinned (one-sided L·e·n/w bound,
+    // disjoint-slice merge-by-addition). Saves the top-cost gate pair's
+    // duplicated build (~3.2 s warm at sf0.1).
     "sketch_quantile_extract" -> { (s, dir) => quantileExtract(Tables.orders(s, dir)) },
     "corpus_profile" -> { (s, dir) => corpusProfile(Tables.documents(s, dir)) },
     "corpus_profile_inc" -> { (s, dir) => corpusProfileIncremental(Tables.documents(s, dir)) },
@@ -1102,7 +1114,6 @@ object Sketches {
     "bloom_screen" -> bloomScreenSql,
     "sketch_hll" -> hllDistinctSql,
     "sketch_cms" -> cmsTopTokensSql,
-    "sketch_quantile" -> quantileRankSql,
     "sketch_quantile_extract" -> quantileExtractSql,
     "corpus_profile" -> corpusProfileSql,
     // mergeability IS the checked property: the incremental store+batch

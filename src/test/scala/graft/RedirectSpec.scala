@@ -123,6 +123,27 @@ class ExportManifestSpec extends AnyFunSuite {
     )
   }
 
+  test("inc: dirty is exactly the delta docs' shard set; a self-diff is all-clean") {
+    val inc = Curation.exportManifestIncGate(spark, sf).cache()
+    // the five planted delta docs (3/103 added, 7/207 removed, 11
+    // edited) — dirty must be exactly their md5-shard set, proving
+    // every OTHER shard's file needs no rewrite
+    val deltaShards = Seq(3L, 103L, 7L, 207L, 11L)
+      .toDF("doc_id")
+      .select(
+        (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % Curation.nShards).as("shard")
+      )
+      .as[Long]
+      .collect()
+      .toSet
+    val dirty = inc.filter(col("dirty")).select("shard").as[Long].collect().toSet
+    assert(dirty == deltaShards, s"dirty $dirty vs delta shards $deltaShards")
+    // identical snapshots diff clean everywhere
+    val self = Curation.exportManifestInc(docs, docs)
+    assert(self.filter(col("dirty")).count() == 0)
+  }
+
   test("the manifest is invariant to input partitioning/order (the shard order is content-defined)") {
     val a = Curation.exportManifest(docs).orderBy("shard").collect().toSeq
     val b = Curation
