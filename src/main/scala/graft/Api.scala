@@ -957,4 +957,14 @@ object Api {
     */
   def exportManifestInc(oldDocs: DataFrame, newDocs: DataFrame, minQuality: Double = 0.45): DataFrame =
     llm.Curation.exportManifestInc(oldDocs, newDocs, minQuality)
+
+  /** Streaming redirect resolution: micro-batched fetch results append
+    * (first-fetch-wins) to a persisted fetch-log store and the full
+    * store re-resolves per batch, so chains complete across batches.
+    */
+  def redirectIngest(
+      in: DataFrame,
+      store: String,
+      onBatch: DataFrame => Unit = _ => ()
+  ): org.apache.spark.sql.streaming.StreamingQuery = llm.Urls.redirectIngest(in, store, onBatch)
 }

@@ -711,6 +711,66 @@ object Urls {
       }
       .start()
 
+  /** Seed the persisted fetch-log store [[redirectIngest]] reads:
+    * (url, location, canon), one row per canonical identity
+    * (first-fetch-wins — HTTP fetch-log semantics; min url as the
+    * deterministic tie-break).
+    */
+  def seedFetchStore(fetched: DataFrame, store: String): Unit = {
+    fetched
+      .withColumn("canon", canonCol(col("url")))
+      .groupBy(col("canon"))
+      .agg(min(struct(col("url"), col("location"))).as("st"))
+      .select(col("st.url").as("url"), col("st.location").as("location"), col("canon"))
+      .write
+      .mode("overwrite")
+      .parquet(store)
+    ()
+  }
+
+  /** STREAMING redirect resolution — the discovery loop's missing
+    * fetch-side seam (r17 §8o candidate (a)): fetch results arrive in
+    * micro-batches and chains complete ACROSS batches, because a
+    * redirect's target is routinely fetched LATER than the redirect
+    * itself. Each batch's first-seen canonical identities append to
+    * the persisted fetch-log store (canon-keyed anti-join — the
+    * urlDedupIngest at-most-once cadence: a refetch never rewrites a
+    * stored verdict), then the WHOLE store re-resolves through the
+    * batch [[resolveRedirects]] and `onBatch` observes the full
+    * current verdict frame — so a URL that resolved `dangling` while
+    * its target was unfetched flips to `ok` (with the full hop count)
+    * the moment the chain's tail lands, and a cycle closing across
+    * batches flips its members to `loop`.
+    *
+    * Scale shape: the store holds (url, location, canon) INDEX rows —
+    * never payloads — and the re-resolve is [[resolveRedirects]]'s 4
+    * doubling joins over it; production runs this on the recrawl-cycle
+    * cadence (the frontier refresh), not necessarily every micro-batch,
+    * and the store side bucket-partitions by canon.
+    */
+  def redirectIngest(
+      in: DataFrame,
+      store: String,
+      onBatch: DataFrame => Unit = _ => ()
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    in.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val prior = spark.read.parquet(store)
+        val fresh = batch
+          .withColumn("canon", canonCol(col("url")))
+          .groupBy(col("canon"))
+          .agg(min(struct(col("url"), col("location"))).as("st"))
+          .select(col("st.url").as("url"), col("st.location").as("location"), col("canon"))
+          .join(prior.select(col("canon")), Seq("canon"), "left_anti")
+          .localCheckpoint()
+        fresh.select(col("url"), col("location"), col("canon")).write.mode("append").parquet(store)
+        onBatch(resolveRedirects(spark.read.parquet(store).select(col("url"), col("location"))))
+        ()
+      }
+      .start()
+
   /** Host-graph PageRank — the domain-authority prior large web
     * curations weight hosts by (the OPIC/harmonic-centrality role in
     * Common Crawl's frontier and RefinedWeb's host policy): power

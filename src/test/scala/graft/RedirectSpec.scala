@@ -60,6 +60,49 @@ class RedirectSpec extends AnyFunSuite {
     assert(got("http://h.example.com/gone") == (("dangling", Some(1L), Some("elsewhere.example.com/x"))))
   }
 
+  test("streaming ingest: chains complete ACROSS batches; a refetch never rewrites the stored verdict") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = java.nio.file.Files.createTempDirectory("redirect_store").toString + "/fetchlog"
+    Urls.seedFetchStore(
+      Seq.empty[(String, String)].toDF("url", "location"),
+      store
+    )
+    val in = MemoryStream[(String, String)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Map[String, (String, Option[Long], Option[String])]]
+    val q = Urls.redirectIngest(
+      in.toDF().toDF("url", "location"),
+      store,
+      resolved =>
+        seen += resolved
+          .select("url", "status", "n_hops", "final_canon")
+          .as[(String, String, Option[Long], Option[String])]
+          .collect()
+          .map(r => r._1 -> ((r._2, r._3, r._4)))
+          .toMap
+    )
+    // batch 1: the chain HEAD arrives first; its target is unfetched
+    in.addData(("http://s.example.com/u2", "https://WWW.s.example.com/u1"))
+    q.processAllAvailable()
+    // batch 2: the tail lands (u1 -> u0, u0 a 200) AND u2 is refetched
+    // with a DIFFERENT location — first-fetch-wins must ignore it
+    in.addData(
+      ("http://s.example.com/u1", "http://s.example.com/u0#x"),
+      ("http://s.example.com/u0", null),
+      ("http://s.example.com/u2", "http://elsewhere.example.com/hijack")
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert(seen.size == 2)
+    // after batch 1: dangling at the unfetched target
+    assert(seen(0)("http://s.example.com/u2") == (("dangling", Some(1L), Some("s.example.com/u1"))))
+    // after batch 2: the SAME url's verdict upgrades to the full chain
+    // (the original edge, not the hijack refetch)
+    assert(seen(1)("http://s.example.com/u2") == (("ok", Some(2L), Some("s.example.com/u0"))))
+    assert(seen(1)("http://s.example.com/u1") == (("ok", Some(1L), Some("s.example.com/u0"))))
+    assert(seen(1)("http://s.example.com/u0") == (("ok", Some(0L), Some("s.example.com/u0"))))
+  }
+
   test("composition: sources redirecting to variant Locations of one page share a final_canon dedup key") {
     val docs = core.Tables.documents(spark, sf)
     val resolved = Urls.crawlRedirectsGate(spark, sf)
