@@ -953,10 +953,11 @@ object Curation {
     * fingerprint compare per shard — a doc added, removed, or edited
     * anywhere flips exactly its shard's flag, every other shard's
     * manifest row is byte-identical and its file is NOT rewritten.
-    * (A shard present only in the OLD snapshot would need a delete —
-    * with md5 shard assignment that means the corpus lost ~1/nShards
-    * of itself; out of scope here.) Two shard-keyed aggregations + a
-    * 16-row join.
+    * A shard present only in the OLD snapshot (the corpus lost every
+    * doc that hashed to it) emits a DELETE record: zero counts, NULL
+    * fingerprint, dirty — the consumer removes the file (spec-pinned;
+    * the gate plant never loses a whole shard, so its output carries
+    * none). Two shard-keyed aggregations + a nShards-row join.
     */
   def exportManifestInc(
       oldDocs: DataFrame,
@@ -968,12 +969,12 @@ object Curation {
     val newM = manifestOf(newDocs, merges, minQuality, cap)
     val oldM = manifestOf(oldDocs, merges, minQuality, cap)
     newM
-      .join(oldM.select(col("shard"), col("content_md5").as("old_md5")), Seq("shard"), "left")
+      .join(oldM.select(col("shard"), col("content_md5").as("old_md5")), Seq("shard"), "full_outer")
       .select(
         col("shard"),
-        col("n_docs"),
-        col("n_tokens"),
-        col("n_bins"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_bins"), lit(0L)).as("n_bins"),
         col("content_md5"),
         (!(col("content_md5") <=> col("old_md5"))).as("dirty")
       )
@@ -1047,10 +1048,11 @@ object Curation {
       "FROM tokso t JOIN app a ON t.tok = a.word GROUP BY t.doc_id), " +
       manifestCtes("n", "nd", "agg") + ", " +
       manifestCtes("o", "od", "aggo") + " " +
-      "SELECT mn.shard, mn.n_docs, mn.n_tokens, " +
-      s"(mn.n_tokens + ${cap - 1}) // $cap AS n_bins, mn.content_md5, " +
+      "SELECT coalesce(mn.shard, mo.shard) AS shard, coalesce(mn.n_docs, 0) AS n_docs, " +
+      "coalesce(mn.n_tokens, CAST(0 AS BIGINT)) AS n_tokens, " +
+      s"coalesce((mn.n_tokens + ${cap - 1}) // $cap, 0) AS n_bins, mn.content_md5, " +
       "(mn.content_md5 IS DISTINCT FROM mo.content_md5) AS dirty " +
-      "FROM mn mn LEFT JOIN mo mo ON mo.shard = mn.shard"
+      "FROM mn mn FULL JOIN mo mo ON mo.shard = mn.shard"
   }
 
   /** Corpus snapshot diff — the versioning pass a continuously-ingested

@@ -187,6 +187,21 @@ class ExportManifestSpec extends AnyFunSuite {
     assert(self.filter(col("dirty")).count() == 0)
   }
 
+  test("inc: a shard losing ALL its docs emits a DELETE record (zero counts, NULL md5, dirty)") {
+    val shardOf =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % Curation.nShards
+    val gone = 5L
+    val newDocs = docs.filter(shardOf =!= gone).select(col("doc_id"), col("text"))
+    val inc = Curation.exportManifestInc(docs.select(col("doc_id"), col("text")), newDocs).cache()
+    val del = inc
+      .filter(col("shard") === gone)
+      .select("n_docs", "n_tokens", "n_bins", "content_md5", "dirty")
+      .as[(Long, Long, Long, Option[String], Boolean)]
+      .collect()
+    assert(del.toSeq == Seq((0L, 0L, 0L, None, true)), del.mkString(","))
+    assert(inc.count() == Curation.nShards.toLong)
+  }
+
   test("the manifest is invariant to input partitioning/order (the shard order is content-defined)") {
     val a = Curation.exportManifest(docs).orderBy("shard").collect().toSeq
     val b = Curation
