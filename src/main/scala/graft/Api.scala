@@ -690,6 +690,13 @@ object Api {
   def rakeKeywords(docs: DataFrame, topK: Int = 30): DataFrame =
     llm.TextStats.textRake(docs, topK)
 
+  /** Per-doc top-k winnow-overlap triage report over capped-fp-set
+    * classes (exact-dup/replica cliques collapse to one representative;
+    * clique-free pairing at any corpus size).
+    */
+  def winnowTopk(docs: DataFrame, s: Int = llm.TextStats.wtCap, k: Int = llm.TextStats.wtK, maxDf: Int = llm.TextStats.woMaxDf): DataFrame =
+    llm.TextStats.winnowTopk(docs, s, k, maxDf)
+
   /** Host-graph PageRank in exact integer micros. */
   def hostPagerank(docs: DataFrame, iters: Int = 8): DataFrame =
     llm.Urls.hostPagerank(docs, iters)

@@ -191,6 +191,12 @@ object Prof {
       t(s"docs${docsX}_winnow_overlap", nDocs)(
         llm.TextStats.winnowOverlap(docs, maxDf = 5 * docsX).count()
       )
+      // top-k report form: the s-cap bounds per-doc incidence and the
+      // capped-fp-set class collapse removes exact-replica cliques; the
+      // perturbed-replica residue stays clique-quadratic by design
+      t(s"docs${docsX}_winnow_topk", nDocs)(
+        llm.TextStats.winnowTopk(docs, maxDf = 5 * docsX).count()
+      )
       // scale banding (16 planes, 2×8-bit): the gate's 2×4-bit config is
       // sized for the 500-doc corpus; background candidates per query
       // grow ~nBands·nChunks·2^-width (the hePlanes widen rule)

@@ -515,6 +515,114 @@ object TextStats {
       "FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.doc_id < b.doc_id " +
       s"GROUP BY a.doc_id, b.doc_id HAVING count(*) >= $woMinShared"
 
+  /** Per-doc fingerprint cap for [[winnowTopk]] (MOSS keeps a bounded
+    * fingerprint set per submission): the s SMALLEST fps by hash order —
+    * consistent bottom-s sampling, so a run shared by two docs tends to
+    * survive in both or neither.
+    */
+  val wtCap = 20
+  val wtK = 3
+
+  /** Per-doc top-k overlap triage report — the consumer-facing form of
+    * [[winnowOverlap]] (a reviewer reads "worst partners per doc", not
+    * the full pair table). Scales where the full pair table cannot:
+    *
+    *  1. each doc keeps its bottom-[[wtCap]] fingerprints (MOSS's own
+    *     cap — per-doc incidence is bounded by s·df regardless of doc
+    *     length);
+    *  2. docs are collapsed into CLASSES by the md5 of their capped
+    *     fp set (the mm_wav_fp_pairs distinct-signature rule: replica
+    *     cliques — the quadratic term in the full pair table — collapse
+    *     to ONE representative each, so pairing volume is over classes,
+    *     clique-free by construction);
+    *  3. class pairs share fps via the df-capped equi-join, exact
+    *     shared-fp counts, then ONE rank window caps the report at
+    *     [[wtK]] partners per class (n_shared desc, partner asc).
+    *
+    * Output rows are class-level: (doc_a = class representative,
+    * n_docs_a = class size, rnk, doc_b, n_docs_b, n_shared) — every
+    * member of a class has the same partner report by construction.
+    */
+  def winnowTopk(
+      docs: DataFrame,
+      s: Int = wtCap,
+      k: Int = wtK,
+      maxDf: Int = woMaxDf
+  ): DataFrame = {
+    val capW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("fp"))
+    val capped = winnow(docs)
+      .select(col("doc_id"), col("fp"), row_number().over(capW).as("rn"))
+      .filter(col("rn") <= s)
+      .select(col("doc_id"), col("fp"))
+      .localCheckpoint() // feeds the signature agg AND the class fp set
+    val cls = capped
+      .groupBy(col("doc_id"))
+      .agg(md5(concat_ws(",", sort_array(collect_list(col("fp"))))).as("sig"))
+      .groupBy(col("sig"))
+      .agg(min(col("doc_id")).as("rep"), count(lit(1)).as("n_docs"))
+      .localCheckpoint() // rep fp-set join + both size joins
+    val cfps = capped
+      .join(cls.select(col("rep").as("doc_id")), Seq("doc_id"))
+      .select(col("doc_id").as("rep"), col("fp"))
+      .localCheckpoint() // df counts + both pair sides
+    val keep = cfps
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") <= maxDf && col("dfreq") >= 2)
+      .select(col("fp"))
+    val f2 = cfps.join(keep, Seq("fp"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a"))
+      .orderBy(col("n_shared").desc, col("b").asc)
+    // count each unordered pair ONCE (a < b halves the clique-quadratic
+    // aggregation input — the decade's only data-sized stream) and
+    // mirror the tiny counted frame for the per-doc both-direction view
+    val half = f2
+      .select(col("fp"), col("rep").as("a"))
+      .join(f2.select(col("fp"), col("rep").as("b")), Seq("fp"))
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= woMinShared)
+      .localCheckpoint() // referenced once per orientation
+    half
+      .unionByName(half.select(col("b").as("a"), col("a").as("b"), col("n_shared")))
+      .select(col("a"), col("b"), col("n_shared"), row_number().over(rankW).as("rnk"))
+      .filter(col("rnk") <= k)
+      .join(cls.select(col("rep").as("a"), col("n_docs").as("n_docs_a")), Seq("a"))
+      .join(cls.select(col("rep").as("b"), col("n_docs").as("n_docs_b")), Seq("b"))
+      .select(
+        col("a").as("doc_a"),
+        col("n_docs_a"),
+        col("rnk"),
+        col("b").as("doc_b"),
+        col("n_docs_b"),
+        col("n_shared")
+      )
+  }
+
+  def winnowTopkSql(s: Int = wtCap, k: Int = wtK, maxDf: Int = woMaxDf): String =
+    s"WITH wn AS MATERIALIZED (${winnowSql()}), " +
+      "capped AS MATERIALIZED (SELECT doc_id, fp FROM (" +
+      "SELECT doc_id, fp, row_number() OVER (PARTITION BY doc_id ORDER BY fp) AS rn FROM wn" +
+      s") WHERE rn <= $s), " +
+      "cls AS MATERIALIZED (SELECT sig, min(doc_id) AS rep, count(*) AS n_docs FROM (" +
+      "SELECT doc_id, md5(string_agg(fp, ',' ORDER BY fp)) AS sig FROM capped GROUP BY doc_id" +
+      ") GROUP BY sig), " +
+      "cfps AS MATERIALIZED (SELECT cls.rep, capped.fp FROM capped JOIN cls ON capped.doc_id = cls.rep), " +
+      s"keep AS (SELECT fp FROM (SELECT fp, count(*) AS dfreq FROM cfps GROUP BY fp) " +
+      s"WHERE dfreq <= $maxDf AND dfreq >= 2), " +
+      "f2 AS MATERIALIZED (SELECT cfps.rep, cfps.fp FROM cfps JOIN keep USING (fp)), " +
+      "pc AS (SELECT a.rep AS a, b.rep AS b, count(*) AS n_shared " +
+      "FROM f2 a JOIN f2 b ON a.fp = b.fp AND a.rep <> b.rep " +
+      s"GROUP BY a.rep, b.rep HAVING count(*) >= $woMinShared), " +
+      "rk AS (SELECT a, b, n_shared, " +
+      "row_number() OVER (PARTITION BY a ORDER BY n_shared DESC, b ASC) AS rnk FROM pc) " +
+      "SELECT rk.a AS doc_a, ca.n_docs AS n_docs_a, rk.rnk, rk.b AS doc_b, cb.n_docs AS n_docs_b, rk.n_shared " +
+      s"FROM rk JOIN cls ca ON ca.rep = rk.a JOIN cls cb ON cb.rep = rk.b WHERE rk.rnk <= $k"
+
   /** Content-defined chunking divisor: a token whose hash ≡ 0 (mod 16)
     * ENDS its chunk, giving ~16-token mean chunks on the gate corpus.
     */
@@ -1486,6 +1594,7 @@ object TextStats {
     "text_chunks_gear" -> { (s, dir) => chunksGear(Tables.documents(s, dir)) },
     "text_winnow" -> { (s, dir) => winnow(Tables.documents(s, dir)) },
     "winnow_overlap" -> { (s, dir) => winnowOverlap(Tables.documents(s, dir)) },
+    "winnow_topk" -> { (s, dir) => winnowTopk(Tables.documents(s, dir)) },
     "text_pack" -> { (s, dir) => pack(Tables.documents(s, dir)) },
     "text_tokens" -> { (s, dir) =>
       Tables
@@ -1561,6 +1670,7 @@ object TextStats {
     "text_chunks_gear" -> chunksGearSql,
     "text_winnow" -> winnowSql(),
     "winnow_overlap" -> winnowOverlapSql,
+    "winnow_topk" -> winnowTopkSql(),
     "text_pack" -> packSql(),
     "text_tokens" ->
       ("SELECT doc_id, length(text) AS n_chars, len(string_split(text, ' ')) AS n_ws, " +

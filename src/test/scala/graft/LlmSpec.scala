@@ -827,6 +827,48 @@ class LlmSpec extends AnyFunSuite {
       "disjoint docs share a fingerprint")
   }
 
+  test("winnow top-k report: replica classes collapse, partners rank by shared fps, both directions") {
+    import spark.implicits._
+    val runA = (1 to 16).map(i => s"common$i").mkString(" ")
+    val runB = (1 to 30).map(i => s"big$i").mkString(" ")
+    val distinctDocs = Seq(
+      (1L, s"aa bb cc dd $runA ee $runB ff"), // overlaps 2 (runA) and 4 (runB, longer)
+      (2L, s"xx yy $runA zz ww"),
+      (3L, "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12 p13 p14 p15"),
+      (4L, s"qq rr $runB ss tt")
+    )
+    // replicas of doc 2's exact text: same capped fp set -> same class
+    val docs = (distinctDocs ++ Seq((21L, distinctDocs(1)._2), (22L, distinctDocs(1)._2)))
+      .toDF("doc_id", "text")
+    val rows = graft.llm.TextStats
+      .winnowTopk(docs)
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("doc_a"), r.getAs[Int]("rnk")) ->
+          (r.getAs[Long]("doc_b"), r.getAs[Long]("n_shared"), r.getAs[Long]("n_docs_a"), r.getAs[Long]("n_docs_b"))
+      )
+      .toMap
+    // replicas 21/22 never appear as a class of their own
+    assert(!rows.keys.exists(k => k._1 >= 21L), s"replica docs leaked into the report: $rows")
+    // doc 1's rank-1 partner is 4 (the longer shared run beats runA's)
+    val r1 = rows((1L, 1)); val r2 = rows((1L, 2))
+    assert(r1._1 == 4L && r2._1 == 2L, s"rank order wrong: $rows")
+    assert(r1._2 > r2._2, s"longer run should share more fps: $rows")
+    // both directions: doc 2's class reports partner 1, with its class size 3
+    val d2 = rows.collect { case ((2L, _), v) => v }
+    assert(d2.exists(_._1 == 1L), s"doc 2 report missing partner 1: $rows")
+    assert(d2.forall(_._3 == 3L), s"class size of {2,21,22} should be 3: $rows")
+    // class-collapse invariance: the distinct corpus yields the same
+    // (doc_a, rnk, doc_b, n_shared) rows, only n_docs differs
+    val distinctRows = graft.llm.TextStats
+      .winnowTopk(distinctDocs.toDF("doc_id", "text"))
+      .collect()
+      .map(r => ((r.getAs[Long]("doc_a"), r.getAs[Int]("rnk")), (r.getAs[Long]("doc_b"), r.getAs[Long]("n_shared"))))
+      .toMap
+    assert(rows.map { case (k, v) => k -> (v._1, v._2) } == distinctRows,
+      s"collapse changed the report: $rows vs $distinctRows")
+  }
+
   test("CDC chunking survives a head insertion where fixed windows do not") {
     import spark.implicits._
     val rnd = new scala.util.Random(21)

@@ -212,3 +212,92 @@ class ExportManifestSpec extends AnyFunSuite {
     assert(a == b)
   }
 }
+
+/** The COMPLETE product path in one spec: fetched bytes (real per-arm
+  * charset encodings) → sniff+transcode → WARC archive → strict
+  * re-parse → HTML extraction → curate/tokenize/shard export manifest.
+  * Every leg is gated solo; this pins that the chain a 100 TB run
+  * actually executes composes — the composed manifest must equal the
+  * direct extraction's manifest row-for-row, with the charset leg
+  * proven non-vacuous (the Latin-1 arm's bytes are NOT valid UTF-8).
+  */
+class CrawlExportSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("crawl-to-export: bytes -> decode -> WARC -> extract -> manifest equals the direct manifest") {
+    // a non-ASCII marker rides every doc so the byte legs do real work
+    val docs = core.Tables
+      .documents(spark, sf)
+      .select(col("doc_id"), concat(lit("café "), col("text")).as("text"))
+    val pages = docs.select(col("doc_id"), expr(Curation.htmlPlantExpr).as("html"))
+    // fetch-side frame: payload bytes REALLY encoded per arm
+    val fetched = pages.select(
+      col("doc_id"),
+      col("html"),
+      when(col("doc_id") % 3 === 0, lit("Content-Type: text/html; charset=ISO-8859-1"))
+        .otherwise(lit("Content-Type: text/html"))
+        .as("header"),
+      when(col("doc_id") % 3 === 0, encode(col("html"), "ISO-8859-1"))
+        .otherwise(encode(col("html"), "UTF-8"))
+        .as("payload")
+    )
+    val dec = graft.sources.Charsets.decodeFetched(fetched).cache()
+    // the sniff+transcode leg is exact on every arm...
+    assert(dec.filter(col("text_out") =!= col("html")).count() == 0)
+    // ...and NOT vacuous: the Latin-1 arm's bytes differ from the UTF-8
+    // encoding (so the sniff MUST read the header to decode correctly;
+    // decoding these bytes as UTF-8 is malformed — ANSI decode() even
+    // throws on them, which is why this pins byte inequality instead)
+    assert(
+      dec
+        .filter(col("doc_id") % 3 === 0)
+        .filter(col("payload") === encode(col("html"), "UTF-8"))
+        .count() == 0,
+      "Latin-1 arm bytes must not coincide with the UTF-8 encoding"
+    )
+    // archive the decoded pages, re-parse, extract
+    val tmp = graft.sources.Scratch.dir("crawl_export_spec")
+    graft.sources.WarcOps.writeSpark(
+      dec.select(
+        col("doc_id"),
+        concat(lit("http://h/doc/"), col("doc_id").cast("string")).as("uri"),
+        col("text_out").as("html")
+      ),
+      tmp,
+      nFiles = 2
+    )
+    val extracted = Curation
+      .htmlExtractTextPages(
+        graft.sources.WarcOps
+          .readSpark(spark, tmp + "/part-*.warc")
+          .select(
+            regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1).cast("long").as("doc_id"),
+            col("body").as("html")
+          )
+      )
+      .select(col("doc_id"), col("text"))
+      // a real pipeline drops empty extractions before curation (the
+      // quality score is undefined on zero tokens — ANSI divide)
+      .filter(length(col("text")) > 0)
+      .cache()
+    // the marker survives the full byte path into the product text for
+    // every doc whose extraction KEEPS the block carrying it (the keep
+    // heuristic drops it for some plants — non-vacuity is what matters:
+    // non-ASCII content demonstrably reaches the training product)
+    assert(extracted.filter(col("text").contains("café")).count() > 0)
+    val composed = Curation.exportManifest(extracted).orderBy("shard").collect().toSeq
+    val direct = Curation
+      .exportManifest(
+        Curation
+          .htmlExtractTextPages(pages)
+          .select(col("doc_id"), col("text"))
+          .filter(length(col("text")) > 0)
+      )
+      .orderBy("shard")
+      .collect()
+      .toSeq
+    assert(composed == direct, "composed crawl-to-export manifest drifted from the direct manifest")
+    assert(composed.nonEmpty && composed.map(_.getAs[Long]("n_tokens")).sum > 0)
+  }
+}
