@@ -690,6 +690,25 @@ object Api {
   def rakeKeywords(docs: DataFrame, topK: Int = 30): DataFrame =
     llm.TextStats.textRake(docs, topK)
 
+  /** Deterministic weighted-interleave loader order from DoReMi
+    * weights (largest-remainder quotas, md5 doc cycling with epoch
+    * upsampling, exact fractional-position interleave key).
+    */
+  def mixSchedule(docs: DataFrame, nSteps: Int = llm.Curation.mixScheduleSteps): DataFrame =
+    llm.Curation.mixSchedule(docs, nSteps)
+
+  /** Physical shard export: per-shard parquet files + the manifest
+    * computed from the frame the writer consumed.
+    */
+  def exportShards(docs: DataFrame, outDir: String, merges: Seq[String]): DataFrame =
+    llm.Curation.exportShards(docs, outDir, merges)
+
+  /** Loader-side shard integrity verification: recompute the manifest
+    * from the files alone (pinned tokenizer) and compare per shard.
+    */
+  def exportVerify(s: SparkSession, dir: String, expected: DataFrame, merges: Seq[String]): DataFrame =
+    llm.Curation.exportVerify(s, dir, expected, merges)
+
   /** Per-doc top-k winnow-overlap triage report over capped-fp-set
     * classes (exact-dup/replica cliques collapse to one representative;
     * clique-free pairing at any corpus size).

@@ -161,6 +161,11 @@ object Prof {
       t(s"docs${docsX}_mix_doremi", nDocs)(
         llm.Curation.mixDoremi(docs).filter(col("mix_weight") >= 0).count()
       )
+      // r17: weights -> loader order — adds one per-source rank window
+      // over the corpus + a 240-row schedule join on top of the chain
+      t(s"docs${docsX}_mix_schedule", nDocs)(
+        llm.Curation.mixSchedule(docs).filter(col("ord") >= 0).count()
+      )
       // round-8 additions: incremental screen (store build + batch
       // screen) and header-directed video frame stats
       t(s"docs${docsX}_bloom_screen", nDocs)(llm.Sketches.bloomScreen(docs).count())
@@ -245,6 +250,16 @@ object Prof {
       t(s"docs${docsX}_export_manifest", nDocs)(
         llm.Curation.exportManifest(docs).agg(sum(col("n_tokens"))).collect()(0).getLong(0)
       )
+      // r17: PHYSICAL export + loader-side verification — shard files
+      // really written, manifest recomputed from the files alone; the
+      // ok filter forces the full-outer compare
+      t(s"docs${docsX}_export_verify", nDocs) {
+        val out = graft.sources.Scratch.dir("prof_export_verify")
+        val ed = docs.select(col("doc_id"), col("text"))
+        val merges = llm.Bpe.gateMerges(ed)
+        val m = llm.Curation.exportShards(ed, out, merges).localCheckpoint()
+        llm.Curation.exportVerify(spark, out, m, merges).filter(col("ok")).count()
+      }
       // r17: incremental re-export — two manifest chains + a 16-row
       // join; the dirty filter forces both sides
       t(s"docs${docsX}_export_manifest_inc", nDocs)(

@@ -907,14 +907,21 @@ object Curation {
   def exportManifest(docs: DataFrame, minQuality: Double = 0.45, cap: Int = Bpe.packCap): DataFrame =
     manifestOf(docs, Bpe.gateMerges(docs), minQuality, cap)
 
-  private def manifestOf(docs: DataFrame, merges: Seq[String], minQuality: Double, cap: Int): DataFrame = {
+  private def manifestOf(docs: DataFrame, merges: Seq[String], minQuality: Double, cap: Int): DataFrame =
+    manifestAgg(keyedOf(docs, merges, minQuality), cap)
+
+  /** The export's shard-keyed frame: curated keep set with shard
+    * assignment key, within-shard order key, and the capped BPE token
+    * count under the pinned merge table.
+    */
+  private def keyedOf(docs: DataFrame, merges: Seq[String], minQuality: Double): DataFrame = {
     val kept = docs
       .select(col("doc_id"), col("text"), qualityScore.as("quality"))
       .filter(col("quality") >= minQuality)
       .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy(md5(col("text")))))
       .filter(col("doc_id") === col("keep_id"))
       .select(col("doc_id"), col("text"))
-    val keyed = kept.select(
+    kept.select(
       col("doc_id"),
       col("text"),
       md5(col("doc_id").cast("string")).as("sk"),
@@ -924,6 +931,9 @@ object Curation {
         lit(TextStats.maxTokens)
       ).cast("long").as("n_tok")
     )
+  }
+
+  private def manifestAgg(keyed: DataFrame, cap: Int): DataFrame =
     // sk is a unique fixed-width hex prefix of each element, so the
     // lexicographic array_sort IS the shard order (sitemap render
     // precedent for deterministic collect_list ordering)
@@ -942,7 +952,103 @@ object Curation {
         expr(s"(n_tokens + ${cap - 1}) div $cap").as("n_bins"),
         col("content_md5")
       )
+
+  /** PHYSICAL export: write the curated keep set as real per-shard
+    * parquet files (`partitionBy(shard)` — one directory per training
+    * shard, the layout a data loader reads) and return the manifest
+    * computed from the SAME materialized frame the writer consumed.
+    * The keyed frame is checkpointed once so selection/tokenization
+    * run a single time for both the files and the manifest.
+    */
+  def exportShards(
+      docs: DataFrame,
+      outDir: String,
+      merges: Seq[String],
+      minQuality: Double = 0.45,
+      cap: Int = Bpe.packCap
+  ): DataFrame = {
+    val keyed = keyedOf(docs, merges, minQuality).localCheckpoint()
+    keyed
+      .select(col("doc_id"), col("text"), col("shard"))
+      .write
+      .partitionBy("shard")
+      .mode("overwrite")
+      .parquet(outDir)
+    manifestAgg(keyed, cap)
   }
+
+  /** Shard-integrity verification — the LOADER-side consumer of
+    * [[exportShards]]: trust ONLY the files and the pinned tokenizer
+    * artifact, recompute every manifest column from file rows (order
+    * key, token counts, shard-ordered content fingerprint), and
+    * null-safe-compare against the shipped manifest per shard. A doc
+    * lost, duplicated, reordered, or bit-flipped in any shard file
+    * flips exactly that shard's `ok` (spec-pinned via a planted
+    * tamper); a shard directory missing entirely or present without a
+    * manifest row surfaces through the full outer join. Verification
+    * cost is one scan of the exported bytes + one shard-keyed
+    * aggregation — the pre-training integrity check a 100 TB run
+    * executes before burning accelerator time.
+    */
+  def exportVerify(
+      s: SparkSession,
+      dir: String,
+      expected: DataFrame,
+      merges: Seq[String],
+      cap: Int = Bpe.packCap
+  ): DataFrame = {
+    val fileKeyed = s.read
+      .parquet(dir)
+      .select(
+        col("doc_id"),
+        col("text"),
+        md5(col("doc_id").cast("string")).as("sk"),
+        col("shard").cast("long").as("shard"),
+        least(
+          graft.functions.exprs.bpe_count(split(col("text"), " "), merges),
+          lit(TextStats.maxTokens)
+        ).cast("long").as("n_tok")
+      )
+    manifestAgg(fileKeyed, cap)
+      .join(
+        expected.select(
+          col("shard"),
+          col("n_docs").as("e_docs"),
+          col("n_tokens").as("e_tokens"),
+          col("n_bins").as("e_bins"),
+          col("content_md5").as("e_md5")
+        ),
+        Seq("shard"),
+        "full_outer"
+      )
+      .select(
+        col("shard"),
+        col("n_docs"),
+        col("n_tokens"),
+        col("n_bins"),
+        col("content_md5"),
+        (col("n_docs") <=> col("e_docs") && col("n_tokens") <=> col("e_tokens") &&
+          col("n_bins") <=> col("e_bins") && col("content_md5") <=> col("e_md5")).as("ok")
+      )
+  }
+
+  /** export_verify gate: real shard files written under scratch, then
+    * verified from the files alone against the shipped manifest. The
+    * oracle renders the manifest arithmetically from `documents` with
+    * `ok = true` — a hash match proves the parquet round-trip is
+    * content-exact AND the verifier agrees with the writer on every
+    * column (warc_roundtrip's file-backed-gate pattern).
+    */
+  def exportVerifyGate(s: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(s, sfDir).select(col("doc_id"), col("text"))
+    val merges = Bpe.gateMerges(docs)
+    val out = graft.sources.Scratch.dir("export_verify")
+    val expected = exportShards(docs, out, merges).localCheckpoint()
+    exportVerify(s, out, expected, merges)
+  }
+
+  def exportVerifySql(minQuality: Double = 0.45, cap: Int = Bpe.packCap): String =
+    s"SELECT shard, n_docs, n_tokens, n_bins, content_md5, true AS ok FROM (${exportManifestSql(minQuality, cap)}) m"
 
   /** INCREMENTAL export — the economics a 100 TB re-export runs on:
     * between two corpus snapshots, only shards whose CONTENT
@@ -1133,6 +1239,26 @@ object Curation {
     * class at any corpus size.
     */
   def mixDoremi(docs: DataFrame, eta: Double = 100.0): DataFrame = {
+    val scored = doremiScored(docs, eta)
+    val ws = scored.agg(sum(col("u6")).as("wsum")).withColumn("k", lit(1))
+    scored
+      .withColumn("k", lit(1))
+      .join(broadcast(ws), Seq("k"))
+      .select(
+        col("source"),
+        col("n_docs"),
+        col("n_tok"),
+        Dsp.round6(col("loss")).as("loss"),
+        Dsp.round6(col("excess")).as("excess"),
+        Dsp.round6(col("u6").cast("double") / col("wsum").cast("double")).as("mix_weight")
+      )
+  }
+
+  /** The DoReMi chain through the EXACT integer unnormalized weight
+    * `u6` (micros) — shared by [[mixDoremi]]'s normalized view and
+    * [[mixSchedule]]'s integer quota arithmetic.
+    */
+  private def doremiScored(docs: DataFrame, eta: Double = 100.0): DataFrame = {
     val toks = TextStats.tokens(docs).select(col("doc_id"), col("tok"))
     val tf = toks.groupBy(col("tok")).agg(count(lit(1)).as("ctf"))
     val tot = tf.agg(sum(col("ctf")).as("ntok")).withColumn("k", lit(1))
@@ -1171,26 +1297,124 @@ object Curation {
           .cast("long")
       )
       .localCheckpoint()
-    val ws = scored.agg(sum(col("u6")).as("wsum")).withColumn("k", lit(1))
     scored
-      .withColumn("k", lit(1))
-      .join(broadcast(ws), Seq("k"))
-      .select(
-        col("source"),
-        col("n_docs"),
-        col("n_tok"),
-        Dsp.round6(col("loss")).as("loss"),
-        Dsp.round6(col("excess")).as("excess"),
-        Dsp.round6(col("u6").cast("double") / col("wsum").cast("double")).as("mix_weight")
-      )
   }
 
-  def mixDoremiSql(eta: Double = 100.0): String = {
+  /** Deterministic weighted-interleave LOADER ORDER — the consumer of
+    * [[mixDoremi]]'s weights: the schedule a data loader replays to
+    * realize the optimized mixture over actual shard files. Exact
+    * integer arithmetic end to end (no RNG, no float ordering):
+    *
+    *  1. per-source step quotas over `nSteps` by LARGEST REMAINDER on
+    *     the integer weights (q_s sums to nSteps exactly; remainder
+    *     ties break on source name — and the rank is an S²-row
+    *     self-join over the ≤sources-row frame, not a global window);
+    *  2. each source cycles its docs in md5 order (corpus_shard's key)
+    *     with explicit `epoch` wraparound — a small high-weight source
+    *     is UPSAMPLED across epochs, the standard loader semantics;
+    *  3. the global order key `ord` = ((2k−1)·10¹²) div (2q_s) places
+    *     source s's k-th draw at its exact fractional position — the
+    *     balanced interleave (sorting by (ord, source, k) yields the
+    *     training order; no global step window, so the order is
+    *     cluster-parallel by construction).
+    *
+    * Scale shape: quota arithmetic on an S-row frame, one per-source
+    * rank window over the corpus, one explode bounded by nSteps, one
+    * (source, pos) equi-join. At production nSteps is the training
+    * step budget; everything stays keyed or bounded.
+    */
+  val mixScheduleSteps = 240
+
+  def mixSchedule(docs: DataFrame, nSteps: Int = mixScheduleSteps): DataFrame =
+    mixScheduleFrom(docs, doremiScored(docs).select(col("source"), col("u6")), nSteps)
+
+  /** Schedule core over explicit integer weights (source, u6 > 0). */
+  def mixScheduleFrom(docs: DataFrame, weights: DataFrame, nSteps: Int): DataFrame = {
+    val wt = weights.agg(sum(col("u6")).as("wsum")).withColumn("j", lit(1))
+    val q0 = weights
+      .withColumn("j", lit(1))
+      .join(broadcast(wt), Seq("j"))
+      .select(
+        col("source"),
+        expr(s"($nSteps * u6) div wsum").as("base"),
+        expr(s"($nSteps * u6) % wsum").as("rem")
+      )
+      .localCheckpoint() // deficit agg + rank self-join (both sides)
+    val bs = q0.agg(sum(col("base")).as("bsum")).withColumn("j", lit(1))
+    // rank-by-remainder WITHOUT a global window (GlobalWindowCheck):
+    // ahead = how many sources out-rank me — an S²-row self-join
+    val ahead = q0
+      .as("a")
+      .join(
+        q0.select(col("rem").as("b_rem"), col("source").as("b_source")),
+        col("b_rem") > col("rem") || (col("b_rem") === col("rem") && col("b_source") < col("source")),
+        "left"
+      )
+      .groupBy(col("source"), col("base"), col("rem"))
+      .agg(count(col("b_source")).as("ahead"))
+    val q = ahead
+      .withColumn("j", lit(1))
+      .join(broadcast(bs), Seq("j"))
+      .select(
+        col("source"),
+        (col("base") + when(col("ahead") < lit(nSteps.toLong) - col("bsum"), 1L).otherwise(0L))
+          .as("q")
+      )
+      .filter(col("q") > 0)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val ranked = docs.select(
+      col("source"),
+      col("doc_id"),
+      (row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"))
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      ) - 1).cast("long").as("pos")
+    )
+    q.select(col("source"), col("q"), explode(sequence(lit(1L), col("q"))).as("k"))
+      .join(counts, Seq("source"))
+      .select(
+        col("source"),
+        col("k"),
+        expr("(k - 1) % n_s").as("pos"),
+        expr("(k - 1) div n_s").as("epoch"),
+        expr("((2 * k - 1) * 1000000000000) div (2 * q)").as("ord")
+      )
+      .join(ranked, Seq("source", "pos"))
+      .select(col("source"), col("k"), col("epoch"), col("ord"), col("doc_id"))
+  }
+
+  def mixScheduleSql(nSteps: Int = mixScheduleSteps): String =
+    s"WITH ${doremiCtes()}, " +
+      "w AS MATERIALIZED (SELECT source, u6 FROM sc), " +
+      "wt AS (SELECT CAST(sum(u6) AS BIGINT) AS wsum FROM w), " +
+      s"q0 AS MATERIALIZED (SELECT source, ($nSteps * u6) // wsum AS base, ($nSteps * u6) % wsum AS rem FROM w, wt), " +
+      "bs AS (SELECT CAST(sum(base) AS BIGINT) AS bsum FROM q0), " +
+      "rk AS (SELECT a.source AS source, a.base AS base, count(b.source) AS ahead FROM q0 a " +
+      "LEFT JOIN q0 b ON (b.rem > a.rem OR (b.rem = a.rem AND b.source < a.source)) " +
+      "GROUP BY a.source, a.base, a.rem), " +
+      s"qq AS MATERIALIZED (SELECT source, base + CASE WHEN ahead < $nSteps - bsum THEN 1 ELSE 0 END AS q " +
+      "FROM rk, bs), " +
+      "cnt AS (SELECT source, count(*) AS n_s FROM documents GROUP BY source), " +
+      "rkd AS MATERIALIZED (SELECT source, doc_id, " +
+      "row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos " +
+      "FROM documents), " +
+      s"ks AS (SELECT source, q, g.k AS k FROM qq, generate_series(1, $nSteps) g(k) WHERE q > 0 AND g.k <= q), " +
+      "sched AS (SELECT ks.source AS source, k, (k - 1) % n_s AS pos, (k - 1) // n_s AS epoch, " +
+      "((2 * k - 1) * 1000000000000) // (2 * q) AS ord FROM ks JOIN cnt ON cnt.source = ks.source) " +
+      "SELECT s.source, s.k AS k, s.epoch, s.ord, r.doc_id " +
+      "FROM sched s JOIN rkd r ON r.source = s.source AND r.pos = s.pos"
+
+  /** The doremi CTE chain through `sc` (exact integer u6 weights) and
+    * `ws` (their sum) — shared by the mix_doremi and mix_schedule
+    * oracles.
+    */
+  private def doremiCtes(eta: Double = 100.0): String = {
     val e = Dsp.lit(eta)
     val lossE = "-(lp6_s / 1.0e6) / n_tok"
     val refE = "-(lp6_tot / 1.0e6) / ntok_tot"
     val excessE = s"greatest(0.0e0, $lossE - ($refE))"
-    s"WITH ${TextStats.tokensSql}, " +
+    s"${TextStats.tokensSql}, " +
       "tf AS MATERIALIZED (SELECT tok, count(*) AS ctf FROM tokens GROUP BY tok), " +
       "tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS ntok FROM tf), " +
       "perdoc AS MATERIALIZED (SELECT doc_id, count(*) AS n_tok_d, " +
@@ -1204,17 +1428,21 @@ object Curation {
       s"sc AS MATERIALIZED (SELECT source, n_docs, n_tok, $lossE AS loss, $excessE AS excess, " +
       s"CAST(floor((n_tok / ntok_tot) * exp($e * ($excessE)) * 1.0e6 + 0.5e0) AS BIGINT) AS u6 " +
       "FROM persrc, tot2), " +
-      "ws AS (SELECT CAST(sum(u6) AS BIGINT) AS wsum FROM sc) " +
+      "ws AS (SELECT CAST(sum(u6) AS BIGINT) AS wsum FROM sc)"
+  }
+
+  def mixDoremiSql(eta: Double = 100.0): String =
+    s"WITH ${doremiCtes(eta)} " +
       s"SELECT source, n_docs, n_tok, ${Dsp.round6Sql("loss")} AS loss, " +
       s"${Dsp.round6Sql("excess")} AS excess, " +
       s"${Dsp.round6Sql("u6 / wsum")} AS mix_weight FROM sc, ws"
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_diff" -> { (s, dir) => corpusDiffGate(Tables.documents(s, dir)) },
     "curate_llm" -> { (s, dir) => curateLlm(Tables.documents(s, dir)) },
     "export_manifest" -> { (s, dir) => exportManifest(Tables.documents(s, dir)) },
     "export_manifest_inc" -> { (s, dir) => exportManifestIncGate(s, dir) },
+    "export_verify" -> { (s, dir) => exportVerifyGate(s, dir) },
     "text_c4_clean" -> { (s, dir) => c4Clean(Tables.documents(s, dir)) },
     "text_html_extract" -> { (s, dir) => htmlExtract(Tables.documents(s, dir)) },
     "curate_license" -> { (s, dir) => licenseScreen(Tables.documents(s, dir)) },
@@ -1223,6 +1451,7 @@ object Curation {
     "sample_budget" -> { (s, dir) => sampleBudget(Tables.documents(s, dir)) },
     "sample_draw" -> { (s, dir) => sampleDraw(Tables.documents(s, dir)) },
     "mix_doremi" -> { (s, dir) => mixDoremi(Tables.documents(s, dir)) },
+    "mix_schedule" -> { (s, dir) => mixSchedule(Tables.documents(s, dir)) },
     "corpus_card" -> { (s, dir) => corpusCard(Tables.documents(s, dir)) },
     "sample_stratified" -> { (s, dir) => sampleStratified(Tables.documents(s, dir)) },
     "sample_weighted" -> { (s, dir) => sampleWeighted(Tables.documents(s, dir)) },
@@ -1287,6 +1516,7 @@ object Curation {
     "curate_llm" -> curateLlmSql(),
     "export_manifest" -> exportManifestSql(),
     "export_manifest_inc" -> exportManifestIncSql(),
+    "export_verify" -> exportVerifySql(),
     "text_c4_clean" -> c4CleanSql,
     "text_html_extract" -> htmlExtractSql,
     "curate_license" -> licenseScreenSql,
@@ -1295,6 +1525,7 @@ object Curation {
     "sample_budget" -> sampleBudgetSql(),
     "sample_draw" -> sampleDrawSql(),
     "mix_doremi" -> mixDoremiSql(),
+    "mix_schedule" -> mixScheduleSql(),
     "corpus_card" -> corpusCardSql,
     "sample_stratified" -> sampleStratifiedSql(),
     "sample_weighted" -> sampleWeightedSql(),

@@ -869,6 +869,43 @@ class LlmSpec extends AnyFunSuite {
       s"collapse changed the report: $rows vs $distinctRows")
   }
 
+  test("mix schedule: exact largest-remainder quotas, epoch wraparound, balanced interleave") {
+    import spark.implicits._
+    import graft.llm.Curation
+    def sched(docs: Seq[(Long, String, String)], ws: Seq[(String, Long)], n: Int) =
+      Curation
+        .mixScheduleFrom(
+          docs.toDF("doc_id", "text", "source"),
+          ws.toDF("source", "u6"),
+          n
+        )
+        .collect()
+        .map(r =>
+          (r.getAs[String]("source"), r.getAs[Long]("k")) ->
+            (r.getAs[Long]("epoch"), r.getAs[Long]("ord"), r.getAs[Long]("doc_id"))
+        )
+        .toMap
+    val docs3 = (1L to 4L).map(i => (i, "t", "a")) ++ Seq((5L, "t", "b"), (6L, "t", "b"), (7L, "t", "c"))
+    // exact integer quotas: weights 3:1:1 over 10 steps -> 6/2/2
+    val q1 = sched(docs3, Seq(("a", 3L), ("b", 1L), ("c", 1L)), 10).groupBy(_._1._1).map { case (s, xs) => s -> xs.size }
+    assert(q1 == Map("a" -> 6, "b" -> 2, "c" -> 2), s"largest-remainder quotas wrong: $q1")
+    // remainder tie (1:1:1 over 10): deficit 1 goes to the FIRST source by name
+    val q2 = sched(docs3, Seq(("a", 1L), ("b", 1L), ("c", 1L)), 10).groupBy(_._1._1).map { case (s, xs) => s -> xs.size }
+    assert(q2 == Map("a" -> 4, "b" -> 3, "c" -> 3), s"tie-break wrong: $q2")
+    // wraparound: source b has 2 docs; at q=5 its draws cycle epochs 0,0,1,1,2
+    // with the SAME md5-ordered doc cycle each epoch (upsampling semantics)
+    val s3 = sched(docs3, Seq(("b", 1L)), 5)
+    val bDraws = (1L to 5L).map(k => s3(("b", k)))
+    assert(bDraws.map(_._1) == Seq(0L, 0L, 1L, 1L, 2L), s"epochs wrong: $bDraws")
+    assert(bDraws.map(_._3).take(2) == bDraws.map(_._3).slice(2, 4), "each epoch must replay the same doc cycle")
+    assert(bDraws.map(_._3).toSet.subsetOf(Set(5L, 6L)), "draws must stay inside the source's docs")
+    // balanced interleave: equal weights over 8 steps alternate strictly
+    // when ordered by (ord, source, k)
+    val s4 = sched(docs3, Seq(("a", 1L), ("b", 1L)), 8)
+    val order = s4.toSeq.sortBy { case ((src, k), (_, ord, _)) => (ord, src, k) }.map(_._1._1)
+    assert(order == Seq("a", "b", "a", "b", "a", "b", "a", "b"), s"interleave broken: $order")
+  }
+
   test("CDC chunking survives a head insertion where fixed windows do not") {
     import spark.implicits._
     val rnd = new scala.util.Random(21)

@@ -37,7 +37,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_pmi", // two 1-row totals stat frames (the bm25 shape)
     "retrieve_rrf", // embeds text_bm25's 1-row stats broadcast + a 1-ROW dense-query broadcast (the sim_topk query-table shape, N=1)
     "sim_filtered_topk", // embeds ivfCandidates' ≤16-row centroid broadcast (the sim_ivf_topk shape)
-    "mix_doremi" // three 1-row totals stat frames (corpus token total, source totals, weight sum) — the bm25/sample_budget shape
+    "mix_doremi", // three 1-row totals stat frames (corpus token total, source totals, weight sum) — the bm25/sample_budget shape
+    "mix_schedule" // embeds mix_doremi's 1-row stat frames + the largest-remainder rank's non-equi self-join over the SOURCES-sized quota frame (the sketch_hll_set shape: ≤ tens of rows at any corpus)
   )
 
   // a Window.partitionBy(constant) folds to an EMPTY partition spec and

@@ -213,6 +213,48 @@ class ExportManifestSpec extends AnyFunSuite {
   }
 }
 
+/** Loader-side shard integrity: a clean export verifies everywhere; a
+  * tampered shard file is caught by exactly its shard's manifest row.
+  */
+class ExportVerifySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("export verify: clean read-back is all-ok; a tampered shard flips exactly its own flag") {
+    val docs = core.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val merges = Bpe.gateMerges(docs)
+    val out = graft.sources.Scratch.dir("export_verify_spec")
+    val expected = Curation.exportShards(docs, out, merges).cache()
+    val clean = Curation.exportVerify(spark, out, expected, merges).cache()
+    assert(clean.count() == Curation.nShards.toLong)
+    assert(clean.filter(!col("ok")).count() == 0, "clean export must verify everywhere")
+    // drop the cache BEFORE tampering: the re-verify's plan is
+    // identical, so a live cache would serve the pre-tamper result
+    clean.unpersist(blocking = true)
+    // tamper: silently drop one doc from shard 5's files (the failure
+    // a partial copy or truncated object write produces)
+    val victim = out + "/shard=5"
+    val rows = spark.read.parquet(victim).collect()
+    assert(rows.nonEmpty)
+    val dropId = rows.map(_.getAs[Long]("doc_id")).min
+    rows
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+      .filter(_._1 != dropId)
+      .toSeq
+      .toDF("doc_id", "text")
+      .write
+      .mode("overwrite")
+      .parquet(victim)
+    val tampered = Curation.exportVerify(spark, out, expected, merges).cache()
+    val bad = tampered.filter(!col("ok")).select("shard").as[Long].collect().toSeq
+    assert(bad == Seq(5L), s"exactly the tampered shard must flag: $bad")
+    // the drift is visible in the counts, not just the fingerprint
+    val row5 = tampered.filter(col("shard") === 5).collect()(0)
+    val exp5 = expected.filter(col("shard") === 5).collect()(0)
+    assert(row5.getAs[Long]("n_docs") == exp5.getAs[Long]("n_docs") - 1)
+  }
+}
+
 /** The COMPLETE product path in one spec: fetched bytes (real per-arm
   * charset encodings) → sniff+transcode → WARC archive → strict
   * re-parse → HTML extraction → curate/tokenize/shard export manifest.
