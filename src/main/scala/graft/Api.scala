@@ -709,6 +709,17 @@ object Api {
   def exportVerify(s: SparkSession, dir: String, expected: DataFrame, merges: Seq[String]): DataFrame =
     llm.Curation.exportVerify(s, dir, expected, merges)
 
+  /** Continuous export: a doc stream feeding the same shard layout +
+    * manifest as the batch export (at-most-once-ever per content,
+    * dirty-shard-only manifest maintenance).
+    */
+  def exportStream(in: DataFrame, storeDir: String, manifestDir: String, seenDir: String, merges: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    llm.Curation.exportStream(in, storeDir, manifestDir, seenDir, merges)
+
+  /** Seed the persisted stores [[exportStream]] maintains. */
+  def seedExportStores(s: SparkSession, storeDir: String, manifestDir: String, seenDir: String): Unit =
+    llm.Curation.seedExportStores(s, storeDir, manifestDir, seenDir)
+
   /** Per-doc top-k winnow-overlap triage report over capped-fp-set
     * classes (exact-dup/replica cliques collapse to one representative;
     * clique-free pairing at any corpus size).

@@ -990,14 +990,12 @@ object Curation {
     * aggregation — the pre-training integrity check a 100 TB run
     * executes before burning accelerator time.
     */
-  def exportVerify(
-      s: SparkSession,
-      dir: String,
-      expected: DataFrame,
-      merges: Seq[String],
-      cap: Int = Bpe.packCap
-  ): DataFrame = {
-    val fileKeyed = s.read
+  /** Re-derive the export's keyed frame from SHARD FILES alone (order
+    * key, capped BPE counts under the pinned merges) — the verifier's
+    * and the streaming manifest maintainer's shared read path.
+    */
+  private def fileKeyedOf(s: SparkSession, dir: String, merges: Seq[String]): DataFrame =
+    s.read
       .parquet(dir)
       .select(
         col("doc_id"),
@@ -1009,7 +1007,15 @@ object Curation {
           lit(TextStats.maxTokens)
         ).cast("long").as("n_tok")
       )
-    manifestAgg(fileKeyed, cap)
+
+  def exportVerify(
+      s: SparkSession,
+      dir: String,
+      expected: DataFrame,
+      merges: Seq[String],
+      cap: Int = Bpe.packCap
+  ): DataFrame = {
+    manifestAgg(fileKeyedOf(s, dir, merges), cap)
       .join(
         expected.select(
           col("shard"),
@@ -1031,6 +1037,101 @@ object Curation {
           col("n_bins") <=> col("e_bins") && col("content_md5") <=> col("e_md5")).as("ok")
       )
   }
+
+  /** Seed the three persisted stores [[exportStream]] maintains:
+    * shard files, per-shard manifest rows, and the seen-content
+    * screen. Empty frames with the production schemas so the first
+    * micro-batch's reads succeed.
+    */
+  def seedExportStores(
+      s: SparkSession,
+      storeDir: String,
+      manifestDir: String,
+      seenDir: String
+  ): Unit = {
+    import s.implicits._
+    Seq.empty[(Long, String, Long)]
+      .toDF("doc_id", "text", "shard")
+      .write
+      .mode("overwrite")
+      .partitionBy("shard")
+      .parquet(storeDir)
+    Seq.empty[(Long, Long, Long, Long, String)]
+      .toDF("shard", "n_docs", "n_tokens", "n_bins", "content_md5")
+      .write
+      .mode("overwrite")
+      .partitionBy("shard")
+      .parquet(manifestDir)
+    Seq.empty[(String, Long)].toDF("h", "doc_id").write.mode("overwrite").parquet(seenDir)
+  }
+
+  /** CONTINUOUS export — the streaming leg of [[exportShards]]: a doc
+    * stream feeds the SAME physical shard layout and manifest a batch
+    * export produces, with per-batch cost proportional to the batch
+    * and its dirty shards, never the store. Each micro-batch:
+    *
+    *  1. batch keep set (quality screen + within-batch exact-dedup
+    *     keeper — [[exportShards]]'s selection verbatim);
+    *  2. at-most-once-EVER per content: anti-join on md5(text)
+    *     against the persisted seen store (the urlDedup first-arrival
+    *     rule at the content granularity — a refetched or re-crawled
+    *     doc never re-exports), then the fresh set appends to the
+    *     seen store;
+    *  3. fresh rows append into the per-shard parquet layout
+    *     (`partitionBy(shard)` — new part files in existing shard
+    *     dirs, the layout [[exportVerify]] reads);
+    *  4. manifest maintenance re-reads ONLY the shards this batch
+    *     touched (partition-pruned store scan; dirty-shard set ≤
+    *     nShards rides a bounded collect) and rewrites exactly those
+    *     manifest partitions (dynamic partition overwrite) — the
+    *     [[exportManifestInc]] dirty-shard economics realized in a
+    *     stream: untouched shards' manifest rows are byte-identical
+    *     across batches.
+    *
+    * The maintained manifest is always the FULL-recompute manifest of
+    * the store (spec-pinned), so [[exportVerify]] over (store,
+    * manifest) passes at every point in the stream's life.
+    */
+  def exportStream(
+      in: DataFrame,
+      storeDir: String,
+      manifestDir: String,
+      seenDir: String,
+      merges: Seq[String],
+      minQuality: Double = 0.45,
+      cap: Int = Bpe.packCap
+  ): org.apache.spark.sql.streaming.StreamingQuery =
+    in.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val s = batch.sparkSession
+        val prior = s.read.parquet(seenDir)
+        val fresh = keyedOf(batch.select(col("doc_id"), col("text")), merges, minQuality)
+          .withColumn("h", md5(col("text")))
+          .join(prior.select(col("h")), Seq("h"), "left_anti")
+          .localCheckpoint() // seen append + shard append + dirty set
+        fresh.select(col("h"), col("doc_id")).write.mode("append").parquet(seenDir)
+        fresh
+          .select(col("doc_id"), col("text"), col("shard"))
+          .write
+          .mode("append")
+          .partitionBy("shard")
+          .parquet(storeDir)
+        val dirty = fresh.select(col("shard")).distinct().collect().map(_.getLong(0))
+        if (dirty.nonEmpty) {
+          manifestAgg(
+            fileKeyedOf(s, storeDir, merges).filter(col("shard").isin(dirty.map(Long.box): _*)),
+            cap
+          )
+            .write
+            .mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("shard")
+            .parquet(manifestDir)
+        }
+        ()
+      }
+      .start()
 
   /** export_verify gate: real shard files written under scratch, then
     * verified from the files alone against the shipped manifest. The

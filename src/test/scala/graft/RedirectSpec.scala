@@ -213,6 +213,93 @@ class ExportManifestSpec extends AnyFunSuite {
   }
 }
 
+/** Streaming export: micro-batches feed the SAME shard layout and
+  * manifest as the batch export, at-most-once-ever per content, with
+  * dirty-shard-only manifest maintenance — and the loader-side verify
+  * passes at every point in the stream's life.
+  */
+class ExportStreamSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("streaming export: first-arrival by content, dirty-only manifest upkeep, verify green per batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val store = graft.sources.Scratch.dir("export_stream_store")
+    val mani = graft.sources.Scratch.dir("export_stream_manifest")
+    val seen = graft.sources.Scratch.dir("export_stream_seen")
+    val allDocs = core.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    // pinned tokenizer artifact: trained ONCE, shared by every batch
+    val merges = Bpe.gateMerges(allDocs)
+    Curation.seedExportStores(spark, store, mani, seen)
+    val in = MemoryStream[(Long, String)]
+    val q = Curation.exportStream(in.toDF().toDF("doc_id", "text"), store, mani, seen, merges)
+    def manifest(): Map[Long, (Long, Long, Long, String)] =
+      spark.read
+        .parquet(mani)
+        .collect()
+        .map(r =>
+          r.getAs[Number]("shard").longValue() ->
+            (r.getAs[Long]("n_docs"), r.getAs[Long]("n_tokens"), r.getAs[Long]("n_bins"), r.getAs[String]("content_md5"))
+        )
+        .toMap
+    def verified(): Boolean = {
+      val exp = spark.read
+        .parquet(mani)
+        .select(
+          col("shard").cast("long").as("shard"),
+          col("n_docs"),
+          col("n_tokens"),
+          col("n_bins"),
+          col("content_md5")
+        )
+      Curation.exportVerify(spark, store, exp, merges).filter(!col("ok")).count() == 0
+    }
+    val shardOf =
+      conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long") % Curation.nShards
+    // batch 1: the even half of the corpus
+    val b1 = allDocs.filter(col("doc_id") % 2 === 0).as[(Long, String)].collect()
+    in.addData(b1.toIndexedSeq: _*)
+    q.processAllAvailable()
+    val m1 = manifest()
+    assert(m1.nonEmpty && verified(), "verify must pass after batch 1")
+    val stored1 = spark.read.parquet(store).count()
+    // batch 2: new odd docs confined to TWO shards, a replayed batch-1
+    // doc (same id), and a batch-1 TEXT under a fresh id — only the
+    // two genuinely-new docs' shards may change
+    val odd2 = allDocs
+      .filter(col("doc_id") % 2 === 1 && shardOf.isin(3L, 7L))
+      .as[(Long, String)]
+      .collect()
+    assert(odd2.nonEmpty)
+    val replayed = b1.head
+    val reContent = (900001L, b1.head._2)
+    in.addData((odd2 :+ replayed :+ reContent).toIndexedSeq: _*)
+    q.processAllAvailable()
+    val m2 = manifest()
+    assert(verified(), "verify must pass after batch 2")
+    val touched = odd2
+      .map(_._1)
+      .toSeq
+      .toDF("doc_id")
+      .select(shardOf.as("s"))
+      .as[Long]
+      .collect()
+      .toSet
+    for ((s, row) <- m1 if !touched.contains(s))
+      assert(m2(s) == row, s"untouched shard $s manifest row drifted")
+    assert(touched.exists(s => m2(s) != m1.getOrElse(s, null)), "touched shards must move")
+    // the fresh-id duplicate CONTENT did not export (at-most-once-ever)
+    assert(!spark.read.parquet(store).filter(col("doc_id") === 900001L).collect().nonEmpty)
+    // batch 3: pure replay — nothing appends anywhere
+    in.addData(b1.take(5).toIndexedSeq: _*)
+    q.processAllAvailable()
+    assert(spark.read.parquet(store).count() == stored1 + odd2.length, "replays must not re-export")
+    assert(manifest() == m2, "a no-op batch must leave the manifest untouched")
+    q.stop()
+  }
+}
+
 /** Loader-side shard integrity: a clean export verifies everywhere; a
   * tampered shard file is caught by exactly its shard's manifest row.
   */
