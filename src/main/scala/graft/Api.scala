@@ -720,6 +720,12 @@ object Api {
   def seedExportStores(s: SparkSession, storeDir: String, manifestDir: String, seenDir: String): Unit =
     llm.Curation.seedExportStores(s, storeDir, manifestDir, seenDir)
 
+  /** The loader's seek table over an exported store: (doc_id, shard,
+    * pos) with pos = the manifest's shard order.
+    */
+  def exportCoords(s: SparkSession, storeDir: String): DataFrame =
+    llm.Curation.exportCoords(s, storeDir)
+
   /** Per-doc top-k winnow-overlap triage report over capped-fp-set
     * classes (exact-dup/replica cliques collapse to one representative;
     * clique-free pairing at any corpus size).

@@ -1091,6 +1091,13 @@ object Curation {
     * The maintained manifest is always the FULL-recompute manifest of
     * the store (spec-pinned), so [[exportVerify]] over (store,
     * manifest) passes at every point in the stream's life.
+    *
+    * Crash semantics: the seen store is appended BEFORE the shard
+    * files, so a retry of a batch that died in between re-screens its
+    * rows as already-seen and appends nothing — AT-MOST-ONCE delivery
+    * (a duplicate-producing order would corrupt shard files; a
+    * dropped doc re-enters on its next crawl, and the manifest stays
+    * consistent because it always recomputes from the store).
     */
   def exportStream(
       in: DataFrame,
@@ -1132,6 +1139,27 @@ object Curation {
         ()
       }
       .start()
+
+  /** The loader's SEEK TABLE: (doc_id, shard, pos) over the exported
+    * store, with `pos` = the manifest's shard order (rank by the md5
+    * order key) — maps a scheduled doc to its physical (shard dir,
+    * row) coordinate. One per-shard rank window over the store.
+    */
+  def exportCoords(s: SparkSession, storeDir: String): DataFrame =
+    s.read
+      .parquet(storeDir)
+      .select(
+        col("doc_id"),
+        col("shard").cast("long").as("shard"),
+        md5(col("doc_id").cast("string")).as("sk")
+      )
+      .select(
+        col("doc_id"),
+        col("shard"),
+        (row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("shard")).orderBy(col("sk"))
+        ) - 1).cast("long").as("pos")
+      )
 
   /** export_verify gate: real shard files written under scratch, then
     * verified from the files alone against the shipped manifest. The
@@ -1541,7 +1569,10 @@ object Curation {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_diff" -> { (s, dir) => corpusDiffGate(Tables.documents(s, dir)) },
     "curate_llm" -> { (s, dir) => curateLlm(Tables.documents(s, dir)) },
-    "export_manifest" -> { (s, dir) => exportManifest(Tables.documents(s, dir)) },
+    // export_manifest's gate retired r17 (budget review): export_verify's
+    // oracle IS the manifest SQL + a constant ok — a drift anywhere in
+    // the manifest chain moves export_verify's hash, and the verify gate
+    // additionally pins the physical file round-trip
     "export_manifest_inc" -> { (s, dir) => exportManifestIncGate(s, dir) },
     "export_verify" -> { (s, dir) => exportVerifyGate(s, dir) },
     "text_c4_clean" -> { (s, dir) => c4Clean(Tables.documents(s, dir)) },
@@ -1615,7 +1646,6 @@ object Curation {
   def oracleSql: Map[String, String] = Map(
     "corpus_diff" -> corpusDiffSql,
     "curate_llm" -> curateLlmSql(),
-    "export_manifest" -> exportManifestSql(),
     "export_manifest_inc" -> exportManifestIncSql(),
     "export_verify" -> exportVerifySql(),
     "text_c4_clean" -> c4CleanSql,

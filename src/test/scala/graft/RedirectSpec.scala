@@ -213,6 +213,43 @@ class ExportManifestSpec extends AnyFunSuite {
   }
 }
 
+/** Loader contract: the mixture schedule and the physical export
+  * interlock — every scheduled step resolves to a (shard dir, row)
+  * coordinate in the exported files.
+  */
+class LoaderContractSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("every scheduled step resolves to a physical (shard, pos) coordinate in the export") {
+    val docs = core.Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val merges = Bpe.gateMerges(docs)
+    val out = graft.sources.Scratch.dir("export_coords_spec")
+    Curation.exportShards(docs, out, merges)
+    // schedule the EXPORTED corpus across its shards (source := shard)
+    val store = spark.read
+      .parquet(out)
+      .select(col("doc_id"), col("text"), col("shard").cast("long").as("shard"))
+    val weights = store
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("u6"))
+      .select(col("shard").cast("string").as("source"), col("u6"))
+    val sched = Curation.mixScheduleFrom(
+      store.select(col("doc_id"), col("text"), col("shard").cast("string").as("source")),
+      weights,
+      120
+    )
+    val coords = Curation.exportCoords(spark, out).cache()
+    val resolved = sched.join(coords, Seq("doc_id")).cache()
+    // every step lands on a physical row, in the shard it was scheduled for
+    assert(resolved.count() == 120, "every scheduled step must resolve")
+    assert(resolved.filter(col("source") =!= col("shard").cast("string")).count() == 0)
+    // the seek table is dense per shard (pos 0..n-1, no gaps)
+    val dense = coords.groupBy(col("shard")).agg(max(col("pos")).as("mx"), count(lit(1)).as("n"))
+    assert(dense.filter(col("mx") =!= col("n") - 1).count() == 0, "pos must be dense per shard")
+  }
+}
+
 /** Streaming export: micro-batches feed the SAME shard layout and
   * manifest as the batch export, at-most-once-ever per content, with
   * dirty-shard-only manifest maintenance — and the loader-side verify
