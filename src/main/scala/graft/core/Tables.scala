@@ -10,6 +10,32 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * factor.
   */
 object Tables {
+  /** Scale-adaptive scan fan-out (optimization-guide §2.5, input skew):
+    * the local test corpus is one parquet file per table, so every
+    * scan-side computation (per-token md5, codec kernels, explode +
+    * partial aggregation) runs in ONE task until the first exchange.
+    * When the planned scan has fewer partitions than the session's
+    * parallelism, redistribute by a deterministic key BEFORE the heavy
+    * work; on a many-split production table the condition is false and
+    * this is a no-op (an unconditional repartition would shuffle the
+    * corpus). Apply ONLY where the pre-exchange work dominates — the
+    * exchange costs ~30-80 ms at gate scale, so cheap-scan queries lose.
+    * Measured r17 (interleaved A/B at sf0.1): corpus_profile 2.0→0.7 s,
+    * corpus_profile_quantiles 2.9→1.3, sample_dsir 2.1→1.5,
+    * winnow_overlap 1.5→1.1; NEGATIVE on join/window-bound queries
+    * (sim_* −embeddings is 2000 rows−, dedup_*, classifier), so apply
+    * per call site on measurement, never blanket.
+    */
+  def fan(df: DataFrame, key: String): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    // streaming frames can't be probed via .rdd (and micro-batches are
+    // already split by the source); frames without the key pass through
+    if (df.isStreaming || !df.columns.contains(key)) df
+    else if (df.rdd.getNumPartitions < target)
+      df.repartition(target, org.apache.spark.sql.functions.col(key))
+    else df
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 

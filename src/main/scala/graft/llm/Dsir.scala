@@ -51,7 +51,11 @@ object Dsir {
       )
 
   def weights(docs: DataFrame): DataFrame = {
-    val g = grams(docs)
+    // scan fan-out (guide §2.5): both consumers of the gram stream do
+    // their per-token md5 work before any exchange — single-file input
+    // pins it to one task (measured r17: 2.1→1.5 s at sf0.1; no-op on
+    // many-split production tables)
+    val g = grams(Tables.fan(docs, "doc_id"))
     val counts = g
       .groupBy(col("b"))
       .agg(

@@ -696,30 +696,45 @@ object Multimodal {
   def audioVad(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
-    val frames = media
+    // row-local kernel (r17, the charset-codec precedent): every output
+    // column is a per-media integer over that media's own samples, so
+    // the posexplode → (media, frame) aggregation → lag window →
+    // final aggregation chain (2 exchanges + a window sort of a
+    // samples-sized stream) collapses into the SAME pass that already
+    // decodes the WAV. Exact BIGINT arithmetic, identical values;
+    // KernelPropertySpec pins kernel ≡ declarative on the gate corpus.
+    // Plan: mapPartitions only — zero exchanges (was 2 + window).
+    media
       .select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, wav) => (id, decodeWav(wav).map(_.toInt)) })
-      .toDF("media_id", "s")
-      .select(col("media_id"), posexplode(col("s")).as(Seq("t", "v")))
-      .groupBy(col("media_id"), expr("t div 32").as("f"))
-      .agg(sum(col("v").cast("long") * col("v").cast("long")).as("e"))
-      .withColumn("act", col("e") > 0L)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("media_id"))
-      .orderBy(col("f"))
-    frames
-      .withColumn(
-        "ns",
-        when(col("act") && !coalesce(lag(col("act"), 1).over(w), lit(false)), 1L).otherwise(0L)
-      )
-      .groupBy(col("media_id"))
-      .agg(
-        count(lit(1)).as("n_frames"),
-        sum(when(col("act"), 1L).otherwise(0L)).as("n_active"),
-        sum(col("ns")).as("n_segments"),
-        sum(col("e")).as("tot_energy")
-      )
+      .mapPartitions(_.flatMap { case (id, wav) =>
+        val s = decodeWav(wav)
+        if (s.isEmpty) None // declarative form emitted no row for an empty clip
+        else {
+        val nFrames = (s.length + 31) / 32
+        var f = 0
+        var nActive = 0L
+        var nSegments = 0L
+        var totEnergy = 0L
+        var prevAct = false
+        while (f < nFrames) {
+          var e = 0L
+          var t = f * 32
+          val end = math.min(t + 32, s.length)
+          while (t < end) { val v = s(t).toLong; e += v * v; t += 1 }
+          val act = e > 0L
+          if (act) {
+            nActive += 1L
+            if (!prevAct) nSegments += 1L
+          }
+          totEnergy += e
+          prevAct = act
+          f += 1
+        }
+        Some((id, nFrames.toLong, nActive, nSegments, totEnergy))
+        }
+      })
+      .toDF("media_id", "n_frames", "n_active", "n_segments", "tot_energy")
   }
 
   val audioVadSql: String =

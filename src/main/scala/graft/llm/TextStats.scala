@@ -491,7 +491,11 @@ object TextStats {
     * oracle-replayable [[woMaxDf]]; Prof runs the widened scale config.
     */
   def winnowOverlap(docs: DataFrame, maxDf: Int = woMaxDf): DataFrame = {
-    val fps = winnow(docs).localCheckpoint() // feeds df counts + both pair sides
+    // scan fan-out before the shingle/md5 scan stage (guide §2.5;
+    // measured r17: 1.5→1.1 s at sf0.1, no-op on many-split input)
+    val fps = graft.core.Tables.fan(docs, "doc_id")
+      .transform(winnow(_))
+      .localCheckpoint() // feeds df counts + both pair sides
     val keep = fps
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("dfreq"))
