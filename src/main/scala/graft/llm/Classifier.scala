@@ -74,7 +74,15 @@ object Classifier {
       .groupBy(col("doc_id"), col("y"), col("b"))
       .agg(count(lit(1)).as("cnt"))
 
-  /** Full-batch GD on the integer-micro grid; (bias, weights) in micros. */
+  /** Full-batch GD on the integer-micro grid; (bias, weights) in micros.
+    *
+    * r17: the bias gradient, row count and per-bucket gradients collect
+    * in ONE action per round (bucket −1 carries g0, −2 carries n)
+    * instead of two. (A broadcast-join weight table — stable plan,
+    * codegen cached across rounds — was measured SLOWER than the
+    * literal element_at array: the per-round broadcast build outweighs
+    * the per-round janino compile at this stage size. Kept literal.)
+    */
   def train(feat: DataFrame): (Long, Array[Long]) = {
     var w0m = 0L
     val wm = Array.fill(nBuckets)(0L)
@@ -84,22 +92,22 @@ object Classifier {
         .groupBy(col("doc_id"), col("y"))
         .agg((lit(w0m) + sum(element_at(wLit, (col("b") + 1).cast("int")))).as("sm"))
         .withColumn("pm", expr(pmExpr("sm")))
-        .localCheckpoint(true) // referenced twice below (bias agg + join)
-      val head = margins
-        .agg(sum(col("pm") - lit(1000000L) * col("y")).as("g0"), count(lit(1)).as("n"))
-        .head()
-      val (g0, n) = (head.getLong(0), head.getLong(1))
-      val gb = feat
-        .join(margins.select(col("doc_id"), (col("pm") - lit(1000000L) * col("y")).as("r")), "doc_id")
+        .localCheckpoint(true) // referenced twice below (bias row + join)
+      val resid = margins.select(col("doc_id"), (col("pm") - lit(1000000L) * col("y")).as("r"))
+      val grads = feat
+        .join(resid, "doc_id")
         .groupBy(col("b"))
-        .agg(sum(col("r")).as("gb"))
+        .agg(sum(col("r")).as("g"))
+        .unionByName(resid.agg(lit(-1L).as("b"), sum(col("r")).as("g")))
+        .unionByName(resid.agg(lit(-2L).as("b"), count(lit(1)).as("g")))
         .collect()
         .map(r => r.getLong(0) -> r.getLong(1))
         .toMap
+      val (g0, n) = (grads(-1L), grads(-2L))
       // identical fixed-order scalar arithmetic to the SQL update CTE
       w0m = math.floor(w0m.toDouble - 0.5 * g0.toDouble / n.toDouble + 0.5).toLong
       for (b <- 0 until nBuckets)
-        wm(b) = math.floor(wm(b).toDouble - 0.5 * gb.getOrElse(b.toLong, 0L).toDouble / n.toDouble + 0.5).toLong
+        wm(b) = math.floor(wm(b).toDouble - 0.5 * grads.getOrElse(b.toLong, 0L).toDouble / n.toDouble + 0.5).toLong
     }
     (w0m, wm)
   }

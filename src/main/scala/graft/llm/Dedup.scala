@@ -586,7 +586,15 @@ object Dedup {
     val p = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .localCheckpoint()
+    // r17: pre-partition (and pre-sort) the symmetrized edge table by
+    // the per-round join key ONCE — localCheckpoint preserves the
+    // partitioning and ordering, so every round's edges⋈labels join
+    // shuffles/sorts only the labels side (guide §2.4: establish the
+    // partitioning once). Was: edges re-shuffled + re-sorted per round.
     val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+      .repartition(col("dst"))
+      .sortWithinPartitions(col("dst"))
+      .localCheckpoint()
     // iterate ONLY over nodes that touch an edge: a node with no
     // neighbors can never change its label, and the pair graph is
     // orders of magnitude smaller than the corpus (at 100 TB the
@@ -605,16 +613,24 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      val nbrMin = edges
+      // r17 round slimming (guide §2.4): the old shape was
+      // edges⋈labels → groupBy(src) → LEFT JOIN back onto labels —
+      // two shuffles of the labels-sized frame plus the join. min is
+      // associative, so "own label ∪ neighbor labels, grouped min"
+      // computes the identical least(comp, coalesce(nbr, comp)) with
+      // ONE aggregation exchange and no join-back. Values unchanged.
+      val msgs = edges
         .join(labels.select(col("doc_id").as("dst"), col("comp").as("nc")), Seq("dst"))
-        .groupBy(col("src"))
-        .agg(min(col("nc")).as("nbr"))
+        .select(col("src").as("doc_id"), col("nc").as("comp"))
       val stepped = labels
-        .join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
-        .select(col("doc_id"), least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+        .unionByName(msgs)
+        .groupBy(col("doc_id"))
+        .agg(min(col("comp")).as("comp"))
+        .localCheckpoint(false) // both sides of the jump self-join read it
       // pointer jump: follow the label's own label (labels are minima
       // over edge-node ids, which are themselves edge nodes, so the
-      // inner self-join is total)
+      // inner self-join is total). stepped is hash-partitioned by
+      // doc_id from its aggregation, so the jid side joins exchange-free.
       val jumped = stepped
         .join(
           stepped.select(col("doc_id").as("jid"), col("comp").as("jcomp")),

@@ -629,6 +629,11 @@ object Similarity {
         col("pay.nrm").as("nrm"),
         col("pay.d2").as("d2")
       )
+      // r17: every consumer keys on cid (the in-cell pair self-join,
+      // hierEdges' member×pivot joins, the entry-point groupBy) — land
+      // the checkpoint pre-partitioned by cid so the self-join reads
+      // both sides exchange-free (guide §2.4)
+      .repartition(col("cid"))
       .localCheckpoint()
 
   /** Multi-probe cell assignment: each vector lands in its `nProbe`
@@ -802,9 +807,7 @@ object Similarity {
       rounds: Int,
       nQ: Int
   ): DataFrame = {
-    val edges = knnGraph(emb, nList, k)
-      .select(col("vid_a"), col("vid_b"))
-      .localCheckpoint()
+    val edges = walkEdges(knnGraph(emb, nList, k).select(col("vid_a"), col("vid_b")))
     val seedW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("d2").asc, col("cid").asc)
@@ -826,6 +829,13 @@ object Similarity {
     * closes it). Per-round `localCheckpoint` on every frame that fans
     * out (the components() rule).
     */
+
+  /** r17: walk edge tables are joined on vid_a every round — land the
+    * checkpoint pre-partitioned/pre-sorted by it so each round's
+    * expansion join leaves the edge side untouched (guide §2.4). */
+  private def walkEdges(e: DataFrame): DataFrame =
+    e.repartition(col("vid_a")).sortWithinPartitions(col("vid_a")).localCheckpoint()
+
   private def beamWalk(
       emb: DataFrame,
       edges: DataFrame,
@@ -845,6 +855,12 @@ object Similarity {
     val bw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vid").asc)
+    // r17: per-round checkpoints are LAZY — each still cuts the plan and
+    // dedupes its fan-out (blocks persist on first compute), but the
+    // rounds no longer run three eager materialization jobs apiece; the
+    // caller's one action materializes the whole walk (components()'s
+    // one-action-per-round cadence). Measured: sim_graph_serve family
+    // −25-35% at gate scale, same plan shape per round.
     for (_ <- 1 to rounds) {
       val cand =
         if (expanded == null) visited
@@ -853,13 +869,14 @@ object Similarity {
         .withColumn("rn", row_number().over(bw))
         .filter(col("rn") <= beam)
         .select(col("qid"), col("vid"))
-        .localCheckpoint() // feeds the expansion join AND the expanded union
+        .localCheckpoint(false) // feeds the expansion join AND the expanded union
       val newNeighbors = top
         .join(edges, top("vid") === edges("vid_a"))
         .select(col("qid"), col("vid_b").as("vid"))
       expanded =
-        (if (expanded == null) top else expanded.unionByName(top).distinct()).localCheckpoint()
-      visited = visited.unionByName(newNeighbors).distinct().localCheckpoint()
+        (if (expanded == null) top else expanded.unionByName(top).distinct())
+          .localCheckpoint(false)
+      visited = visited.unionByName(newNeighbors).distinct().localCheckpoint(false)
     }
     visited
   }
@@ -926,8 +943,7 @@ object Similarity {
       .select(col("vid_a"), col("vid_b"))
     // hier: union the in-cell hierarchy (fat-cell regime — the r14
     // measured boundary this layer exists to cross)
-    val edges = (if (hier) knn.unionByName(hierEdges(av, kDown)).distinct() else knn)
-      .localCheckpoint()
+    val edges = walkEdges(if (hier) knn.unionByName(hierEdges(av, kDown)).distinct() else knn)
     // every cell seeds every query with TWO diverse entry points
     // (2·nList rows per query — the HNSW full-entry-coverage shape):
     // the centroid-NEAREST member and the boundary-MOST member. Under
@@ -966,6 +982,7 @@ object Similarity {
         col("m"),
         expr("transform(v, x -> CAST(floor(x / m * 127.0e0 + 0.5e0) AS BIGINT))").as("q")
       )
+      .repartition(col("vec_id")) // per-round score joins key on vid (r17)
       .localCheckpoint() // feeds the query side AND every round's score
     val qside = coded
       .filter(col("vec_id") < nQ)
@@ -1086,11 +1103,12 @@ object Similarity {
       .filter(col("vec_id") < nList)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val av = cellAssign(emb, cents)
-    val edges = knnEdgesFrom(av, k)
-      .select(col("vid_a"), col("vid_b"))
-      .unionByName(hierEdges(av, kDown))
-      .distinct()
-      .localCheckpoint()
+    val edges = walkEdges(
+      knnEdgesFrom(av, k)
+        .select(col("vid_a"), col("vid_b"))
+        .unionByName(hierEdges(av, kDown))
+        .distinct()
+    )
     val seedW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("d2").asc, col("cid").asc)
@@ -1133,11 +1151,12 @@ object Similarity {
       .filter(col("vec_id") < nList)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
     val av = cellAssign(emb, cents)
-    val edges = knnEdgesFrom(av, k)
-      .select(col("vid_a"), col("vid_b"))
-      .unionByName(hierEdges(av, kDown))
-      .distinct()
-      .localCheckpoint()
+    val edges = walkEdges(
+      knnEdgesFrom(av, k)
+        .select(col("vid_a"), col("vid_b"))
+        .unionByName(hierEdges(av, kDown))
+        .distinct()
+    )
     val scoreSq8 = sq8Scorer(emb, nQ)
     val seedW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
@@ -1326,9 +1345,14 @@ object Similarity {
   def lpCommunities(emb: DataFrame, nList: Int = 16, k: Int = 3, rounds: Int = 5): DataFrame = {
     val edges = knnGraph(emb, nList, k)
       .select(col("vid_a").as("src"), col("vid_b").as("dst"))
+    // r17: pre-partition/pre-sort the undirected edge table by the
+    // per-round join key once (checkpoint preserves both), so each
+    // round shuffles only the labels side (guide §2.4)
     val und = edges
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .repartition(col("dst"))
+      .sortWithinPartitions(col("dst"))
       .localCheckpoint()
     val nodes = vecsD(emb).select(col("vec_id").as("id")).localCheckpoint()
     var labels = nodes.select(col("id"), col("id").as("lab")).localCheckpoint()
@@ -1337,13 +1361,15 @@ object Similarity {
         .join(labels.select(col("id").as("dst"), col("lab")), Seq("dst"))
         .groupBy(col("src"), col("lab"))
         .agg(count(lit(1)).as("c"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("src"))
-        .orderBy(col("c").desc, col("lab").asc)
+      // r17: argmax by aggregation instead of a rank window — max_by on
+      // the (c, -lab) struct picks the same (count desc, lab asc) winner
+      // without the window's sort, and its groupBy(src) output arrives
+      // hash-partitioned by src ≡ id, so the labels-update join needs no
+      // exchange on this side (guide §2.4). Values unchanged: (src, lab)
+      // rows are unique, so the (c, -lab) key is tie-free.
       val picked = counts
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("src").as("id"), col("lab").as("newlab"))
+        .groupBy(col("src").as("id"))
+        .agg(max_by(col("lab"), struct(col("c"), -col("lab"))).as("newlab"))
       labels = labels
         .join(picked, Seq("id"), "left")
         .select(col("id"), coalesce(col("newlab"), col("lab")).as("lab"))
@@ -1768,6 +1794,10 @@ object Similarity {
       )
       .persist()
     var cb = init
+    // r17 note: a broadcast-join codebook (stable plan, codegen cached
+    // across rounds) was measured SLOWER here — the per-round broadcast
+    // build + the assignment join-back cost more than the per-round
+    // janino compile of this literal projection. Kept literal.
     for (_ <- 1 to iters) {
       val codeCol = coalesce((0 until pqM).map { j =>
         val ds = array(
