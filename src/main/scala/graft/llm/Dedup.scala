@@ -1622,7 +1622,13 @@ object Dedup {
       nBands: Int = rcBands
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val (denseOf, sig, bands) = chunkBandFrames(docs, nPlanes, nBands)
+    // scan fan-out (guide §2.5): the chunk explode + per-token md5
+    // stream otherwise inherit the single-file scan's one partition
+    // (measured r17: 5.0→3.1 s at sf0.1; retrieve_maxsim measured WORSE
+    // with the same fan — its collision-capped query side dominates —
+    // so the fan lives here, not in the shared chunkBandFrames prefix)
+    val (denseOf, sig, bands) =
+      chunkBandFrames(graft.core.Tables.fan(docs, "doc_id"), nPlanes, nBands)
     val qb = bands
       .filter(col("doc_id") < rcQueryDocs && col("chunk_id") === 0)
       .select(col("doc_id").as("qdoc"), col("bi"), col("bv"))

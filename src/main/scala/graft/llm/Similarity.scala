@@ -2096,6 +2096,7 @@ object Similarity {
     pqEncodePacked(resid.select(col("vid").as("vec_id"), col("r").as("v")), cb)
       .select(col("vec_id").as("vid"), col("code"))
       .join(resid.select(col("vid"), col("cid")), Seq("vid"))
+      .repartition(col("cid")) // one file per cell (guide §6; see writeRawCellStore)
       .write
       .partitionBy("cid")
       .mode("overwrite")
@@ -2390,6 +2391,10 @@ object Similarity {
     emb
       .select(col("vec_id"), col("embedding"))
       .join(assign, Seq("vec_id"))
+      // r17 (guide §6, small files): cluster by the partition column so
+      // each cell writes ONE file instead of one per (task × cell) —
+      // the write-side analogue of Iceberg's hash distribution-mode
+      .repartition(col("cid"))
       .write
       .partitionBy("cid")
       .mode("overwrite")
