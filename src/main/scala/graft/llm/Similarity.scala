@@ -855,12 +855,11 @@ object Similarity {
     val bw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vid").asc)
-    // r17: per-round checkpoints are LAZY — each still cuts the plan and
-    // dedupes its fan-out (blocks persist on first compute), but the
-    // rounds no longer run three eager materialization jobs apiece; the
-    // caller's one action materializes the whole walk (components()'s
-    // one-action-per-round cadence). Measured: sim_graph_serve family
-    // −25-35% at gate scale, same plan shape per round.
+    // r17 note: LAZY per-round checkpoints (one materializing action for
+    // the whole walk) were tried and measured SLOWER over order-balanced
+    // interleaved runs — the fan-out consumers of a lazily-persisted
+    // frame can race before its blocks land, recomputing the subtree,
+    // and the final mega-DAG replans every stage under AQE. Eager kept.
     for (_ <- 1 to rounds) {
       val cand =
         if (expanded == null) visited
@@ -869,14 +868,13 @@ object Similarity {
         .withColumn("rn", row_number().over(bw))
         .filter(col("rn") <= beam)
         .select(col("qid"), col("vid"))
-        .localCheckpoint(false) // feeds the expansion join AND the expanded union
+        .localCheckpoint() // feeds the expansion join AND the expanded union
       val newNeighbors = top
         .join(edges, top("vid") === edges("vid_a"))
         .select(col("qid"), col("vid_b").as("vid"))
       expanded =
-        (if (expanded == null) top else expanded.unionByName(top).distinct())
-          .localCheckpoint(false)
-      visited = visited.unionByName(newNeighbors).distinct().localCheckpoint(false)
+        (if (expanded == null) top else expanded.unionByName(top).distinct()).localCheckpoint()
+      visited = visited.unionByName(newNeighbors).distinct().localCheckpoint()
     }
     visited
   }

@@ -150,4 +150,37 @@ class OddNfftSpec extends AnyFunSuite {
       assert(math.abs(got(f.toLong) - want) < 1e-5, s"f=$f: ${got(f.toLong)} vs $want")
     }
   }
+
+  test("audioVad kernel ≡ declarative frame/segment aggregation (r17 fusion)") {
+    // clip shapes straddle the frame boundary cases: exact multiples of
+    // 32, a ragged tail frame, all-silent, all-active, single sample,
+    // and alternating silence runs (segment counting)
+    val clips: Seq[(Long, Array[Short])] = Seq(
+      1L -> Array.tabulate(128)(t => if ((t / 32) % 3 == 0) 0 else ((t * 37) % 2003 - 1001).toShort),
+      2L -> Array.tabulate(100)(t => if ((t / 32) % 2 == 0) 0 else ((t * 11) % 997 - 498).toShort), // ragged tail
+      3L -> Array.fill[Short](96)(0), // all silent
+      4L -> Array.tabulate(64)(t => (t + 1).toShort), // all active
+      5L -> Array[Short](7), // single sample, single frame
+      6L -> Array.tabulate(193)(t => if ((t / 32) % 3 == 2) ((t * 5) % 101 + 1).toShort else 0)
+    )
+    val media = clips
+      .map { case (id, s) => (id, llm.Multimodal.encodeWav(s)) }
+      .toDF("media_id", "payload")
+    val got = llm.Multimodal
+      .audioVad(media)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(got.keySet == clips.map(_._1).toSet)
+    for ((id, s) <- clips) {
+      // declarative reference: exactly the pre-r17 frame aggregation +
+      // lag-window run counting, computed naively
+      val frames = s.grouped(32).toArray
+      val energies = frames.map(_.map(v => v.toLong * v.toLong).sum)
+      val acts = energies.map(_ > 0L)
+      val nSeg = acts.zip(false +: acts.dropRight(1).toSeq).count { case (a, p) => a && !p }
+      val want = (frames.length.toLong, acts.count(identity).toLong, nSeg.toLong, energies.sum)
+      assert(got(id) == want, s"media $id: ${got(id)} vs $want")
+    }
+  }
 }
