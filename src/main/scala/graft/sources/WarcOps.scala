@@ -816,8 +816,10 @@ object WarcOps {
     * the JSON array needs no escaping.
     */
   def watRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val pages = Tables
-      .documents(s, dir)
+    // scan fan-out (guide §2.5): the HTML plant + regex outlink/block
+    // extraction otherwise run single-task on a single-file corpus
+    val pages = graft.core.Tables
+      .fan(Tables.documents(s, dir), "doc_id")
       .select(col("doc_id"), expr(graft.llm.Curation.htmlPlantExpr).as("html"))
       .localCheckpoint() // feeds the extraction AND the outlink scan
     val links = pages.select(
