@@ -956,9 +956,13 @@ object Dedup {
       .select(col("doc_id"), col("run_start"), col("run_len"))
   }
 
-  /** Gate: runs over the planted corpus. */
+  /** Gate: runs over the planted corpus. Scan fan-out (guide §2.5):
+    * the plant + per-position md5 gram build runs before the first
+    * exchange, single-task on a single-file corpus without the fan. */
   def dedupRuns(docs: DataFrame): DataFrame =
-    sharedRuns(docs.select(col("doc_id"), expr(runPlant).as("text")))
+    sharedRuns(
+      graft.core.Tables.fan(docs, "doc_id").select(col("doc_id"), expr(runPlant).as("text"))
+    )
 
   def dedupRunsSql(w: Int = runLen): String =
     s"WITH aug AS (SELECT doc_id, $runPlant AS text FROM documents), " +
