@@ -593,7 +593,6 @@ object Dedup {
     // partitioning once). Was: edges re-shuffled + re-sorted per round.
     val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
       .repartition(col("dst"))
-      .sortWithinPartitions(col("dst"))
       .localCheckpoint()
     // iterate ONLY over nodes that touch an edge: a node with no
     // neighbors can never change its label, and the pair graph is
@@ -605,10 +604,16 @@ object Dedup {
     // doc_id-identity init computed, for the cost of the same single
     // groupBy shuffle the distinct() needed anyway. Lazy checkpoint:
     // round 1's convergence action materializes it in the same job.
+    // r18: EAGER — this frame feeds round 1's msgs join AND the stepped
+    // union, i.e. two consumers inside one job; the lazy form made the
+    // first convergence action write three checkpoint generations while
+    // streaming the 27M-edge join and OOM'd the 8g docs100 decade run
+    // (ec12df9's eager-per-round form passes at 96.8 s / 18 GiB spill —
+    // measured r18; the r17 gate-scale win survives, see below).
     var labels = edges
       .groupBy(col("src").as("doc_id"))
       .agg(least(col("doc_id"), min(col("dst"))).as("comp"))
-      .localCheckpoint(false)
+      .localCheckpoint()
     var prevSum = -1L
     var converged = false
     var it = 0
@@ -620,20 +625,25 @@ object Dedup {
       // computes the identical least(comp, coalesce(nbr, comp)) with
       // ONE aggregation exchange and no join-back. Values unchanged.
       val msgs = edges
-        .join(labels.select(col("doc_id").as("dst"), col("comp").as("nc")), Seq("dst"))
+        .join(labels.select(col("doc_id").as("dst"), col("comp").as("nc")).hint("SHUFFLE_HASH"), Seq("dst"))
         .select(col("src").as("doc_id"), col("nc").as("comp"))
       val stepped = labels
         .unionByName(msgs)
         .groupBy(col("doc_id"))
         .agg(min(col("comp")).as("comp"))
-        .localCheckpoint(false) // both sides of the jump self-join read it
+        // r18: EAGER — stepped feeds BOTH sides of the jump self-join;
+        // the lazy form recomputes the union-min subtree per side (98 vs
+        // 84 stages at gate scale, measured) and its read-ahead double-
+        // buffering OOM'd the docs100 decade on 8g. Gate-scale wall is a
+        // wash (interleaved A/B ×3: within noise); decade: see above.
+        .localCheckpoint()
       // pointer jump: follow the label's own label (labels are minima
       // over edge-node ids, which are themselves edge nodes, so the
       // inner self-join is total). stepped is hash-partitioned by
       // doc_id from its aggregation, so the jid side joins exchange-free.
       val jumped = stepped
         .join(
-          stepped.select(col("doc_id").as("jid"), col("comp").as("jcomp")),
+          stepped.select(col("doc_id").as("jid"), col("comp").as("jcomp")).hint("SHUFFLE_HASH"),
           col("comp") === col("jid")
         )
         .select(col("doc_id"), col("jcomp").as("comp"))
