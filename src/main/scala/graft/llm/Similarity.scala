@@ -831,10 +831,14 @@ object Similarity {
     */
 
   /** r17: walk edge tables are joined on vid_a every round — land the
-    * checkpoint pre-partitioned/pre-sorted by it so each round's
-    * expansion join leaves the edge side untouched (guide §2.4). */
+    * checkpoint pre-partitioned by it so each round's expansion join
+    * leaves the edge side untouched (guide §2.4). r18: NOT pre-sorted —
+    * the expansion joins are shuffled-hash (beam side builds), so the
+    * sort bought nothing, and a pre-SORTED checkpoint feeding codegen
+    * SMJ is the exact BufferedRowIterator-LinkedList OOM shape the
+    * components() docs100 run hit. */
   private def walkEdges(e: DataFrame): DataFrame =
-    e.repartition(col("vid_a")).sortWithinPartitions(col("vid_a")).localCheckpoint()
+    e.repartition(col("vid_a")).localCheckpoint()
 
   private def beamWalk(
       emb: DataFrame,
@@ -860,32 +864,46 @@ object Similarity {
     // tried — measured slower over order-balanced interleaved runs:
     // fan-out consumers race a lazily persisted frame and recompute
     // its subtree. Eager kept.)
-    var state = seeds
-      .distinct()
-      .select(col("qid"), col("vid"), lit(false).as("expanded"))
+    // r18: the SCORE rides the state frame — the scorer is
+    // deterministic per (qid, vid), so scoring a node when it ENTERS
+    // the state (seeds once, each round's new neighbors once) and
+    // ranking rounds on the carried value is value-identical to the
+    // old rescore-the-frontier-every-round form, but the per-round
+    // score join shrinks from O(|visited not expanded|) to O(|new
+    // neighbors|) — at serving scale the visited set grows each round
+    // while the new-neighbor stream stays ~beam·degree. The flag-merge
+    // aggregation carries max(cos) (all duplicates hold the identical
+    // double).
+    var state = sc(seeds.distinct())
+      .select(col("qid"), col("vid"), col("cos"), lit(false).as("expanded"))
       .localCheckpoint()
     val bw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("vid").asc)
     for (_ <- 1 to rounds) {
-      val top = sc(state.filter(!col("expanded")).select(col("qid"), col("vid")))
+      val top = state
+        .filter(!col("expanded"))
         .withColumn("rn", row_number().over(bw))
         .filter(col("rn") <= beam)
         .select(col("qid"), col("vid"))
         .localCheckpoint() // feeds the expansion join AND the flag merge
-      val newNeighbors = top
-        .join(edges, top("vid") === edges("vid_a"))
-        .select(col("qid"), col("vid_b").as("vid"), lit(false).as("expanded"))
+      val newNeighbors = sc(
+        top
+          .hint("SHUFFLE_HASH") // build the beam side, stream the edge store
+          .join(edges, top("vid") === edges("vid_a"))
+          .select(col("qid"), col("vid_b").as("vid"))
+      ).select(col("qid"), col("vid"), col("cos"), lit(false).as("expanded"))
       state = state
-        .join(top.withColumn("hit", lit(true)), Seq("qid", "vid"), "left")
+        .join(top.hint("SHUFFLE_HASH").withColumn("hit", lit(true)), Seq("qid", "vid"), "left")
         .select(
           col("qid"),
           col("vid"),
+          col("cos"),
           (col("expanded") || coalesce(col("hit"), lit(false))).as("expanded")
         )
         .unionByName(newNeighbors)
         .groupBy(col("qid"), col("vid"))
-        .agg(max(col("expanded")).as("expanded"))
+        .agg(max(col("cos")).as("cos"), max(col("expanded")).as("expanded"))
         .localCheckpoint()
     }
     state.select(col("qid"), col("vid"))
